@@ -1,0 +1,119 @@
+package graft.crack
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.num_to_pass
+import graft.keyspace.Keyspace
+
+/** Batch re-expression of the reference's one parameterized query
+  * (SURVEY.md §0):
+  *
+  * {{{
+  * SELECT password FROM generate_keyspace(len)
+  * WHERE sha1_hex(password) = :target_hash
+  * LIMIT 1
+  * }}}
+  *
+  * The whole request/server/worker round-trip (`request.c`, `server.c`,
+  * `worker.c`) collapses into one whole-stage-codegen'd Spark job:
+  * `Range → Project(NumToPass) → Filter(sha1 = h) → TakeOrdered(1)`.
+  * `spark.range` supplies the reference's uniform range partitioning
+  * (`server.c:333-438`) exactly — ordinal tiling with no overshoot — at
+  * arbitrary parallelism instead of the reference's cap of 10(+1) workers.
+  */
+object CrackQuery {
+
+  /** Generated keyspace scan over ordinals `[lo, hi]` inclusive
+    * (S1/S2: `worker.c:77-101`, `request.c:40-47`). Splittable, ordered,
+    * codegen'd via `RangeExec`. */
+  def candidates(
+      spark: SparkSession,
+      len: Int,
+      lo: Long,
+      hi: Long,
+      parallelism: Int): DataFrame = {
+    require(lo >= 0 && hi < Keyspace.size(len) && lo <= hi,
+      s"bounds [$lo, $hi] invalid for len=$len")
+    spark.range(lo, hi + 1, 1, parallelism)
+      .select(num_to_pass(col("id"), len).as("pass"))
+  }
+
+  /** Full-domain candidate scan (`lower="a"*len`, `upper="z"*len`). */
+  def candidates(spark: SparkSession, len: Int, parallelism: Int = 32): DataFrame = {
+    val (lo, hi) = Keyspace.fullRange(len)
+    candidates(spark, len, lo, hi, parallelism)
+  }
+
+  /** All matches in `[a-z]^len` for `target` (usually 0 or 1 rows for
+    * SHA-1). Deterministic: ordered by candidate. */
+  def matches(
+      spark: SparkSession,
+      hashHex: String,
+      len: Int,
+      parallelism: Int = 32): DataFrame =
+    candidates(spark, len, parallelism)
+      .filter(sha1(col("pass")) === lit(hashHex.toLowerCase))
+
+  /** First-found-wins crack (A1/L3). Unlike the reference — racy: whichever
+    * worker replies first wins, `server.c:275-306` — this is deterministic:
+    * the lexicographically smallest preimage. Empty result ≅ reply "x". */
+  def crackDF(
+      spark: SparkSession,
+      hashHex: String,
+      len: Int,
+      parallelism: Int = 32): DataFrame =
+    matches(spark, hashHex, len, parallelism).orderBy("pass").limit(1)
+
+  /** `./request host:port <hash> <len>` ≅ `crack(hash, len)`:
+    * `Some(pass)` ≅ "f <pass>", `None` ≅ "x". */
+  def crack(
+      spark: SparkSession,
+      hashHex: String,
+      len: Int,
+      parallelism: Int = 32): Option[String] =
+    crackDF(spark, hashHex, len, parallelism)
+      .collect().headOption.map(_.getString(0))
+
+  /** Generalization the reference lacks: crack a whole batch of target
+    * hashes in ONE keyspace scan (broadcast the tiny hash dimension —
+    * `msgs ⋈ broadcast(workers)` pattern, SURVEY.md §2.4). */
+  def crackMany(
+      spark: SparkSession,
+      hashes: Seq[String],
+      len: Int,
+      parallelism: Int = 32): DataFrame = {
+    import spark.implicits._
+    val targets = hashes.map(_.toLowerCase).toDF("hash")
+    candidates(spark, len, parallelism)
+      .join(broadcast(targets), sha1(col("pass")) === col("hash"))
+      .groupBy("hash")
+      .agg(min("pass").as("pass"))
+  }
+
+  /** Cancel-on-first-hit driver loop (SURVEY.md §7.4): scan the keyspace in
+    * ordinal chunks, stop at the first chunk that yields a match — work
+    * beyond the hit's chunk is never launched. Strictly better than the
+    * reference, which replies early (`server.c:251-256`) but never cancels
+    * sibling workers (`worker.c` has no abort path).
+    */
+  def chunkedCrack(
+      spark: SparkSession,
+      hashHex: String,
+      len: Int,
+      chunkSize: Long = 1L << 24,
+      parallelism: Int = 32): Option[String] = {
+    val (lo, hi) = Keyspace.fullRange(len)
+    var start = lo
+    while (start <= hi) {
+      val end = math.min(start + chunkSize - 1, hi)
+      val hit = candidates(spark, len, start, end, parallelism)
+        .filter(sha1(col("pass")) === lit(hashHex.toLowerCase))
+        .orderBy("pass").limit(1)
+        .collect().headOption.map(_.getString(0))
+      if (hit.isDefined) return hit
+      start = end + 1
+    }
+    None
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.{Column, GraftShim, SparkSession}
+
+import graft.keyspace.{NumToPass, PassToNum}
+
+/** Column-API surface for graft's native expressions (mirrors
+  * `org.apache.spark.sql.functions`' style). */
+object functions {
+
+  private def col(e: Expression): Column = GraftShim.column(e)
+  private def expr(c: Column): Expression = GraftShim.expression(c)
+
+  /** Ordinal → `[a-z]^len` password string (errors on out-of-range). */
+  def num_to_pass(num: Column, len: Int): Column =
+    col(NumToPass(Cast(expr(num), LongType), Literal(len)))
+
+  /** Reference-parity variant: silently wraps ordinals mod 26^len
+    * (`server.c:211-224` semantics). */
+  def num_to_pass_wrap(num: Column, len: Int): Column =
+    col(NumToPass(Cast(expr(num), LongType), Literal(len), wrap = true))
+
+  /** `[a-z]{1,13}` string → ordinal; NULL on invalid input. */
+  def pass_to_num(pass: Column): Column =
+    col(PassToNum(Cast(expr(pass), StringType)))
+
+  /** Register `num_to_pass` / `pass_to_num` as SQL functions on this
+    * session. */
+  def registerAll(spark: SparkSession): Unit = {
+    GraftShim.registerFunction(spark, "num_to_pass",
+      args => NumToPass(Cast(args(0), LongType), Cast(args(1), IntegerType)))
+    GraftShim.registerFunction(spark, "pass_to_num",
+      args => PassToNum(Cast(args(0), StringType)))
+  }
+}

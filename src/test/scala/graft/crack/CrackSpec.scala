@@ -1,0 +1,64 @@
+package graft.crack
+
+import graft.SparkSpec
+
+/** Known-answer vectors from FIXTURES.md §1 (reference query parity:
+  * `request.c` / `worker.c:41-56,84`). */
+class CrackSpec extends SparkSpec {
+
+  test("len=2: domain min / max / early / X1-wrap-regression vectors") {
+    assert(CrackQuery.crack(spark, "e0c9035898dd52fc65c41454cec9c4d2611bfb37", 2)
+      === Some("aa"))
+    assert(CrackQuery.crack(spark, "d7dacae2c968388960bf8970080a980ed5c5dcb7", 2)
+      === Some("zz"))
+    assert(CrackQuery.crack(spark, "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", 2)
+      === Some("ab"))
+    // with 10 partitions the reference's last worker wrapped and never
+    // terminated; our exact tiling must still find "ad"
+    assert(CrackQuery.crack(spark, "4aeb195cd69ed93520b9b4129636264e0cdc0153", 2,
+      parallelism = 10) === Some("ad"))
+  }
+
+  test("len=4: found (min, max, middle, word) and not-found") {
+    assert(CrackQuery.crack(spark, "70c881d4a26984ddce795f6f71817c9cf4480e79", 4)
+      === Some("aaaa"))
+    assert(CrackQuery.crack(spark, "cb990257247b592eaaed54b84b32d96b7904fd95", 4)
+      === Some("zzzz"))
+    assert(CrackQuery.crack(spark, "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
+      === Some("abcd"))
+    assert(CrackQuery.crack(spark, "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3", 4)
+      === Some("test"))
+    // sha1("1234") has no [a-z]^4 preimage → "x"
+    assert(CrackQuery.crack(spark, "7110eda4d09e062aa5e4a390b0a572ac0d2c0220", 4)
+      === None)
+  }
+
+  test("parallelism edge cases: 1, 11, more partitions than keys") {
+    assert(CrackQuery.crack(spark, "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", 2,
+      parallelism = 1) === Some("ab"))
+    assert(CrackQuery.crack(spark, "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", 2,
+      parallelism = 11) === Some("ab"))
+    assert(CrackQuery.crack(spark, "86f7e437faa5a7fce15d1ddcb9eaeaea377667b8", 1,
+      parallelism = 100) === Some("a"))
+  }
+
+  test("chunkedCrack: early exit finds answer without scanning later chunks") {
+    assert(CrackQuery.chunkedCrack(spark,
+      "81fe8bfe87576c3ecb22426f8e57847382917acf", 4, chunkSize = 32768)
+      === Some("abcd"))
+    assert(CrackQuery.chunkedCrack(spark,
+      "7110eda4d09e062aa5e4a390b0a572ac0d2c0220", 4, chunkSize = 200000)
+      === None)
+  }
+
+  test("crackMany: batch of hashes in one scan") {
+    val out = CrackQuery.crackMany(spark, Seq(
+      "81fe8bfe87576c3ecb22426f8e57847382917acf", // abcd
+      "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3", // test
+      "7110eda4d09e062aa5e4a390b0a572ac0d2c0220"  // not found
+    ), 4).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      "81fe8bfe87576c3ecb22426f8e57847382917acf" -> "abcd",
+      "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3" -> "test"))
+  }
+}
