@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JIT/codegen + parquet footer caches before timing
+    spark.range(0, 1000000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,13 +1,363 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.crack.CrackQueries
+import graft.dedup.Dedup
+import graft.lsp.LspAnalytics
+import graft.multimodal.Multimodal
+import graft.relational.{EventQueries, RelationalQueries}
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2's generalized surface has a `queries`
+  * entry; SQL-expressible ones also have a DuckDB oracle in [[oracleSql]]
+  * (column names and integer widths deliberately matched — the driver's
+  * compare hashes values after sorting columns by name).
+  *
+  * Oracle-less entries (approximate/abstract operators — MinHash, SimHash,
+  * LSH ANN, mapPartitions feature extraction) are exact-verified against
+  * their exact twins in the test suite instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * TPC-H Q5-shape 6-way broadcast join (revenue by nation in ASIA). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    RelationalQueries.q5LocalSupplierVolume(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- crack parity (the reference's own query, SURVEY §0) --
+    "q_crack_found" -> (CrackQueries.qCrackFound _),
+    "q_crack_notfound" -> (CrackQueries.qCrackNotFound _),
+    "q_crack_multi" -> (CrackQueries.qCrackMulti _),
+    "q_keyspace_roundtrip" -> (CrackQueries.qKeyspaceRoundtrip _),
+    "q_keyspace_tile" -> (CrackQueries.qKeyspaceTile _),
+    // -- relational surface (SURVEY §2.4-§2.9 generalization) --
+    "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
+    "q3_shipping_priority" -> (RelationalQueries.q3ShippingPriority _),
+    "q5_local_supplier" -> (RelationalQueries.q5LocalSupplierVolume _),
+    "q6_forecast_revenue" -> (RelationalQueries.q6ForecastRevenue _),
+    "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
+    "q_customer_order_stats" -> (RelationalQueries.qCustomerOrderStats _),
+    "q_semi_join" -> (RelationalQueries.qSemiCustomersWithUrgent _),
+    "q_anti_join" -> (RelationalQueries.qAntiCustomersNoOrders _),
+    "q_window_topk" -> (RelationalQueries.qTopCustomersPerSegment _),
+    "q_window_running" -> (RelationalQueries.qRunningMonthlyRevenue _),
+    "q_rollup" -> (RelationalQueries.qRollupOrders _),
+    "q_intersect" -> (RelationalQueries.qIntersectNations _),
+    "q_except" -> (RelationalQueries.qExceptNations _),
+    "q_distinct" -> (RelationalQueries.qDistinctSegmentPriority _),
+    // -- event-time analytics (SURVEY §2.10 batch form) --
+    "q_events_hourly" -> (EventQueries.qEventsHourly _),
+    "q_events_sessionize" -> (EventQueries.qEventsSessionize _),
+    "q_events_json" -> (EventQueries.qEventsJson _),
+    "q_events_dedup" -> (EventQueries.qEventsDedup _),
+    // -- LSP/DPC message-log analytics (SURVEY §2.2, §2.3) --
+    "q_dpc_classify" -> (LspAnalytics.qDpcClassify _),
+    "q_dpc_parse" -> (LspAnalytics.qDpcParse _),
+    "q_ack_project" -> (LspAnalytics.qAckProject _),
+    "q_gap_detect" -> (LspAnalytics.qGapDetect _),
+    "q_lsp_classify" -> (LspAnalytics.qLspClassify _),
+    // -- text analysis (north star) --
+    "q_text_stats_by_lang" -> (TextOps.qTextStatsByLang _),
+    "q_token_count" -> (TextOps.qTokenCount _),
+    "q_text_quality" -> (TextOps.qTextQuality _),
+    "q_lang_guess" -> (TextOps.qLangGuess _),
+    "q_fingerprint" -> (TextOps.qFingerprint _),
+    // -- dedup (north star) --
+    "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.qNgramJaccardPairs(s, d)),
+    "q_minhash_lsh" -> ((s: SparkSession, d: String) =>
+      Dedup.qMinhashLshPairs(s, d)),
+    "q_simhash" -> ((s: SparkSession, d: String) => Dedup.qSimhashPairs(s, d)),
+    // -- similarity search (north star) --
+    "q_ann_bruteforce" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnBruteForce(s, d)),
+    "q_embedding_neardup" -> ((s: SparkSession, d: String) =>
+      Similarity.qEmbeddingNearDup(s, d)),
+    "q_ann_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnLshBuckets(s, d)),
+    // -- multimodal plumbing (north star) --
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_frame_sample" -> ((s: SparkSession, d: String) =>
+      Multimodal.qFrameSample(s, d)),
+    "q_media_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.featureExtract(s, d))
+  )
+
+  /** Shared CTE: the deterministic LSP/DPC message log derived from
+    * `events` (mirrors [[LspAnalytics.messageLog]]). */
+  private val logCte: String =
+    """WITH log AS (
+      |  SELECT event_id, user_id AS connid,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seqnum,
+      |    CASE WHEN event_type = 'signup' THEN 'j'
+      |         WHEN event_type = 'purchase' THEN 'c ' || md5(CAST(event_id AS VARCHAR)) || ' aaaa zzzz'
+      |         WHEN event_type = 'click' THEN 'f abcd'
+      |         WHEN event_type = 'error' THEN 'x'
+      |         ELSE '' END AS payload
+      |  FROM events)""".stripMargin
+
+  /** DuckDB cosine with the same left-to-right fold as the Spark side. */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)
+       | / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))
+       |   * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))))""".stripMargin
+
+  /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
+  private def pass4(x: String): String =
+    s"chr(97 + CAST(($x) // 17576 AS INT) % 26) || chr(97 + CAST(($x) // 676 AS INT) % 26) || " +
+      s"chr(97 + CAST(($x) // 26 AS INT) % 26) || chr(97 + CAST(($x) AS INT) % 26)"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (→ driver records a weaker rows-only check). */
+  def oracleSql: Map[String, String] = Map(
+    "q_crack_found" -> "SELECT 'abcd' AS pass",
+    "q_crack_notfound" -> "SELECT CAST(NULL AS VARCHAR) AS pass WHERE FALSE",
+    "q_crack_multi" ->
+      """SELECT * FROM (VALUES
+        |  ('81fe8bfe87576c3ecb22426f8e57847382917acf', 'abcd'),
+        |  ('a94a8fe5ccb19ba61c4c0873d391e987982fbbd3', 'test')) t(hash, pass)""".stripMargin,
+    "q_keyspace_roundtrip" ->
+      """SELECT i AS id,
+        |  chr(97 + CAST(i // 676 AS INT) % 26) || chr(97 + CAST(i // 26 AS INT) % 26) || chr(97 + CAST(i AS INT) % 26) AS pass,
+        |  i AS back
+        |FROM generate_series(0, 17575) t(i)""".stripMargin,
+    "q_keyspace_tile" ->
+      s"""WITH t AS (SELECT i, CAST(456976 // 10 AS BIGINT) AS base, CAST(456976 % 10 AS BIGINT) AS rem
+         |           FROM generate_series(0, 9) s(i)),
+         |b AS (SELECT CAST(i AS BIGINT) AS part_id,
+         |             i * base + least(i, rem) AS lo,
+         |             (i + 1) * base + least(i + 1, rem) - 1 AS hi FROM t)
+         |SELECT part_id, lo, hi, ${pass4("lo")} AS lo_pass, ${pass4("hi")} AS hi_pass FROM b""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25""".stripMargin,
+    "q_part_brand_stats" ->
+      """SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,
+    "q_customer_order_stats" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_window_topk" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment, total_spent,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM (SELECT c_custkey, c_mktsegment, round(sum(o_totalprice), 2) AS total_spent
+        |        FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2))
+        |WHERE rnk <= 5""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_orderpriority, month, revenue,
+        |  round(sum(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month), 2) AS cum_revenue
+        |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |        round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1, 2)""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT c_mktsegment, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, event_id, ts_us,
+        |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |g AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN prev_us IS NULL THEN 1
+        |             WHEN ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM f),
+        |h AS (SELECT user_id, event_id,
+        |        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM h GROUP BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
+    "q_events_dedup" ->
+      """SELECT user_id, event_type, min(event_id) AS keep_event,
+        |  count(*) AS n_duplicates
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_dpc_classify" -> (logCte +
+      """
+        |SELECT CASE substr(payload, 1, 1)
+        |    WHEN 'j' THEN 'JOIN_REQ' WHEN 'c' THEN 'CRACK_REQ'
+        |    WHEN 'f' THEN 'PASS_FOUND' WHEN 'x' THEN 'PASS_NOTFOUND'
+        |    ELSE 'UNKNOWN' END AS msg_type,
+        |  count(*) AS n_msgs, count(DISTINCT connid) AS n_conns
+        |FROM log GROUP BY 1""".stripMargin),
+    "q_dpc_parse" -> (logCte +
+      """
+        |SELECT connid, seqnum,
+        |  string_split(payload, ' ')[2] AS hash,
+        |  string_split(payload, ' ')[3] AS lower,
+        |  string_split(payload, ' ')[4] AS upper
+        |FROM log WHERE substr(payload, 1, 1) = 'c'""".stripMargin),
+    "q_ack_project" -> (logCte +
+      """
+        |SELECT connid, seqnum, '' AS ack_payload FROM log
+        |WHERE length(payload) > 0""".stripMargin),
+    "q_gap_detect" -> (logCte +
+      """,
+        |kept AS (SELECT * FROM log WHERE event_id % 7 <> 0),
+        |g AS (SELECT connid, seqnum,
+        |        lag(seqnum) OVER (PARTITION BY connid ORDER BY seqnum) AS prev_seqnum FROM kept)
+        |SELECT connid, prev_seqnum, seqnum, seqnum - prev_seqnum - 1 AS n_lost
+        |FROM g WHERE prev_seqnum IS NOT NULL AND seqnum - prev_seqnum > 1""".stripMargin),
+    "q_lsp_classify" -> (logCte +
+      """
+        |SELECT CASE
+        |    WHEN connid0 = 0 AND seqnum0 = 0 AND len0 = 0 THEN 'CONN_REQ'
+        |    WHEN connid0 <> 0 AND seqnum0 = 0 AND len0 = 0 THEN 'CONN_ACK'
+        |    WHEN connid0 <> 0 AND seqnum0 > 0 AND len0 > 0 THEN 'DATA_SEND'
+        |    WHEN connid0 <> 0 AND seqnum0 > 0 AND len0 = 0 THEN 'DATA_ACK'
+        |    ELSE 'INVALID' END AS msg_type,
+        |  count(*) AS n_msgs
+        |FROM (SELECT
+        |    CASE WHEN payload = 'j' THEN 0 ELSE connid END AS connid0,
+        |    CASE WHEN payload = 'j' THEN 0 ELSE seqnum END AS seqnum0,
+        |    CASE WHEN payload = 'j' THEN 0 ELSE length(payload) END AS len0
+        |  FROM log)
+        |GROUP BY 1""".stripMargin),
+    "q_text_stats_by_lang" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
+        |  n_chars
+        |FROM documents""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, lang, n_tokens, n_stop,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+        |  CASE WHEN n_tokens BETWEEN 20 AND 80
+        |        AND round(CAST(n_stop AS DOUBLE) / n_tokens, 4) < 0.2
+        |       THEN 'good' ELSE 'low' END AS quality
+        |FROM (SELECT doc_id, lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |      FROM documents)""".stripMargin,
+    "q_lang_guess" ->
+      """SELECT lang, CASE WHEN en_hits >= 2 THEN 'en'
+        |                  WHEN en_hits = 1 THEN 'en_maybe'
+        |                  ELSE 'unk' END AS guessed, count(*) AS n_docs
+        |FROM (SELECT lang, len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS en_hits
+        |      FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(sum(ord * (ascii(substr(tok, 1, 1)) * 31 + len(tok))) % 1000000007 AS BIGINT) AS fingerprint
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |        generate_subscripts(string_split(text, ' '), 1) AS ord
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(l) - 2, 1)),
+        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, round(jaccard, 6) AS jaccard
+        |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+        |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+        |WHERE jaccard >= 0.5""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |        round(${duckCos("q.v", "c.v")}, 6) AS sim
+         |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |SELECT * FROM (SELECT qid, nid, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |  FROM d)
+         |WHERE rnk <= 5""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2, round(${duckCos("a.v", "b.v")}, 6) AS sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE sim > 0.4""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  upper(hex(substring(text, 1, 8))) AS header_hex,
+        |  CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) % 7 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
+    "q_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id,
+        |        unnest(list_transform(range(0, CAST(nb // 24 AS BIGINT) + 1),
+        |          i -> upper(hex(substring(b, CAST(i * 24 + 1 AS INT), 8))))) AS frame_hex,
+        |        generate_subscripts(list_transform(range(0, CAST(nb // 24 AS BIGINT) + 1), i -> i), 1) - 1 AS frame_idx
+        |      FROM m)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_hex
+        |FROM f WHERE length(frame_hex) > 0""".stripMargin
+  )
 }

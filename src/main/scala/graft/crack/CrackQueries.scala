@@ -1,0 +1,50 @@
+package graft.crack
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.{num_to_pass, pass_to_num}
+import graft.keyspace.Keyspace
+
+/** Driver-contract (SparkEntry) wrappers for the crack-parity operators —
+  * `(SparkSession, sfDir) => DataFrame` shape. The keyspace is generated,
+  * so `sfDir` is unused; expected answers come from FIXTURES.md §1. */
+object CrackQueries {
+
+  /** sha1("abcd")-preimage search over [a-z]^4 (found path, A1). */
+  def qCrackFound(spark: SparkSession, dir: String): DataFrame =
+    CrackQuery.crackDF(spark, "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
+
+  /** sha1("1234") has no [a-z]^4 preimage (exhausted path, A2 → "x"). */
+  def qCrackNotFound(spark: SparkSession, dir: String): DataFrame =
+    CrackQuery.crackDF(spark, "7110eda4d09e062aa5e4a390b0a572ac0d2c0220", 4)
+
+  /** Batch of targets in one scan (broadcast dimension join). */
+  def qCrackMulti(spark: SparkSession, dir: String): DataFrame =
+    CrackQuery.crackMany(spark, Seq(
+      "81fe8bfe87576c3ecb22426f8e57847382917acf", // abcd
+      "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3", // test
+      "7110eda4d09e062aa5e4a390b0a572ac0d2c0220"  // no preimage
+    ), 4)
+
+  /** Codec round-trip over the whole len-3 keyspace (P4/P5 parity). */
+  def qKeyspaceRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, Keyspace.size(3))
+      .select(col("id"),
+        num_to_pass(col("id"), 3).as("pass"))
+      .withColumn("back", pass_to_num(col("pass")))
+
+  /** X1 partitioning parity: exact 10-way tiling of the len-4 keyspace
+    * with bounds in both ordinal and string form (no overshoot — the
+    * reference's `server.c:387-433` quirk, fixed). */
+  def qKeyspaceTile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (lo, hi) = Keyspace.fullRange(4)
+    Keyspace.tile(lo, hi, 10).zipWithIndex
+      .map { case ((s, e), i) => (i.toLong, s, e) }
+      .toDF("part_id", "lo", "hi")
+      .select(col("part_id"), col("lo"), col("hi"),
+        num_to_pass(col("lo"), 4).as("lo_pass"),
+        num_to_pass(col("hi"), 4).as("hi_pass"))
+  }
+}

@@ -26,6 +26,11 @@ object functions {
   def pass_to_num(pass: Column): Column =
     col(PassToNum(Cast(expr(pass), StringType)))
 
+  /** Native dot product over `array<float>` columns (codegen'd; same
+    * left-to-right fold as `aggregate(zip_with(..))`). */
+  def vec_dot(a: Column, b: Column): Column =
+    col(graft.similarity.FloatVectorDot(expr(a), expr(b)))
+
   /** Register `num_to_pass` / `pass_to_num` as SQL functions on this
     * session. */
   def registerAll(spark: SparkSession): Unit = {

@@ -1,0 +1,177 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generalized relational surface over the TPC-H-ish tables (SURVEY.md §7.2
+  * step 6). The reference has exactly one query shape; these exercise the
+  * full operator set a user of a real analytics engine needs — joins of
+  * every flavor, aggregation, windows, set ops, rollup — all as declarative
+  * DataFrame plans so Catalyst supplies pushdown, pruning, join selection
+  * and AQE at scale.
+  *
+  * Determinism contract with the DuckDB oracle (driver t2 gate):
+  * double aggregates are `round(_, 2)`; top-k cuts order by the rounded
+  * measure with an integer-key tiebreak; timestamps leave results only as
+  * formatted strings.
+  */
+object RelationalQueries {
+
+  import Tables.load
+
+  /** TPC-H Q1 shape: pricing summary. One wide scan → partial agg →
+    * 4-group final agg; no shuffle beyond the single agg exchange. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-12-31"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: shipping priority — 3-way join, group, top-10 by
+    * revenue (deterministic: rounded measure + orderkey tiebreak). */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val customer = load(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+    val orders = load(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-06-01"))
+    val lineitem = load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-06-01"))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: local supplier volume in ASIA — 6-way join with the
+    * c_nationkey = s_nationkey co-location constraint; dims broadcast. */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = load(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = load(spark, dir, "nation")
+    val customer = load(spark, dir, "customer")
+    val supplier = load(spark, dir, "supplier")
+    val orders = load(spark, dir, "orders")
+    val lineitem = load(spark, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(customer),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q6 shape: forecast revenue — pure scan + filter + scalar agg;
+    * every predicate must reach the parquet scan as a pushed filter. */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.02, 0.08) &&
+        col("l_quantity") < 25)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+
+  /** Broadcast-join fact→dim + per-brand stats. */
+  def qPartBrandStats(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .join(broadcast(load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("total_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"))
+
+  /** Left-outer join with null-preserving aggregation: order stats per
+    * customer including customers with zero orders. */
+  def qCustomerOrderStats(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+
+  /** Left-semi join: customers with at least one urgent order
+    * (EXISTS — the `worker_found` probe pattern, SURVEY.md §2.4 J1). */
+  def qSemiCustomersWithUrgent(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+
+  /** Anti join: customers with no orders at all. */
+  def qAntiCustomersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Window rank: top-5 customers by spend within each market segment
+    * (row_number with rounded-measure + key tiebreak for determinism). */
+  def qTopCustomersPerSegment(spark: SparkSession, dir: String): DataFrame = {
+    val spend = load(spark, dir, "customer")
+      .join(load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("total_spent"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("total_spent").desc, col("c_custkey"))
+    spend.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+  }
+
+  /** Running (cumulative) monthly revenue per order priority — frame-ordered
+    * window aggregation over pre-rounded values keeps the fold exact. */
+  def qRunningMonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+    monthly.withColumn("cum_revenue", round(sum("revenue").over(w), 2))
+  }
+
+  /** ROLLUP aggregation (status × priority hierarchy + grand total). */
+  def qRollupOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+
+  /** Set op: nation keys present among BOTH customers and suppliers. */
+  def qIntersectNations(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(load(spark, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+
+  /** Set op: nation keys with customers but NO suppliers. */
+  def qExceptNations(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(load(spark, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+
+  /** Distinct projection over a join (dedup of a derived pair set). */
+  def qDistinctSegmentPriority(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .select("c_mktsegment", "o_orderpriority")
+      .distinct()
+}

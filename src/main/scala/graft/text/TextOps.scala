@@ -1,0 +1,80 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.relational.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, document fingerprinting. All pure column expressions
+  * (codegen'd, no UDFs) — at 100 TB these run entirely map-side with a
+  * single final aggregation shuffle where one exists.
+  */
+object TextOps {
+
+  import Tables.load
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-language corpus stats (exact integer sums; the average is a single
+    * deterministic division over them). */
+  def qTextStatsByLang(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(size(tokens(col("text")))).as("total_tokens"),
+        round(sum("n_chars").cast("double") / count(lit(1)), 4)
+          .as("avg_chars"))
+
+  /** Token counting: whitespace tokens plus a regex word tokenizer
+    * ("BPE-ish": alpha runs / digit runs / single punctuation). */
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens_ws"),
+        size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+          .cast("long").as("n_tokens_re"),
+        col("n_chars"))
+
+  /** Quality scoring from length + stopword-ratio signals. */
+  def qTextQuality(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+          .cast("long").as("n_stop"))
+      .withColumn("stop_ratio",
+        round(col("n_stop").cast("double") / col("n_tokens"), 4))
+      .withColumn("quality",
+        when(col("n_tokens").between(20, 80) && col("stop_ratio") < 0.2, "good")
+          .otherwise("low"))
+
+  /** Stopword-census language-ID heuristic, reported as a confusion matrix
+    * against the labeled `lang` column. */
+  def qLangGuess(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("lang"),
+        size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+          .as("en_hits"))
+      .withColumn("guessed",
+        when(col("en_hits") >= 2, "en")
+          .when(col("en_hits") === 1, "en_maybe")
+          .otherwise("unk"))
+      .groupBy("lang", "guessed")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Position-weighted rolling-hash document fingerprint (exact integer
+    * arithmetic → deterministic across engines). */
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .groupBy("doc_id")
+      .agg((sum((col("pos") + 1) *
+        (ascii(substring(col("tok"), 1, 1)) * 31 + length(col("tok"))))
+        % 1000000007L).as("fingerprint"))
+}

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact jaccard pairs: symmetric-free (d1<d2), thresholded, planted dups found") {
+    val pairs = Dedup.qNgramJaccardPairs(spark, dir).collect()
+    assert(pairs.nonEmpty, "corpus has planted near-dups; result must not be empty")
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("minhash LSH: every reported pair is exact-verified; recall >= 0.8 on strong pairs") {
+    val exact = Dedup.qNgramJaccardPairs(spark, dir, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.qMinhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision 1.0 by construction: every LSH pair is in the exact set
+    lsh.foreach { case (k, j) =>
+      assert(exact.contains(k), s"LSH pair $k not in exact set")
+      assert(math.abs(exact(k) - j) < 1e-9)
+    }
+    // recall on strong pairs (jaccard >= 0.8): 8 bands x 4 rows gives
+    // P(candidate) ~ 0.985 per pair at j=0.8
+    val strong = exact.filter(_._2 >= 0.8).keySet
+    val found = strong.count(lsh.contains)
+    assert(strong.isEmpty || found.toDouble / strong.size >= 0.8,
+      s"recall ${found.toDouble / strong.size} < 0.8 on ${strong.size} strong pairs")
+  }
+
+  test("simhash banding is exactly complete for hamming <= 3 (pigeonhole)") {
+    import spark.implicits._
+    // brute-force reference: all pairs with hamming <= 3 over full signatures
+    val lshPairs = Dedup.qSimhashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // recompute hamming for ALL pairs from the (deterministic) signatures
+    val sigs = Dedup.qSimhashPairs(spark, dir, maxHamming = 64)
+      .collect() // maxHamming=64 ≅ all candidate pairs that share any band
+    // pigeonhole: a pair with hamming <= 3 differs in <= 3 of 4 bands, so
+    // shares >= 1 band → appears among candidates. Hence the thresholded
+    // result must be exactly {candidates with hamming <= 3}.
+    val expect = sigs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(_._3 <= 3).toSet
+    assert(lshPairs === expect)
+    lshPairs.foreach { case (d1, d2, h) =>
+      assert(d1 < d2 && h >= 0 && h <= 3)
+    }
+  }
+
+  test("exact dedup finds identical texts iff they exist") {
+    val dups = Dedup.qDedupExact(spark, dir).collect()
+    val distinctTexts = graft.relational.Tables.load(spark, dir, "documents")
+      .select(countDistinct("text"), count(lit(1))).collect()(0)
+    val hasDups = distinctTexts.getLong(0) < distinctTexts.getLong(1)
+    assert(dups.nonEmpty === hasDups)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.similarity
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Scala-side brute-force reference on collected vectors. */
+  private def referenceTopK(n: Int, k: Int): Map[Long, Seq[Long]] = {
+    val vecs = graft.relational.Tables.load(spark, dir, "embeddings")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (0L until n.toLong).map { q =>
+      val scored = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, BigDecimal(cos(vecs(q), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+      q -> scored.sortBy { case (id, s) => (-s, id) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("brute-force ANN matches an independent Scala implementation") {
+    val got = Similarity.qAnnBruteForce(spark, dir, nQueries = 5, k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq).toMap
+    val want = referenceTopK(5, 5)
+    (0L until 5L).foreach { q => assert(got(q) === want(q), s"query $q") }
+  }
+
+  test("LSH ANN: valid shape and recall@5 >= 0.4 vs brute force") {
+    val bf = Similarity.qAnnBruteForce(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = Similarity.qAnnLshBuckets(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = bf.keys.toSeq.map { q =>
+      val hits = lsh.getOrElse(q, Set.empty) & bf(q)
+      hits.size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean recall@5 = $mean")
+    assert(mean >= 0.4, s"mean recall $mean too low")
+    lsh.foreach { case (_, ns) => assert(ns.size <= 5) }
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    Similarity.qEmbeddingNearDup(spark, dir).collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) > 0.4)
+    }
+  }
+}
