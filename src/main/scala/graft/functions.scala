@@ -31,12 +31,20 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     col(graft.similarity.FloatVectorDot(expr(a), expr(b)))
 
-  /** Register `num_to_pass` / `pass_to_num` as SQL functions on this
-    * session. */
+  /** Register graft's native expressions as SQL functions on this session
+    * (cluster-wide alternative: `spark.sql.extensions=graft.GraftExtensions`). */
   def registerAll(spark: SparkSession): Unit = {
-    GraftShim.registerFunction(spark, "num_to_pass",
-      args => NumToPass(Cast(args(0), LongType), Cast(args(1), IntegerType)))
-    GraftShim.registerFunction(spark, "pass_to_num",
-      args => PassToNum(Cast(args(0), StringType)))
+    GraftShim.registerFunction(spark, "num_to_pass", args => {
+      GraftExtensions.arity("num_to_pass", 2, args)
+      NumToPass(Cast(args(0), LongType), Cast(args(1), IntegerType))
+    })
+    GraftShim.registerFunction(spark, "pass_to_num", args => {
+      GraftExtensions.arity("pass_to_num", 1, args)
+      PassToNum(Cast(args(0), StringType))
+    })
+    GraftShim.registerFunction(spark, "vec_dot", args => {
+      GraftExtensions.arity("vec_dot", 2, args)
+      graft.similarity.FloatVectorDot(args(0), args(1))
+    })
   }
 }

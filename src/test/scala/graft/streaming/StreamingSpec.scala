@@ -1,0 +1,134 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+import graft.streaming.CrackService._
+import graft.streaming.SessionTracker._
+
+/** MemoryStream replays of the LSP/DPC streaming semantics (FIXTURES.md §2).
+  * Assertions pin state-machine outputs, not wall-clock behavior. */
+class StreamingSpec extends SparkSpec {
+
+  private def runVerdicts(batches: Seq[Seq[PartitionVerdict]]): Seq[CrackReply] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[PartitionVerdict]
+    val name = s"replies_${System.nanoTime()}"
+    val q = CrackService.replyStream(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      spark.table(name).as[CrackReply].collect().toSeq
+    } finally q.stop()
+  }
+
+  test("A1: eager reply on first found; stragglers don't re-emit") {
+    val replies = runVerdicts(Seq(
+      Seq(PartitionVerdict(7L, 0, 3, found = false, null)),
+      Seq(PartitionVerdict(7L, 1, 3, found = true, "abcd")),
+      Seq(PartitionVerdict(7L, 2, 3, found = false, null)) // straggler
+    ))
+    assert(replies === Seq(CrackReply(7L, "f", "abcd")))
+  }
+
+  test("A2: 'x' only after ALL partitions report not-found") {
+    val replies = runVerdicts(Seq(
+      Seq(PartitionVerdict(1L, 0, 3, found = false, null),
+        PartitionVerdict(1L, 1, 3, found = false, null)),
+      Seq(PartitionVerdict(1L, 2, 3, found = false, null))
+    ))
+    assert(replies === Seq(CrackReply(1L, "x", null)))
+  }
+
+  test("A1 duplicate-found is idempotent (reference overwrites, server.c:291)") {
+    val replies = runVerdicts(Seq(
+      Seq(PartitionVerdict(2L, 0, 2, found = true, "mzzz")),
+      Seq(PartitionVerdict(2L, 1, 2, found = true, "zzzz")) // late dup found
+    ))
+    assert(replies === Seq(CrackReply(2L, "f", "mzzz")))
+  }
+
+  test("independent requests keep independent state") {
+    val replies = runVerdicts(Seq(
+      Seq(PartitionVerdict(10L, 0, 1, found = false, null),
+        PartitionVerdict(11L, 0, 1, found = true, "test"))
+    )).toSet
+    assert(replies === Set(
+      CrackReply(10L, "x", null), CrackReply(11L, "f", "test")))
+  }
+
+  test("F5/T5: in-order delivery, dup drop, out-of-order drop per connection") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[LspPacket]
+    val name = s"events_${System.nanoTime()}"
+    // epochCnt = 0: no processing-time timers (they spin the microbatch
+    // loop); the timeout branch is covered by the TestGroupState test below
+    val q = SessionTracker.eventStream(input.toDS(), epochCnt = 0)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        LspPacket(5L, 1L, 10), LspPacket(5L, 2L, 10))) // clean in-order
+      q.processAllAvailable()
+      input.addData(Seq(
+        LspPacket(5L, 2L, 10),  // retransmit (T5)
+        LspPacket(5L, 5L, 10),  // future seqnum (F5 drop)
+        LspPacket(5L, 3L, 10))) // next expected
+      q.processAllAvailable()
+      val events = spark.table(name).as[ConnEvent].collect().toSeq
+      assert(events.count(_.event == Delivered) === 3)
+      assert(events.filter(_.event == DupDropped).map(_.seqnum) === Seq(2L))
+      assert(events.filter(_.event == OutOfOrderDropped).map(_.seqnum) === Seq(5L))
+    } finally q.stop()
+  }
+
+  test("T2 timeout branch: eviction emits TIMEOUT_CLOSED and clears state") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[ConnState](
+      optionalState = org.apache.spark.api.java.Optional.of(ConnState(7L)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = SessionTracker.trackConn(10000L)(5L, Iterator.empty, state).toSeq
+    assert(out === Seq(ConnEvent(5L, SessionTracker.TimedOut, -1L)))
+    assert(state.isRemoved)
+  }
+
+  test("F5 ordering within a batch follows seqnum order, not arrival order") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val state = TestGroupState.create[ConnState](
+      optionalState = org.apache.spark.api.java.Optional.empty[ConnState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // arrival order 3,1,2 — the tracker sorts, so all three deliver
+    val out = SessionTracker.trackConn(0L)(9L, Iterator(
+      LspPacket(9L, 3L, 1), LspPacket(9L, 1L, 1), LspPacket(9L, 2L, 1)), state).toSeq
+    assert(out.map(_.event).forall(_ == SessionTracker.Delivered))
+    assert(state.get === ConnState(4L))
+  }
+
+  test("watermark dedup drops retransmits (dropDuplicatesWithinWatermark)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    case class TsPacket(connid: Long, seqnum: Long, ts: Timestamp)
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val name = s"dedup_${System.nanoTime()}"
+    val ds = input.toDS().toDF("connid", "seqnum", "ts")
+    val q = ds.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("connid", "seqnum")
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:0$s:00")
+      input.addData(Seq((1L, 1L, t0), (1L, 1L, t(1)), (1L, 2L, t(2)), (1L, 1L, t(3))))
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 2) // (1,1) once + (1,2) once
+    } finally q.stop()
+  }
+}
