@@ -6,7 +6,7 @@ import graft.crack.CrackQueries
 import graft.dedup.Dedup
 import graft.lsp.LspAnalytics
 import graft.multimodal.Multimodal
-import graft.relational.{EventQueries, RelationalQueries}
+import graft.relational.{EventQueries, RelationalQueries, SqlQueries}
 import graft.similarity.Similarity
 import graft.text.TextOps
 
@@ -34,6 +34,7 @@ object SparkEntry {
     "q_crack_found" -> (CrackQueries.qCrackFound _),
     "q_crack_notfound" -> (CrackQueries.qCrackNotFound _),
     "q_crack_multi" -> (CrackQueries.qCrackMulti _),
+    "q_crack_len5" -> (CrackQueries.qCrackLen5 _),
     "q_keyspace_roundtrip" -> (CrackQueries.qKeyspaceRoundtrip _),
     "q_keyspace_tile" -> (CrackQueries.qKeyspaceTile _),
     // -- relational surface (SURVEY §2.4-§2.9 generalization) --
@@ -48,6 +49,12 @@ object SparkEntry {
     "q_window_topk" -> (RelationalQueries.qTopCustomersPerSegment _),
     "q_window_running" -> (RelationalQueries.qRunningMonthlyRevenue _),
     "q_rollup" -> (RelationalQueries.qRollupOrders _),
+    "q_grouping_sets" -> (SqlQueries.qGroupingSets _),
+    "q_pivot" -> (SqlQueries.qPivot _),
+    "q_stats_agg" -> (SqlQueries.qStatsAgg _),
+    "q_date_arith" -> (SqlQueries.qDateArith _),
+    "q_string_ops" -> (SqlQueries.qStringOps _),
+    "q_scalar_subquery" -> (SqlQueries.qScalarSubquery _),
     "q_intersect" -> (RelationalQueries.qIntersectNations _),
     "q_except" -> (RelationalQueries.qExceptNations _),
     "q_distinct" -> (RelationalQueries.qDistinctSegmentPriority _),
@@ -62,6 +69,7 @@ object SparkEntry {
     "q_ack_project" -> (LspAnalytics.qAckProject _),
     "q_gap_detect" -> (LspAnalytics.qGapDetect _),
     "q_lsp_classify" -> (LspAnalytics.qLspClassify _),
+    "q_lsp_wire_roundtrip" -> (LspAnalytics.qLspWireRoundtrip _),
     // -- text analysis (north star) --
     "q_text_stats_by_lang" -> (TextOps.qTextStatsByLang _),
     "q_token_count" -> (TextOps.qTokenCount _),
@@ -120,6 +128,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_crack_found" -> "SELECT 'abcd' AS pass",
     "q_crack_notfound" -> "SELECT CAST(NULL AS VARCHAR) AS pass WHERE FALSE",
+    "q_crack_len5" -> "SELECT 'hello' AS pass",
     "q_crack_multi" ->
       """SELECT * FROM (VALUES
         |  ('81fe8bfe87576c3ecb22426f8e57847382917acf', 'abcd'),
@@ -202,6 +211,42 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_date_arith" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |  count(*) AS n_orders,
+        |  CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS min_days_since_epoch,
+        |  CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS max_days_since_epoch
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_string_ops" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
+        |  substring(p_type, 1, 3) AS type_prefix
+        |FROM part""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
@@ -277,6 +322,9 @@ object SparkEntry {
         |    CASE WHEN payload = 'j' THEN 0 ELSE length(payload) END AS len0
         |  FROM log)
         |GROUP BY 1""".stripMargin),
+    "q_lsp_wire_roundtrip" -> (logCte +
+      """
+        |SELECT connid, seqnum, payload FROM log""".stripMargin),
     "q_text_stats_by_lang" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

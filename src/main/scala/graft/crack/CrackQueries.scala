@@ -27,6 +27,12 @@ object CrackQueries {
       "7110eda4d09e062aa5e4a390b0a572ac0d2c0220"  // no preimage
     ), 4)
 
+  /** Larger-keyspace crack: sha1("hello") over the 11.8M-candidate len-5
+    * domain — a single codegen'd stage scanning ~12M sha1/partitioned scan
+    * (the reference caps at len 6 / uint32; we support len ≤ 13). */
+  def qCrackLen5(spark: SparkSession, dir: String): DataFrame =
+    CrackQuery.crackDF(spark, "aaf4c61ddcc5e8a2dabede0f3b482cd9aea9434d", 5)
+
   /** Codec round-trip over the whole len-3 keyspace (P4/P5 parity). */
   def qKeyspaceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     spark.range(0, Keyspace.size(3))

@@ -31,6 +31,17 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     col(graft.similarity.FloatVectorDot(expr(a), expr(b)))
 
+  /** LSPMessage protobuf frame encode (wire-compatible with
+    * `lspmessage__pack`). */
+  def lsp_encode(connid: Column, seqnum: Column, payload: Column): Column =
+    col(graft.lsp.LspEncode(
+      Cast(expr(connid), LongType), Cast(expr(seqnum), LongType),
+      expr(payload)))
+
+  /** LSPMessage protobuf frame decode → struct; NULL on malformed bytes. */
+  def lsp_decode(frame: Column): Column =
+    col(graft.lsp.LspDecode(expr(frame)))
+
   /** Register graft's native expressions as SQL functions on this session
     * (cluster-wide alternative: `spark.sql.extensions=graft.GraftExtensions`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -106,6 +106,20 @@ object LspAnalytics {
       .when(connid =!= 0 && seqnum > 0 && payloadLen === 0, "DATA_ACK")
       .otherwise("INVALID")
 
+  /** S4/S5 wire parity: every log row encoded to an LSPMessage protobuf
+    * frame and decoded back — the output must be the identity on the log
+    * (which is exactly what the oracle asserts). Runs both codec
+    * directions inside whole-stage codegen. */
+  def qLspWireRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{lsp_decode, lsp_encode}
+    messageLog(spark, dir)
+      .select(lsp_decode(
+        lsp_encode(col("connid"), col("seqnum"), col("payload").cast("binary")))
+        .as("m"))
+      .select(col("m.connid").as("connid"), col("m.seqnum").as("seqnum"),
+        col("m.payload").cast("string").as("payload"))
+  }
+
   /** LSP classifier census: joins modeled as CONN_REQ (connid 0 sentinel,
     * `lsp_common.c:150-151`), empty payloads as ACKs. */
   def qLspClassify(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,71 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL-string surface (`spark.sql` over registered temp views) —
+  * operators that the DataFrame API lacks (GROUPING SETS) or that users of
+  * an analytics engine reach for in SQL first. Same determinism contract
+  * as [[RelationalQueries]].
+  */
+object SqlQueries {
+
+  private def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(query)
+  }
+
+  /** GROUPING SETS (marginals + grand total in one pass). */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())""".stripMargin)
+
+  /** Pivot: order counts per status × priority (dense — nulls filled so the
+    * FILTER-aggregation oracle matches). */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    Tables.load(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .pivot("o_orderpriority", priorities)
+      .count()
+      .na.fill(0L)
+  }
+
+  /** Statistical aggregates: sample stddev/variance, covariance,
+    * correlation (rounded — accumulation-order noise is ~1e-10). */
+  def qStatsAgg(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+
+  /** Date arithmetic: extract parts + day difference from a fixed epoch. */
+  def qDateArith(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  count(*) AS n_orders,
+        |  min(datediff(o_orderdate, DATE '1995-01-01')) AS min_days_since_epoch,
+        |  max(datediff(o_orderdate, DATE '1995-01-01')) AS max_days_since_epoch
+        |FROM orders GROUP BY 1, 2""".stripMargin)
+
+  /** String function battery over part names. */
+  def qStringOps(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT p_partkey,
+        |  upper(p_name) AS name_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  lpad(CAST(p_size AS STRING), 5, '0') AS size_padded,
+        |  substring(p_type, 1, 3) AS type_prefix
+        |FROM part""".stripMargin)
+
+  /** Scalar subquery: customers above the (rounded) mean balance. */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)""".stripMargin)
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.relational.{Observe, Skew, Tables}
+
+class ParquetLakeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("partitioned write → partition pruning in the scan") {
+    val out = Files.createTempDirectory("graft_part").toString
+    val events = Tables.load(spark, dir, "events")
+    ParquetLake.writePartitioned(events, out, "event_type")
+    val pruned = ParquetLake.read(spark, out)
+      .filter(col("event_type") === "purchase")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), s"no partition pruning in:\n$plan")
+    assert(pruned.count() ===
+      events.filter(col("event_type") === "purchase").count())
+  }
+
+  test("bucketed tables join with no shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      val orders = Tables.load(spark, dir, "orders")
+      val lineitem = Tables.load(spark, dir, "lineitem")
+      ParquetLake.writeBucketed(orders, "b_orders", 4, "o_orderkey")
+      ParquetLake.writeBucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem", 4, "o_orderkey")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(joined.count() === lineitem.count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("salted join equals plain join (multiset)") {
+    val events = Tables.load(spark, dir, "events")
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(3L)))
+    val plain = events.join(dim, "user_id")
+    val salted = Skew.saltedJoin(events, dim, "user_id", salts = 7)
+    assert(salted.count() === plain.count())
+    assert(salted.columns.sorted === plain.columns.sorted)
+    assert(salted.groupBy("segment").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === plain.groupBy("segment").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("observe metrics arrive with the action (P11)") {
+    val (df, obs) = Observe.logMetrics(
+      graft.lsp.LspAnalytics.messageLog(spark, dir))
+    val n = df.count()
+    val m = obs.get
+    assert(m("n_msgs") === n)
+    assert(m("n_conns").asInstanceOf[Long] > 0)
+    assert(m("payload_bytes").asInstanceOf[Long] > 0)
+  }
+}
