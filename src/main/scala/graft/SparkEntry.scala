@@ -35,6 +35,8 @@ object SparkEntry {
     "q_crack_notfound" -> (CrackQueries.qCrackNotFound _),
     "q_crack_multi" -> (CrackQueries.qCrackMulti _),
     "q_crack_len5" -> (CrackQueries.qCrackLen5 _),
+    "q_crack_chunked" -> (CrackQueries.qCrackChunked _),
+    "q_crack_multilen" -> (CrackQueries.qCrackMultiLen _),
     "q_keyspace_roundtrip" -> (CrackQueries.qKeyspaceRoundtrip _),
     "q_keyspace_tile" -> (CrackQueries.qKeyspaceTile _),
     // -- relational surface (SURVEY §2.4-§2.9 generalization) --
@@ -55,6 +57,7 @@ object SparkEntry {
     "q_date_arith" -> (SqlQueries.qDateArith _),
     "q_string_ops" -> (SqlQueries.qStringOps _),
     "q_scalar_subquery" -> (SqlQueries.qScalarSubquery _),
+    "q_sketch_stats" -> (SqlQueries.qSketchStats _),
     "q_intersect" -> (RelationalQueries.qIntersectNations _),
     "q_except" -> (RelationalQueries.qExceptNations _),
     "q_distinct" -> (RelationalQueries.qDistinctSegmentPriority _),
@@ -70,6 +73,7 @@ object SparkEntry {
     "q_gap_detect" -> (LspAnalytics.qGapDetect _),
     "q_lsp_classify" -> (LspAnalytics.qLspClassify _),
     "q_lsp_wire_roundtrip" -> (LspAnalytics.qLspWireRoundtrip _),
+    "q_retransmit_detect" -> (LspAnalytics.qRetransmitDetect _),
     // -- text analysis (north star) --
     "q_text_stats_by_lang" -> (TextOps.qTextStatsByLang _),
     "q_token_count" -> (TextOps.qTokenCount _),
@@ -129,6 +133,8 @@ object SparkEntry {
     "q_crack_found" -> "SELECT 'abcd' AS pass",
     "q_crack_notfound" -> "SELECT CAST(NULL AS VARCHAR) AS pass WHERE FALSE",
     "q_crack_len5" -> "SELECT 'hello' AS pass",
+    "q_crack_chunked" -> "SELECT 'abcd' AS pass",
+    "q_crack_multilen" -> "SELECT * FROM (VALUES (2, 'ab')) t(len, pass)",
     "q_crack_multi" ->
       """SELECT * FROM (VALUES
         |  ('81fe8bfe87576c3ecb22426f8e57847382917acf', 'abcd'),
@@ -325,6 +331,12 @@ object SparkEntry {
     "q_lsp_wire_roundtrip" -> (logCte +
       """
         |SELECT connid, seqnum, payload FROM log""".stripMargin),
+    "q_retransmit_detect" -> (logCte +
+      """,
+        |dup AS (SELECT * FROM log
+        |        UNION ALL SELECT * FROM log WHERE event_id % 5 = 0)
+        |SELECT connid, seqnum, count(*) - 1 AS n_retransmits
+        |FROM dup GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin),
     "q_text_stats_by_lang" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,

@@ -33,6 +33,21 @@ object CrackQueries {
   def qCrackLen5(spark: SparkSession, dir: String): DataFrame =
     CrackQuery.crackDF(spark, "aaf4c61ddcc5e8a2dabede0f3b482cd9aea9434d", 5)
 
+  /** Chunked cancel-on-first-hit (§7.4): the driver loop runs eagerly and
+    * the verdict is returned as a 1-row frame (≅ "f <pass>" to stdout). */
+  def qCrackChunked(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CrackQuery.chunkedCrack(spark,
+        "81fe8bfe87576c3ecb22426f8e57847382917acf", 4, chunkSize = 65536)
+      .toSeq.toDF("pass")
+  }
+
+  /** Multi-length search: sha1("ab") hunted across len ∈ 1..4 — the
+    * generator-style generalization (union of range scans). */
+  def qCrackMultiLen(spark: SparkSession, dir: String): DataFrame =
+    CrackQuery.crackLens(spark,
+      "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", Seq(1, 2, 3, 4))
+
   /** Codec round-trip over the whole len-3 keyspace (P4/P5 parity). */
   def qKeyspaceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     spark.range(0, Keyspace.size(3))

@@ -91,6 +91,26 @@ object CrackQuery {
       .agg(min("pass").as("pass"))
   }
 
+  /** Multi-length search — the generalization SURVEY.md §2.11 flags as
+    * needing a generator: the keyspace becomes the union of `[a-z]^len`
+    * for each candidate length. Expressed as a union of range scans (NOT
+    * an exploded sequence — materializing a 26^len-element array per row
+    * would not survive scale). Returns all matches with their length;
+    * deterministic order by (len, pass). */
+  def crackLens(
+      spark: SparkSession,
+      hashHex: String,
+      lens: Seq[Int],
+      parallelism: Int = 32): DataFrame = {
+    require(lens.nonEmpty)
+    lens.map { len =>
+      candidates(spark, len, parallelism)
+        .select(lit(len).as("len"), col("pass"))
+    }.reduce(_.unionAll(_))
+      .filter(sha1(col("pass")) === lit(hashHex.toLowerCase))
+      .orderBy("len", "pass")
+  }
+
   /** Cancel-on-first-hit driver loop (SURVEY.md §7.4): scan the keyspace in
     * ordinal chunks, stop at the first chunk that yields a match — work
     * beyond the hit's chunk is never launched. Strictly better than the

@@ -96,6 +96,32 @@ object LspAnalytics {
         (col("seqnum") - col("prev_seqnum") - 1).as("n_lost"))
   }
 
+  /** F9: Bernoulli packet-drop chaos filter (`lsp_common.c:6-35`):
+    * drop each row with probability `dropRate`, seeded → reproducible; rows
+    * whose `isConnReq` column is true are never dropped (the reference
+    * never drops CONN_REQ, `lsp_common.c:80-91`). Test-harness operator. */
+  def bernoulliThin(
+      df: DataFrame, dropRate: Double, seed: Long,
+      protectCol: Option[Column] = None): DataFrame = {
+    val keep = rand(seed) >= dropRate
+    df.filter(protectCol.fold(keep)(p => p || keep))
+  }
+
+  /** T3-as-analytics: retransmit detection over a log with duplicated
+    * (connid, seqnum) frames — deterministic dup injection (every 5th
+    * message re-sent) stands in for the reference's epoch resend
+    * (`lsp_server.c:71-89`). Output: one row per retransmitted seqnum. */
+  def qRetransmitDetect(spark: SparkSession, dir: String): DataFrame = {
+    val log = messageLog(spark, dir)
+    val withDups = log.unionAll(log.filter(col("event_id") % 5 === 0))
+    withDups
+      .groupBy("connid", "seqnum")
+      .agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("connid"), col("seqnum"),
+        (col("n_copies") - 1).as("n_retransmits"))
+  }
+
   /** P9: LSP message-type classifier on (connid, seqnum, payload length)
     * (`lsp_common.c:149-159`): (0,0,0)→CONN_REQ, (≠0,0,0)→CONN_ACK,
     * (≠0,>0,>0)→DATA_SEND, (≠0,>0,0)→DATA_ACK. */

@@ -63,6 +63,18 @@ object SqlQueries {
         |  substring(p_type, 1, 3) AS type_prefix
         |FROM part""".stripMargin)
 
+  /** Approximate sketches (HLL distinct, quantile summaries) — the
+    * bounded-memory path for cardinality/percentile at 100 TB. No SQL
+    * oracle (sketch algorithms differ across engines); accuracy is
+    * asserted against exact results in the test suite. */
+  def qSketchStats(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT event_type,
+        |  approx_count_distinct(user_id) AS approx_users,
+        |  approx_percentile(value, 0.5) AS p50_value,
+        |  approx_percentile(value, 0.95) AS p95_value
+        |FROM events GROUP BY 1""".stripMargin)
+
   /** Scalar subquery: customers above the (rounded) mean balance. */
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,

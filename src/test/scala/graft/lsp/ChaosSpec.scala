@@ -1,0 +1,55 @@
+package graft.lsp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ChaosSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("F9 Bernoulli thinning: seeded, rate-accurate, protected rows survive") {
+    val log = LspAnalytics.messageLog(spark, dir)
+    val total = log.count().toDouble
+    val thinned = LspAnalytics.bernoulliThin(log, dropRate = 0.5, seed = 42)
+    val kept = thinned.count().toDouble
+    assert(math.abs(kept / total - 0.5) < 0.1, s"kept ${kept / total}")
+    // seeded → reproducible
+    assert(LspAnalytics.bernoulliThin(log, 0.5, 42).count() === kept.toLong)
+    // CONN_REQ-protection: 'j' messages never dropped (lsp_common.c:80-91)
+    val joins = log.filter(col("payload") === "j").count()
+    val protectedThin = LspAnalytics.bernoulliThin(
+      log, dropRate = 1.0, seed = 7, protectCol = Some(col("payload") === "j"))
+    assert(protectedThin.count() === joins)
+  }
+
+  test("T3: retransmit detection counts injected duplicates exactly") {
+    val log = LspAnalytics.messageLog(spark, dir)
+    val expected = log.filter(col("event_id") % 5 === 0).count()
+    val rt = LspAnalytics.qRetransmitDetect(spark, dir)
+    assert(rt.agg(sum("n_retransmits")).collect()(0).getLong(0) === expected)
+    rt.collect().foreach(r => assert(r.getLong(2) >= 1))
+  }
+
+  test("multi-length crack finds the only cross-length preimage") {
+    val rows = graft.crack.CrackQuery.crackLens(spark,
+      "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", Seq(1, 2, 3)).collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq === Seq((2, "ab")))
+  }
+
+  test("approximate sketches stay within 5% of exact") {
+    import graft.relational.{SqlQueries, Tables}
+    val approx = SqlQueries.qSketchStats(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.load(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("users"),
+        expr("percentile(value, 0.5)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (users, p50)) =>
+      val (au, ap50) = approx(k)
+      assert(math.abs(au - users).toDouble / users <= 0.05, s"$k users $au vs $users")
+      assert(math.abs(ap50 - p50) / math.max(p50, 1.0) <= 0.05, s"$k p50 $ap50 vs $p50")
+    }
+  }
+}
