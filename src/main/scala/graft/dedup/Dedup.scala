@@ -29,16 +29,14 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
-  /** Contiguous 4-token shingles (distinct per doc), as a column
-    * expression. 4-gram shingles keep the shingle vocabulary large enough
-    * that the candidate join stays near-linear (see module scaladoc). */
-  def shingles(text: Column, n: Int = 4): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Contiguous 4-token shingles (distinct per doc) via the native
+    * single-pass [[graft.text.ShingleSet]] kernel (the HOF formulation —
+    * `transform` + `slice` + `array_join` + `array_distinct` — evaluates
+    * interpreted and costs ~2× on the dedup hot path). 4-gram shingles
+    * keep the shingle vocabulary large enough that the candidate join
+    * stays near-linear (see module scaladoc). */
+  def shingles(text: Column, n: Int = 4): Column =
+    graft.functions.shingle_set(text, n)
 
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
@@ -66,17 +64,12 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature of `numHashes` permutations over a materialized
-    * shingle-array column, computed entirely map-side via array HOFs (hash
-    * family: xxhash64 seeded by the permutation index). Takes a column
-    * reference, NOT the shingle expression itself — inlining the shingle
-    * construction here would re-build the shingle array once per
-    * permutation (32× the work). */
+  /** MinHash signature of `numHashes` permutations over a shingle-array
+    * column, via the native one-pass [[graft.text.MinHashSig]] kernel
+    * (k running minima per row; the HOF formulation hashes every shingle
+    * k times through interpreted lambdas). NULL for empty shingle sets. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    when(size(shingleCol) > 0,
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        s => array_min(transform(shingleCol, x => xxhash64(s, x)))))
-      .otherwise(lit(null).cast("array<bigint>"))
+    graft.functions.minhash_sig(shingleCol, numHashes)
 
   /** MinHash + LSH near-dup pairs: signatures → banded bucket join for
     * candidates → exact Jaccard verification. Scale path for near-dedup:

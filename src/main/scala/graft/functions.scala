@@ -42,6 +42,14 @@ object functions {
   def lsp_decode(frame: Column): Column =
     col(graft.lsp.LspDecode(expr(frame)))
 
+  /** Distinct n-token shingles (native single-pass kernel). */
+  def shingle_set(text: Column, n: Int): Column =
+    col(graft.text.ShingleSet(Cast(expr(text), StringType), n))
+
+  /** MinHash signature over a shingle array; NULL when empty. */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    col(graft.text.MinHashSig(expr(shingles), k))
+
   /** Register graft's native expressions as SQL functions on this session
     * (cluster-wide alternative: `spark.sql.extensions=graft.GraftExtensions`). */
   def registerAll(spark: SparkSession): Unit = {

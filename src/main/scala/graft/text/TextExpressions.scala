@@ -1,0 +1,127 @@
+package graft.text
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive kernels for the dedup hot path, callable from generated code.
+  *
+  * Shingling and MinHash signatures over array HOFs
+  * (`transform`/`array_join`/`array_min`) evaluate interpreted with
+  * per-element boxing — at corpus scale that is millions of lambda
+  * invocations per partition. These kernels do one pass over the raw
+  * bytes instead, and the expressions below keep the whole stage in
+  * codegen.
+  */
+object TextKernels {
+
+  /** Distinct, order-preserving n-token shingles of a space-tokenized
+    * text. Matches the SQL construction exactly (split on single space,
+    * shingles joined with single spaces) so Jaccard oracles stay
+    * value-identical. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val toks = s.split(' ')
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = mutable.LinkedHashSet.empty[String]
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(seen.iterator.map(x => UTF8String.fromString(x): Any).toArray)
+  }
+
+  /** MinHash signature: for each of `k` seeded xxhash64 functions, the
+    * minimum over all shingles — one pass, k running minima, zero
+    * allocation per element. Null (by contract of the expression) when
+    * the shingle set is empty. */
+  def minhash(shingleArr: ArrayData, k: Int): ArrayData = {
+    val m = shingleArr.numElements()
+    if (m == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val u = shingleArr.getUTF8String(i)
+      var s = 0
+      while (s < k) {
+        val h = XXH64.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes(), s.toLong)
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(x => x: Any))
+  }
+}
+
+/** `shingle_set(text)` — distinct n-token shingles as a native expression. */
+case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_set"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.shingles($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(shingles)` — k-permutation MinHash signature; NULL for an
+  * empty shingle set (documents too short to fingerprint). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.minhash(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("minhashSig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.text.TextKernels.minhash($c, $k);
+         |if ($tmp == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $tmp;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
