@@ -113,23 +113,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash signature: per-bit majority vote over token hashes,
-    * emitted as 4 × 16-bit band values (bands double as LSH buckets). */
+    * emitted as 4 × 16-bit band values (bands double as LSH buckets).
+    * Computed by the native one-pass [[graft.text.SimHashBands]] kernel —
+    * a pure map; the explode-then-64-aggregates formulation costs a full
+    * groupBy shuffle of every token in the corpus. */
   private def simhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val tok = load(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitVotes = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
-        .as(s"bit$b")
-    }
-    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
-    val bandCols = (0 until 4).map { k =>
-      (0 until 16).map { j =>
-        val b = k * 16 + j
-        when(col(s"bit$b") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"band$k")
-    }
-    voted.select(col("doc_id") +: bandCols: _*)
+    val sig = graft.functions.simhash_bands(col("text"))
+    load(spark, dir, "documents")
+      .select(col("doc_id") +: (0 until 4).map(k =>
+        element_at(sig, k + 1).as(s"band$k")): _*)
   }
 
   /** SimHash near-dup pairs: candidates share at least one 16-bit band

@@ -50,6 +50,10 @@ object functions {
   def minhash_sig(shingles: Column, k: Int): Column =
     col(graft.text.MinHashSig(expr(shingles), k))
 
+  /** 64-bit SimHash as 4 × 16-bit LSH band values (one-pass kernel). */
+  def simhash_bands(text: Column): Column =
+    col(graft.text.SimHashBands(Cast(expr(text), StringType)))
+
   /** Register graft's native expressions as SQL functions on this session
     * (cluster-wide alternative: `spark.sql.extensions=graft.GraftExtensions`). */
   def registerAll(spark: SparkSession): Unit = {

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Dataset, Encoders}
+
+import graft.keyspace.Keyspace
+import graft.streaming.CrackService.{CrackReply, PartitionVerdict}
+
+/** The complete reference dataflow as ONE streaming job (SURVEY.md §3):
+  * crack-request stream → range-partitioned worker scans → first-found /
+  * all-exhausted verdict fold → reply stream.
+  *
+  * - request intake ≅ `handle_crack_req` (`server.c:229-241`)
+  * - tiling ≅ `assign_one_req` (`server.c:333-438`; exact, no overshoot)
+  * - [[scanTile]] ≅ the worker loop (`worker.c:58-108`) — with in-place
+  *   successor (no per-candidate malloc, `worker.c:27,98-100`) and
+  *   early exit on first hit (L3)
+  * - verdict fold ≅ `check_req_status` (`server.c:243-331`) via
+  *   [[CrackService.replyStream]]
+  */
+object CrackPipeline {
+
+  /** One crack request (≅ `"c <hash> <lower> <upper>"` over the full
+    * domain, `request.c:40-69`). */
+  final case class CrackJob(reqId: Long, hashHex: String, len: Int, nParts: Int)
+
+  /** Internal fan-out unit (one worker assignment). Not `private` — the
+    * encoder's generated code must reference the class. */
+  final case class TileTask(
+      reqId: Long, hashHex: String, len: Int, partId: Int, nParts: Int,
+      lo: Long, hi: Long)
+
+  /** Sequential scan of ordinals `[lo, hi]` for the first sha1 preimage —
+    * the worker inner loop, re-expressed without the reference's
+    * per-candidate allocation (bytes buffer mutated in place via base-26
+    * successor) or its all-`z` UB (bounds are ordinals). */
+  def scanTile(hashHex: String, len: Int, lo: Long, hi: Long): Option[String] = {
+    val target = hashHex.toLowerCase
+    val md = MessageDigest.getInstance("SHA-1")
+    val buf = Keyspace.numToPassBytes(lo, len, wrap = false)
+    val hex = new Array[Char](40)
+    val digits = "0123456789abcdef".toCharArray
+    var ord = lo
+    while (ord <= hi) {
+      md.reset()
+      val d = md.digest(buf)
+      var i = 0
+      while (i < 20) {
+        hex(2 * i) = digits((d(i) >> 4) & 0xf)
+        hex(2 * i + 1) = digits(d(i) & 0xf)
+        i += 1
+      }
+      if (new String(hex) == target)
+        return Some(new String(buf, java.nio.charset.StandardCharsets.US_ASCII))
+      // in-place lexicographic successor with carry (z→a), worker.c:21-39
+      var p = len - 1
+      while (p >= 0 && buf(p) == 'z') { buf(p) = 'a'; p -= 1 }
+      if (p >= 0) buf(p) = (buf(p) + 1).toByte
+      ord += 1
+    }
+    None
+  }
+
+  /** Request stream → per-partition verdict stream (the fan-out/scan/fan-in
+    * of `server.c:333-438` + `worker.c`). */
+  def verdictStream(jobs: Dataset[CrackJob]): Dataset[PartitionVerdict] = {
+    implicit val tileEnc = Encoders.product[TileTask]
+    implicit val verdictEnc = Encoders.product[PartitionVerdict]
+    jobs
+      .flatMap { job =>
+        val (lo, hi) = Keyspace.fullRange(job.len)
+        Keyspace.tile(lo, hi, job.nParts).zipWithIndex.map {
+          case ((s, e), i) =>
+            TileTask(job.reqId, job.hashHex, job.len, i,
+              math.min(job.nParts.toLong, hi - lo + 1).toInt, s, e)
+        }
+      }
+      .repartition(org.apache.spark.sql.functions.col("partId"))
+      .map { t =>
+        val hit = scanTile(t.hashHex, t.len, t.lo, t.hi)
+        PartitionVerdict(t.reqId, t.partId, t.nParts,
+          found = hit.isDefined, hit.orNull)
+      }
+  }
+
+  /** Full pipeline: requests in, replies out. */
+  def replyStream(jobs: Dataset[CrackJob]): Dataset[CrackReply] =
+    CrackService.replyStream(verdictStream(jobs))
+}

@@ -70,6 +70,64 @@ object TextKernels {
   }
 }
 
+object TextKernelsSimhash {
+  /** 64-bit SimHash over whitespace tokens (tf-weighted bit votes),
+    * returned as 4 × 16-bit band values — one pass, no shuffle. The
+    * explode-then-64-aggregates formulation costs a full groupBy exchange
+    * per corpus; this is a pure map. */
+  def simhashBands(text: UTF8String, seed: Long): ArrayData = {
+    val toks = text.toString.split(' ')
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val u = UTF8String.fromString(toks(i))
+      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    val bands = new Array[Any](4)
+    var k = 0
+    while (k < 4) {
+      var band = 0L
+      var j = 0
+      while (j < 16) {
+        if (votes(k * 16 + j) > 0) band |= 1L << j
+        j += 1
+      }
+      bands(k) = band
+      k += 1
+    }
+    new GenericArrayData(bands)
+  }
+}
+
+/** `simhash_bands(text)` — 64-bit SimHash as 4 × 16-bit LSH bands. */
+case class SimHashBands(child: Expression, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_bands"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelsSimhash.simhashBands(input.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.text.TextKernelsSimhash.simhashBands($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashBands =
+    copy(child = newChild)
+}
+
 /** `shingle_set(text)` — distinct n-token shingles as a native expression. */
 case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
 
