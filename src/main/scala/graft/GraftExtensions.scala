@@ -3,49 +3,83 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
 import graft.keyspace.{NumToPass, PassToNum}
+import graft.lsp.{LspDecode, LspEncode}
 import graft.similarity.FloatVectorDot
+import graft.text.{MinHashSig, ShingleSet, SimHashBands}
 
-/** Spark-native deployment hook: register graft's Catalyst expressions on
-  * every session via
+/** Spark-native deployment hook: register ALL of graft's Catalyst
+  * expressions on every session via
   * `--conf spark.sql.extensions=graft.GraftExtensions` — no driver code
   * changes needed on a shared cluster. (Per-session alternative:
-  * [[graft.functions.registerAll]].)
+  * [[graft.functions.registerAll]] — same builder table.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  import GraftExtensions.arity
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("num_to_pass"),
-      new ExpressionInfo(classOf[NumToPass].getName, "num_to_pass"),
-      (args: Seq[Expression]) => {
-        arity("num_to_pass", 2, args)
-        NumToPass(Cast(args(0), LongType), Cast(args(1), IntegerType))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("pass_to_num"),
-      new ExpressionInfo(classOf[PassToNum].getName, "pass_to_num"),
-      (args: Seq[Expression]) => {
-        arity("pass_to_num", 1, args)
-        PassToNum(Cast(args(0), StringType))
-      }))
-    ext.injectFunction((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => {
-        arity("vec_dot", 2, args)
-        FloatVectorDot(args(0), args(1))
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
 }
 
 object GraftExtensions {
+
   private[graft] def arity(name: String, n: Int, args: Seq[Expression]): Unit =
     if (args.length != n)
       throw new IllegalArgumentException(
         s"$name expects $n argument(s), got ${args.length}")
+
+  /** A foldable integer argument (e.g. shingle width, hash count). */
+  private def intArg(name: String, e: Expression): Int = {
+    require(e.foldable, s"$name requires a literal integer argument")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name requires a literal integer argument, got $other")
+    }
+  }
+
+  /** Every SQL-exposed native expression, shared by the extensions hook
+    * and per-session registration. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "num_to_pass" -> { args: Seq[Expression] =>
+      arity("num_to_pass", 2, args)
+      NumToPass(Cast(args(0), LongType), Cast(args(1), IntegerType))
+    },
+    "pass_to_num" -> { args: Seq[Expression] =>
+      arity("pass_to_num", 1, args)
+      PassToNum(Cast(args(0), StringType))
+    },
+    "vec_dot" -> { args: Seq[Expression] =>
+      arity("vec_dot", 2, args)
+      FloatVectorDot(args(0), args(1))
+    },
+    "shingle_set" -> { args: Seq[Expression] =>
+      arity("shingle_set", 2, args)
+      ShingleSet(Cast(args(0), StringType), intArg("shingle_set", args(1)))
+    },
+    "minhash_sig" -> { args: Seq[Expression] =>
+      arity("minhash_sig", 2, args)
+      MinHashSig(args(0), intArg("minhash_sig", args(1)))
+    },
+    "simhash_bands" -> { args: Seq[Expression] =>
+      arity("simhash_bands", 1, args)
+      SimHashBands(Cast(args(0), StringType))
+    },
+    "lsp_encode" -> { args: Seq[Expression] =>
+      arity("lsp_encode", 3, args)
+      LspEncode(Cast(args(0), LongType), Cast(args(1), LongType),
+        Cast(args(2), BinaryType))
+    },
+    "lsp_decode" -> { args: Seq[Expression] =>
+      arity("lsp_decode", 1, args)
+      LspDecode(Cast(args(0), BinaryType))
+    })
 }

@@ -54,20 +54,11 @@ object functions {
   def simhash_bands(text: Column): Column =
     col(graft.text.SimHashBands(Cast(expr(text), StringType)))
 
-  /** Register graft's native expressions as SQL functions on this session
-    * (cluster-wide alternative: `spark.sql.extensions=graft.GraftExtensions`). */
-  def registerAll(spark: SparkSession): Unit = {
-    GraftShim.registerFunction(spark, "num_to_pass", args => {
-      GraftExtensions.arity("num_to_pass", 2, args)
-      NumToPass(Cast(args(0), LongType), Cast(args(1), IntegerType))
-    })
-    GraftShim.registerFunction(spark, "pass_to_num", args => {
-      GraftExtensions.arity("pass_to_num", 1, args)
-      PassToNum(Cast(args(0), StringType))
-    })
-    GraftShim.registerFunction(spark, "vec_dot", args => {
-      GraftExtensions.arity("vec_dot", 2, args)
-      graft.similarity.FloatVectorDot(args(0), args(1))
-    })
-  }
+  /** Register ALL of graft's native expressions as SQL functions on this
+    * session (cluster-wide alternative:
+    * `spark.sql.extensions=graft.GraftExtensions` — same builder table). */
+  def registerAll(spark: SparkSession): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      GraftShim.registerFunction(spark, name, builder)
+    }
 }

@@ -34,24 +34,16 @@ object CrackPipeline {
   /** Sequential scan of ordinals `[lo, hi]` for the first sha1 preimage —
     * the worker inner loop, re-expressed without the reference's
     * per-candidate allocation (bytes buffer mutated in place via base-26
-    * successor) or its all-`z` UB (bounds are ordinals). */
+    * successor; target hex decoded ONCE to raw digest bytes, so the loop
+    * compares 20 bytes fail-fast instead of hex-encoding every candidate)
+    * and without its all-`z` UB (bounds are ordinals). */
   def scanTile(hashHex: String, len: Int, lo: Long, hi: Long): Option[String] = {
-    val target = hashHex.toLowerCase
+    val target = hexToBytes(hashHex.toLowerCase)
     val md = MessageDigest.getInstance("SHA-1")
     val buf = Keyspace.numToPassBytes(lo, len, wrap = false)
-    val hex = new Array[Char](40)
-    val digits = "0123456789abcdef".toCharArray
     var ord = lo
     while (ord <= hi) {
-      md.reset()
-      val d = md.digest(buf)
-      var i = 0
-      while (i < 20) {
-        hex(2 * i) = digits((d(i) >> 4) & 0xf)
-        hex(2 * i + 1) = digits(d(i) & 0xf)
-        i += 1
-      }
-      if (new String(hex) == target)
+      if (java.util.Arrays.equals(md.digest(buf), target))
         return Some(new String(buf, java.nio.charset.StandardCharsets.US_ASCII))
       // in-place lexicographic successor with carry (z→a), worker.c:21-39
       var p = len - 1
@@ -62,6 +54,18 @@ object CrackPipeline {
     None
   }
 
+  private def hexToBytes(hex: String): Array[Byte] = {
+    require(hex.length == 40, s"expected 40-hex sha1, got ${hex.length} chars")
+    val out = new Array[Byte](20)
+    var i = 0
+    while (i < 20) {
+      out(i) = ((Character.digit(hex.charAt(2 * i), 16) << 4) |
+        Character.digit(hex.charAt(2 * i + 1), 16)).toByte
+      i += 1
+    }
+    out
+  }
+
   /** Request stream → per-partition verdict stream (the fan-out/scan/fan-in
     * of `server.c:333-438` + `worker.c`). */
   def verdictStream(jobs: Dataset[CrackJob]): Dataset[PartitionVerdict] = {
@@ -69,14 +73,27 @@ object CrackPipeline {
     implicit val verdictEnc = Encoders.product[PartitionVerdict]
     jobs
       .flatMap { job =>
-        val (lo, hi) = Keyspace.fullRange(job.len)
-        Keyspace.tile(lo, hi, job.nParts).zipWithIndex.map {
-          case ((s, e), i) =>
-            TileTask(job.reqId, job.hashHex, job.len, i,
-              math.min(job.nParts.toLong, hi - lo + 1).toInt, s, e)
+        // malformed requests are dropped silently, mirroring the reference
+        // server's handling of unknown/invalid messages (server.c:103-128
+        // UNKNOWN → ignored) — a poison request must never fail the
+        // long-lived stream for everyone else
+        if (job.len < 1 || job.len > Keyspace.MaxLen || job.nParts < 1 ||
+          job.hashHex == null || job.hashHex.length != 40) {
+          Seq.empty[TileTask]
+        } else {
+          val (lo, hi) = Keyspace.fullRange(job.len)
+          val tiles = Keyspace.tile(lo, hi, job.nParts)
+          // nParts = tiles.size, the ACTUAL verdict count foldVerdicts
+          // will see — never re-derive the tiler's clamp formula
+          tiles.zipWithIndex.map { case ((s, e), i) =>
+            TileTask(job.reqId, job.hashHex, job.len, i, tiles.size, s, e)
+          }
         }
       }
-      .repartition(org.apache.spark.sql.functions.col("partId"))
+      // spread by (reqId, partId): partitioning by partId alone co-locates
+      // tile i of every concurrent request in one task
+      .repartition(org.apache.spark.sql.functions.col("reqId"),
+        org.apache.spark.sql.functions.col("partId"))
       .map { t =>
         val hit = scanTile(t.hashHex, t.len, t.lo, t.hi)
         PartitionVerdict(t.reqId, t.partId, t.nParts,

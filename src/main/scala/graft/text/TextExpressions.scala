@@ -27,7 +27,9 @@ object TextKernels {
     * value-identical. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
     val s = text.toString
-    val toks = s.split(' ')
+    // limit -1: keep trailing empty tokens, matching Spark's
+    // split(text, " ") and DuckDB's string_split exactly
+    val toks = s.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = mutable.LinkedHashSet.empty[String]
     val sb = new java.lang.StringBuilder(64)
@@ -76,7 +78,9 @@ object TextKernelsSimhash {
     * explode-then-64-aggregates formulation costs a full groupBy exchange
     * per corpus; this is a pure map. */
   def simhashBands(text: UTF8String, seed: Long): ArrayData = {
-    val toks = text.toString.split(' ')
+    // limit -1: keep trailing empty tokens — identical vote set to the
+    // explode(split(text, ' ')) + xxhash64 formulation this kernel replaced
+    val toks = text.toString.split(" ", -1)
     val votes = new Array[Int](64)
     var i = 0
     while (i < toks.length) {

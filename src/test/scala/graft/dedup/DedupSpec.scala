@@ -54,6 +54,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash kernel matches the independent explode+xxhash64 formulation") {
+    import org.apache.spark.sql.functions._
+    // pinned vector (guards against silent kernel drift)
+    val pinned = spark.createDataFrame(Seq((1L, "a b c"))).toDF("id", "text")
+      .select(graft.functions.simhash_bands(col("text"))).collect()(0)
+      .getSeq[Long](0)
+    assert(pinned === Seq(58330L, 1460L, 16017L, 32876L))
+    // independent oracle: the pre-kernel SQL formulation (tf-weighted
+    // per-bit votes over xxhash64(token), Spark's default seed 42)
+    val docs = graft.relational.Tables.load(spark, dir, "documents").limit(50)
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, 1).otherwise(-1))
+        .as(s"bit$b")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val bandCols = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(col(s"bit${k * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$k")
+    }
+    val expected = voted.select(col("doc_id") +: bandCols: _*).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    val got = docs
+      .select(col("doc_id"), graft.functions.simhash_bands(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got === expected)
+  }
+
+  test("kernels keep trailing empty tokens (Spark split / DuckDB parity)") {
+    import org.apache.spark.sql.functions._
+    val df = spark.createDataFrame(Seq((1L, "a b c d "))).toDF("id", "text")
+    // "a b c d " → tokens [a,b,c,d,""] → shingles of 4: "a b c d", "b c d "
+    val sh = df.select(graft.functions.shingle_set(col("text"), 4))
+      .collect()(0).getSeq[String](0)
+    assert(sh === Seq("a b c d", "b c d "))
+  }
+
   test("exact dedup finds identical texts iff they exist") {
     val dups = Dedup.qDedupExact(spark, dir).collect()
     val distinctTexts = graft.relational.Tables.load(spark, dir, "documents")
