@@ -54,6 +54,10 @@ object functions {
   def simhash_bands(text: Column): Column =
     col(graft.text.SimHashBands(Cast(expr(text), StringType)))
 
+  /** Random-hyperplane LSH bucket over an `array<float>` embedding. */
+  def hyperplane_bucket(emb: Column, bits: Int): Column =
+    col(graft.similarity.HyperplaneBucket(expr(emb), bits))
+
   /** Register ALL of graft's native expressions as SQL functions on this
     * session (cluster-wide alternative:
     * `spark.sql.extensions=graft.GraftExtensions` — same builder table). */

@@ -72,24 +72,28 @@ object Similarity {
       .filter(col("sim") > threshold)
   }
 
-  /** Sign-bit LSH bucket id from the first `bits` dimensions. */
+  /** Random-hyperplane LSH bucket id (native kernel; every plane projects
+    * the full vector, so collisions track cosine similarity). */
   def signBucket(emb: Column, bits: Int): Column =
-    (0 until bits).map { j =>
-      when(element_at(emb, j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.functions.hyperplane_bucket(emb, bits)
 
   /** Approximate top-k: candidates limited to the query's LSH bucket plus
-    * all buckets at hamming distance 1 (multi-probe). Recall is measured
-    * against [[qAnnBruteForce]] in the test suite. */
+    * all buckets within hamming distance `probeDist` (multi-probe). The
+    * recall/cost dial: raise `bits` as the corpus grows (keeping bucket
+    * size ~constant), raise `probeDist` for recall. Measured against
+    * [[qAnnBruteForce]] in the test suite. */
   def qAnnLshBuckets(
       spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5, bits: Int = 4): DataFrame = {
+      nQueries: Int = 20, k: Int = 5, bits: Int = 4,
+      probeDist: Int = 2): DataFrame = {
     val emb = withNorm(load(spark, dir, "embeddings"), "embedding")
       .withColumn("bucket", signBucket(col("embedding"), bits))
-    val probes = transform(sequence(lit(0), lit(bits)),
-      j => when(j === 0, col("bucket"))
-        .otherwise(col("bucket")
-          .bitwiseXOR(pow(lit(2.0), (j - 1).cast("double")).cast("long"))))
+    // XOR masks of all bit patterns with popcount <= probeDist
+    val masks = (0L until (1L << bits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeDist)
+    val probes = transform(
+      lit(masks.toArray),
+      m => col("bucket").bitwiseXOR(m))
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("norm").as("qn"), explode(probes).as("bucket"))

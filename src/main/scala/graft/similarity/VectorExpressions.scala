@@ -1,8 +1,9 @@
 package graft.similarity
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
@@ -21,6 +22,59 @@ object VecOps {
     }
     acc
   }
+}
+
+/** Deterministic random-hyperplane LSH (signed random projections).
+  * Hyperplane weights are derived from `XXH64.hashInt(plane*1024+dim)` —
+  * reproducible everywhere with no stored model. Unlike axis-aligned sign
+  * bits (which only see `bits` of the 64 dimensions), every plane projects
+  * the FULL vector, so bucket collisions track cosine similarity. */
+object HyperplaneLsh {
+  /** weight ∈ [-1, 1), deterministic per (plane, dim). */
+  private def w(plane: Int, dim: Int, seed: Long): Double =
+    (XXH64.hashInt(plane * 1024 + dim, seed) >>> 11).toDouble /
+      (1L << 53).toDouble * 2.0 - 1.0
+
+  def bucket(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += v.getFloat(d).toDouble * w(j, d, seed)
+        d += 1
+      }
+      if (dot > 0) out |= 1L << j
+      j += 1
+    }
+    out
+  }
+}
+
+/** `hyperplane_bucket(emb, bits)` — random-hyperplane LSH bucket id. */
+case class HyperplaneBucket(child: Expression, bits: Int, seed: Long = 42L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.simpleString}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    HyperplaneLsh.bucket(input.asInstanceOf[ArrayData], bits, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.similarity.HyperplaneLsh.bucket($c, $bits, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
 }
 
 /** `vec_dot(a, b)` — native codegen'd dot product over `array<float>`

@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
     (0L until 5L).foreach { q => assert(got(q) === want(q), s"query $q") }
   }
 
-  test("LSH ANN: valid shape and recall@5 >= 0.4 vs brute force") {
+  test("LSH ANN: valid shape and recall@5 >= 0.6 vs brute force") {
     val bf = Similarity.qAnnBruteForce(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val lsh = Similarity.qAnnLshBuckets(spark, dir).collect()
@@ -46,7 +46,7 @@ class SimilaritySpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     info(s"mean recall@5 = $mean")
-    assert(mean >= 0.4, s"mean recall $mean too low")
+    assert(mean >= 0.6, s"mean recall $mean too low")
     lsh.foreach { case (_, ns) => assert(ns.size <= 5) }
   }
 
