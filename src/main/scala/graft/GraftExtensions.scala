@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType
 
 import graft.keyspace.{NumToPass, PassToNum}
 import graft.lsp.{LspDecode, LspEncode}
-import graft.similarity.FloatVectorDot
+import graft.similarity.{FloatVectorDot, HyperplaneBucket}
 import graft.text.{MinHashSig, ShingleSet, SimHashBands}
 
 /** Spark-native deployment hook: register ALL of graft's Catalyst
@@ -46,6 +46,29 @@ object GraftExtensions {
     }
   }
 
+  /** A foldable integer argument that must be >= 1 (widths, hash counts,
+    * bit counts — zero or negative values would yield silently-degenerate
+    * shingles/signatures instead of an error). */
+  private def posIntArg(name: String, e: Expression): Int = {
+    val v = intArg(name, e)
+    if (v < 1)
+      throw new IllegalArgumentException(
+        s"$name requires a positive integer argument, got $v")
+    v
+  }
+
+  /** A foldable long argument (e.g. an LSH seed). */
+  private def longArg(name: String, e: Expression): Long = {
+    require(e.foldable, s"$name requires a literal integer argument")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name requires a literal integer argument, got $other")
+    }
+  }
+
   /** Every SQL-exposed native expression, shared by the extensions hook
     * and per-session registration. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -63,11 +86,19 @@ object GraftExtensions {
     },
     "shingle_set" -> { args: Seq[Expression] =>
       arity("shingle_set", 2, args)
-      ShingleSet(Cast(args(0), StringType), intArg("shingle_set", args(1)))
+      ShingleSet(Cast(args(0), StringType), posIntArg("shingle_set", args(1)))
     },
     "minhash_sig" -> { args: Seq[Expression] =>
       arity("minhash_sig", 2, args)
-      MinHashSig(args(0), intArg("minhash_sig", args(1)))
+      MinHashSig(args(0), posIntArg("minhash_sig", args(1)))
+    },
+    "hyperplane_bucket" -> { args: Seq[Expression] =>
+      if (args.length != 2 && args.length != 3)
+        throw new IllegalArgumentException(
+          s"hyperplane_bucket expects 2 or 3 argument(s), got ${args.length}")
+      val bits = posIntArg("hyperplane_bucket", args(1))
+      if (args.length == 2) HyperplaneBucket(args(0), bits)
+      else HyperplaneBucket(args(0), bits, longArg("hyperplane_bucket", args(2)))
     },
     "simhash_bands" -> { args: Seq[Expression] =>
       arity("simhash_bands", 1, args)

@@ -99,7 +99,7 @@ object SparkEntry {
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.qFrameSample(s, d)),
     "q_media_features" -> ((s: SparkSession, d: String) =>
-      Multimodal.featureExtract(s, d))
+      Multimodal.qMediaFeatures(s, d))
   )
 
   /** Shared CTE: the deterministic LSP/DPC message log derived from
@@ -120,6 +120,24 @@ object SparkEntry {
     s"""(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)
        | / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))
        |   * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))))""".stripMargin
+
+  /** Exact 4-token-shingle Jaccard near-dup pairs at threshold 0.5 — the
+    * oracle for both the brute-force join and the LSH-accelerated,
+    * exact-verified variant (which computes the same relation). */
+  private val exactJaccardSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, greatest(len(l) - 2, 1)),
+      |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+      |       FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, round(jaccard, 6) AS jaccard
+      |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+      |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
 
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
   private def pass4(x: String): String =
@@ -374,20 +392,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
-    "q_ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, greatest(len(l) - 2, 1)),
-        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
-        |       FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT d1, d2, round(jaccard, 6) AS jaccard
-        |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
-        |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
-        |WHERE jaccard >= 0.5""".stripMargin,
+    "q_ngram_jaccard" -> exactJaccardSql,
+    // MinHash+LSH emits candidate pairs verified by EXACT Jaccard, so its
+    // oracle is the same brute-force join — recall 1.0 on this corpus is
+    // asserted by DedupSpec (every true pair here is J >= 0.88; the 8-band
+    // signature misses such a pair with p < 1e-8, and the check is
+    // deterministic on fixed data).
+    "q_minhash_lsh" -> exactJaccardSql,
     "q_ann_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
@@ -410,6 +421,23 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) % 7 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    "q_media_features" -> {
+      val fCols = (0 until 8).map(j =>
+        s"round(CAST(CAST(coalesce(sums[${j + 1}], 0) / 255.0 / chunk AS REAL) AS DOUBLE), 6) AS f$j")
+        .mkString(",\n        |  ")
+      s"""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         |s AS (SELECT doc_id, nb, greatest(nb // 8, 1) AS chunk,
+         |        list_transform(range(0, 8), j ->
+         |          list_sum(list_transform(range(0, nb), i ->
+         |            CASE WHEN i % 8 = j THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END))) AS sums
+         |      FROM m)
+         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+         |  CAST(nb % 64 + 1 AS BIGINT) AS width,
+         |  CAST(nb // 64 + 1 AS BIGINT) AS height,
+         |  CAST(3 AS BIGINT) AS channels,
+         |  $fCols
+         |FROM s""".stripMargin
+    },
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),
         |f AS (SELECT doc_id,

@@ -76,11 +76,19 @@ object LspWire {
             payload = java.util.Arrays.copyOfRange(bytes, i, i + len)
             i += len
           case (_, 0) => readVarint() // skip unknown varint field
+          case (_, 1) => // skip unknown fixed64 field
+            if (i + 8 > bytes.length)
+              throw new IllegalArgumentException("truncated fixed64")
+            i += 8
           case (_, 2) => // skip unknown length-delimited field
             val len = readVarint().toInt
             if (len < 0 || i + len > bytes.length)
               throw new IllegalArgumentException("bad length")
             i += len
+          case (_, 5) => // skip unknown fixed32 field
+            if (i + 4 > bytes.length)
+              throw new IllegalArgumentException("truncated fixed32")
+            i += 4
           case _ => throw new IllegalArgumentException(s"unsupported wire type $wire")
         }
       }

@@ -35,21 +35,26 @@ object Multimodal {
 
   /** STUB: deterministic fake decoder (no image libs in this container).
     * "Dimensions" are derived from payload length; "features" are chunked
-    * byte averages — deterministic, shape-correct, cheap. */
+    * byte averages — deterministic, shape-correct, cheap. Accumulation is
+    * an exact integer byte sum (held in double) with a single float cast
+    * at the end, so feature values are reproducible by any engine that
+    * can sum bytes — float-accumulation drift would make them
+    * engine-specific. */
   object StubDecoder extends MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) =
       (payload.length % 64 + 1, payload.length / 64 + 1, 3)
     def features(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       if (payload.isEmpty) return out
+      val sums = new Array[Double](dim) // exact: integer byte sums
       var i = 0
       while (i < payload.length) {
-        out(i % dim) += (payload(i) & 0xff) / 255.0f
+        sums(i % dim) += (payload(i) & 0xff)
         i += 1
       }
-      var j = 0
       val chunk = math.max(1, payload.length / dim)
-      while (j < dim) { out(j) /= chunk; j += 1 }
+      var j = 0
+      while (j < dim) { out(j) = (sums(j) / 255.0 / chunk).toFloat; j += 1 }
       out
     }
   }
@@ -79,6 +84,26 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  /** Driver-facing form of [[featureExtract]]: same `mapPartitions` decode
+    * path, with the feature vector exploded to fixed-precision scalar
+    * columns `f0..f{dim-1}` — an array column can't be sorted/hashed by
+    * the oracle compare (ADVICE r1), and rounded scalars also make the
+    * result stable under any future decoder whose tail bits dither. The
+    * array form stays available via [[featureExtract]] for library use. */
+  def qMediaFeatures(
+      spark: SparkSession, dir: String, dim: Int = 8): DataFrame = {
+    val feats = featureExtract(spark, dir, StubDecoder, dim)
+    feats.select(
+      Seq(col("doc_id"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels")) ++
+        (0 until dim).map(j =>
+          round(element_at(col("features"), j + 1).cast("double"), 6)
+            .as(s"f$j")): _*)
   }
 
   /** Pure-SQL metadata pass (no decode): byte length, header bytes, fake

@@ -30,10 +30,13 @@ object VecOps {
   * bits (which only see `bits` of the 64 dimensions), every plane projects
   * the FULL vector, so bucket collisions track cosine similarity. */
 object HyperplaneLsh {
-  /** weight ∈ [-1, 1), deterministic per (plane, dim). */
+  /** weight ∈ [-1, 1), deterministic per (plane, dim). Plane and dim are
+    * mixed without aliasing (disjoint 32-bit halves), so planes stay
+    * independent at any dimensionality — `plane*K + dim` schemes collide
+    * for dim >= K and silently correlate adjacent planes. */
   private def w(plane: Int, dim: Int, seed: Long): Double =
-    (XXH64.hashInt(plane * 1024 + dim, seed) >>> 11).toDouble /
-      (1L << 53).toDouble * 2.0 - 1.0
+    (XXH64.hashLong((plane.toLong << 32) | (dim.toLong & 0xffffffffL), seed)
+      >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
 
   def bucket(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()

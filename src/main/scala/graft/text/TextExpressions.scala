@@ -54,20 +54,26 @@ object TextKernels {
     * the shingle set is empty. */
   def minhash(shingleArr: ArrayData, k: Int): ArrayData = {
     val m = shingleArr.numElements()
-    if (m == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
+    var any = false
     var i = 0
     while (i < m) {
-      val u = shingleArr.getUTF8String(i)
-      var s = 0
-      while (s < k) {
-        val h = XXH64.hashUnsafeBytes(
-          u.getBaseObject, u.getBaseOffset, u.numBytes(), s.toLong)
-        if (h < mins(s)) mins(s) = h
-        s += 1
+      // skip null elements: the caller's array type may allow them, and a
+      // null shingle carries no signal — NPEing the whole job did (ADVICE r1)
+      if (!shingleArr.isNullAt(i)) {
+        any = true
+        val u = shingleArr.getUTF8String(i)
+        var s = 0
+        while (s < k) {
+          val h = XXH64.hashUnsafeBytes(
+            u.getBaseObject, u.getBaseOffset, u.numBytes(), s.toLong)
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
       }
       i += 1
     }
+    if (!any) return null
     new GenericArrayData(mins.map(x => x: Any))
   }
 }
@@ -134,6 +140,7 @@ case class SimHashBands(child: Expression, seed: Long = 42L)
 
 /** `shingle_set(text)` — distinct n-token shingles as a native expression. */
 case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle_set width must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "shingle_set"
@@ -156,6 +163,7 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
 /** `minhash_sig(shingles)` — k-permutation MinHash signature; NULL for an
   * empty shingle set (documents too short to fingerprint). */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"minhash_sig hash count must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true

@@ -33,8 +33,11 @@ class LspWireSpec extends SparkSpec {
   }
 
   test("decode skips unknown fields; defaults for omitted fields") {
-    // field 4 varint (tag 0x20) + field 5 length-delimited (tag 0x2a)
+    // field 4 varint (0x20) + field 5 length-delimited (0x2a)
+    // + field 6 fixed64 (0x31) + field 7 fixed32 (0x3d) — all skipped,
+    // matching protobuf-c unknown-field handling
     val extra = Array[Byte](0x20, 0x7f, 0x2a, 0x02, 0x58, 0x59,
+      0x31, 1, 2, 3, 4, 5, 6, 7, 8, 0x3d, 1, 2, 3, 4,
       0x08, 0x05, 0x10, 0x06, 0x1a, 0x01, 0x7a)
     val r = row(extra)
     assert(r.getLong(0) === 5L && r.getLong(1) === 6L)
@@ -46,9 +49,11 @@ class LspWireSpec extends SparkSpec {
   }
 
   test("malformed frames decode to null (truncated varint / bad length / bad wire type)") {
-    assert(row(Array[Byte](0x08, 0xff.toByte)) === null)          // truncated varint
-    assert(row(Array[Byte](0x1a, 0x7f, 0x61)) === null)           // length > remaining
-    assert(row(Array[Byte](0x0d, 0x00, 0x00, 0x00, 0x00)) === null) // wire type 5 unsupported
+    assert(row(Array[Byte](0x08, 0xff.toByte)) === null)            // truncated varint
+    assert(row(Array[Byte](0x1a, 0x7f, 0x61)) === null)             // length > remaining
+    assert(row(Array[Byte](0x0d, 0x00, 0x00)) === null)             // truncated fixed32
+    assert(row(Array[Byte](0x31, 0x00, 0x00, 0x00, 0x00)) === null) // truncated fixed64
+    assert(row(Array[Byte](0x0b)) === null)                         // wire type 3 (group) unsupported
   }
 
   test("DataFrame roundtrip through codegen'd expressions") {
