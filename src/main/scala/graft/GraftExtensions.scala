@@ -57,6 +57,17 @@ object GraftExtensions {
     v
   }
 
+  /** A foldable boolean argument (e.g. a hash-variant flag). */
+  private def boolArg(name: String, e: Expression): Boolean = {
+    require(e.foldable, s"$name requires a literal boolean argument")
+    e.eval() match {
+      case b: Boolean => b
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name requires a literal boolean argument, got $other")
+    }
+  }
+
   /** A foldable long argument (e.g. an LSH seed). */
   private def longArg(name: String, e: Expression): Long = {
     require(e.foldable, s"$name requires a literal integer argument")
@@ -101,8 +112,11 @@ object GraftExtensions {
       else HyperplaneBucket(args(0), bits, longArg("hyperplane_bucket", args(2)))
     },
     "simhash_bands" -> { args: Seq[Expression] =>
-      arity("simhash_bands", 1, args)
-      SimHashBands(Cast(args(0), StringType))
+      if (args.length != 1 && args.length != 2)
+        throw new IllegalArgumentException(
+          s"simhash_bands expects 1 or 2 argument(s), got ${args.length}")
+      val md5 = args.length == 2 && boolArg("simhash_bands", args(1))
+      SimHashBands(Cast(args(0), StringType), md5Hash = md5)
     },
     "lsp_encode" -> { args: Seq[Expression] =>
       arity("lsp_encode", 3, args)

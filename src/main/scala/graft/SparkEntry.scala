@@ -86,7 +86,9 @@ object SparkEntry {
       Dedup.qNgramJaccardPairs(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) =>
       Dedup.qMinhashLshPairs(s, d)),
-    "q_simhash" -> ((s: SparkSession, d: String) => Dedup.qSimhashPairs(s, d)),
+    // md5-derived token hash: bit-reproducible by the DuckDB oracle
+    "q_simhash" -> ((s: SparkSession, d: String) =>
+      Dedup.qSimhashPairs(s, d, md5Hash = true)),
     // -- similarity search (north star) --
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnBruteForce(s, d)),
@@ -414,6 +416,39 @@ object SparkEntry {
          |  SELECT a.vec_id AS d1, b.vec_id AS d2, round(${duckCos("a.v", "b.v")}, 6) AS sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE sim > 0.4""".stripMargin,
+    // Full independent SimHash mirror: the md5-derived token hash is
+    // computable by DuckDB ('0x' || leading md5 hex -> UBIGINT), so the
+    // oracle rebuilds signatures, bands, candidates and hamming from
+    // scratch.
+    "q_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv FROM toks),
+        |votes AS (SELECT doc_id, b AS bit,
+        |            sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
+        |          GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, CAST(bit // 16 AS INT) AS band,
+        |            CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(bit % 16 AS INT) ELSE 0 END) AS BIGINT) AS value
+        |          FROM votes GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id),
+        |sig AS (SELECT doc_id, list(value ORDER BY band) AS s FROM bands GROUP BY 1)
+        |SELECT d1, d2, hamming FROM (
+        |  SELECT d1, d2,
+        |    CAST(bit_count(xor(sa.s[1], sb.s[1])) + bit_count(xor(sa.s[2], sb.s[2]))
+        |       + bit_count(xor(sa.s[3], sb.s[3])) + bit_count(xor(sa.s[4], sb.s[4])) AS BIGINT) AS hamming
+        |  FROM cand JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
+    // Engine-independent sketch-accuracy assertions (see SqlQueries
+    // .qSketchStats scaladoc): the oracle derives the exact columns and
+    // the nominal values the rounded sketch checks must land on.
+    "q_sketch_stats" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  CAST(1.0 AS DOUBLE) AS users_ratio,
+        |  CAST(0.5 AS DOUBLE) AS p50_rank,
+        |  CAST(0.95 AS DOUBLE) AS p95_rank
+        |FROM events GROUP BY 1""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  upper(hex(substring(text, 1, 8))) AS header_hex,

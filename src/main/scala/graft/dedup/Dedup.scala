@@ -116,9 +116,11 @@ object Dedup {
     * emitted as 4 × 16-bit band values (bands double as LSH buckets).
     * Computed by the native one-pass [[graft.text.SimHashBands]] kernel —
     * a pure map; the explode-then-64-aggregates formulation costs a full
-    * groupBy shuffle of every token in the corpus. */
-  private def simhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sig = graft.functions.simhash_bands(col("text"))
+    * groupBy shuffle of every token in the corpus. `md5Hash` selects the
+    * engine-portable token hash (oracle-checkable) over XXH64 (fast). */
+  private def simhashBands(
+      spark: SparkSession, dir: String, md5Hash: Boolean): DataFrame = {
+    val sig = graft.functions.simhash_bands(col("text"), md5Hash)
     load(spark, dir, "documents")
       .select(col("doc_id") +: (0 until 4).map(k =>
         element_at(sig, k + 1).as(s"band$k")): _*)
@@ -128,8 +130,9 @@ object Dedup {
     * (pigeonhole: hamming<=3 guarantees a shared band), verified by exact
     * hamming distance over the full 64-bit signature. */
   def qSimhashPairs(
-      spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashBands(spark, dir)
+      spark: SparkSession, dir: String, maxHamming: Int = 3,
+      md5Hash: Boolean = false): DataFrame = {
+    val sigs = simhashBands(spark, dir, md5Hash)
     val banded = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(k => col(s"band$k")): _*))
         .as(Seq("band", "value")))
@@ -146,7 +149,7 @@ object Dedup {
     val hamming = (0 until 4).map(k =>
       bit_count(col(s"a$k").bitwiseXOR(col(s"b$k")))).reduce(_ + _)
     candidates.join(sigA, "d1").join(sigB, "d2")
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", hamming.cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming")
   }

@@ -50,9 +50,11 @@ object functions {
   def minhash_sig(shingles: Column, k: Int): Column =
     col(graft.text.MinHashSig(expr(shingles), k))
 
-  /** 64-bit SimHash as 4 × 16-bit LSH band values (one-pass kernel). */
-  def simhash_bands(text: Column): Column =
-    col(graft.text.SimHashBands(Cast(expr(text), StringType)))
+  /** 64-bit SimHash as 4 × 16-bit LSH band values (one-pass kernel).
+    * `md5Hash = true` uses the engine-portable md5-derived token hash
+    * instead of XXH64 (slower, but reproducible by any engine). */
+  def simhash_bands(text: Column, md5Hash: Boolean = false): Column =
+    col(graft.text.SimHashBands(Cast(expr(text), StringType), md5Hash = md5Hash))
 
   /** Random-hyperplane LSH bucket over an `array<float>` embedding. */
   def hyperplane_bucket(emb: Column, bits: Int): Column =

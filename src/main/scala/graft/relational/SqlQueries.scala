@@ -64,10 +64,37 @@ object SqlQueries {
         |FROM part""".stripMargin)
 
   /** Approximate sketches (HLL distinct, quantile summaries) — the
-    * bounded-memory path for cardinality/percentile at 100 TB. No SQL
-    * oracle (sketch algorithms differ across engines); accuracy is
-    * asserted against exact results in the test suite. */
+    * bounded-memory path for cardinality/percentile at 100 TB. Sketch
+    * VALUES are engine-specific, so the oracle-facing columns are
+    * engine-independent accuracy assertions computed from exact data:
+    * the HLL/exact cardinality ratio rounds to 1.0 (rsd 0.01 « the 0.05
+    * rounding tolerance) and the exact rank fraction of each
+    * approx-percentile rounds to its nominal quantile (GK rank error 1e-4
+    * « the 0.005 tolerance). A broken sketch shifts these columns and
+    * hash-mismatches; raw sketch outputs stay available via
+    * [[qSketchRaw]]. */
   def qSketchStats(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """WITH ap AS (SELECT event_type,
+        |              approx_count_distinct(user_id, 0.01) AS approx_users,
+        |              approx_percentile(value, 0.5) AS p50,
+        |              approx_percentile(value, 0.95) AS p95
+        |            FROM events GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users
+        |       FROM events GROUP BY 1),
+        |rk AS (SELECT e.event_type,
+        |         round(avg(CASE WHEN e.value <= a.p50 THEN 1.0 ELSE 0.0 END), 2) AS p50_rank,
+        |         round(avg(CASE WHEN e.value <= a.p95 THEN 1.0 ELSE 0.0 END), 2) AS p95_rank
+        |       FROM events e JOIN ap a ON e.event_type = a.event_type
+        |       GROUP BY 1)
+        |SELECT ex.event_type, ex.n_users,
+        |  round(CAST(ap.approx_users AS DOUBLE) / ex.n_users, 1) AS users_ratio,
+        |  rk.p50_rank, rk.p95_rank
+        |FROM ex JOIN ap ON ex.event_type = ap.event_type
+        |JOIN rk ON ex.event_type = rk.event_type""".stripMargin)
+
+  /** Raw sketch outputs (engine-specific values; library surface). */
+  def qSketchRaw(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
       """SELECT event_type,
         |  approx_count_distinct(user_id) AS approx_users,

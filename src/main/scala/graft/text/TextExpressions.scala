@@ -79,11 +79,32 @@ object TextKernels {
 }
 
 object TextKernelsSimhash {
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 bytes of md5(bytes) as a big-endian long — the same value any
+    * engine gets from parsing the leading 16 hex chars of its own `md5()`
+    * (e.g. DuckDB `('0x' || substr(md5(t), 1, 16))::UBIGINT`). */
+  def md5Hash64(bytes: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
   /** 64-bit SimHash over whitespace tokens (tf-weighted bit votes),
     * returned as 4 × 16-bit band values — one pass, no shuffle. The
     * explode-then-64-aggregates formulation costs a full groupBy exchange
-    * per corpus; this is a pure map. */
-  def simhashBands(text: UTF8String, seed: Long): ArrayData = {
+    * per corpus; this is a pure map. `md5Hash` selects the token hash:
+    * XXH64 (fast scale path) or md5-derived (portable — bit-reproducible
+    * by any engine with an md5(), which makes the whole near-dup relation
+    * oracle-checkable). */
+  def simhashBands(text: UTF8String, seed: Long, md5Hash: Boolean): ArrayData = {
     // limit -1: keep trailing empty tokens — identical vote set to the
     // explode(split(text, ' ')) + xxhash64 formulation this kernel replaced
     val toks = text.toString.split(" ", -1)
@@ -91,7 +112,9 @@ object TextKernelsSimhash {
     var i = 0
     while (i < toks.length) {
       val u = UTF8String.fromString(toks(i))
-      val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+      val h =
+        if (md5Hash) md5Hash64(u.getBytes)
+        else XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
@@ -115,8 +138,11 @@ object TextKernelsSimhash {
   }
 }
 
-/** `simhash_bands(text)` — 64-bit SimHash as 4 × 16-bit LSH bands. */
-case class SimHashBands(child: Expression, seed: Long = 42L)
+/** `simhash_bands(text[, md5])` — 64-bit SimHash as 4 × 16-bit LSH bands.
+  * `md5Hash = true` swaps the XXH64 token hash for the md5-derived one
+  * (engine-portable; see [[TextKernelsSimhash.md5Hash64]]). */
+case class SimHashBands(child: Expression, seed: Long = 42L,
+    md5Hash: Boolean = false)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -128,11 +154,11 @@ case class SimHashBands(child: Expression, seed: Long = 42L)
       s"$prettyName requires STRING, got ${child.dataType.simpleString}")
 
   override protected def nullSafeEval(input: Any): Any =
-    TextKernelsSimhash.simhashBands(input.asInstanceOf[UTF8String], seed)
+    TextKernelsSimhash.simhashBands(input.asInstanceOf[UTF8String], seed, md5Hash)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.text.TextKernelsSimhash.simhashBands($c, ${seed}L)")
+      c => s"graft.text.TextKernelsSimhash.simhashBands($c, ${seed}L, $md5Hash)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHashBands =
     copy(child = newChild)

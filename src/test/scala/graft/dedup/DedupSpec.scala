@@ -39,14 +39,14 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // brute-force reference: all pairs with hamming <= 3 over full signatures
     val lshPairs = Dedup.qSimhashPairs(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     // recompute hamming for ALL pairs from the (deterministic) signatures
     val sigs = Dedup.qSimhashPairs(spark, dir, maxHamming = 64)
       .collect() // maxHamming=64 ≅ all candidate pairs that share any band
     // pigeonhole: a pair with hamming <= 3 differs in <= 3 of 4 bands, so
     // shares >= 1 band → appears among candidates. Hence the thresholded
     // result must be exactly {candidates with hamming <= 3}.
-    val expect = sigs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val expect = sigs.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .filter(_._3 <= 3).toSet
     assert(lshPairs === expect)
     lshPairs.foreach { case (d1, d2, h) =>
@@ -81,6 +81,39 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
     val got = docs
       .select(col("doc_id"), graft.functions.simhash_bands(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got === expected)
+  }
+
+  test("md5 simhash kernel matches an independent md5-bit formulation") {
+    import org.apache.spark.sql.functions._
+    // independent hash derivation: Spark md5() hex -> leading 16 chars ->
+    // unsigned decimal via conv -> signed 64-bit (mirrors how the DuckDB
+    // oracle derives the same value)
+    val docs = graft.relational.Tables.load(spark, dir, "documents").limit(30)
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 16), 16, 10).cast("decimal(20,0)"))
+      .withColumn("h",
+        when(col("h") > Long.MaxValue,
+          (col("h") - BigDecimal("18446744073709551616")).cast("long"))
+          .otherwise(col("h").cast("long")))
+    val bitVotes = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) =!= 0, 1)
+        .otherwise(-1)).as(s"bit$b")
+    }
+    val voted = tok.groupBy("doc_id").agg(bitVotes.head, bitVotes.tail: _*)
+    val bandCols = (0 until 4).map { k =>
+      (0 until 16).map { j =>
+        when(col(s"bit${k * 16 + j}") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$k")
+    }
+    val expected = voted.select(col("doc_id") +: bandCols: _*).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getLong).toSeq).toMap
+    val got = docs
+      .select(col("doc_id"),
+        graft.functions.simhash_bands(col("text"), md5Hash = true).as("b"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(got === expected)
   }
