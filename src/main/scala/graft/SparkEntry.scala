@@ -96,6 +96,10 @@ object SparkEntry {
       Similarity.qEmbeddingNearDup(s, d)),
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnLshBuckets(s, d)),
+    // exact IVF: cell-pruned search whose output provably equals brute
+    // force, so the brute-force SQL is its oracle
+    "q_ann_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnIvfExact(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -410,6 +414,15 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
          |  FROM d)
          |WHERE rnk <= 5""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |        round(${duckCos("q.v", "c.v")}, 6) AS sim
+         |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+         |SELECT * FROM (SELECT qid, nid, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |  FROM d)
+         |WHERE rnk <= 10""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT * FROM (

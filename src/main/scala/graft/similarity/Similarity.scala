@@ -77,6 +77,91 @@ object Similarity {
   def signBucket(emb: Column, bits: Int): Column =
     graft.functions.hyperplane_bucket(emb, bits)
 
+  /** EXACT top-k via IVF-style cell pruning — the provably-lossless scale
+    * path. Vectors are assigned to cells (here: hyperplane-LSH buckets, so
+    * assignment is a cheap native expression and needs no trained model);
+    * per cell we keep a normalized mean-direction centroid `c` and radius
+    * `r = max ||x̂ - c||` over members. For any query `q̂`, every member of
+    * a cell satisfies `cos(q, x) <= q̂·c + r` (Cauchy-Schwarz on
+    * `q̂·x̂ = q̂·c + q̂·(x̂-c)`), so a cell whose bound is below the
+    * running k-th-best similarity cannot contain a result and is skipped
+    * WITHOUT being scanned.
+    *
+    * Two-phase search (the standard IVF pattern): (1) scan the 2 cells
+    * nearest the query by centroid similarity to establish a k-th-best
+    * lower bound; (2) scan exactly the cells whose bound can still beat it
+    * (minus a float margin), re-rank exactly. The margin makes the output
+    * bit-identical to brute force even under rounding ties: any pruned
+    * vector's similarity is > 1e-6 below the k-th best, so it can never
+    * displace a kept row at 6-decimal rounding with id tiebreak.
+    *
+    * At 100 TB: bucket/partition the corpus by `cell` so phase 2 is a
+    * partition-pruned scan; centroids and radii are a tiny broadcast
+    * maintained incrementally on ingest. Pruning power depends on how
+    * clustered the corpus is (worst case = full scan, still exact). */
+  def qAnnIvfExact(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 10, bits: Int = 4): DataFrame = {
+    val margin = 1e-6
+    val emb = withNorm(load(spark, dir, "embeddings"), "embedding")
+      .withColumn("cell", signBucket(col("embedding"), bits))
+
+    // mean direction per cell: elementwise sum of unit vectors, normalized
+    val dims = emb
+      .select(col("cell"), col("norm"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim").agg(sum(col("v") / col("norm")).as("s"))
+    val cents = dims.groupBy("cell")
+      .agg(sort_array(collect_list(struct(col("dim"), col("s")))).as("ds"))
+      .select(col("cell"), transform(col("ds"), x => x.getField("s")).as("craw"))
+      .withColumn("cnorm", sqrt(vec_dot(col("craw"), col("craw"))))
+      .select(col("cell"),
+        transform(col("craw"), x => x / col("cnorm")).as("cvec"))
+    val radii = emb.join(cents, "cell")
+      .groupBy("cell")
+      .agg(min(vec_dot(col("embedding"), col("cvec")) / col("norm")).as("mc"))
+      .withColumn("r",
+        sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("mc"))))
+    val cellsMeta = cents.join(radii, "cell").select("cell", "cvec", "r")
+
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"))
+    val qc = q.crossJoin(broadcast(cellsMeta))
+      .withColumn("qc_sim", vec_dot(col("qv"), col("cvec")) / col("qn"))
+      .withColumn("bound", col("qc_sim") + col("r"))
+    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("norm").as("nn"), col("cell"))
+
+    // phase 1: nearest 2 cells establish the k-th-best lower bound
+    val wCell = Window.partitionBy("qid").orderBy(col("qc_sim").desc, col("cell"))
+    val probeA = qc.withColumn("crnk", row_number().over(wCell))
+      .filter(col("crnk") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val wA = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    val kth = probeA.join(cand, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"),
+        (vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("sim"),
+        col("nid"))
+      .withColumn("rn", row_number().over(wA))
+      .groupBy("qid")
+      .agg(coalesce(max(when(col("rn") === k, col("sim"))), lit(-2.0)).as("kth"))
+
+    // phase 2: scan exactly the cells whose bound can still matter
+    val probeB = qc.join(kth, "qid")
+      .filter(col("bound") >= col("kth") - margin)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    probeB.join(cand, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k: candidates limited to the query's LSH bucket plus
     * all buckets within hamming distance `probeDist` (multi-probe). The
     * recall/cost dial: raise `bits` as the corpus grows (keeping bucket

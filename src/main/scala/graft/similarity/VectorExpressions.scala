@@ -22,6 +22,33 @@ object VecOps {
     }
     acc
   }
+
+  /** float × double variant (embedding against a double-typed centroid). */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** double × float variant. */
+  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  /** double × double variant. */
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Deterministic random-hyperplane LSH (signed random projections).
@@ -80,8 +107,9 @@ case class HyperplaneBucket(child: Expression, bits: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
-/** `vec_dot(a, b)` — native codegen'd dot product over `array<float>`
-  * columns. The hot kernel of the similarity-search operators: at 100 TB a
+/** `vec_dot(a, b)` — native codegen'd dot product over `array<float>` /
+  * `array<double>` columns (any mix; the kernel variant is picked at plan
+  * time). The hot kernel of the similarity-search operators: at 100 TB a
   * brute-force or LSH-bucketed scorer evaluates this O(pairs × dim) times,
   * so it must not fall out of codegen the way interpreted
   * `aggregate`/`zip_with` HOFs do. */
@@ -91,22 +119,43 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  private def isF(t: DataType) = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def isD(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Kernel name for this operand-type combination. */
+  private def kernel: String = (isF(left.dataType), isF(right.dataType)) match {
+    case (true, true) => "dot"
+    case (true, false) => "dotFD"
+    case (false, true) => "dotDF"
+    case (false, false) => "dotDD"
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    }
+    def ok(t: DataType) = isF(t) || isD(t)
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (array<float>, array<float>), got " +
+      s"$prettyName requires array<float|double> operands, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    kernel match {
+      case "dot" => VecOps.dot(x, y)
+      case "dotFD" => VecOps.dotFD(x, y)
+      case "dotDF" => VecOps.dotDF(x, y)
+      case "dotDD" => VecOps.dotDD(x, y)
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.similarity.VecOps.dot($a, $b)")
+    defineCodeGen(ctx, ev, (a, b) => s"graft.similarity.VecOps.$kernel($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatVectorDot =

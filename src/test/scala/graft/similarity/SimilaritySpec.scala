@@ -50,6 +50,18 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (_, ns) => assert(ns.size <= 5) }
   }
 
+  test("exact IVF equals brute force row-for-row (losslessness of the bound)") {
+    val bf = Similarity.qAnnBruteForce(spark, dir, nQueries = 20, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val ivf = Similarity.qAnnIvfExact(spark, dir, nQueries = 20, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(ivf === bf)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     Similarity.qEmbeddingNearDup(spark, dir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
