@@ -66,6 +66,9 @@ object SparkEntry {
     "q_events_sessionize" -> (EventQueries.qEventsSessionize _),
     "q_events_json" -> (EventQueries.qEventsJson _),
     "q_events_dedup" -> (EventQueries.qEventsDedup _),
+    "q_asof_join" -> (EventQueries.qAsofJoin _),
+    "q_interval_join" -> ((s: SparkSession, d: String) =>
+      EventQueries.qIntervalJoin(s, d)),
     // -- LSP/DPC message-log analytics (SURVEY §2.2, §2.3) --
     "q_dpc_classify" -> (LspAnalytics.qDpcClassify _),
     "q_dpc_parse" -> (LspAnalytics.qDpcParse _),
@@ -311,6 +314,22 @@ object SparkEntry {
       """SELECT user_id, event_type, min(event_id) AS keep_event,
         |  count(*) AS n_duplicates
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // oracle uses DuckDB's NATIVE ASOF JOIN — a fully independent
+    // implementation of the same semantics as the union+running-last plan
+    "q_asof_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
+        |  p.ts_us - c.ts_us AS us_since_click
+        |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    "q_interval_join" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
+        |SELECT e.event_id AS error_event_id, f.event_id AS next_event_id,
+        |  f.event_type AS next_type, f.ts_us - e.ts_us AS gap_us
+        |FROM (SELECT * FROM ev WHERE event_type = 'error') e
+        |JOIN ev f ON e.user_id = f.user_id
+        |  AND f.ts_us > e.ts_us AND f.ts_us <= e.ts_us + 21600000000""".stripMargin,
     "q_dpc_classify" -> (logCte +
       """
         |SELECT CASE substr(payload, 1, 1)

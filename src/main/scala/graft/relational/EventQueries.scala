@@ -66,4 +66,71 @@ object EventQueries {
       .groupBy("user_id", "event_type")
       .agg(min("event_id").as("keep_event"),
         count(lit(1)).as("n_duplicates"))
+
+  /** AS-OF join via the union + running-last trick: for each `purchase`,
+    * the most recent `click` by the same user at or before it.
+    *
+    * Spark has no native as-of join; the naive formulation (range join +
+    * per-row max) explodes to O(left × right) per user. This plan instead
+    * interleaves both sides in ONE shuffle on `user_id`, sorts by time
+    * within the partition, and carries the latest right-side row forward
+    * with `last(_, ignoreNulls)` — O(n log n) per partition, no pair
+    * blowup, and AQE-friendly. Right rows sort before left rows at equal
+    * timestamps, giving ASOF `>=` (inclusive) semantics. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros.as("ts_us"))
+    // side 0 = right (click), 1 = left (purchase): right first at ties
+    val tagged = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), lit(0).as("side"),
+        col("event_id").as("src_id"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("side"),
+          col("event_id").as("src_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy("ts_us", "side", "src_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click",
+        last(when(col("side") === 0,
+          struct(col("ts_us"), col("src_id"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("src_id").as("event_id"), col("user_id"),
+        col("last_click.src_id").as("click_event_id"),
+        (col("ts_us") - col("last_click.ts_us")).as("us_since_click"))
+  }
+
+  /** Interval (range) join via time-bucket banding: events following an
+    * `error` by the same user within `windowUs`.
+    *
+    * The scale-safe plan: both sides get an equi-joinable bucket key
+    * `floor(ts / windowUs)`; the error side fans out to its own and the
+    * next bucket (any in-window follower lands in one of the two), so the
+    * executor-side work is an EQUI-join on `(user_id, bucket)` + a cheap
+    * residual range filter — never the unbounded theta-join a plain
+    * `BETWEEN` condition degenerates to (Spark would run that as
+    * broadcast-nested-loop or a per-user cross product). */
+  def qIntervalJoin(
+      spark: SparkSession, dir: String,
+      windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros.as("ts_us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_event_id"),
+        col("ts_us").as("err_us"),
+        explode(array(
+          expr(s"ts_us div ${windowUs}L"),
+          expr(s"ts_us div ${windowUs}L") + 1)).as("bucket"))
+    val followers = ev
+      .select(col("user_id"), col("event_id").as("next_event_id"),
+        col("event_type").as("next_type"), col("ts_us").as("next_us"),
+        expr(s"ts_us div ${windowUs}L").as("bucket"))
+    errors.join(followers, Seq("user_id", "bucket"))
+      .filter(col("next_us") > col("err_us") &&
+        col("next_us") <= col("err_us") + windowUs)
+      .select(col("error_event_id"), col("next_event_id"), col("next_type"),
+        (col("next_us") - col("err_us")).as("gap_us"))
+  }
 }

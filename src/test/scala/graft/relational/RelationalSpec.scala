@@ -30,6 +30,46 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("as-of join picks the latest prior click, inclusive at ties") {
+    import org.apache.spark.sql.functions._
+    val got = EventQueries.qAsofJoin(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
+      .toMap
+    // independent naive reference: max-ts click at or before each purchase
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicksByUser = ev.filter(_._3 == "click").groupBy(_._1)
+    ev.filter(_._3 == "purchase").foreach { case (u, id, _, ts) =>
+      val want = clicksByUser.getOrElse(u, Array.empty)
+        .filter(_._4 <= ts)
+        .sortBy(c => (-c._4, -c._2)).headOption
+        .map(c => (c._2, ts - c._4))
+      assert(got(id) === want, s"purchase $id")
+    }
+  }
+
+  test("banded interval join equals the naive range-condition join") {
+    import org.apache.spark.sql.functions._
+    val banded = EventQueries.qIntervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val naive = ev.filter(col("event_type") === "error").as("e")
+      .join(ev.as("f"),
+        col("e.user_id") === col("f.user_id") &&
+          col("f.ts_us") > col("e.ts_us") &&
+          col("f.ts_us") <= col("e.ts_us") + lit(6L * 3600 * 1000000))
+      .select(col("e.event_id"), col("f.event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === naive)
+    assert(banded.nonEmpty)
+  }
+
   test("semi + anti join partition the customer set") {
     val all = Tables.load(spark, dir, "customer").count()
     val withOrders = Tables.load(spark, dir, "customer")
