@@ -38,8 +38,16 @@ object Dedup {
   def shingles(text: Column, n: Int = 4): Column =
     graft.functions.shingle_set(text, n)
 
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  /** Documents hash-repartitioned on `doc_id`: shingling/signature maps
+    * then run on all cores even when the source parquet is one split
+    * (locally it is; at scale the repartition cost is noise next to the
+    * per-token work it parallelizes). */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
 
   /** Exact n-gram (4-token shingle) Jaccard near-dup pairs at
@@ -81,7 +89,7 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = load(spark, dir, "documents")
+    val docs = this.docs(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh_arr"))
       .select(col("doc_id"), minhashSignature(col("sh_arr"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
@@ -121,7 +129,7 @@ object Dedup {
   private def simhashBands(
       spark: SparkSession, dir: String, md5Hash: Boolean): DataFrame = {
     val sig = graft.functions.simhash_bands(col("text"), md5Hash)
-    load(spark, dir, "documents")
+    docs(spark, dir)
       .select(col("doc_id") +: (0 until 4).map(k =>
         element_at(sig, k + 1).as(s"band$k")): _*)
   }

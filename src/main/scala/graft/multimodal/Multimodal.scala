@@ -121,16 +121,23 @@ object Multimodal {
 
   /** Deterministic frame sampling plumbing: pick every `stride`-th chunk of
     * the payload as a "frame" (real video frame-sampling has the same plan
-    * shape: explode bounded by per-row frame count). */
+    * shape: explode bounded by per-row frame count).
+    *
+    * Plan shape matters: explode the (cheap, codegen'd) index sequence
+    * FIRST and slice per output row, rather than building the frame array
+    * with a `transform` lambda — higher-order functions evaluate
+    * interpreted with per-element boxing, and the array construction
+    * doubles peak row width. The repartition spreads per-document work
+    * across cores when the source arrives as one split. */
   def qFrameSample(
       spark: SparkSession, dir: String, stride: Int = 3): DataFrame =
     mediaTable(spark, dir)
-      .select(col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, int(octet_length(payload) / (8 * $stride))), " +
-            s"i -> upper(hex(substring(payload, i * 8 * $stride + 1, 8))))"))
-          .as(Seq("frame_idx", "frame_hex")))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("payload"),
+        posexplode(expr(s"sequence(0, int(octet_length(payload) / (8 * $stride)))"))
+          .as(Seq("pos", "i")))
+      .select(col("doc_id"), col("i").cast("long").as("frame_idx"),
+        upper(hex(col("payload").substr(
+          col("i") * (8 * stride) + 1, lit(8)))).as("frame_hex"))
       .filter(length(col("frame_hex")) > 0)
-      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("frame_hex"))
 }

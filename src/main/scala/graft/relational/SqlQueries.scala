@@ -83,8 +83,8 @@ object SqlQueries {
         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users
         |       FROM events GROUP BY 1),
         |rk AS (SELECT e.event_type,
-        |         round(avg(CASE WHEN e.value <= a.p50 THEN 1.0 ELSE 0.0 END), 2) AS p50_rank,
-        |         round(avg(CASE WHEN e.value <= a.p95 THEN 1.0 ELSE 0.0 END), 2) AS p95_rank
+        |         round(avg(CAST(CASE WHEN e.value <= a.p50 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p50_rank,
+        |         round(avg(CAST(CASE WHEN e.value <= a.p95 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p95_rank
         |       FROM events e JOIN ap a ON e.event_type = a.event_type
         |       GROUP BY 1)
         |SELECT ex.event_type, ex.n_users,

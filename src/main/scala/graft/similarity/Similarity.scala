@@ -35,16 +35,26 @@ object Similarity {
   private def withNorm(df: DataFrame, v: String): DataFrame =
     df.withColumn("norm", sqrt(vec_dot(col(v), col(v))))
 
+  /** Corpus with norms, hash-repartitioned on `vec_id`: the pairwise
+    * stages downstream parallelize by the STREAMED side's partitioning,
+    * and a small parquet arrives as one split — which would serialize the
+    * whole quadratic stage onto one core. At 100 TB the scan has many
+    * splits and this repartition is a cheap no-op by comparison; locally
+    * it is the difference between 1 and 32 busy cores. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    withNorm(load(spark, dir, "embeddings"), "embedding")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+
   /** Exact brute-force cosine top-k for query vectors `vec_id < nQueries`.
     * Deterministic: rank by rounded similarity with id tiebreak. */
   def qAnnBruteForce(
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val emb = load(spark, dir, "embeddings")
-    val q = withNorm(emb.filter(col("vec_id") < nQueries), "embedding")
+    val emb = corpus(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("norm").as("qn"))
-    val c = withNorm(emb, "embedding")
+    val c = emb
       .select(col("vec_id").as("nid"), col("embedding").as("nv"),
         col("norm").as("nn"))
     val scored = q.join(c, col("qid") =!= col("nid"))
@@ -60,7 +70,7 @@ object Similarity {
     * variant of near-dedup). */
   def qEmbeddingNearDup(
       spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
-    val emb = withNorm(load(spark, dir, "embeddings"), "embedding")
+    val emb = corpus(spark, dir)
     val a = emb.select(col("vec_id").as("d1"), col("embedding").as("av"),
       col("norm").as("na"))
     val b = emb.select(col("vec_id").as("d2"), col("embedding").as("bv"),
@@ -103,7 +113,7 @@ object Similarity {
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 10, bits: Int = 4): DataFrame = {
     val margin = 1e-6
-    val emb = withNorm(load(spark, dir, "embeddings"), "embedding")
+    val emb = corpus(spark, dir)
       .withColumn("cell", signBucket(col("embedding"), bits))
 
     // mean direction per cell: elementwise sum of unit vectors, normalized
@@ -171,7 +181,7 @@ object Similarity {
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 5, bits: Int = 4,
       probeDist: Int = 2): DataFrame = {
-    val emb = withNorm(load(spark, dir, "embeddings"), "embedding")
+    val emb = corpus(spark, dir)
       .withColumn("bucket", signBucket(col("embedding"), bits))
     // XOR masks of all bit patterns with popcount <= probeDist
     val masks = (0L until (1L << bits))

@@ -39,7 +39,7 @@ class ChaosSpec extends SparkSpec {
 
   test("approximate sketches stay within 5% of exact") {
     import graft.relational.{SqlQueries, Tables}
-    val approx = SqlQueries.qSketchStats(spark, dir).collect()
+    val approx = SqlQueries.qSketchRaw(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val exact = Tables.load(spark, dir, "events")
       .groupBy("event_type")
@@ -50,6 +50,13 @@ class ChaosSpec extends SparkSpec {
       val (au, ap50) = approx(k)
       assert(math.abs(au - users).toDouble / users <= 0.05, s"$k users $au vs $users")
       assert(math.abs(ap50 - p50) / math.max(p50, 1.0) <= 0.05, s"$k p50 $ap50 vs $p50")
+    }
+    // the driver-facing assertion form must hold exactly: ratio 1.0,
+    // rank fractions at nominal quantiles
+    SqlQueries.qSketchStats(spark, dir).collect().foreach { r =>
+      assert(r.getDouble(2) === 1.0, s"${r.getString(0)} users_ratio")
+      assert(r.getDouble(3) === 0.5, s"${r.getString(0)} p50_rank")
+      assert(r.getDouble(4) === 0.95, s"${r.getString(0)} p95_rank")
     }
   }
 }
