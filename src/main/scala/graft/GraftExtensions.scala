@@ -18,13 +18,16 @@ import graft.text.{MinHashSig, ShingleSet, SimHashBands}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // whole-operator plans (SURVEY §4.2 option c)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+  }
 }
 
 object GraftExtensions {

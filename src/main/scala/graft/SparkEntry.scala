@@ -49,6 +49,7 @@ object SparkEntry {
     "q_semi_join" -> (RelationalQueries.qSemiCustomersWithUrgent _),
     "q_anti_join" -> (RelationalQueries.qAntiCustomersNoOrders _),
     "q_window_topk" -> (RelationalQueries.qTopCustomersPerSegment _),
+    "q_topk_native" -> (RelationalQueries.qTopKNative _),
     "q_window_running" -> (RelationalQueries.qRunningMonthlyRevenue _),
     "q_rollup" -> (RelationalQueries.qRollupOrders _),
     "q_grouping_sets" -> (SqlQueries.qGroupingSets _),
@@ -227,6 +228,15 @@ object SparkEntry {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_window_topk" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment, total_spent,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk
+        |  FROM (SELECT c_custkey, c_mktsegment, round(sum(o_totalprice), 2) AS total_spent
+        |        FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2))
+        |WHERE rnk <= 5""".stripMargin,
+    // same relation as q_window_topk, computed by the native heap operator
+    "q_topk_native" ->
       """SELECT * FROM (
         |  SELECT c_custkey, c_mktsegment, total_spent,
         |    CAST(row_number() OVER (PARTITION BY c_mktsegment

@@ -1,0 +1,197 @@
+package graft.plans
+
+import java.util.{PriorityQueue => JPriorityQueue}
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+
+/** Whole-operator top-k-per-key: for each key group, the k best rows under
+  * `order`, with a dense 1-based `rnk` column appended.
+  *
+  * The Window formulation (`row_number().over(partitionBy(keys).orderBy(
+  * order)) <= k`) shuffles and SORTS every input row before discarding all
+  * but k per key — at 100 TB that is the dominant cost of every
+  * "top products per category"-style query. This operator instead keeps a
+  * bounded heap of k rows per key on the MAP side (a top-k-specific
+  * partial aggregate), shuffles only `partitions × keys × k` rows, and
+  * merges heaps on the reduce side — the same partial/final split Spark
+  * applies to `sum`, which `row_number` can never get because ranks are
+  * not decomposable. Memory per task is `keys_in_partition × k` rows.
+  *
+  * Implemented as the full custom-operator stack (SURVEY §4.2 option c):
+  * logical node → strategy → two physical execs, registered either
+  * per-session on first use or cluster-wide via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * `order` must be a TOTAL order (include an id tiebreak) for
+  * deterministic output — the same contract as the Window formulation.
+  */
+case class TopKPerKey(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan,
+    rankAttr: Attribute =
+      AttributeReference("rnk", LongType, nullable = false)())
+    extends UnaryNode {
+
+  require(k >= 1, s"top-k requires k >= 1, got $k")
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerKey]] as partial (map-side) + final (post-shuffle) heap
+  * pruning; the Exchange between them is inserted by EnsureRequirements
+  * from the final exec's required distribution. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child, rankAttr) =>
+      FinalTopKExec(keys, order, k, rankAttr,
+        PartialTopKExec(keys, order, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared bounded-heap pruning: one pass over the partition, keeping the
+  * k best rows per key. */
+private[plans] object TopKHeap {
+  def prune(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      inputAttrs: Seq[Attribute]): mutable.LinkedHashMap[UnsafeRow, JPriorityQueue[UnsafeRow]] = {
+    val keyProj = UnsafeProjection.create(keys, inputAttrs)
+    val rowProj = UnsafeProjection.create(inputAttrs, inputAttrs)
+    val ord = GenerateOrdering.generate(order, inputAttrs)
+    // heap head = WORST kept row (reverse ordering), so eviction is O(log k)
+    val heapCmp = new java.util.Comparator[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
+    }
+    val heaps = mutable.LinkedHashMap.empty[UnsafeRow, JPriorityQueue[UnsafeRow]]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      heaps.get(key) match {
+        case None =>
+          val h = new JPriorityQueue[UnsafeRow](k, heapCmp)
+          h.offer(rowProj(row).copy())
+          heaps.put(key.copy(), h)
+        case Some(h) =>
+          if (h.size < k) h.offer(rowProj(row).copy())
+          else if (ord.compare(row, h.peek()) < 0) {
+            h.poll()
+            h.offer(rowProj(row).copy())
+          }
+      }
+    }
+    heaps
+  }
+}
+
+/** Map-side pruning: emits at most `keys-in-partition × k` rows, unranked
+  * and in no particular order (the final exec re-ranks). */
+case class PartialTopKExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, kk, attrs) = (keys, order, k, child.output)
+    child.execute().mapPartitions({ iter =>
+      TopKHeap.prune(iter, ks, os, kk, attrs).valuesIterator.flatMap { h =>
+        val out = new Array[InternalRow](h.size)
+        var i = 0
+        while (!h.isEmpty) { out(i) = h.poll(); i += 1 }
+        out.iterator
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): PartialTopKExec =
+    copy(child = newChild)
+}
+
+/** Post-shuffle merge: re-prunes the partial survivors per key, sorts each
+  * key's k rows, and appends the dense 1-based rank. */
+case class FinalTopKExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (ks, os, kk, attrs) = (keys, order, k, child.output)
+    val outTypes = output.map(_.dataType).toArray
+    child.execute().mapPartitions({ iter =>
+      val ord = GenerateOrdering.generate(os, attrs)
+      val proj = UnsafeProjection.create(outTypes)
+      val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new JoinedRow
+      TopKHeap.prune(iter, ks, os, kk, attrs).valuesIterator.flatMap { h =>
+        val rows = new Array[UnsafeRow](h.size)
+        var i = 0
+        while (!h.isEmpty) { rows(i) = h.poll(); i += 1 }
+        java.util.Arrays.sort(rows, ord)
+        rows.iterator.zipWithIndex.map { case (r, idx) =>
+          rankRow.update(0, (idx + 1).toLong)
+          proj(joined(r, rankRow))
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): FinalTopKExec =
+    copy(child = newChild)
+}
+
+/** Column-level API for the custom operator. */
+object TopK {
+
+  /** `df` reduced to the k best rows per `keys` group under `order`
+    * (include a tiebreak column for determinism), with a `rnk` column
+    * appended. Registers [[TopKStrategy]] on the session on first use. */
+  def topKPerKey(
+      df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    val sortOrders = order.map(c => GraftShim.expressionFor(spark, c) match {
+      case s: SortOrder => s
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    })
+    GraftShim.ofRows(spark,
+      TopKPerKey(keys.map(GraftShim.expressionFor(spark, _)), sortOrders, k,
+        GraftShim.logicalPlan(df)))
+  }
+}

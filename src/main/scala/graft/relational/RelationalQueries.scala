@@ -138,6 +138,24 @@ object RelationalQueries {
       .filter(col("rnk") <= 5)
   }
 
+  /** [[qTopCustomersPerSegment]] through the native
+    * [[graft.plans.TopKPerKey]] operator instead of a Window: bounded
+    * per-key heaps with a map-side partial pass, shuffling only
+    * `partitions × keys × k` rows where the Window shuffles and sorts ALL
+    * of them. Same result relation (and the same oracle) as the Window
+    * form — the column order differs only because the operator appends
+    * `rnk` last. */
+  def qTopKNative(spark: SparkSession, dir: String): DataFrame = {
+    val spend = load(spark, dir, "customer")
+      .join(load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("total_spent"))
+    graft.plans.TopK.topKPerKey(spend,
+      keys = Seq(col("c_mktsegment")),
+      order = Seq(col("total_spent").desc, col("c_custkey").asc),
+      k = 5)
+  }
+
   /** Running (cumulative) monthly revenue per order priority — frame-ordered
     * window aggregation over pre-rounded values keeps the fold exact. */
   def qRunningMonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {

@@ -12,6 +12,14 @@ object GraftShim {
 
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Session-aware Column → Expression conversion: eagerly converts the
+    * column node to a plain catalyst expression (UnresolvedAttribute /
+    * SortOrder / ...) that the analyzer can resolve inside CUSTOM logical
+    * nodes. [[expression]]'s lazy wrapper only resolves inside Spark's own
+    * operators. */
+  def expressionFor(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
   /** Register a native Catalyst expression as a session-scoped SQL function. */
   def registerFunction(
       spark: SparkSession,
@@ -19,4 +27,14 @@ object GraftShim {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** The (unanalyzed) logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.logical
+
+  /** Wrap a logical plan back into a DataFrame on this session. */
+  def ofRows(
+      spark: SparkSession,
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
