@@ -84,6 +84,7 @@ object SparkEntry {
     "q_text_quality" -> (TextOps.qTextQuality _),
     "q_lang_guess" -> (TextOps.qLangGuess _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
+    "q_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.qTfidfTopK(s, d)),
     // -- dedup (north star) --
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
@@ -424,6 +425,22 @@ object SparkEntry {
         |        generate_subscripts(string_split(text, ' '), 1) AS ord
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+    // rational tf-idf (tf * N / df, no log) ranks identically in any IEEE
+    // engine; ranking runs through the native TopKPerKey operator
+    "q_tfidf_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, tok,
+        |             round(CAST(tf * n AS DOUBLE) / dfq, 6) AS score
+        |           FROM tf JOIN dfq USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, score, rnk FROM (
+        |  SELECT doc_id, tok, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, tok) AS BIGINT) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 3""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,

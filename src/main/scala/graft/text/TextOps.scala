@@ -77,4 +77,28 @@ object TextOps {
       .agg((sum((col("pos") + 1) *
         (ascii(substring(col("tok"), 1, 1)) * 31 + length(col("tok"))))
         % 1000000007L).as("fingerprint"))
+
+  /** Per-document keyword extraction: top-3 tokens by a rational tf-idf
+    * (`tf × N / df` — no logarithm, so the score is an exact integer
+    * ratio and ranks identically in any IEEE engine), ranked by the
+    * native [[graft.plans.TopKPerKey]] operator. The classic
+    * shuffle-profile win: token stats are two bounded aggregations, and
+    * the per-document ranking ships k rows per doc per partition instead
+    * of window-sorting every (doc, token) pair. */
+  def qTfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val n = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val scored = tf.join(dfreq, "tok")
+      .select(col("doc_id"), col("tok"),
+        round((col("tf") * n).cast("double") / col("dfq"), 6).as("score"))
+    graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("doc_id")),
+      order = Seq(col("score").desc, col("tok").asc),
+      k = k)
+  }
 }
