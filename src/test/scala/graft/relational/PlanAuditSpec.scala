@@ -1,0 +1,54 @@
+package graft.relational
+
+import graft.SparkSpec
+
+/** Physical-plan audits: the properties that decide 100 TB behavior must
+  * hold in the EXECUTED plan, not just be intended — a regression that
+  * stops a filter reaching the scan or flips a broadcast to sort-merge is
+  * invisible to result-correctness tests. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6: filters are pushed down to the parquet scan") {
+    val plan = planOf(RelationalQueries.q6ForecastRevenue(spark, dir))
+    assert(plan.contains("PushedFilters: ["), plan)
+    // the shipdate range predicate must reach the scan, not sit in a
+    // post-scan Filter only
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("IsNotNull(l_shipdate"), plan)
+  }
+
+  test("q1: column pruning — scan reads only the 6 needed lineitem columns") {
+    val plan = planOf(RelationalQueries.q1PricingSummary(spark, dir))
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_quantity"), readSchema)
+    // lineitem has more columns; the wide ones must NOT be read
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("q5: all six dimension joins broadcast (no sort-merge on small dims)") {
+    val plan = planOf(RelationalQueries.q5LocalSupplierVolume(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
+    val df = graft.crack.CrackQuery.matches(spark,
+      "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(1)" on every operator = one shared whole-stage-codegen stage
+    assert(plan.linesIterator.filter(_.trim.nonEmpty).forall(_.contains("*(1)")),
+      plan)
+    assert(plan.contains("Range"), plan)
+    // no exchange: the generated scan filters in place, SURVEY §3.3
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
