@@ -25,8 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
-    // whole-operator plans (SURVEY §4.2 option c)
+    // whole-operator plans (SURVEY §4.2 option c): the strategy plans
+    // explicit TopKPerKey nodes; the optimizer rule rewrites
+    // Filter(rank<=k, Window(row_number)) plans into them automatically
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
   }
 }
 

@@ -18,14 +18,16 @@ import org.apache.spark.sql.{Column, DataFrame, GraftShim}
   * `order`, with a dense 1-based `rnk` column appended.
   *
   * The Window formulation (`row_number().over(partitionBy(keys).orderBy(
-  * order)) <= k`) shuffles and SORTS every input row before discarding all
-  * but k per key — at 100 TB that is the dominant cost of every
-  * "top products per category"-style query. This operator instead keeps a
-  * bounded heap of k rows per key on the MAP side (a top-k-specific
-  * partial aggregate), shuffles only `partitions × keys × k` rows, and
-  * merges heaps on the reduce side — the same partial/final split Spark
-  * applies to `sum`, which `row_number` can never get because ranks are
-  * not decomposable. Memory per task is `keys_in_partition × k` rows.
+  * order)) <= k`) sorts every input row: even with Spark's inferred
+  * `WindowGroupLimit` pruning (3.5+), the plan is local-Sort → partial
+  * prune → shuffle → full Sort → final prune → Window → Filter. This
+  * operator keeps a bounded heap of k rows per key on the MAP side (a
+  * top-k-specific partial aggregate), shuffles only
+  * `partitions × keys × k` rows, and merges heaps after the exchange —
+  * no sort ever touches more than k rows per key, and the Window pass
+  * disappears. The partial/final split is the same one Spark applies to
+  * `sum`, which rank functions can't get from the Window operator.
+  * Memory per task is `keys_in_partition × k` rows.
   *
   * Implemented as the full custom-operator stack (SURVEY §4.2 option c):
   * logical node → strategy → two physical execs, registered either
@@ -152,6 +154,9 @@ case class FinalTopKExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, kk, attrs) = (keys, order, k, child.output)
     val outTypes = output.map(_.dataType).toArray
+    // honor the rank attribute's type: the rewrite rule reuses the
+    // original row_number attribute, which is IntegerType
+    val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
     child.execute().mapPartitions({ iter =>
       val ord = GenerateOrdering.generate(os, attrs)
       val proj = UnsafeProjection.create(outTypes)
@@ -163,7 +168,8 @@ case class FinalTopKExec(
         while (!h.isEmpty) { rows(i) = h.poll(); i += 1 }
         java.util.Arrays.sort(rows, ord)
         rows.iterator.zipWithIndex.map { case (r, idx) =>
-          rankRow.update(0, (idx + 1).toLong)
+          rankRow.update(0,
+            if (rankIsInt) idx + 1 else (idx + 1).toLong)
           proj(joined(r, rankRow))
         }
       }

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite the ubiquitous rank-k idiom
+  *
+  * {{{ Filter(rnk <= k, Window(row_number() as rnk, partitionBy, orderBy)) }}}
+  *
+  * (with or without an intervening Project that merely aliases/casts the
+  * rank) into the native [[TopKPerKey]] operator.
+  *
+  * What stock Spark does here: since 3.5, `InferWindowGroupLimit` inserts
+  * `WindowGroupLimit` pruning below such Windows — map-side k-per-key
+  * pruning, but sort-based (a local Sort before each pruning pass, a full
+  * Sort after the shuffle) and still followed by the complete Window
+  * operator + Filter. The heap rewrite removes all three sorts and the
+  * Window pass: heaps prune unsorted input and the final exec sorts only
+  * k rows per key. An inferred `WindowGroupLimit` child is stripped (the
+  * heap subsumes it). Semantics are identical because `row_number` over
+  * the same total order assigns exactly the ranks the heap emits; the
+  * rewrite keeps the original rank attribute (same exprId and type), so
+  * downstream references are untouched.
+  *
+  * Applied only when the Window computes EXACTLY one expression
+  * (`row_number`) — mixed window lists still need the full Window.
+  *
+  * Opt-in per session via [[TopK.enableRewrite]] or cluster-wide via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object TopKRewriteRule extends Rule[LogicalPlan] {
+
+  /** `attr <= k`-shaped rank bounds, normalized to "keep k best". */
+  private object RankLimit {
+    private def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case Literal(v: Long, LongType) => Some(v)
+      case _ => None
+    }
+    def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
+      case LessThanOrEqual(a: Attribute, l) => lit(l).map(k => (a, k.toInt))
+      case LessThan(a: Attribute, l) => lit(l).map(k => (a, k.toInt - 1))
+      case GreaterThanOrEqual(l, a: Attribute) => lit(l).map(k => (a, k.toInt))
+      case GreaterThan(l, a: Attribute) => lit(l).map(k => (a, k.toInt - 1))
+      case EqualTo(a: Attribute, l) => lit(l).filter(_ == 1L).map(_ => (a, 1))
+      case EqualTo(l, a: Attribute) => lit(l).filter(_ == 1L).map(_ => (a, 1))
+      case _ => None
+    }
+  }
+
+  /** A Window whose single expression is a plain `row_number()`. */
+  private object RowNumberWindow {
+    def unapply(w: Window): Option[(Attribute, Window)] = w.windowExpressions match {
+      case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) =>
+        Some((a.toAttribute, w))
+      case _ => None
+    }
+  }
+
+  /** The rewrite subsumes an inferred sort-based WindowGroupLimit. */
+  private def stripWgl(child: LogicalPlan): LogicalPlan = child match {
+    case wgl: WindowGroupLimit => wgl.child
+    case other => other
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Filter sits directly on the Window (SQL subquery idiom)
+    case Filter(RankLimit(attr, k), RowNumberWindow(rnk, w))
+        if attr.semanticEquals(rnk) && k >= 1 =>
+      TopKPerKey(w.partitionSpec, w.orderSpec, k, stripWgl(w.child),
+        rankAttr = rnk)
+
+    // Filter on a Project that aliases/casts the rank (DataFrame
+    // `.withColumn("rnk", row_number().over(w).cast("long")).filter(...)`)
+    case Filter(RankLimit(attr, k), p @ Project(projList, RowNumberWindow(rnk, w)))
+        if k >= 1 && aliasOfRank(projList, attr, rnk) =>
+      Project(projList, TopKPerKey(w.partitionSpec, w.orderSpec, k,
+        stripWgl(w.child), rankAttr = rnk))
+  }
+
+  /** Does `attr` in the Project output denote the rank (directly or via a
+    * cast-only alias)? */
+  private def aliasOfRank(
+      projList: Seq[NamedExpression], attr: Attribute, rnk: Attribute): Boolean =
+    projList.exists {
+      case a: Attribute => a.semanticEquals(attr) && a.semanticEquals(rnk)
+      case a @ Alias(child, _) if a.toAttribute.semanticEquals(attr) =>
+        child match {
+          case c: Attribute => c.semanticEquals(rnk)
+          case Cast(c: Attribute, _, _, _) => c.semanticEquals(rnk)
+          case _ => false
+        }
+      case _ => false
+    }
+}
+
+/** Session installer for the rewrite (strategy + optimizer rule). */
+object TopKRewrite {
+  def enable(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewriteRule
+  }
+
+  def disable(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == TopKRewriteRule)
+}

@@ -43,6 +43,77 @@ class TopKSpec extends SparkSpec {
       ("b", 9L, 1L)))
   }
 
+  test("optimizer rule rewrites Filter(rnk<=k, Window(row_number)) plans") {
+    import org.apache.spark.sql.functions._
+    TopKRewrite.enable(spark)
+    try {
+      // DataFrame idiom: Project(cast) between Filter and Window
+      val win = graft.relational.RelationalQueries
+        .qTopCustomersPerSegment(spark, dir)
+      val plan = win.queryExecution.executedPlan.toString
+      assert(plan.contains("FinalTopK") && !plan.contains("Window"), plan)
+      val viaRule = win.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      TopKRewrite.disable(spark)
+      val viaWindow = graft.relational.RelationalQueries
+        .qTopCustomersPerSegment(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(viaRule === viaWindow)
+
+      // SQL subquery idiom: Filter directly on the int rank
+      TopKRewrite.enable(spark)
+      graft.relational.Tables.registerAll(spark, dir)
+      val sql = spark.sql(
+        """SELECT * FROM (
+          |  SELECT o_custkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          |  FROM orders)
+          |WHERE rnk <= 2""".stripMargin)
+      val sqlPlan = sql.queryExecution.executedPlan.toString
+      assert(sqlPlan.contains("FinalTopK") && !sqlPlan.contains("Window"), sqlPlan)
+      TopKRewrite.disable(spark)
+      val sqlWindow = spark.sql(
+        """SELECT * FROM (
+          |  SELECT o_custkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey
+          |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          |  FROM orders)
+          |WHERE rnk <= 2""".stripMargin)
+      assert(sql.collect().map(_.toSeq).toSet ===
+        sqlWindow.collect().map(_.toSeq).toSet)
+      assert(sql.schema("rnk").dataType ===
+        org.apache.spark.sql.types.IntegerType)
+    } finally TopKRewrite.disable(spark)
+  }
+
+  test("rule leaves mixed window lists and non-rank filters alone") {
+    import org.apache.spark.sql.functions._
+    TopKRewrite.enable(spark)
+    try {
+      graft.relational.Tables.registerAll(spark, dir)
+      // two window functions: must stay a Window
+      val mixed = spark.sql(
+        """SELECT * FROM (
+          |  SELECT o_custkey,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rnk,
+          |    sum(o_totalprice) OVER (PARTITION BY o_custkey) AS tot
+          |  FROM orders)
+          |WHERE rnk <= 2""".stripMargin)
+      assert(mixed.queryExecution.executedPlan.toString.contains("Window"))
+      // rank filter with a non-literal bound: must stay a Window
+      val nonLit = spark.sql(
+        """SELECT * FROM (
+          |  SELECT o_custkey, o_orderkey,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rnk
+          |  FROM orders)
+          |WHERE rnk <= o_orderkey""".stripMargin)
+      assert(nonLit.queryExecution.executedPlan.toString.contains("Window"))
+    } finally TopKRewrite.disable(spark)
+  }
+
   test("100k synthetic rows: equals Window; exchange sits between the execs") {
     val n = 100000L
     val df = spark.range(0, n)
