@@ -132,6 +132,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState tracker matches fMGWS semantics (Spark 4 API)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[LspPacket]
+      val name = s"tws_${System.nanoTime()}"
+      val q = SessionTrackerTws.eventStream(input.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(Seq(LspPacket(1L, 1L, 3), LspPacket(1L, 2L, 3),
+          LspPacket(2L, 1L, 3)))
+        q.processAllAvailable()
+        input.addData(Seq(LspPacket(1L, 2L, 3), // retransmit → dup
+          LspPacket(1L, 3L, 3), // continues across batches
+          LspPacket(2L, 9L, 3))) // future → out-of-order
+        q.processAllAvailable()
+        val events = spark.table(name).as[ConnEvent].collect()
+        assert(events.count(_.event == Delivered) === 4)
+        assert(events.count(_.event == DupDropped) === 1)
+        assert(events.count(_.event == OutOfOrderDropped) === 1)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("S3: file-based source — new files are processed incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toFile
