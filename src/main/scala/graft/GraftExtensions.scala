@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
-import graft.keyspace.{NumToPass, PassToNum}
+import graft.keyspace.{NumToPass, PassToNum, Sha1OrdinalMatch}
 import graft.lsp.{LspDecode, LspEncode}
 import graft.similarity.{FloatVectorDot, HyperplaneBucket}
 import graft.text.{MinHashSig, ShingleSet, SimHashBands}
@@ -123,6 +123,16 @@ object GraftExtensions {
           s"simhash_bands expects 1 or 2 argument(s), got ${args.length}")
       val md5 = args.length == 2 && boolArg("simhash_bands", args(1))
       SimHashBands(Cast(args(0), StringType), md5Hash = md5)
+    },
+    "sha1_ordinal_match" -> { args: Seq[Expression] =>
+      arity("sha1_ordinal_match", 3, args)
+      val hex = args(2).eval() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString.toLowerCase
+        case other => throw new IllegalArgumentException(
+          s"sha1_ordinal_match requires a literal hex string, got $other")
+      }
+      Sha1OrdinalMatch(Cast(args(0), LongType),
+        posIntArg("sha1_ordinal_match", args(1)), hex)
     },
     "lsp_encode" -> { args: Seq[Expression] =>
       arity("lsp_encode", 3, args)

@@ -51,9 +51,26 @@ object CrackQuery {
       spark: SparkSession,
       hashHex: String,
       len: Int,
-      parallelism: Int = 32): DataFrame =
-    candidates(spark, len, parallelism)
-      .filter(sha1(col("pass")) === lit(hashHex.toLowerCase))
+      parallelism: Int = 32): DataFrame = {
+    val (lo, hi) = Keyspace.fullRange(len)
+    matchesOrdinals(spark, hashHex, len, lo, hi, parallelism)
+  }
+
+  /** The crack hot scan: filter ordinals through the fused
+    * [[graft.keyspace.Sha1OrdinalMatch]] kernel (no candidate string /
+    * hex / digest allocation per row — measured ~2x the
+    * `sha1(num_to_pass(..)) = hex` pipeline), then materialize `pass`
+    * for the (0 or 1) hits only. */
+  def matchesOrdinals(
+      spark: SparkSession,
+      hashHex: String,
+      len: Int,
+      lo: Long,
+      hi: Long,
+      parallelism: Int): DataFrame =
+    spark.range(lo, hi + 1, 1, parallelism)
+      .filter(graft.functions.sha1_ordinal_match(col("id"), len, hashHex))
+      .select(num_to_pass(col("id"), len).as("pass"))
 
   /** First-found-wins crack (A1/L3). Unlike the reference — racy: whichever
     * worker replies first wins, `server.c:275-306` — this is deterministic:
@@ -104,10 +121,10 @@ object CrackQuery {
       parallelism: Int = 32): DataFrame = {
     require(lens.nonEmpty)
     lens.map { len =>
-      candidates(spark, len, parallelism)
+      val (lo, hi) = Keyspace.fullRange(len)
+      matchesOrdinals(spark, hashHex, len, lo, hi, parallelism)
         .select(lit(len).as("len"), col("pass"))
     }.reduce(_.unionAll(_))
-      .filter(sha1(col("pass")) === lit(hashHex.toLowerCase))
       .orderBy("len", "pass")
   }
 
@@ -127,8 +144,7 @@ object CrackQuery {
     var start = lo
     while (start <= hi) {
       val end = math.min(start + chunkSize - 1, hi)
-      val hit = candidates(spark, len, start, end, parallelism)
-        .filter(sha1(col("pass")) === lit(hashHex.toLowerCase))
+      val hit = matchesOrdinals(spark, hashHex, len, start, end, parallelism)
         .orderBy("pass").limit(1)
         .collect().headOption.map(_.getString(0))
       if (hit.isDefined) return hit

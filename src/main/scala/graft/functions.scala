@@ -26,6 +26,13 @@ object functions {
   def pass_to_num(pass: Column): Column =
     col(PassToNum(Cast(expr(pass), StringType)))
 
+  /** Fused crack predicate: `sha1(base26(ordinal, len)) == sha1Hex`
+    * without materializing candidate strings, hex, or a per-row digest
+    * (see [[graft.keyspace.Sha1OrdinalMatch]]). */
+  def sha1_ordinal_match(ordinal: Column, len: Int, sha1Hex: String): Column =
+    col(graft.keyspace.Sha1OrdinalMatch(
+      Cast(expr(ordinal), LongType), len, sha1Hex.toLowerCase))
+
   /** Native dot product over `array<float>` columns (codegen'd; same
     * left-to-right fold as `aggregate(zip_with(..))`). */
   def vec_dot(a: Column, b: Column): Column =

@@ -86,3 +86,84 @@ case class PassToNum(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PassToNum =
     copy(child = newChild)
 }
+
+/** Zero-allocation SHA-1 match kernel for the crack hot loop. */
+object CrackKernels {
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-1")
+  }
+  private val bufLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](32)
+  }
+  private val outLocal = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](20)
+  }
+
+  /** Does `sha1(base26(ordinal, len)) == target`? One reused candidate
+    * buffer, one thread-local digest, raw 20-byte compare — no string,
+    * hex, or digest allocation per candidate. */
+  def sha1MatchesOrdinal(ordinal: Long, len: Int, target: Array[Byte]): Boolean = {
+    val buf = bufLocal.get()
+    var n = ordinal
+    var i = len - 1
+    while (i >= 0) {
+      buf(i) = ('a' + (n % 26)).toByte
+      n /= 26
+      i -= 1
+    }
+    val md = mdLocal.get()
+    md.reset()
+    md.update(buf, 0, len)
+    val out = outLocal.get()
+    md.digest(out, 0, 20)
+    java.util.Arrays.equals(out, target)
+  }
+
+  def hexToBytes(hex: String): Array[Byte] = {
+    require(hex.length == 40, s"expected 40-char sha1 hex, got '$hex'")
+    val out = new Array[Byte](20)
+    var i = 0
+    while (i < 20) {
+      out(i) = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** `sha1_ordinal_match(ordinal)` — TRUE iff the `len`-char base-26
+  * candidate at `ordinal` SHA-1-hashes to `digestHex`. The fused form of
+  * `sha1(num_to_pass(ordinal, len)) = hex` for the crack scan (F1+P5+P7):
+  * the generic pipeline materializes a UTF8String candidate, copies it to
+  * bytes, allocates a MessageDigest (commons-codec does, per row) and a
+  * 40-char hex string per candidate; this kernel does none of that, so
+  * candidate strings are only built for HITS. */
+case class Sha1OrdinalMatch(child: Expression, len: Int, digestHex: String)
+    extends UnaryExpression {
+
+  require(len >= 1 && len <= 13, s"len must be in [1, 13], got $len")
+
+  @transient private lazy val digest = CrackKernels.hexToBytes(digestHex)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "sha1_ordinal_match"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT ordinal, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    CrackKernels.sha1MatchesOrdinal(input.asInstanceOf[Long], len, digest)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val digestRef = ctx.addReferenceObj("sha1Target", digest, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.keyspace.CrackKernels.sha1MatchesOrdinal($c, $len, $digestRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sha1OrdinalMatch =
+    copy(child = newChild)
+}

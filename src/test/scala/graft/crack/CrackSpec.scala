@@ -33,6 +33,25 @@ class CrackSpec extends SparkSpec {
       === None)
   }
 
+  test("fused sha1 kernel == generic sha1(num_to_pass) pipeline on full len-3 domain") {
+    import org.apache.spark.sql.functions._
+    // every ordinal where the fused kernel fires must be exactly the set
+    // the generic pipeline finds, for several targets incl. no-match
+    val targets = Seq(
+      "a9993e364706816aba3e25717850c26c9cd0d89d", // sha1("abc")
+      "d0be2dc421be4fcd0172e5afceea3970e2f3d940", // sha1("apple") — len 5, no len-3 match
+      "29abf2a2bcc77a2b1f9a9a0a0c5113cfc4cd3b58") // arbitrary
+    targets.foreach { hex =>
+      val generic = spark.range(0, 17576)
+        .select(graft.functions.num_to_pass(col("id"), 3).as("pass"))
+        .filter(sha1(col("pass")) === lit(hex))
+        .collect().map(_.getString(0)).toSet
+      val fused = CrackQuery.matches(spark, hex, 3)
+        .collect().map(_.getString(0)).toSet
+      assert(fused === generic, hex)
+    }
+  }
+
   test("parallelism edge cases: 1, 11, more partitions than keys") {
     assert(CrackQuery.crack(spark, "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", 2,
       parallelism = 1) === Some("ab"))
