@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{Column, DataFrame, GraftShim}
@@ -117,15 +118,27 @@ case class PartialTopKExec(
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "prunedRows" -> SQLMetrics.createMetric(sparkContext, "rows pruned map-side"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, kk, attrs) = (keys, order, k, child.output)
+    val numOutputRows = longMetric("numOutputRows")
+    val prunedRows = longMetric("prunedRows")
     child.execute().mapPartitions({ iter =>
-      TopKHeap.prune(iter, ks, os, kk, attrs).valuesIterator.flatMap { h =>
-        val out = new Array[InternalRow](h.size)
-        var i = 0
-        while (!h.isEmpty) { out(i) = h.poll(); i += 1 }
-        out.iterator
-      }
+      var seen = 0L
+      val counted = iter.map { r => seen += 1; r }
+      val kept = TopKHeap.prune(counted, ks, os, kk, attrs)
+        .valuesIterator.flatMap { h =>
+          val out = new Array[InternalRow](h.size)
+          var i = 0
+          while (!h.isEmpty) { out(i) = h.poll(); i += 1 }
+          out.iterator
+        }.toArray
+      numOutputRows += kept.length
+      prunedRows += seen - kept.length
+      kept.iterator
     }, preservesPartitioning = true)
   }
 
