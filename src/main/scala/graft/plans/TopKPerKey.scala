@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
@@ -91,7 +91,9 @@ private[plans] object TopKHeap {
       val key = keyProj(row)
       heaps.get(key) match {
         case None =>
-          val h = new JPriorityQueue[UnsafeRow](k, heapCmp)
+          // initial capacity is NOT k: a large rank bound must not
+          // allocate k slots per key up front
+          val h = new JPriorityQueue[UnsafeRow](math.min(k, 16), heapCmp)
           h.offer(rowProj(row).copy())
           heaps.put(key.copy(), h)
         case Some(h) =>
@@ -160,9 +162,16 @@ case class FinalTopKExec(
 
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
 
+  // empty keys = GLOBAL top-k: all partial survivors must meet in one
+  // place, or each partition would emit its own ranked top-k
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
+
+  // the exchange's hash partitioning on `keys` survives this operator
+  // (rank is appended, keys untouched) — losing it would force
+  // downstream same-key aggregations/joins into a second shuffle
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     val (ks, os, kk, attrs) = (keys, order, k, child.output)

@@ -33,6 +33,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
+  /** Rank bounds above this stay on the Window plan: a heap-per-key of
+    * that size is worse than sorting, and the rewrite must never turn a
+    * large-but-harmless rank filter into an allocation hazard. */
+  private val MaxRewriteK = 1 << 20
+
   /** `attr <= k`-shaped rank bounds, normalized to "keep k best". */
   private object RankLimit {
     private def lit(e: Expression): Option[Long] = e match {
@@ -40,11 +45,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case Literal(v: Long, LongType) => Some(v)
       case _ => None
     }
+    private def bounded(k: Long): Option[Int] =
+      if (k >= 1 && k <= MaxRewriteK) Some(k.toInt) else None
     def unapply(cond: Expression): Option[(Attribute, Int)] = cond match {
-      case LessThanOrEqual(a: Attribute, l) => lit(l).map(k => (a, k.toInt))
-      case LessThan(a: Attribute, l) => lit(l).map(k => (a, k.toInt - 1))
-      case GreaterThanOrEqual(l, a: Attribute) => lit(l).map(k => (a, k.toInt))
-      case GreaterThan(l, a: Attribute) => lit(l).map(k => (a, k.toInt - 1))
+      case LessThanOrEqual(a: Attribute, l) =>
+        lit(l).flatMap(bounded).map(k => (a, k))
+      case LessThan(a: Attribute, l) =>
+        lit(l).map(_ - 1).flatMap(bounded).map(k => (a, k))
+      case GreaterThanOrEqual(l, a: Attribute) =>
+        lit(l).flatMap(bounded).map(k => (a, k))
+      case GreaterThan(l, a: Attribute) =>
+        lit(l).map(_ - 1).flatMap(bounded).map(k => (a, k))
       case EqualTo(a: Attribute, l) => lit(l).filter(_ == 1L).map(_ => (a, 1))
       case EqualTo(l, a: Attribute) => lit(l).filter(_ == 1L).map(_ => (a, 1))
       case _ => None
@@ -90,7 +101,9 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
       case a @ Alias(child, _) if a.toAttribute.semanticEquals(attr) =>
         child match {
           case c: Attribute => c.semanticEquals(rnk)
-          case Cast(c: Attribute, _, _, _) => c.semanticEquals(rnk)
+          // widening cast only: a narrowing cast of the rank changes
+          // semantics when it overflows (ANSI error / silent wrap)
+          case Cast(c: Attribute, LongType, _, _) => c.semanticEquals(rnk)
           case _ => false
         }
       case _ => false

@@ -60,9 +60,14 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
       override def planInputPartitions(): Array[InputPartition] = {
         val dir = new java.io.File(path)
         val files =
-          if (dir.isDirectory)
-            dir.listFiles().filter(_.getName.endsWith(".lsp")).sortBy(_.getName)
-          else Array(dir)
+          if (dir.isDirectory) {
+            val listed = dir.listFiles() // null on race/permission failure
+            if (listed == null)
+              throw new java.io.IOException(s"cannot list capture dir $path")
+            listed.filter(_.getName.endsWith(".lsp")).sortBy(_.getName)
+          } else if (dir.isFile) Array(dir)
+          else throw new java.io.FileNotFoundException(
+            s"lspframe path does not exist: $path")
         files.map(f => LspFramePartition(f.getAbsolutePath): InputPartition)
       }
 

@@ -87,15 +87,17 @@ object TextOps {
     * of window-sorting every (doc, token) pair. */
   def qTfidfTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val docs = load(spark, dir, "documents")
-    val n = docs.count()
+    // N computed in-plan (1-row broadcast) — a driver-side count() would
+    // cost an extra full scan and a blocking job before the query starts
+    val n = docs.agg(count(lit(1)).as("n"))
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy("doc_id", "tok")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfq"))
-    val scored = tf.join(dfreq, "tok")
+    val scored = tf.join(dfreq, "tok").crossJoin(broadcast(n))
       .select(col("doc_id"), col("tok"),
-        round((col("tf") * n).cast("double") / col("dfq"), 6).as("score"))
+        round((col("tf") * col("n")).cast("double") / col("dfq"), 6).as("score"))
     graft.plans.TopK.topKPerKey(scored,
       keys = Seq(col("doc_id")),
       order = Seq(col("score").desc, col("tok").asc),

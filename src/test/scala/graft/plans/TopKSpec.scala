@@ -43,6 +43,19 @@ class TopKSpec extends SparkSpec {
       ("b", 9L, 1L)))
   }
 
+  test("empty keys = GLOBAL top-k: one result set, not per-partition") {
+    val df = spark.range(0, 10000)
+      .repartition(8)
+      .select(col("id"), (col("id") * 2654435761L % 1000003L).as("v"))
+    val got = TopK.topKPerKey(df, keys = Nil,
+      Seq(col("v").desc, col("id").asc), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._2)
+    val want = df.orderBy(col("v").desc, col("id").asc).limit(3)
+      .collect().map(_.getLong(0))
+    assert(got.map(_._1).toSeq === want.toSeq)
+    assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("optimizer rule rewrites Filter(rnk<=k, Window(row_number)) plans") {
     import org.apache.spark.sql.functions._
     TopKRewrite.enable(spark)

@@ -32,6 +32,13 @@ class RelationalSpec extends SparkSpec {
 
   test("as-of join picks the latest prior click, inclusive at ties") {
     import org.apache.spark.sql.functions._
+    // data contract backing the DuckDB-ASOF oracle: per-user timestamps
+    // are unique, so "the" latest prior click is well-defined on both
+    // engines (DuckDB's tie choice among equal build timestamps is
+    // unspecified)
+    val dupTs = Tables.load(spark, dir, "events")
+      .groupBy("user_id", "ts").count().filter(col("count") > 1).count()
+    assert(dupTs === 0, "events (user_id, ts) must be unique for ASOF parity")
     val got = EventQueries.qAsofJoin(spark, dir).collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3)))))
