@@ -93,9 +93,32 @@ object CrackQuery {
       .collect().headOption.map(_.getString(0))
 
   /** Generalization the reference lacks: crack a whole batch of target
-    * hashes in ONE keyspace scan (broadcast the tiny hash dimension —
-    * `msgs ⋈ broadcast(workers)` pattern, SURVEY.md §2.4). */
+    * hashes in ONE keyspace scan. Fused form: the
+    * [[graft.keyspace.Sha1MultiOrdinalMatch]] kernel binary-searches the
+    * sorted digest batch per candidate (one SHA-1 + log2(B) 20-byte
+    * compares), so the scan cost is independent of batch size;
+    * [[crackManyJoin]] keeps the equivalent broadcast-join formulation
+    * (the `msgs ⋈ broadcast(workers)` pattern, SURVEY.md §2.4). */
   def crackMany(
+      spark: SparkSession,
+      hashes: Seq[String],
+      len: Int,
+      parallelism: Int = 32): DataFrame = {
+    val expr = graft.keyspace.Sha1MultiOrdinalMatch(
+      org.apache.spark.sql.GraftShim.expression(col("id")), len, hashes)
+    val hexBySlot = expr.sortedHex.toArray
+    val (lo, hi) = Keyspace.fullRange(len)
+    spark.range(lo, hi + 1, 1, parallelism)
+      .withColumn("slot", org.apache.spark.sql.GraftShim.column(expr))
+      .filter(col("slot") >= 0)
+      .select(element_at(lit(hexBySlot), col("slot") + 1).as("hash"),
+        num_to_pass(col("id"), len).as("pass"))
+      .groupBy("hash")
+      .agg(min("pass").as("pass"))
+  }
+
+  /** Broadcast-join formulation of [[crackMany]] (J1 parity pattern). */
+  def crackManyJoin(
       spark: SparkSession,
       hashes: Seq[String],
       len: Int,

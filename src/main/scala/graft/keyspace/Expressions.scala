@@ -121,6 +121,36 @@ object CrackKernels {
     java.util.Arrays.equals(out, target)
   }
 
+  /** Index of `sha1(base26(ordinal, len))` in `targets` (flat array of
+    * sorted 20-byte digests), or -1 — binary search per candidate, so a
+    * batch of B targets costs one hash + log2(B) 20-byte compares per
+    * candidate instead of B string equalities or a join probe. */
+  def sha1MultiMatchOrdinal(ordinal: Long, len: Int, targets: Array[Byte]): Int = {
+    val buf = bufLocal.get()
+    var n = ordinal
+    var i = len - 1
+    while (i >= 0) {
+      buf(i) = ('a' + (n % 26)).toByte
+      n /= 26
+      i -= 1
+    }
+    val md = mdLocal.get()
+    md.reset()
+    md.update(buf, 0, len)
+    val out = outLocal.get()
+    md.digest(out, 0, 20)
+    var lo = 0
+    var hi = targets.length / 20 - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val c = java.util.Arrays.compare(out, 0, 20, targets, mid * 20, mid * 20 + 20)
+      if (c == 0) return mid
+      else if (c < 0) hi = mid - 1
+      else lo = mid + 1
+    }
+    -1
+  }
+
   def hexToBytes(hex: String): Array[Byte] = {
     require(hex.length == 40, s"expected 40-char sha1 hex, got '$hex'")
     val out = new Array[Byte](20)
@@ -131,6 +161,48 @@ object CrackKernels {
     }
     out
   }
+}
+
+/** `sha1_multi_ordinal_match(ordinal)` — index of the matching digest in
+  * the (sorted) target batch, or -1. The multi-target fusion of the crack
+  * scan: one SHA-1 + binary search per candidate for any batch size. */
+case class Sha1MultiOrdinalMatch(
+    child: Expression, len: Int, digestsHex: Seq[String])
+    extends UnaryExpression {
+
+  require(len >= 1 && len <= 13, s"len must be in [1, 13], got $len")
+  require(digestsHex.nonEmpty, "need at least one target digest")
+
+  /** Sorted flat digest bytes + the hex at each sorted slot. */
+  @transient lazy val (flat: Array[Byte], sortedHex: Seq[String]) = {
+    val sorted = digestsHex.map(h => CrackKernels.hexToBytes(h.toLowerCase))
+      .sortWith((a, b) => java.util.Arrays.compare(a, b) < 0)
+    val out = new Array[Byte](sorted.length * 20)
+    sorted.zipWithIndex.foreach { case (d, i) =>
+      System.arraycopy(d, 0, out, i * 20, 20)
+    }
+    (out, sorted.map(d => d.map("%02x".format(_)).mkString))
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sha1_multi_ordinal_match"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires BIGINT ordinal, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    CrackKernels.sha1MultiMatchOrdinal(input.asInstanceOf[Long], len, flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("sha1Targets", flat, "byte[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.keyspace.CrackKernels.sha1MultiMatchOrdinal($c, $len, $flatRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Sha1MultiOrdinalMatch =
+    copy(child = newChild)
 }
 
 /** `sha1_ordinal_match(ordinal)` — TRUE iff the `len`-char base-26

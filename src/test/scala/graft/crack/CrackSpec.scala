@@ -70,14 +70,20 @@ class CrackSpec extends SparkSpec {
       === None)
   }
 
-  test("crackMany: batch of hashes in one scan") {
-    val out = CrackQuery.crackMany(spark, Seq(
+  test("crackMany: batch of hashes in one scan (fused == broadcast join)") {
+    val hashes = Seq(
       "81fe8bfe87576c3ecb22426f8e57847382917acf", // abcd
       "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3", // test
       "7110eda4d09e062aa5e4a390b0a572ac0d2c0220"  // not found
-    ), 4).collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(out === Map(
+    )
+    val expected = Map(
       "81fe8bfe87576c3ecb22426f8e57847382917acf" -> "abcd",
-      "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3" -> "test"))
+      "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3" -> "test")
+    val fused = CrackQuery.crackMany(spark, hashes, 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val joined = CrackQuery.crackManyJoin(spark, hashes, 4)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fused === expected)
+    assert(joined === expected)
   }
 }
