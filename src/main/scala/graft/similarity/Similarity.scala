@@ -87,6 +87,11 @@ object Similarity {
   def signBucket(emb: Column, bits: Int): Column =
     graft.functions.hyperplane_bucket(emb, bits)
 
+  /** Per-table bucket id: independent hyperplane sets via distinct seeds. */
+  private def signBucketSeeded(emb: Column, bits: Int, seed: Long): Column =
+    org.apache.spark.sql.GraftShim.column(HyperplaneBucket(
+      org.apache.spark.sql.GraftShim.expression(emb), bits, seed))
+
   /** EXACT top-k via IVF-style cell pruning — the provably-lossless scale
     * path. Vectors are assigned to cells (here: hyperplane-LSH buckets, so
     * assignment is a cheap native expression and needs no trained model);
@@ -180,26 +185,33 @@ object Similarity {
   def qAnnLshBuckets(
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 5, bits: Int = 4,
-      probeDist: Int = 2): DataFrame = {
-    val emb = corpus(spark, dir)
-      .withColumn("bucket", signBucket(col("embedding"), bits))
+      probeDist: Int = 2, tables: Int = 1): DataFrame = {
+    require(tables >= 1)
+    val base = corpus(spark, dir)
     // XOR masks of all bit patterns with popcount <= probeDist
     val masks = (0L until (1L << bits))
       .filter(m => java.lang.Long.bitCount(m) <= probeDist)
-    val probes = transform(
-      lit(masks.toArray),
-      m => col("bucket").bitwiseXOR(m))
-    val q = emb.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("norm").as("qn"), explode(probes).as("bucket"))
-    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-      col("norm").as("nn"), col("bucket"))
-    val scored = q.join(c, Seq("bucket"))
-      .filter(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
-          .as("sim"))
-      .distinct()
+    // candidates from each independent hash table (per-table hyperplane
+    // seeds), unioned: P(miss) multiplies across tables, so recall rises
+    // fast at a fixed probe depth — the standard multi-table LSH lever
+    val perTable = (0 until tables).map { t =>
+      val emb = base.withColumn("bucket",
+        signBucketSeeded(col("embedding"), bits, 42L + t))
+      val probes = transform(
+        lit(masks.toArray),
+        m => col("bucket").bitwiseXOR(m))
+      val q = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("norm").as("qn"), explode(probes).as("bucket"))
+      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("norm").as("nn"), col("bucket"))
+      q.join(c, Seq("bucket"))
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+            .as("sim"))
+    }
+    val scored = perTable.reduce(_.unionAll(_)).distinct()
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
