@@ -58,6 +58,7 @@ object SparkEntry {
     "q_date_arith" -> (SqlQueries.qDateArith _),
     "q_string_ops" -> (SqlQueries.qStringOps _),
     "q_scalar_subquery" -> (SqlQueries.qScalarSubquery _),
+    "q_salted_join" -> (graft.relational.Skew.qSaltedJoin _),
     "q_sketch_stats" -> (SqlQueries.qSketchStats _),
     "q_intersect" -> (RelationalQueries.qIntersectNations _),
     "q_except" -> (RelationalQueries.qExceptNations _),
@@ -292,6 +293,13 @@ object SparkEntry {
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)""".stripMargin,
+    // the salt must be invisible: plain join is the oracle
+    "q_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS total_qty,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,

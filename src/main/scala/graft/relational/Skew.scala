@@ -30,4 +30,23 @@ object Skew {
           salted("__salt") === replicated("__salt"))
       .drop("__salt").drop(replicated(key))
   }
+
+  /** Driver-facing showcase: lineitem ⋈ orders salted 8 ways (the
+    * orderkey distribution is what a hot-tenant key would skew), then
+    * aggregated — the salt must be invisible in the result, so the plain
+    * SQL join is the oracle. The small side is NOT broadcast here on
+    * purpose: salting only matters for shuffle joins. */
+  def qSaltedJoin(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val lineitem = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      .hint("shuffle_hash")
+    saltedJoin(lineitem, orders, "l_orderkey", salts = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 2).as("total_qty"),
+        round(sum("l_extendedprice"), 2).as("total_price"))
+  }
 }
