@@ -6,6 +6,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -49,7 +50,7 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
   override def name(): String = s"lspframes($path)"
   override def schema(): StructType = LspWire.decodedSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -57,26 +58,64 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
       override def readSchema(): StructType = LspWire.decodedSchema
       override def toBatch: Batch = this
 
-      override def planInputPartitions(): Array[InputPartition] = {
-        val dir = new java.io.File(path)
-        val files =
-          if (dir.isDirectory) {
-            val listed = dir.listFiles() // null on race/permission failure
-            if (listed == null)
-              throw new java.io.IOException(s"cannot list capture dir $path")
-            listed.filter(_.getName.endsWith(".lsp")).sortBy(_.getName)
-          } else if (dir.isFile) Array(dir)
-          else throw new java.io.FileNotFoundException(
-            s"lspframe path does not exist: $path")
-        files.map(f => LspFramePartition(f.getAbsolutePath): InputPartition)
-      }
+      override def planInputPartitions(): Array[InputPartition] =
+        LspFrameTable.listCaptures(path)
+          .map(f => LspFramePartition(f): InputPartition)
 
       override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-            new LspFrameReader(p.asInstanceOf[LspFramePartition].file)
+        LspFrameTable.readerFactory
+
+      /** Streaming over a GROWING capture directory: the offset is a
+        * count into the name-sorted file list (capture files are
+        * append-only and never renamed — the same contract Spark's own
+        * FileStreamSource relies on). Each micro-batch reads exactly the
+        * files that arrived since the last committed offset. */
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new MicroBatchStream {
+          override def initialOffset(): Offset = LspFileOffset(0)
+          override def latestOffset(): Offset =
+            LspFileOffset(LspFrameTable.listCaptures(path).length)
+          override def deserializeOffset(json: String): Offset =
+            LspFileOffset(json.trim.toInt)
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+            val (s, e) = (start.asInstanceOf[LspFileOffset].n,
+              end.asInstanceOf[LspFileOffset].n)
+            LspFrameTable.listCaptures(path).slice(s, e)
+              .map(f => LspFramePartition(f): InputPartition)
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            LspFrameTable.readerFactory
+          override def commit(end: Offset): Unit = ()
+          override def stop(): Unit = ()
         }
     }
+}
+
+private[sources] object LspFrameTable {
+
+  /** Name-sorted capture files under `path` (a single file is itself a
+    * one-element capture list). */
+  def listCaptures(path: String): Array[String] = {
+    val dir = new java.io.File(path)
+    if (dir.isDirectory) {
+      val listed = dir.listFiles() // null on race/permission failure
+      if (listed == null)
+        throw new java.io.IOException(s"cannot list capture dir $path")
+      listed.filter(_.getName.endsWith(".lsp")).map(_.getAbsolutePath).sorted
+    } else if (dir.isFile) Array(dir.getAbsolutePath)
+    else throw new java.io.FileNotFoundException(
+      s"lspframe path does not exist: $path")
+  }
+
+  val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+      new LspFrameReader(p.asInstanceOf[LspFramePartition].file)
+  }
+}
+
+/** Offset = processed-file count into the sorted capture list. */
+private[sources] case class LspFileOffset(n: Int) extends Offset {
+  override def json(): String = n.toString
 }
 
 private[sources] case class LspFramePartition(file: String) extends InputPartition

@@ -27,6 +27,36 @@ class LspFrameSourceSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("micro-batch stream picks up files appended to the capture dir") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_lsp_stream").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_lsp_ck").toFile.getAbsolutePath
+    def capture(name: String, ids: Range): Unit = {
+      val f = new java.io.File(dir, name)
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      try ids.foreach { i =>
+        val b = graft.lsp.LspWire.encode(i.toLong, 1L, Array[Byte](1))
+        out.writeInt(b.length); out.write(b)
+      } finally out.close()
+    }
+    capture("a.lsp", 0 until 10)
+    val name = s"lspstream_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.LspFrameSource").load(dir)
+      .select(col("connid"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 10)
+      capture("b.lsp", 10 until 25) // arrives later
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 25)
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet ===
+        (0L until 25L).toSet)
+    } finally q.stop()
+  }
+
   test("malformed frames are skipped, not fatal (drop-don't-crash)") {
     val dir = Files.createTempDirectory("graft_lsp_bad").toFile
     val f = new java.io.File(dir, "cap.lsp")
