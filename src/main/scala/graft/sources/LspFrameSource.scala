@@ -65,22 +65,29 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
       override def createReaderFactory(): PartitionReaderFactory =
         LspFrameTable.readerFactory
 
-      /** Streaming over a GROWING capture directory: the offset is a
-        * count into the name-sorted file list (capture files are
-        * append-only and never renamed — the same contract Spark's own
-        * FileStreamSource relies on). Each micro-batch reads exactly the
-        * files that arrived since the last committed offset. */
+      /** Streaming over a GROWING capture directory. The offset is a
+        * lexicographic NAME watermark, not a file count: each micro-batch
+        * reads files with `watermark < name <= latest`, so a straggler
+        * file that sorts below the watermark is skipped (and logged by
+        * omission) rather than silently SHIFTING count-based slices onto
+        * the wrong files. Contract (same as Spark's FileStreamSource plus
+        * monotone naming): capture files are append-only, never renamed,
+        * and named in arrival order (e.g. zero-padded sequence numbers —
+        * [[LspFrameFiles.write]] complies). */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MicroBatchStream {
-          override def initialOffset(): Offset = LspFileOffset(0)
-          override def latestOffset(): Offset =
-            LspFileOffset(LspFrameTable.listCaptures(path).length)
+          override def initialOffset(): Offset = LspNameOffset("")
+          override def latestOffset(): Offset = {
+            val names = LspFrameTable.listCaptures(path)
+            LspNameOffset(if (names.isEmpty) "" else names.last)
+          }
           override def deserializeOffset(json: String): Offset =
-            LspFileOffset(json.trim.toInt)
+            LspNameOffset(json)
           override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-            val (s, e) = (start.asInstanceOf[LspFileOffset].n,
-              end.asInstanceOf[LspFileOffset].n)
-            LspFrameTable.listCaptures(path).slice(s, e)
+            val (s, e) = (start.asInstanceOf[LspNameOffset].name,
+              end.asInstanceOf[LspNameOffset].name)
+            LspFrameTable.listCaptures(path)
+              .filter(f => f > s && f <= e)
               .map(f => LspFramePartition(f): InputPartition)
           }
           override def createReaderFactory(): PartitionReaderFactory =
@@ -113,9 +120,9 @@ private[sources] object LspFrameTable {
   }
 }
 
-/** Offset = processed-file count into the sorted capture list. */
-private[sources] case class LspFileOffset(n: Int) extends Offset {
-  override def json(): String = n.toString
+/** Offset = lexicographic watermark: the greatest processed file path. */
+private[sources] case class LspNameOffset(name: String) extends Offset {
+  override def json(): String = name
 }
 
 private[sources] case class LspFramePartition(file: String) extends InputPartition
