@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
-import graft.keyspace.{NumToPass, PassToNum, Sha1OrdinalMatch}
+import graft.keyspace.{NumToPass, PassToNum, Sha1MultiOrdinalMatch, Sha1OrdinalMatch}
 import graft.lsp.{LspDecode, LspEncode}
 import graft.similarity.{FloatVectorDot, HyperplaneBucket}
 import graft.text.{MinHashSig, ShingleSet, SimHashBands}
@@ -133,6 +133,20 @@ object GraftExtensions {
       }
       Sha1OrdinalMatch(Cast(args(0), LongType),
         posIntArg("sha1_ordinal_match", args(1)), hex)
+    },
+    "sha1_multi_ordinal_match" -> { args: Seq[Expression] =>
+      arity("sha1_multi_ordinal_match", 3, args)
+      require(args(2).foldable,
+        "sha1_multi_ordinal_match requires a literal array of hex strings")
+      val hexes = args(2).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map(i =>
+            a.getUTF8String(i).toString.toLowerCase)
+        case other => throw new IllegalArgumentException(
+          s"sha1_multi_ordinal_match requires ARRAY<STRING> targets, got $other")
+      }
+      Sha1MultiOrdinalMatch(Cast(args(0), LongType),
+        posIntArg("sha1_multi_ordinal_match", args(1)), hexes)
     },
     "lsp_encode" -> { args: Seq[Expression] =>
       arity("lsp_encode", 3, args)

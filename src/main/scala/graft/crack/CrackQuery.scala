@@ -104,6 +104,13 @@ object CrackQuery {
       hashes: Seq[String],
       len: Int,
       parallelism: Int = 32): DataFrame = {
+    if (hashes.isEmpty) {
+      // nothing to crack is a normal empty result, not an error
+      // (malformed hex IS an error — a digest that can never match is a
+      // caller bug that silence would hide)
+      import spark.implicits._
+      return Seq.empty[(String, String)].toDF("hash", "pass")
+    }
     val expr = graft.keyspace.Sha1MultiOrdinalMatch(
       org.apache.spark.sql.GraftShim.expression(col("id")), len, hashes)
     val hexBySlot = expr.sortedHex.toArray

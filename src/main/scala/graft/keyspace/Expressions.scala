@@ -156,7 +156,12 @@ object CrackKernels {
     val out = new Array[Byte](20)
     var i = 0
     while (i < 20) {
-      out(i) = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
+      try out(i) = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"not a sha1 hex digest: '$hex' (non-hex at char ${i * 2})")
+      }
       i += 1
     }
     out

@@ -60,7 +60,7 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
 
       override def planInputPartitions(): Array[InputPartition] =
         LspFrameTable.listCaptures(path)
-          .map(f => LspFramePartition(f): InputPartition)
+          .map { case (_, abs) => LspFramePartition(abs): InputPartition }
 
       override def createReaderFactory(): PartitionReaderFactory =
         LspFrameTable.readerFactory
@@ -71,24 +71,27 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
         * file that sorts below the watermark is skipped (and logged by
         * omission) rather than silently SHIFTING count-based slices onto
         * the wrong files. Contract (same as Spark's FileStreamSource plus
-        * monotone naming): capture files are append-only, never renamed,
-        * and named in arrival order (e.g. zero-padded sequence numbers —
-        * [[LspFrameFiles.write]] complies). */
+        * monotone naming): a capture file APPEARS ATOMICALLY with its
+        * final content (write to a non-`.lsp` temp name, then rename —
+        * [[LspFrameFiles.write]] does), is never modified after
+        * appearing, and names are monotone in arrival order (e.g.
+        * zero-padded batch+part counters). A missing directory reads as
+        * empty so the stream can start before its producer. */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MicroBatchStream {
           override def initialOffset(): Offset = LspNameOffset("")
           override def latestOffset(): Offset = {
-            val names = LspFrameTable.listCaptures(path)
-            LspNameOffset(if (names.isEmpty) "" else names.last)
+            val names = LspFrameTable.listCaptures(path, tolerateMissing = true)
+            LspNameOffset(if (names.isEmpty) "" else names.last._1)
           }
           override def deserializeOffset(json: String): Offset =
             LspNameOffset(json)
           override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
             val (s, e) = (start.asInstanceOf[LspNameOffset].name,
               end.asInstanceOf[LspNameOffset].name)
-            LspFrameTable.listCaptures(path)
-              .filter(f => f > s && f <= e)
-              .map(f => LspFramePartition(f): InputPartition)
+            LspFrameTable.listCaptures(path, tolerateMissing = true)
+              .filter { case (name, _) => name > s && name <= e }
+              .map { case (_, abs) => LspFramePartition(abs): InputPartition }
           }
           override def createReaderFactory(): PartitionReaderFactory =
             LspFrameTable.readerFactory
@@ -100,16 +103,22 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
 
 private[sources] object LspFrameTable {
 
-  /** Name-sorted capture files under `path` (a single file is itself a
-    * one-element capture list). */
-  def listCaptures(path: String): Array[String] = {
+  /** Capture files under `path` as (fileName, absolutePath), sorted by
+    * NAME — the watermark compares names only, so a checkpoint stays
+    * valid when the same directory is reached via a different path
+    * spelling (relative cwd, symlink, remount). `tolerateMissing` lets
+    * the streaming path start before the producer created the dir. */
+  def listCaptures(
+      path: String, tolerateMissing: Boolean = false): Array[(String, String)] = {
     val dir = new java.io.File(path)
     if (dir.isDirectory) {
       val listed = dir.listFiles() // null on race/permission failure
       if (listed == null)
         throw new java.io.IOException(s"cannot list capture dir $path")
-      listed.filter(_.getName.endsWith(".lsp")).map(_.getAbsolutePath).sorted
-    } else if (dir.isFile) Array(dir.getAbsolutePath)
+      listed.filter(_.getName.endsWith(".lsp"))
+        .map(f => (f.getName, f.getAbsolutePath)).sortBy(_._1)
+    } else if (dir.isFile) Array((dir.getName, dir.getAbsolutePath))
+    else if (tolerateMissing) Array.empty
     else throw new java.io.FileNotFoundException(
       s"lspframe path does not exist: $path")
   }
@@ -120,7 +129,7 @@ private[sources] object LspFrameTable {
   }
 }
 
-/** Offset = lexicographic watermark: the greatest processed file path. */
+/** Offset = lexicographic watermark: the greatest processed file NAME. */
 private[sources] case class LspNameOffset(name: String) extends Offset {
   override def json(): String = name
 }
@@ -155,16 +164,27 @@ private[sources] class LspFrameReader(file: String)
 }
 
 /** Writer-side helper: persist `(connid, seqnum, payload)` rows as
-  * length-prefixed capture files, one per input partition. */
+  * length-prefixed capture files, one per input partition, honoring the
+  * streaming contract: monotone batch numbering (repeated writes into
+  * the same dir continue the sequence instead of clobbering), and each
+  * file appears atomically via write-to-temp + rename. */
 object LspFrameFiles {
 
   def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    // continue the batch sequence past anything already present
+    val existing = Option(d.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.endsWith(".lsp"))
+    val batch = existing
+      .flatMap(n => "batch-(\\d{5})".r.findFirstMatchIn(n).map(_.group(1).toInt))
+      .foldLeft(-1)(math.max) + 1
     df.select("connid", "seqnum", "payload").rdd
       .mapPartitionsWithIndex { case (idx, rows) =>
-        val f = new java.io.File(dir, f"part-$idx%05d.lsp")
+        val name = f"batch-$batch%05d-part-$idx%05d.lsp"
+        val tmp = new java.io.File(dir, name + ".tmp")
         val out = new DataOutputStream(
-          new java.io.BufferedOutputStream(new FileOutputStream(f)))
+          new java.io.BufferedOutputStream(new FileOutputStream(tmp)))
         var n = 0L
         try {
           rows.foreach { r =>
@@ -175,6 +195,8 @@ object LspFrameFiles {
             n += 1
           }
         } finally out.close()
+        if (!tmp.renameTo(new java.io.File(dir, name)))
+          throw new java.io.IOException(s"cannot finalize capture $name")
         Iterator.single(n)
       }
       .collect()

@@ -85,5 +85,20 @@ class CrackSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(fused === expected)
     assert(joined === expected)
+    // empty batch: normal empty result; malformed hex: loud plan-time error
+    assert(CrackQuery.crackMany(spark, Nil, 4).count() === 0)
+    intercept[IllegalArgumentException] {
+      CrackQuery.crackMany(spark, Seq("zz" * 20), 4)
+    }
+  }
+
+  test("sha1_multi_ordinal_match via SQL with an array literal") {
+    graft.functions.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT id, sha1_multi_ordinal_match(id, 3,
+        |  array('a9993e364706816aba3e25717850c26c9cd0d89d')) AS slot
+        |FROM range(0, 17576)""".stripMargin)
+      .where("slot >= 0").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(28L)) // "abc"
   }
 }

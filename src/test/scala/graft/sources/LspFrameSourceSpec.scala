@@ -19,6 +19,10 @@ class LspFrameSourceSpec extends SparkSpec {
     val back = spark.read.format("graft.sources.LspFrameSource").load(dir)
     assert(back.rdd.getNumPartitions === 4) // one partition per capture file
     assert(back.count() === 1000)
+    // a second write continues the batch sequence instead of clobbering
+    LspFrameFiles.write(src, dir)
+    assert(spark.read.format("graft.sources.LspFrameSource").load(dir)
+      .count() === 2000)
     val bad = back
       .filter(col("seqnum") =!= col("connid") * 3 + 1 ||
         col("payload").cast("string") =!=
@@ -54,6 +58,33 @@ class LspFrameSourceSpec extends SparkSpec {
       assert(spark.table(name).count() === 25)
       assert(spark.table(name).collect().map(_.getLong(0)).toSet ===
         (0L until 25L).toSet)
+    } finally q.stop()
+  }
+
+  test("stream tolerates a capture dir that does not exist yet") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft_lsp_race").toFile
+    val dir = new java.io.File(base, "captures") // not created yet
+    val ckpt = Files.createTempDirectory("graft_lsp_race_ck").toFile.getAbsolutePath
+    val name = s"lsplate_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.LspFrameSource")
+      .load(dir.getAbsolutePath)
+      .select(col("connid"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // empty, but must not crash
+      assert(spark.table(name).count() === 0)
+      dir.mkdirs()
+      val f = new java.io.File(dir, "00000.lsp")
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      try {
+        val b = graft.lsp.LspWire.encode(5L, 1L, Array[Byte](1))
+        out.writeInt(b.length); out.write(b)
+      } finally out.close()
+      q.processAllAvailable()
+      assert(spark.table(name).collect().map(_.getLong(0)).toSeq === Seq(5L))
     } finally q.stop()
   }
 
