@@ -86,6 +86,8 @@ object SparkEntry {
     "q_lang_guess" -> (TextOps.qLangGuess _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.qTfidfTopK(s, d)),
+    "q_stopword_prune" -> ((s: SparkSession, d: String) =>
+      TextOps.qStopwordPrune(s, d)),
     // -- dedup (north star) --
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
@@ -434,6 +436,20 @@ object SparkEntry {
         |        generate_subscripts(string_split(text, ' '), 1) AS ord
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+    // corpus-derived stoplist (df >= 80% of docs), order-preserving rebuild
+    "q_stopword_prune" ->
+      """WITH toks AS (SELECT doc_id,
+        |         unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |       FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |stop AS (SELECT tok FROM (SELECT tok, count(DISTINCT doc_id) AS dfq FROM toks GROUP BY 1)
+        |         CROSS JOIN n WHERE dfq >= n_docs * 0.8),
+        |kept AS (SELECT doc_id, pos, tok FROM toks
+        |         WHERE tok NOT IN (SELECT tok FROM stop))
+        |SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(tok, ' ' ORDER BY pos) AS pruned_text
+        |FROM kept GROUP BY 1""".stripMargin,
     // rational tf-idf (tf * N / df, no log) ranks identically in any IEEE
     // engine; ranking runs through the native TopKPerKey operator
     "q_tfidf_topk" ->

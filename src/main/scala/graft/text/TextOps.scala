@@ -78,6 +78,33 @@ object TextOps {
         (ascii(substring(col("tok"), 1, 1)) * 31 + length(col("tok"))))
         % 1000000007L).as("fingerprint"))
 
+  /** Data-driven stopword pruning — the vocabulary-filter step of a
+    * training pipeline: tokens whose document frequency exceeds
+    * `dfFrac` of the corpus are dropped, and each document's text is
+    * rebuilt in token order. The stoplist is derived IN-PLAN from the
+    * corpus (no fixed word list survives 100 languages at 100 TB) and is
+    * tiny by construction (high-df tokens are bounded by the threshold),
+    * so the filter is a broadcast anti-join — per-document work stays
+    * map-side. */
+  def qStopwordPrune(
+      spark: SparkSession, dir: String, dfFrac: Double = 0.8): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val stop = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("dfq"))
+      .crossJoin(broadcast(n))
+      .filter(col("dfq") >= col("n_docs") * dfFrac)
+      .select(col("tok"))
+    toks.join(broadcast(stop), Seq("tok"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ").as("pruned_text"))
+  }
+
   /** Per-document keyword extraction: top-3 tokens by a rational tf-idf
     * (`tf × N / df` — no logarithm, so the score is an exact integer
     * ratio and ranks identically in any IEEE engine), ranked by the
