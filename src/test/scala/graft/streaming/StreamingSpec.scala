@@ -165,6 +165,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event-time tumbling window with watermark drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val name = s"win_${System.nanoTime()}"
+    val q = input.toDF().toDF("connid", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("connid"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"),
+        col("connid"), col("n"), col("total"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def t(m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    try {
+      input.addData(Seq((1L, t(1), 1.0), (1L, t(3), 2.0), (1L, t(7), 4.0)))
+      q.processAllAvailable()
+      // advance watermark far past the first windows so they finalize
+      input.addData(Seq((1L, t(40), 8.0)))
+      q.processAllAvailable()
+      // a record older than the watermark must be DROPPED, not revive a
+      // closed window (T7 late-data handling, generalized to event time)
+      input.addData(Seq((1L, t(2), 100.0)))
+      input.addData(Seq((1L, t(55), 16.0))) // push watermark to emit nothing new yet
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("10:00", 2L, 3.0))) // 10:01 + 10:03
+      assert(rows.contains(("10:05", 1L, 4.0)))
+      assert(!rows.exists(_._3 == 103.0), s"late row leaked into a closed window: $rows")
+    } finally q.stop()
+  }
+
   test("S3: file-based source — new files are processed incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toFile
