@@ -109,6 +109,10 @@ object SparkEntry {
     // force, so the brute-force SQL is its oracle
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnIvfExact(s, d)),
+    // int8 quantized scoring: every step is engine-reproducible, so this
+    // approximation carries a full oracle (unlike LSH)
+    "q_ann_q8" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnQuantized(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -494,6 +498,23 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
          |  FROM d)
          |WHERE rnk <= 10""".stripMargin,
+    "q_ann_q8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS sc
+        |      FROM e),
+        |qz AS (SELECT vec_id, sc,
+        |         list_transform(v, x -> CAST(round(x / sc) AS INT)) AS qv
+        |       FROM s),
+        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |        round(a.sc * b.sc * list_reduce(
+        |          list_transform(range(1, 65), i -> CAST(a.qv[i] AS DOUBLE) * b.qv[i]),
+        |          (x, y) -> x + y), 6) AS qsim
+        |      FROM qz a JOIN qz b ON a.vec_id < 20 AND a.vec_id <> b.vec_id)
+        |SELECT * FROM (SELECT qid, nid, qsim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS BIGINT) AS rnk
+        |  FROM d)
+        |WHERE rnk <= 5""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
          |SELECT * FROM (

@@ -49,6 +49,19 @@ object VecOps {
     }
     acc
   }
+
+  /** int × int variant (quantized vectors): exact integer products
+    * accumulated in double — int8-range values can never overflow it. */
+  def dotII(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toDouble * b.getInt(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Deterministic random-hyperplane LSH (signed random projections).
@@ -127,20 +140,28 @@ case class FloatVectorDot(left: Expression, right: Expression)
     case ArrayType(DoubleType, _) => true
     case _ => false
   }
+  private def isI(t: DataType) = t match {
+    case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+    case _ => false
+  }
 
   /** Kernel name for this operand-type combination. */
-  private def kernel: String = (isF(left.dataType), isF(right.dataType)) match {
-    case (true, true) => "dot"
-    case (true, false) => "dotFD"
-    case (false, true) => "dotDF"
-    case (false, false) => "dotDD"
-  }
+  private def kernel: String =
+    if (isI(left.dataType) && isI(right.dataType)) "dotII"
+    else (isF(left.dataType), isF(right.dataType)) match {
+      case (true, true) => "dot"
+      case (true, false) => "dotFD"
+      case (false, true) => "dotDF"
+      case (false, false) => "dotDD"
+    }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = isF(t) || isD(t)
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    val bothInt = isI(left.dataType) && isI(right.dataType)
+    if (bothInt || (ok(left.dataType) && ok(right.dataType)))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<float|double> operands, got " +
+      s"$prettyName requires array<float|double> (or both array<int>) operands, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
@@ -151,6 +172,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
       case "dotFD" => VecOps.dotFD(x, y)
       case "dotDF" => VecOps.dotDF(x, y)
       case "dotDD" => VecOps.dotDD(x, y)
+      case "dotII" => VecOps.dotII(x, y)
     }
   }
 

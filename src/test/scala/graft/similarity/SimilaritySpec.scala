@@ -62,6 +62,22 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("int8 quantized top-k: high agreement with exact ranking") {
+    val bf = Similarity.qAnnBruteForce(spark, dir, nQueries = 20, k = 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val q8 = Similarity.qAnnQuantized(spark, dir, nQueries = 20, k = 5)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = bf.keys.toSeq.map { q =>
+      (q8.getOrElse(q, Set.empty) & bf(q)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"q8 recall@5 vs exact = $mean")
+    // ~1% score error from int8 quantization barely perturbs rankings
+    assert(mean >= 0.85, s"quantized recall $mean too low")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     Similarity.qEmbeddingNearDup(spark, dir).collect().foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
