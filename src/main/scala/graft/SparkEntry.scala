@@ -118,7 +118,9 @@ object SparkEntry {
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.qFrameSample(s, d)),
     "q_media_features" -> ((s: SparkSession, d: String) =>
-      Multimodal.qMediaFeatures(s, d))
+      Multimodal.qMediaFeatures(s, d)),
+    "q_media_resize" -> ((s: SparkSession, d: String) =>
+      Multimodal.qMediaResize(s, d))
   )
 
   /** Shared CTE: the deterministic LSP/DPC message log derived from
@@ -578,6 +580,19 @@ object SparkEntry {
          |  $fCols
          |FROM s""".stripMargin
     },
+    // 4x4 nearest-neighbor thumbnail over the stub-decoded w x h grid
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+        |d AS (SELECT doc_id, text, nb,
+        |        CAST(nb % 64 + 1 AS BIGINT) AS w,
+        |        CAST(nb // 64 + 1 AS BIGINT) AS h
+        |      FROM m)
+        |SELECT doc_id, w AS width, h AS height,
+        |  list_reduce(list_transform(range(0, 16), k ->
+        |    upper(hex(substring(text,
+        |      CAST(greatest(least((k // 4 * h // 4) * w + (k % 4 * w // 4), nb - 1), 0) + 1 AS INT),
+        |      1)))), (x, y) -> x || y) AS thumb_hex
+        |FROM d""".stripMargin,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),
         |f AS (SELECT doc_id,

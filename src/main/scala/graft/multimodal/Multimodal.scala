@@ -31,6 +31,25 @@ object Multimodal {
   trait MediaDecoder extends Serializable {
     def decode(payload: Array[Byte]): (Int, Int, Int) // (width, height, channels)
     def features(payload: Array[Byte], dim: Int): Array[Float]
+
+    /** Nearest-neighbor thumbnail of the decoded grid: sample the source
+      * at `floor(i·h/th) × floor(j·w/tw)`, row-major. Deterministic. */
+    def resize(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+      val (w, h, _) = decode(payload)
+      val out = new Array[Byte](tw * th)
+      if (payload.isEmpty) return out
+      var i = 0
+      while (i < th) {
+        var j = 0
+        while (j < tw) {
+          val pos = (i * h / th) * w + (j * w / tw)
+          out(i * tw + j) = payload(math.min(pos, payload.length - 1))
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
   }
 
   /** STUB: deterministic fake decoder (no image libs in this container).
@@ -104,6 +123,30 @@ object Multimodal {
         (0 until dim).map(j =>
           round(element_at(col("features"), j + 1).cast("double"), 6)
             .as(s"f$j")): _*)
+  }
+
+  /** Resize/thumbnail plumbing through the decoder path: each payload is
+    * downsampled to a 4×4 "thumbnail" (nearest-neighbor over the decoded
+    * grid) inside `mapPartitions` — the same plan shape as a real image
+    * resize (decoder init per partition, fixed-size output per row).
+    * Emits the thumbnail as hex for oracle comparability. */
+  def qMediaResize(
+      spark: SparkSession, dir: String,
+      tw: Int = 4, th: Int = 4,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val media = mediaTable(spark, dir)
+    media.select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, _) = decoder.decode(payload)
+          val thumb = decoder.resize(payload, tw, th)
+          (id, w.toLong, h.toLong,
+            thumb.map("%02X".format(_)).mkString)
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.STRING))
+      .toDF("doc_id", "width", "height", "thumb_hex")
   }
 
   /** Pure-SQL metadata pass (no decode): byte length, header bytes, fake

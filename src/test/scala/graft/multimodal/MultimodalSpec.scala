@@ -36,4 +36,21 @@ class MultimodalSpec extends SparkSpec {
       assert(idxs === (0L until idxs.length.toLong))
     }
   }
+
+  test("resize: nearest-neighbor thumbnail, fixed output size, known vector") {
+    // 130-byte payload -> w=3, h=3 per the stub's fake dims; thumbnail
+    // samples (i*3/4)*3 + (j*3/4) for i,j in 0..3
+    val payload = Array.tabulate(130)(i => (i % 251).toByte)
+    val thumb = Multimodal.StubDecoder.resize(payload, 4, 4)
+    assert(thumb.length === 16)
+    val expect = for (i <- 0 until 4; j <- 0 until 4)
+      yield payload(math.min((i * 3 / 4) * 3 + (j * 3 / 4), 129))
+    assert(thumb.toSeq === expect)
+    // query surface: one row per doc, 32-hex-char thumbnails
+    val df = Multimodal.qMediaResize(spark, "/root/testdata/sf0.001")
+    assert(df.count() === 500)
+    df.collect().take(20).foreach { r =>
+      assert(r.getString(3).length === 32)
+    }
+  }
 }
