@@ -140,8 +140,12 @@ object GraftExtensions {
         "sha1_multi_ordinal_match requires a literal array of hex strings")
       val hexes = args(2).eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          (0 until a.numElements()).map(i =>
-            a.getUTF8String(i).toString.toLowerCase)
+          (0 until a.numElements()).map { i =>
+            if (a.isNullAt(i))
+              throw new IllegalArgumentException(
+                s"sha1_multi_ordinal_match: target digest $i is NULL")
+            a.getUTF8String(i).toString
+          }
         case other => throw new IllegalArgumentException(
           s"sha1_multi_ordinal_match requires ARRAY<STRING> targets, got $other")
       }

@@ -588,10 +588,11 @@ object SparkEntry {
         |        CAST(nb // 64 + 1 AS BIGINT) AS h
         |      FROM m)
         |SELECT doc_id, w AS width, h AS height,
-        |  list_reduce(list_transform(range(0, 16), k ->
-        |    upper(hex(substring(text,
-        |      CAST(greatest(least((k // 4 * h // 4) * w + (k % 4 * w // 4), nb - 1), 0) + 1 AS INT),
-        |      1)))), (x, y) -> x || y) AS thumb_hex
+        |  CASE WHEN nb = 0 THEN repeat('00', 16) ELSE
+        |    list_reduce(list_transform(range(0, 16), k ->
+        |      upper(hex(substring(text,
+        |        CAST(greatest(least((k // 4 * h // 4) * w + (k % 4 * w // 4), nb - 1), 0) + 1 AS INT),
+        |        1)))), (x, y) -> x || y) END AS thumb_hex
         |FROM d""".stripMargin,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),

@@ -155,13 +155,15 @@ object CrackKernels {
     require(hex.length == 40, s"expected 40-char sha1 hex, got '$hex'")
     val out = new Array[Byte](20)
     var i = 0
-    while (i < 20) {
-      try out(i) = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
-      catch {
-        case _: NumberFormatException =>
-          throw new IllegalArgumentException(
-            s"not a sha1 hex digest: '$hex' (non-hex at char ${i * 2})")
-      }
+    while (i < 40) {
+      // explicit digit check: Integer.parseInt(_, 16) accepts signs,
+      // which would let garbage like "-1-1..." through as a "digest"
+      val d = Character.digit(hex.charAt(i), 16)
+      if (d < 0)
+        throw new IllegalArgumentException(
+          s"not a sha1 hex digest: '$hex' (non-hex at char $i)")
+      if (i % 2 == 0) out(i / 2) = (d << 4).toByte
+      else out(i / 2) = (out(i / 2) | d).toByte
       i += 1
     }
     out

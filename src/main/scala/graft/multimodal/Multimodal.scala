@@ -33,9 +33,10 @@ object Multimodal {
     def features(payload: Array[Byte], dim: Int): Array[Float]
 
     /** Nearest-neighbor thumbnail of the decoded grid: sample the source
-      * at `floor(i·h/th) × floor(j·w/tw)`, row-major. Deterministic. */
-    def resize(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
-      val (w, h, _) = decode(payload)
+      * at `floor(i·h/th) × floor(j·w/tw)`, row-major. Takes the decoded
+      * dims so the (expensive, with a real codec) decode runs once per
+      * row. Deterministic. */
+    def resize(payload: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
       val out = new Array[Byte](tw * th)
       if (payload.isEmpty) return out
       var i = 0
@@ -139,8 +140,8 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          val (w, h, _) = decoder.decode(payload)
-          val thumb = decoder.resize(payload, tw, th)
+          val (w, h, _) = decoder.decode(payload) // ONCE per row
+          val thumb = decoder.resize(payload, w, h, tw, th)
           (id, w.toLong, h.toLong,
             thumb.map("%02X".format(_)).mkString)
         }

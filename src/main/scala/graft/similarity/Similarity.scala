@@ -95,7 +95,11 @@ object Similarity {
   def qAnnQuantized(
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 5): DataFrame = {
-    val emb = corpus(spark, dir)
+    // no withNorm: the quantized scorer derives its scale from max|x|,
+    // and this is the bandwidth-sensitive path — don't compute a norm
+    // per row only to discard it
+    val emb = load(spark, dir, "embeddings")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("sc",
         greatest(array_max(transform(col("embedding"), x => abs(x)))
           .cast("double") / 127.0, lit(1e-30)))

@@ -75,8 +75,13 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
         * final content (write to a non-`.lsp` temp name, then rename —
         * [[LspFrameFiles.write]] does), is never modified after
         * appearing, and names are monotone in arrival order (e.g.
-        * zero-padded batch+part counters). A missing directory reads as
-        * empty so the stream can start before its producer. */
+        * zero-padded batch+part counters). A capture dir must use ONE
+        * naming scheme for its lifetime — mixing schemes can place new
+        * files below an old watermark, where they are (by design)
+        * skipped. Offsets are name-based and not compatible with
+        * checkpoints from pre-release builds of this source. A missing
+        * directory reads as empty so the stream can start before its
+        * producer. */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         new MicroBatchStream {
           override def initialOffset(): Offset = LspNameOffset("")
@@ -179,26 +184,32 @@ object LspFrameFiles {
     val batch = existing
       .flatMap(n => "batch-(\\d{5})".r.findFirstMatchIn(n).map(_.group(1).toInt))
       .foldLeft(-1)(math.max) + 1
-    df.select("connid", "seqnum", "payload").rdd
+    // two-phase: tasks write temp files in parallel; the DRIVER renames
+    // them in ASCENDING order once the job is done. Task-side renames
+    // would appear in arbitrary completion order, letting a concurrent
+    // stream's name watermark advance past not-yet-visible lower parts
+    // and permanently skip them.
+    val parts = df.select("connid", "seqnum", "payload").rdd
       .mapPartitionsWithIndex { case (idx, rows) =>
         val name = f"batch-$batch%05d-part-$idx%05d.lsp"
         val tmp = new java.io.File(dir, name + ".tmp")
         val out = new DataOutputStream(
           new java.io.BufferedOutputStream(new FileOutputStream(tmp)))
-        var n = 0L
         try {
           rows.foreach { r =>
             val frame = LspWire.encode(r.getLong(0), r.getLong(1),
               r.getAs[Array[Byte]](2))
             out.writeInt(frame.length)
             out.write(frame)
-            n += 1
           }
         } finally out.close()
-        if (!tmp.renameTo(new java.io.File(dir, name)))
-          throw new java.io.IOException(s"cannot finalize capture $name")
-        Iterator.single(n)
+        Iterator.single(name)
       }
       .collect()
+    parts.sorted.foreach { name =>
+      val tmp = new java.io.File(dir, name + ".tmp")
+      if (!tmp.renameTo(new java.io.File(dir, name)))
+        throw new java.io.IOException(s"cannot finalize capture $name")
+    }
   }
 }

@@ -41,7 +41,7 @@ class MultimodalSpec extends SparkSpec {
     // 130-byte payload -> w=3, h=3 per the stub's fake dims; thumbnail
     // samples (i*3/4)*3 + (j*3/4) for i,j in 0..3
     val payload = Array.tabulate(130)(i => (i % 251).toByte)
-    val thumb = Multimodal.StubDecoder.resize(payload, 4, 4)
+    val thumb = Multimodal.StubDecoder.resize(payload, 3, 3, 4, 4)
     assert(thumb.length === 16)
     val expect = for (i <- 0 until 4; j <- 0 until 4)
       yield payload(math.min((i * 3 / 4) * 3 + (j * 3 / 4), 129))
