@@ -40,6 +40,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salting)") {
+    import org.apache.spark.sql.functions._
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      // 90% of the big side lands on key 0 — the straggler the reference's
+      // static uniform split has no answer for (server.c:440-447 stub)
+      val big = spark.range(0, 400000)
+        .select(when(col("id") % 10 < 9, 0L).otherwise(col("id") % 100).as("k"),
+          col("id").as("v"))
+      val small = spark.range(0, 100)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = big.join(small, "k")
+      assert(j.collect().length === 400000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan)
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
