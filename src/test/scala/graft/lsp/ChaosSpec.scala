@@ -31,6 +31,50 @@ class ChaosSpec extends SparkSpec {
     rt.collect().foreach(r => assert(r.getLong(2) >= 1))
   }
 
+  test("exactly-once delivery under 50% loss + retransmission (chaos stage)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessionTracker
+    import graft.streaming.SessionTracker._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // stop-and-wait sender over a lossy link: each seqnum is retransmitted
+    // 1 + (h % 3) times (first loss rate ~ 0.5), and stale retransmits of
+    // already-acked seqnums straggle into later batches
+    val rng = new scala.util.Random(42)
+    val n = 200
+    val conns = Seq(1L, 2L, 3L)
+    val input = MemoryStream[LspPacket]
+    val name = s"chaos_${System.nanoTime()}"
+    val q = SessionTracker.eventStream(input.toDS(), epochCnt = 0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      (1 to n).foreach { s =>
+        val batch = conns.flatMap { c =>
+          val copies = 1 + rng.nextInt(3)
+          Seq.fill(copies)(LspPacket(c, s.toLong, 3)) ++
+            (if (s > 1 && rng.nextBoolean())
+              Seq(LspPacket(c, rng.nextInt(s - 1).toLong + 1, 3)) // stale straggler
+            else Nil)
+        }
+        input.addData(rng.shuffle(batch))
+        if (s % 50 == 0) q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      val events = spark.table(name).as[ConnEvent].collect()
+      // EXACTLY-ONCE: every (conn, seqnum) delivered once, in order
+      val delivered = events.filter(_.event == Delivered)
+      conns.foreach { c =>
+        assert(delivered.filter(_.connid == c).map(_.seqnum).toSeq ===
+          (1L to n.toLong), s"conn $c")
+      }
+      // every duplicate surfaced as an observable DUP_DROPPED, none lost
+      assert(events.count(_.event == DupDropped) ===
+        events.length - delivered.length)
+      assert(events.count(_.event == OutOfOrderDropped) === 0)
+    } finally q.stop()
+  }
+
   test("multi-length crack finds the only cross-length preimage") {
     val rows = graft.crack.CrackQuery.crackLens(spark,
       "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", Seq(1, 2, 3)).collect()
