@@ -60,6 +60,10 @@ object SparkEntry {
     "q_scalar_subquery" -> (SqlQueries.qScalarSubquery _),
     "q_salted_join" -> (graft.relational.Skew.qSaltedJoin _),
     "q_sketch_stats" -> (SqlQueries.qSketchStats _),
+    "q_cube" -> (RelationalQueries.qCubeOrders _),
+    "q_full_outer" -> (RelationalQueries.qFullOuterNations _),
+    "q_union" -> (RelationalQueries.qUnionNations _),
+    "q_window_moving" -> (RelationalQueries.qMovingAvgRevenue _),
     "q_intersect" -> (RelationalQueries.qIntersectNations _),
     "q_except" -> (RelationalQueries.qExceptNations _),
     "q_distinct" -> (RelationalQueries.qDistinctSegmentPriority _),
@@ -308,6 +312,29 @@ object SparkEntry {
         |  round(sum(l_extendedprice), 2) AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin,
+    "q_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION SELECT s_nationkey FROM supplier""".stripMargin,
+    "q_window_moving" ->
+      """SELECT o_orderpriority, month, revenue,
+        |  round(avg(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg_3mo
+        |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |        round(sum(o_totalprice), 2) AS revenue
+        |      FROM orders GROUP BY 1, 2)""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,

@@ -174,6 +174,49 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_orders"),
         round(sum("o_totalprice"), 2).as("total_price"))
 
+  /** CUBE: all 4 grouping combinations in one pass (completes the
+    * rollup / grouping-sets / cube trio). */
+  def qCubeOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+
+  /** FULL OUTER join: nations' customer/supplier presence side by side —
+    * rows survive from either side (completes inner/left/semi/anti). */
+  def qFullOuterNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = load(spark, dir, "supplier")
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  /** UNION (distinct): every nation key appearing on either side. */
+  def qUnionNations(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .union(load(spark, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  /** Sliding window frame: 3-month moving average of monthly revenue per
+    * priority (rowsBetween frame — the frame variant qRunningMonthly's
+    * unbounded-preceding default doesn't cover). */
+  def qMovingAvgRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = load(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("month")
+      .rowsBetween(-2, Window.currentRow)
+    monthly.withColumn("avg_3mo", round(avg("revenue").over(w), 2))
+  }
+
   /** Set op: nation keys present among BOTH customers and suppliers. */
   def qIntersectNations(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "customer").select(col("c_nationkey").as("nationkey"))
