@@ -41,9 +41,12 @@ object Similarity {
     * whole quadratic stage onto one core. At 100 TB the scan has many
     * splits and this repartition is a cheap no-op by comparison; locally
     * it is the difference between 1 and 32 busy cores. */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
-    withNorm(load(spark, dir, "embeddings"), "embedding")
+  private def corpus(
+      spark: SparkSession, dir: String, norm: Boolean = true): DataFrame = {
+    val base = load(spark, dir, "embeddings")
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    if (norm) withNorm(base, "embedding") else base
+  }
 
   /** Exact brute-force cosine top-k for query vectors `vec_id < nQueries`.
     * Deterministic: rank by rounded similarity with id tiebreak. */
@@ -95,11 +98,10 @@ object Similarity {
   def qAnnQuantized(
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 5): DataFrame = {
-    // no withNorm: the quantized scorer derives its scale from max|x|,
+    // norm = false: the quantized scorer derives its scale from max|x|,
     // and this is the bandwidth-sensitive path — don't compute a norm
     // per row only to discard it
-    val emb = load(spark, dir, "embeddings")
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    val emb = corpus(spark, dir, norm = false)
       .withColumn("sc",
         greatest(array_max(transform(col("embedding"), x => abs(x)))
           .cast("double") / 127.0, lit(1e-30)))

@@ -178,6 +178,10 @@ object LspFrameFiles {
   def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
+    // single-writer contract: any leftover temp is an abandoned earlier
+    // attempt — clear it so a retry can't collide with or leak it
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".lsp.tmp")).foreach(_.delete())
     // continue the batch sequence past anything already present
     val existing = Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(_.endsWith(".lsp"))
@@ -206,10 +210,24 @@ object LspFrameFiles {
         Iterator.single(name)
       }
       .collect()
-    parts.sorted.foreach { name =>
-      val tmp = new java.io.File(dir, name + ".tmp")
-      if (!tmp.renameTo(new java.io.File(dir, name)))
-        throw new java.io.IOException(s"cannot finalize capture $name")
+    // all-or-nothing finalize: if any rename fails, roll back the parts
+    // already made visible in THIS batch (and all temps) before
+    // rethrowing — a half-visible batch would duplicate its rows when
+    // the caller retries under the next batch number
+    val finalized = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    try {
+      parts.sorted.foreach { name =>
+        val tmp = new java.io.File(dir, name + ".tmp")
+        val dst = new java.io.File(dir, name)
+        if (!tmp.renameTo(dst))
+          throw new java.io.IOException(s"cannot finalize capture $name")
+        finalized += dst
+      }
+    } catch {
+      case e: Throwable =>
+        finalized.foreach(_.delete())
+        parts.foreach(n => new java.io.File(dir, n + ".tmp").delete())
+        throw e
     }
   }
 }
