@@ -60,6 +60,7 @@ object SparkEntry {
     "q_scalar_subquery" -> (SqlQueries.qScalarSubquery _),
     "q_salted_join" -> (graft.relational.Skew.qSaltedJoin _),
     "q_sketch_stats" -> (SqlQueries.qSketchStats _),
+    "q_histogram" -> (SqlQueries.qHistogram _),
     "q_cube" -> (RelationalQueries.qCubeOrders _),
     "q_full_outer" -> (RelationalQueries.qFullOuterNations _),
     "q_union" -> (RelationalQueries.qUnionNations _),
@@ -94,6 +95,8 @@ object SparkEntry {
       TextOps.qStopwordPrune(s, d)),
     // -- dedup (north star) --
     "q_dedup_exact" -> (Dedup.qDedupExact _),
+    "q_edit_distance" -> ((s: SparkSession, d: String) =>
+      Dedup.qEditDistancePairs(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.qNgramJaccardPairs(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) =>
@@ -335,6 +338,10 @@ object SparkEntry {
         |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
         |        round(sum(o_totalprice), 2) AS revenue
         |      FROM orders GROUP BY 1, 2)""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, count(*) AS n,
+        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events GROUP BY 1""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
@@ -502,6 +509,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // brand-banded fuzzy dedup; both engines run the classic DP distance
+    "q_edit_distance" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
     "q_ngram_jaccard" -> exactJaccardSql,
     // MinHash+LSH emits candidate pairs verified by EXACT Jaccard, so its
     // oracle is the same brute-force join — recall 1.0 on this corpus is

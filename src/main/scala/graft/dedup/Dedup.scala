@@ -134,6 +134,26 @@ object Dedup {
         element_at(sig, k + 1).as(s"band$k")): _*)
   }
 
+  /** Edit-distance fuzzy dedup over part names, BANDED by brand so the
+    * pair space is sum-of-squares-per-band, never corpus-quadratic — the
+    * same blocking discipline as the LSH paths (at 100 TB an unbanded
+    * levenshtein self-join is impossible; a good blocking key bounds
+    * each band). Both engines implement the same classic DP distance,
+    * so the result is oracle-exact. */
+  def qEditDistancePairs(
+      spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
+    val part = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_brand"), col("p_name"))
+      .repartition(spark.sparkContext.defaultParallelism, col("p_brand"))
+    part.as("a")
+      .join(part.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** SimHash near-dup pairs: candidates share at least one 16-bit band
     * (pigeonhole: hamming<=3 guarantees a shared band), verified by exact
     * hamming distance over the full 64-bit signature. */

@@ -102,6 +102,16 @@ object SqlQueries {
         |  approx_percentile(value, 0.95) AS p95_value
         |FROM events GROUP BY 1""".stripMargin)
 
+  /** Fixed-width histogram of event values (floor-bucket arithmetic —
+    * identical in any engine, unlike width_bucket variants). */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir,
+      """SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  round(min(value), 2) AS lo,
+        |  round(max(value), 2) AS hi
+        |FROM events GROUP BY 1""".stripMargin)
+
   /** Scalar subquery: customers above the (rounded) mean balance. */
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
