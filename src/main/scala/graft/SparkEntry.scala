@@ -112,6 +112,11 @@ object SparkEntry {
     // 2 hash tables: measured recall@5 0.97 at sf0.01 (1 table: 0.82)
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnLshBuckets(s, d, tables = 2)),
+    // dense banded candidate graph + exact re-rank: result provably-rarely
+    // (and on these corpora never) differs from brute force, so it carries
+    // the brute-force oracle — the oracle-able LSH ANN companion
+    "q_ann_lsh_verified" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnLshVerified(s, d)),
     // exact IVF: cell-pruned search whose output provably equals brute
     // force, so the brute-force SQL is its oracle
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
@@ -148,6 +153,19 @@ object SparkEntry {
     s"""(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)
        | / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))
        |   * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))))""".stripMargin
+
+  /** Exact cosine top-k ANN — the shared oracle for brute force and for
+    * every exact-or-exactly-verified accelerated variant (IVF cell
+    * pruning, dense-band LSH + exact re-rank). */
+  private def annTopKSql(k: Int): String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |        round(${duckCos("q.v", "c.v")}, 6) AS sim
+       |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       |SELECT * FROM (SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+       |  FROM d)
+       |WHERE rnk <= $k""".stripMargin
 
   /** Exact 4-token-shingle Jaccard near-dup pairs at threshold 0.5 — the
     * oracle for both the brute-force join and the LSH-accelerated,
@@ -523,24 +541,13 @@ object SparkEntry {
     // signature misses such a pair with p < 1e-8, and the check is
     // deterministic on fixed data).
     "q_minhash_lsh" -> exactJaccardSql,
-    "q_ann_bruteforce" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-         |        round(${duckCos("q.v", "c.v")}, 6) AS sim
-         |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
-         |SELECT * FROM (SELECT qid, nid, sim,
-         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-         |  FROM d)
-         |WHERE rnk <= 5""".stripMargin,
-    "q_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-         |        round(${duckCos("q.v", "c.v")}, 6) AS sim
-         |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
-         |SELECT * FROM (SELECT qid, nid, sim,
-         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-         |  FROM d)
-         |WHERE rnk <= 10""".stripMargin,
+    "q_ann_bruteforce" -> annTopKSql(5),
+    // dense-band LSH + exact re-rank computes the brute-force relation
+    // (SimilaritySpec asserts row-for-row equality; an escape needs a
+    // neighbor missing all 32 signature bands, p <= 1.6e-4 per pair even
+    // at cosine 0)
+    "q_ann_lsh_verified" -> annTopKSql(5),
+    "q_ann_ivf" -> annTopKSql(10),
     "q_ann_q8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -46,30 +46,50 @@ object Dedup {
     load(spark, dir, "documents")
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
 
-  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+  /** Per-doc distinct shingle ARRAYS, computed once and cached: every
+    * consumer (signature generation, candidate explode, exact-Jaccard
+    * verification) branches from this frame, and without the persist each
+    * branch would re-run the shingling kernel over the corpus. The cache
+    * holds one string array per document — at 100 TB this is the
+    * materialized intermediate you would write to a staging table between
+    * pipeline stages, not an unbounded driver-side structure. */
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), shingles(col("text")).as("sh_arr"))
+      .persist()
 
-  /** Exact n-gram (4-token shingle) Jaccard near-dup pairs at
-    * threshold >= 0.5. Integer intersection/union counts; the single
-    * division is deterministic, so an SQL oracle matches exactly. */
-  def qNgramJaccardPairs(
-      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val sh = shingleSets(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+  /** Exact-Jaccard verification of candidate (d1, d2) pairs from cached
+    * shingle arrays: two equi-joins fetch the arrays, and the
+    * intersection/union counts come from a per-pair `array_intersect` —
+    * no re-shingling, no candidate×shingle explode through a shuffle. */
+  private def verifyJaccard(
+      candidates: DataFrame, shArr: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(shArr.select(col("doc_id").as("d1"), col("sh_arr").as("arr1")), "d1")
+      .join(shArr.select(col("doc_id").as("d2"), col("sh_arr").as("arr2")), "d2")
+      .withColumn("inter", size(array_intersect(col("arr1"), col("arr2"))))
       .withColumn("jaccard",
         col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")))
+          (size(col("arr1")) + size(col("arr2")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** Exact n-gram (4-token shingle) Jaccard near-dup pairs at
+    * threshold >= 0.5. Candidates are docs sharing at least one shingle
+    * (the exact candidate set — a pair with zero shared shingles has
+    * Jaccard 0), verified from the cached arrays. Integer
+    * intersection/union counts; the single division is deterministic, so
+    * an SQL oracle matches exactly. */
+  def qNgramJaccardPairs(
+      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val shArr = shingleArrays(spark, dir)
+    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val candidates = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(candidates, shArr, threshold)
   }
 
   /** MinHash signature of `numHashes` permutations over a shingle-array
@@ -89,11 +109,11 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val docs = this.docs(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh_arr"))
+    val shArr = shingleArrays(spark, dir)
+    val sigs = shArr
       .select(col("doc_id"), minhashSignature(col("sh_arr"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
-    val banded = docs.select(
+    val banded = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
@@ -104,20 +124,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val sh = shingleSets(spark, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    candidates
-      .join(sh.select(col("doc_id").as("d1"), col("sh")), "d1")
-      .join(sh.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
-      .groupBy("d1", "d2")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
-      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (col("sz1") + col("sz2") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+    verifyJaccard(candidates, shArr, threshold)
   }
 
   /** 64-bit SimHash signature: per-bit majority vote over token hashes,
@@ -134,24 +141,44 @@ object Dedup {
         element_at(sig, k + 1).as(s"band$k")): _*)
   }
 
-  /** Edit-distance fuzzy dedup over part names, BANDED by brand so the
-    * pair space is sum-of-squares-per-band, never corpus-quadratic — the
-    * same blocking discipline as the LSH paths (at 100 TB an unbanded
-    * levenshtein self-join is impossible; a good blocking key bounds
-    * each band). Both engines implement the same classic DP distance,
-    * so the result is oracle-exact. */
+  /** Edit-distance fuzzy dedup over part names, blocked on the COMPOUND
+    * key (brand, length): `levenshtein(a, b) >= |len(a) - len(b)|`, so a
+    * pair at distance <= maxDist can only live within a ±maxDist length
+    * window — the probe side explodes each name into its 2·maxDist+1
+    * admissible partner lengths and the join is a pure equi-join on
+    * (brand, length). This is PROVABLY lossless (the length-lower-bound
+    * lemma, property-tested in DedupSpec), so the result relation — and
+    * the oracle — are identical to the brand-only join, while the band
+    * key's cardinality is brands × distinct-lengths instead of a fixed 25,
+    * and each pair is matched at exactly one (brand, length) bucket (no
+    * dedup pass needed).
+    *
+    * Per-pair work is bounded too: the banded `levenshtein(_, _, maxDist)`
+    * computes only the 2·maxDist+1 diagonal stripe of the DP matrix and
+    * early-exits (returning -1) when the distance exceeds the bound —
+    * O(len·maxDist) instead of O(len²) on the ~never-matching majority.
+    * At 100 TB the same discipline extends to content-derived segment keys
+    * (PassJoin-style partition signatures) when length alone leaves bands
+    * too heavy; the length band is the right first cut because it costs
+    * one integer per row. */
   def qEditDistancePairs(
       spark: SparkSession, dir: String, maxDist: Int = 3): DataFrame = {
     val part = Tables.load(spark, dir, "part")
-      .select(col("p_partkey"), col("p_brand"), col("p_name"))
-      .repartition(spark.sparkContext.defaultParallelism, col("p_brand"))
-    part.as("a")
-      .join(part.as("b"),
-        col("a.p_brand") === col("b.p_brand") &&
-          col("a.p_partkey") < col("b.p_partkey"))
-      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
-        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        length(col("p_name")).as("len"))
+      .repartition(spark.sparkContext.defaultParallelism, col("p_brand"),
+        col("len"))
+    val probes = part.select(col("p_partkey").as("k1"), col("p_brand"),
+      col("p_name").as("n1"),
+      explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("plen"))
+    probes
+      .join(part.select(col("p_partkey").as("k2"), col("p_brand"),
+          col("p_name").as("n2"), col("len").as("plen")),
+        Seq("p_brand", "plen"))
+      .filter(col("k1") < col("k2"))
+      .select(col("k1"), col("k2"),
+        levenshtein(col("n1"), col("n2"), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0)
   }
 
   /** SimHash near-dup pairs: candidates share at least one 16-bit band

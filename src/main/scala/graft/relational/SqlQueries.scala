@@ -75,23 +75,25 @@ object SqlQueries {
     * [[qSketchRaw]]. */
   def qSketchStats(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir,
-      """WITH ap AS (SELECT event_type,
-        |              approx_count_distinct(user_id, 0.01) AS approx_users,
-        |              approx_percentile(value, 0.5) AS p50,
-        |              approx_percentile(value, 0.95) AS p95
-        |            FROM events GROUP BY 1),
-        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_users
-        |       FROM events GROUP BY 1),
-        |rk AS (SELECT e.event_type,
-        |         round(avg(CAST(CASE WHEN e.value <= a.p50 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p50_rank,
-        |         round(avg(CAST(CASE WHEN e.value <= a.p95 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p95_rank
-        |       FROM events e JOIN ap a ON e.event_type = a.event_type
-        |       GROUP BY 1)
-        |SELECT ex.event_type, ex.n_users,
-        |  round(CAST(ap.approx_users AS DOUBLE) / ex.n_users, 1) AS users_ratio,
-        |  rk.p50_rank, rk.p95_rank
-        |FROM ex JOIN ap ON ex.event_type = ap.event_type
-        |JOIN rk ON ex.event_type = rk.event_type""".stripMargin)
+      // two scans of events total: (1) ONE grouped pass computes the exact
+      // distinct count AND both sketches side by side (Spark plans the
+      // mixed distinct/non-distinct aggregate as a single scan + expand);
+      // (2) the rank-check pass re-reads events against the tiny
+      // broadcast-joined summary. The previous formulation's third scan
+      // and second join bought nothing — the exact/approx columns were
+      // computed in separate passes over the same rows.
+      """WITH g AS (SELECT event_type,
+        |             count(DISTINCT user_id) AS n_users,
+        |             approx_count_distinct(user_id, 0.01) AS approx_users,
+        |             approx_percentile(value, 0.5) AS p50,
+        |             approx_percentile(value, 0.95) AS p95
+        |           FROM events GROUP BY 1)
+        |SELECT g.event_type, g.n_users,
+        |  round(CAST(g.approx_users AS DOUBLE) / g.n_users, 1) AS users_ratio,
+        |  round(avg(CAST(CASE WHEN e.value <= g.p50 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p50_rank,
+        |  round(avg(CAST(CASE WHEN e.value <= g.p95 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p95_rank
+        |FROM events e JOIN g ON e.event_type = g.event_type
+        |GROUP BY g.event_type, g.n_users, g.approx_users""".stripMargin)
 
   /** Raw sketch outputs (engine-specific values; library surface). */
   def qSketchRaw(spark: SparkSession, dir: String): DataFrame =

@@ -69,16 +69,98 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** 64-plane sign signature (one long) — the fine-grained LSH fingerprint
+    * the banded candidate generators below slice into bands. */
+  private def signSignature(emb: Column): Column = signBucket(emb, 64)
+
+  /** Mask with the LOWEST bit of each `bandBits`-wide group set (e.g.
+    * 0x5555… for 2-bit bands). */
+  private def groupLowBits(bandBits: Int): Long =
+    (0 until 64 / bandBits).foldLeft(0L)((m, k) => m | (1L << (k * bandBits)))
+
+  /** Explode a signature frame into its `64 / bandBits` bands. Output:
+    * (idAs, sigAs, band, bval, lowmask) where `lowmask` covers the signature
+    * bits BELOW this band (a per-band literal, carried through the explode
+    * so the join's first-match filter needs no variable-distance shift). */
+  private def bandedSig(
+      df: DataFrame, idFrom: String, idAs: String, sigAs: String,
+      bandBits: Int): DataFrame = {
+    val bands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    val bandStructs = array((0 until bands).map { k =>
+      struct(
+        shiftright(col("sig"), k * bandBits).bitwiseAND(lit(mask)).as("bval"),
+        lit((1L << (k * bandBits)) - 1).as("lowmask"))
+    }: _*)
+    df.select(col(idFrom).as(idAs), col("sig").as(sigAs),
+        posexplode(bandStructs).as(Seq("band", "bv")))
+      .select(col(idAs), col(sigAs), col("band"),
+        col("bv.bval").as("bval"), col("bv.lowmask").as("lowmask"))
+  }
+
+  /** Join condition that emits each colliding pair at EXACTLY ONE band —
+    * its first matching one — so no downstream `distinct` is needed: the
+    * xor of the signatures has a zero `bandBits`-group at every matching
+    * band; `m` marks non-matching bands with one bit each, and requiring
+    * `popcount(m & lowmask) == band` means every band below this one
+    * mismatched. */
+  private def firstMatchingBand(
+      sa: Column, sb: Column, bandBits: Int): Column = {
+    val x = sa.bitwiseXOR(sb)
+    val m = (1 until bandBits)
+      .foldLeft(x)((acc, i) => acc.bitwiseOR(shiftright(x, i)))
+      .bitwiseAND(lit(groupLowBits(bandBits)))
+    bit_count(m.bitwiseAND(col("lowmask"))) === col("band")
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold (the embedding
-    * variant of near-dedup). */
+    * variant of near-dedup), as banded-LSH candidate generation + exact
+    * cosine verification — never an all-pairs theta join.
+    *
+    * Candidates are pairs whose 64-plane sign signatures agree on at least
+    * one of the 32 two-bit bands, produced by a band-keyed EQUI-join (each
+    * side shuffled once on (band, bval); work is partitioned by band key,
+    * unlike a broadcast-nested-loop which ships every row everywhere). Each
+    * colliding pair is emitted exactly once via [[firstMatchingBand]], then
+    * verified with the exact rounded cosine, so the output relation is
+    * EXACTLY the brute-force one as long as no true pair escapes all 32
+    * bands.
+    *
+    * Band width is the recall/pruning dial, and it must be read honestly:
+    * at threshold 0.4 on this corpus the background is isotropic (pair
+    * cosine ≈ N(0, 1/64); 0.4 is a ~3σ tail, not planted structure), so a
+    * pair at the threshold disagrees per plane with p = acos(0.4)/π ≈ 0.37
+    * and only narrow 2-bit bands push the all-bands-miss probability to
+    * (1-0.63²)³² ≈ 9e-8 — at the price of candidates ≈ collisions ≈ most
+    * pairs. That is the information-theoretic reality of a near-background
+    * threshold (LSH ρ → 1), not an implementation limit: at a real-world
+    * near-dup threshold (0.8+) the same code with wider bands (e.g. 8×8)
+    * prunes aggressively. What the banding buys HERE is execution shape:
+    * bounded per-key join fan-in and no broadcast of the corpus, which is
+    * what survives a 1000-executor scale-up. Recall 1.0 vs brute force on
+    * the test corpora is asserted in SimilaritySpec, and the DuckDB oracle
+    * (the exact all-pairs relation) stays byte-identical. */
   def qEmbeddingNearDup(
-      spark: SparkSession, dir: String, threshold: Double = 0.4): DataFrame = {
+      spark: SparkSession, dir: String, threshold: Double = 0.4,
+      bandBits: Int = 2): DataFrame = {
     val emb = corpus(spark, dir)
-    val a = emb.select(col("vec_id").as("d1"), col("embedding").as("av"),
-      col("norm").as("na"))
-    val b = emb.select(col("vec_id").as("d2"), col("embedding").as("bv"),
-      col("norm").as("nb"))
-    a.join(b, col("d1") < col("d2"))
+      .withColumn("sig", signSignature(col("embedding")))
+    val left = bandedSig(emb, "vec_id", "d1", "sa", bandBits)
+    val right = bandedSig(emb, "vec_id", "d2", "sb", bandBits)
+      .withColumnRenamed("band", "band2")
+      .withColumnRenamed("bval", "bval2")
+      .drop("lowmask")
+    val pairs = left.join(right,
+      col("band") === col("band2") && col("bval") === col("bval2") &&
+        col("d1") < col("d2") &&
+        firstMatchingBand(col("sa"), col("sb"), bandBits))
+      .select(col("d1"), col("d2"))
+    val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    pairs
+      .join(v.select(col("vec_id").as("d1"), col("embedding").as("av"),
+        col("norm").as("na")), "d1")
+      .join(v.select(col("vec_id").as("d2"), col("embedding").as("bv"),
+        col("norm").as("nb")), "d2")
       .select(col("d1"), col("d2"),
         round(vec_dot(col("av"), col("bv")) / (col("na") * col("nb")), 6)
           .as("sim"))
@@ -250,6 +332,50 @@ object Similarity {
             .as("sim"))
     }
     val scored = perTable.reduce(_.unionAll(_)).distinct()
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** LSH ANN with a dense-enough candidate graph that the exact re-ranked
+    * result EQUALS brute force on real corpora — the oracle-able companion
+    * to [[qAnnLshBuckets]] (same pattern that made MinHash+LSH dedup
+    * exactly checkable: approximate candidate generation, exact
+    * verification, empirically-total recall).
+    *
+    * Candidates are neighbors sharing ≥ 1 of the 32 two-bit bands of the
+    * 64-plane sign signature (band-keyed equi-join, each pair emitted once
+    * via [[firstMatchingBand]]); survivors are re-ranked by exact rounded
+    * cosine. A neighbor escapes all 32 bands with probability
+    * (1 - p²)³², p = 1 - θ/π — ≈ 1.6e-4 even for an ORTHOGONAL pair, and
+    * ≤ 9e-8 at cosine ≥ 0.4 — so on any fixed corpus the top-k survives
+    * intact (asserted row-for-row vs brute force in SimilaritySpec; the
+    * DuckDB oracle is the brute-force SQL). */
+  def qAnnLshVerified(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, bandBits: Int = 2): DataFrame = {
+    val emb = corpus(spark, dir)
+      .withColumn("sig", signSignature(col("embedding")))
+    val left = bandedSig(emb.filter(col("vec_id") < nQueries),
+      "vec_id", "qid", "sa", bandBits)
+    val right = bandedSig(emb, "vec_id", "nid", "sb", bandBits)
+      .withColumnRenamed("band", "band2")
+      .withColumnRenamed("bval", "bval2")
+      .drop("lowmask")
+    val pairs = left.join(right,
+      col("band") === col("band2") && col("bval") === col("bval2") &&
+        col("qid") =!= col("nid") &&
+        firstMatchingBand(col("sa"), col("sb"), bandBits))
+      .select(col("qid"), col("nid"))
+    val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    val scored = pairs
+      .join(v.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn")), "qid")
+      .join(v.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("norm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

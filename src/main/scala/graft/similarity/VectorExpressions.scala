@@ -78,15 +78,29 @@ object HyperplaneLsh {
     (XXH64.hashLong((plane.toLong << 32) | (dim.toLong & 0xffffffffL), seed)
       >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
 
+  /** Per-executor weight-matrix cache: a 64-plane × 64-dim signature would
+    * otherwise pay 4096 hash derivations PER ROW. Keyed by (bits, dims,
+    * seed); a full 64×64 matrix is 32 KB, and a pipeline uses a handful of
+    * (bits, seed) combinations, so the cache is effectively a static
+    * constant per executor. */
+  private val wcache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+
+  private def weights(bits: Int, dims: Int, seed: Long): Array[Double] =
+    wcache.computeIfAbsent((bits, dims, seed),
+      _ => Array.tabulate(bits * dims)(i => w(i / dims, i % dims, seed)))
+
   def bucket(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
+    val ws = weights(bits, n, seed)
     var out = 0L
     var j = 0
     while (j < bits) {
       var dot = 0.0
+      val off = j * n
       var d = 0
       while (d < n) {
-        dot += v.getFloat(d).toDouble * w(j, d, seed)
+        dot += v.getFloat(d).toDouble * ws(off + d)
         d += 1
       }
       if (dot > 0) out |= 1L << j

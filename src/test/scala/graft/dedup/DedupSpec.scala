@@ -127,6 +127,45 @@ class DedupSpec extends SparkSpec {
     assert(sh === Seq("a b c d", "b c d "))
   }
 
+  test("length-banded edit distance equals the brand-only join (losslessness)") {
+    import org.apache.spark.sql.functions._
+    // the compound (brand, length±3) banding must not change the relation:
+    // levenshtein >= |len(a) - len(b)| (property-tested below), so every
+    // pair at distance <= 3 lives inside the probe window
+    val part = graft.relational.Tables.load(spark, dir, "part")
+    val brandOnly = part.as("a")
+      .join(part.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey"), col("b.p_partkey"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast("long").as("dist"))
+      .filter(col("dist") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.qEditDistancePairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === brandOnly)
+    assert(banded.nonEmpty, "corpus has near-identical part names")
+  }
+
+  test("length lower bound: dist <= k implies |len diff| <= k (band lemma)") {
+    // the lemma the length banding relies on, checked on generated string
+    // pairs (fixed seed) against a reference DP implementation
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(4242)
+    def word() = (0 until rnd.nextInt(12)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (0 until 2000).foreach { _ =>
+      val (a, b) = (word(), word())
+      assert(lev(a, b) >= math.abs(a.length - b.length), s"'$a' vs '$b'")
+    }
+  }
+
   test("exact dedup finds identical texts iff they exist") {
     val dups = Dedup.qDedupExact(spark, dir).collect()
     val distinctTexts = graft.relational.Tables.load(spark, dir, "documents")

@@ -84,4 +84,39 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) > 0.4)
     }
   }
+
+  /** Brute-force near-dup relation, computed inline (the pre-banding
+    * formulation): the recall-1.0 reference for the banded path. */
+  private def bruteForceNearDup(threshold: Double): Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.functions._
+    val emb = graft.relational.Tables.load(spark, dir, "embeddings")
+      .withColumn("norm",
+        sqrt(graft.functions.vec_dot(col("embedding"), col("embedding"))))
+    emb.select(col("vec_id").as("d1"), col("embedding").as("av"),
+        col("norm").as("na"))
+      .join(emb.select(col("vec_id").as("d2"), col("embedding").as("bv"),
+        col("norm").as("nb")), col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(graft.functions.vec_dot(col("av"), col("bv")) /
+          (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") > threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  test("banded near-dup equals brute force (recall 1.0 at threshold 0.4)") {
+    val banded = Similarity.qEmbeddingNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bf = bruteForceNearDup(0.4)
+    assert(bf.nonEmpty, "corpus has pairs above threshold")
+    assert(banded === bf,
+      s"banded candidates missed ${(bf -- banded).size} true pairs")
+  }
+
+  test("LSH-verified ANN equals brute force row-for-row") {
+    val bf = Similarity.qAnnBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val v = Similarity.qAnnLshVerified(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(v === bf)
+  }
 }
