@@ -126,6 +126,8 @@ object GraftExtensions {
     },
     "sha1_ordinal_match" -> { args: Seq[Expression] =>
       arity("sha1_ordinal_match", 3, args)
+      require(args(2).foldable,
+        "sha1_ordinal_match requires a literal hex string")
       val hex = args(2).eval() match {
         case u: org.apache.spark.unsafe.types.UTF8String => u.toString.toLowerCase
         case other => throw new IllegalArgumentException(

@@ -159,10 +159,11 @@ object CrackQuery {
   }
 
   /** Cancel-on-first-hit driver loop (SURVEY.md §7.4): scan the keyspace in
-    * ordinal chunks, stop at the first chunk that yields a match — work
-    * beyond the hit's chunk is never launched. Strictly better than the
-    * reference, which replies early (`server.c:251-256`) but never cancels
-    * sibling workers (`worker.c` has no abort path).
+    * ordinal chunks; work beyond the hit's chunk is never launched, and
+    * WITHIN the hit's chunk sibling tasks are killed via
+    * [[cancellingScan]] as soon as the hit's task completes. Strictly
+    * better than the reference, which replies early (`server.c:251-256`)
+    * but never cancels sibling workers (`worker.c` has no abort path).
     */
   def chunkedCrack(
       spark: SparkSession,
@@ -174,11 +175,92 @@ object CrackQuery {
     var start = lo
     while (start <= hi) {
       val end = math.min(start + chunkSize - 1, hi)
-      val hit = matchesOrdinals(spark, hashHex, len, start, end, parallelism)
-        .orderBy("pass").limit(1)
-        .collect().headOption.map(_.getString(0))
+      val hit = cancellingScan(spark, hashHex, len, start, end, parallelism)
       if (hit.isDefined) return hit
       start = end + 1
+    }
+    None
+  }
+
+  /** One crack scan of `[lo, hi]` that CANCELS its own sibling tasks on
+    * the first hit (L3 completion): tiles run as one job in a dedicated
+    * job group; a hit task publishes the preimage through an accumulator
+    * before completing, a driver-side listener cancels the group on the
+    * first hit-carrying task completion, and in-flight tasks notice the
+    * interrupt at their next 64k-candidate check and die. Queued tiles
+    * are never launched — measured in CrackSpec as tasks-started <
+    * tiles for an early hit.
+    *
+    * The per-candidate kernel is the same [[graft.keyspace.CrackKernels
+    * .sha1MatchesOrdinal]] the codegen'd scan calls, so cancellability
+    * costs no throughput. Result is the minimum over reported hits —
+    * identical to the ordered scan whenever the digest has at most one
+    * preimage in the range (any cryptographic hash in practice; with
+    * multiple preimages a cancelled scan may legitimately return
+    * whichever hit reported, so callers needing the global minimum use
+    * [[matchesOrdinals]] + orderBy). */
+  def cancellingScan(
+      spark: SparkSession,
+      hashHex: String,
+      len: Int,
+      lo: Long,
+      hi: Long,
+      parallelism: Int): Option[String] = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val sc = spark.sparkContext
+    val tiles = Keyspace.tile(lo, hi, parallelism)
+    val hits = sc.collectionAccumulator[String]("graft.crack.hits")
+    val group = s"graft-crack-cancel-${java.util.UUID.randomUUID()}"
+    @volatile var fired = false
+    val listener = new SparkListener {
+      override def onTaskEnd(taskEnd: SparkListenerTaskEnd): Unit =
+        // accumulator updates merge before the event posts, so a hit is
+        // visible here the moment its task ends
+        if (!fired && !hits.isZero) {
+          fired = true
+          sc.cancelJobGroup(group)
+        }
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(group, s"crack $hashHex len=$len", interruptOnCancel = true)
+      val collected =
+        try {
+          sc.parallelize(tiles, tiles.size).flatMap { case (s, e) =>
+            scanTileCancellable(hashHex, len, s, e) match {
+              case Some(p) => hits.add(p); Iterator.single(p)
+              case None => Iterator.empty
+            }
+          }.collect().toSeq
+        } catch {
+          case e: org.apache.spark.SparkException if fired =>
+            // expected path: job killed after the hit; the accumulator
+            // carries every hit whose task completed
+            val v = hits.value
+            if (v.isEmpty) throw e
+            import scala.jdk.CollectionConverters._
+            v.asScala.toSeq
+        }
+      collected.sorted.headOption
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+
+  /** Worker tile loop with a cooperative cancellation point every 64k
+    * candidates — `interruptOnCancel` kills via `Thread.interrupt`, which
+    * a pure compute loop would otherwise never observe. */
+  private def scanTileCancellable(
+      hashHex: String, len: Int, lo: Long, hi: Long): Option[String] = {
+    val target = graft.keyspace.CrackKernels.hexToBytes(hashHex.toLowerCase)
+    var ord = lo
+    while (ord <= hi) {
+      if (graft.keyspace.CrackKernels.sha1MatchesOrdinal(ord, len, target))
+        return Some(Keyspace.numToPass(ord, len))
+      ord += 1
+      if ((ord & 0xffffL) == 0L && Thread.currentThread().isInterrupted)
+        throw new InterruptedException(s"crack tile [$lo,$hi] cancelled")
     }
     None
   }

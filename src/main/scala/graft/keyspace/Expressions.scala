@@ -180,16 +180,27 @@ case class Sha1MultiOrdinalMatch(
   require(len >= 1 && len <= 13, s"len must be in [1, 13], got $len")
   require(digestsHex.nonEmpty, "need at least one target digest")
 
-  /** Sorted flat digest bytes + the hex at each sorted slot. */
-  @transient lazy val (flat: Array[Byte], sortedHex: Seq[String]) = {
-    val sorted = digestsHex.map(h => CrackKernels.hexToBytes(h.toLowerCase))
+  /** Target digests in sorted binary order. Kept as SEPARATE @transient
+    * lazy vals (not one tuple-destructured val): Scala 2 attaches the
+    * annotation to the synthetic tuple field only when the val is flat,
+    * so a tuple pattern would silently serialize the computed tables with
+    * the expression. */
+  @transient private lazy val sortedDigests: Seq[Array[Byte]] =
+    digestsHex.map(h => CrackKernels.hexToBytes(h.toLowerCase))
       .sortWith((a, b) => java.util.Arrays.compare(a, b) < 0)
-    val out = new Array[Byte](sorted.length * 20)
-    sorted.zipWithIndex.foreach { case (d, i) =>
+
+  /** Sorted flat digest bytes (the binary-search table). */
+  @transient lazy val flat: Array[Byte] = {
+    val out = new Array[Byte](sortedDigests.length * 20)
+    sortedDigests.zipWithIndex.foreach { case (d, i) =>
       System.arraycopy(d, 0, out, i * 20, 20)
     }
-    (out, sorted.map(d => d.map("%02x".format(_)).mkString))
+    out
   }
+
+  /** The hex string at each sorted slot (maps match index → digest). */
+  @transient lazy val sortedHex: Seq[String] =
+    sortedDigests.map(d => d.map("%02x".format(_)).mkString)
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sha1_multi_ordinal_match"

@@ -76,7 +76,14 @@ object EventQueries {
     * within the partition, and carries the latest right-side row forward
     * with `last(_, ignoreNulls)` — O(n log n) per partition, no pair
     * blowup, and AQE-friendly. Right rows sort before left rows at equal
-    * timestamps, giving ASOF `>=` (inclusive) semantics. */
+    * timestamps, giving ASOF `>=` (inclusive) semantics.
+    *
+    * PRECONDITION for oracle parity: at most one click per `(user_id,
+    * ts)` (asserted on the test data in RelationalSpec). With ties, this
+    * implementation deterministically keeps the max `src_id` (the sort
+    * carries `src_id` ascending and `last` wins), but SQL ASOF JOIN
+    * leaves the tie choice unspecified, so equal-timestamp clicks could
+    * legitimately differ from a given oracle engine. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),

@@ -72,8 +72,10 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
         * omission) rather than silently SHIFTING count-based slices onto
         * the wrong files. Contract (same as Spark's FileStreamSource plus
         * monotone naming): a capture file APPEARS ATOMICALLY with its
-        * final content (write to a non-`.lsp` temp name, then rename —
-        * [[LspFrameFiles.write]] does), is never modified after
+        * final content (standalone files: write to a non-`.lsp` temp
+        * name, then rename; writer batches: every part plus a final
+        * commit marker, which [[LspFrameFiles.write]] publishes last so
+        * the batch is all-or-nothing), is never modified after
         * appearing, and names are monotone in arrival order (e.g.
         * zero-padded batch+part counters). A capture dir must use ONE
         * naming scheme for its lifetime — mixing schemes can place new
@@ -108,6 +110,13 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
 
 private[sources] object LspFrameTable {
 
+  /** Part files of a writer batch: visible ONLY once their batch's commit
+    * marker exists (the marker is the single atomic step that publishes
+    * the whole batch — see [[LspFrameFiles.write]]). Any other `.lsp`
+    * file (hand-made captures, external producers) is standalone and
+    * visible as soon as it appears. */
+  private[sources] val BatchPart = "^(batch-\\d{5})-part-\\d{5}\\.lsp$".r
+
   /** Capture files under `path` as (fileName, absolutePath), sorted by
     * NAME — the watermark compares names only, so a checkpoint stays
     * valid when the same directory is reached via a different path
@@ -120,8 +129,17 @@ private[sources] object LspFrameTable {
       val listed = dir.listFiles() // null on race/permission failure
       if (listed == null)
         throw new java.io.IOException(s"cannot list capture dir $path")
-      listed.filter(_.getName.endsWith(".lsp"))
-        .map(f => (f.getName, f.getAbsolutePath)).sortBy(_._1)
+      // one listing decides both data files and commit markers, so a
+      // reader never sees a part whose marker it did not also see
+      val committed = listed.map(_.getName)
+        .collect { case n if n.endsWith(".commit") => n.stripSuffix(".commit") }
+        .toSet
+      listed.filter { f =>
+        f.getName.endsWith(".lsp") && (f.getName match {
+          case BatchPart(b) => committed.contains(b)
+          case _ => true
+        })
+      }.map(f => (f.getName, f.getAbsolutePath)).sortBy(_._1)
     } else if (dir.isFile) Array((dir.getName, dir.getAbsolutePath))
     else if (tolerateMissing) Array.empty
     else throw new java.io.FileNotFoundException(
@@ -171,20 +189,32 @@ private[sources] class LspFrameReader(file: String)
 /** Writer-side helper: persist `(connid, seqnum, payload)` rows as
   * length-prefixed capture files, one per input partition, honoring the
   * streaming contract: monotone batch numbering (repeated writes into
-  * the same dir continue the sequence instead of clobbering), and each
-  * file appears atomically via write-to-temp + rename. */
+  * the same dir continue the sequence instead of clobbering), and the
+  * whole BATCH appears atomically — parts are invisible to
+  * [[LspFrameTable.listCaptures]] until the batch's single commit marker
+  * lands, so a concurrent reader can never consume half a batch. */
 object LspFrameFiles {
 
   def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
     val d = new java.io.File(dir)
     d.mkdirs()
-    // single-writer contract: any leftover temp is an abandoned earlier
-    // attempt — clear it so a retry can't collide with or leak it
-    Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".lsp.tmp")).foreach(_.delete())
-    // continue the batch sequence past anything already present
+    // single-writer contract: leftover temps and UNCOMMITTED parts are an
+    // abandoned earlier attempt — readers never saw them (no commit
+    // marker), so clearing them is safe and keeps a retry from colliding
+    val listed0 = Option(d.listFiles()).getOrElse(Array.empty)
+    val committed0 = listed0.map(_.getName)
+      .collect { case n if n.endsWith(".commit") => n.stripSuffix(".commit") }
+      .toSet
+    listed0.filter { f =>
+      f.getName.endsWith(".lsp.tmp") || (f.getName match {
+        case LspFrameTable.BatchPart(b) => !committed0.contains(b)
+        case _ => false
+      })
+    }.foreach(_.delete())
+    // continue the batch sequence past anything already present (count
+    // markers too, so a crashed-after-commit batch number is never reused)
     val existing = Option(d.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.endsWith(".lsp"))
+      .map(_.getName).filter(n => n.endsWith(".lsp") || n.endsWith(".commit"))
     val batch = existing
       .flatMap(n => "batch-(\\d{5})".r.findFirstMatchIn(n).map(_.group(1).toInt))
       .foldLeft(-1)(math.max) + 1
@@ -210,23 +240,31 @@ object LspFrameFiles {
         Iterator.single(name)
       }
       .collect()
-    // all-or-nothing finalize: if any rename fails, roll back the parts
-    // already made visible in THIS batch (and all temps) before
-    // rethrowing — a half-visible batch would duplicate its rows when
-    // the caller retries under the next batch number
-    val finalized = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    // marker-last publish: renamed parts stay INVISIBLE to readers (they
+    // match the batch-part pattern and have no commit marker yet), so the
+    // whole batch appears atomically when the single marker file lands.
+    // A failure anywhere before the marker leaves nothing visible — no
+    // reader can have consumed a part that a retry would re-write, which
+    // is what makes the retry-under-next-batch-number duplicate-free even
+    // with a concurrent micro-batch stream on the directory.
     try {
       parts.sorted.foreach { name =>
         val tmp = new java.io.File(dir, name + ".tmp")
         val dst = new java.io.File(dir, name)
         if (!tmp.renameTo(dst))
           throw new java.io.IOException(s"cannot finalize capture $name")
-        finalized += dst
       }
+      val marker = new java.io.File(dir, f"batch-$batch%05d.commit")
+      if (!marker.createNewFile())
+        throw new java.io.IOException(s"cannot commit capture batch $batch")
     } catch {
       case e: Throwable =>
-        finalized.foreach(_.delete())
-        parts.foreach(n => new java.io.File(dir, n + ".tmp").delete())
+        // best-effort cleanup of the (invisible) debris; the next write
+        // clears whatever survives a crash here
+        parts.foreach { n =>
+          new java.io.File(dir, n).delete()
+          new java.io.File(dir, n + ".tmp").delete()
+        }
         throw e
     }
   }

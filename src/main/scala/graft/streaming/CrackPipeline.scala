@@ -66,11 +66,11 @@ object CrackPipeline {
     out
   }
 
-  /** Request stream → per-partition verdict stream (the fan-out/scan/fan-in
-    * of `server.c:333-438` + `worker.c`). */
-  def verdictStream(jobs: Dataset[CrackJob]): Dataset[PartitionVerdict] = {
+  /** Request stream → tile-task stream (the fan-out of
+    * `server.c:333-438`), spread by (reqId, partId) — partitioning by
+    * partId alone would co-locate tile i of every concurrent request. */
+  private def tileStream(jobs: Dataset[CrackJob]): Dataset[TileTask] = {
     implicit val tileEnc = Encoders.product[TileTask]
-    implicit val verdictEnc = Encoders.product[PartitionVerdict]
     jobs
       .flatMap { job =>
         // malformed requests are dropped silently, mirroring the reference
@@ -90,18 +90,42 @@ object CrackPipeline {
           }
         }
       }
-      // spread by (reqId, partId): partitioning by partId alone co-locates
-      // tile i of every concurrent request in one task
       .repartition(org.apache.spark.sql.functions.col("reqId"),
         org.apache.spark.sql.functions.col("partId"))
-      .map { t =>
-        val hit = scanTile(t.hashHex, t.len, t.lo, t.hi)
-        PartitionVerdict(t.reqId, t.partId, t.nParts,
-          found = hit.isDefined, hit.orNull)
-      }
+  }
+
+  /** Request stream → per-partition verdict stream (the fan-out/scan/fan-in
+    * of `server.c:333-438` + `worker.c`). */
+  def verdictStream(jobs: Dataset[CrackJob]): Dataset[PartitionVerdict] = {
+    implicit val verdictEnc = Encoders.product[PartitionVerdict]
+    tileStream(jobs).map { t =>
+      val hit = scanTile(t.hashHex, t.len, t.lo, t.hi)
+      PartitionVerdict(t.reqId, t.partId, t.nParts,
+        found = hit.isDefined, hit.orNull)
+    }
+  }
+
+  /** Verdicts carrying the job spec — the recovery-capable fan-in input
+    * ([[CrackService.replyStreamRecovering]] rescans overdue tiles from
+    * these fields). */
+  def jobVerdictStream(jobs: Dataset[CrackJob]): Dataset[CrackService.JobVerdict] = {
+    implicit val verdictEnc = Encoders.product[CrackService.JobVerdict]
+    tileStream(jobs).map { t =>
+      val hit = scanTile(t.hashHex, t.len, t.lo, t.hi)
+      CrackService.JobVerdict(t.reqId, t.partId, t.nParts, t.hashHex, t.len,
+        found = hit.isDefined, hit.orNull)
+    }
   }
 
   /** Full pipeline: requests in, replies out. */
   def replyStream(jobs: Dataset[CrackJob]): Dataset[CrackReply] =
     CrackService.replyStream(verdictStream(jobs))
+
+  /** Full pipeline with straggler recovery: a request whose worker
+    * verdicts stall for `timeoutMs` of processing time has its unheard
+    * tiles rescanned in the fan-in, completing the reply the reference's
+    * stub rescheduler (`server.c:440-447`) never could. */
+  def replyStreamRecovering(
+      jobs: Dataset[CrackJob], timeoutMs: Long): Dataset[CrackReply] =
+    CrackService.replyStreamRecovering(jobVerdictStream(jobs), timeoutMs)
 }

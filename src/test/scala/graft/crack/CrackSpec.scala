@@ -70,6 +70,41 @@ class CrackSpec extends SparkSpec {
       === None)
   }
 
+  test("cancellingScan: early hit cancels sibling tasks (launched < tiles)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskStart}
+    // sha1("aaaaa") — ordinal 0, so tile 0 hits instantly while 255 other
+    // tiles are queued behind local[4]'s cores
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val hash = md.digest("aaaaa".getBytes).map("%02x".format(_)).mkString
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val counter = new SparkListener {
+      override def onTaskStart(ts: SparkListenerTaskStart): Unit =
+        started.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val (lo, hi) = graft.keyspace.Keyspace.fullRange(5)
+      assert(CrackQuery.cancellingScan(spark, hash, 5, lo, hi,
+        parallelism = 256) === Some("aaaaa"))
+      // listener bus is async — wait for the count to settle
+      val deadline = System.nanoTime() + 5_000_000_000L
+      var last = -1
+      while (System.nanoTime() < deadline && started.get() != last) {
+        last = started.get()
+        Thread.sleep(100)
+      }
+      assert(started.get() < 256,
+        s"cancel-on-hit must keep queued tiles from launching, started=${started.get()}")
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
+  test("cancellingScan: miss scans everything and returns None") {
+    // "1234"'s sha1 has no len-2 preimage
+    assert(CrackQuery.cancellingScan(spark,
+      "7110eda4d09e062aa5e4a390b0a572ac0d2c0220", 2, 0L, 675L,
+      parallelism = 8) === None)
+  }
+
   test("crackMany: batch of hashes in one scan (fused == broadcast join)") {
     val hashes = Seq(
       "81fe8bfe87576c3ecb22426f8e57847382917acf", // abcd

@@ -31,6 +31,33 @@ class LspFrameSourceSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("batch parts stay invisible until the commit marker lands") {
+    val dir = Files.createTempDirectory("graft_lsp_commit").toFile.getAbsolutePath
+    // a writer-batch part WITHOUT its marker: a reader must not see it
+    // (this is the crash-window state of LspFrameFiles.write)
+    val part = new java.io.File(dir, "batch-00000-part-00000.lsp")
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream(part))
+    val frame = graft.lsp.LspWire.encode(7L, 1L, Array[Byte](1, 2))
+    out.writeInt(frame.length); out.write(frame); out.close()
+    assert(spark.read.format("graft.sources.LspFrameSource").load(dir)
+      .count() === 0)
+    // the marker publishes the batch atomically
+    new java.io.File(dir, "batch-00000.commit").createNewFile()
+    assert(spark.read.format("graft.sources.LspFrameSource").load(dir)
+      .count() === 1)
+    // a retrying writer clears uncommitted debris and never re-exposes it
+    val junk = new java.io.File(dir, "batch-00001-part-00003.lsp")
+    junk.createNewFile()
+    val src = spark.range(0, 10)
+      .select(col("id").as("connid"), lit(1L).as("seqnum"),
+        lit(Array[Byte](9)).as("payload"))
+      .repartition(2)
+    LspFrameFiles.write(src, dir)
+    assert(!junk.exists(), "uncommitted leftover part must be cleaned")
+    assert(spark.read.format("graft.sources.LspFrameSource").load(dir)
+      .count() === 11)
+  }
+
   test("micro-batch stream picks up files appended to the capture dir") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_lsp_stream").toFile.getAbsolutePath

@@ -51,6 +51,75 @@ class StreamingSpec extends SparkSpec {
     assert(replies === Seq(CrackReply(2L, "f", "mzzz")))
   }
 
+  test("T8 straggler recovery: dropped verdict's tile is rescanned on timeout") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // "ab" is ordinal 1 at len 2; 3 tiles over [0, 675] put it in tile 0.
+    // Feed verdicts for tiles 1 and 2 only (tile 0's worker is lost),
+    // then fire the processing-time timeout: recovery must rescan tile 0
+    // and reply f/ab.
+    val hash = "da23614e02469a0d7c7bd1bdab5c9c474b1904dc"
+    val fold = CrackService.foldVerdictsRecovering(
+      1000L, CrackPipeline.scanTile) _
+    val state = TestGroupState.create[RecoveryState](
+      optionalState = org.apache.spark.api.java.Optional.empty[RecoveryState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 1000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    val live = fold(21L, Iterator(
+      JobVerdict(21L, 1, 3, hash, 2, found = false, null),
+      JobVerdict(21L, 2, 3, hash, 2, found = false, null)), state).toSeq
+    assert(live.isEmpty, "incomplete request must not reply yet")
+    assert(state.exists && state.get.seen.toSet === Set(1, 2))
+    assert(state.getTimeoutTimestampMs.isPresent, "timer must be armed")
+    val timedOut = TestGroupState.create[RecoveryState](
+      optionalState = org.apache.spark.api.java.Optional.of(state.get),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 5000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = fold(21L, Iterator.empty, timedOut).toSeq
+    assert(out === Seq(CrackReply(21L, "f", "ab")))
+    assert(timedOut.isRemoved)
+  }
+
+  test("T8 straggler recovery: all-lost not-found request still answers x") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    val hash = "7110eda4d09e062aa5e4a390b0a572ac0d2c0220" // "1234": no len-2 preimage
+    val fold = CrackService.foldVerdictsRecovering(
+      1000L, CrackPipeline.scanTile) _
+    val timedOut = TestGroupState.create[RecoveryState](
+      optionalState = org.apache.spark.api.java.Optional.of(
+        RecoveryState(hash, 2, 4, Seq(0, 2), found = false, null, replied = false)),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+      batchProcessingTimeMs = 5000L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = true)
+    val out = fold(33L, Iterator.empty, timedOut).toSeq
+    assert(out === Seq(CrackReply(33L, "x", null)))
+    assert(timedOut.isRemoved)
+  }
+
+  test("recovering pipeline end-to-end (timers off) matches the plain fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[CrackPipeline.CrackJob]
+    val name = s"recov_${System.nanoTime()}"
+    // timeoutMs = 0: NoTimeout mode — identical semantics to replyStream,
+    // and processAllAvailable terminates (timer batches would spin it)
+    val q = CrackPipeline.replyStreamRecovering(input.toDS(), timeoutMs = 0L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        CrackPipeline.CrackJob(41L, "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", 2, 4),
+        CrackPipeline.CrackJob(42L, "7110eda4d09e062aa5e4a390b0a572ac0d2c0220", 2, 4)))
+      q.processAllAvailable()
+      val replies = spark.table(name).as[CrackReply].collect().toSet
+      assert(replies === Set(
+        CrackReply(41L, "f", "ab"), CrackReply(42L, "x", null)))
+    } finally q.stop()
+  }
+
   test("independent requests keep independent state") {
     val replies = runVerdicts(Seq(
       Seq(PartitionVerdict(10L, 0, 1, found = false, null),
