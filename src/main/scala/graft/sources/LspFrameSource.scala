@@ -195,12 +195,12 @@ private[sources] class LspFrameReader(file: String)
   * lands, so a concurrent reader can never consume half a batch. */
 object LspFrameFiles {
 
-  def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
-    val d = new java.io.File(dir)
+  /** Clear abandoned debris (temps + uncommitted parts — readers never
+    * saw either) and return the next batch number. Markers count toward
+    * the sequence too, so a crashed-after-commit batch number is never
+    * reused. Single-writer contract. */
+  private def prepareNextBatch(d: java.io.File): Int = {
     d.mkdirs()
-    // single-writer contract: leftover temps and UNCOMMITTED parts are an
-    // abandoned earlier attempt — readers never saw them (no commit
-    // marker), so clearing them is safe and keeps a retry from colliding
     val listed0 = Option(d.listFiles()).getOrElse(Array.empty)
     val committed0 = listed0.map(_.getName)
       .collect { case n if n.endsWith(".commit") => n.stripSuffix(".commit") }
@@ -211,13 +211,44 @@ object LspFrameFiles {
         case _ => false
       })
     }.foreach(_.delete())
-    // continue the batch sequence past anything already present (count
-    // markers too, so a crashed-after-commit batch number is never reused)
     val existing = Option(d.listFiles()).getOrElse(Array.empty)
       .map(_.getName).filter(n => n.endsWith(".lsp") || n.endsWith(".commit"))
-    val batch = existing
+    existing
       .flatMap(n => "batch-(\\d{5})".r.findFirstMatchIn(n).map(_.group(1).toInt))
       .foldLeft(-1)(math.max) + 1
+  }
+
+  /** Marker-last publish: renamed parts stay INVISIBLE to readers (they
+    * match the batch-part pattern and have no commit marker yet), so the
+    * whole batch appears atomically when the single marker file lands.
+    * A failure anywhere before the marker leaves nothing visible — no
+    * reader can have consumed a part that a retry would re-write, which
+    * is what makes the retry-under-next-batch-number duplicate-free even
+    * with a concurrent micro-batch stream on the directory. */
+  private def publishBatch(dir: String, batch: Int, parts: Seq[String]): Unit =
+    try {
+      parts.sorted.foreach { name =>
+        val tmp = new java.io.File(dir, name + ".tmp")
+        val dst = new java.io.File(dir, name)
+        if (!tmp.renameTo(dst))
+          throw new java.io.IOException(s"cannot finalize capture $name")
+      }
+      val marker = new java.io.File(dir, f"batch-$batch%05d.commit")
+      if (!marker.createNewFile())
+        throw new java.io.IOException(s"cannot commit capture batch $batch")
+    } catch {
+      case e: Throwable =>
+        // best-effort cleanup of the (invisible) debris; the next write
+        // clears whatever survives a crash here
+        parts.foreach { n =>
+          new java.io.File(dir, n).delete()
+          new java.io.File(dir, n + ".tmp").delete()
+        }
+        throw e
+    }
+
+  def write(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val batch = prepareNextBatch(new java.io.File(dir))
     // two-phase: tasks write temp files in parallel; the DRIVER renames
     // them in ASCENDING order once the job is done. Task-side renames
     // would appear in arbitrary completion order, letting a concurrent
@@ -240,32 +271,94 @@ object LspFrameFiles {
         Iterator.single(name)
       }
       .collect()
-    // marker-last publish: renamed parts stay INVISIBLE to readers (they
-    // match the batch-part pattern and have no commit marker yet), so the
-    // whole batch appears atomically when the single marker file lands.
-    // A failure anywhere before the marker leaves nothing visible — no
-    // reader can have consumed a part that a retry would re-write, which
-    // is what makes the retry-under-next-batch-number duplicate-free even
-    // with a concurrent micro-batch stream on the directory.
+    publishBatch(dir, batch, parts.toSeq)
+  }
+
+  /** Local (non-Spark) batch writer for ALREADY-ENCODED frames — the
+    * ingestion half of [[LspSocketBridge]]: one part file, same numbering
+    * and commit-marker atomicity as [[write]], so a running micro-batch
+    * stream sees each flush as one all-or-nothing batch. */
+  def writeFramesLocal(frames: Seq[Array[Byte]], dir: String): Unit = {
+    if (frames.isEmpty) return
+    val batch = prepareNextBatch(new java.io.File(dir))
+    val name = f"batch-$batch%05d-part-00000.lsp"
+    val tmp = new java.io.File(dir, name + ".tmp")
+    val out = new DataOutputStream(
+      new java.io.BufferedOutputStream(new FileOutputStream(tmp)))
     try {
-      parts.sorted.foreach { name =>
-        val tmp = new java.io.File(dir, name + ".tmp")
-        val dst = new java.io.File(dir, name)
-        if (!tmp.renameTo(dst))
-          throw new java.io.IOException(s"cannot finalize capture $name")
+      frames.foreach { frame =>
+        out.writeInt(frame.length)
+        out.write(frame)
       }
-      val marker = new java.io.File(dir, f"batch-$batch%05d.commit")
-      if (!marker.createNewFile())
-        throw new java.io.IOException(s"cannot commit capture batch $batch")
-    } catch {
-      case e: Throwable =>
-        // best-effort cleanup of the (invisible) debris; the next write
-        // clears whatever survives a crash here
-        parts.foreach { n =>
-          new java.io.File(dir, n).delete()
-          new java.io.File(dir, n + ".tmp").delete()
-        }
-        throw e
+    } finally out.close()
+    publishBatch(dir, batch, Seq(name))
+  }
+}
+
+/** Live S3 ingestion: drains a UDP socket into atomic capture batches,
+  * bridging the reference's blocking `recvfrom` loop
+  * (`lsp_common.c:54-95`) onto the micro-batch DSv2 source — a running
+  * `readStream` on the capture dir sees live traffic end-to-end, each
+  * datagram exactly once.
+  *
+  * One datagram = one LSP wire frame (exactly the reference's transport
+  * granularity); payloads are stored RAW — the scan-side decoder already
+  * skips malformed frames, so the bridge never needs to parse, and a
+  * corrupt datagram costs a scan-side skip instead of an ingest crash.
+  * Frames are buffered and flushed as a commit-marked batch every
+  * `flushCount` datagrams or `flushMillis` of quiet, whichever first —
+  * the latency/file-size dial. Single bridge per directory (the writer
+  * contract); scale-out is one bridge+directory per listening port, with
+  * the stream reading the union. */
+final class LspSocketBridge(
+    dir: String, port: Int = 0, flushCount: Int = 256, flushMillis: Long = 200L) {
+
+  private val socket = new java.net.DatagramSocket(port)
+  @volatile private var running = false
+  private var thread: Thread = _
+
+  /** Bound UDP port (useful when constructed with the ephemeral port 0). */
+  def localPort: Int = socket.getLocalPort
+
+  def start(): this.type = synchronized {
+    require(thread == null, "bridge already started")
+    running = true
+    thread = new Thread(() => loop(), s"lsp-socket-bridge-$localPort")
+    thread.setDaemon(true)
+    thread.start()
+    this
+  }
+
+  /** Stop receiving, flush buffered frames, close the socket. */
+  def stop(): Unit = synchronized {
+    running = false
+    if (thread != null) { thread.join(10000); thread = null }
+    socket.close()
+  }
+
+  private def loop(): Unit = {
+    val buf = new Array[Byte](65535) // max UDP payload; frames are small
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var lastFlush = System.nanoTime()
+    socket.setSoTimeout(20)
+    def flush(): Unit = if (pending.nonEmpty) {
+      LspFrameFiles.writeFramesLocal(pending.toSeq, dir)
+      pending.clear()
+      lastFlush = System.nanoTime()
     }
+    while (running) {
+      val packet = new java.net.DatagramPacket(buf, buf.length)
+      try {
+        socket.receive(packet)
+        pending += java.util.Arrays.copyOfRange(buf, 0, packet.getLength)
+      } catch {
+        case _: java.net.SocketTimeoutException => // idle tick → check flush
+      }
+      if (pending.size >= flushCount ||
+        (pending.nonEmpty &&
+          (System.nanoTime() - lastFlush) / 1000000L >= flushMillis))
+        flush()
+    }
+    flush() // drain the tail on stop
   }
 }

@@ -88,6 +88,45 @@ class LspFrameSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("socket bridge: live datagrams reach a running stream exactly once") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_lsp_bridge").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_lsp_bridge_ck").toFile.getAbsolutePath
+    val bridge = new LspSocketBridge(dir, flushCount = 16, flushMillis = 40L)
+      .start()
+    val name = s"lspbridge_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.LspFrameSource").load(dir)
+      .select(col("connid"), col("seqnum"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val sender = new java.net.DatagramSocket()
+    try {
+      val addr = new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, bridge.localPort)
+      // send while the stream runs — batches land concurrently with reads
+      (0 until 100).foreach { i =>
+        val frame = graft.lsp.LspWire.encode(i.toLong, (i * 7 + 1).toLong,
+          Array[Byte]((i % 127).toByte))
+        sender.send(new java.net.DatagramPacket(frame, frame.length, addr))
+        if (i % 25 == 24) q.processAllAvailable()
+      }
+      // UDP on loopback does not reorder/drop in practice, but the bridge
+      // flushes on its own clock — poll until everything arrived
+      val deadline = System.nanoTime() + 30_000_000_000L
+      def seen() = { q.processAllAvailable(); spark.table(name).count() }
+      while (seen() < 100 && System.nanoTime() < deadline) Thread.sleep(50)
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === 100, s"expected 100 rows, got ${rows.length}")
+      // exactly once: no duplicates, every datagram present
+      assert(rows.toSet === (0 until 100)
+        .map(i => (i.toLong, (i * 7 + 1).toLong)).toSet)
+    } finally {
+      q.stop(); bridge.stop(); sender.close()
+    }
+  }
+
   test("stream tolerates a capture dir that does not exist yet") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graft_lsp_race").toFile
