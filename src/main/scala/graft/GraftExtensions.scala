@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
 import graft.keyspace.{NumToPass, PassToNum, Sha1MultiOrdinalMatch, Sha1OrdinalMatch}
-import graft.lsp.{LspDecode, LspEncode}
+import graft.lsp.{LspDecode, LspEncode, ProtoDecode, ProtoEncode}
 import graft.similarity.{FloatVectorDot, HyperplaneBucket}
 import graft.text.{MinHashSig, ShingleSet, SimHashBands}
 
@@ -86,6 +86,17 @@ object GraftExtensions {
     }
   }
 
+  /** A foldable string argument (e.g. a proto field spec). */
+  private def stringArg(name: String, e: Expression): String = {
+    require(e.foldable, s"$name requires a literal string argument")
+    e.eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name requires a literal string argument, got $other")
+    }
+  }
+
   /** Every SQL-exposed native expression, shared by the extensions hook
     * and per-session registration. */
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -162,5 +173,13 @@ object GraftExtensions {
     "lsp_decode" -> { args: Seq[Expression] =>
       arity("lsp_decode", 1, args)
       LspDecode(Cast(args(0), BinaryType))
+    },
+    "proto_decode" -> { args: Seq[Expression] =>
+      arity("proto_decode", 2, args)
+      ProtoDecode(Cast(args(0), BinaryType), stringArg("proto_decode", args(1)))
+    },
+    "proto_encode" -> { args: Seq[Expression] =>
+      arity("proto_encode", 2, args)
+      ProtoEncode(args(0), stringArg("proto_encode", args(1)))
     })
 }

@@ -83,6 +83,9 @@ object SparkEntry {
     "q_gap_detect" -> (LspAnalytics.qGapDetect _),
     "q_lsp_classify" -> (LspAnalytics.qLspClassify _),
     "q_lsp_wire_roundtrip" -> (LspAnalytics.qLspWireRoundtrip _),
+    // generic descriptor-driven codec: evolved writer, base + evolved
+    // readers — unknown-field skip and default fill both graded
+    "q_proto_evolution" -> (LspAnalytics.qProtoEvolution _),
     "q_retransmit_detect" -> (LspAnalytics.qRetransmitDetect _),
     // -- text analysis (north star) --
     "q_text_stats_by_lang" -> (TextOps.qTextStatsByLang _),
@@ -454,6 +457,13 @@ object SparkEntry {
     "q_lsp_wire_roundtrip" -> (logCte +
       """
         |SELECT connid, seqnum, payload FROM log""".stripMargin),
+    // the wire roundtrip is the identity on the log; the evolved fields
+    // recompute directly from their source expressions
+    "q_proto_evolution" -> (logCte +
+      """
+        |SELECT event_id, connid, seqnum, payload,
+        |  event_id % 3 AS priority, substr(payload, 1, 1) AS tag
+        |FROM log""".stripMargin),
     "q_retransmit_detect" -> (logCte +
       """,
         |dup AS (SELECT * FROM log

@@ -49,6 +49,18 @@ object functions {
   def lsp_decode(frame: Column): Column =
     col(graft.lsp.LspDecode(expr(frame)))
 
+  /** Schema-driven protobuf decode → typed struct per the spec string
+    * (`"1:connid:uint64,2:seqnum:uint64,3:payload:bytes"`); NULL on
+    * malformed bytes. The generalized [[lsp_decode]] — evolved schemas
+    * are a spec change, not a code change. */
+  def proto_decode(frame: Column, spec: String): Column =
+    col(graft.lsp.ProtoDecode(expr(frame), spec))
+
+  /** Schema-driven protobuf encode of a struct column (fields positional
+    * against the spec). */
+  def proto_encode(message: Column, spec: String): Column =
+    col(graft.lsp.ProtoEncode(expr(message), spec))
+
   /** Distinct n-token shingles (native single-pass kernel). */
   def shingle_set(text: Column, n: Int): Column =
     col(graft.text.ShingleSet(Cast(expr(text), StringType), n))

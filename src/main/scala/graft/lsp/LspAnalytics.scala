@@ -146,6 +146,35 @@ object LspAnalytics {
         col("m.payload").cast("string").as("payload"))
   }
 
+  /** S4/S5 generalization — schema-driven codec + schema EVOLUTION in one
+    * relation: each log row is encoded by an EVOLVED writer (two extra
+    * fields: a priority varint and a string tag), then read back by (a)
+    * the evolved reader (full fidelity) and (b) the frozen base-schema
+    * reader, which must skip the unknown fields and still recover the
+    * original message — the forward-compatibility contract protobuf
+    * exists for, exercised end-to-end through [[ProtoCodec]]. The oracle
+    * asserts both: identity on the base columns and fidelity of the
+    * evolved ones. */
+  def qProtoEvolution(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{proto_decode, proto_encode}
+    val base = "1:connid:uint64,2:seqnum:uint64,3:payload:bytes"
+    val evolved = base + ",4:priority:uint64,5:tag:string"
+    messageLog(spark, dir)
+      .select(col("event_id"),
+        proto_encode(
+          struct(col("connid"), col("seqnum"), col("payload").cast("binary"),
+            (col("event_id") % 3).as("priority"),
+            substring(col("payload"), 1, 1).as("tag")),
+          evolved).as("frame"))
+      .select(col("event_id"),
+        proto_decode(col("frame"), base).as("b"),
+        proto_decode(col("frame"), evolved).as("e"))
+      .select(col("event_id"),
+        col("b.connid").as("connid"), col("b.seqnum").as("seqnum"),
+        col("b.payload").cast("string").as("payload"),
+        col("e.priority").as("priority"), col("e.tag").as("tag"))
+  }
+
   /** LSP classifier census: joins modeled as CONN_REQ (connid 0 sentinel,
     * `lsp_common.c:150-151`), empty payloads as ACKs. */
   def qLspClassify(spark: SparkSession, dir: String): DataFrame =

@@ -154,17 +154,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("T2 timeout branch: eviction emits TIMEOUT_CLOSED and clears state") {
+  test("T4 epoch branch: quiet epochs re-ACK last delivered, then T2 evicts") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    def fire(st: ConnState): (Seq[ConnEvent], TestGroupState[ConnState]) = {
+      val state = TestGroupState.create[ConnState](
+        optionalState = org.apache.spark.api.java.Optional.of(st),
+        timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
+        batchProcessingTimeMs = 1000L,
+        eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = true)
+      (SessionTracker.trackConn(2000L, 5)(5L, Iterator.empty, state).toSeq, state)
+    }
+    // epochs 1..4 quiet: keep-alive re-ACK of seqnum 6 (expectedNext 7),
+    // silent count climbs, timer re-arms
+    val (out1, st1) = fire(ConnState(7L))
+    assert(out1 === Seq(ConnEvent(5L, SessionTracker.KeepAliveAck, 6L)))
+    assert(st1.get === ConnState(7L, silentEpochs = 1))
+    assert(st1.getTimeoutTimestampMs.isPresent)
+    val (out4, st4) = fire(ConnState(7L, silentEpochs = 3))
+    assert(out4 === Seq(ConnEvent(5L, SessionTracker.KeepAliveAck, 6L)))
+    assert(st4.get === ConnState(7L, silentEpochs = 4))
+    // 5th consecutive quiet epoch: eviction
+    val (out5, st5) = fire(ConnState(7L, silentEpochs = 4))
+    assert(out5 === Seq(ConnEvent(5L, SessionTracker.TimedOut, -1L)))
+    assert(st5.isRemoved)
+  }
+
+  test("T2 liveness resets on traffic: a packet zeroes the silent count") {
     import org.apache.spark.sql.streaming.TestGroupState
     val state = TestGroupState.create[ConnState](
-      optionalState = org.apache.spark.api.java.Optional.of(ConnState(7L)),
+      optionalState = org.apache.spark.api.java.Optional.of(
+        ConnState(3L, silentEpochs = 4)),
       timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout(),
       batchProcessingTimeMs = 1000L,
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
-      hasTimedOut = true)
-    val out = SessionTracker.trackConn(10000L)(5L, Iterator.empty, state).toSeq
-    assert(out === Seq(ConnEvent(5L, SessionTracker.TimedOut, -1L)))
-    assert(state.isRemoved)
+      hasTimedOut = false)
+    val out = SessionTracker.trackConn(2000L, 5)(5L,
+      Iterator(LspPacket(5L, 3L, 1)), state).toSeq
+    assert(out === Seq(ConnEvent(5L, SessionTracker.Delivered, 3L)))
+    assert(state.get === ConnState(4L, silentEpochs = 0))
   }
 
   test("F5 ordering within a batch follows seqnum order, not arrival order") {
@@ -176,7 +204,7 @@ class StreamingSpec extends SparkSpec {
       eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
       hasTimedOut = false)
     // arrival order 3,1,2 — the tracker sorts, so all three deliver
-    val out = SessionTracker.trackConn(0L)(9L, Iterator(
+    val out = SessionTracker.trackConn(0L, 0)(9L, Iterator(
       LspPacket(9L, 3L, 1), LspPacket(9L, 1L, 1), LspPacket(9L, 2L, 1)), state).toSeq
     assert(out.map(_.event).forall(_ == SessionTracker.Delivered))
     assert(state.get === ConnState(4L))
