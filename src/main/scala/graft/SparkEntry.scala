@@ -6,6 +6,7 @@ import graft.crack.CrackQueries
 import graft.dedup.Dedup
 import graft.lsp.LspAnalytics
 import graft.multimodal.Multimodal
+import graft.pipeline.TrainingData
 import graft.relational.{EventQueries, RelationalQueries, SqlQueries}
 import graft.similarity.Similarity
 import graft.text.TextOps
@@ -128,6 +129,14 @@ object SparkEntry {
     // approximation carries a full oracle (unlike LSH)
     "q_ann_q8" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnQuantized(s, d)),
+    // -- corpus preparation (north star) --
+    // connected components over the exact-verified near-dup pairs;
+    // oracled by DuckDB recursive-CTE reachability
+    "q_dedup_clusters" -> (TrainingData.qDedupClusters _),
+    "q_split_assign" -> (TrainingData.qSplitAssign _),
+    "q_stratified_sample" -> (TrainingData.qStratifiedSample _),
+    "q_pack_sequences" -> ((s: SparkSession, d: String) =>
+      TrainingData.qPackSequences(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -614,6 +623,60 @@ object SparkEntry {
         |  CAST(0.5 AS DOUBLE) AS p50_rank,
         |  CAST(0.95 AS DOUBLE) AS p95_rank
         |FROM events GROUP BY 1""".stripMargin,
+    // independent fixpoint formulation: recursive-CTE reachability over
+    // the same exact-Jaccard pair relation, min reachable id = cluster
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(l) - 2, 1)),
+        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM ip
+        |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+        |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+        |          AS BIGINT) AS bucket
+        |      FROM documents)""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT event_type, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+        |    AS achieved_rate
+        |FROM (SELECT event_type,
+        |        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT % 1000
+        |          < (CASE WHEN event_type = 'purchase' THEN 1000
+        |                  WHEN event_type = 'click' THEN 100 ELSE 10 END) AS keep
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |r AS (SELECT lang, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |      FROM t)
+        |SELECT lang, CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill
+        |FROM r GROUP BY 1, 2""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  upper(hex(substring(text, 1, 8))) AS header_hex,

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.relational.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs AFTER
+  * dedup/quality scoring: cluster near-duplicates and pick canonical
+  * docs, assign deterministic train/val/test splits, stratify-sample by
+  * class, and pack documents into fixed token budgets. Everything is
+  * hash- or order-deterministic (no RNG state), so identical inputs give
+  * identical corpora on any cluster size — the reproducibility property
+  * training pipelines need and `rand()`-based sampling can't give.
+  */
+object TrainingData {
+
+  import Tables.load
+
+  /** Near-dup CLUSTERS from the exact-verified pair relation: connected
+    * components, labeled by the minimum doc_id in each component, with
+    * the canonical-keeper flag (the member equal to its cluster id).
+    * Completes the dedup story: pairs say "these two match"; the cluster
+    * keep-list is what a pipeline actually deletes against.
+    *
+    * Algorithm: min-label propagation to fixpoint — per round every node
+    * takes the min of its own and its neighbors' labels, a convergence
+    * count decides termination (the driver-side count is a convergence
+    * CHECK, not data movement — the same shape Pregel/GraphX use).
+    * Rounds = graph diameter; near-dup components are shallow (pairs,
+    * triangles, small chains), so 2-4 rounds in practice. At 100 TB the
+    * same loop runs with the large-star/small-star optimization
+    * (alternating min-joins that halve long chains) — the edge relation
+    * here is already the LSH-bucketed one, never all-pairs.
+    *
+    * Oracle: DuckDB recursive-CTE reachability computing min reachable
+    * id per node — an independent formulation of the same fixpoint. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
+      .select(col("d1"), col("d2"))
+    // undirected: propagate both ways
+    val edges = pairs
+      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("d1").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("d2"), col("lbl").as("nlbl")), "d2")
+        .groupBy(col("d1").as("id"))
+        .agg(min("nlbl").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("is_keeper"))
+  }
+
+  /** Deterministic train/val/test assignment: bucket = leading 32 bits of
+    * md5(doc_id) mod 100, split at 80/90. Hash-based (not `rand()`), so
+    * the split is stable across runs, partitionings, and engines — a doc
+    * never migrates between train and test when the corpus is rebuilt,
+    * which is the contamination guarantee that matters. */
+  def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Stratified sampling with per-class rates (rare classes kept whole,
+    * dominant classes downsampled — the class-rebalancing step of a
+    * training mix), decided per row by a content hash so the sample is
+    * reproducible and join-free. Output is the per-class census the
+    * pipeline logs: totals, sampled counts, achieved rate. */
+  def qStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("event_type") === "purchase", 1000)
+      .when(col("event_type") === "click", 100)
+      .otherwise(10) // per-mille
+    load(spark, dir, "events")
+      .withColumn("keep",
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000) < rate)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("achieved_rate",
+        round(col("n_sampled").cast("double") / col("n_total"), 4))
+  }
+
+  /** Greedy contiguous sequence packing: docs in doc_id order are packed
+    * into fixed token budgets (`capacity`), each doc assigned to the bin
+    * its RUNNING token total falls in — the streaming approximation of
+    * bin packing every large-scale pretokenizer uses (true first-fit is
+    * inherently sequential; contiguous packing is one window scan and
+    * within a few percent of it on shuffled corpora). Output is the
+    * per-bin census: docs, tokens, fill ratio. */
+  def qPackSequences(
+      spark: SparkSession, dir: String, capacity: Int = 2048): DataFrame = {
+    // packing is per-language (streams are per-shard in a real pipeline):
+    // the window partitions by lang, so the sequential scan parallelizes
+    // across shards instead of serializing the corpus through one sort
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+      .withColumn("running", sum("n_tokens").over(w))
+      // bin of the doc's START offset: a doc straddling a boundary stays
+      // in the bin it began in (contiguous packing semantics)
+      .withColumn("bin",
+        floor((col("running") - col("n_tokens")) / capacity).cast("long"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"))
+      .withColumn("fill",
+        round(col("n_tokens").cast("double") / capacity, 4))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+class TrainingDataSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup clusters match an independent union-find on the pair relation") {
+    val pairs = graft.dedup.Dedup.qMinhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus has planted near-dups")
+    // reference: driver-side union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = members.map(m => m -> find(m)).toMap
+    val got = TrainingData.qDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet === members.toSet)
+    got.foreach { case (doc, cluster, keeper) =>
+      assert(cluster === want(doc), s"doc $doc")
+      assert(keeper === (doc == cluster))
+    }
+    // exactly one keeper per cluster
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.count(_._3) === 1, s"cluster $c keepers")
+      assert(ms.map(_._1).min === c, s"cluster $c label is min member")
+    }
+  }
+
+  test("split assignment is deterministic, bucketed, and rule-consistent") {
+    val a = TrainingData.qSplitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val b = TrainingData.qSplitAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(a.toSet === b.toSet, "hash split must be run-stable")
+    a.foreach { case (_, bucket, split) =>
+      assert(bucket >= 0 && bucket < 100)
+      assert(split === (if (bucket < 80) "train" else if (bucket < 90) "val" else "test"))
+    }
+    // all three splits non-empty on 1k docs (p_miss < 1e-40 per split)
+    assert(a.map(_._3).distinct.sorted === Seq("test", "train", "val"))
+  }
+
+  test("stratified sample: rates land near nominal, rare class kept whole") {
+    val rows = TrainingData.qStratifiedSample(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val (pTotal, pSampled, _) = rows("purchase")
+    assert(pSampled === pTotal, "rate-1000 stratum keeps everything")
+    rows.foreach { case (_, (total, sampled, rate)) =>
+      assert(sampled <= total)
+      assert(rate === math.rint(sampled.toDouble / total * 10000) / 10000)
+    }
+    val (cTotal, cSampled, _) = rows("click")
+    // 10% nominal; binomial 5-sigma band
+    val sd = math.sqrt(cTotal * 0.1 * 0.9)
+    assert(math.abs(cSampled - cTotal * 0.1) < 5 * sd + 1,
+      s"click sampled $cSampled of $cTotal")
+  }
+
+  test("sequence packing: bins contiguous per lang, totals preserved") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+    val totalTokens = docs
+      .select(sum(size(split(col("text"), " ", -1)).cast("long"))).collect()(0).getLong(0)
+    val nDocs = docs.count()
+    val bins = TrainingData.qPackSequences(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(bins.map(_._3).sum === nDocs)
+    assert(bins.map(_._4).sum === totalTokens)
+    bins.groupBy(_._1).foreach { case (lang, bs) =>
+      val ids = bs.map(_._2).sorted.toSeq
+      assert(ids === (0L until ids.length.toLong).toSeq, s"$lang bins contiguous")
+    }
+    // a bin is over-capacity only via its straddling last doc; fill stays
+    // in a sane band for every bin that is not the per-lang tail
+    bins.groupBy(_._1).foreach { case (_, bs) =>
+      val maxBin = bs.map(_._2).max
+      bs.filter(_._2 < maxBin).foreach { case (_, _, _, toks, _) =>
+        assert(toks >= 2048 - 512 || toks >= 2048,
+          s"non-tail bin unexpectedly empty-ish: $toks")
+      }
+    }
+  }
+}
