@@ -40,6 +40,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("near-dup/fuzzy-dedup/ANN candidates are equi-joins, never nested loops") {
+    // the round-2 scale fault: an all-pairs theta join executes as a
+    // (broadcast-)nested-loop over the corpus. The banded rewrites must
+    // keep every candidate join an equi-join — pin it in the plan.
+    val plans = Seq(
+      "q_embedding_neardup" ->
+        graft.similarity.Similarity.qEmbeddingNearDup(spark, dir),
+      "q_ann_lsh_verified" ->
+        graft.similarity.Similarity.qAnnLshVerified(spark, dir),
+      "q_edit_distance" ->
+        graft.dedup.Dedup.qEditDistancePairs(spark, dir))
+    plans.foreach { case (name, df) =>
+      val plan = planOf(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to a nested loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name produced a cartesian:\n$plan")
+    }
+  }
+
+  test("LSH-verified ANN top-k runs through the native heap operator") {
+    graft.plans.TopKRewrite.enable(spark)
+    try {
+      val plan = planOf(
+        graft.similarity.Similarity.qAnnLshVerified(spark, dir))
+      // TopKRewriteRule must catch the row_number()<=k pattern here too —
+      // a window sort of all candidate pairs is what it exists to avoid
+      assert(plan.contains("TopK"), plan)
+    } finally graft.plans.TopKRewrite.disable(spark)
+  }
+
   test("AQE splits a skewed join partition at runtime (no manual salting)") {
     import org.apache.spark.sql.functions._
     val restore = Seq(
