@@ -44,9 +44,10 @@ object TrainingData {
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("d1").as("id")).distinct()
+    var cached = edges.select(col("d1").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
@@ -54,14 +55,16 @@ object TrainingData {
         .join(labels.select(col("id").as("d2"), col("lbl").as("nlbl")), "d2")
         .groupBy(col("d1").as("id"))
         .agg(min("nlbl").as("nbr"))
+      // carry the previous label through the same join, so the round's
+      // ONE action materializes the new labels AND counts the changes
       val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("old"),
           least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("lbl") =!= col("old")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       rounds += 1
     }
