@@ -51,6 +51,12 @@ object SparkEntry {
     "q_anti_join" -> (RelationalQueries.qAntiCustomersNoOrders _),
     "q_window_topk" -> (RelationalQueries.qTopCustomersPerSegment _),
     "q_topk_native" -> (RelationalQueries.qTopKNative _),
+    // tie-aware rank modes of the native operator (rank keeps boundary
+    // ties; dense_rank keeps k distinct order values)
+    "q_rank_ties" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.qRankTies(s, d)),
+    "q_dense_rank_groups" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.qDenseRankGroups(s, d)),
     "q_window_running" -> (RelationalQueries.qRunningMonthlyRevenue _),
     "q_rollup" -> (RelationalQueries.qRollupOrders _),
     "q_grouping_sets" -> (SqlQueries.qGroupingSets _),
@@ -97,6 +103,8 @@ object SparkEntry {
     "q_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.qTfidfTopK(s, d)),
     "q_stopword_prune" -> ((s: SparkSession, d: String) =>
       TextOps.qStopwordPrune(s, d)),
+    // corpus-unigram LM negative log-likelihood (CCNet-style quality)
+    "q_perplexity" -> (TextOps.qPerplexity _),
     // -- dedup (north star) --
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_edit_distance" -> ((s: SparkSession, d: String) =>
@@ -292,6 +300,18 @@ object SparkEntry {
         |  FROM (SELECT c_custkey, c_mktsegment, round(sum(o_totalprice), 2) AS total_spent
         |        FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2))
         |WHERE rnk <= 5""".stripMargin,
+    "q_rank_ties" ->
+      """SELECT * FROM (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3""".stripMargin,
+    "q_dense_rank_groups" ->
+      """SELECT * FROM (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC) AS BIGINT) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 2""".stripMargin,
     "q_window_running" ->
       """SELECT o_orderpriority, month, revenue,
         |  round(sum(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month), 2) AS cum_revenue
@@ -527,6 +547,17 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_kept,
         |  string_agg(tok, ' ' ORDER BY pos) AS pruned_text
         |FROM kept GROUP BY 1""".stripMargin,
+    // add-one-smoothed corpus unigram LM; ppl derives from the ROUNDED
+    // nll so both engines exponentiate the same value
+    "q_perplexity" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM cnt),
+        |d AS (SELECT doc_id, count(*) AS n_tokens,
+        |        round(avg(-ln(CAST(cnt + 1 AS DOUBLE) / (t + v))), 4) AS nll
+        |      FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+        |      GROUP BY 1)
+        |SELECT doc_id, n_tokens, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
     // rational tf-idf (tf * N / df, no log) ranks identically in any IEEE
     // engine; ranking runs through the native TopKPerKey operator
     "q_tfidf_topk" ->

@@ -15,8 +15,23 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.{Column, DataFrame, GraftShim}
 
+/** Which rank function's `<= k` semantics the operator implements.
+  *   - [[RowNumberMode]]: exactly k rows per key (ties broken by the
+  *     total order) — the bounded-heap path.
+  *   - [[RankMode]]: every row whose `rank() <= k` — boundary ties are
+  *     ALL kept, so a key can emit more than k rows.
+  *   - [[DenseRankMode]]: every row in the first k DISTINCT order-key
+  *     groups — per-group row counts are unbounded.
+  * Rank/dense-rank memory is bounded by k groups + boundary ties (the
+  * same worst case Spark's own sort-based WindowGroupLimit has). */
+sealed trait RankMode extends Serializable
+case object RowNumberMode extends RankMode
+case object RankMode extends RankMode
+case object DenseRankMode extends RankMode
+
 /** Whole-operator top-k-per-key: for each key group, the k best rows under
-  * `order`, with a dense 1-based `rnk` column appended.
+  * `order` (per `mode`'s rank semantics), with a 1-based `rnk` column
+  * appended.
   *
   * The Window formulation (`row_number().over(partitionBy(keys).orderBy(
   * order)) <= k`) sorts every input row: even with Spark's inferred
@@ -44,7 +59,8 @@ case class TopKPerKey(
     k: Int,
     child: LogicalPlan,
     rankAttr: Attribute =
-      AttributeReference("rnk", LongType, nullable = false)())
+      AttributeReference("rnk", LongType, nullable = false)(),
+    mode: RankMode = RowNumberMode)
     extends UnaryNode {
 
   require(k >= 1, s"top-k requires k >= 1, got $k")
@@ -62,10 +78,111 @@ case class TopKPerKey(
   * from the final exec's required distribution. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKey(keys, order, k, child, rankAttr) =>
+    case TopKPerKey(keys, order, k, child, rankAttr, mode) =>
       FinalTopKExec(keys, order, k, rankAttr,
-        PartialTopKExec(keys, order, k, planLater(child))) :: Nil
+        PartialTopKExec(keys, order, k, planLater(child), mode), mode) :: Nil
     case _ => Nil
+  }
+}
+
+/** Tie-aware pruning for rank()/dense_rank() bounds: per key, groups of
+  * order-equal rows in a TreeMap sorted by the order key. Invariants
+  * after every insert:
+  *   - rank: drop trailing groups once the rows in strictly-better
+  *     groups reach k (their rank exceeds k);
+  *   - dense_rank: keep at most k groups.
+  * One pass, no sort of the input; only the order-KEY comparison runs
+  * per row (same generated ordering the heap path uses). */
+private[plans] object RankGroups {
+
+  final class KeyGroups(cmp: java.util.Comparator[UnsafeRow], dense: Boolean, k: Int) {
+    val groups = new java.util.TreeMap[UnsafeRow, mutable.ArrayBuffer[UnsafeRow]](cmp)
+    private var rowsTotal = 0L
+
+    /** `orderKey` may be a TRANSIENT projection buffer — it is copied
+      * only if a new group is created; `makeRow` materializes the row
+      * copy only on accept. */
+    def offer(orderKey: UnsafeRow, makeRow: () => UnsafeRow): Unit = {
+      val existing = groups.get(orderKey)
+      if (existing != null) { existing += makeRow(); rowsTotal += 1 }
+      else {
+        // fast reject: a new group sorting after a saturated buffer can
+        // never enter (avoids copy + insert-then-evict churn)
+        val saturated =
+          if (dense) groups.size >= k
+          else rowsTotal - sizeOfLast >= k
+        if (saturated && cmp.compare(orderKey, groups.lastKey()) >= 0) return
+        groups.put(orderKey.copy(), mutable.ArrayBuffer(makeRow()))
+        rowsTotal += 1
+      }
+      if (dense) {
+        while (groups.size > k) rowsTotal -= groups.pollLastEntry().getValue.size
+      } else {
+        while (groups.size > 1 && rowsTotal - sizeOfLast >= k)
+          rowsTotal -= groups.pollLastEntry().getValue.size
+      }
+    }
+
+    private def sizeOfLast: Long =
+      if (groups.isEmpty) 0L else groups.lastEntry().getValue.size.toLong
+
+    def rows: Iterator[UnsafeRow] = {
+      import scala.jdk.CollectionConverters._
+      groups.values().iterator().asScala.flatten
+    }
+
+    /** Groups in rank order with their 1-based rank per mode. */
+    def ranked: Iterator[(Long, mutable.ArrayBuffer[UnsafeRow])] = {
+      import scala.jdk.CollectionConverters._
+      var before = 0L
+      var dIdx = 0L
+      groups.values().iterator().asScala.map { g =>
+        val r = if (dense) { dIdx += 1; dIdx } else before + 1
+        before += g.size
+        (r, g)
+      }
+    }
+  }
+
+  /** Ordering over the PROJECTED order-key row (sort-order children bound
+    * positionally, directions preserved). */
+  def orderKeyComparator(
+      order: Seq[SortOrder]): java.util.Comparator[UnsafeRow] = {
+    val bound = order.zipWithIndex.map { case (s, i) =>
+      s.copy(child = org.apache.spark.sql.catalyst.expressions.BoundReference(
+        i, s.child.dataType, s.child.nullable))
+    }
+    val ord = GenerateOrdering.generate(bound, Nil)
+    new java.util.Comparator[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(a, b)
+    }
+  }
+
+  def prune(
+      iter: Iterator[InternalRow],
+      keys: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      dense: Boolean,
+      inputAttrs: Seq[Attribute]): mutable.LinkedHashMap[UnsafeRow, KeyGroups] = {
+    val keyProj = UnsafeProjection.create(keys, inputAttrs)
+    val okProj = UnsafeProjection.create(order.map(_.child), inputAttrs)
+    val rowProj = UnsafeProjection.create(inputAttrs, inputAttrs)
+    val cmp = orderKeyComparator(order)
+    val perKey = mutable.LinkedHashMap.empty[UnsafeRow, KeyGroups]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = keyProj(row)
+      val kg = perKey.get(key) match {
+        case Some(g) => g
+        case None =>
+          val g = new KeyGroups(cmp, dense, k)
+          perKey.put(key.copy(), g)
+          g
+      }
+      kg.offer(okProj(row), () => rowProj(row).copy())
+    }
+    perKey
   }
 }
 
@@ -114,7 +231,8 @@ case class PartialTopKExec(
     keys: Seq[Expression],
     order: Seq[SortOrder],
     k: Int,
-    child: SparkPlan)
+    child: SparkPlan,
+    mode: RankMode = RowNumberMode)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -125,19 +243,25 @@ case class PartialTopKExec(
     "prunedRows" -> SQLMetrics.createMetric(sparkContext, "rows pruned map-side"))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (ks, os, kk, attrs) = (keys, order, k, child.output)
+    val (ks, os, kk, attrs, m) = (keys, order, k, child.output, mode)
     val numOutputRows = longMetric("numOutputRows")
     val prunedRows = longMetric("prunedRows")
     child.execute().mapPartitions({ iter =>
       var seen = 0L
       val counted = iter.map { r => seen += 1; r }
-      val kept = TopKHeap.prune(counted, ks, os, kk, attrs)
-        .valuesIterator.flatMap { h =>
-          val out = new Array[InternalRow](h.size)
-          var i = 0
-          while (!h.isEmpty) { out(i) = h.poll(); i += 1 }
-          out.iterator
-        }.toArray
+      val kept: Array[InternalRow] = m match {
+        case RowNumberMode =>
+          TopKHeap.prune(counted, ks, os, kk, attrs)
+            .valuesIterator.flatMap { h =>
+              val out = new Array[InternalRow](h.size)
+              var i = 0
+              while (!h.isEmpty) { out(i) = h.poll(); i += 1 }
+              out.iterator
+            }.toArray
+        case RankMode | DenseRankMode =>
+          RankGroups.prune(counted, ks, os, kk, m == DenseRankMode, attrs)
+            .valuesIterator.flatMap(_.rows).toArray
+      }
       numOutputRows += kept.length
       prunedRows += seen - kept.length
       kept.iterator
@@ -155,7 +279,8 @@ case class FinalTopKExec(
     order: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan)
+    child: SparkPlan,
+    mode: RankMode = RowNumberMode)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
@@ -174,26 +299,38 @@ case class FinalTopKExec(
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val (ks, os, kk, attrs) = (keys, order, k, child.output)
+    val (ks, os, kk, attrs, m) = (keys, order, k, child.output, mode)
     val outTypes = output.map(_.dataType).toArray
     // honor the rank attribute's type: the rewrite rule reuses the
-    // original row_number attribute, which is IntegerType
+    // original window function's attribute, which is IntegerType
     val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
     child.execute().mapPartitions({ iter =>
-      val ord = GenerateOrdering.generate(os, attrs)
       val proj = UnsafeProjection.create(outTypes)
       val rankRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
       val joined = new JoinedRow
-      TopKHeap.prune(iter, ks, os, kk, attrs).valuesIterator.flatMap { h =>
-        val rows = new Array[UnsafeRow](h.size)
-        var i = 0
-        while (!h.isEmpty) { rows(i) = h.poll(); i += 1 }
-        java.util.Arrays.sort(rows, ord)
-        rows.iterator.zipWithIndex.map { case (r, idx) =>
-          rankRow.update(0,
-            if (rankIsInt) idx + 1 else (idx + 1).toLong)
-          proj(joined(r, rankRow))
-        }
+      def emit(r: InternalRow, rank: Long): InternalRow = {
+        rankRow.update(0, if (rankIsInt) rank.toInt else rank)
+        proj(joined(r, rankRow))
+      }
+      m match {
+        case RowNumberMode =>
+          val ord = GenerateOrdering.generate(os, attrs)
+          TopKHeap.prune(iter, ks, os, kk, attrs).valuesIterator.flatMap { h =>
+            val rows = new Array[UnsafeRow](h.size)
+            var i = 0
+            while (!h.isEmpty) { rows(i) = h.poll(); i += 1 }
+            java.util.Arrays.sort(rows, ord)
+            rows.iterator.zipWithIndex.map { case (r, idx) =>
+              emit(r, idx + 1L)
+            }
+          }
+        case RankMode | DenseRankMode =>
+          RankGroups.prune(iter, ks, os, kk, m == DenseRankMode, attrs)
+            .valuesIterator.flatMap {
+              _.ranked.flatMap { case (rank, group) =>
+                group.iterator.map(r => emit(r, rank))
+              }
+            }
       }
     }, preservesPartitioning = true)
   }
@@ -205,11 +342,15 @@ case class FinalTopKExec(
 /** Column-level API for the custom operator. */
 object TopK {
 
-  /** `df` reduced to the k best rows per `keys` group under `order`
-    * (include a tiebreak column for determinism), with a `rnk` column
-    * appended. Registers [[TopKStrategy]] on the session on first use. */
+  /** `df` reduced to the k best rows per `keys` group under `order`, with
+    * a `rnk` column appended. `mode` picks the rank semantics:
+    * [[RowNumberMode]] (exactly k rows — include a tiebreak column for
+    * determinism), [[RankMode]] (`rank() <= k`, boundary ties kept) or
+    * [[DenseRankMode]] (first k distinct order values). Registers
+    * [[TopKStrategy]] on the session on first use. */
   def topKPerKey(
-      df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+      df: DataFrame, keys: Seq[Column], order: Seq[Column], k: Int,
+      mode: RankMode = RowNumberMode): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
@@ -220,6 +361,6 @@ object TopK {
     })
     GraftShim.ofRows(spark,
       TopKPerKey(keys.map(GraftShim.expressionFor(spark, _)), sortOrders, k,
-        GraftShim.logicalPlan(df)))
+        GraftShim.logicalPlan(df), mode = mode))
   }
 }

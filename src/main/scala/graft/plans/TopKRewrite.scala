@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Cast, DenseRank, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, NamedExpression, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -62,13 +62,21 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
-  /** A Window whose single expression is a plain `row_number()`. */
-  private object RowNumberWindow {
-    def unapply(w: Window): Option[(Attribute, Window)] = w.windowExpressions match {
-      case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) =>
-        Some((a.toAttribute, w))
-      case _ => None
-    }
+  /** A Window whose single expression is a plain rank function —
+    * `row_number()`, `rank()` or `dense_rank()` — mapped to the operator
+    * mode implementing that function's `<= k` semantics (rank keeps
+    * boundary ties; dense_rank keeps k distinct order-value groups). */
+  private object RankedWindow {
+    def unapply(w: Window): Option[(Attribute, Window, RankMode)] =
+      w.windowExpressions match {
+        case Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)) =>
+          Some((a.toAttribute, w, RowNumberMode))
+        case Seq(a @ Alias(WindowExpression(_: Rank, _), _)) =>
+          Some((a.toAttribute, w, RankMode))
+        case Seq(a @ Alias(WindowExpression(_: DenseRank, _), _)) =>
+          Some((a.toAttribute, w, DenseRankMode))
+        case _ => None
+      }
   }
 
   /** The rewrite subsumes an inferred sort-based WindowGroupLimit. */
@@ -79,17 +87,17 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // Filter sits directly on the Window (SQL subquery idiom)
-    case Filter(RankLimit(attr, k), RowNumberWindow(rnk, w))
+    case Filter(RankLimit(attr, k), RankedWindow(rnk, w, mode))
         if attr.semanticEquals(rnk) && k >= 1 =>
       TopKPerKey(w.partitionSpec, w.orderSpec, k, stripWgl(w.child),
-        rankAttr = rnk)
+        rankAttr = rnk, mode = mode)
 
     // Filter on a Project that aliases/casts the rank (DataFrame
     // `.withColumn("rnk", row_number().over(w).cast("long")).filter(...)`)
-    case Filter(RankLimit(attr, k), p @ Project(projList, RowNumberWindow(rnk, w)))
+    case Filter(RankLimit(attr, k), p @ Project(projList, RankedWindow(rnk, w, mode)))
         if k >= 1 && aliasOfRank(projList, attr, rnk) =>
       Project(projList, TopKPerKey(w.partitionSpec, w.orderSpec, k,
-        stripWgl(w.child), rankAttr = rnk))
+        stripWgl(w.child), rankAttr = rnk, mode = mode))
   }
 
   /** Does `attr` in the Project output denote the rank (directly or via a

@@ -156,6 +156,30 @@ object RelationalQueries {
       k = 5)
   }
 
+  /** `rank() <= k` through the native operator's tie-aware mode: top-3
+    * sizes per brand with ALL boundary ties kept (the order spec has no
+    * tiebreak on purpose — tie handling IS the semantics under test).
+    * Group pruning keeps k order-value groups + ties, so no sort touches
+    * more than the surviving rows; result set is deterministic because
+    * ties are kept in full, not cut arbitrarily. */
+  def qRankTies(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.plans.TopK.topKPerKey(
+      load(spark, dir, "part").select("p_partkey", "p_brand", "p_size"),
+      keys = Seq(col("p_brand")),
+      order = Seq(col("p_size").desc),
+      k = k,
+      mode = graft.plans.RankMode)
+
+  /** `dense_rank() <= k` through the native operator: every part in the
+    * 2 smallest distinct sizes per brand. */
+  def qDenseRankGroups(spark: SparkSession, dir: String, k: Int = 2): DataFrame =
+    graft.plans.TopK.topKPerKey(
+      load(spark, dir, "part").select("p_partkey", "p_brand", "p_size"),
+      keys = Seq(col("p_brand")),
+      order = Seq(col("p_size").asc),
+      k = k,
+      mode = graft.plans.DenseRankMode)
+
   /** Running (cumulative) monthly revenue per order priority — frame-ordered
     * window aggregation over pre-rounded values keeps the fold exact. */
   def qRunningMonthlyRevenue(spark: SparkSession, dir: String): DataFrame = {

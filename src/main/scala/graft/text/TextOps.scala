@@ -105,6 +105,34 @@ object TextOps {
             x => x.getField("tok")), " ").as("pruned_text"))
   }
 
+  /** Unigram language-model quality score — the CCNet-style filter
+    * signal: documents whose tokens are improbable under a language
+    * model trained on the corpus itself score high (boilerplate, noise,
+    * wrong-language text) and get filtered. The "model" is the corpus
+    * unigram distribution with add-one smoothing — derived IN-PLAN like
+    * the stopword list (two bounded aggregations), never a shipped
+    * artifact, so the operator runs on any corpus slice without a
+    * training step.
+    *
+    * Shuffle profile at 100 TB: one token-keyed shuffle to count, one
+    * token-keyed join to score (both bounded by vocabulary, not corpus,
+    * on the build side), one doc-keyed aggregation. `nll` is the mean
+    * negative log-likelihood (rounded at 4, inside the ±30%-noise-proof
+    * band the other double aggregates use); `ppl = exp(nll)` is derived
+    * from the ROUNDED nll so both engines exponentiate the same value. */
+  def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val totals = cnt.agg(
+      sum("cnt").cast("double").as("t"), count(lit(1)).cast("double").as("v"))
+    val nll = avg(-log((col("cnt") + 1).cast("double") / (col("t") + col("v"))))
+    toks.join(cnt, "tok").crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), round(nll, 4).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 2))
+  }
+
   /** Per-document keyword extraction: top-3 tokens by a rational tf-idf
     * (`tf × N / df` — no logarithm, so the score is an exact integer
     * ratio and ranks identically in any IEEE engine), ranked by the

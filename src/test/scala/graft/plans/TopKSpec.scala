@@ -102,6 +102,83 @@ class TopKSpec extends SparkSpec {
     } finally TopKRewrite.disable(spark)
   }
 
+  test("rank mode keeps boundary ties and matches the Window rank()") {
+    val native = graft.relational.RelationalQueries.qRankTies(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    graft.relational.Tables.registerAll(spark, dir)
+    val win = spark.sql(
+      """SELECT * FROM (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 3""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(native === win)
+    // boundary-tie behavior on real data is exercised by the sf0.01
+    // oracle (9 brands emit > 3 rows there) and by the synthetic
+    // many-partition ties test below; sf0.001 happens to be tie-free
+  }
+
+  test("dense-rank mode keeps k distinct order values and matches Window") {
+    val native = graft.relational.RelationalQueries.qDenseRankGroups(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    graft.relational.Tables.registerAll(spark, dir)
+    val win = spark.sql(
+      """SELECT * FROM (
+        |  SELECT p_partkey, p_brand, p_size,
+        |    CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC) AS BIGINT) AS rnk
+        |  FROM part)
+        |WHERE rnk <= 2""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(native === win)
+    native.groupBy(_._2).foreach { case (brand, rows) =>
+      assert(rows.map(_._3).size <= 2, s"$brand distinct sizes")
+    }
+  }
+
+  test("optimizer rule rewrites rank()/dense_rank() filters too") {
+    TopKRewrite.enable(spark)
+    try {
+      graft.relational.Tables.registerAll(spark, dir)
+      for (fn <- Seq("rank", "dense_rank")) {
+        val q =
+          s"""SELECT * FROM (
+             |  SELECT p_partkey, p_brand,
+             |    $fn() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk
+             |  FROM part)
+             |WHERE rnk <= 2""".stripMargin
+        val df = spark.sql(q)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("FinalTopK") && !plan.contains("Window"), s"$fn: $plan")
+        val viaRule = df.collect().map(_.toSeq).toSet
+        TopKRewrite.disable(spark)
+        val viaWindow = spark.sql(q).collect().map(_.toSeq).toSet
+        TopKRewrite.enable(spark)
+        assert(viaRule === viaWindow, fn)
+      }
+    } finally TopKRewrite.disable(spark)
+  }
+
+  test("rank-mode prune is lossless across many partitions (synthetic ties)") {
+    import spark.implicits._
+    // heavy ties: v = id % 7 gives dense collision groups across 16 slices
+    val df = spark.range(0, 20000).repartition(16)
+      .select((col("id") % 11).as("g"), col("id"), (col("id") % 7).as("v"))
+    val native = TopK.topKPerKey(df, Seq(col("g")), Seq(col("v").desc),
+      k = 4, mode = RankMode)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val win = df.withColumn("rnk",
+      org.apache.spark.sql.functions.rank().over(
+        Window.partitionBy("g").orderBy(col("v").desc)).cast("long"))
+      .filter(col("rnk") <= 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(native === win)
+  }
+
   test("rule leaves mixed window lists and non-rank filters alone") {
     import org.apache.spark.sql.functions._
     TopKRewrite.enable(spark)
