@@ -105,6 +105,8 @@ object SparkEntry {
       TextOps.qStopwordPrune(s, d)),
     // corpus-unigram LM negative log-likelihood (CCNet-style quality)
     "q_perplexity" -> (TextOps.qPerplexity _),
+    // Gopher-style repetition ratios (exact integer fractions)
+    "q_repetition_stats" -> (TextOps.qRepetitionStats _),
     // -- dedup (north star) --
     "q_dedup_exact" -> (Dedup.qDedupExact _),
     "q_edit_distance" -> ((s: SparkSession, d: String) =>
@@ -558,6 +560,25 @@ object SparkEntry {
         |      FROM toks JOIN cnt USING (tok) CROSS JOIN tot
         |      GROUP BY 1)
         |SELECT doc_id, n_tokens, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
+    "q_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |tok AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
+        |          max(c) AS top_tok
+        |        FROM (SELECT doc_id, g, count(*) AS c
+        |              FROM (SELECT doc_id, unnest(l) AS g FROM t) GROUP BY 1, 2)
+        |        GROUP BY 1),
+        |bg AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
+        |       FROM (SELECT doc_id, g, count(*) AS c
+        |             FROM (SELECT doc_id,
+        |                     unnest(list_transform(range(1, len(l)),
+        |                       i -> l[i] || ' ' || l[i+1])) AS g
+        |                   FROM t) GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+        |  round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_tok_frac,
+        |  round(CAST(top_bigram AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac
+        |FROM tok JOIN bg USING (doc_id)""".stripMargin,
     // rational tf-idf (tf * N / df, no log) ranks identically in any IEEE
     // engine; ranking runs through the native TopKPerKey operator
     "q_tfidf_topk" ->

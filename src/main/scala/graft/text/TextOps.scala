@@ -133,6 +133,36 @@ object TextOps {
       .withColumn("ppl", round(exp(col("nll")), 2))
   }
 
+  /** Repetition-based quality stats — the Gopher/Dolma filter family:
+    * excessive repetition (a token or n-gram dominating the document) is
+    * the strongest cheap signal of boilerplate and degenerate text. All
+    * columns are exact integer ratios (max count / total count), so the
+    * operator is deterministic in any engine. Per-doc aggregates over
+    * token and bigram counts — two bounded shuffles keyed by
+    * (doc, gram), the same profile as tf-idf. */
+  def qRepetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val toksArr = tokens(col("text"))
+    val tok = docs.select(col("doc_id"), explode(toksArr).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct_tokens"),
+        max("c").as("top_tok"))
+    val bigrams = transform(
+      sequence(lit(1), size(toksArr) - 1),
+      i => concat_ws(" ", element_at(toksArr, i), element_at(toksArr, i + 1)))
+    val bg = docs.select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("top_bigram"))
+    tok.join(bg, "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        round(col("top_tok").cast("double") / col("n_tokens"), 4)
+          .as("top_tok_frac"),
+        round(col("top_bigram").cast("double") / col("n_bigrams"), 4)
+          .as("top_bigram_frac"))
+  }
+
   /** Per-document keyword extraction: top-3 tokens by a rational tf-idf
     * (`tf × N / df` — no logarithm, so the score is an exact integer
     * ratio and ranks identically in any IEEE engine), ranked by the

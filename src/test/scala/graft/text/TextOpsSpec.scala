@@ -33,4 +33,29 @@ class TextOpsSpec extends SparkSpec {
     // the score separates documents (constant scores would filter nothing)
     assert(got.map(_._3).distinct.length > docs.size / 10)
   }
+
+  test("repetition stats match a driver-side computation") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val got = TextOps.qRepetitionStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length === docs.size)
+    got.foreach { case (id, n, nd, topTok, topBg) =>
+      val toks = docs(id)
+      val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+      assert(n === toks.size.toLong)
+      assert(nd === toks.distinct.size.toLong)
+      def frac(xs: Seq[String]) = {
+        val top = xs.groupBy(identity).values.map(_.size).max
+        // HALF_UP like Spark/DuckDB round(); math.rint would go half-even
+        BigDecimal(top.toDouble / xs.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(topTok === frac(toks), s"doc $id top token")
+      assert(topBg === frac(bgs), s"doc $id top bigram")
+    }
+    // repetition separates docs: planted "x x x" runs push the tail up
+    assert(got.map(_._5).max > got.map(_._5).min)
+  }
 }
