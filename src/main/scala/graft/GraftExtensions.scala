@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType
 import graft.keyspace.{NumToPass, PassToNum, Sha1MultiOrdinalMatch, Sha1OrdinalMatch}
 import graft.lsp.{LspDecode, LspEncode, ProtoDecode, ProtoEncode}
 import graft.similarity.{FloatVectorDot, HyperplaneBucket}
-import graft.text.{MinHashSig, ShingleSet, SimHashBands}
+import graft.text.{MinHashSig, ShingleList, ShingleSet, SimHashBands}
 
 /** Spark-native deployment hook: register ALL of graft's Catalyst
   * expressions on every session via
@@ -115,6 +115,10 @@ object GraftExtensions {
     "shingle_set" -> { args: Seq[Expression] =>
       arity("shingle_set", 2, args)
       ShingleSet(Cast(args(0), StringType), posIntArg("shingle_set", args(1)))
+    },
+    "shingle_list" -> { args: Seq[Expression] =>
+      arity("shingle_list", 2, args)
+      ShingleList(Cast(args(0), StringType), posIntArg("shingle_list", args(1)))
     },
     "minhash_sig" -> { args: Seq[Expression] =>
       arity("minhash_sig", 2, args)

@@ -65,6 +65,11 @@ object functions {
   def shingle_set(text: Column, n: Int): Column =
     col(graft.text.ShingleSet(Cast(expr(text), StringType), n))
 
+  /** Every n-token shingle in position order, non-distinct (the
+    * gram-counting companion of [[shingle_set]]). */
+  def shingle_list(text: Column, n: Int): Column =
+    col(graft.text.ShingleList(Cast(expr(text), StringType), n))
+
   /** MinHash signature over a shingle array; NULL when empty. */
   def minhash_sig(shingles: Column, k: Int): Column =
     col(graft.text.MinHashSig(expr(shingles), k))

@@ -48,6 +48,29 @@ object TextKernels {
     new GenericArrayData(seen.iterator.map(x => UTF8String.fromString(x): Any).toArray)
   }
 
+  /** Non-distinct n-gram LIST (one entry per position) — the counting
+    * companion of [[shingles]]: repetition statistics need every
+    * occurrence, not the set. Same tokenizer contract. */
+  def shingleList(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: for each of `k` seeded xxhash64 functions, the
     * minimum over all shingles — one pass, k running minima, zero
     * allocation per element. Null (by contract of the expression) when
@@ -183,6 +206,29 @@ case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** `shingle_list(text, n)` — every n-token shingle in position order
+  * (non-distinct): the gram-COUNTING input for repetition stats. */
+case class ShingleList(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle_list width must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_list"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernels.shingleList(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.TextKernels.shingleList($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleList =
     copy(child = newChild)
 }
 
