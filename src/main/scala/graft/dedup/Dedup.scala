@@ -75,21 +75,29 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
 
   /** Exact n-gram (4-token shingle) Jaccard near-dup pairs at
-    * threshold >= 0.5. Candidates are docs sharing at least one shingle
-    * (the exact candidate set — a pair with zero shared shingles has
-    * Jaccard 0), verified from the cached arrays. Integer
-    * intersection/union counts; the single division is deterministic, so
-    * an SQL oracle matches exactly. */
+    * threshold >= 0.5. The shingle-keyed self-join EMITS one row per
+    * shared shingle, so `count` per (d1, d2) IS the exact intersection —
+    * one map-side-combinable aggregation, no distinct pass and no
+    * per-pair array re-intersection; union sizes come from the cached
+    * arrays. Integer intersection/union counts; the single division is
+    * deterministic, so an SQL oracle matches exactly. */
   def qNgramJaccardPairs(
       spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val shArr = shingleArrays(spark, dir)
     val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
-    val candidates = sh.as("a")
+    val sizes = shArr.select(col("doc_id"), size(col("sh_arr")).as("sz"))
+    sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    verifyJaccard(candidates, shArr, threshold)
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sz2")), "d2")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz1") + col("sz2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** MinHash signature of `numHashes` permutations over a shingle-array
