@@ -2,10 +2,13 @@ package graft.lsp
 
 import java.io.ByteArrayOutputStream
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,13 +23,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * {{{ "<number>:<name>:<type>[,...]"   e.g. "1:connid:uint64,2:seqnum:uint64,3:payload:bytes" }}}
   * Types: `uint64`/`int64`/`uint32`/`int32` (varint → BIGINT), `sint64`
   * (zigzag varint → BIGINT), `bool` (varint → BOOLEAN), `double`
-  * (fixed64), `float` (fixed32), `string`/`bytes` (length-delimited).
+  * (fixed64), `float` (fixed32), `string`/`bytes` (length-delimited);
+  * any type suffixed `[]` is a REPEATED field (→ ARRAY); a
+  * parenthesized sub-spec is a NESTED MESSAGE (→ STRUCT, NULL when
+  * absent), e.g. `{{{ 4:tags:string[],5:loc:(1:lat:double,2:lon:double) }}}`.
   *
   * Decode semantics are proto3's: unknown fields are skipped by wire
   * type (forward compatibility — an old reader handles a new writer),
-  * absent fields read as defaults (0 / false / "" / empty — backward
-  * compatibility), `null` for a malformed buffer. Repeated occurrences
-  * of a scalar field keep the LAST value (proto3 merge rule).
+  * absent fields read as defaults (0 / false / "" / empty / empty array;
+  * absent MESSAGES read NULL — the one case proto3 distinguishes
+  * presence), `null` for a malformed buffer. Repeated occurrences of a
+  * scalar keep the LAST value; repeated fields CONCATENATE across
+  * occurrences and accept both packed (one length-delimited run) and
+  * unpacked (one tag per element) wire layouts. Encoding packs numeric
+  * repeated fields (proto3's default) and emits one tag per element for
+  * strings/bytes/messages.
   *
   * Both directions are single-pass, allocation-light kernels usable from
   * whole-stage codegen — at 100 TB the decode sits directly behind the
@@ -35,14 +46,27 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ProtoCodec {
 
-  sealed abstract class PType(val wire: Int, val sqlType: DataType)
-  case object PVarint extends PType(0, LongType)   // uint/int 32/64
-  case object PZigzag extends PType(0, LongType)   // sint64
-  case object PBool extends PType(0, BooleanType)
-  case object PDouble extends PType(1, DoubleType) // fixed64
-  case object PString extends PType(2, StringType)
-  case object PBytes extends PType(2, BinaryType)
-  case object PFloat extends PType(5, FloatType)   // fixed32
+  sealed trait PType extends Serializable { def sqlType: DataType }
+  sealed abstract class PScalar(val wire: Int, val sqlType: DataType) extends PType
+  case object PVarint extends PScalar(0, LongType)   // uint/int 32/64
+  case object PZigzag extends PScalar(0, LongType)   // sint64
+  case object PBool extends PScalar(0, BooleanType)
+  case object PDouble extends PScalar(1, DoubleType) // fixed64
+  case object PString extends PScalar(2, StringType)
+  case object PBytes extends PScalar(2, BinaryType)
+  case object PFloat extends PScalar(5, FloatType)   // fixed32
+
+  /** Nested message: wire type 2, decodes recursively, NULL when absent. */
+  final case class PMessage(schema: Schema) extends PType {
+    def sqlType: DataType = schema.sqlSchema
+  }
+
+  /** Repeated field (array of a scalar or message element type). */
+  final case class PRepeated(elem: PType) extends PType {
+    require(!elem.isInstanceOf[PRepeated], "repeated-of-repeated is not a thing")
+    def sqlType: DataType = ArrayType(elem.sqlType,
+      containsNull = elem.isInstanceOf[PMessage])
+  }
 
   final case class Field(number: Int, name: String, ptype: PType)
 
@@ -56,7 +80,7 @@ object ProtoCodec {
 
     val sqlSchema: StructType =
       StructType(fields.map(f => StructField(f.name, f.ptype.sqlType,
-        nullable = false)))
+        nullable = f.ptype.isInstanceOf[PMessage])))
 
     /** slot index by field number; -1 = unknown (skip). */
     private val slotByNumber: Array[Int] = {
@@ -70,7 +94,8 @@ object ProtoCodec {
       if (number >= 0 && number < slotByNumber.length) slotByNumber(number)
       else -1
 
-    /** proto3 defaults — what an absent field reads as. */
+    /** proto3 defaults — what an absent field reads as. Fresh per decode:
+      * repeated slots hold mutable builders. */
     private def defaults: Array[Any] = fields.map { f =>
       (f.ptype match {
         case PVarint | PZigzag => 0L
@@ -79,6 +104,8 @@ object ProtoCodec {
         case PFloat => 0.0f
         case PString => UTF8String.EMPTY_UTF8
         case PBytes => Array.emptyByteArray
+        case _: PMessage => null // absence is observable for messages
+        case _: PRepeated => mutable.ArrayBuffer.empty[Any]
       }): Any
     }.toArray
 
@@ -107,11 +134,51 @@ object ProtoCodec {
       }
       // little-endian fixed32/64 starting at i (caller bounds-checked)
       def readFixed(n: Int): Long = {
+        if (i + n > bytes.length)
+          throw new IllegalArgumentException(s"truncated fixed$n")
         var acc = 0L
         var k = 0
         while (k < n) { acc |= (bytes(i + k) & 0xffL) << (8 * k); k += 1 }
         i += n
         acc
+      }
+      def readScalar(t: PScalar): Any = t match {
+        case PVarint => readVarint()
+        case PZigzag =>
+          val raw = readVarint()
+          (raw >>> 1) ^ -(raw & 1)
+        case PBool => readVarint() != 0L
+        case PDouble => java.lang.Double.longBitsToDouble(readFixed(8))
+        case PFloat => java.lang.Float.intBitsToFloat(readFixed(4).toInt)
+        case PString =>
+          val len = readLen()
+          val v = UTF8String.fromBytes(bytes, i, len)
+          i += len
+          v
+        case PBytes =>
+          val len = readLen()
+          val v = java.util.Arrays.copyOfRange(bytes, i, i + len)
+          i += len
+          v
+      }
+      def readMessage(m: PMessage): InternalRow = {
+        val len = readLen()
+        val sub = m.schema.decode(java.util.Arrays.copyOfRange(bytes, i, i + len))
+        if (sub == null)
+          throw new IllegalArgumentException("malformed nested message")
+        i += len
+        sub
+      }
+      def skip(wire: Int): Unit = wire match {
+        case 0 => readVarint()
+        case 1 => readFixed(8)
+        case 2 =>
+          // NOT `i += readLen()`: the LHS `i` is read BEFORE readLen()
+          // advances it past the length varint, so += would rewind
+          val len = readLen()
+          i += len
+        case 5 => readFixed(4)
+        case w => throw new IllegalArgumentException(s"unsupported wire type $w")
       }
 
       try {
@@ -120,48 +187,29 @@ object ProtoCodec {
           val number = (tag >>> 3).toInt
           val wire = (tag & 7).toInt
           val s = slot(number)
-          val f = if (s >= 0) fields(s) else null
-          if (f != null && f.ptype.wire == wire) {
-            f.ptype match {
-              case PVarint => values(s) = readVarint()
-              case PZigzag =>
-                val raw = readVarint()
-                values(s) = (raw >>> 1) ^ -(raw & 1)
-              case PBool => values(s) = readVarint() != 0L
-              case PDouble =>
-                if (i + 8 > bytes.length)
-                  throw new IllegalArgumentException("truncated fixed64")
-                values(s) = java.lang.Double.longBitsToDouble(readFixed(8))
-              case PFloat =>
-                if (i + 4 > bytes.length)
-                  throw new IllegalArgumentException("truncated fixed32")
-                values(s) = java.lang.Float.intBitsToFloat(readFixed(4).toInt)
-              case PString =>
-                val len = readLen()
-                values(s) = UTF8String.fromBytes(bytes, i, len)
-                i += len
-              case PBytes =>
-                val len = readLen()
-                values(s) = java.util.Arrays.copyOfRange(bytes, i, i + len)
-                i += len
-            }
-          } else wire match { // unknown field (or type-drifted): skip
-            case 0 => readVarint()
-            case 1 =>
-              if (i + 8 > bytes.length)
-                throw new IllegalArgumentException("truncated fixed64")
-              i += 8
-            case 2 =>
-              // NOT `i += readLen()`: the LHS `i` is read BEFORE readLen()
-              // advances it past the length varint, so += would rewind
+          val ptype = if (s >= 0) fields(s).ptype else null
+          ptype match {
+            case t: PScalar if t.wire == wire => values(s) = readScalar(t)
+            case m: PMessage if wire == 2 => values(s) = readMessage(m)
+            case PRepeated(t: PScalar) if t.wire == wire =>
+              values(s).asInstanceOf[mutable.ArrayBuffer[Any]] += readScalar(t)
+            case PRepeated(t: PScalar) if wire == 2 && t.wire != 2 =>
+              // packed run of numeric elements
               val len = readLen()
-              i += len
-            case 5 =>
-              if (i + 4 > bytes.length)
-                throw new IllegalArgumentException("truncated fixed32")
-              i += 4
-            case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+              val end = i + len
+              val buf = values(s).asInstanceOf[mutable.ArrayBuffer[Any]]
+              while (i < end) buf += readScalar(t)
+              if (i != end)
+                throw new IllegalArgumentException("packed run overran")
+            case PRepeated(m: PMessage) if wire == 2 =>
+              values(s).asInstanceOf[mutable.ArrayBuffer[Any]] += readMessage(m)
+            case _ => skip(wire) // unknown field or type drift
           }
+        }
+        fields.zipWithIndex.foreach { case (f, s) =>
+          if (f.ptype.isInstanceOf[PRepeated])
+            values(s) = new GenericArrayData(
+              values(s).asInstanceOf[mutable.ArrayBuffer[Any]].toArray)
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       } catch {
@@ -171,11 +219,17 @@ object ProtoCodec {
     }
 
     /** Encode a struct row laid out exactly as [[sqlSchema]]. Emits every
-      * field in spec order (the packer style of `lspmessage__pack` —
-      * explicit defaults on the wire, so decode-with-defaults is
-      * lossless for any value including zeros). */
+      * present field in spec order (the packer style of
+      * `lspmessage__pack` — explicit defaults on the wire for scalars, so
+      * decode-with-defaults is lossless for any value including zeros;
+      * NULL messages and empty arrays emit nothing). */
     def encode(row: InternalRow): Array[Byte] = {
       val out = new ByteArrayOutputStream(32)
+      writeTo(row, out)
+      out.toByteArray
+    }
+
+    private def writeTo(row: InternalRow, out: ByteArrayOutputStream): Unit = {
       def varint(value: Long): Unit = {
         var v = value
         while ((v & ~0x7fL) != 0) {
@@ -188,51 +242,162 @@ object ProtoCodec {
         var k = 0
         while (k < n) { out.write(((v >>> (8 * k)) & 0xff).toInt); k += 1 }
       }
+      def tag(number: Int, wire: Int): Unit = varint((number.toLong << 3) | wire)
+      def lenDelimited(number: Int, b: Array[Byte]): Unit = {
+        tag(number, 2); varint(b.length.toLong); out.write(b, 0, b.length)
+      }
+      // scalar VALUE bytes (no tag) — shared by plain and packed paths
+      def scalarValue(t: PScalar, v: Any): Unit = t match {
+        case PVarint => varint(v.asInstanceOf[Long])
+        case PZigzag =>
+          val x = v.asInstanceOf[Long]
+          varint((x << 1) ^ (x >> 63))
+        case PBool => varint(if (v.asInstanceOf[Boolean]) 1L else 0L)
+        case PDouble =>
+          fixed(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+        case PFloat =>
+          fixed(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]) & 0xffffffffL, 4)
+        case PString =>
+          val b = v.asInstanceOf[UTF8String].getBytes
+          varint(b.length.toLong); out.write(b, 0, b.length)
+        case PBytes =>
+          val b = v.asInstanceOf[Array[Byte]]
+          varint(b.length.toLong); out.write(b, 0, b.length)
+      }
+      def elemAt(arr: ArrayData, j: Int, t: PType): Any = t match {
+        case PVarint | PZigzag => arr.getLong(j)
+        case PBool => arr.getBoolean(j)
+        case PDouble => arr.getDouble(j)
+        case PFloat => arr.getFloat(j)
+        case PString => arr.getUTF8String(j)
+        case PBytes => arr.getBinary(j)
+        case m: PMessage => arr.getStruct(j, m.schema.fields.size)
+        case _: PRepeated => throw new IllegalStateException("unreachable")
+      }
+
       fields.zipWithIndex.foreach { case (f, s) =>
-        varint((f.number.toLong << 3) | f.ptype.wire)
         f.ptype match {
-          case PVarint => varint(row.getLong(s))
-          case PZigzag =>
-            val v = row.getLong(s)
-            varint((v << 1) ^ (v >> 63))
-          case PBool => varint(if (row.getBoolean(s)) 1L else 0L)
-          case PDouble => fixed(java.lang.Double.doubleToLongBits(row.getDouble(s)), 8)
-          case PFloat => fixed(java.lang.Float.floatToIntBits(row.getFloat(s)) & 0xffffffffL, 4)
-          case PString =>
-            val b = row.getUTF8String(s).getBytes
-            varint(b.length.toLong); out.write(b, 0, b.length)
-          case PBytes =>
-            val b = row.getBinary(s)
-            varint(b.length.toLong); out.write(b, 0, b.length)
+          case t: PScalar =>
+            tag(f.number, t.wire)
+            scalarValue(t, t match {
+              case PVarint | PZigzag => row.getLong(s)
+              case PBool => row.getBoolean(s)
+              case PDouble => row.getDouble(s)
+              case PFloat => row.getFloat(s)
+              case PString => row.getUTF8String(s)
+              case PBytes => row.getBinary(s)
+            })
+          case m: PMessage =>
+            if (!row.isNullAt(s))
+              lenDelimited(f.number, m.schema.encode(row.getStruct(s, m.schema.fields.size)))
+          case PRepeated(t: PScalar) if t.wire != 2 =>
+            // packed (proto3 default for numeric elements): element
+            // values into a side buffer, then one length-delimited run
+            val arr = row.getArray(s)
+            if (arr.numElements() > 0) {
+              val b = new ByteArrayOutputStream(arr.numElements() * 4)
+              val w = new PackedWriter(b)
+              var j = 0
+              while (j < arr.numElements()) {
+                w.scalarValue(t, elemAt(arr, j, t))
+                j += 1
+              }
+              lenDelimited(f.number, b.toByteArray)
+            }
+          case PRepeated(t) =>
+            val arr = row.getArray(s)
+            var j = 0
+            while (j < arr.numElements()) {
+              t match {
+                case m: PMessage =>
+                  lenDelimited(f.number,
+                    m.schema.encode(arr.getStruct(j, m.schema.fields.size)))
+                case sc: PScalar => // string / bytes
+                  tag(f.number, 2)
+                  scalarValue(sc, elemAt(arr, j, sc))
+                case _: PRepeated => throw new IllegalStateException("unreachable")
+              }
+              j += 1
+            }
         }
       }
-      out.toByteArray
     }
   }
 
+  /** Tagless scalar-value writer over its own buffer (packed runs). */
+  private final class PackedWriter(out: ByteArrayOutputStream) {
+    private def varint(value: Long): Unit = {
+      var v = value
+      while ((v & ~0x7fL) != 0) {
+        out.write(((v & 0x7f) | 0x80).toInt)
+        v >>>= 7
+      }
+      out.write(v.toInt)
+    }
+    private def fixed(v: Long, n: Int): Unit = {
+      var k = 0
+      while (k < n) { out.write(((v >>> (8 * k)) & 0xff).toInt); k += 1 }
+    }
+    def scalarValue(t: PScalar, v: Any): Unit = t match {
+      case PVarint => varint(v.asInstanceOf[Long])
+      case PZigzag =>
+        val x = v.asInstanceOf[Long]
+        varint((x << 1) ^ (x >> 63))
+      case PBool => varint(if (v.asInstanceOf[Boolean]) 1L else 0L)
+      case PDouble =>
+        fixed(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
+      case PFloat =>
+        fixed(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]) & 0xffffffffL, 4)
+      case PString | PBytes =>
+        throw new IllegalStateException("length-delimited types never pack")
+    }
+  }
+
+  /** Split on `sep` at paren depth 0 only (nested specs contain both
+    * commas and colons). */
+  private def splitTop(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case c if c == sep && depth == 0 => out += cur.result(); cur.clear()
+      case c => cur.append(c)
+    }
+    require(depth == 0, s"unbalanced parentheses in proto spec '$s'")
+    out += cur.result()
+    out.result()
+  }
+
   def parse(spec: String): Schema = Schema(
-    spec.split(',').toIndexedSeq.map { clause =>
-      clause.split(':') match {
-        case Array(num, name, tpe) =>
-          val pt = tpe.trim.toLowerCase match {
-            case "uint64" | "int64" | "uint32" | "int32" => PVarint
-            case "sint64" | "sint32" => PZigzag
-            case "bool" => PBool
-            case "double" => PDouble
-            case "float" => PFloat
-            case "string" => PString
-            case "bytes" => PBytes
-            case other => throw new IllegalArgumentException(
-              s"unknown proto type '$other' in clause '$clause'")
-          }
+    splitTop(spec, ',').map { clause =>
+      clause.split(":", 3) match {
+        case Array(num, name, tpe0) =>
+          var tpe = tpe0.trim
+          val repeated = tpe.endsWith("[]")
+          if (repeated) tpe = tpe.dropRight(2).trim
+          val base: PType =
+            if (tpe.startsWith("(") && tpe.endsWith(")"))
+              PMessage(parse(tpe.substring(1, tpe.length - 1)))
+            else tpe.toLowerCase match {
+              case "uint64" | "int64" | "uint32" | "int32" => PVarint
+              case "sint64" | "sint32" => PZigzag
+              case "bool" => PBool
+              case "double" => PDouble
+              case "float" => PFloat
+              case "string" => PString
+              case "bytes" => PBytes
+              case other => throw new IllegalArgumentException(
+                s"unknown proto type '$other' in clause '$clause'")
+            }
           val n = num.trim.toInt
           require(n >= 1 && n < (1 << 29), s"field number $n out of range")
-          Field(n, name.trim, pt)
+          Field(n, name.trim, if (repeated) PRepeated(base) else base)
         case _ => throw new IllegalArgumentException(
           s"bad proto spec clause '$clause' (want number:name:type)")
       }
     })
-
 }
 
 /** `proto_decode(bytes, 'spec')` → typed struct per the spec; NULL on
@@ -283,10 +448,14 @@ case class ProtoEncode(child: Expression, spec: String) extends UnaryExpression 
   override def prettyName: String = "proto_encode"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    // positional: the wire cares about types and order, not struct field
-    // names, so `struct(colA, colB, ...)` works without re-aliasing
-    case st: StructType if st.fields.map(_.dataType).toSeq ==
-      schema.sqlSchema.fields.map(_.dataType).toSeq =>
+    // positional and nullability-blind: the wire cares about types and
+    // order, not struct field names or Spark's inferred nullability
+    case st: StructType
+        if st.fields.length == schema.sqlSchema.fields.length &&
+          st.fields.zip(schema.sqlSchema.fields).forall { case (a, b) =>
+            DataType.equalsStructurally(a.dataType, b.dataType,
+              ignoreNullability = true)
+          } =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName input must be ${schema.sqlSchema.simpleString}, got ${other.simpleString}")

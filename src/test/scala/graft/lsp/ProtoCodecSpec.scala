@@ -103,6 +103,53 @@ class ProtoCodecSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("literal string"))
   }
 
+  test("repeated fields round-trip (packed numeric + per-element strings)") {
+    import spark.implicits._
+    val spec = "1:ids:uint64[],2:tags:string[],3:w:double[]"
+    val df = Seq((Seq(1L, 300L, 7L), Seq("a", "bb"), Seq(0.5, -2.0)))
+      .toDF("ids", "tags", "w")
+      .select(graft.functions.proto_encode(
+        struct(col("ids"), col("tags"), col("w")), spec).as("bin"))
+    val r = df.select(graft.functions.proto_decode(col("bin"), spec).as("m"))
+      .select("m.*").collect()(0)
+    assert(r.getSeq[Long](0) === Seq(1L, 300L, 7L))
+    assert(r.getSeq[String](1) === Seq("a", "bb"))
+    assert(r.getSeq[Double](2) === Seq(0.5, -2.0))
+    // packed layout on the wire: numeric run is ONE length-delimited
+    // field (tag 0x0a), not three tags
+    val bytes = df.collect()(0).getAs[Array[Byte]](0)
+    assert(bytes(0) === 0x0a.toByte)
+    // unpacked occurrences of the same field CONCATENATE on decode
+    val unpacked = Array[Byte](0x08, 0x05, 0x08, 0x09) // two wire-0 field-1s
+    val back = Seq(unpacked).toDF("bin")
+      .select(graft.functions.proto_decode(col("bin"), "1:ids:uint64[]").as("m"))
+      .select("m.*").collect()(0)
+    assert(back.getSeq[Long](0) === Seq(5L, 9L))
+  }
+
+  test("nested messages round-trip; absent message decodes NULL") {
+    import spark.implicits._
+    val spec = "1:id:uint64,2:loc:(1:lat:double,2:lon:double),3:pts:(1:x:sint64)[]"
+    val enc = spark.sql(
+      s"""SELECT proto_encode(struct(CAST(9 AS BIGINT),
+         |  struct(CAST(1.5 AS DOUBLE), CAST(-2.25 AS DOUBLE)),
+         |  array(struct(CAST(-4 AS BIGINT)), struct(CAST(11 AS BIGINT)))),
+         |  '$spec') AS bin""".stripMargin)
+    val r = enc.select(graft.functions.proto_decode(col("bin"), spec).as("m"))
+      .select("m.id", "m.loc.lat", "m.loc.lon", "m.pts").collect()(0)
+    assert(r.getLong(0) === 9L)
+    assert(r.getDouble(1) === 1.5)
+    assert(r.getDouble(2) === -2.25)
+    assert(r.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(0)) === Seq(-4L, 11L))
+    // a frame without field 2: the message is NULL, not a zero-struct
+    val noLoc = Seq(Array[Byte](0x08, 0x09)).toDF("bin")
+      .select(graft.functions.proto_decode(col("bin"), spec).as("m"))
+      .select("m.*").collect()(0)
+    assert(noLoc.getLong(0) === 9L)
+    assert(noLoc.isNullAt(1))
+    assert(noLoc.getSeq[Any](2) === Seq())
+  }
+
   test("proto3 merge rule: repeated scalar occurrences keep the last value") {
     import spark.implicits._
     // two occurrences of field 1: 0x08 0x05, 0x08 0x09
