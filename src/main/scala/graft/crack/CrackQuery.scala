@@ -164,7 +164,13 @@ object CrackQuery {
     * [[cancellingScan]] as soon as the hit's task completes. Strictly
     * better than the reference, which replies early (`server.c:251-256`)
     * but never cancels sibling workers (`worker.c` has no abort path).
-    */
+    *
+    * Determinism contract (inherited from [[cancellingScan]]): assumes at
+    * most one preimage per chunk — true for any cryptographic digest.
+    * With multiple preimages in ONE chunk the cancelled scan may return
+    * whichever hit reported first, where the pre-cancellation version
+    * returned the chunk minimum; callers needing the global minimum under
+    * colliding inputs use [[crackDF]] (full ordered scan). */
   def chunkedCrack(
       spark: SparkSession,
       hashHex: String,

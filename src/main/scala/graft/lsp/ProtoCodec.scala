@@ -82,17 +82,27 @@ object ProtoCodec {
       StructType(fields.map(f => StructField(f.name, f.ptype.sqlType,
         nullable = f.ptype.isInstanceOf[PMessage])))
 
-    /** slot index by field number; -1 = unknown (skip). */
-    private val slotByNumber: Array[Int] = {
+    /** slot index by field number; -1 = unknown (skip). Dense array only
+      * while field numbers are small — proto extension ranges go up to
+      * 2^29-1 and must not allocate a max-sized table. */
+    private val denseSlots: Array[Int] = {
       val max = fields.map(_.number).max
-      val arr = Array.fill(max + 1)(-1)
-      fields.zipWithIndex.foreach { case (f, i) => arr(f.number) = i }
-      arr
+      if (max > 4096) null
+      else {
+        val arr = Array.fill(max + 1)(-1)
+        fields.zipWithIndex.foreach { case (f, i) => arr(f.number) = i }
+        arr
+      }
     }
+    private val sparseSlots: Map[Int, Int] =
+      if (denseSlots != null) null
+      else fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
 
     private def slot(number: Int): Int =
-      if (number >= 0 && number < slotByNumber.length) slotByNumber(number)
-      else -1
+      if (denseSlots != null) {
+        if (number >= 0 && number < denseSlots.length) denseSlots(number)
+        else -1
+      } else sparseSlots.getOrElse(number, -1)
 
     /** proto3 defaults — what an absent field reads as. Fresh per decode:
       * repeated slots hold mutable builders. */
@@ -127,10 +137,13 @@ object ProtoCodec {
         throw new IllegalArgumentException("truncated varint")
       }
       def readLen(): Int = {
-        val len = readVarint().toInt
-        if (len < 0 || i + len > bytes.length)
+        val len64 = readVarint()
+        // reject before toInt: a >2^31 length must not alias into a
+        // small-looking value and decode misaligned garbage
+        if (len64 < 0 || len64 > Int.MaxValue ||
+          i + len64.toInt > bytes.length)
           throw new IllegalArgumentException("bad length")
-        len
+        len64.toInt
       }
       // little-endian fixed32/64 starting at i (caller bounds-checked)
       def readFixed(n: Int): Long = {
@@ -230,40 +243,13 @@ object ProtoCodec {
     }
 
     private def writeTo(row: InternalRow, out: ByteArrayOutputStream): Unit = {
-      def varint(value: Long): Unit = {
-        var v = value
-        while ((v & ~0x7fL) != 0) {
-          out.write(((v & 0x7f) | 0x80).toInt)
-          v >>>= 7
-        }
-        out.write(v.toInt)
-      }
-      def fixed(v: Long, n: Int): Unit = {
-        var k = 0
-        while (k < n) { out.write(((v >>> (8 * k)) & 0xff).toInt); k += 1 }
-      }
-      def tag(number: Int, wire: Int): Unit = varint((number.toLong << 3) | wire)
-      def lenDelimited(number: Int, b: Array[Byte]): Unit = {
-        tag(number, 2); varint(b.length.toLong); out.write(b, 0, b.length)
-      }
-      // scalar VALUE bytes (no tag) — shared by plain and packed paths
-      def scalarValue(t: PScalar, v: Any): Unit = t match {
-        case PVarint => varint(v.asInstanceOf[Long])
-        case PZigzag =>
-          val x = v.asInstanceOf[Long]
-          varint((x << 1) ^ (x >> 63))
-        case PBool => varint(if (v.asInstanceOf[Boolean]) 1L else 0L)
-        case PDouble =>
-          fixed(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
-        case PFloat =>
-          fixed(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]) & 0xffffffffL, 4)
-        case PString =>
-          val b = v.asInstanceOf[UTF8String].getBytes
-          varint(b.length.toLong); out.write(b, 0, b.length)
-        case PBytes =>
-          val b = v.asInstanceOf[Array[Byte]]
-          varint(b.length.toLong); out.write(b, 0, b.length)
-      }
+      val w = new WireWriter(out)
+      def nonNull(s: Int, f: Field): Unit =
+        if (row.isNullAt(s))
+          throw new IllegalArgumentException(
+            s"proto_encode: field '${f.name}' is NULL — proto3 scalars and " +
+              "repeated fields have no null representation (only nested " +
+              "messages may be NULL)")
       def elemAt(arr: ArrayData, j: Int, t: PType): Any = t match {
         case PVarint | PZigzag => arr.getLong(j)
         case PBool => arr.getBoolean(j)
@@ -278,8 +264,9 @@ object ProtoCodec {
       fields.zipWithIndex.foreach { case (f, s) =>
         f.ptype match {
           case t: PScalar =>
-            tag(f.number, t.wire)
-            scalarValue(t, t match {
+            nonNull(s, f)
+            w.tag(f.number, t.wire)
+            w.scalarValue(t, t match {
               case PVarint | PZigzag => row.getLong(s)
               case PBool => row.getBoolean(s)
               case PDouble => row.getDouble(s)
@@ -289,32 +276,34 @@ object ProtoCodec {
             })
           case m: PMessage =>
             if (!row.isNullAt(s))
-              lenDelimited(f.number, m.schema.encode(row.getStruct(s, m.schema.fields.size)))
+              w.lenDelimited(f.number, m.schema.encode(row.getStruct(s, m.schema.fields.size)))
           case PRepeated(t: PScalar) if t.wire != 2 =>
             // packed (proto3 default for numeric elements): element
             // values into a side buffer, then one length-delimited run
+            nonNull(s, f)
             val arr = row.getArray(s)
             if (arr.numElements() > 0) {
               val b = new ByteArrayOutputStream(arr.numElements() * 4)
-              val w = new PackedWriter(b)
+              val pw = new WireWriter(b)
               var j = 0
               while (j < arr.numElements()) {
-                w.scalarValue(t, elemAt(arr, j, t))
+                pw.scalarValue(t, elemAt(arr, j, t))
                 j += 1
               }
-              lenDelimited(f.number, b.toByteArray)
+              w.lenDelimited(f.number, b.toByteArray)
             }
           case PRepeated(t) =>
+            nonNull(s, f)
             val arr = row.getArray(s)
             var j = 0
             while (j < arr.numElements()) {
               t match {
                 case m: PMessage =>
-                  lenDelimited(f.number,
+                  w.lenDelimited(f.number,
                     m.schema.encode(arr.getStruct(j, m.schema.fields.size)))
                 case sc: PScalar => // string / bytes
-                  tag(f.number, 2)
-                  scalarValue(sc, elemAt(arr, j, sc))
+                  w.tag(f.number, 2)
+                  w.scalarValue(sc, elemAt(arr, j, sc))
                 case _: PRepeated => throw new IllegalStateException("unreachable")
               }
               j += 1
@@ -324,9 +313,11 @@ object ProtoCodec {
     }
   }
 
-  /** Tagless scalar-value writer over its own buffer (packed runs). */
-  private final class PackedWriter(out: ByteArrayOutputStream) {
-    private def varint(value: Long): Unit = {
+  /** THE wire-format writer — one implementation shared by the top-level
+    * message body and packed-run side buffers, so the scalar encodings
+    * can never diverge between the two paths. */
+  private final class WireWriter(out: ByteArrayOutputStream) {
+    def varint(value: Long): Unit = {
       var v = value
       while ((v & ~0x7fL) != 0) {
         out.write(((v & 0x7f) | 0x80).toInt)
@@ -334,10 +325,15 @@ object ProtoCodec {
       }
       out.write(v.toInt)
     }
-    private def fixed(v: Long, n: Int): Unit = {
+    def fixed(v: Long, n: Int): Unit = {
       var k = 0
       while (k < n) { out.write(((v >>> (8 * k)) & 0xff).toInt); k += 1 }
     }
+    def tag(number: Int, wire: Int): Unit = varint((number.toLong << 3) | wire)
+    def lenDelimited(number: Int, b: Array[Byte]): Unit = {
+      tag(number, 2); varint(b.length.toLong); out.write(b, 0, b.length)
+    }
+    /** Scalar VALUE bytes (no tag) — shared by plain and packed paths. */
     def scalarValue(t: PScalar, v: Any): Unit = t match {
       case PVarint => varint(v.asInstanceOf[Long])
       case PZigzag =>
@@ -348,8 +344,12 @@ object ProtoCodec {
         fixed(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), 8)
       case PFloat =>
         fixed(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]) & 0xffffffffL, 4)
-      case PString | PBytes =>
-        throw new IllegalStateException("length-delimited types never pack")
+      case PString =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        varint(b.length.toLong); out.write(b, 0, b.length)
+      case PBytes =>
+        val b = v.asInstanceOf[Array[Byte]]
+        varint(b.length.toLong); out.write(b, 0, b.length)
     }
   }
 

@@ -48,9 +48,15 @@ object TrainingData {
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cached
+    // termination: every round either converges or strictly decreases at
+    // least one label, and a component of diameter d converges within d
+    // rounds — the cap only guards against an implementation bug, and
+    // overrunning it FAILS rather than silently returning unconverged
+    // (wrong) labels
+    val maxRounds = 10000
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    while (!converged && rounds < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("d2"), col("lbl").as("nlbl")), "d2")
         .groupBy(col("d1").as("id"))
@@ -68,10 +74,18 @@ object TrainingData {
       converged = changed == 0
       rounds += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"label propagation did not converge in $maxRounds rounds")
+    // truncate the iterative lineage so the cached intermediates can be
+    // freed without the caller's action replaying the whole loop
+    val result = labels
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).as("is_keeper"))
+      .localCheckpoint(true)
+    cached.unpersist()
+    edges.unpersist()
+    result
   }
 
   /** Deterministic train/val/test assignment: bucket = leading 32 bits of

@@ -315,10 +315,16 @@ final class LspSocketBridge(
 
   private val socket = new java.net.DatagramSocket(port)
   @volatile private var running = false
+  @volatile private var error: Throwable = _
   private var thread: Thread = _
 
   /** Bound UDP port (useful when constructed with the ephemeral port 0). */
   def localPort: Int = socket.getLocalPort
+
+  /** The failure that stopped ingestion, if any — a bridge whose writer
+    * path failed must be OBSERVABLY dead, not silently dropping
+    * datagrams (its whole contract is exactly-once delivery). */
+  def failure: Option[Throwable] = Option(error)
 
   def start(): this.type = synchronized {
     require(thread == null, "bridge already started")
@@ -329,11 +335,16 @@ final class LspSocketBridge(
     this
   }
 
-  /** Stop receiving, flush buffered frames, close the socket. */
+  /** Stop receiving, flush buffered frames, close the socket. Rethrows
+    * the ingestion failure if the receive loop died early — callers must
+    * not mistake a crashed bridge for a clean drain. */
   def stop(): Unit = synchronized {
     running = false
     if (thread != null) { thread.join(10000); thread = null }
     socket.close()
+    if (error != null) throw new java.io.IOException(
+      "socket bridge failed while ingesting; frames after the failure were dropped",
+      error)
   }
 
   private def loop(): Unit = {
@@ -346,19 +357,23 @@ final class LspSocketBridge(
       pending.clear()
       lastFlush = System.nanoTime()
     }
-    while (running) {
-      val packet = new java.net.DatagramPacket(buf, buf.length)
-      try {
-        socket.receive(packet)
-        pending += java.util.Arrays.copyOfRange(buf, 0, packet.getLength)
-      } catch {
-        case _: java.net.SocketTimeoutException => // idle tick → check flush
+    try {
+      while (running) {
+        val packet = new java.net.DatagramPacket(buf, buf.length)
+        try {
+          socket.receive(packet)
+          pending += java.util.Arrays.copyOfRange(buf, 0, packet.getLength)
+        } catch {
+          case _: java.net.SocketTimeoutException => // idle tick → check flush
+        }
+        if (pending.size >= flushCount ||
+          (pending.nonEmpty &&
+            (System.nanoTime() - lastFlush) / 1000000L >= flushMillis))
+          flush()
       }
-      if (pending.size >= flushCount ||
-        (pending.nonEmpty &&
-          (System.nanoTime() - lastFlush) / 1000000L >= flushMillis))
-        flush()
+      flush() // drain the tail on stop
+    } catch {
+      case t: Throwable => error = t // surfaced by failure/stop()
     }
-    flush() // drain the tail on stop
   }
 }

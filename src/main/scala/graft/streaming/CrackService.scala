@@ -116,11 +116,12 @@ object CrackService {
       else {
         val (lo, hi) = graft.keyspace.Keyspace.fullRange(st.len)
         val tiles = graft.keyspace.Keyspace.tile(lo, hi, st.nParts)
+        val seen = st.seen.toSet // one conversion, not O(parts) scans
         var found = st.found
         var pass = st.pass
         var p = 0
         while (p < st.nParts && !found) {
-          if (!st.seen.contains(p))
+          if (!seen.contains(p))
             rescan(st.hashHex, st.len, tiles(p)._1, tiles(p)._2).foreach { h =>
               found = true; pass = h
             }
@@ -133,21 +134,26 @@ object CrackService {
     } else {
       var st = state.getOption.getOrElse(
         RecoveryState(null, 0, -1, Nil, found = false, null, replied = false))
+      // Set for the batch's membership checks; the state keeps a Seq
+      // (encoder-friendly) — converting once per batch keeps the fold
+      // linear where per-verdict Seq.contains would be O(nParts²)
+      var seen = st.seen.toSet
       val replies = Seq.newBuilder[CrackReply]
       verdicts.foreach { v =>
         if (st.nParts < 0)
           st = st.copy(hashHex = v.hashHex, len = v.len, nParts = v.nParts)
-        if (!st.seen.contains(v.partId)) st = st.copy(seen = st.seen :+ v.partId)
+        seen += v.partId
         if (v.found && !st.found) st = st.copy(found = true, pass = v.pass)
         if (st.found && !st.replied) {
           replies += CrackReply(reqId, "f", st.pass)
           st = st.copy(replied = true)
-        } else if (st.seen.size == st.nParts && !st.found && !st.replied) {
+        } else if (seen.size == st.nParts && !st.found && !st.replied) {
           replies += CrackReply(reqId, "x", null)
           st = st.copy(replied = true)
         }
       }
-      if (st.seen.size == st.nParts) state.remove()
+      st = st.copy(seen = seen.toSeq.sorted)
+      if (seen.size == st.nParts) state.remove()
       else {
         state.update(st)
         // re-arm per batch: the clock restarts whenever the request makes

@@ -150,6 +150,28 @@ class ProtoCodecSpec extends SparkSpec {
     assert(noLoc.getSeq[Any](2) === Seq())
   }
 
+  test("null scalar fields fail encode with a typed error, not an NPE") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(Tuple1("x")).toDF("s")
+        .select(graft.functions.proto_encode(
+          struct(lit(null).cast("string")), "1:s:string"))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(_.getMessage != null) &&
+      chain(err).exists(t => Option(t.getMessage).exists(_.contains("NULL"))),
+      s"want a typed NULL-field error, got $err")
+    // malformed oversized length varint decodes to NULL, not garbage
+    val big = Array[Byte](0x0a, 0x85.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x10, 0x61) // field 1 wire 2, length 2^32+5
+    val r = Seq(big).toDF("bin")
+      .select(graft.functions.proto_decode(col("bin"), "1:s:string").as("m"))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("proto3 merge rule: repeated scalar occurrences keep the last value") {
     import spark.implicits._
     // two occurrences of field 1: 0x08 0x05, 0x08 0x09
