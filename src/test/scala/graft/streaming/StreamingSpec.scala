@@ -100,6 +100,34 @@ class StreamingSpec extends SparkSpec {
     assert(timedOut.isRemoved)
   }
 
+  test("straggler recovery fires END-TO-END with live processing-time timers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // "ab" (ordinal 1, len 2) lives in tile 0 of 3 — and tile 0's verdict
+    // never arrives. The 300 ms processing-time timeout must rescan it
+    // and still answer f/ab. processAllAvailable would never return with
+    // timers on (timer-only batches run continuously), so the assertion
+    // POLLS the sink with a deadline instead.
+    val hash = "da23614e02469a0d7c7bd1bdab5c9c474b1904dc"
+    val input = MemoryStream[JobVerdict]
+    val name = s"livetimer_${System.nanoTime()}"
+    val q = CrackService.replyStreamRecovering(input.toDS(), timeoutMs = 300L)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      input.addData(Seq(
+        JobVerdict(77L, 1, 3, hash, 2, found = false, null),
+        JobVerdict(77L, 2, 3, hash, 2, found = false, null)))
+      val deadline = System.nanoTime() + 60_000_000_000L
+      var replies = Seq.empty[CrackReply]
+      while (replies.isEmpty && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        replies = spark.table(name).as[CrackReply].collect().toSeq
+      }
+      assert(replies === Seq(CrackReply(77L, "f", "ab")),
+        "timeout recovery must rescan the lost tile and reply")
+    } finally q.stop()
+  }
+
   test("recovering pipeline end-to-end (timers off) matches the plain fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
