@@ -81,19 +81,23 @@ object SqlQueries {
       // (2) the rank-check pass re-reads events against the tiny
       // broadcast-joined summary. The previous formulation's third scan
       // and second join bought nothing — the exact/approx columns were
-      // computed in separate passes over the same rows.
+      // computed in separate passes over the same rows. The summary
+      // columns ride through max() rather than the GROUP BY: they are
+      // functionally dependent on event_type, and grouping by
+      // aggregate-derived join columns measured ~6x slower here (it
+      // defeats the second aggregate's partial/final split).
       """WITH g AS (SELECT event_type,
         |             count(DISTINCT user_id) AS n_users,
         |             approx_count_distinct(user_id, 0.01) AS approx_users,
         |             approx_percentile(value, 0.5) AS p50,
         |             approx_percentile(value, 0.95) AS p95
         |           FROM events GROUP BY 1)
-        |SELECT g.event_type, g.n_users,
-        |  round(CAST(g.approx_users AS DOUBLE) / g.n_users, 1) AS users_ratio,
+        |SELECT g.event_type, max(g.n_users) AS n_users,
+        |  round(max(CAST(g.approx_users AS DOUBLE)) / max(g.n_users), 1) AS users_ratio,
         |  round(avg(CAST(CASE WHEN e.value <= g.p50 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p50_rank,
         |  round(avg(CAST(CASE WHEN e.value <= g.p95 THEN 1.0 ELSE 0.0 END AS DOUBLE)), 2) AS p95_rank
         |FROM events e JOIN g ON e.event_type = g.event_type
-        |GROUP BY g.event_type, g.n_users, g.approx_users""".stripMargin)
+        |GROUP BY g.event_type""".stripMargin)
 
   /** Raw sketch outputs (engine-specific values; library surface). */
   def qSketchRaw(spark: SparkSession, dir: String): DataFrame =
