@@ -147,6 +147,10 @@ object SparkEntry {
     "q_stratified_sample" -> (TrainingData.qStratifiedSample _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
+    // capstone: quality gate -> exact-dup losers -> near-dup cluster
+    // losers -> split -> census, one declarative plan, one oracle
+    "q_corpus_build" -> ((s: SparkSession, d: String) =>
+      TrainingData.qCorpusBuild(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -729,6 +733,53 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill
         |FROM r GROUP BY 1, 2""".stripMargin,
+    // the five-stage corpus build, recomposed from the proven per-stage
+    // oracle formulations (jaccard pairs + recursive-CTE clusters + md5
+    // exact groups + hash split + repetition quality)
+    "q_corpus_build" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(l) - 2, 1)),
+        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+        |       FROM toks),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM ip
+        |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        |          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+        |near_losers AS (SELECT id AS doc_id FROM reach GROUP BY id
+        |                HAVING min(r) <> id),
+        |exact_losers AS (SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |  FROM documents) WHERE doc_id <> keep),
+        |bg AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i+1])) AS g FROM toks) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |kept AS (SELECT d.doc_id, d.lang,
+        |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |         FROM documents d JOIN bg USING (doc_id)
+        |         WHERE len(string_split(d.text, ' ')) >= 20
+        |           AND CAST(bg.top_bg AS DOUBLE) / bg.n_bg <= 0.2
+        |           AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+        |           AND d.doc_id NOT IN (SELECT doc_id FROM near_losers))
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM (SELECT doc_id, lang, n_tokens,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+        |          AS BIGINT) AS bucket
+        |      FROM kept)
+        |GROUP BY 1, 2""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  upper(hex(substring(text, 1, 8))) AS header_hex,

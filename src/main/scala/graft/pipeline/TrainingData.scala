@@ -123,6 +123,60 @@ object TrainingData {
         round(col("n_sampled").cast("double") / col("n_total"), 4))
   }
 
+  /** The capstone composition — a corpus BUILD in one relation: quality
+    * gate (token count + repetition bound) → exact-dup losers removed
+    * (md5 groups keep min doc_id) → near-dup cluster losers removed
+    * (the [[qDedupClusters]] keep-list) → deterministic split assignment
+    * → per-(split, lang) census. Every stage is an operator this library
+    * ships individually; the composition is what a user actually runs,
+    * and it stays one declarative plan end-to-end (the dedup relations
+    * are computed over the FULL corpus, then subtracted from the
+    * quality-passing set — order documented because it changes counts).
+    * All stages are hash/order-deterministic, so the whole five-stage
+    * pipeline carries a single DuckDB oracle. */
+  def qCorpusBuild(
+      spark: SparkSession, dir: String,
+      minTokens: Int = 20, maxBigramFrac: Double = 0.2): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+    // quality: enough tokens, not repetition-dominated (the same gram
+    // counting the repetition stats use)
+    val bigrams = graft.functions.shingle_list(col("text"), 2)
+    val bgTop = docs
+      .select(col("doc_id"), explode(bigrams).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bg"), sum("c").as("n_bg"))
+    val qualified = docs.join(bgTop, "doc_id")
+      .filter(col("n_tokens") >= minTokens &&
+        col("top_bg").cast("double") / col("n_bg") <= maxBigramFrac)
+      .select("doc_id", "lang", "text", "n_tokens")
+    // exact-dup losers: any copy that is not its text group's min doc_id
+    val exactLosers = load(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), collect_list("doc_id").as("all"))
+      .select(explode(col("all")).as("doc_id"), col("keep"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    // near-dup losers: cluster members that are not the canonical keeper
+    val nearLosers = qDedupClusters(spark, dir)
+      .filter(!col("is_keeper"))
+      .select("doc_id")
+    qualified
+      .join(exactLosers, Seq("doc_id"), "left_anti")
+      .join(nearLosers, Seq("doc_id"), "left_anti")
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+  }
+
   /** Greedy contiguous sequence packing: docs in doc_id order are packed
     * into fixed token budgets (`capacity`), each doc assigned to the bin
     * its RUNNING token total falls in — the streaming approximation of

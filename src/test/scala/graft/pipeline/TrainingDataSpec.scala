@@ -68,6 +68,44 @@ class TrainingDataSpec extends SparkSpec {
       s"click sampled $cSampled of $cTotal")
   }
 
+  test("corpus build: census counts respect every pipeline stage") {
+    import org.apache.spark.sql.functions._
+    val census = TrainingData.qCorpusBuild(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val total = census.map(_._3).sum
+    val nDocs = graft.relational.Tables.load(spark, dir, "documents").count()
+    // the gates bite: some docs are filtered, but not everything
+    assert(total > 0 && total < nDocs,
+      s"census kept $total of $nDocs — gates must filter some, not all")
+    // no near-dup loser survives into the corpus (spot the composition)
+    val losers = TrainingData.qDedupClusters(spark, dir)
+      .filter(!col("is_keeper")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(losers.nonEmpty)
+    // rebuild the kept doc set with the same filters to cross-check
+    val keptDocs = {
+      val docs = graft.relational.Tables.load(spark, dir, "documents")
+      val exactLosers = docs.groupBy(md5(col("text")))
+        .agg(min("doc_id").as("keep"), collect_list("doc_id").as("all"))
+        .select(explode(col("all")).as("doc_id"), col("keep"))
+        .filter(col("doc_id") =!= col("keep")).collect().map(_.getLong(0)).toSet
+      docs.select(col("doc_id"), size(split(col("text"), " ", -1)).as("n"))
+        .collect()
+        .filter(r => r.getInt(1) >= 20)
+        .map(_.getLong(0))
+        .filterNot(exactLosers)
+        .filterNot(losers)
+        .toSet
+    }
+    // census doc count can only be <= the loser/length-filtered set (the
+    // repetition gate removes more); and every split/lang is plausible
+    assert(total <= keptDocs.size)
+    census.foreach { case (split, _, n, toks) =>
+      assert(Set("train", "val", "test")(split))
+      assert(n > 0 && toks > 0)
+    }
+  }
+
   test("sequence packing: bins contiguous per lang, totals preserved") {
     import org.apache.spark.sql.functions._
     val docs = graft.relational.Tables.load(spark, dir, "documents")
