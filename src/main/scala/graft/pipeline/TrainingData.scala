@@ -37,12 +37,38 @@ object TrainingData {
     *
     * Oracle: DuckDB recursive-CTE reachability computing min reachable
     * id per node — an independent formulation of the same fixpoint. */
+  /** One computed cluster table per (session, dir): the iterative label
+    * propagation is this module's only multi-job operator, and both its
+    * direct query and the corpus-build composition consume the SAME
+    * small checkpointed result — recomputing it per caller would re-run
+    * the whole loop. Weak session keys, like the dedup shingle cache. */
+  private val clusterCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val perSession = clusterCache.synchronized {
+      var m = clusterCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        clusterCache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, computeDedupClusters(spark, dir))
+  }
+
+  private def computeDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
       .select(col("d1"), col("d2"))
-    // undirected: propagate both ways
+    // undirected: propagate both ways. Cached PRE-HASHED on the join key
+    // (d2): the static side of an iterative join must not reshuffle every
+    // round — with matching partitioning the per-round exchange touches
+    // only the small moving labels side (the GraphX discipline).
     val edges = pairs
       .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .repartition(spark.sparkContext.defaultParallelism, col("d2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cached = edges.select(col("d1").as("id")).distinct()
       .withColumn("lbl", col("id"))
