@@ -135,6 +135,9 @@ object SparkEntry {
     // force, so the brute-force SQL is its oracle
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnIvfExact(s, d)),
+    // fixed-point accumulation: integer sums are order-independent, so
+    // the distributed mean is bit-reproducible (and exactly oracled)
+    "q_embedding_centroids" -> (Similarity.qEmbeddingCentroids _),
     // int8 quantized scoring: every step is engine-reproducible, so this
     // approximation carries a full oracle (unlike LSH)
     "q_ann_q8" -> ((s: SparkSession, d: String) =>
@@ -623,6 +626,18 @@ object SparkEntry {
     // at cosine 0)
     "q_ann_lsh_verified" -> annTopKSql(5),
     "q_ann_ivf" -> annTopKSql(10),
+    // same 16-bit fixed-point arithmetic: quantize, exact integer sum,
+    // one rescale — every step engine-reproducible
+    "q_embedding_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(dim - 1 AS BIGINT) AS dim,
+        |  round(sum(q) / 65536.0 / count(*), 6) AS mean,
+        |  count(*) AS n_vectors
+        |FROM (SELECT label,
+        |        generate_subscripts(embedding, 1) AS dim,
+        |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 65536) AS BIGINT) AS q
+        |      FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin,
     "q_ann_q8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -337,6 +337,30 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Per-label mean embeddings (centroids) with DETERMINISTIC distributed
+    * accumulation: each component is quantized to 16-bit fixed point
+    * (`round(x · 2¹⁶)`) and summed as INTEGERS — integer addition is
+    * exactly commutative/associative, so the distributed sum is
+    * bit-identical under any partitioning or reduction order, where a
+    * float sum drifts with task scheduling. The mean rescales the exact
+    * integer sum once. This is the reproducible-reduction discipline a
+    * training pipeline needs for centroids/statistics it will compare
+    * across runs, and it is fully shuffle-bounded: one (label, dim)-keyed
+    * aggregation, rows = vectors × dims, state = labels × dims. Output is
+    * exploded (label, dim, mean, n_vectors) — scalar columns, exact
+    * oracle. Quantization error ≤ 2⁻¹⁷ per component — measured against
+    * the float mean in SimilaritySpec. */
+  def qEmbeddingCentroids(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("q", round(col("v").cast("double") * (1L << 16)).cast("long"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vectors"), sum("q").as("sq"))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("sq") / 65536.0 / col("n_vectors"), 6).as("mean"),
+        col("n_vectors"))
+
   /** LSH ANN with a dense-enough candidate graph that the exact re-ranked
     * result EQUALS brute force on real corpora — the oracle-able companion
     * to [[qAnnLshBuckets]] (same pattern that made MinHash+LSH dedup

@@ -112,6 +112,28 @@ class SimilaritySpec extends SparkSpec {
       s"banded candidates missed ${(bf -- banded).size} true pairs")
   }
 
+  test("fixed-point centroids track the float mean within quantization error") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.qEmbeddingCentroids(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3))))
+      .toMap
+    // reference float mean, driver-side
+    val vecs = graft.relational.Tables.load(spark, dir, "embeddings")
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    vecs.groupBy(_._1).foreach { case (label, members) =>
+      val n = members.size
+      (0 until 64).foreach { d =>
+        val mean = members.map(_._2(d).toDouble).sum / n
+        val (gm, gn) = got((label, d.toLong))
+        assert(gn === n.toLong)
+        // per-component quantization error <= 2^-17 plus rounding slop
+        assert(math.abs(gm - mean) < (1.0 / (1 << 17)) + 1e-6,
+          s"label $label dim $d: $gm vs $mean")
+      }
+    }
+  }
+
   test("LSH-verified ANN equals brute force row-for-row") {
     val bf = Similarity.qAnnBruteForce(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
