@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.{Dataset, Encoders}
+
+import graft.streaming.CrackService.{CrackReply, JobVerdict, RecoveryState}
+
+/** [[CrackService]]'s verdict fold WITH straggler recovery on Spark 4's
+  * `transformWithState` API — the same pairing discipline as
+  * [[SessionTrackerTws]]: the reference's crack-job state machine (T8,
+  * `server.c:229-331`) plus the timeout rescheduler its author left as a
+  * stub (`server.c:440-447`) must behave identically on both state APIs,
+  * and the dual implementation pins that. Timers here are explicit
+  * per-key registrations (`registerTimer`/`handleExpiredTimer`) instead
+  * of fMGWS's single implicit timeout — re-armed on every batch that
+  * makes progress, so only a genuinely silent straggler trips recovery.
+  * Requires the RocksDB state store provider. */
+object CrackServiceTws {
+
+  class RecoveringVerdictProcessor(
+      timeoutMs: Long,
+      rescan: (String, Int, Long, Long) => Option[String])
+      extends StatefulProcessor[Long, JobVerdict, CrackReply] {
+
+    @transient private var req: ValueState[RecoveryState] = _
+    // the armed timer's expiry, so re-arming can delete the stale timer
+    // (Tws timers are not replace-on-register like fMGWS's timeout)
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      req = getHandle.getValueState[RecoveryState](
+        "req", Encoders.product[RecoveryState], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long](
+        "armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def rearm(timers: TimerValues): Unit = if (timeoutMs > 0) {
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      val expiry = timers.getCurrentProcessingTimeInMs() + timeoutMs
+      getHandle.registerTimer(expiry)
+      armed.update(expiry)
+    }
+
+    private def disarm(): Unit = {
+      if (armed.exists()) getHandle.deleteTimer(armed.get())
+      armed.clear()
+    }
+
+    override def handleInputRows(
+        reqId: Long,
+        verdicts: Iterator[JobVerdict],
+        timers: TimerValues): Iterator[CrackReply] = {
+      var st = if (req.exists()) req.get()
+        else RecoveryState(null, 0, -1, Nil, found = false, null, replied = false)
+      var seen = st.seen.toSet
+      val replies = Seq.newBuilder[CrackReply]
+      verdicts.foreach { v =>
+        if (st.nParts < 0)
+          st = st.copy(hashHex = v.hashHex, len = v.len, nParts = v.nParts)
+        seen += v.partId
+        if (v.found && !st.found) st = st.copy(found = true, pass = v.pass)
+        if (st.found && !st.replied) {
+          replies += CrackReply(reqId, "f", st.pass)
+          st = st.copy(replied = true)
+        } else if (seen.size == st.nParts && !st.found && !st.replied) {
+          replies += CrackReply(reqId, "x", null)
+          st = st.copy(replied = true)
+        }
+      }
+      if (seen.size == st.nParts) { req.clear(); disarm() }
+      else {
+        req.update(st.copy(seen = seen.toSeq.sorted))
+        rearm(timers)
+      }
+      replies.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        reqId: Long,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[CrackReply] = {
+      if (!req.exists()) return Iterator.empty
+      val st = req.get()
+      req.clear()
+      armed.clear()
+      if (st.replied) Iterator.empty // found already answered; just free
+      else {
+        val (lo, hi) = graft.keyspace.Keyspace.fullRange(st.len)
+        val tiles = graft.keyspace.Keyspace.tile(lo, hi, st.nParts)
+        val seen = st.seen.toSet
+        var found = st.found
+        var pass = st.pass
+        var p = 0
+        while (p < st.nParts && !found) {
+          if (!seen.contains(p))
+            rescan(st.hashHex, st.len, tiles(p)._1, tiles(p)._2).foreach { h =>
+              found = true; pass = h
+            }
+          p += 1
+        }
+        Iterator.single(
+          if (found) CrackReply(reqId, "f", pass)
+          else CrackReply(reqId, "x", null))
+      }
+    }
+  }
+
+  /** Recovery-capable reply stream on transformWithState. `timeoutMs = 0`
+    * disables timers (TimeMode.None — the test-friendly mode, same
+    * convention as the fMGWS variant). */
+  def replyStreamRecovering(
+      verdicts: Dataset[JobVerdict],
+      timeoutMs: Long,
+      rescan: (String, Int, Long, Long) => Option[String] =
+        CrackPipeline.scanTile): Dataset[CrackReply] = {
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val outEnc = Encoders.product[CrackReply]
+    val mode = if (timeoutMs > 0) TimeMode.ProcessingTime() else TimeMode.None()
+    verdicts
+      .groupByKey(_.reqId)
+      .transformWithState(new RecoveringVerdictProcessor(timeoutMs, rescan),
+        mode, OutputMode.Append())
+  }
+}

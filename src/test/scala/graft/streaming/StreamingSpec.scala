@@ -290,6 +290,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState recovery matches fMGWS: fold parity + live timer rescan") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val hash = "da23614e02469a0d7c7bd1bdab5c9c474b1904dc" // "ab", len 2
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // parity (timers off): complete verdict sets fold identically
+      val in1 = MemoryStream[JobVerdict]
+      val n1 = s"twsrecov_${System.nanoTime()}"
+      val q1 = CrackServiceTws.replyStreamRecovering(in1.toDS(), timeoutMs = 0L)
+        .writeStream.format("memory").queryName(n1).outputMode("append").start()
+      try {
+        in1.addData(Seq(
+          JobVerdict(5L, 0, 2, hash, 2, found = false, null),
+          JobVerdict(5L, 1, 2, hash, 2, found = true, "ab"),
+          JobVerdict(6L, 0, 1, hash, 2, found = false, null)))
+        q1.processAllAvailable()
+        assert(spark.table(n1).as[CrackReply].collect().toSet === Set(
+          CrackReply(5L, "f", "ab"), CrackReply(6L, "x", null)))
+      } finally q1.stop()
+
+      // live processing-time timer: the lost tile is rescanned
+      val in2 = MemoryStream[JobVerdict]
+      val n2 = s"twstimer_${System.nanoTime()}"
+      val q2 = CrackServiceTws.replyStreamRecovering(in2.toDS(), timeoutMs = 300L)
+        .writeStream.format("memory").queryName(n2).outputMode("append").start()
+      try {
+        in2.addData(Seq(
+          JobVerdict(9L, 1, 3, hash, 2, found = false, null),
+          JobVerdict(9L, 2, 3, hash, 2, found = false, null)))
+        val deadline = System.nanoTime() + 60_000_000_000L
+        var replies = Seq.empty[CrackReply]
+        while (replies.isEmpty && System.nanoTime() < deadline) {
+          Thread.sleep(100)
+          replies = spark.table(n2).as[CrackReply].collect().toSeq
+        }
+        assert(replies === Seq(CrackReply(9L, "f", "ab")),
+          "Tws timer recovery must rescan the lost tile")
+      } finally q2.stop()
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("event-time tumbling window with watermark drops late data") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
