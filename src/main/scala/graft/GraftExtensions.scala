@@ -169,6 +169,10 @@ object GraftExtensions {
       Sha1MultiOrdinalMatch(Cast(args(0), LongType),
         posIntArg("sha1_multi_ordinal_match", args(1)), hexes)
     },
+    "z_order" -> { args: Seq[Expression] =>
+      arity("z_order", 2, args)
+      graft.sources.ZOrderValue(Cast(args(0), LongType), Cast(args(1), LongType))
+    },
     "lsp_encode" -> { args: Seq[Expression] =>
       arity("lsp_encode", 3, args)
       LspEncode(Cast(args(0), LongType), Cast(args(1), LongType),

@@ -138,6 +138,9 @@ object SparkEntry {
     // fixed-point accumulation: integer sums are order-independent, so
     // the distributed mean is bit-reproducible (and exactly oracled)
     "q_embedding_centroids" -> (Similarity.qEmbeddingCentroids _),
+    // Morton-code locality census (the lake-layout clustering key;
+    // row-group skip rates measured in ZOrderSpec)
+    "q_zorder_stats" -> (EventQueries.qZorderStats _),
     // int8 quantized scoring: every step is engine-reproducible, so this
     // approximation carries a full oracle (unlike LSH)
     "q_ann_q8" -> ((s: SparkSession, d: String) =>
@@ -795,6 +798,17 @@ object SparkEntry {
         |          AS BIGINT) AS bucket
         |      FROM kept)
         |GROUP BY 1, 2""".stripMargin,
+    // the Morton interleave recomputed from shifts and masks (16 bits
+    // per dimension suffice for this data; the kernel's upper bits are 0)
+    "q_zorder_stats" ->
+      """WITH q AS (SELECT user_id, CAST(floor(value) AS BIGINT) AS qv FROM events),
+        |z AS (SELECT user_id, qv,
+        |        ((((user_id >> 0) & 1) << 0) | (((qv >> 0) & 1) << 1) | (((user_id >> 1) & 1) << 2) | (((qv >> 1) & 1) << 3) | (((user_id >> 2) & 1) << 4) | (((qv >> 2) & 1) << 5) | (((user_id >> 3) & 1) << 6) | (((qv >> 3) & 1) << 7) | (((user_id >> 4) & 1) << 8) | (((qv >> 4) & 1) << 9) | (((user_id >> 5) & 1) << 10) | (((qv >> 5) & 1) << 11) | (((user_id >> 6) & 1) << 12) | (((qv >> 6) & 1) << 13) | (((user_id >> 7) & 1) << 14) | (((qv >> 7) & 1) << 15) | (((user_id >> 8) & 1) << 16) | (((qv >> 8) & 1) << 17) | (((user_id >> 9) & 1) << 18) | (((qv >> 9) & 1) << 19) | (((user_id >> 10) & 1) << 20) | (((qv >> 10) & 1) << 21) | (((user_id >> 11) & 1) << 22) | (((qv >> 11) & 1) << 23) | (((user_id >> 12) & 1) << 24) | (((qv >> 12) & 1) << 25) | (((user_id >> 13) & 1) << 26) | (((qv >> 13) & 1) << 27) | (((user_id >> 14) & 1) << 28) | (((qv >> 14) & 1) << 29) | (((user_id >> 15) & 1) << 30) | (((qv >> 15) & 1) << 31)) AS z
+        |      FROM q)
+        |SELECT z >> 10 AS zbucket, count(*) AS n,
+        |  min(user_id) AS u_min, max(user_id) AS u_max,
+        |  min(qv) AS v_min, max(qv) AS v_max
+        |FROM z GROUP BY 1""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  upper(hex(substring(text, 1, 8))) AS header_hex,

@@ -70,6 +70,14 @@ object functions {
   def shingle_list(text: Column, n: Int): Column =
     col(graft.text.ShingleList(Cast(expr(text), StringType), n))
 
+  /** 64-bit Morton (Z-order) code over the low 32 bits of two
+    * NON-NEGATIVE integer columns — the multi-dimensional lake
+    * clustering key (quantize/offset dimensions to non-negative ints
+    * first; negative values alias under the 32-bit mask). */
+  def z_order(a: Column, b: Column): Column =
+    col(graft.sources.ZOrderValue(
+      Cast(expr(a), LongType), Cast(expr(b), LongType)))
+
   /** MinHash signature over a shingle array; NULL when empty. */
   def minhash_sig(shingles: Column, k: Int): Column =
     col(graft.text.MinHashSig(expr(shingles), k))

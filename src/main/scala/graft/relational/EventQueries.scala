@@ -10,6 +10,25 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object EventQueries {
 
+  /** Z-order locality census: events keyed by the Morton interleave of
+    * (user_id, floor(value)), grouped into z-buckets. The point the
+    * numbers make: within one z-bucket BOTH dimensions are
+    * range-bounded, which is exactly the property that lets parquet
+    * min/max stats prune a 2-D range predicate after a z-sort — a
+    * single-column sort bounds only its leading key (ZOrderSpec measures
+    * the row-group skip rate difference against real footers). */
+  def qZorderStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), floor(col("value")).cast("long").as("qv"))
+      .withColumn("z",
+        graft.functions.z_order(col("user_id"), col("qv")))
+      .withColumn("zbucket", shiftright(col("z"), 10))
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("qv").as("v_min"), max("qv").as("v_max"))
+
+
   import Tables.load
 
   /** `events.ts` arrives as a raw long of nanos (see [[Tables.load]]).
