@@ -801,7 +801,9 @@ object SparkEntry {
     // the Morton interleave recomputed from shifts and masks (16 bits
     // per dimension suffice for this data; the kernel's upper bits are 0)
     "q_zorder_stats" ->
-      """WITH q AS (SELECT user_id, CAST(floor(value) AS BIGINT) AS qv FROM events),
+      """WITH q AS (SELECT user_id & 65535 AS user_id,
+        |        greatest(CAST(floor(value) AS BIGINT), 0) & 65535 AS qv
+        |      FROM events),
         |z AS (SELECT user_id, qv,
         |        ((((user_id >> 0) & 1) << 0) | (((qv >> 0) & 1) << 1) | (((user_id >> 1) & 1) << 2) | (((qv >> 1) & 1) << 3) | (((user_id >> 2) & 1) << 4) | (((qv >> 2) & 1) << 5) | (((user_id >> 3) & 1) << 6) | (((qv >> 3) & 1) << 7) | (((user_id >> 4) & 1) << 8) | (((qv >> 4) & 1) << 9) | (((user_id >> 5) & 1) << 10) | (((qv >> 5) & 1) << 11) | (((user_id >> 6) & 1) << 12) | (((qv >> 6) & 1) << 13) | (((user_id >> 7) & 1) << 14) | (((qv >> 7) & 1) << 15) | (((user_id >> 8) & 1) << 16) | (((qv >> 8) & 1) << 17) | (((user_id >> 9) & 1) << 18) | (((qv >> 9) & 1) << 19) | (((user_id >> 10) & 1) << 20) | (((qv >> 10) & 1) << 21) | (((user_id >> 11) & 1) << 22) | (((qv >> 11) & 1) << 23) | (((user_id >> 12) & 1) << 24) | (((qv >> 12) & 1) << 25) | (((user_id >> 13) & 1) << 26) | (((qv >> 13) & 1) << 27) | (((user_id >> 14) & 1) << 28) | (((qv >> 14) & 1) << 29) | (((user_id >> 15) & 1) << 30) | (((qv >> 15) & 1) << 31)) AS z
         |      FROM q)

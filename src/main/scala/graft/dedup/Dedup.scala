@@ -56,27 +56,26 @@ object Dedup {
     *
     * ONE persisted frame per (session, dir): repeated query invocations
     * (a benchmark loop, a notebook) must reuse the cache entry, not stack
-    * a new one per call. Sessions are weak keys so a closed session's
-    * entries are collectable. */
+    * a new one per call. Keyed by `sessionUUID` string, NOT the session
+    * object — a cached DataFrame strongly references its session, so a
+    * weak-keyed map would never actually collect. Entries live for the
+    * JVM (bounded by sessions × dirs); a caller that rewrites the data
+    * under `dir` mid-session must [[invalidateCaches]]. */
   private val shingleCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
 
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = shingleCache.synchronized {
-      var m = shingleCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        shingleCache.put(spark, m)
-      }
-      m
+  /** Drop this session's cached shingle frames (e.g. after rewriting the
+    * parquet under a cached dir). */
+  def invalidateCaches(spark: SparkSession): Unit =
+    shingleCache.filterInPlace { case ((sid, _), df) =>
+      if (sid == org.apache.spark.sql.GraftShim.sessionId(spark)) { df.unpersist(); false } else true
     }
-    perSession.getOrElseUpdate(dir,
+
+  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate((org.apache.spark.sql.GraftShim.sessionId(spark), dir),
       docs(spark, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh_arr"))
         .persist())
-  }
 
   /** Exact-Jaccard verification of candidate (d1, d2) pairs from cached
     * shingle arrays: two equi-joins fetch the arrays, and the

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
 import graft.relational.Tables
@@ -18,6 +18,22 @@ import graft.relational.Tables
 object TrainingData {
 
   import Tables.load
+
+  /** One computed cluster table per (session, dir): the iterative label
+    * propagation is this module's only multi-job operator, and both its
+    * direct query and the corpus-build composition consume the SAME
+    * small checkpointed result — recomputing it per caller would re-run
+    * the whole loop. Keyed by `sessionUUID` string (a cached DataFrame
+    * strongly references its session, so weak keys would never collect);
+    * entries live for the JVM, bounded by sessions × dirs. */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Drop this session's cached cluster tables — REQUIRED after
+    * rewriting the data under a cached dir mid-session, or the stale
+    * keep-list keeps being served. */
+  def invalidateCaches(spark: SparkSession): Unit =
+    clusterCache.filterInPlace { case ((sid, _), _) => sid != org.apache.spark.sql.GraftShim.sessionId(spark) }
 
   /** Near-dup CLUSTERS from the exact-verified pair relation: connected
     * components, labeled by the minimum doc_id in each component, with
@@ -36,28 +52,14 @@ object TrainingData {
     * here is already the LSH-bucketed one, never all-pairs.
     *
     * Oracle: DuckDB recursive-CTE reachability computing min reachable
-    * id per node — an independent formulation of the same fixpoint. */
-  /** One computed cluster table per (session, dir): the iterative label
-    * propagation is this module's only multi-job operator, and both its
-    * direct query and the corpus-build composition consume the SAME
-    * small checkpointed result — recomputing it per caller would re-run
-    * the whole loop. Weak session keys, like the dedup shingle cache. */
-  private val clusterCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        scala.collection.concurrent.TrieMap[String, DataFrame]]())
-
-  def qDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val perSession = clusterCache.synchronized {
-      var m = clusterCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        clusterCache.put(spark, m)
-      }
-      m
-    }
-    perSession.getOrElseUpdate(dir, computeDedupClusters(spark, dir))
-  }
+    * id per node — an independent formulation of the same fixpoint.
+    *
+    * The result is cached per (session, dir) — the same checkpointed
+    * frame is returned to every caller, so do NOT unpersist it; use
+    * [[invalidateCaches]] when the underlying data changes. */
+  def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate((org.apache.spark.sql.GraftShim.sessionId(spark), dir),
+      computeDedupClusters(spark, dir))
 
   private def computeDedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
@@ -114,6 +116,17 @@ object TrainingData {
     result
   }
 
+  /** THE split policy — one definition, because two drifting copies of
+    * the 80/90 cut or the hash width would silently put docs in
+    * different splits in different queries (the contamination guarantee
+    * is only as strong as its single source of truth). */
+  private def bucketOf(docId: Column): Column =
+    conv(substring(md5(docId.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  private def splitOf(bucket: Column): Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
   /** Deterministic train/val/test assignment: bucket = leading 32 bits of
     * md5(doc_id) mod 100, split at 80/90. Hash-based (not `rand()`), so
     * the split is stable across runs, partitionings, and engines — a doc
@@ -121,13 +134,8 @@ object TrainingData {
     * which is the contamination guarantee that matters. */
   def qSplitAssign(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")
-      .select(col("doc_id"),
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100).as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .select(col("doc_id"), bucketOf(col("doc_id")).as("bucket"))
+      .withColumn("split", splitOf(col("bucket")))
 
   /** Stratified sampling with per-class rates (rare classes kept whole,
     * dominant classes downsampled — the class-rebalancing step of a
@@ -167,16 +175,19 @@ object TrainingData {
       .select(col("doc_id"), col("lang"), col("text"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
     // quality: enough tokens, not repetition-dominated (the same gram
-    // counting the repetition stats use)
+    // counting the repetition stats use). The length gate applies BEFORE
+    // the bigram explode — a doc that can't pass minTokens must not pay
+    // for the pipeline's heaviest shuffle (conjunctive gates + inner
+    // join make this equivalent).
+    val longEnough = docs.filter(col("n_tokens") >= minTokens)
     val bigrams = graft.functions.shingle_list(col("text"), 2)
-    val bgTop = docs
+    val bgTop = longEnough
       .select(col("doc_id"), explode(bigrams).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(max("c").as("top_bg"), sum("c").as("n_bg"))
-    val qualified = docs.join(bgTop, "doc_id")
-      .filter(col("n_tokens") >= minTokens &&
-        col("top_bg").cast("double") / col("n_bg") <= maxBigramFrac)
+    val qualified = longEnough.join(bgTop, "doc_id")
+      .filter(col("top_bg").cast("double") / col("n_bg") <= maxBigramFrac)
       .select("doc_id", "lang", "text", "n_tokens")
     // exact-dup losers: any copy that is not its text group's min doc_id
     val exactLosers = load(spark, dir, "documents")
@@ -192,13 +203,8 @@ object TrainingData {
     qualified
       .join(exactLosers, Seq("doc_id"), "left_anti")
       .join(nearLosers, Seq("doc_id"), "left_anti")
-      .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 100)
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val")
-          .otherwise("test"))
+      .withColumn("bucket", bucketOf(col("doc_id")))
+      .withColumn("split", splitOf(col("bucket")))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
   }

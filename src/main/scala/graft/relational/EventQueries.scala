@@ -19,7 +19,13 @@ object EventQueries {
     * the row-group skip rate difference against real footers). */
   def qZorderStats(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "events")
-      .select(col("user_id"), floor(col("value")).cast("long").as("qv"))
+      // EXPLICIT 16-bit non-negative quantization: the oracle
+      // hand-interleaves 16 bits, so the query clamps to that domain
+      // rather than assuming the data never grows past it
+      .select(
+        col("user_id").bitwiseAND(lit(65535L)).as("user_id"),
+        greatest(floor(col("value")).cast("long"), lit(0L))
+          .bitwiseAND(lit(65535L)).as("qv"))
       .withColumn("z",
         graft.functions.z_order(col("user_id"), col("qv")))
       .withColumn("zbucket", shiftright(col("z"), 10))

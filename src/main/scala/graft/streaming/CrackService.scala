@@ -112,25 +112,7 @@ object CrackService {
     if (state.hasTimedOut) {
       val st = state.get
       state.remove()
-      if (st.replied) Iterator.empty // found already answered; just free
-      else {
-        val (lo, hi) = graft.keyspace.Keyspace.fullRange(st.len)
-        val tiles = graft.keyspace.Keyspace.tile(lo, hi, st.nParts)
-        val seen = st.seen.toSet // one conversion, not O(parts) scans
-        var found = st.found
-        var pass = st.pass
-        var p = 0
-        while (p < st.nParts && !found) {
-          if (!seen.contains(p))
-            rescan(st.hashHex, st.len, tiles(p)._1, tiles(p)._2).foreach { h =>
-              found = true; pass = h
-            }
-          p += 1
-        }
-        Iterator.single(
-          if (found) CrackReply(reqId, "f", pass)
-          else CrackReply(reqId, "x", null))
-      }
+      completeByRescan(reqId, st, rescan)
     } else {
       var st = state.getOption.getOrElse(
         RecoveryState(null, 0, -1, Nil, found = false, null, replied = false))
@@ -163,6 +145,36 @@ object CrackService {
       replies.result().iterator
     }
   }
+
+  /** The timeout-completion step, shared by the fMGWS fold and the
+    * transformWithState processor (API parity means ONE copy of the
+    * rescan semantics): re-run the unheard tiles, then answer. Tile
+    * bounds re-derive from the deterministic tiler, so state needs no
+    * bounds. A found-and-replied request emits nothing (it was answered
+    * eagerly; the timeout only frees state). */
+  def completeByRescan(
+      reqId: Long,
+      st: RecoveryState,
+      rescan: (String, Int, Long, Long) => Option[String]): Iterator[CrackReply] =
+    if (st.replied) Iterator.empty
+    else {
+      val (lo, hi) = graft.keyspace.Keyspace.fullRange(st.len)
+      val tiles = graft.keyspace.Keyspace.tile(lo, hi, st.nParts)
+      val seen = st.seen.toSet // one conversion, not O(parts) scans
+      var found = st.found
+      var pass = st.pass
+      var p = 0
+      while (p < st.nParts && !found) {
+        if (!seen.contains(p))
+          rescan(st.hashHex, st.len, tiles(p)._1, tiles(p)._2).foreach { h =>
+            found = true; pass = h
+          }
+        p += 1
+      }
+      Iterator.single(
+        if (found) CrackReply(reqId, "f", pass)
+        else CrackReply(reqId, "x", null))
+    }
 
   /** Recovery-capable reply stream: `timeoutMs > 0` arms processing-time
     * straggler recovery; `timeoutMs = 0` degrades to the plain fold

@@ -83,25 +83,9 @@ object CrackServiceTws {
       val st = req.get()
       req.clear()
       armed.clear()
-      if (st.replied) Iterator.empty // found already answered; just free
-      else {
-        val (lo, hi) = graft.keyspace.Keyspace.fullRange(st.len)
-        val tiles = graft.keyspace.Keyspace.tile(lo, hi, st.nParts)
-        val seen = st.seen.toSet
-        var found = st.found
-        var pass = st.pass
-        var p = 0
-        while (p < st.nParts && !found) {
-          if (!seen.contains(p))
-            rescan(st.hashHex, st.len, tiles(p)._1, tiles(p)._2).foreach { h =>
-              found = true; pass = h
-            }
-          p += 1
-        }
-        Iterator.single(
-          if (found) CrackReply(reqId, "f", pass)
-          else CrackReply(reqId, "x", null))
-      }
+      // ONE copy of the rescan semantics — shared with the fMGWS fold,
+      // which is the whole point of the API-parity pairing
+      CrackService.completeByRescan(reqId, st, rescan)
     }
   }
 

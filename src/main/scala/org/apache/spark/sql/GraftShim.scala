@@ -10,6 +10,11 @@ object GraftShim {
 
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
 
+  /** Stable per-session identity (sessionUUID lives on the classic
+    * session class, not the api-facing one). */
+  def sessionId(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
+
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
   /** Session-aware Column → Expression conversion: eagerly converts the

@@ -6,8 +6,6 @@ import graft.SparkSpec
 
 class ZOrderSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
-
   test("interleave/compact round-trip and order locality") {
     val rnd = new scala.util.Random(7)
     (0 until 2000).foreach { _ =>
@@ -36,6 +34,7 @@ class ZOrderSpec extends SparkSpec {
     val base = java.nio.file.Files.createTempDirectory("graft_zorder").toFile
     val zdir = new java.io.File(base, "by_z").getAbsolutePath
     val udir = new java.io.File(base, "by_user").getAbsolutePath
+    try {
     df.repartitionByRange(16, col("z")).sortWithinPartitions("z")
       .write.parquet(zdir)
     df.repartitionByRange(16, col("user_id")).sortWithinPartitions("user_id")
@@ -95,5 +94,12 @@ class ZOrderSpec extends SparkSpec {
     // the tradeoff is explicit: the leading key of a 1-D sort prunes its
     // own dimension harder than z does (that's the deal z-order makes)
     assert(uOnU <= zOnU)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(base)
+    }
   }
 }
