@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's own "[success] Total time..." line out of the program output:
+// the bench harness prints ONE machine-parsed JSON line as its final output
+// and the round driver captures only a bounded tail of the log, so every
+// byte after that line eats into the parseable budget.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
