@@ -41,15 +41,20 @@ object TrainingData {
     * Completes the dedup story: pairs say "these two match"; the cluster
     * keep-list is what a pipeline actually deletes against.
     *
-    * Algorithm: min-label propagation to fixpoint — per round every node
-    * takes the min of its own and its neighbors' labels, a convergence
-    * count decides termination (the driver-side count is a convergence
-    * CHECK, not data movement — the same shape Pregel/GraphX use).
-    * Rounds = graph diameter; near-dup components are shallow (pairs,
-    * triangles, small chains), so 2-4 rounds in practice. At 100 TB the
-    * same loop runs with the large-star/small-star optimization
-    * (alternating min-joins that halve long chains) — the edge relation
-    * here is already the LSH-bucketed one, never all-pairs.
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond") — per round,
+    * large-star rewires every neighbor larger than a node to the
+    * neighborhood minimum, small-star rewires the smaller neighbors
+    * likewise; each pair of min-joins at least HALVES long chains, so the
+    * round count is O(log diameter), not O(diameter) like plain label
+    * propagation — the difference between 7 and 64 rounds on a 64-node
+    * chain (asserted in TrainingDataSpec), and the property that makes
+    * the loop safe against a pathological chain at 100 TB. The edge set
+    * contracts to stars (every member adjacent to its component min) and
+    * termination is an edge-set fixpoint, counted by one full-outer
+    * anti-comparison per round (one action/round, same discipline as
+    * before). Overrunning the round cap FAILS rather than silently
+    * returning unconverged (wrong) labels.
     *
     * Oracle: DuckDB recursive-CTE reachability computing min reachable
     * id per node — an independent formulation of the same fixpoint.
@@ -59,61 +64,104 @@ object TrainingData {
     * [[invalidateCaches]] when the underlying data changes. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
     clusterCache.getOrElseUpdate((org.apache.spark.sql.GraftShim.sessionId(spark), dir),
-      computeDedupClusters(spark, dir))
+      connectedComponents(
+        graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
+          .select(col("d1"), col("d2")), spark))
 
-  private def computeDedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
-      .select(col("d1"), col("d2"))
-    // undirected: propagate both ways. Cached PRE-HASHED on the join key
-    // (d2): the static side of an iterative join must not reshuffle every
-    // round — with matching partitioning the per-round exchange touches
-    // only the small moving labels side (the GraphX discipline).
-    val edges = pairs
-      .unionAll(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
-      .repartition(spark.sparkContext.defaultParallelism, col("d2"))
+  /** Connected components over an undirected pair relation `(d1, d2)` via
+    * large-star/small-star; returns (doc_id, cluster_id, is_keeper) for
+    * every endpoint, cluster labeled by its minimum member. Exposed for
+    * reuse (and for TrainingDataSpec's synthetic-chain convergence
+    * fixture, which feeds a 64-node path and asserts ≤ 8 rounds). */
+  private[graft] def connectedComponents(
+      pairs: DataFrame, spark: SparkSession): DataFrame =
+    connectedComponentsWithRounds(pairs, spark)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds taken
+    * (the last round is the fixpoint-confirming one) — the observable the
+    * O(log diameter) convergence test pins down. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, spark: SparkSession): (DataFrame, Int) = {
+    val p = spark.sparkContext.defaultParallelism
+    // canonical undirected edge set (lo < hi), deduped once up front —
+    // star-contraction is a SET algorithm; the fixpoint test needs
+    // canonical rows
+    var edges = pairs
+      .select(least(col("d1"), col("d2")).as("lo"),
+        greatest(col("d1"), col("d2")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .repartition(p, col("hi"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = edges.select(col("d1").as("id")).distinct()
-      .withColumn("lbl", col("id"))
+    // the node universe, captured BEFORE contraction: stars only keep
+    // edges, and the label join below must cover every original endpoint
+    val nodes = edges.select(col("lo").as("id"))
+      .unionAll(edges.select(col("hi").as("id")))
+      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
-    // termination: every round either converges or strictly decreases at
-    // least one label, and a component of diameter d converges within d
-    // rounds — the cap only guards against an implementation bug, and
-    // overrunning it FAILS rather than silently returning unconverged
-    // (wrong) labels
-    val maxRounds = 10000
+    // O(log² n) worst case for star-contraction; 64 rounds is orders of
+    // magnitude above any reachable graph and exists only to turn an
+    // implementation bug into a loud failure instead of an infinite loop
+    val maxRounds = 64
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("d2"), col("lbl").as("nlbl")), "d2")
-        .groupBy(col("d1").as("id"))
-        .agg(min("nlbl").as("nbr"))
-      // carry the previous label through the same join, so the round's
-      // ONE action materializes the new labels AND counts the changes
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.filter(col("lbl") =!= col("old")).count()
-      cached.unpersist()
-      cached = next
-      labels = next.select(col("id"), col("lbl"))
+      // LARGE-STAR: from the symmetric neighborhood view, connect every
+      // strictly-larger neighbor v of u to m = min(Γ(u) ∪ {u}). m ≤ u < v
+      // keeps the (lo, hi) orientation canonical by construction.
+      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("m").as("lo"), col("v").as("hi"))
+        .distinct()
+      // SMALL-STAR: per high endpoint, rewire its smaller neighbors (and
+      // itself) to their minimum. v ∈ smaller(hi) ⇒ v ≥ m, so orientation
+      // stays canonical here too.
+      val smins = large.groupBy("hi").agg(min("lo").as("m"))
+      // localCheckpoint (eager), not persist: each round's plan embeds the
+      // previous round's ~4× over (sym and the joins reference `edges`
+      // repeatedly), so an uncut lineage grows 4^rounds — the checkpoint
+      // truncates it to a leaf every round, the same periodic-truncation
+      // discipline Pregel/GraphX use for iterative frames
+      val next = large.join(smins, "hi")
+        .filter(col("lo") =!= col("m"))
+        .select(col("m").as("lo"), col("lo").as("hi"))
+        .unionAll(smins.select(col("m").as("lo"), col("hi")))
+        .distinct()
+        .repartition(p, col("hi"))
+        .localCheckpoint(true)
+      // fixpoint test = set equality over two leaf frames: rows missing a
+      // side of the full-outer join are the symmetric difference
+      val changed = edges.withColumn("a", lit(1))
+        .join(next.withColumn("b", lit(1)), Seq("lo", "hi"), "full_outer")
+        .filter(col("a").isNull || col("b").isNull)
+        .count()
+      edges.unpersist()
+      edges = next
       converged = changed == 0
       rounds += 1
     }
     if (!converged)
       throw new IllegalStateException(
-        s"label propagation did not converge in $maxRounds rounds")
-    // truncate the iterative lineage so the cached intermediates can be
-    // freed without the caller's action replaying the whole loop
-    val result = labels
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-        (col("id") === col("lbl")).as("is_keeper"))
+        s"star contraction did not converge in $maxRounds rounds")
+    // converged stars: each non-root node has exactly one edge, to its
+    // component minimum; roots (and any isolated canonical node) label
+    // themselves
+    val result = nodes
+      .join(edges.select(col("hi").as("id"), col("lo").as("root")),
+        Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("root"), col("id")).as("cluster_id"))
+      .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
+      // truncate the iterative lineage so the cached intermediates can be
+      // freed without the caller's action replaying the whole loop
       .localCheckpoint(true)
-    cached.unpersist()
     edges.unpersist()
-    result
+    nodes.unpersist()
+    (result, rounds)
   }
 
   /** THE split policy — one definition, because two drifting copies of

@@ -313,7 +313,13 @@ object Similarity {
       .filter(m => java.lang.Long.bitCount(m) <= probeDist)
     // candidates from each independent hash table (per-table hyperplane
     // seeds), unioned: P(miss) multiplies across tables, so recall rises
-    // fast at a fixed probe depth — the standard multi-table LSH lever
+    // fast at a fixed probe depth — the standard multi-table LSH lever.
+    // Each table emits bare (qid, nid) PAIRS — no vectors, no scores —
+    // and the cross-table union is deduped BEFORE the re-rank, so every
+    // surviving pair pays exactly one vec_dot instead of up to
+    // tables × |masks| of them (within one table a pair collides at most
+    // once: the candidate has a single bucket and the XOR probes are
+    // distinct, so only the cross-table dedup does real work).
     val perTable = (0 until tables).map { t =>
       val emb = base.withColumn("bucket",
         signBucketSeeded(col("embedding"), bits, 42L + t))
@@ -321,17 +327,22 @@ object Similarity {
         lit(masks.toArray),
         m => col("bucket").bitwiseXOR(m))
       val q = emb.filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-          col("norm").as("qn"), explode(probes).as("bucket"))
-      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
-        col("norm").as("nn"), col("bucket"))
+        .select(col("vec_id").as("qid"), explode(probes).as("bucket"))
+      val c = emb.select(col("vec_id").as("nid"), col("bucket"))
       q.join(c, Seq("bucket"))
         .filter(col("qid") =!= col("nid"))
-        .select(col("qid"), col("nid"),
-          round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
-            .as("sim"))
+        .select(col("qid"), col("nid"))
     }
-    val scored = perTable.reduce(_.unionAll(_)).distinct()
+    val pairs = perTable.reduce(_.unionAll(_)).distinct()
+    val v = base.select(col("vec_id"), col("embedding"), col("norm"))
+    val scored = pairs
+      .join(v.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn")), "qid")
+      .join(v.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("norm").as("nn")), "nid")
+      .select(col("qid"), col("nid"),
+        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)

@@ -37,6 +37,49 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("star contraction: 64-node chain converges in O(log d) rounds") {
+    // the pathological case for plain label propagation: a path graph of
+    // diameter 63 needs 64 propagation rounds; large-star/small-star must
+    // land it in ≤ 8 (measured: 7, incl. the fixpoint-confirming round)
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val shuffled = new scala.util.Random(7).shuffle(chain)
+    val pairs = shuffled.toDF("d1", "d2")
+    val (cc, rounds) =
+      TrainingData.connectedComponentsWithRounds(pairs, spark)
+    assert(rounds <= 8, s"chain took $rounds rounds")
+    val got = cc.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length === 64)
+    got.foreach { case (doc, cluster, keeper) =>
+      assert(cluster === 0L, s"doc $doc cluster")
+      assert(keeper === (doc == 0L))
+    }
+  }
+
+  test("star contraction: forest of mixed components labels by min member") {
+    import spark.implicits._
+    // two triangles sharing nothing, a star, a 7-chain, and a pair —
+    // with reversed/duplicated edges to exercise canonicalization
+    val edges = Seq(
+      (10L, 11L), (11L, 12L), (12L, 10L),            // triangle
+      (20L, 24L), (20L, 21L), (20L, 22L), (23L, 20L), // star center 20
+      (31L, 30L), (31L, 32L), (33L, 32L), (33L, 34L), (35L, 34L), (36L, 35L),
+      (41L, 40L), (40L, 41L),                         // pair + dup
+      (12L, 11L)                                      // reversed dup
+    )
+    val (cc, rounds) = TrainingData.connectedComponentsWithRounds(
+      edges.toDF("d1", "d2"), spark)
+    assert(rounds <= 6, s"forest took $rounds rounds")
+    val byCluster = cc.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._2)
+      .map { case (c, ms) => c -> ms.map(_._1).toSet }
+    assert(byCluster === Map(
+      10L -> Set(10L, 11L, 12L),
+      20L -> Set(20L, 21L, 22L, 23L, 24L),
+      30L -> Set(30L, 31L, 32L, 33L, 34L, 35L, 36L),
+      40L -> Set(40L, 41L)))
+  }
+
   test("split assignment is deterministic, bucketed, and rule-consistent") {
     val a = TrainingData.qSplitAssign(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))

@@ -50,6 +50,28 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (_, ns) => assert(ns.size <= 5) }
   }
 
+  test("LSH ANN recall floor: driver config (2 tables) holds recall@5 >= 0.95") {
+    // q_ann_lsh ships rows-only (approximate by nature) — this assertion
+    // is its CI gate: the measured recall of the exact driver invocation
+    // (tables = 2) against brute force must not regress below 0.95, so a
+    // probe-logic change that silently drops recall fails here instead of
+    // shipping. Measured at the DRIVER'S scale (sf0.01, where the 0.97
+    // figure of record was taken) — recall is corpus-size-dependent, and
+    // the gate must guard the configuration the driver actually runs.
+    val sfDir = "/root/testdata/sf0.01"
+    val bf = Similarity.qAnnBruteForce(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val lsh = Similarity.qAnnLshBuckets(spark, sfDir, tables = 2).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = bf.keys.toSeq.map { q =>
+      (lsh.getOrElse(q, Set.empty) & bf(q)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"2-table mean recall@5 = $mean")
+    assert(mean >= 0.95, s"driver-config recall $mean below floor")
+    lsh.foreach { case (_, ns) => assert(ns.size <= 5) }
+  }
+
   test("exact IVF equals brute force row-for-row (losslessness of the bound)") {
     val bf = Similarity.qAnnBruteForce(spark, dir, nQueries = 20, k = 10)
       .collect()
