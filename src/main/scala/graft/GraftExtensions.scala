@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name),
         builder))
     }
+    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
     // whole-operator plans (SURVEY §4.2 option c): the strategy plans
     // explicit TopKPerKey nodes; the optimizer rule rewrites
     // Filter(rank<=k, Window(row_number)) plans into them automatically
@@ -189,5 +195,38 @@ object GraftExtensions {
     "proto_encode" -> { args: Seq[Expression] =>
       arity("proto_encode", 2, args)
       ProtoEncode(args(0), stringArg("proto_encode", args(1)))
+    })
+
+  /** SQL TABLE functions (`SELECT * FROM crack(...)`) — the pure-SQL form
+    * of the reference's entry point (`request.c:40-75`: submit a hash +
+    * length, get back the preimage or nothing). The builder runs at
+    * ANALYSIS time on the active session and returns the same logical
+    * plan the DataFrame API builds, so `crack(...)` plans, optimizes, and
+    * cancels exactly like [[graft.crack.CrackQuery.crackDF]]. */
+  val tableBuilders: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    "crack" -> { args: Seq[Expression] =>
+      if (args.length != 2 && args.length != 3)
+        throw new IllegalArgumentException(
+          s"crack expects (sha1_hex, len[, parallelism]), got ${args.length} argument(s)")
+      val hash = stringArg("crack", args(0))
+      val len = posIntArg("crack", args(1))
+      val par =
+        if (args.length == 3) posIntArg("crack", args(2)) else 32
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.GraftShim.logicalPlan(
+        graft.crack.CrackQuery.crackDF(spark, hash, len, par))
+    },
+    "crack_candidates" -> { args: Seq[Expression] =>
+      // the reference's keyspace scan itself (S1/S2) as a SQL relation:
+      // SELECT pass FROM crack_candidates(len[, parallelism])
+      if (args.length != 1 && args.length != 2)
+        throw new IllegalArgumentException(
+          s"crack_candidates expects (len[, parallelism]), got ${args.length} argument(s)")
+      val len = posIntArg("crack_candidates", args(0))
+      val par =
+        if (args.length == 2) posIntArg("crack_candidates", args(1)) else 32
+      val spark = org.apache.spark.sql.SparkSession.active
+      org.apache.spark.sql.GraftShim.logicalPlan(
+        graft.crack.CrackQuery.candidates(spark, len, par))
     })
 }

@@ -48,6 +48,18 @@ object CrackQueries {
     CrackQuery.crackLens(spark,
       "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", Seq(1, 2, 3, 4))
 
+  /** The reference's entry point as PURE SQL (SURVEY §4.2 stretch;
+    * `request.c:40-75`): the registered `crack` TABLE function builds the
+    * identical logical plan to [[CrackQuery.crackDF]], so this is the
+    * found-path known answer through the SQL front door. Registration is
+    * idempotent (createOrReplaceTempFunction), so calling it here keeps
+    * the query self-contained on any session. */
+  def qCrackSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    spark.sql(
+      "SELECT * FROM crack('81fe8bfe87576c3ecb22426f8e57847382917acf', 4)")
+  }
+
   /** Codec round-trip over the whole len-3 keyspace (P4/P5 parity). */
   def qKeyspaceRoundtrip(spark: SparkSession, dir: String): DataFrame =
     spark.range(0, Keyspace.size(3))

@@ -95,8 +95,12 @@ object functions {
   /** Register ALL of graft's native expressions as SQL functions on this
     * session (cluster-wide alternative:
     * `spark.sql.extensions=graft.GraftExtensions` — same builder table). */
-  def registerAll(spark: SparkSession): Unit =
+  def registerAll(spark: SparkSession): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       GraftShim.registerFunction(spark, name, builder)
     }
+    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+      GraftShim.registerTableFunction(spark, name, builder)
+    }
+  }
 }

@@ -33,6 +33,16 @@ object GraftShim {
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Register a logical-plan-producing TABLE function (the
+    * `SELECT * FROM f(...)` surface; same session scope as
+    * [[registerFunction]]). */
+  def registerTableFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => catalyst.plans.logical.LogicalPlan): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.tableFunctionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+
   /** The (unanalyzed) logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): catalyst.plans.logical.LogicalPlan =
     df.queryExecution.logical

@@ -136,4 +136,44 @@ class CrackSpec extends SparkSpec {
       .where("slot >= 0").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(28L)) // "abc"
   }
+
+  test("crack() SQL table function: found, not-found, and composability") {
+    graft.functions.registerAll(spark)
+    // found: the reference's `./request <hash> 4` as one SQL statement
+    val found = spark.sql(
+      "SELECT * FROM crack('81fe8bfe87576c3ecb22426f8e57847382917acf', 4)")
+      .collect()
+    assert(found.map(_.getString(0)).toSeq === Seq("abcd"))
+    // not-found: sha1("1234") has no [a-z]^4 preimage → empty, ≅ "x"
+    val miss = spark.sql(
+      "SELECT * FROM crack('7110eda4d09e062aa5e4a390b0a572ac0d2c0220', 4)")
+    assert(miss.count() === 0)
+    assert(miss.schema.fieldNames.toSeq === Seq("pass"))
+    // a TABLE function composes like any relation (joins, filters, CTEs)
+    val composed = spark.sql(
+      """SELECT upper(pass) AS up
+        |FROM crack('81fe8bfe87576c3ecb22426f8e57847382917acf', 4, 8)
+        |WHERE pass LIKE 'a%'""".stripMargin).collect()
+    assert(composed.map(_.getString(0)).toSeq === Seq("ABCD"))
+    // malformed hex is a loud analysis-time error, not an empty result
+    intercept[Exception] {
+      spark.sql("SELECT * FROM crack('zz', 4)").collect()
+    }
+  }
+
+  test("crack_candidates() SQL table function: the S1 keyspace scan in SQL") {
+    graft.functions.registerAll(spark)
+    val rows = spark.sql(
+      """SELECT count(*) AS n, min(pass) AS lo, max(pass) AS hi
+        |FROM crack_candidates(2)""".stripMargin).collect()(0)
+    assert(rows.getLong(0) === 676L)
+    assert(rows.getString(1) === "aa")
+    assert(rows.getString(2) === "zz")
+    // the reference's whole query, composed from the SQL pieces alone
+    val sqlCrack = spark.sql(
+      """SELECT pass FROM crack_candidates(3)
+        |WHERE sha1(pass) = 'a9993e364706816aba3e25717850c26c9cd0d89d'""".stripMargin)
+      .collect()
+    assert(sqlCrack.map(_.getString(0)).toSeq === Seq("abc"))
+  }
 }
