@@ -38,6 +38,7 @@ object SparkEntry {
     "q_crack_len5" -> (CrackQueries.qCrackLen5 _),
     "q_crack_chunked" -> (CrackQueries.qCrackChunked _),
     "q_crack_multilen" -> (CrackQueries.qCrackMultiLen _),
+    "q_crack_sql" -> (CrackQueries.qCrackSql _),
     "q_keyspace_roundtrip" -> (CrackQueries.qKeyspaceRoundtrip _),
     "q_keyspace_tile" -> (CrackQueries.qKeyspaceTile _),
     // -- relational surface (SURVEY §2.4-§2.9 generalization) --
@@ -77,6 +78,8 @@ object SparkEntry {
     "q_distinct" -> (RelationalQueries.qDistinctSegmentPriority _),
     // -- event-time analytics (SURVEY §2.10 batch form) --
     "q_events_hourly" -> (EventQueries.qEventsHourly _),
+    "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
+    "q_window_sliding" -> (EventQueries.qWindowSliding _),
     "q_events_sessionize" -> (EventQueries.qEventsSessionize _),
     "q_events_json" -> (EventQueries.qEventsJson _),
     "q_events_dedup" -> (EventQueries.qEventsDedup _),
@@ -230,6 +233,7 @@ object SparkEntry {
     "q_crack_notfound" -> "SELECT CAST(NULL AS VARCHAR) AS pass WHERE FALSE",
     "q_crack_len5" -> "SELECT 'hello' AS pass",
     "q_crack_chunked" -> "SELECT 'abcd' AS pass",
+    "q_crack_sql" -> "SELECT 'abcd' AS pass",
     "q_crack_multilen" -> "SELECT * FROM (VALUES (2, 'ab')) t(len, pass)",
     "q_crack_multi" ->
       """SELECT * FROM (VALUES
@@ -417,6 +421,21 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_window_tumbling" ->
+      """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS start_us FROM events)
+        |SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  strftime(make_timestamp(start_us + 900000000), '%Y-%m-%d %H:%M:%S') AS win_end,
+        |  event_type, count(*) AS n_events
+        |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    "q_window_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_type,
+        |        (us // 900000000) * 900000000 - k.k * 900000000 AS start_us
+        |      FROM e CROSS JOIN (VALUES (0), (1)) k(k))
+        |SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  strftime(make_timestamp(start_us + 1800000000), '%Y-%m-%d %H:%M:%S') AS win_end,
+        |  event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2, 3""".stripMargin,
     "q_events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
         |f AS (SELECT user_id, event_id, ts_us,

@@ -54,6 +54,35 @@ object EventQueries {
       .agg(count(lit(1)).as("n_events"),
         round(sum("value"), 2).as("sum_value"))
 
+  /** Tumbling 15-minute event-time windows through the STREAMING layer's
+    * [[graft.streaming.EventTimeWindows.tumblingCounts]] — on this batch
+    * frame the watermark node is optimized away, so the DuckDB oracle
+    * checks the exact relation the streaming query emits once its
+    * watermark passes (the late-drop behavior itself is covered by
+    * StreamingSpec on a MemoryStream). */
+  def qWindowTumbling(spark: SparkSession, dir: String): DataFrame =
+    formatWindow(graft.streaming.EventTimeWindows.tumblingCounts(
+      load(spark, dir, "events")
+        .select(col("event_type"), tsUtc.as("ets")),
+      "ets", "15 minutes", "30 minutes", Seq("event_type")))
+
+  /** Sliding 30-minute windows every 15 minutes — each event contributes
+    * to exactly 2 windows; same streaming-function-on-batch pattern as
+    * [[qWindowTumbling]]. */
+  def qWindowSliding(spark: SparkSession, dir: String): DataFrame =
+    formatWindow(graft.streaming.EventTimeWindows.slidingCounts(
+      load(spark, dir, "events")
+        .select(col("event_type"), tsUtc.as("ets")),
+      "ets", "30 minutes", "15 minutes", "30 minutes", Seq("event_type")))
+
+  /** Window bounds exit as formatted strings (oracle comparability rule:
+    * timestamps never leave a query raw). */
+  private def formatWindow(df: DataFrame): DataFrame =
+    df.select(
+      date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+      date_format(col("win_end"), "yyyy-MM-dd HH:mm:ss").as("win_end"),
+      col("event_type"), col("n_events"))
+
   /** Sessionization (gaps-and-islands): a session breaks after 30 min of
     * per-user silence — the batch analog of the reference's epoch-based
     * liveness eviction (T2: `lsp_server.c:18-42`, 2s × 5 epochs). */

@@ -345,12 +345,13 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val input = MemoryStream[(Long, Timestamp, Double)]
     val name = s"win_${System.nanoTime()}"
-    val q = input.toDF().toDF("connid", "ts", "value")
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "5 minutes"), col("connid"))
-      .agg(count(lit(1)).as("n"), sum("value").as("total"))
-      .select(date_format(col("window.start"), "HH:mm").as("w"),
-        col("connid"), col("n"), col("total"))
+    // the LIBRARY surface (same function q_window_tumbling oracles in
+    // batch), driven as a real watermarked stream
+    val q = EventTimeWindows.tumblingCounts(
+        input.toDF().toDF("connid", "ts", "value"),
+        "ts", "5 minutes", "10 minutes", Seq("connid"))
+      .select(date_format(col("win_start"), "HH:mm").as("w"),
+        col("connid"), col("n_events"))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     def t(m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
@@ -363,13 +364,43 @@ class StreamingSpec extends SparkSpec {
       // a record older than the watermark must be DROPPED, not revive a
       // closed window (T7 late-data handling, generalized to event time)
       input.addData(Seq((1L, t(2), 100.0)))
-      input.addData(Seq((1L, t(55), 16.0))) // push watermark to emit nothing new yet
+      input.addData(Seq((1L, t(55), 16.0))) // push watermark: 10:40 window finalizes
       q.processAllAvailable()
       val rows = spark.table(name)
-        .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
-      assert(rows.contains(("10:00", 2L, 3.0))) // 10:01 + 10:03
-      assert(rows.contains(("10:05", 1L, 4.0)))
-      assert(!rows.exists(_._3 == 103.0), s"late row leaked into a closed window: $rows")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // exact finalized set: a leaked late row would surface as a second
+      // 10:00 row (append mode emits each finalized window once)
+      assert(rows.sorted === Seq(
+        ("10:00", 1L, 2L), ("10:05", 1L, 1L), ("10:40", 1L, 1L)),
+        s"unexpected finalized windows: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("event-time sliding windows: each event in width/slide windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val name = s"slide_${System.nanoTime()}"
+    val q = EventTimeWindows.slidingCounts(
+        input.toDF().toDF("connid", "ts", "value"),
+        "ts", "10 minutes", "5 minutes", "10 minutes", Seq("connid"))
+      .select(date_format(col("win_start"), "HH:mm").as("w"),
+        col("connid"), col("n_events"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    try {
+      input.addData(Seq((1L, t(7), 1.0), (1L, t(8), 1.0)))
+      q.processAllAvailable()
+      input.addData(Seq((1L, t(59), 1.0))) // watermark 10:49 finalizes both
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // events at 10:07/10:08 belong to the 10:00-10:10 AND 10:05-10:15
+      // windows (width/slide = 2 windows each)
+      assert(rows.sorted === Seq(("10:00", 1L, 2L), ("10:05", 1L, 2L)),
+        s"unexpected sliding windows: ${rows.toSeq}")
     } finally q.stop()
   }
 
