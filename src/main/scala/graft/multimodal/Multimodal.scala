@@ -26,11 +26,20 @@ object Multimodal {
       channels: Int,
       features: Array[Float])
 
-  /** Pluggable decode/feature-extract step. Implementations must be
-    * deterministic per byte payload. */
-  trait MediaDecoder extends Serializable {
+  /** Pluggable decode/feature-extract step — ONE INSTANCE PER PARTITION,
+    * created executor-side by a [[MediaDecoderProvider]]. Deliberately NOT
+    * `Serializable`: real codec handles (libjpeg contexts, ffmpeg
+    * decoders, ONNX sessions) can't cross the driver→executor boundary,
+    * so the decoder must be constructed where it runs. Implementations
+    * must be deterministic per byte payload. */
+  trait MediaDecoder {
     def decode(payload: Array[Byte]): (Int, Int, Int) // (width, height, channels)
     def features(payload: Array[Byte], dim: Int): Array[Float]
+
+    /** Release codec resources; called best-effort when the partition's
+      * rows are exhausted (a cancelled task may skip it — hold handles a
+      * JVM can reclaim). Default no-op. */
+    def close(): Unit = ()
 
     /** Nearest-neighbor thumbnail of the decoded grid: sample the source
       * at `floor(i·h/th) × floor(j·w/tw)`, row-major. Takes the decoded
@@ -51,6 +60,31 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** What actually ships to executors: a small serializable factory that
+    * opens one [[MediaDecoder]] per partition (init cost — codec tables,
+    * model weights — amortized over the partition's rows, never per row,
+    * and never serialized). Swapping codecs is swapping providers; the
+    * plan, schema, and partitioning don't change (proven by
+    * MultimodalSpec, which runs the oracled query under two different
+    * providers). */
+  trait MediaDecoderProvider extends Serializable {
+    def open(): MediaDecoder
+  }
+
+  /** Default provider: the deterministic stub. */
+  object StubProvider extends MediaDecoderProvider {
+    def open(): MediaDecoder = StubDecoder
+  }
+
+  /** Run `f` over a partition with a freshly-opened decoder, closing it
+    * when the row iterator is exhausted (the `++` thunk evaluates only
+    * after the left side drains — the lazy-iterator close pattern). */
+  private def withDecoder[T](provider: MediaDecoderProvider)(
+      f: MediaDecoder => Iterator[T]): Iterator[T] = {
+    val dec = provider.open()
+    f(dec) ++ { dec.close(); Iterator.empty }
   }
 
   /** STUB: deterministic fake decoder (no image libs in this container).
@@ -90,17 +124,19 @@ object Multimodal {
     * amortized across the partition's rows, no per-row codec setup). */
   def featureExtract(
       spark: SparkSession, dir: String,
-      decoder: MediaDecoder = StubDecoder,
+      provider: MediaDecoderProvider = StubProvider,
       dim: Int = 8): DataFrame = {
     val media = mediaTable(spark, dir)
     implicit val enc = Encoders.product[MediaFeatures]
     media.select(col("doc_id"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
-        rows.map { case (id, payload) =>
-          val (w, h, c) = decoder.decode(payload)
-          MediaFeatures(id, payload.length, w, h, c,
-            decoder.features(payload, dim))
+        withDecoder(provider) { decoder =>
+          rows.map { case (id, payload) =>
+            val (w, h, c) = decoder.decode(payload)
+            MediaFeatures(id, payload.length, w, h, c,
+              decoder.features(payload, dim))
+          }
         }
       }
       .toDF()
@@ -113,8 +149,9 @@ object Multimodal {
     * result stable under any future decoder whose tail bits dither. The
     * array form stays available via [[featureExtract]] for library use. */
   def qMediaFeatures(
-      spark: SparkSession, dir: String, dim: Int = 8): DataFrame = {
-    val feats = featureExtract(spark, dir, StubDecoder, dim)
+      spark: SparkSession, dir: String, dim: Int = 8,
+      provider: MediaDecoderProvider = StubProvider): DataFrame = {
+    val feats = featureExtract(spark, dir, provider, dim)
     feats.select(
       Seq(col("doc_id"),
         col("n_bytes").cast("long").as("n_bytes"),
@@ -134,16 +171,18 @@ object Multimodal {
   def qMediaResize(
       spark: SparkSession, dir: String,
       tw: Int = 4, th: Int = 4,
-      decoder: MediaDecoder = StubDecoder): DataFrame = {
+      provider: MediaDecoderProvider = StubProvider): DataFrame = {
     val media = mediaTable(spark, dir)
     media.select(col("doc_id"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
-        rows.map { case (id, payload) =>
-          val (w, h, _) = decoder.decode(payload) // ONCE per row
-          val thumb = decoder.resize(payload, w, h, tw, th)
-          (id, w.toLong, h.toLong,
-            thumb.map("%02X".format(_)).mkString)
+        withDecoder(provider) { decoder =>
+          rows.map { case (id, payload) =>
+            val (w, h, _) = decoder.decode(payload) // ONCE per row
+            val thumb = decoder.resize(payload, w, h, tw, th)
+            (id, w.toLong, h.toLong,
+              thumb.map("%02X".format(_)).mkString)
+          }
         }
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
         Encoders.scalaLong, Encoders.STRING))
