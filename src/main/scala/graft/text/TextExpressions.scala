@@ -107,14 +107,23 @@ object TextKernelsSimhash {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  private val digestBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
 
   /** First 8 bytes of md5(bytes) as a big-endian long — the same value any
     * engine gets from parsing the leading 16 hex chars of its own `md5()`
     * (e.g. DuckDB `('0x' || substr(md5(t), 1, 16))::UBIGINT`). */
-  def md5Hash64(bytes: Array[Byte]): Long = {
+  def md5Hash64(bytes: Array[Byte]): Long = md5Hash64(bytes, 0, bytes.length)
+
+  /** Slice form: thread-local digest + reused 16-byte output buffer — the
+    * hot loop allocates NOTHING per token. */
+  def md5Hash64(bytes: Array[Byte], off: Int, len: Int): Long = {
     val md = md5Local.get()
     md.reset()
-    val d = md.digest(bytes)
+    md.update(bytes, off, len)
+    val d = digestBuf.get()
+    md.digest(d, 0, 16)
     ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
@@ -126,24 +135,35 @@ object TextKernelsSimhash {
     * per corpus; this is a pure map. `md5Hash` selects the token hash:
     * XXH64 (fast scale path) or md5-derived (portable — bit-reproducible
     * by any engine with an md5(), which makes the whole near-dup relation
-    * oracle-checkable). */
+    * oracle-checkable).
+    *
+    * Tokenization scans the UTF-8 BYTES in place (0x20 never occurs inside
+    * a multi-byte sequence, so a byte scan splits exactly like the string
+    * split) and both hash paths consume byte slices — the per-row cost is
+    * one `getBytes` plus fixed-size scratch; the previous
+    * toString/split/fromString/getBytes chain allocated 4 objects per
+    * token and dominated the kernel under GC pressure. Empty tokens
+    * (leading/adjacent/trailing separators) vote exactly like
+    * `split(" ", -1)` produced them. */
   def simhashBands(text: UTF8String, seed: Long, md5Hash: Boolean): ArrayData = {
-    // limit -1: keep trailing empty tokens — identical vote set to the
-    // explode(split(text, ' ')) + xxhash64 formulation this kernel replaced
-    val toks = text.toString.split(" ", -1)
+    val bytes = text.getBytes
+    val n = bytes.length
     val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val u = UTF8String.fromString(toks(i))
+    var start = 0
+    while (start <= n) {
+      var end = start
+      while (end < n && bytes(end) != 0x20) end += 1
       val h =
-        if (md5Hash) md5Hash64(u.getBytes)
-        else XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), seed)
+        if (md5Hash) md5Hash64(bytes, start, end - start)
+        else XXH64.hashUnsafeBytes(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          end - start, seed)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
-      i += 1
+      start = end + 1
     }
     val bands = new Array[Any](4)
     var k = 0
