@@ -15,8 +15,17 @@ import org.apache.spark.sql.SparkSession
   * are written to `BENCH_LOCAL.json` in the working directory for audit.
   */
 object Bench {
-  private def fmt(v: Double): String = // ROOT locale: '.' decimal always
-    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+  /** Compact fixed-point format: 2 decimals under 10 s, 1 decimal above,
+    * trailing zeros (and a bare point) stripped — "0.30"→"0.3",
+    * "1.00"→"1", "13.61"→"13.6". Every byte of the final JSON line
+    * counts against the driver's bounded log-tail capture, and the line
+    * must stay whole there to parse. ROOT locale: '.' decimal always. */
+  private def fmt(v: Double): String = {
+    val s = String.format(java.util.Locale.ROOT,
+      if (math.abs(v) >= 10) "%.1f" else "%.2f", Double.box(v))
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    else s
+  }
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
@@ -45,6 +54,13 @@ object Bench {
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to n; name <- names) {
       val fn = SparkEntry.queries(name)
+      // full-RESULT caches would make later runs time a map lookup, not
+      // the operator (the cluster table is cached per session by design —
+      // a bench must measure the compute, so every run starts cold).
+      // Cross-query intermediate caches (the dedup shingle persist) stay:
+      // they are the library's documented compute-once-per-corpus shape,
+      // and BENCH_LOCAL.json keeps the raw per-run values for audit.
+      graft.pipeline.TrainingData.invalidateCaches(spark)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -92,15 +92,22 @@ object functions {
   def hyperplane_bucket(emb: Column, bits: Int): Column =
     col(graft.similarity.HyperplaneBucket(expr(emb), bits))
 
+  private val registeredSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Register ALL of graft's native expressions as SQL functions on this
     * session (cluster-wide alternative:
-    * `spark.sql.extensions=graft.GraftExtensions` — same builder table). */
-  def registerAll(spark: SparkSession): Unit = {
-    GraftExtensions.builders.foreach { case (name, builder) =>
-      GraftShim.registerFunction(spark, name, builder)
+    * `spark.sql.extensions=graft.GraftExtensions` — same builder table).
+    * Idempotent per session: repeated calls (queries self-register so
+    * they run on any session) skip the registry writes instead of
+    * re-replacing every function with a WARN apiece. */
+  def registerAll(spark: SparkSession): Unit =
+    if (registeredSessions.add(GraftShim.sessionId(spark))) {
+      GraftExtensions.builders.foreach { case (name, builder) =>
+        GraftShim.registerFunction(spark, name, builder)
+      }
+      GraftExtensions.tableBuilders.foreach { case (name, builder) =>
+        GraftShim.registerTableFunction(spark, name, builder)
+      }
     }
-    GraftExtensions.tableBuilders.foreach { case (name, builder) =>
-      GraftShim.registerTableFunction(spark, name, builder)
-    }
-  }
 }
