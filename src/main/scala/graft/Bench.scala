@@ -49,7 +49,12 @@ object Bench {
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // local-iteration filter: SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs a
+    // subset; the driver never sets it, so round benches stay complete
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(q => only.forall(_.contains(q)))
     val runs = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to n; name <- names) {
@@ -62,9 +67,16 @@ object Bench {
       // and BENCH_LOCAL.json keeps the raw per-run values for audit.
       graft.pipeline.TrainingData.invalidateCaches(spark)
       val t0 = System.nanoTime()
+      // a failure must be LOUD: a silently-dropped query shrinks the
+      // total, which reads as a speedup to anyone comparing bench lines
       val ok =
         try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       runs(name) = runs(name) :+ (if (ok) dt else -1.0)
     }
@@ -88,7 +100,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = fmt(med.map(_._2).filter(_ >= 0).sum)
     val sfLabel = sfDir.split('/').last
+    // any query with a failed run is named in the summary line — the
+    // total alone cannot distinguish "faster" from "silently broken"
+    val failed = names.filter(q => runs(q).exists(_ < 0))
+    val failedJson = failed.map(q => s""""$q"""").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfLabel","n_failed":${failed.size},"failed":$failedJson}""")
   }
 }

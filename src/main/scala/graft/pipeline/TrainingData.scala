@@ -22,18 +22,27 @@ object TrainingData {
   /** One computed cluster table per (session, dir): the iterative label
     * propagation is this module's only multi-job operator, and both its
     * direct query and the corpus-build composition consume the SAME
-    * small checkpointed result — recomputing it per caller would re-run
+    * small materialized result — recomputing it per caller would re-run
     * the whole loop. Keyed by `sessionUUID` string (a cached DataFrame
     * strongly references its session, so weak keys would never collect);
-    * entries live for the JVM, bounded by sessions × dirs. */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    * entries live for the JVM, bounded by sessions × dirs. The backing
+    * RDD is kept alongside so [[invalidateCaches]] can free its storage
+    * blocks deterministically (an invalidated-but-persisted block would
+    * otherwise linger until GC + ContextCleaner). */
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, org.apache.spark.rdd.RDD[_])]
 
   /** Drop this session's cached cluster tables — REQUIRED after
     * rewriting the data under a cached dir mid-session, or the stale
-    * keep-list keeps being served. */
-  def invalidateCaches(spark: SparkSession): Unit =
-    clusterCache.filterInPlace { case ((sid, _), _) => sid != org.apache.spark.sql.GraftShim.sessionId(spark) }
+    * keep-list keeps being served. Unpersists the backing blocks. */
+  def invalidateCaches(spark: SparkSession): Unit = {
+    val sid = org.apache.spark.sql.GraftShim.sessionId(spark)
+    clusterCache.filterInPlace { case ((s, _), (_, rdd)) =>
+      val keep = s != sid
+      if (!keep) rdd.unpersist(blocking = false)
+      keep
+    }
+  }
 
   /** Near-dup CLUSTERS from the exact-verified pair relation: connected
     * components, labeled by the minimum doc_id in each component, with
@@ -63,10 +72,13 @@ object TrainingData {
     * frame is returned to every caller, so do NOT unpersist it; use
     * [[invalidateCaches]] when the underlying data changes. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate((org.apache.spark.sql.GraftShim.sessionId(spark), dir),
-      connectedComponents(
-        graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
-          .select(col("d1"), col("d2")), spark))
+    clusterCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir), {
+        val (df, rounds @ _, rdd) = connectedComponentsImpl(
+          graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
+            .select(col("d1"), col("d2")), spark)
+        (df, rdd)
+      })._1
 
   /** Connected components over an undirected pair relation `(d1, d2)` via
     * large-star/small-star; returns (doc_id, cluster_id, is_keeper) for
@@ -79,26 +91,92 @@ object TrainingData {
 
   /** [[connectedComponents]] plus the number of contraction rounds taken
     * (the last round is the fixpoint-confirming one) — the observable the
-    * O(log diameter) convergence test pins down. */
+    * O(log diameter) convergence test pins down. Forces the DISTRIBUTED
+    * star-contraction path (`localSolveMax = 0`) so the convergence
+    * assertion can't be satisfied vacuously by the small-input local
+    * solve. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, spark: SparkSession): (DataFrame, Int) = {
-    val p = spark.sparkContext.defaultParallelism
+    val (df, rounds, _) = connectedComponentsImpl(pairs, spark, localSolveMax = 0L)
+    (df, rounds)
+  }
+
+  /** An edge frame materialized to ONE action: the plan's InternalRows
+    * are copied into an explicitly-persisted RDD, and the same action
+    * that fills the cache folds a set fingerprint — (row count, wrapping
+    * sum of per-row xxhash64(lo) ⊕ xxhash64(hi)). The frame handed back
+    * is a leaf over that RDD, so each round's plan starts from a leaf
+    * (no 4^rounds lineage growth) and the blocks are freed by an
+    * explicit `rdd.unpersist` the moment the next round lands —
+    * checkpoint blocks, by contrast, linger until GC + ContextCleaner. */
+  private final case class MatEdges(
+      df: DataFrame, rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      count: Long, hashSum: Long)
+
+  private def materializeEdges(
+      plan: DataFrame, spark: SparkSession): MatEdges = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val schema = plan.schema
+    val rdd = plan.queryExecution.toRdd
+      .map(_.copy()) // unsafe rows are reused per-partition; cache copies
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // one job: computing the fingerprint materializes the cache
+    val (count, hashSum) = rdd
+      .mapPartitions { it =>
+        var n = 0L; var s = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          n += 1
+          s += XXH64.hashLong(r.getLong(0), 0x9E3779B97F4A7C15L) ^
+            XXH64.hashLong(r.getLong(1), 0xC2B2AE3D27D4EB4FL)
+        }
+        Iterator.single((n, s))
+      }
+      .fold((0L, 0L)) { case ((n1, s1), (n2, s2)) => (n1 + n2, s1 + s2) }
+    MatEdges(org.apache.spark.sql.GraftShim.ofInternalRows(spark, rdd, schema),
+      rdd, count, hashSum)
+  }
+
+  /** Core loop. Returns (labels, rounds, backing RDD of the labels —
+    * persisted; the caller owns unpersisting it).
+    *
+    * Algorithm as documented on [[qDedupClusters]]; the execution shape
+    * is ONE Spark job per contraction round: the round's new edge set is
+    * materialized through [[materializeEdges]], whose fingerprint doubles
+    * as the fixpoint probe. Only when the fingerprint repeats does an
+    * exact symmetric-difference count run to CONFIRM set equality (a
+    * 64-bit sum collision would otherwise terminate the loop early), so
+    * the exact check costs one job for the whole loop instead of one per
+    * round — the r4 shape (eager checkpoint + full-outer count every
+    * round) doubled the job count and made per-round overhead the
+    * dominant cost at small SF. */
+  /** Below this edge count the component labels are solved with a
+    * driver-side union-find over the (already canonicalized, deduped,
+    * cached) edge set instead of the iterative loop — the same
+    * size-gated strategy switch AQE applies to joins. 2M edges is 32 MB
+    * of longs on the driver and milliseconds of union-find; the verified
+    * near-dup relation at real thresholds is a sliver of the corpus, so
+    * in practice even 100 TB pipelines often land under it, and anything
+    * larger takes the O(log diameter) distributed loop below. */
+  private val LocalSolveMaxEdges = 2L << 20
+
+  private def connectedComponentsImpl(
+      pairs: DataFrame, spark: SparkSession,
+      localSolveMax: Long = LocalSolveMaxEdges): (DataFrame,
+        Int, org.apache.spark.rdd.RDD[_]) = {
     // canonical undirected edge set (lo < hi), deduped once up front —
     // star-contraction is a SET algorithm; the fixpoint test needs
-    // canonical rows
-    var edges = pairs
-      .select(least(col("d1"), col("d2")).as("lo"),
-        greatest(col("d1"), col("d2")).as("hi"))
+    // canonical rows. Endpoints cast to long so the fingerprint fold and
+    // the emitted cluster ids have one stable type.
+    val initial = materializeEdges(pairs
+      .select(least(col("d1"), col("d2")).cast("long").as("lo"),
+        greatest(col("d1"), col("d2")).cast("long").as("hi"))
       .filter(col("lo") =!= col("hi"))
-      .distinct()
-      .repartition(p, col("hi"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // the node universe, captured BEFORE contraction: stars only keep
-    // edges, and the label join below must cover every original endpoint
-    val nodes = edges.select(col("lo").as("id"))
-      .unionAll(edges.select(col("hi").as("id")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct(), spark)
+    if (initial.count <= localSolveMax)
+      return localSolve(initial, spark)
+    var edges = initial
     // O(log² n) worst case for star-contraction; 64 rounds is orders of
     // magnitude above any reachable graph and exists only to turn an
     // implementation bug into a loud failure instead of an infinite loop
@@ -109,59 +187,113 @@ object TrainingData {
       // LARGE-STAR: from the symmetric neighborhood view, connect every
       // strictly-larger neighbor v of u to m = min(Γ(u) ∪ {u}). m ≤ u < v
       // keeps the (lo, hi) orientation canonical by construction.
-      val sym = edges.select(col("lo").as("u"), col("hi").as("v"))
-        .unionAll(edges.select(col("hi").as("u"), col("lo").as("v")))
+      val sym = edges.df.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(edges.df.select(col("hi").as("u"), col("lo").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // NOT deduped here: `min` is duplicate-insensitive and the round's
+      // final distinct dedups anyway — an intermediate distinct would add
+      // a full extra exchange of the largest intermediate (the join and
+      // the groupBy below both hash-partition by `hi`, so Spark reuses
+      // one exchange for both consumers).
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("m").as("lo"), col("v").as("hi"))
-        .distinct()
       // SMALL-STAR: per high endpoint, rewire its smaller neighbors (and
       // itself) to their minimum. v ∈ smaller(hi) ⇒ v ≥ m, so orientation
       // stays canonical here too.
       val smins = large.groupBy("hi").agg(min("lo").as("m"))
-      // localCheckpoint (eager), not persist: each round's plan embeds the
-      // previous round's ~4× over (sym and the joins reference `edges`
-      // repeatedly), so an uncut lineage grows 4^rounds — the checkpoint
-      // truncates it to a leaf every round, the same periodic-truncation
-      // discipline Pregel/GraphX use for iterative frames
-      val next = large.join(smins, "hi")
+      val next = materializeEdges(large.join(smins, "hi")
         .filter(col("lo") =!= col("m"))
         .select(col("m").as("lo"), col("lo").as("hi"))
         .unionAll(smins.select(col("m").as("lo"), col("hi")))
-        .distinct()
-        .repartition(p, col("hi"))
-        .localCheckpoint(true)
-      // fixpoint test = set equality over two leaf frames: rows missing a
-      // side of the full-outer join are the symmetric difference
-      val changed = edges.withColumn("a", lit(1))
-        .join(next.withColumn("b", lit(1)), Seq("lo", "hi"), "full_outer")
-        .filter(col("a").isNull || col("b").isNull)
-        .count()
-      edges.unpersist()
-      edges = next
-      converged = changed == 0
+        .distinct(), spark)
       rounds += 1
+      // fingerprint probe; exact confirm only on a hit (≈ once per loop)
+      if (next.count == edges.count && next.hashSum == edges.hashSum) {
+        val changed = edges.df.withColumn("a", lit(1))
+          .join(next.df.withColumn("b", lit(1)), Seq("lo", "hi"),
+            "full_outer")
+          .filter(col("a").isNull || col("b").isNull)
+          .count()
+        converged = changed == 0
+      }
+      // the INITIAL edge set stays cached through the loop: the node
+      // universe is derived from it inside the final labeling job
+      if (!(edges.rdd eq initial.rdd)) edges.rdd.unpersist(blocking = false)
+      edges = next
     }
     if (!converged)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxRounds rounds")
     // converged stars: each non-root node has exactly one edge, to its
     // component minimum; roots (and any isolated canonical node) label
-    // themselves
-    val result = nodes
-      .join(edges.select(col("hi").as("id"), col("lo").as("root")),
+    // themselves. The node universe — every ORIGINAL endpoint, which
+    // contraction drops from the star edges — is derived from the still-
+    // cached initial edge set inside this same job (no separate
+    // materialization action for it). Result materialized to a leaf so
+    // the loop's intermediates can be freed without the caller's action
+    // replaying the whole loop.
+    val nodes = initial.df.select(col("lo").as("id"))
+      .unionAll(initial.df.select(col("hi").as("id")))
+      .distinct()
+    val result = materializeEdges(nodes
+      .join(edges.df.select(col("hi").as("id"), col("lo").as("root")),
         Seq("id"), "left")
       .select(col("id").as("doc_id"),
-        coalesce(col("root"), col("id")).as("cluster_id"))
+        coalesce(col("root"), col("id")).as("cluster_id")), spark)
+    val labeled = result.df
       .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
-      // truncate the iterative lineage so the cached intermediates can be
-      // freed without the caller's action replaying the whole loop
-      .localCheckpoint(true)
-    edges.unpersist()
-    nodes.unpersist()
-    (result, rounds)
+    if (!(edges.rdd eq initial.rdd)) edges.rdd.unpersist(blocking = false)
+    initial.rdd.unpersist(blocking = false)
+    (labeled, rounds, result.rdd)
+  }
+
+  /** Small-input strategy: the canonicalized edge set already sits in
+    * cached blocks; pull it to the driver, union-find it (path-halving,
+    * union-by-min so labels are component minima exactly like the
+    * distributed loop), and hand back a persisted leaf frame with the
+    * identical (doc_id, cluster_id, is_keeper) contract. Rounds = 0 —
+    * no contraction ran. */
+  private def localSolve(
+      initial: MatEdges, spark: SparkSession): (DataFrame,
+        Int, org.apache.spark.rdd.RDD[_]) = {
+    val edges = initial.rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect()
+    initial.rdd.unpersist(blocking = false)
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrDefault(x, x) != x) {
+        val p = parent.get(x)
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+      }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val labels = edges.iterator
+      .flatMap { case (a, b) => Iterator(a, b) }
+      .toArray.distinct
+      .map(n => org.apache.spark.sql.Row(n, find(n)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val result = materializeEdges(
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(labels.toIndexedSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            labels.length / 4096 + 1))),
+        schema), spark)
+    (result.df.withColumn("is_keeper", col("doc_id") === col("cluster_id")),
+      0, result.rdd)
   }
 
   /** THE split policy — one definition, because two drifting copies of

@@ -52,4 +52,16 @@ object GraftShim {
       spark: SparkSession,
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Wrap an InternalRow RDD as a leaf DataFrame (LogicalRDD): the
+    * lineage-truncation primitive iterative algorithms need — unlike
+    * `localCheckpoint`, the backing RDD stays in the caller's hands, so
+    * its storage blocks can be unpersisted deterministically instead of
+    * lingering until ContextCleaner gets to them. */
+  def ofInternalRows(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }
