@@ -9,11 +9,12 @@ import graft.relational.Tables
   * `binary` columns with typed metadata, and run decode / feature-extract /
   * frame-sample as distributed per-partition operators.
   *
-  * The actual codecs (JPEG/PNG/audio decoders) are NOT available in this
-  * environment, so the decode step is a clearly-marked deterministic stub
-  * ([[StubDecoder]]) behind the [[MediaDecoder]] interface — the Spark-side
-  * plumbing (schema, partitioning, batch shape, column lineage) is real and
-  * tested, and a real decoder drops in without touching the plan.
+  * The decode step is pluggable behind the [[MediaDecoder]] interface:
+  * [[StubDecoder]] is the deterministic default (no external image libs in
+  * this container), and [[ImageIoProvider]] is a REAL codec plugin on the
+  * JDK's `javax.imageio` (PNG/BMP/GIF) proving the seam against actual
+  * decoder constraints — the Spark-side plumbing (schema, partitioning,
+  * batch shape, column lineage) is identical under both.
   */
 object Multimodal {
 
@@ -78,13 +79,21 @@ object Multimodal {
     def open(): MediaDecoder = StubDecoder
   }
 
-  /** Run `f` over a partition with a freshly-opened decoder, closing it
-    * when the row iterator is exhausted (the `++` thunk evaluates only
-    * after the left side drains — the lazy-iterator close pattern). */
+  /** Run `f` over a partition with a freshly-opened decoder. Close runs
+    * exactly once via a task-completion listener — which fires on normal
+    * completion, task failure, AND cancellation — so a `limit`/`take`
+    * that abandons the iterator mid-partition can't leak a native codec
+    * handle. The drain-time close (the `++` thunk, evaluated only after
+    * the left side exhausts) is kept as the fast path so handles free as
+    * soon as the rows are consumed, not at task teardown. */
   private def withDecoder[T](provider: MediaDecoderProvider)(
       f: MediaDecoder => Iterator[T]): Iterator[T] = {
     val dec = provider.open()
-    f(dec) ++ { dec.close(); Iterator.empty }
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeOnce(): Unit = if (closed.compareAndSet(false, true)) dec.close()
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    f(dec) ++ { closeOnce(); Iterator.empty }
   }
 
   /** STUB: deterministic fake decoder (no image libs in this container).
@@ -125,8 +134,17 @@ object Multimodal {
   def featureExtract(
       spark: SparkSession, dir: String,
       provider: MediaDecoderProvider = StubProvider,
+      dim: Int = 8): DataFrame =
+    featureExtractFrom(mediaTable(spark, dir), provider, dim)
+
+  /** [[featureExtract]] over an arbitrary `(doc_id, payload)` frame — the
+    * entry a caller with REAL image bytes (not the documents stand-in
+    * table) uses; MultimodalSpec drives PNG payloads through it with the
+    * ImageIO decoder. */
+  def featureExtractFrom(
+      media: DataFrame,
+      provider: MediaDecoderProvider = StubProvider,
       dim: Int = 8): DataFrame = {
-    val media = mediaTable(spark, dir)
     implicit val enc = Encoders.product[MediaFeatures]
     media.select(col("doc_id"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
@@ -150,8 +168,14 @@ object Multimodal {
     * array form stays available via [[featureExtract]] for library use. */
   def qMediaFeatures(
       spark: SparkSession, dir: String, dim: Int = 8,
+      provider: MediaDecoderProvider = StubProvider): DataFrame =
+    qMediaFeaturesFrom(mediaTable(spark, dir), dim, provider)
+
+  /** [[qMediaFeatures]] over an arbitrary `(doc_id, payload)` frame. */
+  def qMediaFeaturesFrom(
+      media: DataFrame, dim: Int = 8,
       provider: MediaDecoderProvider = StubProvider): DataFrame = {
-    val feats = featureExtract(spark, dir, provider, dim)
+    val feats = featureExtractFrom(media, provider, dim)
     feats.select(
       Seq(col("doc_id"),
         col("n_bytes").cast("long").as("n_bytes"),
@@ -171,8 +195,14 @@ object Multimodal {
   def qMediaResize(
       spark: SparkSession, dir: String,
       tw: Int = 4, th: Int = 4,
+      provider: MediaDecoderProvider = StubProvider): DataFrame =
+    qMediaResizeFrom(mediaTable(spark, dir), tw, th, provider)
+
+  /** [[qMediaResize]] over an arbitrary `(doc_id, payload)` frame. */
+  def qMediaResizeFrom(
+      media: DataFrame,
+      tw: Int = 4, th: Int = 4,
       provider: MediaDecoderProvider = StubProvider): DataFrame = {
-    val media = mediaTable(spark, dir)
     media.select(col("doc_id"), col("payload"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>

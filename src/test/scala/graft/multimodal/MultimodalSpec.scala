@@ -28,6 +28,22 @@ object NegatingProvider extends Multimodal.MediaDecoderProvider {
   def open(): Multimodal.MediaDecoder = new NegatingDecoder
 }
 
+/** Counts opens/closes across the JVM (local-mode executors share it) to
+  * prove the task-completion listener closes abandoned decoders. */
+object CountingProvider extends Multimodal.MediaDecoderProvider {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  def open(): Multimodal.MediaDecoder = {
+    opens.incrementAndGet()
+    new Multimodal.MediaDecoder {
+      def decode(payload: Array[Byte]): (Int, Int, Int) = (1, 1, 1)
+      def features(payload: Array[Byte], dim: Int): Array[Float] =
+        new Array[Float](dim)
+      override def close(): Unit = closes.incrementAndGet()
+    }
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
@@ -92,6 +108,90 @@ class MultimodalSpec extends SparkSpec {
       val idxs = frames.map(_.getLong(1)).sorted
       assert(idxs === (0L until idxs.length.toLong))
     }
+  }
+
+  // --- real codec through the provider seam -------------------------------
+
+  /** Deterministic RGB test pattern; PNG is lossless so the decoded
+    * raster equals this exactly. */
+  private def patternRgb(x: Int, y: Int): Int =
+    ((x % 256) << 16) | ((y % 256) << 8) | ((x + y) % 256)
+
+  private def patternLum(x: Int, y: Int): Int =
+    ((x % 256) + (y % 256) + ((x + y) % 256)) / 3
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, patternRgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos), "PNG writer present")
+    bos.toByteArray
+  }
+
+  test("ImageIO decoder: real PNGs through the full query path") {
+    import spark.implicits._
+    // a dozen real images of varying dims, including non-square and 1-pixel
+    val dims = Seq((7, 5), (16, 16), (1, 1), (33, 9), (5, 40), (64, 3),
+      (2, 2), (11, 11), (8, 24), (3, 1), (1, 17), (29, 13))
+    val media = dims.zipWithIndex
+      .map { case ((w, h), i) => (i.toLong, pngBytes(w, h)) }
+      .toDF("doc_id", "payload")
+      .repartition(4)
+    val dim = 8
+    val rows = Multimodal
+      .qMediaFeaturesFrom(media, dim, ImageIoProvider)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet === dims.indices.map(_.toLong).toSet)
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val r = rows(i.toLong)
+      assert(r.getLong(2) === w.toLong, s"img $i width")
+      assert(r.getLong(3) === h.toLong, s"img $i height")
+      assert(r.getLong(4) === 3L, s"img $i channels (RGB)")
+      // expected features from the pattern itself — independent of the
+      // decoder: bucket by row-major index mod dim, exact luminance sums
+      val sums = new Array[Double](dim)
+      for (y <- 0 until h; x <- 0 until w)
+        sums((y * w + x) % dim) += patternLum(x, y)
+      val chunk = math.max(1, w * h / dim)
+      (0 until dim).foreach { j =>
+        val expect = BigDecimal(sums(j) / 255.0 / chunk)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(5 + j) - expect) < 1e-9,
+          s"img $i f$j")
+      }
+    }
+    // resize: real nearest-neighbor over decoded pixels
+    val thumbs = Multimodal
+      .qMediaResizeFrom(media, 4, 4, ImageIoProvider)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      val expect = (for (ti <- 0 until 4; tj <- 0 until 4)
+        yield "%02X".format(
+          patternLum(tj * w / 4, ti * h / 4).toByte & 0xff)).mkString
+      assert(thumbs(i.toLong) === expect, s"img $i thumbnail")
+    }
+  }
+
+  test("ImageIO decoder rejects undecodable payloads loudly") {
+    val ex = intercept[Exception] {
+      ImageIoProvider.open().decode("not an image".getBytes)
+    }
+    assert(ex.getMessage.contains("not a decodable image"))
+  }
+
+  test("decoder closes when the iterator is abandoned (limit/take)") {
+    import spark.implicits._
+    val media = (0L until 400L).map(i => (i, Array.fill(4)(i.toByte)))
+      .toDF("doc_id", "payload").repartition(4)
+    val before = (CountingProvider.opens.get, CountingProvider.closes.get)
+    // take(1) abandons every partition's iterator mid-stream — without the
+    // task-completion listener the ++-thunk close never runs
+    Multimodal.featureExtractFrom(media, CountingProvider, 4).take(1)
+    val opened = CountingProvider.opens.get - before._1
+    val closed = CountingProvider.closes.get - before._2
+    assert(opened > 0, "at least one decoder opened")
+    assert(closed === opened, s"every opened decoder closed ($closed/$opened)")
   }
 
   test("resize: nearest-neighbor thumbnail, fixed output size, known vector") {
