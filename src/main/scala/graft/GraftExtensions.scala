@@ -138,6 +138,10 @@ object GraftExtensions {
       if (args.length == 2) HyperplaneBucket(args(0), bits)
       else HyperplaneBucket(args(0), bits, longArg("hyperplane_bucket", args(2)))
     },
+    "bpe_count" -> { args: Seq[Expression] =>
+      arity("bpe_count", 1, args)
+      graft.text.BpeTokenCount(Cast(args(0), StringType))
+    },
     "simhash_bands" -> { args: Seq[Expression] =>
       if (args.length != 1 && args.length != 2)
         throw new IllegalArgumentException(

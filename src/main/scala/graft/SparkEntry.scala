@@ -100,6 +100,9 @@ object SparkEntry {
     // -- text analysis (north star) --
     "q_text_stats_by_lang" -> (TextOps.qTextStatsByLang _),
     "q_token_count" -> (TextOps.qTokenCount _),
+    // subword (BPE-inference) counting: native greedy-merge kernel,
+    // oracled by a DuckDB recursive CTE replaying the same scan
+    "q_token_bpe" -> (TextOps.qTokenBpe _),
     "q_text_quality" -> (TextOps.qTextQuality _),
     "q_lang_guess" -> (TextOps.qLangGuess _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
@@ -156,6 +159,10 @@ object SparkEntry {
     "q_stratified_sample" -> (TrainingData.qStratifiedSample _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
+    // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
+    "q_pack_bpe" -> ((s: SparkSession, d: String) =>
+      TrainingData.qPackSequences(s, d,
+        tokenCount = graft.functions.bpe_count)),
     // capstone: quality gate -> exact-dup losers -> near-dup cluster
     // losers -> split -> census, one declarative plan, one oracle
     "q_corpus_build" -> ((s: SparkSession, d: String) =>
@@ -540,6 +547,27 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
         |  n_chars
         |FROM documents""".stripMargin,
+    // replays the kernel's greedy leftmost-longest scan as a recursive
+    // CTE over (word, pos) states; terminal states carry the word's
+    // token count. Vocab interpolated from BpeVocab — ONE definition.
+    "q_token_bpe" ->
+      s"""WITH RECURSIVE
+        |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),
+        |states(doc_id, word, pos, n) AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')), 0, 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, word,
+        |    pos + coalesce((SELECT max(length(tok)) FROM bpe_vocab
+        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1),
+        |    n + 1
+        |  FROM states WHERE pos < length(word)),
+        |bpe AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe
+        |        FROM states WHERE pos >= length(word) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
+        |  b.n_bpe AS n_tokens_bpe,
+        |  round(CAST(d.n_chars AS DOUBLE) / b.n_bpe, 4) AS chars_per_tok
+        |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, lang, n_tokens, n_stop,
         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
@@ -762,6 +790,29 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, lang,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
+        |r AS (SELECT lang, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |      FROM t)
+        |SELECT lang, CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS bin,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill
+        |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_pack_bpe" ->
+      s"""WITH RECURSIVE
+        |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),
+        |states(doc_id, word, pos, n) AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')), 0, 0 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, word,
+        |    pos + coalesce((SELECT max(length(tok)) FROM bpe_vocab
+        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1),
+        |    n + 1
+        |  FROM states WHERE pos < length(word)),
+        |bpe AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
+        |        FROM states WHERE pos >= length(word) GROUP BY doc_id),
+        |t AS (SELECT d.doc_id, d.lang, b.n_tokens
+        |      FROM documents d JOIN bpe b ON d.doc_id = b.doc_id),
         |r AS (SELECT lang, n_tokens,
         |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running

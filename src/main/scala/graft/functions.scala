@@ -92,17 +92,22 @@ object functions {
   def hyperplane_bucket(emb: Column, bits: Int): Column =
     col(graft.similarity.HyperplaneBucket(expr(emb), bits))
 
-  private val registeredSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Subword token count under the library's greedy BPE merge vocab
+    * ([[graft.text.BpeVocab]]). */
+  def bpe_count(text: Column): Column =
+    col(graft.text.BpeTokenCount(Cast(expr(text), StringType)))
 
   /** Register ALL of graft's native expressions as SQL functions on this
     * session (cluster-wide alternative:
     * `spark.sql.extensions=graft.GraftExtensions` — same builder table).
-    * Idempotent per session: repeated calls (queries self-register so
-    * they run on any session) skip the registry writes instead of
-    * re-replacing every function with a WARN apiece. */
+    * Idempotence is keyed on the session's OWN function registry (a
+    * sentinel lookup), not a process-global session-id set: a dropped or
+    * reset registry re-registers instead of silently no-oping, and
+    * nothing accumulates per stopped session. Re-registration of an
+    * existing function is a WARN, not an error, so the benign race
+    * between two threads registering at once costs noise at worst. */
   def registerAll(spark: SparkSession): Unit =
-    if (registeredSessions.add(GraftShim.sessionId(spark))) {
+    if (!spark.catalog.functionExists("num_to_pass")) {
       GraftExtensions.builders.foreach { case (name, builder) =>
         GraftShim.registerFunction(spark, name, builder)
       }

@@ -397,7 +397,12 @@ object TrainingData {
     * within a few percent of it on shuffled corpora). Output is the
     * per-bin census: docs, tokens, fill ratio. */
   def qPackSequences(
-      spark: SparkSession, dir: String, capacity: Int = 2048): DataFrame = {
+      spark: SparkSession, dir: String, capacity: Int = 2048,
+      tokenCount: Column => Column = c =>
+        size(split(c, " ", -1)).cast("long")): DataFrame = {
+    // `tokenCount` is the billing unit: whitespace tokens by default, or
+    // any per-doc counter — e.g. `graft.functions.bpe_count` for subword
+    // budgets, which is what a real pretokenizer packs against
     // packing is per-language (streams are per-shard in a real pipeline):
     // the window partitions by lang, so the sequential scan parallelizes
     // across shards instead of serializing the corpus through one sort
@@ -405,7 +410,7 @@ object TrainingData {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        tokenCount(col("text")).as("n_tokens"))
       .withColumn("running", sum("n_tokens").over(w))
       // bin of the doc's START offset: a doc straddling a boundary stays
       // in the bin it began in (contiguous packing semantics)

@@ -101,6 +101,126 @@ object TextKernels {
   }
 }
 
+/** Subword (BPE-inference-style) tokenization: greedy LEFTMOST-LONGEST
+  * matching of a fixed merge vocabulary, scanning each whitespace word
+  * left to right and emitting the longest vocab token at each position
+  * (single character when nothing matches) — exactly how WordPiece/BPE
+  * inference consumes a learned merge table. The vocab is the library's
+  * demo merge table; a production pipeline swaps in its tokenizer's.
+  *
+  * The greedy-longest contract (rather than learned-merge-order replay)
+  * is chosen deliberately: it is the inference-time algorithm AND it is
+  * recomputable by a SQL engine — the DuckDB oracle replays the same scan
+  * with a recursive CTE over (word, pos) states, so the whole subword
+  * count is hash-checked end to end, not just row-counted.
+  */
+object BpeVocab {
+
+  /** The demo merge vocabulary: corpus terms plus common English subword
+    * units, ASCII, 2..8 bytes (1-byte entries would be no-ops). Sorted
+    * here for readability; the kernel builds packed per-length lookup
+    * tables from it. */
+  val tokens: Seq[String] = Seq(
+    // whole corpus terms (longest-match wins over their prefixes)
+    "shuffle", "window", "filter", "table", "value", "spark", "batch",
+    "merge", "hash", "scan", "sort", "fast", "slow", "line", "part",
+    "row", "key", "agg",
+    // common subword units
+    "the", "ing", "ion", "ent", "ter", "ate",
+    "er", "an", "re", "on", "at", "en", "nd", "ti", "es", "or", "te",
+    "ed", "is", "ar", "st", "al", "le", "ow", "ta", "va", "ke")
+
+  require(tokens.distinct.size == tokens.size, "duplicate vocab token")
+  require(tokens.forall(t => t.length >= 2 && t.length <= 8 &&
+    t.forall(c => c > ' ' && c < 127)), "vocab tokens must be ASCII, 2-8 chars")
+
+  /** `('tok1'),('tok2'),…` — the VALUES list the DuckDB oracle embeds, so
+    * kernel and oracle share ONE vocab definition and cannot drift. */
+  def sqlValues: String = tokens.map(t => s"('$t')").mkString(",")
+
+  private[text] val maxLen = tokens.map(_.length).max
+  // per-length sorted arrays of big-endian byte-packed tokens: the scan
+  // probes (pos, len) slices with a binary search, zero allocation
+  private[text] val packedByLen: Array[Array[Long]] =
+    Array.tabulate(maxLen + 1) { len =>
+      if (len < 2) Array.empty[Long]
+      else tokens.filter(_.length == len)
+        .map(t => pack(t.getBytes("UTF-8"), 0, len)).sorted.toArray
+    }
+
+  private[text] def pack(bytes: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < len) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+    v
+  }
+}
+
+object BpeKernel {
+
+  import BpeVocab._
+
+  /** Number of subword tokens in `text` under greedy leftmost-longest
+    * vocab matching, whitespace (0x20) separating words and contributing
+    * no tokens. Scans UTF-8 bytes in place; a non-matching position
+    * advances by the full UTF-8 sequence width and counts ONE token, so
+    * the count equals the codepoint-level scan a SQL engine's
+    * `substr`/`length` (character semantics) reproduces. ASCII vocab
+    * tokens can never match inside a multi-byte sequence (continuation
+    * bytes are ≥ 0x80), so byte-slice matching is exact. */
+  def bpeCount(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var count = 0L
+    var pos = 0
+    while (pos < n) {
+      if (bytes(pos) == 0x20) { pos += 1 }
+      else {
+        var matched = 0
+        var len = math.min(maxLen, n - pos)
+        while (matched == 0 && len >= 2) {
+          val table = packedByLen(len)
+          if (table.length > 0 &&
+            java.util.Arrays.binarySearch(table, pack(bytes, pos, len)) >= 0)
+            matched = len
+          len -= 1
+        }
+        if (matched > 0) pos += matched
+        else {
+          // single-codepoint token: advance the full UTF-8 sequence
+          val b = bytes(pos) & 0xff
+          pos += (if (b < 0x80) 1 else if (b < 0xe0) 2
+                  else if (b < 0xf0) 3 else 4)
+        }
+        count += 1
+      }
+    }
+    count
+  }
+}
+
+/** `bpe_count(text)` — subword token count under the [[BpeVocab]] greedy
+  * merge table (see [[BpeKernel.bpeCount]]). */
+case class BpeTokenCount(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.bpeCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.BpeKernel.bpeCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
 object TextKernelsSimhash {
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {

@@ -40,6 +40,20 @@ object TextOps {
           .cast("long").as("n_tokens_re"),
         col("n_chars"))
 
+  /** Subword (BPE-inference) token counting next to the whitespace count:
+    * the number a real pretokenizer bills sequence budgets in. The native
+    * [[graft.text.BpeTokenCount]] kernel scans each doc once
+    * (greedy leftmost-longest vocab matching — see [[graft.text.BpeVocab]]);
+    * `chars_per_tok` is the compression the merge table achieves. */
+  def qTokenBpe(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens_ws"),
+        graft.functions.bpe_count(col("text")).as("n_tokens_bpe"),
+        round(col("n_chars").cast("double") /
+          graft.functions.bpe_count(col("text")), 4).as("chars_per_tok"))
+
   /** Quality scoring from length + stopword-ratio signals. */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")

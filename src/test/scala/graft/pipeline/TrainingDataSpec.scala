@@ -149,6 +149,29 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing billed in BPE tokens: totals match the subword kernel") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+    // independent total: the native kernel summed driver-side
+    val totalBpe = docs.select(col("text")).collect()
+      .map(r => graft.text.BpeKernel.bpeCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0))))
+      .sum
+    val bins = TrainingData.qPackSequences(spark, dir,
+      tokenCount = graft.functions.bpe_count).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(bins.map(_._4).sum === totalBpe, "subword totals preserved")
+    assert(bins.map(_._3).sum === docs.count(), "every doc packed")
+    bins.groupBy(_._1).foreach { case (lang, bs) =>
+      val ids = bs.map(_._2).sorted.toSeq
+      assert(ids === (0L until ids.length.toLong).toSeq, s"$lang bins contiguous")
+    }
+    // subword billing is strictly finer than whitespace billing here:
+    // same capacity, more tokens, at least as many bins
+    val wsBins = TrainingData.qPackSequences(spark, dir).collect()
+    assert(bins.length >= wsBins.length)
+  }
+
   test("sequence packing: bins contiguous per lang, totals preserved") {
     import org.apache.spark.sql.functions._
     val docs = graft.relational.Tables.load(spark, dir, "documents")

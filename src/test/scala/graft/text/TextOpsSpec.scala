@@ -6,6 +6,67 @@ class TextOpsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  /** Independent reference for the BPE kernel: greedy leftmost-longest
+    * over the same vocab, implemented on String/codepoints instead of
+    * UTF-8 bytes. */
+  private def refBpeCount(text: String): Long = {
+    var count = 0L
+    var pos = 0
+    while (pos < text.length) {
+      if (text(pos) == ' ') pos += 1
+      else {
+        BpeVocab.tokens.filter(t => text.startsWith(t, pos))
+          .map(_.length).maxOption match {
+          case Some(l) => pos += l
+          case None => pos += Character.charCount(text.codePointAt(pos))
+        }
+        count += 1
+      }
+    }
+    count
+  }
+
+  test("bpe_count: greedy leftmost-longest merge, kernel == reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def k(s: String): Long = BpeKernel.bpeCount(UTF8String.fromString(s))
+    // hand-pinned semantics: whole-word merges win over their subwords
+    assert(k("table") === 1L, "whole vocab word is one token")
+    assert(k("tables") === 2L, "table + s")
+    assert(k("the table") === 2L)
+    assert(k("") === 0L)
+    assert(k("   ") === 0L, "spaces bill nothing")
+    assert(k("qqq") === 3L, "no merges -> one token per char")
+    // multi-byte safety: one token per CODEPOINT, like SQL substr/length
+    assert(k("héllo") === refBpeCount("héllo"))
+    assert(k("日本語 text") === refBpeCount("日本語 text"))
+    // randomized cross-check against the independent reference
+    val rng = new scala.util.Random(11)
+    val alpha = "abcdefghijklmnopqrstuvwxyzé日 "
+    (1 to 200).foreach { _ =>
+      val s = (1 to rng.nextInt(40)).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      assert(k(s) === refBpeCount(s), s"kernel != ref on '$s'")
+    }
+    // corpus words through the real table, SQL-function path
+    graft.functions.registerAll(spark)
+    val rows = spark.sql(
+      s"SELECT text, bpe_count(text) FROM parquet.`$dir/documents.parquet` LIMIT 50")
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === refBpeCount(r.getString(0))))
+  }
+
+  test("qTokenBpe: subword count next to whitespace count, sane compression") {
+    val rows = TextOps.qTokenBpe(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (ws, bpe) = (r.getLong(1), r.getLong(2))
+      // merges only ever shrink a word's char count and every word emits
+      // >= 1 token: ws <= bpe <= chars
+      assert(bpe >= ws, s"doc ${r.getLong(0)}: bpe $bpe < ws $ws")
+      assert(!r.isNullAt(3) && r.getDouble(3) > 1.0,
+        "chars_per_tok > 1 — merges compress")
+    }
+  }
+
   test("unigram perplexity matches an independent driver-side model") {
     val docs = graft.relational.Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
