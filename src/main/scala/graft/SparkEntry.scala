@@ -155,6 +155,9 @@ object SparkEntry {
     // connected components over the exact-verified near-dup pairs;
     // oracled by DuckDB recursive-CTE reachability
     "q_dedup_clusters" -> (TrainingData.qDedupClusters _),
+    // two-batch incremental ingest; must equal the from-scratch clusters,
+    // so its oracle IS the from-scratch recursive CTE
+    "q_dedup_incremental" -> (TrainingData.qDedupIncremental _),
     "q_split_assign" -> (TrainingData.qSplitAssign _),
     "q_stratified_sample" -> (TrainingData.qStratifiedSample _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
@@ -231,6 +234,32 @@ object SparkEntry {
   private def pass4(x: String): String =
     s"chr(97 + CAST(($x) // 17576 AS INT) % 26) || chr(97 + CAST(($x) // 676 AS INT) % 26) || " +
       s"chr(97 + CAST(($x) // 26 AS INT) % 26) || chr(97 + CAST(($x) AS INT) % 26)"
+
+  /** Shared by q_dedup_clusters and q_dedup_incremental (the incremental
+    * ingest is CONTRACTED to equal the from-scratch result): recursive-CTE
+    * reachability over the exact-Jaccard pair relation, min reachable id
+    * per node = cluster label. */
+  private val dedupClustersOracle: String =
+    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, greatest(len(l) - 2, 1)),
+      |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+      |       FROM toks),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM ip
+      |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+      |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+      |FROM reach GROUP BY id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -746,27 +775,10 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     // independent fixpoint formulation: recursive-CTE reachability over
     // the same exact-Jaccard pair relation, min reachable id = cluster
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, greatest(len(l) - 2, 1)),
-        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
-        |       FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |pairs AS (SELECT d1, d2 FROM ip
-        |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-        |          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
-        |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
-        |FROM reach GROUP BY id""".stripMargin,
+    "q_dedup_clusters" -> dedupClustersOracle,
+    // the incremental ingest must EQUAL the from-scratch clusters — its
+    // oracle is literally the same from-scratch recursive CTE
+    "q_dedup_incremental" -> dedupClustersOracle,
     "q_split_assign" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

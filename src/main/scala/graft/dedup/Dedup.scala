@@ -126,6 +126,24 @@ object Dedup {
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
     graft.functions.minhash_sig(shingleCol, numHashes)
 
+  /** Per-doc (band, bucket) LSH keys from MinHash signatures — the
+    * "signature store" relation: at scale this is what a pipeline
+    * persists between ingests so a new batch can probe it without
+    * re-signing the corpus. */
+  private def bandedSignatures(
+      spark: SparkSession, dir: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = shingleArrays(spark, dir)
+      .select(col("doc_id"), minhashSignature(col("sh_arr"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+    sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+  }
+
   /** MinHash + LSH near-dup pairs: signatures → banded bucket join for
     * candidates → exact Jaccard verification. Scale path for near-dedup:
     * candidate generation is linear in corpus size (band-bucket grouping),
@@ -135,21 +153,42 @@ object Dedup {
       spark: SparkSession, dir: String,
       numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val shArr = shingleArrays(spark, dir)
-    val sigs = shArr
-      .select(col("doc_id"), minhashSignature(col("sh_arr"), numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("band", "bucket")))
+    val banded = bandedSignatures(spark, dir, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(candidates, shArr, threshold)
+  }
+
+  /** DELTA variant of [[qMinhashLshPairs]] for incremental ingest: every
+    * verified near-dup pair TOUCHING a new-batch document (`isNew` on
+    * its doc_id), found by probing the new docs' band signatures against
+    * the full signature store. The probe side is the batch, the build
+    * side the store, the join a band-bucket equi-join — work is linear
+    * in batch size (× bucket fan-in), never corpus-quadratic, which is
+    * what makes per-ingest dedup affordable at 100 TB. Because both
+    * band-bucket collision and Jaccard verification are PAIRWISE
+    * properties, the delta relation is exactly the full-corpus pair
+    * relation restricted to pairs with a new endpoint — no recall drift
+    * vs recomputing from scratch. */
+  def minhashLshPairsDelta(
+      spark: SparkSession, dir: String, isNew: Column => Column,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val shArr = shingleArrays(spark, dir)
+    val banded = bandedSignatures(spark, dir, numHashes, bands)
+    // canonicalize (lo, hi) then dedup: a new-new pair collides from both
+    // probe directions, a new-old pair from one; distinct unifies both
+    val candidates = banded.filter(isNew(col("doc_id"))).as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
     verifyJaccard(candidates, shArr, threshold)
   }

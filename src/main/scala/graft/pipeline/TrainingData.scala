@@ -32,16 +32,22 @@ object TrainingData {
   private val clusterCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (DataFrame, org.apache.spark.rdd.RDD[_])]
 
+  /** Same contract for the incremental two-batch fixture: one computed
+    * (existing ⊕ delta) keep-list per (session, dir). */
+  private val incrementalCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, org.apache.spark.rdd.RDD[_])]
+
   /** Drop this session's cached cluster tables — REQUIRED after
     * rewriting the data under a cached dir mid-session, or the stale
     * keep-list keeps being served. Unpersists the backing blocks. */
   def invalidateCaches(spark: SparkSession): Unit = {
     val sid = org.apache.spark.sql.GraftShim.sessionId(spark)
-    clusterCache.filterInPlace { case ((s, _), (_, rdd)) =>
-      val keep = s != sid
-      if (!keep) rdd.unpersist(blocking = false)
-      keep
-    }
+    Seq(clusterCache, incrementalCache).foreach(_.filterInPlace {
+      case ((s, _), (_, rdd)) =>
+        val keep = s != sid
+        if (!keep) rdd.unpersist(blocking = false)
+        keep
+    })
   }
 
   /** Near-dup CLUSTERS from the exact-verified pair relation: connected
@@ -295,6 +301,102 @@ object TrainingData {
     (result.df.withColumn("is_keeper", col("doc_id") === col("cluster_id")),
       0, result.rdd)
   }
+
+  /** Incremental near-dup ingest: fold a batch of NEW verified pair
+    * edges into an existing keep-list WITHOUT recomputing untouched
+    * components — the operation a 100 TB pipeline runs per ingest, where
+    * full-corpus recluster would be the cost cliff.
+    *
+    * `existing` is the prior (doc_id, cluster_id, …) table (pair
+    * endpoints only — the contract [[qDedupClusters]] emits, labels =
+    * component minima); `newEdges` is the verified pair relation (d1, d2)
+    * of the ingest (see [[graft.dedup.Dedup.minhashLshPairsDelta]] —
+    * pairs touching at least one new doc; edges between old docs are
+    * also legal and simply merge their clusters).
+    *
+    * Shape: every known endpoint in `newEdges` is CONTRACTED to its
+    * cluster id (itself the min member's doc id), so connectivity through
+    * old members is preserved while the component solve runs on a graph
+    * proportional to the INGEST, not the corpus. Contracting a connected
+    * subgraph preserves reachability, and each super-node's id is the min
+    * of its members, so the solved labels are exactly the from-scratch
+    * component minima — the incremental result provably equals
+    * [[qDedupClusters]] over the union corpus (asserted against the
+    * from-scratch run in TrainingDataSpec, and by `q_dedup_incremental`'s
+    * oracle, which IS the from-scratch recursive CTE). Untouched clusters
+    * never enter a shuffle: they pass through the final left join
+    * unchanged. */
+  def incrementalClusters(
+      existing: DataFrame, newEdges: DataFrame,
+      spark: SparkSession): DataFrame =
+    incrementalClustersImpl(existing, newEdges, spark)._1
+
+  private def incrementalClustersImpl(
+      existing: DataFrame, newEdges: DataFrame, spark: SparkSession):
+        (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val labels = existing.select(
+      col("doc_id").cast("long").as("doc_id"),
+      col("cluster_id").cast("long").as("cluster_id"))
+    // contract known endpoints to their cluster's super-node
+    val mapped = newEdges
+      .select(col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"))
+      .join(labels.select(col("doc_id").as("d1"), col("cluster_id").as("c1")),
+        Seq("d1"), "left")
+      .join(labels.select(col("doc_id").as("d2"), col("cluster_id").as("c2")),
+        Seq("d2"), "left")
+      .select(coalesce(col("c1"), col("d1")).as("d1"),
+        coalesce(col("c2"), col("d2")).as("d2"))
+    // component labels over the delta graph only; nodes are new docs,
+    // touched super-nodes, and previously-isolated old docs
+    val (deltaLabels, _, deltaRdd) = connectedComponentsImpl(mapped, spark)
+    val delta = deltaLabels
+      .select(col("doc_id").as("node"), col("cluster_id").as("label"))
+    // relabel ONLY the clusters whose super-node landed in the delta
+    // graph (the remap relation is bounded by the ingest size)
+    val remap = delta
+      .join(labels.select(col("cluster_id").as("node")).distinct(), "node")
+      .select(col("node").as("cluster_id"), col("label"))
+    val updated = labels
+      .join(remap, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("cluster_id")).as("cluster_id"))
+    // endpoints the old keep-list has never seen: the new docs plus
+    // previously-isolated old docs a new edge just touched (super-node
+    // ids are existing doc_ids, so the anti-join drops them here — their
+    // members, itself included, flow through the remap path above)
+    val fresh = delta
+      .join(labels.select(col("doc_id").as("node")), Seq("node"), "left_anti")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val out = materializeEdges(updated.unionAll(fresh), spark)
+    deltaRdd.unpersist(blocking = false)
+    (out.df.withColumn("is_keeper", col("doc_id") === col("cluster_id")),
+      out.rdd)
+  }
+
+  /** Two-batch incremental-ingest fixture over `documents`: "yesterday's"
+    * keep-list is the clusters over even doc_ids only (in a real pipeline
+    * that state is read back from the lake, so here it is derived by
+    * restricting the pair relation — batch membership is a pairwise
+    * property); "today's" ingest is the odd half, its pair relation
+    * generated the honest incremental way — probing the new band
+    * signatures against the full signature store
+    * ([[graft.dedup.Dedup.minhashLshPairsDelta]]). The output must equal
+    * [[qDedupClusters]] from scratch; the oracle is literally the
+    * from-scratch recursive CTE. */
+  def qDedupIncremental(spark: SparkSession, dir: String): DataFrame =
+    incrementalCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir), {
+        val oldPairs = graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
+          .filter(col("d1") % 2 === 0 && col("d2") % 2 === 0)
+          .select("d1", "d2")
+        val (existing, _, exRdd) = connectedComponentsImpl(oldPairs, spark)
+        val delta = graft.dedup.Dedup
+          .minhashLshPairsDelta(spark, dir, id => id % 2 === 1)
+          .select("d1", "d2")
+        val result = incrementalClustersImpl(existing, delta, spark)
+        exRdd.unpersist(blocking = false)
+        result
+      })._1
 
   /** THE split policy — one definition, because two drifting copies of
     * the 80/90 cut or the hash width would silently put docs in

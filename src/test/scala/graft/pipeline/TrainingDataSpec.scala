@@ -149,6 +149,54 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("incremental ingest: bridge merges, fresh endpoints, untouched pass-through") {
+    import spark.implicits._
+    // yesterday: clusters {1,2}→1, {5,6}→5, {20,21}→20; docs 10, 15 were
+    // isolated (keep-list carries pair endpoints only, so they're absent)
+    val existing = TrainingData.connectedComponents(
+      Seq((1L, 2L), (5L, 6L), (20L, 21L)).toDF("d1", "d2"), spark)
+    // today: new doc 7 BRIDGES the first two clusters; new pair (9, 15)
+    // touches an isolated old doc; new-new pair (30, 31); {20,21} untouched
+    val newEdges = Seq(
+      (7L, 2L), (7L, 6L),   // bridge: {1,2} ∪ {5,6} ∪ {7} → 1
+      (9L, 15L),            // new doc 9 ↔ previously-isolated old doc 15
+      (31L, 30L)            // entirely-new pair
+    ).toDF("d1", "d2")
+    val got = TrainingData.incrementalClusters(existing, newEdges, spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byCluster = got.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1).toSet }
+    assert(byCluster === Map(
+      1L -> Set(1L, 2L, 5L, 6L, 7L),
+      9L -> Set(9L, 15L),
+      20L -> Set(20L, 21L),
+      30L -> Set(30L, 31L)))
+    got.foreach { case (doc, cluster, keeper) =>
+      assert(keeper === (doc == cluster), s"doc $doc keeper flag")
+    }
+    // equals the from-scratch solve over the union edge set
+    val scratch = TrainingData.connectedComponents(
+      Seq((1L, 2L), (5L, 6L), (20L, 21L), (7L, 2L), (7L, 6L), (9L, 15L),
+        (31L, 30L)).toDF("d1", "d2"), spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSet === scratch.toSet)
+  }
+
+  test("q_dedup_incremental equals the from-scratch clusters on the corpus") {
+    val scratch = TrainingData.qDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val incr = TrainingData.qDedupIncremental(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(incr === scratch)
+    // the fixture is non-trivial: today's ingest (odd docs) actually
+    // carries near-dup pairs, and some clusters span both batches
+    val delta = graft.dedup.Dedup
+      .minhashLshPairsDelta(spark, dir, id => id % 2 === 1).collect()
+    assert(delta.nonEmpty, "odd batch has near-dup pairs")
+    val spanning = scratch.groupBy(_._2).values
+      .count(ms => ms.exists(_._1 % 2 == 0) && ms.exists(_._1 % 2 == 1))
+    assert(spanning > 0, "some cluster spans both batches")
+  }
+
   test("sequence packing billed in BPE tokens: totals match the subword kernel") {
     import org.apache.spark.sql.functions._
     val docs = graft.relational.Tables.load(spark, dir, "documents")
