@@ -311,9 +311,15 @@ object LspFrameFiles {
   * contract); scale-out is one bridge+directory per listening port, with
   * the stream reading the union. */
 final class LspSocketBridge(
-    dir: String, port: Int = 0, flushCount: Int = 256, flushMillis: Long = 200L) {
+    dir: String, port: Int = 0, flushCount: Int = 256, flushMillis: Long = 200L,
+    recvBufferBytes: Int = 1 << 22) {
 
   private val socket = new java.net.DatagramSocket(port)
+  // the kernel buffer must absorb the burst a producer emits during one
+  // capture-flush pause (the receive loop is blocked on disk for a few
+  // ms); a request above net.core.rmem_max is silently capped — a sizing
+  // hint, not a guarantee, exactly like the reference's socket setup
+  socket.setReceiveBufferSize(recvBufferBytes)
   @volatile private var running = false
   @volatile private var error: Throwable = _
   private var thread: Thread = _

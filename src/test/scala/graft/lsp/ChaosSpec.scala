@@ -75,6 +75,82 @@ class ChaosSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chaos at reference scale: drop 0.5, 10k+ datagrams, bridge + micro-batch") {
+    // the reference's own echo demo runs DROP_RATE 0.5 (sample_server.c);
+    // this drives the FULL pipe — UDP socket → bridge → commit-marked
+    // capture batches → DSv2 micro-batch scan → session state machine —
+    // at 10k+ datagrams, asserting exactly-once end to end
+    import java.nio.file.Files
+    import graft.sources.LspSocketBridge
+    import graft.streaming.SessionTracker
+    import graft.streaming.SessionTracker._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_chaos_scale").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_chaos_scale_ck").toFile.getAbsolutePath
+    val bridge = new LspSocketBridge(dir, flushCount = 2048, flushMillis = 100L)
+      .start()
+    val name = s"chaos_scale_${System.nanoTime()}"
+    val packets = spark.readStream.format("graft.sources.LspFrameSource")
+      .load(dir)
+      .select(col("connid"), col("seqnum"), length(col("payload")).as("payloadLen"))
+      .as[LspPacket]
+    val q = SessionTracker.eventStream(packets, epochCnt = 0)
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val sender = new java.net.DatagramSocket()
+    val rng = new scala.util.Random(438)
+    var sent = 0L
+    try {
+      val addr = new java.net.InetSocketAddress(
+        java.net.InetAddress.getLoopbackAddress, bridge.localPort)
+      def send(c: Long, s: Long): Unit = {
+        val frame = LspWire.encode(c, s, Array[Byte]((s % 127).toByte))
+        sender.send(new java.net.DatagramPacket(frame, frame.length, addr))
+        sent += 1
+        // pace below the bridge's drain rate so the kernel buffer never
+        // overflows during a capture-flush pause — the sender-side
+        // equivalent of LSP's stop-and-wait flow control
+        if (sent % 32 == 0) Thread.sleep(1)
+      }
+      val conns = 1L to 4L
+      val n = 1500
+      (1 to n).foreach { s =>
+        conns.foreach { c =>
+          // stop-and-wait over a 0.5-drop link: the sender retransmits
+          // until a copy survives the coin flip, so the RECEIVER sees
+          // 1 + Geometric(0.5) copies of every seqnum — the same arrival
+          // process as receiver-side drops with timeout retransmission
+          send(c, s.toLong)
+          while (rng.nextBoolean()) send(c, s.toLong)
+          // stale straggler: a retransmit of an already-acked seqnum
+          // whose ACK the "link" dropped
+          if (s > 1 && rng.nextBoolean()) send(c, rng.nextInt(s - 1).toLong + 1)
+        }
+        if (s % 500 == 0) q.processAllAvailable()
+      }
+      assert(sent >= 10000L, s"fixture must exercise 10k+ datagrams, sent $sent")
+      // drain: the bridge flushes on its own clock
+      val deadline = System.nanoTime() + 60_000_000_000L
+      def events() = { q.processAllAvailable(); spark.table(name).count() }
+      while (events() < sent && System.nanoTime() < deadline) Thread.sleep(100)
+      val evs = spark.table(name).as[ConnEvent].collect()
+      // every datagram accounted for: delivered exactly once or surfaced
+      // as an observable duplicate drop — nothing lost, nothing doubled
+      assert(evs.length.toLong === sent, s"sent $sent, got ${evs.length} events")
+      val delivered = evs.filter(_.event == Delivered)
+      conns.foreach { c =>
+        assert(delivered.filter(_.connid == c).map(_.seqnum).toSeq ===
+          (1L to n.toLong), s"conn $c in-order exactly-once delivery")
+      }
+      assert(evs.count(_.event == DupDropped) === evs.length - delivered.length)
+      assert(evs.count(_.event == OutOfOrderDropped) === 0)
+      assert(bridge.failure.isEmpty)
+    } finally {
+      q.stop(); bridge.stop(); sender.close()
+    }
+  }
+
   test("multi-length crack finds the only cross-length preimage") {
     val rows = graft.crack.CrackQuery.crackLens(spark,
       "da23614e02469a0d7c7bd1bdab5c9c474b1904dc", Seq(1, 2, 3)).collect()
