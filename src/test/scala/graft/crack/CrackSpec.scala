@@ -98,6 +98,30 @@ class CrackSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(counter)
   }
 
+  test("len-6 throughput gate: fused kernel sustains the per-core floor") {
+    // pins the fused-kernel claim (CrackQuery.scaladoc: no per-candidate
+    // string/hex/digest allocation) against regression: a full 26^6 ≈
+    // 309M-ordinal scan through chunkedCrack, timed. The floor is
+    // per-core so the same gate holds at local[4] (suite) and local[32]
+    // (bench box); an all-zeros digest has no preimage, so every chunk
+    // scans to completion — the clean full-throughput measurement.
+    val cores = spark.sparkContext.defaultParallelism
+    val keyspace = graft.keyspace.Keyspace.size(6)
+    assert(keyspace === 308915776L)
+    val t0 = System.nanoTime()
+    val hit = CrackQuery.chunkedCrack(spark, "0" * 40, 6, parallelism = cores)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(hit.isEmpty)
+    val rate = keyspace / secs
+    info(f"len-6 full scan: $secs%.1f s, ${rate / 1e6}%.1f M SHA-1/s on $cores cores")
+    // measured 30.5 M/s at local[4]; a fallback to per-candidate
+    // allocation (~2× slower, see the kernel-equivalence case) lands
+    // ~15 M/s — the 20 M floor trips on that regression with 1.5×
+    // headroom against box noise, and holds a fortiori at local[32]
+    assert(rate >= 20e6,
+      f"aggregate ${rate / 1e6}%.1f M SHA-1/s below the 20 M/s floor")
+  }
+
   test("cancellingScan: miss scans everything and returns None") {
     // "1234"'s sha1 has no len-2 preimage
     assert(CrackQuery.cancellingScan(spark,
