@@ -3,11 +3,27 @@ package graft.relational
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
-/** Skew mitigation for large joins. AQE's skew-join handles most cases at
-  * runtime; explicit salting remains the tool when one hot key dominates a
-  * shuffle (the reference's static uniform split has the same failure mode
-  * — a straggler worker — and no answer for it: its rescheduler is an
-  * unimplemented stub, `server.c:440-447`).
+/** Skew mitigation for large joins. Division of labor, pinned by
+  * PlanAuditSpec on both sides:
+  *
+  *   - AQE skew-join is the DEFAULT answer: it splits a join's oversized
+  *     shuffle partitions at runtime (replicating the matching build-side
+  *     partition), needs no query change, and sees the actual sizes — use
+  *     it whenever the skew is a join's reduce-side partition
+  *     (PlanAuditSpec "AQE splits a skewed join partition" shows it
+  *     engaging with `skew=true`).
+  *   - Explicit salting remains the tool where AQE's rewrite does not
+  *     reach: a hot key inside a GROUP BY (skew-join only rewrites
+  *     joins — the fix is salt + two-phase re-aggregation), a single key
+  *     so hot that even one key-group overflows a task (AQE splits
+  *     PARTITIONS, salting splits the KEY), or a plan whose required
+  *     co-partitioning forbids the runtime split. Salting presumes the
+  *     join stays a shuffle join — PlanAuditSpec pins [[qSaltedJoin]]'s
+  *     ShuffledHashJoin shape with the salt in the join keys.
+  *
+  * The reference's static uniform split has the same failure mode — a
+  * straggler worker — and no answer for it: its rescheduler is an
+  * unimplemented stub (`server.c:440-447`).
   */
 object Skew {
 

@@ -101,6 +101,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("salted join keeps its shuffle-hash shape, salt inside the join keys") {
+    // salting presumes a SHUFFLE join (a broadcast join has no reduce-side
+    // partition to skew): the shuffle_hash hint must hold against AQE's
+    // broadcast preference at tiny SF, and the salt column must be part of
+    // the physical join keys — that is the whole mechanism (Skew.scala's
+    // scaladoc documents when salting applies vs AQE's partition split)
+    val plan = planOf(Skew.qSaltedJoin(spark, dir))
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    val shjLine = plan.linesIterator
+      .find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(shjLine.contains("__salt"), shjLine)
+    // result stays salt-free: the mechanism must be invisible downstream
+    assert(!Skew.qSaltedJoin(spark, dir).columns.contains("__salt"))
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
