@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Cast, Expression, ExpressionInfo, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
 
 import graft.keyspace.{NumToPass, PassToNum, Sha1MultiOrdinalMatch, Sha1OrdinalMatch}
@@ -203,11 +204,15 @@ object GraftExtensions {
 
   /** SQL TABLE functions (`SELECT * FROM crack(...)`) — the pure-SQL form
     * of the reference's entry point (`request.c:40-75`: submit a hash +
-    * length, get back the preimage or nothing). The builder runs at
-    * ANALYSIS time on the active session and returns the same logical
-    * plan the DataFrame API builds, so `crack(...)` plans, optimizes, and
-    * cancels exactly like [[graft.crack.CrackQuery.crackDF]]. */
-  val tableBuilders: Seq[(String, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    * length, get back the preimage or nothing). The builders construct
+    * the catalyst tree DIRECTLY — the same Range→Filter→Project(→Sort→
+    * Limit) plan [[graft.crack.CrackQuery.crackDF]] builds through the
+    * DataFrame API — with no SparkSession dependency at all: analysis may
+    * run on a micro-batch or foreign-session thread where
+    * `SparkSession.active` is NOT the session that owns the query, and a
+    * builder that consulted it would graft the plan onto the wrong
+    * session. A session-free builder cannot. */
+  val tableBuilders: Seq[(String, Seq[Expression] => logical.LogicalPlan)] = Seq(
     "crack" -> { args: Seq[Expression] =>
       if (args.length != 2 && args.length != 3)
         throw new IllegalArgumentException(
@@ -216,9 +221,14 @@ object GraftExtensions {
       val len = posIntArg("crack", args(1))
       val par =
         if (args.length == 3) posIntArg("crack", args(2)) else 32
-      val spark = org.apache.spark.sql.SparkSession.active
-      org.apache.spark.sql.GraftShim.logicalPlan(
-        graft.crack.CrackQuery.crackDF(spark, hash, len, par))
+      val (range, id) = keyspaceRange(len, par)
+      val pass = Alias(NumToPass(id, Literal(len)), "pass")()
+      val projected = logical.Project(Seq(pass),
+        logical.Filter(Sha1OrdinalMatch(id, len, hash.toLowerCase), range))
+      // deterministic first-found-wins: min preimage, like crackDF
+      logical.Limit(Literal(1),
+        logical.Sort(Seq(SortOrder(pass.toAttribute, Ascending)),
+          global = true, projected))
     },
     "crack_candidates" -> { args: Seq[Expression] =>
       // the reference's keyspace scan itself (S1/S2) as a SQL relation:
@@ -229,8 +239,16 @@ object GraftExtensions {
       val len = posIntArg("crack_candidates", args(0))
       val par =
         if (args.length == 2) posIntArg("crack_candidates", args(1)) else 32
-      val spark = org.apache.spark.sql.SparkSession.active
-      org.apache.spark.sql.GraftShim.logicalPlan(
-        graft.crack.CrackQuery.candidates(spark, len, par))
+      val (range, id) = keyspaceRange(len, par)
+      logical.Project(Seq(Alias(NumToPass(id, Literal(len)), "pass")()), range)
     })
+
+  /** Full-domain ordinal Range leaf for `[a-z]^len` plus its `id`
+    * attribute — the logical-plan form of `CrackQuery.candidates`. */
+  private def keyspaceRange(
+      len: Int, par: Int): (logical.Range, Attribute) = {
+    val (lo, hi) = graft.keyspace.Keyspace.fullRange(len)
+    val range = logical.Range(lo, hi + 1, 1, Some(par))
+    (range, range.output.head)
+  }
 }
