@@ -159,6 +159,8 @@ object SparkEntry {
     // so its oracle IS the from-scratch recursive CTE
     "q_dedup_incremental" -> (TrainingData.qDedupIncremental _),
     "q_split_assign" -> (TrainingData.qSplitAssign _),
+    // train/eval decontamination: train docs sharing shingles with test
+    "q_decontaminate" -> (TrainingData.qDecontaminate _),
     "q_stratified_sample" -> (TrainingData.qStratifiedSample _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
@@ -779,6 +781,23 @@ object SparkEntry {
     // the incremental ingest must EQUAL the from-scratch clusters — its
     // oracle is literally the same from-scratch recursive CTE
     "q_dedup_incremental" -> dedupClustersOracle,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+        |          AS BIGINT) AS bucket
+        |      FROM documents),
+        |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(l) - 2, 1)),
+        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+        |       FROM toks),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE bucket >= 90),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE bucket < 80),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1),
+        |hits AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM tr JOIN ev ON tr.sh = ev.sh GROUP BY 1)
+        |SELECT h.doc_id, s.n_shingles, h.n_hits,
+        |  round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 4) AS frac
+        |FROM hits h JOIN sz s ON h.doc_id = s.doc_id""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -491,6 +491,42 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
   }
 
+  /** Train/eval DECONTAMINATION — the check every pretraining pipeline
+    * runs before shipping a corpus: a training document that shares
+    * verbatim n-grams with the held-out split leaks evaluation data into
+    * the weights. Flags every train-split doc sharing at least one
+    * 4-token shingle with any test-split doc, with the hit count and the
+    * contaminated fraction of its shingle set.
+    *
+    * Scale shape: the eval side collapses to a DISTINCT shingle set
+    * (benchmarks are tiny next to the corpus, so this set broadcasts),
+    * and the train side meets it in a shingle equi-join — one pass over
+    * the corpus shingles, never doc×doc. Splits come from [[bucketOf]],
+    * THE split policy, so the operator decontaminates exactly the splits
+    * [[qSplitAssign]] ships. */
+  def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.dedup.Dedup.shingles(col("text")).as("sh_arr"),
+        bucketOf(col("doc_id")).as("bucket"))
+    val evalShingles = docs.filter(col("bucket") >= 90)
+      .select(explode(col("sh_arr")).as("sh"))
+      .distinct()
+    docs.filter(col("bucket") < 80)
+      .select(col("doc_id"),
+        size(col("sh_arr")).cast("long").as("n_shingles"),
+        explode(col("sh_arr")).as("sh"))
+      .join(evalShingles, "sh")
+      .groupBy("doc_id")
+      // sh_arr is a distinct-shingle SET, so plain count = distinct hits;
+      // n_shingles is functionally dependent on doc_id — carried through
+      // max() so partial aggregation stays effective
+      .agg(max("n_shingles").as("n_shingles"),
+        count(lit(1)).as("n_hits"))
+      .withColumn("frac",
+        round(col("n_hits").cast("double") / col("n_shingles"), 4))
+  }
+
   /** Greedy contiguous sequence packing: docs in doc_id order are packed
     * into fixed token budgets (`capacity`), each doc assigned to the bin
     * its RUNNING token total falls in — the streaming approximation of

@@ -197,6 +197,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(spanning > 0, "some cluster spans both batches")
   }
 
+  test("decontamination matches an independent shingle-overlap computation") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      (0 to t.length - 4).map(i => t.slice(i, i + 4).mkString(" ")).toSet
+    }
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).take(4)
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16) % 100
+    }
+    val evalSh = docs.collect { case (id, t) if bucket(id) >= 90 => shingles(t) }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    val want = docs.collect { case (id, t) if bucket(id) < 80 =>
+      val sh = shingles(t)
+      id -> (sh.size.toLong, sh.count(evalSh).toLong)
+    }.filter(_._2._2 > 0)
+    assert(want.nonEmpty, "fixture has cross-split contamination")
+    val got = TrainingData.qDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want.toMap)
+  }
+
   test("sequence packing billed in BPE tokens: totals match the subword kernel") {
     import org.apache.spark.sql.functions._
     val docs = graft.relational.Tables.load(spark, dir, "documents")
