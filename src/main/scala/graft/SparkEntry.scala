@@ -103,6 +103,10 @@ object SparkEntry {
     // subword (BPE-inference) counting: native greedy-merge kernel,
     // oracled by a DuckDB recursive CTE replaying the same scan
     "q_token_bpe" -> (TextOps.qTokenBpe _),
+    // BPE TRAINING (tokenizer learning): iterative argmax, not
+    // SQL-expressible -> rows-only here; BpeTrainSpec verifies against
+    // an independent in-memory reference implementation
+    "q_bpe_learn" -> (graft.text.BpeTrain.qBpeLearn _),
     "q_text_quality" -> (TextOps.qTextQuality _),
     "q_lang_guess" -> (TextOps.qLangGuess _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
@@ -161,6 +165,9 @@ object SparkEntry {
     "q_split_assign" -> (TrainingData.qSplitAssign _),
     // train/eval decontamination: train docs sharing shingles with test
     "q_decontaminate" -> (TrainingData.qDecontaminate _),
+    // passage-level dedup: 8-token spans shared across distinct docs
+    "q_dup_passages" -> ((s: SparkSession, d: String) =>
+      TrainingData.qDupPassages(s, d)),
     "q_stratified_sample" -> (TrainingData.qStratifiedSample _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
@@ -798,6 +805,19 @@ object SparkEntry {
         |SELECT h.doc_id, s.n_shingles, h.n_hits,
         |  round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 4) AS frac
         |FROM hits h JOIN sz s ON h.doc_id = s.doc_id""".stripMargin,
+    "q_dup_passages" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(1, greatest(len(l) - 6, 1)),
+        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |              l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))) AS span
+        |       FROM toks),
+        |shared AS (SELECT span, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM sp GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |  max(shared.n_docs) AS max_span_docs
+        |FROM sp JOIN shared ON sp.span = shared.span
+        |GROUP BY 1""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -527,6 +527,31 @@ object TrainingData {
         round(col("n_hits").cast("double") / col("n_shingles"), 4))
   }
 
+  /** Duplicate-PASSAGE detection (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): document-level dedup misses
+    * boilerplate passages repeated across otherwise-distinct documents,
+    * and those verbatim spans are what models memorize. Flags, per
+    * train-corpus doc, how many of its distinct 8-token spans also occur
+    * in at least one OTHER document.
+    *
+    * Scale shape: an inverted-index pass — explode spans, count docs per
+    * span (map-side combinable), keep spans with ≥ 2 docs, join back on
+    * the span key. Both the count and the join hash-partition by span,
+    * so Catalyst reuses one exchange; nothing is ever doc × doc. */
+  def qDupPassages(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val spans = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.shingle_set(col("text"), n)).as("span"))
+    val shared = spans
+      .groupBy("span").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    spans
+      .join(shared, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        max("n_docs").as("max_span_docs"))
+  }
+
   /** Greedy contiguous sequence packing: docs in doc_id order are packed
     * into fixed token budgets (`capacity`), each doc assigned to the bin
     * its RUNNING token total falls in — the streaming approximation of

@@ -224,6 +224,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === want.toMap)
   }
 
+  test("duplicate passages match an independent inverted-index computation") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def spans(text: String): Set[String] = {
+      val t = text.split(" ", -1)
+      (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" ")).toSet
+    }
+    val bySpan = docs.flatMap { case (id, t) => spans(t).map(_ -> id) }
+      .groupBy(_._1).map { case (s, ms) => s -> ms.map(_._2).toSet }
+    val shared = bySpan.filter(_._2.size >= 2)
+    val want = docs.map { case (id, t) =>
+      val dup = spans(t).filter(shared.contains)
+      id -> (dup.size.toLong,
+        if (dup.isEmpty) 0L else dup.map(shared(_).size.toLong).max)
+    }.filter(_._2._1 > 0).toMap
+    assert(want.nonEmpty, "fixture has cross-doc repeated passages")
+    val got = TrainingData.qDupPassages(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === want)
+  }
+
   test("sequence packing billed in BPE tokens: totals match the subword kernel") {
     import org.apache.spark.sql.functions._
     val docs = graft.relational.Tables.load(spark, dir, "documents")
