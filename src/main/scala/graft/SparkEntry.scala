@@ -79,6 +79,8 @@ object SparkEntry {
     // -- event-time analytics (SURVEY §2.10 batch form) --
     "q_events_hourly" -> (EventQueries.qEventsHourly _),
     "q_window_tumbling" -> (EventQueries.qWindowTumbling _),
+    // stream-stream ACK correlation (batch twin; watermarks optimize away)
+    "q_ack_rtt" -> (EventQueries.qAckRtt _),
     "q_window_sliding" -> (EventQueries.qWindowSliding _),
     "q_events_sessionize" -> (EventQueries.qEventsSessionize _),
     "q_events_json" -> (EventQueries.qEventsJson _),
@@ -472,6 +474,22 @@ object SparkEntry {
         |  strftime(make_timestamp(start_us + 900000000), '%Y-%m-%d %H:%M:%S') AS win_end,
         |  event_type, count(*) AS n_events
         |FROM e GROUP BY 1, 2, 3""".stripMargin,
+    // integer-µs replay of the watermarked interval join: equi keys,
+    // ack ∈ [send, send+4s] horizon, every-11th message never acked
+    "q_ack_rtt" ->
+      """WITH log AS (
+        |  SELECT event_id, user_id AS connid,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seqnum,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |sends AS (SELECT connid, seqnum, us AS send_us FROM log),
+        |acks AS (SELECT connid, seqnum, us + (event_id % 5 + 1) * 1000000 AS ack_us
+        |         FROM log WHERE event_id % 11 <> 0)
+        |SELECT s.connid, s.seqnum,
+        |  CAST((a.ack_us // 1000) - (s.send_us // 1000) AS BIGINT) AS rtt_ms
+        |FROM sends s JOIN acks a
+        |  ON s.connid = a.connid AND s.seqnum = a.seqnum
+        | AND a.ack_us >= s.send_us AND a.ack_us <= s.send_us + 4000000""".stripMargin,
     "q_window_sliding" ->
       """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
         |w AS (SELECT event_type,

@@ -130,11 +130,10 @@ object Dedup {
     * "signature store" relation: at scale this is what a pipeline
     * persists between ingests so a new batch can probe it without
     * re-signing the corpus. */
-  private def bandedSignatures(
-      spark: SparkSession, dir: String,
-      numHashes: Int, bands: Int): DataFrame = {
+  private def bandedOf(
+      shArr: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = shingleArrays(spark, dir)
+    val sigs = shArr
       .select(col("doc_id"), minhashSignature(col("sh_arr"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
     sigs.select(
@@ -144,6 +143,12 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
+  /** Per-doc distinct shingle arrays of an arbitrary `(doc_id, text)`
+    * frame — the frame-based entry the streaming/incremental path uses
+    * (the dir-based queries go through the cached [[shingleArrays]]). */
+  def shingleArraysOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles(col("text")).as("sh_arr"))
+
   /** MinHash + LSH near-dup pairs: signatures → banded bucket join for
     * candidates → exact Jaccard verification. Scale path for near-dedup:
     * candidate generation is linear in corpus size (band-bucket grouping),
@@ -152,9 +157,16 @@ object Dedup {
   def qMinhashLshPairs(
       spark: SparkSession, dir: String,
       numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame =
+    minhashLshPairsOf(shingleArrays(spark, dir), numHashes, bands, threshold)
+
+  /** [[qMinhashLshPairs]] over a frame of shingle arrays
+    * ([[shingleArraysOf]]). */
+  def minhashLshPairsOf(
+      shArr: DataFrame,
+      numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val shArr = shingleArrays(spark, dir)
-    val banded = bandedSignatures(spark, dir, numHashes, bands)
+    val banded = bandedOf(shArr, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -178,12 +190,40 @@ object Dedup {
   def minhashLshPairsDelta(
       spark: SparkSession, dir: String, isNew: Column => Column,
       numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame =
+    minhashLshPairsDeltaOf(shingleArrays(spark, dir), isNew,
+      numHashes, bands, threshold)
+
+  /** [[minhashLshPairsDelta]] over a frame of shingle arrays covering the
+    * WHOLE corpus (store + batch) — the streaming ingest entry point. */
+  def minhashLshPairsDeltaOf(
+      shArr: DataFrame, isNew: Column => Column,
+      numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val shArr = shingleArrays(spark, dir)
-    val banded = bandedSignatures(spark, dir, numHashes, bands)
+    val banded = bandedOf(shArr, numHashes, bands)
+    deltaPairs(shArr, banded.filter(isNew(col("doc_id"))), banded, threshold)
+  }
+
+  /** [[minhashLshPairsDeltaOf]] with batch membership given as an id
+    * FRAME (a streaming micro-batch is a relation, not an id formula):
+    * the probe side is a semi-join of the signature store against the
+    * batch ids — still linear in batch size at any corpus size. */
+  def minhashLshPairsDeltaIds(
+      shArr: DataFrame, newIds: DataFrame,
+      numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val banded = bandedOf(shArr, numHashes, bands)
+    deltaPairs(shArr,
+      banded.join(newIds.select("doc_id"), Seq("doc_id"), "left_semi"),
+      banded, threshold)
+  }
+
+  private def deltaPairs(
+      shArr: DataFrame, probe: DataFrame, banded: DataFrame,
+      threshold: Double): DataFrame = {
     // canonicalize (lo, hi) then dedup: a new-new pair collides from both
     // probe directions, a new-old pair from one; distinct unifies both
-    val candidates = banded.filter(isNew(col("doc_id"))).as("a")
+    val candidates = probe.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") =!= col("b.doc_id"))

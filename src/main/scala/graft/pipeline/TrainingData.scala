@@ -331,7 +331,11 @@ object TrainingData {
       spark: SparkSession): DataFrame =
     incrementalClustersImpl(existing, newEdges, spark)._1
 
-  private def incrementalClustersImpl(
+  /** Impl variant handing back the result's backing RDD so callers that
+    * CHAIN folds (the streaming ingest) can free superseded generations;
+    * the result is materialized before return, so the previous
+    * generation is safe to unpersist immediately after. */
+  private[pipeline] def incrementalClustersImpl(
       existing: DataFrame, newEdges: DataFrame, spark: SparkSession):
         (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val labels = existing.select(

@@ -75,6 +75,31 @@ object EventQueries {
         .select(col("event_type"), tsUtc.as("ets")),
       "ets", "30 minutes", "15 minutes", "30 minutes", Seq("event_type")))
 
+  /** Batch twin of the stream-stream ACK correlation
+    * ([[graft.streaming.AckCorrelation.correlateAcks]]): a deterministic
+    * send/ack fixture derived from `events` — every message is "sent" at
+    * its event time; its ack arrives `event_id % 5 + 1` seconds later
+    * except every 11th message, which is never acked. With a 4-second
+    * horizon the delay-5 acks fall outside the window, so the oracle
+    * exercises the time-range bound, the equi keys, and the missing-ack
+    * case in one relation. Output is integer milliseconds only
+    * (timestamps never leave a query raw). */
+  def qAckRtt(spark: SparkSession, dir: String): DataFrame = {
+    val byConn = Window.partitionBy("connid").orderBy("ts", "event_id")
+    val log = load(spark, dir, "events")
+      .select(col("event_id"), col("user_id").as("connid"), col("ts"))
+      .withColumn("seqnum", row_number().over(byConn).cast("long"))
+    val sends = log.select(col("connid"), col("seqnum"),
+      tsUtc.as("send_ts"))
+    val acks = log.filter(col("event_id") % 11 =!= 0)
+      .select(col("connid"), col("seqnum"),
+        timestamp_micros(tsMicros +
+          (col("event_id") % 5 + 1) * 1000000L).as("ack_ts"))
+    graft.streaming.AckCorrelation
+      .correlateAcks(sends, acks, ackHorizon = "4 seconds")
+      .select(col("connid"), col("seqnum"), col("rtt_ms"))
+  }
+
   /** Window bounds exit as formatted strings (oracle comparability rule:
     * timestamps never leave a query raw). */
   private def formatWindow(df: DataFrame): DataFrame =

@@ -376,6 +376,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream ACK join: eager RTT, outer null only after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sends = MemoryStream[(Long, Long, Timestamp)]
+    val acks = MemoryStream[(Long, Long, Timestamp)]
+    val name = s"ackrtt_${System.nanoTime()}"
+    val q = AckCorrelation.correlateAcks(
+        sends.toDF().toDF("connid", "seqnum", "send_ts"),
+        acks.toDF().toDF("connid", "seqnum", "ack_ts"),
+        ackHorizon = "5 seconds", watermark = "10 seconds",
+        joinType = "left_outer")
+      .select(col("connid"), col("seqnum"), col("rtt_ms"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    try {
+      // s1 acked in-horizon (2 s), s2 acked too late (8 s > 5 s), s3 never
+      sends.addData(Seq((1L, 1L, t(10)), (1L, 2L, t(20)), (1L, 3L, t(30))))
+      acks.addData(Seq((1L, 1L, t(12)), (1L, 2L, t(28))))
+      q.processAllAvailable()
+      // inner matches emit EAGERLY — before any watermark movement
+      val eager = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(eager.toSeq === Seq((1L, 1L, 2000L)),
+        s"eager inner emission: ${eager.toSeq}")
+      // push both watermarks far past send+horizon; the unmatched sends
+      // finalize with NULL ack (the retransmission-needed signal) —
+      // watermark updates land a batch late, so poll
+      sends.addData(Seq((9L, 99L, t(50))))
+      acks.addData(Seq((9L, 98L, t(50))))
+      val deadline = System.nanoTime() + 30_000_000_000L
+      def outerRows() = {
+        q.processAllAvailable()
+        spark.table(name).filter(col("rtt_ms").isNull).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+      }
+      var outs = outerRows()
+      while (outs.length < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        sends.addData(Seq.empty)
+        outs = outerRows()
+      }
+      assert(outs.sorted.toSeq === Seq((1L, 2L), (1L, 3L)),
+        s"unacked sends after watermark: ${outs.toSeq}")
+    } finally q.stop()
+  }
+
   test("event-time sliding windows: each event in width/slide windows") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
