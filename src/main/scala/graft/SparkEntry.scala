@@ -110,6 +110,8 @@ object SparkEntry {
     // an independent in-memory reference implementation
     "q_bpe_learn" -> (graft.text.BpeTrain.qBpeLearn _),
     "q_text_quality" -> (TextOps.qTextQuality _),
+    // PII redaction with deterministic injection; scrub-hash oracled
+    "q_pii_scrub" -> (TextOps.qPiiScrub _),
     "q_lang_guess" -> (TextOps.qLangGuess _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     "q_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.qTfidfTopK(s, d)),
@@ -624,6 +626,26 @@ object SparkEntry {
         |  b.n_bpe AS n_tokens_bpe,
         |  round(CAST(d.n_chars AS DOUBLE) / b.n_bpe, 4) AS chars_per_tok
         |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
+    // same deterministic PII injection, replayed in RE2; 'g' flag makes
+    // DuckDB's regexp_replace global like Spark's
+    "q_pii_scrub" ->
+      """WITH seeded AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0
+        |      THEN ' call 555-010-' || format('{:04d}', doc_id % 10000) ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
+        |    AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g')) AS scrub_hash
+        |FROM seeded""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, lang, n_tokens, n_stop,
         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,

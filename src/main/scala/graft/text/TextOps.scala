@@ -54,6 +54,43 @@ object TextOps {
         round(col("n_chars").cast("double") /
           graft.functions.bpe_count(col("text")), 4).as("chars_per_tok"))
 
+  /** PII scrubbing — the redaction pass a training pipeline runs before
+    * text ships: count and replace emails / phone numbers / IPv4
+    * addresses with type tags. Pure regexp column expressions (three
+    * codegen'd `regexp_replace`s, map-only — no shuffle at any scale).
+    *
+    * The synthetic corpus carries no PII, so the fixture INJECTS it
+    * deterministically (the dup-injection pattern of
+    * `qRetransmitDetect`): every 3rd doc gains an email, every 4th a
+    * phone, every 5th an IP, all derived from doc_id — the oracle
+    * replays the same injection and the scrub-hash proves byte-exact
+    * redaction output, not just matching counts. Patterns stay in the
+    * regex subset Java and RE2 share (no lookaround, no backrefs). */
+  def qPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9.]+@[a-z0-9.]+[.][a-z]+"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val ip = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+    val seeded = load(spark, dir, "documents")
+      .select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" call 555-010-"), format_string("%04d", col("doc_id") % 10000)))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+          .otherwise(lit(""))).as("text"))
+    seeded.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(phone)).cast("long").as("n_phones"),
+      regexp_count(col("text"), lit(ip)).cast("long").as("n_ips"),
+      md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>")).as("scrub_hash"))
+  }
+
   /** Quality scoring from length + stopword-ratio signals. */
   def qTextQuality(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "documents")

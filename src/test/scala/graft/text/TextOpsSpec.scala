@@ -67,6 +67,34 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("PII scrub: injected identifiers counted and redacted byte-exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.qPiiScrub(spark, dir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) === (if (id % 3 == 0) 1L else 0L), s"doc $id emails")
+      assert(r.getLong(2) === (if (id % 4 == 0) 1L else 0L), s"doc $id phones")
+      assert(r.getLong(3) === (if (id % 5 == 0) 1L else 0L), s"doc $id ips")
+    }
+    // independent end-to-end redaction check for one fully-loaded doc
+    // (60 % 3 = 60 % 4 = 60 % 5 = 0): rebuild the seeded text in plain
+    // Scala, scrub with java.util.regex, compare md5
+    val text60 = graft.relational.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") === 60).select("text").collect()(0).getString(0)
+    val seeded = text60 + " contact user60@mail.example.com" +
+      " call 555-010-0060" + " from 10.0.60.164"
+    val scrubbed = seeded
+      .replaceAll("[a-z0-9.]+@[a-z0-9.]+[.][a-z]+", "<EMAIL>")
+      .replaceAll("[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")
+      .replaceAll("[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}", "<IP>")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wantHash = md.digest(scrubbed.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val got = rows.find(_.getLong(0) == 60L).get
+    assert(got.getString(4) === wantHash, "byte-exact scrub for doc 60")
+  }
+
   test("unigram perplexity matches an independent driver-side model") {
     val docs = graft.relational.Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
