@@ -117,6 +117,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!Skew.qSaltedJoin(spark, dir).columns.contains("__salt"))
   }
 
+  test("round-5 joins keep their scale shapes: no nested loops, eval set broadcasts") {
+    // q_ack_rtt: interval join with equi keys (connid, seqnum) — the
+    // range predicate must ride on a hash/merge join, not force a BNL
+    val rtt = planOf(EventQueries.qAckRtt(spark, dir))
+    assert(!rtt.contains("BroadcastNestedLoopJoin") &&
+      !rtt.contains("CartesianProduct"), rtt)
+    // q_decontaminate: the distinct eval-shingle set is the small side
+    // and must broadcast (a benchmark is tiny next to a 100 TB corpus)
+    val decon = planOf(graft.pipeline.TrainingData.qDecontaminate(spark, dir))
+    assert(decon.contains("BroadcastHashJoin"), decon)
+    assert(!decon.contains("BroadcastNestedLoopJoin"), decon)
+    // q_dup_passages: inverted-index pass — span count and join-back are
+    // plain equi-joins
+    val dup = planOf(graft.pipeline.TrainingData.qDupPassages(spark, dir))
+    assert(!dup.contains("BroadcastNestedLoopJoin") &&
+      !dup.contains("CartesianProduct"), dup)
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
