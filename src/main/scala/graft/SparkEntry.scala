@@ -624,7 +624,7 @@ object SparkEntry {
         |SELECT d.doc_id,
         |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
         |  b.n_bpe AS n_tokens_bpe,
-        |  round(CAST(d.n_chars AS DOUBLE) / b.n_bpe, 4) AS chars_per_tok
+        |  round(CAST(d.n_chars AS DOUBLE) / nullif(b.n_bpe, 0), 4) AS chars_per_tok
         |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
     // same deterministic PII injection, replayed in RE2; 'g' flag makes
     // DuckDB's regexp_replace global like Spark's

@@ -20,13 +20,18 @@ import Multimodal.{MediaDecoder, MediaDecoderProvider}
   *     identity keeps the memo O(1) and is sound because each row's
   *     payload is a distinct array instance handed to all three calls.
   *
-  * Feature semantics mirror [[Multimodal.StubDecoder]]'s shape: bucket j
-  * accumulates the integer luminance sum of pixels with row-major index
-  * ≡ j (mod dim), normalized to [0,1] by 255·ceil-chunk — integer sums
-  * held exactly in doubles, one float cast at the end, so values are
-  * bit-reproducible across engines and partitionings. Luminance is the
-  * exact integer (r+g+b)/3 (floor), not the perceptual weighting, to stay
-  * engine-recomputable without float rounding questions.
+  * Feature semantics mirror [[Multimodal.StubDecoder]] EXACTLY (parity is
+  * the contract — a consumer must be able to swap providers without the
+  * schema or scale changing): bucket j accumulates the integer luminance
+  * sum of pixels with row-major index ≡ j (mod dim), normalized by
+  * 255·floor-chunk (`max(1, n/dim)`, the stub's formula). Values land in
+  * [0, ceil(n/dim)/max(1, n/dim)] — ≤ 1 when dim divides the pixel
+  * count, up to 2× otherwise (a bucket can hold one pixel more than the
+  * floor-chunk divisor) — so do NOT treat 1.0 as a hard bound. Integer
+  * sums held exactly in doubles, one float cast at the end, so values
+  * are bit-reproducible across engines and partitionings. Luminance is
+  * the exact integer (r+g+b)/3 (floor), not the perceptual weighting, to
+  * stay engine-recomputable without float rounding questions.
   */
 object ImageIoProvider extends MediaDecoderProvider {
   def open(): MediaDecoder = new ImageIoDecoder

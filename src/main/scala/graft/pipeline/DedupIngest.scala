@@ -20,14 +20,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      ([[TrainingData.incrementalClusters]] — untouched clusters pass
   *      through unchanged).
   *
-  * State here is two persisted frames (signature store + labels),
-  * re-materialized per batch with the previous generation freed — the
-  * in-memory stand-in for the lake tables a production pipeline would
-  * maintain (store and keep-list as parquet, compacted periodically).
-  * Exactness is inherited, not approximated: after every batch the
-  * keep-list equals the from-scratch clusters over all docs ingested so
-  * far (DedupIngestSpec replays a multi-batch stream against the
-  * from-scratch solve).
+  * State here is two persisted LEAF frames (signature store + labels):
+  * each generation is materialized into an explicit RDD and wrapped as a
+  * leaf plan, so batch N's plan does NOT nest batch N-1's (an unioned
+  * chain would grow analysis cost O(N) per batch and eventually overflow
+  * the driver); the previous generation's blocks are freed once the next
+  * is materialized. This is the in-memory stand-in for the lake tables a
+  * production pipeline would maintain (store and keep-list as parquet,
+  * compacted periodically — which also truncates the RDD lineage chain a
+  * very-long-running in-memory stream would accumulate for block-loss
+  * recovery). Exactness is inherited, not approximated: after every
+  * batch the keep-list equals the from-scratch clusters over all docs
+  * ingested so far (DedupIngestSpec replays a multi-batch stream against
+  * the from-scratch solve).
   *
   * Single-writer per [[IngestState]] (foreachBatch already serializes
   * batches within one query).
@@ -50,6 +55,7 @@ object DedupIngest {
     }
     @volatile private[DedupIngest] var nDocs: Long = 0L
     @volatile private[DedupIngest] var labelsRdd: org.apache.spark.rdd.RDD[_] = _
+    @volatile private[DedupIngest] var storeRdd: org.apache.spark.rdd.RDD[_] = _
 
     /** The current (doc_id, cluster_id, is_keeper) keep-list — pair
       * endpoints only, labels = component minima, exactly
@@ -59,6 +65,22 @@ object DedupIngest {
     def docsIngested: Long = nDocs
   }
 
+  /** Materialize a frame into an explicit persisted RDD and hand back a
+    * LEAF plan over it (plus the row count the materializing action
+    * produces) — the lineage-truncation step that keeps each batch's
+    * plan depth constant instead of nesting every prior batch's plan. */
+  private def materializeLeaf(
+      df: DataFrame, spark: SparkSession):
+        (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
+    val schema = df.schema
+    val rdd = df.queryExecution.toRdd
+      .map(_.copy()) // unsafe rows are reused per-partition
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    (org.apache.spark.sql.GraftShim.ofInternalRows(spark, rdd, schema),
+      rdd, n)
+  }
+
   /** Fold one batch of `(doc_id, text)` rows into the state. Exposed so
     * batch callers (and the spec) can drive the same fold the stream
     * runs. */
@@ -66,17 +88,17 @@ object DedupIngest {
     val spark = state.spark
     val newSh = graft.dedup.Dedup.shingleArraysOf(
       batch.select(col("doc_id").cast("long").as("doc_id"), col("text")))
-    val all = (if (state.nDocs == 0L) newSh else state.store.unionAll(newSh))
-      .persist()
-    val n = all.count() // materialize before freeing the old generation
+    val (all, allRdd, n) = materializeLeaf(
+      if (state.nDocs == 0L) newSh else state.store.unionAll(newSh), spark)
     val delta = graft.dedup.Dedup.minhashLshPairsDeltaIds(
       all, newSh.select("doc_id"))
     val (next, nextRdd) = TrainingData.incrementalClustersImpl(
       state.labels, delta.select("d1", "d2"), spark)
-    // `next` is materialized on return — free the superseded generation
-    if (state.nDocs != 0L) state.store.unpersist(blocking = false)
+    // both successors are materialized — free the superseded generation
+    if (state.storeRdd != null) state.storeRdd.unpersist(blocking = false)
     if (state.labelsRdd != null) state.labelsRdd.unpersist(blocking = false)
     state.store = all
+    state.storeRdd = allRdd
     state.labels = next
     state.labelsRdd = nextRdd
     state.nDocs = n

@@ -160,10 +160,14 @@ object TrainingData {
   /** Below this edge count the component labels are solved with a
     * driver-side union-find over the (already canonicalized, deduped,
     * cached) edge set instead of the iterative loop — the same
-    * size-gated strategy switch AQE applies to joins. 2M edges is 32 MB
-    * of longs on the driver and milliseconds of union-find; the verified
-    * near-dup relation at real thresholds is a sliver of the corpus, so
-    * in practice even 100 TB pipelines often land under it, and anything
+    * size-gated strategy switch AQE applies to joins. Honest footprint
+    * at the 2M-edge gate: the raw longs are 32 MB, but the collected
+    * Tuple2s and the boxed-Long HashMap behind [[localSolve]] push the
+    * real driver cost to a few hundred MB — fine for the multi-GB
+    * drivers this targets, and a primitive-array union-find is the
+    * 10× cut if the gate ever needs to rise. The verified near-dup
+    * relation at real thresholds is a sliver of the corpus, so in
+    * practice even 100 TB pipelines often land under the gate; anything
     * larger takes the O(log diameter) distributed loop below. */
   private val LocalSolveMaxEdges = 2L << 20
 

