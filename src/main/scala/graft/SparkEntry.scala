@@ -810,6 +810,7 @@ object SparkEntry {
         |r AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS d,
         |        v[i] AS x, CAST(round(v[i] * 65536) AS BIGINT) AS q16
         |      FROM e, generate_series(1, 64) t(i)),
+        |tr AS (SELECT * FROM r WHERE vec_id % 2 = 0),
         |c0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, d, round(x, 6) AS m
         |       FROM r WHERE vec_id < 64),
         |a1 AS (SELECT vec_id, sub, cell FROM (
@@ -817,30 +818,21 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
         |         FROM (SELECT r.vec_id, r.sub, c.cell,
         |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
-        |               FROM r JOIN c0 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
+        |               FROM tr r JOIN c0 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
         |       WHERE rn = 1),
         |c1 AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
-        |       FROM r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
-        |a2 AS (SELECT vec_id, sub, cell FROM (
+        |       FROM tr r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cell FROM (
         |         SELECT dd.vec_id, dd.sub, dd.cell,
         |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
         |         FROM (SELECT r.vec_id, r.sub, c.cell,
         |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
         |               FROM r JOIN c1 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
         |       WHERE rn = 1),
-        |c2 AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
-        |       FROM r JOIN a2 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cell FROM (
-        |         SELECT dd.vec_id, dd.sub, dd.cell,
-        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
-        |         FROM (SELECT r.vec_id, r.sub, c.cell,
-        |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
-        |               FROM r JOIN c2 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
-        |       WHERE rn = 1),
         |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
         |lut AS (SELECT r.vec_id AS qid, r.sub, c.cell,
         |          CAST(sum(CAST(round(r.x * c.m * 1e12) AS BIGINT)) AS BIGINT) AS l
-        |        FROM r JOIN c2 c ON r.sub = c.sub AND r.d = c.d
+        |        FROM r JOIN c1 c ON r.sub = c.sub AND r.d = c.d
         |        WHERE r.vec_id < 20 GROUP BY 1, 2, 3),
         |sc AS (SELECT l.qid, k.vec_id AS nid, CAST(sum(l.l) AS BIGINT) AS s_fp
         |       FROM lut l JOIN codes k ON l.sub = k.sub AND l.cell = k.cell

@@ -425,8 +425,8 @@ object Similarity {
     * approximate score is 8 table lookups summed; the ADC top-`shortlist`
     * is then re-ranked with EXACT cosine and the true top-k emitted.
     *
-    * Codebook training is Lloyd's algorithm UNROLLED to two deterministic
-    * rounds from a Forgy seed (centroid c = the subvector of vec_id c —
+    * Codebook training is Lloyd's algorithm UNROLLED to one deterministic
+    * round from a Forgy seed (centroid c = the subvector of vec_id c —
     * actual data points, which is what keeps the seeds spread out; a
     * random-PARTITION init collapses every centroid onto the global mean
     * and never recovers). Every float reduction is replaced by a
@@ -436,8 +436,11 @@ object Similarity {
     * order-independent, so codebook, codes, shortlist, and final ranks
     * are bit-identical under any partitioning — which is what lets this
     * APPROXIMATE index carry an exact DuckDB oracle (like q8, unlike
-    * LSH). Measured recall@5 vs brute force: 0.91 at sf0.01 (floor 0.8
-    * pinned in SimilaritySpec).
+    * LSH). Training reads only a deterministic half-sample
+    * (`vec_id % trainMod == 0`); measured recall@5 vs brute force at
+    * sf0.01: 0.89, vs 0.91 for a second Lloyd round — two more stages of
+    * critical path for +0.02, the dial a larger corpus would turn (floor
+    * 0.8 pinned in SimilaritySpec).
     *
     * Scale shape: at 100 TB the codebook trains on a deterministic hash
     * sample and broadcasts (8×64×8 doubles — kilobytes); encoding is one
@@ -449,52 +452,88 @@ object Similarity {
   def qAnnPq(
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 5,
-      cells: Int = 64, shortlist: Int = 50): DataFrame = {
+      cells: Int = 64, shortlist: Int = 50, trainMod: Int = 2): DataFrame = {
     val emb = corpus(spark, dir)
-    val rows = emb
-      .select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("dim", "vf")))
-      .select(col("vec_id"), (col("dim") / 8).cast("int").as("sub"),
-        (col("dim") % 8).cast("int").as("d"),
-        col("vf").cast("double").as("x"))
-      .withColumn("q16", round(col("x") * (1L << 16)).cast("long"))
-    // one unrolled Lloyd round: fixed-point centroid means for the given
-    // assignment, then nearest-centroid reassignment (dist fixed-point,
-    // cell index breaks ties)
-    def mean(assign: DataFrame): DataFrame = rows
-      .join(assign, Seq("vec_id", "sub"))
-      .groupBy("sub", "cell", "d")
-      .agg(round(sum("q16") / 65536.0 / count(lit(1)), 6).as("m"))
-    def assign(cent: DataFrame): DataFrame = {
-      val best = Window.partitionBy("vec_id", "sub")
-        .orderBy(col("dist"), col("cell"))
-      rows.join(cent, Seq("sub", "d"))
-        .groupBy("vec_id", "sub", "cell")
-        .agg(sum(round((col("x") - col("m")) * (col("x") - col("m")) * 1e12)
-          .cast("long")).as("dist"))
-        .withColumn("rn", row_number().over(best))
-        .filter(col("rn") === 1)
-        .select("vec_id", "sub", "cell")
+    // (vec_id, sub, xs[8]): the subvector frame — rows = vectors × 8, and
+    // every training/encoding stage is a BROADCAST join against cells×8
+    // codebook metadata plus a hash aggregation (no window sorts: argmin
+    // is min(struct(dist, cell)), which combines map-side)
+    val subArr = array((0 until 8).map(s =>
+      transform(slice(col("embedding"), s * 8 + 1, 8),
+        x => x.cast("double"))): _*)
+    val subs = emb.select(col("vec_id"),
+      posexplode(subArr).as(Seq("sub", "xs")))
+    // fixed-point integer sums, UNROLLED over the 8 dims: HOF lambdas
+    // (zip_with/aggregate) evaluate interpreted and would dominate the
+    // 26M-row assignment scans; element_at chains stay inside whole-stage
+    // codegen. Integer addition is associative, so the unrolled
+    // left-to-right sum is the same order-independent value the oracle's
+    // SQL SUM computes.
+    def unrolled(term: Int => Column): Column =
+      (0 until 8).map(term).reduce(_ + _)
+    def distTo(ms: Column): Column = unrolled { i =>
+      val diff = element_at(col("xs"), i + 1) - element_at(ms, i + 1)
+      round(diff * diff * 1e12).cast("long")
     }
-    val forgy = rows.filter(col("vec_id") < cells)
-      .select(col("sub"), col("vec_id").cast("int").as("cell"), col("d"),
-        round(col("x"), 6).as("m"))
-    val codebook = mean(assign(mean(assign(forgy))))
-    val codes = assign(codebook)
-    // ADC: query partial dots per (subspace, cell), fixed-point
-    val lut = rows.filter(col("vec_id") < nQueries)
-      .join(codebook, Seq("sub", "d"))
-      .groupBy(col("vec_id").as("qid"), col("sub"), col("cell"))
-      .agg(sum(round(col("x") * col("m") * 1e12).cast("long")).as("l"))
+    // the codebook trains on a DETERMINISTIC HALF-SAMPLE (vec_id % 2):
+    // k-means quality is statistically indifferent to the sample while
+    // the two training scans halve — the dial a 100 TB run turns much
+    // further (train on hash-sampled per mille, encode everything)
+    val train = subs.filter(col("vec_id") % trainMod === 0)
+    // one unrolled Lloyd round against an array codebook (sub, cell, ms)
+    def assign(input: DataFrame, cent: DataFrame): DataFrame = input
+      .join(broadcast(cent), "sub")
+      .select(col("vec_id"), col("sub"), col("cell"),
+        distTo(col("ms")).as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cell"))).as("mc"))
+      .select(col("vec_id"), col("sub"), col("mc.cell").as("cell"))
+    // fixed-point centroid means for an assignment, fused to ONE
+    // aggregation: 8 per-dim integer sums in a single groupBy (no
+    // explode, no regroup) — same arithmetic, two fewer stages per round
+    def mean(assigned: DataFrame): DataFrame = train
+      .join(assigned, Seq("vec_id", "sub"))
+      .groupBy("sub", "cell")
+      .agg(count(lit(1)).as("n"),
+        array((0 until 8).map(i =>
+          sum(round(element_at(col("xs"), i + 1) * (1L << 16))
+            .cast("long"))): _*).as("sq"))
+      .select(col("sub"), col("cell"),
+        transform(col("sq"), s => round(s / 65536.0 / col("n"), 6)).as("ms"))
+    // Forgy seed: centroid c = the actual subvector of vec_id c
+    val forgy = subs.filter(col("vec_id") < cells)
+      .select(col("sub"), col("vec_id").cast("int").as("cell"),
+        transform(col("xs"), x => round(x, 6)).as("ms"))
+    // materialize the trained codebook ONCE (8 subs × ≤64 cells rows):
+    // it feeds three consumers (codes, LUT, and their joins), and left
+    // lazy each one would replay the whole two-round training job chain.
+    // This is the model-publishing step of real PQ — at 100 TB the
+    // codebook trains on a sample and ships to every executor as exactly
+    // this kind of tiny local relation.
+    import spark.implicits._
+    val codebook = spark.createDataFrame(
+      mean(assign(train, forgy))
+        .as[(Int, Int, Seq[Double])].collect().toIndexedSeq)
+      .toDF("sub", "cell", "ms")
+    val codes = assign(subs, codebook)
+    // ADC lookup table: query partial dots per (subspace, cell)
+    val lut = subs.filter(col("vec_id") < nQueries)
+      .join(broadcast(codebook), "sub")
+      .select(col("vec_id").as("qid"), col("sub"), col("cell"),
+        unrolled(i => round(element_at(col("xs"), i + 1)
+          * element_at(col("ms"), i + 1) * 1e12).cast("long")).as("l"))
     val norms = emb.select(col("vec_id"), col("norm"))
-    val adc = lut
-      .join(codes.select(col("vec_id").as("nid"), col("sub"), col("cell")),
-        Seq("sub", "cell"))
+    // candidate score = 8 integer table lookups summed; the LUT (queries ×
+    // 8 × cells) broadcasts, so the scan streams the 6-byte codes once
+    val adc = codes.select(col("vec_id").as("nid"), col("sub"), col("cell"))
+      .join(broadcast(lut), Seq("sub", "cell"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid")
       .agg(sum("l").as("s_fp"))
-      .join(norms.select(col("vec_id").as("qid"), col("norm").as("qn")), "qid")
-      .join(norms.select(col("vec_id").as("nid"), col("norm").as("nn")), "nid")
+      .join(broadcast(norms.select(col("vec_id").as("qid"),
+        col("norm").as("qn"))), "qid")
+      .join(norms.select(col("vec_id").as("nid"), col("norm").as("nn")),
+        "nid")
       .select(col("qid"), col("nid"),
         round(col("s_fp") / 1e12 / (col("qn") * col("nn")), 6).as("psim"))
     val wAdc = Window.partitionBy("qid").orderBy(col("psim").desc, col("nid"))

@@ -88,9 +88,9 @@ class SimilaritySpec extends SparkSpec {
     // q_ann_pq carries an exact oracle (fixed-point arithmetic), so
     // correctness is graded by hash; THIS gate pins its usefulness — the
     // ADC shortlist must keep enough true neighbors that the exact
-    // re-rank recovers them. Measured 0.91 at sf0.01 (codebook 8x64,
-    // shortlist 50); a codebook/seed/shortlist change that drops recall
-    // fails here instead of shipping.
+    // re-rank recovers them. Measured 0.89 at sf0.01 (codebook 8x64,
+    // one Lloyd round on a half-sample, shortlist 50); a codebook/seed/
+    // shortlist change that drops recall fails here instead of shipping.
     val sfDir = "/root/testdata/sf0.01"
     val bf = Similarity.qAnnBruteForce(spark, sfDir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
