@@ -39,13 +39,17 @@ class LspFrameSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new LspFrameTable(properties.get("path"))
+    new LspFrameTable(properties.get("path"),
+      properties.getOrDefault("offsets", "watermark"))
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-private[sources] class LspFrameTable(path: String) extends Table with SupportsRead {
+private[sources] class LspFrameTable(path: String, offsetMode: String = "watermark")
+    extends Table with SupportsRead {
   require(path != null, "lspframe source requires a path")
+  require(offsetMode == "watermark" || offsetMode == "seen",
+    s"offsets must be 'watermark' or 'seen', got '$offsetMode'")
 
   override def name(): String = s"lspframes($path)"
   override def schema(): StructType = LspWire.decodedSchema
@@ -83,9 +87,35 @@ private[sources] class LspFrameTable(path: String) extends Table with SupportsRe
         * skipped. Offsets are name-based and not compatible with
         * checkpoints from pre-release builds of this source. A missing
         * directory reads as empty so the stream can start before its
-        * producer. */
+        * producer.
+        *
+        * `.option("offsets", "seen")` switches to SEEN-FILE-SET offsets
+        * (what Spark's own FileStreamSource keeps): the offset carries
+        * every processed file name, so files may appear in ANY name
+        * order — a straggler below the newest name is still picked up.
+        * The trade is offset size: O(files) per checkpointed offset
+        * versus the watermark's O(1), which is why the monotone-name
+        * watermark stays the default for well-behaved writers. */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new MicroBatchStream {
+        if (offsetMode == "seen") new MicroBatchStream {
+          override def initialOffset(): Offset = LspSeenOffset(Set.empty)
+          override def latestOffset(): Offset =
+            LspSeenOffset(LspFrameTable.listCaptures(path, tolerateMissing = true)
+              .map(_._1).toSet)
+          override def deserializeOffset(json: String): Offset =
+            LspSeenOffset.parse(json)
+          override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+            val done = start.asInstanceOf[LspSeenOffset].names
+            val upTo = end.asInstanceOf[LspSeenOffset].names
+            LspFrameTable.listCaptures(path, tolerateMissing = true)
+              .filter { case (name, _) => upTo.contains(name) && !done.contains(name) }
+              .map { case (_, abs) => LspFramePartition(abs): InputPartition }
+          }
+          override def createReaderFactory(): PartitionReaderFactory =
+            LspFrameTable.readerFactory
+          override def commit(end: Offset): Unit = ()
+          override def stop(): Unit = ()
+        } else new MicroBatchStream {
           override def initialOffset(): Offset = LspNameOffset("")
           override def latestOffset(): Offset = {
             val names = LspFrameTable.listCaptures(path, tolerateMissing = true)
@@ -155,6 +185,20 @@ private[sources] object LspFrameTable {
 /** Offset = lexicographic watermark: the greatest processed file NAME. */
 private[sources] case class LspNameOffset(name: String) extends Offset {
   override def json(): String = name
+}
+
+/** Offset = the full set of processed file names (FileStreamSource-style):
+  * tolerates arbitrary arrival order at O(files) offset size. Serialized
+  * as sorted newline-joined names (file names cannot contain newlines),
+  * so equal sets serialize identically — Spark compares offsets by their
+  * serialized form to decide whether a new batch is due. */
+private[sources] case class LspSeenOffset(names: Set[String]) extends Offset {
+  override def json(): String = names.toSeq.sorted.mkString("\n")
+}
+
+private[sources] object LspSeenOffset {
+  def parse(json: String): LspSeenOffset =
+    LspSeenOffset(if (json.isEmpty) Set.empty else json.split("\n", -1).toSet)
 }
 
 private[sources] case class LspFramePartition(file: String) extends InputPartition

@@ -88,6 +88,44 @@ class LspFrameSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("seen-file-set offsets pick up a straggler below the name watermark") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_lsp_seen").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_lsp_seen_ck").toFile.getAbsolutePath
+    def capture(name: String, ids: Range): Unit = {
+      val f = new java.io.File(dir, name)
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      try ids.foreach { i =>
+        val b = graft.lsp.LspWire.encode(i.toLong, 1L, Array[Byte](1))
+        out.writeInt(b.length); out.write(b)
+      } finally out.close()
+    }
+    // the HIGH name arrives first: under the default watermark offsets a
+    // later low-named file would be (by documented contract) skipped;
+    // offsets=seen must read it anyway
+    capture("z.lsp", 0 until 10)
+    val name = s"lspseen_${System.nanoTime()}"
+    val q = spark.readStream.format("graft.sources.LspFrameSource")
+      .option("offsets", "seen").load(dir)
+      .select(col("connid"))
+      .writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 10)
+      capture("a.lsp", 10 until 25) // straggler: sorts BELOW z.lsp
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 25,
+        "seen-set offsets must not drop the low-named straggler")
+      assert(spark.table(name).collect().map(_.getLong(0)).toSet ===
+        (0L until 25L).toSet)
+      capture("m.lsp", 25 until 30) // and nothing is ever re-read
+      q.processAllAvailable()
+      assert(spark.table(name).count() === 30)
+    } finally q.stop()
+  }
+
   test("socket bridge: live datagrams reach a running stream exactly once") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_lsp_bridge").toFile.getAbsolutePath
