@@ -83,6 +83,8 @@ object SparkEntry {
     "q_ack_rtt" -> (EventQueries.qAckRtt _),
     "q_window_sliding" -> (EventQueries.qWindowSliding _),
     "q_events_sessionize" -> (EventQueries.qEventsSessionize _),
+    // native session_window (streaming-capable; end-exclusive merge)
+    "q_session_window" -> (EventQueries.qSessionWindow _),
     "q_events_json" -> (EventQueries.qEventsJson _),
     "q_events_dedup" -> (EventQueries.qEventsDedup _),
     "q_asof_join" -> (EventQueries.qAsofJoin _),
@@ -178,6 +180,9 @@ object SparkEntry {
     // temperature-weighted language mix (mT5 alpha=0.3), hash-drawn
     "q_lang_sample_temp" -> ((s: SparkSession, d: String) =>
       TrainingData.qLangSampleTemp(s, d)),
+    // per-source frequency cap, deterministic hash priority
+    "q_source_cap" -> ((s: SparkSession, d: String) =>
+      TrainingData.qSourceCap(s, d)),
     // deterministic global shuffle -> contiguous positions -> sized shards;
     // the global rank is zipWithIndex over a range-partitioned sort, NOT a
     // one-partition window
@@ -549,6 +554,18 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event
         |FROM h GROUP BY 1, 2""".stripMargin,
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, ts_us,
+        |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM e),
+        |g AS (SELECT user_id, ts_us,
+        |        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |             THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT user_id, ts_us,
+        |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS sid FROM g)
+        |SELECT user_id, min(ts_us) AS sess_start_us,
+        |  max(ts_us) + 1800000000 AS sess_end_us, count(*) AS n_events
+        |FROM h GROUP BY user_id, sid""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
         |  min(k) AS min_k, max(k) AS max_k
@@ -935,6 +952,15 @@ object SparkEntry {
         |    / r.n_docs, 4) AS achieved_rate
         |FROM u JOIN r ON u.lang = r.lang
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_source_cap" ->
+      """SELECT source, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_docid_sum
+        |FROM (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
     "q_global_shuffle" ->
       """WITH r AS (SELECT doc_id,
         |    CAST(row_number() OVER (

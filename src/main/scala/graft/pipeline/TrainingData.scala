@@ -594,6 +594,29 @@ object TrainingData {
         round(col("n_tokens").cast("double") / capacity, 4))
   }
 
+  /** Per-source frequency cap (the domain-cap policy of RefinedWeb/C4
+    * lineage pipelines): at most `cap` docs per source, chosen by
+    * deterministic md5 priority (doc_id tiebreak) so the SAME docs
+    * survive on every run and engine — a `rand()` cap would re-draw the
+    * corpus each rebuild. Output is the per-source census with a kept
+    * doc-id checksum, so the oracle verifies WHICH docs were kept, not
+    * just how many.
+    *
+    * Scale shape: one window partitioned by source (sources are
+    * many, none corpus-sized), then a map-side-combinable census. */
+  def qSourceCap(
+      spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val pri = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(pri))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= cap, col("doc_id"))).as("kept_docid_sum"))
+  }
+
   /** Quality-priority cluster representatives: per near-dup cluster, keep
     * the LONGEST member (n_chars desc, doc_id tiebreak) instead of the
     * min-id member — the keeper policy real pipelines run, because the

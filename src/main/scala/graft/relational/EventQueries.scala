@@ -75,6 +75,22 @@ object EventQueries {
         .select(col("event_type"), tsUtc.as("ets")),
       "ets", "30 minutes", "15 minutes", "30 minutes", Seq("event_type")))
 
+  /** NATIVE session windows (`session_window`) through the streaming
+    * layer's [[graft.streaming.EventTimeWindows.sessionCounts]] — 30-min
+    * gap per user, batch twin of the streaming query. The oracle pins
+    * the MERGE semantics Spark implements, measured on a MemoryStream in
+    * StreamingSpec: an event EXACTLY `gap` after the previous one still
+    * EXTENDS the session (the reported end is `last + gap`, but merging
+    * treats that boundary as inclusive) — i.e. `> gap` breaks, the same
+    * convention as [[qEventsSessionize]]'s window-function formulation.
+    * What this query adds over that one is the operator itself: the
+    * session assignment runs on a live stream with watermark-bounded
+    * state, which lag()-over-window cannot. */
+  def qSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventTimeWindows.sessionCounts(
+      load(spark, dir, "events").select(col("user_id"), tsUtc.as("ets")),
+      "ets", "30 minutes", "30 minutes", Seq("user_id"))
+
   /** Batch twin of the stream-stream ACK correlation
     * ([[graft.streaming.AckCorrelation.correlateAcks]]): a deterministic
     * send/ack fixture derived from `events` — every message is "sent" at

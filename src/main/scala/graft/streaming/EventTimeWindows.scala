@@ -51,4 +51,28 @@ object EventTimeWindows {
       .select(Seq(col("win.start").as("win_start"),
         col("win.end").as("win_end")) ++
         keys.map(col) :+ col("n_events"): _*)
+
+  /** NATIVE session windows (`session_window`): per-key sessions that
+    * extend while consecutive events arrive within `gap` of each other —
+    * INCLUSIVE at the boundary: an event exactly `gap` later still
+    * extends the session (pinned against a MemoryStream in
+    * StreamingSpec; the reported end is `last + gap`, but merging treats
+    * that edge as inside). Unlike the gaps-and-islands batch formulation
+    * ([[graft.relational.EventQueries.qEventsSessionize]]), this one
+    * RUNS ON A STREAM:
+    * state is merged session ranges per key, finalized and emitted once
+    * the watermark passes a session's end — O(open sessions), not
+    * O(events). Same function serves the oracled batch twin
+    * (`q_session_window`); timestamps exit as epoch micros per the
+    * determinism contract. */
+  def sessionCounts(
+      events: DataFrame, tsCol: String, gap: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap).as("win") +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"))
+      .select(keys.map(col) ++ Seq(
+        unix_micros(col("win.start")).as("sess_start_us"),
+        unix_micros(col("win.end")).as("sess_end_us"),
+        col("n_events")): _*)
 }

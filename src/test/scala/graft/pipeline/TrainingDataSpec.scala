@@ -294,6 +294,29 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("source cap keeps exactly the md5-priority winners per source") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def pri(id: Long) = md.digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // cap=10 so the cap BINDS on the sf0.001 fixture (~25 docs/source);
+    // the graded query runs the default 150 at sf0.01's corpus size
+    val cap = 10
+    val want = docs.groupBy(_._2).map { case (src, ds) =>
+      val kept = ds.map(_._1).sortBy(id => (pri(id), id)).take(cap)
+      src -> ((ds.length.toLong, kept.length.toLong, kept.sum))
+    }
+    val got = TrainingData.qSourceCap(spark, dir, cap = cap).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === want)
+    // the cap must bind somewhere on this corpus or the test is vacuous
+    assert(want.exists { case (_, (total, kept, _)) => kept < total },
+      "fixture never exceeds the cap")
+  }
+
   test("keep-best picks the longest member per cluster, doc_id breaks ties") {
     val clusters = TrainingData.qDedupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

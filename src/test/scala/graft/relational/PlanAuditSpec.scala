@@ -135,6 +135,33 @@ class PlanAuditSpec extends SparkSpec {
       !dup.contains("CartesianProduct"), dup)
   }
 
+  test("third-wave operators keep their scale shapes: PQ broadcasts, shuffle avoids the one-partition window") {
+    // q_ann_pq: every codebook/LUT join must be a BROADCAST hash join
+    // (cells × dims metadata against data rows) — a sort-merge or
+    // nested-loop appearing here means the 6-byte-code ADC scan stopped
+    // streaming
+    val pq = planOf(graft.similarity.Similarity.qAnnPq(spark, dir))
+    assert(pq.contains("BroadcastHashJoin"), pq)
+    assert(!pq.contains("BroadcastNestedLoopJoin") &&
+      !pq.contains("CartesianProduct"), pq)
+    // q_global_shuffle: the total order must come from a RANGE exchange
+    // (distributed sort), never a single-partition window — the plan
+    // must not contain a partition-less Window sort
+    val gs = graft.pipeline.TrainingData.qGlobalShuffle(spark, dir)
+    gs.collect()
+    val gsPlan = gs.queryExecution.executedPlan.toString
+    assert(!gsPlan.contains("Window"), gsPlan)
+    // q_dedup_keep_best: the doc-length join rides on the tiny clustered
+    // set; no nested loops anywhere
+    val kb = planOf(graft.pipeline.TrainingData.qDedupKeepBest(spark, dir))
+    assert(!kb.contains("BroadcastNestedLoopJoin") &&
+      !kb.contains("CartesianProduct"), kb)
+    // q_lang_sample_temp: the per-language rate table must broadcast back
+    // onto the corpus (it is rows = languages)
+    val ls = planOf(graft.pipeline.TrainingData.qLangSampleTemp(spark, dir))
+    assert(ls.contains("BroadcastHashJoin"), ls)
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)

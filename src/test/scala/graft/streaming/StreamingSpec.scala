@@ -376,6 +376,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows on a stream: merge within gap, finalize past watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp)]
+    val name = s"sess_${System.nanoTime()}"
+    val q = EventTimeWindows.sessionCounts(
+        input.toDF().toDF("connid", "ts"),
+        "ts", "5 minutes", "10 minutes", Seq("connid"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    def t(m: Int, s: Int = 0) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+    def us(m: Int, s: Int = 0) = t(m, s).getTime * 1000L
+    try {
+      // 10:01 and 10:04 merge (3 min < 5); 10:08 extends; 10:13:00 —
+      // EXACTLY gap after 10:08 — still extends (the boundary is
+      // inclusive for merging; this assertion pins that semantics, which
+      // the q_session_window oracle must mirror with a `> gap` break);
+      // 10:18:01 is one second past the gap and starts a new session
+      input.addData(Seq((1L, t(1)), (1L, t(4)), (1L, t(8)), (1L, t(13)),
+        (1L, t(18, 1))))
+      q.processAllAvailable()
+      // push the watermark far enough that both sessions finalize
+      input.addData(Seq((1L, t(59))))
+      q.processAllAvailable()
+      val rows = spark.table(name)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.sorted === Seq(
+        (1L, us(1), us(13) + 300000000L, 4L), // [10:01, 10:18): 4 events
+        (1L, us(18, 1), us(18, 1) + 300000000L, 1L)), // [10:18:01, 10:23:01)
+        s"unexpected finalized sessions: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream ACK join: eager RTT, outer null only after watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
