@@ -183,6 +183,9 @@ object SparkEntry {
     // per-source frequency cap, deterministic hash priority
     "q_source_cap" -> ((s: SparkSession, d: String) =>
       TrainingData.qSourceCap(s, d)),
+    // per-language top-fraction quality gate, integer-only threshold
+    "q_quality_gate" -> ((s: SparkSession, d: String) =>
+      TrainingData.qQualityGate(s, d)),
     // deterministic global shuffle -> contiguous positions -> sized shards;
     // the global rank is zipWithIndex over a range-partitioned sort, NOT a
     // one-partition window
@@ -958,7 +961,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_docid_sum
         |FROM (SELECT doc_id, source,
         |        CAST(row_number() OVER (PARTITION BY source
-        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |          ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "q_quality_gate" ->
+      """SELECT lang, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  min(CASE WHEN keep THEN n_chars END) AS cut_chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id) AS BIGINT) * 1000
+        |          <= count(*) OVER (PARTITION BY lang) * 700 + 999 AS keep
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
     "q_global_shuffle" ->

@@ -606,8 +606,15 @@ object TrainingData {
     * many, none corpus-sized), then a map-side-combinable census. */
   def qSourceCap(
       spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    // SALTED priority hash: the split policy draws its buckets from
+    // md5(doc_id), and ordering the cap by the same value would keep
+    // exactly the low-bucket docs — the capped corpus would compose into
+    // an almost-all-train split (a 60% cap would leave test EMPTY).
+    // Every hash-derived policy in this module must draw from a distinct
+    // salted stream.
     val pri = Window.partitionBy("source")
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .orderBy(md5(concat_ws(":", lit("cap"), col("doc_id").cast("string"))),
+        col("doc_id"))
     load(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
       .withColumn("rn", row_number().over(pri))
@@ -615,6 +622,34 @@ object TrainingData {
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("rn") <= cap, col("doc_id"))).as("kept_docid_sum"))
+  }
+
+  /** Per-language quality-percentile gate: keep the top `keepPerMille`‰
+    * of docs per language by content length (desc, doc_id tiebreak) —
+    * the relative-threshold filtering stage (CCNet-style "keep the best
+    * fraction per shard") that a fixed absolute cutoff can't express,
+    * because languages have different length distributions. Integer
+    * arithmetic only: kept iff `rn ≤ ceil(p·n)` computed as
+    * `rn·1000 ≤ p‰·n + 999` — no double percentile to drift across
+    * engines. Census output with the kept-set's cutoff length.
+    *
+    * Scale shape: one window per language plus a map-side-combinable
+    * census — same discipline as [[qSourceCap]]. */
+  def qQualityGate(
+      spark: SparkSession, dir: String, keepPerMille: Int = 700): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val pri = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rn", row_number().over(pri).cast("long"))
+      .withColumn("n_l", count(lit(1)).over(byLang))
+      .withColumn("keep",
+        col("rn") * 1000L <= col("n_l") * keepPerMille + 999L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("keep"), col("n_chars"))).as("cut_chars"))
   }
 
   /** Quality-priority cluster representatives: per near-dup cluster, keep

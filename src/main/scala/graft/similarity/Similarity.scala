@@ -530,8 +530,9 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid")
       .agg(sum("l").as("s_fp"))
-      .join(broadcast(norms.select(col("vec_id").as("qid"),
-        col("norm").as("qn"))), "qid")
+      // only the query rows' norms broadcast — not the corpus's
+      .join(broadcast(norms.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("norm").as("qn"))), "qid")
       .join(norms.select(col("vec_id").as("nid"), col("norm").as("nn")),
         "nid")
       .select(col("qid"), col("nid"),

@@ -31,4 +31,28 @@ object ParquetLake {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Compact a directory of small parquet files into ≈`targetBytes`
+    * outputs (the OPTIMIZE/maintenance pass every real lake runs):
+    * ingest and streaming sinks produce file counts proportional to
+    * task × trigger counts, and at 100 TB the resulting footer/open
+    * overhead dominates scan setup — a scan of 10⁶ × 1 MB files spends
+    * more time in listing + footer reads than in IO. Output file count =
+    * ceil(input bytes / targetBytes), derived from the actual on-disk
+    * size, not row counts (compression ratio varies by column content).
+    * Returns the number of files written. */
+  def compact(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(parts)
+      .write.mode("overwrite").parquet(outPath)
+    parts
+  }
 }

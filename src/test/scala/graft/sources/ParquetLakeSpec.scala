@@ -65,4 +65,28 @@ class ParquetLakeSpec extends SparkSpec {
     assert(m("n_conns").asInstanceOf[Long] > 0)
     assert(m("payload_bytes").asInstanceOf[Long] > 0)
   }
+
+  test("compaction collapses a small-file dir to size-derived file count, rows intact") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
+    val fragmented = s"$tmp/in"
+    val compacted = s"$tmp/out"
+    // simulate a trigger-happy ingest: 40 tiny files
+    graft.relational.Tables.load(spark, dir, "events")
+      .repartition(40).write.parquet(fragmented)
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented).length === 40)
+    val totalBytes = parquetFiles(fragmented).map(_.length).sum
+    val target = totalBytes / 4 + 1 // expect ~4 output files
+    val written = ParquetLake.compact(spark, fragmented, compacted, target)
+    assert(parquetFiles(compacted).length === written)
+    assert(written < 40 && written >= 2, s"written=$written")
+    // content survives byte-for-byte (multiset of rows; decimal sum —
+    // a long sum of xxhash64 values overflows under ANSI mode)
+    def fingerprint(p: String) = spark.read.parquet(p)
+      .agg(count(lit(1)),
+        sum(xxhash64(struct(col("*"))).cast("decimal(38,0)"))).collect()(0)
+    assert(fingerprint(fragmented) === fingerprint(compacted))
+  }
 }

@@ -410,6 +410,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: live events enrich against a broadcast dimension") {
+    // the remaining §2.10 join mode: a STREAM probing a STATIC dim —
+    // Spark plans it as a broadcast join re-executed per micro-batch, no
+    // state kept (unlike stream-stream). The dim intentionally misses one
+    // key: inner-join semantics must drop that event, not null-fill it.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = Seq((1L, "us"), (2L, "eu")).toDF("connid", "region")
+    val input = MemoryStream[(Long, Double)]
+    val name = s"enrich_${System.nanoTime()}"
+    val q = input.toDF().toDF("connid", "value")
+      .join(broadcast(dim), "connid")
+      .groupBy("region").agg(sum("value").as("total"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq((1L, 1.0), (2L, 2.0), (1L, 4.0), (3L, 100.0)))
+      q.processAllAvailable()
+      input.addData(Seq((2L, 8.0), (3L, 100.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(rows === Map("us" -> 5.0, "eu" -> 10.0),
+        s"connid 3 (absent from dim) must not leak: $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream ACK join: eager RTT, outer null only after watermark") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
