@@ -83,7 +83,8 @@ object SparkEntry {
     "q_ack_rtt" -> (EventQueries.qAckRtt _),
     "q_window_sliding" -> (EventQueries.qWindowSliding _),
     "q_events_sessionize" -> (EventQueries.qEventsSessionize _),
-    // native session_window (streaming-capable; end-exclusive merge)
+    // native session_window (streaming-capable; merges INCLUSIVE of an
+    // exactly-gap follow-up — see qSessionWindow's scaladoc)
     "q_session_window" -> (EventQueries.qSessionWindow _),
     "q_events_json" -> (EventQueries.qEventsJson _),
     "q_events_dedup" -> (EventQueries.qEventsDedup _),
@@ -161,10 +162,10 @@ object SparkEntry {
     // approximation carries a full oracle (unlike LSH)
     "q_ann_q8" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnQuantized(s, d)),
-    // product quantization (8 subspaces x 64 cells = 6-bit codes): Lloyd
-    // unrolled to two fixed-point rounds from a Forgy seed, ADC shortlist,
-    // exact re-rank — deterministic end to end, so codebook+codes+ranks
-    // all carry an exact oracle
+    // product quantization (8 subspaces x 64 cells = 6-bit codes): ONE
+    // fixed-point Lloyd round from a Forgy seed, ADC shortlist, exact
+    // re-rank — deterministic end to end, so codebook+codes+ranks all
+    // carry an exact oracle
     "q_ann_pq" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnPq(s, d)),
     // -- corpus preparation (north star) --
@@ -822,9 +823,9 @@ object SparkEntry {
         |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 65536) AS BIGINT) AS q
         |      FROM embeddings)
         |GROUP BY 1, 2""".stripMargin,
-    // replays the two unrolled Lloyd rounds (Forgy seed), ADC shortlist,
-    // and exact re-rank in SQL: every reduction is an integer sum of
-    // fixed-point terms, so the replay is exact
+    // replays the single unrolled Lloyd round (Forgy seed), ADC
+    // shortlist, and exact re-rank in SQL: every reduction is an integer
+    // sum of fixed-point terms, so the replay is exact
     "q_ann_pq" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |r AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS d,
@@ -938,10 +939,12 @@ object SparkEntry {
     "q_lang_sample_temp" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),
-        |w AS (SELECT lang, n_docs, pow(n_docs / total, 0.3) AS wt, total FROM c, t),
-        |s AS (SELECT sum(wt) AS wsum FROM w),
+        |w AS (SELECT lang, n_docs,
+        |        CAST(round(pow(n_docs / total, 0.3) * 1e12) AS BIGINT) AS wt_fp,
+        |        total FROM c, t),
+        |s AS (SELECT CAST(sum(wt_fp) AS BIGINT) AS wsum_fp FROM w),
         |r AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
-        |        least(1000000, CAST(floor(0.5 * (wt / wsum) * total / n_docs * 1e6)
+        |        least(1000000, CAST(floor(0.5 * (wt_fp / wsum_fp) * total / n_docs * 1e6)
         |          AS BIGINT)) AS rate_ppm
         |      FROM w, s),
         |u AS (SELECT lang,

@@ -7,7 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), only) = args.splitAt(2)
     // optional 3rd+ args: run only the named queries (local iteration;
-    // the driver always passes exactly two args)
+    // the driver always passes exactly two args). Unknown names FAIL —
+    // a typo that silently selected nothing would leave stale parquet in
+    // outDir for the oracle compare to bless as green
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only.toSet).toMap

@@ -701,15 +701,22 @@ object TrainingData {
     val docs = load(spark, dir, "documents").select(col("doc_id"), col("lang"))
     val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val total = counts.agg(sum("n_docs").as("total"))
+    // weights quantized to fixed point BEFORE the normalizing sum: a
+    // double sum over shuffled partials merges in fetch order, and the
+    // 1-ulp drift could flip a floor() boundary between runs/engines —
+    // integer sums are order-independent (the same discipline as the
+    // embedding centroids). The per-value pow() 1-ulp risk remains and
+    // is covered by the integer-ppm flooring below.
     val weights = counts.crossJoin(broadcast(total))
-      .withColumn("wt",
-        pow(col("n_docs").cast("double") / col("total"), lit(alpha)))
-    val wsum = weights.agg(sum("wt").as("wsum"))
+      .withColumn("wt_fp",
+        round(pow(col("n_docs").cast("double") / col("total"), lit(alpha))
+          * 1e12).cast("long"))
+    val wsum = weights.agg(sum("wt_fp").as("wsum_fp"))
     // expected kept from lang l = targetFrac·N·q_l; keep-rate = that / n_l
     val rates = weights.crossJoin(broadcast(wsum))
       .withColumn("rate_ppm",
         least(lit(1000000L),
-          floor(lit(targetFrac) * (col("wt") / col("wsum"))
+          floor(lit(targetFrac) * (col("wt_fp") / col("wsum_fp"))
             * col("total") / col("n_docs") * 1e6).cast("long")))
       .select("lang", "n_docs", "rate_ppm")
     docs

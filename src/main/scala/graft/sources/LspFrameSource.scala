@@ -189,16 +189,56 @@ private[sources] case class LspNameOffset(name: String) extends Offset {
 
 /** Offset = the full set of processed file names (FileStreamSource-style):
   * tolerates arbitrary arrival order at O(files) offset size. Serialized
-  * as sorted newline-joined names (file names cannot contain newlines),
-  * so equal sets serialize identically — Spark compares offsets by their
-  * serialized form to decide whether a new batch is due. */
+  * as a SINGLE-LINE JSON array of sorted names: Spark's OffsetSeqLog
+  * stores exactly one offset per line of the checkpoint file, so a
+  * newline anywhere in `json()` would corrupt the log and break
+  * restart-from-checkpoint — the guarantee this offset exists to
+  * provide. Sorted, so equal sets serialize identically (Spark compares
+  * offsets by serialized form to decide whether a batch is due). */
 private[sources] case class LspSeenOffset(names: Set[String]) extends Offset {
-  override def json(): String = names.toSeq.sorted.mkString("\n")
+  override def json(): String =
+    names.toSeq.sorted.map(LspSeenOffset.quote).mkString("[", ",", "]")
 }
 
 private[sources] object LspSeenOffset {
-  def parse(json: String): LspSeenOffset =
-    LspSeenOffset(if (json.isEmpty) Set.empty else json.split("\n", -1).toSet)
+  private def quote(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Minimal parser for the array-of-strings form emitted by [[quote]]
+    * above (names come from the filesystem; the escapes cover quotes,
+    * backslashes, and control characters). */
+  def parse(json: String): LspSeenOffset = {
+    val t = json.trim
+    require(t.startsWith("[") && t.endsWith("]"), s"bad seen-offset: $json")
+    val names = scala.collection.mutable.Set.empty[String]
+    val sb = new StringBuilder
+    var i = 1
+    var inStr = false
+    while (i < t.length - 1) {
+      val c = t.charAt(i)
+      if (!inStr) {
+        if (c == '"') { inStr = true; sb.clear() }
+        // commas/whitespace between strings are skipped
+        i += 1
+      } else c match {
+        case '"' => names += sb.toString; inStr = false; i += 1
+        case '\\' =>
+          t.charAt(i + 1) match {
+            case 'u' =>
+              sb += Integer.parseInt(t.substring(i + 2, i + 6), 16).toChar
+              i += 6
+            case e => sb += e; i += 2
+          }
+        case c2 => sb += c2; i += 1
+      }
+    }
+    require(!inStr, s"bad seen-offset: $json")
+    LspSeenOffset(names.toSet)
+  }
 }
 
 private[sources] case class LspFramePartition(file: String) extends InputPartition

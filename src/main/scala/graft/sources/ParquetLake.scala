@@ -44,11 +44,22 @@ object ParquetLake {
   def compact(
       spark: SparkSession, inPath: String, outPath: String,
       targetBytes: Long = 128L << 20): Int = {
-    val fs = new org.apache.hadoop.fs.Path(inPath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inPath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // RECURSIVE listing: partitioned lakes nest data files under
+    // partition dirs — a top-level listing would see zero parquet files,
+    // compute parts=1, and silently funnel the whole dataset into one
+    // file (flattening partition columns into it, to boot)
+    var totalBytes = 0L
+    var nFiles = 0
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        totalBytes += s.getLen; nFiles += 1
+      }
+    }
+    require(nFiles > 0, s"no parquet files under $inPath — nothing to compact")
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inPath)
       .repartition(parts)

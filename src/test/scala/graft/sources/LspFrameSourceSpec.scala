@@ -105,12 +105,13 @@ class LspFrameSourceSpec extends SparkSpec {
     // offsets=seen must read it anyway
     capture("z.lsp", 0 until 10)
     val name = s"lspseen_${System.nanoTime()}"
-    val q = spark.readStream.format("graft.sources.LspFrameSource")
+    def start() = spark.readStream.format("graft.sources.LspFrameSource")
       .option("offsets", "seen").load(dir)
       .select(col("connid"))
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
+    val q = start()
     try {
       q.processAllAvailable()
       assert(spark.table(name).count() === 10)
@@ -124,6 +125,29 @@ class LspFrameSourceSpec extends SparkSpec {
       q.processAllAvailable()
       assert(spark.table(name).count() === 30)
     } finally q.stop()
+    // RESTART from a checkpoint (memory sinks can't recover, so this leg
+    // runs a parquet sink): the committed MULTI-FILE offset must
+    // deserialize — Spark's offset log is one offset PER LINE, so a
+    // newline-bearing serialization corrupts it and dies right here —
+    // already-read files must not replay, and new files still arrive
+    val ckpt2 = Files.createTempDirectory("graft_lsp_seen_ck2").toFile.getAbsolutePath
+    val sink = Files.createTempDirectory("graft_lsp_seen_out").toFile.getAbsolutePath
+    def startFileSink() = spark.readStream
+      .format("graft.sources.LspFrameSource")
+      .option("offsets", "seen").load(dir)
+      .select(col("connid"))
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt2)
+      .outputMode("append").start()
+    val q2 = startFileSink()
+    try { q2.processAllAvailable() } finally q2.stop() // reads all 3 files
+    assert(spark.read.parquet(sink).count() === 30)
+    capture("b.lsp", 30 until 34)
+    val q3 = startFileSink() // recovers the 3-name offset from ckpt2
+    try { q3.processAllAvailable() } finally q3.stop()
+    val all = spark.read.parquet(sink).collect().map(_.getLong(0))
+    assert(all.length === 34, "restart must read ONLY the new file")
+    assert(all.toSet === (0L until 34L).toSet)
   }
 
   test("socket bridge: live datagrams reach a running stream exactly once") {
