@@ -155,6 +155,9 @@ object SparkEntry {
     // fixed-point accumulation: integer sums are order-independent, so
     // the distributed mean is bit-reproducible (and exactly oracled)
     "q_embedding_centroids" -> (Similarity.qEmbeddingCentroids _),
+    // upper-triangle dimension covariance (PCA/whitening prep), integer
+    // sufficient statistics -> bit-reproducible, exact oracle
+    "q_embedding_cov" -> (Similarity.qEmbeddingCov _),
     // Morton-code locality census (the lake-layout clustering key;
     // row-group skip rates measured in ZOrderSpec)
     "q_zorder_stats" -> (EventQueries.qZorderStats _),
@@ -873,6 +876,19 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
         |  FROM rr)
         |WHERE rnk <= 5""".stripMargin,
+    // same integer sufficient statistics (Σqi, Σqj, Σqiqj), one rescale
+    "q_embedding_cov" ->
+      """WITH r AS (SELECT vec_id, CAST(i - 1 AS INT) AS d,
+        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS q
+        |      FROM embeddings, generate_series(1, 64) t(i)),
+        |p AS (SELECT a.d AS i, b.d AS j, a.q AS qi, b.q AS qj
+        |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.d <= b.d)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  round((CAST(sum(qi * qj) AS BIGINT) / count(*)
+        |    - (CAST(sum(qi) AS BIGINT) / count(*)) * (CAST(sum(qj) AS BIGINT) / count(*)))
+        |    / 4294967296.0, 6) AS cov,
+        |  count(*) AS n_vectors
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q_ann_q8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

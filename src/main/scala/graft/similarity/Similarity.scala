@@ -361,6 +361,37 @@ object Similarity {
     * exploded (label, dim, mean, n_vectors) — scalar columns, exact
     * oracle. Quantization error ≤ 2⁻¹⁷ per component — measured against
     * the float mean in SimilaritySpec. */
+  /** Upper-triangle covariance matrix of the embedding dimensions — the
+    * statistic PCA/whitening preprocessing starts from. Same fixed-point
+    * discipline as the centroids: components quantize to `round(x·2¹⁶)`,
+    * and the three sufficient statistics (Σqᵢ, Σqⱼ, Σqᵢqⱼ) accumulate as
+    * INTEGERS, so the distributed covariance is bit-reproducible and
+    * carries an exact oracle. Overflow headroom: |q| ≤ ~2¹⁷, products
+    * ≤ 2³⁴, so the Σqᵢqⱼ sum holds ~2²⁹ ≈ 500M vectors per partition-
+    * free total — beyond that, scale the quantization down a bit.
+    *
+    * Scale shape: the self-join is an equi-join on vec_id (co-located,
+    * never cross-vector), and the aggregation has exactly 64·65/2 = 2080
+    * keys with map-side combine — state is O(dims²), rows stream. */
+  def qEmbeddingCov(spark: SparkSession, dir: String): DataFrame = {
+    val rows = load(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d"),
+        round(col("x").cast("double") * (1L << 16)).cast("long").as("q"))
+    val a = rows.select(col("vec_id"), col("d").as("i"), col("q").as("qi"))
+    val b = rows.select(col("vec_id"), col("d").as("j"), col("q").as("qj"))
+    a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum("qi").as("si"), sum("qj").as("sj"),
+        sum(col("qi") * col("qj")).as("spp"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round((col("spp") / col("n")
+          - (col("si") / col("n")) * (col("sj") / col("n")))
+          / 4294967296.0, 6).as("cov"),
+        col("n").as("n_vectors"))
+  }
+
   def qEmbeddingCentroids(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "embeddings")
       .select(col("label").cast("long").as("label"),

@@ -105,6 +105,31 @@ class SimilaritySpec extends SparkSpec {
     pq.foreach { case (_, ns) => assert(ns.size <= 5) }
   }
 
+  test("covariance matrix tracks the float covariance within quantization error") {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("transform(embedding, x -> cast(x as double))").collect()
+      .map(_.getSeq[Double](0).toArray)
+    val n = vecs.length
+    val dims = vecs.head.length
+    val mean = Array.tabulate(dims)(d => vecs.map(_(d)).sum / n)
+    def floatCov(i: Int, j: Int): Double =
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+    val got = Similarity.qEmbeddingCov(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length === dims * (dims + 1) / 2, "full upper triangle")
+    got.foreach { case (i, j, cov, nv) =>
+      assert(i <= j && nv === n.toLong)
+      // biased covariance over q = x + e with |e| <= 2^-17:
+      // |Δcov| <= 2^-16·(E|x_i| + E|x_j|) + 2^-32 ≈ small; 1e-3 is ample
+      assert(math.abs(cov - floatCov(i.toInt, j.toInt)) < 1e-3,
+        s"cov($i,$j) drifted: $cov vs ${floatCov(i.toInt, j.toInt)}")
+    }
+    // variance diagonal is non-negative
+    got.filter(g => g._1 == g._2).foreach { case (i, _, v, _) =>
+      assert(v >= 0, s"negative variance at dim $i")
+    }
+  }
+
   test("int8 quantized top-k: high agreement with exact ranking") {
     val bf = Similarity.qAnnBruteForce(spark, dir, nQueries = 20, k = 5)
       .collect().groupBy(_.getLong(0))
