@@ -32,6 +32,17 @@ object ParquetLake {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Read tolerating corrupt/truncated files (skipped, not fatal) — the
+    * drop-don't-crash posture of the reference's datagram path
+    * (`lsp_server.c:218-224`), applied to the lake: at 100 TB some file
+    * is always mid-write, truncated by a died task, or bit-rotted, and
+    * one bad footer must not kill a million-file scan. Scoped to the
+    * READ (per-source option), not the session-wide
+    * `spark.sql.files.ignoreCorruptFiles`, so strict reads elsewhere
+    * still fail loudly. */
+  def readLenient(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
   /** Compact a directory of small parquet files into ≈`targetBytes`
     * outputs (the OPTIMIZE/maintenance pass every real lake runs):
     * ingest and streaming sinks produce file counts proportional to

@@ -66,6 +66,24 @@ class ParquetLakeSpec extends SparkSpec {
     assert(m("payload_bytes").asInstanceOf[Long] > 0)
   }
 
+  test("lenient read skips a corrupt file; strict read fails loudly") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt").toFile.getAbsolutePath
+    graft.relational.Tables.load(spark, dir, "nation")
+      .write.parquet(s"$tmp/lake")
+    val rows = spark.read.parquet(s"$tmp/lake").count()
+    // a truncated write: valid magic prefix, then garbage, no footer
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/lake/part-corrupt.parquet"),
+      ("PAR1" + "x" * 100).getBytes)
+    val lenient = ParquetLake.readLenient(spark, s"$tmp/lake")
+    assert(lenient.count() === rows, "lenient read keeps every good row")
+    val strict = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(s"$tmp/lake").count()
+    }
+    assert(strict.getMessage != null)
+  }
+
   test("compaction collapses a small-file dir to size-derived file count, rows intact") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toFile.getAbsolutePath
