@@ -361,37 +361,6 @@ object Similarity {
     * exploded (label, dim, mean, n_vectors) — scalar columns, exact
     * oracle. Quantization error ≤ 2⁻¹⁷ per component — measured against
     * the float mean in SimilaritySpec. */
-  /** Upper-triangle covariance matrix of the embedding dimensions — the
-    * statistic PCA/whitening preprocessing starts from. Same fixed-point
-    * discipline as the centroids: components quantize to `round(x·2¹⁶)`,
-    * and the three sufficient statistics (Σqᵢ, Σqⱼ, Σqᵢqⱼ) accumulate as
-    * INTEGERS, so the distributed covariance is bit-reproducible and
-    * carries an exact oracle. Overflow headroom: |q| ≤ ~2¹⁷, products
-    * ≤ 2³⁴, so the Σqᵢqⱼ sum holds ~2²⁹ ≈ 500M vectors per partition-
-    * free total — beyond that, scale the quantization down a bit.
-    *
-    * Scale shape: the self-join is an equi-join on vec_id (co-located,
-    * never cross-vector), and the aggregation has exactly 64·65/2 = 2080
-    * keys with map-side combine — state is O(dims²), rows stream. */
-  def qEmbeddingCov(spark: SparkSession, dir: String): DataFrame = {
-    val rows = load(spark, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"),
-        round(col("x").cast("double") * (1L << 16)).cast("long").as("q"))
-    val a = rows.select(col("vec_id"), col("d").as("i"), col("q").as("qi"))
-    val b = rows.select(col("vec_id"), col("d").as("j"), col("q").as("qj"))
-    a.join(b, Seq("vec_id")).filter(col("i") <= col("j"))
-      .groupBy("i", "j")
-      .agg(count(lit(1)).as("n"),
-        sum("qi").as("si"), sum("qj").as("sj"),
-        sum(col("qi") * col("qj")).as("spp"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round((col("spp") / col("n")
-          - (col("si") / col("n")) * (col("sj") / col("n")))
-          / 4294967296.0, 6).as("cov"),
-        col("n").as("n_vectors"))
-  }
-
   def qEmbeddingCentroids(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "embeddings")
       .select(col("label").cast("long").as("label"),
@@ -402,6 +371,40 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"),
         round(col("sq") / 65536.0 / col("n_vectors"), 6).as("mean"),
         col("n_vectors"))
+
+  /** Upper-triangle covariance matrix of the embedding dimensions — the
+    * statistic PCA/whitening preprocessing starts from. Same fixed-point
+    * discipline as the centroids: components quantize to `round(x·2¹⁶)`,
+    * and the three sufficient statistics (Σqᵢ, Σqⱼ, Σqᵢqⱼ) accumulate as
+    * INTEGERS, so the distributed covariance is bit-reproducible and
+    * carries an exact oracle. Overflow headroom: |q| ≤ ~2¹⁷, products
+    * ≤ 2³⁴, so the Σqᵢqⱼ sum holds ~2²⁹ ≈ 500M vectors per partition-
+    * free total — beyond that, scale the quantization down a bit.
+    *
+    * Scale shape: dim pairs come from a SECOND posexplode of the same
+    * co-located embedding array — zero pre-aggregation shuffle (the
+    * self-join formulation would exchange vectors×dims rows twice); the
+    * only exchange is the 64·65/2 = 2080-key aggregate with map-side
+    * combine — state is O(dims²), rows stream. */
+  def qEmbeddingCov(spark: SparkSession, dir: String): DataFrame = {
+    def q16(c: Column): Column =
+      round(c.cast("double") * (1L << 16)).cast("long")
+    load(spark, dir, "embeddings")
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"),
+        posexplode(col("embedding")).as(Seq("j", "xj")))
+      .filter(col("i") <= col("j"))
+      .select(col("i"), col("j"), q16(col("xi")).as("qi"), q16(col("xj")).as("qj"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"),
+        sum("qi").as("si"), sum("qj").as("sj"),
+        sum(col("qi") * col("qj")).as("spp"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round((col("spp") / col("n")
+          - (col("si") / col("n")) * (col("sj") / col("n")))
+          / 4294967296.0, 6).as("cov"),
+        col("n").as("n_vectors"))
+  }
 
   /** LSH ANN with a dense-enough candidate graph that the exact re-ranked
     * result EQUALS brute force on real corpora — the oracle-able companion

@@ -197,19 +197,12 @@ private[sources] case class LspNameOffset(name: String) extends Offset {
   * offsets by serialized form to decide whether a batch is due). */
 private[sources] case class LspSeenOffset(names: Set[String]) extends Offset {
   override def json(): String =
-    names.toSeq.sorted.map(LspSeenOffset.quote).mkString("[", ",", "]")
+    names.toSeq.sorted.map(graft.JsonText.quote).mkString("[", ",", "]")
 }
 
 private[sources] object LspSeenOffset {
-  private def quote(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  /** Minimal parser for the array-of-strings form emitted by [[quote]]
-    * above (names come from the filesystem; the escapes cover quotes,
+  /** Minimal parser for the array-of-strings form [[graft.JsonText.quote]]
+    * emits (names come from the filesystem; the escapes cover quotes,
     * backslashes, and control characters). */
   def parse(json: String): LspSeenOffset = {
     val t = json.trim
@@ -231,7 +224,10 @@ private[sources] object LspSeenOffset {
             case 'u' =>
               sb += Integer.parseInt(t.substring(i + 2, i + 6), 16).toChar
               i += 6
-            case e => sb += e; i += 2
+            case 'n' => sb += '\n'; i += 2
+            case 'r' => sb += '\r'; i += 2
+            case 't' => sb += '\t'; i += 2
+            case e => sb += e; i += 2 // \" and \\
           }
         case c2 => sb += c2; i += 1
       }

@@ -60,21 +60,58 @@ object ParquetLake {
     // RECURSIVE listing: partitioned lakes nest data files under
     // partition dirs — a top-level listing would see zero parquet files,
     // compute parts=1, and silently funnel the whole dataset into one
-    // file (flattening partition columns into it, to boot)
+    // file. In-flight/_temporary files are excluded from sizing the same
+    // way the read excludes them.
     var totalBytes = 0L
     var nFiles = 0
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val s = it.next()
-      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+      val name = s.getPath.getName
+      val hidden = {
+        // any ancestor dir under inPath that is hidden (_temporary, .staging)
+        var q = s.getPath.getParent
+        var h = name.startsWith("_") || name.startsWith(".")
+        while (!h && q != null && q.toString != p.toString) {
+          h = q.getName.startsWith("_") || q.getName.startsWith(".")
+          q = q.getParent
+        }
+        h
+      }
+      if (s.isFile && name.endsWith(".parquet") && !hidden) {
         totalBytes += s.getLen; nFiles += 1
       }
     }
     require(nFiles > 0, s"no parquet files under $inPath — nothing to compact")
     val parts = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inPath)
-      .repartition(parts)
-      .write.mode("overwrite").parquet(outPath)
+    // Hive-style partition dirs (col=value) must SURVIVE the rewrite —
+    // a flat rewrite would inline the partition columns and lose pruning.
+    // Discover them the same way Spark does: the chain of col=value dir
+    // levels from the root down.
+    val partCols = scala.collection.mutable.ListBuffer.empty[String]
+    var level = p
+    var descend = true
+    while (descend) {
+      val dirs = fs.listStatus(level).filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      dirs.headOption.map(_.getPath.getName.split("=", 2)) match {
+        case Some(Array(col, _)) if dirs.forall(_.getPath.getName.startsWith(col + "=")) =>
+          partCols += col; level = dirs.head.getPath
+        case _ => descend = false
+      }
+    }
+    val df = spark.read.parquet(inPath)
+    // repartition on the partition columns too, so each output partition
+    // dir consolidates (≈ one file per value) instead of receiving
+    // `parts` fragments — re-fragmenting per-directory is exactly the
+    // disease this pass exists to cure
+    val repart =
+      if (partCols.isEmpty) df.repartition(parts)
+      else df.repartition(parts,
+        partCols.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    val w = repart.write.mode("overwrite")
+    (if (partCols.isEmpty) w else w.partitionBy(partCols.toSeq: _*))
+      .parquet(outPath)
     parts
   }
 }

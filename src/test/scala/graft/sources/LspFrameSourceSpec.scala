@@ -105,13 +105,12 @@ class LspFrameSourceSpec extends SparkSpec {
     // offsets=seen must read it anyway
     capture("z.lsp", 0 until 10)
     val name = s"lspseen_${System.nanoTime()}"
-    def start() = spark.readStream.format("graft.sources.LspFrameSource")
+    val q = spark.readStream.format("graft.sources.LspFrameSource")
       .option("offsets", "seen").load(dir)
       .select(col("connid"))
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
-    val q = start()
     try {
       q.processAllAvailable()
       assert(spark.table(name).count() === 10)

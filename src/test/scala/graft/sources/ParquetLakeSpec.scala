@@ -66,6 +66,32 @@ class ParquetLakeSpec extends SparkSpec {
     assert(m("payload_bytes").asInstanceOf[Long] > 0)
   }
 
+  test("compaction preserves hive partition dirs and consolidates within them") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_part").toFile.getAbsolutePath
+    graft.relational.Tables.load(spark, dir, "documents")
+      .repartition(10) // fragment every partition dir
+      .write.partitionBy("lang").parquet(s"$tmp/in")
+    val inFrags = new java.io.File(s"$tmp/in").listFiles()
+      .filter(_.getName.startsWith("lang=")).map(d =>
+        d.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    assert(inFrags >= 20, s"fixture not fragmented: $inFrags")
+    ParquetLake.compact(spark, s"$tmp/in", s"$tmp/out", 64L << 20)
+    // partition layout SURVIVES (pruning stays possible) ...
+    val outDirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.startsWith("lang=")).sortBy(_.getName)
+    assert(outDirs.length === 5, s"lost partition dirs: ${outDirs.toSeq}")
+    // ... consolidated (one file per dir at this size), rows intact
+    outDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+        s"${d.getName} not consolidated")
+    }
+    def census(p: String) = spark.read.parquet(p)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census(s"$tmp/out") === census(s"$tmp/in"))
+  }
+
   test("lenient read skips a corrupt file; strict read fails loudly") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt").toFile.getAbsolutePath
