@@ -105,6 +105,23 @@ class SimilaritySpec extends SparkSpec {
     pq.foreach { case (_, ns) => assert(ns.size <= 5) }
   }
 
+  test("PQ and covariance are bit-identical across shuffle layouts") {
+    // the fixed-point claim, pinned IN-suite: integer sums are
+    // order-independent, so changing the shuffle partition count (which
+    // reorders every partial-aggregate merge) must not move one bit of
+    // output. A float accumulation anywhere in the path fails this.
+    val key = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(key)
+    def run[A](parts: String)(f: => A): A =
+      try { spark.conf.set(key, parts); f } finally spark.conf.set(key, orig)
+    val pq7 = run("7")(Similarity.qAnnPq(spark, dir).collect().map(_.toSeq).toSet)
+    val pq32 = run("32")(Similarity.qAnnPq(spark, dir).collect().map(_.toSeq).toSet)
+    assert(pq7 === pq32, "PQ output moved under a different shuffle layout")
+    val cov7 = run("7")(Similarity.qEmbeddingCov(spark, dir).collect().map(_.toSeq).toSet)
+    val cov32 = run("32")(Similarity.qEmbeddingCov(spark, dir).collect().map(_.toSeq).toSet)
+    assert(cov7 === cov32, "covariance moved under a different shuffle layout")
+  }
+
   test("covariance matrix tracks the float covariance within quantization error") {
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
       .selectExpr("transform(embedding, x -> cast(x as double))").collect()
