@@ -211,6 +211,10 @@ object SparkEntry {
     // losers -> split -> census, one declarative plan, one oracle
     "q_corpus_build" -> ((s: SparkSession, d: String) =>
       TrainingData.qCorpusBuild(s, d)),
+    // capstone v2: quality gate -> source cap -> dedup keep-lists ->
+    // decontamination -> split census, composing the round-5 stages
+    "q_corpus_build_v2" -> ((s: SparkSession, d: String) =>
+      TrainingData.qCorpusBuildV2(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -321,6 +325,47 @@ object SparkEntry {
         |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_chars,
         |  CAST(n_members AS BIGINT) AS n_members
         |FROM m WHERE rn = 1""".stripMargin
+
+  /** Capstone v2: the round-5 stages replayed over the shared cluster
+    * CTE — gate, salted cap, dedup keep-lists, decontamination, split. */
+  private val corpusBuildV2Oracle: String =
+    dedupClustersCte + ",\n" +
+      """near_losers AS (SELECT id AS doc_id FROM reach GROUP BY id
+        |                HAVING min(r) <> id),
+        |exact_losers AS (SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |  FROM documents) WHERE doc_id <> keep),
+        |gated AS (SELECT doc_id, lang, source, n_chars FROM (
+        |    SELECT doc_id, lang, source, n_chars,
+        |      CAST(row_number() OVER (PARTITION BY lang
+        |        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS grn,
+        |      count(*) OVER (PARTITION BY lang) AS n_l
+        |    FROM documents)
+        |  WHERE grn * 1000 <= n_l * 700 + 999),
+        |capped AS (SELECT doc_id, lang, n_chars FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      CAST(row_number() OVER (PARTITION BY source
+        |        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS crn
+        |    FROM gated)
+        |  WHERE crn <= 15),
+        |b AS (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+        |          AS BIGINT) AS bucket
+        |      FROM documents),
+        |esh AS (SELECT DISTINCT sh.sh AS s
+        |        FROM sh JOIN b ON sh.doc_id = b.doc_id WHERE b.bucket >= 90),
+        |cont AS (SELECT DISTINCT sh.doc_id
+        |         FROM sh JOIN b ON sh.doc_id = b.doc_id
+        |         JOIN esh ON sh.sh = esh.s
+        |         WHERE b.bucket < 80)
+        |SELECT CASE WHEN b.bucket < 80 THEN 'train'
+        |            WHEN b.bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  c.lang, count(*) AS n_docs, CAST(sum(c.n_chars) AS BIGINT) AS n_chars
+        |FROM capped c JOIN b ON c.doc_id = b.doc_id
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM exact_losers)
+        |  AND c.doc_id NOT IN (SELECT doc_id FROM near_losers)
+        |  AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+        |GROUP BY 1, 2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -952,6 +997,7 @@ object SparkEntry {
     // oracle is literally the same from-scratch recursive CTE
     "q_dedup_incremental" -> dedupClustersOracle,
     "q_dedup_keep_best" -> dedupKeepBestOracle,
+    "q_corpus_build_v2" -> corpusBuildV2Oracle,
     "q_lang_sample_temp" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),

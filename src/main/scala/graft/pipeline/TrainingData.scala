@@ -560,6 +560,73 @@ object TrainingData {
         max("n_docs").as("max_span_docs"))
   }
 
+  /** The round-5 capstone — corpus build v2, composing the NEW pipeline
+    * stages end-to-end in one declarative plan (order matters and is the
+    * contract):
+    *
+    *   1. per-language quality gate (top `keepPerMille`‰ by length —
+    *      [[qQualityGate]]'s integer threshold);
+    *   2. per-source frequency cap over the gate's SURVIVORS
+    *      ([[qSourceCap]]'s salted priority);
+    *   3. exact-dup and near-dup keep-lists computed over the FULL
+    *      corpus (same contract as [[qCorpusBuild]] — dedup relations
+    *      are corpus-level facts, not survivor-level);
+    *   4. train/test decontamination: TRAIN docs sharing any 4-token
+    *      shingle with the TEST split are dropped (eval shingles also
+    *      corpus-level: you decontaminate against what you evaluate on);
+    *   5. [[qSplitAssign]]'s split policy → per-(split, lang) census.
+    *
+    * Every stage is an operator this library ships individually; all are
+    * hash/order-deterministic, so the five-stage composition carries a
+    * single DuckDB oracle. */
+  def qCorpusBuildV2(
+      spark: SparkSession, dir: String,
+      keepPerMille: Int = 700, cap: Int = 15): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("text"))
+    val gatePri = Window.partitionBy("lang")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val byLang = Window.partitionBy("lang")
+    val gated = docs
+      .withColumn("grn", row_number().over(gatePri).cast("long"))
+      .withColumn("n_l", count(lit(1)).over(byLang))
+      .filter(col("grn") * 1000L <= col("n_l") * keepPerMille + 999L)
+      .drop("grn", "n_l")
+    val capPri = Window.partitionBy("source")
+      .orderBy(md5(concat_ws(":", lit("cap"), col("doc_id").cast("string"))),
+        col("doc_id"))
+    val capped = gated
+      .withColumn("crn", row_number().over(capPri))
+      .filter(col("crn") <= cap)
+      .select("doc_id", "lang", "n_chars")
+    val exactLosers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("keep"), collect_list("doc_id").as("all"))
+      .select(explode(col("all")).as("doc_id"), col("keep"))
+      .filter(col("doc_id") =!= col("keep"))
+      .select("doc_id")
+    val nearLosers = qDedupClusters(spark, dir)
+      .filter(!col("is_keeper"))
+      .select("doc_id")
+    val sh = docs.select(col("doc_id"),
+      graft.dedup.Dedup.shingles(col("text")).as("sh_arr"),
+      bucketOf(col("doc_id")).as("bucket"))
+    val evalShingles = sh.filter(col("bucket") >= 90)
+      .select(explode(col("sh_arr")).as("s")).distinct()
+    val contaminated = sh.filter(col("bucket") < 80)
+      .select(col("doc_id"), explode(col("sh_arr")).as("s"))
+      .join(evalShingles, "s")
+      .select("doc_id").distinct()
+    capped
+      .join(exactLosers, Seq("doc_id"), "left_anti")
+      .join(nearLosers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split", splitOf(bucketOf(col("doc_id"))))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
+
   /** Greedy contiguous sequence packing: docs in doc_id order are packed
     * into fixed token budgets (`capacity`), each doc assigned to the bin
     * its RUNNING token total falls in — the streaming approximation of

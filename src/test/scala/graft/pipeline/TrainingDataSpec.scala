@@ -317,6 +317,57 @@ class TrainingDataSpec extends SparkSpec {
       "fixture never exceeds the cap")
   }
 
+  test("corpus build v2 census equals a full JVM replay of all five stages") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+    // 1. gate: top 700 per-mille per lang by (n_chars desc, doc_id)
+    val gated = docs.groupBy(_._2).values.flatMap { ds =>
+      val n = ds.length
+      ds.sortBy(d => (-d._4, d._1)).take(((700 * n + 999) / 1000).toInt)
+    }.toSeq
+    // 2. cap: 15 per source by salted md5 priority among survivors
+    val capped = gated.groupBy(_._3).values.flatMap(
+      _.sortBy(d => (md5hex(s"cap:${d._1}"), d._1)).take(15)).toSeq
+    // 3. dedup losers over the FULL corpus
+    val exactLosers = docs.groupBy(d => md5hex(d._5)).values
+      .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    val nearLosers = TrainingData.qDedupClusters(spark, dir).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // 4. decontamination: train docs sharing a 4-shingle with test docs
+    def shingles(text: String): Set[String] = {
+      val t = text.split(" ", -1) // kernel contract: trailing empties kept
+      if (t.length < 4) Set.empty // and short docs shingle to NOTHING
+      else (0 to t.length - 4).map(i => t.slice(i, i + 4).mkString(" ")).toSet
+    }
+    val evalSh = docs.filter(d => bucket(d._1) >= 90)
+      .flatMap(d => shingles(d._5)).toSet
+    val contaminated = docs.filter(d => bucket(d._1) < 80)
+      .filter(d => shingles(d._5).exists(evalSh)).map(_._1).toSet
+    // 5. split census
+    def split(id: Long) = { val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "val" else "test" }
+    val want = capped
+      .filterNot(d => exactLosers(d._1) || nearLosers(d._1) || contaminated(d._1))
+      .groupBy(d => (split(d._1), d._2))
+      .map { case (k, ds) => k -> ((ds.size.toLong, ds.map(_._4).sum)) }
+    val got = TrainingData.qCorpusBuildV2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // each stage must BITE on this fixture or the composition is vacuous
+    assert(gated.size < docs.length, "gate never dropped")
+    assert(capped.size < gated.size, "cap never bound")
+    assert(capped.exists(d => nearLosers(d._1)), "dedup never dropped a survivor")
+    assert(contaminated.nonEmpty, "decontamination never fired")
+  }
+
   test("keep-best picks the longest member per cluster, doc_id breaks ties") {
     val clusters = TrainingData.qDedupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
