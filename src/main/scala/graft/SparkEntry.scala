@@ -117,6 +117,10 @@ object SparkEntry {
     "q_pii_scrub" -> (TextOps.qPiiScrub _),
     "q_lang_guess" -> (TextOps.qLangGuess _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
+    // feature hashing (the hashing trick): vocabulary-free sparse text
+    // vectors, integer weights -> exact oracle
+    "q_feature_hash" -> ((s: SparkSession, d: String) =>
+      TextOps.qFeatureHash(s, d)),
     "q_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.qTfidfTopK(s, d)),
     "q_stopword_prune" -> ((s: SparkSession, d: String) =>
       TextOps.qStopwordPrune(s, d)),
@@ -775,6 +779,13 @@ object SparkEntry {
         |        generate_subscripts(string_split(text, ' '), 1) AS ord
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+    "q_feature_hash" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5(tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS dim,
+        |  CAST(sum(CASE WHEN ('0x' || substr(md5(tok), 3, 1))::UBIGINT % 2 = 0
+        |               THEN 1 ELSE -1 END) AS BIGINT) AS weight
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
     // corpus-derived stoplist (df >= 80% of docs), order-preserving rebuild
     "q_stopword_prune" ->
       """WITH toks AS (SELECT doc_id,

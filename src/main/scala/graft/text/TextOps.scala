@@ -135,6 +135,32 @@ object TextOps {
         (ascii(substring(col("tok"), 1, 1)) * 31 + length(col("tok"))))
         % 1000000007L).as("fingerprint"))
 
+  /** Feature hashing (the hashing trick, Weinberger et al., "Feature
+    * Hashing for Large Scale Multitask Learning"): every token hashes to
+    * one of `dims` buckets with a hash-derived ±1 sign, and the document
+    * vector is the signed occurrence count per bucket — the cheap,
+    * training-free text embedding that needs NO vocabulary table, so it
+    * works identically on the first and the trillionth document. Output
+    * is the sparse (doc_id, dim, weight) fingerprint table; weights are
+    * INTEGER sums, so the result is bit-reproducible and exactly oracled
+    * (md5-derived bucket/sign — replayable in any engine, unlike
+    * xxhash).
+    *
+    * Scale shape: one stateless explode + one hash aggregation keyed by
+    * (doc_id, dim) — map-side combinable, nothing corpus-global. */
+  def qFeatureHash(
+      spark: SparkSession, dir: String, dims: Int = 64): DataFrame = {
+    val h = md5(col("tok"))
+    load(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(h, 1, 2), 16, 10).cast("long") % dims).as("dim"),
+        when(conv(substring(h, 3, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sign").as("weight"))
+  }
+
   /** Data-driven stopword pruning — the vocabulary-filter step of a
     * training pipeline: tokens whose document frequency exceeds
     * `dfFrac` of the corpus are dropped, and each document's text is

@@ -147,4 +147,27 @@ class TextOpsSpec extends SparkSpec {
     // repetition separates docs: planted "x x x" runs push the tail up
     assert(got.map(_._5).max > got.map(_._5).min)
   }
+
+  test("feature hashing equals a JVM replay of bucket, sign, and counts") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // group-by semantics: a bucket whose signs cancel still emits its
+    // weight-0 row — the replay keeps them too
+    val want = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).map { tok =>
+        val h = md5hex(tok)
+        ((id, java.lang.Long.parseLong(h.take(2), 16) % 64),
+          if (java.lang.Long.parseLong(h.substring(2, 3), 16) % 2 == 0) 1L else -1L)
+      }
+    }.groupBy(_._1).map { case (k, ss) => k -> ss.map(_._2).sum }
+    val got = TextOps.qFeatureHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    // vectors live in the declared dim space
+    got.keys.foreach { case (_, dim) => assert(dim >= 0 && dim < 64) }
+  }
 }
