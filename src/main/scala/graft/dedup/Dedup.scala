@@ -71,7 +71,7 @@ object Dedup {
       if (sid == org.apache.spark.sql.GraftShim.sessionId(spark)) { df.unpersist(); false } else true
     }
 
-  private def shingleArrays(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate((org.apache.spark.sql.GraftShim.sessionId(spark), dir),
       docs(spark, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh_arr"))

@@ -417,6 +417,32 @@ object TrainingData {
   private def splitOf(bucket: Column): Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
+  /** THE per-source cap priority — single definition shared by
+    * [[qSourceCap]] and [[qCorpusBuildV2]], for the same reason
+    * [[bucketOf]] is singular: a drifting copy of the salt string or the
+    * tiebreak would silently keep different docs in different queries. */
+  private def capPriority: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("source")
+      .orderBy(md5(concat_ws(":", lit("cap"), col("doc_id").cast("string"))),
+        col("doc_id"))
+
+  /** THE per-language quality-gate priority and integer threshold —
+    * shared by [[qQualityGate]] and [[qCorpusBuildV2]]. */
+  private def gatePriority: org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+
+  private def gateKeeps(rn: Column, nL: Column, keepPerMille: Int): Column =
+    rn * 1000L <= nL * keepPerMille + 999L
+
+  /** Exact-dup losers (every non-min doc of each text group) — shared by
+    * [[qCorpusBuild]] and [[qCorpusBuildV2]]. Input needs (doc_id, text). */
+  private def exactDupLosers(docs: DataFrame): DataFrame = docs
+    .groupBy(md5(col("text")).as("h"))
+    .agg(min("doc_id").as("keep"), collect_list("doc_id").as("all"))
+    .select(explode(col("all")).as("doc_id"), col("keep"))
+    .filter(col("doc_id") =!= col("keep"))
+    .select("doc_id")
+
   /** Deterministic train/val/test assignment: bucket = leading 32 bits of
     * md5(doc_id) mod 100, split at 80/90. Hash-based (not `rand()`), so
     * the split is stable across runs, partitionings, and engines — a doc
@@ -480,12 +506,7 @@ object TrainingData {
       .filter(col("top_bg").cast("double") / col("n_bg") <= maxBigramFrac)
       .select("doc_id", "lang", "text", "n_tokens")
     // exact-dup losers: any copy that is not its text group's min doc_id
-    val exactLosers = load(spark, dir, "documents")
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("keep"), collect_list("doc_id").as("all"))
-      .select(explode(col("all")).as("doc_id"), col("keep"))
-      .filter(col("doc_id") =!= col("keep"))
-      .select("doc_id")
+    val exactLosers = exactDupLosers(load(spark, dir, "documents"))
     // near-dup losers: cluster members that are not the canonical keeper
     val nearLosers = qDedupClusters(spark, dir)
       .filter(!col("is_keeper"))
@@ -513,10 +534,10 @@ object TrainingData {
     * THE split policy, so the operator decontaminates exactly the splits
     * [[qSplitAssign]] ships. */
   def qDecontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = load(spark, dir, "documents")
-      .select(col("doc_id"),
-        graft.dedup.Dedup.shingles(col("text")).as("sh_arr"),
-        bucketOf(col("doc_id")).as("bucket"))
+    // the dedup module's persisted shingle frame: both branches below
+    // (eval set + train probe) read it without re-running the kernel
+    val docs = graft.dedup.Dedup.shingleArrays(spark, dir)
+      .withColumn("bucket", bucketOf(col("doc_id")))
     val evalShingles = docs.filter(col("bucket") >= 90)
       .select(explode(col("sh_arr")).as("sh"))
       .distinct()
@@ -585,33 +606,26 @@ object TrainingData {
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("text"))
-    val gatePri = Window.partitionBy("lang")
-      .orderBy(col("n_chars").desc, col("doc_id"))
     val byLang = Window.partitionBy("lang")
     val gated = docs
-      .withColumn("grn", row_number().over(gatePri).cast("long"))
+      .withColumn("grn", row_number().over(gatePriority).cast("long"))
       .withColumn("n_l", count(lit(1)).over(byLang))
-      .filter(col("grn") * 1000L <= col("n_l") * keepPerMille + 999L)
+      .filter(gateKeeps(col("grn"), col("n_l"), keepPerMille))
       .drop("grn", "n_l")
-    val capPri = Window.partitionBy("source")
-      .orderBy(md5(concat_ws(":", lit("cap"), col("doc_id").cast("string"))),
-        col("doc_id"))
     val capped = gated
-      .withColumn("crn", row_number().over(capPri))
+      .withColumn("crn", row_number().over(capPriority))
       .filter(col("crn") <= cap)
       .select("doc_id", "lang", "n_chars")
-    val exactLosers = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("keep"), collect_list("doc_id").as("all"))
-      .select(explode(col("all")).as("doc_id"), col("keep"))
-      .filter(col("doc_id") =!= col("keep"))
-      .select("doc_id")
+    val exactLosers = exactDupLosers(docs)
     val nearLosers = qDedupClusters(spark, dir)
       .filter(!col("is_keeper"))
       .select("doc_id")
-    val sh = docs.select(col("doc_id"),
-      graft.dedup.Dedup.shingles(col("text")).as("sh_arr"),
-      bucketOf(col("doc_id")).as("bucket"))
+    // PERSISTED per-doc shingle arrays shared with the whole dedup module
+    // (qDedupClusters above shingles the corpus through the same cache) —
+    // without it the two contamination branches would each re-run the
+    // shingling kernel over the corpus
+    val sh = graft.dedup.Dedup.shingleArrays(spark, dir)
+      .withColumn("bucket", bucketOf(col("doc_id")))
     val evalShingles = sh.filter(col("bucket") >= 90)
       .select(explode(col("sh_arr")).as("s")).distinct()
     val contaminated = sh.filter(col("bucket") < 80)
@@ -673,18 +687,15 @@ object TrainingData {
     * many, none corpus-sized), then a map-side-combinable census. */
   def qSourceCap(
       spark: SparkSession, dir: String, cap: Int = 15): DataFrame = {
-    // SALTED priority hash: the split policy draws its buckets from
-    // md5(doc_id), and ordering the cap by the same value would keep
-    // exactly the low-bucket docs — the capped corpus would compose into
-    // an almost-all-train split (a 60% cap would leave test EMPTY).
-    // Every hash-derived policy in this module must draw from a distinct
-    // salted stream.
-    val pri = Window.partitionBy("source")
-      .orderBy(md5(concat_ws(":", lit("cap"), col("doc_id").cast("string"))),
-        col("doc_id"))
+    // SALTED priority hash ([[capPriority]]): the split policy draws its
+    // buckets from md5(doc_id), and ordering the cap by the same value
+    // would keep exactly the low-bucket docs — the capped corpus would
+    // compose into an almost-all-train split (a 60% cap would leave test
+    // EMPTY). Every hash-derived policy in this module must draw from a
+    // distinct salted stream.
     load(spark, dir, "documents")
       .select(col("doc_id"), col("source"))
-      .withColumn("rn", row_number().over(pri))
+      .withColumn("rn", row_number().over(capPriority))
       .groupBy("source")
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
@@ -705,14 +716,11 @@ object TrainingData {
   def qQualityGate(
       spark: SparkSession, dir: String, keepPerMille: Int = 700): DataFrame = {
     val byLang = Window.partitionBy("lang")
-    val pri = Window.partitionBy("lang")
-      .orderBy(col("n_chars").desc, col("doc_id"))
     load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("rn", row_number().over(pri).cast("long"))
+      .withColumn("rn", row_number().over(gatePriority).cast("long"))
       .withColumn("n_l", count(lit(1)).over(byLang))
-      .withColumn("keep",
-        col("rn") * 1000L <= col("n_l") * keepPerMille + 999L)
+      .withColumn("keep", gateKeeps(col("rn"), col("n_l"), keepPerMille))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),

@@ -361,11 +361,17 @@ class TrainingDataSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) ->
         ((r.getLong(2), r.getLong(3)))).toMap
     assert(got === want)
-    // each stage must BITE on this fixture or the composition is vacuous
+    // each stage must BITE on the SURVIVOR SET it filters, or the
+    // composition test is vacuous for that stage (exact-dup excepted:
+    // the synthetic corpus plants near-dups but zero byte-identical
+    // texts — q_dedup_exact is 0 rows — so that subtraction can only be
+    // exercised semantically, via the oracle's identical formula)
     assert(gated.size < docs.length, "gate never dropped")
     assert(capped.size < gated.size, "cap never bound")
-    assert(capped.exists(d => nearLosers(d._1)), "dedup never dropped a survivor")
-    assert(contaminated.nonEmpty, "decontamination never fired")
+    assert(exactLosers.isEmpty, "corpus grew exact dups: add the exact-dup vacuity guard")
+    assert(capped.exists(d => nearLosers(d._1)), "near-dedup never dropped a survivor")
+    assert(capped.exists(d => contaminated(d._1)),
+      "decontamination never dropped a survivor")
   }
 
   test("keep-best picks the longest member per cluster, doc_id breaks ties") {

@@ -112,13 +112,18 @@ class SimilaritySpec extends SparkSpec {
     // output. A float accumulation anywhere in the path fails this.
     val key = "spark.sql.shuffle.partitions"
     val orig = spark.conf.get(key)
-    def run[A](parts: String)(f: => A): A =
-      try { spark.conf.set(key, parts); f } finally spark.conf.set(key, orig)
-    val pq7 = run("7")(Similarity.qAnnPq(spark, dir).collect().map(_.toSeq).toSet)
-    val pq32 = run("32")(Similarity.qAnnPq(spark, dir).collect().map(_.toSeq).toSet)
+    def run(parts: String)(df: => org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      try {
+        spark.conf.set(key, parts)
+        // MULTISET compare (sorted rows, not a Set): a layout-sensitive
+        // bug that duplicates a row would vanish inside a Set
+        df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      } finally spark.conf.set(key, orig)
+    val pq7 = run("7")(Similarity.qAnnPq(spark, dir))
+    val pq32 = run("32")(Similarity.qAnnPq(spark, dir))
     assert(pq7 === pq32, "PQ output moved under a different shuffle layout")
-    val cov7 = run("7")(Similarity.qEmbeddingCov(spark, dir).collect().map(_.toSeq).toSet)
-    val cov32 = run("32")(Similarity.qEmbeddingCov(spark, dir).collect().map(_.toSeq).toSet)
+    val cov7 = run("7")(Similarity.qEmbeddingCov(spark, dir))
+    val cov32 = run("32")(Similarity.qEmbeddingCov(spark, dir))
     assert(cov7 === cov32, "covariance moved under a different shuffle layout")
   }
 
