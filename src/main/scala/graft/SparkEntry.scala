@@ -932,7 +932,9 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
         |  FROM rr)
         |WHERE rnk <= 5""".stripMargin,
-    // same integer sufficient statistics (Σqi, Σqj, Σqiqj), one rescale
+    // same integer sufficient statistics (Σqi, Σqj, Σqiqj); the exact
+    // integer numerator (BIGINT here — oracle SFs fit comfortably) goes
+    // through ONE IEEE division, matching Spark's decimal path bit-for-bit
     "q_embedding_cov" ->
       """WITH r AS (SELECT vec_id, CAST(i - 1 AS INT) AS d,
         |        CAST(round(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS q
@@ -940,9 +942,8 @@ object SparkEntry {
         |p AS (SELECT a.d AS i, b.d AS j, a.q AS qi, b.q AS qj
         |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.d <= b.d)
         |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-        |  round((CAST(sum(qi * qj) AS BIGINT) / count(*)
-        |    - (CAST(sum(qi) AS BIGINT) / count(*)) * (CAST(sum(qj) AS BIGINT) / count(*)))
-        |    / 4294967296.0, 6) AS cov,
+        |  CAST(CAST(sum(qi * qj) * count(*) - sum(qi) * sum(qj) AS BIGINT) AS DOUBLE)
+        |    / CAST(count(*) * count(*) AS DOUBLE) / 4294967296.0 AS cov,
         |  count(*) AS n_vectors
         |FROM p GROUP BY 1, 2""".stripMargin,
     "q_ann_q8" ->

@@ -381,6 +381,15 @@ object Similarity {
     * ≤ 2³⁴, so the Σqᵢqⱼ sum holds ~2²⁹ ≈ 500M vectors per partition-
     * free total — beyond that, scale the quantization down a bit.
     *
+    * Determinism contract: the numerator n·Σqᵢqⱼ − Σqᵢ·Σqⱼ is computed
+    * EXACTLY as a decimal(38,0) integer (headroom to ~10⁹ vectors), and
+    * the only inexact step is ONE IEEE-754 division of that integer by
+    * n²·2³² — identical bit pattern in any engine. A decimal
+    * `round(x, 6)` here is NOT portable: Spark rounds the decimal
+    * expansion half-up via BigDecimal while double-native engines round
+    * a scaled double, and the two disagree on ulp-edge values (this
+    * query's round-5 oracle hash miss).
+    *
     * Scale shape: dim pairs come from a SECOND posexplode of the same
     * co-located embedding array — zero pre-aggregation shuffle (the
     * self-join formulation would exchange vectors×dims rows twice); the
@@ -389,6 +398,7 @@ object Similarity {
   def qEmbeddingCov(spark: SparkSession, dir: String): DataFrame = {
     def q16(c: Column): Column =
       round(c.cast("double") * (1L << 16)).cast("long")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
     load(spark, dir, "embeddings")
       .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "xi")))
       .select(col("i"), col("xi"),
@@ -400,9 +410,9 @@ object Similarity {
         sum("qi").as("si"), sum("qj").as("sj"),
         sum(col("qi") * col("qj")).as("spp"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round((col("spp") / col("n")
-          - (col("si") / col("n")) * (col("sj") / col("n")))
-          / 4294967296.0, 6).as("cov"),
+        ((dec(col("spp")) * dec(col("n")) - dec(col("si")) * dec(col("sj")))
+          .cast("double")
+          / (col("n") * col("n")).cast("double") / 4294967296.0).as("cov"),
         col("n").as("n_vectors"))
   }
 
