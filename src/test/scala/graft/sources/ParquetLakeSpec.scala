@@ -92,6 +92,50 @@ class ParquetLakeSpec extends SparkSpec {
     assert(census(s"$tmp/out") === census(s"$tmp/in"))
   }
 
+  test("compaction works on a lake rooted under a dot-directory") {
+    // regression: the hidden-ancestor walk compared an UNQUALIFIED root
+    // against qualified listing paths, never terminated at the root, and
+    // classified every file under a dot-dir-rooted lake as hidden
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dot").toFile.getAbsolutePath
+    val in = s"$tmp/.cache/lake"
+    graft.relational.Tables.load(spark, dir, "nation").write.parquet(in)
+    val written = ParquetLake.compact(spark, in, s"$tmp/out", 64L << 20)
+    assert(written === 1)
+    assert(spark.read.parquet(s"$tmp/out").count() ===
+      spark.read.parquet(in).count())
+  }
+
+  test("partitioned compaction splits a skewed value, returns actual count") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skew").toFile.getAbsolutePath
+    // one fat value (replicated docs), several slim ones
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+    val skewed = docs.withColumn("shard", lit("fat"))
+      .union(docs.withColumn("shard", lit("fat")))
+      .union(docs.limit(20).withColumn("shard", lit("slim")))
+    skewed.repartition(8).write.partitionBy("shard").parquet(s"$tmp/in")
+    def files(p: String) = Option(new java.io.File(p).listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val fatBytes = new java.io.File(s"$tmp/in/shard=fat").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = fatBytes / 4 + 1 // fat value needs 4 files, slim needs 1
+    val written = ParquetLake.compact(spark, s"$tmp/in", s"$tmp/out", target)
+    def allFiles(f: java.io.File): Int =
+      if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+        .map(allFiles).sum
+    assert(written === allFiles(new java.io.File(s"$tmp/out")),
+      "returned count must equal files actually written")
+    assert(files(s"$tmp/out/shard=fat") >= 2,
+      s"skewed value not split: ${files(s"$tmp/out/shard=fat")} file(s)")
+    assert(files(s"$tmp/out/shard=slim") === 1, "slim value must consolidate")
+    def census(p: String) = spark.read.parquet(p)
+      .groupBy("shard").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census(s"$tmp/out") === census(s"$tmp/in"))
+  }
+
   test("lenient read skips a corrupt file; strict read fails loudly") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_corrupt").toFile.getAbsolutePath
