@@ -98,12 +98,26 @@ private[sources] class LspFrameTable(path: String, offsetMode: String = "waterma
         * watermark stays the default for well-behaved writers. */
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
         if (offsetMode == "seen") new MicroBatchStream {
+          // Names ever LISTED or RESTORED from a checkpoint. latestOffset
+          // folds each fresh listing into this set instead of rebuilding
+          // the offset from the listing alone, so the offset is MONOTONE:
+          // deleting a processed file (retention, compaction) cannot
+          // shrink it, and a file later re-created under the same name is
+          // not read a second time — the exactly-once-per-name property
+          // the seen set exists to provide. Restart offsets are folded in
+          // by deserializeOffset, which Spark calls before planning.
+          @volatile private var known: Set[String] = Set.empty
           override def initialOffset(): Offset = LspSeenOffset(Set.empty)
-          override def latestOffset(): Offset =
-            LspSeenOffset(LspFrameTable.listCaptures(path, tolerateMissing = true)
-              .map(_._1).toSet)
-          override def deserializeOffset(json: String): Offset =
-            LspSeenOffset.parse(json)
+          override def latestOffset(): Offset = {
+            known ++= LspFrameTable.listCaptures(path, tolerateMissing = true)
+              .map(_._1)
+            LspSeenOffset(known)
+          }
+          override def deserializeOffset(json: String): Offset = {
+            val o = LspSeenOffset.parse(json)
+            known ++= o.names
+            o
+          }
           override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
             val done = start.asInstanceOf[LspSeenOffset].names
             val upTo = end.asInstanceOf[LspSeenOffset].names

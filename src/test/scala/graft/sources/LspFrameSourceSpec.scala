@@ -149,6 +149,53 @@ class LspFrameSourceSpec extends SparkSpec {
     assert(all.toSet === (0L until 34L).toSet)
   }
 
+  test("seen offsets are monotone: a deleted-then-recreated name is not re-read") {
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft_lsp_mono").toFile.getAbsolutePath
+    val ckpt = Files.createTempDirectory("graft_lsp_mono_ck").toFile.getAbsolutePath
+    val sink = Files.createTempDirectory("graft_lsp_mono_out").toFile.getAbsolutePath
+    def capture(name: String, ids: Range): Unit = {
+      val f = new java.io.File(dir, name)
+      val out = new java.io.DataOutputStream(new java.io.FileOutputStream(f))
+      try ids.foreach { i =>
+        val b = graft.lsp.LspWire.encode(i.toLong, 1L, Array[Byte](1))
+        out.writeInt(b.length); out.write(b)
+      } finally out.close()
+    }
+    def startFileSink() = spark.readStream
+      .format("graft.sources.LspFrameSource")
+      .option("offsets", "seen").load(dir)
+      .select(col("connid"))
+      .writeStream.format("parquet").option("path", sink)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    capture("a.lsp", 0 until 10)
+    val q = startFileSink()
+    try {
+      q.processAllAvailable()
+      // retention/compaction removes the processed file, then a rewrite
+      // re-creates the NAME with different content: rebuilding the offset
+      // from the listing alone would forget "a.lsp" and read it again
+      assert(new java.io.File(dir, "a.lsp").delete())
+      capture("a.lsp", 100 until 110)
+      capture("b.lsp", 10 until 15)
+      q.processAllAvailable()
+      val live = spark.read.parquet(sink).collect().map(_.getLong(0))
+      assert(live.length === 15, s"recreated name re-read: ${live.length} rows")
+      assert(live.toSet === (0L until 15L).toSet)
+    } finally q.stop()
+    // same property across a RESTART: the committed offset (which still
+    // carries a.lsp) must survive even though the file vanished again
+    assert(new java.io.File(dir, "a.lsp").delete())
+    capture("a.lsp", 200 until 220)
+    capture("c.lsp", 15 until 18)
+    val q2 = startFileSink()
+    try { q2.processAllAvailable() } finally q2.stop()
+    val all = spark.read.parquet(sink).collect().map(_.getLong(0))
+    assert(all.length === 18, s"restart re-read a committed name: ${all.length}")
+    assert(all.toSet === (0L until 18L).toSet)
+  }
+
   test("socket bridge: live datagrams reach a running stream exactly once") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft_lsp_bridge").toFile.getAbsolutePath
