@@ -205,6 +205,17 @@ object SparkEntry {
     "q_dup_passages" -> ((s: SparkSession, d: String) =>
       TrainingData.qDupPassages(s, d)),
     "q_stratified_sample" -> (TrainingData.qStratifiedSample _),
+    // context-window chunking: overlapping token slices, integer census
+    "q_chunk_windows" -> ((s: SparkSession, d: String) =>
+      TrainingData.qChunkWindows(s, d)),
+    // domain-mix resampling to equal per-source share, integer ppm rates
+    "q_domain_mix" -> ((s: SparkSession, d: String) =>
+      TrainingData.qDomainMix(s, d)),
+    // explicit bloom semi-join reduction: prune the probe side before the
+    // exchange; exact semi join scrubs false positives, so the oracle is
+    // the plain IN-subquery
+    "q_bloom_prune" -> ((s: SparkSession, d: String) =>
+      graft.relational.BloomPrune.qBloomPrune(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -1098,6 +1109,53 @@ object SparkEntry {
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
         |          AS BIGINT) AS bucket
         |      FROM documents)""".stripMargin,
+    // window/stride arithmetic mirrored in integers; unnest(generate_series)
+    // is the correlated explode
+    "q_chunk_windows" ->
+      """WITH d AS (SELECT lang,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |      FROM documents),
+        |w AS (SELECT lang, n,
+        |        CASE WHEN n <= 256 THEN 1
+        |             ELSE (n - 256 + 191) // 192 + 1 END AS n_win
+        |      FROM d),
+        |x AS (SELECT lang, n, unnest(generate_series(0, n_win - 1)) AS k
+        |      FROM w)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        |  count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN least(256, n - k * 192) = 256 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_full,
+        |  CAST(sum(least(256, n - k * 192)) AS BIGINT) AS token_sum
+        |FROM x GROUP BY 1""".stripMargin,
+    // integer ppm rates; salted md5 draw (every hash policy its own stream)
+    "q_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |        count(*) AS n_sources FROM c),
+        |r AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |        least(1000000, (total * 500000) // (n_sources * n_docs))
+        |          AS rate_ppm
+        |      FROM c, t),
+        |u AS (SELECT source,
+        |        CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::UBIGINT % 1000000 AS BIGINT) AS u_ppm
+        |      FROM documents)
+        |SELECT u.source, r.n_docs, r.rate_ppm,
+        |  CAST(sum(CASE WHEN u_ppm < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(CAST(sum(CASE WHEN u_ppm < rate_ppm THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / r.n_docs, 4) AS achieved_rate
+        |FROM u JOIN r USING (source)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the bloom is invisible to the RESULT (exact semi join scrubs false
+    // positives) — the oracle is the plain IN-subquery semi join
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY 1""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,

@@ -808,6 +808,81 @@ object TrainingData {
         round(col("n_kept").cast("double") / col("n_docs"), 4))
   }
 
+  /** Context-window CHUNKING — the doc → training-example explosion every
+    * pretraining pipeline runs: overlapping `window`-token slices every
+    * `stride` tokens (stride < window ⇒ overlap carries context across
+    * boundaries), each doc contributing `ceil((n-window)/stride) + 1`
+    * windows (short docs contribute one). Integer arithmetic only; the
+    * per-(lang) census reports docs, windows, full windows, and the
+    * token sum ACROSS windows (overlap double-counted — that is what the
+    * trainer actually consumes).
+    *
+    * Scale shape: the explode is per-row bounded (≤ n/stride windows per
+    * doc — no corpus-sized intermediate), the census aggregates with
+    * map-side combine, and nothing shuffles except the tiny groupBy. */
+  def qChunkWindows(
+      spark: SparkSession, dir: String,
+      window: Int = 256, stride: Int = 192): DataFrame = {
+    require(stride > 0 && window >= stride,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    load(spark, dir, "documents")
+      .select(col("lang"),
+        size(split(col("text"), " ", -1)).cast("long").as("n"))
+      .withColumn("n_win",
+        when(col("n") <= window, 1L)
+          .otherwise(expr(s"(n - $window + ${stride - 1}) div $stride") + 1L))
+      .select(col("lang"), col("n"),
+        explode(sequence(lit(0L), col("n_win") - 1L)).as("k"))
+      .withColumn("wlen",
+        least(lit(window.toLong), col("n") - col("k") * stride))
+      .groupBy("lang")
+      .agg(sum(when(col("k") === 0, 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_windows"),
+        sum(when(col("wlen") === window, 1L).otherwise(0L)).as("n_full"),
+        sum("wlen").as("token_sum"))
+  }
+
+  /** Domain-MIX resampling: draw a target corpus of `targetPpm`‰‰ of the
+    * documents with EQUAL share per source (the mixture-flattening step
+    * between "crawl proportions" and "what the model should see" —
+    * uniform here; any weight vector slots into the same shape). The
+    * per-source accept rate is computed in INTEGERS end-to-end —
+    * `min(1e6, (N·targetPpm) div (S·n_d))` parts-per-million — and each
+    * doc draws a salted md5 uniform against it ([[qSourceCap]]'s salting
+    * rule: every hash policy its own stream), so the drawn mix is
+    * byte-stable across runs, partitionings, and engines. Census per
+    * source: natural count, rate, drawn count, achieved rate.
+    *
+    * Scale shape: the rate table is one tiny aggregate broadcast back;
+    * the keep decision is a stateless per-row hash compare — no shuffle
+    * beyond the census groupBy. Integer headroom: N·targetPpm ≤ 2⁶³
+    * holds to corpora of ~9×10¹² docs. */
+  def qDomainMix(
+      spark: SparkSession, dir: String, targetPpm: Long = 500000L): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum("n_docs").as("total"),
+      count(lit(1)).as("n_sources"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"(total * $targetPpm) div (n_sources * n_docs)")))
+      .select("source", "n_docs", "rate_ppm")
+    docs
+      .withColumn("u_ppm",
+        conv(substring(md5(concat_ws(":", lit("mix"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(first("n_docs").as("n_docs"),
+        first("rate_ppm").as("rate_ppm"),
+        sum(when(col("u_ppm") < col("rate_ppm"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .withColumn("achieved_rate",
+        round(col("n_kept").cast("double") / col("n_docs"), 4))
+  }
+
   /** Deterministic global training-order shuffle + balanced shard
     * assignment: every doc gets a seed-keyed md5 shuffle key, a CONTIGUOUS
     * global position in shuffle-key order, and a shard of `perShard`

@@ -450,4 +450,67 @@ class TrainingDataSpec extends SparkSpec {
       if (shard < maxShard) assert(cnt === 100L, s"shard $shard not full")
     }
   }
+
+  test("chunk windows: census equals an independent per-doc recomputation") {
+    val (window, stride) = (256, 192)
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs
+      .map { case (lang, text) =>
+        val n = text.split(" ", -1).length.toLong
+        val nWin = if (n <= window) 1L else (n - window + stride - 1) / stride + 1
+        val lens = (0L until nWin).map(k => math.min(window.toLong, n - k * stride))
+        assert(lens.forall(_ > 0), "window covering must never go non-positive")
+        (lang, (1L, nWin, lens.count(_ == window).toLong, lens.sum))
+      }
+      .groupBy(_._1).map { case (lang, rs) =>
+        lang -> rs.map(_._2).reduce((a, b) =>
+          (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+      }
+    val got = TrainingData.qChunkWindows(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === want)
+    // every doc contributes at least one window; full windows only exist
+    // where docs exceed the window size
+    got.values.foreach { case (nDocs, nWindows, nFull, tokenSum) =>
+      assert(nWindows >= nDocs)
+      assert(nFull <= nWindows)
+      assert(tokenSum >= nDocs) // ≥ 1 token per window
+    }
+  }
+
+  test("domain mix: integer rates and drawn counts equal a JVM recomputation") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2)
+    val total = docs.length.toLong
+    val nSources = bySource.size.toLong
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def uPpm(id: Long): Long = {
+      val hex = md.digest(s"mix:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val want = bySource.map { case (src, ds) =>
+      val n = ds.length.toLong
+      val rate = math.min(1000000L, (total * 500000L) / (nSources * n))
+      val kept = ds.count { case (id, _) => uPpm(id) < rate }.toLong
+      src -> ((n, rate, kept,
+        math.rint(kept.toDouble / n * 10000) / 10000))
+    }
+    val got = TrainingData.qDomainMix(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === want)
+    // rate-capped sources keep everything they can; nothing over-draws
+    got.values.foreach { case (n, rate, kept, _) =>
+      assert(kept <= n)
+      if (rate == 1000000L) assert(kept === n, "uncapped rate must keep all")
+    }
+  }
 }
