@@ -96,15 +96,34 @@ object Bench {
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () } // audit file is best-effort
 
-    val qs = med.map { case (q, v) => s""""$q":${fmt(v)}""" }
-      .mkString("{", ",", "}")
     val total = fmt(med.map(_._2).filter(_ >= 0).sum)
     val sfLabel = sfDir.split('/').last
     // any query with a failed run is named in the summary line — the
     // total alone cannot distinguish "faster" from "silently broken"
     val failed = names.filter(q => runs(q).exists(_ < 0))
     val failedJson = failed.map(q => s""""$q"""").mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfLabel","n_failed":${failed.size},"failed":$failedJson}""")
+    // The consumer captures a BOUNDED TAIL of this log (2000 chars): a
+    // queries map that outgrows it gets its HEAD truncated — the line
+    // stops parsing and the alphabetically-early queries vanish from the
+    // round record (which is how round 5 lost its q_ann_* lines). Emit
+    // SLOWEST-FIRST and stop while the whole line still fits; the
+    // omitted tail is sub-median noise, and the full per-run data is in
+    // BENCH_LOCAL.json either way.
+    val lineBudget = 1850
+    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"full":"BENCH_LOCAL.json","queries":{"""
+    val suffix = "}}"
+    val entries = med.sortBy(-_._2).map { case (q, v) => s""""$q":${fmt(v)}""" }
+    // strict prefix of the slowest-first order: stop at the first entry
+    // that would overflow, so "present in the line" always means "slower
+    // than everything omitted"
+    val kept = scala.collection.mutable.ListBuffer.empty[String]
+    var len = prefix.length + suffix.length
+    var full = false
+    entries.foreach { e =>
+      val add = e.length + (if (kept.isEmpty) 0 else 1)
+      if (!full && len + add <= lineBudget) { kept += e; len += add }
+      else full = true
+    }
+    println(prefix + kept.mkString(",") + suffix)
   }
 }

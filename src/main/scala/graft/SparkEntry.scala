@@ -908,7 +908,7 @@ object SparkEntry {
         |         SELECT dd.vec_id, dd.sub, dd.cell,
         |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
         |         FROM (SELECT r.vec_id, r.sub, c.cell,
-        |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
+        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
         |               FROM tr r JOIN c0 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
         |       WHERE rn = 1),
         |c1 AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
@@ -917,12 +917,12 @@ object SparkEntry {
         |         SELECT dd.vec_id, dd.sub, dd.cell,
         |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
         |         FROM (SELECT r.vec_id, r.sub, c.cell,
-        |                 sum(CAST(round((r.x - c.m) * (r.x - c.m) * 1e12) AS BIGINT)) AS dist
+        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
         |               FROM r JOIN c1 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
         |       WHERE rn = 1),
         |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
         |lut AS (SELECT r.vec_id AS qid, r.sub, c.cell,
-        |          CAST(sum(CAST(round(r.x * c.m * 1e12) AS BIGINT)) AS BIGINT) AS l
+        |          CAST(sum(CAST(floor(r.x * c.m * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS l
         |        FROM r JOIN c1 c ON r.sub = c.sub AND r.d = c.d
         |        WHERE r.vec_id < 20 GROUP BY 1, 2, 3),
         |sc AS (SELECT l.qid, k.vec_id AS nid, CAST(sum(l.l) AS BIGINT) AS s_fp

@@ -476,7 +476,7 @@ object Similarity {
     * and never recovers). Every float reduction is replaced by a
     * fixed-point integer sum (the [[qEmbeddingCentroids]] discipline):
     * centroid means accumulate `round(x·2¹⁶)`, assignment distances and
-    * ADC partials accumulate `round(· ·1e12)`. Integer sums are
+    * ADC partials accumulate `floor(··1e12 + ½)`. Integer sums are
     * order-independent, so codebook, codes, shortlist, and final ranks
     * are bit-identical under any partitioning — which is what lets this
     * APPROXIMATE index carry an exact DuckDB oracle (like q8, unlike
@@ -513,11 +513,19 @@ object Similarity {
     // codegen. Integer addition is associative, so the unrolled
     // left-to-right sum is the same order-independent value the oracle's
     // SQL SUM computes.
+    //
+    // Quantizer: floor(x + 0.5), NOT round() — Spark's round on a double
+    // routes through BigDecimal, and one allocation per term × 8 terms ×
+    // cells × rows made the two assignment scans this query's hottest
+    // stages (~2 s of its bench line). floor is one IEEE primitive with
+    // the identical bit pattern in any engine, so it is also STRICTLY
+    // more portable than decimal rounding for this fixed-point use.
     def unrolled(term: Int => Column): Column =
       (0 until 8).map(term).reduce(_ + _)
+    def q12(x: Column): Column = floor(x * 1e12 + 0.5)
     def distTo(ms: Column): Column = unrolled { i =>
       val diff = element_at(col("xs"), i + 1) - element_at(ms, i + 1)
-      round(diff * diff * 1e12).cast("long")
+      q12(diff * diff)
     }
     // the codebook trains on a DETERMINISTIC HALF-SAMPLE (vec_id % 2):
     // k-means quality is statistically indifferent to the sample while
@@ -564,8 +572,8 @@ object Similarity {
     val lut = subs.filter(col("vec_id") < nQueries)
       .join(broadcast(codebook), "sub")
       .select(col("vec_id").as("qid"), col("sub"), col("cell"),
-        unrolled(i => round(element_at(col("xs"), i + 1)
-          * element_at(col("ms"), i + 1) * 1e12).cast("long")).as("l"))
+        unrolled(i => q12(element_at(col("xs"), i + 1)
+          * element_at(col("ms"), i + 1))).as("l"))
     val norms = emb.select(col("vec_id"), col("norm"))
     // candidate score = 8 integer table lookups summed; the LUT (queries ×
     // 8 × cells) broadcasts, so the scan streams the 6-byte codes once
