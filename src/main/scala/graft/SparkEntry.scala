@@ -175,6 +175,10 @@ object SparkEntry {
     // carry an exact oracle
     "q_ann_pq" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnPq(s, d)),
+    // index maintenance: an existing IVF index absorbs a new batch by
+    // pure assignment (no retrain); per-cell ingest census with drift
+    "q_ivf_ingest" -> ((s: SparkSession, d: String) =>
+      Similarity.qIvfIngest(s, d)),
     // -- corpus preparation (north star) --
     // connected components over the exact-verified near-dup pairs;
     // oracled by DuckDB recursive-CTE reachability
@@ -943,6 +947,44 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
         |  FROM rr)
         |WHERE rnk <= 5""".stripMargin,
+    // same Forgy + one-Lloyd-round + fixed-point discipline as q_ann_pq,
+    // over full 64-dim vectors and 16 cells; the ingest census is the
+    // all-vector assignment against the trained (resident-batch) index
+    "q_ivf_ingest" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |r AS (SELECT vec_id, CAST(i AS INT) AS d,
+        |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
+        |      FROM e, generate_series(1, 64) t(i)),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+        |         list_transform(v, x -> round(x, 6)) AS m
+        |       FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |         SELECT t.vec_id, c.cell, row_number() OVER (
+        |           PARTITION BY t.vec_id ORDER BY list_reduce(
+        |             list_transform(range(1, 65), i ->
+        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |             (x, y) -> x + y), c.cell) AS rn
+        |         FROM e t, c0 c WHERE t.vec_id % 2 = 0)
+        |       WHERE rn = 1),
+        |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
+        |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
+        |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1),
+        |best AS (SELECT vec_id, cell, dist FROM (
+        |           SELECT t.vec_id, c.cell, list_reduce(
+        |             list_transform(range(1, 65), i ->
+        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |             (x, y) -> x + y) AS dist,
+        |             row_number() OVER (PARTITION BY t.vec_id ORDER BY list_reduce(
+        |               list_transform(range(1, 65), i ->
+        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |               (x, y) -> x + y), c.cell) AS rn
+        |           FROM e t, c1 c)
+        |         WHERE rn = 1)
+        |SELECT CAST(cell AS BIGINT) AS cell,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
+        |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(coalesce(sum(CASE WHEN vec_id % 2 = 1 THEN dist END), 0) AS BIGINT) AS new_dist_fp
+        |FROM best GROUP BY 1""".stripMargin,
     // same integer sufficient statistics (Σqi, Σqj, Σqiqj); the exact
     // integer numerator (BIGINT here — oracle SFs fit comfortably) goes
     // through ONE IEEE division, matching Spark's decimal path bit-for-bit

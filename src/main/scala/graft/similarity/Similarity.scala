@@ -608,4 +608,74 @@ object Similarity {
     rerank.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Incremental IVF INGEST — the index-maintenance half of the ANN
+    * story, the [[graft.pipeline.TrainingData.incrementalClusters]]
+    * counterpart for vector indexes: an existing index (centroids trained
+    * on the resident batch, vec_id % trainMod == 0) absorbs a NEW batch
+    * by pure assignment — no retraining, no touch of resident postings.
+    * Output is the per-cell ingest census: resident count, new count, and
+    * the new batch's summed quantized distance (the drift signal a real
+    * pipeline watches to decide when retraining IS due).
+    *
+    * Same determinism discipline as [[qAnnPq]]: Forgy seed + one Lloyd
+    * round, fixed-point integer centroid means, `floor(·1e12 + ½)`
+    * distance quantization — assignment is bit-stable under any
+    * partitioning, so the census carries an exact DuckDB oracle.
+    *
+    * Scale shape: centroids are collected once (cells × 64 doubles —
+    * kilobytes) and broadcast; assignment is one stateless map over the
+    * ingest (crossJoin against the tiny centroid relation + a map-side-
+    * combinable argmin); the census shuffles `cells` rows. At 100 TB the
+    * resident index never re-shuffles — exactly why ingest-by-assignment
+    * exists. */
+  def qIvfIngest(
+      spark: SparkSession, dir: String,
+      cells: Int = 16, trainMod: Int = 2): DataFrame = {
+    val emb = corpus(spark, dir, norm = false)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xs"))
+    def q12(x: Column): Column = floor(x * 1e12 + 0.5)
+    def distTo(ms: Column): Column =
+      (0 until 64).map { i =>
+        val diff = element_at(col("xs"), i + 1) - element_at(ms, i + 1)
+        q12(diff * diff)
+      }.reduce(_ + _)
+    def assign(input: DataFrame, cent: DataFrame): DataFrame = input
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), distTo(col("ms")).as("dist"), col("cell"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).as("mc"))
+      .select(col("vec_id"), col("mc.cell").as("cell"),
+        col("mc.dist").as("dist"))
+    val train = emb.filter(col("vec_id") % trainMod === 0)
+    val forgy = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("xs"), x => round(x, 6)).as("ms"))
+    val mean = train
+      .join(assign(train, forgy).select("vec_id", "cell"), "vec_id")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(round(element_at(col("xs"), i + 1) * (1L << 16))
+            .cast("long"))): _*).as("sq"))
+      .select(col("cell"),
+        transform(col("sq"), s => round(s / 65536.0 / col("n"), 6)).as("ms"))
+    // the published index: tiny, collected once, broadcast to the ingest
+    import spark.implicits._
+    val centroids = spark.createDataFrame(
+      mean.as[(Int, Seq[Double])].collect().toIndexedSeq)
+      .toDF("cell", "ms")
+    assign(emb, centroids)
+      .groupBy("cell")
+      .agg(
+        sum(when(col("vec_id") % trainMod === 0, 1L).otherwise(0L))
+          .as("n_existing"),
+        sum(when(col("vec_id") % trainMod =!= 0, 1L).otherwise(0L))
+          .as("n_new"),
+        coalesce(sum(when(col("vec_id") % trainMod =!= 0, col("dist"))),
+          lit(0L)).as("new_dist_fp"))
+      .select(col("cell").cast("long").as("cell"),
+        col("n_existing"), col("n_new"), col("new_dist_fp"))
+  }
 }

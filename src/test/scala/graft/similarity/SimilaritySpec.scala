@@ -231,4 +231,22 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
     assert(v === bf)
   }
+
+  test("IVF ingest: census accounts for every vector, bit-stable reruns") {
+    def run() = Similarity.qIvfIngest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val a = run()
+    assert(a === run(), "assignment census must be bit-stable across runs")
+    val total = graft.relational.Tables.load(spark, dir, "embeddings").count()
+    assert(a.values.map(v => v._1 + v._2).sum === total,
+      "every vector (resident + ingest) lands in exactly one cell")
+    assert(a.size <= 16 && a.size > 1, s"implausible cell count ${a.size}")
+    a.foreach { case (cell, (_, nNew, distFp)) =>
+      assert(distFp >= 0L, s"cell $cell negative drift")
+      if (nNew == 0L) assert(distFp === 0L, s"cell $cell drift without ingest")
+    }
+    // both batches actually present in the census
+    assert(a.values.map(_._1).sum > 0 && a.values.map(_._2).sum > 0)
+  }
 }
