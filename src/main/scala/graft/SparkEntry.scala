@@ -179,6 +179,10 @@ object SparkEntry {
     // pure assignment (no retrain); per-cell ingest census with drift
     "q_ivf_ingest" -> ((s: SparkSession, d: String) =>
       Similarity.qIvfIngest(s, d)),
+    // SemDeDup: near-duplicate MEANING — within-cell cosine pairs over
+    // the trained cells, components labeled by min member
+    "q_semdedup" -> ((s: SparkSession, d: String) =>
+      Similarity.qSemDedup(s, d)),
     // -- corpus preparation (north star) --
     // connected components over the exact-verified near-dup pairs;
     // oracled by DuckDB recursive-CTE reachability
@@ -947,6 +951,52 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
         |  FROM rr)
         |WHERE rnk <= 5""".stripMargin,
+    // the q_ivf_ingest pipeline trained on the FULL corpus, then
+    // within-cell cosine pairs -> recursive-CTE reachability (the
+    // q_dedup_clusters oracle pattern on the semantic pair relation)
+    "q_semdedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |r AS (SELECT vec_id, CAST(i AS INT) AS d,
+        |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
+        |      FROM e, generate_series(1, 64) t(i)),
+        |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+        |         list_transform(v, x -> round(x, 6)) AS m
+        |       FROM e WHERE vec_id < 16),
+        |a1 AS (SELECT vec_id, cell FROM (
+        |         SELECT t.vec_id, c.cell, row_number() OVER (
+        |           PARTITION BY t.vec_id ORDER BY list_reduce(
+        |             list_transform(range(1, 65), i ->
+        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |             (x, y) -> x + y), c.cell) AS rn
+        |         FROM e t, c0 c)
+        |       WHERE rn = 1),
+        |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
+        |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
+        |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1),
+        |best AS (SELECT vec_id, cell FROM (
+        |           SELECT t.vec_id, c.cell, row_number() OVER (
+        |             PARTITION BY t.vec_id ORDER BY list_reduce(
+        |               list_transform(range(1, 65), i ->
+        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |               (x, y) -> x + y), c.cell) AS rn
+        |           FROM e t, c1 c)
+        |         WHERE rn = 1),
+        |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+        |          FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |          JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |          JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+        |          WHERE round(list_reduce(list_transform(range(1, 65),
+        |              i -> ea.v[i] * eb.v[i]), (x, y) -> x + y)
+        |            / (na.nrm * nb.nrm), 6) >= 0.4),
+        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+        |          UNION ALL SELECT d2, d1 FROM pairs),
+        |reach(id, rr) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.rr = edges.src)
+        |SELECT id AS vec_id, min(rr) AS cluster_id, min(rr) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin,
     // same Forgy + one-Lloyd-round + fixed-point discipline as q_ann_pq,
     // over full 64-dim vectors and 16 cells; the ingest census is the
     // all-vector assignment against the trained (resident-batch) index

@@ -635,38 +635,9 @@ object Similarity {
     val emb = corpus(spark, dir, norm = false)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("xs"))
-    def q12(x: Column): Column = floor(x * 1e12 + 0.5)
-    def distTo(ms: Column): Column =
-      (0 until 64).map { i =>
-        val diff = element_at(col("xs"), i + 1) - element_at(ms, i + 1)
-        q12(diff * diff)
-      }.reduce(_ + _)
-    def assign(input: DataFrame, cent: DataFrame): DataFrame = input
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), distTo(col("ms")).as("dist"), col("cell"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("cell"))).as("mc"))
-      .select(col("vec_id"), col("mc.cell").as("cell"),
-        col("mc.dist").as("dist"))
-    val train = emb.filter(col("vec_id") % trainMod === 0)
-    val forgy = emb.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cell"),
-        transform(col("xs"), x => round(x, 6)).as("ms"))
-    val mean = train
-      .join(assign(train, forgy).select("vec_id", "cell"), "vec_id")
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n"),
-        array((0 until 64).map(i =>
-          sum(round(element_at(col("xs"), i + 1) * (1L << 16))
-            .cast("long"))): _*).as("sq"))
-      .select(col("cell"),
-        transform(col("sq"), s => round(s / 65536.0 / col("n"), 6)).as("ms"))
-    // the published index: tiny, collected once, broadcast to the ingest
-    import spark.implicits._
-    val centroids = spark.createDataFrame(
-      mean.as[(Int, Seq[Double])].collect().toIndexedSeq)
-      .toDF("cell", "ms")
-    assign(emb, centroids)
+    val centroids = lloydCentroids(spark, emb,
+      emb.filter(col("vec_id") % trainMod === 0), cells)
+    assignCells(emb, centroids)
       .groupBy("cell")
       .agg(
         sum(when(col("vec_id") % trainMod === 0, 1L).otherwise(0L))
@@ -677,5 +648,93 @@ object Similarity {
           lit(0L)).as("new_dist_fp"))
       .select(col("cell").cast("long").as("cell"),
         col("n_existing"), col("n_new"), col("new_dist_fp"))
+  }
+
+  /** Fixed-point `floor(x·1e12 + ½)`-quantized distance of a row's `xs`
+    * array to a centroid array, unrolled over the 64 dims so it stays in
+    * whole-stage codegen (see [[qAnnPq]] for why round() is banned from
+    * these scans). */
+  private def cellDist(ms: Column): Column =
+    (0 until 64).map { i =>
+      val diff = element_at(col("xs"), i + 1) - element_at(ms, i + 1)
+      floor(diff * diff * 1e12 + 0.5)
+    }.reduce(_ + _)
+
+  /** Nearest trained cell per vector: crossJoin against the tiny
+    * broadcast centroid relation, map-side-combinable argmin. Input
+    * needs (vec_id, xs); emits (vec_id, cell, dist). */
+  private def assignCells(input: DataFrame, cent: DataFrame): DataFrame =
+    input
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), cellDist(col("ms")).as("dist"), col("cell"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cell"))).as("mc"))
+      .select(col("vec_id"), col("mc.cell").as("cell"),
+        col("mc.dist").as("dist"))
+
+  /** One deterministic Lloyd round from a Forgy seed over `train`
+    * (Forgy rows come from the full `emb` so cell ids are stable
+    * regardless of the train slice), fixed-point integer means — the
+    * [[qAnnPq]] codebook discipline on full 64-dim vectors. Returned
+    * COLLECTED as a tiny local relation: the published-index step; at
+    * 100 TB this is exactly the artifact that ships to executors. */
+  private def lloydCentroids(
+      spark: SparkSession, emb: DataFrame, train: DataFrame,
+      cells: Int): DataFrame = {
+    val forgy = emb.filter(col("vec_id") < cells)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("xs"), x => round(x, 6)).as("ms"))
+    val mean = train
+      .join(assignCells(train, forgy).select("vec_id", "cell"), "vec_id")
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(round(element_at(col("xs"), i + 1) * (1L << 16))
+            .cast("long"))): _*).as("sq"))
+      .select(col("cell"),
+        transform(col("sq"), s => round(s / 65536.0 / col("n"), 6)).as("ms"))
+    import spark.implicits._
+    spark.createDataFrame(
+      mean.as[(Int, Seq[Double])].collect().toIndexedSeq)
+      .toDF("cell", "ms")
+  }
+
+  /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
+    * not near-duplicate text: cluster the corpus embeddings (Forgy + one
+    * Lloyd round, the [[qIvfIngest]] index), then within each cell link
+    * every pair whose exact cosine clears `threshold` and emit connected
+    * components labeled by their minimum member, keeper = the label —
+    * the same (id, cluster_id, is_keeper) contract as
+    * [[graft.pipeline.TrainingData.qDedupClusters]], so downstream
+    * keep-list consumers are interchangeable.
+    *
+    * Scale shape: candidate pairs are bounded per CELL, never corpus ×
+    * corpus — the cell count is the dial (cells ∝ N keeps within-cell
+    * pair work linear); the component solve reuses the O(log diameter)
+    * star-contraction machinery. Oracle: the full pipeline replayed in
+    * DuckDB — centroid training, assignment, within-cell cosine pairs,
+    * recursive-CTE reachability. */
+  def qSemDedup(
+      spark: SparkSession, dir: String,
+      cells: Int = 16, threshold: Double = 0.4): DataFrame = {
+    val embN = corpus(spark, dir)
+    val emb = embN.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("xs"))
+    val centroids = lloydCentroids(spark, emb, emb, cells)
+    val assigned = assignCells(emb, centroids).select("vec_id", "cell")
+      .join(embN.select(col("vec_id"), col("embedding"), col("norm")),
+        "vec_id")
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("d1"),
+        col("embedding").as("v1"), col("norm").as("n1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("d2"),
+        col("embedding").as("v2"), col("norm").as("n2")), "cell")
+      .filter(col("d1") < col("d2"))
+      .filter(round(vec_dot(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 6) >= threshold)
+      .select("d1", "d2")
+    graft.pipeline.TrainingData.connectedComponents(pairs, spark)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_keeper"))
   }
 }

@@ -249,4 +249,23 @@ class SimilaritySpec extends SparkSpec {
     // both batches actually present in the census
     assert(a.values.map(_._1).sum > 0 && a.values.map(_._2).sum > 0)
   }
+
+  test("semantic dedup: min-labeled components over within-cell cosine pairs") {
+    val rows = Similarity.qSemDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.nonEmpty, "fixture must produce semantic dup pairs")
+    // label = component minimum; keeper flag consistent with the label
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._1).min === cid,
+        s"cluster $cid not labeled by its min member")
+      assert(members.count(_._3) === 1 &&
+        members.find(_._3).get._1 === cid)
+    }
+    // clusters have >= 2 members (singletons never enter the pair relation)
+    assert(rows.groupBy(_._2).values.forall(_.size >= 2))
+    // bit-stable across runs
+    val again = Similarity.qSemDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.toSet === again.toSet)
+  }
 }
