@@ -45,6 +45,9 @@ object SparkEntry {
     "q1_pricing_summary" -> (RelationalQueries.q1PricingSummary _),
     "q3_shipping_priority" -> (RelationalQueries.q3ShippingPriority _),
     "q5_local_supplier" -> (RelationalQueries.q5LocalSupplierVolume _),
+    // same dimension joined twice under different roles (Q7 shape)
+    "q7_nation_volume" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.q7NationVolume(s, d)),
     "q6_forecast_revenue" -> (RelationalQueries.q6ForecastRevenue _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
     "q_customer_order_stats" -> (RelationalQueries.qCustomerOrderStats _),
@@ -426,6 +429,21 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -54,6 +54,38 @@ object RelationalQueries {
       .limit(10)
   }
 
+  /** TPC-H Q7 shape: cross-nation shipping volume — the SAME dimension
+    * joined TWICE under different roles (supplier's nation vs customer's
+    * nation), the alias-disambiguation pattern Q5's single-role join
+    * never exercises, with the symmetric either-direction predicate and
+    * a per-(pair, year) census. Both nation sides broadcast; the only
+    * shuffle is lineitem ⋈ orders and the final tiny aggregate. */
+  def q7NationVolume(
+      spark: SparkSession, dir: String,
+      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val nations = load(spark, dir, "nation")
+      .filter(col("n_name").isin(nationA, nationB))
+    val suppNation = nations
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val custNation = nations
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    load(spark, dir, "lineitem")
+      .join(load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(custNation), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q5 shape: local supplier volume in ASIA — 6-way join with the
     * c_nationkey = s_nationkey co-location constraint; dims broadcast. */
   def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
