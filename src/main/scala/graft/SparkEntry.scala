@@ -186,6 +186,10 @@ object SparkEntry {
     // the trained cells, components labeled by min member
     "q_semdedup" -> ((s: SparkSession, d: String) =>
       Similarity.qSemDedup(s, d)),
+    // contrastive hard negatives: top-k cross-label neighbors via the
+    // banded candidate path; brute-force-with-label-filter oracle
+    "q_hard_negatives" -> ((s: SparkSession, d: String) =>
+      Similarity.qHardNegatives(s, d)),
     // -- corpus preparation (north star) --
     // connected components over the exact-verified near-dup pairs;
     // oracled by DuckDB recursive-CTE reachability
@@ -968,6 +972,20 @@ object SparkEntry {
         |SELECT * FROM (SELECT qid, nid, sim,
         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
         |  FROM rr)
+        |WHERE rnk <= 5""".stripMargin,
+    // brute-force cross-label top-k: the banded candidate path computes
+    // this exact relation (escape bound is label-independent)
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid, c.label AS neg_label,
+        |        round(${duckCos("q.v", "c.v")}, 6) AS sim
+        |      FROM e q JOIN e c
+        |        ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label)
+        |SELECT * FROM (SELECT qid, nid, neg_label, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |  FROM d)
         |WHERE rnk <= 5""".stripMargin,
     // the q_ivf_ingest pipeline trained on the FULL corpus, then
     // within-cell cosine pairs -> recursive-CTE reachability (the

@@ -609,6 +609,51 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training data op: per query
+    * vector, the top-k most similar neighbors of a DIFFERENT label
+    * (similar-but-wrong examples are what contrastive/metric losses
+    * learn from; random negatives are too easy to carry gradient).
+    *
+    * Scale shape: the [[qAnnLshVerified]] banded candidate generator
+    * (band-keyed equi-join over 2-bit signature bands, each pair emitted
+    * once) with the label-mismatch predicate applied BEFORE the exact
+    * re-rank — never query × corpus. The all-bands-escape bound
+    * (≈ 1.6e-4 even for orthogonal pairs) is label-independent, so the
+    * result provably-rarely differs from the brute-force relation and
+    * carries the brute-force-with-label-filter DuckDB oracle, equality
+    * asserted row-for-row in SimilaritySpec. */
+  def qHardNegatives(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, bandBits: Int = 2): DataFrame = {
+    val emb = corpus(spark, dir)
+      .withColumn("sig", signSignature(col("embedding")))
+    val left = bandedSig(emb.filter(col("vec_id") < nQueries),
+      "vec_id", "qid", "sa", bandBits)
+    val right = bandedSig(emb, "vec_id", "nid", "sb", bandBits)
+      .withColumnRenamed("band", "band2")
+      .withColumnRenamed("bval", "bval2")
+      .drop("lowmask")
+    val pairs = left.join(right,
+      col("band") === col("band2") && col("bval") === col("bval2") &&
+        col("qid") =!= col("nid") &&
+        firstMatchingBand(col("sa"), col("sb"), bandBits))
+      .select(col("qid"), col("nid"))
+    val v = emb.select(col("vec_id"), col("embedding"), col("norm"),
+      col("label").cast("long").as("label"))
+    val scored = pairs
+      .join(v.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("label").as("ql")), "qid")
+      .join(v.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("norm").as("nn"), col("label").as("nl")), "nid")
+      .filter(col("ql") =!= col("nl"))
+      .select(col("qid"), col("nid"), col("nl").as("neg_label"),
+        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Incremental IVF INGEST — the index-maintenance half of the ANN
     * story, the [[graft.pipeline.TrainingData.incrementalClusters]]
     * counterpart for vector indexes: an existing index (centroids trained

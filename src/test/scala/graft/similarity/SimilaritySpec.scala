@@ -250,6 +250,42 @@ class SimilaritySpec extends SparkSpec {
     assert(a.values.map(_._1).sum > 0 && a.values.map(_._2).sum > 0)
   }
 
+  test("hard negatives: banded path equals brute force with label filter") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val got = Similarity.qHardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    // independent brute force: all cross-label pairs, exact cosine, top-5
+    val emb = graft.relational.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+      .withColumn("norm", sqrt(graft.functions.vec_dot(
+        col("embedding"), col("embedding"))))
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("label").as("ql"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("norm").as("nn"), col("label").as("nl"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    val want = q.join(c, col("qid") =!= col("nid") && col("ql") =!= col("nl"))
+      .select(col("qid"), col("nid"), col("nl").as("neg_label"),
+        round(graft.functions.vec_dot(col("qv"), col("nv"))
+          / (col("qn") * col("nn")), 6).as("sim"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(got === want)
+    // and they really are negatives: no self-label pair survived
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (qid, nid, nl, _, _) =>
+      assert(labels(nid) === nl)
+      assert(labels(qid) !== nl)
+    }
+  }
+
   test("semantic dedup: min-labeled components over within-cell cosine pairs") {
     val rows = Similarity.qSemDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
