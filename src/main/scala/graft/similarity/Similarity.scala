@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.vec_dot
 import graft.relational.Tables
@@ -766,20 +767,28 @@ object Similarity {
     val emb = embN.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("xs"))
     val centroids = lloydCentroids(spark, emb, emb, cells)
+    // both sides of the within-cell self-join read the assignment; left
+    // lazy, each branch would replay the crossJoin + argmin chain. The
+    // component solve below consumes the pairs EAGERLY, so the persist
+    // scope is this call: materialize, solve, release.
     val assigned = assignCells(emb, centroids).select("vec_id", "cell")
       .join(embN.select(col("vec_id"), col("embedding"), col("norm")),
         "vec_id")
-    val pairs = assigned
-      .select(col("cell"), col("vec_id").as("d1"),
-        col("embedding").as("v1"), col("norm").as("n1"))
-      .join(assigned.select(col("cell"), col("vec_id").as("d2"),
-        col("embedding").as("v2"), col("norm").as("n2")), "cell")
-      .filter(col("d1") < col("d2"))
-      .filter(round(vec_dot(col("v1"), col("v2"))
-        / (col("n1") * col("n2")), 6) >= threshold)
-      .select("d1", "d2")
-    graft.pipeline.TrainingData.connectedComponents(pairs, spark)
-      .select(col("doc_id").as("vec_id"), col("cluster_id"),
-        col("is_keeper"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.count() // populate before the self-join's two readers race
+      val pairs = assigned
+        .select(col("cell"), col("vec_id").as("d1"),
+          col("embedding").as("v1"), col("norm").as("n1"))
+        .join(assigned.select(col("cell"), col("vec_id").as("d2"),
+          col("embedding").as("v2"), col("norm").as("n2")), "cell")
+        .filter(col("d1") < col("d2"))
+        .filter(round(vec_dot(col("v1"), col("v2"))
+          / (col("n1") * col("n2")), 6) >= threshold)
+        .select("d1", "d2")
+      graft.pipeline.TrainingData.connectedComponents(pairs, spark)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"),
+          col("is_keeper"))
+    } finally assigned.unpersist(blocking = false)
   }
 }
