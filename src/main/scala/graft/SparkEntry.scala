@@ -444,8 +444,8 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE n1.n_name IN ('NATION_13', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_13', 'NATION_19')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
     "q3_shipping_priority" ->

@@ -62,7 +62,7 @@ object RelationalQueries {
     * shuffle is lineitem ⋈ orders and the final tiny aggregate. */
   def q7NationVolume(
       spark: SparkSession, dir: String,
-      nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+      nationA: String = "NATION_13", nationB: String = "NATION_19"): DataFrame = {
     val nations = load(spark, dir, "nation")
       .filter(col("n_name").isin(nationA, nationB))
     val suppNation = nations
