@@ -231,6 +231,10 @@ object SparkEntry {
     // the plain IN-subquery
     "q_bloom_prune" -> ((s: SparkSession, d: String) =>
       graft.relational.BloomPrune.qBloomPrune(s, d)),
+    // crawl-graph quality ranking: fixed-point PageRank over the
+    // supplier<->part trade graph; integer arithmetic -> exact oracle
+    "q_pagerank" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qPageRank(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -306,6 +310,26 @@ object SparkEntry {
       |WHERE jaccard >= 0.5""".stripMargin
 
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
+  /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
+    * truncating integer division per edge then per damping step —
+    * exactly [[graft.graph.GraphOps.pageRank]]'s fixed-point contract. */
+  private def pageRankSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT dst AS node,
+         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |edges AS (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs
+       |          UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |e AS (SELECT edges.src, dst, outdeg FROM edges JOIN deg USING (src)),
+       |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+       |  node // 2 AS node_id, r AS rank_fp FROM r$iters""".stripMargin
+  }
+
   private def pass4(x: String): String =
     s"chr(97 + CAST(($x) // 17576 AS INT) % 26) || chr(97 + CAST(($x) // 676 AS INT) % 26) || " +
       s"chr(97 + CAST(($x) // 26 AS INT) % 26) || chr(97 + CAST(($x) AS INT) % 26)"
@@ -1284,6 +1308,7 @@ object SparkEntry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY 1""".stripMargin,
+    "q_pagerank" -> pageRankSql(5),
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
