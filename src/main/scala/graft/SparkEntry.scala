@@ -137,6 +137,10 @@ object SparkEntry {
       Dedup.qEditDistancePairs(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.qNgramJaccardPairs(s, d)),
+    // directed partial-dup containment |A∩B|/|A| — the signal Jaccard
+    // misses when a short doc is pasted into a long one
+    "q_containment" -> ((s: SparkSession, d: String) =>
+      Dedup.qContainmentPairs(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) =>
       Dedup.qMinhashLshPairs(s, d)),
     // md5-derived token hash: bit-reproducible by the DuckDB oracle
@@ -226,6 +230,10 @@ object SparkEntry {
     // domain-mix resampling to equal per-source share, integer ppm rates
     "q_domain_mix" -> ((s: SparkSession, d: String) =>
       TrainingData.qDomainMix(s, d)),
+    // DSIR-style data selection: hashed-unigram importance ratio of a
+    // target domain vs the corpus, integer ppm weights -> exact oracle
+    "q_dsir_weights" -> ((s: SparkSession, d: String) =>
+      TrainingData.qDsirWeights(s, d)),
     // explicit bloom semi-join reduction: prune the probe side before the
     // exchange; exact semi join scrubs false positives, so the oracle is
     // the plain IN-subquery
@@ -294,13 +302,19 @@ object SparkEntry {
   /** Exact 4-token-shingle Jaccard near-dup pairs at threshold 0.5 — the
     * oracle for both the brute-force join and the LSH-accelerated,
     * exact-verified variant (which computes the same relation). */
-  private val exactJaccardSql: String =
+  /** Shared 4-token-shingle CTE prefix (`sh`, `sizes`) — the SQL mirror
+    * of [[graft.dedup.Dedup.shingleArrays]]; every shingle-based oracle
+    * must derive from this one definition so they cannot drift. */
+  private val shingleCte: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
       |         range(1, greatest(len(l) - 2, 1)),
       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
       |       FROM toks),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
+
+  private val exactJaccardSql: String =
+    s"""$shingleCte,
       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)
@@ -308,6 +322,17 @@ object SparkEntry {
       |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
       |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** Directed containment pairs (see Dedup.qContainmentPairs): integer
+    * gate, one division, same shingle definition as Jaccard. */
+  private val containmentSql: String =
+    s"""$shingleCte,
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, round(CAST(inter AS DOUBLE) / sz, 6) AS containment
+      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+      |WHERE sz >= 5 AND inter * 10 >= sz * 9""".stripMargin
 
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
   /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
@@ -922,6 +947,7 @@ object SparkEntry {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
     "q_ngram_jaccard" -> exactJaccardSql,
+    "q_containment" -> containmentSql,
     // MinHash+LSH emits candidate pairs verified by EXACT Jaccard, so its
     // oracle is the same brute-force join — recall 1.0 on this corpus is
     // asserted by DedupSpec (every true pair here is J >= 0.88; the 8-band
@@ -1309,6 +1335,17 @@ object SparkEntry {
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
+    "q_dsir_weights" ->
+      """WITH wb AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS bucket
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |bg AS (SELECT bucket, count(*) AS cb FROM wb GROUP BY 1),
+        |tg AS (SELECT bucket, count(*) AS ct FROM wb WHERE lang = 'en' GROUP BY 1),
+        |w AS (SELECT bucket, ((coalesce(ct, 0) + 1) * 1000000) // (cb + 1) AS w
+        |      FROM bg LEFT JOIN tg USING (bucket))
+        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS dsir_score
+        |FROM wb JOIN w USING (bucket) GROUP BY 1""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,

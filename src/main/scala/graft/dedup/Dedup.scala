@@ -119,6 +119,34 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Asymmetric shingle containment — the partial-duplication signal
+    * Jaccard misses: a short document pasted inside a much longer one has
+    * low Jaccard but containment ≈ 1 from the short side. Emits DIRECTED
+    * pairs (`d1` contained in `d2`) at containment = |A∩B| / |A| ≥ 0.9,
+    * via the same shared-shingle equi-join as exact Jaccard (the count
+    * per ordered pair IS the intersection), so candidate fan-in stays
+    * bounded by shingle frequency — never all-pairs. The gate compares
+    * integers (10·inter ≥ 9·|A|); the reported containment is one
+    * deterministic division. Documents with fewer than 5 shingles are
+    * skipped: a two-shingle doc "contained" anywhere is noise, and the
+    * floor keeps the relation stable as the corpus grows. */
+  def qContainmentPairs(
+      spark: SparkSession, dir: String, minShingles: Int = 5): DataFrame = {
+    val shArr = shingleArrays(spark, dir)
+    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val sizes = shArr.select(col("doc_id"), size(col("sh_arr")).as("sz"))
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sz1")), "d1")
+      .filter(col("sz1") >= minShingles &&
+        col("inter") * 10 >= col("sz1").cast("long") * 9)
+      .select(col("d1"), col("d2"),
+        round(col("inter").cast("double") / col("sz1"), 6).as("containment"))
+  }
+
   /** MinHash signature of `numHashes` permutations over a shingle-array
     * column, via the native one-pass [[graft.text.MinHashSig]] kernel
     * (k running minima per row; the HOF formulation hashes every shingle

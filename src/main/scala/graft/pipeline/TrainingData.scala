@@ -926,4 +926,41 @@ object TrainingData {
         max("pos").as("last_pos"),
         sum("doc_id").as("docid_sum"))
   }
+
+  /** DSIR-style importance weights: score every document by how much its
+    * hashed-unigram profile resembles a target domain (here lang = `en`)
+    * relative to the whole corpus — the data-selection signal used to
+    * tilt a raw crawl toward a quality domain before sampling.
+    *
+    * Token → 64 md5-derived buckets (the same hashing-trick convention
+    * as feature hashing); per-bucket weight is the add-one-smoothed
+    * frequency ratio in integer ppm, w_b = (ct_b+1)·1e6 div (cb_b+1)
+    * computed with truncating division so every engine agrees bit-for-
+    * bit; a document's score is the exact integer sum of its tokens'
+    * bucket weights. (Real DSIR sums log-ratios; the integer ratio keeps
+    * the same ordering signal while staying oracle-exact.)
+    *
+    * Scale shape: two map-side-combinable counting aggregations build the
+    * 64-row weight table — the tiny model artifact — which then
+    * broadcast-joins onto the token stream; one groupBy(doc_id) emits the
+    * scores. Nothing quadratic, no driver loops, and the weight table is
+    * what a pipeline would persist to reuse across corpus versions. */
+  def qDsirWeights(
+      spark: SparkSession, dir: String,
+      targetLang: String = "en", dims: Int = 64): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+      .withColumn("bucket",
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dims)
+    val bg = toks.groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val tg = toks.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val weights = bg.join(tg, Seq("bucket"), "left")
+      .select(col("bucket"),
+        expr("((coalesce(ct, 0) + 1) * 1000000) div (cb + 1)").as("w"))
+    toks.join(broadcast(weights), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("dsir_score"))
+  }
 }

@@ -173,4 +173,28 @@ class DedupSpec extends SparkSpec {
     val hasDups = distinctTexts.getLong(0) < distinctTexts.getLong(1)
     assert(dups.nonEmpty === hasDups)
   }
+
+  test("containment pairs equal an all-pairs JVM replay; direction is real") {
+    // replay with the same shingle semantics: split keeps empties, only
+    // full 4-token windows shingle, sets are distinct
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> {
+        val t = r.getString(1).split(" ", -1)
+        t.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }).toMap
+    val want = (for {
+      (d1, a) <- docs; (d2, b) <- docs
+      if d1 != d2 && a.size >= 5
+      inter = (a & b).size
+      if 10L * inter >= 9L * a.size
+    } yield (d1, d2,
+      BigDecimal(inter.toDouble / a.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val got = Dedup.qContainmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got.nonEmpty, "corpus has planted near-dups; containment must fire")
+    got.foreach { case (_, _, c) => assert(c >= 0.9 && c <= 1.0) }
+  }
 }

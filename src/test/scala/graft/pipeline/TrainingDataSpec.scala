@@ -513,4 +513,40 @@ class TrainingDataSpec extends SparkSpec {
       if (rate == 1000000L) assert(kept === n, "uncapped rate must keep all")
     }
   }
+
+  test("dsir weights equal a JVM replay; target language scores higher") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (md.digest(tok.getBytes("UTF-8"))(0) & 0xFF).toLong % 64L
+    }
+    val all = docs.flatMap { case (id, lang, ts) =>
+      ts.map(t => (id, lang, bucket(t)))
+    }
+    val cb = all.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val ct = all.filter(_._2 == "en").groupBy(_._3)
+      .view.mapValues(_.length.toLong).toMap
+    val w = cb.map { case (b, n) =>
+      b -> ((ct.getOrElse(b, 0L) + 1L) * 1000000L) / (n + 1L)
+    }
+    val want = all.groupBy(_._1).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(r => w(r._3)).sum)
+    }.toMap
+    val got = TrainingData.qDsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // the signal: target-language docs average a higher per-token score
+    val byLang = docs.map { case (id, lang, _) =>
+      (lang, got(id)._2.toDouble / got(id)._1)
+    }
+    def mean(l: String) = {
+      val xs = byLang.filter(_._1 == l).map(_._2)
+      xs.sum / xs.length
+    }
+    assert(mean("en") > mean("zh"),
+      "en docs must score above zh under an en-target weighting")
+  }
 }
