@@ -143,6 +143,10 @@ object GraftExtensions {
       arity("bpe_count", 1, args)
       graft.text.BpeTokenCount(Cast(args(0), StringType))
     },
+    "bpe_pieces" -> { args: Seq[Expression] =>
+      arity("bpe_pieces", 1, args)
+      graft.text.BpePieces(Cast(args(0), StringType))
+    },
     "simhash_bands" -> { args: Seq[Expression] =>
       if (args.length != 1 && args.length != 2)
         throw new IllegalArgumentException(

@@ -111,6 +111,8 @@ object SparkEntry {
     // subword (BPE-inference) counting: native greedy-merge kernel,
     // oracled by a DuckDB recursive CTE replaying the same scan
     "q_token_bpe" -> (TextOps.qTokenBpe _),
+    // the id sequence itself (subword ENCODE): pieces + stable vocab ids
+    "q_bpe_encode" -> (TextOps.qBpeEncode _),
     // BPE TRAINING (tokenizer learning): iterative argmax, not
     // SQL-expressible -> rows-only here; BpeTrainSpec verifies against
     // an independent in-memory reference implementation
@@ -825,6 +827,26 @@ object SparkEntry {
         |  b.n_bpe AS n_tokens_bpe,
         |  round(CAST(d.n_chars AS DOUBLE) / nullif(b.n_bpe, 0), 4) AS chars_per_tok
         |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
+    "q_bpe_encode" ->
+      s"""WITH RECURSIVE
+        |bpe_vocab(vid, tok) AS (VALUES ${graft.text.BpeVocab.sqlValuesWithId}),
+        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |            generate_subscripts(string_split(text, ' '), 1) AS widx
+        |          FROM documents),
+        |states(doc_id, widx, word, pos, piece) AS (
+        |  SELECT doc_id, widx, word, 0, CAST(NULL AS VARCHAR) FROM words
+        |  UNION ALL
+        |  SELECT doc_id, widx, word, pos + step, substr(word, pos + 1, step)
+        |  FROM (SELECT doc_id, widx, word, pos,
+        |          coalesce((SELECT max(length(tok)) FROM bpe_vocab
+        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1) AS step
+        |        FROM states WHERE pos < length(word)) s)
+        |SELECT doc_id,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY widx, pos) - 1 AS seq,
+        |  piece,
+        |  CAST(coalesce((SELECT vid FROM bpe_vocab v WHERE v.tok = piece), -1)
+        |    AS BIGINT) AS piece_id
+        |FROM states WHERE piece IS NOT NULL""".stripMargin,
     // same deterministic PII injection, replayed in RE2; 'g' flag makes
     // DuckDB's regexp_replace global like Spark's
     "q_pii_scrub" ->

@@ -97,6 +97,11 @@ object functions {
   def bpe_count(text: Column): Column =
     col(graft.text.BpeTokenCount(Cast(expr(text), StringType)))
 
+  /** The subword piece sequence itself (array<string>);
+    * `size(bpe_pieces(t)) = bpe_count(t)` by construction. */
+  def bpe_pieces(text: Column): Column =
+    col(graft.text.BpePieces(Cast(expr(text), StringType)))
+
   /** Register ALL of graft's native expressions as SQL functions on this
     * session (cluster-wide alternative:
     * `spark.sql.extensions=graft.GraftExtensions` — same builder table).

@@ -138,6 +138,14 @@ object BpeVocab {
     * kernel and oracle share ONE vocab definition and cannot drift. */
   def sqlValues: String = tokens.map(t => s"('$t')").mkString(",")
 
+  /** `(0,'tok1'),(1,'tok2'),…` — same list with the token's stable id
+    * (its position in [[tokens]]), for oracles that check id assignment. */
+  def sqlValuesWithId: String =
+    tokens.zipWithIndex.map { case (t, i) => s"($i,'$t')" }.mkString(",")
+
+  /** token → stable id, the Spark-side mirror of [[sqlValuesWithId]]. */
+  val idOf: Map[String, Int] = tokens.zipWithIndex.toMap
+
   private[text] val maxLen = tokens.map(_.length).max
   // per-length sorted arrays of big-endian byte-packed tokens: the scan
   // probes (pos, len) slices with a binary search, zero allocation
@@ -197,6 +205,64 @@ object BpeKernel {
     }
     count
   }
+
+  /** The pieces themselves, in scan order (same greedy leftmost-longest
+    * walk as [[bpeCount]]; whitespace separates words and emits nothing).
+    * Matched pieces are vocab tokens; fallbacks are single codepoints —
+    * the SQL oracle reproduces both with character-semantics `substr`
+    * because ASCII vocab tokens never straddle multi-byte sequences. */
+  def bpePieces(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = mutable.ArrayBuffer.empty[Any]
+    var pos = 0
+    while (pos < n) {
+      if (bytes(pos) == 0x20) { pos += 1 }
+      else {
+        var matched = 0
+        var len = math.min(maxLen, n - pos)
+        while (matched == 0 && len >= 2) {
+          val table = packedByLen(len)
+          if (table.length > 0 &&
+            java.util.Arrays.binarySearch(table, pack(bytes, pos, len)) >= 0)
+            matched = len
+          len -= 1
+        }
+        val width =
+          if (matched > 0) matched
+          else {
+            val b = bytes(pos) & 0xff
+            if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4
+          }
+        out += UTF8String.fromBytes(bytes, pos, math.min(width, n - pos))
+        pos += width
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `bpe_pieces(text)` — the subword token sequence itself under the
+  * [[BpeVocab]] greedy merge table (see [[BpeKernel.bpePieces]]);
+  * `bpe_count(text) = size(bpe_pieces(text))` by construction. */
+case class BpePieces(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_pieces"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.bpePieces(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.text.BpeKernel.bpePieces($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpePieces =
+    copy(child = newChild)
 }
 
 /** `bpe_count(text)` — subword token count under the [[BpeVocab]] greedy

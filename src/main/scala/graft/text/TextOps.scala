@@ -60,6 +60,26 @@ object TextOps {
           when(col("n_tokens_bpe") =!= 0, col("n_tokens_bpe")), 4)
           .as("chars_per_tok"))
 
+  /** Subword ENCODING — the id sequence itself, what a pretokenizer
+    * actually writes next to packed sequences: every document's greedy-
+    * BPE pieces in scan order with their stable vocab ids (fallback
+    * single-codepoint pieces get id −1; a real tokenizer's byte-fallback
+    * ids are a fixed offset away). Map-only until the explode; the vocab
+    * id lookup is a 45-entry literal map in codegen, not a join. The
+    * oracle replays the scan with the recursive CTE of q_token_bpe plus
+    * the shared id'd vocab list, so the full (doc, seq, piece, id)
+    * relation is hash-checked, not just counted. */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val idMap = typedlit(graft.text.BpeVocab.idOf)
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.bpe_pieces(col("text")))
+          .as(Seq("seq", "piece")))
+      .select(col("doc_id"), col("seq").cast("long").as("seq"), col("piece"),
+        coalesce(element_at(idMap, col("piece")), lit(-1))
+          .cast("long").as("piece_id"))
+  }
+
   /** PII scrubbing — the redaction pass a training pipeline runs before
     * text ships: count and replace emails / phone numbers / IPv4
     * addresses with type tags. Pure regexp column expressions (three

@@ -54,6 +54,41 @@ class TextOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) === refBpeCount(r.getString(0))))
   }
 
+  test("bpe_pieces: reconstructs text, count-consistent, ids stable") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def pieces(s: String): Seq[String] = {
+      val a = BpeKernel.bpePieces(UTF8String.fromString(s))
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(pieces("the table") === Seq("the", "table"))
+    assert(pieces("tables") === Seq("table", "s"))
+    assert(pieces("") === Seq.empty)
+    // é and 日 are single-codepoint fallbacks; no vocab merge applies
+    assert(pieces("héllo 日本") === Seq("h", "é", "l", "l", "o", "日", "本"))
+    // concatenating pieces restores the text minus spaces, and the piece
+    // count equals bpe_count — on every corpus doc
+    val rows = TextOps.qBpeEncode(spark, dir)
+      .groupBy("doc_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("piece"))).as("chars"),
+        org.apache.spark.sql.functions.min("piece_id").as("min_id"),
+        org.apache.spark.sql.functions.max("piece_id").as("max_id"))
+      .join(graft.relational.Tables.load(spark, dir, "documents"), "doc_id")
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val text = r.getAs[String]("text")
+      assert(r.getAs[Long]("n") === refBpeCount(text))
+      assert(r.getAs[Long]("chars") ===
+        text.codePointCount(0, text.length) - text.count(_ == ' '))
+      assert(r.getAs[Long]("min_id") >= -1L)
+      assert(r.getAs[Long]("max_id") < graft.text.BpeVocab.tokens.size.toLong)
+    }
+  }
+
   test("qTokenBpe: subword count next to whitespace count, sane compression") {
     val rows = TextOps.qTokenBpe(spark, dir).collect()
     assert(rows.length === 500)
