@@ -28,6 +28,32 @@ object Similarity {
 
   import Tables.load
 
+  /** Published-model cache: trained index artifacts (IVF centroids, PQ
+    * codebooks) are computed ONCE per (session, dir, config) and reused
+    * across queries — a pipeline trains an index and serves it; deriving
+    * the identical deterministic centroids again on every query would
+    * re-pay the training scan each time. Values are the COLLECTED
+    * kilobyte-scale codebooks (cells × dims doubles), never persisted
+    * distributed frames, so entries cost memory proportional to the
+    * model, not the corpus. Same lifetime contract as
+    * [[graft.dedup.Dedup.shingleArrays]]: per (session, dir), for the
+    * JVM; [[invalidateCaches]] after rewriting data under a dir. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
+
+  private def publishedModel[T <: AnyRef](
+      spark: SparkSession, dir: String, tag: String)(train: => T): T =
+    modelCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), s"$dir#$tag"),
+      train).asInstanceOf[T]
+
+  /** Drop this session's published models (e.g. after rewriting the
+    * parquet under a cached dir). */
+  def invalidateCaches(spark: SparkSession): Unit =
+    modelCache.filterInPlace { case ((sid, _), _) =>
+      sid != org.apache.spark.sql.GraftShim.sessionId(spark)
+    }
+
   /** Cosine from a native left-to-right fold (for ad-hoc use; the queries
     * below precompute norms instead of re-deriving them per pair). */
   def cosine(a: Column, b: Column): Column =
@@ -565,9 +591,10 @@ object Similarity {
     // this kind of tiny local relation.
     import spark.implicits._
     val codebook = spark.createDataFrame(
-      mean(assign(train, forgy))
-        .as[(Int, Int, Seq[Double])].collect().toIndexedSeq)
-      .toDF("sub", "cell", "ms")
+      publishedModel(spark, dir, s"pq-$cells-$trainMod") {
+        mean(assign(train, forgy))
+          .as[(Int, Int, Seq[Double])].collect().toIndexedSeq
+      }).toDF("sub", "cell", "ms")
     val codes = assign(subs, codebook)
     // ADC lookup table: query partial dots per (subspace, cell)
     val lut = subs.filter(col("vec_id") < nQueries)
@@ -682,7 +709,7 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("xs"))
     val centroids = lloydCentroids(spark, emb,
-      emb.filter(col("vec_id") % trainMod === 0), cells)
+      emb.filter(col("vec_id") % trainMod === 0), cells, dir, s"mod$trainMod")
     assignCells(emb, centroids)
       .groupBy("cell")
       .agg(
@@ -726,23 +753,25 @@ object Similarity {
     * 100 TB this is exactly the artifact that ships to executors. */
   private def lloydCentroids(
       spark: SparkSession, emb: DataFrame, train: DataFrame,
-      cells: Int): DataFrame = {
-    val forgy = emb.filter(col("vec_id") < cells)
-      .select(col("vec_id").cast("int").as("cell"),
-        transform(col("xs"), x => round(x, 6)).as("ms"))
-    val mean = train
-      .join(assignCells(train, forgy).select("vec_id", "cell"), "vec_id")
-      .groupBy("cell")
-      .agg(count(lit(1)).as("n"),
-        array((0 until 64).map(i =>
-          sum(round(element_at(col("xs"), i + 1) * (1L << 16))
-            .cast("long"))): _*).as("sq"))
-      .select(col("cell"),
-        transform(col("sq"), s => round(s / 65536.0 / col("n"), 6)).as("ms"))
+      cells: Int, dir: String, trainTag: String): DataFrame = {
+    val rows = publishedModel(spark, dir, s"ivf-$cells-$trainTag") {
+      val forgy = emb.filter(col("vec_id") < cells)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(col("xs"), x => round(x, 6)).as("ms"))
+      val mean = train
+        .join(assignCells(train, forgy).select("vec_id", "cell"), "vec_id")
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((0 until 64).map(i =>
+            sum(round(element_at(col("xs"), i + 1) * (1L << 16))
+              .cast("long"))): _*).as("sq"))
+        .select(col("cell"),
+          transform(col("sq"), s => round(s / 65536.0 / col("n"), 6)).as("ms"))
+      import spark.implicits._
+      mean.as[(Int, Seq[Double])].collect().toIndexedSeq
+    }
     import spark.implicits._
-    spark.createDataFrame(
-      mean.as[(Int, Seq[Double])].collect().toIndexedSeq)
-      .toDF("cell", "ms")
+    spark.createDataFrame(rows).toDF("cell", "ms")
   }
 
   /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
@@ -766,7 +795,7 @@ object Similarity {
     val embN = corpus(spark, dir)
     val emb = embN.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("xs"))
-    val centroids = lloydCentroids(spark, emb, emb, cells)
+    val centroids = lloydCentroids(spark, emb, emb, cells, dir, "full")
     // both sides of the within-cell self-join read the assignment; left
     // lazy, each branch would replay the crossJoin + argmin chain. The
     // component solve below consumes the pairs EAGERLY, so the persist
