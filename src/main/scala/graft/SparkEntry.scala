@@ -113,6 +113,12 @@ object SparkEntry {
     "q_token_bpe" -> (TextOps.qTokenBpe _),
     // the id sequence itself (subword ENCODE): pieces + stable vocab ids
     "q_bpe_encode" -> (TextOps.qBpeEncode _),
+    // content-defined chunking: insertion-stable boundaries + chunk hash
+    "q_cdc_chunks" -> ((s: SparkSession, d: String) =>
+      TextOps.qCdcChunks(s, d)),
+    // exact rank-based winsorization census over event values
+    "q_value_clip" -> ((s: SparkSession, d: String) =>
+      EventQueries.qValueClip(s, d)),
     // BPE TRAINING (tokenizer learning): iterative argmax, not
     // SQL-expressible -> rows-only here; BpeTrainSpec verifies against
     // an independent in-memory reference implementation
@@ -1357,6 +1363,42 @@ object SparkEntry {
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
+    "q_cdc_chunks" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |       FROM documents),
+        |b AS (SELECT doc_id, pos, tok,
+        |        CASE WHEN ('0x' || substr(md5(tok), 1, 4))::UBIGINT % 16 = 0
+        |             THEN 1 ELSE 0 END AS is_b
+        |      FROM toks),
+        |c AS (SELECT doc_id, pos, tok,
+        |        coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+        |      FROM b)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  count(*) AS n_tokens, CAST(min(pos) AS BIGINT) AS first_pos,
+        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_value_clip" ->
+      """WITH freq AS (SELECT event_type, value, count(*) AS c
+        |              FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, value, c,
+        |          sum(c) OVER (PARTITION BY event_type ORDER BY value
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+        |        FROM freq),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+        |        FROM freq GROUP BY 1),
+        |bounds AS (SELECT event_type, n,
+        |    min(CASE WHEN cumn >= (n - 1) * 1 // 100 + 1 THEN value END) AS p_lo,
+        |    min(CASE WHEN cumn >= (n - 1) * 99 // 100 + 1 THEN value END) AS p_hi
+        |  FROM cum JOIN tot USING (event_type) GROUP BY 1, 2)
+        |SELECT event_type, min(n) AS n, min(p_lo) AS p_lo, min(p_hi) AS p_hi,
+        |  CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(sum(CAST(floor(greatest(least(value, p_hi), p_lo) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS clipped_sum_cents
+        |FROM events JOIN bounds USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q_dsir_weights" ->
       """WITH wb AS (SELECT doc_id, lang,
         |    CAST(('0x' || substr(md5(tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS bucket

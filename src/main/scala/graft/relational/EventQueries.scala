@@ -179,6 +179,51 @@ object EventQueries {
     * carries `src_id` ascending and `last` wins), but SQL ASOF JOIN
     * leaves the tie choice unspecified, so equal-timestamp clicks could
     * legitimately differ from a given oracle engine. */
+  /** Winsorization (robust clipping) — the outlier-tail cleanup a feature
+    * pipeline runs before normalization: per event_type, find the EXACT
+    * p01/p99 order statistics and census how much mass clipping moves.
+    *
+    * Exactness without a global sort: ranks select values, they never do
+    * arithmetic on them, so the quantiles are bit-identical in any
+    * engine; the clipped sum is fixed-point cents. The k-th order
+    * statistic comes from a cumulative count over the per-type DISTINCT
+    * value histogram — the window runs over distinct values (bounded by
+    * value cardinality), not rows, which is the classic exact-quantile
+    * shape that survives a 100 TB group where `sort the group in one
+    * task` does not. Rank formula: k_p = (n−1)·p div 100 + 1 (1-based,
+    * integer arithmetic only). */
+  def qValueClip(
+      spark: SparkSession, dir: String,
+      loPct: Int = 1, hiPct: Int = 99): DataFrame = {
+    val ev = load(spark, dir, "events").select(col("event_type"), col("value"))
+    val freq = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = freq.withColumn("cumn", sum("c").over(w))
+    val bounds = cum
+      .groupBy("event_type").agg(sum("c").as("n"))
+      .join(cum, "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("cumn") >= expr(s"(n - 1) * $loPct div 100 + 1"),
+          col("value"))).as("p_lo"),
+        min(when(col("cumn") >= expr(s"(n - 1) * $hiPct div 100 + 1"),
+          col("value"))).as("p_hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy("event_type")
+      // the quantiles are SELECTED raw doubles (no arithmetic, no
+      // rounding): the stored bits are what both engines output
+      .agg(first("n").as("n"),
+        first("p_lo").as("p_lo"),
+        first("p_hi").as("p_hi"),
+        sum(when(col("value") < col("p_lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("value") > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        sum(floor(greatest(least(col("value"), col("p_hi")), col("p_lo"))
+          * 100 + 0.5).cast("long")).as("clipped_sum_cents"))
+  }
+
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),

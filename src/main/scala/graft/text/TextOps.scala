@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -59,6 +60,39 @@ object TextOps {
         round(col("n_chars").cast("double") /
           when(col("n_tokens_bpe") =!= 0, col("n_tokens_bpe")), 4)
           .as("chars_per_tok"))
+
+  /** Content-defined chunking — dedup-STABLE chunk boundaries: a token
+    * whose md5-derived hash ≡ 0 (mod `divisor`, expected chunk length)
+    * closes the current chunk, so boundaries depend only on local
+    * content and survive insertions elsewhere in the document — the
+    * property fixed-stride windows (`qChunkWindows`) lack, and the
+    * reason storage/passage dedup uses CDC. Emits a per-chunk census
+    * with an order-exact content hash (the passage-dedup key).
+    *
+    * Scale shape: map (token hash) + a per-document prefix count — the
+    * window is partitioned by doc and bounded by document length, never
+    * corpus-wide — + one groupBy(doc, chunk). */
+  def qCdcChunks(
+      spark: SparkSession, dir: String, divisor: Int = 16): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("is_b",
+        when(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
+          % divisor === 0, 1L).otherwise(0L))
+    // exclusive prefix count: a boundary token still belongs to the
+    // chunk it closes; the next token starts the next chunk
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_id", coalesce(sum("is_b").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        min("pos").cast("long").as("first_pos"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok")), " ")).as("chunk_hash"))
+  }
 
   /** Subword ENCODING — the id sequence itself, what a pretokenizer
     * actually writes next to packed sequences: every document's greedy-

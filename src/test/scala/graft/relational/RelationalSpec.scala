@@ -30,6 +30,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("value clip: exact rank quantiles and census equal a JVM replay") {
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length.toLong
+      val pLo = vs(((n - 1) * 1 / 100).toInt)
+      val pHi = vs(((n - 1) * 99 / 100).toInt)
+      t -> ((n, pLo, pHi,
+        vs.count(_ < pLo).toLong, vs.count(_ > pHi).toLong,
+        vs.map(v => math.floor(math.max(math.min(v, pHi), pLo) * 100 + 0.5)
+          .toLong).sum))
+    }
+    val got = EventQueries.qValueClip(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got === want)
+    // the census must actually clip something on each side somewhere
+    assert(got.values.exists(_._4 > 0) && got.values.exists(_._5 > 0))
+  }
+
   test("as-of join picks the latest prior click, inclusive at ties") {
     import org.apache.spark.sql.functions._
     // data contract backing the DuckDB-ASOF oracle: per-user timestamps

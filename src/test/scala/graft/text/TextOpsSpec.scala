@@ -89,6 +89,48 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc chunks: JVM replay equality and insertion-stable boundaries") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isBoundary(tok: String): Boolean =
+      java.lang.Long.parseLong(md5hex(tok).take(4), 16) % 16 == 0
+    def chunksOf(tokens: Seq[String]): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ListBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ListBuffer.empty[String]
+      tokens.foreach { t =>
+        cur += t
+        if (isBoundary(t)) { out += cur.toSeq; cur = cur.take(0) }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq
+    }
+    // replay equality on the corpus
+    val want = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect().flatMap { r =>
+        chunksOf(r.getString(1).split(" ", -1).toSeq).zipWithIndex.map {
+          case (c, i) => (r.getLong(0), i.toLong) ->
+            ((c.length.toLong, md5hex(c.mkString(" "))))
+        }
+      }.toMap
+    val got = TextOps.qCdcChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    assert(got === want)
+    // THE CDC property: inserting tokens mid-document only perturbs the
+    // chunk containing the insertion — chunks before it AND after the
+    // next boundary keep their hashes (a fixed-stride chunker shifts
+    // every downstream window instead)
+    val base = (1 to 400).map(i => s"tok$i")
+    val ins = base.take(200) ++ Seq("INSERTED", "TOKENS") ++ base.drop(200)
+    val (a, b) = (chunksOf(base).map(_.mkString(" ")),
+      chunksOf(ins).map(_.mkString(" ")))
+    val common = a.toSet.intersect(b.toSet)
+    assert(common.size >= a.size - 2,
+      s"insertion must perturb at most the chunk it lands in: " +
+        s"${a.size} chunks, ${common.size} survive")
+  }
+
   test("qTokenBpe: subword count next to whitespace count, sane compression") {
     val rows = TextOps.qTokenBpe(spark, dir).collect()
     assert(rows.length === 500)
