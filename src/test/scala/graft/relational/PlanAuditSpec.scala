@@ -162,6 +162,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(ls.contains("BroadcastHashJoin"), ls)
   }
 
+  test("round-6 operators keep their scale shapes") {
+    // pagerank: the degree-annotated edge table is persisted and every
+    // round reads the CACHE (one InMemoryTableScan per round), never
+    // re-deriving the distinct+degree chain; no nested loops anywhere
+    val pr = planOf(graft.graph.GraphOps.qPageRank(spark, dir))
+    assert(pr.contains("InMemoryTableScan"), pr)
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr)
+    // dsir: the 64-row weight table broadcasts onto the token stream —
+    // the corpus-sized side must never sort-merge against a model table
+    val dw = planOf(graft.pipeline.TrainingData.qDsirWeights(spark, dir))
+    assert(dw.contains("BroadcastHashJoin"), dw)
+    // value clip: the per-type bounds broadcast back onto events, and
+    // the rank window runs over the DISTINCT-value histogram (its input
+    // is the aggregated freq relation, visible as an exchange+agg
+    // upstream of Window, not a corpus-wide raw sort)
+    val vc = planOf(graft.relational.EventQueries.qValueClip(spark, dir))
+    assert(vc.contains("BroadcastHashJoin"), vc)
+    assert(!vc.contains("CartesianProduct"), vc)
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
