@@ -202,6 +202,14 @@ object SparkEntry {
     // banded candidate path; brute-force-with-label-filter oracle
     "q_hard_negatives" -> ((s: SparkSession, d: String) =>
       Similarity.qHardNegatives(s, d)),
+    // data-quality sweep: vectors farthest from their own trained
+    // centroid (shares the cached full-corpus index with q_semdedup)
+    "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
+      Similarity.qEmbeddingOutliers(s, d)),
+    // the AQE-vs-salting diagnostic: exact key-frequency distribution
+    // census, integer ppm shares and rank-selected percentile counts
+    "q_key_skew" -> ((s: SparkSession, d: String) =>
+      graft.relational.Skew.qKeySkew(s, d)),
     // -- corpus preparation (north star) --
     // connected components over the exact-verified near-dup pairs;
     // oracled by DuckDB recursive-CTE reachability
@@ -343,6 +351,31 @@ object SparkEntry {
       |WHERE sz >= 5 AND inter * 10 >= sz * 9""".stripMargin
 
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
+  /** Shared IVF training prefix (Forgy seed + one fixed-point Lloyd
+    * round over the full embedding corpus, 16 cells): ends at `c1`, the
+    * trained centroid lists — the SQL mirror of the cached
+    * `lloydCentroids(..., "full")` artifact that q_semdedup and
+    * q_embedding_outliers both serve. */
+  private val ivfTrainCte: String =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |r AS (SELECT vec_id, CAST(i AS INT) AS d,
+      |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
+      |      FROM e, generate_series(1, 64) t(i)),
+      |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+      |         list_transform(v, x -> round(x, 6)) AS m
+      |       FROM e WHERE vec_id < 16),
+      |a1 AS (SELECT vec_id, cell FROM (
+      |         SELECT t.vec_id, c.cell, row_number() OVER (
+      |           PARTITION BY t.vec_id ORDER BY list_reduce(
+      |             list_transform(range(1, 65), i ->
+      |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+      |             (x, y) -> x + y), c.cell) AS rn
+      |         FROM e t, c0 c)
+      |       WHERE rn = 1),
+      |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
+      |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
+      |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1)""".stripMargin
+
   /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
     * truncating integer division per edge then per damping step —
     * exactly [[graft.graph.GraphOps.pageRank]]'s fixed-point contract. */
@@ -1069,24 +1102,7 @@ object SparkEntry {
     // within-cell cosine pairs -> recursive-CTE reachability (the
     // q_dedup_clusters oracle pattern on the semantic pair relation)
     "q_semdedup" ->
-      """WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |r AS (SELECT vec_id, CAST(i AS INT) AS d,
-        |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
-        |      FROM e, generate_series(1, 64) t(i)),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
-        |         list_transform(v, x -> round(x, 6)) AS m
-        |       FROM e WHERE vec_id < 16),
-        |a1 AS (SELECT vec_id, cell FROM (
-        |         SELECT t.vec_id, c.cell, row_number() OVER (
-        |           PARTITION BY t.vec_id ORDER BY list_reduce(
-        |             list_transform(range(1, 65), i ->
-        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |             (x, y) -> x + y), c.cell) AS rn
-        |         FROM e t, c0 c)
-        |       WHERE rn = 1),
-        |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
-        |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
-        |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1),
+      s"""WITH RECURSIVE $ivfTrainCte,
         |best AS (SELECT vec_id, cell FROM (
         |           SELECT t.vec_id, c.cell, row_number() OVER (
         |             PARTITION BY t.vec_id ORDER BY list_reduce(
@@ -1363,6 +1379,37 @@ object SparkEntry {
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
+    "q_embedding_outliers" ->
+      s"""WITH $ivfTrainCte,
+        |d2 AS (SELECT t.vec_id, c.cell, list_reduce(
+        |         list_transform(range(1, 65), i ->
+        |           CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |         (x, y) -> x + y) AS dist
+        |       FROM e t, c1 c),
+        |best AS (SELECT vec_id, cell, dist FROM (
+        |           SELECT vec_id, cell, dist, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2)
+        |         WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(dist AS BIGINT) AS dist_fp
+        |FROM best ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+    "q_key_skew" ->
+      """WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |          max(c) AS max_count FROM counts),
+        |top10 AS (SELECT CAST(sum(c) AS BIGINT) AS top10_rows FROM
+        |          (SELECT c FROM counts ORDER BY c DESC, l_partkey LIMIT 10)),
+        |cum AS (SELECT c, sum(kc) OVER (ORDER BY c
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
+        |        FROM (SELECT c, count(*) AS kc FROM counts GROUP BY 1)),
+        |pct AS (SELECT
+        |    min(CASE WHEN cumk >= (n_keys - 1) * 50 // 100 + 1 THEN c END) AS p50_count,
+        |    min(CASE WHEN cumk >= (n_keys - 1) * 99 // 100 + 1 THEN c END) AS p99_count
+        |  FROM cum CROSS JOIN tot)
+        |SELECT n_rows, n_keys, max_count,
+        |  max_count * 1000000 // n_rows AS max_share_ppm,
+        |  top10_rows * 1000000 // n_rows AS top10_share_ppm,
+        |  p50_count, p99_count
+        |FROM tot CROSS JOIN top10 CROSS JOIN pct""".stripMargin,
     "q_cdc_chunks" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
         |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos

@@ -1,5 +1,6 @@
 package graft.relational
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -64,5 +65,41 @@ object Skew {
       .agg(count(lit(1)).as("n_items"),
         round(sum("l_quantity"), 2).as("total_qty"),
         round(sum("l_extendedprice"), 2).as("total_price"))
+  }
+
+  /** Join-key skew census — the diagnostic that picks AQE vs salting
+    * BEFORE a 100 TB join runs: the exact per-key frequency distribution
+    * of `l_partkey`, reduced to the numbers that matter (hot-key share,
+    * top-10 concentration, p50/p99 key sizes). Everything downstream of
+    * the first groupBy runs over DISTINCT KEYS (and then distinct key
+    * SIZES — strictly smaller again), so the census costs one scan plus
+    * bounded-cardinality aggregations; shares are integer ppm and the
+    * percentiles are rank-SELECTED counts, so the row is engine-exact. */
+  def qKeySkew(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("n_rows"),
+      count(lit(1)).as("n_keys"), max("c").as("max_count"))
+    val top10 = counts.orderBy(col("c").desc, col("l_partkey"))
+      .limit(10).agg(sum("c").as("top10_rows"))
+    // rank-selected percentiles of the key-size distribution: the window
+    // input is the distinct SIZES histogram — cardinality bounded by the
+    // number of distinct frequencies, not keys, not rows
+    val w = Window.orderBy("c")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts.groupBy("c").agg(count(lit(1)).as("kc"))
+      .withColumn("cumk", sum("kc").over(w))
+    val pct = cum.crossJoin(broadcast(tot.select("n_keys")))
+      .agg(
+        min(when(col("cumk") >= expr("(n_keys - 1) * 50 div 100 + 1"),
+          col("c"))).as("p50_count"),
+        min(when(col("cumk") >= expr("(n_keys - 1) * 99 div 100 + 1"),
+          col("c"))).as("p99_count"))
+    tot.crossJoin(top10).crossJoin(pct)
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        expr("max_count * 1000000 div n_rows").as("max_share_ppm"),
+        expr("top10_rows * 1000000 div n_rows").as("top10_share_ppm"),
+        col("p50_count"), col("p99_count"))
   }
 }

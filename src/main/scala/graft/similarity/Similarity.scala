@@ -774,6 +774,26 @@ object Similarity {
     spark.createDataFrame(rows).toDF("cell", "ms")
   }
 
+  /** Embedding outlier mining — the data-quality sweep that catches
+    * mis-embedded or off-distribution vectors: the `k` vectors farthest
+    * from their own assigned centroid (trained full-corpus index — the
+    * SAME cached artifact [[qSemDedup]] serves), by the fixed-point
+    * quantized distance, id tiebreak. At scale this is a stateless map
+    * over the corpus (broadcast centroids) plus a per-partition top-k
+    * merge (TakeOrdered) — no sort of the corpus, no shuffle at all. */
+  def qEmbeddingOutliers(
+      spark: SparkSession, dir: String,
+      cells: Int = 16, k: Int = 20): DataFrame = {
+    val emb = corpus(spark, dir, norm = false).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("xs"))
+    val centroids = lloydCentroids(spark, emb, emb, cells, dir, "full")
+    assignCells(emb, centroids)
+      .orderBy(col("dist").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dist").as("dist_fp"))
+  }
+
   /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
     * not near-duplicate text: cluster the corpus embeddings (Forgy + one
     * Lloyd round, the [[qIvfIngest]] index), then within each cell link

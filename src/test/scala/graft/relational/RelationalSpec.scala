@@ -53,6 +53,24 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 0) && got.values.exists(_._5 > 0))
   }
 
+  test("key skew census equals a JVM replay of the frequency distribution") {
+    val counts = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_partkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cs = counts.values.toSeq.sorted
+    val (nRows, nKeys, maxC) = (cs.sum, cs.length.toLong, cs.max)
+    val top10 = cs.sorted(Ordering[Long].reverse).take(10).sum
+    def pct(p: Int): Long = cs(((nKeys - 1) * p / 100).toInt)
+    val r = graft.relational.Skew.qKeySkew(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((nRows, nKeys, maxC)))
+    assert(row.getLong(3) === maxC * 1000000L / nRows)
+    assert(row.getLong(4) === top10 * 1000000L / nRows)
+    assert((row.getLong(5), row.getLong(6)) === ((pct(50), pct(99))))
+  }
+
   test("as-of join picks the latest prior click, inclusive at ties") {
     import org.apache.spark.sql.functions._
     // data contract backing the DuckDB-ASOF oracle: per-user timestamps

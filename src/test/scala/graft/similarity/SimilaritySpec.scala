@@ -286,6 +286,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("embedding outliers: top-k by assigned-centroid distance, bit-stable") {
+    val rows = Similarity.qEmbeddingOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 20)
+    assert(rows.map(_._1).distinct.length === 20, "one row per vector")
+    // the cut is ordered: descending distance, vec_id tiebreak
+    val sorted = rows.sortBy(r => (-r._3, r._1)).toSeq
+    assert(rows.toSeq === sorted)
+    // deterministic: same 20 rows on a fresh run (cached model + fixed-
+    // point assignment make this exact, not approximate)
+    val again = Similarity.qEmbeddingOutliers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
   test("semantic dedup: min-labeled components over within-cell cosine pairs") {
     val rows = Similarity.qSemDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
