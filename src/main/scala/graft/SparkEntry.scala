@@ -116,6 +116,8 @@ object SparkEntry {
     // content-defined chunking: insertion-stable boundaries + chunk hash
     "q_cdc_chunks" -> ((s: SparkSession, d: String) =>
       TextOps.qCdcChunks(s, d)),
+    // vocab-coverage diagnostic: pieces-per-word + fallback share by lang
+    "q_tokenizer_fertility" -> (TextOps.qTokenizerFertility _),
     // exact rank-based winsorization census over event values
     "q_value_clip" -> ((s: SparkSession, d: String) =>
       EventQueries.qValueClip(s, d)),
@@ -866,6 +868,29 @@ object SparkEntry {
         |  b.n_bpe AS n_tokens_bpe,
         |  round(CAST(d.n_chars AS DOUBLE) / nullif(b.n_bpe, 0), 4) AS chars_per_tok
         |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
+    "q_tokenizer_fertility" ->
+      s"""WITH RECURSIVE
+        |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),
+        |words AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |          FROM documents),
+        |wc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words
+        |       FROM words WHERE word <> '' GROUP BY 1),
+        |states(lang, word, pos, piece) AS (
+        |  SELECT lang, word, 0, CAST(NULL AS VARCHAR) FROM words
+        |  UNION ALL
+        |  SELECT lang, word, pos + step, substr(word, pos + 1, step)
+        |  FROM (SELECT lang, word, pos,
+        |          coalesce((SELECT max(length(tok)) FROM bpe_vocab
+        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1) AS step
+        |        FROM states WHERE pos < length(word)) s),
+        |pc AS (SELECT lang, count(*) AS n_pieces,
+        |         CAST(sum(CASE WHEN piece NOT IN (SELECT tok FROM bpe_vocab)
+        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback
+        |       FROM states WHERE piece IS NOT NULL GROUP BY 1)
+        |SELECT lang, n_words, n_pieces, n_fallback,
+        |  n_pieces * 1000000 // n_words AS fertility_ppm,
+        |  n_fallback * 1000000 // n_pieces AS fallback_ppm
+        |FROM wc JOIN pc USING (lang)""".stripMargin,
     "q_bpe_encode" ->
       s"""WITH RECURSIVE
         |bpe_vocab(vid, tok) AS (VALUES ${graft.text.BpeVocab.sqlValuesWithId}),

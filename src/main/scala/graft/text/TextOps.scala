@@ -94,6 +94,32 @@ object TextOps {
             x => x.getField("tok")), " ")).as("chunk_hash"))
   }
 
+  /** Tokenizer fertility by language — the vocab-coverage diagnostic
+    * that drives tokenizer decisions: pieces-per-word (fertility) and
+    * the share of fallback (out-of-vocab single-codepoint) pieces, per
+    * language. A language with high fertility or fallback share is
+    * under-served by the merge vocab — exactly what you measure before
+    * re-training a tokenizer on a new corpus mix. Map-only until one
+    * per-language aggregation; integer counts, one division each. */
+  def qTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val idMap = typedlit(graft.text.BpeVocab.idOf)
+    val docs = load(spark, dir, "documents")
+    val words = docs.groupBy("lang")
+      .agg(sum(size(filter(tokens(col("text")), t => t =!= "")).cast("long"))
+        .as("n_words"))
+    val pieces = docs
+      .select(col("lang"),
+        explode(graft.functions.bpe_pieces(col("text"))).as("piece"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pieces"),
+        sum(when(element_at(idMap, col("piece")).isNull, 1L).otherwise(0L))
+          .as("n_fallback"))
+    words.join(pieces, "lang")
+      .select(col("lang"), col("n_words"), col("n_pieces"), col("n_fallback"),
+        expr("n_pieces * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_fallback * 1000000 div n_pieces").as("fallback_ppm"))
+  }
+
   /** Subword ENCODING — the id sequence itself, what a pretokenizer
     * actually writes next to packed sequences: every document's greedy-
     * BPE pieces in scan order with their stable vocab ids (fallback

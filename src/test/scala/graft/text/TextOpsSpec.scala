@@ -131,6 +131,29 @@ class TextOpsSpec extends SparkSpec {
         s"${a.size} chunks, ${common.size} survive")
   }
 
+  test("tokenizer fertility: per-lang pieces/words ratio from the kernel") {
+    val rows = TextOps.qTokenizerFertility(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = docs.groupBy(_._1).map { case (lang, ds) =>
+      val words = ds.map(_._2.split(" ", -1).count(_.nonEmpty).toLong).sum
+      val pieces = ds.map(d => refBpeCount(d._2)).sum
+      lang -> ((words, pieces))
+    }
+    rows.foreach { case (lang, (w, p, fb, fppm, fbppm)) =>
+      assert((w, p) === want(lang), lang)
+      assert(fb >= 0 && fb <= p)
+      assert(fppm === p * 1000000L / w)
+      assert(fbppm === fb * 1000000L / p)
+      assert(fppm >= 1000000L, "every word emits at least one piece")
+    }
+    // every corpus language is present exactly once
+    assert(rows.keySet === docs.map(_._1).toSet)
+  }
+
   test("qTokenBpe: subword count next to whitespace count, sane compression") {
     val rows = TextOps.qTokenBpe(spark, dir).collect()
     assert(rows.length === 500)
