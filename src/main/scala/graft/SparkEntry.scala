@@ -118,6 +118,9 @@ object SparkEntry {
       TextOps.qCdcChunks(s, d)),
     // vocab-coverage diagnostic: pieces-per-word + fallback share by lang
     "q_tokenizer_fertility" -> (TextOps.qTokenizerFertility _),
+    // lineage fingerprint: per-table row count + order-independent
+    // bit_xor content checksum (never overflows, any partitioning)
+    "q_manifest" -> (graft.relational.Observe.qManifest _),
     // exact rank-based winsorization census over event values
     "q_value_clip" -> ((s: SparkSession, d: String) =>
       EventQueries.qValueClip(s, d)),
@@ -868,6 +871,25 @@ object SparkEntry {
         |  b.n_bpe AS n_tokens_bpe,
         |  round(CAST(d.n_chars AS DOUBLE) / nullif(b.n_bpe, 0), 4) AS chars_per_tok
         |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
+    "q_manifest" ->
+      """SELECT 'documents' AS table_name, count(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || ':' || lang || ':' || source || ':' || md5(text)
+        |  ), 1, 15))::UBIGINT AS BIGINT)) AS checksum
+        |FROM documents
+        |UNION ALL
+        |SELECT 'embeddings', count(*),
+        |  bit_xor(CAST(('0x' || substr(md5(
+        |    CAST(vec_id AS VARCHAR) || ':' || CAST(label AS VARCHAR)
+        |  ), 1, 15))::UBIGINT AS BIGINT))
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'events', count(*),
+        |  bit_xor(CAST(('0x' || substr(md5(
+        |    CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':' ||
+        |    event_type || ':' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+        |  ), 1, 15))::UBIGINT AS BIGINT))
+        |FROM events""".stripMargin,
     "q_tokenizer_fertility" ->
       s"""WITH RECURSIVE
         |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),

@@ -53,6 +53,27 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 0) && got.values.exists(_._5 > 0))
   }
 
+  test("manifest: row digests XOR to a replayable, order-free checksum") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = Observe.qManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "source", "text").collect()
+    val want = docs.map { r =>
+      java.lang.Long.parseLong(md5hex(
+        s"${r.getLong(0)}:${r.getString(1)}:${r.getString(2)}:" +
+          md5hex(r.getString(3))).take(15), 16)
+    }.reduce(_ ^ _)
+    assert(got("documents") === ((docs.length.toLong, want)))
+    assert(got.keySet === Set("documents", "embeddings", "events"))
+    // XOR commutes: a rerun (different task interleaving) is identical
+    val again = Observe.qManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === again)
+  }
+
   test("key skew census equals a JVM replay of the frequency distribution") {
     val counts = Tables.load(spark, dir, "lineitem")
       .groupBy("l_partkey").count().collect()
