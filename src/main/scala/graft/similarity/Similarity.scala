@@ -284,7 +284,19 @@ object Similarity {
       .agg(min(vec_dot(col("embedding"), col("cvec")) / col("norm")).as("mc"))
       .withColumn("r",
         sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * col("mc"))))
-    val cellsMeta = cents.join(radii, "cell").select("cell", "cvec", "r")
+    // cells × (dims + 1) doubles — a published-index artifact like the
+    // Lloyd centroids; correctness never depends on its float summation
+    // order because the 1e-6 pruning margin makes the OUTPUT equal brute
+    // force for any centroid within float error (see module scaladoc)
+    val cellsMetaRows = publishedModel(spark, dir, s"ivfmeta-$bits") {
+      import spark.implicits._
+      cents.join(radii, "cell").select("cell", "cvec", "r")
+        .as[(Long, Seq[Double], Double)].collect().toIndexedSeq
+    }
+    val cellsMeta = {
+      import spark.implicits._
+      spark.createDataFrame(cellsMetaRows).toDF("cell", "cvec", "r")
+    }
 
     val q = emb.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
