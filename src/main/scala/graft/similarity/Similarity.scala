@@ -47,12 +47,15 @@ object Similarity {
       (org.apache.spark.sql.GraftShim.sessionId(spark), s"$dir#$tag"),
       train).asInstanceOf[T]
 
-  /** Drop this session's published models (e.g. after rewriting the
-    * parquet under a cached dir). */
-  def invalidateCaches(spark: SparkSession): Unit =
-    modelCache.filterInPlace { case ((sid, _), _) =>
-      sid != org.apache.spark.sql.GraftShim.sessionId(spark)
+  /** Drop this session's published models and cached assignments (e.g.
+    * after rewriting the parquet under a cached dir). */
+  def invalidateCaches(spark: SparkSession): Unit = {
+    val sid = org.apache.spark.sql.GraftShim.sessionId(spark)
+    modelCache.filterInPlace { case ((s, _), _) => s != sid }
+    assignCache.filterInPlace { case ((s, _, _), df) =>
+      if (s == sid) { df.unpersist(blocking = false); false } else true
     }
+  }
 
   /** Cosine from a native left-to-right fold (for ad-hoc use; the queries
     * below precompute norms instead of re-deriving them per pair). */
@@ -795,16 +798,12 @@ object Similarity {
     * merge (TakeOrdered) — no sort of the corpus, no shuffle at all. */
   def qEmbeddingOutliers(
       spark: SparkSession, dir: String,
-      cells: Int = 16, k: Int = 20): DataFrame = {
-    val emb = corpus(spark, dir, norm = false).select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("xs"))
-    val centroids = lloydCentroids(spark, emb, emb, cells, dir, "full")
-    assignCells(emb, centroids)
+      cells: Int = 16, k: Int = 20): DataFrame =
+    cachedAssignment(spark, dir, cells)
       .orderBy(col("dist").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dist").as("dist_fp"))
-  }
 
   /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
     * not near-duplicate text: cluster the corpus embeddings (Forgy + one
@@ -821,35 +820,48 @@ object Similarity {
     * star-contraction machinery. Oracle: the full pipeline replayed in
     * DuckDB — centroid training, assignment, within-cell cosine pairs,
     * recursive-CTE reachability. */
+  /** Corpus-sized cached intermediate (the contract of
+    * [[graft.dedup.Dedup.shingleArrays]]): every vector's assignment
+    * (cell, quantized dist) under the published full-corpus index, plus
+    * its embedding and norm — what a pipeline persists NEXT TO the
+    * index so every index consumer (dedup, outliers, drift) reads one
+    * materialization instead of re-running the crossJoin + argmin scan.
+    * One persisted frame per (session, dir, cells), for the JVM;
+    * [[invalidateCaches]] drops and unpersists it. */
+  private val assignCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), DataFrame]
+
+  private def cachedAssignment(
+      spark: SparkSession, dir: String, cells: Int): DataFrame =
+    assignCache.getOrElseUpdate(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir, cells), {
+        val embN = corpus(spark, dir)
+        val emb = embN.select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("xs"))
+        val centroids = lloydCentroids(spark, emb, emb, cells, dir, "full")
+        val a = assignCells(emb, centroids)
+          .join(embN.select(col("vec_id"), col("embedding"), col("norm")),
+            "vec_id")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        a.count() // populate before any self-join's two readers race
+        a
+      })
+
   def qSemDedup(
       spark: SparkSession, dir: String,
       cells: Int = 16, threshold: Double = 0.4): DataFrame = {
-    val embN = corpus(spark, dir)
-    val emb = embN.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("xs"))
-    val centroids = lloydCentroids(spark, emb, emb, cells, dir, "full")
-    // both sides of the within-cell self-join read the assignment; left
-    // lazy, each branch would replay the crossJoin + argmin chain. The
-    // component solve below consumes the pairs EAGERLY, so the persist
-    // scope is this call: materialize, solve, release.
-    val assigned = assignCells(emb, centroids).select("vec_id", "cell")
-      .join(embN.select(col("vec_id"), col("embedding"), col("norm")),
-        "vec_id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      assigned.count() // populate before the self-join's two readers race
-      val pairs = assigned
-        .select(col("cell"), col("vec_id").as("d1"),
-          col("embedding").as("v1"), col("norm").as("n1"))
-        .join(assigned.select(col("cell"), col("vec_id").as("d2"),
-          col("embedding").as("v2"), col("norm").as("n2")), "cell")
-        .filter(col("d1") < col("d2"))
-        .filter(round(vec_dot(col("v1"), col("v2"))
-          / (col("n1") * col("n2")), 6) >= threshold)
-        .select("d1", "d2")
-      graft.pipeline.TrainingData.connectedComponents(pairs, spark)
-        .select(col("doc_id").as("vec_id"), col("cluster_id"),
-          col("is_keeper"))
-    } finally assigned.unpersist(blocking = false)
+    val assigned = cachedAssignment(spark, dir, cells)
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("d1"),
+        col("embedding").as("v1"), col("norm").as("n1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("d2"),
+        col("embedding").as("v2"), col("norm").as("n2")), "cell")
+      .filter(col("d1") < col("d2"))
+      .filter(round(vec_dot(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 6) >= threshold)
+      .select("d1", "d2")
+    graft.pipeline.TrainingData.connectedComponents(pairs, spark)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_keeper"))
   }
 }
