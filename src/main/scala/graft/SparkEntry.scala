@@ -264,6 +264,10 @@ object SparkEntry {
     // supplier<->part trade graph; integer arithmetic -> exact oracle
     "q_pagerank" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qPageRank(s, d)),
+    // seeded (personalized) PageRank: proximity to one nation's
+    // suppliers; the rank vector stays sparse, frontier grows per round
+    "q_pagerank_seeded" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qPageRankSeeded(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -384,21 +388,47 @@ object SparkEntry {
   /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
     * truncating integer division per edge then per damping step —
     * exactly [[graft.graph.GraphOps.pageRank]]'s fixed-point contract. */
+  /** Shared trade-graph prefix: distinct supplier↔part arcs, degrees,
+    * degree-annotated edge relation `e`. */
+  private val tradeGraphCte: String =
+    """pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      |edges AS (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs
+      |          UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst FROM pairs),
+      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      |e AS (SELECT edges.src, dst, outdeg FROM edges JOIN deg USING (src))""".stripMargin
+
+  private val pageRankFinal: String =
+    """SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
+      |  node // 2 AS node_id, r AS rank_fp""".stripMargin
+
   private def pageRankSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (SELECT dst AS node,
          |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
          |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-       |edges AS (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs
-       |          UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst FROM pairs),
-       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
-       |e AS (SELECT edges.src, dst, outdeg FROM edges JOIN deg USING (src)),
+    s"""WITH $tradeGraphCte,
        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
        |$rounds
-       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
-       |  node // 2 AS node_id, r AS rank_fp FROM r$iters""".stripMargin
+       |$pageRankFinal FROM r$iters""".stripMargin
+  }
+
+  /** Personalized-PageRank oracle: teleport rows only for the seed set,
+    * sparse rank relation per round — mirrors
+    * [[graft.graph.GraphOps.personalizedPageRank]] exactly. */
+  private def pprSql(iters: Int, nation: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (SELECT node, CAST(sum(v) AS BIGINT) AS r FROM (
+         |  SELECT dst AS node, (85 * sum(r // outdeg)) // 100 AS v
+         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY dst
+         |  UNION ALL SELECT node, 150000000000 FROM seeds) u$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCte,
+       |seeds AS (SELECT s_suppkey * 2 AS node FROM supplier
+       |          WHERE s_nationkey = $nation),
+       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM seeds),
+       |$rounds
+       |$pageRankFinal FROM r$iters""".stripMargin
   }
 
   private def pass4(x: String): String =
@@ -1426,6 +1456,7 @@ object SparkEntry {
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
+    "q_pagerank_seeded" -> pprSql(5, 3),
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

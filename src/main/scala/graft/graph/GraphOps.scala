@@ -86,6 +86,38 @@ object GraphOps {
       } else true
     }
 
+  /** Personalized PageRank: teleport mass returns ONLY to the seed set,
+    * so rank measures proximity to the seeds (the seed-biased crawl /
+    * trust-propagation variant). Same fixed-point contract as
+    * [[pageRank]]; the rank vector is SPARSE — a node appears once mass
+    * has reached it, which is exactly what makes PPR tractable at scale
+    * (the frontier grows by one hop per round instead of materializing
+    * every node from round 0). Each round is the contribution
+    * aggregation unioned with the seed teleport rows, then one sum. */
+  def personalizedPageRank(
+      spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = edges.join(deg, "src")
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var ranks = seeds.select(col("node"), lit(Scale).as("r"))
+      for (_ <- 1 to iters) {
+        val contribs = edgesDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr("(85 * sum(c)) div 100").as("v"))
+        ranks = contribs
+          .unionAll(seeds.select(col("node"), lit(Teleport).as("v")))
+          .groupBy("node").agg(sum("v").as("r"))
+      }
+      ranks.persist(StorageLevel.MEMORY_AND_DISK).count()
+      ranks
+    } finally edgesDeg.unpersist(blocking = false)
+  }
+
   /** PageRank over the supplier↔part trade graph: distinct
     * (l_suppkey, l_partkey) pairs as undirected edges, suppliers encoded
     * as even node ids (2k) and parts as odd (2k+1). 5 rounds at damping
@@ -102,6 +134,35 @@ object GraphOps {
         .unionAll(
           pairs.select((col("p") * 2 + 1).as("src"), (col("s") * 2).as("dst")))
       pageRank(spark, edges, iters)
+    })
+    ranks
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("r").as("rank_fp"))
+  }
+
+  /** Seeded trade-graph PPR: proximity of every node to the suppliers of
+    * one nation (n_nationkey = 3 — present at every scale factor). 5 rounds; same output contract as
+    * [[qPageRank]]. */
+  def qPageRankSeeded(
+      spark: SparkSession, dir: String, iters: Int = 5,
+      nation: Int = 3): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#ppr$nation", iters)
+    val ranks = rankCache.getOrElseUpdate(key, {
+      val pairs = load(spark, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = pairs
+        .select((col("s") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
+        .unionAll(
+          pairs.select((col("p") * 2 + 1).as("src"), (col("s") * 2).as("dst")))
+      val seeds = load(spark, dir, "supplier")
+        .filter(col("s_nationkey") === nation)
+        .select((col("s_suppkey") * 2).as("node"))
+      personalizedPageRank(spark, edges, seeds, iters)
     })
     ranks
       .select(

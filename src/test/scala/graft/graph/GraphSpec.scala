@@ -46,6 +46,40 @@ class GraphSpec extends SparkSpec {
     assert(a === b)
   }
 
+  /** PPR reference: sparse rank map, teleport only to seeds. */
+  private def simulatePpr(
+      edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r: Map[Long, Long] = seeds.map(_ -> GraphOps.Scale).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.filter(e => r.contains(e._1)).groupBy(_._2)
+        .view.mapValues { es =>
+          85L * es.map { case (s, _) => r(s) / out(s) }.sum / 100L
+        }.toMap
+      r = (in.keySet ++ seeds).map { n =>
+        n -> (in.getOrElse(n, 0L) +
+          (if (seeds.contains(n)) GraphOps.Teleport else 0L))
+      }.toMap
+    }
+    r
+  }
+
+  test("personalized pagerank matches the sparse-frontier simulator") {
+    val seeds = Set(1L)
+    val got = GraphOps.personalizedPageRank(spark,
+      pathEdges.toDF("src", "dst"), Seq(1L).toDF("node"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === simulatePpr(pathEdges, seeds, 4))
+    // proximity: the seed outranks its neighbor, which outranks the far
+    // leaves (3 and 4 are symmetric around node 2)
+    assert(got(1L) > got(2L) && got(2L) > got(3L) && got(3L) === got(4L))
+    // sparsity: after 1 round only the seed and its neighbors hold mass
+    val oneRound = GraphOps.personalizedPageRank(spark,
+      pathEdges.toDF("src", "dst"), Seq(1L).toDF("node"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.keySet === Set(1L, 2L))
+  }
+
   test("q_pagerank covers every trade-graph node and conserves mass") {
     val dir = "/root/testdata/sf0.001"
     val res = GraphOps.qPageRank(spark, dir).cache()
