@@ -60,12 +60,15 @@ object Bench {
     for (_ <- 1 to n; name <- names) {
       val fn = SparkEntry.queries(name)
       // full-RESULT caches would make later runs time a map lookup, not
-      // the operator (the cluster table is cached per session by design —
-      // a bench must measure the compute, so every run starts cold).
-      // Cross-query intermediate caches (the dedup shingle persist) stay:
-      // they are the library's documented compute-once-per-corpus shape,
-      // and BENCH_LOCAL.json keeps the raw per-run values for audit.
+      // the operator (the cluster table and the pagerank rank frames are
+      // cached per session by design — a bench must measure the compute,
+      // so every run starts cold). Cross-query INTERMEDIATE caches stay
+      // (dedup shingle arrays, trained IVF/PQ model artifacts, the
+      // corpus-to-cell assignment): they are the library's documented
+      // compute-once-per-corpus shape, and BENCH_LOCAL.json keeps the
+      // raw per-run values for audit.
       graft.pipeline.TrainingData.invalidateCaches(spark)
+      graft.graph.GraphOps.invalidateCaches(spark)
       val t0 = System.nanoTime()
       // a failure must be LOUD: a silently-dropped query shrinks the
       // total, which reads as a speedup to anyone comparing bench lines
