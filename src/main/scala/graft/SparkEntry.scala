@@ -268,6 +268,10 @@ object SparkEntry {
     // suppliers; the rank vector stays sparse, frontier grows per round
     "q_pagerank_seeded" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qPageRankSeeded(s, d)),
+    // DeepWalk-style deterministic random walks: md5-driven next hop,
+    // reproducible graph-embedding training sequences
+    "q_random_walks" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qRandomWalks(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -384,6 +388,28 @@ object SparkEntry {
       |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
       |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
       |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1)""".stripMargin
+
+  /** Unrolled random-walk oracle: neighbor ranks by node id, md5-driven
+    * hop choice — mirrors [[graft.graph.GraphOps.qRandomWalks]]. */
+  private def randomWalkSql(steps: Int): String = {
+    val hops = (1 to steps).map { i =>
+      s"""w$i AS (SELECT c.walk_id, CAST($i AS BIGINT) AS step, n.dst AS node
+         |  FROM w${i - 1} c JOIN deg d ON c.node = d.src
+         |  JOIN nbr n ON n.src = c.node AND n.rk =
+         |    CAST(('0x' || substr(md5(CAST(c.walk_id AS VARCHAR) || ':$i'), 1, 8))::UBIGINT
+         |      AS BIGINT) % d.outdeg)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to steps).map(i => s"SELECT * FROM w$i")
+      .mkString("\n UNION ALL ")
+    s"""WITH $tradeGraphCte,
+       |nbr AS (SELECT src, dst,
+       |          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
+       |        FROM edges),
+       |w0 AS (SELECT DISTINCT s * 2 AS walk_id, CAST(0 AS BIGINT) AS step,
+       |         s * 2 AS node FROM pairs),
+       |$hops
+       |$union""".stripMargin
+  }
 
   /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
     * truncating integer division per edge then per damping step —
@@ -1457,6 +1483,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
     "q_pagerank_seeded" -> pprSql(5, 3),
+    "q_random_walks" -> randomWalkSql(3),
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

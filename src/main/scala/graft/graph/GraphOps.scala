@@ -1,5 +1,6 @@
 package graft.graph
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -158,6 +159,59 @@ object GraphOps {
           .otherwise(lit("part")).as("node_type"),
         expr("node div 2").as("node_id"),
         col("r").as("rank_fp"))
+  }
+
+  /** Deterministic random walks — the DeepWalk/node2vec sampling stage
+    * that turns a graph into sequence training data. Every supplier node
+    * starts one walk; step `i` moves to neighbor number
+    * md5(walk_id:i) mod degree, where neighbors are ranked by node id —
+    * hash-driven choice instead of RNG state, so the whole walk relation
+    * is reproducible on any cluster and carries an exact SQL oracle
+    * (the reproducibility property rand()-based samplers can't give).
+    *
+    * Scale shape: the neighbor index is ranked per-source (window
+    * bounded by a node's degree, never global); each step is two
+    * equi-joins — degree lookup to compute the wanted rank, then a
+    * (src, rank) join that fetches exactly one neighbor row per walk,
+    * no fan-out through neighbor lists. Walk count × steps rows total. */
+  def qRandomWalks(
+      spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#walks", steps)
+    rankCache.getOrElseUpdate(key,
+      withTradePairs(spark, dir) { pairs =>
+        val edges = tradeEdges(pairs)
+        val w = Window.partitionBy("src").orderBy("dst")
+        val nbr = edges
+          .withColumn("rk", row_number().over(w).cast("long") - 1)
+          .select(col("src").as("nsrc"), col("dst"), col("rk"))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("degn"))
+        var cur = pairs.select((col("s") * 2).as("walk_id")).distinct()
+          .select(col("walk_id"), lit(0L).as("step"),
+            col("walk_id").as("node"))
+        var out = cur
+        // persist each step: step i feeds BOTH the union and step i+1 —
+        // left lazy, step 1 would recompute once per later step
+        // (O(steps²) total); a real 40-80-step walk needs exactly this
+        var stepFrames = List.empty[DataFrame]
+        for (i <- 1 to steps) {
+          cur = cur
+            .join(deg.withColumnRenamed("src", "node"), "node")
+            .withColumn("want_rk",
+              conv(substring(md5(concat_ws(":", col("walk_id"), lit(i))),
+                1, 8), 16, 10).cast("long") % col("degn"))
+            .join(nbr, col("node") === col("nsrc") &&
+              col("want_rk") === col("rk"))
+            .select(col("walk_id"), lit(i.toLong).as("step"),
+              col("dst").as("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          stepFrames ::= cur
+          out = out.unionAll(cur)
+        }
+        out.persist(StorageLevel.MEMORY_AND_DISK).count()
+        stepFrames.foreach(_.unpersist(blocking = false))
+        out
+      })
   }
 
   /** Seeded trade-graph PPR: proximity of every node to the suppliers of

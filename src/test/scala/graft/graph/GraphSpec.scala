@@ -80,6 +80,36 @@ class GraphSpec extends SparkSpec {
     assert(oneRound.keySet === Set(1L, 2L))
   }
 
+  test("random walks equal a JVM replay of the md5-hop contract") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    adj.keys.filter(_ % 2 == 0).foreach { start =>
+      var at = start
+      want += ((start, 0L, start))
+      for (i <- 1 to 3) {
+        val ns = adj(at)
+        val rk = java.lang.Long.parseLong(
+          md5hex(s"$start:$i").take(8), 16) % ns.length
+        at = ns(rk.toInt)
+        want += ((start, i.toLong, at))
+      }
+    }
+    val got = GraphOps.qRandomWalks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want.toSet)
+    // every walk is complete: steps 0..3 present per walk_id
+    got.groupBy(_._1).values.foreach(w =>
+      assert(w.map(_._2) === Set(0L, 1L, 2L, 3L)))
+  }
+
   test("q_pagerank covers every trade-graph node and conserves mass") {
     val dir = "/root/testdata/sf0.001"
     val res = GraphOps.qPageRank(spark, dir).cache()
