@@ -57,6 +57,21 @@ object Bench {
       .filter(q => only.forall(_.contains(q)))
     val runs = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // One untimed full sweep before the timed rounds: run 1 of a timed
+    // round otherwise pays JIT + the first build of every
+    // session-lifetime intermediate (shingle arrays, trained codebooks,
+    // corpus-to-cell assignments), and with n=3 that single cold run
+    // lands IN the median (round 6 measured q_scalar_subquery median
+    // 9.8 s vs best 0.87 s from exactly this). After the sweep the
+    // intermediates exist, so every timed run measures the steady state
+    // the medians claim. Failures here stay quiet — the timed loop
+    // reports them loudly.
+    for (name <- names) {
+      graft.pipeline.TrainingData.invalidateCaches(spark)
+      graft.graph.GraphOps.invalidateCaches(spark)
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case _: Throwable => () }
+    }
     for (_ <- 1 to n; name <- names) {
       val fn = SparkEntry.queries(name)
       // full-RESULT caches would make later runs time a map lookup, not

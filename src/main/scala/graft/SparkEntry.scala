@@ -391,7 +391,7 @@ object SparkEntry {
 
   /** Unrolled random-walk oracle: neighbor ranks by node id, md5-driven
     * hop choice — mirrors [[graft.graph.GraphOps.qRandomWalks]]. */
-  private def randomWalkSql(steps: Int): String = {
+  private def randomWalkSql(steps: Int, walksPerNode: Int): String = {
     val hops = (1 to steps).map { i =>
       s"""w$i AS (SELECT c.walk_id, CAST($i AS BIGINT) AS step, n.dst AS node
          |  FROM w${i - 1} c JOIN deg d ON c.node = d.src
@@ -405,8 +405,10 @@ object SparkEntry {
        |nbr AS (SELECT src, dst,
        |          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
        |        FROM edges),
-       |w0 AS (SELECT DISTINCT s * 2 AS walk_id, CAST(0 AS BIGINT) AS step,
-       |         s * 2 AS node FROM pairs),
+       |w0 AS (SELECT n.node * $walksPerNode + t.w AS walk_id,
+       |         CAST(0 AS BIGINT) AS step, n.node
+       |       FROM (SELECT DISTINCT s * 2 AS node FROM pairs) n,
+       |            range(0, $walksPerNode) t(w)),
        |$hops
        |$union""".stripMargin
   }
@@ -1483,7 +1485,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
     "q_pagerank_seeded" -> pprSql(5, 3),
-    "q_random_walks" -> randomWalkSql(3),
+    "q_random_walks" -> randomWalkSql(10, 2),
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

@@ -162,55 +162,82 @@ object GraphOps {
   }
 
   /** Deterministic random walks — the DeepWalk/node2vec sampling stage
-    * that turns a graph into sequence training data. Every supplier node
-    * starts one walk; step `i` moves to neighbor number
-    * md5(walk_id:i) mod degree, where neighbors are ranked by node id —
-    * hash-driven choice instead of RNG state, so the whole walk relation
-    * is reproducible on any cluster and carries an exact SQL oracle
-    * (the reproducibility property rand()-based samplers can't give).
+    * that turns a graph into sequence training data. Each start node
+    * launches `walksPerNode` walks (walk_id = node·walksPerNode + w, so
+    * ids stay disjoint and reproducible); step `i` moves to neighbor
+    * number md5(walk_id:i) mod degree, where neighbors are ranked by
+    * node id — hash-driven choice instead of RNG state, so the whole
+    * walk relation is reproducible on any cluster and carries an exact
+    * SQL oracle (the reproducibility property rand()-based samplers
+    * can't give).
     *
     * Scale shape: the neighbor index is ranked per-source (window
-    * bounded by a node's degree, never global); each step is two
-    * equi-joins — degree lookup to compute the wanted rank, then a
-    * (src, rank) join that fetches exactly one neighbor row per walk,
-    * no fan-out through neighbor lists. Walk count × steps rows total. */
+    * bounded by a node's degree, never global) and PERSISTED for the
+    * loop's lifetime — left lazy, every step would replay the full edge
+    * sort, making a DeepWalk-depth walk O(steps) full edge sorts. Each
+    * step is then two equi-joins against resident frames — degree
+    * lookup to compute the wanted rank, then a (src, rank) join that
+    * fetches exactly one neighbor row per walk, no fan-out through
+    * neighbor lists. Walk count × steps rows total; per-step cost is
+    * flat in `steps` (the GraphScaleGateSpec pins this). */
+  def randomWalks(
+      spark: SparkSession, edges: DataFrame, starts: DataFrame,
+      steps: Int, walksPerNode: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy("dst")
+    val nbr = edges
+      .withColumn("rk", row_number().over(w).cast("long") - 1)
+      .select(col("src").as("nsrc"), col("dst"), col("rk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("degn"))
+      .withColumnRenamed("src", "node")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cur = starts
+        .crossJoin(broadcast(
+          spark.range(walksPerNode.toLong).toDF("w")))
+        .select((col("node") * walksPerNode + col("w")).as("walk_id"),
+          lit(0L).as("step"), col("node"))
+      var frames = List(cur)
+      // CUT LINEAGE each step (eager localCheckpoint), don't just
+      // persist: step i feeds both the union and step i+1, and a bare
+      // persist keeps the full logical chain — at DeepWalk depth the
+      // accumulated plan tree grows O(steps²) and analysis/explain
+      // alone OOMs the driver (measured at 20 steps). Checkpointing
+      // leaves each step a shallow LogicalRDD: per-step cost is flat
+      // and the final union is `steps` leaf scans.
+      for (i <- 1 to steps) {
+        cur = cur
+          .join(deg, "node")
+          .withColumn("want_rk",
+            conv(substring(md5(concat_ws(":", col("walk_id"), lit(i))),
+              1, 8), 16, 10).cast("long") % col("degn"))
+          .join(nbr, col("node") === col("nsrc") &&
+            col("want_rk") === col("rk"))
+          .select(col("walk_id"), lit(i.toLong).as("step"),
+            col("dst").as("node"))
+          .localCheckpoint(eager = true)
+        frames ::= cur
+      }
+      val out = frames.reverse.reduce(_ unionAll _)
+      out.persist(StorageLevel.MEMORY_AND_DISK).count()
+      out
+    } finally {
+      nbr.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
+  }
+
+  /** DeepWalk-shaped walk corpus over the trade graph: 2 walks × 10
+    * steps from every supplier node. */
   def qRandomWalks(
-      spark: SparkSession, dir: String, steps: Int = 3): DataFrame = {
+      spark: SparkSession, dir: String, steps: Int = 10,
+      walksPerNode: Int = 2): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
-      s"$dir#walks", steps)
+      s"$dir#walks$walksPerNode", steps)
     rankCache.getOrElseUpdate(key,
       withTradePairs(spark, dir) { pairs =>
-        val edges = tradeEdges(pairs)
-        val w = Window.partitionBy("src").orderBy("dst")
-        val nbr = edges
-          .withColumn("rk", row_number().over(w).cast("long") - 1)
-          .select(col("src").as("nsrc"), col("dst"), col("rk"))
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("degn"))
-        var cur = pairs.select((col("s") * 2).as("walk_id")).distinct()
-          .select(col("walk_id"), lit(0L).as("step"),
-            col("walk_id").as("node"))
-        var out = cur
-        // persist each step: step i feeds BOTH the union and step i+1 —
-        // left lazy, step 1 would recompute once per later step
-        // (O(steps²) total); a real 40-80-step walk needs exactly this
-        var stepFrames = List.empty[DataFrame]
-        for (i <- 1 to steps) {
-          cur = cur
-            .join(deg.withColumnRenamed("src", "node"), "node")
-            .withColumn("want_rk",
-              conv(substring(md5(concat_ws(":", col("walk_id"), lit(i))),
-                1, 8), 16, 10).cast("long") % col("degn"))
-            .join(nbr, col("node") === col("nsrc") &&
-              col("want_rk") === col("rk"))
-            .select(col("walk_id"), lit(i.toLong).as("step"),
-              col("dst").as("node"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          stepFrames ::= cur
-          out = out.unionAll(cur)
-        }
-        out.persist(StorageLevel.MEMORY_AND_DISK).count()
-        stepFrames.foreach(_.unpersist(blocking = false))
-        out
+        val starts = pairs.select((col("s") * 2).as("node")).distinct()
+        randomWalks(spark, tradeEdges(pairs), starts, steps, walksPerNode)
       })
   }
 

@@ -90,24 +90,31 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
     val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val (steps, walksPerNode) = (10, 2)
     val want = scala.collection.mutable.Set.empty[(Long, Long, Long)]
     adj.keys.filter(_ % 2 == 0).foreach { start =>
-      var at = start
-      want += ((start, 0L, start))
-      for (i <- 1 to 3) {
-        val ns = adj(at)
-        val rk = java.lang.Long.parseLong(
-          md5hex(s"$start:$i").take(8), 16) % ns.length
-        at = ns(rk.toInt)
-        want += ((start, i.toLong, at))
+      for (w <- 0 until walksPerNode) {
+        val walkId = start * walksPerNode + w
+        var at = start
+        want += ((walkId, 0L, start))
+        for (i <- 1 to steps) {
+          val ns = adj(at)
+          val rk = java.lang.Long.parseLong(
+            md5hex(s"$walkId:$i").take(8), 16) % ns.length
+          at = ns(rk.toInt)
+          want += ((walkId, i.toLong, at))
+        }
       }
     }
     val got = GraphOps.qRandomWalks(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === want.toSet)
-    // every walk is complete: steps 0..3 present per walk_id
+    // every walk is complete: steps 0..steps present per walk_id, and
+    // each start node launches walksPerNode distinct walks
     got.groupBy(_._1).values.foreach(w =>
-      assert(w.map(_._2) === Set(0L, 1L, 2L, 3L)))
+      assert(w.map(_._2) === (0L to steps.toLong).toSet))
+    assert(got.map(_._1).size ===
+      adj.keys.count(_ % 2 == 0) * walksPerNode)
   }
 
   test("q_pagerank covers every trade-graph node and conserves mass") {
