@@ -268,6 +268,10 @@ object SparkEntry {
     // suppliers; the rank vector stays sparse, frontier grows per round
     "q_pagerank_seeded" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qPageRankSeeded(s, d)),
+    // production-crawl PageRank: directed graph with sinks, dangling
+    // mass redistributed, residual-based stop (oracle freeze-unrolled)
+    "q_pagerank_dangling" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qPageRankDangling(s, d)),
     // DeepWalk-style deterministic random walks: md5-driven next hop,
     // reproducible graph-embedding training sequences
     "q_random_walks" -> ((s: SparkSession, d: String) =>
@@ -457,6 +461,50 @@ object SparkEntry {
        |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM seeds),
        |$rounds
        |$pageRankFinal FROM r$iters""".stripMargin
+  }
+
+  /** Unrolled oracle for q_pagerank_dangling: DIRECTED supplier→part
+    * graph (parts are sinks), dangling mass redistributed uniformly each
+    * round, and the residual stop expressed as per-round FREEZING — round
+    * i keeps r(i-1) verbatim once max|r(i-1) − r(i-2)| < eps, and frozen
+    * rounds stay frozen (their residual is 0), so the full unrolling
+    * equals the implementation's early-stopped result at whatever round
+    * the data converges. Mirrors
+    * [[graft.graph.GraphOps.pageRankDangling]] exactly. */
+  private def pageRankDanglingSql(eps: Long, maxIters: Int): String = {
+    // every CTE MATERIALIZED: each round is referenced by up to four
+    // later CTEs, and default CTE inlining makes the 40-round unrolling
+    // grow multiplicatively (measured: DuckDB exhausts file handles on
+    // the exploded parquet scans before finishing planning)
+    val rounds = (1 to maxIters).map { i =>
+      val step =
+        s"""d$i AS MATERIALIZED (SELECT COALESCE(sum(r), 0) AS dm FROM r${i - 1}
+           |  WHERE node NOT IN (SELECT src FROM deg)),
+           |s$i AS MATERIALIZED (SELECT n.node,
+           |  CAST(150000000000 + (85 * (COALESCE(c.sc, 0) +
+           |    (SELECT dm FROM d$i) // (SELECT n FROM nc))) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT dst AS node, sum(r // outdeg) AS sc
+           |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1) c
+           |  ON n.node = c.node)""".stripMargin
+      if (i == 1) step + ",\nr1 AS MATERIALIZED (SELECT * FROM s1)"
+      else step +
+        s""",
+           |res$i AS MATERIALIZED (SELECT max(abs(a.r - b.r)) AS m
+           |  FROM r${i - 1} a JOIN r${i - 2} b ON a.node = b.node),
+           |r$i AS MATERIALIZED (SELECT s.node, CASE WHEN (SELECT m FROM res$i) < $eps
+           |    THEN p.r ELSE s.r END AS r
+           |  FROM s$i s JOIN r${i - 1} p ON s.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |edges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |e AS MATERIALIZED (SELECT edges.src, dst, outdeg FROM edges JOIN deg USING (src)),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
+       |$rounds
+       |$pageRankFinal FROM r$maxIters""".stripMargin
   }
 
   private def pass4(x: String): String =
@@ -1485,6 +1533,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
     "q_pagerank_seeded" -> pprSql(5, 3),
+    "q_pagerank_dangling" -> pageRankDanglingSql(
+      graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
     "q_random_walks" -> randomWalkSql(10, 2),
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,

@@ -117,6 +117,75 @@ class GraphSpec extends SparkSpec {
       adj.keys.count(_ % 2 == 0) * walksPerNode)
   }
 
+  /** Driver-side reference of pageRankDangling: full node universe,
+    * uniform dangling redistribution, residual stop. Returns (ranks,
+    * realized rounds). */
+  private def simulateDangling(
+      edges: Seq[(Long, Long)], eps: Long,
+      maxIters: Int): (Map[Long, Long], Int) = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    var r = nodes.map(_ -> GraphOps.Scale).toMap
+    var i = 0
+    var converged = false
+    while (i < maxIters && !converged) {
+      i += 1
+      val dm = nodes.filterNot(out.contains).map(r).sum
+      val share = dm / n
+      val in = edges.groupBy(_._2).view.mapValues { es =>
+        es.map { case (s, _) => r(s) / out(s) }.sum
+      }.toMap
+      val next = nodes.map(nd => nd ->
+        (GraphOps.Teleport + 85L * (in.getOrElse(nd, 0L) + share) / 100L))
+        .toMap
+      val resid = nodes.map(nd => math.abs(next(nd) - r(nd))).max
+      r = next
+      converged = resid < eps
+    }
+    (r, i)
+  }
+
+  test("dangling pagerank matches the simulator, stops early, holds sink rank") {
+    // 1→2, 1→3, 2→3: node 3 is a sink; without redistribution its mass
+    // (and 85% of the graph's, eventually) would leak every round
+    val edges = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L)
+    val eps = 10000000000L
+    val (want, wantRounds) = simulateDangling(edges, eps, 40)
+    val (gotDf, gotRounds) =
+      GraphOps.pageRankDangling(spark, edges.toDF("src", "dst"), eps, 40)
+    val got = gotDf.as[(Long, Long)].collect().toMap
+    assert(got === want)
+    assert(gotRounds === wantRounds)
+    assert(gotRounds < 40, "residual stop never fired")
+    // the sink holds the most rank (everything flows into it), and mass
+    // is conserved up to truncation
+    assert(got(3L) > got(1L) && got(3L) > got(2L))
+    val total = got.values.sum
+    assert(total <= 3 * GraphOps.Scale)
+    assert(total > (3 * GraphOps.Scale * 0.999).toLong)
+  }
+
+  test("q_pagerank_dangling: sinks hold rank, mass conserved at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val res = GraphOps.qPageRankDangling(spark, dir).cache()
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val nSupp = li.select("l_suppkey").distinct().count()
+    val nPart = li.select("l_partkey").distinct().count()
+    assert(res.filter($"node_type" === "supplier").count() === nSupp)
+    assert(res.filter($"node_type" === "part").count() === nPart)
+    val total = res.agg(sum($"rank_fp")).as[Long].head()
+    val init = (nSupp + nPart) * GraphOps.Scale
+    assert(total <= init)
+    assert(total > (init * 0.999).toLong)
+    // every part is a sink in the directed graph; redistribution must
+    // leave ALL of them ranked above bare teleport mass
+    val minPart = res.filter($"node_type" === "part")
+      .agg(min($"rank_fp")).as[Long].head()
+    assert(minPart > GraphOps.Teleport)
+    res.unpersist()
+  }
+
   test("q_pagerank covers every trade-graph node and conserves mass") {
     val dir = "/root/testdata/sf0.001"
     val res = GraphOps.qPageRank(spark, dir).cache()
