@@ -255,6 +255,11 @@ object SparkEntry {
     // target domain vs the corpus, integer ppm weights -> exact oracle
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
       TrainingData.qDsirWeights(s, d)),
+    // fastText-style discriminative quality filter: hard-sigmoid
+    // logistic regression over hashed features, fixed-point training
+    // replayed exactly by the unrolled oracle
+    "q_quality_classifier" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.QualityClassifier.qQualityClassifier(s, d)),
     // explicit bloom semi-join reduction: prune the probe side before the
     // exchange; exact semi join scrubs false positives, so the oracle is
     // the plain IN-subquery
@@ -505,6 +510,51 @@ object SparkEntry {
        |r0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
        |$rounds
        |$pageRankFinal FROM r$maxIters""".stripMargin
+  }
+
+  /** Unrolled full-batch-GD oracle for q_quality_classifier: one
+    * (score, error, gradient, weight-update) CTE block per epoch, hard
+    * sigmoid, sign-safe truncating divisions — replays
+    * [[graft.pipeline.QualityClassifier]]'s fixed-point training
+    * bit-exactly. */
+  private def qualityClassifierSql(dims: Int, epochs: Int): String = {
+    val S = graft.pipeline.QualityClassifier.S
+    def sdiv(a: String, b: String) =
+      s"(CASE WHEN $a >= 0 THEN ($a) // $b ELSE -((-($a)) // $b) END)"
+    val rounds = (1 to epochs).map { i =>
+      s"""z$i AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS z
+         |  FROM fx f JOIN w${i - 1} w USING (dim) GROUP BY 1),
+         |e$i AS MATERIALIZED (SELECT z.doc_id,
+         |  greatest(0, least($S, ${S / 2} + ${sdiv("z.z", "4")})) - l.y * $S AS err
+         |  FROM z$i z JOIN lab l USING (doc_id)),
+         |g$i AS MATERIALIZED (SELECT f.dim, sum(e.err * f.x) AS s
+         |  FROM fx f JOIN e$i e USING (doc_id) GROUP BY 1),
+         |w$i AS MATERIALIZED (SELECT w.dim,
+         |  CAST(w.w - ${sdiv(sdiv("COALESCE(g.s, 0)", "(SELECT n FROM nn)"), "4")} AS BIGINT) AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (dim))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |fx AS MATERIALIZED (
+       |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS x FROM (
+       |    SELECT doc_id,
+       |      CAST(('0x' || substr(md5('qc:' || tok), 1, 2))::UBIGINT % $dims AS BIGINT) AS dim,
+       |      CASE WHEN ('0x' || substr(md5('qc:' || tok), 3, 1))::UBIGINT % 2 = 0
+       |           THEN 1 ELSE -1 END AS sgn
+       |    FROM toks) GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT doc_id, CAST($dims AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+       |lab AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1 ELSE 0 END AS y
+       |  FROM documents),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+       |w0 AS MATERIALIZED (SELECT CAST(t.d AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w
+       |  FROM range(0, ${dims + 1}) t(d)),
+       |$rounds,
+       |sc AS (SELECT f.doc_id, sum(f.x * w.w) AS z
+       |  FROM fx f JOIN w$epochs w USING (dim) GROUP BY 1)
+       |SELECT sc.doc_id, CAST(l.y AS BIGINT) AS label,
+       |  CAST(sc.z AS BIGINT) AS score_fp, sc.z >= 0 AS keep
+       |FROM sc JOIN lab l USING (doc_id)""".stripMargin
   }
 
   private def pass4(x: String): String =
@@ -1535,6 +1585,7 @@ object SparkEntry {
     "q_pagerank_seeded" -> pprSql(5, 3),
     "q_pagerank_dangling" -> pageRankDanglingSql(
       graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
+    "q_quality_classifier" -> qualityClassifierSql(64, 4),
     "q_random_walks" -> randomWalkSql(10, 2),
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+import graft.relational.Tables.load
+
+/** Model-based quality filtering — the fastText-style discriminative
+  * selector (Joulin et al., "Bag of Tricks for Efficient Text
+  * Classification"; the quality-filter use is the GPT-3/CCNet recipe):
+  * train a linear classifier to separate a trusted REFERENCE slice from
+  * the general corpus, then score every document and keep the
+  * reference-like ones. Complements the pipeline's other selectors —
+  * heuristic quality (rule thresholds), perplexity (generative LM), and
+  * DSIR (n-gram importance reweighting) — with the one standard family
+  * it lacked: a trained discriminative model.
+  *
+  * Everything is EXACT fixed-point integer arithmetic so the trained
+  * weights — and therefore every score — replay bit-identically in any
+  * engine (the q_dsir_weights discipline):
+  *   - features: the hashing trick over tokens (md5 salted `qc:` per the
+  *     repo's salt-every-hash-policy rule), signed counts, plus a bias
+  *     feature at dim = `dims`;
+  *   - model: logistic regression with the HARD sigmoid
+  *     p = clamp(0, S, S/2 + z/4) — piecewise-linear, so no
+  *     transcendental whose libm rounding could diverge across engines;
+  *   - training: `epochs` rounds of full-batch gradient descent,
+  *     gradient and step divisions truncating-toward-zero (the sign-safe
+  *     CASE form in the oracle, native `div`/BigInt division here).
+  *
+  * Scale shape: the feature table is built once and persisted (one
+  * stateless explode + one map-side-combinable aggregation); each epoch
+  * is two shuffles over it — a doc-keyed score aggregation and a
+  * dim-keyed gradient aggregation whose output is `dims`+1 rows. The
+  * model is a collected-kilobyte artifact re-broadcast per epoch (the
+  * model-publishing shape); nothing corpus-sized ever reaches the
+  * driver. Gradient sums accumulate in decimal(38,0): at 100 TB the
+  * per-dim Σ err·x overflows a long at ~3e7 docs, the one place this
+  * operator would silently diverge at scale.
+  */
+object QualityClassifier {
+
+  /** Fixed-point scale for probabilities and weights (1e6 = 1.0). */
+  val S: Long = 1000000L
+
+  /** Sign-safe truncating division as a SQL fragment — Spark `div`
+    * truncates toward zero but DuckDB `//` floors, and they disagree on
+    * negative numerators; this CASE form is truncation in both. */
+  private def sdiv(a: String, b: String): String =
+    s"(CASE WHEN $a >= 0 THEN ($a) div $b ELSE -((-($a)) div $b) END)"
+
+  /** Hashed signed token-count features + bias row per labeled doc.
+    * `docs` needs (doc_id, text, y). */
+  private def features(docs: DataFrame, dims: Int): DataFrame = {
+    val h = md5(concat(lit("qc:"), col("tok")))
+    val feats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(h, 1, 2), 16, 10).cast("long") % dims).as("dim"),
+        when(conv(substring(h, 3, 1), 16, 10).cast("long") % 2 === 0, 1L)
+          .otherwise(-1L).as("sign"))
+      .groupBy("doc_id", "dim")
+      .agg(sum("sign").as("x"))
+    val bias = docs
+      .select(col("doc_id"), lit(dims.toLong).as("dim"), lit(1L).as("x"))
+    feats.unionAll(bias).join(docs.select("doc_id", "y"), "doc_id")
+  }
+
+  /** Train on labeled docs (doc_id, text, y∈{0,1}) and score every doc:
+    * returns (doc_id, label, score_fp, keep) where score_fp is the
+    * final fixed-point logit and keep = score_fp >= 0 (hard-sigmoid
+    * probability >= 0.5). */
+  def classify(
+      spark: SparkSession, docs: DataFrame, dims: Int = 64,
+      epochs: Int = 4): DataFrame = {
+    val xy = features(docs, dims)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = BigInt(docs.count())
+      var w: Map[Long, BigInt] =
+        (0L to dims.toLong).map(_ -> BigInt(0)).toMap
+
+      def weightsDf = spark.createDataFrame(
+        w.toSeq.map { case (d, v) => (d, v.toLong) }
+      ).toDF("dim", "w")
+
+      def scores = xy
+        .join(broadcast(weightsDf), "dim")
+        .groupBy("doc_id")
+        .agg(sum(col("x") * col("w")).as("z"), first(col("y")).as("y"))
+
+      for (_ <- 1 to epochs) {
+        // p = hard sigmoid, err = p - y·S; both bounded by S so the
+        // per-row arithmetic never needs more than a long
+        val err = scores.select(col("doc_id"),
+          (expr(s"greatest(0L, least(${S}L, ${S / 2}L + ${sdiv("z", "4")}))")
+            - col("y") * S).as("err"))
+        // dim-keyed gradient sums in decimal(38,0): the collected model
+        // artifact is dims+1 rows, kilobytes
+        val grads = xy
+          .join(err, "doc_id")
+          .groupBy("dim")
+          .agg(sum((col("err") * col("x")).cast("decimal(38,0)")).as("g"))
+          .collect()
+          .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+          .toMap
+        // BigInt / truncates toward zero — the same sign-safe contract
+        w = w.map { case (d, wv) =>
+          d -> (wv - grads.getOrElse(d, BigInt(0)) / n / 4)
+        }
+      }
+      scores.select(col("doc_id"), col("y").as("label"),
+        col("z").as("score_fp"), (col("z") >= 0).as("keep"))
+    } finally xy.unpersist(blocking = false)
+  }
+
+  /** The registered query: reference slice = sources src0..src4 (the
+    * trusted-corpus stand-in), everything else negative. On the
+    * synthetic corpus the token distribution carries no source signal,
+    * so the trained model honestly predicts the majority class — the
+    * SPEC proves learning on a separable fixture; the oracle proves the
+    * training arithmetic bit-exactly either way. */
+  def qQualityClassifier(
+      spark: SparkSession, dir: String, dims: Int = 64,
+      epochs: Int = 4): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        when(substring(col("source"), 4, 10).cast("int") < 5, 1L)
+          .otherwise(0L).as("y"))
+    classify(spark, docs, dims, epochs)
+  }
+}
