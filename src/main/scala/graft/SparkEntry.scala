@@ -302,7 +302,11 @@ object SparkEntry {
     "q_media_features" -> ((s: SparkSession, d: String) =>
       Multimodal.qMediaFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) =>
-      Multimodal.qMediaResize(s, d))
+      Multimodal.qMediaResize(s, d)),
+    // perceptual-hash (dHash) image near-dup: band pigeonhole candidate
+    // join + exact popcount verify; stub decode path -> exact oracle
+    "q_image_neardup" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.ImageDedup.qImageNearDup(s, d))
   )
 
   /** Shared CTE: the deterministic LSP/DPC message log derived from
@@ -1809,6 +1813,45 @@ object SparkEntry {
         |        CAST(greatest(least((k // 4 * h // 4) * w + (k % 4 * w // 4), nb - 1), 0) + 1 AS INT),
         |        1)))), (x, y) -> x || y) END AS thumb_hex
         |FROM d""".stripMargin,
+    // dHash over the stub-decoded 9x8 grid, 4x16-bit band candidate
+    // join (lossless to hamming 3), exact popcount verify
+    "q_image_neardup" ->
+      """WITH m AS MATERIALIZED (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+        |d AS MATERIALIZED (SELECT doc_id, text, nb,
+        |  nb % 64 + 1 AS w, nb // 64 + 1 AS h FROM m),
+        |g AS MATERIALIZED (
+        |  SELECT doc_id, i, j,
+        |    CASE WHEN nb = 0 THEN 0
+        |         ELSE ord(substr(text,
+        |           CAST(least((i * h // 8) * w + (j * w // 9), nb - 1) AS INT) + 1, 1))
+        |    END AS v
+        |  FROM d, range(0, 8) ti(i), range(0, 9) tj(j)),
+        |bits AS MATERIALIZED (
+        |  SELECT a.doc_id, a.i, a.j, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
+        |  WHERE a.j < 8),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, i // 2 AS band,
+        |    CAST(sum(bit * (CAST(1 AS BIGINT) << ((i % 2) * 8 + j))) AS BIGINT) AS bv
+        |  FROM bits GROUP BY 1, 2),
+        |hx AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    max(CASE WHEN band = 0 THEN bv END) AS b0,
+        |    max(CASE WHEN band = 1 THEN bv END) AS b1,
+        |    max(CASE WHEN band = 2 THEN bv END) AS b2,
+        |    max(CASE WHEN band = 3 THEN bv END) AS b3
+        |  FROM bands GROUP BY 1),
+        |cand AS MATERIALIZED (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM hx a JOIN hx b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM hx a JOIN hx b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM hx a JOIN hx b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+        |  UNION SELECT a.doc_id, b.doc_id FROM hx a JOIN hx b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)
+        |SELECT * FROM (
+        |  SELECT c.d1, c.d2,
+        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
+        |  FROM cand c JOIN hx a ON c.d1 = a.doc_id JOIN hx b ON c.d2 = b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),
         |f AS (SELECT doc_id,

@@ -86,7 +86,7 @@ object Multimodal {
     * handle. The drain-time close (the `++` thunk, evaluated only after
     * the left side exhausts) is kept as the fast path so handles free as
     * soon as the rows are consumed, not at task teardown. */
-  private def withDecoder[T](provider: MediaDecoderProvider)(
+  private[multimodal] def withDecoder[T](provider: MediaDecoderProvider)(
       f: MediaDecoder => Iterator[T]): Iterator[T] = {
     val dec = provider.open()
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
