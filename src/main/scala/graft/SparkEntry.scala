@@ -387,9 +387,10 @@ object SparkEntry {
       |r AS (SELECT vec_id, CAST(i AS INT) AS d,
       |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
       |      FROM e, generate_series(1, 64) t(i)),
+      |cc AS (SELECT greatest(16, (count(*) + 99) // 100) AS nc FROM embeddings),
       |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
       |         list_transform(v, x -> round(x, 6)) AS m
-      |       FROM e WHERE vec_id < 16),
+      |       FROM e WHERE vec_id < (SELECT nc FROM cc)),
       |a1 AS (SELECT vec_id, cell FROM (
       |         SELECT t.vec_id, c.cell, row_number() OVER (
       |           PARTITION BY t.vec_id ORDER BY list_reduce(
@@ -1342,9 +1343,10 @@ object SparkEntry {
         |r AS (SELECT vec_id, CAST(i AS INT) AS d,
         |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
         |      FROM e, generate_series(1, 64) t(i)),
+        |cc AS (SELECT greatest(16, (count(*) + 99) // 100) AS nc FROM embeddings),
         |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
         |         list_transform(v, x -> round(x, 6)) AS m
-        |       FROM e WHERE vec_id < 16),
+        |       FROM e WHERE vec_id < (SELECT nc FROM cc)),
         |a1 AS (SELECT vec_id, cell FROM (
         |         SELECT t.vec_id, c.cell, row_number() OVER (
         |           PARTITION BY t.vec_id ORDER BY list_reduce(

@@ -57,6 +57,36 @@ object Similarity {
     }
   }
 
+  /** Mean within-cell occupancy the adaptive cell count targets:
+    * within-cell pair work is quadratic in occupancy, so bounding the
+    * mean bounds the expected SemDeDup/outlier scan cost per cell. */
+  val TargetCellOccupancy: Long = 100L
+
+  /** Broadcast ceiling for the trained-centroid relation: past ~64k
+    * cells the collected index artifact stops being a kilobyte-to-
+    * megabyte broadcast (64k × 64 doubles ≈ 32 MB) and a real system
+    * shards the index instead — beyond the cap the occupancy bound
+    * intentionally yields to the publish-and-broadcast design. */
+  val MaxCells: Int = 65536
+
+  /** Scale-adaptive Lloyd cell count: ceil(n / occupancy), floored at 16
+    * (the historical fixed dial) and capped at [[MaxCells]]. Derived
+    * from the corpus count so a 100× corpus gets ~100× cells instead of
+    * 100× occupancy — the quadratic within-cell blowup the fixed dial
+    * tripped on. Mirrored exactly by the oracle SQL
+    * (`greatest(16, (count(*) + 99) // 100)`). */
+  def adaptiveCells(n: Long): Int =
+    math.min(MaxCells.toLong,
+      math.max(16L, (n + TargetCellOccupancy - 1) / TargetCellOccupancy))
+      .toInt
+
+  /** [[adaptiveCells]] for a dir's embeddings corpus; the count is a
+    * parquet-metadata read, cached with the published models. */
+  private def adaptiveCellsFor(spark: SparkSession, dir: String): Int =
+    adaptiveCells(publishedModel[java.lang.Long](spark, dir, "corpus-n") {
+      java.lang.Long.valueOf(load(spark, dir, "embeddings").count())
+    }.longValue())
+
   /** Cosine from a native left-to-right fold (for ad-hoc use; the queries
     * below precompute norms instead of re-deriving them per pair). */
   def cosine(a: Column, b: Column): Column =
@@ -719,12 +749,13 @@ object Similarity {
     * exists. */
   def qIvfIngest(
       spark: SparkSession, dir: String,
-      cells: Int = 16, trainMod: Int = 2): DataFrame = {
+      cells: Int = 0, trainMod: Int = 2): DataFrame = {
+    val nc = if (cells > 0) cells else adaptiveCellsFor(spark, dir)
     val emb = corpus(spark, dir, norm = false)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("xs"))
     val centroids = lloydCentroids(spark, emb,
-      emb.filter(col("vec_id") % trainMod === 0), cells, dir, s"mod$trainMod")
+      emb.filter(col("vec_id") % trainMod === 0), nc, dir, s"mod$trainMod")
     assignCells(emb, centroids)
       .groupBy("cell")
       .agg(
@@ -798,8 +829,9 @@ object Similarity {
     * merge (TakeOrdered) — no sort of the corpus, no shuffle at all. */
   def qEmbeddingOutliers(
       spark: SparkSession, dir: String,
-      cells: Int = 16, k: Int = 20): DataFrame =
-    cachedAssignment(spark, dir, cells)
+      cells: Int = 0, k: Int = 20): DataFrame =
+    cachedAssignment(spark, dir,
+      if (cells > 0) cells else adaptiveCellsFor(spark, dir))
       .orderBy(col("dist").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
@@ -849,8 +881,9 @@ object Similarity {
 
   def qSemDedup(
       spark: SparkSession, dir: String,
-      cells: Int = 16, threshold: Double = 0.4): DataFrame = {
-    val assigned = cachedAssignment(spark, dir, cells)
+      cells: Int = 0, threshold: Double = 0.4): DataFrame = {
+    val assigned = cachedAssignment(spark, dir,
+      if (cells > 0) cells else adaptiveCellsFor(spark, dir))
     val pairs = assigned
       .select(col("cell"), col("vec_id").as("d1"),
         col("embedding").as("v1"), col("norm").as("n1"))

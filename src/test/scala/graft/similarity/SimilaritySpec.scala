@@ -241,7 +241,8 @@ class SimilaritySpec extends SparkSpec {
     val total = graft.relational.Tables.load(spark, dir, "embeddings").count()
     assert(a.values.map(v => v._1 + v._2).sum === total,
       "every vector (resident + ingest) lands in exactly one cell")
-    assert(a.size <= 16 && a.size > 1, s"implausible cell count ${a.size}")
+    assert(a.size <= Similarity.adaptiveCells(total) && a.size > 1,
+      s"implausible cell count ${a.size}")
     a.foreach { case (cell, (_, nNew, distFp)) =>
       assert(distFp >= 0L, s"cell $cell negative drift")
       if (nNew == 0L) assert(distFp === 0L, s"cell $cell drift without ingest")
@@ -283,6 +284,28 @@ class SimilaritySpec extends SparkSpec {
     got.foreach { case (qid, nid, nl, _, _) =>
       assert(labels(nid) === nl)
       assert(labels(qid) !== nl)
+    }
+  }
+
+  test("adaptive cell count bounds mean occupancy and respects the caps") {
+    // formula fixed points: floor at 16, ceil(n/100) in between, 64k cap
+    assert(Similarity.adaptiveCells(500) === 16)
+    assert(Similarity.adaptiveCells(1600) === 16)
+    assert(Similarity.adaptiveCells(2000) === 20)
+    assert(Similarity.adaptiveCells(1000000) === 10000)
+    assert(Similarity.adaptiveCells(100000000L) === Similarity.MaxCells)
+    // at two SFs: derived cells keep mean occupancy under target (or at
+    // the 16-cell floor), and the trained index still covers every vector
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.1")) {
+      val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+      val cells = Similarity.adaptiveCells(n)
+      assert(cells >= 16)
+      if (cells > 16)
+        assert(n.toDouble / cells <= Similarity.TargetCellOccupancy)
+      val census = Similarity.qIvfIngest(spark, d).collect()
+      assert(census.map(r => r.getLong(1) + r.getLong(2)).sum === n,
+        s"$d: census must cover all $n vectors")
+      assert(census.length <= cells)
     }
   }
 
