@@ -4,39 +4,46 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.DataFrame
 
-/** Session-scoped registry of persisted DataFrames (trained models,
-  * shingle arrays, corpus assignments — the library's
-  * compute-once-per-corpus intermediates), keyed by caller-chosen `K`
-  * that must lead with the owning session's id.
+/** Session-scoped registry of compute-once-per-corpus artifacts
+  * (persisted shingle/assignment frames, checkpointed cluster tables,
+  * collected model codebooks), keyed by caller-chosen `K` that must lead
+  * with the owning session's id.
   *
   * Why not bare `TrieMap.getOrElseUpdate`: it may evaluate the builder
   * CONCURRENTLY on first access, and the loser's corpus-sized persisted
-  * frame (count() already forced) would be discarded without unpersist —
+  * value (count() already forced) would be discarded without unpersist —
   * leaking executor cache blocks for the JVM lifetime. Here the race is
-  * resolved with `putIfAbsent` and the loser is explicitly unpersisted:
-  * a racing build costs duplicate compute once, never leaked storage.
+  * resolved with `putIfAbsent` and the loser is explicitly `release`d: a
+  * racing build costs duplicate compute once, never leaked storage.
   */
-final class CachedFrames[K] {
-  private val cache = TrieMap.empty[K, DataFrame]
+final class SessionCache[K, V](release: V => Unit) {
+  private val cache = TrieMap.empty[K, V]
 
-  /** The cached frame for `key`, building (and keeping) it if absent.
-    * `build` must return an already-persisted frame. */
-  def get(key: K)(build: => DataFrame): DataFrame =
+  /** The cached value for `key`, building (and keeping) it if absent.
+    * Persisted resources in `build`'s result must be releasable by this
+    * cache's `release` function. */
+  def get(key: K)(build: => V): V =
     cache.get(key) match {
-      case Some(df) => df
+      case Some(v) => v
       case None =>
         val built = build
         cache.putIfAbsent(key, built) match {
           case None => built
           case Some(winner) =>
-            built.unpersist(blocking = false)
+            release(built)
             winner
         }
     }
 
-  /** Unpersist and drop every entry whose key matches. */
+  /** Release and drop every entry whose key matches. */
   def invalidate(pred: K => Boolean): Unit =
-    cache.filterInPlace { (k, df) =>
-      if (pred(k)) { df.unpersist(); false } else true
+    cache.filterInPlace { (k, v) =>
+      if (pred(k)) { release(v); false } else true
     }
+}
+
+object SessionCache {
+  /** The common case: cached persisted DataFrames. */
+  def frames[K]: SessionCache[K, DataFrame] =
+    new SessionCache[K, DataFrame](_.unpersist(blocking = false))
 }

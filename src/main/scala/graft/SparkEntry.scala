@@ -1041,7 +1041,9 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'embeddings', count(*),
         |  bit_xor(CAST(('0x' || substr(md5(
-        |    CAST(vec_id AS VARCHAR) || ':' || CAST(label AS VARCHAR)
+        |    CAST(vec_id AS VARCHAR) || ':' || CAST(label AS VARCHAR) || ':' ||
+        |    array_to_string(list_transform(embedding,
+        |      x -> CAST(CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT) AS VARCHAR)), ',')
         |  ), 1, 15))::UBIGINT AS BIGINT))
         |FROM embeddings
         |UNION ALL
@@ -1293,7 +1295,14 @@ object SparkEntry {
         |  FROM rr)
         |WHERE rnk <= 5""".stripMargin,
     // brute-force cross-label top-k: the banded candidate path computes
-    // this exact relation (escape bound is label-independent)
+    // this exact relation (escape bound is label-independent).
+    // ACCEPTED MISMATCH RISK: the banded generator has a nonzero
+    // all-bands-escape probability (~1.6e-4 per near-orthogonal pair),
+    // so an unlucky corpus/SF can hash-miss this oracle even though the
+    // operator behaves as designed. SimilaritySpec's candidate-recall
+    // assertion ("hard negatives: banded candidates cover...") makes
+    // such a miss diagnosable as band escape rather than a logic bug;
+    // on the driver's corpora recall is exactly 1.0.
     "q_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1629,7 +1638,7 @@ object SparkEntry {
         |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
         |       FROM documents),
         |b AS (SELECT doc_id, pos, tok,
-        |        CASE WHEN ('0x' || substr(md5(tok), 1, 4))::UBIGINT % 16 = 0
+        |        CASE WHEN ('0x' || substr(md5('cdc:' || tok), 1, 4))::UBIGINT % 16 = 0
         |             THEN 1 ELSE 0 END AS is_b
         |      FROM toks),
         |c AS (SELECT doc_id, pos, tok,
@@ -1662,7 +1671,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_dsir_weights" ->
       """WITH wb AS (SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5(tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS bucket
+        |    CAST(('0x' || substr(md5('dsir:' || tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS bucket
         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         |        FROM documents)),
         |bg AS (SELECT bucket, count(*) AS cb FROM wb GROUP BY 1),

@@ -61,18 +61,16 @@ object Dedup {
     * weak-keyed map would never actually collect. Entries live for the
     * JVM (bounded by sessions × dirs); a caller that rewrites the data
     * under `dir` mid-session must [[invalidateCaches]]. */
-  private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  private val shingleCache = graft.SessionCache.frames[(String, String)]
 
   /** Drop this session's cached shingle frames (e.g. after rewriting the
     * parquet under a cached dir). */
   def invalidateCaches(spark: SparkSession): Unit =
-    shingleCache.filterInPlace { case ((sid, _), df) =>
-      if (sid == org.apache.spark.sql.GraftShim.sessionId(spark)) { df.unpersist(); false } else true
-    }
+    shingleCache.invalidate(
+      _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
 
   private[graft] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate((org.apache.spark.sql.GraftShim.sessionId(spark), dir),
+    shingleCache.get((org.apache.spark.sql.GraftShim.sessionId(spark), dir))(
       docs(spark, dir)
         .select(col("doc_id"), shingles(col("text")).as("sh_arr"))
         .persist())

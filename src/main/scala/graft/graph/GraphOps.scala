@@ -76,16 +76,12 @@ object GraphOps {
   /** One persisted rank frame per (session, dir): bench loops re-invoke
     * the query; without the cache each call would stack another
     * persisted copy (same contract as Dedup.shingleArrays). */
-  private val rankCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String, Int), DataFrame]
+  private val rankCache = graft.SessionCache.frames[(String, String, Int)]
 
   /** Drop this session's cached rank frames. */
   def invalidateCaches(spark: SparkSession): Unit =
-    rankCache.filterInPlace { case ((sid, _, _), df) =>
-      if (sid == org.apache.spark.sql.GraftShim.sessionId(spark)) {
-        df.unpersist(); false
-      } else true
-    }
+    rankCache.invalidate(
+      _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
 
   /** Personalized PageRank: teleport mass returns ONLY to the seed set,
     * so rank measures proximity to the seeds (the seed-biased crawl /
@@ -222,7 +218,7 @@ object GraphOps {
 
   def qPageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark), dir, iters)
-    val ranks = rankCache.getOrElseUpdate(key,
+    val ranks = rankCache.get(key)(
       withTradePairs(spark, dir)(pairs =>
         pageRank(spark, tradeEdges(pairs), iters)))
     ranks
@@ -306,7 +302,7 @@ object GraphOps {
       walksPerNode: Int = 2): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
       s"$dir#walks$walksPerNode", steps)
-    rankCache.getOrElseUpdate(key,
+    rankCache.get(key)(
       withTradePairs(spark, dir) { pairs =>
         val starts = pairs.select((col("s") * 2).as("node")).distinct()
         randomWalks(spark, tradeEdges(pairs), starts, steps, walksPerNode)
@@ -331,7 +327,7 @@ object GraphOps {
   def qPageRankDangling(spark: SparkSession, dir: String): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
       s"$dir#dangling", DanglingMaxIters)
-    val ranks = rankCache.getOrElseUpdate(key,
+    val ranks = rankCache.get(key)(
       withTradePairs(spark, dir) { pairs =>
         val directed = pairs.select(
           (col("s") * 2).as("src"), (col("p") * 2 + 1).as("dst"))
@@ -355,7 +351,7 @@ object GraphOps {
       nation: Int = 3): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
       s"$dir#ppr$nation", iters)
-    val ranks = rankCache.getOrElseUpdate(key,
+    val ranks = rankCache.get(key)(
       withTradePairs(spark, dir) { pairs =>
         val seeds = load(spark, dir, "supplier")
           .filter(col("s_nationkey") === nation)

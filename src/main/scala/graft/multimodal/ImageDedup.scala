@@ -67,7 +67,7 @@ object ImageDedup {
   /** Band signatures for the documents media table, cached per
     * (session, dir) like Dedup's shingle arrays — the decode is the
     * expensive step and the signature table is the reusable artifact. */
-  private val hashCache = new graft.CachedFrames[(String, String)]
+  private val hashCache = graft.SessionCache.frames[(String, String)]
 
   private[multimodal] def cachedHashes(
       spark: SparkSession, dir: String): DataFrame =

@@ -29,25 +29,23 @@ object TrainingData {
     * RDD is kept alongside so [[invalidateCaches]] can free its storage
     * blocks deterministically (an invalidated-but-persisted block would
     * otherwise linger until GC + ContextCleaner). */
-  private val clusterCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (DataFrame, org.apache.spark.rdd.RDD[_])]
+  private val clusterCache = new graft.SessionCache[
+    (String, String), (DataFrame, org.apache.spark.rdd.RDD[_])](
+    _._2.unpersist(blocking = false))
 
   /** Same contract for the incremental two-batch fixture: one computed
     * (existing ⊕ delta) keep-list per (session, dir). */
-  private val incrementalCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String), (DataFrame, org.apache.spark.rdd.RDD[_])]
+  private val incrementalCache = new graft.SessionCache[
+    (String, String), (DataFrame, org.apache.spark.rdd.RDD[_])](
+    _._2.unpersist(blocking = false))
 
   /** Drop this session's cached cluster tables — REQUIRED after
     * rewriting the data under a cached dir mid-session, or the stale
     * keep-list keeps being served. Unpersists the backing blocks. */
   def invalidateCaches(spark: SparkSession): Unit = {
     val sid = org.apache.spark.sql.GraftShim.sessionId(spark)
-    Seq(clusterCache, incrementalCache).foreach(_.filterInPlace {
-      case ((s, _), (_, rdd)) =>
-        val keep = s != sid
-        if (!keep) rdd.unpersist(blocking = false)
-        keep
-    })
+    clusterCache.invalidate(_._1 == sid)
+    incrementalCache.invalidate(_._1 == sid)
   }
 
   /** Near-dup CLUSTERS from the exact-verified pair relation: connected
@@ -78,13 +76,13 @@ object TrainingData {
     * frame is returned to every caller, so do NOT unpersist it; use
     * [[invalidateCaches]] when the underlying data changes. */
   def qDedupClusters(spark: SparkSession, dir: String): DataFrame =
-    clusterCache.getOrElseUpdate(
-      (org.apache.spark.sql.GraftShim.sessionId(spark), dir), {
+    clusterCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
         val (df, rounds @ _, rdd) = connectedComponentsImpl(
           graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
             .select(col("d1"), col("d2")), spark)
         (df, rdd)
-      })._1
+      }._1
 
   /** Connected components over an undirected pair relation `(d1, d2)` via
     * large-star/small-star; returns (doc_id, cluster_id, is_keeper) for
@@ -392,8 +390,8 @@ object TrainingData {
     * [[qDedupClusters]] from scratch; the oracle is literally the
     * from-scratch recursive CTE. */
   def qDedupIncremental(spark: SparkSession, dir: String): DataFrame =
-    incrementalCache.getOrElseUpdate(
-      (org.apache.spark.sql.GraftShim.sessionId(spark), dir), {
+    incrementalCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
         val oldPairs = graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
           .filter(col("d1") % 2 === 0 && col("d2") % 2 === 0)
           .select("d1", "d2")
@@ -404,7 +402,7 @@ object TrainingData {
         val result = incrementalClustersImpl(existing, delta, spark)
         exRdd.unpersist(blocking = false)
         result
-      })._1
+      }._1
 
   /** THE split policy — one definition, because two drifting copies of
     * the 80/90 cut or the hash width would silently put docs in
@@ -951,8 +949,11 @@ object TrainingData {
     val toks = load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
-      .withColumn("bucket",
-        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dims)
+      .withColumn("bucket", // salted: an unsalted md5(tok) byte would
+        // correlate with any other policy reusing md5(tok) bits (the
+        // repo's salt-every-hash-policy rule; qDomainMix salts 'mix')
+        conv(substring(md5(concat(lit("dsir:"), col("tok"))), 1, 2), 16, 10)
+          .cast("long") % dims)
     val bg = toks.groupBy("bucket").agg(count(lit(1)).as("cb"))
     val tg = toks.filter(col("lang") === targetLang)
       .groupBy("bucket").agg(count(lit(1)).as("ct"))

@@ -41,8 +41,15 @@ object Observe {
     }
     row("documents", t => concat_ws(":", t("doc_id"), t("lang"),
         t("source"), md5(t("text"))))
+      // the VECTOR must be in the canonical row (in the q16 fixed-point
+      // discipline the IVF/PQ trainers use): a manifest that digests
+      // only (vec_id, label) stays unchanged when every vector value is
+      // rewritten, defeating its cache-invalidation purpose
       .unionAll(row("embeddings",
-        t => concat_ws(":", t("vec_id"), t("label"))))
+        t => concat_ws(":", t("vec_id"), t("label"),
+          concat_ws(",", transform(t("embedding"),
+            x => round(x.cast("double") * 65536).cast("long")
+              .cast("string"))))))
       .unionAll(row("events", t => concat_ws(":", t("event_id"),
         t("user_id"), t("event_type"),
         floor(t("value") * 100 + 0.5).cast("long"))))

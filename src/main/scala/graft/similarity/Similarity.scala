@@ -39,22 +39,20 @@ object Similarity {
     * [[graft.dedup.Dedup.shingleArrays]]: per (session, dir), for the
     * JVM; [[invalidateCaches]] after rewriting data under a dir. */
   private val modelCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), AnyRef]
+    new graft.SessionCache[(String, String), AnyRef](_ => ())
 
   private def publishedModel[T <: AnyRef](
       spark: SparkSession, dir: String, tag: String)(train: => T): T =
-    modelCache.getOrElseUpdate(
-      (org.apache.spark.sql.GraftShim.sessionId(spark), s"$dir#$tag"),
+    modelCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), s"$dir#$tag"))(
       train).asInstanceOf[T]
 
   /** Drop this session's published models and cached assignments (e.g.
     * after rewriting the parquet under a cached dir). */
   def invalidateCaches(spark: SparkSession): Unit = {
     val sid = org.apache.spark.sql.GraftShim.sessionId(spark)
-    modelCache.filterInPlace { case ((s, _), _) => s != sid }
-    assignCache.filterInPlace { case ((s, _, _), df) =>
-      if (s == sid) { df.unpersist(blocking = false); false } else true
-    }
+    modelCache.invalidate(_._1 == sid)
+    assignCache.invalidate(_._1 == sid)
   }
 
   /** Mean within-cell occupancy the adaptive cell count targets:
@@ -860,13 +858,13 @@ object Similarity {
     * materialization instead of re-running the crossJoin + argmin scan.
     * One persisted frame per (session, dir, cells), for the JVM;
     * [[invalidateCaches]] drops and unpersists it. */
-  private val assignCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), DataFrame]
+  private val assignCache =
+    graft.SessionCache.frames[(String, String, Int)]
 
   private def cachedAssignment(
       spark: SparkSession, dir: String, cells: Int): DataFrame =
-    assignCache.getOrElseUpdate(
-      (org.apache.spark.sql.GraftShim.sessionId(spark), dir, cells), {
+    assignCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir, cells)) {
         val embN = corpus(spark, dir)
         val emb = embN.select(col("vec_id"),
           transform(col("embedding"), x => x.cast("double")).as("xs"))
@@ -877,7 +875,7 @@ object Similarity {
           .persist(StorageLevel.MEMORY_AND_DISK)
         a.count() // populate before any self-join's two readers race
         a
-      })
+      }
 
   def qSemDedup(
       spark: SparkSession, dir: String,

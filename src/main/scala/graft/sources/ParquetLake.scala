@@ -127,11 +127,22 @@ object ParquetLake {
         // bucket count so distinct salts of one value land in distinct
         // tasks w.h.p. (same-task salts merely merge back into one file).
         val k = partCols.length
-        val filesByValue = bytesByDir.groupMapReduce(_._1.take(k))(_._2)(_ + _)
-          .map { case (dirs, bytes) =>
-            dirs.map(seg => unescapePathName(seg.split("=", 2)(1))) ->
-              filesFor(bytes)
+        // two distinct on-disk dirs (non-canonical %XX escapes) that
+        // unescape to the SAME value would silently merge here with
+        // last-wins byte counts — refuse instead of mis-sizing
+        val byValue = bytesByDir.groupMapReduce(_._1.take(k))(_._2)(_ + _)
+          .toSeq
+          .groupBy { case (dirs, _) =>
+            dirs.map(seg => unescapePathName(seg.split("=", 2)(1))).toList
           }
+        byValue.foreach { case (vs, entries) =>
+          require(entries.size == 1,
+            s"partition dirs ${entries.map(_._1.mkString("/")).mkString(" and ")} " +
+              s"all unescape to ${vs.mkString("/")} — non-canonical lake layout, " +
+              "refusing to compact (rows would collapse into one mis-sized value)")
+        }
+        val filesByValue =
+          byValue.map { case (vs, entries) => vs -> filesFor(entries.head._2) }
         val totalFiles = filesByValue.values.sum
         val lookupCols = partCols.toSeq.map(c => s"__pv_$c")
         val lookup = spark.createDataFrame(
@@ -151,9 +162,21 @@ object ParquetLake {
           coalesce(col(c).cast("string"),
             lit("__HIVE_DEFAULT_PARTITION__")) === col(s"__pv_$c"))
           .reduce(_ && _)
+        // every row MUST hit the lookup: a miss means the path-derived
+        // value table and the data disagree (a lake written with a
+        // rendering this walker doesn't reproduce — zero-padded ints,
+        // exotic date/decimal forms). Silently falling back to one file
+        // per missed value hid exactly that; fail in-plan instead.
         df.join(broadcast(lookup), joinCond, "left")
+          .withColumn("__nf",
+            when(col("__nf").isNotNull, col("__nf"))
+              .otherwise(raise_error(concat(
+                lit("compaction partition-value lookup miss for ("),
+                concat_ws(",", partCols.toSeq.map(c =>
+                  coalesce(col(c).cast("string"), lit("NULL"))): _*),
+                lit(") — lake partition rendering not reproduced by the dir walk")))))
           .withColumn("__salt",
-            pmod(xxhash64(dataCols: _*), coalesce(col("__nf"), lit(1)).cast("long")))
+            pmod(xxhash64(dataCols: _*), col("__nf").cast("long")))
           .repartition(math.max(1, 4 * totalFiles),
             partCols.toSeq.map(col) :+ col("__salt"): _*)
           .drop("__salt" +: "__nf" +: lookupCols: _*)

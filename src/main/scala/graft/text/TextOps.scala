@@ -77,9 +77,10 @@ object TextOps {
     val toks = load(spark, dir, "documents")
       .select(col("doc_id"),
         posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("is_b",
-        when(conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long")
-          % divisor === 0, 1L).otherwise(0L))
+      .withColumn("is_b", // salted (see qDsirWeights): the token-hash
+        // policy at qTfidfTopK already shares md5(tok) byte 1
+        when(conv(substring(md5(concat(lit("cdc:"), col("tok"))), 1, 4),
+          16, 10).cast("long") % divisor === 0, 1L).otherwise(0L))
     // exclusive prefix count: a boundary token still belongs to the
     // chunk it closes; the next token starts the next chunk
     val w = Window.partitionBy("doc_id").orderBy("pos")

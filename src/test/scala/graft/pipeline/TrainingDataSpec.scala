@@ -521,7 +521,8 @@ class TrainingDataSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
     def bucket(tok: String): Long = {
       val md = java.security.MessageDigest.getInstance("MD5")
-      (md.digest(tok.getBytes("UTF-8"))(0) & 0xFF).toLong % 64L
+      // 'dsir:'-salted per the salt-every-hash-policy rule
+      (md.digest(s"dsir:$tok".getBytes("UTF-8"))(0) & 0xFF).toLong % 64L
     }
     val all = docs.flatMap { case (id, lang, ts) =>
       ts.map(t => (id, lang, bucket(t)))

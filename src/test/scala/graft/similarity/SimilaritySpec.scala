@@ -277,6 +277,18 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("rnk") <= 5).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getLong(4))).toSet
+    // recall first, separately: the banded generator has a documented
+    // ~1.6e-4 per-pair all-bands-escape probability, so a future
+    // corpus/SF could miss a pair without any logic being wrong — this
+    // assertion names that mode explicitly instead of leaving a bare
+    // set-diff to misread as a bug (see the q_hard_negatives oracle note)
+    val wantPairs = want.map(t => (t._1, t._2))
+    val gotPairs = got.map(t => (t._1, t._2))
+    val recall =
+      wantPairs.intersect(gotPairs).size.toDouble / wantPairs.size
+    assert(recall === 1.0,
+      s"banded candidate recall $recall < 1.0 — all-bands escape " +
+        "(documented accepted risk), not a logic bug")
     assert(got === want)
     // and they really are negatives: no self-label pair survived
     val labels = emb.select("vec_id", "label").collect()

@@ -92,6 +92,25 @@ class ParquetLakeSpec extends SparkSpec {
     assert(census(s"$tmp/out") === census(s"$tmp/in"))
   }
 
+  test("compaction FAILS LOUDLY on a partition rendering it can't reproduce") {
+    import spark.implicits._
+    // a lake written by another engine: zero-padded int dir (k=01) whose
+    // value renders as "1" here — the per-value lookup would miss and,
+    // before the guard, silently collapse the value to one file
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_compact_foreign").toFile.getAbsolutePath
+    Seq((1, "a"), (1, "b")).toDF("k", "v")
+      .write.parquet(s"$tmp/in/k=01")
+    val ex = intercept[Exception] {
+      ParquetLake.compact(spark, s"$tmp/in", s"$tmp/out", 64L << 20)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("lookup miss")),
+      s"expected a loud lookup-miss failure, got: $ex")
+  }
+
   test("compaction works on a lake rooted under a dot-directory") {
     // regression: the hidden-ancestor walk compared an UNQUALIFIED root
     // against qualified listing paths, never terminated at the root, and

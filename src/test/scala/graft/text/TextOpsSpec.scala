@@ -93,8 +93,8 @@ class TextOpsSpec extends SparkSpec {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def isBoundary(tok: String): Boolean =
-      java.lang.Long.parseLong(md5hex(tok).take(4), 16) % 16 == 0
+    def isBoundary(tok: String): Boolean = // 'cdc:'-salted policy
+      java.lang.Long.parseLong(md5hex(s"cdc:$tok").take(4), 16) % 16 == 0
     def chunksOf(tokens: Seq[String]): Seq[Seq[String]] = {
       val out = scala.collection.mutable.ListBuffer.empty[Seq[String]]
       var cur = scala.collection.mutable.ListBuffer.empty[String]
