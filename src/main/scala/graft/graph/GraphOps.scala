@@ -274,12 +274,21 @@ object GraphOps {
       // leaves each step a shallow LogicalRDD: per-step cost is flat
       // and the final union is `steps` leaf scans.
       for (i <- 1 to steps) {
-        cur = cur
+        // BROADCAST the walk frontier on both joins (the PPR-frontier
+        // argument): the frontier is walk-count-sized while deg/nbr are
+        // edge-shaped, and the (nsrc, rk) compound key can't reuse
+        // nbr's hash(src) window layout — left to the planner, every
+        // step reshuffles the FULL neighbor index (measured 1.2 s/step
+        // at sf0.1; broadcast makes each step a map-side probe of the
+        // persisted frames). Walk-heavy configs (walks ≈ edges) would
+        // co-partition instead.
+        cur = broadcast(cur)
           .join(deg, "node")
           .withColumn("want_rk",
             conv(substring(md5(concat_ws(":", col("walk_id"), lit(i))),
               1, 8), 16, 10).cast("long") % col("degn"))
-          .join(nbr, col("node") === col("nsrc") &&
+        cur = nbr
+          .join(broadcast(cur), col("node") === col("nsrc") &&
             col("want_rk") === col("rk"))
           .select(col("walk_id"), lit(i.toLong).as("step"),
             col("dst").as("node"))
