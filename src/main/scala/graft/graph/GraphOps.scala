@@ -240,25 +240,65 @@ object GraphOps {
     * can't give).
     *
     * Scale shape: the neighbor index is ranked per-source (window
-    * bounded by a node's degree, never global) and PERSISTED for the
-    * loop's lifetime — left lazy, every step would replay the full edge
-    * sort, making a DeepWalk-depth walk O(steps) full edge sorts. Each
-    * step is then two equi-joins against resident frames — degree
-    * lookup to compute the wanted rank, then a (src, rank) join that
-    * fetches exactly one neighbor row per walk, no fan-out through
-    * neighbor lists. Walk count × steps rows total; per-step cost is
-    * flat in `steps` (the GraphScaleGateSpec pins this). */
+    * bounded by a node's degree, never global), carries the source
+    * degree as a column (one window shuffle produces both), and is
+    * PERSISTED for the loop's lifetime — left lazy, every step would
+    * replay the full edge sort, making a DeepWalk-depth walk O(steps)
+    * full edge sorts. Each step is then ONE join: the walk frontier is
+    * broadcast (the PPR-frontier argument — the frontier is
+    * walk-count-sized while nbr is edge-shaped, and a planner-chosen
+    * shuffle join would reshuffle the full neighbor index per step,
+    * measured 1.2 s/step at sf0.1) and probed map-side against the
+    * resident index; the residual rk = md5(walk_id:i) mod degn
+    * condition fans out only through a node's own neighbor list
+    * (average-degree bounded), keeping exactly one row per walk.
+    * Walk count × steps rows total; per-step cost is flat in `steps`
+    * (the GraphScaleGateSpec pins this). Walk-heavy configs
+    * (walks ≈ edges) would co-partition on src instead — with degn
+    * resident on nbr the join key is src alone, so the persisted
+    * hash(src) window layout is reusable as-is.
+    *
+    * Small-graph fast path: when the edge set fits a broadcast
+    * (estimated from the forced edge count), the index changes SHAPE —
+    * a grouped adjacency (one row per source, dst array sorted
+    * ascending) built with one aggregation instead of the window sort,
+    * broadcast ONCE (a single exchange, reused by every step and every
+    * union branch). The hop becomes `element_at(nb, md5 mod size + 1)`
+    * — the same neighbor the flat index's rk ranking picks, since
+    * sort_array order IS the rank-by-dst order — so both paths honor
+    * one hash contract and one oracle. The step loop is then pure plan
+    * construction: no per-step broadcast build, no window; only the
+    * cadence checkpoints and the final count submit jobs. The grouped
+    * shape is not the scale default because a hub node's whole
+    * neighbor list becomes one row (degree-unbounded array), while the
+    * flat index stays row-per-edge under any skew. */
   def randomWalks(
       spark: SparkSession, edges: DataFrame, starts: DataFrame,
       steps: Int, walksPerNode: Int): DataFrame = {
-    val w = Window.partitionBy("src").orderBy("dst")
-    val nbr = edges
-      .withColumn("rk", row_number().over(w).cast("long") - 1)
-      .select(col("src").as("nsrc"), col("dst"), col("rk"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("degn"))
-      .withColumnRenamed("src", "node")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // ~16 bytes per packed (long,long) adjacency entry; 64 MB cap.
+    val smallIndex = edges.count() * 16L < (64L << 20)
+    val nbr =
+      if (smallIndex)
+        edges.groupBy(col("src").as("nsrc"))
+          .agg(sort_array(collect_list(col("dst"))).as("nb"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else {
+        val w = Window.partitionBy("src").orderBy("dst")
+        edges
+          .withColumn("rk", row_number().over(w).cast("long") - 1)
+          .withColumn("degn",
+            count(lit(1)).over(Window.partitionBy("src")).cast("long"))
+          .select(col("src").as("nsrc"), col("dst"), col("rk"),
+            col("degn"))
+          // Fewer, fatter resident partitions: every step's probe job
+          // pays one task per partition, and the step loop is SERIAL,
+          // so task overhead multiplies by `steps`. A quarter of the
+          // default parallelism keeps partitions comfortably in-memory
+          // while cutting per-step scheduling latency 4× (coalesce
+          // folds into the window stage — no extra shuffle).
+          .coalesce(math.max(4, spark.sparkContext.defaultParallelism / 4))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      }
     try {
       var cur = starts
         .crossJoin(broadcast(
@@ -266,41 +306,52 @@ object GraphOps {
         .select((col("node") * walksPerNode + col("w")).as("walk_id"),
           lit(0L).as("step"), col("node"))
       var frames = List(cur)
-      // CUT LINEAGE each step (eager localCheckpoint), don't just
-      // persist: step i feeds both the union and step i+1, and a bare
-      // persist keeps the full logical chain — at DeepWalk depth the
-      // accumulated plan tree grows O(steps²) and analysis/explain
-      // alone OOMs the driver (measured at 20 steps). Checkpointing
-      // leaves each step a shallow LogicalRDD: per-step cost is flat
-      // and the final union is `steps` leaf scans.
+      // CUT LINEAGE every ckptEvery steps (eager localCheckpoint) and
+      // persist the steps between: step i feeds both the union and
+      // step i+1, and with no checkpoint at all the accumulated plan
+      // tree grows O(steps²) and analysis/explain alone OOMs the
+      // driver (measured at 20 steps). Per-step checkpointing is one
+      // extra JOB per step though, and at toy SF stage-count overhead
+      // dominates — a bounded cadence keeps every frame ≤ ckptEvery
+      // joins above a shallow LogicalRDD while halving the job count
+      // (on the frontier-broadcast path, intermediate frames
+      // materialize as a side effect of the next step's broadcast
+      // build, which populates their persisted blocks). The cadence is
+      // load-bearing on BOTH paths: nested InMemoryRelation plans
+      // render super-linearly, and a 20-deep chain already overflows
+      // the 2 GB plan-string cap inside AQE's explain hook — even a
+      // 10-deep cadence measurably bends the scale-gate curve.
+      val ckptEvery = 5
       for (i <- 1 to steps) {
-        // BROADCAST the walk frontier on both joins (the PPR-frontier
-        // argument): the frontier is walk-count-sized while deg/nbr are
-        // edge-shaped, and the (nsrc, rk) compound key can't reuse
-        // nbr's hash(src) window layout — left to the planner, every
-        // step reshuffles the FULL neighbor index (measured 1.2 s/step
-        // at sf0.1; broadcast makes each step a map-side probe of the
-        // persisted frames). Walk-heavy configs (walks ≈ edges) would
-        // co-partition instead.
-        cur = broadcast(cur)
-          .join(deg, "node")
-          .withColumn("want_rk",
-            conv(substring(md5(concat_ws(":", col("walk_id"), lit(i))),
-              1, 8), 16, 10).cast("long") % col("degn"))
-        cur = nbr
-          .join(broadcast(cur), col("node") === col("nsrc") &&
-            col("want_rk") === col("rk"))
+        val hash =
+          conv(substring(md5(concat_ws(":", col("walk_id"), lit(i))),
+            1, 8), 16, 10).cast("long")
+        val next = (if (smallIndex)
+            cur.join(broadcast(nbr), col("node") === col("nsrc"))
+              .withColumn("nxt", element_at(col("nb"),
+                (hash % size(col("nb"))).cast("int") + 1))
+          else
+            nbr.join(broadcast(cur), col("node") === col("nsrc") &&
+              col("rk") === hash % col("degn"))
+              .withColumn("nxt", col("dst")))
           .select(col("walk_id"), lit(i.toLong).as("step"),
-            col("dst").as("node"))
-          .localCheckpoint(eager = true)
+            col("nxt").as("node"))
+          // Walk frames are walk-count-sized; inheriting the index's
+          // partition count makes every frame a fan of near-empty
+          // tasks, and the final union pays steps × that fan. Narrow
+          // coalesce keeps the per-frame task count flat.
+          .coalesce(4)
+        cur =
+          if (i % ckptEvery == 0) next.localCheckpoint(eager = true)
+          else next.persist(StorageLevel.MEMORY_AND_DISK)
         frames ::= cur
       }
       val out = frames.reverse.reduce(_ unionAll _)
       out.persist(StorageLevel.MEMORY_AND_DISK).count()
+      frames.foreach(_.unpersist(blocking = false))
       out
     } finally {
       nbr.unpersist(blocking = false)
-      deg.unpersist(blocking = false)
     }
   }
 
