@@ -295,6 +295,10 @@ object SparkEntry {
     // decontamination -> split census, composing the round-5 stages
     "q_corpus_build_v2" -> ((s: SparkSession, d: String) =>
       TrainingData.qCorpusBuildV2(s, d)),
+    // capstone v3: trained classifier rank gate -> SemDeDup losers ->
+    // salted DSIR importance resample -> split census (round-7 stages)
+    "q_corpus_build_v3" -> ((s: SparkSession, d: String) =>
+      TrainingData.qCorpusBuildV3(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -402,6 +406,34 @@ object SparkEntry {
       |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
       |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
       |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1)""".stripMargin
+
+  /** The within-cell cosine-pair → reachability tail of the SemDeDup
+    * oracle (needs [[ivfTrainCte]] ahead of it; ends at `reach(id, rr)`
+    * — min(rr) per id is the cluster label). Shared by q_semdedup and
+    * [[corpusBuildV3Oracle]]. */
+  private val semDedupReachCte: String =
+    """best AS (SELECT vec_id, cell FROM (
+      |           SELECT t.vec_id, c.cell, row_number() OVER (
+      |             PARTITION BY t.vec_id ORDER BY list_reduce(
+      |               list_transform(range(1, 65), i ->
+      |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+      |               (x, y) -> x + y), c.cell) AS rn
+      |           FROM e t, c1 c)
+      |         WHERE rn = 1),
+      |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+      |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+      |          FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |          JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      |          JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
+      |          WHERE round(list_reduce(list_transform(range(1, 65),
+      |              i -> ea.v[i] * eb.v[i]), (x, y) -> x + y)
+      |            / (na.nrm * nb.nrm), 6) >= 0.4),
+      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |          UNION ALL SELECT d2, d1 FROM pairs),
+      |reach(id, rr) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.rr = edges.src)""".stripMargin
 
   /** Unrolled random-walk oracle: neighbor ranks by node id, md5-driven
     * hop choice — mirrors [[graft.graph.GraphOps.qRandomWalks]]. */
@@ -517,12 +549,13 @@ object SparkEntry {
        |$pageRankFinal FROM r$maxIters""".stripMargin
   }
 
-  /** Unrolled full-batch-GD oracle for q_quality_classifier: one
+  /** Unrolled full-batch-GD CTE chain for q_quality_classifier: one
     * (score, error, gradient, weight-update) CTE block per epoch, hard
     * sigmoid, sign-safe truncating divisions — replays
     * [[graft.pipeline.QualityClassifier]]'s fixed-point training
-    * bit-exactly. */
-  private def qualityClassifierSql(dims: Int, epochs: Int): String = {
+    * bit-exactly. Ends at `sc` (doc_id, z = final fixed-point logit) so
+    * [[corpusBuildV3Oracle]] can compose it; `lab` carries the labels. */
+  private def qualityClassifierCte(dims: Int, epochs: Int): String = {
     val S = graft.pipeline.QualityClassifier.S
     def sdiv(a: String, b: String) =
       s"(CASE WHEN $a >= 0 THEN ($a) // $b ELSE -((-($a)) // $b) END)"
@@ -538,7 +571,7 @@ object SparkEntry {
          |  CAST(w.w - ${sdiv(sdiv("COALESCE(g.s, 0)", "(SELECT n FROM nn)"), "4")} AS BIGINT) AS w
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (dim))""".stripMargin
     }.mkString(",\n")
-    s"""WITH toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    s"""toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |fx AS MATERIALIZED (
        |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS x FROM (
        |    SELECT doc_id,
@@ -556,11 +589,14 @@ object SparkEntry {
        |  FROM range(0, ${dims + 1}) t(d)),
        |$rounds,
        |sc AS (SELECT f.doc_id, sum(f.x * w.w) AS z
-       |  FROM fx f JOIN w$epochs w USING (dim) GROUP BY 1)
+       |  FROM fx f JOIN w$epochs w USING (dim) GROUP BY 1)""".stripMargin
+  }
+
+  private def qualityClassifierSql(dims: Int, epochs: Int): String =
+    s"""WITH ${qualityClassifierCte(dims, epochs)}
        |SELECT sc.doc_id, CAST(l.y AS BIGINT) AS label,
        |  CAST(sc.z AS BIGINT) AS score_fp, sc.z >= 0 AS keep
        |FROM sc JOIN lab l USING (doc_id)""".stripMargin
-  }
 
   private def pass4(x: String): String =
     s"chr(97 + CAST(($x) // 17576 AS INT) % 26) || chr(97 + CAST(($x) // 676 AS INT) % 26) || " +
@@ -612,6 +648,21 @@ object SparkEntry {
         |  CAST(n_members AS BIGINT) AS n_members
         |FROM m WHERE rn = 1""".stripMargin
 
+  /** The salted DSIR bucket-weight chain — ends at
+    * `dsird (doc_id, n_tokens, dsir_score)`. Shared by q_dsir_weights
+    * and [[corpusBuildV3Oracle]]. */
+  private val dsirWeightsCte: String =
+    """wb AS (SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5('dsir:' || tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS bucket
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |bg AS (SELECT bucket, count(*) AS cb FROM wb GROUP BY 1),
+      |tg AS (SELECT bucket, count(*) AS ct FROM wb WHERE lang = 'en' GROUP BY 1),
+      |w AS (SELECT bucket, ((coalesce(ct, 0) + 1) * 1000000) // (cb + 1) AS w
+      |      FROM bg LEFT JOIN tg USING (bucket)),
+      |dsird AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS dsir_score
+      |          FROM wb JOIN w USING (bucket) GROUP BY 1)""".stripMargin
+
   /** Capstone v2: the round-5 stages replayed over the shared cluster
     * CTE — gate, salted cap, dedup keep-lists, decontamination, split. */
   private val corpusBuildV2Oracle: String =
@@ -652,6 +703,42 @@ object SparkEntry {
         |  AND c.doc_id NOT IN (SELECT doc_id FROM near_losers)
         |  AND c.doc_id NOT IN (SELECT doc_id FROM cont)
         |GROUP BY 1, 2""".stripMargin
+
+  /** Capstone v3: the model-driven build — the classifier training CTEs
+    * ([[qualityClassifierCte]]), the SemDeDup cluster CTEs
+    * ([[ivfTrainCte]] + [[semDedupReachCte]]), and the DSIR weight CTEs
+    * ([[dsirWeightsCte]]) composed under one WITH RECURSIVE, then the
+    * rank gate / loser drop / salted importance draw / split census —
+    * replaying [[graft.pipeline.TrainingData.qCorpusBuildV3]] stage for
+    * stage. */
+  private val corpusBuildV3Oracle: String =
+    s"""WITH RECURSIVE ${qualityClassifierCte(64, 4)},
+       |$ivfTrainCte,
+       |$semDedupReachCte,
+       |sem_losers AS (SELECT id AS doc_id FROM reach GROUP BY id
+       |               HAVING min(rr) <> id),
+       |$dsirWeightsCte,
+       |samp AS (SELECT doc_id FROM dsird
+       |  WHERE CAST(('0x' || substr(md5('v3samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+       |          % 2000000 AS BIGINT) < dsir_score // n_tokens),
+       |gated AS (SELECT doc_id, lang, n_chars FROM (
+       |    SELECT d.doc_id, d.lang, d.n_chars,
+       |      CAST(row_number() OVER (PARTITION BY d.lang
+       |        ORDER BY sc.z DESC, d.doc_id) AS BIGINT) AS grn,
+       |      count(*) OVER (PARTITION BY d.lang) AS n_l
+       |    FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
+       |  WHERE grn * 1000 <= n_l * 600 + 999),
+       |bk AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+       |          AS BIGINT) AS bucket
+       |      FROM documents)
+       |SELECT CASE WHEN bk.bucket < 80 THEN 'train'
+       |            WHEN bk.bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  g.lang, count(*) AS n_docs, CAST(sum(g.n_chars) AS BIGINT) AS n_chars
+       |FROM gated g JOIN bk ON g.doc_id = bk.doc_id
+       |WHERE g.doc_id NOT IN (SELECT doc_id FROM sem_losers)
+       |  AND g.doc_id IN (SELECT doc_id FROM samp)
+       |GROUP BY 1, 2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -1320,28 +1407,7 @@ object SparkEntry {
     // q_dedup_clusters oracle pattern on the semantic pair relation)
     "q_semdedup" ->
       s"""WITH RECURSIVE $ivfTrainCte,
-        |best AS (SELECT vec_id, cell FROM (
-        |           SELECT t.vec_id, c.cell, row_number() OVER (
-        |             PARTITION BY t.vec_id ORDER BY list_reduce(
-        |               list_transform(range(1, 65), i ->
-        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |               (x, y) -> x + y), c.cell) AS rn
-        |           FROM e t, c1 c)
-        |         WHERE rn = 1),
-        |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
-        |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-        |          FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |          JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-        |          JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
-        |          WHERE round(list_reduce(list_transform(range(1, 65),
-        |              i -> ea.v[i] * eb.v[i]), (x, y) -> x + y)
-        |            / (na.nrm * nb.nrm), 6) >= 0.4),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(id, rr) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.rr = edges.src)
+        |$semDedupReachCte
         |SELECT id AS vec_id, min(rr) AS cluster_id, min(rr) = id AS is_keeper
         |FROM reach GROUP BY id""".stripMargin,
     // same Forgy + one-Lloyd-round + fixed-point discipline as q_ann_pq,
@@ -1461,6 +1527,7 @@ object SparkEntry {
     "q_dedup_incremental" -> dedupClustersOracle,
     "q_dedup_keep_best" -> dedupKeepBestOracle,
     "q_corpus_build_v2" -> corpusBuildV2Oracle,
+    "q_corpus_build_v3" -> corpusBuildV3Oracle,
     "q_lang_sample_temp" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),
@@ -1670,16 +1737,8 @@ object SparkEntry {
         |FROM events JOIN bounds USING (event_type)
         |GROUP BY 1""".stripMargin,
     "q_dsir_weights" ->
-      """WITH wb AS (SELECT doc_id, lang,
-        |    CAST(('0x' || substr(md5('dsir:' || tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS bucket
-        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |        FROM documents)),
-        |bg AS (SELECT bucket, count(*) AS cb FROM wb GROUP BY 1),
-        |tg AS (SELECT bucket, count(*) AS ct FROM wb WHERE lang = 'en' GROUP BY 1),
-        |w AS (SELECT bucket, ((coalesce(ct, 0) + 1) * 1000000) // (cb + 1) AS w
-        |      FROM bg LEFT JOIN tg USING (bucket))
-        |SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS dsir_score
-        |FROM wb JOIN w USING (bucket) GROUP BY 1""".stripMargin,
+      s"""WITH $dsirWeightsCte
+        |SELECT doc_id, n_tokens, dsir_score FROM dsird""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,

@@ -639,6 +639,71 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
   }
 
+  /** Capstone v3 — the MODEL-DRIVEN corpus build, composing the
+    * round-7 selector family the way a production pretraining pipeline
+    * chains them (the CCNet/LLaMA recipe: classifier filter → semantic
+    * dedup → importance resampling):
+    *   1. [[graft.pipeline.QualityClassifier]]'s trained discriminative
+    *      score replaces v2's heuristic n_chars gate — per-language rank
+    *      by (score desc, doc_id), keep the top `keepPerMille` share.
+    *      RANK, not the sign of the score: on a corpus where the
+    *      classes aren't separable the raw keep bit collapses to the
+    *      majority class, while the rank gate always yields the
+    *      requested share of most-reference-like docs;
+    *   2. [[graft.similarity.Similarity.qSemDedup]]'s semantic-cluster
+    *      losers (adaptive cell count) drop near-duplicate MEANING the
+    *      shingle pipelines can't see — vec_id joins doc_id, the
+    *      embeddings table being the documents' vector column;
+    *   3. [[qDsirWeights]]' importance resample: a salted uniform draw
+    *      in [0, 2·10⁶) kept when it lands under the doc's mean
+    *      per-token DSIR weight (ppm) — docs that look like the target
+    *      distribution survive proportionally more often, the DSIR
+    *      paper's sampling step made hash-deterministic;
+    *   4. the singular split policy ([[bucketOf]]/[[splitOf]]) →
+    *      per-(split, lang) census.
+    *
+    * Scale shape: stage 1 windows inside lang partitions (never a
+    * global total order); stage 2's pair work is bounded per trained
+    * cell; stage 3 is a map-side filter on an aggregate already keyed
+    * by doc; the census is one shuffle. The classifier model and IVF
+    * centroids are the session's cached kilobyte artifacts — training
+    * cost is shared with q_quality_classifier / q_semdedup, not paid
+    * again here. */
+  def qCorpusBuildV3(
+      spark: SparkSession, dir: String,
+      keepPerMille: Int = 600, drawScale: Long = 2000000L): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val scored = graft.pipeline.QualityClassifier
+      .qQualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score_fp"))
+    val byLangScore = Window.partitionBy("lang")
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    val gated = docs.join(scored, "doc_id")
+      .withColumn("grn", row_number().over(byLangScore).cast("long"))
+      .withColumn("n_l", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(gateKeeps(col("grn"), col("n_l"), keepPerMille))
+      .select("doc_id", "lang", "n_chars")
+    val semLosers = graft.similarity.Similarity.qSemDedup(spark, dir)
+      .filter(!col("is_keeper"))
+      .select(col("vec_id").as("doc_id"))
+    // salted per-policy draw (the salt-every-hash-policy rule): both
+    // sides of the comparison are nonnegative integers, so Spark `div`
+    // and DuckDB `//` agree without the sign-safe CASE
+    val sampled = qDsirWeights(spark, dir)
+      .filter(
+        conv(substring(md5(concat(lit("v3samp:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long")
+          % drawScale < expr("dsir_score div n_tokens"))
+      .select("doc_id")
+    gated
+      .join(semLosers, Seq("doc_id"), "left_anti")
+      .join(sampled, Seq("doc_id"), "left_semi")
+      .withColumn("split", splitOf(bucketOf(col("doc_id"))))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
+
   /** Greedy contiguous sequence packing: docs in doc_id order are packed
     * into fixed token budgets (`capacity`), each doc assigned to the bin
     * its RUNNING token total falls in — the streaming approximation of

@@ -374,6 +374,54 @@ class TrainingDataSpec extends SparkSpec {
       "decontamination never dropped a survivor")
   }
 
+  test("corpus build v3 census equals a JVM replay of the model-driven stages") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(id: Long) =
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 100
+    // 1. rank gate: top 600 per-mille per lang by trained score desc
+    val score = QualityClassifier.qQualityClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val gated = docs.groupBy(_._2).values.flatMap { ds =>
+      val n = ds.length
+      ds.sortBy(d => (-score(d._1), d._1))
+        .take(((600 * n + 999) / 1000).toInt)
+    }.toSeq
+    // 2. SemDeDup cluster losers (the library's own clustering replayed
+    // through its public query -- the clustering itself carries its own
+    // oracle and spec)
+    val semLosers = graft.similarity.Similarity.qSemDedup(spark, dir)
+      .collect().filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // 3. salted DSIR importance draw vs mean per-token weight
+    val dsir = TrainingData.qDsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def kept(id: Long) = {
+      val (nTok, s) = dsir(id)
+      java.lang.Long.parseLong(md5hex(s"v3samp:$id").take(8), 16) %
+        2000000L < s / nTok
+    }
+    def split(id: Long) = { val b = bucket(id)
+      if (b < 80) "train" else if (b < 90) "val" else "test" }
+    val want = gated
+      .filterNot(d => semLosers(d._1)).filter(d => kept(d._1))
+      .groupBy(d => (split(d._1), d._2))
+      .map { case (k, ds) => k -> ((ds.size.toLong, ds.map(_._3).sum)) }
+    val got = TrainingData.qCorpusBuildV3(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // every stage must bite on its survivor set or the test is vacuous
+    assert(gated.size < docs.length, "rank gate never dropped")
+    assert(gated.exists(d => semLosers(d._1)),
+      "semantic dedup never dropped a survivor")
+    assert(gated.exists(d => !semLosers(d._1) && !kept(d._1)),
+      "importance resample never dropped a survivor")
+  }
+
   test("keep-best picks the longest member per cluster, doc_id breaks ties") {
     val clusters = TrainingData.qDedupClusters(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
