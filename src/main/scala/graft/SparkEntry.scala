@@ -281,6 +281,14 @@ object SparkEntry {
     // reproducible graph-embedding training sequences
     "q_random_walks" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qRandomWalks(s, d)),
+    // skip-gram (center, context) pair counts over the walk corpus —
+    // the window stage that turns walks into embedding training pairs
+    "q_walk_pairs" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qWalkPairs(s, d)),
+    // synchronous label-propagation communities (min-label tiebreak):
+    // the host-clustering step before per-community sampling caps
+    "q_label_prop" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qLabelProp(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -435,9 +443,11 @@ object SparkEntry {
       |  UNION
       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.rr = edges.src)""".stripMargin
 
-  /** Unrolled random-walk oracle: neighbor ranks by node id, md5-driven
-    * hop choice — mirrors [[graft.graph.GraphOps.qRandomWalks]]. */
-  private def randomWalkSql(steps: Int, walksPerNode: Int): String = {
+  /** Unrolled random-walk CTE chain (ending in a `walks` relation):
+    * neighbor ranks by node id, md5-driven hop choice — mirrors
+    * [[graft.graph.GraphOps.qRandomWalks]]. Shared by the walk oracle
+    * and the skip-gram pair oracle. */
+  private def randomWalkCtes(steps: Int, walksPerNode: Int): String = {
     val hops = (1 to steps).map { i =>
       s"""w$i AS (SELECT c.walk_id, CAST($i AS BIGINT) AS step, n.dst AS node
          |  FROM w${i - 1} c JOIN deg d ON c.node = d.src
@@ -447,7 +457,7 @@ object SparkEntry {
     }.mkString(",\n")
     val union = (0 to steps).map(i => s"SELECT * FROM w$i")
       .mkString("\n UNION ALL ")
-    s"""WITH $tradeGraphCte,
+    s"""$tradeGraphCte,
        |nbr AS (SELECT src, dst,
        |          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
        |        FROM edges),
@@ -455,8 +465,52 @@ object SparkEntry {
        |         CAST(0 AS BIGINT) AS step, n.node
        |       FROM (SELECT DISTINCT s * 2 AS node FROM pairs) n,
        |            range(0, $walksPerNode) t(w)),
-       |$hops
-       |$union""".stripMargin
+       |$hops,
+       |walks AS ($union)""".stripMargin
+  }
+
+  private def randomWalkSql(steps: Int, walksPerNode: Int): String =
+    s"""WITH ${randomWalkCtes(steps, walksPerNode)}
+       |SELECT * FROM walks""".stripMargin
+
+  /** Skip-gram pair oracle: symmetric within-window pairs over the
+    * unrolled walk relation — mirrors
+    * [[graft.graph.GraphOps.qWalkPairs]]. */
+  private def walkPairsSql(
+      steps: Int, walksPerNode: Int, window: Int): String =
+    s"""WITH ${randomWalkCtes(steps, walksPerNode)},
+       |pr AS (SELECT a.node AS ctr, b.node AS ctx
+       |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       |        AND b.step > a.step AND b.step <= a.step + $window),
+       |sym AS (SELECT ctr, ctx FROM pr
+       |        UNION ALL SELECT ctx AS ctr, ctr AS ctx FROM pr)
+       |SELECT CASE WHEN ctr % 2 = 0 THEN 'supplier' ELSE 'part' END
+       |    AS center_type,
+       |  ctr // 2 AS center_id,
+       |  CASE WHEN ctx % 2 = 0 THEN 'supplier' ELSE 'part' END AS ctx_type,
+       |  ctx // 2 AS ctx_id,
+       |  CAST(count(*) AS BIGINT) AS pairs
+       |FROM sym GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Unrolled synchronous-LPA oracle: per round, count labels over
+    * in-neighbors, keep the most frequent with min-label tiebreak —
+    * mirrors [[graft.graph.GraphOps.labelPropagation]]'s
+    * `min(struct(-c, lbl))` exactly. */
+  private def labelPropSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
+         |  SELECT dst AS node, lbl, c, max(c) OVER (PARTITION BY dst) AS mc
+         |  FROM (SELECT e2.dst, l.lbl, count(*) AS c
+         |        FROM edges e2 JOIN l${i - 1} l ON e2.src = l.node
+         |        GROUP BY 1, 2) c$i) m$i
+         |  WHERE c = mc GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCte,
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+       |    AS node_type,
+       |  node // 2 AS node_id, lbl AS community FROM l$iters""".stripMargin
   }
 
   /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
@@ -1669,6 +1723,8 @@ object SparkEntry {
       graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
     "q_quality_classifier" -> qualityClassifierSql(64, 4),
     "q_random_walks" -> randomWalkSql(10, 2),
+    "q_walk_pairs" -> walkPairsSql(10, 2, graft.graph.GraphOps.PairWindow),
+    "q_label_prop" -> labelPropSql(graft.graph.GraphOps.LabelPropIters),
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

@@ -425,4 +425,110 @@ object GraphOps {
         expr("node div 2").as("node_id"),
         col("r").as("rank_fp"))
   }
+
+  /** Skip-gram (center, context) pair counts from the deterministic
+    * walks — the artifact a DeepWalk/node2vec embedding trainer actually
+    * consumes. For every walk and every offset d in [1, window], the
+    * nodes d steps apart form a pair, counted SYMMETRICALLY (both
+    * directions), exactly like word2vec's context window over a token
+    * stream.
+    *
+    * Scale shape: NO self-join of the walk relation — each offset is a
+    * `lead(node, d)` over (walk_id, step), so one window sort of the
+    * walk table (walks × steps rows, already partitioned by the walk
+    * frames) serves every offset, and the symmetric double-count is a
+    * projection-only union. The pair count aggregation is map-side
+    * combinable. Fan-out is exactly 2·window rows per walk position —
+    * bounded, never degree-dependent. */
+  def walkPairs(walks: DataFrame, window: Int): DataFrame = {
+    val w = Window.partitionBy("walk_id").orderBy("step")
+    val fwd = (1 to window).map { d =>
+      walks
+        .select(col("node").as("ctr"),
+          lead(col("node"), d).over(w).as("ctx"))
+        .filter(col("ctx").isNotNull)
+    }.reduce(_ unionAll _)
+    fwd.unionAll(fwd.select(col("ctx").as("ctr"), col("ctr").as("ctx")))
+      .groupBy(
+        when(pmod(col("ctr"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("center_type"),
+        expr("ctr div 2").as("center_id"),
+        when(pmod(col("ctx"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("ctx_type"),
+        expr("ctx div 2").as("ctx_id"))
+      .agg(count(lit(1)).as("pairs"))
+  }
+
+  /** Window (in steps, each side) for [[qWalkPairs]] — word2vec's
+    * default-ish small context. */
+  val PairWindow: Int = 2
+
+  /** Skip-gram pairs over the trade-graph walk corpus ([[qRandomWalks]]
+    * — same cached walk relation, so the walks are computed once per
+    * session and this query adds only the window + aggregation). */
+  def qWalkPairs(spark: SparkSession, dir: String): DataFrame =
+    walkPairs(qRandomWalks(spark, dir), PairWindow)
+
+  /** Synchronous label propagation — the cheap community detector used
+    * to group a crawl's hosts/documents before per-community sampling
+    * caps (the "don't let one mirror-farm dominate the corpus" step).
+    * Every node starts labeled with its own id; each round, every node
+    * adopts the most frequent label among its IN-neighbors, ties broken
+    * by the SMALLEST label — both rules integer-deterministic, so a
+    * fixed round count carries an exact cross-engine oracle (the
+    * classic async/random-order LPA cannot).
+    *
+    * Scale shape: the edge list is hash-partitioned on `src` once and
+    * persisted; each round is ONE co-partitioned join (node-sized label
+    * table moves, edges never do) + two map-side-combinable
+    * aggregations — count per (dst, lbl), then argmax-by-(count, -lbl)
+    * per dst via a single `min(struct(-c, lbl))` (no window sort over
+    * the graph). On the undirected bipartite trade graph the
+    * synchronous update alternates sides each round; an even round
+    * count lands labels back on the supplier side, which is the
+    * grouping the sampling caps consume. */
+  def labelPropagation(
+      spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
+    val edgesP = edges
+      .repartition(spark.sparkContext.defaultParallelism, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to iters) {
+        labels = edgesP
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+          .select(col("node"), col("m.lbl").as("lbl"))
+      }
+      labels.persist(StorageLevel.MEMORY_AND_DISK).count()
+      labels
+    } finally edgesP.unpersist(blocking = false)
+  }
+
+  /** Round count for [[qLabelProp]]: even (labels return to the
+    * bipartite side they started on), deep enough for labels to travel
+    * supplier→part→supplier twice. */
+  val LabelPropIters: Int = 4
+
+  /** Trade-graph communities: 4 synchronous LPA rounds over the
+    * undirected supplier↔part graph. Output is one row per node with
+    * its community label (a node id — the community's deterministic
+    * representative). */
+  def qLabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#lpa", LabelPropIters)
+    val labels = rankCache.get(key)(
+      withTradePairs(spark, dir)(pairs =>
+        labelPropagation(spark, tradeEdges(pairs), LabelPropIters)))
+    labels
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("lbl").as("community"))
+  }
 }

@@ -202,4 +202,62 @@ class GraphSpec extends SparkSpec {
     assert(total > (init * 0.999999).toLong)
     res.unpersist()
   }
+
+  test("walk pairs match a driver replay of the symmetric window") {
+    // hand-built walk corpus: two walks, one shared node (10)
+    val walks = Seq(
+      (0L, 0L, 10L), (0L, 1L, 11L), (0L, 2L, 12L), (0L, 3L, 13L),
+      (1L, 0L, 20L), (1L, 1L, 10L), (1L, 2L, 21L))
+      .toDF("walk_id", "step", "node")
+    val window = 2
+    val byWalk = Seq(Seq(10L, 11L, 12L, 13L), Seq(20L, 10L, 21L))
+    val want = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for (wk <- byWalk; i <- wk.indices; d <- 1 to window
+         if i + d < wk.size) {
+      want((wk(i), wk(i + d))) += 1
+      want((wk(i + d), wk(i))) += 1
+    }
+    val got = GraphOps.walkPairs(walks, window)
+      .select(
+        when($"center_type" === "supplier", $"center_id" * 2)
+          .otherwise($"center_id" * 2 + 1).as("a"),
+        when($"ctx_type" === "supplier", $"ctx_id" * 2)
+          .otherwise($"ctx_id" * 2 + 1).as("b"),
+        $"pairs")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got === want.toMap)
+    // symmetry: every (a,b) count equals its (b,a) mirror
+    got.foreach { case ((a, b), n) => assert(got((b, a)) === n) }
+  }
+
+  /** Driver-side reference of labelPropagation: most frequent
+    * in-neighbor label, min-label tiebreak, synchronous rounds. */
+  private def simulateLpa(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    var lbl = edges.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      lbl = edges.groupBy(_._2).view.mapValues { es =>
+        val cnt = es.groupBy(e => lbl(e._1)).view.mapValues(_.size).toMap
+        cnt.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lbl
+  }
+
+  test("label propagation matches the simulator and separates cliques") {
+    // two triangles bridged by one edge (3-4); undirected as both arcs
+    val und = Seq(1L -> 2L, 1L -> 3L, 2L -> 3L, 4L -> 5L, 4L -> 6L,
+      5L -> 6L, 3L -> 4L)
+    val edges = und ++ und.map(_.swap)
+    val got = GraphOps
+      .labelPropagation(spark, edges.toDF("src", "dst"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got === simulateLpa(edges, 4))
+    // min-label floods each triangle; the bridge doesn't merge them
+    assert(got(1L) === got(2L))
+    assert(got(5L) === got(6L))
+    assert(got(1L) !== got(5L))
+  }
 }
