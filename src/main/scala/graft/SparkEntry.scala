@@ -138,6 +138,9 @@ object SparkEntry {
     "q_feature_hash" -> ((s: SparkSession, d: String) =>
       TextOps.qFeatureHash(s, d)),
     "q_tfidf_topk" -> ((s: SparkSession, d: String) => TextOps.qTfidfTopK(s, d)),
+    // BM25 lexical retrieval (rational fixed-point scoring, broadcast
+    // query-term pruning of the posting list)
+    "q_bm25_topk" -> ((s: SparkSession, d: String) => TextOps.qBm25TopK(s, d)),
     "q_stopword_prune" -> ((s: SparkSession, d: String) =>
       TextOps.qStopwordPrune(s, d)),
     // corpus-unigram LM negative log-likelihood (CCNet-style quality)
@@ -1348,6 +1351,31 @@ object SparkEntry {
         |      ORDER BY score DESC, tok) AS BIGINT) AS rnk
         |  FROM scored)
         |WHERE rnk <= 3""".stripMargin,
+    // rational BM25: per-term scores are exact fixed-point integers
+    // (num div den), so the per-doc sum is order-free in both engines;
+    // HUGEINT keeps DuckDB's products exact like Spark's decimal(38,0)
+    "q_bm25_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+        |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 20),
+        |sc AS (SELECT q.qid, f.doc_id,
+        |    CAST((44::HUGEINT * f.tf * st.t * (2*(st.n - d.dfq) + 1) * 1000000)
+        |      // ((20::HUGEINT * f.tf * st.t + 6 * st.t + 18 * l.dl * st.n)
+        |          * (2*d.dfq + 1)) AS BIGINT) AS s
+        |  FROM tf f JOIN qt q USING (tok) JOIN dfq d USING (tok)
+        |  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st
+        |  WHERE f.doc_id <> q.qid),
+        |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+        |        FROM sc GROUP BY 1, 2)
+        |SELECT qid, doc_id, score_fp, rnk FROM (
+        |  SELECT qid, doc_id, score_fp,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM agg)
+        |WHERE rnk <= 10""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,

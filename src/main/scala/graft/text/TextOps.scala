@@ -352,4 +352,72 @@ object TextOps {
       order = Seq(col("score").desc, col("tok").asc),
       k = k)
   }
+
+  /** BM25 top-k retrieval — the lexical half of a RAG / retrieval
+    * pipeline: for each query document, the k best OTHER documents by a
+    * BM25-family score over the query's distinct tokens.
+    *
+    * Scoring is the repo's RATIONAL variant: the idf odds
+    * `(N-df+0.5)/(df+0.5)` are kept as a fraction instead of logged, and
+    * k1=1.2, b=0.75 with `avgdl = T/N` (T = total corpus tokens) are
+    * folded into integer coefficients, so each per-term score is one
+    * exact-integer numerator over one exact-integer denominator:
+    * {{{
+    *   num = 44·tf·T·(2(N−df)+1)·10^6
+    *   den = (20·tf·T + 6·T + 18·dl·N)·(2df+1)
+    * }}}
+    * `num div den` is an exact fixed-point (1e-6) integer, so the
+    * per-document SUM over query terms is order-free and the ranking
+    * replays bit-identically in any engine — no IEEE addition anywhere.
+    *
+    * Scale shape: the query-term relation (nQueries docs × their
+    * distinct tokens) is broadcast and pruned INTO the posting list
+    * before anything shuffles — the corpus-sized tf table is touched
+    * only on query tokens; df and doc-length side tables are
+    * vocabulary-/doc-count-sized; the final ranking ships k rows per
+    * query per partition through the native TopKPerKey operator instead
+    * of window-sorting all candidates. */
+  def bm25TopK(docs: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // N and T in-plan as a 1-row broadcast (every doc has >= 1 token:
+    // split always yields a non-empty array, so dl covers all docs)
+    val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("dfq"))
+    val qterms = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok")).distinct()
+    val perTerm = tf
+      .join(broadcast(qterms), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(dfreq, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("num",
+        dec(lit(44)) * dec(col("tf")) * dec(col("t")) *
+          dec(lit(2) * (col("n") - col("dfq")) + lit(1)) * dec(lit(1000000L)))
+      .withColumn("den",
+        (dec(lit(20)) * dec(col("tf")) * dec(col("t")) +
+          dec(lit(6)) * dec(col("t")) +
+          dec(lit(18)) * dec(col("dl")) * dec(col("n"))) *
+          dec(lit(2) * col("dfq") + lit(1)))
+      .select(col("qid"), col("doc_id"),
+        expr("CAST(num div den AS BIGINT)").as("s_fp"))
+    val scored = perTerm.groupBy("qid", "doc_id")
+      .agg(sum("s_fp").as("score_fp"))
+    graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("score_fp").desc, col("doc_id").asc),
+      k = k)
+  }
+
+  /** BM25 retrieval over the documents corpus: queries are docs with
+    * `doc_id < 20`, k = 10. */
+  def qBm25TopK(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame =
+    bm25TopK(load(spark, dir, "documents"), nQueries, k)
 }

@@ -270,4 +270,47 @@ class TextOpsSpec extends SparkSpec {
     // vectors live in the declared dim space
     got.keys.foreach { case (_, dim) => assert(dim >= 0 && dim < 64) }
   }
+
+  test("bm25TopK matches an exact BigInt replay of the rational score") {
+    import spark.implicits._
+    // tiny corpus: doc 0 is the query; 1 shares both its terms,
+    // 2 shares one, 3 none, 4 shares one but is much longer
+    val docs = Seq(
+      (0L, "alpha beta"),
+      (1L, "alpha beta gamma"),
+      (2L, "beta delta delta"),
+      (3L, "delta gamma epsilon"),
+      (4L, "alpha zeta zeta zeta zeta zeta zeta zeta"))
+      .toDF("doc_id", "text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val n = BigInt(texts.size)
+    val t = BigInt(toks.values.map(_.size).sum)
+    def dfq(tok: String) = BigInt(toks.count(_._2.contains(tok)))
+    // exact replay: num div den per (query term, doc), summed
+    def score(qid: Long, did: Long): BigInt =
+      toks(qid).distinct.filter(toks(did).contains).map { tok =>
+        val tf = BigInt(toks(did).count(_ == tok))
+        val dl = BigInt(toks(did).size)
+        val num = 44 * tf * t * (2 * (n - dfq(tok)) + 1) * 1000000
+        val den = (20 * tf * t + 6 * t + 18 * dl * n) * (2 * dfq(tok) + 1)
+        num / den
+      }.sum
+    val want = (for {
+      qid <- Seq(0L); did <- texts.keys if did != qid
+      s = score(qid, did) if s > 0
+    } yield (qid, did) -> s.toLong).toMap
+    val res = TextOps.bm25TopK(docs, nQueries = 1, k = 10)
+    val got = res.select("qid", "doc_id", "score_fp")
+      .as[(Long, Long, Long)].collect()
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    assert(got === want)
+    // ranking is by descending score with doc-id tiebreak
+    val ranked = res.orderBy("rnk").select("doc_id").as[Long].collect()
+    val wantOrder = want.toSeq.sortBy { case ((_, d), s) => (-s, d) }
+      .map(_._1._2)
+    assert(ranked.toSeq === wantOrder)
+    // the never-overlapping doc is absent; no self-retrieval
+    assert(!got.contains((0L, 3L)) && !got.contains((0L, 0L)))
+  }
 }
