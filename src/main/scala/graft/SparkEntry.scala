@@ -149,6 +149,10 @@ object SparkEntry {
     "q_repetition_stats" -> (TextOps.qRepetitionStats _),
     // -- dedup (north star) --
     "q_dedup_exact" -> (Dedup.qDedupExact _),
+    // ExactSubstr passage dedup: later occurrences of any duplicated
+    // 8-token span are deleted from their docs, first occurrence kept
+    "q_substr_dedup" -> ((s: SparkSession, d: String) =>
+      graft.dedup.SubstrDedup.qSubstrDedup(s, d)),
     "q_edit_distance" -> ((s: SparkSession, d: String) =>
       Dedup.qEditDistancePairs(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
@@ -1379,6 +1383,47 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // ExactSubstr passage dedup: all-integer span bookkeeping and a
+    // string rebuild, so the compare is exact with no float anywhere
+    "q_substr_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |occ AS (SELECT doc_id,
+        |         CAST(unnest(range(1, greatest(len(l) - 6, 1))) - 1 AS BIGINT) AS pos,
+        |         unnest(list_transform(range(1, greatest(len(l) - 6, 1)),
+        |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
+        |                l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7])) AS g
+        |       FROM toks),
+        |dup AS (SELECT g, min(doc_id) AS a FROM occ GROUP BY g HAVING count(*) >= 2),
+        |fir AS (SELECT o.g, o.doc_id AS fdoc, min(o.pos) AS fpos
+        |        FROM occ o JOIN dup d ON o.g = d.g AND o.doc_id = d.a
+        |        GROUP BY 1, 2),
+        |later AS (SELECT o.doc_id, o.pos FROM occ o JOIN fir f ON o.g = f.g
+        |          WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)),
+        |removed AS (SELECT DISTINCT doc_id, pos + t.i AS idx
+        |            FROM later, generate_series(0, 7) t(i)),
+        |spans AS (SELECT doc_id, count(*) AS sl FROM (
+        |            SELECT doc_id, idx,
+        |              idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS isl
+        |            FROM removed) GROUP BY doc_id, isl),
+        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+        |            CAST(sum(sl) AS BIGINT) AS n_dup_tokens
+        |          FROM spans GROUP BY 1),
+        |kept AS (SELECT t.doc_id,
+        |           CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS idx,
+        |           unnest(l) AS tok
+        |         FROM toks t JOIN stats s ON t.doc_id = s.doc_id),
+        |surv AS (SELECT k.doc_id, k.idx, k.tok FROM kept k
+        |         ANTI JOIN removed r ON k.doc_id = r.doc_id AND k.idx = r.idx),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+        |        FROM surv GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+        |  coalesce(s.n_dup_spans, 0) AS n_dup_spans,
+        |  coalesce(s.n_dup_tokens, 0) AS n_dup_tokens,
+        |  CASE WHEN s.doc_id IS NULL THEN d.text
+        |       ELSE coalesce(r.clean_text, '') END AS clean_text
+        |FROM toks t JOIN documents d ON t.doc_id = d.doc_id
+        |LEFT JOIN stats s ON t.doc_id = s.doc_id
+        |LEFT JOIN reb r ON t.doc_id = r.doc_id""".stripMargin,
     // brand-banded fuzzy dedup; both engines run the classic DP distance
     "q_edit_distance" ->
       """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
