@@ -8,7 +8,7 @@ import graft.lsp.LspAnalytics
 import graft.multimodal.Multimodal
 import graft.pipeline.TrainingData
 import graft.relational.{EventQueries, RelationalQueries, SqlQueries}
-import graft.similarity.Similarity
+import graft.similarity.{HybridRetrieval, Similarity}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -169,6 +169,11 @@ object SparkEntry {
     // -- similarity search (north star) --
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnBruteForce(s, d)),
+    // hybrid retrieval: RRF fusion of the BM25 and exact-cosine lists;
+    // contributions are truncating integer divisions, so the fused
+    // ranking is order-free and engine-exact
+    "q_rrf_fusion" -> ((s: SparkSession, d: String) =>
+      HybridRetrieval.qRrfFusion(s, d)),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) =>
       Similarity.qEmbeddingNearDup(s, d)),
     // 2 hash tables: measured recall@5 0.97 at sf0.01 (1 table: 0.82)
@@ -1440,6 +1445,50 @@ object SparkEntry {
     // deterministic on fixed data).
     "q_minhash_lsh" -> exactJaccardSql,
     "q_ann_bruteforce" -> annTopKSql(5),
+    // RRF fusion of the BM25 (k=10) and exact-cosine (k=10) lists; each
+    // contribution is 1e9 // (60 + rank) — truncating integer division,
+    // so the fused sum and ranking replay exactly
+    "q_rrf_fusion" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+         |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+         |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 20),
+         |sc AS (SELECT q.qid, f.doc_id,
+         |    CAST((44::HUGEINT * f.tf * st.t * (2*(st.n - d.dfq) + 1) * 1000000)
+         |      // ((20::HUGEINT * f.tf * st.t + 6 * st.t + 18 * l.dl * st.n)
+         |          * (2*d.dfq + 1)) AS BIGINT) AS s
+         |  FROM tf f JOIN qt q USING (tok) JOIN dfq d USING (tok)
+         |  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st
+         |  WHERE f.doc_id <> q.qid),
+         |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+         |        FROM sc GROUP BY 1, 2),
+         |lex AS (SELECT qid, doc_id AS id, rnk FROM (
+         |    SELECT qid, doc_id,
+         |      CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
+         |    FROM agg) WHERE rnk <= 10),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |dist AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |        round(${duckCos("q.v", "c.v")}, 6) AS sim
+         |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |den AS (SELECT qid, nid AS id, rnk FROM (
+         |    SELECT qid, nid,
+         |      CAST(row_number() OVER (PARTITION BY qid
+         |        ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |    FROM dist) WHERE rnk <= 10),
+         |u AS (SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM lex
+         |      UNION ALL
+         |      SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM den),
+         |f AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+         |        count(*) AS n_lists FROM u GROUP BY 1, 2)
+         |SELECT qid, id, rrf_fp, n_lists, rnk FROM (
+         |  SELECT qid, id, rrf_fp, n_lists,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY rrf_fp DESC, id) AS BIGINT) AS rnk
+         |  FROM f)
+         |WHERE rnk <= 5""".stripMargin,
     // dense-band LSH + exact re-rank computes the brute-force relation
     // (SimilaritySpec asserts row-for-row equality; an escape needs a
     // neighbor missing all 32 signature bands, p <= 1.6e-4 per pair even
