@@ -42,6 +42,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin the session zone so the events-lake timestamp normalization
+      // (Tables.load NTZ→UTC micros) is box-independent
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the 127-query round-robin compiles far more than 100 distinct
       // codegen stages per sweep, so the default 100-entry class cache

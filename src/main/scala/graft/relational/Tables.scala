@@ -1,9 +1,11 @@
 package graft.relational
 
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
-  * One parquet per table; read-only.
+  * One parquet each; read-only.
   */
 object Tables {
 
@@ -13,12 +15,29 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS); Spark 4 only reads it as a
-      // raw long (nanos since epoch) behind this legacy conf. Queries
-      // normalize via EventQueries' ns→µs helpers.
+      // events.ts has been generated as parquet TIMESTAMP(NANOS) in some
+      // rounds and TIMESTAMP(MICROS) in others; the engine's contract
+      // (every EventQueries consumer, `ts div 1000` → µs) is a raw long
+      // of NANOS since epoch. Normalize whatever the lake serves to that
+      // one contract here, so a regenerated lake never shifts query
+      // semantics. The DuckDB oracle side is already physical-type
+      // agnostic (`epoch_us(ts)`).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    }
-    spark.read.parquet(s"$dir/$name.parquet")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      df.schema("ts").dataType match {
+        case LongType => df // TIMESTAMP(NANOS) behind the legacy conf
+        case TimestampNTZType =>
+          // naive µs: reinterpret the wall-clock value as UTC micros —
+          // tz-free by construction (cast NTZ→TZ applies the session
+          // zone, which every entrypoint pins to UTC)
+          df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+        case TimestampType =>
+          df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported physical type $other")
+      }
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
   /** Register every table as a temp view (for the SQL surface). */
