@@ -121,6 +121,12 @@ object SparkEntry {
     // lineage fingerprint: per-table row count + order-independent
     // bit_xor content checksum (never overflows, any partitioning)
     "q_manifest" -> (graft.relational.Observe.qManifest _),
+    // change-data apply: MERGE/upsert decomposed as anti-join ∪ batch —
+    // the target side never shuffles (broadcast anti)
+    "q_lake_merge" -> (graft.sources.LakeMerge.qLakeMerge _),
+    // type-2 slowly-changing dimension: attribute history as versioned
+    // rows; re-sent identical rows must NOT fork a version
+    "q_scd2" -> (graft.sources.LakeMerge.qScd2 _),
     // exact rank-based winsorization census over event values
     "q_value_clip" -> ((s: SparkSession, d: String) =>
       EventQueries.qValueClip(s, d)),
@@ -399,6 +405,29 @@ object SparkEntry {
       |SELECT d1, d2, round(CAST(inter AS DOUBLE) / sz, 6) AS containment
       |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
       |WHERE sz >= 5 AND inter * 10 >= sz * 9""".stripMargin
+
+  /** The deterministic customer change batch (LakeMerge.changeBatch's
+    * SQL mirror): heavy customers upsert with `c_acctbal` = order count,
+    * mid customers re-send an identical row, order-less keys ≡ 0 (mod 5)
+    * insert at key + 1e6, keys ≡ 1 (mod 5) delete. */
+  private val mergeChangeCte: String =
+    """WITH cnts AS (SELECT o_custkey AS c_custkey, count(*) AS cnt
+      |              FROM orders GROUP BY 1),
+      |src AS (SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+      |          c.c_mktsegment, n.cnt
+      |        FROM customer c LEFT JOIN cnts n ON c.c_custkey = n.c_custkey),
+      |chg AS (
+      |  SELECT c_custkey, c_name, c_nationkey, CAST(cnt AS DOUBLE) AS c_acctbal,
+      |    c_mktsegment, 'U' AS op FROM src WHERE cnt >= 15
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'U'
+      |  FROM src WHERE cnt BETWEEN 10 AND 14
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_nationkey, CAST(0.0 AS DOUBLE),
+      |    c_mktsegment, 'U' FROM src WHERE cnt IS NULL AND c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
+      |  FROM src WHERE cnt IS NULL AND c_custkey % 5 = 1)""".stripMargin
 
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
   /** Shared IVF training prefix (Forgy seed + one fixed-point Lloyd
@@ -1206,6 +1235,37 @@ object SparkEntry {
         |    event_type || ':' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
         |  ), 1, 15))::UBIGINT AS BIGINT))
         |FROM events""".stripMargin,
+    "q_lake_merge" ->
+      s"""$mergeChangeCte
+         |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+         |  c.c_mktsegment
+         |FROM customer c ANTI JOIN chg g ON c.c_custkey = g.c_custkey
+         |UNION ALL
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         |FROM chg WHERE op = 'U'""".stripMargin,
+    // tracked attributes = (c_acctbal, c_mktsegment); version 0 history
+    // closed at version-1 = 0, batch applied at version 1
+    "q_scd2" ->
+      s"""$mergeChangeCte,
+         |chg_u AS (SELECT * FROM chg WHERE op = 'U'),
+         |open0 AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+         |            c_mktsegment FROM customer),
+         |m AS (SELECT o.c_custkey, o.c_acctbal AS ob, o.c_mktsegment AS os,
+         |        u.c_acctbal AS nb, u.c_mktsegment AS ns
+         |      FROM open0 o JOIN chg_u u ON o.c_custkey = u.c_custkey),
+         |resent AS (SELECT c_custkey FROM m WHERE nb = ob AND ns = os),
+         |closedk AS (SELECT c_custkey FROM m WHERE nb <> ob OR ns <> os
+         |            UNION ALL SELECT c_custkey FROM chg WHERE op = 'D')
+         |SELECT o.*, CAST(0 AS BIGINT) AS valid_from,
+         |  CAST(999999999 AS BIGINT) AS valid_to
+         |FROM open0 o ANTI JOIN closedk k ON o.c_custkey = k.c_custkey
+         |UNION ALL
+         |SELECT o.*, 0, 0
+         |FROM open0 o SEMI JOIN closedk k ON o.c_custkey = k.c_custkey
+         |UNION ALL
+         |SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal,
+         |  u.c_mktsegment, 1, 999999999
+         |FROM chg_u u ANTI JOIN resent r ON u.c_custkey = r.c_custkey""".stripMargin,
     "q_tokenizer_fertility" ->
       s"""WITH RECURSIVE
         |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),

@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Change-data apply for a keyed parquet lake — the write-side operators
+  * every incremental pipeline needs once a corpus stops being
+  * append-only (crawl refreshes, takedown/deletion requests, metadata
+  * backfills):
+  *
+  *   - [[merge]] — SQL-MERGE/upsert semantics (full-row update, insert,
+  *     delete) applied as one declarative plan.
+  *   - [[scd2Apply]] — slowly-changing-dimension type 2: attribute
+  *     history is preserved as versioned rows instead of overwritten.
+  *
+  * Scale shape: the classic MERGE formulation is a FULL OUTER join,
+  * which forces a sort-merge exchange of BOTH sides — including the
+  * 100 TB target. Here the matched/unmatched cases are decomposed into
+  * `target ANTI JOIN changes` ∪ `changes(op='U')`: the target-sized
+  * side only ever feeds an anti join against the (typically
+  * batch-sized) change set, which Spark executes as a broadcast
+  * anti join — the target never shuffles at all. Deletes fall out for
+  * free: a key with op='D' is removed by the anti join and contributes
+  * no replacement row. All bookkeeping columns are integers, so both
+  * operators replay bit-exactly in any engine.
+  */
+object LakeMerge {
+
+  /** Open-ended `valid_to` sentinel (BIGINT, beyond any version stamp):
+    * keeps the history table NULL-free, so version predicates
+    * (`v BETWEEN valid_from AND valid_to`) never need three-valued logic. */
+  val OpenVersion: Long = 999999999L
+
+  /** MERGE `changes` into `target` on `key`.
+    *
+    * `changes` must carry the target's columns plus an `op` column:
+    * 'U' = upsert (full-row replace or insert), 'D' = delete. A key may
+    * appear at most once in `changes` (enforce upstream; the last-writer
+    * collapse is a one-line `row_number` the caller owns, because WHICH
+    * writer wins is policy, not mechanism).
+    *
+    * Plan: `target LEFT ANTI changes` keeps untouched rows — a
+    * broadcast anti join for any reasonably-sized batch, so the
+    * target-side scan streams straight to the sink with no exchange —
+    * then the op='U' rows union in as both updates and inserts
+    * (full-row replace makes the two cases the same row). */
+  def merge(target: DataFrame, changes: DataFrame, key: String): DataFrame = {
+    val untouched = target.join(
+      broadcast(changes.select(key).distinct()), Seq(key), "left_anti")
+    untouched.unionByName(
+      changes.filter(col("op") === "U").drop("op"))
+  }
+
+  /** Apply a change batch to an SCD2 history table.
+    *
+    * `history` rows: target attributes + (`valid_from`, `valid_to`)
+    * BIGINT version stamps; the current version of a key is the row
+    * with `valid_to` = [[OpenVersion]]. `changes` is as in [[merge]].
+    * `version` stamps this batch.
+    *
+    * Semantics per key in `changes` (standard type-2 discipline):
+    *   - op='U', attributes DIFFER from the open row (or no open row):
+    *     close the open row at `version - 1` and append a new open row.
+    *   - op='U', attributes unchanged: no-op (type 2 tracks real
+    *     transitions; re-sent identical rows must not fork versions).
+    *   - op='D': close the open row, no successor.
+    * Closed rows are immutable history and pass through untouched.
+    *
+    * Plan shape: closed history passes through a filter (no join at
+    * all); open rows anti/semi-join the broadcast batch; the appended
+    * rows are batch-sized. The history table — the thing that is 100 TB
+    * — is never shuffled. `trackedCols` is the attribute set whose
+    * change forks a version. */
+  def scd2Apply(
+      history: DataFrame, changes: DataFrame, key: String,
+      trackedCols: Seq[String], version: Long): DataFrame = {
+    val closed = history.filter(col("valid_to") =!= OpenVersion)
+    val open = history.filter(col("valid_to") === OpenVersion)
+
+    def tracked(side: String): Column =
+      struct(trackedCols.map(c => col(s"$side.$c")): _*)
+
+    // open rows × batch: LEFT join on the broadcast batch classifies
+    // each open row as untouched (no match), re-sent-identical (match,
+    // equal attributes), superseded, or deleted — in one pass
+    val cls = open.alias("o").join(
+      broadcast(changes.alias("c")), col(s"o.$key") === col(s"c.$key"), "left")
+    val untouchedOrResent = cls
+      .filter(col("c.op").isNull ||
+        (col("c.op") === "U" && tracked("o") === tracked("c")))
+      .select(open.columns.map(c => col(s"o.$c")): _*)
+    val nowClosed = cls
+      .filter(col("c.op") === "D" ||
+        (col("c.op") === "U" && tracked("o") =!= tracked("c")))
+      .select(open.columns.map(c => col(s"o.$c")): _*)
+      .withColumn("valid_to", lit(version - 1))
+
+    // new open rows: updates that changed something, plus true inserts
+    // (no open row) — anti-join back against rows that stayed current,
+    // computed batch-side so it needs only batch-sized frames
+    val resentKeys = cls
+      .filter(col("c.op") === "U" && tracked("o") === tracked("c"))
+      .select(col(s"o.$key"))
+    val appended = changes.filter(col("op") === "U")
+      .join(broadcast(resentKeys), Seq(key), "left_anti")
+      .drop("op")
+      .withColumn("valid_from", lit(version))
+      .withColumn("valid_to", lit(OpenVersion))
+
+    closed.unionByName(untouchedOrResent).unionByName(nowClosed)
+      .unionByName(appended)
+  }
+
+  // ---- registry queries (deterministic change batch over testdata) ----
+
+  import graft.relational.Tables.load
+
+  private val custCols =
+    Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  /** The customer dimension restricted to the merge's attribute set. */
+  private def custDim(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    load(spark, dir, "customer").select(custCols.map(col): _*)
+
+  /** Deterministic change batch derived from order activity (mirrored
+    * line-for-line by the DuckDB oracles):
+    *   - heavy customers (≥15 orders): upsert with `c_acctbal` set to
+    *     their order count — a guaranteed-visible attribute change;
+    *   - mid customers (10–14 orders): re-sent IDENTICAL row — the
+    *     upsert that must NOT fork an SCD2 version;
+    *   - order-less keys ≡ 0 (mod 5): brand-new customer at
+    *     key + 1,000,000 (the insert case);
+    *   - order-less keys ≡ 1 (mod 5): deletion request. */
+  private[sources] def changeBatch(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val cnts = load(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val src = custDim(spark, dir).join(cnts, Seq("c_custkey"), "left")
+    val upd = src.filter(col("cnt") >= 15)
+      .withColumn("c_acctbal", col("cnt").cast("double"))
+    val resent = src.filter(col("cnt").between(10, 14))
+    val ins = src.filter(col("cnt").isNull && col("c_custkey") % 5 === 0)
+      .withColumn("c_custkey", col("c_custkey") + 1000000L)
+      .withColumn("c_acctbal", lit(0.0))
+    val del = src.filter(col("cnt").isNull && col("c_custkey") % 5 === 1)
+    upd.unionByName(resent).unionByName(ins)
+      .select(custCols.map(col) :+ lit("U").as("op"): _*)
+      .unionByName(del.select(custCols.map(col) :+ lit("D").as("op"): _*))
+  }
+
+  /** MERGE the change batch into the customer dimension. */
+  def qLakeMerge(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    merge(custDim(spark, dir), changeBatch(spark, dir), "c_custkey")
+
+  /** SCD2-apply the change batch to a version-0 history of the customer
+    * dimension; emits the full version history. */
+  def qScd2(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val history0 = custDim(spark, dir)
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(OpenVersion))
+    scd2Apply(history0, changeBatch(spark, dir), "c_custkey",
+      trackedCols = Seq("c_acctbal", "c_mktsegment"), version = 1L)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LakeMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "name", "bal")
+
+  private def changes = Seq(
+    (2L, "b", 99.0, "U"),  // update: bal changes
+    (3L, "c", 30.0, "U"),  // re-sent identical row
+    (4L, "d", 40.0, "D"),  // delete
+    (9L, "z", 0.0, "U")    // insert (no target row)
+  ).toDF("k", "name", "bal", "op")
+
+  test("merge: update replaces, insert appends, delete removes, rest pass") {
+    val out = LakeMerge.merge(target, changes, "k")
+      .orderBy("k").as[(Long, String, Double)].collect()
+    assert(out === Seq(
+      (1L, "a", 10.0),  // untouched
+      (2L, "b", 99.0),  // updated
+      (3L, "c", 30.0),  // re-sent identical: replaced with equal values
+      (9L, "z", 0.0)))  // inserted; 4 deleted
+  }
+
+  test("merge: target side never shuffles (broadcast anti join)") {
+    val plan = LakeMerge.merge(target, changes, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$plan")
+  }
+
+  test("scd2: version forks only on real attribute change") {
+    val history0 = target
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(LakeMerge.OpenVersion))
+    val hist = LakeMerge.scd2Apply(history0, changes, "k",
+      trackedCols = Seq("bal"), version = 7L)
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Double, Long, Long)].collect()
+    assert(hist === Seq(
+      (1L, "a", 10.0, 0L, LakeMerge.OpenVersion), // untouched: still open
+      (2L, "b", 20.0, 0L, 6L),                    // closed at version-1
+      (2L, "b", 99.0, 7L, LakeMerge.OpenVersion), // new open version
+      (3L, "c", 30.0, 0L, LakeMerge.OpenVersion), // re-sent identical: no fork
+      (4L, "d", 40.0, 0L, 6L),                    // deleted: closed, no successor
+      (9L, "z", 0.0, 7L, LakeMerge.OpenVersion))) // insert: new open row
+  }
+
+  test("scd2: closed history is immutable across a second batch") {
+    val history0 = target
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(LakeMerge.OpenVersion))
+    val h1 = LakeMerge.scd2Apply(history0, changes, "k",
+      trackedCols = Seq("bal"), version = 1L)
+    // second batch: update key 2 again, re-insert deleted key 4
+    val batch2 = Seq((2L, "b", 77.0, "U"), (4L, "d", 41.0, "U"))
+      .toDF("k", "name", "bal", "op")
+    val h2 = LakeMerge.scd2Apply(h1, batch2, "k",
+      trackedCols = Seq("bal"), version = 2L)
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Double, Long, Long)].collect()
+    assert(h2.filter(_._1 == 2L) === Seq(
+      (2L, "b", 20.0, 0L, 0L),
+      (2L, "b", 99.0, 1L, 1L),
+      (2L, "b", 77.0, 2L, LakeMerge.OpenVersion)))
+    // a key deleted at v1 re-inserts as a fresh open version at v2
+    assert(h2.filter(_._1 == 4L) === Seq(
+      (4L, "d", 40.0, 0L, 0L),
+      (4L, "d", 41.0, 2L, LakeMerge.OpenVersion)))
+    // version predicates reconstruct any point-in-time snapshot
+    val asOf1 = h2.filter(t => t._4 <= 1L && 1L <= t._5).map(t => (t._1, t._3))
+    assert(asOf1.toSeq.sorted === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (9L, 0.0)))
+  }
+
+  test("registry queries run on testdata and agree on the open rows") {
+    val dir = "/root/testdata/sf0.001"
+    val merged = LakeMerge.qLakeMerge(spark, dir)
+    val hist = LakeMerge.qScd2(spark, dir)
+    // the SCD2 open rows ARE the merged table (same change batch)
+    val open = hist.filter(col("valid_to") === LakeMerge.OpenVersion)
+      .drop("valid_from", "valid_to")
+    assert(open.exceptAll(merged).isEmpty && merged.exceptAll(open).isEmpty)
+    assert(merged.count() > 0)
+  }
+}
