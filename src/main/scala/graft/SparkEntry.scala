@@ -307,6 +307,14 @@ object SparkEntry {
     // the host-clustering step before per-community sampling caps
     "q_label_prop" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qLabelProp(s, d)),
+    // market-basket pair mining: support-thresholded co-occurrence
+    // edges with exact-integer lift numerators
+    "q_copurchase" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qCopurchase(s, d)),
+    // per-node triangle count + clustering coefficient via
+    // degree-ordered orientation (hub wedge work capped at O(√E))
+    "q_triangles" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qTriangles(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -428,6 +436,17 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
       |  FROM src WHERE cnt IS NULL AND c_custkey % 5 = 1)""".stripMargin
+
+  /** Support-thresholded co-purchase edges (GraphOps.copurchaseEdges's
+    * SQL mirror): canonical part pairs sharing ≥ 2 distinct orders. */
+  private val copurchaseCte: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+       |          CAST(count(*) AS BIGINT) AS support
+       |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |          AND a.l_partkey < b.l_partkey
+       |        GROUP BY 1, 2
+       |        HAVING count(*) >= ${graft.graph.GraphOps.CopurchaseMinSupport})""".stripMargin
 
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
   /** Shared IVF training prefix (Forgy seed + one fixed-point Lloyd
@@ -1907,6 +1926,39 @@ object SparkEntry {
     "q_random_walks" -> randomWalkSql(10, 2),
     "q_walk_pairs" -> walkPairsSql(10, 2, graft.graph.GraphOps.PairWindow),
     "q_label_prop" -> labelPropSql(graft.graph.GraphOps.LabelPropIters),
+    "q_copurchase" ->
+      s"""$copurchaseCte
+         |, ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+         |         FROM li GROUP BY 1),
+         |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li)
+         |SELECT e.u, e.v, e.support,
+         |  CAST(e.support * no.n AS DOUBLE) / (c1.c * c2.c) AS lift
+         |FROM und e CROSS JOIN no
+         |JOIN ic c1 ON e.u = c1.l_partkey
+         |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
+    // degree-ordered orientation: okey = deg·2³² + id packs the
+    // (degree, id) total order into one comparable scalar in both engines
+    "q_triangles" ->
+      s"""$copurchaseCte
+         |, deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+         |          (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         |          GROUP BY 1),
+         |ok AS (SELECT n, deg, deg * 4294967296 + n AS okey FROM deg),
+         |ori AS (SELECT CASE WHEN du.okey < dv.okey THEN u ELSE v END AS src,
+         |          CASE WHEN du.okey < dv.okey THEN v ELSE u END AS dst,
+         |          greatest(du.okey, dv.okey) AS dkey
+         |        FROM und JOIN ok du ON u = du.n JOIN ok dv ON v = dv.n),
+         |tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+         |        FROM ori x JOIN ori y ON x.src = y.src AND x.dkey < y.dkey
+         |        JOIN ori z ON z.src = x.dst AND z.dst = y.dst),
+         |tcnt AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles FROM
+         |         (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT d.n AS node, d.deg, coalesce(t.triangles, 0) AS triangles,
+         |  CASE WHEN d.deg >= 2 THEN
+         |    CAST(2 * coalesce(t.triangles, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
+         |  ELSE CAST(0 AS DOUBLE) END AS clustering
+         |FROM deg d LEFT JOIN tcnt t ON d.n = t.n""".stripMargin,
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

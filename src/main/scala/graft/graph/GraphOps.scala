@@ -540,4 +540,102 @@ object GraphOps {
         expr("node div 2").as("node_id"),
         col("lbl").as("community"))
   }
+
+  // ---- co-occurrence mining + triangle census ----
+
+  /** Support threshold for [[copurchaseEdges]]: a pair must co-occur in
+    * at least this many orders to become an edge (the market-basket
+    * noise gate — one shared order is coincidence, two is signal). */
+  val CopurchaseMinSupport: Int = 2
+
+  /** The co-purchase graph: canonical part pairs (`u` < `v`) that
+    * co-occur in ≥ [[CopurchaseMinSupport]] distinct orders.
+    *
+    * Scale shape: the self-join explodes C(k,2) pairs per order, where
+    * k is bounded by order SIZE (single digits in any basket-shaped
+    * dataset) — a per-row-bounded explode, not a quadratic blowup — and
+    * the support filter prunes before anything downstream sees the
+    * pairs. The aggregation is map-side combinable on (u, v). */
+  def copurchaseEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= CopurchaseMinSupport)
+  }
+
+  /** Frequent co-occurrence pairs with lift — association mining's
+    * effect-size (lift > 1 ⇔ the pair co-occurs more than independence
+    * predicts). All counts are exact integers; lift is ONE IEEE
+    * division of exact-integer operands, so it replays bit-identically
+    * in any engine. */
+  def qCopurchase(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemCnt = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+    val nOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n"))
+    copurchaseEdges(spark, dir)
+      .join(itemCnt.select(col("l_partkey").as("u"), col("c").as("c1")), "u")
+      .join(itemCnt.select(col("l_partkey").as("v"), col("c").as("c2")), "v")
+      .crossJoin(broadcast(nOrders))
+      .select(col("u"), col("v"), col("support"),
+        (  (col("support") * col("n")).cast("double")
+         / (col("c1") * col("c2"))).as("lift"))
+  }
+
+  /** Per-node triangle count + local clustering coefficient over an
+    * undirected graph given as canonical edges (`u` < `v`).
+    *
+    * Algorithm: degree-ordered orientation — each undirected edge is
+    * directed from its lower (degree, id) endpoint to the higher, so
+    * every triangle is enumerated exactly once from its lowest-ordered
+    * corner and, crucially, a hub's wedge work is bounded by its
+    * OUT-degree, which the orientation caps at O(√E) — the difference
+    * between feasible and quadratic on a power-law graph at 100 TB.
+    * The (degree, id) order is packed into one scalar
+    * `deg · 2³² + id` (exact while ids < 2³², the lake's id regime) so
+    * both engines compare identically. Clustering is
+    * 2·triangles / (deg·(deg−1)) — exact-integer operands, one IEEE
+    * division.
+    */
+  def triangleCensus(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ok = deg.select(col("n"),
+      (col("deg") * lit(4294967296L) + col("n")).as("okey"))
+    val ori = edges
+      .join(ok.select(col("n").as("u"), col("okey").as("ku")), "u")
+      .join(ok.select(col("n").as("v"), col("okey").as("kv")), "v")
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+        greatest(col("ku"), col("kv")).as("dkey"))
+    val wedges = ori.alias("x").join(ori.alias("y"),
+        col("x.src") === col("y.src") && col("x.dkey") < col("y.dkey"))
+      .select(col("x.src").as("a"), col("x.dst").as("b"), col("y.dst").as("c"))
+    val tri = wedges.join(ori.alias("z"),
+      col("b") === col("z.src") && col("c") === col("z.dst"))
+    val tcnt = tri.select(col("a").as("n"))
+      .unionAll(tri.select(col("b").as("n")))
+      .unionAll(tri.select(col("c").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+    deg.join(tcnt, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          (coalesce(col("triangles"), lit(0L)) * 2).cast("double")
+            / (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Triangle census over the co-purchase graph: how clique-y are the
+    * frequently-co-bought part neighborhoods. */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(spark, copurchaseEdges(spark, dir))
 }

@@ -260,4 +260,31 @@ class GraphSpec extends SparkSpec {
     assert(got(5L) === got(6L))
     assert(got(1L) !== got(5L))
   }
+
+  test("triangle census: K4 + pendant, every triangle counted once") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant edge 1-5
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("u", "v")
+    val got = GraphOps.triangleCensus(spark, edges)
+      .orderBy("node").as[(Long, Long, Long, Double)].collect()
+    assert(got === Seq(
+      (1L, 4L, 3L, 0.5), // 3 of C(4,2)=6 neighbor pairs close
+      (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0),
+      (4L, 3L, 3L, 1.0),
+      (5L, 1L, 0L, 0.0)))
+    // global count: per-node triangles sum to 3x the triangle count
+    assert(got.map(_._3).sum === 3 * 4)
+  }
+
+  test("copurchase graph: support threshold and census agree on testdata") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.copurchaseEdges(spark, dir)
+    assert(edges.filter(col("u") >= col("v")).isEmpty) // canonical
+    assert(edges.filter(col("support") < GraphOps.CopurchaseMinSupport).isEmpty)
+    val census = GraphOps.qTriangles(spark, dir)
+    val nodes = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n"))).distinct().count()
+    assert(census.count() === nodes)
+  }
 }
