@@ -273,6 +273,10 @@ object SparkEntry {
     // target domain vs the corpus, integer ppm weights -> exact oracle
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
       TrainingData.qDsirWeights(s, d)),
+    // DSIR end-to-end: importance weights -> salted-ppm acceptance draw
+    // -> the actually-resampled corpus with audit columns
+    "q_dsir_resample" -> ((s: SparkSession, d: String) =>
+      TrainingData.qDsirResample(s, d)),
     // fastText-style discriminative quality filter: hard-sigmoid
     // logistic regression over hashed features, fixed-point training
     // replayed exactly by the unrolled oracle
@@ -2029,6 +2033,15 @@ object SparkEntry {
     "q_dsir_weights" ->
       s"""WITH $dsirWeightsCte
         |SELECT doc_id, n_tokens, dsir_score FROM dsird""".stripMargin,
+    "q_dsir_resample" ->
+      s"""WITH $dsirWeightsCte
+        |SELECT doc_id, n_tokens, dsir_score,
+        |  dsir_score // n_tokens AS avg_w,
+        |  CAST(('0x' || substr(md5('dsirsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 1000000 AS BIGINT) AS u_ppm
+        |FROM dsird
+        |WHERE CAST(('0x' || substr(md5('dsirsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |    % 1000000 AS BIGINT) < dsir_score // n_tokens""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, count(*) AS n_total,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,

@@ -1029,4 +1029,27 @@ object TrainingData {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("w").as("dsir_score"))
   }
+
+  /** DSIR end-to-end: turn the importance weights into an actually
+    * DRAWN corpus. Acceptance probability is min(1, w̄ / 10⁶) where
+    * w̄ = `dsir_score div n_tokens` is the per-token mean importance in
+    * ppm (w̄ ≈ 10⁶ ⇔ the doc looks exactly like the target
+    * distribution), decided by the repo's standard salted integer-ppm
+    * draw — so the sample is reproducible across engines, runs, and
+    * partitionings, and composable with every other ppm gate. Output is
+    * the surviving docs with their weight and draw (the audit columns a
+    * selection pipeline keeps).
+    *
+    * Scale shape: weights are a broadcast 64-row relation (inherited
+    * from [[qDsirWeights]]); the draw and gate are map-only over the
+    * corpus — no additional shuffle beyond the score aggregation. */
+  def qDsirResample(spark: SparkSession, dir: String): DataFrame =
+    qDsirWeights(spark, dir)
+      .withColumn("avg_w", expr("dsir_score div n_tokens"))
+      .withColumn("u_ppm",
+        conv(substring(md5(concat_ws(":", lit("dsirsample"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .filter(col("u_ppm") < col("avg_w"))
+      .select("doc_id", "n_tokens", "dsir_score", "avg_w", "u_ppm")
 }

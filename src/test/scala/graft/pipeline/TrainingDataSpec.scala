@@ -598,4 +598,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(mean("en") > mean("zh"),
       "en docs must score above zh under an en-target weighting")
   }
+
+  test("dsir resample: exactly the docs whose salted draw clears the gate") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = TrainingData.qDsirWeights(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // JVM replay of the acceptance set: u_ppm(doc) < dsir_score div n
+    def uPpm(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dsirsample:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val want = scored.collect {
+      case (id, (n, s)) if uPpm(id) < s / n => id -> ((n, s, s / n, uPpm(id)))
+    }
+    val got = TrainingData.qDsirResample(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    // a real subsample: some docs survive, some don't
+    assert(got.nonEmpty && got.size < scored.size)
+  }
 }
