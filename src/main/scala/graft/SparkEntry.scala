@@ -213,6 +213,11 @@ object SparkEntry {
     // carry an exact oracle
     "q_ann_pq" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnPq(s, d)),
+    // IVF-PQ serving composition: probe the 4 nearest trained cells,
+    // ADC-score only their postings, exact re-rank the shortlist; both
+    // index artifacts are the session's shared published models
+    "q_ann_ivfpq" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnIvfPq(s, d)),
     // index maintenance: an existing IVF index absorbs a new batch by
     // pure assignment (no retrain); per-cell ingest census with drift
     "q_ivf_ingest" -> ((s: SparkSession, d: String) =>
@@ -1629,6 +1634,76 @@ object SparkEntry {
         |    SELECT sc.qid, sc.nid, row_number() OVER (PARTITION BY sc.qid
         |      ORDER BY round(sc.s_fp / 1e12 / (qn.nrm * cn.nrm), 6) DESC, sc.nid) AS srnk
         |    FROM sc JOIN n qn ON sc.qid = qn.vec_id JOIN n cn ON sc.nid = cn.vec_id)
+        |  WHERE srnk <= 50),
+        |rr AS (SELECT s.qid, s.nid,
+        |         round(list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+        |           / (qn.nrm * cn.nrm), 6) AS sim
+        |       FROM short s
+        |       JOIN e q ON s.qid = q.vec_id JOIN e c ON s.nid = c.vec_id
+        |       JOIN n qn ON s.qid = qn.vec_id JOIN n cn ON s.nid = cn.vec_id)
+        |SELECT * FROM (SELECT qid, nid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+        |  FROM rr)
+        |WHERE rnk <= 5""".stripMargin,
+    // IVF-PQ: the trained-cell CTE (shared with q_semdedup/q_ivf_ingest)
+    // picks each query's 4 probe cells; the q_ann_pq codebook chain
+    // (renamed sr/str/sc0/sa1/scb) scores only their members via ADC
+    "q_ann_ivfpq" ->
+      s"""WITH $ivfTrainCte,
+        |best AS (SELECT vec_id, cell FROM (
+        |           SELECT t.vec_id, c.cell, row_number() OVER (
+        |             PARTITION BY t.vec_id ORDER BY list_reduce(
+        |               list_transform(range(1, 65), i ->
+        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |               (x, y) -> x + y), c.cell) AS rn
+        |           FROM e t, c1 c)
+        |         WHERE rn = 1),
+        |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
+        |probe AS (SELECT qid, cell FROM (
+        |           SELECT t.vec_id AS qid, c.cell, row_number() OVER (
+        |             PARTITION BY t.vec_id ORDER BY list_reduce(
+        |               list_transform(range(1, 65), i ->
+        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |               (x, y) -> x + y), c.cell) AS rn
+        |           FROM e t, c1 c WHERE t.vec_id < 20)
+        |         WHERE rn <= 4),
+        |sr AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS d,
+        |         v[i] AS x, CAST(round(v[i] * 65536) AS BIGINT) AS q16
+        |       FROM e, generate_series(1, 64) t(i)),
+        |str AS (SELECT * FROM sr WHERE vec_id % 2 = 0),
+        |sc0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, d, round(x, 6) AS m
+        |        FROM sr WHERE vec_id < 64),
+        |sa1 AS (SELECT vec_id, sub, cell FROM (
+        |         SELECT dd.vec_id, dd.sub, dd.cell,
+        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
+        |         FROM (SELECT r.vec_id, r.sub, c.cell,
+        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
+        |               FROM str r JOIN sc0 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
+        |       WHERE rn = 1),
+        |scb AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
+        |        FROM str r JOIN sa1 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cell FROM (
+        |         SELECT dd.vec_id, dd.sub, dd.cell,
+        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
+        |         FROM (SELECT r.vec_id, r.sub, c.cell,
+        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
+        |               FROM sr r JOIN scb c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
+        |       WHERE rn = 1),
+        |lut AS (SELECT r.vec_id AS qid, r.sub, c.cell,
+        |          CAST(sum(CAST(floor(r.x * c.m * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS l
+        |        FROM sr r JOIN scb c ON r.sub = c.sub AND r.d = c.d
+        |        WHERE r.vec_id < 20 GROUP BY 1, 2, 3),
+        |cand AS (SELECT p.qid, b.vec_id AS nid
+        |         FROM probe p JOIN best b ON p.cell = b.cell
+        |         WHERE b.vec_id <> p.qid),
+        |adcs AS (SELECT c.qid, c.nid, CAST(sum(l.l) AS BIGINT) AS s_fp
+        |        FROM cand c JOIN codes k ON k.vec_id = c.nid
+        |        JOIN lut l ON l.qid = c.qid AND l.sub = k.sub AND l.cell = k.cell
+        |        GROUP BY 1, 2),
+        |short AS (SELECT qid, nid FROM (
+        |    SELECT s.qid, s.nid, row_number() OVER (PARTITION BY s.qid
+        |      ORDER BY round(s.s_fp / 1e12 / (qn.nrm * cn.nrm), 6) DESC, s.nid) AS srnk
+        |    FROM adcs s JOIN n qn ON s.qid = qn.vec_id JOIN n cn ON s.nid = cn.vec_id)
         |  WHERE srnk <= 50),
         |rr AS (SELECT s.qid, s.nid,
         |         round(list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)

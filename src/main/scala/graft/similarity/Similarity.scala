@@ -563,10 +563,16 @@ object Similarity {
     * float vectors again. The row-exploded joins here ARE that broadcast
     * pattern (cells × dims metadata joined to data rows); nothing is
     * ever query × corpus × dims materialized beyond the grouped fold. */
-  def qAnnPq(
-      spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 5,
-      cells: Int = 64, shortlist: Int = 50, trainMod: Int = 2): DataFrame = {
+  /** The PQ encode pipeline shared by [[qAnnPq]] and [[qAnnIvfPq]]:
+    * trains the codebook (Forgy + one fixed-point Lloyd round on the
+    * `vec_id % trainMod == 0` slice, published via the model cache),
+    * encodes the whole corpus, and builds the queries' ADC lookup
+    * table. Returns (codes (vec_id, sub, cell), lut (qid, sub, cell,
+    * l), norms (vec_id, norm)) — all the artifacts an ADC consumer
+    * needs; 'cell' here is the PQ CODEWORD id, not an IVF cell. */
+  private def pqArtifacts(
+      spark: SparkSession, dir: String, nQueries: Int,
+      cells: Int, trainMod: Int): (DataFrame, DataFrame, DataFrame) = {
     val emb = corpus(spark, dir)
     // (vec_id, sub, xs[8]): the subvector frame — rows = vectors × 8, and
     // every training/encoding stage is a BROADCAST join against cells×8
@@ -646,6 +652,15 @@ object Similarity {
         unrolled(i => q12(element_at(col("xs"), i + 1)
           * element_at(col("ms"), i + 1))).as("l"))
     val norms = emb.select(col("vec_id"), col("norm"))
+    (codes, lut, norms)
+  }
+
+  def qAnnPq(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5,
+      cells: Int = 64, shortlist: Int = 50, trainMod: Int = 2): DataFrame = {
+    val emb = corpus(spark, dir)
+    val (codes, lut, norms) = pqArtifacts(spark, dir, nQueries, cells, trainMod)
     // candidate score = 8 integer table lookups summed; the LUT (queries ×
     // 8 × cells) broadcasts, so the scan streams the 6-byte codes once
     val adc = codes.select(col("vec_id").as("nid"), col("sub"), col("cell"))
@@ -660,13 +675,22 @@ object Similarity {
         "nid")
       .select(col("qid"), col("nid"),
         round(col("s_fp") / 1e12 / (col("qn") * col("nn")), 6).as("psim"))
+    shortlistRerank(spark, dir, adc, shortlist, k)
+  }
+
+  /** ADC-scored candidates → `shortlist` best per query by partial
+    * similarity → exact float re-rank → top `k`. Only `shortlist`
+    * candidates per query ever read the full vectors — the serving-index
+    * tail shared by [[qAnnPq]] and [[qAnnIvfPq]]. */
+  private def shortlistRerank(
+      spark: SparkSession, dir: String, adc: DataFrame,
+      shortlist: Int, k: Int): DataFrame = {
     val wAdc = Window.partitionBy("qid").orderBy(col("psim").desc, col("nid"))
     val short = adc.withColumn("srnk", row_number().over(wAdc))
       .filter(col("srnk") <= shortlist)
       .select("qid", "nid")
-    // exact re-rank of the shortlist: only `shortlist` candidates per
-    // query ever read the full float vectors
-    val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    val v = corpus(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("norm"))
     val rerank = short
       .join(v.select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("norm").as("qn")), "qid")
@@ -678,6 +702,63 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     rerank.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** IVF-PQ — the composition a real vector-serving index runs: IVF
+    * cell pruning picks WHERE to look (the query's `nProbe` nearest
+    * trained cells), PQ asymmetric-distance scoring decides WHAT to
+    * shortlist inside those cells (8 integer table lookups per 6-bit
+    * code — never the float vectors), and only the shortlist is exactly
+    * re-ranked. Both index artifacts are the SAME published models the
+    * standalone operators serve ([[qSemDedup]]'s full-corpus IVF
+    * assignment, [[qAnnPq]]'s codebook) — trained once per session,
+    * shared by every consumer.
+    *
+    * Determinism: cell training/assignment and the probe ranking use
+    * the fixed-point `floor(·1e12 + ½)` metric, ADC sums are integers —
+    * the whole pipeline replays bit-exactly in DuckDB, so unlike plain
+    * LSH ANN this APPROXIMATE index carries a full exact oracle.
+    *
+    * Scale shape: the probe gate applies BEFORE the ADC lookup join, so
+    * only `nProbe / cells` of the code postings are ever read per query
+    * — in a real deployment the postings are partitioned by cell and
+    * the gate is a partition prune; centroids, probe lists, LUT, and
+    * query norms are all broadcast kilobytes. */
+  def qAnnIvfPq(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, nProbe: Int = 4,
+      pqCells: Int = 64, shortlist: Int = 50, trainMod: Int = 2): DataFrame = {
+    val nc = adaptiveCellsFor(spark, dir)
+    val assigned = cachedAssignment(spark, dir, nc)
+      .select(col("vec_id").as("nid"), col("cell").as("ivf_cell"))
+    val embXs = corpus(spark, dir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("xs"))
+    val centroids = lloydCentroids(spark, embXs, embXs, nc, dir, "full")
+    val wProbe = Window.partitionBy("qid").orderBy(col("dist"), col("ivf_cell"))
+    val probe = embXs.filter(col("vec_id") < nQueries)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("qid"), col("cell").as("ivf_cell"),
+        cellDist(col("ms")).as("dist"))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nProbe)
+      .select("qid", "ivf_cell")
+    val (codes, lut, norms) =
+      pqArtifacts(spark, dir, nQueries, pqCells, trainMod)
+    val gated = codes.select(col("vec_id").as("nid"), col("sub"), col("cell"))
+      .join(assigned, "nid")
+      .join(broadcast(probe), "ivf_cell")
+      .filter(col("qid") =!= col("nid"))
+    val adc = gated
+      .join(broadcast(lut), Seq("qid", "sub", "cell"))
+      .groupBy("qid", "nid")
+      .agg(sum("l").as("s_fp"))
+      .join(broadcast(norms.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("norm").as("qn"))), "qid")
+      .join(norms.select(col("vec_id").as("nid"), col("norm").as("nn")),
+        "nid")
+      .select(col("qid"), col("nid"),
+        round(col("s_fp") / 1e12 / (col("qn") * col("nn")), 6).as("psim"))
+    shortlistRerank(spark, dir, adc, shortlist, k)
   }
 
   /** HARD-NEGATIVE mining — the contrastive-training data op: per query

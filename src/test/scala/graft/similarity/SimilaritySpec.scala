@@ -354,4 +354,34 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(rows.toSet === again.toSet)
   }
+
+  test("ivf-pq: ranked contract holds, bit-stable, useful recall vs exact") {
+    def run() = Similarity.qAnnIvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val rows = run()
+    assert(rows.toSeq === run().toSeq, "IVF-PQ must replay bit-identically")
+    // per query: ranks contiguous from 1, sims non-increasing, nid tiebreak
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to sorted.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2),
+            s"query $q rank order violated")
+        case _ =>
+      }
+    }
+    // probing 4 cells with a PQ shortlist is approximate BY DESIGN; the
+    // index is still useless if it misses most true neighbors
+    val bf = Similarity.qAnnBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = rows.map(r => (r._1, r._2))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = bf.map { case (q, want) =>
+      got.getOrElse(q, Set.empty).count(want).toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, f"mean recall@5 $mean%.2f below the 0.6 gate")
+  }
 }
