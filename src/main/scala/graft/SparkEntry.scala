@@ -200,6 +200,10 @@ object SparkEntry {
     // upper-triangle dimension covariance (PCA/whitening prep), integer
     // sufficient statistics -> bit-reproducible, exact oracle
     "q_embedding_cov" -> (Similarity.qEmbeddingCov _),
+    // dominant principal axis by exact-integer power iteration over the
+    // covariance numerator; output = every vector's projection (the
+    // whitening/diagnostic coordinate), bit-exact in any engine
+    "q_pca_power" -> (Similarity.qPcaPower _),
     // Morton-code locality census (the lake-layout clustering key;
     // row-group skip rates measured in ZOrderSpec)
     "q_zorder_stats" -> (EventQueries.qZorderStats _),
@@ -422,6 +426,45 @@ object SparkEntry {
       |SELECT d1, d2, round(CAST(inter AS DOUBLE) / sz, 6) AS containment
       |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
       |WHERE sz >= 5 AND inter * 10 >= sz * 9""".stripMargin
+
+  /** Unrolled power-iteration oracle for q_pca_power: the covariance
+    * numerator matrix (q16 sufficient statistics, HUGEINT), then
+    * [[graft.similarity.Similarity.PcaIters]] exact matrix-vector
+    * rounds with sign-split magnitude renormalization — positives-only
+    * division, so `//` (truncate) can never diverge from BigInt `/`. */
+  private val pcaPowerSql: String = {
+    val s = graft.similarity.Similarity.PcaScale
+    // every multi-referenced CTE is MATERIALIZED: DuckDB inlines by
+    // default, and the 60 rounds each reference their predecessor twice
+    // (w_k feeds both m_k and p_k) — inlined, the expansion doubles per
+    // round and the plan re-opens the parquet thousands of times
+    val head =
+      """WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |r AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS d,
+        |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
+        |      FROM e, generate_series(1, 64) t(i)),
+        |st AS (SELECT a.d AS i, b.d AS j, count(*) AS n,
+        |         sum(a.q16) AS si, sum(b.q16) AS sj,
+        |         sum(a.q16 * b.q16) AS spp
+        |       FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.d <= b.d
+        |       GROUP BY 1, 2),
+        |nm AS (SELECT i, j, spp * n - si * sj AS nu FROM st),
+        |sym AS MATERIALIZED (SELECT i, j, nu FROM nm
+        |        UNION ALL SELECT j, i, nu FROM nm WHERE i <> j),""".stripMargin +
+      s"\np0 AS (SELECT DISTINCT d AS i, CAST($s AS HUGEINT) AS x FROM r)"
+    val rounds = (1 to graft.similarity.Similarity.PcaIters).map { k =>
+      s"""w$k AS MATERIALIZED (SELECT s.i, sum(s.nu * p.x) AS w
+         |       FROM sym s JOIN p${k - 1} p ON s.j = p.i GROUP BY 1),
+         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
+         |p$k AS MATERIALIZED (SELECT i, CASE WHEN w < 0 THEN -((-w * $s) // m)
+         |          ELSE (w * $s) // m END AS x FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    val proj =
+      s"""SELECT r.vec_id, CAST(sum(r.q16 * p.x) AS BIGINT) AS proj_fp
+         |FROM r JOIN p${graft.similarity.Similarity.PcaIters} p ON r.d = p.i
+         |GROUP BY 1""".stripMargin
+    s"$head,\n$rounds\n$proj"
+  }
 
   /** The deterministic customer change batch (LakeMerge.changeBatch's
     * SQL mirror): heavy customers upsert with `c_acctbal` = order count,
@@ -2108,6 +2151,7 @@ object SparkEntry {
     "q_dsir_weights" ->
       s"""WITH $dsirWeightsCte
         |SELECT doc_id, n_tokens, dsir_score FROM dsird""".stripMargin,
+    "q_pca_power" -> pcaPowerSql,
     "q_dsir_resample" ->
       s"""WITH $dsirWeightsCte
         |SELECT doc_id, n_tokens, dsir_score,

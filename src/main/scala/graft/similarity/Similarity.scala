@@ -465,6 +465,92 @@ object Similarity {
     * self-join formulation would exchange vectors×dims rows twice); the
     * only exchange is the 64·65/2 = 2080-key aggregate with map-side
     * combine — state is O(dims²), rows stream. */
+  /** Iteration count for [[qPcaPower]] — fixed so the oracle can unroll
+    * it; the output is DEFINED as the 60-round process, not as "the
+    * converged eigenvector" (which no finite process reaches exactly).
+    * 60 rounds: these embeddings' eigengap is small (λ₁/λ₂ ≈ 1.07), so
+    * projection correlation with the true dominant axis crosses 0.999
+    * only around round 60 (8 rounds left it at 0.38 — measured, and the
+    * spec gates it). Each round is a 64×64 integer matrix-vector
+    * product — driver-side microseconds, oracle-side a trivial CTE. */
+  val PcaIters: Int = 60
+
+  /** Fixed-point scale of the power-iteration vector (ppm components
+    * after each renormalization). */
+  val PcaScale: Long = 1000000L
+
+  /** Principal-component projection via exact-integer power iteration —
+    * the dimensionality-reduction / whitening prep step of an embedding
+    * pipeline (outlier axes, decorrelation, spectral diagnostics).
+    *
+    * The covariance NUMERATOR matrix `N_ij = n·Σqᵢqⱼ − Σqᵢ·Σqⱼ` (q16
+    * fixed-point, the [[qEmbeddingCov]] sufficient statistics) is
+    * collected — dims × dims integers, kilobytes, the model-publishing
+    * shape — and power-iterated on the driver with arbitrary-precision
+    * integers: v ← N·v, renormalized each round to max|component| =
+    * [[PcaScale]] via sign-split magnitude division (|w|·S div m, sign
+    * reapplied — floor-vs-truncate never diverges because the division
+    * only ever sees non-negative operands). N is n²·cov, so its
+    * dominant eigenvector IS the covariance's. Every step is exact
+    * integer arithmetic from a fixed all-ones start, so the whole
+    * process — including the projection — replays bit-identically in
+    * the unrolled DuckDB oracle.
+    *
+    * Output is the DATA-sized product: every vector's projection onto
+    * the dominant axis, `proj_fp = Σ q16(xᵢ)·vᵢ` (exact long). Scale
+    * shape: two corpus scans (stats, projection), everything between is
+    * a kilobyte artifact; the q16 sufficient-statistic sums stay within
+    * long up to ~10⁹ vectors — switch the stats aggregation to
+    * decimal(38,0) beyond that. */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame = {
+    def q16l(c: Column): Column =
+      round(c.cast("double") * (1L << 16)).cast("long")
+    val q16d = load(spark, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xi")))
+      .select(col("vec_id"), col("i"), q16l(col("xi")).as("q16"))
+    val eig: IndexedSeq[(Int, Long)] =
+      publishedModel(spark, dir, "pca-eigvec") {
+        def dec(c: Column): Column = c.cast("decimal(38,0)")
+        val stats = load(spark, dir, "embeddings")
+          .select(col("embedding"),
+            posexplode(col("embedding")).as(Seq("i", "xi")))
+          .select(col("i"), col("xi"),
+            posexplode(col("embedding")).as(Seq("j", "xj")))
+          .filter(col("i") <= col("j"))
+          .select(col("i"), col("j"),
+            q16l(col("xi")).as("qi"), q16l(col("xj")).as("qj"))
+          .groupBy("i", "j")
+          .agg(count(lit(1)).as("n"), sum("qi").as("si"),
+            sum("qj").as("sj"), sum(col("qi") * col("qj")).as("spp"))
+          .select(col("i"), col("j"),
+            (dec(col("spp")) * dec(col("n")) - dec(col("si")) * dec(col("sj")))
+              .as("nu"))
+          .collect()
+        val upper = stats.map(r =>
+          (r.getInt(0), r.getInt(1), BigInt(r.getDecimal(2).toBigInteger)))
+        val dims = upper.map(_._2).max + 1
+        val m = Array.ofDim[BigInt](dims, dims)
+        upper.foreach { case (i, j, nu) => m(i)(j) = nu; m(j)(i) = nu }
+        val s = BigInt(PcaScale)
+        var v = IndexedSeq.fill(dims)(s)
+        for (_ <- 1 to PcaIters) {
+          val w = (0 until dims).map(i =>
+            (0 until dims).map(j => m(i)(j) * v(j)).sum)
+          val mx = w.map(_.abs).max
+          v = w.map(x => x.signum match {
+            case -1 => -((-x * s) / mx)
+            case _ => (x * s) / mx
+          })
+        }
+        (0 until dims).map(i => (i, v(i).toLong))
+      }
+    import spark.implicits._
+    val eigDf = spark.createDataFrame(eig).toDF("i", "vi")
+    q16d.join(broadcast(eigDf), "i")
+      .groupBy("vec_id")
+      .agg(sum(col("q16") * col("vi")).as("proj_fp"))
+  }
+
   def qEmbeddingCov(spark: SparkSession, dir: String): DataFrame = {
     def q16(c: Column): Column =
       round(c.cast("double") * (1L << 16)).cast("long")

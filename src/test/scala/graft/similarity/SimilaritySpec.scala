@@ -384,4 +384,43 @@ class SimilaritySpec extends SparkSpec {
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.6, f"mean recall@5 $mean%.2f below the 0.6 gate")
   }
+
+  test("pca power: projections align with a float eigensolver's axis") {
+    import org.apache.spark.sql.functions.col
+    // independent double-precision reference: covariance of the raw
+    // floats, power-iterated to convergence
+    val vecs = graft.relational.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val d = vecs.head._2.length
+    val n = vecs.length
+    val meanv = Array.tabulate(d)(i => vecs.map(_._2(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      vecs.map(v => (v._2(i) - meanv(i)) * (v._2(j) - meanv(j))).sum / n)
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 200) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    // spark-side projections vs reference projections (mean-shift only
+    // adds a constant; correlation is shift-invariant)
+    val proj = Similarity.qPcaPower(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    val ref = vecs.map { case (id, x) =>
+      id -> (0 until d).map(i => x(i) * v(i)).sum
+    }.toMap
+    val ids = proj.keySet.toSeq.sorted
+    def corr(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ma, mb) = (a.sum / a.size, b.sum / b.size)
+      val num = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      num / math.sqrt(a.map(x => (x - ma) * (x - ma)).sum *
+        b.map(y => (y - mb) * (y - mb)).sum)
+    }
+    val c = corr(ids.map(proj), ids.map(ref))
+    assert(math.abs(c) >= 0.99,
+      f"integer power iteration drifted off the dominant axis (|corr|=$c%.4f)")
+  }
 }
