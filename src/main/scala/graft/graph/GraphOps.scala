@@ -450,22 +450,31 @@ object GraphOps {
     * combinable. Fan-out is exactly 2·window rows per walk position —
     * bounded, never degree-dependent. */
   def walkPairs(walks: DataFrame, window: Int): DataFrame = {
+    // ALL lead distances in one window pass: distinct lead() calls over
+    // the same spec share a single Window node, so the walk corpus is
+    // sorted ONCE instead of `window` times (the former per-distance
+    // union re-sorted identical data per branch — the measured cost of
+    // this query at sf0.1 was ~3 s of redundant sort)
     val w = Window.partitionBy("walk_id").orderBy("step")
-    val fwd = (1 to window).map { d =>
-      walks
-        .select(col("node").as("ctr"),
-          lead(col("node"), d).over(w).as("ctx"))
-        .filter(col("ctx").isNotNull)
-    }.reduce(_ unionAll _)
+    val fwd = walks
+      .select(col("node").as("ctr"),
+        array((1 to window).map(d => lead(col("node"), d).over(w)): _*)
+          .as("ctxs"))
+      .select(col("ctr"), explode(col("ctxs")).as("ctx"))
+      .filter(col("ctx").isNotNull)
+    // aggregate on the compact numeric pair; decode the bipartite
+    // node-id encoding only on the (small) aggregated output
     fwd.unionAll(fwd.select(col("ctx").as("ctr"), col("ctr").as("ctx")))
-      .groupBy(
+      .groupBy("ctr", "ctx")
+      .agg(count(lit(1)).as("pairs"))
+      .select(
         when(pmod(col("ctr"), lit(2)) === 0, lit("supplier"))
           .otherwise(lit("part")).as("center_type"),
         expr("ctr div 2").as("center_id"),
         when(pmod(col("ctx"), lit(2)) === 0, lit("supplier"))
           .otherwise(lit("part")).as("ctx_type"),
-        expr("ctx div 2").as("ctx_id"))
-      .agg(count(lit(1)).as("pairs"))
+        expr("ctx div 2").as("ctx_id"),
+        col("pairs"))
   }
 
   /** Window (in steps, each side) for [[qWalkPairs]] — word2vec's
