@@ -328,6 +328,10 @@ object SparkEntry {
     // degree-ordered orientation (hub wedge work capped at O(√E))
     "q_triangles" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qTriangles(s, d)),
+    // 3-core: fixed synchronous peel rounds, lineage cut per round —
+    // the dense-subgraph gate for co-occurrence noise pruning
+    "q_kcore" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qKCore(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -464,6 +468,33 @@ object SparkEntry {
          |FROM r JOIN p${graft.similarity.Similarity.PcaIters} p ON r.d = p.i
          |GROUP BY 1""".stripMargin
     s"$head,\n$rounds\n$proj"
+  }
+
+  /** Unrolled synchronous k-core peel for q_kcore (k = 3): each round
+    * drops every node under degree 3 and its arcs. MATERIALIZED per
+    * round — e_k feeds both the next survivor set and the next edge
+    * filter, and DuckDB's default inlining would double the expansion
+    * per round. Converged rounds are identities, so the fixed unroll
+    * equals the fixpoint whenever it converges within the budget. */
+  // lazy: interpolates copurchaseCte, which is declared LATER in this
+  // object — a strict val here would capture null at init order
+  private lazy val kCoreSql: String = {
+    val rounds = graft.graph.GraphOps.KCoreRounds
+    val head =
+      s"""$copurchaseCte,
+         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+         |      UNION ALL SELECT v, u FROM und)""".stripMargin
+    val peel = (1 to rounds).map { i =>
+      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
+         |      GROUP BY 1 HAVING count(*) >= 3),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |      SEMI JOIN k$i a ON e.src = a.node
+         |      SEMI JOIN k$i b ON e.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$peel
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_in_core
+       |FROM e$rounds GROUP BY 1""".stripMargin
   }
 
   /** The deterministic customer change batch (LakeMerge.changeBatch's
@@ -2058,6 +2089,7 @@ object SparkEntry {
          |FROM und e CROSS JOIN no
          |JOIN ic c1 ON e.u = c1.l_partkey
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
+    "q_kcore" -> kCoreSql,
     // degree-ordered orientation: okey = deg·2³² + id packs the
     // (degree, id) total order into one comparable scalar in both engines
     "q_triangles" ->

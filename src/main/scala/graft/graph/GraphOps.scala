@@ -647,4 +647,46 @@ object GraphOps {
     * frequently-co-bought part neighborhoods. */
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
     triangleCensus(spark, copurchaseEdges(spark, dir))
+
+  /** Synchronous peel rounds for [[qKCore]] — fixed so the oracle can
+    * unroll; each round removes EVERY node currently under-degree at
+    * once, so the round count is bounded by the peel depth (measured ≤
+    * 10 on these corpora; converged rounds are identities, so over-
+    * provisioning costs only no-op rounds). */
+  val KCoreRounds: Int = 16
+
+  /** The k-core of an undirected graph (canonical edges `u` < `v`):
+    * iteratively remove every node with degree < `k` until none remain
+    * — run as [[KCoreRounds]] fixed synchronous rounds so the result is
+    * a deterministic function of the input in any engine. The k-core is
+    * the standard "dense enough to matter" subgraph gate (community
+    * mining, spam-farm detection, co-occurrence noise pruning).
+    *
+    * Scale shape: each round is one degree aggregation + two semi-joins
+    * of the edge list against the (node-sized) survivor set, with the
+    * lineage cut per round by an eager localCheckpoint — the deep-
+    * iteration discipline of [[pageRankDangling]]. Output is one row
+    * per surviving node with its in-core degree. */
+  def kCore(
+      spark: SparkSession, edges: DataFrame, k: Int,
+      rounds: Int = KCoreRounds): DataFrame = {
+    var e = edges.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(edges.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("node")
+      e = e
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg_in_core"))
+  }
+
+  /** 3-core of the co-purchase graph. */
+  def qKCore(spark: SparkSession, dir: String): DataFrame =
+    kCore(spark, copurchaseEdges(spark, dir), 3)
 }

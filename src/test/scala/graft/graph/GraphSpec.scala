@@ -277,6 +277,19 @@ class GraphSpec extends SparkSpec {
     assert(got.map(_._3).sum === 3 * 4)
   }
 
+  test("k-core peels pendant chains, keeps the clique, converges") {
+    // K4 on {1,2,3,4} + a chain 4-5-6 hanging off it: the 3-core is
+    // exactly the K4 (peeling 6 exposes 5, then 5 peels too — the
+    // multi-round cascade the fixed unroll must cover)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = GraphOps.kCore(spark, edges, 3)
+      .orderBy("node").as[(Long, Long)].collect()
+    assert(got === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // k above the densest degree empties the graph
+    assert(GraphOps.kCore(spark, edges, 5).isEmpty)
+  }
+
   test("copurchase graph: support threshold and census agree on testdata") {
     val dir = "/root/testdata/sf0.001"
     val edges = GraphOps.copurchaseEdges(spark, dir)
