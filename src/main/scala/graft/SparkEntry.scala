@@ -127,6 +127,9 @@ object SparkEntry {
     // type-2 slowly-changing dimension: attribute history as versioned
     // rows; re-sent identical rows must NOT fork a version
     "q_scd2" -> (graft.sources.LakeMerge.qScd2 _),
+    // keyed snapshot diff (added/removed/changed, digest-compared) of
+    // the merged customer table vs the original — change-sized output
+    "q_snapshot_diff" -> (graft.sources.LakeMerge.qSnapshotDiff _),
     // exact rank-based winsorization census over event values
     "q_value_clip" -> ((s: SparkSession, d: String) =>
       EventQueries.qValueClip(s, d)),
@@ -1345,6 +1348,34 @@ object SparkEntry {
          |UNION ALL
          |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
          |FROM chg WHERE op = 'U'""".stripMargin,
+    // digest compare: doubles enter as exact cents (floor(x·100 + ½)),
+    // the manifest discipline, so both engines hash identical strings
+    "q_snapshot_diff" ->
+      s"""$mergeChangeCte,
+         |merged AS (
+         |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
+         |    c.c_mktsegment
+         |  FROM customer c ANTI JOIN chg g ON c.c_custkey = g.c_custkey
+         |  UNION ALL
+         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+         |  FROM chg WHERE op = 'U'),
+         |o AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR) || ':' ||
+         |        c_name || ':' || CAST(c_nationkey AS VARCHAR) || ':' ||
+         |        CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         |        || ':' || c_mktsegment) AS od
+         |      FROM customer),
+         |nn AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR) || ':' ||
+         |        c_name || ':' || CAST(c_nationkey AS VARCHAR) || ':' ||
+         |        CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         |        || ':' || c_mktsegment) AS nd
+         |      FROM merged)
+         |SELECT c_custkey, status FROM (
+         |  SELECT coalesce(o.c_custkey, nn.c_custkey) AS c_custkey,
+         |    CASE WHEN o.c_custkey IS NULL THEN 'added'
+         |         WHEN nn.c_custkey IS NULL THEN 'removed'
+         |         WHEN od <> nd THEN 'changed' END AS status
+         |  FROM o FULL JOIN nn ON o.c_custkey = nn.c_custkey)
+         |WHERE status IS NOT NULL""".stripMargin,
     // tracked attributes = (c_acctbal, c_mktsegment); version 0 history
     // closed at version-1 = 0, batch applied at version 1
     "q_scd2" ->

@@ -155,6 +155,49 @@ object LakeMerge {
       dir: String): DataFrame =
     merge(custDim(spark, dir), changeBatch(spark, dir), "c_custkey")
 
+  /** Keyed diff of two lake snapshots: which keys were added, removed,
+    * or changed between versions — the incremental-validation op a
+    * pipeline runs after every merge/compaction/backfill to prove the
+    * write did exactly what it claimed. Rows are compared by a digest
+    * of their attribute columns (`digest` must be engine-reproducible —
+    * fixed-point any floats first, the [[graft.relational.Observe]]
+    * manifest discipline); `unchanged` rows are NOT emitted — at 100 TB
+    * the overwhelming majority of rows is unchanged and materializing
+    * them would make the diff as big as the lake.
+    *
+    * Scale shape: one co-partitioned full outer join on the lake key —
+    * with both snapshots bucketed on `key` (the layout [[ParquetLake
+    * .writeBucketed]] produces) the join is exchange-free; the output
+    * is change-sized. */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, key: String,
+      digest: Column): DataFrame = {
+    val o = oldDf.select(col(key), digest.as("od"))
+    val n = newDf.select(col(key), digest.as("nd"))
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("od").isNull, lit("added"))
+          .when(col("nd").isNull, lit("removed"))
+          .when(col("od") =!= col("nd"), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(key), col("status"))
+  }
+
+  /** Diff the merged customer snapshot against the original: recovers
+    * exactly the change batch's visible effect (inserts → added,
+    * deletes → removed, real updates → changed, re-sent identical rows
+    * → absent). Doubles enter the digest as exact cents. */
+  def qSnapshotDiff(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val digest = md5(concat_ws(":",
+      col("c_custkey").cast("string"), col("c_name"),
+      col("c_nationkey").cast("string"),
+      floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").cast("string"),
+      col("c_mktsegment")))
+    snapshotDiff(custDim(spark, dir), qLakeMerge(spark, dir),
+      "c_custkey", digest)
+  }
+
   /** SCD2-apply the change batch to a version-0 history of the customer
     * dimension; emits the full version history. */
   def qScd2(spark: org.apache.spark.sql.SparkSession,

@@ -78,6 +78,26 @@ class LakeMergeSpec extends SparkSpec {
     assert(asOf1.toSeq.sorted === Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (9L, 0.0)))
   }
 
+  test("snapshot diff recovers exactly the change batch's visible effect") {
+    val dir = "/root/testdata/sf0.001"
+    val diff = LakeMerge.qSnapshotDiff(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chg = LakeMerge.changeBatch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(r.length - 1))).toMap
+    val target = LakeMerge.qLakeMerge(spark, dir) // merged snapshot
+    // every 'added' is an insert key (beyond the original key space),
+    // every 'removed' a delete, every 'changed' a real update
+    diff.foreach {
+      case (k, "added") => assert(chg(k) == "U" && k >= 1000000L)
+      case (k, "removed") => assert(chg(k) == "D")
+      case (k, "changed") => assert(chg(k) == "U")
+      case (k, s) => fail(s"unexpected status $s for $k")
+    }
+    // re-sent identical rows and untouched rows are absent from the diff
+    assert(diff.nonEmpty)
+    assert(target.count() > diff.size, "diff must be change-sized")
+  }
+
   test("registry queries run on testdata and agree on the open rows") {
     val dir = "/root/testdata/sf0.001"
     val merged = LakeMerge.qLakeMerge(spark, dir)
