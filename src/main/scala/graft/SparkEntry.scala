@@ -289,6 +289,18 @@ object SparkEntry {
     // -> the actually-resampled corpus with audit columns
     "q_dsir_resample" -> ((s: SparkSession, d: String) =>
       TrainingData.qDsirResample(s, d)),
+    // dedup-aware split: near-dup cluster members share a split (THE
+    // split policy applied to the group key — no leakage, no drift)
+    "q_split_leakfree" -> ((s: SparkSession, d: String) =>
+      TrainingData.qSplitLeakfree(s, d)),
+    // "train on B tokens, equal source shares" -> per-source ppm rates
+    // + the actual drawn census
+    "q_token_budget" -> ((s: SparkSession, d: String) =>
+      TrainingData.qTokenBudget(s, d)),
+    // fixed-SIZE importance sample (sequential Poisson priorities):
+    // exact output count, inclusion ~ DSIR weight
+    "q_priority_sample" -> ((s: SparkSession, d: String) =>
+      TrainingData.qPrioritySample(s, d)),
     // fastText-style discriminative quality filter: hard-sigmoid
     // logistic regression over hashed features, fixed-point training
     // replayed exactly by the unrolled oracle
@@ -2215,6 +2227,52 @@ object SparkEntry {
       s"""WITH $dsirWeightsCte
         |SELECT doc_id, n_tokens, dsir_score FROM dsird""".stripMargin,
     "q_pca_power" -> pcaPowerSql,
+    // the group key inherits q_split_assign's policy: docs with no
+    // near-dup cluster hash their own id, so the two splits agree there
+    "q_split_leakfree" ->
+      (dedupClustersCte + ",\n" +
+      """cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |g AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
+        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        |SELECT doc_id, group_id,
+        |  CASE WHEN b < 80 THEN 'train'
+        |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, group_id,
+        |        CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+        |          AS BIGINT) AS b
+        |      FROM g)""".stripMargin),
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |      FROM documents),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(n_toks) AS BIGINT) AS src_toks
+        |       FROM d GROUP BY 1),
+        |ns AS (SELECT count(*) AS n_sources FROM ps),
+        |r AS (SELECT source, n_docs, src_toks,
+        |        least(1000000, ((100000 // n_sources) * 1000000) // src_toks)
+        |          AS rate_ppm
+        |      FROM ps, ns),
+        |u AS (SELECT doc_id, source, n_toks,
+        |        CAST(('0x' || substr(md5('tokbudget:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |          ::UBIGINT % 1000000 AS BIGINT) AS u_ppm
+        |      FROM d)
+        |SELECT u.source, r.n_docs, r.src_toks, r.rate_ppm,
+        |  CAST(sum(CASE WHEN u_ppm < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS kept_docs,
+        |  CAST(sum(CASE WHEN u_ppm < rate_ppm THEN n_toks ELSE 0 END) AS BIGINT)
+        |    AS kept_toks
+        |FROM u JOIN r ON u.source = r.source
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q_priority_sample" ->
+      s"""WITH $dsirWeightsCte
+        |SELECT doc_id, avg_w, (u_ppm * 1000000) // avg_w AS pri FROM (
+        |  SELECT doc_id,
+        |    greatest(dsir_score // n_tokens, 1) AS avg_w,
+        |    CAST(('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::UBIGINT % 1000000 AS BIGINT) AS u_ppm
+        |  FROM dsird)
+        |ORDER BY pri, doc_id LIMIT 200""".stripMargin,
     "q_dsir_resample" ->
       s"""WITH $dsirWeightsCte
         |SELECT doc_id, n_tokens, dsir_score,

@@ -1030,6 +1030,87 @@ object TrainingData {
       .agg(count(lit(1)).as("n_tokens"), sum("w").as("dsir_score"))
   }
 
+  /** Leakage-free split assignment: near-duplicate documents must land
+    * in the SAME split, or test measures memorization of train (the
+    * dedup-aware refinement of [[qSplitAssign]]). Group key = the
+    * near-dup cluster label where one exists, else the doc itself —
+    * and the split is THE single split policy ([[bucketOf]]/[[splitOf]])
+    * applied to the GROUP key, so docs with no near-dups keep exactly
+    * their [[qSplitAssign]] split and the two assignments never drift.
+    *
+    * Scale shape: one left join of the corpus against the (cluster-
+    * member-sized) cluster table; the split decision is a map-only
+    * hash. */
+  def qSplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = qDedupClusters(spark, dir).select("doc_id", "cluster_id")
+    load(spark, dir, "documents").select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        splitOf(bucketOf(col("group_id"))).as("split"))
+  }
+
+  /** Token-budget mixture solver — the calculation that turns "train on
+    * B tokens with equal source shares" into per-source sampling rates:
+    * each source's rate is min(1, (B / nSources) / its token count) in
+    * integer ppm, and the census reports both the expectation and the
+    * ACTUAL salted-draw outcome (kept docs/tokens), since the drawn
+    * corpus is what ships. All counts integer-exact. */
+  def qTokenBudget(
+      spark: SparkSession, dir: String,
+      budgetTokens: Long = 100000L): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.text.TextOps.tokens(col("text"))).cast("long")
+          .as("n_toks"))
+    val perSource = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("src_toks"))
+    val nSources = perSource.agg(count(lit(1)).as("n_sources"))
+    val rates = perSource.crossJoin(broadcast(nSources))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr(s"(($budgetTokens div n_sources) * 1000000) div src_toks")))
+      .select("source", "n_docs", "src_toks", "rate_ppm")
+    docs
+      .withColumn("u_ppm",
+        conv(substring(md5(concat_ws(":", lit("tokbudget"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .join(broadcast(rates), "source")
+      .groupBy("source")
+      .agg(first("n_docs").as("n_docs"),
+        first("src_toks").as("src_toks"),
+        first("rate_ppm").as("rate_ppm"),
+        sum(when(col("u_ppm") < col("rate_ppm"), 1L).otherwise(0L))
+          .as("kept_docs"),
+        sum(when(col("u_ppm") < col("rate_ppm"), col("n_toks"))
+          .otherwise(0L)).as("kept_toks"))
+  }
+
+  /** Fixed-size importance sample by sequential Poisson (priority)
+    * sampling: priority = u / w (integer ppm arithmetic), keep the `n`
+    * globally smallest — inclusion probability ≈ proportional to the
+    * DSIR importance weight, but with an EXACT output size, which is
+    * what a budgeted pipeline actually wants ([[qDsirResample]]'s
+    * Bernoulli draw only controls the size in expectation).
+    *
+    * Scale shape: priorities are map-only over the scored corpus; the
+    * global smallest-n is a TakeOrdered (per-partition heaps, no full
+    * sort); ties broken by doc_id so the cut is total. */
+  def qPrioritySample(
+      spark: SparkSession, dir: String, n: Int = 200): DataFrame =
+    qDsirWeights(spark, dir)
+      .withColumn("avg_w",
+        greatest(expr("dsir_score div n_tokens"), lit(1L)))
+      .withColumn("u_ppm",
+        conv(substring(md5(concat_ws(":", lit("prio"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("pri", expr("(u_ppm * 1000000) div avg_w"))
+      .select("doc_id", "avg_w", "pri")
+      .orderBy(col("pri"), col("doc_id"))
+      .limit(n)
+
   /** DSIR end-to-end: turn the importance weights into an actually
     * DRAWN corpus. Acceptance probability is min(1, w̄ / 10⁶) where
     * w̄ = `dsir_score div n_tokens` is the per-token mean importance in

@@ -599,6 +599,66 @@ class TrainingDataSpec extends SparkSpec {
       "en docs must score above zh under an en-target weighting")
   }
 
+  test("leak-free split: clusters share a split, singletons keep base split") {
+    val dir = "/root/testdata/sf0.001"
+    val lf = TrainingData.qSplitLeakfree(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val base = TrainingData.qSplitAssign(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val clustered = TrainingData.qDedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lf.length === base.size, "every doc gets a split")
+    // all members of a cluster share the SAME split
+    lf.groupBy(_._2).values.foreach(g =>
+      assert(g.map(_._3).distinct.length === 1))
+    lf.foreach { case (id, group, split) =>
+      clustered.get(id) match {
+        case Some(c) => assert(group === c)
+        case None =>
+          assert(group === id && split === base(id),
+            "a doc with no near-dups must keep its qSplitAssign split")
+      }
+    }
+  }
+
+  test("token budget: rates solve the budget, census is exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TrainingData.qTokenBudget(spark, dir, budgetTokens = 5000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val perSourceBudget = 5000L / rows.length
+    rows.foreach { case (src, nDocs, srcToks, ratePpm, keptDocs, keptToks) =>
+      assert(ratePpm ===
+        math.min(1000000L, perSourceBudget * 1000000L / srcToks),
+        s"$src rate must solve the per-source budget")
+      assert(keptDocs <= nDocs && keptToks <= srcToks)
+      if (ratePpm == 1000000L) assert(keptDocs === nDocs,
+        "an uncapped source keeps everything")
+    }
+  }
+
+  test("priority sample: exactly the n smallest (priority, id) rows") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = TrainingData.qDsirWeights(spark, dir).collect()
+      .map(r => r.getLong(0) -> math.max(r.getLong(2) / r.getLong(1), 1L))
+      .toMap
+    def uPpm(salt: String, id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$salt:$id".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 1000000L
+    }
+    val n = 50
+    val want = scored.toSeq
+      .map { case (id, w) => (id, w, uPpm("prio", id) * 1000000L / w) }
+      .sortBy(t => (t._3, t._1)).take(n)
+      .map(t => (t._1, t._2, t._3)).toSet
+    val got = TrainingData.qPrioritySample(spark, dir, n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+  }
+
   test("dsir resample: exactly the docs whose salted draw clears the gate") {
     val dir = "/root/testdata/sf0.001"
     val scored = TrainingData.qDsirWeights(spark, dir)
