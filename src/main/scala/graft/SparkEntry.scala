@@ -606,8 +606,10 @@ object SparkEntry {
     * [[graft.graph.GraphOps.qRandomWalks]]. Shared by the walk oracle
     * and the skip-gram pair oracle. */
   private def randomWalkCtes(steps: Int, walksPerNode: Int): String = {
+    // each w_i feeds BOTH w_{i+1} and the final union — MATERIALIZED or
+    // the inlined expansion doubles per hop (the PCA/k-core lesson)
     val hops = (1 to steps).map { i =>
-      s"""w$i AS (SELECT c.walk_id, CAST($i AS BIGINT) AS step, n.dst AS node
+      s"""w$i AS MATERIALIZED (SELECT c.walk_id, CAST($i AS BIGINT) AS step, n.dst AS node
          |  FROM w${i - 1} c JOIN deg d ON c.node = d.src
          |  JOIN nbr n ON n.src = c.node AND n.rk =
          |    CAST(('0x' || substr(md5(CAST(c.walk_id AS VARCHAR) || ':$i'), 1, 8))::UBIGINT
@@ -616,15 +618,15 @@ object SparkEntry {
     val union = (0 to steps).map(i => s"SELECT * FROM w$i")
       .mkString("\n UNION ALL ")
     s"""$tradeGraphCte,
-       |nbr AS (SELECT src, dst,
+       |nbr AS MATERIALIZED (SELECT src, dst,
        |          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
        |        FROM edges),
-       |w0 AS (SELECT n.node * $walksPerNode + t.w AS walk_id,
+       |w0 AS MATERIALIZED (SELECT n.node * $walksPerNode + t.w AS walk_id,
        |         CAST(0 AS BIGINT) AS step, n.node
        |       FROM (SELECT DISTINCT s * 2 AS node FROM pairs) n,
        |            range(0, $walksPerNode) t(w)),
        |$hops,
-       |walks AS ($union)""".stripMargin
+       |walks AS MATERIALIZED ($union)""".stripMargin
   }
 
   private def randomWalkSql(steps: Int, walksPerNode: Int): String =
@@ -637,7 +639,7 @@ object SparkEntry {
   private def walkPairsSql(
       steps: Int, walksPerNode: Int, window: Int): String =
     s"""WITH ${randomWalkCtes(steps, walksPerNode)},
-       |pr AS (SELECT a.node AS ctr, b.node AS ctx
+       |pr AS MATERIALIZED (SELECT a.node AS ctr, b.node AS ctx
        |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
        |        AND b.step > a.step AND b.step <= a.step + $window),
        |sym AS (SELECT ctr, ctx FROM pr
@@ -676,11 +678,15 @@ object SparkEntry {
     * exactly [[graft.graph.GraphOps.pageRank]]'s fixed-point contract. */
   /** Shared trade-graph prefix: distinct supplier↔part arcs, degrees,
     * degree-annotated edge relation `e`. */
+  // edges/deg are referenced once per unrolled round by every consumer
+  // (walks, LPA, pagerank): MATERIALIZED, or DuckDB's default CTE
+  // inlining re-derives the lineitem pair scan per reference — at sf0.1
+  // the inlined walk oracle spilled >80 GB of temp and died
   private val tradeGraphCte: String =
-    """pairs AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-      |edges AS (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs
+    """pairs AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+      |edges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs
       |          UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst FROM pairs),
-      |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+      |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
       |e AS (SELECT edges.src, dst, outdeg FROM edges JOIN deg USING (src))""".stripMargin
 
   private val pageRankFinal: String =
