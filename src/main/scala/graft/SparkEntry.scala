@@ -301,6 +301,10 @@ object SparkEntry {
     // exact output count, inclusion ~ DSIR weight
     "q_priority_sample" -> ((s: SparkSession, d: String) =>
       TrainingData.qPrioritySample(s, d)),
+    // uniform k docs per source (eval-set construction), salted-hash
+    // priority through the native top-k operator
+    "q_group_sample" -> ((s: SparkSession, d: String) =>
+      TrainingData.qGroupSample(s, d)),
     // fastText-style discriminative quality filter: hard-sigmoid
     // logistic regression over hashed features, fixed-point training
     // replayed exactly by the unrolled oracle
@@ -2270,6 +2274,15 @@ object SparkEntry {
         |    AS kept_toks
         |FROM u JOIN r ON u.source = r.source
         |GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q_group_sample" ->
+      """SELECT doc_id, source, pri, rnk FROM (
+        |  SELECT doc_id, source, pri,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY pri, doc_id) AS BIGINT) AS rnk
+        |  FROM (SELECT doc_id, source,
+        |          md5('gsamp:' || CAST(doc_id AS VARCHAR)) AS pri
+        |        FROM documents))
+        |WHERE rnk <= 10""".stripMargin,
     "q_priority_sample" ->
       s"""WITH $dsirWeightsCte
         |SELECT doc_id, avg_w, (u_ppm * 1000000) // avg_w AS pri FROM (

@@ -1087,6 +1087,24 @@ object TrainingData {
           .otherwise(0L)).as("kept_toks"))
   }
 
+  /** Uniform k-per-group sample — the eval-set construction op: a
+    * fixed, reproducible handful of docs from EVERY source regardless
+    * of source size (a global sample would starve small sources). The
+    * priority is a salted content hash ordered as a hex string (both
+    * engines compare the same characters), doc_id tiebreak, served by
+    * the native top-k operator — per-partition heaps, never a window
+    * sort of the corpus. */
+  def qGroupSample(
+      spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    graft.plans.TopK.topKPerKey(
+      load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(":", lit("gsamp"),
+            col("doc_id").cast("string"))).as("pri")),
+      keys = Seq(col("source")),
+      order = Seq(col("pri").asc, col("doc_id").asc),
+      k = k)
+
   /** Fixed-size importance sample by sequential Poisson (priority)
     * sampling: priority = u / w (integer ppm arithmetic), keep the `n`
     * globally smallest — inclusion probability ≈ proportional to the

@@ -659,6 +659,26 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("group sample: exactly k per source, the k hash-smallest docs") {
+    val dir = "/root/testdata/sf0.001"
+    val got = TrainingData.qGroupSample(spark, dir, k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def pri(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"gsamp:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.toSeq.map(d => (d._1, src, pri(d._1)))
+        .sortBy(t => (t._3, t._1)).take(5)
+        .zipWithIndex.map { case ((id, s, p), i) => (id, s, p, i + 1L) }
+    }.toSet
+    assert(got.toSet === want)
+    got.groupBy(_._2).values.foreach(g => assert(g.length === 5))
+  }
+
   test("dsir resample: exactly the docs whose salted draw clears the gate") {
     val dir = "/root/testdata/sf0.001"
     val scored = TrainingData.qDsirWeights(spark, dir)
