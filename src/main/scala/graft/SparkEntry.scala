@@ -154,6 +154,10 @@ object SparkEntry {
       TextOps.qStopwordPrune(s, d)),
     // corpus-unigram LM negative log-likelihood (CCNet-style quality)
     "q_perplexity" -> (TextOps.qPerplexity _),
+    // interpolated bigram LM (λ=0.75): one order deeper than the
+    // unigram; co-shuffled scoring join, never a broadcast of the
+    // bigram vocabulary
+    "q_bigram_lm" -> (TextOps.qBigramLm _),
     // Gopher-style repetition ratios (exact integer fractions)
     "q_repetition_stats" -> (TextOps.qRepetitionStats _),
     // -- dedup (north star) --
@@ -1531,6 +1535,33 @@ object SparkEntry {
         |FROM kept GROUP BY 1""".stripMargin,
     // add-one-smoothed corpus unigram LM; ppl derives from the ROUNDED
     // nll so both engines exponentiate the same value
+    // λ = 0.75 interpolation; the first token of each doc has no prev
+    // and is excluded from the bigram stream in both engines
+    "q_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id,
+        |        CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
+        |        unnest(l) AS tok
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |bi AS (SELECT doc_id, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM toks),
+        |bi2 AS (SELECT doc_id, prev, tok FROM bi WHERE prev IS NOT NULL),
+        |bic AS (SELECT prev, tok, count(*) AS c2 FROM bi2 GROUP BY 1, 2),
+        |uc AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
+        |          CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |d AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |        round(avg(-ln(
+        |          0.75 * CAST(c.c2 AS DOUBLE) / up.c1 +
+        |          0.25 * CAST(uw.c1 + 1 AS DOUBLE) / (tot.t + tot.v))), 4)
+        |          AS nll
+        |      FROM bi2 b
+        |      JOIN bic c ON b.prev = c.prev AND b.tok = c.tok
+        |      JOIN uc up ON b.prev = up.tok
+        |      JOIN uc uw ON b.tok = uw.tok
+        |      CROSS JOIN tot
+        |      GROUP BY 1)
+        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
     "q_perplexity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),

@@ -284,6 +284,46 @@ object TextOps {
     * negative log-likelihood (rounded at 4, inside the ±30%-noise-proof
     * band the other double aggregates use); `ppl = exp(nll)` is derived
     * from the ROUNDED nll so both engines exponentiate the same value. */
+  /** Interpolated bigram LM negative log-likelihood — one order deeper
+    * than [[qPerplexity]]'s unigram (the CCNet-style quality signal):
+    * p(w|prev) = λ·c(prev,w)/c(prev) + (1−λ)·(c(w)+1)/(T+V), λ = 0.75.
+    * The interpolation floor means unseen bigrams never zero the
+    * likelihood. Counts are exact integers; the per-token probability
+    * is a fixed IEEE expression and the NLL rounds to 4 decimals — the
+    * same log-determinism envelope the unigram oracle has held since
+    * round 4. Docs shorter than 2 tokens have no bigrams and are
+    * absent, mirrored by the oracle.
+    *
+    * Scale shape: bigram extraction is a per-doc window (bounded
+    * partitions); both count tables aggregate map-side; the scoring
+    * join is stream × bigram-vocab on (prev, tok) — co-shuffled, not
+    * broadcast, because a real corpus's bigram vocabulary outgrows any
+    * broadcast threshold. */
+  def qBigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val lam = 0.75
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val bic = bi.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val uc = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val totals = uc.agg(sum("c1").cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    val p = lit(lam) * col("c2").cast("double") / col("cp") +
+      lit(1 - lam) * (col("c1") + 1).cast("double") / (col("t") + col("v"))
+    bi.join(bic, Seq("prev", "tok"))
+      .join(uc.select(col("tok").as("prev"), col("c1").as("cp")), "prev")
+      .join(uc, "tok")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 4).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 2))
+  }
+
   def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = load(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

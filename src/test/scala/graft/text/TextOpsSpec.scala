@@ -223,6 +223,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got.map(_._3).distinct.length > docs.size / 10)
   }
 
+  test("bigram LM matches a driver-side model and beats the unigram fit") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val uc = docs.values.flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bic = docs.values.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t = uc.values.sum.toDouble
+    val v = uc.size.toDouble
+    def nll(toks: Seq[String]): Double = {
+      val raw = toks.zip(toks.tail).map { case (p, w) =>
+        -math.log(0.75 * bic((p, w)).toDouble / uc(p) +
+          0.25 * (uc(w) + 1).toDouble / (t + v))
+      }.sum / (toks.size - 1)
+      math.rint(raw * 10000) / 10000
+    }
+    val got = TextOps.qBigramLm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === docs.count(_._2.size >= 2))
+    got.foreach { case (id, n, gNll, _) =>
+      assert(n === docs(id).size - 1L, s"doc $id bigram count")
+      assert(math.abs(gNll - nll(docs(id))) < 2e-4, s"doc $id nll")
+    }
+    // a conditional model fits its training corpus better than the
+    // unigram marginal (the reason one uses it as a quality signal)
+    val uni = TextOps.qPerplexity(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val meanBi = got.map(_._3).sum / got.length
+    val meanUni = got.map(g => uni(g._1)).sum / got.length
+    assert(meanBi < meanUni, s"bigram NLL $meanBi !< unigram $meanUni")
+  }
+
   test("repetition stats match a driver-side computation") {
     val docs = graft.relational.Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
