@@ -98,6 +98,56 @@ class LakeMergeSpec extends SparkSpec {
     assert(target.count() > diff.size, "diff must be change-sized")
   }
 
+  test("model check: random batch sequences, merge-fold == map-fold, " +
+      "scd2 reconstructs every version") {
+    val rnd = new scala.util.Random(42)
+    val keys = (1L to 30L).toVector
+    def randBatch(): Seq[(Long, String, Double, String)] =
+      rnd.shuffle(keys).take(8).map { k =>
+        if (rnd.nextInt(4) == 0) (k, s"n$k", 0.0, "D")
+        else (k, s"n$k", rnd.nextInt(100).toDouble, "U")
+      }.toSeq
+    var model = keys.take(10).map(k => k -> (s"n$k", k * 1.0)).toMap
+    var target = model.toSeq.map { case (k, (nm, b)) => (k, nm, b) }
+      .toDF("k", "name", "bal")
+    var history = target
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(LakeMerge.OpenVersion))
+    for (v <- 1 to 4) {
+      val batch = randBatch()
+      val bdf = batch.toDF("k", "name", "bal", "op")
+      // driver-side model of MERGE
+      model = batch.foldLeft(model) {
+        case (m, (k, _, _, "D")) => m - k
+        case (m, (k, nm, b, _)) => m + (k -> ((nm, b)))
+      }
+      target = LakeMerge.merge(target, bdf, "k")
+      history = LakeMerge.scd2Apply(history, bdf, "k",
+        trackedCols = Seq("bal"), version = v.toLong)
+      val got = target.as[(Long, String, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got === model, s"merge-fold diverged from model at v$v")
+      // merge is idempotent: re-applying the same batch changes nothing
+      val again = LakeMerge.merge(target, bdf, "k")
+        .as[(Long, String, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(again === model, s"merge not idempotent at v$v")
+      // the SCD2 open rows ARE the current merged state
+      val open = history.filter(col("valid_to") === LakeMerge.OpenVersion)
+        .select("k", "name", "bal").as[(Long, String, Double)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(open === model, s"scd2 open rows diverged at v$v")
+      // history is append-only-ish: row count never decreases
+      assert(history.count() >= target.count())
+    }
+    // every historical version reconstructs by version predicate
+    val hist = history
+      .as[(Long, String, Double, Long, Long)].collect()
+    val asOf2 = hist.filter(t => t._4 <= 2L && 2L <= t._5)
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(asOf2.nonEmpty && asOf2.size <= keys.size)
+  }
+
   test("registry queries run on testdata and agree on the open rows") {
     val dir = "/root/testdata/sf0.001"
     val merged = LakeMerge.qLakeMerge(spark, dir)
