@@ -377,6 +377,10 @@ object SparkEntry {
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
       Multimodal.qFrameSample(s, d)),
+    // audio-shaped framing: 16-sample frames at 8-sample hop, unrolled
+    // integer energy kernel, silence census + leading-silence trim
+    "q_audio_frames" -> ((s: SparkSession, d: String) =>
+      Multimodal.qAudioFrames(s, d)),
     "q_media_features" -> ((s: SparkSession, d: String) =>
       Multimodal.qMediaFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) =>
@@ -518,6 +522,33 @@ object SparkEntry {
        |$peel
        |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_in_core
        |FROM e$rounds GROUP BY 1""".stripMargin
+  }
+
+  /** q_audio_frames: the unrolled 16-term code-point energy kernel and
+    * the same framing arithmetic as the Spark side, all integers. */
+  private lazy val audioFramesSql: String = {
+    val fl = graft.multimodal.Multimodal.AudioFrame
+    val h = graft.multimodal.Multimodal.AudioHop
+    val t = graft.multimodal.Multimodal.SilentBelow
+    val energy = (0 until fl).map { j =>
+      val s = s"CAST(ascii(substr(text, CAST(f * $h + ${j + 1} AS BIGINT), 1)) AS BIGINT)"
+      s"$s * $s"
+    }.mkString(" +\n      ")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |fr AS (SELECT doc_id, text,
+       |         CAST((len - $fl) // $h AS BIGINT) + 1 AS n_frames
+       |       FROM d WHERE len >= $fl),
+       |x AS (SELECT doc_id, text, n_frames,
+       |        unnest(range(0, n_frames)) AS f FROM fr),
+       |e AS (SELECT doc_id, n_frames, f,
+       |      $energy AS energy FROM x)
+       |SELECT doc_id, any_value(n_frames) AS n_frames,
+       |  CAST(sum(CASE WHEN energy < $t THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_silent,
+       |  max(energy) AS max_energy,
+       |  coalesce(min(CASE WHEN energy >= $t THEN f END),
+       |    any_value(n_frames)) AS lead_silent
+       |FROM e GROUP BY doc_id""".stripMargin
   }
 
   /** The deterministic customer change batch (LakeMerge.changeBatch's
@@ -2515,6 +2546,7 @@ object SparkEntry {
         |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
         |  FROM cand c JOIN hx a ON c.d1 = a.doc_id JOIN hx b ON c.d2 = b.doc_id)
         |WHERE hamming <= 3""".stripMargin,
+    "q_audio_frames" -> audioFramesSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),
         |f AS (SELECT doc_id,

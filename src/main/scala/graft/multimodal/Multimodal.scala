@@ -128,6 +128,51 @@ object Multimodal {
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Frame length / hop (samples) and the silence-energy floor for
+    * [[qAudioFrames]] — 50% overlap, the standard DSP framing. */
+  val AudioFrame: Int = 16
+  val AudioHop: Int = 8
+  val SilentBelow: Long = 100000L
+
+  /** Audio-shaped frame analysis over the opaque payload — the
+    * windowed-DSP pipeline stage (framing → per-frame energy → silence
+    * census / leading-silence trim point) that an audio corpus runs
+    * before feature extraction. The DECODE step is the documented stub:
+    * payload code points stand in for PCM samples (the container has no
+    * audio codecs; a real deployment swaps the sample source behind the
+    * same seam as [[MediaDecoderProvider]]). Everything downstream of
+    * the stub is the real distributed shape: per-row-bounded frame
+    * explode, an unrolled 16-term integer energy kernel inside
+    * whole-stage codegen (the [[graft.similarity.Similarity]] PQ
+    * discipline), one map-side-combinable aggregation — and every
+    * output is an exact integer, so the query carries a full DuckDB
+    * oracle. Docs shorter than one frame carry no frames and are
+    * absent, mirrored by the oracle. */
+  def qAudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= AudioFrame)
+      .withColumn("n_frames",
+        expr(s"CAST((len - $AudioFrame) div $AudioHop AS BIGINT) + 1"))
+    val eCol = (0 until AudioFrame).map { j =>
+      val samp = ascii(expr(s"substr(text, f * $AudioHop + ${j + 1}, 1)"))
+        .cast("long")
+      samp * samp
+    }.reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("f"),
+        col("text"))
+      .withColumn("energy", eCol)
+      .groupBy("doc_id")
+      .agg(first("n_frames").as("n_frames"),
+        sum(when(col("energy") < SilentBelow, 1L).otherwise(0L))
+          .as("n_silent"),
+        max("energy").as("max_energy"),
+        coalesce(min(when(col("energy") >= SilentBelow, col("f"))),
+          first("n_frames")).as("lead_silent"))
+  }
+
   /** Distributed decode + feature extraction via `mapPartitions`: one
     * decoder instance per partition (the real-codec pattern — init cost
     * amortized across the partition's rows, no per-row codec setup). */

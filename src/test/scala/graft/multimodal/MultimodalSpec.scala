@@ -210,4 +210,34 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getString(3).length === 32)
     }
   }
+
+  test("audio frames: energies match a JVM replay of the framing") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (fl, h, t) = (Multimodal.AudioFrame, Multimodal.AudioHop,
+      Multimodal.SilentBelow)
+    def frames(text: String): Seq[Long] = {
+      val cp = text.toSeq.map(_.toLong) // code points (BMP corpus)
+      (0 to (cp.length - fl) / h).map(f =>
+        (0 until fl).map(j => cp(f * h + j) * cp(f * h + j)).sum)
+    }
+    val got = Multimodal.qAudioFrames(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val eligible = docs.filter(_._2.length >= fl)
+    assert(got.length === eligible.size)
+    got.foreach { case (id, n, nSil, maxE, lead) =>
+      val es = frames(docs(id))
+      assert(n === es.length.toLong, s"doc $id frame count")
+      assert(nSil === es.count(_ < t).toLong, s"doc $id silence census")
+      assert(maxE === es.max, s"doc $id max energy")
+      val wantLead =
+        if (es.exists(_ >= t)) es.indexWhere(_ >= t).toLong
+        else es.length.toLong
+      assert(lead === wantLead, s"doc $id trim point")
+      assert(nSil <= n && lead <= n)
+    }
+  }
 }
