@@ -133,6 +133,10 @@ object SparkEntry {
     // exact rank-based winsorization census over event values
     "q_value_clip" -> ((s: SparkSession, d: String) =>
       EventQueries.qValueClip(s, d)),
+    // exact decile discretization: rank-selected boundaries, integer
+    // bin assignment, per-(type, bin) census
+    "q_quantile_bins" -> ((s: SparkSession, d: String) =>
+      EventQueries.qQuantileBins(s, d)),
     // BPE TRAINING (tokenizer learning): iterative argmax, not
     // SQL-expressible -> rows-only here; BpeTrainSpec verifies against
     // an independent in-memory reference implementation
@@ -2295,6 +2299,30 @@ object SparkEntry {
         |    AS BIGINT)) AS BIGINT) AS clipped_sum_cents
         |FROM events JOIN bounds USING (event_type)
         |GROUP BY 1""".stripMargin,
+    "q_quantile_bins" -> {
+      val bs = (1 to 9).map(k =>
+        s"min(CASE WHEN cumn >= (n - 1) * ${k * 10} // 100 + 1 THEN value END) AS b$k")
+        .mkString(",\n    ")
+      val bin = (1 to 9)
+        .map(k => s"CASE WHEN value >= b$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH freq AS (SELECT event_type, value, count(*) AS c
+         |              FROM events GROUP BY 1, 2),
+         |cum AS (SELECT event_type, value, c,
+         |          sum(c) OVER (PARTITION BY event_type ORDER BY value
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+         |        FROM freq),
+         |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
+         |        FROM freq GROUP BY 1),
+         |bounds AS (SELECT event_type, n,
+         |    $bs
+         |  FROM cum JOIN tot USING (event_type) GROUP BY 1, 2)
+         |SELECT event_type, CAST($bin AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(value) AS v_min, max(value) AS v_max
+         |FROM events JOIN bounds USING (event_type)
+         |GROUP BY 1, 2""".stripMargin
+    },
     "q_dsir_weights" ->
       s"""WITH $dsirWeightsCte
         |SELECT doc_id, n_tokens, dsir_score FROM dsird""".stripMargin,

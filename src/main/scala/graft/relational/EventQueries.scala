@@ -192,6 +192,41 @@ object EventQueries {
     * shape that survives a 100 TB group where `sort the group in one
     * task` does not. Rank formula: k_p = (n−1)·p div 100 + 1 (1-based,
     * integer arithmetic only). */
+  /** Exact decile binning (quantile discretization — the featurization
+    * step that turns a continuous column into categorical bins): per
+    * event type, the 9 interior decile boundaries are rank-SELECTED raw
+    * values over the distinct-value histogram (the [[qValueClip]]
+    * machinery — no corpus-wide sort, no interpolation arithmetic), and
+    * each row's bin is the count of boundaries ≤ its value — a pure
+    * integer derived from selected raw doubles, so the census oracles
+    * exactly. Output is the per-(type, bin) census a feature pipeline
+    * logs: row count and the bin's observed value range. */
+  def qQuantileBins(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").select(col("event_type"), col("value"))
+    val freq = ev.groupBy("event_type", "value").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = freq.withColumn("cumn", sum("c").over(w))
+    val bounds = cum
+      .groupBy("event_type").agg(sum("c").as("n"))
+      .join(cum, "event_type")
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("cumn") >= expr(s"(n - 1) * 10 div 100 + 1"),
+          col("value"))).as("b1"),
+        (2 to 9).map(k =>
+          min(when(col("cumn") >= expr(s"(n - 1) * ${k * 10} div 100 + 1"),
+            col("value"))).as(s"b$k")): _*)
+    val bin = (1 to 9)
+      .map(k => when(col("value") >= col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("bin", bin)
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min("value").as("v_min"), max("value").as("v_max"))
+  }
+
   def qValueClip(
       spark: SparkSession, dir: String,
       loPct: Int = 1, hiPct: Int = 99): DataFrame = {

@@ -53,6 +53,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.values.exists(_._4 > 0) && got.values.exists(_._5 > 0))
   }
 
+  test("quantile bins: decile assignment equals a JVM replay") {
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length.toLong
+      val bs = (1 to 9).map(k => vs(((n - 1) * (k * 10) / 100).toInt))
+      rows.map(_._2).groupBy(v => bs.count(v >= _).toLong).map {
+        case (bin, inBin) =>
+          (t, bin) -> ((inBin.length.toLong, inBin.min, inBin.max))
+      }
+    }.toMap
+    val got = EventQueries.qQuantileBins(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === want)
+    // per type: counts cover every row and bins are value-ordered
+    got.keys.map(_._1).foreach { t =>
+      val bins = got.filter(_._1._1 == t).toSeq.sortBy(_._1._2)
+      assert(bins.map(_._2._1).sum === ev.count(_._1 == t).toLong)
+      bins.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2._3 <= b._2._2,
+          s"$t bins overlap: ${a._1._2} max > ${b._1._2} min")
+        case _ =>
+      }
+    }
+  }
+
   test("manifest: row digests XOR to a replayable, order-free checksum") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
