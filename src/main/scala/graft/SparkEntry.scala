@@ -49,6 +49,17 @@ object SparkEntry {
     "q7_nation_volume" -> ((s: SparkSession, d: String) =>
       RelationalQueries.q7NationVolume(s, d)),
     "q6_forecast_revenue" -> (RelationalQueries.q6ForecastRevenue _),
+    // Q10 shape: filtered fact⋈fact + broadcast dims + exact-cents top-20
+    "q10_returned_revenue" -> (RelationalQueries.q10ReturnedRevenue _),
+    // Q14 shape: conditional agg + exact integer-ppm share
+    "q14_promo_share" -> (RelationalQueries.q14PromoShare _),
+    // Q15 shape: aggregated view probed by its own scalar max
+    "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
+    // Q18 shape: HAVING-gated agg broadcast back onto its parents
+    "q18_large_orders" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.q18LargeOrders(s, d)),
+    // Q19 shape: OR-of-ANDs residual over a broadcast equi-join
+    "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
     "q_customer_order_stats" -> (RelationalQueries.qCustomerOrderStats _),
     "q_semi_join" -> (RelationalQueries.qSemiCustomersWithUrgent _),
@@ -92,6 +103,10 @@ object SparkEntry {
     "q_events_json" -> (EventQueries.qEventsJson _),
     "q_events_dedup" -> (EventQueries.qEventsDedup _),
     "q_asof_join" -> (EventQueries.qAsofJoin _),
+    // ordered conversion funnel (CEP sequence match, batch form)
+    "q_funnel" -> (EventQueries.qFunnel _),
+    // cohort retention matrix (first-seen week × weeks-since activity)
+    "q_retention" -> (EventQueries.qRetention _),
     "q_interval_join" -> ((s: SparkSession, d: String) =>
       EventQueries.qIntervalJoin(s, d)),
     // -- LSP/DPC message-log analytics (SURVEY §2.2, §2.3) --
@@ -162,6 +177,9 @@ object SparkEntry {
     // unigram; co-shuffled scoring join, never a broadcast of the
     // bigram vocabulary
     "q_bigram_lm" -> (TextOps.qBigramLm _),
+    // PMI-lift collocation mining (phrase discovery, exact integer ppm)
+    "q_collocations" -> ((s: SparkSession, d: String) =>
+      TextOps.qCollocations(s, d)),
     // Gopher-style repetition ratios (exact integer fractions)
     "q_repetition_stats" -> (TextOps.qRepetitionStats _),
     // -- dedup (north star) --
@@ -1074,6 +1092,60 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25""".stripMargin,
+    // exact-cents revenue (floor(x·100+½) per row, integer sums): the
+    // one IEEE product is deterministic, so the hash is engine-exact
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_cents DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo_share" ->
+      """WITH l AS (
+        |  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+        |    p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS HUGEINT) * 1000000)
+        |    // CAST(sum(cents) AS HUGEINT) AS BIGINT) AS promo_ppm
+        |FROM l""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, sum_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 6 AND 15 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q_part_brand_stats" ->
       """SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty,
         |  round(avg(l_extendedprice), 2) AS avg_price
@@ -1285,6 +1357,33 @@ object SparkEntry {
         |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t1 FROM ev
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS t2, min(v.t1) AS t1
+        |      FROM ev e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS t3, min(c.t2) AS t2
+        |      FROM ev e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+        |  count(*) AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM v
+        |UNION ALL
+        |SELECT 2, 'click', count(*), CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM c
+        |UNION ALL
+        |SELECT 3, 'purchase', count(*), CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM p""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
+        |a AS (SELECT DISTINCT
+        |        CAST(date_diff('day', DATE '1970-01-01', f.d0) // 7 AS BIGINT) AS cohort_week,
+        |        CAST(date_diff('day', f.d0, e.d) // 7 AS BIGINT) AS week_offset,
+        |        e.user_id
+        |      FROM (SELECT DISTINCT user_id, d FROM ev) e
+        |      JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_offset, count(*) AS n_active
+        |FROM a GROUP BY 1, 2""".stripMargin,
     "q_interval_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
         |SELECT e.event_id AS error_event_id, f.event_id AS next_event_id,
@@ -1597,6 +1696,29 @@ object SparkEntry {
         |      CROSS JOIN tot
         |      GROUP BY 1)
         |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
+    // lift = c_ab·N/(c_a·c_b) in exact integer ppm; support gate c2 ≥ 10
+    "q_collocations" ->
+      """WITH toks AS (SELECT doc_id,
+        |        CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
+        |        unnest(l) AS tok
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |bi AS (SELECT doc_id, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM toks),
+        |bic AS (SELECT prev, tok, count(*) AS c2 FROM bi
+        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |uc AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks),
+        |s AS (SELECT b.prev, b.tok, b.c2, ua.c1 AS ca, ub.c1 AS cb,
+        |        CAST((CAST(b.c2 AS HUGEINT) * tot.n * 1000000)
+        |          // (CAST(ua.c1 AS HUGEINT) * ub.c1) AS BIGINT) AS lift_ppm
+        |      FROM bic b
+        |      JOIN uc ua ON b.prev = ua.tok
+        |      JOIN uc ub ON b.tok = ub.tok
+        |      CROSS JOIN tot
+        |      WHERE b.c2 >= 10)
+        |SELECT prev, tok, c2, ca, cb, lift_ppm FROM s
+        |WHERE lift_ppm >= 1200000""".stripMargin,
     "q_perplexity" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),

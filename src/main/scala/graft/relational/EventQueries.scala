@@ -283,6 +283,68 @@ object EventQueries {
         (col("ts_us") - col("last_click.ts_us")).as("us_since_click"))
   }
 
+  /** Ordered funnel analysis (view → click → purchase): per user, the
+    * first `view`, the first `click` strictly after it, and the first
+    * `purchase` strictly after that — the product-analytics conversion
+    * query, and the batch analog of a CEP sequence match.
+    *
+    * Scale shape: each stage is a per-user `min` aggregation joined to
+    * the previous stage's (already user-unique) frame — all three joins
+    * co-partition on `user_id` and every stage frame is at most one row
+    * per user, shrinking monotonically down the funnel. No window over
+    * the full event log, no self-join of raw events. Gaps are exact
+    * integer µs sums, so the census oracles bit-exact. */
+  def qFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsMicros.as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"), min("t1").as("t1"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "t2"), "user_id")
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"), min("t2").as("t2"))
+    val s1 = v.agg(count(lit(1)).as("n_users")).select(
+      lit(1L).as("stage"), lit("view").as("stage_name"),
+      col("n_users"), lit(0L).as("sum_gap_us"))
+    val s2 = c.agg(count(lit(1)).as("n_users"),
+      coalesce(sum(col("t2") - col("t1")), lit(0L)).as("sum_gap_us"))
+      .select(lit(2L).as("stage"), lit("click").as("stage_name"),
+        col("n_users"), col("sum_gap_us"))
+    val s3 = p.agg(count(lit(1)).as("n_users"),
+      coalesce(sum(col("t3") - col("t2")), lit(0L)).as("sum_gap_us"))
+      .select(lit(3L).as("stage"), lit("purchase").as("stage_name"),
+        col("n_users"), col("sum_gap_us"))
+    s1.unionByName(s2).unionByName(s3)
+  }
+
+  /** Cohort retention: users bucketed by the week of their FIRST event
+    * (cohort), counted once per (cohort, weeks-since-cohort) in which
+    * they were active — the triangular retention matrix.
+    *
+    * Weeks are pure day arithmetic (`days-since-epoch div 7`), never an
+    * engine's `date_trunc('week')` (week-start conventions differ across
+    * engines and locales). One aggregation finds each user's first day,
+    * one distinct pass the active days; the join co-partitions on
+    * `user_id` and the output is bounded by cohorts × weeks, not rows. */
+  def qRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("date(timestamp_micros(ts div 1000))").as("d"))
+    val firstSeen = ev.groupBy("user_id").agg(min("d").as("d0"))
+    ev.distinct()
+      .join(firstSeen, "user_id")
+      .select(col("user_id"),
+        expr("cast(datediff(d0, date '1970-01-01') div 7 as bigint)")
+          .as("cohort_week"),
+        expr("cast(datediff(d, d0) div 7 as bigint)").as("week_offset"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** Interval (range) join via time-bucket banding: events following an
     * `error` by the same user within `windowUs`.
     *

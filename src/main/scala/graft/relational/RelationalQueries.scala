@@ -2,7 +2,7 @@ package graft.relational
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Generalized relational surface over the TPC-H-ish tables (SURVEY.md §7.2
   * step 6). The reference has exactly one query shape; these exercise the
@@ -291,4 +291,108 @@ object RelationalQueries {
       .join(load(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
       .select("c_mktsegment", "o_orderpriority")
       .distinct()
+
+  /** Exact revenue cents for one line item: the per-row product is one
+    * deterministic IEEE double expression, `floor(x·100 + ½)` fixes the
+    * point, and everything downstream is integer — sums commute and
+    * oracle bit-exact in any engine (the q_value_clip discipline; plain
+    * `round(sum(double))` is order- and engine-dependent at ulp edges). */
+  private def revenueCents: Column =
+    floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+      .cast("long")
+
+  /** TPC-H Q10 shape: revenue lost to returned items, per customer —
+    * fact filter (returnflag) → fact⋈fact shuffle join on orderkey →
+    * broadcast dims → top-20. The returned-lineitem side filters BEFORE
+    * the join (pushed to the scan), so the shuffle carries only the ~25%
+    * returned fraction. */
+  def q10ReturnedRevenue(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(load(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(load(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(revenueCents).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    * a broadcast dim join, with the share as an exact integer ppm
+    * (decimal(38,0) intermediate: cents·10⁶ outgrows a long at real SF). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01"))
+      .join(broadcast(load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", revenueCents).otherwise(0L))
+          .as("promo_cents"),
+        sum(revenueCents).as("total_cents"))
+      .select(col("promo_cents"), col("total_cents"),
+        expr("cast((cast(promo_cents as decimal(38,0)) * 1000000)" +
+          " div total_cents as bigint)").as("promo_ppm"))
+
+  /** TPC-H Q15 shape: the top supplier(s) by shipped revenue — an
+    * aggregated view probed by its own max (scalar subquery against a
+    * derived relation). Exact integer cents make the `= max` equality
+    * safe cross-engine; ties all surface, deterministically. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueCents).as("revenue_cents"))
+    rev
+      .crossJoin(broadcast(rev.agg(max("revenue_cents").as("max_cents"))))
+      .filter(col("revenue_cents") === col("max_cents"))
+      .join(broadcast(load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("revenue_cents"))
+  }
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING-gated fact
+    * aggregation joined back to its parents. `l_quantity` is
+    * integer-valued, so the per-order sum is exact in doubles; it exits
+    * as a long. The gated order set is tiny ⇒ it broadcasts into the
+    * orders probe rather than shuffling the fact table again. */
+  def q18LargeOrders(spark: SparkSession, dir: String,
+      minQty: Double = 250.0): DataFrame = {
+    val big = load(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    load(spark, dir, "orders")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("sum_qty").cast("long").as("sum_qty"))
+  }
+
+  /** TPC-H Q19 shape: disjunctive brand/size/quantity predicates — the
+    * OR-of-ANDs filter Catalyst must keep partially pushable (the common
+    * `p_partkey = l_partkey` equi-key stays a broadcast hash join; the
+    * residual disjunction evaluates post-join, inside codegen). */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .join(broadcast(load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#4" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#19" && col("p_size").between(6, 15) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(11, 20) &&
+          col("l_quantity").between(20, 40)))
+      .agg(sum(revenueCents).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
 }

@@ -324,6 +324,43 @@ object TextOps {
       .withColumn("ppl", round(exp(col("nll")), 2))
   }
 
+  /** PMI-lift collocation mining — the phrase-discovery pass a tokenizer
+    * or n-gram vocabulary build runs first: adjacent-token bigrams whose
+    * observed count beats independence by ≥ 1.2× (`lift = P(ab)/(P(a)P(b))
+    * = c_ab·N/(c_a·c_b)`), with a minimum-support gate. (The synthetic
+    * corpus is near-independent — max lift at support 10 is ≈1.56 — so
+    * the gate sits where it separates signal from the ≈1.0 bulk; a
+    * natural corpus would use 2-10×.)
+    *
+    * Lift is an exact integer ppm (decimal(38,0) intermediates — c·N·10⁶
+    * outgrows a long on a real corpus), so the ranking oracles bit-exact;
+    * no logarithm means no IEEE hazard at all. Scale shape: same as the
+    * bigram LM — per-doc windows for extraction, two map-side-combinable
+    * count tables, and the scoring join keyed on the bigram vocabulary
+    * (never broadcast: a 100 TB corpus's bigram table is itself huge; the
+    * support gate prunes it before the join). */
+  def qCollocations(spark: SparkSession, dir: String,
+      minCount: Int = 10): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val bic = bi.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val uc = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val tot = toks.agg(count(lit(1)).as("n"))
+    bic.filter(col("c2") >= minCount)
+      .join(uc.select(col("tok").as("prev"), col("c1").as("ca")), "prev")
+      .join(uc.select(col("tok"), col("c1").as("cb")), "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("prev"), col("tok"), col("c2"), col("ca"), col("cb"),
+        expr("cast((cast(c2 as decimal(38,0)) * n * 1000000)" +
+          " div (cast(ca as decimal(38,0)) * cb) as bigint)").as("lift_ppm"))
+      .filter(col("lift_ppm") >= 1200000L)
+  }
+
   def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = load(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

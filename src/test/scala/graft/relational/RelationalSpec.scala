@@ -1,6 +1,7 @@
 package graft.relational
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
@@ -166,6 +167,88 @@ class RelationalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded === naive)
     assert(banded.nonEmpty)
+  }
+
+  test("funnel stages equal a JVM replay and shrink monotonically") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    var n1, n2, n3 = 0L
+    var gap2, gap3 = 0L
+    byUser.values.foreach { rows =>
+      val t1 = rows.filter(_._2 == "view").map(_._3).sorted.headOption
+      t1.foreach { v =>
+        n1 += 1
+        val t2 = rows.filter(r => r._2 == "click" && r._3 > v)
+          .map(_._3).sorted.headOption
+        t2.foreach { c =>
+          n2 += 1; gap2 += c - v
+          val t3 = rows.filter(r => r._2 == "purchase" && r._3 > c)
+            .map(_._3).sorted.headOption
+          t3.foreach { p => n3 += 1; gap3 += p - c }
+        }
+      }
+    }
+    val got = EventQueries.qFunnel(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === (("view", n1, 0L)))
+    assert(got(2L) === (("click", n2, gap2)))
+    assert(got(3L) === (("purchase", n3, gap3)))
+    assert(n1 >= n2 && n2 >= n3 && n3 > 0)
+  }
+
+  test("cohort retention equals a JVM replay; week zero covers all users") {
+    val dayUs = 86400000000L
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div " + dayUs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val first = ev.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val want = ev.map { case (u, d) =>
+      (first(u) / 7, (d - first(u)) / 7, u)
+    }.distinct.groupBy(t => (t._1, t._2)).map { case (k, us) =>
+      k -> us.size.toLong
+    }
+    val got = EventQueries.qRetention(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === want)
+    // every user lands in their own cohort's week 0
+    val week0 = got.filter(_._1._2 == 0L).values.sum
+    assert(week0 === first.size.toLong)
+  }
+
+  test("top supplier by exact cents equals a JVM-replay max") {
+    val cents = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .select(col("l_suppkey"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bySupp = cents.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.map(_._2).sum }
+    val maxRev = bySupp.values.max
+    val want = bySupp.filter(_._2 == maxRev).keySet
+    val got = RelationalQueries.q15TopSupplier(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet === want)
+    assert(got.values.forall(_ === maxRev))
+  }
+
+  test("large orders: every reported order beats the quantity gate") {
+    val got = RelationalQueries.q18LargeOrders(spark, dir).collect()
+    assert(got.nonEmpty)
+    val sums = Tables.load(spark, dir, "lineitem")
+      .groupBy("l_orderkey").agg(sum("l_quantity").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { r =>
+      assert(sums(r.getLong(2)) > 250.0)
+      assert(r.getLong(4) === sums(r.getLong(2)).toLong)
+    }
+    // and no qualifying order is missing
+    assert(got.length === sums.count(_._2 > 250.0))
   }
 
   test("semi + anti join partition the customer set") {

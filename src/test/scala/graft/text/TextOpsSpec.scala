@@ -256,6 +256,27 @@ class TextOpsSpec extends SparkSpec {
     assert(meanBi < meanUni, s"bigram NLL $meanBi !< unigram $meanUni")
   }
 
+  test("collocations equal an exact BigInt replay of the lift gate") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val uc = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bic = docs.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = BigInt(uc.values.sum)
+    val want = bic.collect { case ((a, b), c2) if c2 >= 10 =>
+      val lift = (BigInt(c2) * n * 1000000) / (BigInt(uc(a)) * BigInt(uc(b)))
+      ((a, b), (c2, uc(a), uc(b), lift.toLong))
+    }.filter(_._2._4 >= 1200000L)
+    val got = TextOps.qCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> // (prev, tok) order
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.size === want.size)
+    want.foreach { case (k, v) => assert(got(k) === v, s"bigram $k") }
+    // every surviving pair genuinely beats independence
+    assert(got.values.forall(_._4 >= 1200000L) && got.nonEmpty)
+  }
+
   test("repetition stats match a driver-side computation") {
     val docs = graft.relational.Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
