@@ -261,6 +261,10 @@ object SparkEntry {
       Similarity.qSemDedup(s, d)),
     // contrastive hard negatives: top-k cross-label neighbors via the
     // banded candidate path; brute-force-with-label-filter oracle
+    // MMR diversified top-k: greedy λ-tradeoff re-rank of a relevance
+    // shortlist, fixed-point integer scores, unrolled-CTE oracle
+    "q_mmr_rerank" -> ((s: SparkSession, d: String) =>
+      Similarity.qMmrRerank(s, d)),
     "q_hard_negatives" -> ((s: SparkSession, d: String) =>
       Similarity.qHardNegatives(s, d)),
     // data-quality sweep: vectors farthest from their own trained
@@ -377,6 +381,10 @@ object SparkEntry {
     // the dense-subgraph gate for co-occurrence noise pruning
     "q_kcore" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qKCore(s, d)),
+    // link prediction: common-neighbor + resource-allocation scores
+    // for non-adjacent 2-hop pairs (hub-capped wedge enumeration)
+    "q_link_predict" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qLinkPredict(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -431,6 +439,47 @@ object SparkEntry {
     s"""(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)
        | / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))
        |   * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))))""".stripMargin
+
+  /** Unrolled greedy MMR: one MATERIALIZED pick-CTE per round (each is
+    * referenced by every later round — inlining would replay the whole
+    * prefix per reference, the k-core/pagerank CTE trap). Integer MMR
+    * score `7·rel_fp − 3·max_s` mirrors [[graft.similarity.Similarity
+    * .qMmrRerank]] exactly. */
+  private lazy val mmrSql: String = {
+    val k = 5
+    val rounds = (2 to k).map { r =>
+      val prev = (1 until r).map(i => s"SELECT vec_id FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""p$r AS MATERIALIZED (
+         |  SELECT vec_id, rel_fp FROM (
+         |    SELECT s.vec_id, s.rel_fp, s.rel_fp * 7 - max(m.s_fp) * 3 AS score
+         |    FROM short s JOIN sims m ON m.a = s.vec_id
+         |      AND m.b IN ($prev)
+         |    WHERE s.vec_id NOT IN ($prev)
+         |    GROUP BY s.vec_id, s.rel_fp)
+         |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS mmr_rank, vec_id, rel_fp FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |q AS (SELECT v FROM e WHERE vec_id = 0),
+       |rel AS (SELECT e.vec_id,
+       |          CAST(floor(${duckCos("e.v", "q.v")} * 1e12 + 0.5) AS BIGINT) AS rel_fp,
+       |          e.v
+       |        FROM e, q WHERE e.vec_id <> 0),
+       |short AS MATERIALIZED (SELECT vec_id, rel_fp, v FROM rel
+       |         ORDER BY rel_fp DESC, vec_id LIMIT 20),
+       |sims AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
+       |          CAST(floor(${duckCos("a.v", "b.v")} * 1e12 + 0.5) AS BIGINT) AS s_fp
+       |        FROM short a JOIN short b ON a.vec_id <> b.vec_id),
+       |p1 AS MATERIALIZED (SELECT vec_id, rel_fp FROM short
+       |      ORDER BY rel_fp DESC, vec_id LIMIT 1),
+       |$rounds
+       |$out""".stripMargin
+  }
 
   /** Exact cosine top-k ANN — the shared oracle for brute force and for
     * every exact-or-exactly-verified accelerated variant (IVF cell
@@ -2039,6 +2088,7 @@ object SparkEntry {
     // assertion ("hard negatives: banded candidates cover...") makes
     // such a miss diagnosable as band escape rather than a logic bug;
     // on the driver's corpora recall is exactly 1.0.
+    "q_mmr_rerank" -> mmrSql,
     "q_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2331,6 +2381,22 @@ object SparkEntry {
          |JOIN ic c1 ON e.u = c1.l_partkey
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
     "q_kcore" -> kCoreSql,
+    // RA index in integer ppm: 1e6 // deg(z) per shared neighbor —
+    // exact integer semantics, no IEEE accumulation anywhere
+    "q_link_predict" ->
+      s"""$copurchaseCte
+         |, adj AS (SELECT u AS z, v AS n FROM und
+         |          UNION ALL SELECT v, u FROM und),
+         |dg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+         |adjd AS (SELECT a.z, a.n, d.deg FROM adj a JOIN dg d ON a.z = d.z
+         |         WHERE d.deg <= ${graft.graph.GraphOps.LinkPredictMaxDeg}),
+         |pr AS (SELECT x.n AS a, y.n AS b, x.deg AS degz
+         |       FROM adjd x JOIN adjd y ON x.z = y.z AND x.n < y.n),
+         |sc AS (SELECT a, b, count(*) AS cn,
+         |         CAST(sum(1000000 // degz) AS BIGINT) AS ra_ppm
+         |       FROM pr GROUP BY 1, 2 HAVING count(*) >= 2)
+         |SELECT s.a, s.b, s.cn, s.ra_ppm FROM sc s
+         |ANTI JOIN und e ON s.a = e.u AND s.b = e.v""".stripMargin,
     // degree-ordered orientation: okey = deg·2³² + id packs the
     // (degree, id) total order into one comparable scalar in both engines
     "q_triangles" ->

@@ -734,4 +734,41 @@ object GraphOps {
   /** 3-core of the co-purchase graph. */
   def qKCore(spark: SparkSession, dir: String): DataFrame =
     kCore(spark, copurchaseEdges(spark, dir), 3)
+
+  /** Hub gate for [[qLinkPredict]]: a shared neighbor with degree above
+    * this contributes no evidence (its 1/deg weight is ≈ 0 anyway, and
+    * dropping it bounds per-center wedge fan-out — the difference
+    * between O(E·D) and a hub-quadratic blowup on a power-law graph). */
+  val LinkPredictMaxDeg: Int = 64
+
+  /** Link prediction over the co-purchase graph: for NON-adjacent part
+    * pairs within two hops, the common-neighbor count and the
+    * resource-allocation index (Σ_z 1/deg(z) over shared neighbors z) —
+    * the classic "who should be connected next" scores used to densify
+    * a co-occurrence graph or propose retrieval candidates.
+    *
+    * RA is summed in integer ppm (`1e6 div deg(z)` per wedge — exact
+    * integer semantics in any engine, no IEEE accumulation), so the
+    * ranking oracles bit-exact. Scale shape: wedge enumeration is an
+    * equi-self-join on the center node with per-center fan-out capped by
+    * [[LinkPredictMaxDeg]]; the aggregation is map-side combinable on
+    * the candidate pair; existing edges leave via one anti join against
+    * the (support-gated, already small) edge list. */
+  def qLinkPredict(spark: SparkSession, dir: String,
+      minCn: Int = 2): DataFrame = {
+    val und = copurchaseEdges(spark, dir)
+    val adj = und.select(col("u").as("z"), col("v").as("n"))
+      .unionAll(und.select(col("v").as("z"), col("u").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("deg"))
+    val adjD = adj.join(deg, "z").filter(col("deg") <= LinkPredictMaxDeg)
+    val wedges = adjD.alias("x").join(adjD.alias("y"),
+        col("x.z") === col("y.z") && col("x.n") < col("y.n"))
+      .select(col("x.n").as("a"), col("y.n").as("b"), col("x.deg").as("degz"))
+    wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 div degz")).as("ra_ppm"))
+      .filter(col("cn") >= minCn)
+      .join(und.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+  }
 }

@@ -1062,4 +1062,71 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("cluster_id"),
         col("is_keeper"))
   }
+
+  /** MMR (maximal marginal relevance) diversified top-k: re-rank a
+    * relevance shortlist so each pick maximizes
+    * `λ·rel − (1−λ)·max-sim-to-already-picked` — the standard diversity
+    * pass between retrieval and a RAG/context window, which plain top-k
+    * (near-duplicate neighbors waste the budget) cannot express.
+    *
+    * Determinism: relevance and pairwise similarity are `floor(cos·1e12
+    * + ½)` fixed-point longs; the MMR score is the integer
+    * `7·rel_fp − 3·max_s` (λ = 0.7 scaled by 10), so every greedy pick
+    * replays bit-exact in DuckDB's unrolled-CTE oracle.
+    *
+    * Scale shape: the only corpus-sized work is the relevance scan +
+    * `TakeOrdered` shortlist cut (no global sort, no quadratic stage);
+    * everything after runs on the shortlist (pairwise sims = k'² rows).
+    * The greedy loop is inherently sequential in k — k tiny jobs over
+    * broadcast-sized frames, lineage cut per pick. */
+  def qMmrRerank(
+      spark: SparkSession, dir: String,
+      shortlistK: Int = 20, k: Int = 5): DataFrame = {
+    def q12(x: Column): Column = floor(x * 1e12 + 0.5).cast("long")
+    val emb = corpus(spark, dir)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("norm").as("qn"))
+    val short = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        q12(vec_dot(col("embedding"), col("qv"))
+          / (col("norm") * col("qn"))).as("rel_fp"),
+        col("embedding"), col("norm"))
+      .orderBy(col("rel_fp").desc, col("vec_id")).limit(shortlistK)
+      .persist()
+    val sims = short.select(col("vec_id").as("a"),
+        col("embedding").as("va"), col("norm").as("na"))
+      .join(short.select(col("vec_id").as("b"),
+        col("embedding").as("vb"), col("norm").as("nb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        q12(vec_dot(col("va"), col("vb"))
+          / (col("na") * col("nb"))).as("s_fp"))
+      .persist()
+    try {
+      var chosen = short
+        .select(col("vec_id"), col("rel_fp"))
+        .orderBy(col("rel_fp").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("rel_fp"), lit(1L).as("mmr_rank"))
+        .localCheckpoint(true)
+      for (r <- 2 to k) {
+        val sel = chosen.select(col("vec_id"))
+        val maxSim = sims
+          .join(sel.withColumnRenamed("vec_id", "b"), "b")
+          .groupBy(col("a").as("vec_id")).agg(max("s_fp").as("max_s"))
+        val pick = short.select(col("vec_id"), col("rel_fp"))
+          .join(sel, Seq("vec_id"), "left_anti")
+          .join(maxSim, "vec_id")
+          .select(col("vec_id"), col("rel_fp"),
+            (col("rel_fp") * 7 - col("max_s") * 3).as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("rel_fp"), lit(r.toLong).as("mmr_rank"))
+        chosen = chosen.unionByName(pick).localCheckpoint(true)
+      }
+      chosen.select(col("mmr_rank"), col("vec_id"), col("rel_fp"))
+    } finally {
+      short.unpersist(blocking = false)
+      sims.unpersist(blocking = false)
+    }
+  }
 }

@@ -290,6 +290,37 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.kCore(spark, edges, 5).isEmpty)
   }
 
+  test("link prediction: CN + RA equal a JVM replay, no existing edges") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.copurchaseEdges(spark, dir)
+      .select("u", "v").as[(Long, Long)].collect()
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nbrs = adj.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val want = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    nbrs.foreach { case (z, ns) =>
+      if (deg(z) <= GraphOps.LinkPredictMaxDeg) {
+        val s = ns.sorted
+        for (i <- s.indices; j <- i + 1 until s.length) {
+          val k = (s(i), s(j))
+          val (cn, ra) = want.getOrElse(k, (0L, 0L))
+          want(k) = (cn + 1, ra + 1000000L / deg(z))
+        }
+      }
+    }
+    val edgeSet = edges.toSet
+    val expected = want.toMap
+      .filter(_._2._1 >= 2).filterNot(p => edgeSet.contains(p._1))
+    val got = GraphOps.qLinkPredict(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) => assert(got(k) === v, s"pair $k") }
+    assert(got.nonEmpty)
+    // scored pairs are genuinely non-adjacent
+    got.keys.foreach(k => assert(!edgeSet.contains(k)))
+  }
+
   test("copurchase graph: support threshold and census agree on testdata") {
     val dir = "/root/testdata/sf0.001"
     val edges = GraphOps.copurchaseEdges(spark, dir)

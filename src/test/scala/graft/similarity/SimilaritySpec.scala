@@ -35,6 +35,41 @@ class SimilaritySpec extends SparkSpec {
     (0L until 5L).foreach { q => assert(got(q) === want(q), s"query $q") }
   }
 
+  test("MMR rerank equals a JVM greedy replay and diversifies") {
+    val vecs = graft.relational.Tables.load(spark, dir, "embeddings")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def q12cos(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e12 + 0.5).toLong
+    }
+    val rel = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> q12cos(vecs(0L), v) }
+    val short = rel.sortBy { case (id, r) => (-r, id) }.take(20)
+    val relM = short.toMap
+    var picked = Vector(short.head._1)
+    while (picked.size < 5) {
+      val next = short.map(_._1).filterNot(picked.contains)
+        .map { c =>
+          val maxS = picked.map(p => q12cos(vecs(c), vecs(p))).max
+          (c, relM(c) * 7 - maxS * 3)
+        }
+        .sortBy { case (id, s) => (-s, id) }.head._1
+      picked :+= next
+    }
+    val got = Similarity.qMmrRerank(spark, dir).collect()
+      .sortBy(_.getLong(0)).map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toVector === picked)
+    got.foreach { case (id, r) => assert(r === relM(id)) }
+    // the diversity term must actually bite: MMR's picks differ from
+    // plain top-5 relevance (the corpus has correlated neighborhoods)
+    val plainTop5 = short.take(5).map(_._1).toVector
+    assert(picked !== plainTop5,
+      "MMR degenerated to plain top-k — diversity term never engaged")
+  }
+
   test("LSH ANN: valid shape and recall@5 >= 0.6 vs brute force") {
     val bf = Similarity.qAnnBruteForce(spark, dir).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
