@@ -105,6 +105,11 @@ object SparkEntry {
     "q_asof_join" -> (EventQueries.qAsofJoin _),
     // ordered conversion funnel (CEP sequence match, batch form)
     "q_funnel" -> (EventQueries.qFunnel _),
+    // rolling 3σ outliers: exact integer cross-multiplied z-test
+    "q_rolling_outliers" -> ((s: SparkSession, d: String) =>
+      EventQueries.qRollingOutliers(s, d)),
+    // fixed-point EWMA recurrence via bounded grouped-list fold
+    "q_ewma" -> (EventQueries.qEwma _),
     // cohort retention matrix (first-seen week × weeks-since activity)
     "q_retention" -> (EventQueries.qRetention _),
     "q_interval_join" -> ((s: SparkSession, d: String) =>
@@ -180,6 +185,8 @@ object SparkEntry {
     // PMI-lift collocation mining (phrase discovery, exact integer ppm)
     "q_collocations" -> ((s: SparkSession, d: String) =>
       TextOps.qCollocations(s, d)),
+    // per-source dataset card (counts, language spread, dup rate)
+    "q_dataset_card" -> (TextOps.qDatasetCard _),
     // Gopher-style repetition ratios (exact integer fractions)
     "q_repetition_stats" -> (TextOps.qRepetitionStats _),
     // -- dedup (north star) --
@@ -385,6 +392,8 @@ object SparkEntry {
     // for non-adjacent 2-hop pairs (hub-capped wedge enumeration)
     "q_link_predict" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qLinkPredict(s, d)),
+    // log2-bucket degree distribution (bit-length, no IEEE log)
+    "q_degree_hist" -> (graft.graph.GraphOps.qDegreeHist _),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -1406,6 +1415,34 @@ object SparkEntry {
         |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    // |x−μ|>3σ cross-multiplied to integers: (n·c−S)² > 9·(n·SS−S²)
+    "q_rolling_outliers" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |w AS (SELECT event_type, event_id, cents,
+        |        CAST(count(*) OVER win AS BIGINT) AS win_n,
+        |        CAST(sum(cents) OVER win AS BIGINT) AS win_sum,
+        |        CAST(sum(cents * cents) OVER win AS BIGINT) AS win_sumsq
+        |      FROM ev WINDOW win AS (PARTITION BY event_type
+        |        ORDER BY ts_us, event_id
+        |        ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, event_id, cents, win_n, win_sum, win_sumsq
+        |FROM w WHERE win_n >= 20
+        |  AND (win_n * cents - win_sum) * (win_n * cents - win_sum)
+        |      > 9 * (win_n * win_sumsq - win_sum * win_sum)""".stripMargin,
+    // list_reduce seeds with the first element and folds left — exactly
+    // ewma₀ = c₀ then (7·acc + c) // 8; all cents positive, so floor
+    // and truncating integer division agree across engines
+    "q_ewma" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT user_id, count(*) AS n_events,
+        |        list(cents ORDER BY ts_us, event_id) AS l
+        |      FROM ev GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
+        |    AS ewma_cents
+        |FROM s""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t1 FROM ev
@@ -1745,6 +1782,13 @@ object SparkEntry {
         |      CROSS JOIN tot
         |      GROUP BY 1)
         |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
+    "q_dataset_card" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs
+        |FROM documents GROUP BY 1""".stripMargin,
     // lift = c_ab·N/(c_a·c_b) in exact integer ppm; support gate c2 ≥ 10
     "q_collocations" ->
       """WITH toks AS (SELECT doc_id,
@@ -2381,6 +2425,20 @@ object SparkEntry {
          |JOIN ic c1 ON e.u = c1.l_partkey
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
     "q_kcore" -> kCoreSql,
+    // floor(log2) via bit length — printf('%b') in DuckDB, bin() in
+    // Spark — so the bucket never touches an IEEE logarithm
+    "q_degree_hist" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        |e AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM li
+        |      UNION ALL SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM li),
+        |d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM e GROUP BY 1)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+        |    AS node_type,
+        |  CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg,
+        |  CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM d GROUP BY 1, 2""".stripMargin,
     // RA index in integer ppm: 1e6 // deg(z) per shared neighbor —
     // exact integer semantics, no IEEE accumulation anywhere
     "q_link_predict" ->

@@ -786,6 +786,25 @@ object GraphOps {
   def qKCore(spark: SparkSession, dir: String): DataFrame =
     kCore(spark, copurchaseEdges(spark, dir), 3)
 
+  /** Degree distribution of the trade graph in log₂ buckets, per node
+    * type — the first diagnostic run on any new graph (power-law tail ⇒
+    * salting/orientation decisions downstream). The bucket is
+    * `length(bin(deg)) − 1` — floor(log₂) by bit length, pure integer,
+    * no IEEE log at exact powers of two. One aggregation over the
+    * shared degree-annotated edge artifact. */
+  def qDegreeHist(spark: SparkSession, dir: String): DataFrame =
+    tradeEdgesDeg(spark, dir)
+      .select(col("src").as("node"), col("outdeg")).distinct()
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("node_type"),
+        (length(bin(col("outdeg"))) - 1).cast("long").as("bucket"),
+        col("outdeg"))
+      .groupBy("node_type", "bucket")
+      .agg(count(lit(1)).as("n_nodes"),
+        min("outdeg").as("min_deg"), max("outdeg").as("max_deg"),
+        sum("outdeg").as("sum_deg"))
+
   /** Hub gate for [[qLinkPredict]]: a shared neighbor with degree above
     * this contributes no evidence (its 1/deg weight is ≈ 0 anyway, and
     * dropping it bounds per-center wedge fan-out — the difference

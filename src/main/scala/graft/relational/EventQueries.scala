@@ -283,6 +283,55 @@ object EventQueries {
         (col("ts_us") - col("last_click.ts_us")).as("us_since_click"))
   }
 
+  /** Rolling z-score anomaly detection: an event is flagged when its
+    * value sits more than 3σ from the mean of the preceding `win` events
+    * of its type — the streaming-shaped outlier monitor, run batch.
+    *
+    * The 3σ test is EXACT integer arithmetic on cents: |x−μ| > 3σ over
+    * the window's (n, Σc, Σc²) cross-multiplies to
+    * `(n·c − S)² > 9·(n·SS − S²)` — no division, no sqrt, no IEEE
+    * anywhere, so the flagged set oracles bit-exact. One window pass
+    * computes all three sums; partitions are bounded by event-type
+    * cardinality × time, the same profile as any sessionization. */
+  def qRollingOutliers(spark: SparkSession, dir: String,
+      win: Int = 50, minN: Int = 20): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), tsMicros.as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+      .rowsBetween(-win, -1)
+    val dev = col("win_n") * col("cents") - col("win_sum")
+    ev
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum", sum("cents").over(w))
+      .withColumn("win_sumsq", sum(col("cents") * col("cents")).over(w))
+      .filter(col("win_n") >= minN &&
+        dev * dev > lit(9L) *
+          (col("win_n") * col("win_sumsq") - col("win_sum") * col("win_sum")))
+      .select("event_type", "event_id", "cents", "win_n", "win_sum",
+        "win_sumsq")
+  }
+
+  /** Fixed-point EWMA per user (α = 1/8): `ewma ← (7·ewma + c) div 8`
+    * folded left over the user's time-ordered cents — the smoothed-value
+    * feature a monitoring/engagement pipeline keeps per entity. A
+    * recurrence is not window-expressible; per-user event sequences are
+    * bounded (the grouped-list + HOF-fold shape, same contract as the
+    * chunking ops), and the integer fold replays exactly in any engine
+    * (all values positive, so truncating and flooring division agree). */
+  def qEwma(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .select(col("user_id"), tsMicros.as("ts_us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+          col("cents")))).as("seq"))
+      .select(col("user_id"), col("n_events"),
+        expr("aggregate(slice(transform(seq, x -> x.cents), 2," +
+          " size(seq) - 1), seq[0].cents," +
+          " (acc, x) -> (acc * 7 + x) div 8)").as("ewma_cents"))
+
   /** Ordered funnel analysis (view → click → purchase): per user, the
     * first `view`, the first `click` strictly after it, and the first
     * `purchase` strictly after that — the product-analytics conversion

@@ -324,6 +324,20 @@ object TextOps {
       .withColumn("ppl", round(exp(col("nll")), 2))
   }
 
+  /** Per-source dataset card: the one-row-per-source summary manifest a
+    * data release ships (doc/char/token counts, language spread, exact
+    * duplicate rate) — every column an exact integer from one grouped
+    * pass over the corpus (token counts map-side, dup census via
+    * count − distinct-md5). */
+  def qDatasetCard(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum(size(tokens(col("text"))).cast("long")).as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"))
+
   /** PMI-lift collocation mining — the phrase-discovery pass a tokenizer
     * or n-gram vocabulary build runs first: adjacent-token bigrams whose
     * observed count beats independence by ≥ 1.2× (`lift = P(ab)/(P(a)P(b))

@@ -290,6 +290,26 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.kCore(spark, edges, 5).isEmpty)
   }
 
+  test("degree histogram: buckets partition nodes, sum_deg = edge count") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct()
+    val nPairs = pairs.count()
+    val nSupp = pairs.select("l_suppkey").distinct().count()
+    val nPart = pairs.select("l_partkey").distinct().count()
+    val got = GraphOps.qDegreeHist(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.map(_._3).sum === nSupp + nPart)
+    // undirected bipartite: each side's degrees sum to the pair count
+    assert(got.filter(_._1 == "supplier").map(_._6).sum === nPairs)
+    assert(got.filter(_._1 == "part").map(_._6).sum === nPairs)
+    // bit-length bucket bounds: 2^bucket <= deg < 2^(bucket+1)
+    got.foreach { case (_, b, _, lo, hi, _) =>
+      assert(lo >= (1L << b) && hi < (1L << (b + 1)))
+    }
+  }
+
   test("link prediction: CN + RA equal a JVM replay, no existing edges") {
     val dir = "/root/testdata/sf0.001"
     val edges = GraphOps.copurchaseEdges(spark, dir)

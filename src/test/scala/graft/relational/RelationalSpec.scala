@@ -169,6 +169,53 @@ class RelationalSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("rolling 3-sigma outliers equal an exact JVM replay") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), expr("ts div 1000"),
+        col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._3, r._2))
+      s.indices.flatMap { i =>
+        val w = s.slice(math.max(0, i - 50), i).map(_._4)
+        val n = w.length.toLong
+        if (n < 20) None
+        else {
+          val sum = w.sum; val ss = w.map(c => c * c).sum
+          val dev = n * s(i)._4 - sum
+          if (dev * dev > 9 * (n * ss - sum * sum))
+            Some(s(i)._2 -> ((n, sum, ss))) else None
+        }
+      }
+    }
+    val got = EventQueries.qRollingOutliers(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got.size === want.size)
+    want.foreach { case (id, v) => assert(got(id) === v, s"event $id") }
+    assert(got.nonEmpty)
+  }
+
+  test("fixed-point EWMA equals a JVM fold over the ordered sequence") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("ts div 1000"), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.floor(r.getDouble(3) * 100 + 0.5).toLong))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val cs = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      u -> ((cs.length.toLong, cs.tail.foldLeft(cs.head) {
+        (acc, c) => (acc * 7 + c) / 8
+      }))
+    }
+    val got = EventQueries.qEwma(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
   test("funnel stages equal a JVM replay and shrink monotonically") {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_type"), expr("ts div 1000"))

@@ -256,6 +256,23 @@ class TextOpsSpec extends SparkSpec {
     assert(meanBi < meanUni, s"bigram NLL $meanBi !< unigram $meanUni")
   }
 
+  test("dataset card equals a JVM replay of the per-source manifest") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("source", "text", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val want = docs.groupBy(_._1).map { case (s, rows) =>
+      s -> ((rows.length.toLong, rows.map(_._4).sum,
+        rows.map(_._2.split(" ", -1).length.toLong).sum,
+        rows.map(_._3).distinct.length.toLong,
+        rows.length.toLong - rows.map(_._2).distinct.length.toLong))
+    }
+    val got = TextOps.qDatasetCard(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+  }
+
   test("collocations equal an exact BigInt replay of the lift gate") {
     val docs = graft.relational.Tables.load(spark, dir, "documents")
       .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
