@@ -108,6 +108,8 @@ object SparkEntry {
     // rolling 3σ outliers: exact integer cross-multiplied z-test
     "q_rolling_outliers" -> ((s: SparkSession, d: String) =>
       EventQueries.qRollingOutliers(s, d)),
+    // first-order Markov transition census (integer-ppm probabilities)
+    "q_event_transitions" -> (EventQueries.qEventTransitions _),
     // fixed-point EWMA recurrence via bounded grouped-list fold
     "q_ewma" -> (EventQueries.qEwma _),
     // cohort retention matrix (first-seen week × weeks-since activity)
@@ -187,6 +189,9 @@ object SparkEntry {
       TextOps.qCollocations(s, d)),
     // per-source dataset card (counts, language spread, dup rate)
     "q_dataset_card" -> (TextOps.qDatasetCard _),
+    // doc-doc weighted-Jaccard top-k over the shared inverted index
+    "q_doc_jaccard_topk" -> ((s: SparkSession, d: String) =>
+      TextOps.qDocJaccardTopK(s, d)),
     // Gopher-style repetition ratios (exact integer fractions)
     "q_repetition_stats" -> (TextOps.qRepetitionStats _),
     // -- dedup (north star) --
@@ -1415,6 +1420,20 @@ object SparkEntry {
         |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    "q_event_transitions" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |        epoch_us(ts) AS ts_us FROM events),
+        |t AS (SELECT user_id, event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id) AS prev_type
+        |      FROM ev),
+        |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |       FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+        |      FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.next_type, tr.n,
+        |  CAST(tr.n * 1000000 // o.out_n AS BIGINT) AS p_ppm
+        |FROM tr JOIN o ON tr.prev_type = o.prev_type""".stripMargin,
     // |x−μ|>3σ cross-multiplied to integers: (n·c−S)² > 9·(n·SS−S²)
     "q_rolling_outliers" ->
       """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
@@ -1782,6 +1801,26 @@ object SparkEntry {
         |      CROSS JOIN tot
         |      GROUP BY 1)
         |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
+    // weighted Jaccard: Σmin/(|q|+|d|−Σmin) in exact integer ppm
+    "q_doc_jaccard_topk" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |q AS (SELECT doc_id AS qid, tok, tf AS qtf FROM tf WHERE doc_id < 10),
+        |i AS (SELECT q.qid, t.doc_id AS did,
+        |        CAST(sum(least(t.tf, q.qtf)) AS BIGINT) AS inter
+        |      FROM tf t JOIN q ON t.tok = q.tok AND t.doc_id <> q.qid
+        |      GROUP BY 1, 2),
+        |s AS (SELECT i.qid, i.did,
+        |        CAST(i.inter * 1000000 // (ql.dl + dd.dl - i.inter) AS BIGINT) AS sim_ppm
+        |      FROM i JOIN dl ql ON i.qid = ql.doc_id
+        |      JOIN dl dd ON i.did = dd.doc_id)
+        |SELECT qid, did, sim_ppm, rnk FROM (
+        |  SELECT qid, did, sim_ppm,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY sim_ppm DESC, did) AS BIGINT) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 5""".stripMargin,
     "q_dataset_card" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

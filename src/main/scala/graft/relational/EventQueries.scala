@@ -283,6 +283,31 @@ object EventQueries {
         (col("ts_us") - col("last_click.ts_us")).as("us_since_click"))
   }
 
+  /** First-order Markov transition census over per-user event streams:
+    * for each (prev_type → next_type) pair, the transition count and its
+    * probability in integer ppm of the prev-type's outgoing total — the
+    * behavioral model behind next-event prediction and anomaly scoring
+    * (a transition with tiny ppm IS the anomaly signal).
+    *
+    * One lag window per user (bounded partitions), one map-side
+    * aggregation on the 25-cell pair space, one broadcast join for the
+    * denominators; ppm is exact integer division. */
+  def qEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tr = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros.as("ts_us"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val outTotals = tr.groupBy("prev_type").agg(sum("n").as("out_n"))
+    tr.join(broadcast(outTotals), "prev_type")
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        col("n"),
+        expr("n * 1000000 div out_n").as("p_ppm"))
+  }
+
   /** Rolling z-score anomaly detection: an event is flagged when its
     * value sits more than 3σ from the mean of the preceding `win` events
     * of its type — the streaming-shaped outlier monitor, run batch.

@@ -544,4 +544,41 @@ object TextOps {
       nQueries: Int = 20, k: Int = 10): DataFrame =
     bm25TopK(load(spark, dir, "documents"), nQueries, k,
       tfOpt = Some(cachedTf(spark, dir)))
+
+  /** Doc-to-doc weighted-Jaccard top-k: for each query document, the k
+    * most similar OTHER documents by the token-multiset Jaccard
+    * `Σmin(tf_q,tf_d) / Σmax(tf_q,tf_d)` — the sparse-lexical
+    * counterpart of embedding near-dup, and a fully EXACT similarity:
+    * `Σmax = |q| + |d| − Σmin`, so the score is one integer ppm
+    * division with no IEEE arithmetic anywhere.
+    *
+    * Scale shape: the query side (nQueries docs × their tokens)
+    * broadcasts into the shared inverted index (the cached BM25 tf
+    * relation — one tokenize pass per corpus per session), Σmin
+    * aggregates map-side on (qid, did), doc lengths join from a
+    * doc-count-sized side table, and the ranking ships k rows per query
+    * per partition through the native TopKPerKey operator. */
+  def qDocJaccardTopK(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val tf = cachedTf(spark, dir)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val qtf = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qid"), col("tok"), col("tf").as("qtf"))
+    val inter = tf
+      .join(broadcast(qtf), "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("did"))
+      .agg(sum(least(col("tf"), col("qtf"))).as("inter"))
+    val scored = inter
+      .join(broadcast(dl.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("qid"), col("dl").as("qlen"))), "qid")
+      .join(dl.select(col("doc_id").as("did"), col("dl").as("dlen")), "did")
+      .select(col("qid"), col("did"),
+        expr("inter * 1000000 div (qlen + dlen - inter)").as("sim_ppm"))
+    graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("qid")),
+      order = Seq(col("sim_ppm").desc, col("did").asc),
+      k = k)
+  }
 }

@@ -169,6 +169,30 @@ class RelationalSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("Markov transitions equal a JVM replay; mass accounts per prev") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).values.flatMap { rows =>
+      val s = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      s.zip(s.tail)
+    }.toSeq
+    val cnt = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = trans.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = EventQueries.qEventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size === cnt.size)
+    cnt.foreach { case (k, n) =>
+      assert(got(k) === ((n, n * 1000000L / out(k._1))), s"pair $k")
+    }
+    // every non-first event is exactly one transition
+    val nUsers = ev.map(_._1).distinct.length
+    assert(got.values.map(_._1).sum === ev.length - nUsers)
+  }
+
   test("rolling 3-sigma outliers equal an exact JVM replay") {
     val ev = Tables.load(spark, dir, "events")
       .select(col("event_type"), col("event_id"), expr("ts div 1000"),

@@ -256,6 +256,31 @@ class TextOpsSpec extends SparkSpec {
     assert(meanBi < meanUni, s"bigram NLL $meanBi !< unigram $meanUni")
   }
 
+  test("doc-doc weighted Jaccard top-k equals an exact JVM replay") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).groupBy(identity)
+          .view.mapValues(_.length.toLong).toMap)
+      .toMap
+    val dl = docs.view.mapValues(_.values.sum).toMap
+    val want = (0L until 10L).map { q =>
+      val scored = docs.keys.filter(_ != q).flatMap { d =>
+        val inter = docs(q).keysIterator
+          .map(t => math.min(docs(q)(t), docs(d).getOrElse(t, 0L))).sum
+        if (inter == 0) None // no shared token -> no inverted-index row
+        else Some(d -> inter * 1000000L / (dl(q) + dl(d) - inter))
+      }.toSeq
+      q -> scored.sortBy { case (d, s) => (-s, d) }.take(5)
+    }.toMap
+    val got = TextOps.qDocJaccardTopK(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (q, exp) => assert(got(q) === exp, s"query $q") }
+  }
+
   test("dataset card equals a JVM replay of the per-source manifest") {
     val docs = graft.relational.Tables.load(spark, dir, "documents")
       .select("source", "text", "lang", "n_chars").collect()
