@@ -324,9 +324,12 @@ object GraphOps {
     * (each hop an equi-join on `(nsrc, rk)`, no fan-out). A
     * deterministic corpus artifact — same cache class as the
     * degree-annotated edge table, NOT the walk result. */
-  def walkIndex(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def walkIndex(spark: SparkSession, edges: DataFrame,
+      forceLarge: Boolean = false): DataFrame = {
     // ~16 bytes per packed (long,long) adjacency entry; 64 MB cap.
-    val smallIndex = edges.count() * 16L < (64L << 20)
+    // forceLarge pins the rank-annotated (big-graph) shape — the
+    // equivalence property in GraphSpec runs both paths on one graph.
+    val smallIndex = !forceLarge && edges.count() * 16L < (64L << 20)
     val ix =
       if (smallIndex)
         edges.groupBy(col("src").as("nsrc"))

@@ -290,6 +290,36 @@ class GraphSpec extends SparkSpec {
     assert(GraphOps.kCore(spark, edges, 5).isEmpty)
   }
 
+  test("walk kernel path == step-join path on random graphs") {
+    // the two walk implementations (collected-adjacency kernel vs
+    // per-step rank join) must be indistinguishable on ANY graph; seeds
+    // chosen deterministically so the case replays
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 3) {
+      val n = 6 + rnd.nextInt(10)
+      val und = (for {
+        u <- 0L until n.toLong; v <- (u + 1) until n.toLong
+        if rnd.nextInt(100) < 35
+      } yield (u, v)).toSeq
+      // keep every node reachable: chain fallback for isolated nodes
+      val chain = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      val edges = (und ++ chain).distinct
+        .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .toDF("src", "dst")
+      val starts = edges.select(col("src").as("node")).distinct()
+      val small = GraphOps.randomWalks(spark, edges, starts, 6, 2,
+        index = Some(GraphOps.walkIndex(spark, edges)))
+      val large = GraphOps.randomWalks(spark, edges, starts, 6, 2,
+        index = Some(GraphOps.walkIndex(spark, edges, forceLarge = true)))
+      val a = small.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val b = large.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(a === b, s"trial $trial: kernel and join paths diverged")
+      assert(a.nonEmpty)
+    }
+  }
+
   test("degree histogram: buckets partition nodes, sum_deg = edge count") {
     val dir = "/root/testdata/sf0.001"
     val pairs = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -25,6 +25,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling outliers == batch window twin on ordered feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.relational.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "event_id", "ts div 1000 as ts_us",
+        "cast(floor(value * 100 + 0.5) as long) as cents")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => graft.streaming.RollingAnomaly.ValueEvent(r._1, r._2, r._3, r._4))
+      .sortBy(e => (e.tsUs, e.eventId))
+    // three time-ordered micro-batches: state must carry across batches
+    val batches = rows.grouped(math.max(1, rows.length / 3 + 1)).toSeq
+    val input = MemoryStream[graft.streaming.RollingAnomaly.ValueEvent]
+    val name = s"outliers_${System.nanoTime()}"
+    val q = graft.streaming.RollingAnomaly.detect(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name)
+          .as[graft.streaming.RollingAnomaly.Outlier].collect()
+      } finally q.stop()
+    val want = graft.relational.EventQueries.qRollingOutliers(spark, dir)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)))).toMap
+    val gotMap = got
+      .map(o => o.eventId -> ((o.cents, o.winN, o.winSum, o.winSumsq))).toMap
+    assert(gotMap === want)
+    assert(gotMap.nonEmpty)
+  }
+
   test("A1: eager reply on first found; stragglers don't re-emit") {
     val replies = runVerdicts(Seq(
       Seq(PartitionVerdict(7L, 0, 3, found = false, null)),
