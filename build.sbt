@@ -31,5 +31,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 164 queries round-robin in ONE JVM: at 8g the persisted
+  // intermediates (shingle arrays, inverted index, edge artifacts)
+  // evict under storage pressure and later rounds re-pay their build —
+  // the box has 128 GiB, so give the forked driver room to keep them
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -277,6 +277,9 @@ object SparkEntry {
     // shortlist, fixed-point integer scores, unrolled-CTE oracle
     "q_mmr_rerank" -> ((s: SparkSession, d: String) =>
       Similarity.qMmrRerank(s, d)),
+    // kNN label-recovery confusion census (embedding-quality probe)
+    "q_knn_eval" -> ((s: SparkSession, d: String) =>
+      Similarity.qKnnEval(s, d)),
     "q_hard_negatives" -> ((s: SparkSession, d: String) =>
       Similarity.qHardNegatives(s, d)),
     // data-quality sweep: vectors farthest from their own trained
@@ -2172,6 +2175,28 @@ object SparkEntry {
     // such a miss diagnosable as band escape rather than a logic bug;
     // on the driver's corpora recall is exactly 1.0.
     "q_mmr_rerank" -> mmrSql,
+    // majority vote tiebreak = smallest label; qid partitioning keeps
+    // the vote argmax per query before the confusion census
+    "q_knn_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |d AS (SELECT q.vec_id AS qid, q.label AS tl, c.vec_id AS nid,
+        |        c.label AS nl, round(${duckCos("q.v", "c.v")}, 6) AS sim
+        |      FROM e q JOIN e c
+        |        ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+        |top AS (SELECT qid, tl, nl FROM (
+        |          SELECT qid, tl, nl, row_number() OVER (
+        |            PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM d)
+        |        WHERE rn <= 5),
+        |v AS (SELECT qid, tl, nl, count(*) AS votes
+        |      FROM top GROUP BY 1, 2, 3),
+        |p AS (SELECT qid, tl, nl FROM (
+        |        SELECT qid, tl, nl, row_number() OVER (
+        |          PARTITION BY qid ORDER BY votes DESC, nl) AS rn FROM v)
+        |      WHERE rn = 1)
+        |SELECT tl AS true_label, nl AS pred_label, count(*) AS n
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "q_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1063,6 +1063,42 @@ object Similarity {
         col("is_keeper"))
   }
 
+  /** kNN-classifier evaluation: predict each query vector's label by
+    * majority vote of its k exact-cosine neighbors (excluding itself),
+    * and report the label confusion census — the embedding-quality probe
+    * a pipeline runs before trusting vectors for dedup/search (if kNN
+    * can't recover labels, SemDeDup thresholds are meaningless).
+    *
+    * Deterministic end-to-end: rounded-similarity ranking with id
+    * tiebreak (the brute-force ANN contract), majority vote broken by
+    * SMALLEST label via one `min(struct(-votes, label))` — no window
+    * over the vote table. Scale: queries × corpus is the documented
+    * brute-force baseline shape; swap the candidate generator for the
+    * IVF/LSH index to serve it at 100 TB. */
+  def qKnnEval(spark: SparkSession, dir: String,
+      nQueries: Int = 100, k: Int = 5): DataFrame = {
+    val emb = corpus(spark, dir)
+    val q = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn"), col("label").cast("long").as("true_label"))
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+      col("norm").as("nn"), col("label").cast("long").as("nl"))
+    val scored = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("true_label"), col("nid"), col("nl"),
+        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    val votes = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("qid", "true_label", "nl")
+      .agg(count(lit(1)).as("votes"))
+    votes.groupBy("qid", "true_label")
+      .agg(min(struct((-col("votes")).as("nv"), col("nl"))).as("best"))
+      .select(col("true_label"), col("best.nl").as("pred_label"))
+      .groupBy("true_label", "pred_label")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** MMR (maximal marginal relevance) diversified top-k: re-rank a
     * relevance shortlist so each pick maximizes
     * `λ·rel − (1−λ)·max-sim-to-already-picked` — the standard diversity

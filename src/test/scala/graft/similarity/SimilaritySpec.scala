@@ -35,6 +35,39 @@ class SimilaritySpec extends SparkSpec {
     (0L until 5L).foreach { q => assert(got(q) === want(q), s"query $q") }
   }
 
+  test("kNN eval equals a JVM replay; diagonal dominates on real labels") {
+    val rows = graft.relational.Tables.load(spark, dir, "embeddings")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getLong(2)))
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val confusion = scala.collection.mutable.Map[(Long, Long), Long]()
+    rows.map(_._1).filter(_ < 100).foreach { q =>
+      val top = rows.filter(_._1 != q)
+        .map { case (id, v, _) =>
+          (id, BigDecimal(cos(vecs(q), v))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      val votes = top.groupBy(t => labels(t._1)).view.mapValues(_.size)
+      val pred = votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
+      val k = (labels(q), pred)
+      confusion(k) = confusion.getOrElse(k, 0L) + 1
+    }
+    val got = Similarity.qKnnEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === confusion.toMap)
+    // the labels are real structure: majority of predictions correct
+    val correct = got.filter(k => k._1._1 == k._1._2).values.sum
+    assert(correct * 2 > got.values.sum,
+      s"kNN label recovery below 50% ($correct of ${got.values.sum})")
+  }
+
   test("MMR rerank equals a JVM greedy replay and diversifies") {
     val vecs = graft.relational.Tables.load(spark, dir, "embeddings")
       .collect()
