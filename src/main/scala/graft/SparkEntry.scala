@@ -110,6 +110,10 @@ object SparkEntry {
       EventQueries.qRollingOutliers(s, d)),
     // first-order Markov transition census (integer-ppm probabilities)
     "q_event_transitions" -> (EventQueries.qEventTransitions _),
+    // 2×2 chi-square A/B conversion test (exact cells, one division)
+    "q_ab_test" -> (EventQueries.qAbTest _),
+    // PSI drift census: deciles fit on the early half, per-bucket terms
+    "q_drift_psi" -> (EventQueries.qDriftPsi _),
     // fixed-point EWMA recurrence via bounded grouped-list fold
     "q_ewma" -> (EventQueries.qEwma _),
     // cohort retention matrix (first-seen week × weeks-since activity)
@@ -1423,6 +1427,78 @@ object SparkEntry {
         |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    // chi2 = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)): exact HUGEINT operands,
+    // one IEEE division (the q_embedding_cov discipline)
+    "q_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |        max(CASE WHEN event_type = 'purchase' AND value > 120.0
+        |          THEN 1 ELSE 0 END) AS conv
+        |      FROM events GROUP BY 1),
+        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
+        |cell AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN variant = 0 THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN variant = 1 THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+        |  FROM v)
+        |SELECT a, b, c, d,
+        |  CASE WHEN CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) = 0
+        |    THEN 0.0
+        |  ELSE
+        |    CAST(CAST(a + b + c + d AS HUGEINT)
+        |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+        |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE)
+        |    / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) AS DOUBLE)
+        |  END AS chi2
+        |FROM cell""".stripMargin,
+    // per-bucket PSI terms only — no cross-row IEEE sum; shares are
+    // add-one-smoothed integer ppm, deciles fit on the early half
+    "q_drift_psi" -> {
+      val bs = (1 to 9).map(k =>
+        s"min(CASE WHEN cumn >= (n - 1) * ${k * 10} // 100 + 1 THEN value END) AS b$k")
+        .mkString(",\n    ")
+      val bin = (1 to 9)
+        .map(k => s"CASE WHEN value >= b$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH ev AS (SELECT (epoch_us(ts) // 3600000000) AS hr,
+         |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value FROM events),
+         |n AS (SELECT count(*) AS n FROM ev),
+         |freq AS (SELECT hr, count(*) AS c FROM ev GROUP BY 1),
+         |cum AS (SELECT hr, sum(c) OVER (ORDER BY hr
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+         |        FROM freq),
+         |cutoff AS (SELECT min(CASE WHEN cumn >= (n - 1) * 50 // 100 + 1
+         |             THEN hr END) AS cut_hr
+         |           FROM cum CROSS JOIN n),
+         |tagged AS MATERIALIZED (SELECT value,
+         |             CASE WHEN hr <= cut_hr THEN 'early' ELSE 'late' END AS half
+         |           FROM ev CROSS JOIN cutoff),
+         |efreq AS (SELECT value, count(*) AS c FROM tagged
+         |          WHERE half = 'early' GROUP BY 1),
+         |ecum AS (SELECT value, sum(c) OVER (ORDER BY value
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+         |         FROM efreq),
+         |en AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM efreq),
+         |bounds AS (SELECT
+         |    $bs
+         |  FROM ecum CROSS JOIN en),
+         |counts AS (SELECT bucket,
+         |    CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+         |    CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS nl
+         |  FROM (SELECT half, CAST($bin AS BIGINT) AS bucket
+         |        FROM tagged CROSS JOIN bounds)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ne) AS BIGINT) AS te,
+         |          CAST(sum(nl) AS BIGINT) AS tl FROM counts),
+         |shares AS (SELECT bucket, ne, nl,
+         |    CAST((ne + 1) * 1000000 // (te + 10) AS BIGINT) AS p_ppm,
+         |    CAST((nl + 1) * 1000000 // (tl + 10) AS BIGINT) AS q_ppm
+         |  FROM counts CROSS JOIN tot)
+         |SELECT bucket, ne, nl, p_ppm, q_ppm,
+         |  round(CAST(p_ppm - q_ppm AS DOUBLE) / 1e6
+         |    * ln(CAST(p_ppm AS DOUBLE) / q_ppm), 6) AS psi_term
+         |FROM shares""".stripMargin
+    },
     "q_event_transitions" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,
         |        epoch_us(ts) AS ts_us FROM events),

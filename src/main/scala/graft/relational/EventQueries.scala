@@ -283,6 +283,121 @@ object EventQueries {
         (col("ts_us") - col("last_click.ts_us")).as("us_since_click"))
   }
 
+  /** A/B conversion test: users split into two deterministic variants
+    * (`user_id % 2`), conversion = "has at least one purchase", and the
+    * 2×2 independence test reported as the chi-square statistic
+    * `N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` — the experiment-analysis
+    * query every product pipeline runs.
+    *
+    * All four cells are exact integer counts; the statistic is ONE IEEE
+    * division of exact decimal(38,0) operands (the q_embedding_cov
+    * discipline — `(ad−bc)²·N` outgrows a long at real user counts), so
+    * the oracle is bit-exact. One aggregation per user, one 4-cell
+    * census — nothing here scales with events beyond the first pass. */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    // conversion = a HIGH-VALUE purchase: on this lake every user makes
+    // SOME purchase (a constant-true outcome zeroes two margins and the
+    // statistic is undefined), so the tested outcome is the rarer one a
+    // real experiment would gate on
+    val perUser = load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 120.0, 1L).otherwise(0L))
+        .as("converted"))
+      .select(pmod(col("user_id"), lit(2)).as("variant"), col("converted"))
+    val cells = perUser.groupBy("variant")
+      .agg(sum("converted").as("conv"),
+        (count(lit(1)) - sum("converted")).as("nonconv"))
+    val wide = cells.agg(
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("a"),
+      sum(when(col("variant") === 0, col("nonconv")).otherwise(0L)).as("b"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c"),
+      sum(when(col("variant") === 1, col("nonconv")).otherwise(0L)).as("d"))
+    wide.select(col("a"), col("b"), col("c"), col("d"),
+      // a zero margin means the outcome or variant is constant — no
+      // information, statistic defined as 0 (mirrored in the oracle)
+      expr("""case when cast(a + b as decimal(38,0)) * (c + d)
+              * (a + c) * (b + d) = 0 then cast(0.0 as double)
+        else cast(
+          cast(a + b + c + d as decimal(38,0)) *
+          (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c) *
+          (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)
+        as double) /
+        cast(
+          cast(a + b as decimal(38,0)) * (c + d) * (a + c) * (b + d)
+        as double) end""").as("chi2"))
+  }
+
+  /** Population-stability drift census (PSI, per bucket): value deciles
+    * fit on the EARLIER half of the event stream (by global median µs —
+    * the "training snapshot"), then both halves' per-bucket shares in
+    * integer ppm, plus the per-bucket PSI contribution
+    * `(p−q)·ln(p/q)` — the model-monitoring drift report.
+    *
+    * Determinism: bucket boundaries are rank-selected raw values (the
+    * q_value_clip machinery) on the early half; shares are exact
+    * integer ppm; each PSI term is a PER-ROW expression over two exact
+    * integers (one ln, one multiply — no cross-row IEEE accumulation,
+    * which is why the report is per-bucket and the total is left to the
+    * reader). Add-one smoothing on both shares keeps ln finite when a
+    * bucket empties in one half. */
+  def qDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(expr("(ts div 1000) div 3600000000").as("hour"),
+        // cents quantization bounds BOTH histograms' cardinality (the
+        // decile-fit window below runs over distinct cents, not raw
+        // doubles — the difference between a value-domain-sized and a
+        // row-count-sized window input at 100 TB)
+        floor(col("value") * 100 + 0.5).cast("long").as("value"))
+    // split at the median HOUR — the rank selection runs over the
+    // per-hour histogram (cardinality = time range in hours, bounded),
+    // never a window over raw event timestamps
+    val n = ev.agg(count(lit(1)).as("n"))
+    val freq = ev.groupBy("hour").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cutoff = freq.withColumn("cumn", sum("c").over(w))
+      .crossJoin(broadcast(n))
+      .agg(min(when(col("cumn") >= expr("(n - 1) * 50 div 100 + 1"),
+        col("hour"))).as("cut_hour"))
+    val tagged = ev.crossJoin(broadcast(cutoff))
+      .select(col("value"),
+        when(col("hour") <= col("cut_hour"), lit("early"))
+          .otherwise(lit("late")).as("half"))
+    // decile bounds on the EARLY half only (the reference snapshot);
+    // this window also runs over a distinct-VALUE histogram
+    val early = tagged.filter(col("half") === "early").select("value")
+    val efreq = early.groupBy("value").agg(count(lit(1)).as("c"))
+    val ew = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ecum = efreq.withColumn("cumn", sum("c").over(ew))
+    val bounds = ecum.agg(sum("c").as("n")).crossJoin(ecum)
+      .groupBy("n")
+      .agg(
+        min(when(col("cumn") >= expr(s"(n - 1) * 10 div 100 + 1"),
+          col("value"))).as("b1"),
+        (2 to 9).map(k =>
+          min(when(col("cumn") >= expr(s"(n - 1) * ${k * 10} div 100 + 1"),
+            col("value"))).as(s"b$k")): _*)
+    val bin = (1 to 9)
+      .map(k => when(col("value") >= col(s"b$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val counts = tagged.crossJoin(broadcast(bounds))
+      .withColumn("bucket", bin)
+      .groupBy("bucket")
+      .agg(sum(when(col("half") === "early", 1L).otherwise(0L)).as("ne"),
+        sum(when(col("half") === "late", 1L).otherwise(0L)).as("nl"))
+    val totals = counts.agg(sum("ne").as("te"), sum("nl").as("tl"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("ne"), col("nl"),
+        expr("(ne + 1) * 1000000 div (te + 10)").as("p_ppm"),
+        expr("(nl + 1) * 1000000 div (tl + 10)").as("q_ppm"))
+      .withColumn("psi_term",
+        round((col("p_ppm") - col("q_ppm")).cast("double") / 1e6 *
+          log(col("p_ppm").cast("double") / col("q_ppm").cast("double")),
+          6))
+  }
+
   /** First-order Markov transition census over per-user event streams:
     * for each (prev_type → next_type) pair, the transition count and its
     * probability in integer ppm of the prev-type's outgoing total — the

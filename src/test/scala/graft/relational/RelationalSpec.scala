@@ -169,6 +169,63 @@ class RelationalSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("A/B chi-square equals an exact BigInt replay of the 2x2 test") {
+    val ev = Tables.load(spark, dir, "events")
+      .select("user_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val conv = ev.groupBy(_._1).map { case (u, rows) =>
+      u -> (if (rows.exists(r => r._2 == "purchase" && r._3 > 120.0)) 1L
+        else 0L)
+    }
+    val a = conv.count { case (u, c) => u % 2 == 0 && c == 1 }.toLong
+    val b = conv.count { case (u, c) => u % 2 == 0 && c == 0 }.toLong
+    val c = conv.count { case (u, cc) => u % 2 == 1 && cc == 1 }.toLong
+    val d = conv.count { case (u, cc) => u % 2 == 1 && cc == 0 }.toLong
+    val num = BigInt(a + b + c + d) *
+      (BigInt(a) * d - BigInt(b) * c) * (BigInt(a) * d - BigInt(b) * c)
+    val den = BigInt(a + b) * (c + d) * (a + c) * (b + d)
+    val want = num.toDouble / den.toDouble
+    val row = EventQueries.qAbTest(spark, dir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((a, b, c, d)))
+    assert(row.getDouble(4) === want)
+  }
+
+  test("PSI drift census equals a JVM replay of shares and terms") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(expr("(ts div 1000) div 3600000000"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    val n = ev.length.toLong
+    val hours = ev.map(_._1).groupBy(identity).view.mapValues(_.size).toSeq
+      .sortBy(_._1)
+    var cum = 0L
+    val cutHour = hours.collectFirst {
+      case (h, c) if { cum += c; cum >= (n - 1) * 50 / 100 + 1 } => h
+    }.get
+    val (early, late) = ev.partition(_._1 <= cutHour)
+    val evals = early.map(_._2).sorted
+    val bounds = (1 to 9).map { k =>
+      val kth = ((evals.length - 1).toLong * (k * 10) / 100 + 1).toInt
+      evals(kth - 1)
+    }
+    def bucket(v: Long): Long = bounds.count(v >= _).toLong
+    val ne = early.groupBy(e => bucket(e._2)).view.mapValues(_.size.toLong)
+    val nl = late.groupBy(e => bucket(e._2)).view.mapValues(_.size.toLong)
+    val te = early.length.toLong; val tl = late.length.toLong
+    val got = EventQueries.qDriftPsi(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(got.keySet === (ne.keySet ++ nl.keySet))
+    got.foreach { case (bkt, (gNe, gNl, p, q, term)) =>
+      assert(gNe === ne.getOrElse(bkt, 0L) && gNl === nl.getOrElse(bkt, 0L))
+      assert(p === (gNe + 1) * 1000000L / (te + 10))
+      assert(q === (gNl + 1) * 1000000L / (tl + 10))
+      val wantTerm = (p - q).toDouble / 1e6 * math.log(p.toDouble / q)
+      assert(math.abs(term - wantTerm) < 1e-6, s"bucket $bkt")
+    }
+  }
+
   test("Markov transitions equal a JVM replay; mass accounts per prev") {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
