@@ -112,6 +112,10 @@ object SparkEntry {
     "q_event_transitions" -> (EventQueries.qEventTransitions _),
     // 2×2 chi-square A/B conversion test (exact cells, one division)
     "q_ab_test" -> (EventQueries.qAbTest _),
+    // session-opening trigram census (order-3 journey paths)
+    "q_session_paths" -> (EventQueries.qSessionPaths _),
+    // incremental additive aggregate maintenance (state never shuffles)
+    "q_incr_agg" -> (graft.sources.LakeMerge.qIncrAgg _),
     // PSI drift census: deciles fit on the early half, per-bucket terms
     "q_drift_psi" -> (EventQueries.qDriftPsi _),
     // fixed-point EWMA recurrence via bounded grouped-list fold
@@ -1427,6 +1431,35 @@ object SparkEntry {
         |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
+    "q_session_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |        epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT user_id, event_id, event_type, ts_us,
+        |        lag(ts_us) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id) AS prev_us FROM e),
+        |g AS (SELECT user_id, event_id, event_type, ts_us,
+        |        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+        |          THEN 1 ELSE 0 END AS ns FROM f),
+        |h AS (SELECT user_id, event_id, event_type, ts_us,
+        |        sum(ns) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id) AS sid FROM g),
+        |r AS (SELECT user_id, sid, event_type,
+        |        row_number() OVER (PARTITION BY user_id, sid
+        |          ORDER BY ts_us, event_id) AS rn FROM h),
+        |p AS (SELECT user_id, sid,
+        |        max(CASE WHEN rn = 1 THEN event_type END) AS t1,
+        |        max(CASE WHEN rn = 2 THEN event_type END) AS t2,
+        |        max(CASE WHEN rn = 3 THEN event_type END) AS t3
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n_sessions
+        |FROM p WHERE t3 IS NOT NULL GROUP BY 1""".stripMargin,
+    // the incremental fold must equal the one-shot aggregate — the
+    // oracle IS the full recompute
+    "q_incr_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1""".stripMargin,
     // chi2 = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)): exact HUGEINT operands,
     // one IEEE division (the q_embedding_cov discipline)
     "q_ab_test" ->

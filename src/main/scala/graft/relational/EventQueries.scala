@@ -283,6 +283,41 @@ object EventQueries {
         (col("ts_us") - col("last_click.ts_us")).as("us_since_click"))
   }
 
+  /** Session-path mining: the census of session-OPENING event-type
+    * trigrams (`t1>t2>t3` of each ≥3-event session) — the "how do
+    * journeys start" product query, and the n-gram generalization of
+    * the Markov transition census ([[qEventTransitions]] models one
+    * step; paths capture order-3 structure).
+    *
+    * Derivation is [[qEventsSessionize]]'s gaps-and-islands pass plus a
+    * per-session rank; the trigram pivots out via three conditional
+    * `max`es (no ordered `collect_list` — aggregation order is not a
+    * contract anywhere). Path space is bounded by |event types|³. */
+  def qSessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sess = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros.as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum("ns").over(byUser))
+    val bySess = Window.partitionBy("user_id", "sid")
+      .orderBy("ts_us", "event_id")
+    sess.withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id", "sid")
+      .agg(
+        max(when(col("rn") === 1, col("event_type"))).as("t1"),
+        max(when(col("rn") === 2, col("event_type"))).as("t2"),
+        max(when(col("rn") === 3, col("event_type"))).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+  }
+
   /** A/B conversion test: users split into two deterministic variants
     * (`user_id % 2`), conversion = "has at least one purchase", and the
     * 2×2 independence test reported as the chi-square statistic

@@ -198,6 +198,51 @@ object LakeMerge {
       "c_custkey", digest)
   }
 
+  /** Incrementally maintain an ADDITIVE aggregate state table under a
+    * delta batch — the materialized-view-maintenance op (per-key counts
+    * and sums absorb each micro-batch instead of recomputing the
+    * aggregate over all history).
+    *
+    * `state` and `delta` share the schema (`key`, metrics…); metrics
+    * must be additive (count/sum — avg is kept as (count, sum)). The
+    * state — the 100 TB side — is never shuffled: existing keys update
+    * via a broadcast left join, and the new-key leg derives from a
+    * broadcast SEMI join whose output is delta-bounded, so both state
+    * passes are streamed scans. Equivalence with full recomputation
+    * over all ingested rows is model-checked in LakeMergeSpec. */
+  def mergeAdditive(state: DataFrame, delta: DataFrame, key: String,
+      metrics: Seq[String]): DataFrame = {
+    val updated = state.alias("s")
+      .join(broadcast(delta.alias("d")),
+        col(s"s.$key") === col(s"d.$key"), "left")
+      .select(col(s"s.$key").as(key) +: metrics.map(m =>
+        (col(s"s.$m") + coalesce(col(s"d.$m"), lit(0L))).as(m)): _*)
+    val matchedKeys = state
+      .join(broadcast(delta.select(key).distinct()), Seq(key), "left_semi")
+      .select(key)
+    val fresh = delta.join(broadcast(matchedKeys), Seq(key), "left_anti")
+    updated.unionByName(fresh)
+  }
+
+  /** Per-user (count, cents) aggregate maintained incrementally over
+    * the event stream split into three arrival batches (`event_id % 3`)
+    * — the state after the last batch must equal (and its oracle IS)
+    * the one-shot aggregate over everything. */
+  def qIncrAgg(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val ev = graft.relational.Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def batchAgg(b: Int): DataFrame = ev
+      .filter(pmod(col("event_id"), lit(3)) === b)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+    (1 to 2).foldLeft(batchAgg(0)) { (state, b) =>
+      mergeAdditive(state, batchAgg(b), "user_id",
+        Seq("n_events", "sum_cents"))
+    }
+  }
+
   /** SCD2-apply the change batch to a version-0 history of the customer
     * dimension; emits the full version history. */
   def qScd2(spark: org.apache.spark.sql.SparkSession,

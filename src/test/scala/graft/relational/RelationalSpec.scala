@@ -169,6 +169,18 @@ class RelationalSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("session paths cover exactly the >=3-event sessions") {
+    val paths = EventQueries.qSessionPaths(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val bigSessions = EventQueries.qEventsSessionize(spark, dir).collect()
+      .count(_.getLong(2) >= 3).toLong
+    assert(paths.map(_._2).sum === bigSessions)
+    paths.foreach { case (p, _) =>
+      assert(p.split(">").length === 3, s"malformed path $p")
+    }
+    assert(paths.nonEmpty)
+  }
+
   test("A/B chi-square equals an exact BigInt replay of the 2x2 test") {
     val ev = Tables.load(spark, dir, "events")
       .select("user_id", "event_type", "value").collect()

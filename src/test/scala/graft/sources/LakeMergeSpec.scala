@@ -98,6 +98,36 @@ class LakeMergeSpec extends SparkSpec {
     assert(target.count() > diff.size, "diff must be change-sized")
   }
 
+  test("additive merge: incremental fold == full recompute on random batches") {
+    val rnd = new scala.util.Random(7)
+    val keys = (1L to 25L).toVector
+    def randBatch(): Seq[(Long, Long)] =
+      rnd.shuffle(keys).take(6 + rnd.nextInt(6))
+        .map(k => (k, rnd.nextInt(50).toLong + 1L)).toSeq
+    var seen = Seq.empty[(Long, Long)]
+    val first = randBatch()
+    seen ++= first
+    def toAgg(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "cents")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+    var state = toAgg(first)
+    for (v <- 1 to 5) {
+      val batch = randBatch()
+      seen ++= batch
+      state = LakeMerge.mergeAdditive(state, toAgg(batch), "user_id",
+        Seq("n_events", "sum_cents"))
+      val got = state.as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = seen.groupBy(_._1).map { case (k, rows) =>
+        k -> ((rows.length.toLong, rows.map(_._2).sum))
+      }
+      assert(got === want, s"additive fold diverged at batch $v")
+      // no key duplicated in the state table
+      assert(state.groupBy("user_id").count()
+        .filter(col("count") > 1).count() === 0)
+    }
+  }
+
   test("model check: random batch sequences, merge-fold == map-fold, " +
       "scd2 reconstructs every version") {
     val rnd = new scala.util.Random(42)
