@@ -55,9 +55,13 @@ object SparkEntry {
     "q14_promo_share" -> (RelationalQueries.q14PromoShare _),
     // Q15 shape: aggregated view probed by its own scalar max
     "q15_top_supplier" -> (RelationalQueries.q15TopSupplier _),
+    // Q17 shape: correlated per-group average as one window pass
+    "q17_small_qty" -> (RelationalQueries.q17SmallQtyRevenue _),
     // Q18 shape: HAVING-gated agg broadcast back onto its parents
     "q18_large_orders" -> ((s: SparkSession, d: String) =>
       RelationalQueries.q18LargeOrders(s, d)),
+    // Q22 shape: exact-integer scalar threshold + anti join
+    "q22_no_order_rich" -> (RelationalQueries.q22NoOrderRich _),
     // Q19 shape: OR-of-ANDs residual over a broadcast equi-join
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -1204,6 +1208,30 @@ object SparkEntry {
         |SELECT s_suppkey, s_name, revenue_cents
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""".stripMargin,
+    "q17_small_qty" ->
+      """WITH j AS (
+        |  SELECT l_partkey, l_quantity,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#4')
+        |SELECT CAST(sum(cents) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM j WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q22_no_order_rich" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+        |      FROM customer),
+        |t AS (SELECT CAST(sum(bal_cents) // count(*) AS BIGINT) AS avg_cents
+        |      FROM c WHERE bal_cents > 0)
+        |SELECT c_mktsegment, count(*) AS n_customers,
+        |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
+        |FROM c CROSS JOIN t
+        |WHERE bal_cents > avg_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin,
     "q18_large_orders" ->
       """WITH big AS (
         |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty

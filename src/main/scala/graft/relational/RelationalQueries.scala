@@ -378,6 +378,47 @@ object RelationalQueries {
         col("sum_qty").cast("long").as("sum_qty"))
   }
 
+  /** TPC-H Q17 shape: small-quantity-order revenue — the correlated
+    * per-group average (`qty < 0.2·avg(qty) over the part`) expressed
+    * as ONE window over the brand-filtered join instead of a second
+    * scan + self-join. The average is exact: quantities are
+    * integer-valued doubles, so the sum is exact and `0.2·(sum/count)`
+    * is the same two IEEE ops in any engine. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val byPart = Window.partitionBy("l_partkey")
+    load(spark, dir, "lineitem")
+      .join(broadcast(load(spark, dir, "part")
+        .filter(col("p_brand") === "Brand#4")),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty", avg("l_quantity").over(byPart))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(sum(revenueCents).as("revenue_cents"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape: high-balance customers with no URGENT order — a
+    * scalar aggregate threshold feeding a filtered anti join (on this
+    * lake every customer has SOME order, so the classic no-order form
+    * is constant-empty; the urgent gate keeps the shape and the rows).
+    * The threshold is the EXACT integer mean (`sum(cents) div count`
+    * over positive balances), so the boundary can never flip between
+    * engines the way a floating `avg` of arbitrary doubles can. */
+  def q22NoOrderRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+      .withColumn("bal_cents",
+        floor(col("c_acctbal") * 100 + 0.5).cast("long"))
+    val threshold = cust.filter(col("bal_cents") > 0)
+      .agg(expr("sum(bal_cents) div count(1)").as("avg_cents"))
+    cust.crossJoin(broadcast(threshold))
+      .filter(col("bal_cents") > col("avg_cents"))
+      .join(load(spark, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("bal_cents").as("total_cents"))
+  }
+
   /** TPC-H Q19 shape: disjunctive brand/size/quantity predicates — the
     * OR-of-ANDs filter Catalyst must keep partially pushable (the common
     * `p_partkey = l_partkey` equi-key stays a broadcast hash join; the
