@@ -201,6 +201,8 @@ object SparkEntry {
       TextOps.qCollocations(s, d)),
     // per-source dataset card (counts, language spread, dup rate)
     "q_dataset_card" -> (TextOps.qDatasetCard _),
+    // Zipf-head vocabulary coverage at k = 10/100/1000 (integer ppm)
+    "q_vocab_coverage" -> (TextOps.qVocabCoverage _),
     // doc-doc weighted-Jaccard top-k over the shared inverted index
     "q_doc_jaccard_topk" -> ((s: SparkSession, d: String) =>
       TextOps.qDocJaccardTopK(s, d)),
@@ -1961,6 +1963,25 @@ object SparkEntry {
         |      ORDER BY sim_ppm DESC, did) AS BIGINT) AS rnk
         |  FROM s)
         |WHERE rnk <= 5""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH uc AS (SELECT tok, count(*) AS c FROM
+        |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |      GROUP BY 1),
+        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk
+        |      FROM uc),
+        |wide AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+        |    count(*) AS n_vocab,
+        |    CAST(sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT) AS c10,
+        |    CAST(sum(CASE WHEN rnk <= 100 THEN c ELSE 0 END) AS BIGINT) AS c100,
+        |    CAST(sum(CASE WHEN rnk <= 1000 THEN c ELSE 0 END) AS BIGINT) AS c1000
+        |  FROM r)
+        |SELECT CAST(10 AS BIGINT) AS k,
+        |  CAST(c10 * 1000000 // total AS BIGINT) AS covered_ppm,
+        |  n_vocab, total AS total_tokens FROM wide
+        |UNION ALL SELECT 100, CAST(c100 * 1000000 // total AS BIGINT),
+        |  n_vocab, total FROM wide
+        |UNION ALL SELECT 1000, CAST(c1000 * 1000000 // total AS BIGINT),
+        |  n_vocab, total FROM wide""".stripMargin,
     "q_dataset_card" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

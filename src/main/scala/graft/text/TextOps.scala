@@ -324,6 +324,38 @@ object TextOps {
       .withColumn("ppl", round(exp(col("nll")), 2))
   }
 
+  /** Vocabulary coverage curve: the share of all token OCCURRENCES
+    * covered by the top-k most frequent types, at k ∈ {10, 100, 1000} —
+    * the Zipf-head diagnostic that sizes a tokenizer vocabulary (and
+    * predicts the fallback rate [[qTokenizerFertility]] measures).
+    *
+    * Shares are exact integer ppm. The rank window is global but runs
+    * over the TYPE table (vocabulary-sized, Heaps-bounded — the
+    * q_key_skew defense), never over token occurrences; ties rank by
+    * (count desc, token) so the curve is engine-deterministic. One
+    * conditional aggregation emits all three points. */
+  def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val uc = load(spark, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val ranked = uc.withColumn("rnk", row_number().over(w).cast("long"))
+    val wide = ranked.agg(
+      sum("c").as("total"),
+      count(lit(1)).as("n_vocab"),
+      sum(when(col("rnk") <= 10, col("c")).otherwise(0L)).as("c10"),
+      sum(when(col("rnk") <= 100, col("c")).otherwise(0L)).as("c100"),
+      sum(when(col("rnk") <= 1000, col("c")).otherwise(0L)).as("c1000"))
+    wide.select(explode(array(
+        struct(lit(10L).as("k"), col("c10").as("covered")),
+        struct(lit(100L).as("k"), col("c100").as("covered")),
+        struct(lit(1000L).as("k"), col("c1000").as("covered"))))
+        .as("p"), col("total"), col("n_vocab"))
+      .select(col("p.k").as("k"),
+        expr("p.covered * 1000000 div total").as("covered_ppm"),
+        col("n_vocab"), col("total").as("total_tokens"))
+  }
+
   /** Per-source dataset card: the one-row-per-source summary manifest a
     * data release ships (doc/char/token counts, language spread, exact
     * duplicate rate) — every column an exact integer from one grouped

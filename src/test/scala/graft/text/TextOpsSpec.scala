@@ -256,6 +256,22 @@ class TextOpsSpec extends SparkSpec {
     assert(meanBi < meanUni, s"bigram NLL $meanBi !< unigram $meanUni")
   }
 
+  test("vocab coverage equals a JVM replay and is monotone in k") {
+    val toks = graft.relational.Tables.load(spark, dir, "documents")
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val uc = toks.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, c) => (-c, t) }
+    val total = toks.length.toLong
+    def cov(k: Int): Long = uc.take(k).map(_._2).sum * 1000000L / total
+    val got = TextOps.qVocabCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    Seq(10, 100, 1000).foreach { k =>
+      assert(got(k.toLong) === ((cov(k), uc.length.toLong, total)), s"k=$k")
+    }
+    assert(got(10L)._1 <= got(100L)._1 && got(100L)._1 <= got(1000L)._1)
+  }
+
   test("doc-doc weighted Jaccard top-k equals an exact JVM replay") {
     val docs = graft.relational.Tables.load(spark, dir, "documents")
       .select("doc_id", "text").collect()
