@@ -64,6 +64,8 @@ object SparkEntry {
     "q22_no_order_rich" -> (RelationalQueries.q22NoOrderRich _),
     // Q19 shape: OR-of-ANDs residual over a broadcast equi-join
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
+    // Q13 shape: left-outer fact join + two-level count distribution
+    "q13_cust_distribution" -> (RelationalQueries.q13CustDistribution _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
     "q_customer_order_stats" -> (RelationalQueries.qCustomerOrderStats _),
     "q_semi_join" -> (RelationalQueries.qSemiCustomersWithUrgent _),
@@ -224,6 +226,10 @@ object SparkEntry {
       Dedup.qContainmentPairs(s, d)),
     "q_minhash_lsh" -> ((s: SparkSession, d: String) =>
       Dedup.qMinhashLshPairs(s, d)),
+    // confusion census of the banded-MinHash candidate generator vs
+    // exact-Jaccard truth (md5-permutation twin — fully oracle-exact)
+    "q_minhash_eval" -> ((s: SparkSession, d: String) =>
+      Dedup.qMinhashEval(s, d)),
     // md5-derived token hash: bit-reproducible by the DuckDB oracle
     "q_simhash" -> ((s: SparkSession, d: String) =>
       Dedup.qSimhashPairs(s, d, md5Hash = true)),
@@ -559,6 +565,52 @@ object SparkEntry {
       |SELECT d1, d2, round(CAST(inter AS DOUBLE) / sz, 6) AS containment
       |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
       |WHERE sz >= 5 AND inter * 10 >= sz * 9""".stripMargin
+
+  /** Confusion census of banded MinHash vs exact Jaccard (see
+    * Dedup.qMinhashEval): md5-permutation signatures (min of the first
+    * 60 md5 bits per permutation), band buckets as joined signature
+    * slices, counts vs the threshold-0.5 exact-Jaccard relation. */
+  private def minhashEvalSql(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes).map { s =>
+      s"  min(('0x' || substr(md5('mh$s:' || sh), 1, 15))::UBIGINT::BIGINT) AS m$s"
+    }.mkString(",\n")
+    val bandRows = (0 until bands).map { b =>
+      val bucket = (0 until rows).map(i => s"m${b * rows + i}")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mins"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCte,
+       |mins AS MATERIALIZED (SELECT doc_id,
+       |$minCols
+       |  FROM sh GROUP BY 1),
+       |banded AS MATERIALIZED (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM banded a JOIN banded b
+       |           ON a.band = b.band AND a.bucket = b.bucket
+       |          AND a.doc_id < b.doc_id),
+       |truth AS (SELECT d1, d2 FROM (
+       |    SELECT p.d1, p.d2,
+       |      CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS j
+       |    FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2) p
+       |    JOIN sizes s1 ON p.d1 = s1.doc_id
+       |    JOIN sizes s2 ON p.d2 = s2.doc_id)
+       |  WHERE j >= 0.5),
+       |conf AS (SELECT c.d1 AS cd1, t.d1 AS td1
+       |         FROM cand c FULL OUTER JOIN truth t
+       |           ON c.d1 = t.d1 AND c.d2 = t.d2)
+       |SELECT tp, fp, fn,
+       |  CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END AS precision_ppm,
+       |  CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END AS recall_ppm
+       |FROM (SELECT
+       |  CAST(sum(CASE WHEN cd1 IS NOT NULL AND td1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN cd1 IS NOT NULL AND td1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN cd1 IS NULL AND td1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM conf)""".stripMargin
+  }
 
   /** Unrolled power-iteration oracle for q_pca_power: the covariance
     * numerator matrix (q16 sufficient statistics, HUGEINT), then
@@ -1250,6 +1302,13 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 6 AND 15 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
     "q_part_brand_stats" ->
       """SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty,
         |  round(avg(l_extendedprice), 2) AS avg_price
@@ -2140,6 +2199,7 @@ object SparkEntry {
     // signature misses such a pair with p < 1e-8, and the check is
     // deterministic on fixed data).
     "q_minhash_lsh" -> exactJaccardSql,
+    "q_minhash_eval" -> minhashEvalSql(16, 8),
     "q_ann_bruteforce" -> annTopKSql(5),
     // RRF fusion of the BM25 (k=10) and exact-cosine (k=10) lists; each
     // contribution is 1e9 // (60 + rank) — truncating integer division,

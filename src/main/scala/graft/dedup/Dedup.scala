@@ -340,4 +340,63 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("d1", "d2", "hamming")
   }
+
+  /** LSH design evaluation — "measure, don't guess" for the banded
+    * MinHash candidate generator: the confusion census of raw band
+    * collisions against exact-Jaccard ground truth, as one distributed
+    * query. The production signature kernel hashes with XXH64 (fast,
+    * not SQL-replayable), so this eval runs an md5-permutation TWIN of
+    * the same banding scheme — min over shingles of the first 60 bits
+    * of md5("mh<seed>:"||shingle) per permutation, band bucket = the
+    * joined signature slice — making every count (and the derived
+    * precision/recall ppm, truncating division) bit-exact in any
+    * engine. Ground truth reuses the shared-shingle exact-Jaccard join
+    * (never all-pairs: a true pair at threshold >= 0.5 must share a
+    * shingle). At 100 TB the eval costs one extra pass over the
+    * signature store and is how a pipeline picks (bands, rows) before
+    * committing a full dedup sweep: recall_ppm bounds what the sweep
+    * misses, precision_ppm prices the verification stage's fan-in. */
+  def qMinhashEval(
+      spark: SparkSession, dir: String,
+      numHashes: Int = 16, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val shArr = shingleArrays(spark, dir)
+    val ex = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val mins = ex.groupBy("doc_id").agg(
+      min(permHash(0)).as("m0"),
+      (1 until numHashes).map(s => min(permHash(s)).as(s"m$s")): _*)
+    val banded = mins.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        concat_ws(":", (0 until rows).map(i =>
+          col(s"m${b * rows + i}")): _*)): _*)).as(Seq("band", "bucket")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val truth = qNgramJaccardPairs(spark, dir, threshold).select("d1", "d2")
+    cand.withColumn("c", lit(1))
+      .join(truth.withColumn("t", lit(1)), Seq("d1", "d2"), "full_outer")
+      .agg(
+        sum(when(col("c") === 1 && col("t") === 1, 1).otherwise(0))
+          .cast("long").as("tp"),
+        sum(when(col("c") === 1 && col("t").isNull, 1).otherwise(0))
+          .cast("long").as("fp"),
+        sum(when(col("c").isNull && col("t") === 1, 1).otherwise(0))
+          .cast("long").as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("CASE WHEN tp + fp > 0 THEN (1000000 * tp) div (tp + fp) END")
+          .as("precision_ppm"),
+        expr("CASE WHEN tp + fn > 0 THEN (1000000 * tp) div (tp + fn) END")
+          .as("recall_ppm"))
+  }
+
+  /** Permutation `s` of the md5-twin MinHash: first 15 hex chars (60
+    * bits, sign-safe in a BIGINT) of md5("mh<s>:"||shingle). */
+  private def permHash(s: Int): Column =
+    conv(substring(md5(concat(lit(s"mh$s:"), col("sh"))), 1, 15), 16, 10)
+      .cast("long")
 }

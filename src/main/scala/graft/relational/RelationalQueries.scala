@@ -436,4 +436,25 @@ object RelationalQueries {
           col("l_quantity").between(20, 40)))
       .agg(sum(revenueCents).as("revenue_cents"),
         count(lit(1)).as("n_items"))
+
+  /** TPC-H Q13 shape: customer order-count distribution — the one
+    * remaining classic shape this schema can express (Q2/Q4/Q8/Q9/Q11/
+    * Q12/Q16/Q20/Q21 need partsupp / commitdate / receiptdate columns
+    * the synthetic lake doesn't carry). The LEFT OUTER join is the
+    * point: customers with NO qualifying order must appear with
+    * c_count = 0, which an inner-join groupBy silently drops. Orders
+    * are gated on priority so the zero bucket is non-empty at every
+    * scale factor. Two aggregations, each a key-hashed exchange; the
+    * outer join itself is the only fact-sized shuffle, and at 100 TB
+    * both sides hash-partition on the join key (no broadcast — both
+    * sides are fact-scale), which AQE then right-sizes. */
+  def q13CustDistribution(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .join(load(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
 }

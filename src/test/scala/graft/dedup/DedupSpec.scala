@@ -197,4 +197,22 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty, "corpus has planted near-dups; containment must fire")
     got.foreach { case (_, _, c) => assert(c >= 0.9 && c <= 1.0) }
   }
+
+  test("minhash eval: confusion counts tie out against the exact relation") {
+    val truthN = Dedup.qNgramJaccardPairs(spark, dir).count()
+    val row = Dedup.qMinhashEval(spark, dir).collect().head
+    val (tp, fp, fn) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // tp + fn partitions the truth relation exactly
+    assert(tp + fn === truthN)
+    assert(tp >= 0 && fp >= 0 && fn >= 0)
+    // the derived ppm ratios are the truncating divisions of the counts
+    if (tp + fp > 0)
+      assert(row.getLong(3) === 1000000L * tp / (tp + fp))
+    if (tp + fn > 0)
+      assert(row.getLong(4) === 1000000L * tp / (tp + fn))
+    // planted near-dups are J >= 0.88; 8 bands x 2 rows miss such a pair
+    // with p = (1 - 0.88^2)^8 < 2e-5 — recall must be high on this corpus
+    assert(truthN === 0 || row.getLong(4) >= 900000L,
+      s"recall_ppm ${row.getLong(4)} unexpectedly low")
+  }
 }

@@ -401,4 +401,16 @@ class RelationalSpec extends SparkSpec {
     val noOrders = RelationalQueries.qAntiCustomersNoOrders(spark, dir).count()
     assert(withOrders + noOrders === all)
   }
+
+  test("q13: distribution covers every customer; zero bucket holds the unjoined") {
+    val rows = RelationalQueries.q13CustDistribution(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.load(spark, dir, "customer").count()
+    assert(rows.values.sum === nCust, "every customer lands in exactly one bucket")
+    val urgentCust = Tables.load(spark, dir, "orders")
+      .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    assert(rows.getOrElse(0L, 0L) === nCust - urgentCust,
+      "zero bucket = customers with no urgent order (left-outer semantics)")
+  }
 }
