@@ -52,6 +52,10 @@ object Bench {
       // timed run re-pays wholestage compilation; the cache is bounded
       // by entry count either way, just large enough to actually hit
       .config("spark.sql.codegen.cache.maxEntries", "4000")
+      // bucketed-table queries saveAsTable into the warehouse; keep it
+      // out of the repo working tree (default is ./spark-warehouse)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JIT/codegen + parquet footer caches before timing

@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.lsp.LspAnalytics
 import graft.multimodal.Multimodal
 import graft.pipeline.TrainingData
-import graft.relational.{EventQueries, RelationalQueries, SqlQueries}
+import graft.relational.{Bucketed, EventQueries, RelationalQueries, SqlQueries}
 import graft.similarity.{HybridRetrieval, Similarity}
 import graft.text.TextOps
 
@@ -66,6 +66,8 @@ object SparkEntry {
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     // Q13 shape: left-outer fact join + two-level count distribution
     "q13_cust_distribution" -> (RelationalQueries.q13CustDistribution _),
+    // co-located fact⋈fact over bucketed copies: zero join-side shuffle
+    "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
     "q_customer_order_stats" -> (RelationalQueries.qCustomerOrderStats _),
     "q_semi_join" -> (RelationalQueries.qSemiCustomersWithUrgent _),
@@ -1302,6 +1304,12 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 6 AND 15 AND l_quantity BETWEEN 10 AND 30)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q13_cust_distribution" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -22,6 +22,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bucketed-table queries saveAsTable into the warehouse; keep it
+      // out of the repo working tree (default is ./spark-warehouse)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_verify_wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
