@@ -394,6 +394,10 @@ object SparkEntry {
     // mass redistributed, residual-based stop (oracle freeze-unrolled)
     "q_pagerank_dangling" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qPageRankDangling(s, d)),
+    // incremental rank maintenance: published base ranks warm-started
+    // onto the edge delta, 2 settle rounds instead of a cold recompute
+    "q_pagerank_delta" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qPageRankDelta(s, d)),
     // DeepWalk-style deterministic random walks: md5-driven next hop,
     // reproducible graph-embedding training sequences
     "q_random_walks" -> ((s: SparkSession, d: String) =>
@@ -898,6 +902,39 @@ object SparkEntry {
        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
        |$rounds
        |$pageRankFinal FROM r$iters""".stripMargin
+  }
+
+  /** Warm-started delta-PageRank oracle (see GraphOps.qPageRankDelta):
+    * base rounds over the pre-cutoff subgraph (its own degrees), then a
+    * coalesce warm-start over the full node set, then delta rounds over
+    * the full graph — every step the same truncating fixed-point
+    * arithmetic as q_pagerank's oracle. */
+  private def pageRankDeltaSql(baseIters: Int, deltaIters: Int): String = {
+    val cutoff = graft.graph.GraphOps.DeltaCutoff
+    val baseRounds = (1 to baseIters).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT dst AS node,
+         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
+         |  FROM be JOIN b${i - 1} ON be.src = b${i - 1}.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val deltaRounds = (1 to deltaIters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT dst AS node,
+         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
+         |  FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeGraphCte,
+       |bpairs AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+       |  FROM lineitem WHERE l_shipdate < '$cutoff'),
+       |bedges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM bpairs
+       |  UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst FROM bpairs),
+       |bdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM bedges GROUP BY 1),
+       |be AS (SELECT bedges.src, dst, outdeg FROM bedges JOIN bdeg USING (src)),
+       |b0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM bdeg),
+       |$baseRounds,
+       |d0 AS (SELECT deg.src AS node,
+       |  CAST(coalesce(b$baseIters.r, 1000000000000) AS BIGINT) AS r
+       |  FROM deg LEFT JOIN b$baseIters ON deg.src = b$baseIters.node),
+       |$deltaRounds
+       |$pageRankFinal FROM d$deltaIters""".stripMargin
   }
 
   /** Personalized-PageRank oracle: teleport rows only for the seed set,
@@ -2698,6 +2735,7 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     "q_pagerank" -> pageRankSql(5),
     "q_pagerank_seeded" -> pprSql(5, 3),
+    "q_pagerank_delta" -> pageRankDeltaSql(5, 2),
     "q_pagerank_dangling" -> pageRankDanglingSql(
       graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
     "q_quality_classifier" -> qualityClassifierSql(64, 4),

@@ -62,9 +62,18 @@ object GraphOps {
     * partitioned, persisted edge table — the shape both [[pageRank]]
     * (builds its own) and the registry queries (serving the shared
     * [[tradeEdgesDeg]] artifact) run. */
-  private def pageRankRounds(edgesDeg: DataFrame, iters: Int): DataFrame = {
-    var ranks = edgesDeg.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(Scale).as("r"))
+  private def pageRankRounds(edgesDeg: DataFrame, iters: Int): DataFrame =
+    pageRankFrom(edgesDeg,
+      edgesDeg.select(col("src").as("node")).distinct()
+        .select(col("node"), lit(Scale).as("r")),
+      iters)
+
+  /** The iteration loop from an ARBITRARY starting rank vector — shared
+    * by the cold start above and the warm-started delta maintenance
+    * ([[qPageRankDelta]]). */
+  private def pageRankFrom(
+      edgesDeg: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    var ranks = init
     for (_ <- 1 to iters) {
       ranks = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -520,6 +529,72 @@ object GraphOps {
         .filter(col("s_nationkey") === nation)
         .select((col("s_suppkey") * 2).as("node"))
       pprRounds(tradeEdgesDeg(spark, dir), seeds, iters)
+    }
+    ranks
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("r").as("rank_fp"))
+  }
+
+  /** Delta cutoff for [[qPageRankDelta]]: the lake's shipdates span
+    * 1995..2001-11, so arcs shipped on/after 2001-06-01 are a ~5%
+    * "new-edges" batch at every scale factor. */
+  val DeltaCutoff: String = "2001-06-01"
+
+  /** Incremental PageRank maintenance — the recompute-avoidance shape of
+    * [[graft.similarity.Similarity]]'s IVF ingest and q_incr_agg, on the
+    * graph family: ranks PUBLISHED from the pre-cutoff base graph
+    * (5 cold rounds) are warm-started onto the full graph (base + the
+    * ~5% edge delta) and settled with `deltaIters` = 2 rounds. New
+    * nodes (first seen in the delta) enter at the cold-start mass
+    * [[Scale]]; every node then re-ranks under the FULL graph's
+    * degrees, so mass flows across the new arcs immediately.
+    *
+    * Scale rationale: a 100 TB crawl graph re-ranks daily against a
+    * small edge delta; 5 + 2 rounds where the 2 run on the incremental
+    * schedule replaces 5 full-graph rounds per publish — the delta run
+    * costs 2 rank shuffles instead of 5 and reuses the resident
+    * degree-annotated edge artifact ([[tradeEdgesDeg]]) as-is. The
+    * result is NOT bit-identical to a cold full-graph run (it is a
+    * warm-started approximation — that is the point); it IS exactly
+    * reproducible, because every step is the same fixed-point integer
+    * arithmetic, so the DuckDB oracle unrolls base rounds + warm join +
+    * delta rounds and matches hash-exact. */
+  def qPageRankDelta(
+      spark: SparkSession, dir: String,
+      baseIters: Int = 5, deltaIters: Int = 2,
+      cutoff: String = DeltaCutoff): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#delta$baseIters#$cutoff", deltaIters)
+    val ranks = rankCache.get(key) {
+      // base subgraph: its OWN degree annotation (degrees differ from
+      // the full graph's), built and dropped inside this block
+      val basePairs = load(spark, dir, "lineitem")
+        .filter(col("l_shipdate") < lit(cutoff))
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      basePairs.count()
+      val baseEdges = tradeEdges(basePairs)
+      val baseDeg = baseEdges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      val baseED = baseEdges.join(baseDeg, "src")
+        .repartition(spark.sparkContext.defaultParallelism, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      baseED.count()
+      basePairs.unpersist(blocking = false)
+      val baseRanks = pageRankRounds(baseED, baseIters)
+      baseED.unpersist(blocking = false)
+      // warm start on the full graph: published rank where known,
+      // cold-start mass for delta-born nodes
+      val full = tradeEdgesDeg(spark, dir)
+      val warm = full.select(col("src").as("node")).distinct()
+        .join(baseRanks, Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("r"), lit(Scale)).as("r"))
+      val out = pageRankFrom(full, warm, deltaIters)
+      baseRanks.unpersist(blocking = false)
+      out
     }
     ranks
       .select(

@@ -203,6 +203,25 @@ class GraphSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("delta pagerank: empty delta == cold run; real delta covers all nodes") {
+    val dir = "/root/testdata/sf0.001"
+    // cutoff past the lake's max shipdate -> base graph IS the full
+    // graph, so 3 warm-started + 2 settle rounds must equal a cold
+    // 5-round run bit-for-bit (the warm start is a pure continuation)
+    val cold = GraphOps.qPageRank(spark, dir, iters = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cont = GraphOps.qPageRankDelta(spark, dir,
+      baseIters = 3, deltaIters = 2, cutoff = "2002-01-01").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cont === cold)
+    // the real cutoff: every full-graph node ranks (delta-born nodes
+    // enter at cold-start mass and re-rank under full degrees)
+    val delta = GraphOps.qPageRankDelta(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(delta.keySet === cold.keySet)
+    assert(delta.values.forall(_ > 0))
+  }
+
   test("walk pairs match a driver replay of the symmetric window") {
     // hand-built walk corpus: two walks, one shared node (10)
     val walks = Seq(
