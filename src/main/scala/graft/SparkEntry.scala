@@ -180,6 +180,9 @@ object SparkEntry {
     // an independent in-memory reference implementation
     "q_bpe_learn" -> (graft.text.BpeTrain.qBpeLearn _),
     "q_text_quality" -> (TextOps.qTextQuality _),
+    // Cohen's kappa between the length and stopword raters: 2x2 census
+    // in exact integers, one IEEE division
+    "q_kappa" -> (TextOps.qKappa _),
     // PII redaction with deterministic injection; scrub-hash oracled
     "q_pii_scrub" -> (TextOps.qPiiScrub _),
     "q_lang_guess" -> (TextOps.qLangGuess _),
@@ -1983,6 +1986,26 @@ object SparkEntry {
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |        CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
         |      FROM documents)""".stripMargin,
+    "q_kappa" ->
+      """WITH lab AS (SELECT
+        |    CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN n_stop * 5 < n_tokens THEN 1 ELSE 0 END AS b
+        |  FROM (SELECT
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |      CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+        |    FROM documents)),
+        |cells AS (SELECT
+        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+        |  FROM lab)
+        |SELECT n00, n01, n10, n11,
+        |  CAST((n00 + n01 + n10 + n11) * (n00 + n11)
+        |       - ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
+        |  / ((n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
+        |     - ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10))) AS kappa
+        |FROM cells""".stripMargin,
     "q_lang_guess" ->
       """SELECT lang, CASE WHEN en_hits >= 2 THEN 'en'
         |                  WHEN en_hits = 1 THEN 'en_maybe'

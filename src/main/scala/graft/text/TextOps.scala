@@ -191,6 +191,50 @@ object TextOps {
         when(col("n_tokens").between(20, 80) && col("stop_ratio") < 0.2, "good")
           .otherwise("low"))
 
+  /** Cohen's kappa between two independent quality raters — the
+    * agreement statistic an annotation pipeline reports before trusting
+    * a heuristic (or model) labeler: observed agreement corrected for
+    * the agreement two UNRELATED raters would reach by chance. Rater A
+    * is the length gate (20 <= tokens <= 80), rater B the stopword-rate
+    * gate (n_stop/n_tokens < 0.2, cross-multiplied to the integer
+    * `5·n_stop < n_tokens` so no division enters the label) — the two
+    * halves of [[qTextQuality]]'s conjunction, scored separately.
+    *
+    * kappa = (N·agree − Σ marginal products) / (N² − Σ marginal
+    * products): both terms are exact BIGINTs from the 2×2 census, and
+    * kappa itself is the ONE IEEE division of the pair — bit-identical
+    * in any engine (the q_embedding_cov discipline; kappa may be
+    * negative, where truncating-div ppm would round toward zero
+    * differently per engine). One map pass + a single-row aggregate —
+    * nothing corpus-global beyond four counters, so the census is
+    * map-side combinable at any scale. */
+  def qKappa(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+          .cast("long").as("n_stop"))
+      .select(
+        col("n_tokens").between(20, 80).cast("int").as("a"),
+        (col("n_stop") * 5 < col("n_tokens")).cast("int").as("b"))
+      .agg(
+        sum(when(col("a") === 0 && col("b") === 0, 1).otherwise(0))
+          .cast("long").as("n00"),
+        sum(when(col("a") === 0 && col("b") === 1, 1).otherwise(0))
+          .cast("long").as("n01"),
+        sum(when(col("a") === 1 && col("b") === 0, 1).otherwise(0))
+          .cast("long").as("n10"),
+        sum(when(col("a") === 1 && col("b") === 1, 1).otherwise(0))
+          .cast("long").as("n11"))
+      .select(col("n00"), col("n01"), col("n10"), col("n11"),
+        expr("""CAST(
+            (n00 + n01 + n10 + n11) * (n00 + n11)
+            - ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10))
+          AS DOUBLE) / (
+            (n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
+            - ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)))""")
+          .as("kappa"))
+
   /** Stopword-census language-ID heuristic, reported as a confusion matrix
     * against the labeled `lang` column. */
   def qLangGuess(spark: SparkSession, dir: String): DataFrame =

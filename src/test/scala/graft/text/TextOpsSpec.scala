@@ -425,4 +425,27 @@ class TextOpsSpec extends SparkSpec {
     // the never-overlapping doc is absent; no self-retrieval
     assert(!got.contains((0L, 3L)) && !got.contains((0L, 0L)))
   }
+
+  test("kappa: cells tie out against a JVM replay; kappa is the exact ratio") {
+    val dir = "/root/testdata/sf0.001"
+    val row = TextOps.qKappa(spark, dir).collect().head
+    val (n00, n01, n10, n11) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // JVM replay of both raters over the raw text
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val cells = docs.map { t =>
+      val toks = t.split(" ", -1)
+      val nStop = toks.count(w => w == "the" || w == "a")
+      (toks.length >= 20 && toks.length <= 80, nStop * 5L < toks.length)
+    }
+    assert(n00 === cells.count(c => !c._1 && !c._2))
+    assert(n01 === cells.count(c => !c._1 && c._2))
+    assert(n10 === cells.count(c => c._1 && !c._2))
+    assert(n11 === cells.count(c => c._1 && c._2))
+    val n = n00 + n01 + n10 + n11
+    val chance = (n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)
+    assert(row.getDouble(4) === (n * (n00 + n11) - chance).toDouble / (n * n - chance))
+    assert(n === docs.length)
+  }
 }
