@@ -380,6 +380,10 @@ object SparkEntry {
     // replayed exactly by the unrolled oracle
     "q_quality_classifier" -> ((s: SparkSession, d: String) =>
       graft.pipeline.QualityClassifier.qQualityClassifier(s, d)),
+    // reliability diagram of the trained scorer: per-bin confidence vs
+    // observed rate in exact ppm (the ECE terms)
+    "q_calibration" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.QualityClassifier.qCalibration(s, d)),
     // explicit bloom semi-join reduction: prune the probe side before the
     // exchange; exact semi join scrubs false positives, so the oracle is
     // the plain IN-subquery
@@ -1050,6 +1054,25 @@ object SparkEntry {
        |SELECT sc.doc_id, CAST(l.y AS BIGINT) AS label,
        |  CAST(sc.z AS BIGINT) AS score_fp, sc.z >= 0 AS keep
        |FROM sc JOIN lab l USING (doc_id)""".stripMargin
+
+  /** Calibration census over the trained scorer (see
+    * QualityClassifier.qCalibration): hard-sigmoid ppm probabilities,
+    * 10 equal-width bins, exact truncating-ppm confidence vs observed
+    * rate per bin (p >= 0, so `//` here equals Spark's `div`). */
+  private def calibrationSql(dims: Int, epochs: Int): String = {
+    val S = graft.pipeline.QualityClassifier.S
+    val sdiv = s"(CASE WHEN sc.z >= 0 THEN (sc.z) // 4 ELSE -((-(sc.z)) // 4) END)"
+    s"""WITH ${qualityClassifierCte(dims, epochs)},
+       |pp AS (SELECT l.y,
+       |    CAST(greatest(0, least($S, ${S / 2} + $sdiv)) AS BIGINT) AS p
+       |  FROM sc JOIN lab l USING (doc_id))
+       |SELECT CAST(least(9, p // 100000) AS BIGINT) AS bin, count(*) AS n_docs,
+       |  CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS conf_ppm,
+       |  CAST((1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS BIGINT) AS acc_ppm,
+       |  CAST(abs(CAST(sum(p) AS BIGINT) // count(*)
+       |       - (1000000 * CAST(sum(y) AS BIGINT)) // count(*)) AS BIGINT) AS gap_ppm
+       |FROM pp GROUP BY 1""".stripMargin
+  }
 
   private def pass4(x: String): String =
     s"chr(97 + CAST(($x) // 17576 AS INT) % 26) || chr(97 + CAST(($x) // 676 AS INT) % 26) || " +
@@ -2762,6 +2785,7 @@ object SparkEntry {
     "q_pagerank_dangling" -> pageRankDanglingSql(
       graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
     "q_quality_classifier" -> qualityClassifierSql(64, 4),
+    "q_calibration" -> calibrationSql(64, 4),
     "q_random_walks" -> randomWalkSql(10, 2),
     "q_walk_pairs" -> walkPairsSql(10, 2, graft.graph.GraphOps.PairWindow),
     "q_label_prop" -> labelPropSql(graft.graph.GraphOps.LabelPropIters),

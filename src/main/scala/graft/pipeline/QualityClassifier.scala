@@ -110,8 +110,15 @@ object QualityClassifier {
           d -> (wv - grads.getOrElse(d, BigInt(0)) / n / 4)
         }
       }
-      scores.select(col("doc_id"), col("y").as("label"),
+      // materialize WHILE the feature table is resident: the returned
+      // frame is the published model-scores artifact (doc-count rows),
+      // and a lazy return would replay feature hashing + the final
+      // score join on every consumer (v3 corpus build, calibration)
+      val out = scores.select(col("doc_id"), col("y").as("label"),
         col("z").as("score_fp"), (col("z") >= 0).as("keep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
     } finally xy.unpersist(blocking = false)
   }
 
@@ -121,13 +128,56 @@ object QualityClassifier {
     * so the trained model honestly predicts the majority class — the
     * SPEC proves learning on a separable fixture; the oracle proves the
     * training arithmetic bit-exactly either way. */
+  /** One scored frame per (session, dir, dims, epochs): the trained
+    * scores are the session's published classifier artifact, shared by
+    * the corpus-build capstone and the calibration census. The bench
+    * invalidates it per run (result-cache contract — training is the
+    * operator being measured). */
+  private val scoreCache =
+    graft.SessionCache.frames[(String, String, Int, Int)]
+
+  def invalidateCaches(spark: SparkSession): Unit =
+    scoreCache.invalidate(
+      _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
+
   def qQualityClassifier(
       spark: SparkSession, dir: String, dims: Int = 64,
       epochs: Int = 4): DataFrame = {
-    val docs = load(spark, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        when(substring(col("source"), 4, 10).cast("int") < 5, 1L)
-          .otherwise(0L).as("y"))
-    classify(spark, docs, dims, epochs)
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      dir, dims, epochs)
+    scoreCache.get(key) {
+      val docs = load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          when(substring(col("source"), 4, 10).cast("int") < 5, 1L)
+            .otherwise(0L).as("y"))
+      classify(spark, docs, dims, epochs)
+    }
   }
+
+  /** Reliability diagram (calibration census) of the trained scorer:
+    * predicted probability p = hard-sigmoid(z) in ppm, binned into 10
+    * equal-width bins; per bin the mean predicted confidence vs the
+    * observed positive rate, both as EXACT truncating-division ppm of
+    * integer sums (p >= 0, so `div` and `//` agree), and their absolute
+    * gap — the per-bin term of expected calibration error. A selection
+    * pipeline reads this before trusting classifier thresholds: a
+    * high-confidence bin whose observed rate disagrees is exactly where
+    * a score cut silently mislabels. One map pass over the cached
+    * scored frame + a 10-group aggregate. */
+  def qCalibration(
+      spark: SparkSession, dir: String, dims: Int = 64,
+      epochs: Int = 4): DataFrame =
+    qQualityClassifier(spark, dir, dims, epochs)
+      .select(col("label"),
+        expr(s"greatest(0L, least(${S}L, ${S / 2}L + ${sdiv("score_fp", "4")}))")
+          .as("p"))
+      .select(col("label"), col("p"),
+        least(lit(9), expr("p div 100000")).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p")).as("sp"), sum(col("label")).as("sy"))
+      .select(col("bin"), col("n_docs"),
+        expr("sp div n_docs").as("conf_ppm"),
+        expr("(1000000 * sy) div n_docs").as("acc_ppm"),
+        expr("abs(sp div n_docs - (1000000 * sy) div n_docs)").as("gap_ppm"))
 }

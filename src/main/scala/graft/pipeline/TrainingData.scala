@@ -46,6 +46,7 @@ object TrainingData {
     val sid = org.apache.spark.sql.GraftShim.sessionId(spark)
     clusterCache.invalidate(_._1 == sid)
     incrementalCache.invalidate(_._1 == sid)
+    QualityClassifier.invalidateCaches(spark)
   }
 
   /** Near-dup CLUSTERS from the exact-verified pair relation: connected

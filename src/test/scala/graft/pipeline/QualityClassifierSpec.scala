@@ -56,4 +56,31 @@ class QualityClassifierSpec extends SparkSpec {
     assert(res.filter(col("label") === 0L).count() > 0)
     res.unpersist()
   }
+
+  test("calibration bins tie out against a JVM replay of the scored frame") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = QualityClassifier.qQualityClassifier(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (label, z)
+    val S = QualityClassifier.S
+    def sdiv4(z: Long): Long = if (z >= 0) z / 4 else -((-z) / 4)
+    val want = scored
+      .map { case (y, z) =>
+        val p = math.max(0L, math.min(S, S / 2 + sdiv4(z)))
+        (math.min(9L, p / 100000), y, p)
+      }
+      .groupBy(_._1)
+      .map { case (bin, rows) =>
+        val n = rows.length.toLong
+        val sp = rows.map(_._3).sum
+        val sy = rows.map(_._2).sum
+        bin -> (n, sp / n, 1000000L * sy / n,
+          math.abs(sp / n - 1000000L * sy / n))
+      }
+    val got = QualityClassifier.qCalibration(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === want)
+    // bins partition the scored set
+    assert(got.values.map(_._1).sum === scored.length.toLong)
+  }
 }
