@@ -239,6 +239,10 @@ object SparkEntry {
     "q_simhash" -> ((s: SparkSession, d: String) =>
       Dedup.qSimhashPairs(s, d, md5Hash = true)),
     // -- similarity search (north star) --
+    // Matryoshka truncation eval: recall@k of prefix-truncated vectors
+    // vs the full-width exact top-k, per width
+    "q_mrl_eval" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.qMrlEval(s, d)),
     "q_ann_bruteforce" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnBruteForce(s, d)),
     // hybrid retrieval: RRF fusion of the BM25 and exact-cosine lists;
@@ -529,6 +533,35 @@ object SparkEntry {
        |      ORDER BY rel_fp DESC, vec_id LIMIT 1),
        |$rounds
        |$out""".stripMargin
+  }
+
+  /** Matryoshka truncation eval (see Similarity.qMrlEval): per-width
+    * prefix-truncated cosine top-k vs the full-width truth, integer
+    * recall census. */
+  private def mrlEvalSql(
+      nQueries: Int, k: Int, widths: Seq[Int]): String = {
+    def cosD(a: String, b: String, d: Int): String =
+      s"""(list_reduce(list_transform(range(1, ${d + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)
+         | / (sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> $a[i] * $a[i]), (x, y) -> x + y))
+         |   * sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> $b[i] * $b[i]), (x, y) -> x + y))))""".stripMargin
+    def topkCte(name: String, d: Int): String =
+      s"""$name AS MATERIALIZED (SELECT qid, nid FROM (
+         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+         |  FROM (SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |          round(${cosD("q.v", "c.v", d)}, 6) AS sim
+         |        FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id))
+         |WHERE rnk <= $k)""".stripMargin
+    val widthCtes = widths.map(d => topkCte(s"t$d", d)).mkString(",\n")
+    val rows = widths.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS trunc_dim, hits,
+         |  CAST((1000000 * hits) // ${nQueries.toLong * k} AS BIGINT) AS recall_ppm
+         |FROM (SELECT count(*) AS hits
+         |      FROM t$d JOIN truth USING (qid, nid))""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${topkCte("truth", 64)},
+       |$widthCtes
+       |$rows""".stripMargin
   }
 
   /** Exact cosine top-k ANN — the shared oracle for brute force and for
@@ -2292,6 +2325,7 @@ object SparkEntry {
     "q_minhash_lsh" -> exactJaccardSql,
     "q_minhash_eval" -> minhashEvalSql(16, 8),
     "q_ann_bruteforce" -> annTopKSql(5),
+    "q_mrl_eval" -> mrlEvalSql(20, 5, Seq(8, 16, 32)),
     // RRF fusion of the BM25 (k=10) and exact-cosine (k=10) lists; each
     // contribution is 1e9 // (60 + rank) — truncating integer division,
     // so the fused sum and ranking replay exactly

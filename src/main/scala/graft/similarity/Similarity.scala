@@ -1099,6 +1099,64 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Matryoshka truncation evaluation — recall@k of PREFIX-truncated
+    * embeddings against the full-dimension exact top-k, one census row
+    * per truncation width. MRL-trained embedders promise that the first
+    * d' dimensions alone retrieve well; this measures that promise on
+    * the actual corpus before a pipeline commits to serving truncated
+    * vectors (d'/64 of the memory and dot-product cost per dimension
+    * dropped). All arithmetic is the brute-force ANN contract —
+    * rounded-cosine ranking with id tiebreak per width, integer overlap
+    * counts, one truncating ppm division — so the census replays
+    * bit-exact in the DuckDB oracle.
+    *
+    * Scale shape: each width is the documented queries × corpus
+    * brute-force baseline (the eval runs on a sampled query set, never
+    * corpus × corpus); truncated norms are precomputed per side before
+    * the pairwise join, and the per-width frames are independent — at
+    * 100 TB each would swap in the IVF candidate generator like every
+    * other exact-rerank consumer. */
+  def qMrlEval(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5,
+      widths: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val emb = corpus(spark, dir, norm = false)
+
+    def topkAt(d: Int): DataFrame = {
+      val v: Column => Column =
+        c => if (d >= 64) c else slice(c, 1, d)
+      val q = emb.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), v(col("embedding")).as("qv"))
+        .withColumn("qn", sqrt(vec_dot(col("qv"), col("qv"))))
+      val c = emb
+        .select(col("vec_id").as("nid"), v(col("embedding")).as("nv"))
+        .withColumn("nn", sqrt(vec_dot(col("nv"), col("nv"))))
+      val scored = q.join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+            .as("sim"))
+      val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select("qid", "nid")
+    }
+
+    val truth = topkAt(64).persist()
+    truth.count()
+    val out = widths.map { d =>
+      topkAt(d).join(truth, Seq("qid", "nid"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(d.toLong).as("trunc_dim"), col("hits"),
+          expr(s"(1000000 * hits) div ${nQueries.toLong * k}")
+            .as("recall_ppm"))
+    }.reduce(_.unionAll(_))
+    // materialize before truth unpersists (the census is `widths` rows)
+    val rows = out.collect()
+    truth.unpersist(blocking = false)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
   /** MMR (maximal marginal relevance) diversified top-k: re-rank a
     * relevance shortlist so each pick maximizes
     * `λ·rel − (1−λ)·max-sim-to-already-picked` — the standard diversity

@@ -496,4 +496,21 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c) >= 0.99,
       f"integer power iteration drifted off the dominant axis (|corr|=$c%.4f)")
   }
+
+  test("mrl eval: census bounded, full width would be perfect recall") {
+    val dir = "/root/testdata/sf0.001"
+    val nQ = 20; val k = 5
+    val rows = Similarity
+      .qMrlEval(spark, dir, nQueries = nQ, k = k, widths = Seq(8, 16, 32, 64))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every width's hits live in [0, nQ*k]; ppm is the truncating ratio
+    rows.foreach { case (_, (hits, ppm)) =>
+      assert(hits >= 0 && hits <= nQ.toLong * k)
+      assert(ppm === 1000000L * hits / (nQ.toLong * k))
+    }
+    // width 64 is the truth itself: recall exactly 1
+    assert(rows(64L) === ((nQ.toLong * k, 1000000L)))
+    // truncation can only be evaluated against a non-empty truth
+    assert(rows.size === 4)
+  }
 }
