@@ -66,6 +66,13 @@ object SparkEntry {
     "q19_disjunctive" -> (RelationalQueries.q19Disjunctive _),
     // Q13 shape: left-outer fact join + two-level count distribution
     "q13_cust_distribution" -> (RelationalQueries.q13CustDistribution _),
+    // Q8: the deepest classic join tree (dim chains broadcast, one
+    // fact-sized exchange), exact-ppm market share per year
+    "q8_market_share" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.q8MarketShare(s, d)),
+    // Q21 shape: EXISTS + NOT EXISTS double correlation collapsed into
+    // one per-order census (two exchanges vs the textbook four)
+    "q21_sole_fault" -> (RelationalQueries.q21SoleFaultSupplier _),
     // co-located fact⋈fact over bucketed copies: zero join-side shuffle
     "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -1406,6 +1413,48 @@ object SparkEntry {
         |  count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH f AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT yr,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN cents ELSE 0 END) AS HUGEINT) * 1000000)
+        |    // CAST(sum(cents) AS HUGEINT) AS BIGINT) AS mkt_share_ppm
+        |FROM f GROUP BY 1""".stripMargin,
+    // the textbook correlated form — the Spark side's one-pass census
+    // must agree with EXISTS + NOT EXISTS semantics exactly
+    "q21_sole_fault" ->
+      """WITH pp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_fault
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT p1.l_suppkey, count(*) AS numwait
+        |  FROM pp p1
+        |  WHERE p1.has_fault = 1
+        |    AND EXISTS (SELECT 1 FROM pp p2
+        |                WHERE p2.l_orderkey = p1.l_orderkey
+        |                  AND p2.l_suppkey <> p1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM pp p3
+        |                    WHERE p3.l_orderkey = p1.l_orderkey
+        |                      AND p3.l_suppkey <> p1.l_suppkey
+        |                      AND p3.has_fault = 1)
+        |  GROUP BY 1)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
     "q13_cust_distribution" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count

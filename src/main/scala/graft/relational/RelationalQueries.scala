@@ -437,10 +437,10 @@ object RelationalQueries {
       .agg(sum(revenueCents).as("revenue_cents"),
         count(lit(1)).as("n_items"))
 
-  /** TPC-H Q13 shape: customer order-count distribution — the one
-    * remaining classic shape this schema can express (Q2/Q4/Q8/Q9/Q11/
-    * Q12/Q16/Q20/Q21 need partsupp / commitdate / receiptdate columns
-    * the synthetic lake doesn't carry). The LEFT OUTER join is the
+  /** TPC-H Q13 shape: customer order-count distribution (Q2/Q9/Q11/Q16/
+    * Q20 need partsupp, Q4/Q12 need commit/receiptdate — columns the
+    * synthetic lake doesn't carry; Q8 and a Q21 shape ARE expressible
+    * and live below). The LEFT OUTER join is the
     * point: customers with NO qualifying order must appear with
     * c_count = 0, which an inner-join groupBy silently drops. Orders
     * are gated on priority so the zero bucket is non-empty at every
@@ -457,4 +457,82 @@ object RelationalQueries {
       .agg(count(col("o_orderkey")).as("c_count"))
       .groupBy("c_count")
       .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q8 (national market share): of the revenue a region's
+    * customers spent on one part type per year, the share supplied by
+    * one nation. The deepest classic join tree this schema carries —
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on the demand side,
+    * ⋈ part and ⋈ supplier ⋈ nation (the same dim under a second role)
+    * on the supply side. Every dimension chain broadcasts; the only
+    * fact-sized exchange is lineitem⋈orders on orderkey, and the part
+    * type / order-year filters cut the fact before it. Share is exact
+    * integer ppm over cents (the q14 discipline), so the oracle matches
+    * bit-for-bit. */
+  def q8MarketShare(spark: SparkSession, dir: String,
+      region: String = "ASIA", nation: String = "NATION_12",
+      ptype: String = "ECONOMY"): DataFrame = {
+    val demandNations = broadcast(load(spark, dir, "nation")
+      .join(load(spark, dir, "region")
+          .filter(col("r_name") === region),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cust_nationkey")))
+    val supplyNation = broadcast(load(spark, dir, "supplier")
+      .join(load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    load(spark, dir, "lineitem")
+      .join(broadcast(load(spark, dir, "part")
+          .filter(col("p_type") === ptype)),
+        col("l_partkey") === col("p_partkey"))
+      .join(load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(load(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(demandNations,
+        col("c_nationkey") === col("cust_nationkey"))
+      .join(supplyNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(
+        sum(when(col("supp_nation") === nation, revenueCents)
+          .otherwise(0L)).as("nation_cents"),
+        sum(revenueCents).as("total_cents"))
+      .select(col("yr"), col("nation_cents"), col("total_cents"),
+        expr("cast((cast(nation_cents as decimal(38,0)) * 1000000)" +
+          " div total_cents as bigint)").as("mkt_share_ppm"))
+  }
+
+  /** TPC-H Q21 shape (the only-failing-supplier double correlation):
+    * suppliers that were the SOLE supplier with a returned line in a
+    * multi-supplier order. The classic form is EXISTS (another supplier
+    * in the order) AND NOT EXISTS (another supplier with a fault) —
+    * two correlated subqueries, i.e. a semi and an anti self-join of
+    * the fact table. Here both correlations collapse into ONE per-order
+    * aggregation (distinct suppliers, distinct faulty suppliers) joined
+    * back to the per-(order, supplier) fault flags: two exchanges on
+    * orderkey total, where the textbook plan pays four fact-sized
+    * shuffles. The returned-lines side and the per-order census reuse
+    * the same key partitioning, so AQE plans them into one stage chain. */
+  def q21SoleFaultSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_returnflag") === "R").as("fault"))
+    val perPair = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("fault")).as("has_fault"))
+    val perOrder = perPair.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supps"),
+        sum(when(col("has_fault"), 1L).otherwise(0L)).as("n_fault_supps"))
+    perPair.filter(col("has_fault"))
+      .join(perOrder.filter(col("n_supps") >= 2 &&
+          col("n_fault_supps") === 1),
+        Seq("l_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
 }

@@ -413,4 +413,38 @@ class RelationalSpec extends SparkSpec {
     assert(rows.getOrElse(0L, 0L) === nCust - urgentCust,
       "zero bucket = customers with no urgent order (left-outer semantics)")
   }
+
+  test("q8: market share ppm is the exact integer quotient; shares bounded") {
+    val rows = RelationalQueries.q8MarketShare(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nation, total, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nation >= 0 && nation <= total)
+      assert(ppm === (BigInt(nation) * 1000000 / BigInt(total)).toLong,
+        "ppm is exactly the integer division of cents")
+    }
+    // region gate is load-bearing: ASIA nations only on the demand side
+    val asiaCents = rows.map(_.getLong(2)).sum
+    val allRegions = RelationalQueries
+      .q8MarketShare(spark, dir, region = "AMERICA")
+      .collect().map(_.getLong(2)).sum
+    assert(asiaCents != allRegions, "different regions see different demand")
+  }
+
+  test("q21: one-pass census equals the naive exists/not-exists replay") {
+    val li = Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byOrder = li.groupBy(_._1)
+    val want = byOrder.toSeq.flatMap { case (_, rows) =>
+      val supps = rows.map(_._2).distinct
+      val faulty = rows.filter(_._3 == "R").map(_._2).distinct
+      // EXISTS another supplier, NOT EXISTS another faulty supplier
+      faulty.filter(s => supps.exists(_ != s) && faulty.forall(_ == s))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val top = want.toSeq.sortBy { case (s, n) => (-n, s) }.take(20).toMap
+    val got = RelationalQueries.q21SoleFaultSupplier(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === top)
+  }
 }
