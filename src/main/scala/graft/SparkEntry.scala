@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.lsp.LspAnalytics
 import graft.multimodal.Multimodal
 import graft.pipeline.TrainingData
-import graft.relational.{Bucketed, EventQueries, RelationalQueries, SqlQueries}
+import graft.relational.{Bucketed, EventQueries, RelationalQueries, Sketches, Skyline, SqlQueries}
 import graft.similarity.{HybridRetrieval, Similarity}
 import graft.text.TextOps
 
@@ -73,6 +73,16 @@ object SparkEntry {
     // Q21 shape: EXISTS + NOT EXISTS double correlation collapsed into
     // one per-order census (two exchanges vs the textbook four)
     "q21_sole_fault" -> (RelationalQueries.q21SoleFaultSupplier _),
+    // Pareto frontier per brand: sort + running max (O(n log n), the
+    // window reuses the group exchange) vs the oracle's quadratic
+    // NOT EXISTS — the skyline preference query at scale
+    "q_skyline" -> (Skyline.qSkyline _),
+    // deterministic HyperLogLog (m=256, exact bit-smear ranks): the
+    // 256-bytes-per-group count-distinct path, oracle-exact
+    "q_hll_distinct" -> (Sketches.qHllDistinct _),
+    // count-min heavy hitters (d=4 × w=1024 salted counters): frequency
+    // estimates that only overcount, from map-combinable partials
+    "q_heavy_hitters" -> (Sketches.qHeavyHitters _),
     // co-located fact⋈fact over bucketed copies: zero join-side shuffle
     "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -1455,6 +1465,72 @@ object SparkEntry {
         |  GROUP BY 1)
         |JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    // quadratic correlated form — the window-based frontier must agree
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_brand,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(p_size AS BIGINT) AS p_size
+        |  FROM part)
+        |SELECT p_partkey, p_brand, price_cents, p_size FROM p p1
+        |WHERE NOT EXISTS (SELECT 1 FROM p p2
+        |  WHERE p2.p_brand = p1.p_brand
+        |    AND p2.price_cents <= p1.price_cents AND p2.p_size >= p1.p_size
+        |    AND (p2.price_cents < p1.price_cents OR p2.p_size > p1.p_size))""".stripMargin,
+    "q_hll_distinct" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
+        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
+        |  FROM events),
+        |s1 AS (SELECT event_type, bucket, v | (v >> 1) AS x FROM r),
+        |s2 AS (SELECT event_type, bucket, x | (x >> 2) AS x FROM s1),
+        |s3 AS (SELECT event_type, bucket, x | (x >> 4) AS x FROM s2),
+        |s4 AS (SELECT event_type, bucket, x | (x >> 8) AS x FROM s3),
+        |s5 AS (SELECT event_type, bucket, x | (x >> 16) AS x FROM s4),
+        |s6 AS (SELECT event_type, bucket, x | (x >> 32) AS x FROM s5),
+        |b AS (SELECT event_type, bucket,
+        |    max(61 - bit_count(x)) AS mj
+        |  FROM s6 GROUP BY 1, 2),
+        |z AS (SELECT event_type,
+        |    sum((1::BIGINT << (61 - mj))::HUGEINT)
+        |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
+        |    256 - count(*) AS v0
+        |  FROM b GROUP BY 1),
+        |e AS (SELECT event_type,
+        |    CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
+        |      * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
+        |      / CAST(zs AS DOUBLE) AS est_raw,
+        |    v0 FROM z),
+        |x AS (SELECT event_type,
+        |    round(CASE WHEN est_raw <= 640.0 AND v0 > 0
+        |          THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
+        |          ELSE est_raw END, 2) AS hll_est
+        |  FROM e),
+        |d AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n_exact, hll_est FROM d JOIN x USING (event_type)""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tc AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),
+        |bk AS (SELECT tok, n_exact,
+        |    ('0x' || substring(md5('cm0:' || tok), 1, 5))::UBIGINT % 1024 AS b0,
+        |    ('0x' || substring(md5('cm1:' || tok), 1, 5))::UBIGINT % 1024 AS b1,
+        |    ('0x' || substring(md5('cm2:' || tok), 1, 5))::UBIGINT % 1024 AS b2,
+        |    ('0x' || substring(md5('cm3:' || tok), 1, 5))::UBIGINT % 1024 AS b3
+        |  FROM tc),
+        |st AS (SELECT n_exact, 0 AS i, b0 AS bucket FROM bk
+        |  UNION ALL SELECT n_exact, 1, b1 FROM bk
+        |  UNION ALL SELECT n_exact, 2, b2 FROM bk
+        |  UNION ALL SELECT n_exact, 3, b3 FROM bk),
+        |counters AS (SELECT i, bucket, CAST(sum(n_exact) AS BIGINT) AS cnt
+        |  FROM st GROUP BY 1, 2),
+        |top AS (SELECT * FROM bk ORDER BY n_exact DESC, tok LIMIT 20),
+        |probe AS (SELECT tok, n_exact, 0 AS i, b0 AS bucket FROM top
+        |  UNION ALL SELECT tok, n_exact, 1, b1 FROM top
+        |  UNION ALL SELECT tok, n_exact, 2, b2 FROM top
+        |  UNION ALL SELECT tok, n_exact, 3, b3 FROM top)
+        |SELECT tok, n_exact, min(cnt) AS n_cms
+        |FROM probe JOIN counters USING (i, bucket)
+        |GROUP BY 1, 2""".stripMargin,
     "q13_cust_distribution" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -1,0 +1,116 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Deterministic sketches — the bounded-memory cardinality/frequency
+  * path for 100 TB, built so the SAME bits come out of any engine.
+  *
+  * Spark's own `approx_count_distinct`/`approx_percentile` produce
+  * engine-specific values (q_sketch_stats wraps them in accuracy
+  * assertions instead); these two operators take the other route: the
+  * sketch algorithm itself is pinned to md5-derived integer arithmetic,
+  * so a DuckDB replay of the formula is bit-identical and the driver's
+  * hash compare works on the sketch OUTPUT, not around it.
+  *
+  * - [[qHllDistinct]]: HyperLogLog (Flajolet et al. 2007) with m=256
+  *   registers. Register index = first 8 hash bits; rank = leading-zero
+  *   count of the next 60 bits + 1, computed EXACTLY via the classic
+  *   bit-smear + popcount (no floating log2 — `floor(log2(v))` misrounds
+  *   at 2^k boundaries where the double ulp exceeds the gap). The
+  *   indicator sum stays in integer space scaled by 2^61 (a decimal —
+  *   256·2^61 outgrows a long), so one IEEE division produces the
+  *   estimate; the standard small-range linear-counting branch uses
+  *   `ln` exactly as the perplexity oracles already do. Per-group state
+  *   is 256 bytes no matter how many rows stream through — THE sketch
+  *   property that replaces a shuffle-heavy count(DISTINCT) at scale —
+  *   and registers merge by max, so partial aggregation applies.
+  * - [[qHeavyHitters]]: count-min (Cormode & Muthukrishnan 2005) with
+  *   d=4 salted rows × w=1024 buckets (ε = e/w ≈ 0.27% of total mass,
+  *   δ = e^-4). Counters build from the exact per-token partial counts
+  *   (map-side combinable; the token-TYPE table is Heaps-law bounded,
+  *   the same scale argument as BPE training), and the estimate for any
+  *   token is the min over its d counters — never an underestimate,
+  *   which the spec asserts. The 4×1024 counter table is a broadcast
+  *   artifact, the published-model serving shape.
+  */
+object Sketches {
+
+  import Tables.load
+
+  private val TwoPow61 = 2305843009213693952L // exact, fits a long
+
+  /** Bit-smear + popcount bit-length: after OR-ing in all right shifts,
+    * the value has bitlen(v) one-bits. Exact in 64-bit integer ops in
+    * any engine (DuckDB mirrors with `>>`/`|`/bit_count). */
+  private def smearBitlen(v: Column): Column = {
+    val s = Seq(1, 2, 4, 8, 16, 32).foldLeft(v)((c, k) =>
+      c.bitwiseOR(shiftright(c, k)))
+    bit_count(s)
+  }
+
+  /** HLL distinct users per event type, next to the exact count it
+    * approximates. m=256; output is deterministic cross-engine. */
+  def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val regs = ev
+      .select(col("event_type"),
+        md5(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .select(col("event_type"),
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
+        conv(substring(col("h"), 3, 15), 16, 10).cast("bigint").as("v"))
+      // rank of the 60-bit suffix: leading zeros + 1 = 61 - bitlen
+      .select(col("event_type"), col("bucket"),
+        (lit(61) - smearBitlen(col("v"))).as("rho"))
+      .groupBy("event_type", "bucket")
+      .agg(max("rho").as("mj"))
+    val est = regs.groupBy("event_type")
+      .agg(
+        // z·2^61 exactly: present registers contribute 2^(61-mj),
+        // absent ones (register 0) contribute 2^61 each
+        (sum(expr("cast(shiftleft(cast(1 as bigint), 61 - mj) as decimal(38,0))")) +
+          (lit(256) - count(lit(1))).cast("decimal(38,0)") * lit(TwoPow61))
+          .as("zs"),
+        (lit(256) - count(lit(1))).cast("bigint").as("v0"))
+      .select(col("event_type"),
+        expr("cast(0.7213 as double)/(cast(1.0 as double)" +
+          " + cast(1.079 as double)/cast(256.0 as double))" +
+          " * cast(65536.0 as double) * cast(2305843009213693952.0 as double)" +
+          " / cast(zs as double)").as("est_raw"),
+        col("v0"))
+      .select(col("event_type"),
+        round(when(col("est_raw") <= 640.0 && col("v0") > 0,
+            lit(256.0) * log(lit(256.0) / col("v0")))
+          .otherwise(col("est_raw")), 2).as("hll_est"))
+    ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+      .join(broadcast(est), Seq("event_type"))
+  }
+
+  /** Count-min estimates for the top-20 tokens by exact count: the
+    * estimate can only overcount (collisions add, never subtract). */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    def bucketCol(i: Int): Column =
+      conv(substring(md5(concat(lit(s"cm$i:"), col("tok"))), 1, 5), 16, 10)
+        .cast("bigint") % 1024
+    val tc = load(spark, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      .select(col("tok"), col("n_exact"),
+        bucketCol(0).as("b0"), bucketCol(1).as("b1"),
+        bucketCol(2).as("b2"), bucketCol(3).as("b3"))
+    // 4 counter rows per token TYPE (not per occurrence — the exact
+    // partial counts aggregate first), then sum into the 4×1024 table
+    val stacked = tc.selectExpr("n_exact",
+      "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (i, bucket)")
+    val counters = stacked.groupBy("i", "bucket")
+      .agg(sum("n_exact").as("cnt"))
+    val top = tc
+      .orderBy(col("n_exact").desc, col("tok")).limit(20)
+    top.selectExpr("tok", "n_exact",
+        "stack(4, 0, b0, 1, b1, 2, b2, 3, b3) as (i, bucket)")
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy("tok", "n_exact")
+      .agg(min("cnt").as("n_cms"))
+  }
+}

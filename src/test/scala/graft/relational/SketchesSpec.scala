@@ -1,0 +1,74 @@
+package graft.relational
+
+import java.security.MessageDigest
+
+import graft.SparkSpec
+
+/** Skyline + deterministic-sketch operators vs exact JVM replays. */
+class SketchesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("skyline equals the quadratic dominance replay; frontier is an antichain") {
+    val parts = Tables.load(spark, dir, "part")
+      .selectExpr("p_partkey", "p_brand",
+        "cast(floor(p_retailprice * 100 + 0.5) as bigint) as cents",
+        "cast(p_size as bigint) as sz")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val want = parts.filter { case (_, b, c, s) =>
+      !parts.exists { case (_, b2, c2, s2) =>
+        b2 == b && c2 <= c && s2 >= s && (c2 < c || s2 > s)
+      }
+    }.map(_._1).toSet
+    val got = Skyline.qSkyline(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    // antichain: no frontier point dominates another within a brand
+    val pts = Skyline.qSkyline(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).distinct
+    pts.foreach { case (b, c, s) =>
+      assert(!pts.exists { case (b2, c2, s2) =>
+        b2 == b && c2 <= c && s2 >= s && (c2 < c || s2 > s)
+      })
+    }
+  }
+
+  test("HLL estimate is accurate in the linear-counting regime and merge-stable") {
+    val rows = Sketches.qHllDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, est) =>
+      // 15 distinct users, m=256 → linear counting; |err| well under 20%
+      assert(math.abs(est - exact) <= 0.2 * exact,
+        s"$t: est $est too far from exact $exact")
+    }
+    // register build is deterministic: a second run is bit-identical
+    val again = Sketches.qHllDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
+  }
+
+  test("count-min estimates equal a JVM replay of the counters; never undercount") {
+    val toks = Tables.load(spark, dir, "documents")
+      .selectExpr("explode(split(text, ' ')) as tok")
+      .collect().map(_.getString(0))
+    val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def bucket(i: Int, tok: String): Long =
+      java.lang.Long.parseLong(md5hex(s"cm$i:$tok").substring(0, 5), 16) % 1024
+    val counters = (0 until 4).map { i =>
+      exact.toSeq.groupBy { case (t, _) => bucket(i, t) }
+        .view.mapValues(_.map(_._2).sum).toMap
+    }
+    val want = exact.toSeq.sortBy { case (t, n) => (-n, t) }.take(20)
+      .map { case (t, n) =>
+        t -> ((n, (0 until 4).map(i => counters(i)(bucket(i, t))).min))
+      }.toMap
+    val got = Sketches.qHeavyHitters(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    got.values.foreach { case (n, est) => assert(est >= n) }
+  }
+}
