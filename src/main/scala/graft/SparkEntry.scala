@@ -83,6 +83,9 @@ object SparkEntry {
     // count-min heavy hitters (d=4 × w=1024 salted counters): frequency
     // estimates that only overcount, from map-combinable partials
     "q_heavy_hitters" -> (Sketches.qHeavyHitters _),
+    // dynamic partition pruning: the weekend-dim join prunes the
+    // date-partitioned fact's directories at runtime (plan-pinned)
+    "q_dpp_prune" -> (graft.sources.PartitionedLake.qDppPrune _),
     // co-located fact⋈fact over bucketed copies: zero join-side shuffle
     "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -1465,6 +1468,15 @@ object SparkEntry {
         |  GROUP BY 1)
         |JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    "q_dpp_prune" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS epoch_days, value
+        |  FROM events)
+        |SELECT strftime(DATE '1970-01-01' + CAST(epoch_days AS INT), '%Y-%m-%d') AS day,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM e
+        |WHERE (epoch_days + 4) % 7 IN (0, 6)
+        |GROUP BY 1""".stripMargin,
     // quadratic correlated form — the window-based frontier must agree
     "q_skyline" ->
       """WITH p AS (SELECT p_partkey, p_brand,
