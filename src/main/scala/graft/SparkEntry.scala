@@ -148,6 +148,9 @@ object SparkEntry {
     "q_drift_psi" -> (EventQueries.qDriftPsi _),
     // fixed-point EWMA recurrence via bounded grouped-list fold
     "q_ewma" -> (EventQueries.qEwma _),
+    // exact-integer Pearson correlation across hourly series (moments
+    // as integer sums, one division + one sqrt at the very end)
+    "q_corr_matrix" -> (EventQueries.qCorrMatrix _),
     // cohort retention matrix (first-seen week × weeks-since activity)
     "q_retention" -> (EventQueries.qRetention _),
     "q_interval_join" -> ((s: SparkSession, d: String) =>
@@ -1904,6 +1907,28 @@ object SparkEntry {
         |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
         |    AS ewma_cents
         |FROM s""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, sum(n) AS sx, sum(n * n) AS sxx
+        |  FROM hourly GROUP BY 1),
+        |hrs AS (SELECT count(DISTINCT hr) AS h FROM hourly),
+        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    sum(a.n * b.n) AS sxy
+        |  FROM hourly a JOIN hourly b
+        |    ON a.hr = b.hr AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, CAST(h AS BIGINT) AS n_hours,
+        |  CAST(h::HUGEINT * sxy - sa.sx::HUGEINT * sb.sx AS BIGINT) AS cov_num,
+        |  round(CAST(h::HUGEINT * sxy - sa.sx::HUGEINT * sb.sx AS DOUBLE)
+        |    / sqrt(CAST((h::HUGEINT * sa.sxx - sa.sx::HUGEINT * sa.sx)
+        |      * (h::HUGEINT * sb.sxx - sb.sx::HUGEINT * sb.sx) AS DOUBLE)), 6)
+        |    AS corr
+        |FROM pairs
+        |JOIN stats sa ON type_a = sa.event_type
+        |JOIN stats sb ON type_b = sb.event_type
+        |CROSS JOIN hrs""".stripMargin,
     "q_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS t1 FROM ev

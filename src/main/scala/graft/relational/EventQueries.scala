@@ -601,4 +601,51 @@ object EventQueries {
       .select(col("error_event_id"), col("next_event_id"), col("next_type"),
         (col("next_us") - col("err_us")).as("gap_us"))
   }
+
+  /** Pairwise Pearson correlation between event types over their hourly
+    * count series — the metric-correlation census an observability
+    * pipeline runs across thousands of series. Spark's `corr` (and any
+    * streaming-moment formula) accumulates doubles in partition order,
+    * so its low bits are layout-dependent; here every moment (Sx, Sxx,
+    * Sxy, and the hour universe H) is an exact INTEGER aggregate of
+    * counts — missing hours contribute zero to every sum, so the inner
+    * join on hours loses nothing — and the correlation is assembled at
+    * the end from decimal-exact variance/covariance numerators with one
+    * IEEE division and one correctly-rounded sqrt. Bit-identical in any
+    * engine; the exact integer covariance numerator ships alongside as
+    * the hash anchor. Shuffles: one (hr, type) aggregation, one
+    * hour-keyed pair join of the 720-row series, broadcast moments. */
+  def qCorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = load(spark, dir, "events")
+      .select(expr("ts div 3600000000000").as("hr"), col("event_type"))
+      .groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(sum("n").as("sx"), sum(col("n") * col("n")).as("sxx"))
+    val hours = hourly.agg(countDistinct("hr").as("h"))
+    val pairs = hourly.select(col("hr"), col("event_type").as("type_a"),
+        col("n").as("na"))
+      .join(hourly.select(col("hr"), col("event_type").as("type_b"),
+        col("n").as("nb")), Seq("hr"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(col("na") * col("nb")).as("sxy"))
+    pairs
+      .join(broadcast(stats.select(col("event_type").as("type_a"),
+        col("sx").as("sxa"), col("sxx").as("sxxa"))), Seq("type_a"))
+      .join(broadcast(stats.select(col("event_type").as("type_b"),
+        col("sx").as("sxb"), col("sxx").as("sxxb"))), Seq("type_b"))
+      .crossJoin(broadcast(hours))
+      // decimal-exact numerators: cov = H·Sxy − Sx·Sy, var = H·Sxx − Sx²
+      .withColumn("cov_num", expr(
+        "cast(h as decimal(38,0)) * sxy - cast(sxa as decimal(38,0)) * sxb"))
+      .withColumn("var_a", expr(
+        "cast(h as decimal(38,0)) * sxxa - cast(sxa as decimal(38,0)) * sxa"))
+      .withColumn("var_b", expr(
+        "cast(h as decimal(38,0)) * sxxb - cast(sxb as decimal(38,0)) * sxb"))
+      .select(col("type_a"), col("type_b"),
+        col("h").cast("long").as("n_hours"),
+        col("cov_num").cast("long").as("cov_num"),
+        round(expr("cast(cov_num as double)" +
+          " / sqrt(cast(var_a * var_b as double))"), 6).as("corr"))
+  }
 }

@@ -414,6 +414,33 @@ class RelationalSpec extends SparkSpec {
       "zero bucket = customers with no urgent order (left-outer semantics)")
   }
 
+  test("correlation matrix equals a BigInt-moment JVM replay") {
+    val hourly = Tables.load(spark, dir, "events")
+      .selectExpr("ts div 3600000000000 as hr", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val types = hourly.keySet.map(_._2).toSeq.sorted
+    val hrs = hourly.keySet.map(_._1)
+    val h = BigInt(hrs.size)
+    def series(t: String): Map[Long, Long] =
+      hourly.collect { case ((hr, `t`), n) => hr -> n }
+    val want = (for {
+      a <- types; b <- types if a < b
+      sa = series(a); sb = series(b)
+      sx = BigInt(sa.values.sum); sy = BigInt(sb.values.sum)
+      sxx = sa.values.map(v => BigInt(v) * v).sum
+      syy = sb.values.map(v => BigInt(v) * v).sum
+      sxy = sa.keySet.intersect(sb.keySet).toSeq
+        .map(k => BigInt(sa(k)) * sb(k)).sum
+      cov = h * sxy - sx * sy
+    } yield (a, b) -> BigDecimal(
+        cov.toDouble / math.sqrt(((h * sxx - sx * sx) * (h * syy - sy * sy)).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    val got = EventQueries.qCorrMatrix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(got === want)
+  }
+
   test("q8: market share ppm is the exact integer quotient; shares bounded") {
     val rows = RelationalQueries.q8MarketShare(spark, dir).collect()
     assert(rows.nonEmpty)
