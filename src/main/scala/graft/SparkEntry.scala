@@ -462,6 +462,10 @@ object SparkEntry {
       graft.graph.GraphOps.qLinkPredict(s, d)),
     // log2-bucket degree distribution (bit-length, no IEEE log)
     "q_degree_hist" -> (graft.graph.GraphOps.qDegreeHist _),
+    // HyperBall neighborhood function N(r), r=0..2: per-node HLL ball
+    // sketches merged along arcs (max commutes → oracle-exact)
+    "q_hyperball" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qHyperBall(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -965,6 +969,55 @@ object SparkEntry {
        |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
        |$rounds
        |$pageRankFinal FROM r$iters""".stripMargin
+  }
+
+  /** HyperBall oracle: seed registers via the same md5 bucket/rank
+    * derivation (bit-smear bitlen — see q_hll_distinct), then `radius`
+    * unrolled max-merge rounds along the trade-graph arcs, then the
+    * per-node HLL estimate rounded to 1e-4 and summed as integers. */
+  private def hyperBallSql(radius: Int): String = {
+    val rounds = (1 to radius).map { i =>
+      s"""hb$i AS MATERIALIZED (SELECT node, bucket, max(mj) AS mj FROM (
+         |  SELECT node, bucket, mj FROM hb${i - 1}
+         |  UNION ALL
+         |  SELECT e2.dst AS node, s.bucket, s.mj
+         |  FROM edges e2 JOIN hb${i - 1} s ON e2.src = s.node)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to radius).map { r =>
+      s"""z$r AS (SELECT node,
+         |    sum((1::BIGINT << (61 - mj))::HUGEINT)
+         |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
+         |    256 - count(*) AS v0
+         |  FROM hb$r GROUP BY 1),
+         |est$r AS (SELECT CAST($r AS BIGINT) AS r, count(*) AS n_nodes,
+         |    CAST(sum(CAST(floor((CASE WHEN est_raw <= 640.0 AND v0 > 0
+         |        THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
+         |        ELSE est_raw END) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS nf_e4
+         |  FROM (SELECT node,
+         |      CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
+         |        * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
+         |        / CAST(zs AS DOUBLE) AS est_raw, v0
+         |    FROM z$r))""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to radius).map(r => s"SELECT * FROM est$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $tradeGraphCte,
+       |n0 AS (SELECT DISTINCT src AS node FROM edges),
+       |hh AS (SELECT node,
+       |    CAST(('0x' || substring(md5('hb:' || CAST(node AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
+       |    CAST(('0x' || substring(md5('hb:' || CAST(node AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
+       |  FROM n0),
+       |sm1 AS (SELECT node, bucket, v | (v >> 1) AS x FROM hh),
+       |sm2 AS (SELECT node, bucket, x | (x >> 2) AS x FROM sm1),
+       |sm3 AS (SELECT node, bucket, x | (x >> 4) AS x FROM sm2),
+       |sm4 AS (SELECT node, bucket, x | (x >> 8) AS x FROM sm3),
+       |sm5 AS (SELECT node, bucket, x | (x >> 16) AS x FROM sm4),
+       |sm6 AS (SELECT node, bucket, x | (x >> 32) AS x FROM sm5),
+       |hb0 AS (SELECT node, bucket, 61 - bit_count(x) AS mj FROM sm6),
+       |$rounds,
+       |$ests
+       |$unions""".stripMargin
   }
 
   /** Warm-started delta-PageRank oracle (see GraphOps.qPageRankDelta):
@@ -2996,6 +3049,7 @@ object SparkEntry {
          |JOIN ic c1 ON e.u = c1.l_partkey
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
     "q_kcore" -> kCoreSql,
+    "q_hyperball" -> hyperBallSql(2),
     // floor(log2) via bit length — printf('%b') in DuckDB, bin() in
     // Spark — so the bucket never touches an IEEE logarithm
     "q_degree_hist" ->

@@ -919,4 +919,62 @@ object GraphOps {
       .join(und.select(col("u").as("a"), col("v").as("b")),
         Seq("a", "b"), "left_anti")
   }
+
+  /** HyperBall neighborhood function (Boldi & Vigna 2013): how many
+    * nodes are within distance r of each node, for every node AT ONCE —
+    * the primitive behind graph diameter / centrality estimates on
+    * web-scale graphs, where per-node BFS is |V| traversals and exact
+    * ball materialization is quadratic. Each node carries a 256-register
+    * HLL of its ball; one round of "merge every in-neighbor's sketch"
+    * advances every ball's radius by 1, so radius R costs R edge-joins
+    * of a sketch table bounded by |V|·256 rows — NOT by ball sizes,
+    * which is the entire trick.
+    *
+    * Registers here are the deterministic [[graft.relational.Sketches]]
+    * HLL in sparse (node, bucket, mj) form; merge is `max` per
+    * register, which commutes and is idempotent — any shuffle order,
+    * any duplicate-arc multiplicity, same registers, so the DuckDB
+    * oracle replays the rounds exactly. Per-node estimates are rounded
+    * to 1e-4 and summed as integers (a double sum over nodes would be
+    * order-dependent); output is the neighborhood function
+    * N(r) = Σ_v |ball(v, r)| for r = 0..2 over the trade graph. */
+  def qHyperBall(spark: SparkSession, dir: String, radius: Int = 2): DataFrame = {
+    import graft.relational.Sketches
+    val (bucket, rho) = Sketches.hllRegister(col("node"), "hb")
+    withTradePairs(spark, dir) { pairs =>
+      val edges = tradeEdges(pairs)
+        .repartition(spark.sparkContext.defaultParallelism, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seed = edges.select(col("src").as("node")).distinct()
+          .select(col("node"), bucket.as("bucket"), rho.as("mj"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // rounds: registers(r) = max-merge(registers(r-1) pushed along
+        // every arc, registers(r-1)); each round is one src-join (edges
+        // stay resident on src) + one (node, bucket) aggregation
+        val rounds = Iterator.iterate(seed) { prev =>
+          val next = prev
+            .unionAll(edges.join(prev, col("src") === col("node"))
+              .select(col("dst").as("node"), col("bucket"), col("mj")))
+            .groupBy("node", "bucket").agg(max("mj").as("mj"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // cut lineage growth round-over-round
+          next
+        }.take(radius + 1).toSeq
+        val out = rounds.zipWithIndex.map { case (regs, r) =>
+          regs.groupBy("node")
+            .agg(Sketches.hllZs.as("zs"), Sketches.hllV0.as("v0"))
+            .select(floor(Sketches.hllEstimate(col("zs"), col("v0"))
+              * 10000 + 0.5).cast("long").as("est_e4"))
+            .agg(count(lit(1)).as("n_nodes"),
+              sum("est_e4").as("nf_e4"))
+            .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_e4"))
+        }.reduce(_ unionAll _)
+        val rows = out.collect() // force while the round frames are live
+        rounds.foreach(_.unpersist(blocking = false))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+      } finally edges.unpersist(blocking = false)
+    }
+  }
 }

@@ -49,39 +49,51 @@ object Sketches {
     bit_count(s)
   }
 
+  /** (bucket, rho) register coordinates of one value under `salt` —
+    * bucket from the first 8 hash bits, rank = 61 − bitlen of the next
+    * 60. Shared by [[qHllDistinct]] and the HyperBall neighborhood
+    * estimator ([[graft.graph.GraphOps.qHyperBall]]). */
+  private[graft] def hllRegister(value: Column, salt: String): (Column, Column) = {
+    val h = md5(concat(lit(salt + ":"), value.cast("string")))
+    (conv(substring(h, 1, 2), 16, 10).cast("int"),
+      lit(61) - smearBitlen(
+        conv(substring(h, 3, 15), 16, 10).cast("bigint")))
+  }
+
+  /** Aggregates over a register column named `mj`: the 2^61-scaled
+    * indicator sum (decimal-exact) and the zero-register count. */
+  private[graft] def hllZs: Column =
+    sum(expr("cast(shiftleft(cast(1 as bigint), 61 - mj) as decimal(38,0))")) +
+      (lit(256) - count(lit(1))).cast("decimal(38,0)") * lit(TwoPow61)
+  private[graft] def hllV0: Column =
+    (lit(256) - count(lit(1))).cast("bigint")
+
+  /** Estimate from (`zs`, `v0`) columns: raw HLL with the standard
+    * small-range linear-counting branch. Unrounded double. */
+  private[graft] def hllEstimate(zs: Column, v0: Column): Column = {
+    val raw = expr("cast(0.7213 as double)/(cast(1.0 as double)" +
+      " + cast(1.079 as double)/cast(256.0 as double))" +
+      " * cast(65536.0 as double) * cast(2305843009213693952.0 as double)")
+      ./(zs.cast("double"))
+    when(raw <= 640.0 && v0 > 0, lit(256.0) * log(lit(256.0) / v0))
+      .otherwise(raw)
+  }
+
   /** HLL distinct users per event type, next to the exact count it
     * approximates. m=256; output is deterministic cross-engine. */
   def qHllDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
+    val (bucket, rho) = hllRegister(col("user_id"), "hll")
     val regs = ev
-      .select(col("event_type"),
-        md5(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
-      .select(col("event_type"),
-        conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
-        conv(substring(col("h"), 3, 15), 16, 10).cast("bigint").as("v"))
-      // rank of the 60-bit suffix: leading zeros + 1 = 61 - bitlen
-      .select(col("event_type"), col("bucket"),
-        (lit(61) - smearBitlen(col("v"))).as("rho"))
+      .select(col("event_type"), bucket.as("bucket"), rho.as("rho"))
       .groupBy("event_type", "bucket")
       .agg(max("rho").as("mj"))
     val est = regs.groupBy("event_type")
-      .agg(
-        // z·2^61 exactly: present registers contribute 2^(61-mj),
-        // absent ones (register 0) contribute 2^61 each
-        (sum(expr("cast(shiftleft(cast(1 as bigint), 61 - mj) as decimal(38,0))")) +
-          (lit(256) - count(lit(1))).cast("decimal(38,0)") * lit(TwoPow61))
-          .as("zs"),
-        (lit(256) - count(lit(1))).cast("bigint").as("v0"))
+      // z·2^61 exactly: present registers contribute 2^(61-mj),
+      // absent ones (register 0) contribute 2^61 each
+      .agg(hllZs.as("zs"), hllV0.as("v0"))
       .select(col("event_type"),
-        expr("cast(0.7213 as double)/(cast(1.0 as double)" +
-          " + cast(1.079 as double)/cast(256.0 as double))" +
-          " * cast(65536.0 as double) * cast(2305843009213693952.0 as double)" +
-          " / cast(zs as double)").as("est_raw"),
-        col("v0"))
-      .select(col("event_type"),
-        round(when(col("est_raw") <= 640.0 && col("v0") > 0,
-            lit(256.0) * log(lit(256.0) / col("v0")))
-          .otherwise(col("est_raw")), 2).as("hll_est"))
+        round(hllEstimate(col("zs"), col("v0")), 2).as("hll_est"))
     ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("n_exact"))
       .join(broadcast(est), Seq("event_type"))
