@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+
+/** Streaming twin of [[graft.relational.Sketches.qHllDistinct]]: the
+  * same deterministic 256-register HLL maintained ONLINE per key, one
+  * estimate row per (key, micro-batch) in update fashion.
+  *
+  * The property this twin exists to pin (StreamingSpec): register
+  * merge is `max`, which commutes and is idempotent, so — unlike the
+  * ring-buffer twin [[RollingAnomaly]], whose contract requires ordered
+  * feed — ANY batch split and ANY arrival order converge to the exact
+  * batch registers, and the final estimate equals `q_hll_distinct`'s
+  * `hll_est` bit-for-bit. That is the sketch property that makes 256
+  * bytes of state per key sufficient for distinct-counting an unbounded
+  * stream (and what lets partial sketches merge across executors,
+  * micro-batches, or days of checkpoints at 100 TB).
+  */
+object StreamingSketch {
+
+  final case class UserEvent(eventType: String, userId: Long)
+  final case class Registers(mj: Vector[Byte])
+  final case class Estimate(eventType: String, nRegisters: Int, hllEst: Double)
+
+  /** (bucket, rank) of one value — the JVM replay of
+    * `Sketches.hllRegister` (first hex byte = bucket; rank = 61 − bit
+    * length of the next 15 hex chars' 60-bit value). */
+  private[streaming] def register(userId: Long): (Int, Byte) = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"hll:$userId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+    val v = BigInt(hex.substring(2, 17), 16)
+    (bucket, (61 - v.bitLength).toByte)
+  }
+
+  /** The estimate Spark's codegen'd expression computes, replayed with
+    * the same operation order (cf. `Sketches.hllEstimate`). */
+  private[streaming] def estimate(mj: IndexedSeq[Byte]): Double = {
+    val present = mj.count(_ > 0)
+    val zs = mj.map(m => if (m > 0) BigInt(1) << (61 - m) else BigInt(1) << 61).sum
+    val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+      2305843009213693952.0 / BigDecimal(zs).toDouble
+    val v0 = 256 - present
+    val est = if (raw <= 640.0 && v0 > 0) 256.0 * math.log(256.0 / v0) else raw
+    BigDecimal(est).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  private def updateGroup(
+      eventType: String,
+      events: Iterator[UserEvent],
+      state: GroupState[Registers]): Iterator[Estimate] = {
+    val mj = state.getOption.map(_.mj.toArray)
+      .getOrElse(Array.fill[Byte](256)(0))
+    events.foreach { e =>
+      val (b, r) = register(e.userId)
+      if (r > mj(b)) mj(b) = r
+    }
+    state.update(Registers(mj.toVector))
+    Iterator.single(
+      Estimate(eventType, mj.count(_ > 0), estimate(mj.toIndexedSeq)))
+  }
+
+  /** Update-mode estimate stream: one refreshed row per key per batch. */
+  def distinctUsers(events: Dataset[UserEvent]): Dataset[Estimate] = {
+    implicit val regEnc = Encoders.product[Registers]
+    implicit val estEnc = Encoders.product[Estimate]
+    events
+      .groupByKey(_.eventType)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateGroup)
+  }
+}

@@ -57,6 +57,36 @@ class StreamingSpec extends SparkSpec {
     assert(gotMap.nonEmpty)
   }
 
+  test("streaming HLL == batch sketch under shuffled feed and any batch split") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.relational.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "user_id").as[(String, Long)].collect()
+      .map(r => graft.streaming.StreamingSketch.UserEvent(r._1, r._2))
+    // adversarial order: registers merge by max, so ANY order converges
+    // (the property the ordered-feed ring-buffer twin does NOT have)
+    val shuffled = rows.sortBy(e => (e.userId * 2654435761L) ^ e.eventType.##)
+    val batches = shuffled.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+    val input = MemoryStream[graft.streaming.StreamingSketch.UserEvent]
+    val name = s"hll_${System.nanoTime()}"
+    val q = graft.streaming.StreamingSketch.distinctUsers(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        // update mode appends one row per (key, batch): latest wins
+        spark.table(name)
+          .as[graft.streaming.StreamingSketch.Estimate].collect()
+          .zipWithIndex.groupBy(_._1.eventType)
+          .map { case (t, v) => t -> v.maxBy(_._2)._1.hllEst }
+      } finally q.stop()
+    val want = graft.relational.Sketches.qHllDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("A1: eager reply on first found; stragglers don't re-emit") {
     val replies = runVerdicts(Seq(
       Seq(PartitionVerdict(7L, 0, 3, found = false, null)),
