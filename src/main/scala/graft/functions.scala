@@ -38,6 +38,24 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     col(graft.similarity.FloatVectorDot(expr(a), expr(b)))
 
+  /** Packed 256-register HLL blob with one seed register set. */
+  def hll_seed_blob(bucket: Column, rho: Column): Column =
+    col(graft.sketch.HllSeedBlob(
+      Cast(expr(bucket), IntegerType), Cast(expr(rho), IntegerType)))
+
+  /** Native elementwise-max merge AGGREGATE over register blobs
+    * (map-side combinable, like a built-in sketch aggregate). */
+  def hll_merge(blob: Column): Column =
+    col(graft.sketch.HllMergeAgg(expr(blob)).toAggregateExpression())
+
+  /** Exact 2^61-scaled indicator sum of a register blob. */
+  def hll_blob_zs(blob: Column): Column =
+    col(graft.sketch.HllBlobZs(expr(blob)))
+
+  /** Zero-register count of a register blob (linear-counting V). */
+  def hll_blob_zeros(blob: Column): Column =
+    col(graft.sketch.HllBlobZeros(expr(blob)))
+
   /** LSPMessage protobuf frame encode (wire-compatible with
     * `lspmessage__pack`). */
   def lsp_encode(connid: Column, seqnum: Column, payload: Column): Column =

@@ -941,40 +941,44 @@ object GraphOps {
   def qHyperBall(spark: SparkSession, dir: String, radius: Int = 2): DataFrame = {
     import graft.relational.Sketches
     val (bucket, rho) = Sketches.hllRegister(col("node"), "hb")
-    withTradePairs(spark, dir) { pairs =>
-      val edges = tradeEdges(pairs)
-        .repartition(spark.sparkContext.defaultParallelism, col("src"))
+    // the shared degree-annotated edge artifact (src-partitioned,
+    // persisted once per session — the same table PageRank/label-prop
+    // iterate over); HyperBall only needs (src, dst)
+    val edges = tradeEdgesDeg(spark, dir).select("src", "dst")
+    // registers travel PACKED (one 256-byte blob per node, merged by
+    // the native hll_merge aggregate) — the sparse (node, bucket, mj)
+    // relation paid one shuffle row per register per arc and ran ~6x
+    // slower at sf0.1 (13.6 s → 2.1 s); the DuckDB oracle keeps the
+    // sparse relational form, so its hash-equality pins blob == sparse
+    val seed = edges.select(col("src").as("node")).distinct()
+      .select(col("node"),
+        graft.functions.hll_seed_blob(bucket, rho).as("blob"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // rounds: registers(r) = max-merge(registers(r-1) pushed along
+    // every arc, registers(r-1)); each round is one src-join (edges
+    // stay resident on src) + one node-keyed blob aggregation
+    val rounds = Iterator.iterate(seed) { prev =>
+      val next = prev
+        .unionAll(edges.join(prev, col("src") === col("node"))
+          .select(col("dst").as("node"), col("blob")))
+        .groupBy("node")
+        .agg(graft.functions.hll_merge(col("blob")).as("blob"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      try {
-        val seed = edges.select(col("src").as("node")).distinct()
-          .select(col("node"), bucket.as("bucket"), rho.as("mj"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // rounds: registers(r) = max-merge(registers(r-1) pushed along
-        // every arc, registers(r-1)); each round is one src-join (edges
-        // stay resident on src) + one (node, bucket) aggregation
-        val rounds = Iterator.iterate(seed) { prev =>
-          val next = prev
-            .unionAll(edges.join(prev, col("src") === col("node"))
-              .select(col("dst").as("node"), col("bucket"), col("mj")))
-            .groupBy("node", "bucket").agg(max("mj").as("mj"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // cut lineage growth round-over-round
-          next
-        }.take(radius + 1).toSeq
-        val out = rounds.zipWithIndex.map { case (regs, r) =>
-          regs.groupBy("node")
-            .agg(Sketches.hllZs.as("zs"), Sketches.hllV0.as("v0"))
-            .select(floor(Sketches.hllEstimate(col("zs"), col("v0"))
-              * 10000 + 0.5).cast("long").as("est_e4"))
-            .agg(count(lit(1)).as("n_nodes"),
-              sum("est_e4").as("nf_e4"))
-            .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_e4"))
-        }.reduce(_ unionAll _)
-        val rows = out.collect() // force while the round frames are live
-        rounds.foreach(_.unpersist(blocking = false))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
-      } finally edges.unpersist(blocking = false)
-    }
+      next.count() // cut lineage growth round-over-round
+      next
+    }.take(radius + 1).toSeq
+    val out = rounds.zipWithIndex.map { case (regs, r) =>
+      regs.select(floor(Sketches.hllEstimate(
+          graft.functions.hll_blob_zs(col("blob")),
+          graft.functions.hll_blob_zeros(col("blob")))
+          * 10000 + 0.5).cast("long").as("est_e4"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum("est_e4").as("nf_e4"))
+        .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_e4"))
+    }.reduce(_ unionAll _)
+    val rows = out.collect() // force while the round frames are live
+    rounds.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 }
