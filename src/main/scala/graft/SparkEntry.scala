@@ -86,6 +86,9 @@ object SparkEntry {
     // dynamic partition pruning: the weekend-dim join prunes the
     // date-partitioned fact's directories at runtime (plan-pinned)
     "q_dpp_prune" -> (graft.sources.PartitionedLake.qDppPrune _),
+    // HLL set algebra: per-type register blobs → pairwise union via
+    // elementwise max → intersection by inclusion–exclusion
+    "q_audience_overlap" -> (Sketches.qAudienceOverlap _),
     // co-located fact⋈fact over bucketed copies: zero join-side shuffle
     "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -1580,6 +1583,68 @@ object SparkEntry {
         |d AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
         |  FROM events GROUP BY 1)
         |SELECT event_type, n_exact, hll_est FROM d JOIN x USING (event_type)""".stripMargin,
+    // sparse-register replay of the blob algebra: same registers, same
+    // estimate formula per scope (type, and pair-union), inclusion-
+    // exclusion assembled in the same operation order
+    "q_audience_overlap" ->
+      """WITH r AS (SELECT event_type,
+        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
+        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
+        |  FROM events),
+        |s1 AS (SELECT event_type, bucket, v | (v >> 1) AS x FROM r),
+        |s2 AS (SELECT event_type, bucket, x | (x >> 2) AS x FROM s1),
+        |s3 AS (SELECT event_type, bucket, x | (x >> 4) AS x FROM s2),
+        |s4 AS (SELECT event_type, bucket, x | (x >> 8) AS x FROM s3),
+        |s5 AS (SELECT event_type, bucket, x | (x >> 16) AS x FROM s4),
+        |s6 AS (SELECT event_type, bucket, x | (x >> 32) AS x FROM s5),
+        |b AS (SELECT event_type, bucket, max(61 - bit_count(x)) AS mj
+        |  FROM s6 GROUP BY 1, 2),
+        |tp AS (SELECT DISTINCT a.event_type AS type_a, c.event_type AS type_b
+        |  FROM b a JOIN b c ON a.event_type < c.event_type),
+        |ub AS (SELECT tp.type_a, tp.type_b, b.bucket, max(b.mj) AS mj
+        |  FROM tp JOIN b ON b.event_type = tp.type_a OR b.event_type = tp.type_b
+        |  GROUP BY 1, 2, 3),
+        |z1 AS (SELECT event_type,
+        |    sum((1::BIGINT << (61 - mj))::HUGEINT)
+        |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
+        |    256 - count(*) AS v0
+        |  FROM b GROUP BY 1),
+        |e1 AS (SELECT event_type,
+        |    CASE WHEN est_raw <= 640.0 AND v0 > 0
+        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
+        |      ELSE est_raw END AS est
+        |  FROM (SELECT event_type,
+        |      CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
+        |        / CAST(zs AS DOUBLE) AS est_raw, v0
+        |    FROM z1)),
+        |zu AS (SELECT type_a, type_b,
+        |    sum((1::BIGINT << (61 - mj))::HUGEINT)
+        |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
+        |    256 - count(*) AS v0
+        |  FROM ub GROUP BY 1, 2),
+        |eu AS (SELECT type_a, type_b,
+        |    CASE WHEN est_raw <= 640.0 AND v0 > 0
+        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
+        |      ELSE est_raw END AS est
+        |  FROM (SELECT type_a, type_b,
+        |      CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
+        |        * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
+        |        / CAST(zs AS DOUBLE) AS est_raw, v0
+        |    FROM zu)),
+        |du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |exact AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM du a JOIN du c
+        |    ON a.user_id = c.user_id AND a.event_type < c.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both,
+        |  round(eu.est, 2) AS union_est,
+        |  round(ea.est + eb.est - eu.est, 2) AS inter_est
+        |FROM exact
+        |JOIN eu USING (type_a, type_b)
+        |JOIN e1 ea ON ea.event_type = type_a
+        |JOIN e1 eb ON eb.event_type = type_b""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |tc AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),

@@ -48,6 +48,11 @@ object functions {
   def hll_merge(blob: Column): Column =
     col(graft.sketch.HllMergeAgg(expr(blob)).toAggregateExpression())
 
+  /** Elementwise-max union of two register blobs (sketch of the set
+    * union — the HLL algebra behind inclusion–exclusion overlaps). */
+  def hll_blob_union(a: Column, b: Column): Column =
+    col(graft.sketch.HllBlobUnion(expr(a), expr(b)))
+
   /** Exact 2^61-scaled indicator sum of a register blob. */
   def hll_blob_zs(blob: Column): Column =
     col(graft.sketch.HllBlobZs(expr(blob)))

@@ -99,6 +99,46 @@ object Sketches {
       .join(broadcast(est), Seq("event_type"))
   }
 
+  /** Audience overlap between event types via HLL set algebra: each
+    * type's user set becomes one 256-byte register blob (built by the
+    * native `hll_merge` aggregate — one sketch row per type leaves the
+    * exchange); the pair's UNION sketch is elementwise max of two
+    * blobs, and the intersection estimate is inclusion–exclusion
+    * |A| + |B| − |A∪B| — no pairwise re-scan of the raw data, which is
+    * the point: at 100 TB, n sets → n sketches → n² overlaps from
+    * kilobytes, where the exact path re-shuffles the fact table per
+    * pair. The exact overlap count rides along as ground truth; all
+    * estimates are the deterministic register formula, so the oracle
+    * replays them from the sparse register relation bit-for-bit. */
+  def qAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{hll_blob_union, hll_blob_zeros, hll_blob_zs, hll_merge, hll_seed_blob}
+    val ev = load(spark, dir, "events").select("event_type", "user_id")
+    val (bucket, rho) = hllRegister(col("user_id"), "hll")
+    val blobs = ev
+      .select(col("event_type"), hll_seed_blob(bucket, rho).as("blob"))
+      .groupBy("event_type").agg(hll_merge(col("blob")).as("blob"))
+    def est(blob: Column): Column =
+      hllEstimate(hll_blob_zs(blob), hll_blob_zeros(blob))
+    val pairs = blobs.select(col("event_type").as("type_a"),
+        col("blob").as("blob_a"))
+      .crossJoin(broadcast(blobs.select(col("event_type").as("type_b"),
+        col("blob").as("blob_b"))))
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("blob_u", hll_blob_union(col("blob_a"), col("blob_b")))
+      .select(col("type_a"), col("type_b"),
+        round(est(col("blob_u")), 2).as("union_est"),
+        round(est(col("blob_a")) + est(col("blob_b"))
+          - est(col("blob_u")), 2).as("inter_est"))
+    val exact = ev.distinct()
+      .withColumnRenamed("event_type", "type_a")
+      .join(ev.distinct().withColumnRenamed("event_type", "type_b"),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    exact.join(broadcast(pairs), Seq("type_a", "type_b"))
+  }
+
   /** Count-min estimates for the top-20 tokens by exact count: the
     * estimate can only overcount (collisions add, never subtract). */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {

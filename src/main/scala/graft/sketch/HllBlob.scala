@@ -92,6 +92,36 @@ case class HllSeedBlob(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `hll_blob_union(a, b)` — elementwise-max union of two register
+  * blobs: the sketch of the UNION of the two underlying sets (the HLL
+  * algebra that lets pairwise overlaps come from per-set sketches via
+  * inclusion–exclusion, no re-scan of the raw data). */
+case class HllBlobUnion(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_blob_union"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, BINARY), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HllBlob.mergeInto(a.asInstanceOf[Array[Byte]].clone(),
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.sketch.HllBlob.mergeInto(($a).clone(), $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HllBlobUnion =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hll_blob_zs(blob)` — the exact decimal indicator sum. */
 case class HllBlobZs(child: Expression) extends UnaryExpression {
 

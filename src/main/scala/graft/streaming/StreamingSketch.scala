@@ -28,7 +28,7 @@ object StreamingSketch {
   /** (bucket, rank) of one value — the JVM replay of
     * `Sketches.hllRegister` (first hex byte = bucket; rank = 61 − bit
     * length of the next 15 hex chars' 60-bit value). */
-  private[streaming] def register(userId: Long): (Int, Byte) = {
+  private[graft] def register(userId: Long): (Int, Byte) = {
     val hex = MessageDigest.getInstance("MD5")
       .digest(s"hll:$userId".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -39,7 +39,7 @@ object StreamingSketch {
 
   /** The estimate Spark's codegen'd expression computes, replayed with
     * the same operation order (cf. `Sketches.hllEstimate`). */
-  private[streaming] def estimate(mj: IndexedSeq[Byte]): Double = {
+  private[graft] def estimate(mj: IndexedSeq[Byte]): Double = {
     val present = mj.count(_ > 0)
     val zs = mj.map(m => if (m > 0) BigInt(1) << (61 - m) else BigInt(1) << 61).sum
     val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *

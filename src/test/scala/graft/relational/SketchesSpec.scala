@@ -51,6 +51,44 @@ class SketchesSpec extends SparkSpec {
     assert(again.sortBy(_._1).toSeq === rows.sortBy(_._1).toSeq)
   }
 
+  test("audience overlap equals a JVM register-algebra replay") {
+    import graft.streaming.StreamingSketch.{estimate, register}
+    val ev = Tables.load(spark, dir, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val regs: Map[String, Array[Byte]] = ev.groupBy(_._1).view.mapValues { rows =>
+      val mj = Array.fill[Byte](256)(0)
+      rows.foreach { case (_, u) =>
+        val (b, r) = register(u)
+        if (r > mj(b)) mj(b) = r
+      }
+      mj
+    }.toMap
+    def est(a: Array[Byte]): Double =
+      // unrounded variant of the streaming replay's formula
+      {
+        val zs = a.map(m => BigInt(1) << (61 - m)).sum
+        val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+          2305843009213693952.0 / BigDecimal(zs).toDouble
+        val v0 = a.count(_ == 0)
+        if (raw <= 640.0 && v0 > 0) 256.0 * math.log(256.0 / v0) else raw
+      }
+    def r2(d: Double): Double =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val types = byType.keySet.toSeq.sorted
+    val want = (for {
+      a <- types; b <- types if a < b
+      u = regs(a).zip(regs(b)).map { case (x, y) => if (x > y) x else y }
+    } yield (a, b) -> ((byType(a).intersect(byType(b)).size.toLong,
+      r2(est(u)), r2(est(regs(a)) + est(regs(b)) - est(u))))).toMap
+    val got = Sketches.qAudienceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("count-min estimates equal a JVM replay of the counters; never undercount") {
     val toks = Tables.load(spark, dir, "documents")
       .selectExpr("explode(split(text, ' ')) as tok")
