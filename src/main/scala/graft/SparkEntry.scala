@@ -255,6 +255,9 @@ object SparkEntry {
       Dedup.qEditDistancePairs(s, d)),
     "q_ngram_jaccard" -> ((s: SparkSession, d: String) =>
       Dedup.qNgramJaccardPairs(s, d)),
+    // prefix-filtered (AllPairs/PPJoin) set-similarity join: lossless
+    // rarity-prefix candidates + symmetric length filter, exact verify
+    "q_setsim_join" -> (Dedup.qSetSimJoin _),
     // directed partial-dup containment |A∩B|/|A| — the signal Jaccard
     // misses when a short doc is pasted into a long one
     "q_containment" -> ((s: SparkSession, d: String) =>
@@ -634,6 +637,21 @@ object SparkEntry {
       |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
       |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** Exact quadratic form of the prefix-filtered set-similarity join
+    * (Dedup.qSetSimJoin): the prefix filter is LOSSLESS, so the
+    * candidate-pruned Spark plan must reproduce this relation exactly.
+    * Integer gate 5·∩ ≥ 3·∪; ppm by integer division. */
+  private val setSimSql: String =
+    s"""$shingleCte,
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+      |  CAST(s1.sz + s2.sz - inter AS BIGINT) AS uni,
+      |  CAST((inter * 1000000) // (s1.sz + s2.sz - inter) AS BIGINT) AS jac_ppm
+      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |WHERE 5 * inter >= 3 * (s1.sz + s2.sz - inter)""".stripMargin
 
   /** Directed containment pairs (see Dedup.qContainmentPairs): integer
     * gate, one division, same shingle definition as Jaccard. */
@@ -2609,6 +2627,7 @@ object SparkEntry {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
     "q_ngram_jaccard" -> exactJaccardSql,
+    "q_setsim_join" -> setSimSql,
     "q_containment" -> containmentSql,
     // MinHash+LSH emits candidate pairs verified by EXACT Jaccard, so its
     // oracle is the same brute-force join — recall 1.0 on this corpus is

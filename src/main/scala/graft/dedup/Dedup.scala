@@ -1,5 +1,6 @@
 package graft.dedup
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -115,6 +116,86 @@ object Dedup {
           (col("sz1") + col("sz2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Prefix-filtered set-similarity self-join (AllPairs / PPJoin
+    * lineage: Bayardo et al. 2007) at Jaccard ≥ 3/5 — the LOSSLESS
+    * upgrade of the shared-shingle candidate generator: under any fixed
+    * total order of the shingle universe, two sets with Jaccard ≥ τ
+    * MUST collide inside their (1−τ)-fraction prefixes, so only prefix
+    * entries enter the candidate join. The order used is global rarity
+    * (frequency, then shingle — rarest first), which both satisfies the
+    * theorem and minimizes fan-out, since the head of every prefix is
+    * the least-shared shingle the doc owns. A symmetric length filter
+    * (3·|a| ≤ 5·|b| ∧ 3·|b| ≤ 5·|a|) prunes inside the join condition.
+    *
+    * Scale shape: the rarity rank is a window over the shingle TYPE
+    * table (Heaps-law bounded — the BPE-training argument), not the
+    * corpus; candidates then verify via the cached arrays. At sf0.001
+    * this generates ~3x fewer candidates than the shared-shingle join
+    * (DedupSpec measures it); the gap widens with corpus size because
+    * frequent shingles leave every prefix. Gate and outputs are exact
+    * integers (5·∩ ≥ 3·∪; ppm by integer division), so the quadratic
+    * DuckDB oracle matches bit-for-bit. */
+  def qSetSimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val shArr = shingleArrays(spark, dir)
+    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val sizes = shArr.select(col("doc_id"),
+      size(col("sh_arr")).cast("long").as("sz"))
+    val rank = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq"), col("sh"))))
+      .select("sh", "rk")
+    // prefix length p = n − ceil(3n/5) + 1, all integer arithmetic
+    val prefix = sh.join(rank, "sh").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("rk")))
+      .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+      .select(col("doc_id"), col("sh"), col("sz"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 3 <= col("b.sz") * 5 &&
+          col("b.sz") * 3 <= col("a.sz") * 5)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(shArr.select(col("doc_id").as("d1"), col("sh_arr").as("arr1")), "d1")
+      .join(shArr.select(col("doc_id").as("d2"), col("sh_arr").as("arr2")), "d2")
+      .withColumn("inter",
+        size(array_intersect(col("arr1"), col("arr2"))).cast("long"))
+      .withColumn("uni",
+        size(col("arr1")) + size(col("arr2")) - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("d1"), col("d2"), col("inter"),
+        col("uni").cast("long").as("uni"),
+        expr("(inter * 1000000) div uni").as("jac_ppm"))
+  }
+
+  /** Candidate-pair count of the prefix-filtered generator vs the plain
+    * shared-shingle generator (the DedupSpec pruning gauge). */
+  private[graft] def setSimCandidateCounts(
+      spark: SparkSession, dir: String): (Long, Long) = {
+    val shArr = shingleArrays(spark, dir)
+    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val shared = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val sizes = shArr.select(col("doc_id"),
+      size(col("sh_arr")).cast("long").as("sz"))
+    val rank = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("freq"), col("sh"))))
+      .select("sh", "rk")
+    val prefix = sh.join(rank, "sh").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy("rk")))
+      .filter(col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + 1)
+    val pruned = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") * 3 <= col("b.sz") * 5 &&
+          col("b.sz") * 3 <= col("a.sz") * 5)
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    (pruned, shared)
   }
 
   /** Asymmetric shingle containment — the partial-duplication signal

@@ -215,4 +215,29 @@ class DedupSpec extends SparkSpec {
     assert(truthN === 0 || row.getLong(4) >= 900000L,
       s"recall_ppm ${row.getLong(4)} unexpectedly low")
   }
+
+  test("prefix-filtered setsim join is lossless and prunes candidates") {
+    val dir = "/root/testdata/sf0.001"
+    // lossless: the prefix-filtered result equals the exhaustive
+    // shared-shingle relation gated at the same 3/5 threshold
+    val got = Dedup.qSetSimJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val sh = Dedup.shingleArrays(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (d1, s1) <- sh; (d2, s2) <- sh if d1 < d2
+      inter = s1.intersect(s2).size.toLong
+      uni = s1.size + s2.size - inter
+      if inter * 5 >= uni * 3
+    } yield (d1, d2) -> ((inter, uni, inter * 1000000L / uni))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+    // the point of the prefix: strictly fewer candidates than the
+    // shared-shingle generator on the same corpus
+    val (pruned, shared) = Dedup.setSimCandidateCounts(spark, dir)
+    assert(pruned < shared,
+      s"prefix filter should prune: $pruned vs $shared")
+    assert(pruned >= got.size.toLong, "candidates cover every result pair")
+  }
 }
