@@ -47,3 +47,18 @@ object SessionCache {
   def frames[K]: SessionCache[K, DataFrame] =
     new SessionCache[K, DataFrame](_.unpersist(blocking = false))
 }
+
+/** Named (non-lambda) per-row copy for `toRdd.map`: unsafe rows are
+  * reused per partition, so caching requires copies. A NAMED function
+  * object deliberately: `SparkContext.clean` introspects the bytecode
+  * of a lambda's capturing class via the thread context classloader,
+  * which a previously-run streaming micro-batch thread can leave
+  * pointing somewhere that cannot resolve graft classes — the
+  * ClosureCleaner NPE that flaked two suites in a full test run. Named
+  * function classes skip the cleaner's lambda path entirely. */
+private[graft] object CopyInternalRow
+    extends (org.apache.spark.sql.catalyst.InternalRow =>
+      org.apache.spark.sql.catalyst.InternalRow) with Serializable {
+  override def apply(r: org.apache.spark.sql.catalyst.InternalRow)
+      : org.apache.spark.sql.catalyst.InternalRow = r.copy()
+}

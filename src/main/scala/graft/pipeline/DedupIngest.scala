@@ -74,7 +74,8 @@ object DedupIngest {
         (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
     val schema = df.schema
     val rdd = df.queryExecution.toRdd
-      .map(_.copy()) // unsafe rows are reused per-partition
+      // named copy fn (not a lambda): see graft.CopyInternalRow
+      .map(graft.CopyInternalRow)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = rdd.count()
     (org.apache.spark.sql.GraftShim.ofInternalRows(spark, rdd, schema),

@@ -119,26 +119,46 @@ object TrainingData {
         org.apache.spark.sql.catalyst.InternalRow],
       count: Long, hashSum: Long)
 
+  /** Named per-partition (count, xor-of-hashes sum) fold — see
+    * [[graft.CopyInternalRow]] for why these are not lambdas. */
+  private object EdgeFingerprintPartition
+      extends (Iterator[org.apache.spark.sql.catalyst.InternalRow] =>
+        Iterator[(Long, Long)]) with Serializable {
+    override def apply(
+        it: Iterator[org.apache.spark.sql.catalyst.InternalRow])
+        : Iterator[(Long, Long)] = {
+      import org.apache.spark.sql.catalyst.expressions.XXH64
+      var n = 0L; var s = 0L
+      while (it.hasNext) {
+        val r = it.next()
+        n += 1
+        s += XXH64.hashLong(r.getLong(0), 0x9E3779B97F4A7C15L) ^
+          XXH64.hashLong(r.getLong(1), 0xC2B2AE3D27D4EB4FL)
+      }
+      Iterator.single((n, s))
+    }
+  }
+
+  private object SumCountHash
+      extends (((Long, Long), (Long, Long)) => (Long, Long))
+      with Serializable {
+    override def apply(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+      (a._1 + b._1, a._2 + b._2)
+  }
+
   private def materializeEdges(
       plan: DataFrame, spark: SparkSession): MatEdges = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val schema = plan.schema
+    // named function objects (not lambdas) throughout: see
+    // graft.CopyInternalRow for why — the ClosureCleaner's lambda
+    // introspection can NPE under a polluted context classloader
     val rdd = plan.queryExecution.toRdd
-      .map(_.copy()) // unsafe rows are reused per-partition; cache copies
+      .map(graft.CopyInternalRow) // unsafe rows are reused per-partition
       .persist(StorageLevel.MEMORY_AND_DISK)
     // one job: computing the fingerprint materializes the cache
     val (count, hashSum) = rdd
-      .mapPartitions { it =>
-        var n = 0L; var s = 0L
-        while (it.hasNext) {
-          val r = it.next()
-          n += 1
-          s += XXH64.hashLong(r.getLong(0), 0x9E3779B97F4A7C15L) ^
-            XXH64.hashLong(r.getLong(1), 0xC2B2AE3D27D4EB4FL)
-        }
-        Iterator.single((n, s))
-      }
-      .fold((0L, 0L)) { case ((n1, s1), (n2, s2)) => (n1 + n2, s1 + s2) }
+      .mapPartitions(EdgeFingerprintPartition)
+      .fold((0L, 0L))(SumCountHash)
     MatEdges(org.apache.spark.sql.GraftShim.ofInternalRows(spark, rdd, schema),
       rdd, count, hashSum)
   }
