@@ -314,6 +314,10 @@ object SparkEntry {
     // approximation carries a full oracle (unlike LSH)
     "q_ann_q8" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnQuantized(s, d)),
+    // binary quantization (1 bit/dim, XOR+popcount scan, exact re-rank
+    // of the Hamming shortlist) — the 32x-bandwidth serving extreme
+    "q_ann_bq" -> ((s: SparkSession, d: String) =>
+      Similarity.qAnnBinary(s, d)),
     // product quantization (8 subspaces x 64 cells = 6-bit codes): ONE
     // fixed-point Lloyd round from a Forgy seed, ADC shortlist, exact
     // re-rank — deterministic end to end, so codebook+codes+ranks all
@@ -612,6 +616,35 @@ object SparkEntry {
        |SELECT * FROM (SELECT qid, nid, sim,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
        |  FROM d)
+       |WHERE rnk <= $k""".stripMargin
+
+  /** Binary-quantization ANN oracle: the full deterministic pipeline —
+    * sign-bit code pack (1-based subscripts → bit j−1, matching Spark's
+    * 0-based posexplode), Hamming shortlist cut by (distance, id), exact
+    * cosine re-rank of the shortlist only. */
+  private def annBinarySql(k: Int, shortlist: Int): String =
+    s"""WITH bits AS (SELECT vec_id, unnest(embedding) AS x,
+       |    generate_subscripts(embedding, 1) AS j FROM embeddings),
+       |codes AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN x > 0 AND j <= 32 THEN (1::BIGINT << (j - 1))
+       |      ELSE 0::BIGINT END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN x > 0 AND j > 32 THEN (1::BIGINT << (j - 33))
+       |      ELSE 0::BIGINT END) AS BIGINT) AS hi
+       |  FROM bits GROUP BY 1),
+       |short AS (SELECT qid, nid, hamming FROM (
+       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |      CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)), c.vec_id) AS hrnk
+       |    FROM codes q JOIN codes c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
+       |  WHERE hrnk <= $shortlist),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |rr AS (SELECT qid, nid, hamming,
+       |    round(${duckCos("q.v", "c.v")}, 6) AS sim
+       |  FROM short JOIN e q ON qid = q.vec_id JOIN e c ON nid = c.vec_id)
+       |SELECT * FROM (SELECT qid, nid, hamming, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+       |  FROM rr)
        |WHERE rnk <= $k""".stripMargin
 
   /** Exact 4-token-shingle Jaccard near-dup pairs at threshold 0.5 — the
@@ -2925,6 +2958,7 @@ object SparkEntry {
         |    / CAST(count(*) * count(*) AS DOUBLE) / 4294967296.0 AS cov,
         |  count(*) AS n_vectors
         |FROM p GROUP BY 1, 2""".stripMargin,
+    "q_ann_bq" -> annBinarySql(5, 50),
     "q_ann_q8" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |s AS (SELECT vec_id, v,

@@ -260,6 +260,68 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Binary quantization ANN — the 1-bit-per-dimension extreme of the
+    * compression family ([[qAnnQuantized]] is 8-bit, [[qAnnPq]] is
+    * codebook): each 64-dim vector collapses to ONE long of sign bits,
+    * so the first-phase scan is an XOR + popcount per candidate (64
+    * bits moved instead of 256 bytes — the 32× bandwidth cut that makes
+    * BQ the memory-bound serving choice), and only a `shortlist`-sized
+    * re-rank touches real floats. Hamming on sign codes is a monotone
+    * proxy for angle in expectation; the spec measures the realized
+    * recall against brute force and gates it. Everything is
+    * deterministic — codes are exact integer packs, the shortlist cut
+    * orders by (hamming, id) and the re-rank by (rounded sim, id) — so
+    * the DuckDB oracle replays the whole pipeline bit-for-bit.
+    *
+    * At 100 TB: codes are 8 bytes/vector (a 6 TB side-table for a
+    * trillion vectors) scanned columnar; the float fetch happens only
+    * for shortlist hits, the same access pattern as the PQ index. */
+  def qAnnBinary(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 5, shortlist: Int = 50): DataFrame = {
+    val emb = corpus(spark, dir)
+    // sign-bit pack via posexplode + integer sum, split into two 32-bit
+    // halves (a single 64-bit pack needs 1<<63, which signed engines
+    // disagree on): deterministic in any engine (ties at 0.0 map to
+    // bit 0), codegen-friendly, one shuffle
+    val codes = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .groupBy("vec_id")
+      .agg(
+        sum(expr("case when x > cast(0 as float) and j < 32" +
+          " then shiftleft(cast(1 as bigint), j)" +
+          " else cast(0 as bigint) end")).as("lo"),
+        sum(expr("case when x > cast(0 as float) and j >= 32" +
+          " then shiftleft(cast(1 as bigint), j - 32)" +
+          " else cast(0 as bigint) end")).as("hi"))
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val c = codes.select(col("vec_id").as("nid"), col("lo").as("nlo"),
+      col("hi").as("nhi"))
+    val short = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (bit_count(col("qlo").bitwiseXOR(col("nlo"))) +
+          bit_count(col("qhi").bitwiseXOR(col("nhi"))))
+          .cast("long").as("hamming"))
+      .withColumn("hrnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("hamming"), col("nid"))))
+      .filter(col("hrnk") <= shortlist)
+      .select("qid", "nid", "hamming")
+    val vecs = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    short
+      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm").as("qn")), "qid")
+      .join(vecs.select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("norm").as("nn")), "nid")
+      .select(col("qid"), col("nid"), col("hamming"),
+        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid")))
+        .cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Random-hyperplane LSH bucket id (native kernel; every plane projects
     * the full vector, so collisions track cosine similarity). */
   def signBucket(emb: Column, bits: Int): Column =

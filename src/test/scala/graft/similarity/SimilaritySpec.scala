@@ -123,6 +123,28 @@ class SimilaritySpec extends SparkSpec {
     lsh.foreach { case (_, ns) => assert(ns.size <= 5) }
   }
 
+  test("binary-quantized ANN: sims are exact cosines; recall@5 >= 0.7") {
+    val bf = Similarity.qAnnBruteForce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bq = Similarity.qAnnBinary(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    // the re-rank is EXACT: every reported sim equals the brute-force
+    // cosine for that pair (BQ only restricts WHICH pairs surface)
+    bq.foreach { case (pair, hamming, sim) =>
+      bf.get(pair).foreach(exact => assert(sim === exact, s"pair $pair"))
+      assert(hamming >= 0 && hamming <= 64)
+    }
+    val bfSets = bf.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val bqSets = bq.map(_._1).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = bfSets.keys.toSeq.map { q =>
+      (bqSets.getOrElse(q, Set.empty) & bfSets(q)).size.toDouble / bfSets(q).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean recall@5 = $mean")
+    // 50-of-500 Hamming shortlist on this corpus: well above 0.7
+    assert(mean >= 0.7, s"mean recall $mean too low")
+  }
+
   test("LSH ANN recall floor: driver config (2 tables) holds recall@5 >= 0.95") {
     // q_ann_lsh ships rows-only (approximate by nature) — this assertion
     // is its CI gate: the measured recall of the exact driver invocation
