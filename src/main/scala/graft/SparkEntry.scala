@@ -89,6 +89,10 @@ object SparkEntry {
     // HLL set algebra: per-type register blobs → pairwise union via
     // elementwise max → intersection by inclusion–exclusion
     "q_audience_overlap" -> (Sketches.qAudienceOverlap _),
+    // KMV bottom-k-by-hash quantile sketch through the native top-k
+    // operator (mergeable sample; integer rank-select estimates)
+    "q_kmv_quantiles" -> ((s: SparkSession, d: String) =>
+      Sketches.qKmvQuantiles(s, d)),
     // co-located fact⋈fact over bucketed copies: zero join-side shuffle
     "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -1696,6 +1700,37 @@ object SparkEntry {
         |JOIN eu USING (type_a, type_b)
         |JOIN e1 ea ON ea.event_type = type_a
         |JOIN e1 eb ON eb.event_type = type_b""".stripMargin,
+    "q_kmv_quantiles" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |    md5('kmv:' || CAST(event_id AS VARCHAR)) AS hk
+        |  FROM events),
+        |samp AS (SELECT event_type, event_id, cents FROM (
+        |    SELECT event_type, event_id, cents,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS hr
+        |    FROM ev)
+        |  WHERE hr <= 256),
+        |ex AS (SELECT event_type,
+        |    CAST(min(CASE WHEN r * 2 >= n THEN cents END) AS BIGINT) AS p50_cents,
+        |    CAST(min(CASE WHEN r * 20 >= n * 19 THEN cents END) AS BIGINT) AS p95_cents,
+        |    count(*) AS n
+        |  FROM (SELECT event_type, cents,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM ev)
+        |  GROUP BY 1),
+        |es AS (SELECT event_type,
+        |    CAST(min(CASE WHEN r * 2 >= n THEN cents END) AS BIGINT) AS p50_est,
+        |    CAST(min(CASE WHEN r * 20 >= n * 19 THEN cents END) AS BIGINT) AS p95_est,
+        |    count(*) AS n_sample
+        |  FROM (SELECT event_type, cents,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
+        |      count(*) OVER (PARTITION BY event_type) AS n
+        |    FROM samp)
+        |  GROUP BY 1)
+        |SELECT event_type, n, n_sample,
+        |  p50_cents, p50_est, p95_cents, p95_est
+        |FROM ex JOIN es USING (event_type)""".stripMargin,
     "q_heavy_hitters" ->
       """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
         |tc AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),

@@ -1,5 +1,6 @@
 package graft.relational
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -137,6 +138,47 @@ object Sketches {
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_both"))
     exact.join(broadcast(pairs), Seq("type_a", "type_b"))
+  }
+
+  /** KMV (bottom-k by hash) quantile sketch: per event type, the 256
+    * rows with the smallest salted-md5 rank form a uniform-without-
+    * replacement sample whose rank-selected quantiles estimate the
+    * population's. The property that makes this a SKETCH and not just a
+    * sample: bottom-k by a fixed hash is MERGEABLE — bottom-k of a
+    * union is computable from per-partition bottom-ks, which is exactly
+    * what the native [[graft.plans.TopK]] operator exploits (map-side
+    * heaps, `partitions × keys × k` rows through the exchange, never a
+    * per-type sort of the fact table). Estimates and exact values are
+    * integer-cent rank selections (smallest value whose rank reaches
+    * ⌈q·n⌉, in integer cross-multiplied form), so the oracle replays
+    * the whole pipeline bit-for-bit — hash ranks are md5 hex strings,
+    * compared lexicographically the same way in any engine. */
+  def qKmvQuantiles(
+      spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        md5(concat(lit("kmv:"), col("event_id").cast("string"))).as("hk"))
+    val sample = graft.plans.TopK.topKPerKey(ev,
+      keys = Seq(col("event_type")),
+      order = Seq(col("hk").asc, col("event_id").asc),
+      k = k).drop("rnk")
+    def rankSelect(df: DataFrame, p50: String, p95: String): DataFrame = {
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cents"), col("event_id"))
+      df.withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(min(when(col("r") * 2 >= col("n"), col("cents"))).as(p50),
+          min(when(col("r") * 20 >= col("n") * 19, col("cents"))).as(p95),
+          count(lit(1)).as(p50 + "_n"))
+    }
+    rankSelect(ev, "p50_cents", "p95_cents")
+      .withColumnRenamed("p50_cents_n", "n")
+      .join(broadcast(rankSelect(sample, "p50_est", "p95_est")
+        .withColumnRenamed("p50_est_n", "n_sample")), Seq("event_type"))
+      .select("event_type", "n", "n_sample",
+        "p50_cents", "p50_est", "p95_cents", "p95_est")
   }
 
   /** Count-min estimates for the top-20 tokens by exact count: the

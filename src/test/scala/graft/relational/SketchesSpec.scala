@@ -89,6 +89,34 @@ class SketchesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("KMV quantile sketch: sample is the hash bottom-k; estimates track exact") {
+    val rows = Sketches.qKmvQuantiles(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, n, nSample, p50, p50e, p95, p95e) =>
+      assert(nSample === math.min(256L, n))
+      // a 256-row uniform sample of a few-hundred-row population: the
+      // rank-selected estimates sit close to the exact quantiles
+      assert(math.abs(p50e - p50) <= 0.2 * p50, s"$t p50 $p50e vs $p50")
+      assert(math.abs(p95e - p95) <= 0.2 * p95, s"$t p95 $p95e vs $p95")
+    }
+    // JVM replay of the bottom-k selection itself for one type
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "event_id",
+        "cast(floor(value * 100 + 0.5) as long) as cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .filter(_._1 == rows.head._1)
+    def md5hexS(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sample = ev.sortBy { case (_, id, _) => (md5hexS(s"kmv:$id"), id) }
+      .take(256).map(_._3).sorted
+    val n = sample.length
+    val p50want = sample((n + 1) / 2 - 1) // smallest r with 2r >= n
+    assert(rows.find(_._1 == ev.head._1).get._5 === p50want)
+  }
+
   test("count-min estimates equal a JVM replay of the counters; never undercount") {
     val toks = Tables.load(spark, dir, "documents")
       .selectExpr("explode(split(text, ' ')) as tok")
