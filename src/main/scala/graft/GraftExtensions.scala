@@ -184,6 +184,27 @@ object GraftExtensions {
       Sha1MultiOrdinalMatch(Cast(args(0), LongType),
         posIntArg("sha1_multi_ordinal_match", args(1)), hexes)
     },
+    "hll_seed_blob" -> { args: Seq[Expression] =>
+      arity("hll_seed_blob", 2, args)
+      graft.sketch.HllSeedBlob(
+        Cast(args(0), IntegerType), Cast(args(1), IntegerType))
+    },
+    "hll_blob_union" -> { args: Seq[Expression] =>
+      arity("hll_blob_union", 2, args)
+      graft.sketch.HllBlobUnion(args(0), args(1))
+    },
+    "hll_blob_zs" -> { args: Seq[Expression] =>
+      arity("hll_blob_zs", 1, args)
+      graft.sketch.HllBlobZs(args(0))
+    },
+    "hll_blob_zeros" -> { args: Seq[Expression] =>
+      arity("hll_blob_zeros", 1, args)
+      graft.sketch.HllBlobZeros(args(0))
+    },
+    "hll_merge" -> { args: Seq[Expression] =>
+      arity("hll_merge", 1, args)
+      graft.sketch.HllMergeAgg(args(0)).toAggregateExpression()
+    },
     "z_order" -> { args: Seq[Expression] =>
       arity("z_order", 2, args)
       graft.sources.ZOrderValue(Cast(args(0), LongType), Cast(args(1), LongType))

@@ -89,6 +89,42 @@ class SketchesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("hll blob functions work from the SQL surface and match the sparse path") {
+    Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .createOrReplaceTempView("ev_sql")
+    // same registers as Sketches.hllRegister, built in pure SQL through
+    // the registered native functions (the cluster-deployment surface)
+    val viaSql = spark.sql(
+      """WITH r AS (SELECT event_type,
+        |    cast(conv(substring(md5(concat('hll:', cast(user_id as string))), 1, 2), 16, 10) as int) AS bucket,
+        |    cast(conv(substring(md5(concat('hll:', cast(user_id as string))), 3, 15), 16, 10) as bigint) AS v
+        |  FROM ev_sql),
+        |s1 AS (SELECT event_type, bucket, v | shiftright(v,1) AS x FROM r),
+        |s2 AS (SELECT event_type, bucket, x | shiftright(x,2) AS x FROM s1),
+        |s3 AS (SELECT event_type, bucket, x | shiftright(x,4) AS x FROM s2),
+        |s4 AS (SELECT event_type, bucket, x | shiftright(x,8) AS x FROM s3),
+        |s5 AS (SELECT event_type, bucket, x | shiftright(x,16) AS x FROM s4),
+        |s6 AS (SELECT event_type, bucket, x | shiftright(x,32) AS x FROM s5),
+        |s AS (SELECT event_type, bucket, 61 - bit_count(x) AS rho FROM s6),
+        |b AS (SELECT event_type, hll_merge(hll_seed_blob(bucket, rho)) AS blob
+        |  FROM s GROUP BY 1)
+        |SELECT event_type, hll_blob_zs(blob) AS zs, hll_blob_zeros(blob) AS v0
+        |FROM b""".stripMargin)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDecimal(1).toBigInteger, r.getInt(2)))).toMap
+    val sparse = Sketches.qHllDistinct(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // reassemble the estimate from the SQL blob stats and compare
+    viaSql.foreach { case (t, (zs, v0)) =>
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+        2305843009213693952.0 / BigDecimal(zs).toDouble
+      val est = if (raw <= 640.0 && v0 > 0) 256.0 * math.log(256.0 / v0) else raw
+      val r2 = BigDecimal(est).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r2 === sparse(t), s"$t")
+    }
+    assert(viaSql.nonEmpty)
+  }
+
   test("KMV quantile sketch: sample is the hash bottom-k; estimates track exact") {
     val rows = Sketches.qKmvQuantiles(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
