@@ -158,6 +158,8 @@ object SparkEntry {
     // exact-integer Pearson correlation across hourly series (moments
     // as integer sums, one division + one sqrt at the very end)
     "q_corr_matrix" -> (EventQueries.qCorrMatrix _),
+    // OLS daily-revenue trend per type from exact integer moments
+    "q_linreg_trend" -> (EventQueries.qLinregTrend _),
     // cohort retention matrix (first-seen week × weeks-since activity)
     "q_retention" -> (EventQueries.qRetention _),
     "q_interval_join" -> ((s: SparkSession, d: String) =>
@@ -2115,6 +2117,27 @@ object SparkEntry {
         |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
         |    AS ewma_cents
         |FROM s""".stripMargin,
+    "q_linreg_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |dx AS (SELECT event_type, day - (SELECT min(day) FROM daily) AS x, y
+        |  FROM daily),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
+        |  FROM dx GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |    n::HUGEINT * sxy - sx::HUGEINT * sy AS slope_num,
+        |    n::HUGEINT * sxx - sx::HUGEINT * sx AS slope_den,
+        |    sy::HUGEINT AS syh, sx::HUGEINT AS sxh
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round(CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE), 4)
+        |    AS slope_cents_per_day,
+        |  round(CAST(syh * slope_den - slope_num * sxh AS DOUBLE)
+        |    / CAST(n::HUGEINT * slope_den AS DOUBLE), 4) AS intercept_cents
+        |FROM f""".stripMargin,
     "q_corr_matrix" ->
       """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
         |    count(*) AS n

@@ -602,6 +602,42 @@ object EventQueries {
         (col("next_us") - col("err_us")).as("gap_us"))
   }
 
+  /** Per-type linear trend (OLS of daily revenue cents on the day
+    * index) — the metric-trend detector, same exact-moment discipline
+    * as [[qCorrMatrix]]: Sx/Sxx over day indexes and Sxy/Sy over daily
+    * cent totals are integer aggregates, the slope and intercept
+    * numerators/denominators assemble decimal-exact, and only the final
+    * two divisions are IEEE (rounded to 4) — so the fit is bit-identical
+    * cross-engine, unlike a streaming `regr_slope` accumulation.
+    * Slope sign × magnitude is the alert; day 0 = the lake's first day. */
+  def qLinregTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+      .withColumn("x", col("day") - min("day").over(
+        Window.partitionBy(lit(1))))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
+        sum("y").as("sy"), sum(expr("x * y")).as("sxy"))
+      .withColumn("slope_num", expr(
+        "cast(n as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sy"))
+      .withColumn("slope_den", expr(
+        "cast(n as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        round(expr("cast(slope_num as double) / cast(slope_den as double)"), 4)
+          .as("slope_cents_per_day"),
+        // intercept = (Sy − slope·Sx)/n with slope in exact rational
+        // form: (Sy·den − num·Sx) / (n·den)
+        round(expr("cast(cast(sy as decimal(38,0)) * slope_den" +
+          " - slope_num * sx as double)" +
+          " / cast(cast(n as decimal(38,0)) * slope_den as double)"), 4)
+          .as("intercept_cents"))
+  }
+
   /** Pairwise Pearson correlation between event types over their hourly
     * count series — the metric-correlation census an observability
     * pipeline runs across thousands of series. Spark's `corr` (and any
