@@ -486,6 +486,9 @@ object SparkEntry {
     // sketches merged along arcs (max commutes → oracle-exact)
     "q_hyperball" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qHyperBall(s, d)),
+    // volume-weighted PageRank: (r·w) div W per arc, exact fixed point
+    "q_pagerank_weighted" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qPageRankWeighted(s, d)),
     "q_pack_sequences" -> ((s: SparkSession, d: String) =>
       TrainingData.qPackSequences(s, d)),
     // same packing, billed in SUBWORD tokens (what a pretokenizer packs)
@@ -1082,6 +1085,28 @@ object SparkEntry {
        |$rounds,
        |$ests
        |$unions""".stripMargin
+  }
+
+  /** Weighted-PageRank oracle: lineitem multiplicities as edge weights,
+    * contribution `(r·w) // W(u)` per arc — the same truncating
+    * fixed-point discipline, unrolled per round. */
+  private def pageRankWeightedSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""wr$i AS (SELECT dst AS node,
+         |  CAST(150000000000 + (85 * sum((r * w) // wtot)) // 100 AS BIGINT) AS r
+         |  FROM we JOIN wr${i - 1} ON we.src = wr${i - 1}.node GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wpairs AS MATERIALIZED (SELECT l_suppkey AS s, l_partkey AS p,
+       |    count(*) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |wedges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst, w FROM wpairs
+       |  UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst, w FROM wpairs),
+       |wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
+       |  FROM wedges GROUP BY 1),
+       |we AS (SELECT wedges.src, dst, w, wtot FROM wedges JOIN wdeg USING (src)),
+       |wr0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM wdeg),
+       |$rounds
+       |$pageRankFinal FROM wr$iters""".stripMargin
   }
 
   /** Warm-started delta-PageRank oracle (see GraphOps.qPageRankDelta):
@@ -3239,6 +3264,7 @@ object SparkEntry {
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
+    "q_pagerank_weighted" -> pageRankWeightedSql(5),
     // floor(log2) via bit length — printf('%b') in DuckDB, bin() in
     // Spark — so the bucket never touches an IEEE logarithm
     "q_degree_hist" ->

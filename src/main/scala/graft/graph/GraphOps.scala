@@ -90,6 +90,57 @@ object GraphOps {
     ranks
   }
 
+  /** Weighted PageRank over the trade graph's lineitem MULTIPLICITIES —
+    * the volume signal the unweighted graph's `distinct()` edge build
+    * deliberately discards: a supplier shipping a part 300 times passes
+    * 300× the rank mass of a one-off. Contribution from u along (u,v)
+    * is `(r·w) div W(u)` (truncating, W = total out-weight), so each
+    * round remains exact integer arithmetic and the unrolled oracle is
+    * bit-identical. Long-safety bound: `r·w ≤ n·Scale·w_max` must stay
+    * under 2^63 — fine through sf0.1 (2.1e16 × ~300); past ~1e6 nodes
+    * the mass scale (or this product) moves to decimal(38,0), the same
+    * dial the unweighted Scale doc calls out. Plan shape is identical
+    * to [[pageRank]]: weight-annotated edges partitioned once and
+    * persisted, one rank shuffle + one aggregation per round. */
+  def qPageRankWeighted(
+      spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      dir + "#weighted", iters)
+    val ranks = rankCache.get(key) {
+      val pairs = load(spark, dir, "lineitem")
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .groupBy("s", "p").agg(count(lit(1)).as("w"))
+      val edges = pairs
+        .select((col("s") * 2).as("src"), (col("p") * 2 + 1).as("dst"),
+          col("w"))
+        .unionAll(pairs.select((col("p") * 2 + 1).as("src"),
+          (col("s") * 2).as("dst"), col("w")))
+      val wdeg = edges.groupBy("src").agg(sum("w").as("wtot"))
+      val edgesW = edges.join(wdeg, "src")
+        .repartition(spark.sparkContext.defaultParallelism, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      edgesW.count()
+      try {
+        var ranks = edgesW.select(col("src").as("node")).distinct()
+          .select(col("node"), lit(Scale).as("r"))
+        for (_ <- 1 to iters) {
+          ranks = edgesW
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(col("dst"), expr("(r * w) div wtot").as("c"))
+            .groupBy(col("dst").as("node"))
+            .agg(expr(s"$Teleport + (85 * sum(c)) div 100").as("r"))
+        }
+        ranks.persist(StorageLevel.MEMORY_AND_DISK).count()
+        ranks
+      } finally edgesW.unpersist(blocking = false)
+    }
+    ranks.select(
+      when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+        .otherwise(lit("part")).as("node_type"),
+      expr("node div 2").as("node_id"),
+      col("r").as("rank_fp"))
+  }
+
   /** One persisted rank frame per (session, dir): bench loops re-invoke
     * the query; without the cache each call would stack another
     * persisted copy (same contract as Dedup.shingleArrays). */

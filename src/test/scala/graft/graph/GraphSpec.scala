@@ -390,6 +390,25 @@ class GraphSpec extends SparkSpec {
     got.keys.foreach(k => assert(!edgeSet.contains(k)))
   }
 
+  test("weighted pagerank: mass bounded, volume signal changes the ranking") {
+    val dir = "/root/testdata/sf0.001"
+    val w = GraphOps.qPageRankWeighted(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val u = GraphOps.qPageRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(w.keySet === u.keySet, "same node universe")
+    // truncating fixed point only loses mass: total <= n * Scale
+    assert(w.values.map(BigInt(_)).sum <= BigInt(w.size) * GraphOps.Scale)
+    w.values.foreach(r => assert(r >= GraphOps.Teleport))
+    // the multiplicity signal is real: some pair of nodes ranks in a
+    // different ORDER than under the unweighted graph
+    val nodes = w.keys.toSeq.sorted
+    val flipped = nodes.combinations(2).exists { case Seq(a, b) =>
+      (w(a) - w(b)).sign * (u(a) - u(b)).sign < 0
+    }
+    assert(flipped, "weights should reorder at least one pair")
+  }
+
   test("hyperball: N(r) tracks the exact BFS neighborhood function") {
     val dir = "/root/testdata/sf0.001"
     val pairs = graft.relational.Tables.load(spark, dir, "lineitem")
