@@ -160,6 +160,14 @@ object SparkEntry {
     "q_corr_matrix" -> (EventQueries.qCorrMatrix _),
     // OLS daily-revenue trend per type from exact integer moments
     "q_linreg_trend" -> (EventQueries.qLinregTrend _),
+    // RANGE window frame: trailing 6h totals by VALUE interval on
+    // epoch-micros ordering (what ROWS frames cannot express)
+    "q_window_range" -> ((s: SparkSession, d: String) =>
+      EventQueries.qWindowRange(s, d)),
+    // leave-one-out smoothed target encoding (each row's encoding
+    // excludes its own label; Laplace prior shrinkage), exact cents
+    "q_target_encode" -> ((s: SparkSession, d: String) =>
+      EventQueries.qTargetEncode(s, d)),
     // cohort retention matrix (first-seen week × weeks-since activity)
     "q_retention" -> (EventQueries.qRetention _),
     "q_interval_join" -> ((s: SparkSession, d: String) =>
@@ -2142,6 +2150,25 @@ object SparkEntry {
         |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
         |    AS ewma_cents
         |FROM s""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |  count(*) OVER w AS n_6h,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cents_6h
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_target_encode" ->
+      """WITH rows_ AS (SELECT o_orderkey, c_mktsegment,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |pr AS (SELECT sum(cents) // count(*) AS prior_cents FROM rows_)
+        |SELECT o_orderkey, c_mktsegment, cents,
+        |  CAST((sum(cents) OVER (PARTITION BY c_mktsegment) - cents
+        |      + 100 * prior_cents)
+        |    // (count(*) OVER (PARTITION BY c_mktsegment) - 1 + 100) AS BIGINT)
+        |    AS loo_enc_cents
+        |FROM rows_ CROSS JOIN pr""".stripMargin,
     "q_linreg_trend" ->
       """WITH daily AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,

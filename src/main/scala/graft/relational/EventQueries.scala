@@ -602,6 +602,58 @@ object EventQueries {
         (col("next_us") - col("err_us")).as("gap_us"))
   }
 
+  /** Trailing 6-hour totals per event via a RANGE window frame — the
+    * time-based frame ROWS windows cannot express (each row's window is
+    * defined by a VALUE interval on the ordering key, so rows at a
+    * burst share a frame regardless of how many there are). Ordering is
+    * epoch micros (a long), making the frame bound exact integer
+    * arithmetic in any engine; ties inside the frame don't matter
+    * because aggregates, not ranks, are computed. One exchange on the
+    * partition key — the same cost as any keyed window. */
+  def qWindowRange(spark: SparkSession, dir: String,
+      windowUs: Long = 6L * 3600 * 1000000): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("ts_us")
+      .rangeBetween(-windowUs, Window.currentRow)
+    load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), tsMicros.as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("n_6h", count(lit(1)).over(w))
+      .withColumn("cents_6h", sum("cents").over(w))
+      .select("event_type", "event_id", "ts_us", "cents", "n_6h", "cents_6h")
+  }
+
+  /** Leave-one-out smoothed target encoding of the customer market
+    * segment against order value — the categorical-feature prep step a
+    * training pipeline runs before fitting anything, with the part that
+    * actually matters done right: each row's encoding EXCLUDES its own
+    * target (in-fold means leak the label and inflate offline metrics),
+    * and a Laplace prior (m=100 pseudo-rows at the global mean) shrinks
+    * rare categories toward the prior. All integer cents:
+    * enc_i = (S_g − y_i + m·prior) div (n_g − 1 + m), prior = S div n —
+    * exact in any engine. One broadcast dim join + one segment-keyed
+    * window; no per-category shuffle of the fact table. */
+  def qTargetEncode(spark: SparkSession, dir: String,
+      m: Int = 100): DataFrame = {
+    val rows = load(spark, dir, "orders")
+      .join(broadcast(load(spark, dir, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    // global prior as a broadcast scalar (the q22 pattern) — a window
+    // over () would funnel the fact table through one partition
+    val prior = rows.agg(
+      expr("sum(cents) div count(1)").as("prior_cents"))
+    val bySeg = Window.partitionBy("c_mktsegment")
+    rows
+      .withColumn("sg", sum("cents").over(bySeg))
+      .withColumn("ng", count(lit(1)).over(bySeg))
+      .crossJoin(broadcast(prior))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("cents"),
+        expr(s"(sg - cents + $m * prior_cents)" +
+          s" div (ng - 1 + $m)").as("loo_enc_cents"))
+  }
+
   /** Per-type linear trend (OLS of daily revenue cents on the day
     * index) — the metric-trend detector, same exact-moment discipline
     * as [[qCorrMatrix]]: Sx/Sxx over day indexes and Sxy/Sy over daily

@@ -441,6 +441,42 @@ class RelationalSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("RANGE frame: trailing 6h totals equal an interval-scan replay") {
+    val rows = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "event_id", "ts div 1000 as ts_us",
+        "cast(floor(value * 100 + 0.5) as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val win = 6L * 3600 * 1000000
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      g.toSeq.map { case (_, id, ts, _) =>
+        val inWin = g.filter(e => e._3 >= ts - win && e._3 <= ts)
+        id -> ((inWin.length.toLong, inWin.map(_._4).sum))
+      }
+    }.toMap
+    val got = EventQueries.qWindowRange(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+  }
+
+  test("target encoding is leave-one-out: own label never leaks in") {
+    val got = EventQueries.qTargetEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val bySeg = got.groupBy(_._2)
+    val prior = got.map(_._3).sum / got.length
+    got.foreach { case (_, seg, cents, enc) =>
+      val g = bySeg(seg)
+      val want = (g.map(_._3).sum - cents + 100L * prior) /
+        (g.length - 1 + 100L)
+      assert(enc === want)
+    }
+    // leakage check: two same-segment rows with different labels get
+    // DIFFERENT encodings (an in-fold mean would give them the same)
+    val seg = bySeg.head._2
+    val twoLabels = seg.map(_._3).distinct
+    if (twoLabels.length >= 2)
+      assert(seg.map(_._4).distinct.length >= 2)
+  }
+
   test("q8: market share ppm is the exact integer quotient; shares bounded") {
     val rows = RelationalQueries.q8MarketShare(spark, dir).collect()
     assert(rows.nonEmpty)
