@@ -178,6 +178,52 @@ class LakeMergeSpec extends SparkSpec {
     assert(asOf2.nonEmpty && asOf2.size <= keys.size)
   }
 
+  test("streaming upsert via foreachBatch MERGE == batch merge of the union") {
+    // the standard exactly-once lake-upsert deployment: a change stream
+    // drains through foreachBatch, each micro-batch MERGEd into the
+    // parquet target; the final table must equal one batch merge of all
+    // changes applied in order (foreachBatch gives batch ids in order,
+    // and each batch commits before the next starts)
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_merge")
+      .toString
+    target.write.mode("overwrite").parquet(s"$dir/t")
+    val batches = Seq(
+      Seq((2L, "b", 99.0, "U"), (9L, "z", 0.0, "U")),
+      Seq((9L, "z", 5.0, "U"), (1L, "a", 10.0, "D")),
+      Seq((3L, "c", 7.0, "U")))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double, String)]
+    val q = input.toDS().toDF("k", "name", "bal", "op")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // read-merge-overwrite with an intermediate materialization:
+        // overwriting the parquet you are lazily reading would corrupt
+        val cur = spark.read.parquet(s"$dir/t")
+        val merged = LakeMerge.merge(cur, batch, "k").collect()
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(merged.toIndexedSeq, 1), cur.schema)
+          .write.mode("overwrite").parquet(s"$dir/t")
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // reference: fold the batches through batch merge directly
+    val want = batches.foldLeft(target) { (t, b) =>
+      val changed = LakeMerge.merge(t, b.toDF("k", "name", "bal", "op"), "k")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(changed.collect().toIndexedSeq, 1),
+        t.schema)
+    }.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === want)
+    assert(got === Set((2L, "b", 99.0), (3L, "c", 7.0), (4L, "d", 40.0),
+      (9L, "z", 5.0)))
+  }
+
   test("registry queries run on testdata and agree on the open rows") {
     val dir = "/root/testdata/sf0.001"
     val merged = LakeMerge.qLakeMerge(spark, dir)
