@@ -433,6 +433,9 @@ object SparkEntry {
     // fastText-style discriminative quality filter: hard-sigmoid
     // logistic regression over hashed features, fixed-point training
     // replayed exactly by the unrolled oracle
+    // RRF ensemble of the three quality judges, ranked within language
+    "q_quality_ensemble" -> ((s: SparkSession, d: String) =>
+      TrainingData.qQualityEnsemble(s, d)),
     "q_quality_classifier" -> ((s: SparkSession, d: String) =>
       graft.pipeline.QualityClassifier.qQualityClassifier(s, d)),
     // reliability diagram of the trained scorer: per-bin confidence vs
@@ -1094,6 +1097,33 @@ object SparkEntry {
        |$ests
        |$unions""".stripMargin
   }
+
+  /** RRF quality-ensemble oracle: composes the classifier training CTE
+    * (its `toks`/`sc` feed the perplexity and logit signals), the
+    * stopword-ppm heuristic, and per-language rank fusion. */
+  private def qualityEnsembleSql(dims: Int, epochs: Int): String =
+    s"""WITH ${qualityClassifierCte(dims, epochs)},
+       |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM cnt),
+       |pp AS (SELECT doc_id,
+       |    round(avg(-ln(CAST(cnt + 1 AS DOUBLE) / (t + v))), 4) AS nll
+       |  FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY 1),
+       |heur AS (SELECT doc_id, lang,
+       |    (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) * 1000000)
+       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ppm
+       |  FROM documents),
+       |j AS (SELECT h.doc_id, h.lang, h.stop_ppm, pp.nll, sc.z
+       |  FROM heur h JOIN pp ON h.doc_id = pp.doc_id
+       |  JOIN sc ON h.doc_id = sc.doc_id),
+       |r AS (SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY stop_ppm, doc_id) AS BIGINT) AS r_heur,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS BIGINT) AS r_ppl,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY z DESC, doc_id) AS BIGINT) AS r_clf
+       |  FROM j)
+       |SELECT doc_id, lang, r_heur, r_ppl, r_clf,
+       |  CAST(1000000 // (60 + r_heur) + 1000000 // (60 + r_ppl)
+       |    + 1000000 // (60 + r_clf) AS BIGINT) AS rrf_ppm
+       |FROM r""".stripMargin
 
   /** Weighted-PageRank oracle: lineitem multiplicities as edge weights,
     * contribution `(r·w) // W(u)` per arc — the same truncating
@@ -3275,6 +3305,7 @@ object SparkEntry {
     "q_pagerank_dangling" -> pageRankDanglingSql(
       graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
     "q_quality_classifier" -> qualityClassifierSql(64, 4),
+    "q_quality_ensemble" -> qualityEnsembleSql(64, 4),
     "q_calibration" -> calibrationSql(64, 4),
     "q_random_walks" -> randomWalkSql(10, 2),
     "q_walk_pairs" -> walkPairsSql(10, 2, graft.graph.GraphOps.PairWindow),

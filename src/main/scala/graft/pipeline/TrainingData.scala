@@ -1172,4 +1172,39 @@ object TrainingData {
           .cast("long") % 1000000L)
       .filter(col("u_ppm") < col("avg_w"))
       .select("doc_id", "n_tokens", "dsir_score", "avg_w", "u_ppm")
+
+  /** Reciprocal-rank-fusion ENSEMBLE of the pipeline's three quality
+    * signals — the way production selection actually combines judges
+    * whose scores live on incomparable scales (a stopword ppm, a
+    * log-likelihood, a fixed-point logit): convert each to a RANK
+    * within its language (quality norms are language-relative; the
+    * partitioned window also keeps ranking scale-clean — no global
+    * total order), then fuse as Σ 10⁶ div (60 + rank), the RRF form
+    * [[graft.similarity.HybridRetrieval]] uses for retrieval. All
+    * integer once ranked, so the composed oracle (which replays the
+    * classifier's full training chain) stays hash-exact. */
+  def qQualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val heur = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+          .cast("long").as("n_stop"))
+      .select(col("doc_id"), col("lang"),
+        expr("(n_stop * 1000000) div n_tokens").as("stop_ppm"))
+    val ppl = graft.text.TextOps.qPerplexity(spark, dir)
+      .select(col("doc_id"), col("nll"))
+    val clf = QualityClassifier.qQualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score_fp"))
+    def rank(order: Column*): Column =
+      row_number().over(Window.partitionBy("lang").orderBy(order: _*))
+        .cast("long")
+    heur.join(ppl, "doc_id").join(clf, "doc_id")
+      .withColumn("r_heur", rank(col("stop_ppm").asc, col("doc_id").asc))
+      .withColumn("r_ppl", rank(col("nll").asc, col("doc_id").asc))
+      .withColumn("r_clf", rank(col("score_fp").desc, col("doc_id").asc))
+      .select(col("doc_id"), col("lang"),
+        col("r_heur"), col("r_ppl"), col("r_clf"),
+        expr("1000000 div (60 + r_heur) + 1000000 div (60 + r_ppl)" +
+          " + 1000000 div (60 + r_clf)").as("rrf_ppm"))
+  }
 }

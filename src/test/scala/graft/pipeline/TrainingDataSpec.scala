@@ -700,4 +700,23 @@ class TrainingDataSpec extends SparkSpec {
     // a real subsample: some docs survive, some don't
     assert(got.nonEmpty && got.size < scored.size)
   }
+
+  test("quality ensemble: each signal's ranks are a per-lang permutation; fusion exact") {
+    val rows = TrainingData.qQualityEnsemble(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      val n = g.length.toLong
+      Seq(g.map(_._3), g.map(_._4), g.map(_._5)).foreach { ranks =>
+        assert(ranks.sorted.toSeq === (1L to n), "ranks form a permutation")
+      }
+    }
+    rows.foreach { case (_, _, h, p, c, rrf) =>
+      assert(rrf === 1000000L / (60 + h) + 1000000L / (60 + p) +
+        1000000L / (60 + c))
+    }
+    // the judges genuinely disagree somewhere (fusion isn't degenerate)
+    assert(rows.exists { case (_, _, h, p, c, _) => h != p || p != c })
+  }
 }
