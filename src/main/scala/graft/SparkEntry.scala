@@ -164,6 +164,11 @@ object SparkEntry {
     // epoch-micros ordering (what ROWS frames cannot express)
     "q_window_range" -> ((s: SparkSession, d: String) =>
       EventQueries.qWindowRange(s, d)),
+    // robust MAD outlier census (50%-breakdown median/MAD, exact
+    // rank-select over distinct-value histograms, integer flag)
+    "q_mad_outliers" -> (EventQueries.qMadOutliers _),
+    // dense hourly spine + zero-fill + forward fill
+    "q_gap_fill" -> (EventQueries.qGapFill _),
     // leave-one-out smoothed target encoding (each row's encoding
     // excludes its own label; Laplace prior shrinkage), exact cents
     "q_target_encode" -> ((s: SparkSession, d: String) =>
@@ -2180,6 +2185,48 @@ object SparkEntry {
         |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
         |    AS ewma_cents
         |FROM s""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |h1 AS (SELECT event_type, cents, count(*) AS cnt FROM ev GROUP BY 1, 2),
+        |m1 AS (SELECT event_type,
+        |    CAST(min(CASE WHEN cum * 2 >= n THEN cents END) AS BIGINT) AS med
+        |  FROM (SELECT event_type, cents,
+        |      sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+        |      sum(cnt) OVER (PARTITION BY event_type) AS n
+        |    FROM h1)
+        |  GROUP BY 1),
+        |dv AS (SELECT e.event_type, e.cents, abs(e.cents - m.med) AS adev
+        |  FROM ev e JOIN m1 m USING (event_type)),
+        |h2 AS (SELECT event_type, adev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        |m2 AS (SELECT event_type,
+        |    CAST(min(CASE WHEN cum * 2 >= n THEN adev END) AS BIGINT) AS mad
+        |  FROM (SELECT event_type, adev,
+        |      sum(cnt) OVER (PARTITION BY event_type ORDER BY adev) AS cum,
+        |      sum(cnt) OVER (PARTITION BY event_type) AS n
+        |    FROM h2)
+        |  GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, m1.med, m2.mad,
+        |  CAST(sum(CASE WHEN d.adev * 10000 > m2.mad * 44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  max(d.cents) AS max_cents
+        |FROM dv d JOIN m1 USING (event_type) JOIN m2 USING (event_type)
+        |GROUP BY 1, m1.med, m2.mad""".stripMargin,
+    "q_gap_fill" ->
+      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+        |    count(*) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
+        |spine AS (SELECT t.event_type, g.hr
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g)
+        |SELECT event_type, hr,
+        |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        |  CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (
+        |      PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+        |    AS cents_ffill
+        |FROM spine LEFT JOIN hourly USING (event_type, hr)""".stripMargin,
     "q_window_range" ->
       """SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,

@@ -602,6 +602,79 @@ object EventQueries {
         (col("next_us") - col("err_us")).as("gap_us"))
   }
 
+  /** Median-absolute-deviation outlier census — the ROBUST twin of the
+    * 3σ monitors ([[qRollingOutliers]]): mean/stddev move with the very
+    * outliers they are meant to flag, while the median and MAD are
+    * 50%-breakdown estimators. Both medians are exact integer rank
+    * selections (smallest value whose rank reaches ⌈n/2⌉, computed over
+    * the per-type DISTINCT-value histogram — the q_value_clip shape, so
+    * no corpus-wide sort); the flag is the integer cross-multiplied
+    * form of |x − med| > 3·1.4826·mad, i.e. 10000·|x−med| > 44478·mad.
+    * Zero IEEE anywhere ⇒ exact oracle. */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    def medianOf(df: DataFrame, valueCol: String): DataFrame = {
+      // rank window over the distinct-value histogram, never raw rows
+      val hist = df.groupBy("event_type", valueCol)
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy(valueCol)
+      hist
+        .withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(min(when(col("cum") * 2 >= col("n"), col(valueCol)))
+          .as("med"))
+    }
+    val med = medianOf(ev, "cents")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("cents"),
+        abs(col("cents") - col("med")).as("adev"))
+    val mad = medianOf(dev.select(col("event_type"),
+      col("adev").as("cents")), "cents")
+      .withColumnRenamed("med", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        max("cents").as("max_cents"),
+        sum(when(col("adev") * 10000 > col("mad") * 44478, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .join(broadcast(med), "event_type")
+      .join(broadcast(mad), "event_type")
+      .select("event_type", "n", "med", "mad", "n_outliers", "max_cents")
+  }
+
+  /** Dense hourly gap-fill with forward fill — telemetry series have
+    * holes, and every downstream window/trend query silently skips them
+    * unless the spine is densified first. The hour spine generates from
+    * the OBSERVED global range (`sequence()` + explode — rows appear
+    * without existing anywhere), left-joins the per-(type, hour)
+    * aggregate, zero-fills counts, and forward-fills the last seen
+    * hourly total per type (`last(_, ignoreNulls)` over an unbounded
+    * preceding frame). Spine × types is bounded by the time range, not
+    * the fact table; the fill window is one exchange on type. */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = load(spark, dir, "events")
+      .select(expr("ts div 3600000000000").as("hr"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    val bounds = hourly.agg(min("hr").as("lo"), max("hr").as("hi"))
+    val spine = bounds
+      .select(explode(expr("sequence(lo, hi)")).as("hr"))
+      .crossJoin(broadcast(hourly.select("event_type").distinct()))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "hr"), "left_outer")
+      .select(col("event_type"), col("hr"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("cents"))
+      .withColumn("cents_ffill",
+        coalesce(last("cents", ignoreNulls = true).over(w), lit(0L)))
+      .drop("cents")
+  }
+
   /** Trailing 6-hour totals per event via a RANGE window frame — the
     * time-based frame ROWS windows cannot express (each row's window is
     * defined by a VALUE interval on the ordering key, so rows at a

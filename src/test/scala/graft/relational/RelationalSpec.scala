@@ -477,6 +477,53 @@ class RelationalSpec extends SparkSpec {
       assert(seg.map(_._4).distinct.length >= 2)
   }
 
+  test("MAD outliers equal an exact JVM rank-select replay") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "cast(floor(value * 100 + 0.5) as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def med(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s((s.length + 1) / 2 - 1) // smallest r with 2r >= n
+    }
+    val want = ev.groupBy(_._1).map { case (t, g) =>
+      val cents = g.map(_._2).toSeq
+      val m = med(cents)
+      val adev = cents.map(c => math.abs(c - m))
+      val md = med(adev)
+      t -> ((cents.length.toLong, m, md,
+        adev.count(_ * 10000 > md * 44478).toLong, cents.max))
+    }
+    val got = EventQueries.qMadOutliers(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got === want)
+  }
+
+  test("gap fill: dense spine, zero-filled holes, forward-filled totals") {
+    val rows = EventQueries.qGapFill(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val types = rows.map(_._1).distinct
+    val hours = rows.map(_._2)
+    val span = hours.max - hours.min + 1
+    assert(rows.length.toLong === span * types.length, "dense spine")
+    // holes exist on this sparse corpus and are zero-filled
+    assert(rows.exists(_._3 == 0L))
+    // forward fill replay for one type
+    val t = types.head
+    val perHour = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === t)
+      .selectExpr("ts div 3600000000000 as hr",
+        "cast(floor(value * 100 + 0.5) as long) as cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    var ff = 0L
+    rows.filter(_._1 == t).sortBy(_._2).foreach { case (_, hr, n, cf) =>
+      perHour.get(hr).foreach { case (_, sum) => ff = sum }
+      assert(cf === ff, s"hr $hr")
+      assert(n === perHour.get(hr).map(_._1).getOrElse(0L))
+    }
+  }
+
   test("q8: market share ppm is the exact integer quotient; shares bounded") {
     val rows = RelationalQueries.q8MarketShare(spark, dir).collect()
     assert(rows.nonEmpty)
