@@ -163,15 +163,19 @@ object Sketches {
       keys = Seq(col("event_type")),
       order = Seq(col("hk").asc, col("event_id").asc),
       k = k).drop("rnk")
+    // rank-select over the per-type DISTINCT-value histogram (the
+    // q_value_clip discipline) — the exact side must not per-type-sort
+    // the raw fact rows when a value histogram carries the same ranks
     def rankSelect(df: DataFrame, p50: String, p95: String): DataFrame = {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("cents"), col("event_id"))
-      df.withColumn("r", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      val hist = df.groupBy("event_type", "cents")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("cents")
+      hist.withColumn("cum", sum("cnt").over(w))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
         .groupBy("event_type")
-        .agg(min(when(col("r") * 2 >= col("n"), col("cents"))).as(p50),
-          min(when(col("r") * 20 >= col("n") * 19, col("cents"))).as(p95),
-          count(lit(1)).as(p50 + "_n"))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("cents"))).as(p50),
+          min(when(col("cum") * 20 >= col("n") * 19, col("cents"))).as(p95),
+          max("n").as(p50 + "_n"))
     }
     rankSelect(ev, "p50_cents", "p95_cents")
       .withColumnRenamed("p50_cents_n", "n")
