@@ -713,14 +713,16 @@ object EventQueries {
         col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_mktsegment"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
-    // global prior as a broadcast scalar (the q22 pattern) — a window
-    // over () would funnel the fact table through one partition
+    // per-segment sums as a TINY aggregate broadcast back (a segment
+    // window would funnel the fact table through one partition per
+    // category — low-cardinality windows are the skew trap); the
+    // global prior is the q22 broadcast-scalar pattern
     val prior = rows.agg(
       expr("sum(cents) div count(1)").as("prior_cents"))
-    val bySeg = Window.partitionBy("c_mktsegment")
+    val segStats = rows.groupBy("c_mktsegment")
+      .agg(sum("cents").as("sg"), count(lit(1)).as("ng"))
     rows
-      .withColumn("sg", sum("cents").over(bySeg))
-      .withColumn("ng", count(lit(1)).over(bySeg))
+      .join(broadcast(segStats), "c_mktsegment")
       .crossJoin(broadcast(prior))
       .select(col("o_orderkey"), col("c_mktsegment"), col("cents"),
         expr(s"(sg - cents + $m * prior_cents)" +
