@@ -1177,9 +1177,11 @@ object TrainingData {
     * signals — the way production selection actually combines judges
     * whose scores live on incomparable scales (a stopword ppm, a
     * log-likelihood, a fixed-point logit): convert each to a RANK
-    * within its language (quality norms are language-relative; the
-    * partitioned window also keeps ranking scale-clean — no global
-    * total order), then fuse as Σ 10⁶ div (60 + rank), the RRF form
+    * within its language (quality norms are language-relative; a real
+    * crawl has hundreds of languages so the partitions are plentiful —
+    * on a near-monolingual corpus the per-lang rank would move to the
+    * range-partition + offset global-ranking shape of qGlobalShuffle),
+    * then fuse as Σ 10⁶ div (60 + rank), the RRF form
     * [[graft.similarity.HybridRetrieval]] uses for retrieval. All
     * integer once ranked, so the composed oracle (which replays the
     * classifier's full training chain) stays hash-exact. */
