@@ -167,6 +167,11 @@ object SparkEntry {
     // robust MAD outlier census (50%-breakdown median/MAD, exact
     // rank-select over distinct-value histograms, integer flag)
     "q_mad_outliers" -> (EventQueries.qMadOutliers _),
+    // referential-integrity audit: one distinct+broadcast-anti per FK
+    // edge of the star schema (fact aggregates to keys BEFORE joining)
+    "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
+    // per-column completeness/cardinality/extrema census in one scan
+    "q_schema_profile" -> (graft.relational.DataQuality.qSchemaProfile _),
     // dense hourly spine + zero-fill + forward fill
     "q_gap_fill" -> (EventQueries.qGapFill _),
     // leave-one-out smoothed target encoding (each row's encoding
@@ -1101,6 +1106,53 @@ object SparkEntry {
        |$rounds,
        |$ests
        |$unions""".stripMargin
+  }
+
+  /** FK-integrity oracle: per edge, distinct child keys left-joined to
+    * distinct parent keys; orphans are the null-parent rows. */
+  private val fkCheckSql: String = {
+    def edge(name: String, ct: String, ck: String,
+        pt: String, pk: String): String =
+      s"""SELECT '$name' AS fk_edge,
+         |  count(*) AS n_child_keys,
+         |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM (SELECT DISTINCT $ck AS k FROM $ct) c
+         |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $pt) p USING (k)""".stripMargin
+    Seq(
+      edge("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("\nUNION ALL ")
+  }
+
+  /** Schema-profile oracle: one block per lineitem column, extrema on
+    * the native column rendered canonically (cents / dates / varchar). */
+  private val schemaProfileSql: String = {
+    def block(c: String, kind: String): String = {
+      val (mn, mx) = kind match {
+        case "cents" =>
+          (s"CAST(CAST(floor(min($c) * 100 + 0.5) AS BIGINT) AS VARCHAR)",
+            s"CAST(CAST(floor(max($c) * 100 + 0.5) AS BIGINT) AS VARCHAR)")
+        case "date" =>
+          (s"strftime(min($c), '%Y-%m-%d')", s"strftime(max($c), '%Y-%m-%d')")
+        case _ => (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mn AS min_s, $mx AS max_s
+         |FROM lineitem""".stripMargin
+    }
+    Seq("l_orderkey" -> "", "l_partkey" -> "", "l_suppkey" -> "",
+      "l_linenumber" -> "", "l_quantity" -> "cents",
+      "l_extendedprice" -> "cents", "l_discount" -> "cents",
+      "l_tax" -> "cents", "l_returnflag" -> "", "l_linestatus" -> "",
+      "l_shipdate" -> "date")
+      .map { case (c, k) => block(c, k) }.mkString("\nUNION ALL ")
   }
 
   /** RRF quality-ensemble oracle: composes the classifier training CTE
@@ -2185,6 +2237,8 @@ object SparkEntry {
         |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
         |    AS ewma_cents
         |FROM s""".stripMargin,
+    "q_fk_check" -> fkCheckSql,
+    "q_schema_profile" -> schemaProfileSql,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

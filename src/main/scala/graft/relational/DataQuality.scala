@@ -1,0 +1,90 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Data-quality census operators — the checks a lake runs before (and
+  * after) every pipeline stage, as first-class queries rather than
+  * ad-hoc notebook cells.
+  *
+  * - [[qFkCheck]]: referential-integrity audit across every declared
+  *   FK edge of the star schema. Each edge is one left-anti join of
+  *   the child's DISTINCT key set against the (broadcast) parent keys
+  *   — the child fact table aggregates to its key distinct BEFORE any
+  *   join, so a 100 TB fact costs one map-side-combinable distinct,
+  *   never a fact×parent shuffle.
+  * - [[qSchemaProfile]]: per-column completeness/cardinality/extrema
+  *   census over lineitem. One pass: every column's (null-count,
+  *   distinct, min, max) computes in a single aggregation (16 parallel
+  *   aggregates over one scan), then unpivots to a row per column.
+  *   Extrema travel as canonical strings (numerics via exact integer
+  *   or fixed-cent renderings) so one schema fits every column and the
+  *   oracle agrees byte-for-byte.
+  */
+object DataQuality {
+
+  import Tables.load
+
+  /** Orphan counts for every FK edge; all-zero on a consistent lake.
+    * `n_child_keys` sizes the audit (distinct keys checked per edge). */
+  def qFkCheck(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, childTable: String, childKey: String,
+        parentTable: String, parentKey: String): DataFrame = {
+      val keys = load(spark, dir, childTable)
+        .select(col(childKey).as("k")).distinct()
+      val parents = load(spark, dir, parentTable)
+        .select(col(parentKey).as("k")).distinct()
+      keys
+        .join(broadcast(parents.withColumn("hit", lit(1))), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child_keys"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_child_keys"),
+          col("n_orphans"))
+    }
+    Seq(
+      edge("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey"),
+      edge("lineitem.partkey->part", "lineitem", "l_partkey",
+        "part", "p_partkey"),
+      edge("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      edge("orders.custkey->customer", "orders", "o_custkey",
+        "customer", "c_custkey"),
+      edge("customer.nationkey->nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      edge("supplier.nationkey->nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      edge("nation.regionkey->region", "nation", "n_regionkey",
+        "region", "r_regionkey"))
+      .reduce(_ unionAll _)
+  }
+
+  /** One row per lineitem column: nulls, distinct count, extrema as
+    * canonical strings (doubles in exact cents, dates as yyyy-MM-dd). */
+  def qSchemaProfile(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    // TRUE extrema on the native column, rendered canonically AFTER the
+    // aggregate (string-typed extrema would be lexicographic: "10"<"9")
+    def canonOf(c: Column, typeName: String): Column = typeName match {
+      case "double" => floor(c * 100 + 0.5).cast("long").cast("string")
+      case "timestamp" | "timestamp_ntz" => date_format(c, "yyyy-MM-dd")
+      case _ => c.cast("string")
+    }
+    val cols = li.schema.fieldNames.toSeq
+    val aggs = cols.flatMap { c =>
+      val tn = li.schema(c).dataType.typeName
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        canonOf(min(col(c)), tn).as(s"${c}__min"),
+        canonOf(max(col(c)), tn).as(s"${c}__max"))
+    }
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+      .mkString(", ")
+    wide.selectExpr(
+      s"stack(${cols.length}, $stackArgs)" +
+        " as (col_name, n_nulls, n_distinct, min_s, max_s)")
+  }
+}
