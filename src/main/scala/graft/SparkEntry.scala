@@ -93,6 +93,9 @@ object SparkEntry {
     // operator (mergeable sample; integer rank-select estimates)
     "q_kmv_quantiles" -> ((s: SparkSession, d: String) =>
       Sketches.qKmvQuantiles(s, d)),
+    // self-join size / F2 moment via the count-min inner product
+    // (4 KB of mergeable state vs the full key histogram)
+    "q_f2_moment" -> (Sketches.qF2Moment _),
     // co-located fact⋈fact over bucketed copies: zero join-side shuffle
     "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -2237,6 +2240,28 @@ object SparkEntry {
         |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
         |    AS ewma_cents
         |FROM s""".stripMargin,
+    "q_f2_moment" -> {
+      val rows = (0 until 5).map { i =>
+        s"""SELECT cnt,
+           |  ('0x' || substring(md5('f2b$i:' || CAST(l_partkey AS VARCHAR)), 1, 5))::UBIGINT % 1024 AS bucket,
+           |  $i AS i,
+           |  CASE WHEN ('0x' || substring(md5('f2s$i:' || CAST(l_partkey AS VARCHAR)), 1, 1))::UBIGINT % 2 = 0
+           |    THEN cnt ELSE -cnt END AS sc
+           |FROM cnt""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH cnt AS (SELECT l_partkey, count(*) AS cnt
+         |  FROM lineitem GROUP BY 1),
+         |st AS ($rows),
+         |rows_ AS (SELECT i, sum(c * c) AS f2_row FROM (
+         |    SELECT i, bucket, sum(sc)::HUGEINT AS c FROM st GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |est AS (SELECT (list(f2_row ORDER BY f2_row))[3] AS est FROM rows_),
+         |ex AS (SELECT sum(cnt::HUGEINT * cnt) AS exact_f2, count(*) AS n_keys
+         |  FROM cnt)
+         |SELECT n_keys, CAST(exact_f2 AS BIGINT) AS exact_f2,
+         |  CAST(est AS BIGINT) AS est_f2
+         |FROM ex CROSS JOIN est""".stripMargin
+    },
     "q_fk_check" -> fkCheckSql,
     "q_schema_profile" -> schemaProfileSql,
     "q_mad_outliers" ->

@@ -185,6 +185,52 @@ object Sketches {
         "p50_cents", "p50_est", "p95_cents", "p95_est")
   }
 
+  /** Self-join-size / second frequency moment via the AMS sign sketch
+    * (Alon–Matias–Szegedy 1996, bucketed "fast AMS" form): F₂ =
+    * Σ_k cnt(k)² IS the size of a self-equi-join — the number the
+    * optimizer needs to predict whether `lineitem ⋈ lineitem ON
+    * partkey` explodes, and the canonical key-skew scalar. Each of d=5
+    * rows hashes keys into w=1024 buckets with a ±1 sign; the row
+    * estimate Σ_b c[b]² is UNBIASED (cross terms carry independent
+    * signs and cancel in expectation — the plain count-min inner
+    * product only upper-bounds, and on near-uniform keys overshot ~3×
+    * here), and the median of 5 rows concentrates (rel. std ≈
+    * √(2/w) ≈ 4%). Counters build from exact per-key partials
+    * (map-side combinable); final state is 5×1024 longs that merge by
+    * ADDITION across partitions/days — why engines keep sketches, not
+    * histograms, in table stats. Decimal squares: c² outgrows a long
+    * once a bucket nets > 3B rows. */
+  def qF2Moment(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = load(spark, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    def bucketCol(i: Int): Column =
+      conv(substring(md5(concat(lit(s"f2b$i:"),
+        col("l_partkey").cast("string"))), 1, 5), 16, 10)
+        .cast("bigint") % 1024
+    def signCol(i: Int): Column =
+      when(conv(substring(md5(concat(lit(s"f2s$i:"),
+        col("l_partkey").cast("string"))), 1, 1), 16, 10)
+        .cast("bigint") % 2 === 0, 1L).otherwise(-1L)
+    val withRows = cnt.select(col("cnt") +: (0 until 5).flatMap(i =>
+      Seq(bucketCol(i).as(s"b$i"), signCol(i).as(s"s$i"))): _*)
+    val stacked = withRows.selectExpr(
+      "stack(5, 0, b0, s0 * cnt, 1, b1, s1 * cnt, 2, b2, s2 * cnt," +
+        " 3, b3, s3 * cnt, 4, b4, s4 * cnt) as (i, bucket, sc)")
+    val est = stacked.groupBy("i", "bucket")
+      .agg(sum("sc").as("c"))
+      .groupBy("i")
+      .agg(sum(expr("cast(c as decimal(38,0)) * c")).as("f2_row"))
+      .agg(expr("element_at(array_sort(collect_list(f2_row)), 3)")
+        .as("est")) // median of the 5 row estimates
+    val exact = cnt.agg(
+      sum(expr("cast(cnt as decimal(38,0)) * cnt")).as("exact_f2"),
+      count(lit(1)).as("n_keys"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_keys"),
+        col("exact_f2").cast("long").as("exact_f2"),
+        col("est").cast("long").as("est_f2"))
+  }
+
   /** Count-min estimates for the top-20 tokens by exact count: the
     * estimate can only overcount (collisions add, never subtract). */
   def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {

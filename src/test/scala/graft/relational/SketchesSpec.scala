@@ -153,6 +153,15 @@ class SketchesSpec extends SparkSpec {
     assert(rows.find(_._1 == ev.head._1).get._5 === p50want)
   }
 
+  test("AMS F2 sketch: unbiased self-join-size estimate within 10%") {
+    val row = Sketches.qF2Moment(spark, dir).collect().head
+    val (nKeys, exact, est) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nKeys > 0 && exact >= nKeys, "F2 >= F0 when every count >= 1")
+    // median-of-5 over 1024 signed buckets: rel std ~ sqrt(2/1024) ~ 4%
+    assert(math.abs(est - exact) <= 0.10 * exact,
+      s"est $est vs exact $exact")
+  }
+
   test("count-min estimates equal a JVM replay of the counters; never undercount") {
     val toks = Tables.load(spark, dir, "documents")
       .selectExpr("explode(split(text, ' ')) as tok")
