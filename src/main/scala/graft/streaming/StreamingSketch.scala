@@ -73,4 +73,50 @@ object StreamingSketch {
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(updateGroup)
   }
+
+  // ---- KMV bottom-k quantile twin --------------------------------------
+
+  final case class ValueRow(eventType: String, eventId: Long, cents: Long)
+  final case class Bottom(rows: Vector[(String, Long, Long)]) // (hash, id, cents)
+  final case class QuantileEst(eventType: String, nSample: Int,
+      p50Est: Long, p95Est: Long)
+
+  private[graft] def kmvHash(eventId: Long): String = {
+    MessageDigest.getInstance("MD5")
+      .digest(s"kmv:$eventId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Bottom-k state folded online: like the HLL registers, min-k of a
+    * union is min-k of per-piece min-ks — ANY batch split or arrival
+    * order converges to the batch sketch, and the rank-selected
+    * estimates equal [[graft.relational.Sketches.qKmvQuantiles]]'
+    * est columns exactly (StreamingSpec pins it). State is bounded at
+    * k rows per key forever. */
+  private def updateBottomK(k: Int)(
+      eventType: String,
+      events: Iterator[ValueRow],
+      state: GroupState[Bottom]): Iterator[QuantileEst] = {
+    var rows = state.getOption.map(_.rows).getOrElse(Vector.empty)
+    events.foreach { e =>
+      rows = ((kmvHash(e.eventId), e.eventId, e.cents) +: rows)
+        .distinct.sortBy { case (h, id, _) => (h, id) }.take(k)
+    }
+    state.update(Bottom(rows))
+    val cents = rows.map(_._3).sorted
+    val n = cents.length
+    def sel(num: Int, den: Int): Long = // smallest r with den*r >= num*n
+      cents(((n * num + den - 1) / den) - 1)
+    Iterator.single(QuantileEst(eventType, n, sel(1, 2), sel(19, 20)))
+  }
+
+  /** Update-mode per-key quantile estimates from bounded bottom-k state. */
+  def quantiles(events: Dataset[ValueRow], k: Int = 256): Dataset[QuantileEst] = {
+    implicit val stEnc = Encoders.product[Bottom]
+    implicit val qEnc = Encoders.product[QuantileEst]
+    events
+      .groupByKey(_.eventType)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateBottomK(k))
+  }
 }

@@ -87,6 +87,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming KMV quantiles == batch sketch under shuffled feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.relational.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "event_id",
+        "cast(floor(value * 100 + 0.5) as long) as cents")
+      .as[(String, Long, Long)].collect()
+      .map(r => graft.streaming.StreamingSketch.ValueRow(r._1, r._2, r._3))
+    val shuffled = rows.sortBy(e => e.eventId * 0x9E3779B97F4A7C15L)
+    val batches = shuffled.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+    val input = MemoryStream[graft.streaming.StreamingSketch.ValueRow]
+    val name = s"kmv_${System.nanoTime()}"
+    val q = graft.streaming.StreamingSketch.quantiles(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name)
+          .as[graft.streaming.StreamingSketch.QuantileEst].collect()
+          .zipWithIndex.groupBy(_._1.eventType)
+          .map { case (t, v) =>
+            val last = v.maxBy(_._2)._1
+            t -> ((last.nSample.toLong, last.p50Est, last.p95Est))
+          }
+      } finally q.stop()
+    val want = graft.relational.Sketches.qKmvQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4), r.getLong(6))))
+      .toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("A1: eager reply on first found; stragglers don't re-emit") {
     val replies = runVerdicts(Seq(
       Seq(PartitionVerdict(7L, 0, 3, found = false, null)),
