@@ -170,6 +170,8 @@ object SparkEntry {
     // robust MAD outlier census (50%-breakdown median/MAD, exact
     // rank-select over distinct-value histograms, integer flag)
     "q_mad_outliers" -> (EventQueries.qMadOutliers _),
+    // time-weighted average: each value weighs by its holding interval
+    "q_twap" -> (EventQueries.qTwap _),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -2264,6 +2266,21 @@ object SparkEntry {
     },
     "q_fk_check" -> fkCheckSql,
     "q_schema_profile" -> schemaProfileSql,
+    "q_twap" ->
+      """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |hz AS (SELECT max(ts_us) AS t_end FROM ev),
+        |iv AS (SELECT event_type, cents,
+        |    COALESCE(lead(ts_us) OVER (PARTITION BY event_type
+        |        ORDER BY ts_us, event_id), t_end) - ts_us AS dt_us
+        |  FROM ev CROSS JOIN hz)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(dt_us) AS BIGINT) AS held_us,
+        |  CAST(sum(cents::HUGEINT * dt_us) // sum(dt_us)::HUGEINT AS BIGINT)
+        |    AS twap_cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+        |FROM iv GROUP BY 1""".stripMargin,
     "q_mad_outliers" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

@@ -602,6 +602,34 @@ object EventQueries {
         (col("next_us") - col("err_us")).as("gap_us"))
   }
 
+  /** Time-weighted average value (TWAP) per event type — the right
+    * mean when observations arrive irregularly: each value holds until
+    * the NEXT observation of the same type, so it weighs by its holding
+    * interval (a plain average over-weights bursts). Intervals come
+    * from one `lead()` pass (the last observation of a type holds until
+    * the global horizon end); the weighted mean is an exact decimal
+    * Σ cents·Δt divided once — µs intervals × cents can reach 10²⁰,
+    * past a long. One window exchange on type; horizon is a broadcast
+    * scalar. */
+  def qTwap(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"), tsMicros.as("ts_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val horizon = ev.agg(max("ts_us").as("t_end"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts_us"), col("event_id"))
+    ev
+      .withColumn("t_next", lead("ts_us", 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .withColumn("dt_us", coalesce(col("t_next"), col("t_end")) - col("ts_us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("dt_us").as("held_us"),
+        expr("cast(sum(cast(cents as decimal(38,0)) * dt_us)" +
+          " div sum(dt_us) as bigint)").as("twap_cents"),
+        expr("sum(cents) div count(1)").as("mean_cents"))
+  }
+
   /** Median-absolute-deviation outlier census — the ROBUST twin of the
     * 3σ monitors ([[qRollingOutliers]]): mean/stddev move with the very
     * outliers they are meant to flag, while the median and MAD are
