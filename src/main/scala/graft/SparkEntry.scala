@@ -172,6 +172,8 @@ object SparkEntry {
     "q_mad_outliers" -> (EventQueries.qMadOutliers _),
     // time-weighted average: each value weighs by its holding interval
     "q_twap" -> (EventQueries.qTwap _),
+    // CUSUM drift alarm via the running-sum − running-min closed form
+    "q_cusum" -> (EventQueries.qCusum _),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -2266,6 +2268,27 @@ object SparkEntry {
     },
     "q_fk_check" -> fkCheckSql,
     "q_schema_profile" -> schemaProfileSql,
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |mu AS (SELECT event_type, sum(y) // count(*) AS mu
+        |  FROM daily GROUP BY 1),
+        |dd AS (SELECT d.event_type, d.day, d.y, m.mu,
+        |    d.y - m.mu - m.mu // 20 AS dev
+        |  FROM daily d JOIN mu m USING (event_type)),
+        |s1 AS (SELECT event_type, day, y, mu,
+        |    sum(dev) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM dd),
+        |s2 AS (SELECT event_type, day, y, mu, s,
+        |    min(s) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
+        |  FROM s1)
+        |SELECT event_type, day, y,
+        |  CAST(s - least(0, smin) AS BIGINT) AS cusum,
+        |  (s - least(0, smin)) > mu // 5 AS alarm
+        |FROM s2""".stripMargin,
     "q_twap" ->
       """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -602,6 +602,34 @@ object EventQueries {
         (col("next_us") - col("err_us")).as("gap_us"))
   }
 
+  /** CUSUM changepoint detector over the daily revenue series — the
+    * sequential drift monitor (Page 1954): accumulate positive
+    * deviations beyond a slack `k` and alarm when the accumulation
+    * crosses `h`. The textbook recurrence `C_t = max(0, C_{t−1} + d_t)`
+    * looks inherently sequential, but it has the closed form
+    * `C_t = S_t − min(0, min_{j≤t} S_j)` (running sum minus running
+    * minimum), so the whole trajectory is TWO ordered-window aggregates
+    * — no fold, no recursion, engine-exact in integers. Slack and
+    * threshold derive from each type's own mean daily cents (k = μ/20,
+    * h = μ/5, integer division). */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    val mu = daily.groupBy("event_type")
+      .agg(expr("sum(y) div count(1)").as("mu"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(broadcast(mu), "event_type")
+      .withColumn("d", col("y") - col("mu") - expr("mu div 20"))
+      .withColumn("s", sum("d").over(w))
+      .withColumn("cusum", col("s") - least(lit(0L), min("s").over(w)))
+      .select(col("event_type"), col("day"), col("y"), col("cusum"),
+        (col("cusum") > expr("mu div 5")).as("alarm"))
+  }
+
   /** Time-weighted average value (TWAP) per event type — the right
     * mean when observations arrive irregularly: each value holds until
     * the NEXT observation of the same type, so it weighs by its holding

@@ -477,6 +477,23 @@ class RelationalSpec extends SparkSpec {
       assert(seg.map(_._4).distinct.length >= 2)
   }
 
+  test("CUSUM closed form equals the textbook max(0, C+d) recurrence") {
+    val rows = EventQueries.qCusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ordered = g.sortBy(_._2)
+      val mu = ordered.map(_._3).sum / ordered.length
+      var c = 0L
+      ordered.foreach { case (_, _, y, cusum, alarm) =>
+        c = math.max(0L, c + (y - mu - mu / 20))
+        assert(cusum === c, "closed form == recurrence")
+        assert(alarm === (c > mu / 5))
+      }
+    }
+  }
+
   test("MAD outliers equal an exact JVM rank-select replay") {
     val ev = Tables.load(spark, dir, "events")
       .selectExpr("event_type", "cast(floor(value * 100 + 0.5) as long) as cents")
