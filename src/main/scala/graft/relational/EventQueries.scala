@@ -800,9 +800,10 @@ object EventQueries {
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .groupBy("event_type", "day")
       .agg(sum("cents").as("y"))
-      .withColumn("x", col("day") - min("day").over(
-        Window.partitionBy(lit(1))))
-    daily.groupBy("event_type")
+    val day0 = daily.agg(min("day").as("day0"))
+    val indexed = daily.crossJoin(broadcast(day0))
+      .withColumn("x", col("day") - col("day0"))
+    indexed.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum("x").as("sx"), sum(expr("x * x")).as("sxx"),
         sum("y").as("sy"), sum(expr("x * y")).as("sxy"))
