@@ -535,6 +535,10 @@ object SparkEntry {
     // salted DSIR importance resample -> split census (round-7 stages)
     "q_corpus_build_v3" -> ((s: SparkSession, d: String) =>
       TrainingData.qCorpusBuildV3(s, d)),
+    // capstone v4: RRF-ensemble gate -> setsim pairwise-survivor dedup
+    // -> phrase decontamination -> split census (this round's stages)
+    "q_corpus_build_v4" -> ((s: SparkSession, d: String) =>
+      TrainingData.qCorpusBuildV4(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -1162,11 +1166,12 @@ object SparkEntry {
       .map { case (c, k) => block(c, k) }.mkString("\nUNION ALL ")
   }
 
-  /** RRF quality-ensemble oracle: composes the classifier training CTE
-    * (its `toks`/`sc` feed the perplexity and logit signals), the
-    * stopword-ppm heuristic, and per-language rank fusion. */
-  private def qualityEnsembleSql(dims: Int, epochs: Int): String =
-    s"""WITH ${qualityClassifierCte(dims, epochs)},
+  /** RRF quality-ensemble CTE chain (classifier training + perplexity +
+    * stopword heuristic + per-language rank fusion) — ends at
+    * `ens (doc_id, lang, r_heur, r_ppl, r_clf, rrf_ppm)`, so
+    * [[corpusBuildV4Oracle]] can compose it. */
+  private def qualityEnsembleCte(dims: Int, epochs: Int): String =
+    s"""${qualityClassifierCte(dims, epochs)},
        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM cnt),
        |pp AS (SELECT doc_id,
@@ -1183,11 +1188,64 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY stop_ppm, doc_id) AS BIGINT) AS r_heur,
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS BIGINT) AS r_ppl,
        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY z DESC, doc_id) AS BIGINT) AS r_clf
-       |  FROM j)
-       |SELECT doc_id, lang, r_heur, r_ppl, r_clf,
+       |  FROM j),
+       |ens AS (SELECT doc_id, lang, r_heur, r_ppl, r_clf,
        |  CAST(1000000 // (60 + r_heur) + 1000000 // (60 + r_ppl)
        |    + 1000000 // (60 + r_clf) AS BIGINT) AS rrf_ppm
-       |FROM r""".stripMargin
+       |FROM r)""".stripMargin
+
+  private def qualityEnsembleSql(dims: Int, epochs: Int): String =
+    s"""WITH ${qualityEnsembleCte(dims, epochs)}
+       |SELECT doc_id, lang, r_heur, r_ppl, r_clf, rrf_ppm FROM ens""".stripMargin
+
+  /** Capstone v4: ensemble gate → setsim pairwise-survivor dedup →
+    * phrase decontamination → split census, replaying
+    * [[graft.pipeline.TrainingData.qCorpusBuildV4]] stage for stage.
+    * Shingle/phrase CTEs use fresh names (the classifier chain already
+    * owns `toks`). */
+  private val corpusBuildV4Oracle: String =
+    s"""WITH ${qualityEnsembleCte(64, 4)},
+       |gated AS (SELECT doc_id, lang, n_chars FROM (
+       |    SELECT e.doc_id, e.lang, d.n_chars,
+       |      CAST(row_number() OVER (PARTITION BY e.lang
+       |        ORDER BY e.rrf_ppm DESC, e.doc_id) AS BIGINT) AS qrn,
+       |      count(*) OVER (PARTITION BY e.lang) AS n_l
+       |    FROM ens e JOIN documents d ON e.doc_id = d.doc_id)
+       |  WHERE qrn * 1000 <= n_l * 600 + 999),
+       |tl4 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |sh4 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |         range(1, greatest(len(l) - 2, 1)),
+       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
+       |       FROM tl4),
+       |sz4 AS (SELECT doc_id, count(*) AS sz FROM sh4 GROUP BY 1),
+       |pr4 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |        FROM sh4 a JOIN sh4 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |sp AS (SELECT d1, d2 FROM pr4
+       |  JOIN sz4 s1 ON d1 = s1.doc_id JOIN sz4 s2 ON d2 = s2.doc_id
+       |  WHERE 5 * inter >= 3 * (s1.sz + s2.sz - inter)),
+       |losers AS (SELECT DISTINCT
+       |    CASE WHEN ea.rrf_ppm < eb.rrf_ppm THEN d1
+       |         WHEN eb.rrf_ppm < ea.rrf_ppm THEN d2
+       |         ELSE greatest(d1, d2) END AS doc_id
+       |  FROM sp JOIN ens ea ON d1 = ea.doc_id JOIN ens eb ON d2 = eb.doc_id),
+       |t4 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |    generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents),
+       |cont AS (SELECT DISTINCT a.doc_id
+       |  FROM t4 a JOIN t4 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.tok = 'hash' AND b.tok = 'join'),
+       |bk AS (SELECT doc_id,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+       |          AS BIGINT) AS bucket
+       |      FROM documents)
+       |SELECT CASE WHEN bk.bucket < 80 THEN 'train'
+       |            WHEN bk.bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       |  g.lang, count(*) AS n_docs, CAST(sum(g.n_chars) AS BIGINT) AS n_chars
+       |FROM gated g JOIN bk ON g.doc_id = bk.doc_id
+       |WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND g.doc_id NOT IN (SELECT doc_id FROM cont)
+       |GROUP BY 1, 2""".stripMargin
 
   /** Weighted-PageRank oracle: lineitem multiplicities as edge weights,
     * contribution `(r·w) // W(u)` per arc — the same truncating
@@ -3330,6 +3388,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> dedupKeepBestOracle,
     "q_corpus_build_v2" -> corpusBuildV2Oracle,
     "q_corpus_build_v3" -> corpusBuildV3Oracle,
+    "q_corpus_build_v4" -> corpusBuildV4Oracle,
     "q_lang_sample_temp" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),

@@ -1173,6 +1173,56 @@ object TrainingData {
       .filter(col("u_ppm") < col("avg_w"))
       .select("doc_id", "n_tokens", "dsir_score", "avg_w", "u_ppm")
 
+  /** Capstone v4 — the round's new operators composed into one corpus
+    * build, each stage a different family:
+    *   1. QUALITY: keep the top 60% per language by the RRF ensemble
+    *      rank ([[qQualityEnsemble]] — heuristic + perplexity +
+    *      classifier, fused);
+    *   2. NEAR-DUP: for every prefix-filtered set-similarity pair
+    *      ([[graft.dedup.Dedup.qSetSimJoin]], Jaccard ≥ 3/5), drop the
+    *      side with the WORSE fused quality (tie → higher doc_id) — the
+    *      pairwise survivor rule, resolved from the same rrf artifact,
+    *      so dedup keeps the best copy rather than an arbitrary one;
+    *   3. DECONTAMINATION: drop every document containing the eval
+    *      phrase ("hash join") at token-adjacency — the positional
+    *      phrase-search relation ([[graft.text.TextOps.qPhraseSearch]])
+    *      used as a kill list;
+    *   4. census by the standard hash split.
+    * Every stage is integer/rank deterministic, so the composed oracle
+    * (ensemble chain + setsim pairs + phrase CTE) is hash-exact. */
+  def qCorpusBuildV4(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val rrf = qQualityEnsemble(spark, dir)
+      .select(col("doc_id"), col("rrf_ppm"))
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("rrf_ppm").desc, col("doc_id"))
+    val gated = docs.join(rrf, "doc_id")
+      .withColumn("qrn", row_number().over(byLang).cast("long"))
+      .withColumn("n_l", count(lit(1)).over(Window.partitionBy("lang")))
+      .filter(gateKeeps(col("qrn"), col("n_l"), 600))
+    // pairwise survivor: the loser of each near-dup pair (worse rrf,
+    // ties to the higher id) leaves, regardless of gate survival of
+    // its partner — a dropped winner must still kill its echo
+    val pairs = graft.dedup.Dedup.qSetSimJoin(spark, dir)
+      .select(col("d1"), col("d2"))
+      .join(rrf.select(col("doc_id").as("d1"), col("rrf_ppm").as("q1")), "d1")
+      .join(rrf.select(col("doc_id").as("d2"), col("rrf_ppm").as("q2")), "d2")
+    val losers = pairs.select(
+      when(col("q1") < col("q2"), col("d1"))
+        .when(col("q2") < col("q1"), col("d2"))
+        .otherwise(greatest(col("d1"), col("d2"))).as("doc_id"))
+      .distinct()
+    val contaminated = graft.text.TextOps.qPhraseSearch(spark, dir)
+      .select("doc_id")
+    gated
+      .join(losers, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("split", splitOf(bucketOf(col("doc_id"))))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+  }
+
   /** Reciprocal-rank-fusion ENSEMBLE of the pipeline's three quality
     * signals — the way production selection actually combines judges
     * whose scores live on incomparable scales (a stopword ppm, a

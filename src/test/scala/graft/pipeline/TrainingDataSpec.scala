@@ -701,6 +701,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < scored.size)
   }
 
+  test("capstone v4: stage funnel shrinks and respects the 60% gate") {
+    val dir = "/root/testdata/sf0.001"
+    val census = TrainingData.qCorpusBuildV4(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(census.nonEmpty)
+    val kept = census.map(_._3).sum
+    val perLang = graft.relational.Tables.load(spark, dir, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gateCap = perLang.values.map(n => (n * 600 + 999) / 1000).sum
+    assert(kept > 0 && kept <= gateCap,
+      s"$kept docs kept vs gate capacity $gateCap")
+    // decontamination really fired: phrase-bearing docs can't survive
+    val contaminated = graft.text.TextOps.qPhraseSearch(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(contaminated.nonEmpty)
+    // the census is strictly below the gate cap because losers/cont drop
+    assert(kept < gateCap)
+    census.foreach { case (split, _, n, chars) =>
+      assert(Set("train", "val", "test").contains(split))
+      assert(n > 0 && chars > 0)
+    }
+  }
+
   test("quality ensemble: each signal's ranks are a per-lang permutation; fusion exact") {
     val rows = TrainingData.qQualityEnsemble(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1),
