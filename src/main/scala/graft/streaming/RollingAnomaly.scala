@@ -60,4 +60,44 @@ object RollingAnomaly {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(scoreGroup(win, minN))
   }
+
+  // ---- streaming CUSUM twin --------------------------------------------
+
+  final case class DailyPoint(eventType: String, day: Long, y: Long,
+      mu: Long)
+  final case class CusumState(runSum: Long, runMin: Long)
+  final case class CusumAlarm(eventType: String, day: Long, y: Long,
+      cusum: Long, alarm: Boolean)
+
+  /** Online CUSUM with TWO LONGS of state per key (running sum and its
+    * running minimum — the same closed form the batch
+    * [[graft.relational.EventQueries.qCusum]] windows compute), fed the
+    * per-day aggregates in day order (ordered-feed contract like the
+    * ring-buffer monitor; µ arrives on the point because a true online
+    * monitor uses a REFERENCE mean, not one from data it hasn't seen). */
+  private def cusumGroup(
+      eventType: String,
+      points: Iterator[DailyPoint],
+      state: GroupState[CusumState]): Iterator[CusumAlarm] = {
+    var st = state.getOption.getOrElse(CusumState(0L, 0L))
+    val out = Vector.newBuilder[CusumAlarm]
+    points.toSeq.sortBy(_.day).foreach { p =>
+      val s = st.runSum + (p.y - p.mu - p.mu / 20)
+      val smin = math.min(st.runMin, s)
+      st = CusumState(s, smin)
+      val c = s - math.min(0L, smin)
+      out += CusumAlarm(eventType, p.day, p.y, c, c > p.mu / 5)
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  def cusum(points: Dataset[DailyPoint]): Dataset[CusumAlarm] = {
+    implicit val stEnc = Encoders.product[CusumState]
+    implicit val outEnc = Encoders.product[CusumAlarm]
+    points
+      .groupByKey(_.eventType)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(cusumGroup)
+  }
 }

@@ -120,6 +120,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming CUSUM == batch closed form on ordered feed; 2 longs of state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.relational.EventQueries.qCusum(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // reconstruct each type's reference mean from its series (the batch
+    // query derives it the same way)
+    val mu = batch.groupBy(_._1).view.mapValues { g =>
+      g.map(_._3).sum / g.length
+    }.toMap
+    val points = batch.map { case (t, day, y, _, _) =>
+      graft.streaming.RollingAnomaly.DailyPoint(t, day, y, mu(t))
+    }.sortBy(p => (p.day, p.eventType))
+    val batches = points.grouped(math.max(1, points.length / 3 + 1)).toSeq
+    val input = MemoryStream[graft.streaming.RollingAnomaly.DailyPoint]
+    val name = s"cusum_${System.nanoTime()}"
+    val q = graft.streaming.RollingAnomaly.cusum(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        spark.table(name)
+          .as[graft.streaming.RollingAnomaly.CusumAlarm].collect()
+          .map(a => (a.eventType, a.day) -> ((a.cusum, a.alarm))).toMap
+      } finally q.stop()
+    val want = batch
+      .map { case (t, day, _, c, al) => (t, day) -> ((c, al)) }.toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("A1: eager reply on first found; stragglers don't re-emit") {
     val replies = runVerdicts(Seq(
       Seq(PartitionVerdict(7L, 0, 3, found = false, null)),
