@@ -179,6 +179,10 @@ object SparkEntry {
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
     // per-column completeness/cardinality/extrema census in one scan
     "q_schema_profile" -> (graft.relational.DataQuality.qSchemaProfile _),
+    // Benford first-digit forensics with chi-square departure terms
+    "q_benford" -> (graft.relational.DataQuality.qBenford _),
+    // Gini concentration of per-lang token frequencies (exact ppm)
+    "q_gini" -> (graft.relational.DataQuality.qGini _),
     // dense hourly spine + zero-fill + forward fill
     "q_gap_fill" -> (EventQueries.qGapFill _),
     // leave-one-out smoothed target encoding (each row's encoding
@@ -2326,6 +2330,33 @@ object SparkEntry {
     },
     "q_fk_check" -> fkCheckSql,
     "q_schema_profile" -> schemaProfileSql,
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |        FROM orders)
+        |  WHERE cents > 0),
+        |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_obs) AS n FROM g)
+        |SELECT CAST(digit AS BIGINT) AS digit, n_obs,
+        |  round(CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit), 4) AS n_expected,
+        |  round(pow(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit), 2)
+        |    / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+        |FROM g CROSS JOIN t""".stripMargin,
+    "q_gini" ->
+      """WITH freq AS (SELECT lang, tok, count(*) AS f FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT lang, f,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY f, tok) AS BIGINT) AS i
+        |  FROM freq),
+        |agg AS (SELECT lang, count(*) AS n_types,
+        |    CAST(sum(f) AS BIGINT) AS n_tokens,
+        |    sum(i::HUGEINT * f) AS s_if
+        |  FROM rk GROUP BY 1)
+        |SELECT lang, n_types, n_tokens,
+        |  CAST((2::HUGEINT * s_if - (n_types + 1)::HUGEINT * n_tokens) * 1000000
+        |    // (n_types::HUGEINT * n_tokens) AS BIGINT) AS gini_ppm
+        |FROM agg""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y

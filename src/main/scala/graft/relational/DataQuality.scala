@@ -59,6 +59,58 @@ object DataQuality {
       .reduce(_ unionAll _)
   }
 
+  /** Benford first-digit forensics over order totals — the fraud/
+    * synthetic-data smell test: organically-grown magnitudes follow
+    * P(d) = log₁₀(1 + 1/d); uniform generators (like this synthetic
+    * lake's) don't, and the χ² statistic quantifies the departure. The
+    * digit census is exact integer work (first char of the cents
+    * rendering); expectations and the χ² terms are the only IEEE ops,
+    * computed from the same literal formula in both engines and rounded
+    * (the q_ab_test discipline). One 9-group aggregation. */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    val digits = load(spark, dir, "orders")
+      .select(floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum("n_obs").as("n"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit").cast("long").as("digit"), col("n_obs"),
+        round(expr("cast(n as double) * log10(1.0 + 1.0 / digit)"), 4)
+          .as("n_expected"),
+        round(expr(
+          "pow(cast(n_obs as double) - cast(n as double) * log10(1.0 + 1.0 / digit), 2)" +
+            " / (cast(n as double) * log10(1.0 + 1.0 / digit))"), 4)
+          .as("chi2_term"))
+  }
+
+  /** Gini concentration of the token frequency distribution per
+    * language — the inequality scalar behind "a few tokens dominate
+    * the corpus" (vocabulary concentration drives BPE merge value and
+    * dedup bucket skew alike). With frequencies ranked ascending
+    * (ties broken by token), G = (2·Σ i·fᵢ − (n+1)·Σ fᵢ) / (n·Σ fᵢ)
+    * — every sum exact integer over the token TYPE table (Heaps-law
+    * bounded), emitted in ppm by integer division. The rank window
+    * partitions by lang. */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val freq = load(spark, dir, "documents")
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("f"), col("tok"))
+    freq
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_types"), sum("f").as("n_tokens"),
+        sum(expr("cast(i as decimal(38,0)) * f")).as("s_if"))
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        expr("cast((cast(2 as decimal(38,0)) * s_if" +
+          " - cast(n_types + 1 as decimal(38,0)) * n_tokens) * 1000000" +
+          " div (cast(n_types as decimal(38,0)) * n_tokens) as bigint)")
+          .as("gini_ppm"))
+  }
+
   /** One row per lineitem column: nulls, distinct count, extrema as
     * canonical strings (doubles in exact cents, dates as yyyy-MM-dd). */
   def qSchemaProfile(spark: SparkSession, dir: String): DataFrame = {

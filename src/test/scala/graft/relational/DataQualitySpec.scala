@@ -25,6 +25,49 @@ class DataQualitySpec extends SparkSpec {
     assert(orphans === 1L)
   }
 
+  test("benford census: digit counts partition the rows; chi2 terms replay") {
+    val rows = DataQuality.qBenford(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = rows.map(_._2).sum
+    val nPos = Tables.load(spark, dir, "orders")
+      .selectExpr("cast(floor(o_totalprice * 100 + 0.5) as long) as c")
+      .filter("c > 0").count()
+    assert(n === nPos, "every positive total contributes one digit")
+    rows.foreach { case (d, obs, expd, chi2) =>
+      assert(d >= 1 && d <= 9)
+      val e = n.toDouble * math.log10(1.0 + 1.0 / d)
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(expd === r4(e))
+      assert(chi2 === r4(math.pow(obs.toDouble - e, 2) / e))
+    }
+  }
+
+  test("gini: zero on a uniform distribution, positive on the corpus") {
+    val got = DataQuality.qGini(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, nTypes, nTokens, ppm) =>
+      assert(nTypes > 0 && nTokens >= nTypes)
+      assert(ppm >= 0L && ppm < 1000000L)
+    }
+    // JVM replay for one language
+    val (lang, _, _, wantPpm) = got.head
+    val freqs = Tables.load(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang") === lang)
+      .selectExpr("explode(split(text, ' ')) as tok").collect()
+      .map(_.getString(0)).groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (t, f) => (f, t) }.map(_._2)
+    val nT = freqs.length.toLong
+    val tot = freqs.sum
+    val sif = freqs.zipWithIndex.map { case (f, i) =>
+      BigInt(i + 1) * f
+    }.sum
+    val want = ((BigInt(2) * sif - BigInt(nT + 1) * tot) * 1000000 /
+      (BigInt(nT) * tot)).toLong
+    assert(wantPpm === want)
+  }
+
   test("schema profile equals a JVM replay on representative columns") {
     val rows = DataQuality.qSchemaProfile(spark, dir).collect()
       .map(r => r.getString(0) ->
