@@ -174,6 +174,8 @@ object SparkEntry {
     "q_twap" -> (EventQueries.qTwap _),
     // CUSUM drift alarm via the running-sum − running-min closed form
     "q_cusum" -> (EventQueries.qCusum _),
+    // exact two-sample KS distance per type pair (integer supremum)
+    "q_ks_test" -> (EventQueries.qKsTest _),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -2357,6 +2359,28 @@ object SparkEntry {
         |  CAST((2::HUGEINT * s_if - (n_types + 1)::HUGEINT * n_tokens) * 1000000
         |    // (n_types::HUGEINT * n_tokens) AS BIGINT) AS gini_ppm
         |FROM agg""".stripMargin,
+    "q_ks_test" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sz AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        |pr AS (SELECT a.event_type AS ta, a.n AS n1, b.event_type AS tb, b.n AS n2
+        |  FROM sz a JOIN sz b ON a.event_type < b.event_type),
+        |m AS (SELECT pr.ta, pr.tb, pr.n1, pr.n2, h.cents,
+        |    CAST(sum(CASE WHEN h.event_type = pr.ta THEN h.cnt ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN h.event_type = pr.tb THEN h.cnt ELSE 0 END) AS BIGINT) AS cb
+        |  FROM pr JOIN h ON h.event_type = pr.ta OR h.event_type = pr.tb
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |c AS (SELECT ta, tb, n1, n2,
+        |    sum(ca) OVER (PARTITION BY ta, tb ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (PARTITION BY ta, tb ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+        |  FROM m)
+        |SELECT ta, tb, n1, n2,
+        |  CAST(max(abs(cuma * n2 - cumb * n1)) AS BIGINT) AS d_num,
+        |  CAST((max(abs(cuma * n2 - cumb * n1)) * 1000000) // (n1 * n2) AS BIGINT) AS d_ppm
+        |FROM c GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_cusum" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y

@@ -602,6 +602,46 @@ object EventQueries {
         (col("next_us") - col("err_us")).as("gap_us"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance between every pair
+    * of event types' value distributions — the nonparametric "did the
+    * distribution shift" test PSI's binning approximates. D =
+    * max_v |F₁(v) − F₂(v)| evaluated on the UNION support in the
+    * cross-multiplied integer form |cum₁·n₂ − cum₂·n₁| (never a
+    * division until the final ppm), so the supremum is an integer max
+    * and the oracle is bit-exact. Shapes: per-type value histograms
+    * (distinct-value discipline), a broadcast pair spine, one
+    * (pair, cents) aggregation, one ordered-window cumulation per pair
+    * — the fact table is scanned once. */
+  def qKsTest(spark: SparkSession, dir: String): DataFrame = {
+    val h = load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val sizes = h.groupBy("event_type").agg(sum("cnt").as("n"))
+    val pairs = sizes.select(col("event_type").as("ta"), col("n").as("n1"))
+      .crossJoin(sizes.select(col("event_type").as("tb"), col("n").as("n2")))
+      .filter(col("ta") < col("tb"))
+    val merged = broadcast(pairs)
+      .join(h, col("event_type") === col("ta") ||
+        col("event_type") === col("tb"))
+      .groupBy("ta", "tb", "n1", "n2", "cents")
+      .agg(
+        sum(when(col("event_type") === col("ta"), col("cnt"))
+          .otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === col("tb"), col("cnt"))
+          .otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("cuma", sum("ca").over(w))
+      .withColumn("cumb", sum("cb").over(w))
+      .groupBy("ta", "tb", "n1", "n2")
+      .agg(max(abs(col("cuma") * col("n2") - col("cumb") * col("n1")))
+        .as("d_num"))
+      .select(col("ta"), col("tb"), col("n1"), col("n2"), col("d_num"),
+        expr("(d_num * 1000000) div (n1 * n2)").as("d_ppm"))
+  }
+
   /** CUSUM changepoint detector over the daily revenue series — the
     * sequential drift monitor (Page 1954): accumulate positive
     * deviations beyond a slack `k` and alarm when the accumulation

@@ -477,6 +477,27 @@ class RelationalSpec extends SparkSpec {
       assert(seg.map(_._4).distinct.length >= 2)
   }
 
+  test("KS distance equals a JVM supremum over the union support") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "cast(floor(value * 100 + 0.5) as long) as c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = EventQueries.qKsTest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val types = byType.keySet.toSeq.sorted
+    assert(got.size === types.combinations(2).size)
+    types.combinations(2).foreach { case Seq(a, b) =>
+      val (va, vb) = (byType(a), byType(b))
+      val (n1, n2) = (va.length.toLong, vb.length.toLong)
+      val support = (va ++ vb).distinct.sorted
+      val dNum = support.map { v =>
+        math.abs(va.count(_ <= v) * n2 - vb.count(_ <= v) * n1)
+      }.max
+      assert(got((a, b)) === ((n1, n2, dNum, dNum * 1000000L / (n1 * n2))))
+    }
+  }
+
   test("CUSUM closed form equals the textbook max(0, C+d) recurrence") {
     val rows = EventQueries.qCusum(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
