@@ -176,6 +176,8 @@ object SparkEntry {
     "q_cusum" -> (EventQueries.qCusum _),
     // exact two-sample KS distance per type pair (integer supremum)
     "q_ks_test" -> (EventQueries.qKsTest _),
+    // Mann-Whitney U / common-language effect size, exact in 2U units
+    "q_mann_whitney" -> (EventQueries.qMannWhitney _),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -2359,6 +2361,27 @@ object SparkEntry {
         |  CAST((2::HUGEINT * s_if - (n_types + 1)::HUGEINT * n_tokens) * 1000000
         |    // (n_types::HUGEINT * n_tokens) AS BIGINT) AS gini_ppm
         |FROM agg""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sz AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
+        |pr AS (SELECT a.event_type AS ta, a.n AS n1, b.event_type AS tb, b.n AS n2
+        |  FROM sz a JOIN sz b ON a.event_type < b.event_type),
+        |m AS (SELECT pr.ta, pr.tb, pr.n1, pr.n2, h.cents,
+        |    CAST(sum(CASE WHEN h.event_type = pr.ta THEN h.cnt ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN h.event_type = pr.tb THEN h.cnt ELSE 0 END) AS BIGINT) AS cb
+        |  FROM pr JOIN h ON h.event_type = pr.ta OR h.event_type = pr.tb
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |c AS (SELECT ta, tb, n1, n2, ca, cb,
+        |    COALESCE(sum(cb) OVER (PARTITION BY ta, tb ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb_below
+        |  FROM m)
+        |SELECT ta, tb, n1, n2,
+        |  CAST(sum(2 * ca * cumb_below + ca * cb) AS BIGINT) AS u1_x2,
+        |  CAST((sum(2 * ca * cumb_below + ca * cb) * 500000) // (n1 * n2) AS BIGINT)
+        |    AS cles_ppm
+        |FROM c GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_ks_test" ->
       """WITH h AS (SELECT event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt

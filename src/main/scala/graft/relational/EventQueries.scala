@@ -642,6 +642,46 @@ object EventQueries {
         expr("(d_num * 1000000) div (n1 * n2)").as("d_ppm"))
   }
 
+  /** Mann–Whitney U (rank-sum) between every pair of event types —
+    * KS asks "do the distributions differ anywhere"; U asks the
+    * stochastic-dominance question "does one tend to exceed the
+    * other". U₁ = Σ_v cb_less(v)·ca(v) + ties/2 computed directly from
+    * the shared value histogram in DOUBLED integer units (2·U absorbs
+    * the tie half-ranks, so everything stays exact): for each distinct
+    * value, pairs won = ca·(cumb below), pairs tied = ca·cb. The
+    * effect size ships as integer ppm of n₁·n₂ (P(X>Y) + ½P(X=Y), the
+    * common-language effect size). Same single-scan shape as
+    * [[qKsTest]]: histograms, broadcast pair spine, one window. */
+  def qMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val h = load(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val sizes = h.groupBy("event_type").agg(sum("cnt").as("n"))
+    val pairs = sizes.select(col("event_type").as("ta"), col("n").as("n1"))
+      .crossJoin(sizes.select(col("event_type").as("tb"), col("n").as("n2")))
+      .filter(col("ta") < col("tb"))
+    val merged = broadcast(pairs)
+      .join(h, col("event_type") === col("ta") ||
+        col("event_type") === col("tb"))
+      .groupBy("ta", "tb", "n1", "n2", "cents")
+      .agg(
+        sum(when(col("event_type") === col("ta"), col("cnt"))
+          .otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === col("tb"), col("cnt"))
+          .otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    merged
+      .withColumn("cumb_below",
+        coalesce(sum("cb").over(w), lit(0L)))
+      .groupBy("ta", "tb", "n1", "n2")
+      // 2·U1 = 2·Σ ca·(b strictly below) + Σ ca·cb (ties count half)
+      .agg(sum(expr("2 * ca * cumb_below + ca * cb")).as("u1_x2"))
+      .select(col("ta"), col("tb"), col("n1"), col("n2"), col("u1_x2"),
+        expr("(u1_x2 * 500000) div (n1 * n2)").as("cles_ppm"))
+  }
+
   /** CUSUM changepoint detector over the daily revenue series — the
     * sequential drift monitor (Page 1954): accumulate positive
     * deviations beyond a slack `k` and alarm when the accumulation

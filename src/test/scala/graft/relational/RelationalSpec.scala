@@ -498,6 +498,26 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("Mann-Whitney 2U equals the all-pairs comparison count") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "cast(floor(value * 100 + 0.5) as long) as c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byType = ev.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val got = EventQueries.qMannWhitney(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val types = byType.keySet.toSeq.sorted
+    types.combinations(2).foreach { case Seq(a, b) =>
+      val (va, vb) = (byType(a), byType(b))
+      // 2U = 2·#{(x,y): x>y} + #{ties} over all cross pairs
+      val u2 = va.map(x =>
+        2L * vb.count(_ < x) + vb.count(_ == x)).sum
+      val n1n2 = va.length.toLong * vb.length
+      assert(got((a, b)) ===
+        ((va.length.toLong, vb.length.toLong, u2, u2 * 500000L / n1n2)))
+    }
+  }
+
   test("CUSUM closed form equals the textbook max(0, C+d) recurrence") {
     val rows = EventQueries.qCusum(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
