@@ -720,6 +720,31 @@ object SparkEntry {
       |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
 
+  /** Hot-shingle-capped CTE extension: `csh` is the shingle stream with
+    * document-frequency > 1000 types removed (the PPJoin boilerplate
+    * cap, mirroring Dedup.capHotShingles), `csizes` the per-doc counts
+    * over that capped universe. At the test scales the cap is vacuous
+    * (no synthetic shingle reaches df 1000) but the oracle expresses the
+    * same universe the Spark plan computes over, so the contract holds
+    * if the data ever grows a hot key. */
+  private val cappedShingleCte: String =
+    s"""$shingleCte,
+      |hot AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) > 1000),
+      |csh AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
+      |csizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY 1)""".stripMargin
+
+  /** Exact Jaccard over the capped universe — the oracle for the
+    * brute-force shared-shingle join (Dedup.qNgramJaccardPairs). */
+  private val cappedJaccardSql: String =
+    s"""$cappedShingleCte,
+      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+      |          FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT d1, d2, round(jaccard, 6) AS jaccard
+      |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
+      |      FROM pairs JOIN csizes s1 ON d1 = s1.doc_id JOIN csizes s2 ON d2 = s2.doc_id)
+      |WHERE jaccard >= 0.5""".stripMargin
+
   /** Exact quadratic form of the prefix-filtered set-similarity join
     * (Dedup.qSetSimJoin): the prefix filter is LOSSLESS, so the
     * candidate-pruned Spark plan must reproduce this relation exactly.
@@ -736,14 +761,14 @@ object SparkEntry {
       |WHERE 5 * inter >= 3 * (s1.sz + s2.sz - inter)""".stripMargin
 
   /** Directed containment pairs (see Dedup.qContainmentPairs): integer
-    * gate, one division, same shingle definition as Jaccard. */
+    * gate, one division, same capped shingle universe as Jaccard. */
   private val containmentSql: String =
-    s"""$shingleCte,
+    s"""$cappedShingleCte,
       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+      |          FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
       |          GROUP BY 1, 2)
       |SELECT d1, d2, round(CAST(inter AS DOUBLE) / sz, 6) AS containment
-      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id
+      |FROM pairs JOIN csizes s1 ON d1 = s1.doc_id
       |WHERE sz >= 5 AND inter * 10 >= sz * 9""".stripMargin
 
   /** Confusion census of banded MinHash vs exact Jaccard (see
@@ -3101,7 +3126,7 @@ object SparkEntry {
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
-    "q_ngram_jaccard" -> exactJaccardSql,
+    "q_ngram_jaccard" -> cappedJaccardSql,
     "q_setsim_join" -> setSimSql,
     "q_containment" -> containmentSql,
     // MinHash+LSH emits candidate pairs verified by EXACT Jaccard, so its

@@ -76,6 +76,30 @@ object Dedup {
         .select(col("doc_id"), shingles(col("text")).as("sh_arr"))
         .persist())
 
+  /** Distributed global rarity rank of the shingle TYPE table: total
+    * order by (freq, sh), rarest first, rank contiguous from 1. The
+    * shingle universe grows LINEARLY with the corpus, so the naive
+    * `row_number().over(Window.orderBy(...))` formulation — fine for the
+    * bounded-cardinality histograms elsewhere in the repo — would funnel
+    * a corpus-sized relation through one task here. Instead the sort
+    * stays distributed (range-partition exchange on (freq, sh) +
+    * within-partition sort; range partitions are emitted in key order)
+    * and the contiguous rank comes from `zipWithIndex`, whose only extra
+    * cost is one per-partition count pass for the offsets — the same
+    * total-order-at-scale pattern as
+    * [[graft.pipeline.TrainingData.qGlobalShuffle]]. */
+  private def rarityRank(spark: SparkSession, sh: DataFrame): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    sh.groupBy("sh").agg(count(lit(1)).as("freq"))
+      .repartitionByRange(parts, col("freq"), col("sh"))
+      .sortWithinPartitions("freq", "sh")
+      .select("sh").rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getString(0), i + 1L) }
+      .toDF("sh", "rk")
+  }
+
   /** Exact-Jaccard verification of candidate (d1, d2) pairs from cached
     * shingle arrays: two equi-joins fetch the arrays, and the
     * intersection/union counts come from a per-pair `array_intersect` —
@@ -92,18 +116,49 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Shingle stream with document-frequency > `maxDf` types removed —
+    * the PPJoin-standard hot-shingle cap: a boilerplate shingle (license
+    * header, nav bar) shared by F documents makes the shared-shingle
+    * self-join emit F² rows for that one type, a quadratic hot key on
+    * real web data. Shingles that frequent carry ~no similarity signal,
+    * so the cap drops them from BOTH the candidate join and the
+    * size/intersection accounting (Jaccard/containment are then computed
+    * over the capped shingle universe — the oracle CTEs mirror the same
+    * universe). The hot TYPE list is tiny (≤ total-shingles/maxDf
+    * types, in practice the boilerplate set), so the anti join
+    * broadcasts under AQE; the stream itself never re-shuffles. */
+  private[dedup] def capHotShingles(sh: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) sh
+    else {
+      val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("sh")
+      sh.join(hot, Seq("sh"), "left_anti")
+    }
+
   /** Exact n-gram (4-token shingle) Jaccard near-dup pairs at
-    * threshold >= 0.5. The shingle-keyed self-join EMITS one row per
-    * shared shingle, so `count` per (d1, d2) IS the exact intersection —
-    * one map-side-combinable aggregation, no distinct pass and no
-    * per-pair array re-intersection; union sizes come from the cached
-    * arrays. Integer intersection/union counts; the single division is
+    * threshold >= 0.5, over the df ≤ `maxDf` shingle universe
+    * ([[capHotShingles]] — bounds the self-join's per-type fan-out to
+    * maxDf² instead of corpus-quadratic on boilerplate). The
+    * shingle-keyed self-join EMITS one row per shared shingle, so
+    * `count` per (d1, d2) IS the exact intersection — one
+    * map-side-combinable aggregation, no distinct pass and no per-pair
+    * array re-intersection; union sizes count the same capped universe.
+    * Integer intersection/union counts; the single division is
     * deterministic, so an SQL oracle matches exactly. */
   def qNgramJaccardPairs(
-      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val shArr = shingleArrays(spark, dir)
-    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
-    val sizes = shArr.select(col("doc_id"), size(col("sh_arr")).as("sz"))
+      spark: SparkSession, dir: String, threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame =
+    ngramJaccardPairsOf(shingleArrays(spark, dir), threshold, maxDf)
+
+  /** [[qNgramJaccardPairs]] over a frame of shingle arrays
+    * ([[shingleArraysOf]]) — also the spec's entry for exercising the
+    * hot-shingle cap on synthetic boilerplate corpora. */
+  private[graft] def ngramJaccardPairsOf(
+      shArr: DataFrame, threshold: Double = 0.5,
+      maxDf: Int = 1000): DataFrame = {
+    val sh = capHotShingles(
+      shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh")), maxDf)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -129,9 +184,10 @@ object Dedup {
     * the least-shared shingle the doc owns. A symmetric length filter
     * (3·|a| ≤ 5·|b| ∧ 3·|b| ≤ 5·|a|) prunes inside the join condition.
     *
-    * Scale shape: the rarity rank is a window over the shingle TYPE
-    * table (Heaps-law bounded — the BPE-training argument), not the
-    * corpus; candidates then verify via the cached arrays. At sf0.001
+    * Scale shape: the rarity rank is the DISTRIBUTED total order of
+    * [[rarityRank]] over the shingle TYPE table (which grows linearly
+    * with the corpus — a one-partition window here would be the scale
+    * killer); candidates then verify via the cached arrays. At sf0.001
     * this generates ~3x fewer candidates than the shared-shingle join
     * (DedupSpec measures it); the gap widens with corpus size because
     * frequent shingles leave every prefix. Gate and outputs are exact
@@ -142,10 +198,7 @@ object Dedup {
     val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
     val sizes = shArr.select(col("doc_id"),
       size(col("sh_arr")).cast("long").as("sz"))
-    val rank = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("freq"), col("sh"))))
-      .select("sh", "rk")
+    val rank = rarityRank(spark, sh)
     // prefix length p = n − ceil(3n/5) + 1, all integer arithmetic
     val prefix = sh.join(rank, "sh").join(sizes, "doc_id")
       .withColumn("pos", row_number().over(
@@ -182,10 +235,7 @@ object Dedup {
       .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
     val sizes = shArr.select(col("doc_id"),
       size(col("sh_arr")).cast("long").as("sz"))
-    val rank = sh.groupBy("sh").agg(count(lit(1)).as("freq"))
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("freq"), col("sh"))))
-      .select("sh", "rk")
+    val rank = rarityRank(spark, sh)
     val prefix = sh.join(rank, "sh").join(sizes, "doc_id")
       .withColumn("pos", row_number().over(
         Window.partitionBy("doc_id").orderBy("rk")))
@@ -203,17 +253,21 @@ object Dedup {
     * low Jaccard but containment ≈ 1 from the short side. Emits DIRECTED
     * pairs (`d1` contained in `d2`) at containment = |A∩B| / |A| ≥ 0.9,
     * via the same shared-shingle equi-join as exact Jaccard (the count
-    * per ordered pair IS the intersection), so candidate fan-in stays
-    * bounded by shingle frequency — never all-pairs. The gate compares
-    * integers (10·inter ≥ 9·|A|); the reported containment is one
-    * deterministic division. Documents with fewer than 5 shingles are
-    * skipped: a two-shingle doc "contained" anywhere is noise, and the
-    * floor keeps the relation stable as the corpus grows. */
+    * per ordered pair IS the intersection), over the df ≤ `maxDf`
+    * capped universe ([[capHotShingles]]) so candidate fan-in is HARD
+    * bounded by maxDf per shingle type — never all-pairs, never
+    * boilerplate-quadratic. The gate compares integers
+    * (10·inter ≥ 9·|A|); the reported containment is one deterministic
+    * division. Documents with fewer than 5 capped shingles are skipped:
+    * a two-shingle doc "contained" anywhere is noise, and the floor
+    * keeps the relation stable as the corpus grows. */
   def qContainmentPairs(
-      spark: SparkSession, dir: String, minShingles: Int = 5): DataFrame = {
+      spark: SparkSession, dir: String, minShingles: Int = 5,
+      maxDf: Int = 1000): DataFrame = {
     val shArr = shingleArrays(spark, dir)
-    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
-    val sizes = shArr.select(col("doc_id"), size(col("sh_arr")).as("sz"))
+    val sh = capHotShingles(
+      shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh")), maxDf)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id"))
@@ -458,7 +512,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val truth = qNgramJaccardPairs(spark, dir, threshold).select("d1", "d2")
+    // ground truth = the TRUE Jaccard relation (uncapped): the eval
+    // prices the LSH scheme against reality, not the capped universe
+    val truth = qNgramJaccardPairs(spark, dir, threshold, maxDf = Int.MaxValue)
+      .select("d1", "d2")
     cand.withColumn("c", lit(1))
       .join(truth.withColumn("t", lit(1)), Seq("d1", "d2"), "full_outer")
       .agg(

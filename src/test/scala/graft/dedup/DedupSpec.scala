@@ -216,6 +216,34 @@ class DedupSpec extends SparkSpec {
       s"recall_ppm ${row.getLong(4)} unexpectedly low")
   }
 
+  test("hot-shingle cap kills boilerplate quadratic fan-out") {
+    import spark.implicits._
+    // 200 docs that all share a 10-token boilerplate header (nav bar /
+    // license text) plus one unique token: 11 tokens → 8 shingles, of
+    // which 7 are pure boilerplate shared by every doc. The uncapped
+    // shared-shingle join emits 7 × C(200,2) = 139300 candidate rows and
+    // floods 19900 J=7/9 "near-dup" pairs that are pure boilerplate; the
+    // cap removes those 7 hot types so nothing collides
+    val boiler = "this site and its contents are all rights reserved worldwide"
+    val docs = (0 until 200).map { i => (i.toLong, s"$boiler unique$i") }
+      .toDF("doc_id", "text")
+    val shArr = Dedup.shingleArraysOf(docs)
+    val sh = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val capped = Dedup.capHotShingles(sh, maxDf = 50)
+    // only the per-doc unique-suffix shingle survives the cap
+    assert(capped.count() === 200)
+    def candRows(s: org.apache.spark.sql.DataFrame): Long =
+      s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .count()
+    assert(candRows(sh) === 7L * 19900L)
+    assert(candRows(capped) === 0L)
+    // end-to-end: uncapped floods 19900 boilerplate "pairs"; capped none
+    assert(Dedup.ngramJaccardPairsOf(shArr, maxDf = Int.MaxValue).count()
+      === 19900L)
+    assert(Dedup.ngramJaccardPairsOf(shArr, maxDf = 50).count() === 0)
+  }
+
   test("prefix-filtered setsim join is lossless and prunes candidates") {
     val dir = "/root/testdata/sf0.001"
     // lossless: the prefix-filtered result equals the exhaustive
