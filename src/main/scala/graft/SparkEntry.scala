@@ -1160,7 +1160,7 @@ object SparkEntry {
       s"""SELECT '$name' AS fk_edge,
          |  count(*) AS n_child_keys,
          |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-         |FROM (SELECT DISTINCT $ck AS k FROM $ct) c
+         |FROM (SELECT DISTINCT $ck AS k FROM $ct WHERE $ck IS NOT NULL) c
          |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $pt) p USING (k)""".stripMargin
     Seq(
       edge("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -1913,11 +1913,12 @@ object SparkEntry {
         |  FROM du a JOIN du c
         |    ON a.user_id = c.user_id AND a.event_type < c.event_type
         |  GROUP BY 1, 2)
-        |SELECT type_a, type_b, n_both,
+        |SELECT type_a, type_b,
+        |  CAST(COALESCE(exact.n_both, 0) AS BIGINT) AS n_both,
         |  round(eu.est, 2) AS union_est,
         |  round(ea.est + eb.est - eu.est, 2) AS inter_est
-        |FROM exact
-        |JOIN eu USING (type_a, type_b)
+        |FROM eu
+        |LEFT JOIN exact USING (type_a, type_b)
         |JOIN e1 ea ON ea.event_type = type_a
         |JOIN e1 eb ON eb.event_type = type_b""".stripMargin,
     "q_kmv_quantiles" ->

@@ -26,11 +26,16 @@ object DataQuality {
   import Tables.load
 
   /** Orphan counts for every FK edge; all-zero on a consistent lake.
-    * `n_child_keys` sizes the audit (distinct keys checked per edge). */
+    * `n_child_keys` sizes the audit (distinct keys checked per edge).
+    * NULL child keys are excluded before the distinct: a NULL never
+    * equi-matches the parent side, so counting it as an orphan would
+    * report a nullable-FK column as referential breakage — n_orphans
+    * means only NON-NULL keys missing from the parent. */
   def qFkCheck(spark: SparkSession, dir: String): DataFrame = {
     def edge(name: String, childTable: String, childKey: String,
         parentTable: String, parentKey: String): DataFrame = {
       val keys = load(spark, dir, childTable)
+        .filter(col(childKey).isNotNull)
         .select(col(childKey).as("k")).distinct()
       val parents = load(spark, dir, parentTable)
         .select(col(parentKey).as("k")).distinct()

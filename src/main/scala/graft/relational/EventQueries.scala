@@ -636,10 +636,17 @@ object EventQueries {
       .withColumn("cuma", sum("ca").over(w))
       .withColumn("cumb", sum("cb").over(w))
       .groupBy("ta", "tb", "n1", "n2")
-      .agg(max(abs(col("cuma") * col("n2") - col("cumb") * col("n1")))
-        .as("d_num"))
-      .select(col("ta"), col("tb"), col("n1"), col("n2"), col("d_num"),
-        expr("(d_num * 1000000) div (n1 * n2)").as("d_ppm"))
+      // decimal(38,0) for every cross-multiplied product (the
+      // qCorrMatrix discipline): cum·n reaches n1·n2 and the ppm
+      // scaling multiplies by 1e6 on top — raw long arithmetic would
+      // silently wrap once a type pair passes ~3M rows per side
+      .agg(max(abs(expr(
+        "cast(cuma as decimal(38,0)) * n2 - cast(cumb as decimal(38,0)) * n1")))
+        .as("d_dec"))
+      .select(col("ta"), col("tb"), col("n1"), col("n2"),
+        col("d_dec").cast("long").as("d_num"),
+        expr("cast((d_dec * 1000000) div (cast(n1 as decimal(38,0)) * n2)" +
+          " as bigint)").as("d_ppm"))
   }
 
   /** Mann–Whitney U (rank-sum) between every pair of event types —
@@ -676,10 +683,17 @@ object EventQueries {
       .withColumn("cumb_below",
         coalesce(sum("cb").over(w), lit(0L)))
       .groupBy("ta", "tb", "n1", "n2")
-      // 2·U1 = 2·Σ ca·(b strictly below) + Σ ca·cb (ties count half)
-      .agg(sum(expr("2 * ca * cumb_below + ca * cb")).as("u1_x2"))
-      .select(col("ta"), col("tb"), col("n1"), col("n2"), col("u1_x2"),
-        expr("(u1_x2 * 500000) div (n1 * n2)").as("cles_ppm"))
+      // 2·U1 = 2·Σ ca·(b strictly below) + Σ ca·cb (ties count half);
+      // decimal(38,0) per-term (qCorrMatrix discipline) — ca·cumb_below
+      // reaches per-value-count·n2 and 2·U1 itself reaches 2·n1·n2,
+      // which wraps a raw long past ~3M rows per side
+      .agg(sum(expr(
+        "2 * cast(ca as decimal(38,0)) * cumb_below" +
+          " + cast(ca as decimal(38,0)) * cb")).as("u1_dec"))
+      .select(col("ta"), col("tb"), col("n1"), col("n2"),
+        col("u1_dec").cast("long").as("u1_x2"),
+        expr("cast((u1_dec * 500000) div (cast(n1 as decimal(38,0)) * n2)" +
+          " as bigint)").as("cles_ppm"))
   }
 
   /** CUSUM changepoint detector over the daily revenue series — the

@@ -137,7 +137,12 @@ object Sketches {
       .filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n_both"))
-    exact.join(broadcast(pairs), Seq("type_a", "type_b"))
+    // the PAIRS side drives: a type pair with zero shared users has no
+    // exact row, but the disjoint-audience case is exactly what the
+    // sketch algebra answers without a rescan — every pair must surface,
+    // with n_both coalesced to 0
+    pairs.join(exact, Seq("type_a", "type_b"), "left_outer")
+      .withColumn("n_both", coalesce(col("n_both"), lit(0L)))
   }
 
   /** KMV (bottom-k by hash) quantile sketch: per event type, the 256

@@ -65,11 +65,22 @@ object PartitionedLake {
     * 30 directories read). Exact cents; dates exit as strings. */
   def qDppPrune(spark: SparkSession, dir: String): DataFrame = {
     val fact = spark.read.parquet(ensurePartitioned(spark, dir))
-    // calendar dimension: generated date spine over the lake's horizon,
-    // filtered to weekends by epoch-day arithmetic
-    val calendar = spark.range(0, 64)
-      .select(date_add(lit(java.sql.Date.valueOf("2024-01-01")),
-        col("id").cast("int")).as("event_date"))
+    // calendar dimension: generated date spine over the lake's OBSERVED
+    // horizon (the qGapFill pattern — a hard-coded start/length would
+    // silently drop qualifying days if the synthetic horizon ever moved),
+    // filtered to weekends by epoch-day arithmetic. Bounds come from the
+    // SOURCE events table (one pruned-to-ts column scan), not the
+    // partitioned copy, so the partitioned fact is scanned exactly once
+    // — with the runtime DPP filter — and the bounds scan carries no
+    // partition schema for the pruning assertion to trip over.
+    val bounds = graft.relational.Tables.load(spark, dir, "events")
+      .agg(
+        min(expr("cast(ts div 86400000000000 as int)")).as("d0"),
+        max(expr("cast(ts div 86400000000000 as int)")).as("d1"))
+    val calendar = bounds
+      .select(explode(sequence(col("d0"), col("d1"))).as("epoch_day"))
+      .select(date_add(lit(java.sql.Date.valueOf("1970-01-01")),
+        col("epoch_day")).as("event_date"))
       .filter(
         (datediff(col("event_date"), lit("1970-01-01")) + 4) % 7 isin (0, 6))
     fact

@@ -99,8 +99,20 @@ object StreamingSketch {
       state: GroupState[Bottom]): Iterator[QuantileEst] = {
     var rows = state.getOption.map(_.rows).getOrElse(Vector.empty)
     events.foreach { e =>
-      rows = ((kmvHash(e.eventId), e.eventId, e.cents) +: rows)
-        .distinct.sortBy { case (h, id, _) => (h, id) }.take(k)
+      val entry = (kmvHash(e.eventId), e.eventId, e.cents)
+      // warm-state fast path: once the sketch is full, the common case
+      // is a hash at or past the current k-th — drop it without the
+      // per-event distinct + full re-sort (state, and therefore every
+      // downstream estimate, is unchanged: such an entry could never
+      // enter the bottom-k anyway, and rows stays sorted so `last` IS
+      // the max)
+      val skip = rows.length == k && {
+        val (mh, mid, _) = rows.last
+        entry._1 > mh || (entry._1 == mh && entry._2 >= mid)
+      }
+      if (!skip)
+        rows = (entry +: rows)
+          .distinct.sortBy { case (h, id, _) => (h, id) }.take(k)
     }
     state.update(Bottom(rows))
     val cents = rows.map(_._3).sorted

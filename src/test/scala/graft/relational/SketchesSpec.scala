@@ -82,9 +82,12 @@ class SketchesSpec extends SparkSpec {
       u = regs(a).zip(regs(b)).map { case (x, y) => if (x > y) x else y }
     } yield (a, b) -> ((byType(a).intersect(byType(b)).size.toLong,
       r2(est(u)), r2(est(regs(a)) + est(regs(b)) - est(u))))).toMap
+    // pairs drive the join now: every type pair surfaces, n_both
+    // coalesced to 0 for disjoint audiences (the replay covers all
+    // pairs, so equality also pins that contract)
     val got = Sketches.qAudienceOverlap(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
-        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+        ((r.getLong(4), r.getDouble(2), r.getDouble(3)))).toMap
     assert(got === want)
     assert(got.nonEmpty)
   }
