@@ -430,7 +430,9 @@ object GraphOps {
       nbr.collect().foreach { r =>
         adjMap.put(r.getLong(0), r.getSeq[Long](1).toArray)
       }
-      val kernel = new WalkKernel(adjMap, steps)
+      // broadcast, not a task-binary reference: the adjacency torrents
+      // to each executor once and every subsequent stage reuses it
+      val kernel = spark.sparkContext.broadcast(new WalkKernel(adjMap, steps))
       val cur = starts
         .crossJoin(broadcast(spark.range(walksPerNode.toLong).toDF("w")))
         .select((col("node") * walksPerNode + col("w")).as("walk_id"),

@@ -79,11 +79,15 @@ object WalkKernel {
 }
 
 /** `walk_seq(node, walk_id)` — the visited-node array of one whole walk
-  * (see [[WalkKernel]]). The kernel rides into generated code as a task
-  * reference object; the adjacency it closes over is bounded by the
-  * small-graph cap that selected this path. */
+  * (see [[WalkKernel]]). The kernel ships as a `Broadcast` variable —
+  * torrented to each executor ONCE — not as a task-binary reference
+  * object, which would re-serialize the full adjacency into every
+  * stage's task closure (the `Broadcasting large task binary` warning)
+  * and make the small-graph cap unraisable. Generated code holds only
+  * the broadcast handle; `.value` resolves executor-side. */
 case class WalkSequence(left: Expression, right: Expression,
-    kernel: WalkKernel) extends BinaryExpression {
+    kernel: org.apache.spark.broadcast.Broadcast[WalkKernel])
+  extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "walk_seq"
@@ -96,13 +100,17 @@ case class WalkSequence(left: Expression, right: Expression,
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
   override protected def nullSafeEval(node: Any, walkId: Any): Any =
-    kernel.walk(node.asInstanceOf[Long], walkId.asInstanceOf[Long])
+    kernel.value.walk(node.asInstanceOf[Long], walkId.asInstanceOf[Long])
 
   override protected def doGenCode(
       ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("walkKernel", kernel,
-      classOf[WalkKernel].getName)
-    defineCodeGen(ctx, ev, (n, w) => s"$ref.walk($n, $w)")
+    val bcClass = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val kClass = classOf[WalkKernel].getName
+    val ref = ctx.addReferenceObj("walkKernelBc", kernel, bcClass)
+    // resolve .value once per task into a mutable-state slot, not per row
+    val local = ctx.addMutableState(kClass, "walkKernel",
+      v => s"$v = ($kClass) $ref.value();")
+    defineCodeGen(ctx, ev, (n, w) => s"$local.walk($n, $w)")
   }
 
   override protected def withNewChildrenInternal(
