@@ -1223,19 +1223,53 @@ object TrainingData {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
   }
 
+  /** Per-language rank without a per-lang window: distributed total
+    * order over (lang, keys) via range-partition + zipWithIndex (the
+    * qGlobalShuffle pattern), then rank-within-lang = global position −
+    * the language's first position + 1 (a broadcast join against the
+    * n_langs-row offset table). Bit-identical to
+    * `row_number().over(Window.partitionBy("lang").orderBy(keys))` for
+    * any total key order (the last key must break all ties), but never
+    * funnels a whole language through one task — the low-cardinality
+    * posture the per-lang window cannot escape. */
+  private def langRankOf(
+      spark: SparkSession, df: DataFrame, out: String,
+      keys: Seq[Column]): DataFrame = {
+    import spark.implicits._
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val order = col("lang").asc +: keys
+    val pos = df
+      .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .select("doc_id", "lang").rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), r.getString(1), i) }
+      .toDF("doc_id", "lang", "gpos")
+    val off = pos.groupBy("lang").agg(min("gpos").as("goff"))
+    pos.join(broadcast(off), "lang")
+      .select(col("doc_id"), (col("gpos") - col("goff") + 1L).as(out))
+  }
+
   /** Reciprocal-rank-fusion ENSEMBLE of the pipeline's three quality
     * signals — the way production selection actually combines judges
     * whose scores live on incomparable scales (a stopword ppm, a
     * log-likelihood, a fixed-point logit): convert each to a RANK
-    * within its language (quality norms are language-relative; a real
-    * crawl has hundreds of languages so the partitions are plentiful —
-    * on a near-monolingual corpus the per-lang rank would move to the
-    * range-partition + offset global-ranking shape of qGlobalShuffle),
-    * then fuse as Σ 10⁶ div (60 + rank), the RRF form
+    * within its language (quality norms are language-relative), then
+    * fuse as Σ 10⁶ div (60 + rank), the RRF form
     * [[graft.similarity.HybridRetrieval]] uses for retrieval. All
     * integer once ranked, so the composed oracle (which replays the
-    * classifier's full training chain) stays hash-exact. */
-  def qQualityEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    * classifier's full training chain) stays hash-exact.
+    *
+    * Rank shape is CARDINALITY-ADAPTIVE: a real crawl has hundreds of
+    * languages, so per-lang windows partition plentifully; below
+    * `langFallbackBelow` distinct languages (a near-monolingual corpus
+    * — where one language IS the corpus and its window partition one
+    * task) the ranks switch to the [[langRankOf]] total-order shape.
+    * Both shapes produce identical ranks (EnsembleSpec pins it), so the
+    * oracle holds on either path. */
+  def qQualityEnsemble(
+      spark: SparkSession, dir: String,
+      langFallbackBelow: Int = 8): DataFrame = {
     val heur = load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -1247,16 +1281,33 @@ object TrainingData {
       .select(col("doc_id"), col("nll"))
     val clf = QualityClassifier.qQualityClassifier(spark, dir)
       .select(col("doc_id"), col("score_fp"))
-    def rank(order: Column*): Column =
-      row_number().over(Window.partitionBy("lang").orderBy(order: _*))
-        .cast("long")
-    heur.join(ppl, "doc_id").join(clf, "doc_id")
-      .withColumn("r_heur", rank(col("stop_ppm").asc, col("doc_id").asc))
-      .withColumn("r_ppl", rank(col("nll").asc, col("doc_id").asc))
-      .withColumn("r_clf", rank(col("score_fp").desc, col("doc_id").asc))
-      .select(col("doc_id"), col("lang"),
-        col("r_heur"), col("r_ppl"), col("r_clf"),
-        expr("1000000 div (60 + r_heur) + 1000000 div (60 + r_ppl)" +
-          " + 1000000 div (60 + r_clf)").as("rrf_ppm"))
+    val joined = heur.join(ppl, "doc_id").join(clf, "doc_id")
+    val nLangs = load(spark, dir, "documents")
+      .agg(countDistinct("lang")).head.getLong(0)
+    val ranked =
+      if (nLangs >= langFallbackBelow) {
+        def rank(order: Column*): Column =
+          row_number().over(Window.partitionBy("lang").orderBy(order: _*))
+            .cast("long")
+        joined
+          .withColumn("r_heur", rank(col("stop_ppm").asc, col("doc_id").asc))
+          .withColumn("r_ppl", rank(col("nll").asc, col("doc_id").asc))
+          .withColumn("r_clf", rank(col("score_fp").desc, col("doc_id").asc))
+      } else {
+        // three rank passes branch from this frame; localCheckpoint
+        // runs the (expensive) classifier/perplexity lineage ONCE and
+        // materializes, instead of four replays
+        val j = joined.localCheckpoint()
+        j.join(langRankOf(spark, j, "r_heur",
+            Seq(col("stop_ppm").asc, col("doc_id").asc)), "doc_id")
+          .join(langRankOf(spark, j, "r_ppl",
+            Seq(col("nll").asc, col("doc_id").asc)), "doc_id")
+          .join(langRankOf(spark, j, "r_clf",
+            Seq(col("score_fp").desc, col("doc_id").asc)), "doc_id")
+      }
+    ranked.select(col("doc_id"), col("lang"),
+      col("r_heur"), col("r_ppl"), col("r_clf"),
+      expr("1000000 div (60 + r_heur) + 1000000 div (60 + r_ppl)" +
+        " + 1000000 div (60 + r_clf)").as("rrf_ppm"))
   }
 }

@@ -743,4 +743,17 @@ class TrainingDataSpec extends SparkSpec {
     // the judges genuinely disagree somewhere (fusion isn't degenerate)
     assert(rows.exists { case (_, _, h, p, c, _) => h != p || p != c })
   }
+
+  test("ensemble rank shapes agree: per-lang window == total-order fallback") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(threshold: Int) =
+      TrainingData.qQualityEnsemble(spark, dir, langFallbackBelow = threshold)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // threshold 0 → nLangs >= 0 always → per-lang window path;
+    // Int.MaxValue → forced range-partition + zipWithIndex fallback.
+    // Identical output is the contract that lets the oracle hold on
+    // whichever path the corpus's language cardinality selects.
+    assert(rows(0) === rows(Int.MaxValue))
+  }
 }
