@@ -496,6 +496,10 @@ object SparkEntry {
     // the window stage that turns walks into embedding training pairs
     "q_walk_pairs" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qWalkPairs(s, d)),
+    // fixed-point SGNS over the walk pairs: the training step that
+    // closes the graph-embedding loop (walks -> pairs -> embeddings)
+    "q_node_embed" -> ((s: SparkSession, d: String) =>
+      graft.graph.NodeEmbed.qNodeEmbed(s, d)),
     // synchronous label-propagation communities (min-label tiebreak):
     // the host-clustering step before per-community sampling caps
     "q_label_prop" -> ((s: SparkSession, d: String) =>
@@ -1049,6 +1053,78 @@ object SparkEntry {
        |  ctx // 2 AS ctx_id,
        |  CAST(count(*) AS BIGINT) AS pairs
        |FROM sym GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** Unrolled fixed-point SGNS oracle for q_node_embed: the walk + pair
+    * CTEs feed deterministic hashed-negative training rows, md5-seeded
+    * initial embeddings, and `NodeEmbed.Epochs` unrolled full-batch
+    * gradient rounds — every product integer, division sign-safe
+    * truncating, coordinates clamped — mirroring
+    * [[graft.graph.NodeEmbed]] bit-for-bit. */
+  private def nodeEmbedSql(
+      steps: Int, walksPerNode: Int, window: Int): String = {
+    import graft.graph.NodeEmbed.{Clamp, Dims, Epochs, LrDiv, NegK, S}
+    val dims = 0 until Dims
+    def sdiv(a: String, b: String): String =
+      s"(CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+    // NOTE: the outer template re-applies stripMargin to these embedded
+    // fragments, so no fragment line may begin with whitespace + '|'
+    // (a '||' concat opening a continuation line would lose a pipe)
+    val negBranches = (0 until NegK).map { i =>
+      s"""SELECT ctr AS a,
+         |    CASE WHEN idx < ns THEN idx * 2 ELSE (idx - ns) * 2 + 1 END AS b,
+         |    w, CAST(0 AS BIGINT) AS t
+         |  FROM (SELECT ctr, ctx, w, ns,
+         |      ('0x' || substr(md5('nw:' || CAST(ctr AS VARCHAR) || ':' ||
+         |        CAST(ctx AS VARCHAR) || ':$i'), 1, 8))::UBIGINT::BIGINT
+         |        % (ns + np) AS idx
+         |    FROM pc, ks)""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    val initCols = dims.map { i =>
+      s"""  CAST(('0x' || substr(md5('emb:' || CAST(node AS VARCHAR) ||
+         |    ':$i'), 1, 4))::UBIGINT AS BIGINT) % 2001 - 1000 AS v$i"""
+        .stripMargin
+    }.mkString(",\n")
+    val dot = dims.map(i => s"ea.v$i * eb.v$i").mkString(" + ")
+    val rounds = (1 to Epochs).map { r =>
+      val gradCols = dims.map(i =>
+        s"    sum(r.w * ($dot - r.t) * eb.v$i) AS g$i").mkString(",\n")
+      val updCols = dims.map { i =>
+        val step = sdiv(s"g$i", s"wa * $LrDiv")
+        s"""  CAST(greatest(-$Clamp, least($Clamp,
+           |    e.v$i - COALESCE($step, 0))) AS BIGINT) AS v$i""".stripMargin
+      }.mkString(",\n")
+      s"""g$r AS (SELECT r.a AS node, sum(r.w) AS wa,
+         |$gradCols
+         |  FROM rows r JOIN em${r - 1} ea ON r.a = ea.node
+         |  JOIN em${r - 1} eb ON r.b = eb.node
+         |  GROUP BY 1),
+         |em$r AS MATERIALIZED (SELECT e.node,
+         |$updCols
+         |  FROM em${r - 1} e LEFT JOIN g$r g ON e.node = g.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${randomWalkCtes(steps, walksPerNode)},
+       |pr AS MATERIALIZED (SELECT a.node AS ctr, b.node AS ctx
+       |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
+       |        AND b.step > a.step AND b.step <= a.step + $window),
+       |sym AS (SELECT ctr, ctx FROM pr
+       |        UNION ALL SELECT ctx AS ctr, ctr AS ctx FROM pr),
+       |pc AS MATERIALIZED (SELECT ctr, ctx, CAST(count(*) AS BIGINT) AS w
+       |       FROM sym GROUP BY 1, 2),
+       |ks AS (SELECT (SELECT count(*) FROM supplier) AS ns,
+       |              (SELECT count(*) FROM part) AS np),
+       |rows AS MATERIALIZED (
+       |  SELECT ctr AS a, ctx AS b, w, CAST(${S * S} AS BIGINT) AS t FROM pc
+       |  UNION ALL $negBranches),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |em0 AS MATERIALIZED (SELECT node,
+       |$initCols
+       |  FROM nodes),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+       |    AS node_type,
+       |  node // 2 AS node_id, ${dims.map(i => s"v$i").mkString(", ")}
+       |FROM em$Epochs""".stripMargin
+  }
 
   /** Unrolled synchronous-LPA oracle: per round, count labels over
     * in-neighbors, keep the most frequent with min-label tiebreak —
@@ -3638,6 +3714,7 @@ object SparkEntry {
     "q_calibration" -> calibrationSql(64, 4),
     "q_random_walks" -> randomWalkSql(10, 2),
     "q_walk_pairs" -> walkPairsSql(10, 2, graft.graph.GraphOps.PairWindow),
+    "q_node_embed" -> nodeEmbedSql(10, 2, graft.graph.GraphOps.PairWindow),
     "q_label_prop" -> labelPropSql(graft.graph.GraphOps.LabelPropIters),
     "q_copurchase" ->
       s"""$copurchaseCte

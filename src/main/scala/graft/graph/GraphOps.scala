@@ -309,7 +309,7 @@ object GraphOps {
     * query would benchmark the build, not the algorithm. */
   private val edgeDegCache = graft.SessionCache.frames[(String, String)]
 
-  private def tradeEdgesDeg(spark: SparkSession, dir: String): DataFrame =
+  private[graph] def tradeEdgesDeg(spark: SparkSession, dir: String): DataFrame =
     edgeDegCache.get(
       (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
       withTradePairs(spark, dir) { pairs =>
@@ -671,24 +671,8 @@ object GraphOps {
     * projection-only union. The pair count aggregation is map-side
     * combinable. Fan-out is exactly 2·window rows per walk position —
     * bounded, never degree-dependent. */
-  def walkPairs(walks: DataFrame, window: Int): DataFrame = {
-    // ALL lead distances in one window pass: distinct lead() calls over
-    // the same spec share a single Window node, so the walk corpus is
-    // sorted ONCE instead of `window` times (the former per-distance
-    // union re-sorted identical data per branch — the measured cost of
-    // this query at sf0.1 was ~3 s of redundant sort)
-    val w = Window.partitionBy("walk_id").orderBy("step")
-    val fwd = walks
-      .select(col("node").as("ctr"),
-        array((1 to window).map(d => lead(col("node"), d).over(w)): _*)
-          .as("ctxs"))
-      .select(col("ctr"), explode(col("ctxs")).as("ctx"))
-      .filter(col("ctx").isNotNull)
-    // aggregate on the compact numeric pair; decode the bipartite
-    // node-id encoding only on the (small) aggregated output
-    fwd.unionAll(fwd.select(col("ctx").as("ctr"), col("ctr").as("ctx")))
-      .groupBy("ctr", "ctx")
-      .agg(count(lit(1)).as("pairs"))
+  def walkPairs(walks: DataFrame, window: Int): DataFrame =
+    walkPairCounts(walks, window)
       .select(
         when(pmod(col("ctr"), lit(2)) === 0, lit("supplier"))
           .otherwise(lit("part")).as("center_type"),
@@ -697,6 +681,30 @@ object GraphOps {
           .otherwise(lit("part")).as("ctx_type"),
         expr("ctx div 2").as("ctx_id"),
         col("pairs"))
+
+  /** The pair counts in the COMPACT numeric node encoding
+    * (`ctr`, `ctx`, `pairs`) — the form the embedding trainer
+    * ([[NodeEmbed]]) consumes; [[walkPairs]] decodes it for humans.
+    * ALL lead distances in one window pass: distinct lead() calls over
+    * the same spec share a single Window node, so the walk corpus is
+    * sorted ONCE instead of `window` times (the former per-distance
+    * union re-sorted identical data per branch — the measured cost of
+    * this query at sf0.1 was ~3 s of redundant sort); the symmetric
+    * double-count is a projection-only union and the aggregation is
+    * map-side combinable. Fan-out is exactly 2·window rows per walk
+    * position — bounded, never degree-dependent. */
+  private[graft] def walkPairCounts(
+      walks: DataFrame, window: Int): DataFrame = {
+    val w = Window.partitionBy("walk_id").orderBy("step")
+    val fwd = walks
+      .select(col("node").as("ctr"),
+        array((1 to window).map(d => lead(col("node"), d).over(w)): _*)
+          .as("ctxs"))
+      .select(col("ctr"), explode(col("ctxs")).as("ctx"))
+      .filter(col("ctx").isNotNull)
+    fwd.unionAll(fwd.select(col("ctx").as("ctr"), col("ctr").as("ctx")))
+      .groupBy("ctr", "ctx")
+      .agg(count(lit(1)).as("pairs"))
   }
 
   /** Window (in steps, each side) for [[qWalkPairs]] — word2vec's

@@ -1,0 +1,162 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.relational.Tables.load
+
+/** Fixed-point node-embedding trainer over the walk skip-gram pairs —
+  * the step that CLOSES the graph-embedding loop: walks
+  * ([[GraphOps.qRandomWalks]]) → skip-gram pair counts
+  * ([[GraphOps.walkPairCounts]]) → trained embedding table. The
+  * objective is SGNS-as-weighted-matrix-factorization (Levy & Goldberg
+  * 2014, "Neural Word Embedding as Implicit Matrix Factorization"):
+  * squared loss pushing dot(e_a, e_b) toward 1.0 on observed pairs
+  * (weighted by pair count) and toward 0.0 on `NegK` deterministic
+  * hashed negatives per pair — squared loss instead of the sigmoid
+  * form so every gradient is LINEAR integer arithmetic with no
+  * transcendental to diverge across engines.
+  *
+  * Exactness discipline (the [[graft.pipeline.QualityClassifier]]
+  * recipe): embeddings are fixed-point longs at scale 1e3 (= 1.0),
+  * initialized from md5 of the node id, updated by full-batch gradient
+  * descent with sign-safe truncating division, and clamped to
+  * [-2000, 2000] per step — so the trained table replays
+  * bit-identically in DuckDB (the unrolled-epoch oracle) and a JVM
+  * BigInt replay (NodeEmbedSpec).
+  *
+  * Scale shape — the part that differs from the classifier: the model
+  * here is node-count-sized, so it NEVER collects to the driver.
+  * Embeddings live as a distributed (node, v0..v3) table; each epoch
+  * is two equi-joins of the persisted training rows against it (center
+  * and context side), one node-keyed gradient aggregation (map-side
+  * combinable, decimal(38,0) sums), and one left join applying the
+  * update — all shuffles on the node key, lineage cut per epoch with
+  * an eager localCheckpoint. Negative sampling is a per-row hash
+  * expression (no sampling state, no RNG): negatives landing on a node
+  * outside the walk vocabulary simply drop out of the context join,
+  * identically in both engines.
+  */
+object NodeEmbed {
+
+  /** Embedding dimensions (as columns v0..v{Dims-1}). */
+  val Dims: Int = 4
+
+  /** Fixed-point scale of one embedding coordinate (1e3 = 1.0). */
+  val S: Long = 1000L
+
+  /** Full-batch epochs. */
+  val Epochs: Int = 2
+
+  /** Deterministic hashed negatives per positive pair row. */
+  val NegK: Int = 2
+
+  /** Per-coordinate clamp after each update (±2.0): bounds every
+    * later product (dot ≤ Dims·4e6) so per-row arithmetic stays in
+    * long range no matter how many epochs run. */
+  val Clamp: Long = 2000L
+
+  /** Learning-rate divisor: step = Σ w·err·v / (Σ w · LrDiv), i.e.
+    * lr = S²/LrDiv = 0.25 in real units. */
+  val LrDiv: Long = 4000000L
+
+  /** Sign-safe truncating division (Spark `div` truncates toward zero,
+    * DuckDB `//` floors; this CASE form is truncation in both). */
+  private def sdiv(a: String, b: String): String =
+    s"(CASE WHEN $a >= 0 THEN ($a) div $b ELSE -((-($a)) div $b) END)"
+
+  /** md5-seeded initial coordinate in [-1000, 1000]: 4 hex chars of
+    * md5("emb:<node>:<i>") mod 2001, shifted. */
+  private def init(i: Int): Column =
+    (conv(substring(md5(concat(lit("emb:"), col("node").cast("string"),
+      lit(s":$i"))), 1, 4), 16, 10).cast("long") % 2001L) - 1000L
+
+  /** One training epoch: gradient of the weighted squared loss wrt the
+    * CENTER side of every row (the symmetric positive pairs cover both
+    * sides; negative rows update only their center — documented
+    * asymmetry, mirrored in the oracle). */
+  private def epoch(emb: DataFrame, rows: DataFrame): DataFrame = {
+    val ea = emb.select(col("node").as("a") +:
+      (0 until Dims).map(i => col(s"v$i").as(s"a$i")): _*)
+    val eb = emb.select(col("node").as("b") +:
+      (0 until Dims).map(i => col(s"v$i").as(s"b$i")): _*)
+    val dot = (0 until Dims).map(i => col(s"a$i") * col(s"b$i"))
+      .reduce(_ + _)
+    val grads = rows
+      .join(ea, "a").join(eb, "b")
+      .withColumn("err", dot - col("t"))
+      .groupBy(col("a").as("node"))
+      .agg(sum("w").as("wa"),
+        (0 until Dims).map(i =>
+          sum((col("w") * col("err") * col(s"b$i")).cast("decimal(38,0)"))
+            .as(s"g$i")): _*)
+    emb.join(grads, Seq("node"), "left_outer")
+      .select(col("node") +:
+        (0 until Dims).map { i =>
+          val step = sdiv(s"g$i", s"(cast(wa as decimal(38,0)) * $LrDiv)")
+          expr(s"greatest(${-Clamp}L, least(${Clamp}L, " +
+            s"v$i - coalesce($step, 0L)))").as(s"v$i")
+        }: _*)
+  }
+
+  /** Training rows (a, b, w, t): positives at t = S² (dot = 1.0) from
+    * the pair counts, plus `NegK` hashed negatives at t = 0 per
+    * positive. `ns`/`np` are the supplier/part key-space sizes the
+    * negative hash indexes into (dense 0-based keys, the testdata
+    * convention): idx < ns → supplier idx, else part (idx − ns). */
+  private[graph] def trainingRows(
+      pairCounts: DataFrame, ns: Long, np: Long): DataFrame = {
+    val pos = pairCounts.select(col("ctr").as("a"), col("ctx").as("b"),
+      col("pairs").as("w"), lit(S * S).as("t"))
+    val negs = (0 until NegK).map { i =>
+      val idx = conv(substring(md5(concat(lit("nw:"),
+        col("ctr").cast("string"), lit(":"), col("ctx").cast("string"),
+        lit(s":$i"))), 1, 8), 16, 10).cast("long") % (ns + np)
+      pairCounts.select(col("ctr").as("a"),
+        when(idx < ns, idx * 2)
+          .otherwise((idx - ns) * 2 + 1).as("b"),
+        col("pairs").as("w"), lit(0L).as("t"))
+    }
+    negs.foldLeft(pos)(_ unionAll _)
+  }
+
+  /** Train embeddings over an arbitrary numeric pair-count relation
+    * (`ctr`, `ctx`, `pairs`) and node universe. */
+  def train(
+      spark: SparkSession, pairCounts: DataFrame, nodes: DataFrame,
+      ns: Long, np: Long): DataFrame = {
+    val rows = trainingRows(pairCounts, ns, np)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rows.count()
+    try {
+      var emb = nodes
+        .select(col("node") +: (0 until Dims).map(i => init(i).as(s"v$i")): _*)
+        .localCheckpoint()
+      for (_ <- 1 to Epochs)
+        // eager localCheckpoint: the epoch output feeds BOTH sides of
+        // the next epoch's join — without the cut, lineage doubles per
+        // epoch and the final plan re-runs every prior epoch twice
+        emb = epoch(emb, rows).localCheckpoint()
+      emb
+    } finally rows.unpersist(blocking = false)
+  }
+
+  /** The registered query: DeepWalk-style embeddings of the trade
+    * graph — walks and pair counts come from the session-cached walk
+    * relation, so this query prices exactly the TRAINING step. Output
+    * is the decoded embedding table (node_type, node_id, v0..v3). */
+  def qNodeEmbed(spark: SparkSession, dir: String): DataFrame = {
+    val pairCounts = GraphOps.walkPairCounts(
+      GraphOps.qRandomWalks(spark, dir), GraphOps.PairWindow)
+    val nodes = GraphOps.tradeEdgesDeg(spark, dir)
+      .select(col("src").as("node")).distinct()
+    val ns = load(spark, dir, "supplier").count()
+    val np = load(spark, dir, "part").count()
+    train(spark, pairCounts, nodes, ns, np)
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("node_type") +:
+        expr("node div 2").as("node_id") +:
+        (0 until Dims).map(i => col(s"v$i")): _*)
+  }
+}

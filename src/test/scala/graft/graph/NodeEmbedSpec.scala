@@ -1,0 +1,133 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NodeEmbedSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("trained embeddings equal a JVM BigInt replay; training reduces loss") {
+    // independent replay of the full training chain from the pair
+    // counts: hashed negatives, md5-seeded init, 2 full-batch epochs of
+    // truncating fixed-point gradient descent with clamping
+    val pairCounts = GraphOps.walkPairCounts(
+      GraphOps.qRandomWalks(spark, dir), GraphOps.PairWindow)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ns = graft.relational.Tables.load(spark, dir, "supplier").count()
+    val np = graft.relational.Tables.load(spark, dir, "part").count()
+    val nodes = GraphOps.tradeEdgesDeg(spark, dir)
+      .select(col("src")).distinct().collect().map(_.getLong(0)).toSet
+
+    // training rows: positives at t = S^2, NegK hashed negatives at 0
+    val rows = pairCounts.flatMap { case (ctr, ctx, w) =>
+      val pos = (ctr, ctx, w, NodeEmbed.S * NodeEmbed.S)
+      val negs = (0 until NodeEmbed.NegK).map { i =>
+        val idx = java.lang.Long.parseLong(
+          md5hex(s"nw:$ctr:$ctx:$i").substring(0, 8), 16) % (ns + np)
+        val b = if (idx < ns) idx * 2 else (idx - ns) * 2 + 1
+        (ctr, b, w, 0L)
+      }
+      pos +: negs
+    }
+
+    var emb: Map[Long, Array[Long]] = nodes.map { n =>
+      n -> Array.tabulate(NodeEmbed.Dims) { i =>
+        java.lang.Long.parseLong(
+          md5hex(s"emb:$n:$i").substring(0, 4), 16) % 2001L - 1000L
+      }
+    }.toMap
+
+    def loss(e: Map[Long, Array[Long]]): BigInt =
+      rows.collect { case (a, b, w, t) if e.contains(b) =>
+        val err = BigInt(
+          (0 until NodeEmbed.Dims).map(i => e(a)(i) * e(b)(i)).sum - t)
+        BigInt(w) * err * err
+      }.sum
+    val l0 = loss(emb)
+
+    for (_ <- 1 to NodeEmbed.Epochs) {
+      val g = collection.mutable.Map.empty[Long, Array[BigInt]]
+      val wa = collection.mutable.Map.empty[Long, Long]
+      rows.foreach { case (a, b, w, t) =>
+        // a negative landing outside the walk vocabulary drops out of
+        // the context join — mirror the inner-join semantics
+        emb.get(b).foreach { eb =>
+          val ea = emb(a)
+          val err = (0 until NodeEmbed.Dims).map(i => ea(i) * eb(i)).sum - t
+          val ga = g.getOrElseUpdate(a,
+            Array.fill(NodeEmbed.Dims)(BigInt(0)))
+          (0 until NodeEmbed.Dims).foreach { i =>
+            ga(i) += BigInt(w) * BigInt(err) * BigInt(eb(i))
+          }
+          wa(a) = wa.getOrElse(a, 0L) + w
+        }
+      }
+      emb = emb.map { case (n, e) =>
+        n -> Array.tabulate(NodeEmbed.Dims) { i =>
+          val step = g.get(n) match {
+            case Some(ga) =>
+              // BigInt '/' truncates toward zero — the sdiv contract
+              (ga(i) / (BigInt(wa(n)) * NodeEmbed.LrDiv)).toLong
+            case None => 0L
+          }
+          math.max(-NodeEmbed.Clamp,
+            math.min(NodeEmbed.Clamp, e(i) - step))
+        }
+      }
+    }
+
+    val got = NodeEmbed.qNodeEmbed(spark, dir).collect().map { r =>
+      val node =
+        if (r.getString(0) == "supplier") r.getLong(1) * 2
+        else r.getLong(1) * 2 + 1
+      node -> (2 until 2 + NodeEmbed.Dims).map(r.getLong).toSeq
+    }.toMap
+    val want = emb.map { case (n, e) => n -> e.toSeq }
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // the objective genuinely improves: full-batch SGD at lr 0.25 over
+    // a clamped init must cut the weighted squared loss
+    val lf = loss(emb)
+    assert(lf < l0, s"loss did not decrease: $l0 -> $lf")
+  }
+
+  test("embedding geometry is informative: positives beat hashed negatives") {
+    // mean dot over positive pairs should exceed mean dot over the
+    // hashed-negative pairs after training (that IS the objective)
+    val emb = NodeEmbed.qNodeEmbed(spark, dir).collect().map { r =>
+      val node =
+        if (r.getString(0) == "supplier") r.getLong(1) * 2
+        else r.getLong(1) * 2 + 1
+      node -> (2 until 2 + NodeEmbed.Dims).map(r.getLong).toArray
+    }.toMap
+    val ns = graft.relational.Tables.load(spark, dir, "supplier").count()
+    val np = graft.relational.Tables.load(spark, dir, "part").count()
+    val pairCounts = GraphOps.walkPairCounts(
+      GraphOps.qRandomWalks(spark, dir), GraphOps.PairWindow)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def meanDot(pairs: Seq[(Long, Long, Long)]): Double = {
+      val ds = pairs.collect { case (a, b, w) if emb.contains(b) =>
+        (0 until NodeEmbed.Dims).map(i => emb(a)(i) * emb(b)(i)).sum.toDouble * w
+      }
+      ds.sum / pairs.map(_._3).sum
+    }
+    val posDot = meanDot(pairCounts.toSeq)
+    val negPairs = pairCounts.flatMap { case (ctr, ctx, w) =>
+      (0 until NodeEmbed.NegK).map { i =>
+        val idx = java.lang.Long.parseLong(
+          md5hex(s"nw:$ctr:$ctx:$i").substring(0, 8), 16) % (ns + np)
+        (ctr, if (idx < ns) idx * 2 else (idx - ns) * 2 + 1, w)
+      }
+    }
+    val negDot = meanDot(negPairs.toSeq)
+    assert(posDot > negDot,
+      s"positive mean dot $posDot should exceed negative $negDot")
+  }
+}
