@@ -69,7 +69,7 @@ object DedupIngest {
     * LEAF plan over it (plus the row count the materializing action
     * produces) — the lineage-truncation step that keeps each batch's
     * plan depth constant instead of nesting every prior batch's plan. */
-  private def materializeLeaf(
+  private[graft] def materializeLeaf(
       df: DataFrame, spark: SparkSession):
         (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
     val schema = df.schema
