@@ -559,6 +559,10 @@ object SparkEntry {
     // integer energy kernel, silence census + leading-silence trim
     "q_audio_frames" -> ((s: SparkSession, d: String) =>
       Multimodal.qAudioFrames(s, d)),
+    // FFT-free spectral proxies per frame: integer zero-crossing rate
+    // and autocorrelation pitch bin, aggregated to a per-doc census
+    "q_audio_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.qAudioFeatures(s, d)),
     "q_media_features" -> ((s: SparkSession, d: String) =>
       Multimodal.qMediaFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) =>
@@ -912,6 +916,62 @@ object SparkEntry {
        |  coalesce(min(CASE WHEN energy >= $t THEN f END),
        |    any_value(n_frames)) AS lead_silent
        |FROM e GROUP BY doc_id""".stripMargin
+  }
+
+  /** q_audio_features: division-free centered samples (c_j = 16·s_j −
+    * Σs), integer zero crossings, lag-2..8 autocorrelations with the
+    * first-max-lag pitch CASE, and the min-over-max-count pitch mode —
+    * mirrors [[graft.multimodal.Multimodal.qAudioFeatures]] exactly. */
+  private lazy val audioFeaturesSql: String = {
+    import graft.multimodal.Multimodal.{AudioFrame, AudioHop, LagMax, LagMin}
+    val sCols = (0 until AudioFrame).map { j =>
+      s"CAST(ascii(substr(text, CAST(f * $AudioHop + ${j + 1} AS BIGINT), 1)) AS BIGINT) AS s$j"
+    }.mkString(",\n        ")
+    val ssum = (0 until AudioFrame).map(i => s"s$i").mkString(" + ")
+    val cCols = (0 until AudioFrame).map { j =>
+      s"$AudioFrame * s$j - ($ssum) AS c$j"
+    }.mkString(",\n        ")
+    val zcr = (1 until AudioFrame).map { j =>
+      s"CASE WHEN c$j * c${j - 1} < 0 THEN 1 ELSE 0 END"
+    }.mkString(" + ")
+    val rCols = (LagMin to LagMax).map { lag =>
+      val terms = (0 until AudioFrame - lag)
+        .map(j => s"c$j * c${j + lag}").mkString(" + ")
+      s"$terms AS r$lag"
+    }.mkString(",\n        ")
+    val rmax = s"greatest(${(LagMin to LagMax).map(l => s"r$l").mkString(", ")})"
+    val pitch = (LagMin to LagMax).map { l =>
+      s"WHEN r$l = rmax THEN CAST($l AS BIGINT)"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+       |fr AS (SELECT doc_id, text,
+       |         CAST((len - $AudioFrame) // $AudioHop AS BIGINT) + 1 AS n_frames
+       |       FROM d WHERE len >= $AudioFrame),
+       |x AS (SELECT doc_id, text, n_frames,
+       |        unnest(range(0, n_frames)) AS f FROM fr),
+       |sm AS (SELECT doc_id, n_frames,
+       |        $sCols
+       |      FROM x),
+       |cc AS (SELECT doc_id, n_frames,
+       |        $cCols
+       |      FROM sm),
+       |rr AS (SELECT doc_id, n_frames,
+       |        CAST($zcr AS BIGINT) AS zcr,
+       |        $rCols
+       |      FROM cc),
+       |ft AS (SELECT doc_id, n_frames, zcr, rmax, $pitch AS pitch
+       |      FROM (SELECT *, $rmax AS rmax FROM rr)),
+       |census AS (SELECT doc_id, any_value(n_frames) AS n_frames,
+       |        CAST(sum(zcr) AS BIGINT) AS zcr_total,
+       |        CAST(sum(CASE WHEN rmax > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS n_voiced
+       |      FROM ft GROUP BY 1),
+       |pm AS (SELECT doc_id, pitch, count(*) AS c FROM ft GROUP BY 1, 2),
+       |md AS (SELECT doc_id, min(pitch) AS pitch_mode FROM (
+       |        SELECT doc_id, pitch, c, max(c) OVER (PARTITION BY doc_id) AS mc
+       |        FROM pm) WHERE c = mc GROUP BY 1)
+       |SELECT census.doc_id, n_frames, zcr_total, n_voiced, pitch_mode
+       |FROM census JOIN md ON census.doc_id = md.doc_id""".stripMargin
   }
 
   /** The deterministic customer change batch (LakeMerge.changeBatch's
@@ -4125,6 +4185,7 @@ object SparkEntry {
         |  FROM cand c JOIN hx a ON c.d1 = a.doc_id JOIN hx b ON c.d2 = b.doc_id)
         |WHERE hamming <= 3""".stripMargin,
     "q_audio_frames" -> audioFramesSql,
+    "q_audio_features" -> audioFeaturesSql,
     "q_frame_sample" ->
       """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),
         |f AS (SELECT doc_id,

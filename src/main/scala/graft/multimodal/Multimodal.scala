@@ -173,6 +173,68 @@ object Multimodal {
           first("n_frames")).as("lead_silent"))
   }
 
+  /** Autocorrelation lag range for [[qAudioFeatures]]'s pitch proxy:
+    * periods of 2..8 samples inside the 16-sample frame. */
+  val LagMin: Int = 2
+  val LagMax: Int = 8
+
+  /** FFT-free spectral features per audio frame — the feature-depth
+    * match for the image column's census: integer ZERO-CROSSING RATE
+    * (the classic voiced/unvoiced + spectral-tilt proxy) and an
+    * AUTOCORRELATION PITCH BIN (argmax of R(lag), lag ∈ [LagMin,
+    * LagMax] — the period estimate a pitch tracker starts from),
+    * aggregated per document as total crossings, voiced-frame count
+    * (R(argmax) > 0), and the modal pitch bin (ties to the smaller
+    * lag, the min(struct) argmax discipline).
+    *
+    * Exactness: samples center WITHOUT division — c_j = 16·s_j − Σs has
+    * the sign of (s_j − mean) exactly — so crossings (c_j·c_{j−1} < 0),
+    * autocorrelations (Σ c_j·c_{j+lag}, |c| ≤ 2032 so every product is
+    * long-safe), and the argmax CASE chain are pure integer arithmetic
+    * with a bit-exact DuckDB oracle. Same decode stub and framing as
+    * [[qAudioFrames]]; both per-doc aggregations (census + pitch mode)
+    * are map-side combinable. */
+  def qAudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= AudioFrame)
+      .withColumn("n_frames",
+        expr(s"CAST((len - $AudioFrame) div $AudioHop AS BIGINT) + 1"))
+    val s = (0 until AudioFrame).map { j =>
+      ascii(expr(s"substr(text, f * $AudioHop + ${j + 1}, 1)")).cast("long")
+    }
+    val ssum = s.reduce(_ + _)
+    val c = s.map(_ * AudioFrame - ssum)
+    val zcr = (1 until AudioFrame).map { j =>
+      when(c(j) * c(j - 1) < 0, 1L).otherwise(0L)
+    }.reduce(_ + _)
+    val rs = (LagMin to LagMax).map { lag =>
+      (0 until AudioFrame - lag).map(j => c(j) * c(j + lag)).reduce(_ + _)
+    }
+    val rmax = rs.reduce((a, b) => greatest(a, b))
+    // first lag attaining the max — the tie-to-smaller-lag argmax
+    val pitch = (LagMin to LagMax).zip(rs).tail.foldLeft(
+      when(rs.head === rmax, lit(LagMin.toLong))) {
+        case (acc, (lag, r)) => acc.when(r === rmax, lit(lag.toLong))
+      }
+    val frames = docs
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("f"),
+        col("text"))
+      .select(col("doc_id"), col("n_frames"), zcr.as("zcr"),
+        rmax.as("rmax"), pitch.as("pitch"))
+    val census = frames.groupBy("doc_id")
+      .agg(first("n_frames").as("n_frames"),
+        sum("zcr").as("zcr_total"),
+        sum(when(col("rmax") > 0, 1L).otherwise(0L)).as("n_voiced"))
+    val mode = frames.groupBy("doc_id", "pitch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("nc"), col("pitch"))).as("m"))
+      .select(col("doc_id"), col("m.pitch").as("pitch_mode"))
+    census.join(mode, "doc_id")
+  }
+
   /** Distributed decode + feature extraction via `mapPartitions`: one
     * decoder instance per partition (the real-codec pattern — init cost
     * amortized across the partition's rows, no per-row codec setup). */

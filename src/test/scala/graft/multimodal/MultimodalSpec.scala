@@ -240,4 +240,46 @@ class MultimodalSpec extends SparkSpec {
       assert(nSil <= n && lead <= n)
     }
   }
+
+  test("audio features: ZCR + pitch bin match a JVM replay") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (fl, h) = (Multimodal.AudioFrame, Multimodal.AudioHop)
+    val lags = Multimodal.LagMin to Multimodal.LagMax
+    // per-frame (zcr, rmax, pitch) replay: centered without division
+    // (c_j = 16·s_j − Σs), first-max-lag argmax
+    def feats(text: String): Seq[(Long, Long, Long)] = {
+      val cp = text.toSeq.map(_.toLong)
+      (0 to (cp.length - fl) / h).map { f =>
+        val s = (0 until fl).map(j => cp(f * h + j))
+        val sum = s.sum
+        val c = s.map(_ * fl - sum)
+        val zcr = (1 until fl).count(j => c(j) * c(j - 1) < 0).toLong
+        val rs = lags.map(l => (0 until fl - l).map(j => c(j) * c(j + l)).sum)
+        val rmax = rs.max
+        val pitch = lags(rs.indexWhere(_ == rmax)).toLong
+        (zcr, rmax, pitch)
+      }
+    }
+    val got = Multimodal.qAudioFeatures(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val eligible = docs.filter(_._2.length >= fl)
+    assert(got.length === eligible.size)
+    got.foreach { case (id, n, zcrTotal, nVoiced, pitchMode) =>
+      val fs = feats(docs(id))
+      assert(n === fs.length.toLong, s"doc $id frame count")
+      assert(zcrTotal === fs.map(_._1).sum, s"doc $id zcr")
+      assert(nVoiced === fs.count(_._2 > 0).toLong, s"doc $id voiced")
+      val byPitch = fs.groupBy(_._3).view.mapValues(_.size).toMap
+      val maxC = byPitch.values.max
+      val wantMode = byPitch.collect { case (p, c) if c == maxC => p }.min
+      assert(pitchMode === wantMode, s"doc $id pitch mode")
+      assert(pitchMode >= Multimodal.LagMin && pitchMode <= Multimodal.LagMax)
+    }
+    // the feature is informative: pitch modes vary across the corpus
+    assert(got.map(_._5).distinct.length > 1, "pitch mode is not constant")
+  }
 }
