@@ -227,6 +227,9 @@ object SparkEntry {
     // change-data apply: MERGE/upsert decomposed as anti-join ∪ batch —
     // the target side never shuffles (broadcast anti)
     "q_lake_merge" -> (graft.sources.LakeMerge.qLakeMerge _),
+    // Avro container round-trip through the DSv2 connector (write one
+    // container per partition, read back with a pruned reader schema)
+    "q_avro_roundtrip" -> (graft.sources.AvroFiles.qAvroRoundtrip _),
     // type-2 slowly-changing dimension: attribute history as versioned
     // rows; re-sent identical rows must NOT fork a version
     "q_scd2" -> (graft.sources.LakeMerge.qScd2 _),
@@ -2849,6 +2852,13 @@ object SparkEntry {
         |    event_type || ':' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
         |  ), 1, 15))::UBIGINT AS BIGINT))
         |FROM events""".stripMargin,
+    // the oracle reads the ORIGINAL parquet: matching it proves the
+    // Avro encode+decode chain is byte-faithful
+    "q_avro_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer GROUP BY 1""".stripMargin,
     "q_lake_merge" ->
       s"""$mergeChangeCte
          |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,

@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+class AvroLakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_avro").toString
+
+  test("round-trip: every customer row and type survives the container") {
+    val cust = spark.read.parquet(sf("customer"))
+    val dir = tmpDir()
+    AvroFiles.write(cust, dir)
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+    assert(back.schema === cust.schema)
+    assert(back.exceptAll(cust).count() === 0)
+    assert(cust.exceptAll(back).count() === 0)
+    assert(back.count() === cust.count())
+  }
+
+  test("column pruning reaches the avro reader schema") {
+    val dir = tmpDir()
+    AvroFiles.write(spark.read.parquet(sf("customer")), dir)
+    val pruned = spark.read.format("graft.sources.AvroSource").load(dir)
+      .select("c_custkey", "c_acctbal")
+    // the scan's readSchema must be the 2-column projection, not the
+    // 5-column table (the SupportsPushDownRequiredColumns contract)
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.nonEmpty)
+    scans.foreach(s =>
+      assert(s.scan.readSchema().fieldNames.toSeq ===
+        Seq("c_custkey", "c_acctbal")))
+    // and values are right
+    val want = spark.read.parquet(sf("customer"))
+      .agg(sum("c_custkey"), sum(floor(col("c_acctbal") * 100 + 0.5)))
+      .head
+    val got = pruned
+      .agg(sum("c_custkey"), sum(floor(col("c_acctbal") * 100 + 0.5)))
+      .head
+    assert(got === want)
+  }
+
+  test("nulls travel through union[null, T]; binary and timestamp map") {
+    val dir = tmpDir()
+    val df = Seq(
+      (1L, Option("x"), Option(2.5), Array[Byte](1, 2, 3)),
+      (2L, None: Option[String], None: Option[Double], Array[Byte]())
+    ).toDF("id", "s", "d", "b")
+      .withColumn("ts",
+        when(col("id") === 1L,
+          to_timestamp(lit("2024-03-01 12:34:56.789012"))))
+      .withColumn("day", when(col("id") === 1L, to_date(lit("2024-03-01"))))
+    AvroFiles.write(df, dir)
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+      .orderBy("id").collect()
+    assert(back(0).getString(1) === "x" && back(1).isNullAt(1))
+    assert(back(0).getDouble(2) === 2.5 && back(1).isNullAt(2))
+    assert(back(0).getAs[Array[Byte]](3).toSeq === Seq[Byte](1, 2, 3))
+    assert(back(0).getTimestamp(4).toString === "2024-03-01 12:34:56.789012")
+    assert(back(1).isNullAt(4))
+    assert(back(0).getDate(5).toString === "2024-03-01")
+  }
+
+  test("multi-partition writes produce one container per partition") {
+    val dir = tmpDir()
+    val df = spark.range(0, 1000).toDF("id").repartition(4)
+    AvroFiles.write(df, dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(parts.length === 4)
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.agg(sum("id")).head.getLong(0) === 499500L)
+  }
+
+  test("unmapped types fail loudly at schema mapping") {
+    val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")
+    val e = intercept[IllegalArgumentException] {
+      AvroLake.toAvro(df.schema, "r")
+    }
+    assert(e.getMessage.contains("not mapped"))
+  }
+}
