@@ -1260,16 +1260,18 @@ object TrainingData {
     * integer once ranked, so the composed oracle (which replays the
     * classifier's full training chain) stays hash-exact.
     *
-    * Rank shape is CARDINALITY-ADAPTIVE: a real crawl has hundreds of
-    * languages, so per-lang windows partition plentifully; below
-    * `langFallbackBelow` distinct languages (a near-monolingual corpus
-    * — where one language IS the corpus and its window partition one
-    * task) the ranks switch to the [[langRankOf]] total-order shape.
-    * Both shapes produce identical ranks (EnsembleSpec pins it), so the
+    * Rank shape is VOLUME-ADAPTIVE: a window partitioned by language
+    * funnels a whole language through one task, which only hurts once
+    * languages are big — so when the MEAN docs-per-language exceeds
+    * `fallbackOverDocsPerLang` (a near-monolingual corpus at scale; the
+    * per-lang window's one-task sort is the bottleneck) the ranks
+    * switch to the [[langRankOf]] total-order shape, and below it the
+    * window path wins on job-count overhead. Both shapes produce
+    * identical ranks (TrainingDataSpec pins window == fallback), so the
     * oracle holds on either path. */
   def qQualityEnsemble(
       spark: SparkSession, dir: String,
-      langFallbackBelow: Int = 8): DataFrame = {
+      fallbackOverDocsPerLang: Long = 250000L): DataFrame = {
     val heur = load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
@@ -1282,10 +1284,13 @@ object TrainingData {
     val clf = QualityClassifier.qQualityClassifier(spark, dir)
       .select(col("doc_id"), col("score_fp"))
     val joined = heur.join(ppl, "doc_id").join(clf, "doc_id")
-    val nLangs = load(spark, dir, "documents")
-      .agg(countDistinct("lang")).head.getLong(0)
+    val census = load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n"), countDistinct("lang").as("l")).head
+    val docsPerLang =
+      if (census.getLong(1) == 0) 0L
+      else census.getLong(0) / census.getLong(1)
     val ranked =
-      if (nLangs >= langFallbackBelow) {
+      if (docsPerLang <= fallbackOverDocsPerLang) {
         def rank(order: Column*): Column =
           row_number().over(Window.partitionBy("lang").orderBy(order: _*))
             .cast("long")

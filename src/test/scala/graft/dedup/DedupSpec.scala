@@ -244,6 +244,23 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairsOf(shArr, maxDf = 50).count() === 0)
   }
 
+  test("array-level cap (dir path) == stream-level cap (frame path) with a real hot set") {
+    // testdata has no shingle at df > 1000, so force a tiny cap: the
+    // cached array_except path and the inline stream anti-join path
+    // must agree on the capped universe when the hot list is NON-empty
+    val hotDf = 3
+    val arrPath = Dedup.qNgramJaccardPairs(spark, dir, maxDf = hotDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamPath = Dedup.ngramJaccardPairsOf(
+      Dedup.shingleArrays(spark, dir), maxDf = hotDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(arrPath === streamPath)
+    // the cap actually bit: the capped relation differs from uncapped
+    val uncapped = Dedup.qNgramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(arrPath !== uncapped, "df<=3 cap should change planted-dup pairs")
+  }
+
   test("prefix-filtered setsim join is lossless and prunes candidates") {
     val dir = "/root/testdata/sf0.001"
     // lossless: the prefix-filtered result equals the exhaustive

@@ -746,14 +746,15 @@ class TrainingDataSpec extends SparkSpec {
 
   test("ensemble rank shapes agree: per-lang window == total-order fallback") {
     val dir = "/root/testdata/sf0.001"
-    def rows(threshold: Int) =
-      TrainingData.qQualityEnsemble(spark, dir, langFallbackBelow = threshold)
+    def rows(threshold: Long) =
+      TrainingData.qQualityEnsemble(spark, dir,
+        fallbackOverDocsPerLang = threshold)
         .collect().map(r => (r.getLong(0), r.getString(1),
           r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
-    // threshold 0 → nLangs >= 0 always → per-lang window path;
-    // Int.MaxValue → forced range-partition + zipWithIndex fallback.
+    // Long.MaxValue → docs-per-lang never exceeds → per-lang window
+    // path; 0 → forced range-partition + zipWithIndex fallback.
     // Identical output is the contract that lets the oracle hold on
-    // whichever path the corpus's language cardinality selects.
-    assert(rows(0) === rows(Int.MaxValue))
+    // whichever path the corpus's language volume selects.
+    assert(rows(Long.MaxValue) === rows(0L))
   }
 }
