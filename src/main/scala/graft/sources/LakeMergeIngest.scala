@@ -85,6 +85,56 @@ object LakeMergeIngest {
       state.generation += 1
     }
 
+  // ---- SCD2 twin: versioned history maintained from the stream ------
+
+  /** Mutable SCD2 history state — same generation discipline as
+    * [[MergeState]]; `version` for each applied batch is `batchId + 1`
+    * (version 0 is the initial load), so the history's version stamps
+    * are reproducible from the stream's batch numbering alone. */
+  final class Scd2State(
+      val spark: SparkSession, initial: DataFrame, val key: String,
+      val trackedCols: Seq[String]) {
+    @volatile private[LakeMergeIngest] var current: DataFrame = initial
+    @volatile private[LakeMergeIngest] var currentRdd:
+      org.apache.spark.rdd.RDD[_] = _
+    @volatile private[LakeMergeIngest] var lastApplied: Long = -1L
+
+    /** The current full version history — safe to read between batches. */
+    def history: DataFrame = current
+  }
+
+  /** Apply one change batch to the SCD2 history. Idempotent at a fixed
+    * version by [[LakeMerge.scd2Apply]]'s own semantics: a re-applied
+    * update matches the open row it just wrote (identical tracked
+    * attributes → no fork), a re-applied delete finds no open row to
+    * close — so redelivery cannot fork versions even before the
+    * batchId skip. */
+  def foldScd2Batch(state: Scd2State, changes: DataFrame, batchId: Long): Unit =
+    if (batchId > state.lastApplied) {
+      val next = LakeMerge.scd2Apply(
+        state.current, lastWriter(changes, state.key), state.key,
+        state.trackedCols, version = batchId + 1)
+      val (leaf, rdd, _) =
+        graft.pipeline.DedupIngest.materializeLeaf(next, state.spark)
+      if (state.currentRdd != null)
+        state.currentRdd.unpersist(blocking = false)
+      state.current = leaf
+      state.currentRdd = rdd
+      state.lastApplied = batchId
+    }
+
+  /** Attach the SCD2 fold to a streaming change frame. */
+  def startScd2(
+      changes: DataFrame, state: Scd2State,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val w = changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) foldScd2Batch(state, batch, batchId)
+      }
+    checkpoint.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+
   /** Attach the fold to a streaming change frame (target columns +
     * `op` + `seq`). The caller owns the returned query's lifecycle;
     * read the maintained lake via `state.table`. */

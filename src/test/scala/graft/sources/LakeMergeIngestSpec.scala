@@ -75,6 +75,41 @@ class LakeMergeIngestSpec extends SparkSpec {
     assert(table(twice) === table(once))
   }
 
+  test("scd2 stream fold: versions stamp by batch, idempotent, exact history") {
+    implicit val sqlCtx = spark.sqlContext
+    val history0 = initial
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(LakeMerge.OpenVersion))
+    val input = MemoryStream[(Long, String, Double, String, Long)]
+    val state = new LakeMergeIngest.Scd2State(
+      spark, history0, "k", trackedCols = Seq("bal"))
+    val q = LakeMergeIngest.startScd2(input.toDF.toDF(cols: _*), state)
+    try {
+      Seq(b0, b1, b2).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    val got = state.history
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Double, Long, Long)].collect().toSeq
+    // reference: sequential scd2Apply at version = batch index + 1
+    val want = Seq(b0, b1, b2).zipWithIndex.foldLeft(history0) {
+      case (h, (b, i)) => LakeMerge.scd2Apply(h,
+        LakeMergeIngest.lastWriter(b.toDF(cols: _*), "k"), "k",
+        Seq("bal"), version = i + 1L)
+    }.orderBy("k", "valid_from")
+      .as[(Long, String, Double, Long, Long)].collect().toSeq
+    assert(got === want)
+    // the history really versioned: key 2 has closed v0, closed v1, open v2
+    val k2 = got.filter(_._1 == 2L)
+    assert(k2.map(r => (r._4, r._5)) ===
+      Seq((0L, 0L), (1L, 1L), (2L, LakeMerge.OpenVersion)))
+    // redelivery: same batchId again is a no-op
+    val before = got
+    LakeMergeIngest.foldScd2Batch(state, b2.toDF(cols: _*), batchId = 2L)
+    val after = state.history.orderBy("k", "valid_from")
+      .as[(Long, String, Double, Long, Long)].collect().toSeq
+    assert(after === before)
+  }
+
   test("restart from checkpoint resumes cleanly; final lake exact") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Double, String, Long)]
