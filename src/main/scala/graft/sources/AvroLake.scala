@@ -293,8 +293,16 @@ object AvroFiles {
     * The projection (3 of 5 columns) exercises the pruned reader
     * schema on the oracle-gated path. */
   def qAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
-      "/graft_avro_customer_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // the warehouse conf is a URI ("file:/tmp/..."): resolve it to a
+    // filesystem path, or java.io.File would treat the whole URI as a
+    // RELATIVE path and create a literal "file:" directory under cwd
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/")
+    val whPath =
+      if (wh.startsWith("file:"))
+        new java.io.File(new java.net.URI(wh)).getAbsolutePath
+      else wh
+    val out =
+      whPath + "/graft_avro_customer_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     AvroLake.synchronized {
       if (!new java.io.File(out).isDirectory)
         write(graft.relational.Tables.load(spark, dir, "customer"), out,
