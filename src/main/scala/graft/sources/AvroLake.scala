@@ -22,11 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * that format gap with a first-class source instead of a stub).
   *
   * Read: `spark.read.format("graft.sources.AvroSource").load(dir)` —
-  * schema inferred from the first container's writer schema; one input
-  * partition per file (a container is one writer's append stream;
-  * block-level splitting via sync markers is the known extension and
-  * deliberately out of scope at one-file-per-partition parallelism).
-  * COLUMN PRUNING is real: the scan implements
+  * schema inferred from the first container's writer schema; SPLITTABLE
+  * at Avro sync-marker boundaries (one partition per `split_bytes`
+  * byte range, default 128 MB — a fat container cannot cap parallelism
+  * at one task). COLUMN PRUNING is real: the scan implements
   * `SupportsPushDownRequiredColumns` and hands Avro a projected READER
   * schema, so schema resolution skips non-requested fields instead of
   * materializing them (`.explain` shows the pruned ReadSchema like any
@@ -72,6 +71,9 @@ private[sources] class AvroTable(path: String, tableSchema: StructType)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
       private var required: StructType = tableSchema
+      private val splitBytes: Long =
+        Option(options.get("split_bytes")).map(_.toLong)
+          .getOrElse(128L << 20)
 
       override def pruneColumns(requiredSchema: StructType): Unit =
         // Spark hands the pruned struct in table-column order; empty
@@ -82,18 +84,33 @@ private[sources] class AvroTable(path: String, tableSchema: StructType)
       override def readSchema(): StructType = required
       override def toBatch: Batch = this
 
+      /** SPLITTABLE read: a container bigger than `split_bytes` (option;
+        * default 128 MB) becomes one partition per byte range, aligned
+        * at runtime by the Avro SYNC MARKERS — `reader.sync(start)`
+        * seeks to the first block after the range start and
+        * `pastSync(end)` stops after the last block beginning inside
+        * the range, so every block is read by exactly one partition
+        * (the classic Avro InputFormat recipe). Without this, one fat
+        * container caps parallelism at one task regardless of cluster
+        * size. */
       override def planInputPartitions(): Array[InputPartition] =
-        AvroLake.listContainers(path)
-          .map { case (_, abs) =>
-            AvroPartition(abs, required.json): InputPartition
+        AvroLake.listContainers(path).flatMap { case (_, abs) =>
+          val len = new java.io.File(abs).length()
+          val nSplits = math.max(1L, (len + splitBytes - 1) / splitBytes)
+          (0L until nSplits).map { i =>
+            AvroPartition(abs, i * splitBytes,
+              math.min(splitBytes, len - i * splitBytes),
+              required.json): InputPartition
           }
+        }
 
       override def createReaderFactory(): PartitionReaderFactory =
         AvroLake.readerFactory
     }
 }
 
-private[sources] case class AvroPartition(file: String, requiredJson: String)
+private[sources] case class AvroPartition(
+    file: String, start: Long, length: Long, requiredJson: String)
   extends InputPartition
 
 private[sources] object AvroLake {
@@ -184,16 +201,20 @@ private[sources] object AvroLake {
   val readerFactory: PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
       val ap = p.asInstanceOf[AvroPartition]
-      new AvroContainerReader(ap.file,
+      new AvroContainerReader(ap.file, ap.start, ap.start + ap.length,
         DataType.fromJson(ap.requiredJson).asInstanceOf[StructType])
     }
   }
 }
 
-/** Reader for one container: Avro schema RESOLUTION does the column
-  * pruning — the reader schema is the projected subset, so unrequested
-  * fields are skipped, not materialized. */
-private[sources] class AvroContainerReader(file: String, required: StructType)
+/** Reader for one container byte range [start, end): `sync(start)`
+  * aligns to the first block boundary after `start`, `pastSync(end)`
+  * stops after the last block that BEGINS inside the range. Avro
+  * schema RESOLUTION does the column pruning — the reader schema is
+  * the projected subset, so unrequested fields are skipped, not
+  * materialized. */
+private[sources] class AvroContainerReader(
+    file: String, start: Long, end: Long, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val writer = AvroLake.writerSchema(file)
@@ -212,10 +233,13 @@ private[sources] class AvroContainerReader(file: String, required: StructType)
   private val reader = new DataFileReader[GenericRecord](
     new java.io.File(file),
     new GenericDatumReader[GenericRecord](writer, readerSchema))
+  reader.sync(start)
   private var current: GenericRecord = _
 
   override def next(): Boolean =
-    if (reader.hasNext) { current = reader.next(current); true } else false
+    if (reader.hasNext && !reader.pastSync(end)) {
+      current = reader.next(current); true
+    } else false
 
   override def get(): InternalRow = {
     val out = new GenericInternalRow(required.length)

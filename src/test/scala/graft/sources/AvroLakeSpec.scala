@@ -79,6 +79,34 @@ class AvroLakeSpec extends SparkSpec {
     assert(back.agg(sum("id")).head.getLong(0) === 499500L)
   }
 
+  test("sync-marker splits read every block exactly once") {
+    val dir = tmpDir()
+    // one fat container (single input partition on the write side):
+    // ~100k rows with a payload so the file spans many 64 KB ranges
+    val df = spark.range(0, 100000).toDF("id")
+      .withColumn("pad", concat(lit("x"), col("id").cast("string"),
+        lit("y" * 50)))
+      .coalesce(1)
+    AvroFiles.write(df, dir)
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head
+    assert(file.length() > (1 << 20), "fixture must span many splits")
+    val back = spark.read.format("graft.sources.AvroSource")
+      .option("split_bytes", 64 * 1024).load(dir)
+    // parallelism: one partition per 64 KB range of the single file
+    assert(back.rdd.getNumPartitions > 10,
+      s"expected many splits, got ${back.rdd.getNumPartitions}")
+    // exactly-once: count and id-sum both match (a double-read block
+    // breaks the sum, a dropped block breaks the count)
+    assert(back.count() === 100000L)
+    assert(back.agg(sum("id")).head.getLong(0) === 4999950000L)
+    assert(back.select("id").distinct().count() === 100000L)
+    // and the unsplit read agrees
+    val whole = spark.read.format("graft.sources.AvroSource").load(dir)
+    assert(whole.rdd.getNumPartitions === 1)
+    assert(whole.count() === 100000L)
+  }
+
   test("unmapped types fail loudly at schema mapping") {
     val df = Seq((1L, Seq(1, 2))).toDF("id", "arr")
     val e = intercept[IllegalArgumentException] {
