@@ -106,18 +106,24 @@ object NodeEmbed {
     * convention): idx < ns → supplier idx, else part (idx − ns). */
   private[graph] def trainingRows(
       pairCounts: DataFrame, ns: Long, np: Long): DataFrame = {
-    val pos = pairCounts.select(col("ctr").as("a"), col("ctx").as("b"),
-      col("pairs").as("w"), lit(S * S).as("t"))
+    // ONE pass: the positive and its NegK negatives explode from a
+    // per-row struct array — a union of NegK+1 branches would re-run
+    // the pair-count lineage (window over the walk corpus) per branch,
+    // measured at ~1.2 s/branch at sf0.1
     val negs = (0 until NegK).map { i =>
       val idx = conv(substring(md5(concat(lit("nw:"),
         col("ctr").cast("string"), lit(":"), col("ctx").cast("string"),
         lit(s":$i"))), 1, 8), 16, 10).cast("long") % (ns + np)
-      pairCounts.select(col("ctr").as("a"),
-        when(idx < ns, idx * 2)
-          .otherwise((idx - ns) * 2 + 1).as("b"),
-        col("pairs").as("w"), lit(0L).as("t"))
+      struct(
+        when(idx < ns, idx * 2).otherwise((idx - ns) * 2 + 1).as("b"),
+        lit(0L).as("t"))
     }
-    negs.foldLeft(pos)(_ unionAll _)
+    pairCounts
+      .select(col("ctr").as("a"), col("pairs").as("w"),
+        explode(array(
+          struct(col("ctx").as("b"), lit(S * S).as("t")) +: negs: _*))
+          .as("bt"))
+      .select(col("a"), col("bt.b").as("b"), col("w"), col("bt.t").as("t"))
   }
 
   /** Train embeddings over an arbitrary numeric pair-count relation
@@ -129,13 +135,14 @@ object NodeEmbed {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rows.count()
     try {
+      // init is a cheap projection — evaluating it once per join side
+      // costs less than a checkpoint job; EPOCH outputs do checkpoint
+      // (eagerly): each feeds BOTH sides of the next epoch's join, and
+      // without the cut lineage doubles per epoch and the final plan
+      // re-runs every prior epoch twice
       var emb = nodes
         .select(col("node") +: (0 until Dims).map(i => init(i).as(s"v$i")): _*)
-        .localCheckpoint()
       for (_ <- 1 to Epochs)
-        // eager localCheckpoint: the epoch output feeds BOTH sides of
-        // the next epoch's join — without the cut, lineage doubles per
-        // epoch and the final plan re-runs every prior epoch twice
         emb = epoch(emb, rows).localCheckpoint()
       emb
     } finally rows.unpersist(blocking = false)
