@@ -130,7 +130,7 @@ object NodeEmbed {
     * (`ctr`, `ctx`, `pairs`) and node universe. */
   def train(
       spark: SparkSession, pairCounts: DataFrame, nodes: DataFrame,
-      ns: Long, np: Long): DataFrame = {
+      ns: Long, np: Long, epochs: Int = Epochs): DataFrame = {
     val rows = trainingRows(pairCounts, ns, np)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rows.count()
@@ -142,7 +142,7 @@ object NodeEmbed {
       // re-runs every prior epoch twice
       var emb = nodes
         .select(col("node") +: (0 until Dims).map(i => init(i).as(s"v$i")): _*)
-      for (_ <- 1 to Epochs)
+      for (_ <- 1 to epochs)
         emb = epoch(emb, rows).localCheckpoint()
       emb
     } finally rows.unpersist(blocking = false)

@@ -98,6 +98,36 @@ class NodeEmbedSpec extends SparkSpec {
     assert(lf < l0, s"loss did not decrease: $l0 -> $lf")
   }
 
+  test("scale gate: per-epoch cost stays flat (checkpoint cuts lineage)") {
+    import spark.implicits._
+    // synthetic pair counts over a 300-node universe: the gate pins the
+    // failure mode where the per-epoch localCheckpoint goes lazy and
+    // epoch N's plan nests every prior epoch TWICE (both join sides) —
+    // 12 epochs would then cost ~2^12 of epoch work, not 6x 2 epochs
+    val n = 300L
+    val pairs = (0L until n).flatMap { i =>
+      Seq((i * 2, ((i + 1) % n) * 2 + 1, 3L),
+        (((i + 1) % n) * 2 + 1, i * 2, 3L))
+    }.toDF("ctr", "ctx", "pairs")
+    val nodes = ((0L until n).map(_ * 2) ++ (0L until n).map(_ * 2 + 1))
+      .toDF("node")
+    def run(epochs: Int): Double = {
+      val t0 = System.nanoTime()
+      val out = NodeEmbed.train(spark, pairs, nodes, n, n, epochs)
+      assert(out.count() === 2 * n)
+      // the returned frame is a checkpointed LEAF: plan depth must not
+      // encode the epoch count
+      assert(out.queryExecution.executedPlan.toString.linesIterator.size < 10)
+      (System.nanoTime() - t0) / 1e9
+    }
+    run(1) // warm-up: JIT + codegen for the epoch shape, untimed
+    val t2 = run(2)
+    val t12 = run(12)
+    // absolute floor guards sub-second scheduler noise on a busy box
+    assert(t12 <= math.max(12.0 * t2, t2 + 8.0),
+      s"12-epoch train $t12 s vs 2-epoch $t2 s — per-epoch cost not flat")
+  }
+
   test("embedding geometry is informative: positives beat hashed negatives") {
     // mean dot over positive pairs should exceed mean dot over the
     // hashed-negative pairs after training (that IS the objective)
