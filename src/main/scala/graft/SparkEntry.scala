@@ -503,6 +503,10 @@ object SparkEntry {
     // closes the graph-embedding loop (walks -> pairs -> embeddings)
     "q_node_embed" -> ((s: SparkSession, d: String) =>
       graft.graph.NodeEmbed.qNodeEmbed(s, d)),
+    // edge-vs-hashed-random paired eval of the trained embeddings —
+    // the measure-before-trusting census for the training artifact
+    "q_embed_eval" -> ((s: SparkSession, d: String) =>
+      graft.graph.NodeEmbed.qEmbedEval(s, d)),
     // synchronous label-propagation communities (min-label tiebreak):
     // the host-clustering step before per-community sampling caps
     "q_label_prop" -> ((s: SparkSession, d: String) =>
@@ -1123,12 +1127,18 @@ object SparkEntry {
     * gradient rounds — every product integer, division sign-safe
     * truncating, coordinates clamped — mirroring
     * [[graft.graph.NodeEmbed]] bit-for-bit. */
-  private def nodeEmbedSql(
+  private def duckSdiv(a: String, b: String): String =
+    s"(CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+
+  /** The WITH-body CTE chain ending in the trained `em{Epochs}`
+    * embedding relation — shared by the q_node_embed decode and the
+    * q_embed_eval census so the training replay cannot drift between
+    * the two oracles. */
+  private def nodeEmbedCtes(
       steps: Int, walksPerNode: Int, window: Int): String = {
     import graft.graph.NodeEmbed.{Clamp, Dims, Epochs, LrDiv, NegK, S}
     val dims = 0 until Dims
-    def sdiv(a: String, b: String): String =
-      s"(CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+    def sdiv(a: String, b: String): String = duckSdiv(a, b)
     // NOTE: the outer template re-applies stripMargin to these embedded
     // fragments, so no fragment line may begin with whitespace + '|'
     // (a '||' concat opening a continuation line would lose a pipe)
@@ -1165,7 +1175,7 @@ object SparkEntry {
          |$updCols
          |  FROM em${r - 1} e LEFT JOIN g$r g ON e.node = g.node)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${randomWalkCtes(steps, walksPerNode)},
+    s"""${randomWalkCtes(steps, walksPerNode)},
        |pr AS MATERIALIZED (SELECT a.node AS ctr, b.node AS ctx
        |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
        |        AND b.step > a.step AND b.step <= a.step + $window),
@@ -1182,11 +1192,49 @@ object SparkEntry {
        |em0 AS MATERIALIZED (SELECT node,
        |$initCols
        |  FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def nodeEmbedSql(
+      steps: Int, walksPerNode: Int, window: Int): String = {
+    import graft.graph.NodeEmbed.{Dims, Epochs}
+    s"""WITH ${nodeEmbedCtes(steps, walksPerNode, window)}
        |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
        |    AS node_type,
-       |  node // 2 AS node_id, ${dims.map(i => s"v$i").mkString(", ")}
+       |  node // 2 AS node_id,
+       |  ${(0 until Dims).map(i => s"v$i").mkString(", ")}
        |FROM em$Epochs""".stripMargin
+  }
+
+  /** q_embed_eval: edge-vs-hashed-random paired dot comparison over the
+    * trained embedding relation (mirrors
+    * [[graft.graph.NodeEmbed.qEmbedEval]] exactly, including the
+    * LEFT-join dot-0 convention for out-of-vocabulary partners). */
+  private def embedEvalSql(
+      steps: Int, walksPerNode: Int, window: Int): String = {
+    import graft.graph.NodeEmbed.{Dims, Epochs}
+    def dot(a: String, b: String): String =
+      (0 until Dims).map(i => s"$a.v$i * $b.v$i").mkString(" + ")
+    s"""WITH ${nodeEmbedCtes(steps, walksPerNode, window)},
+       |arcs AS (SELECT src, dst FROM edges WHERE src % 2 = 0),
+       |wr AS (SELECT src, dst,
+       |    (('0x' || substr(md5('ne:' || CAST(src AS VARCHAR) || ':' ||
+       |      CAST(dst AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+       |      % (SELECT np FROM ks)) * 2 + 1 AS rnd
+       |  FROM arcs),
+       |sc AS (SELECT CAST(${dot("s", "p")} AS BIGINT) AS edge_dot,
+       |    CAST(COALESCE(${dot("s", "r")}, 0) AS BIGINT) AS rand_dot
+       |  FROM wr JOIN em$Epochs s ON wr.src = s.node
+       |  JOIN em$Epochs p ON wr.dst = p.node
+       |  LEFT JOIN em$Epochs r ON wr.rnd = r.node)
+       |SELECT CAST(count(*) AS BIGINT) AS n_arcs,
+       |  CAST(${duckSdiv("sum(edge_dot)", "count(*)")} AS BIGINT)
+       |    AS mean_edge_dot,
+       |  CAST(${duckSdiv("sum(rand_dot)", "count(*)")} AS BIGINT)
+       |    AS mean_rand_dot,
+       |  CAST((1000000 * sum(CASE WHEN edge_dot > rand_dot THEN 1 ELSE 0 END))
+       |    // count(*) AS BIGINT) AS win_ppm
+       |FROM sc""".stripMargin
   }
 
   /** Unrolled synchronous-LPA oracle: per round, count labels over
@@ -3785,6 +3833,7 @@ object SparkEntry {
     "q_random_walks" -> randomWalkSql(10, 2),
     "q_walk_pairs" -> walkPairsSql(10, 2, graft.graph.GraphOps.PairWindow),
     "q_node_embed" -> nodeEmbedSql(10, 2, graft.graph.GraphOps.PairWindow),
+    "q_embed_eval" -> embedEvalSql(10, 2, graft.graph.GraphOps.PairWindow),
     "q_label_prop" -> labelPropSql(graft.graph.GraphOps.LabelPropIters),
     "q_copurchase" ->
       s"""$copurchaseCte

@@ -147,9 +147,13 @@ object GraphOps {
   private val rankCache = graft.SessionCache.frames[(String, String, Int)]
 
   /** Drop this session's cached rank frames. */
-  def invalidateCaches(spark: SparkSession): Unit =
+  def invalidateCaches(spark: SparkSession): Unit = {
     rankCache.invalidate(
       _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
+    // the trained embedding table is a query RESULT (the bench must
+    // re-measure training per run), same contract as the rank frames
+    NodeEmbed.invalidateCaches(spark)
+  }
 
   /** Personalized PageRank: teleport mass returns ONLY to the seed set,
     * so rank measures proximity to the seeds (the seed-biased crawl /

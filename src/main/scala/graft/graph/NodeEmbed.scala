@@ -148,22 +148,91 @@ object NodeEmbed {
     } finally rows.unpersist(blocking = false)
   }
 
+  /** One trained embedding table per (session, dir): a query RESULT
+    * (the model-publish contract of the classifier's score cache) —
+    * shared by the decoded registry query and the eval census, and
+    * invalidated per bench run via [[GraphOps.invalidateCaches]] so
+    * training stays the measured operator. */
+  private val embCache = graft.SessionCache.frames[(String, String)]
+
+  def invalidateCaches(spark: SparkSession): Unit =
+    embCache.invalidate(
+      _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
+
+  /** The trained (node, v0..v{Dims-1}) table for the trade graph. */
+  def trainedEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    embCache.get((org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
+      val pairCounts = GraphOps.walkPairCounts(
+        GraphOps.qRandomWalks(spark, dir), GraphOps.PairWindow)
+      val nodes = GraphOps.tradeEdgesDeg(spark, dir)
+        .select(col("src").as("node")).distinct()
+      val ns = load(spark, dir, "supplier").count()
+      val np = load(spark, dir, "part").count()
+      // train ends in an eager localCheckpoint — already materialized
+      train(spark, pairCounts, nodes, ns, np)
+    }
+
   /** The registered query: DeepWalk-style embeddings of the trade
     * graph — walks and pair counts come from the session-cached walk
     * relation, so this query prices exactly the TRAINING step. Output
     * is the decoded embedding table (node_type, node_id, v0..v3). */
-  def qNodeEmbed(spark: SparkSession, dir: String): DataFrame = {
-    val pairCounts = GraphOps.walkPairCounts(
-      GraphOps.qRandomWalks(spark, dir), GraphOps.PairWindow)
-    val nodes = GraphOps.tradeEdgesDeg(spark, dir)
-      .select(col("src").as("node")).distinct()
-    val ns = load(spark, dir, "supplier").count()
-    val np = load(spark, dir, "part").count()
-    train(spark, pairCounts, nodes, ns, np)
+  def qNodeEmbed(spark: SparkSession, dir: String): DataFrame =
+    trainedEmbeddings(spark, dir)
       .select(
         when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
           .otherwise(lit("part")).as("node_type") +:
         expr("node div 2").as("node_id") +:
         (0 until Dims).map(i => col(s"v$i")): _*)
+
+  /** "Measure, don't guess" for the trained embeddings — the
+    * edge-vs-hashed-random PAIRED comparison (the q_minhash_eval
+    * discipline applied to the training artifact): for every
+    * supplier→part arc of the trade graph, score the TRUE partner and a
+    * deterministic md5-hashed random part with the trained dot product,
+    * and census how often the true edge wins. A pipeline reads win_ppm
+    * before trusting the embeddings for retrieval or link completion;
+    * near 500000 (coin-flip) means the embeddings carry no edge signal.
+    * On THIS synthetic trade graph that is the honest verdict: the
+    * supplier→part relation is ~25% dense with no community structure,
+    * so no embedding can beat a random part — and the census says so
+    * (NodeEmbedSpec pins the converse: on a two-community fixture the
+    * same trainer at depth reads far above coin-flip). That asymmetry
+    * is the point of shipping the eval next to the trainer.
+    *
+    * All integer: dots are fixed-point sums, means ship as truncating
+    * `div`, the win census is a paired comparison per arc. A hashed
+    * partner that fell outside the walk vocabulary contributes dot 0
+    * (LEFT join + coalesce — mirrored in the oracle), which is also the
+    * honest null score for an untrained node. One scan of the edge
+    * artifact, three node-keyed joins against the kilobyte-per-row
+    * embedding table, one global aggregate. */
+  def qEmbedEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = trainedEmbeddings(spark, dir)
+    val np = load(spark, dir, "part").count()
+    val arcs = GraphOps.tradeEdgesDeg(spark, dir)
+      .select(col("src"), col("dst"))
+      .filter(pmod(col("src"), lit(2)) === 0)
+    val rnd = conv(substring(md5(concat(lit("ne:"),
+      col("src").cast("string"), lit(":"), col("dst").cast("string"))),
+      1, 8), 16, 10).cast("long") % np * 2 + 1
+    def side(alias: String): DataFrame =
+      emb.select(col("node").as(alias) +:
+        (0 until Dims).map(i => col(s"v$i").as(s"$alias$i")): _*)
+    def dot(a: String, b: String): Column =
+      (0 until Dims).map(i => col(s"$a$i") * col(s"$b$i")).reduce(_ + _)
+    arcs
+      .withColumn("rnd", rnd)
+      .join(side("s"), col("src") === col("s"))
+      .join(side("p"), col("dst") === col("p"))
+      .join(side("r"), col("rnd") === col("r"), "left_outer")
+      .select(dot("s", "p").as("edge_dot"),
+        coalesce(dot("s", "r"), lit(0L)).as("rand_dot"))
+      .agg(count(lit(1)).as("n_arcs"),
+        // sign-safe truncating means: dot sums can be negative, where
+        // Spark `div` and DuckDB `//` disagree
+        expr(sdiv("sum(edge_dot)", "count(1)")).as("mean_edge_dot"),
+        expr(sdiv("sum(rand_dot)", "count(1)")).as("mean_rand_dot"),
+        expr("(1000000 * sum(CASE WHEN edge_dot > rand_dot THEN 1 ELSE 0 END))"
+          + " div count(1)").as("win_ppm"))
   }
 }

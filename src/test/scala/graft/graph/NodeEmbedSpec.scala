@@ -128,6 +128,51 @@ class NodeEmbedSpec extends SparkSpec {
       s"12-epoch train $t12 s vs 2-epoch $t2 s — per-epoch cost not flat")
   }
 
+  test("embed eval detects community structure; trade graph reads coin-flip") {
+    import spark.implicits._
+    // two-community bipartite fixture: suppliers 0..49 trade only with
+    // parts 0..499, suppliers 50..99 only with parts 500..999 — an
+    // embedding CAN separate these, and at training depth the paired
+    // edge-vs-random census must say so
+    val (ns, np) = (100L, 1000L)
+    val rnd = new scala.util.Random(7)
+    val arcs = (0 until 100).flatMap { s =>
+      val lo = if (s < 50) 0 else 500
+      rnd.shuffle((lo until lo + 500).toList).take(30)
+        .map(p => (s.toLong * 2, p.toLong * 2 + 1))
+    }
+    val pairs = arcs.flatMap { case (a, b) => Seq((a, b, 3L), (b, a, 3L)) }
+      .toDF("ctr", "ctx", "pairs")
+    val nodes = arcs.flatMap(e => Seq(e._1, e._2)).distinct.toDF("node")
+    val emb = NodeEmbed.train(spark, pairs, nodes, ns, np, epochs = 20)
+      .collect().map(r =>
+        r.getLong(0) -> (1 to NodeEmbed.Dims).map(r.getLong).toArray).toMap
+    def winPpm(): Long = {
+      var wins = 0L; var n = 0L
+      arcs.foreach { case (s, p) =>
+        val idx = java.lang.Long.parseLong(
+          md5hex(s"ne:$s:$p").substring(0, 8), 16) % np
+        val r = idx * 2 + 1
+        val ed = (0 until NodeEmbed.Dims).map(i => emb(s)(i) * emb(p)(i)).sum
+        val rd = emb.get(r)
+          .map(er => (0 until NodeEmbed.Dims).map(i => emb(s)(i) * er(i)).sum)
+          .getOrElse(0L)
+        n += 1; if (ed > rd) wins += 1
+      }
+      1000000L * wins / n
+    }
+    val structured = winPpm()
+    assert(structured > 600000L,
+      s"structured-graph win_ppm $structured should be far above coin-flip")
+    // the registered eval on the TPC-H trade graph must read ~coin-flip:
+    // that graph is ~25% dense bipartite with NO community structure,
+    // and an eval that claimed signal there would be lying
+    val row = NodeEmbed.qEmbedEval(spark, dir).collect().head
+    val tradeWin = row.getLong(3)
+    assert(tradeWin > 350000L && tradeWin < 650000L,
+      s"trade-graph win_ppm $tradeWin should be near coin-flip")
+  }
+
   test("embedding geometry is informative: positives beat hashed negatives") {
     // mean dot over positive pairs should exceed mean dot over the
     // hashed-negative pairs after training (that IS the objective)
