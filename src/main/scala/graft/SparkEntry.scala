@@ -73,6 +73,22 @@ object SparkEntry {
     // Q21 shape: EXISTS + NOT EXISTS double correlation collapsed into
     // one per-order census (two exchanges vs the textbook four)
     "q21_sole_fault" -> (RelationalQueries.q21SoleFaultSupplier _),
+    // Q2 shape: correlated scalar-min subquery over a lineitem-derived
+    // supply relation (one fact pass; min-probe reuses partitioning)
+    "q2_min_cost_supp" -> (RelationalQueries.q2MinCostSupplier _),
+    // Q4 shape: correlated EXISTS as a semi join with an inequality
+    // residual (late-shipped stands in for commit<receipt)
+    "q4_order_priority" -> (RelationalQueries.q4OrderPriority _),
+    // Q9 shape: profit rollup by nation×year, exact integer cost proxy
+    "q9_product_profit" -> (RelationalQueries.q9ProductProfit _),
+    // Q11 shape: HAVING gate vs a scalar subquery of the same aggregate
+    "q11_important_parts" -> (RelationalQueries.q11ImportantParts _),
+    // Q12 shape: conditional (high/low priority) agg per latency bucket
+    "q12_ship_latency" -> (RelationalQueries.q12ShipLatency _),
+    // Q16 shape: distinct-supplier census with a NOT IN exclusion set
+    "q16_supplier_census" -> (RelationalQueries.q16SupplierCensus _),
+    // Q20 shape: nested IN chain flattened into one aggregation tree
+    "q20_heavy_suppliers" -> (RelationalQueries.q20HeavySuppliers _),
     // Pareto frontier per brand: sort + running max (O(n log n), the
     // window reuses the group exchange) vs the oracle's quadratic
     // NOT EXISTS — the skyline preference query at scale
@@ -1993,6 +2009,110 @@ object SparkEntry {
         |  GROUP BY 1)
         |JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
+    // textbook correlated-min form — the Spark side's single-pass
+    // aggregate + min-probe must agree with the scalar subquery
+    "q2_min_cost_supp" ->
+      """WITH supply AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) * 1000000)
+        |      // CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS HUGEINT) AS BIGINT) AS cost_ppm
+        |  FROM lineitem GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |sup AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost_ppm
+        |  FROM supply
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_type = 'STANDARD' AND p_size BETWEEN 1 AND 15)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost_ppm
+        |FROM sup s1
+        |WHERE cost_ppm = (SELECT min(cost_ppm) FROM sup s2
+        |                  WHERE s2.p_partkey = s1.p_partkey)
+        |ORDER BY p_partkey, s_suppkey LIMIT 50""".stripMargin,
+    // textbook EXISTS form — the semi join with the inequality residual
+    // must agree with the correlated subquery
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |    - (CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+        |       * CAST(floor(l_quantity + 0.5) AS BIGINT) * 6) // 10) AS BIGINT)
+        |    AS sum_profit_cents
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    // textbook HAVING-over-scalar-subquery form
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS p_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |  GROUP BY 1)
+        |SELECT p_partkey, value_cents FROM v
+        |WHERE CAST(value_cents AS HUGEINT) * (SELECT count(*) FROM v)
+        |  > (SELECT CAST(sum(value_cents) AS HUGEINT) FROM v) * 2
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
+    "q12_ship_latency" ->
+      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
+        |            WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'MEDIUM'
+        |            ELSE 'SLOW' END AS latency_bucket,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // textbook NOT IN form — the broadcast anti join must agree
+    "q16_supplier_census" ->
+      """SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND p_size IN (1, 5, 11, 15, 21, 25, 28, 37)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    // textbook nested-IN form — the flattened aggregation tree must agree
+    "q20_heavy_suppliers" ->
+      """WITH pair AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS pair_units
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM pair p1
+        |  WHERE pair_units * 10 > 3 * (SELECT sum(pair_units) FROM pair p2
+        |                               WHERE p2.l_partkey = p1.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
     "q_dpp_prune" ->
       """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS epoch_days, value
         |  FROM events)

@@ -437,10 +437,11 @@ object RelationalQueries {
       .agg(sum(revenueCents).as("revenue_cents"),
         count(lit(1)).as("n_items"))
 
-  /** TPC-H Q13 shape: customer order-count distribution (Q2/Q9/Q11/Q16/
-    * Q20 need partsupp, Q4/Q12 need commit/receiptdate — columns the
-    * synthetic lake doesn't carry; Q8 and a Q21 shape ARE expressible
-    * and live below). The LEFT OUTER join is the
+  /** TPC-H Q13 shape: customer order-count distribution. (Q2/Q9/Q11/
+    * Q16/Q20 classically need partsupp and Q4/Q12 need commit/receipt
+    * dates — columns the synthetic lake doesn't carry; their SHAPES are
+    * preserved below via a lineitem-derived supply relation and a
+    * ship-latency predicate.) The LEFT OUTER join is the
     * point: customers with NO qualifying order must appear with
     * c_count = 0, which an inner-join groupBy silently drops. Orders
     * are gated on priority so the zero bucket is non-empty at every
@@ -534,5 +535,218 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
       .limit(20)
+  }
+
+  /** Exact integer quantity units for one line item (quantities are
+    * integer-valued doubles in this lake; `floor(x + ½)` pins the cast
+    * against truncation-vs-rounding divergence across engines). */
+  private def qtyUnits: Column =
+    floor(col("l_quantity") + 0.5).cast("long")
+
+  /** Undiscounted price cents — the supply-cost proxy for the Q2/Q9
+    * shapes (the lake carries no partsupp table, so per-(part, supplier)
+    * cost is DERIVED from observed line items). */
+  private def priceCents: Column =
+    floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+
+  /** TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    * scalar-min subquery (`cost = (SELECT min(cost) ... WHERE partkey =
+    * outer.partkey)`). The partsupp relation is derived from lineitem:
+    * per-(part, supplier) unit cost = undiscounted cents·10⁶ div units,
+    * exact integer so the `= min` equality is engine-safe and ties all
+    * surface. Physical shape: ONE fact aggregation keyed (part, supp);
+    * the Europe-supplier and filtered-part dims broadcast into it; the
+    * per-part min then reuses the part-key partitioning, and the
+    * min-probe join back is a same-key shuffle AQE right-sizes. The
+    * textbook plan re-scans partsupp for the subquery — this pays one
+    * fact pass total. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val europeSupp = broadcast(load(spark, dir, "supplier")
+      .join(load(spark, dir, "nation"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(load(spark, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name")))
+    val wantedParts = broadcast(load(spark, dir, "part")
+      .filter(col("p_type") === "STANDARD" && col("p_size").between(1, 15))
+      .select(col("p_partkey"), col("p_name")))
+    val supply = load(spark, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(priceCents).as("supply_cents"), sum(qtyUnits).as("units"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("cast((cast(supply_cents as decimal(38,0)) * 1000000)" +
+          " div units as bigint)").as("cost_ppm"))
+      .join(europeSupp, col("l_suppkey") === col("s_suppkey"))
+      .join(wantedParts, col("l_partkey") === col("p_partkey"))
+    val minCost = supply.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min("cost_ppm").as("min_ppm"))
+    supply
+      .join(minCost, col("l_partkey") === col("mc_partkey") &&
+        col("cost_ppm") === col("min_ppm"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("cost_ppm"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+      .limit(50)
+  }
+
+  /** TPC-H Q4 shape: order-priority checking — the correlated EXISTS
+    * (an order counts iff SOME line item shipped more than 60 days
+    * after it was placed; the lake has no commit/receipt dates, so the
+    * lateness predicate stands in for `commitdate < receiptdate`).
+    * Physically a LEFT SEMI join on orderkey with the inequality as a
+    * residual: the lineitem side projects exactly two columns before
+    * the exchange, and the quarter filter cuts orders at the scan. */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01") &&
+        col("o_orderdate") < lit("1997-04-01"))
+      .join(load(spark, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q9 shape: product-type profit by nation and year — profit =
+    * discounted revenue − supply cost, where cost (no partsupp in this
+    * lake) is proxied at 60% of the part's retail price per unit, in
+    * exact integer cents (`(retail_cents · units · 6) div 10`). The
+    * part-name filter cuts the fact at the broadcast join; supplier →
+    * nation chains broadcast; the one fact-sized exchange is
+    * lineitem ⋈ orders on orderkey for the order year. */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .join(broadcast(load(spark, dir, "part")
+          .filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"),
+            floor(col("p_retailprice") * 100 + 0.5).cast("long")
+              .as("retail_cents"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(load(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(load(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (revenueCents -
+          expr("(retail_cents * " +
+            "cast(floor(l_quantity + 0.5) as bigint) * 6) div 10"))
+          .as("profit_cents"))
+      .groupBy("nation", "o_year")
+      .agg(sum("profit_cents").as("sum_profit_cents"))
+      .orderBy(col("nation"), col("o_year").desc)
+
+  /** TPC-H Q11 shape: important stock — per-part supply value for one
+    * nation's suppliers, kept iff the part's value exceeds TWICE the
+    * mean per-part value: a HAVING gate against a scalar subquery over
+    * the SAME aggregate. The classic query divides its fraction by SF
+    * because a fixed share of the grand total empties as the part
+    * universe grows; gating on the mean is the scale-free form (the
+    * result stays a stable tail fraction at any SF). The scalar
+    * re-aggregates the per-part relation (one row per part) and
+    * broadcasts via crossJoin; the gate cross-multiplies in
+    * decimal(38,0) so cents·n_parts can never wrap. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val nationSupp = broadcast(load(spark, dir, "supplier")
+      .join(load(spark, dir, "nation")
+          .filter(col("n_name") === "NATION_7"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey")))
+    val perPart = load(spark, dir, "lineitem")
+      .join(nationSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(priceCents).as("value_cents"))
+    perPart
+      .crossJoin(broadcast(perPart.agg(
+        sum("value_cents").as("total_cents"),
+        count(lit(1)).as("n_parts"))))
+      .filter(expr("cast(value_cents as decimal(38,0)) * n_parts" +
+        " > cast(total_cents as decimal(38,0)) * 2"))
+      .select(col("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q12 shape: shipping-latency census — the lake carries no
+    * l_shipmode, so the Q12 group key becomes the ship-latency bucket
+    * (days from order to ship: <30 FAST, <90 MEDIUM, else SLOW), with
+    * Q12's signature conditional aggregation: high- vs low-priority
+    * order counts per bucket. One fact ⋈ fact shuffle on orderkey; the
+    * year filter cuts lineitem at the scan; datediff on midnight
+    * timestamps is exact. */
+  def q12ShipLatency(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_shipdate")
+      .join(load(spark, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        when(datediff(col("l_shipdate"), col("o_orderdate")) < 30, "FAST")
+          .when(datediff(col("l_shipdate"), col("o_orderdate")) < 90,
+            "MEDIUM")
+          .otherwise("SLOW").as("latency_bucket"),
+        col("o_orderpriority"))
+      .groupBy("latency_bucket")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("latency_bucket")
+
+  /** TPC-H Q16 shape: supplier census per part attribute — DISTINCT
+    * supplier counts with Q16's NOT IN exclusion subquery (suppliers
+    * with negative balance stand in for the comment-flagged complaint
+    * set) expressed as a broadcast anti join ahead of the aggregation.
+    * The (part, supplier) relation derives from lineitem; brand/size
+    * filters ride the broadcast part dim. */
+  def q16SupplierCensus(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+      .join(broadcast(load(spark, dir, "part")
+          .filter(col("p_brand") =!= "Brand#4" &&
+            col("p_size").isin(1, 5, 11, 15, 21, 25, 28, 37))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(load(spark, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+
+  /** TPC-H Q20 shape: suppliers holding a heavy share of a part's
+    * volume — the nested IN chain (`s_suppkey IN (… partkey IN (…))`)
+    * flattened into one aggregation tree: per-(part, supplier) shipped
+    * units for name-filtered parts in one year, kept where the pair
+    * exceeds 30% of the part's total (exact integer cross-multiply),
+    * then a LEFT SEMI probe into supplier. The per-part total reuses
+    * the pair aggregation's partitioning; no fact re-scan. */
+  def q20HeavySuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pairQty = load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01") &&
+        col("l_shipdate") < lit("1998-01-01"))
+      .join(broadcast(load(spark, dir, "part")
+          .filter(col("p_name").like("small%")).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(qtyUnits).as("pair_units"))
+    val partQty = pairQty.groupBy(col("l_partkey").as("pt_partkey"))
+      .agg(sum("pair_units").as("part_units"))
+    val heavy = pairQty
+      .join(partQty, col("l_partkey") === col("pt_partkey"))
+      .filter(col("pair_units") * 10 > col("part_units") * 3)
+      .select(col("l_suppkey"))
+    load(spark, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(load(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
   }
 }
