@@ -287,6 +287,9 @@ object SparkEntry {
     // unigram; co-shuffled scoring join, never a broadcast of the
     // bigram vocabulary
     "q_bigram_lm" -> (TextOps.qBigramLm _),
+    // Kneser-Ney smoothing: absolute discount + continuation-count
+    // backoff (the production n-gram quality-filter model)
+    "q_kneser_ney" -> (TextOps.qKneserNey _),
     // PMI-lift collocation mining (phrase discovery, exact integer ppm)
     "q_collocations" -> ((s: SparkSession, d: String) =>
       TextOps.qCollocations(s, d)),
@@ -549,6 +552,10 @@ object SparkEntry {
     // sketches merged along arcs (max commutes → oracle-exact)
     "q_hyperball" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qHyperBall(s, d)),
+    // multi-source BFS hop distances: frontier-sized shuffles per
+    // round, early exit on an empty level (exact twin of HyperBall)
+    "q_bfs_dist" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qBfsDistances(s, d)),
     // volume-weighted PageRank: (r·w) div W per arc, exact fixed point
     "q_pagerank_weighted" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qPageRankWeighted(s, d)),
@@ -1305,6 +1312,26 @@ object SparkEntry {
        |$rounds
        |$pageRankFinal FROM r$iters""".stripMargin
   }
+
+  /** BFS oracle: the textbook recursive-CTE form — enumerate every
+    * (node, dist ≤ maxDepth) walk endpoint with set-dedup on the pair
+    * (UNION, so the recursion terminates on the cyclic graph), then
+    * min(dist) per node IS the BFS level. The Spark side's
+    * level-synchronous frontier loop must agree exactly. */
+  private def bfsSql(nation: String, maxDepth: Int): String =
+    s"""WITH RECURSIVE $tradeGraphCte,
+       |src_nodes AS (SELECT s_suppkey * 2 AS node FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey AND n_name = '$nation'),
+       |bfs(node, dist) AS (
+       |  SELECT node, 0 FROM src_nodes
+       |  UNION
+       |  SELECT e2.dst, bfs.dist + 1 FROM bfs
+       |  JOIN edges e2 ON bfs.node = e2.src
+       |  WHERE bfs.dist < $maxDepth)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+       |    AS node_type,
+       |  node // 2 AS node_id, CAST(min(dist) AS BIGINT) AS dist
+       |FROM bfs GROUP BY 1, 2""".stripMargin
 
   /** HyperBall oracle: seed registers via the same md5 bucket/rank
     * derivation (bit-smear bitlen — see q_hll_distinct), then `radius`
@@ -3243,6 +3270,34 @@ object SparkEntry {
         |      CROSS JOIN tot
         |      GROUP BY 1)
         |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
+    // Kneser-Ney: same IEEE expression tree as the Spark side —
+    // discounted ML term + D·N1+(prev,·)/c(prev) · continuation prob
+    "q_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id,
+        |        CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
+        |        unnest(l) AS tok
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+        |bi AS (SELECT doc_id, tok,
+        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |       FROM toks),
+        |bi2 AS (SELECT doc_id, prev, tok FROM bi WHERE prev IS NOT NULL),
+        |bic AS (SELECT prev, tok, count(*) AS c2 FROM bi2 GROUP BY 1, 2),
+        |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cp,
+        |          count(*) AS n1p_prev FROM bic GROUP BY 1),
+        |cont AS (SELECT tok, count(*) AS n1p_tok FROM bic GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_types FROM bic),
+        |d AS (SELECT b.doc_id, count(*) AS n_bigrams,
+        |        round(avg(-ln(
+        |          (CAST(c.c2 AS DOUBLE) - 0.75) / x.cp +
+        |          0.75 * CAST(x.n1p_prev AS DOUBLE) / x.cp *
+        |            (CAST(w.n1p_tok AS DOUBLE) / tot.n_types))), 4) AS nll
+        |      FROM bi2 b
+        |      JOIN bic c ON b.prev = c.prev AND b.tok = c.tok
+        |      JOIN ctx x ON b.prev = x.prev
+        |      JOIN cont w ON b.tok = w.tok
+        |      CROSS JOIN tot
+        |      GROUP BY 1)
+        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
     // weighted Jaccard: Σmin/(|q|+|d|−Σmin) in exact integer ppm
     "q_doc_jaccard_topk" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -3967,6 +4022,8 @@ object SparkEntry {
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
+    "q_bfs_dist" ->
+      bfsSql("NATION_3", graft.graph.GraphOps.BfsMaxDepth),
     "q_pagerank_weighted" -> pageRankWeightedSql(5),
     // floor(log2) via bit length — printf('%b') in DuckDB, bin() in
     // Spark — so the bucket never touches an IEEE logarithm

@@ -929,6 +929,77 @@ object GraphOps {
   def qKCore(spark: SparkSession, dir: String): DataFrame =
     kCore(spark, copurchaseEdges(spark, dir), 3)
 
+  /** Max BFS depth for [[qBfsDistances]] — even (the bipartite graph
+    * returns to the source side on even hops) and deep enough to cover
+    * the trade graph's observed diameter from any nation's suppliers. */
+  val BfsMaxDepth: Int = 6
+
+  /** Multi-source BFS shortest-path distances — hop counts from one
+    * nation's suppliers to every reachable node, the exact-distance
+    * companion to [[qHyperBall]]'s neighborhood-size estimates (and the
+    * primitive behind crawl-frontier depth caps and graph-distance
+    * features for link prediction).
+    *
+    * Level-synchronous frontier expansion: each round joins only the
+    * FRONTIER (nodes first reached last round) against the shared
+    * src-partitioned edge artifact, anti-joins the visited set, and
+    * unions the new level in. Per-round shuffle work is frontier-sized,
+    * not graph-sized; rounds are bounded by [[BfsMaxDepth]] and stop
+    * EARLY when a level adds no nodes (the materializing count that
+    * fills each round's cache doubles as the fixpoint test, so the
+    * early exit costs no extra action). BFS levels are unique minima,
+    * so the output is deterministic under any partitioning. Unreached
+    * nodes are absent (mirrored by the oracle's recursive CTE). */
+  def qBfsDistances(spark: SparkSession, dir: String,
+      nation: String = "NATION_3", maxDepth: Int = BfsMaxDepth): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#bfs#$nation", maxDepth)
+    val dist = rankCache.get(key) {
+      val sources = load(spark, dir, "supplier")
+        .join(broadcast(load(spark, dir, "nation")
+            .filter(col("n_name") === nation)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select((col("s_suppkey") * 2).as("node"))
+      bfsFrom(tradeEdgesDeg(spark, dir).select("src", "dst"),
+        sources, maxDepth)
+    }
+    dist.select(
+      when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+        .otherwise(lit("part")).as("node_type"),
+      expr("node div 2").as("node_id"),
+      col("dist"))
+  }
+
+  /** Level-synchronous multi-source BFS core: `edges(src, dst)` ×
+    * `sources(node)` → `(node, dist)` for every node within `maxDepth`
+    * hops of any source. Returns a PERSISTED frame (the caller's cache
+    * owns its lifetime). See [[qBfsDistances]] for the scale contract. */
+  private[graph] def bfsFrom(
+      edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    var visited = sources.select(col("node"), lit(0L).as("dist"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visitedCount = visited.count()
+    var frontierNonEmpty = visitedCount > 0
+    var round = 1
+    while (frontierNonEmpty && round <= maxDepth) {
+      val frontier = visited.filter(col("dist") === (round - 1))
+        .select(col("node").as("src"))
+      val next = edges.join(frontier, "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(round.toLong).as("dist"))
+      val grown = visited.unionAll(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val grownCount = grown.count()
+      visited.unpersist(blocking = false)
+      frontierNonEmpty = grownCount > visitedCount
+      visited = grown
+      visitedCount = grownCount
+      round += 1
+    }
+    visited
+  }
+
   /** Degree distribution of the trade graph in log₂ buckets, per node
     * type — the first diagnostic run on any new graph (power-law tail ⇒
     * salting/orientation decisions downstream). The bucket is

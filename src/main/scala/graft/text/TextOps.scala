@@ -368,6 +368,55 @@ object TextOps {
       .withColumn("ppl", round(exp(col("nll")), 2))
   }
 
+  /** Kneser-Ney-smoothed bigram NLL — the production-grade smoothing
+    * the interpolated-count model ([[qBigramLm]]) approximates: the
+    * backoff weight redistributes a fixed absolute discount D per seen
+    * bigram, and the unigram backoff is the CONTINUATION probability
+    * (in how many distinct contexts does this word appear) rather than
+    * raw frequency — the fix that stops high-count-but-single-context
+    * tokens (the "San Francisco" effect) from dominating the backoff
+    * mass. KN is what real n-gram quality filters (CCNet lineage) ship.
+    *
+    *   p(w|prev) = (c(prev,w) − D)/c(prev)
+    *             + D·N₁₊(prev,·)/c(prev) · N₁₊(·,w)/|bigram types|
+    *
+    * Only observed bigrams are scored (c ≥ 1 > D, so the discounted
+    * term never clamps). All model inputs are exact integer counts from
+    * three map-side-combinable aggregations over the bigram-type table
+    * (Heaps-bounded, like the vocabulary); D = 0.75 is exact in binary,
+    * the per-token probability is one fixed IEEE expression, and the
+    * NLL rounds at 4 — the established qBigramLm determinism envelope.
+    *
+    * Scale shape matches qBigramLm: the scoring join is stream ×
+    * bigram-vocab on (prev, tok), co-shuffled; the context and
+    * continuation tables join on single-token keys (vocab-sized). */
+  def qKneserNey(spark: SparkSession, dir: String): DataFrame = {
+    val disc = 0.75
+    val toks = load(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("prev", lag(col("tok"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val bic = bi.groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+    val ctx = bic.groupBy("prev")
+      .agg(sum("c2").as("cp"), count(lit(1)).as("n1p_prev"))
+    val cont = bic.groupBy("tok").agg(count(lit(1)).as("n1p_tok"))
+    val types = bic.agg(count(lit(1)).as("n_types"))
+    val p = (col("c2").cast("double") - lit(disc)) / col("cp") +
+      lit(disc) * col("n1p_prev").cast("double") / col("cp") *
+        (col("n1p_tok").cast("double") / col("n_types"))
+    bi.join(bic, Seq("prev", "tok"))
+      .join(ctx, "prev")
+      .join(cont, "tok")
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 4).as("nll"))
+      .withColumn("ppl", round(exp(col("nll")), 2))
+  }
+
   /** Vocabulary coverage curve: the share of all token OCCURRENCES
     * covered by the top-k most frequent types, at k ∈ {10, 100, 1000} —
     * the Zipf-head diagnostic that sizes a tokenizer vocabulary (and

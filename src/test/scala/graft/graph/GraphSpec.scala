@@ -450,4 +450,42 @@ class GraphSpec extends SparkSpec {
       .unionAll(edges.select(col("v").as("n"))).distinct().count()
     assert(census.count() === nodes)
   }
+
+  test("BFS levels match a driver-side reference on a cyclic graph") {
+    // square 1-2-3-4-1 with a tail 4-5-6 and an unreachable island 8-9
+    val arcs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L,
+      4L -> 5L, 5L -> 6L, 8L -> 9L)
+    val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")
+    val got = GraphOps
+      .bfsFrom(edges, Seq(1L).toDF("node"), maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    // cycle gives two equal-length routes to 3; the min (level) wins
+    assert(got === Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L,
+      5L -> 2L, 6L -> 3L)) // island 8-9 absent
+  }
+
+  test("BFS multi-source takes the minimum over sources and caps depth") {
+    val arcs = (1L to 6L).sliding(2).map(p => p.head -> p.last).toSeq
+    val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")
+    val multi = GraphOps
+      .bfsFrom(edges, Seq(1L, 6L).toDF("node"), maxDepth = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(multi === Map(1L -> 0L, 6L -> 0L, 2L -> 1L, 5L -> 1L,
+      3L -> 2L, 4L -> 2L))
+    val capped = GraphOps
+      .bfsFrom(edges, Seq(1L).toDF("node"), maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("BFS is identical across shuffle layouts") {
+    val arcs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 4L -> 5L)
+    val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")
+    val a = GraphOps.bfsFrom(edges.repartition(1), Seq(1L).toDF("node"), 6)
+      .as[(Long, Long)].collect().toMap
+    val b = GraphOps
+      .bfsFrom(edges.repartition(5, col("dst")), Seq(1L).toDF("node"), 6)
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+  }
 }

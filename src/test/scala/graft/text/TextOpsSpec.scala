@@ -256,6 +256,48 @@ class TextOpsSpec extends SparkSpec {
     assert(meanBi < meanUni, s"bigram NLL $meanBi !< unigram $meanUni")
   }
 
+  test("Kneser-Ney NLL matches a driver-side model; probs are proper") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val bic = docs.values.flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cp = bic.toSeq.groupBy(_._1._1)
+      .view.mapValues(es => (es.map(_._2).sum, es.size.toLong)).toMap
+    val cont = bic.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = bic.size.toDouble
+    def pKn(prev: String, w: String): Double = {
+      val (c, n1pPrev) = cp(prev)
+      (bic((prev, w)).toDouble - 0.75) / c +
+        0.75 * n1pPrev.toDouble / c * (cont(w).toDouble / nTypes)
+    }
+    def nll(toks: Seq[String]): Double = {
+      val raw = toks.zip(toks.tail).map { case (p, w) =>
+        -math.log(pKn(p, w))
+      }.sum / (toks.size - 1)
+      math.rint(raw * 10000) / 10000
+    }
+    val got = TextOps.qKneserNey(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === docs.count(_._2.size >= 2))
+    got.foreach { case (id, n, gNll, gPpl) =>
+      assert(n === docs(id).size - 1L, s"doc $id bigram count")
+      assert(math.abs(gNll - nll(docs(id))) < 2e-4, s"doc $id nll")
+      assert(gPpl === math.rint(math.exp(gNll) * 100) / 100,
+        s"doc $id ppl from rounded nll")
+    }
+    // every scored probability is proper: positive (NLL finite > 0 — a
+    // discount > observed count would flip it negative) and ≤ 1
+    assert(got.forall(_._3 > 0), "NLL must be positive")
+    // per-context discounted mass + backoff never exceeds 1: spot-check
+    // the total conditional mass for every observed context
+    cp.foreach { case (prev, (c, n1pPrev)) =>
+      val seen = bic.collect { case ((p, w), _) if p == prev => pKn(p, w) }
+      val mass = seen.sum
+      assert(mass <= 1.0 + 1e-9, s"context '$prev' mass $mass > 1")
+    }
+  }
+
   test("vocab coverage equals a JVM replay and is monotone in k") {
     val toks = graft.relational.Tables.load(spark, dir, "documents")
       .select("text").collect().flatMap(_.getString(0).split(" ", -1))
