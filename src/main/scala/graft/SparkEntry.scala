@@ -356,6 +356,10 @@ object SparkEntry {
       Similarity.qAnnLshVerified(s, d)),
     // exact IVF: cell-pruned search whose output provably equals brute
     // force, so the brute-force SQL is its oracle
+    // k-means|| seeding: D²-weighted oversampling in O(rounds) corpus
+    // passes, kilobyte candidate collects, nearest-seed weighting
+    "q_kmeanspp_seed" -> ((s: SparkSession, d: String) =>
+      Similarity.qKmeansParSeed(s, d)),
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnIvfExact(s, d)),
     // fixed-point accumulation: integer sums are order-independent, so
@@ -615,6 +619,48 @@ object SparkEntry {
       |         WHEN event_type = 'error' THEN 'x'
       |         ELSE '' END AS payload
       |  FROM events)""".stripMargin
+
+  /** Fixed-point q12 squared distance — the [[graft.similarity
+    * .Similarity]] cellDist contract: per-dim floor((aᵢ−bᵢ)²·10¹²+½)
+    * as BIGINT, summed left-to-right. */
+  private def kmppDist(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> " +
+      s"CAST(floor(($a[i] - $b[i]) * ($a[i] - $b[i]) * 1e12 + 0.5) " +
+      s"AS BIGINT)), (x, y) -> x + y)"
+
+  /** k-means|| oracle: unrolled rounds — per round the min quantized
+    * distance to the accumulated seed set, the HUGEINT total, the
+    * salted-md5 accept draw, and the seed-set union; then the
+    * nearest-seed weighting pass. Seed/dist/draw arithmetic replays the
+    * Spark side bit-for-bit (seeds are raw data points, never rounded;
+    * the accept test cross-multiplies integers). */
+  private def kmeansParSeedSql(rounds: Int, ell: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT e.vec_id,
+         |    min(${kmppDist("e.xs", "s.ms")}) AS d2
+         |  FROM e CROSS JOIN s${r - 1} s GROUP BY 1),
+         |t$r AS (SELECT CAST(sum(d2) AS HUGEINT) AS tot FROM d$r),
+         |a$r AS (SELECT vec_id FROM d$r CROSS JOIN t$r
+         |  WHERE CAST(('0x' || substring(md5('kmpp:$r:' || CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 AS HUGEINT) * tot
+         |    < CAST(d2 AS HUGEINT) * ${ell}000000),
+         |s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL
+         |  SELECT e.vec_id AS seed_id, $r AS pick_round, e.xs AS ms
+         |  FROM e JOIN a$r ON e.vec_id = a$r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+       |s0 AS (SELECT vec_id AS seed_id, 0 AS pick_round, xs AS ms FROM e
+       |  WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |$roundCtes,
+       |assign AS (SELECT vec_id, seed_id FROM (
+       |    SELECT e.vec_id, s.seed_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${kmppDist("e.xs", "s.ms")}, s.seed_id) AS rn
+       |    FROM e CROSS JOIN s$rounds s) WHERE rn = 1),
+       |w AS (SELECT seed_id, count(*) AS n FROM assign GROUP BY 1)
+       |SELECT s.seed_id, CAST(s.pick_round AS BIGINT) AS pick_round,
+       |  CAST(coalesce(w.n, 0) AS BIGINT) AS weight
+       |FROM s$rounds s LEFT JOIN w ON s.seed_id = w.seed_id""".stripMargin
+  }
 
   /** DuckDB cosine with the same left-to-right fold as the Spark side. */
   private def duckCos(a: String, b: String): String =
@@ -3558,6 +3604,7 @@ object SparkEntry {
     // at cosine 0)
     "q_ann_lsh_verified" -> annTopKSql(5),
     "q_ann_ivf" -> annTopKSql(10),
+    "q_kmeanspp_seed" -> kmeansParSeedSql(3, 8),
     // same 16-bit fixed-point arithmetic: quantize, exact integer sum,
     // one rescale — every step engine-reproducible
     "q_embedding_centroids" ->

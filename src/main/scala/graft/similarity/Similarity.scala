@@ -1047,6 +1047,83 @@ object Similarity {
     spark.createDataFrame(rows).toDF("cell", "ms")
   }
 
+  /** k-means|| seeding (Bahmani et al., VLDB 2012) — the DISTRIBUTED
+    * k-means++ initialization: instead of k strictly sequential
+    * D²-weighted draws (k full corpus scans, each dependent on the
+    * last), each of `rounds` passes samples ~`ell` candidates
+    * INDEPENDENTLY per point with probability min(1, ℓ·D²(x)/ΣD²),
+    * then the tiny candidate set is weighted by how many points each
+    * candidate is nearest to — the weighted set a final driver-side
+    * clustering consumes. This is the seeding story the Forgy-sampled
+    * Lloyd training ([[lloydCentroids]]) lacks: Forgy can seed two
+    * centroids inside one dense blob and none in a small far cluster;
+    * D²-weighting provably (O(log k)-competitive) spreads seeds.
+    *
+    * Determinism: seeds are DATA POINTS (exact float→double casts — no
+    * rounding anywhere); distances are the fixed-point q12 integers of
+    * [[cellDist]]; the per-(round, point) draw is a salted md5 integer
+    * in [0, 10⁶); and the accept test cross-multiplies in
+    * decimal(38,0), so every engine replays the identical candidate
+    * set. ΣD² sums as decimal — at 100 TB the long sum of 10¹⁵-scale
+    * quantized distances would wrap.
+    *
+    * Scale shape: per round ONE corpus pass (broadcast seed relation,
+    * map-side min) + a kilobyte candidate collect (the model-publish
+    * step); the weighting pass is one more broadcast-argmin
+    * aggregation. Candidate count is E[ℓ]·rounds + 1 — independent of
+    * corpus size. */
+  def qKmeansParSeed(
+      spark: SparkSession, dir: String,
+      rounds: Int = 3, ell: Int = 8): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xs"))
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    try {
+      import spark.implicits._
+      val seed0 = emb.orderBy("vec_id").limit(1)
+        .as[(Long, Seq[Double])].collect().head
+      var seeds: IndexedSeq[(Long, Long, Seq[Double])] =
+        IndexedSeq((seed0._1, 0L, seed0._2))
+      for (r <- 1 to rounds) {
+        val seedDf = broadcast(spark
+          .createDataFrame(seeds.map { case (id, _, xs) => (id, xs) })
+          .toDF("seed_id", "ms"))
+        val d2 = emb.crossJoin(seedDf)
+          .groupBy("vec_id")
+          .agg(min(cellDist(col("ms"))).as("d2"), first(col("xs")).as("xs"))
+        val total = d2.agg(
+          sum(col("d2").cast("decimal(38,0)")).as("total_d2"))
+        val accepted = d2.crossJoin(broadcast(total))
+          .withColumn("u_ppm",
+            conv(substring(md5(concat(lit(s"kmpp:$r:"),
+              col("vec_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 1000000L)
+          .filter(expr("cast(u_ppm as decimal(38,0)) * total_d2" +
+            s" < cast(d2 as decimal(38,0)) * ${ell}000000"))
+          .select(col("vec_id"), col("xs"))
+          .as[(Long, Seq[Double])].collect().sortBy(_._1)
+        seeds = seeds ++ accepted.map { case (id, xs) => (id, r.toLong, xs) }
+      }
+      val seedDf = broadcast(spark
+        .createDataFrame(seeds.map { case (id, _, xs) => (id, xs) })
+        .toDF("seed_id", "ms"))
+      val weights = emb.crossJoin(seedDf)
+        .select(col("vec_id"), cellDist(col("ms")).as("d"), col("seed_id"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("seed_id"))).as("m"))
+        .groupBy(col("m.seed_id").as("seed_id"))
+        .agg(count(lit(1)).as("weight"))
+      spark.createDataFrame(seeds.map { case (id, r, _) => (id, r) })
+        .toDF("seed_id", "pick_round")
+        .join(weights, Seq("seed_id"), "left_outer")
+        .select(col("seed_id"), col("pick_round"),
+          coalesce(col("weight"), lit(0L)).as("weight"))
+    } finally emb.unpersist(blocking = false)
+  }
+
   /** Embedding outlier mining — the data-quality sweep that catches
     * mis-embedded or off-distribution vectors: the `k` vectors farthest
     * from their own assigned centroid (trained full-corpus index — the

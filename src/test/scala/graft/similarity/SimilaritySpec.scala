@@ -535,4 +535,23 @@ class SimilaritySpec extends SparkSpec {
     // truncation can only be evaluated against a non-empty truth
     assert(rows.size === 4)
   }
+
+  test("k-means|| seeding: weighted candidate set covers the corpus") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val got = Similarity.qKmeansParSeed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // round 0 is exactly the single deterministic initial seed
+    assert(got.count(_._2 == 0L) === 1)
+    assert(got.forall(s => s._2 >= 0 && s._2 <= 3))
+    // every point is nearest to exactly one seed: weights partition n
+    assert(got.map(_._3).sum === n)
+    assert(got.forall(_._3 >= 0))
+    // oversampling: more candidates than the one Forgy-style seed, far
+    // fewer than the corpus (E[l*rounds + 1], corpus-size-independent)
+    assert(got.length > 3 && got.length < 100, s"got ${got.length} seeds")
+    // deterministic under reruns (salted-md5 draws, no rand())
+    val again = Similarity.qKmeansParSeed(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 }
