@@ -209,6 +209,11 @@ object GraftExtensions {
       arity("z_order", 2, args)
       graft.sources.ZOrderValue(Cast(args(0), LongType), Cast(args(1), LongType))
     },
+    "hilbert_index" -> { args: Seq[Expression] =>
+      arity("hilbert_index", 2, args)
+      graft.sources.HilbertIndexValue(
+        Cast(args(0), LongType), Cast(args(1), LongType))
+    },
     "lsp_encode" -> { args: Seq[Expression] =>
       arity("lsp_encode", 3, args)
       LspEncode(Cast(args(0), LongType), Cast(args(1), LongType),

@@ -375,6 +375,9 @@ object SparkEntry {
     // Morton-code locality census (the lake-layout clustering key;
     // row-group skip rates measured in ZOrderSpec)
     "q_zorder_stats" -> (EventQueries.qZorderStats _),
+    // Hilbert-curve locality census (native hilbert_index expression):
+    // the tighter-locality clustering key, ZOrderSpec pins the win
+    "q_hilbert_stats" -> (EventQueries.qHilbertStats _),
     // int8 quantized scoring: every step is engine-reproducible, so this
     // approximation carries a full oracle (unlike LSH)
     "q_ann_q8" -> ((s: SparkSession, d: String) =>
@@ -660,6 +663,31 @@ object SparkEntry {
        |SELECT s.seed_id, CAST(s.pick_round AS BIGINT) AS pick_round,
        |  CAST(coalesce(w.n, 0) AS BIGINT) AS weight
        |FROM s$rounds s LEFT JOIN w ON s.seed_id = w.seed_id""".stripMargin
+  }
+
+  /** Hilbert oracle: the xy2d transform unrolled — one CTE per bit
+    * plane (s = 2¹⁵ … 1), each accumulating the quadrant offset and
+    * applying the reflect-and-swap rotation in CASE/bit arithmetic,
+    * exactly [[graft.sources.HilbertKernels.xy2d]]. */
+  private def hilbertSql: String = {
+    val steps = (15 to 0 by -1).map { k =>
+      val s = 1L << k
+      s"""h$k AS (SELECT uid0, qv0,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 65535 - y ELSE y END ELSE x END AS x,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 65535 - x ELSE x END ELSE y END AS y,
+         |    d + ${s * s} * xor(3 * rx, ry) AS d
+         |  FROM (SELECT uid0, qv0, x, y, d,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h${k + 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT user_id & 65535 AS uid0,
+       |    greatest(CAST(floor(value) AS BIGINT), 0) & 65535 AS qv0 FROM events),
+       |h16 AS (SELECT uid0, qv0, uid0 AS x, qv0 AS y, CAST(0 AS BIGINT) AS d FROM q),
+       |$steps
+       |SELECT d >> 10 AS hbucket, count(*) AS n,
+       |  min(uid0) AS u_min, max(uid0) AS u_max,
+       |  min(qv0) AS v_min, max(qv0) AS v_max
+       |FROM h0 GROUP BY 1""".stripMargin
   }
 
   /** DuckDB cosine with the same left-to-right fold as the Spark side. */
@@ -4390,6 +4418,7 @@ object SparkEntry {
         |  min(user_id) AS u_min, max(user_id) AS u_max,
         |  min(qv) AS v_min, max(qv) AS v_max
         |FROM z GROUP BY 1""".stripMargin,
+    "q_hilbert_stats" -> hilbertSql,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  upper(hex(substring(text, 1, 8))) AS header_hex,

@@ -101,6 +101,15 @@ object functions {
     col(graft.sources.ZOrderValue(
       Cast(expr(a), LongType), Cast(expr(b), LongType)))
 
+  /** 32-bit Hilbert-curve index over the low 16 bits of two
+    * NON-NEGATIVE integer columns — the tighter-locality clustering
+    * key (consecutive indices are adjacent cells; see
+    * [[graft.sources.HilbertKernels]]). Same quantization contract as
+    * [[z_order]]. */
+  def hilbert_index(a: Column, b: Column): Column =
+    col(graft.sources.HilbertIndexValue(
+      Cast(expr(a), LongType), Cast(expr(b), LongType)))
+
   /** MinHash signature over a shingle array; NULL when empty. */
   def minhash_sig(shingles: Column, k: Int): Column =
     col(graft.text.MinHashSig(expr(shingles), k))

@@ -34,6 +34,27 @@ object EventQueries {
         min("user_id").as("u_min"), max("user_id").as("u_max"),
         min("qv").as("v_min"), max("qv").as("v_max"))
 
+  /** Hilbert locality census — [[qZorderStats]]'s twin on the
+    * Hilbert-curve index ([[graft.functions.hilbert_index]]): same
+    * 16-bit quantization, same bucket width, same per-bucket bounding
+    * boxes. The two censuses together quantify WHY a lake would pick
+    * Hilbert clustering: consecutive Hilbert indices are always
+    * adjacent cells, so the same-size bucket bounds a tighter rectangle
+    * (ZOrderSpec measures both and pins the comparison). */
+  def qHilbertStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+      .select(
+        col("user_id").bitwiseAND(lit(65535L)).as("user_id"),
+        greatest(floor(col("value")).cast("long"), lit(0L))
+          .bitwiseAND(lit(65535L)).as("qv"))
+      .withColumn("h",
+        graft.functions.hilbert_index(col("user_id"), col("qv")))
+      .withColumn("hbucket", shiftright(col("h"), 10))
+      .groupBy("hbucket")
+      .agg(count(lit(1)).as("n"),
+        min("user_id").as("u_min"), max("user_id").as("u_max"),
+        min("qv").as("v_min"), max("qv").as("v_max"))
+
 
   import Tables.load
 

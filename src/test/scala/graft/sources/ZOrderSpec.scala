@@ -102,4 +102,70 @@ class ZOrderSpec extends SparkSpec {
       rm(base)
     }
   }
+
+  test("hilbert xy2d/d2xy round-trip; consecutive indices are adjacent") {
+    val rnd = new scala.util.Random(11)
+    (0 until 2000).foreach { _ =>
+      val x = rnd.nextInt(1 << 16).toLong
+      val y = rnd.nextInt(1 << 16).toLong
+      val d = HilbertKernels.xy2d(x, y)
+      assert(d >= 0 && d < (1L << 32))
+      assert(HilbertKernels.d2xy(d) === ((x, y)), s"round-trip ($x,$y)")
+    }
+    // THE Hilbert property (Z-order lacks it): consecutive curve
+    // positions are always Manhattan-adjacent cells — no seams
+    (0 until 2000).foreach { _ =>
+      val d = (rnd.nextLong() & ((1L << 32) - 1)) - 1 match {
+        case n if n < 0 => 0L
+        case n => n
+      }
+      val (x1, y1) = HilbertKernels.d2xy(d)
+      val (x2, y2) = HilbertKernels.d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1,
+        s"d=$d: ($x1,$y1) -> ($x2,$y2) not adjacent")
+    }
+    // Z-order's seam, for contrast: positions 1 and 2 are NOT adjacent
+    // under Morton on the diagonal jump (compact(2)=0, compact(2>>1)=1
+    // vs compact(1)=1, compact(1>>1)=0 — distance 2)
+    assert(ZOrderKernels.compact(1L) + ZOrderKernels.compact(2L) === 1L)
+  }
+
+  test("hilbert_index expression matches the kernel and registers in SQL") {
+    import spark.implicits._
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (100L, 200L),
+      (65535L, 65535L), (4095L, 17L))
+    val got = pts.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.functions.hilbert_index(col("a"), col("b")).as("h"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, h) =>
+      assert(h === HilbertKernels.xy2d(a, b), s"($a,$b)")
+    }
+    val viaSql = spark.sql(
+      "SELECT hilbert_index(100, 200)").collect().head.getLong(0)
+    assert(viaSql === HilbertKernels.xy2d(100L, 200L))
+  }
+
+  test("hilbert-sorted row-count chunks bound tighter boxes than z-sorted") {
+    // parquet row groups cut by ROW COUNT, not by index alignment — the
+    // regime where the two curves differ (power-of-4-aligned buckets
+    // cover identical 32x32 blocks under both curves, only relabeled)
+    val rows = graft.relational.Tables
+      .load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("user_id").bitwiseAND(lit(65535L)),
+        greatest(floor(col("value")).cast("long"), lit(0L))
+          .bitwiseAND(lit(65535L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def meanPerimeter(key: (Long, Long) => Long, chunk: Int): Double = {
+      val sorted = rows.sortBy { case (u, v) => (key(u, v), u, v) }
+      val chunks = sorted.grouped(chunk).toSeq
+      chunks.map { c =>
+        val us = c.map(_._1); val vs = c.map(_._2)
+        (us.max - us.min + 1) + (vs.max - vs.min + 1).toDouble
+      }.sum / chunks.size
+    }
+    val z = meanPerimeter(ZOrderKernels.interleave, 100)
+    val h = meanPerimeter(HilbertKernels.xy2d, 100)
+    assert(h < z, s"hilbert $h !< zorder $z")
+  }
 }
