@@ -179,6 +179,9 @@ object SparkEntry {
     "q_corr_matrix" -> (EventQueries.qCorrMatrix _),
     // OLS daily-revenue trend per type from exact integer moments
     "q_linreg_trend" -> (EventQueries.qLinregTrend _),
+    // Theil-Sen median slope + Mann-Kendall S: the robust trend pair
+    // (rank-selected median over calendar-bounded day pairs)
+    "q_theil_sen" -> (EventQueries.qTheilSen _),
     // RANGE window frame: trailing 6h totals by VALUE interval on
     // epoch-micros ordering (what ROWS frames cannot express)
     "q_window_range" -> ((s: SparkSession, d: String) =>
@@ -2166,7 +2169,7 @@ object SparkEntry {
         |      AS value_cents
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_12'
         |  GROUP BY 1)
         |SELECT p_partkey, value_cents FROM v
         |WHERE CAST(value_cents AS HUGEINT) * (SELECT count(*) FROM v)
@@ -2935,6 +2938,31 @@ object SparkEntry {
         |    // (count(*) OVER (PARTITION BY c_mktsegment) - 1 + 100) AS BIGINT)
         |    AS loo_enc_cents
         |FROM rows_ CROSS JOIN pr""".stripMargin,
+    // floor-division slope formula shared verbatim with the Spark side
+    // (plain div/// disagree on negative slopes between the engines)
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+        |    (b.y - a.y) * 1000000 AS dy1m, b.day - a.day AS dx,
+        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.day < b.day),
+        |s AS (SELECT event_type, di, dj, sgn,
+        |    (dy1m - ((dy1m % dx) + dx) % dx) // dx AS slope_u FROM p),
+        |r AS (SELECT event_type, slope_u,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY slope_u, di, dj) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM s),
+        |m AS (SELECT event_type, slope_u AS median_slope_u FROM r
+        |  WHERE rn = (cnt + 1) // 2),
+        |agg AS (SELECT event_type, count(*) AS n_pairs,
+        |    CAST(sum(sgn) AS BIGINT) AS s_stat FROM s GROUP BY 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, n_pairs, s_stat, median_slope_u
+        |FROM nd JOIN agg USING (event_type) JOIN m USING (event_type)""".stripMargin,
     "q_linreg_trend" ->
       """WITH daily AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,

@@ -937,6 +937,61 @@ object EventQueries {
           .as("intercept_cents"))
   }
 
+  /** Theil-Sen robust slope + Mann-Kendall trend test per event type —
+    * the 29%-breakdown companion to [[qLinregTrend]]'s OLS fit: one
+    * wild day cannot drag the median of pairwise slopes the way it
+    * drags a least-squares line, and the Mann-Kendall S statistic
+    * (Σ sign(yⱼ−yᵢ) over ordered day pairs) tests monotone trend with
+    * no distributional assumption — the standard pairing in
+    * environmental/SLO monitoring.
+    *
+    * Exactness: slopes are FLOOR-divided micro-cents/day computed from
+    * truncating primitives both engines share
+    * (`(a − ((a%b)+b)%b) div b` — plain `div`/`//` disagree on
+    * negative slopes between Spark (toward zero) and DuckDB (floor));
+    * the median is a rank-SELECTED element ((n+1) div 2, (di, dj)
+    * tiebreak), never an interpolation. `dy·10⁶` must fit a long —
+    * holds while a type's daily cent total stays under ~9·10¹²; widen
+    * to decimal(38,0) past that.
+    *
+    * Scale shape: pairs explode C(days, 2) per type — bounded by the
+    * CALENDAR squared, not the corpus (the per-row-bounded-explode
+    * rule); the rank window partitions by type over those bounded
+    * pairs. */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    val pairs = daily
+      .select(col("event_type"), col("day").as("di"), col("y").as("yi"))
+      .join(daily.select(col("event_type"), col("day").as("dj"),
+        col("y").as("yj")), Seq("event_type"))
+      .filter(col("di") < col("dj"))
+      .select(col("event_type"), col("di"), col("dj"),
+        ((col("yj") - col("yi")) * 1000000L).as("dy1m"),
+        (col("dj") - col("di")).as("dx"),
+        signum(col("yj") - col("yi")).cast("long").as("sgn"))
+      .withColumn("slope_u",
+        expr("(dy1m - ((dy1m % dx) + dx) % dx) div dx"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("slope_u"), col("di"), col("dj"))
+    val medians = pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("event_type")))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col("slope_u").as("median_slope_u"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"), sum("sgn").as("s_stat"))
+      .join(daily.groupBy("event_type").agg(count(lit(1)).as("n_days")),
+        "event_type")
+      .join(medians, "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("s_stat"), col("median_slope_u"))
+  }
+
   /** Pairwise Pearson correlation between event types over their hourly
     * count series — the metric-correlation census an observability
     * pipeline runs across thousands of series. Spark's `corr` (and any

@@ -652,7 +652,7 @@ object RelationalQueries {
   def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
     val nationSupp = broadcast(load(spark, dir, "supplier")
       .join(load(spark, dir, "nation")
-          .filter(col("n_name") === "NATION_7"),
+          .filter(col("n_name") === "NATION_12"),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey")))
     val perPart = load(spark, dir, "lineitem")

@@ -615,4 +615,37 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got === top)
   }
+
+  test("Theil-Sen/Mann-Kendall matches a driver-side replay") {
+    def floordiv(a: Long, b: Long): Long = (a - (((a % b) + b) % b)) / b
+    val daily = graft.relational.Tables.load(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.expr("ts div 86400000000000")
+        .as("day"), col("event_type"),
+        org.apache.spark.sql.functions
+          .floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(org.apache.spark.sql.functions.sum("cents").as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1))
+      .toMap
+    val want = daily.map { case (tpe, series) =>
+      val pairs = for {
+        (di, yi) <- series; (dj, yj) <- series if di < dj
+      } yield (di, dj, floordiv((yj - yi) * 1000000L, dj - di),
+        java.lang.Long.signum(yj - yi).toLong)
+      val sorted = pairs.sortBy(p => (p._3, p._1, p._2))
+      val median = sorted((pairs.size + 1) / 2 - 1)._3
+      tpe -> ((series.size.toLong, pairs.size.toLong,
+        pairs.map(_._4).sum, median))
+    }
+    val got = EventQueries.qTheilSen(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    // Mann-Kendall S is bounded by the pair count
+    got.values.foreach { case (_, nPairs, s, _) =>
+      assert(math.abs(s) <= nPairs)
+    }
+  }
 }
