@@ -131,4 +131,59 @@ object StreamingSketch {
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(updateBottomK(k))
   }
+
+  // ---- space-saving heavy-hitters twin ---------------------------------
+
+  final case class ItemRow(key: String, item: Long)
+  /** (item, count, err) triples; count ≥ true frequency ≥ count − err. */
+  final case class SsCounters(rows: Vector[(Long, Long, Long)])
+  final case class HitterEst(key: String, item: Long, count: Long, err: Long)
+
+  /** Space-saving (Metwally et al.) maintained online: `capacity`
+    * counters per key; a miss on a full summary EVICTS the minimum
+    * counter (item tiebreak) and inherits its count as the new item's
+    * error bound. Streaming twin of the count-min heavy hitters
+    * ([[graft.relational.Sketches.qHeavyHitters]]) with the complementary
+    * trade: count-min never evicts but overcounts every item through
+    * collisions; space-saving tracks exact counts for items that never
+    * lose their counter and brackets the rest with a per-item `err`.
+    *
+    * Unlike the HLL/KMV twins the summary CONTENTS are arrival-order-
+    * dependent (eviction is history-sensitive) — what the algorithm
+    * GUARANTEES order-free, and what StreamingSpec pins under shuffled
+    * feeds, is: (a) `count − err ≤ true ≤ count` for every surviving
+    * item, and (b) every item with true frequency > n/capacity is IN
+    * the summary. State is `capacity` triples per key forever. */
+  private def updateSpaceSaving(capacity: Int)(
+      key: String,
+      events: Iterator[ItemRow],
+      state: GroupState[SsCounters]): Iterator[HitterEst] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long)]
+    state.getOption.foreach(_.rows.foreach { case (i, c, e) => m(i) = (c, e) })
+    events.foreach { ev =>
+      m.get(ev.item) match {
+        case Some((c, e)) => m(ev.item) = (c + 1, e)
+        case None if m.size < capacity => m(ev.item) = (1L, 0L)
+        case None =>
+          val (evicted, (minC, _)) = m.minBy { case (i, (c, _)) => (c, i) }
+          m.remove(evicted)
+          m(ev.item) = (minC + 1, minC)
+      }
+    }
+    val rows = m.toVector.map { case (i, (c, e)) => (i, c, e) }
+      .sortBy { case (i, c, e) => (-c, i, e) }
+    state.update(SsCounters(rows))
+    rows.iterator.map { case (i, c, e) => HitterEst(key, i, c, e) }
+  }
+
+  /** Update-mode per-key space-saving summaries (full summary per batch). */
+  def heavyHitters(
+      events: Dataset[ItemRow], capacity: Int = 16): Dataset[HitterEst] = {
+    implicit val stEnc = Encoders.product[SsCounters]
+    implicit val hhEnc = Encoders.product[HitterEst]
+    events
+      .groupByKey(_.key)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateSpaceSaving(capacity))
+  }
 }

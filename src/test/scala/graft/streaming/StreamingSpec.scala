@@ -87,6 +87,70 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("space-saving guarantees hold under any arrival order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val capacity = 16
+    val rows = graft.relational.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "user_id % 40").as[(String, Long)].collect()
+      .map(r => graft.streaming.StreamingSketch.ItemRow(r._1, r._2))
+    val exact = rows.groupBy(e => (e.key, e.item))
+      .map { case (k, v) => k -> v.length.toLong }
+    val perKeyN = rows.groupBy(_.key).map { case (k, v) => k -> v.length.toLong }
+    // two adversarial orders: the summary CONTENTS may differ, the
+    // guarantees may not
+    val orders = Seq(
+      rows.sortBy(e => (e.item * 2654435761L) ^ e.key.##),
+      rows.sortBy(e => (e.key, e.item)))
+    orders.foreach { feed =>
+      val batches = feed.grouped(math.max(1, feed.length / 4 + 1)).toSeq
+      val input = MemoryStream[graft.streaming.StreamingSketch.ItemRow]
+      val name = s"ss_${System.nanoTime()}"
+      val q = graft.streaming.StreamingSketch
+        .heavyHitters(input.toDS(), capacity)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      val got =
+        try {
+          val cuts = scala.collection.mutable.ArrayBuffer(0L)
+          batches.foreach { b =>
+            input.addData(b); q.processAllAvailable()
+            cuts += spark.table(name).count()
+          }
+          // update mode appends a full summary per batch, but only for
+          // keys that saw data in that batch — take each key's LATEST
+          // emitted summary (slice rows into batches by the cuts)
+          val all = spark.table(name)
+            .as[graft.streaming.StreamingSketch.HitterEst].collect()
+          val perBatch = cuts.toSeq.sliding(2).toSeq
+            .map { w => all.slice(w.head.toInt, w.last.toInt) }
+          perBatch.flatMap(_.groupBy(_.key)).toMap // later batches win
+        } finally q.stop()
+      val byKey = got
+      assert(byKey.keySet === perKeyN.keySet)
+      byKey.foreach { case (key, hitters) =>
+        assert(hitters.length <= capacity)
+        // space-saving invariant: every event incremented exactly one
+        // counter, so counts total the per-key stream length
+        assert(hitters.map(_.count).sum === perKeyN(key))
+        hitters.foreach { h =>
+          val t = exact.getOrElse((key, h.item), 0L)
+          assert(t <= h.count && h.count - h.err <= t,
+            s"$key item ${h.item}: true $t not in [${h.count - h.err}, ${h.count}]")
+        }
+        // completeness: every true heavy hitter (freq > n/capacity)
+        // survives eviction — the order-free guarantee
+        val present = hitters.map(_.item).toSet
+        exact.foreach { case ((k, item), t) =>
+          if (k == key && t > perKeyN(key) / capacity)
+            assert(present.contains(item),
+              s"$key heavy item $item (freq $t) missing")
+        }
+      }
+    }
+  }
+
   test("streaming KMV quantiles == batch sketch under shuffled feed") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
