@@ -347,6 +347,10 @@ object SparkEntry {
     // ranking is order-free and engine-exact
     "q_rrf_fusion" -> ((s: SparkSession, d: String) =>
       HybridRetrieval.qRrfFusion(s, d)),
+    // nDCG@k of BM25 / dense / hybrid vs label ground truth — integer
+    // DCG via one shared weight-literal table, rank-selected IDCG
+    "q_ndcg_eval" -> ((s: SparkSession, d: String) =>
+      HybridRetrieval.qNdcgEval(s, d)),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) =>
       Similarity.qEmbeddingNearDup(s, d)),
     // 2 hash tables: measured recall@5 0.97 at sf0.01 (1 table: 0.82)
@@ -691,6 +695,80 @@ object SparkEntry {
        |  min(uid0) AS u_min, max(uid0) AS u_max,
        |  min(qv0) AS v_min, max(qv0) AS v_max
        |FROM h0 GROUP BY 1""".stripMargin
+  }
+
+  /** nDCG oracle: both retriever lists + the RRF fusion (the
+    * q_rrf_fusion CTE chain), binary share-a-label relevance, and the
+    * SAME interpolated weight/prefix literals the Spark plan
+    * broadcasts ([[graft.similarity.HybridRetrieval.ndcgWeights]] —
+    * one definition, so no engine recomputes a logarithm). */
+  private def ndcgEvalSql(nQueries: Int, k: Int): String = {
+    val wVals = graft.similarity.HybridRetrieval.ndcgWeights(k)
+      .map { case (r, w) => s"($r, $w)" }.mkString(", ")
+    val cumVals = graft.similarity.HybridRetrieval.ndcgIdealPrefix(k)
+      .map { case (c, s) => s"($c, $s)" }.mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+       |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
+       |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < $nQueries),
+       |sc AS (SELECT q.qid, f.doc_id,
+       |    CAST((44::HUGEINT * f.tf * st.t * (2*(st.n - d.dfq) + 1) * 1000000)
+       |      // ((20::HUGEINT * f.tf * st.t + 6 * st.t + 18 * l.dl * st.n)
+       |          * (2*d.dfq + 1)) AS BIGINT) AS s
+       |  FROM tf f JOIN qt q USING (tok) JOIN dfq d USING (tok)
+       |  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st
+       |  WHERE f.doc_id <> q.qid),
+       |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
+       |        FROM sc GROUP BY 1, 2),
+       |lex AS (SELECT qid, doc_id AS id, rnk FROM (
+       |    SELECT qid, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
+       |    FROM agg) WHERE rnk <= $k),
+       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dist AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |        round(${duckCos("q.v", "c.v")}, 6) AS sim
+       |      FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
+       |den AS (SELECT qid, nid AS id, rnk FROM (
+       |    SELECT qid, nid,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+       |    FROM dist) WHERE rnk <= $k),
+       |u AS (SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM lex
+       |      UNION ALL
+       |      SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM den),
+       |fs AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_fp FROM u GROUP BY 1, 2),
+       |fused AS (SELECT qid, id, rnk FROM (
+       |    SELECT qid, id,
+       |      CAST(row_number() OVER (PARTITION BY qid
+       |        ORDER BY rrf_fp DESC, id) AS BIGINT) AS rnk
+       |    FROM fs) WHERE rnk <= $k),
+       |lists AS (SELECT 'bm25' AS system, qid, id, rnk FROM lex
+       |  UNION ALL SELECT 'dense', qid, id, rnk FROM den
+       |  UNION ALL SELECT 'hybrid', qid, id, rnk FROM fused),
+       |w(rnk, w_fp) AS (VALUES $wVals),
+       |cums(cap, idcg_fp) AS (VALUES $cumVals),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |ql AS (SELECT vec_id AS qid, label AS qlabel FROM lab
+       |  WHERE vec_id < $nQueries),
+       |dcg AS (SELECT l.system, l.qid,
+       |    CAST(sum(CASE WHEN d.label = ql.qlabel THEN w.w_fp ELSE 0 END)
+       |      AS BIGINT) AS dcg_fp
+       |  FROM lists l JOIN ql ON l.qid = ql.qid
+       |  JOIN lab d ON l.id = d.vec_id
+       |  JOIN w ON l.rnk = w.rnk
+       |  GROUP BY 1, 2),
+       |nrel AS (SELECT ql.qid, count(*) AS n_rel FROM lab d
+       |  JOIN ql ON d.label = ql.qlabel AND d.vec_id <> ql.qid GROUP BY 1),
+       |idcg AS (SELECT qid, idcg_fp FROM nrel
+       |  JOIN cums ON cums.cap = least(n_rel, $k) WHERE n_rel > 0),
+       |nd AS (SELECT system, d.qid, dcg_fp * 1000000 // idcg_fp AS ndcg_ppm
+       |  FROM dcg d JOIN idcg i ON d.qid = i.qid)
+       |SELECT system, count(*) AS n_queries,
+       |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm
+       |FROM nd GROUP BY 1""".stripMargin
   }
 
   /** DuckDB cosine with the same left-to-right fold as the Spark side. */
@@ -3659,6 +3737,7 @@ object SparkEntry {
     // neighbor missing all 32 signature bands, p <= 1.6e-4 per pair even
     // at cosine 0)
     "q_ann_lsh_verified" -> annTopKSql(5),
+    "q_ndcg_eval" -> ndcgEvalSql(20, 10),
     "q_ann_ivf" -> annTopKSql(10),
     "q_kmeanspp_seed" -> kmeansParSeedSql(3, 8),
     // same 16-bit fixed-point arithmetic: quantize, exact integer sum,

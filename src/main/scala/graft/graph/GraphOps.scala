@@ -976,8 +976,14 @@ object GraphOps {
     * owns its lifetime). See [[qBfsDistances]] for the scale contract. */
   private[graph] def bfsFrom(
       edges: DataFrame, sources: DataFrame, maxDepth: Int): DataFrame = {
+    // eager localCheckpoint per round, NOT persist: round r's plan
+    // references round r−1 THREE times (union + frontier + anti join),
+    // so an un-cut lineage grows 3^r nodes and ANALYSIS time — not
+    // execution — triples every round (measured 1.0 → 5.5 s/round by
+    // round 4 at sf0.1). The checkpoint truncates the plan to a
+    // LogicalRDD, the same per-round discipline as the PageRank loops.
     var visited = sources.select(col("node"), lit(0L).as("dist"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var visitedCount = visited.count()
     var frontierNonEmpty = visitedCount > 0
     var round = 1
@@ -988,10 +994,8 @@ object GraphOps {
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .select(col("node"), lit(round.toLong).as("dist"))
-      val grown = visited.unionAll(next)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val grown = visited.unionAll(next).localCheckpoint(true)
       val grownCount = grown.count()
-      visited.unpersist(blocking = false)
       frontierNonEmpty = grownCount > visitedCount
       visited = grown
       visitedCount = grownCount

@@ -66,4 +66,86 @@ object HybridRetrieval {
       .select(col("qid"), col("nid").as("id"), col("rnk"))
     rrfFuse(Seq(lex, den), kOut)
   }
+
+  /** Fixed-point DCG rank weights: wᵣ = ⌊10⁹/log₂(r+1) + ½⌋. The ONE
+    * definition both the Spark plan and the DuckDB oracle interpolate
+    * as literals (the BpeVocab single-source rule), so no engine ever
+    * recomputes a logarithm — DCG sums become exact integer sums,
+    * order-free. */
+  def ndcgWeights(k: Int): Seq[(Long, Long)] =
+    (1 to k).map { r =>
+      (r.toLong,
+        math.floor(1e9 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+    }
+
+  /** Ideal-DCG prefix sums: (cap, Σ first `cap` weights) for
+    * cap = 1..k — the IDCG of a query with `cap` relevant docs. */
+  def ndcgIdealPrefix(k: Int): Seq[(Long, Long)] = {
+    val w = ndcgWeights(k).map(_._2)
+    (1 to k).map(c => (c.toLong, w.take(c).sum))
+  }
+
+  /** nDCG@k eval of all three retrieval systems (BM25, dense cosine,
+    * RRF hybrid) against a label ground truth — the standard offline
+    * relevance gate a retrieval stack runs before shipping a ranker
+    * change. Relevance is binary share-a-label (the `embeddings.label`
+    * column; doc_id and vec_id are the same id space), so judgments are
+    * data, not a model.
+    *
+    * Everything is integer: DCG = Σ wᵣ over relevant hits with the
+    * interpolated [[ndcgWeights]] literals; IDCG is the rank-selected
+    * [[ndcgIdealPrefix]] entry at min(n_rel, k); per-query
+    * nDCG = dcg·10⁶ div idcg; the per-system mean is an integer
+    * (sum div count). Queries with no relevant doc in the corpus are
+    * excluded (IDCG undefined), mirrored by the oracle.
+    *
+    * Scale shape: the retrievers already bound their lists to k per
+    * query; everything downstream touches nQueries × k × 3 rows. The
+    * relevance join streams the k-bounded lists against the label
+    * table on id; weights and prefix sums broadcast as literal
+    * relations. */
+  def qNdcgEval(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val lex = TextOps.qBm25TopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("doc_id").as("id"), col("rnk"))
+    val den = Similarity.qAnnBruteForce(spark, dir, nQueries, k)
+      .select(col("qid"), col("nid").as("id"), col("rnk"))
+    val fused = rrfFuse(Seq(lex, den), k)
+      .select(col("qid"), col("id"), col("rnk"))
+    val lists = lex.select(lit("bm25").as("system"), col("qid"),
+        col("id"), col("rnk"))
+      .unionAll(den.select(lit("dense").as("system"), col("qid"),
+        col("id"), col("rnk")))
+      .unionAll(fused.select(lit("hybrid").as("system"), col("qid"),
+        col("id"), col("rnk")))
+    val labels = graft.relational.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val qLab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val wDf = broadcast(ndcgWeights(k).toDF("rnk", "w_fp"))
+    val dcg = lists
+      .join(broadcast(qLab), "qid")
+      .join(labels.select(col("vec_id").as("id"),
+        col("label").as("dlabel")), "id")
+      .join(wDf, "rnk")
+      .groupBy("system", "qid")
+      .agg(sum(when(col("dlabel") === col("qlabel"), col("w_fp"))
+        .otherwise(0L)).as("dcg_fp"))
+    val nRel = labels.select(col("vec_id").as("id"),
+        col("label").as("dlabel"))
+      .join(broadcast(qLab), col("dlabel") === col("qlabel"))
+      .filter(col("id") =!= col("qid"))
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val idcg = nRel.filter(col("n_rel") > 0)
+      .withColumn("cap", least(col("n_rel"), lit(k.toLong)))
+      .join(broadcast(ndcgIdealPrefix(k).toDF("cap", "idcg_fp")), "cap")
+    dcg.join(idcg, "qid")
+      .select(col("system"), col("qid"),
+        expr("dcg_fp * 1000000 div idcg_fp").as("ndcg_ppm"))
+      .groupBy("system")
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(ndcg_ppm) div count(1)").as("mean_ndcg_ppm"))
+  }
 }

@@ -58,4 +58,28 @@ class HybridRetrievalSpec extends SparkSpec {
     }
     assert(a === b)
   }
+
+  test("nDCG eval: weights well-formed, scores proper, replay matches") {
+    // the single weight definition both engines interpolate: strictly
+    // decreasing, w1 = 1e9 exactly (1/log2(2)), prefix sums match
+    val w = HybridRetrieval.ndcgWeights(10)
+    assert(w.head === ((1L, 1000000000L)))
+    assert(w.map(_._2) === w.map(_._2).sorted.reverse)
+    assert(w.map(_._2).distinct.length === 10)
+    val cum = HybridRetrieval.ndcgIdealPrefix(10)
+    assert(cum.map(_._2) === (1 to 10).map(c => w.take(c).map(_._2).sum))
+    val got = HybridRetrieval.qNdcgEval(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === Set("bm25", "dense", "hybrid"))
+    // nDCG is a proper score in [0, 1] (ppm) for every system
+    got.values.foreach { case (n, ppm) =>
+      assert(n > 0 && ppm >= 0 && ppm <= 1000000)
+    }
+    // binary label relevance is the dense retriever's home game — if
+    // BM25 beat embeddings on it the label join would be wired wrong
+    assert(got("dense")._2 > got("bm25")._2)
+    // the dense system must actually find relevant docs (a zero here
+    // means the label ground-truth join is vacuous)
+    assert(got("dense")._2 > 0)
+  }
 }
