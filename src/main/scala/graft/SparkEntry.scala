@@ -182,6 +182,10 @@ object SparkEntry {
     // Theil-Sen median slope + Mann-Kendall S: the robust trend pair
     // (rank-selected median over calendar-bounded day pairs)
     "q_theil_sen" -> (EventQueries.qTheilSen _),
+    // r x c chi-square + Cramér's V (zero cells kept via margin cross)
+    "q_contingency" -> (EventQueries.qContingency _),
+    // mutual information + marginal entropies + NMI (nats, exact counts)
+    "q_mutual_info" -> (EventQueries.qMutualInfo _),
     // RANGE window frame: trailing 6h totals by VALUE interval on
     // epoch-micros ordering (what ROWS frames cannot express)
     "q_window_range" -> ((s: SparkSession, d: String) =>
@@ -3016,6 +3020,52 @@ object SparkEntry {
         |    // (count(*) OVER (PARTITION BY c_mktsegment) - 1 + 100) AS BIGINT)
         |    AS loo_enc_cents
         |FROM rows_ CROSS JOIN pr""".stripMargin,
+    // zero-observed cells kept via the margin cross join (their term is
+    // R*C/N); numerator assembled HUGEINT-exact like Spark's decimal
+    "q_contingency" ->
+      """WITH obs AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+        |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    count(DISTINCT event_type) AS nr, count(DISTINCT dow) AS nc
+        |  FROM obs),
+        |cells AS (SELECT rm.event_type, cm.dow, rm.r, cm.c,
+        |    coalesce(obs.o, 0) AS o
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN obs ON obs.event_type = rm.event_type AND obs.dow = cm.dow),
+        |terms AS (SELECT
+        |    CAST(CAST((o::HUGEINT * tot.n - r::HUGEINT * c)
+        |        * (o::HUGEINT * tot.n - r::HUGEINT * c) AS DOUBLE)
+        |      / CAST(r::HUGEINT * c * tot.n AS DOUBLE) AS DOUBLE) AS term,
+        |    tot.n, tot.nr, tot.nc
+        |  FROM cells CROSS JOIN tot),
+        |s AS (SELECT count(*) AS n_cells, any_value(n) AS n_events,
+        |    any_value(nr) AS nr, any_value(nc) AS nc,
+        |    round(sum(term), 6) AS chi2 FROM terms)
+        |SELECT n_cells, n_events, chi2,
+        |  round(sqrt(chi2 / (n_events * (least(nr, nc) - 1))), 6) AS cramers_v
+        |FROM s""".stripMargin,
+    "q_mutual_info" ->
+      """WITH xy AS (SELECT event_type AS x,
+        |    (epoch_us(ts) // 3600000000) % 24 AS y, count(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM xy),
+        |mi AS (SELECT round(sum(
+        |    nxy / CAST(n AS DOUBLE) *
+        |    ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
+        |  FROM xy JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+        |hx AS (SELECT round(sum(
+        |    -(nx / CAST(n AS DOUBLE)) * ln(nx / CAST(n AS DOUBLE))), 6) AS h_x
+        |  FROM mx CROSS JOIN tot),
+        |hy AS (SELECT round(sum(
+        |    -(ny / CAST(n AS DOUBLE)) * ln(ny / CAST(n AS DOUBLE))), 6) AS h_y
+        |  FROM my CROSS JOIN tot)
+        |SELECT mi, h_x, h_y, round(mi / sqrt(h_x * h_y), 6) AS nmi
+        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
     // floor-division slope formula shared verbatim with the Spark side
     // (plain div/// disagree on negative slopes between the engines)
     "q_theil_sen" ->

@@ -937,6 +937,87 @@ object EventQueries {
           .as("intercept_cents"))
   }
 
+  /** χ² contingency test over the full r×c table (event type ×
+    * day-of-week) with Cramér's V — the categorical-association census
+    * generalizing [[qAbTest]]'s 2×2: does traffic mix shift by weekday,
+    * and how strongly? Every cell term is the exact rational
+    * (O·N − R·C)²/(R·C·N) with the numerator assembled in
+    * decimal(38,0) ((O·N)² outgrows a long at real row counts); ONE
+    * IEEE division per cell, the ~35-cell sum rounds at 6 (ulp noise
+    * ~1e-13 against a 5e-7 rounding step — the qBigramLm envelope).
+    * Zero-observed cells still contribute (their term is R·C/N), so
+    * the margins CROSS-join and the observed counts LEFT-join on —
+    * dropping empty cells understates χ² exactly when association is
+    * strongest. Bounded by types × 7 cells; everything before the
+    * cell table is one pass of map-side-combinable counting. */
+  def qContingency(spark: SparkSession, dir: String): DataFrame = {
+    val obs = load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("(ts div 86400000000000 + 4) % 7").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("o"))
+    val rowM = obs.groupBy("event_type").agg(sum("o").as("r"))
+    val colM = obs.groupBy("dow").agg(sum("o").as("c"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct("event_type").as("nr"), countDistinct("dow").as("nc"))
+    val cells = rowM.crossJoin(broadcast(colM))
+      .join(obs, Seq("event_type", "dow"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    cells
+      .select(col("nr"), col("nc"), col("n"),
+        expr("""cast(cast(
+            (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+            * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)
+          as double)
+          / cast(cast(r as decimal(38,0)) * c * n as double) as double)""")
+          .as("term"))
+      .groupBy("nr", "nc", "n")
+      .agg(count(lit(1)).as("n_cells"), round(sum("term"), 6).as("chi2"))
+      .select(col("n_cells"), col("n").as("n_events"),
+        col("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * (least(col("nr"), col("nc")) - 1))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Mutual information between event type and hour-of-day, with
+    * marginal entropies and normalized MI — the dependency measure a
+    * feature-selection pass ranks categorical columns by (χ² asks "is
+    * there association"; MI says how many nats it carries).
+    * MI = Σ (n_xy/N)·ln(n_xy·N/(n_x·n_y)) over OBSERVED cells (empty
+    * cells contribute exactly 0 to MI, unlike χ²). Each term is one
+    * IEEE expression over exact integer counts (products ≤ N² stay
+    * under 2⁵³), cell sums round at 6; NMI = MI/√(H_X·H_Y) is derived
+    * from the rounded sums so both engines divide identical values. */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val xy = load(spark, dir, "events")
+      .select(col("event_type").as("x"),
+        expr("(ts div 3600000000000) % 24").as("y"))
+      .groupBy("x", "y").agg(count(lit(1)).as("nxy"))
+    val mx = xy.groupBy("x").agg(sum("nxy").as("nx"))
+    val my = xy.groupBy("y").agg(sum("nxy").as("ny"))
+    val tot = xy.agg(sum("nxy").as("n"))
+    val mi = xy.join(broadcast(mx), "x").join(broadcast(my), "y")
+      .crossJoin(broadcast(tot))
+      // the log argument multiplies as doubles: n_xy·N as longs wraps
+      // once N passes ~3·10⁹ rows; the IEEE products are identical in
+      // both engines and the ratio is what the log sees anyway
+      .select((col("nxy") / col("n") *
+        log(col("nxy").cast("double") * col("n") /
+          (col("nx").cast("double") * col("ny")))).as("term"))
+      .agg(round(sum("term"), 6).as("mi"))
+    val hx = mx.crossJoin(broadcast(tot))
+      .select((-col("nx") / col("n") * log(col("nx") / col("n"))).as("t"))
+      .agg(round(sum("t"), 6).as("h_x"))
+    val hy = my.crossJoin(broadcast(tot))
+      .select((-col("ny") / col("n") * log(col("ny") / col("n"))).as("t"))
+      .agg(round(sum("t"), 6).as("h_y"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(col("mi"), col("h_x"), col("h_y"),
+        round(col("mi") / sqrt(col("h_x") * col("h_y")), 6).as("nmi"))
+  }
+
   /** Theil-Sen robust slope + Mann-Kendall trend test per event type —
     * the 29%-breakdown companion to [[qLinregTrend]]'s OLS fit: one
     * wild day cannot drag the median of pairwise slopes the way it

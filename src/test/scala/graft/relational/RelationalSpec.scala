@@ -648,4 +648,20 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(s) <= nPairs)
     }
   }
+
+  test("contingency and mutual information obey their theoretic bounds") {
+    val ct = EventQueries.qContingency(spark, dir).collect().head
+    val (nCells, chi2, v) = (ct.getLong(0), ct.getDouble(2), ct.getDouble(3))
+    assert(nCells === 35) // 5 event types x 7 weekdays, zero cells kept
+    assert(chi2 >= 0.0)
+    assert(v >= 0.0 && v <= 1.0)
+    val mi = EventQueries.qMutualInfo(spark, dir).collect().head
+    val (m, hx, hy, nmi) =
+      (mi.getDouble(0), mi.getDouble(1), mi.getDouble(2), mi.getDouble(3))
+    // 0 <= MI <= min(H_X, H_Y); entropies bounded by log of cardinality
+    assert(m >= 0.0 && m <= math.min(hx, hy) + 1e-9)
+    assert(hx > 0 && hx <= math.log(5) + 1e-9)
+    assert(hy > 0 && hy <= math.log(24) + 1e-9)
+    assert(nmi >= 0.0 && nmi <= 1.0)
+  }
 }
