@@ -574,6 +574,10 @@ object SparkEntry {
     // round, early exit on an empty level (exact twin of HyperBall)
     "q_bfs_dist" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qBfsDistances(s, d)),
+    // harmonic centrality from the HyperBall shells: Σ ΔN(r)/r per
+    // node, top-k (Boldi-Vigna; same round artifacts, no new pass)
+    "q_harmonic_centrality" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qHarmonicCentrality(s, d)),
     // volume-weighted PageRank: (r·w) div W per arc, exact fixed point
     "q_pagerank_weighted" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qPageRankWeighted(s, d)),
@@ -1496,7 +1500,9 @@ object SparkEntry {
     * derivation (bit-smear bitlen — see q_hll_distinct), then `radius`
     * unrolled max-merge rounds along the trade-graph arcs, then the
     * per-node HLL estimate rounded to 1e-4 and summed as integers. */
-  private def hyperBallSql(radius: Int): String = {
+  /** Shared HyperBall CTE prefix: registers, `radius` max-merge rounds,
+    * and per-node ball estimates `pe0..peR (node, est_e4)`. */
+  private def hyperBallCtes(radius: Int): String = {
     val rounds = (1 to radius).map { i =>
       s"""hb$i AS MATERIALIZED (SELECT node, bucket, max(mj) AS mj FROM (
          |  SELECT node, bucket, mj FROM hb${i - 1}
@@ -1511,19 +1517,17 @@ object SparkEntry {
          |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
          |    256 - count(*) AS v0
          |  FROM hb$r GROUP BY 1),
-         |est$r AS (SELECT CAST($r AS BIGINT) AS r, count(*) AS n_nodes,
-         |    CAST(sum(CAST(floor((CASE WHEN est_raw <= 640.0 AND v0 > 0
+         |pe$r AS (SELECT node,
+         |    CAST(floor((CASE WHEN est_raw <= 640.0 AND v0 > 0
          |        THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
-         |        ELSE est_raw END) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS nf_e4
+         |        ELSE est_raw END) * 10000 + 0.5) AS BIGINT) AS est_e4
          |  FROM (SELECT node,
          |      CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
          |        * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
          |        / CAST(zs AS DOUBLE) AS est_raw, v0
          |    FROM z$r))""".stripMargin
     }.mkString(",\n")
-    val unions = (0 to radius).map(r => s"SELECT * FROM est$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH $tradeGraphCte,
+    s"""$tradeGraphCte,
        |n0 AS (SELECT DISTINCT src AS node FROM edges),
        |hh AS (SELECT node,
        |    CAST(('0x' || substring(md5('hb:' || CAST(node AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
@@ -1537,8 +1541,32 @@ object SparkEntry {
        |sm6 AS (SELECT node, bucket, x | (x >> 32) AS x FROM sm5),
        |hb0 AS (SELECT node, bucket, 61 - bit_count(x) AS mj FROM sm6),
        |$rounds,
-       |$ests
+       |$ests""".stripMargin
+  }
+
+  private def hyperBallSql(radius: Int): String = {
+    val unions = (0 to radius).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS r, count(*) AS n_nodes,
+         |  CAST(sum(est_e4) AS BIGINT) AS nf_e4 FROM pe$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${hyperBallCtes(radius)}
        |$unions""".stripMargin
+  }
+
+  /** Harmonic centrality oracle: the same per-node ball estimates,
+    * shell differences floor-divided by the shell radius (monotone
+    * max-merge ⇒ non-negative, so `//` matches Spark's `div`). */
+  private def harmonicCentralitySql(radius: Int, k: Int): String = {
+    val joins = (1 to radius)
+      .map(r => s"JOIN pe$r p$r USING (node)").mkString(" ")
+    val h = (1 to radius)
+      .map(r => s"(p$r.est_e4 - p${r - 1}.est_e4) // $r").mkString(" + ")
+    s"""WITH ${hyperBallCtes(radius)},
+       |hc AS (SELECT node, $h AS harmonic_e4 FROM pe0 p0 $joins)
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+       |    AS node_type,
+       |  node // 2 AS node_id, CAST(harmonic_e4 AS BIGINT) AS harmonic_e4
+       |FROM hc ORDER BY harmonic_e4 DESC, node LIMIT $k""".stripMargin
   }
 
   /** FK-integrity oracle: per edge, distinct child keys left-joined to
@@ -4256,6 +4284,7 @@ object SparkEntry {
     "q_hyperball" -> hyperBallSql(2),
     "q_bfs_dist" ->
       bfsSql("NATION_3", graft.graph.GraphOps.BfsMaxDepth),
+    "q_harmonic_centrality" -> harmonicCentralitySql(2, 20),
     "q_pagerank_weighted" -> pageRankWeightedSql(5),
     // floor(log2) via bit length — printf('%b') in DuckDB, bin() in
     // Spark — so the bucket never touches an IEEE logarithm

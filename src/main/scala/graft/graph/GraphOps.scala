@@ -1078,26 +1078,25 @@ object GraphOps {
     * to 1e-4 and summed as integers (a double sum over nodes would be
     * order-dependent); output is the neighborhood function
     * N(r) = Σ_v |ball(v, r)| for r = 0..2 over the trade graph. */
-  def qHyperBall(spark: SparkSession, dir: String, radius: Int = 2): DataFrame = {
+  /** The HyperBall register rounds: ball sketches for r = 0..radius,
+    * each PERSISTED (callers must unpersist after consuming). Registers
+    * travel PACKED (one 256-byte blob per node, merged by the native
+    * hll_merge aggregate) — the sparse (node, bucket, mj) relation paid
+    * one shuffle row per register per arc and ran ~6x slower at sf0.1
+    * (13.6 s → 2.1 s); the DuckDB oracles keep the sparse relational
+    * form, so their hash-equality pins blob == sparse. Each round is
+    * one src-join (edges stay resident on src) + one node-keyed blob
+    * aggregation, lineage cut round-over-round. */
+  private def hyperBallRounds(
+      spark: SparkSession, dir: String, radius: Int): Seq[DataFrame] = {
     import graft.relational.Sketches
     val (bucket, rho) = Sketches.hllRegister(col("node"), "hb")
-    // the shared degree-annotated edge artifact (src-partitioned,
-    // persisted once per session — the same table PageRank/label-prop
-    // iterate over); HyperBall only needs (src, dst)
     val edges = tradeEdgesDeg(spark, dir).select("src", "dst")
-    // registers travel PACKED (one 256-byte blob per node, merged by
-    // the native hll_merge aggregate) — the sparse (node, bucket, mj)
-    // relation paid one shuffle row per register per arc and ran ~6x
-    // slower at sf0.1 (13.6 s → 2.1 s); the DuckDB oracle keeps the
-    // sparse relational form, so its hash-equality pins blob == sparse
     val seed = edges.select(col("src").as("node")).distinct()
       .select(col("node"),
         graft.functions.hll_seed_blob(bucket, rho).as("blob"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // rounds: registers(r) = max-merge(registers(r-1) pushed along
-    // every arc, registers(r-1)); each round is one src-join (edges
-    // stay resident on src) + one node-keyed blob aggregation
-    val rounds = Iterator.iterate(seed) { prev =>
+    Iterator.iterate(seed) { prev =>
       val next = prev
         .unionAll(edges.join(prev, col("src") === col("node"))
           .select(col("dst").as("node"), col("blob")))
@@ -1107,15 +1106,62 @@ object GraphOps {
       next.count() // cut lineage growth round-over-round
       next
     }.take(radius + 1).toSeq
+  }
+
+  /** Per-node ball-size estimate in 1e-4 fixed point. */
+  private def ballEstE4(regs: DataFrame): DataFrame = {
+    import graft.relational.Sketches
+    regs.select(col("node"), floor(Sketches.hllEstimate(
+        graft.functions.hll_blob_zs(col("blob")),
+        graft.functions.hll_blob_zeros(col("blob")))
+        * 10000 + 0.5).cast("long").as("est_e4"))
+  }
+
+  def qHyperBall(spark: SparkSession, dir: String, radius: Int = 2): DataFrame = {
+    val rounds = hyperBallRounds(spark, dir, radius)
     val out = rounds.zipWithIndex.map { case (regs, r) =>
-      regs.select(floor(Sketches.hllEstimate(
-          graft.functions.hll_blob_zs(col("blob")),
-          graft.functions.hll_blob_zeros(col("blob")))
-          * 10000 + 0.5).cast("long").as("est_e4"))
+      ballEstE4(regs)
         .agg(count(lit(1)).as("n_nodes"),
           sum("est_e4").as("nf_e4"))
         .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_e4"))
     }.reduce(_ unionAll _)
+    val rows = out.collect() // force while the round frames are live
+    rounds.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
+  /** Harmonic-centrality estimates from the HyperBall neighborhood
+    * function (Boldi & Vigna's application): per node,
+    * H ≈ Σ_{r=1..radius} (N(r) − N(r−1))/r — each shell of newly
+    * reachable nodes weighted by 1/distance. The top-k most central
+    * nodes surface, with the shell sizes that produced them. All in
+    * 1e-4 fixed point: ball estimates are monotone under max-merge, so
+    * the shell differences are non-negative and the truncating `div r`
+    * agrees with DuckDB's floor `//`. Same round artifacts as
+    * [[qHyperBall]] (one extra node-keyed join per radius, no new
+    * graph pass). */
+  def qHarmonicCentrality(
+      spark: SparkSession, dir: String,
+      radius: Int = 2, k: Int = 20): DataFrame = {
+    val rounds = hyperBallRounds(spark, dir, radius)
+    val perNode = rounds.zipWithIndex.map { case (regs, r) =>
+      ballEstE4(regs).withColumnRenamed("est_e4", s"est$r")
+    }
+    val joined = perNode.reduce(_.join(_, "node"))
+    val harmonic = (1 to radius)
+      .map(r => expr(s"(est$r - est${r - 1}) div $r"))
+      .reduce(_ + _)
+    val out = joined
+      .select(
+        when(pmod(col("node"), lit(2)) === 0, lit("supplier"))
+          .otherwise(lit("part")).as("node_type"),
+        expr("node div 2").as("node_id"),
+        col("node"),
+        harmonic.as("harmonic_e4"))
+      .orderBy(col("harmonic_e4").desc, col("node"))
+      .limit(k)
+      .select("node_type", "node_id", "harmonic_e4")
     val rows = out.collect() // force while the round frames are live
     rounds.foreach(_.unpersist(blocking = false))
     spark.createDataFrame(
