@@ -578,6 +578,10 @@ object SparkEntry {
     // node, top-k (Boldi-Vigna; same round artifacts, no new pass)
     "q_harmonic_centrality" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qHarmonicCentrality(s, d)),
+    // HITS hubs/authorities: the two-role ranking the bipartite trade
+    // graph is shaped for; integer ppm, L-infinity renorm per round
+    "q_hits" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qHits(s, d)),
     // volume-weighted PageRank: (r·w) div W per arc, exact fixed point
     "q_pagerank_weighted" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qPageRankWeighted(s, d)),
@@ -1551,6 +1555,34 @@ object SparkEntry {
     }.mkString("\nUNION ALL ")
     s"""WITH ${hyperBallCtes(radius)}
        |$unions""".stripMargin
+  }
+
+  /** HITS oracle: unrolled mutual-reinforcement rounds with the same
+    * L∞ renormalization (HUGEINT cross-multiply // max — exactly the
+    * Spark side's decimal(38,0) div). */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""ar$i AS MATERIALIZED (SELECT p, CAST(sum(h) AS BIGINT) AS raw
+         |  FROM pairs JOIN h${i - 1} USING (s) GROUP BY 1),
+         |a$i AS MATERIALIZED (SELECT p,
+         |    CAST(raw::HUGEINT * 1000000 // (SELECT max(raw) FROM ar$i)
+         |      AS BIGINT) AS a
+         |  FROM ar$i),
+         |hr$i AS MATERIALIZED (SELECT s, CAST(sum(a) AS BIGINT) AS raw
+         |  FROM pairs JOIN a$i USING (p) GROUP BY 1),
+         |h$i AS MATERIALIZED (SELECT s,
+         |    CAST(raw::HUGEINT * 1000000 // (SELECT max(raw) FROM hr$i)
+         |      AS BIGINT) AS h
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+       |h0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS h FROM pairs),
+       |$rounds
+       |SELECT 'hub' AS role, s AS node_id, h AS score_ppm FROM h$iters
+       |UNION ALL
+       |SELECT 'authority' AS role, p AS node_id, a AS score_ppm
+       |FROM a$iters""".stripMargin
   }
 
   /** Harmonic centrality oracle: the same per-node ball estimates,
@@ -4285,6 +4317,7 @@ object SparkEntry {
     "q_bfs_dist" ->
       bfsSql("NATION_3", graft.graph.GraphOps.BfsMaxDepth),
     "q_harmonic_centrality" -> harmonicCentralitySql(2, 20),
+    "q_hits" -> hitsSql(graft.graph.GraphOps.HitsIters),
     "q_pagerank_weighted" -> pageRankWeightedSql(5),
     // floor(log2) via bit length — printf('%b') in DuckDB, bin() in
     // Spark — so the bucket never touches an IEEE logarithm

@@ -929,6 +929,73 @@ object GraphOps {
   def qKCore(spark: SparkSession, dir: String): DataFrame =
     kCore(spark, copurchaseEdges(spark, dir), 3)
 
+  /** HITS rounds for [[qHits]]. */
+  val HitsIters: Int = 3
+
+  /** HITS hubs-and-authorities (Kleinberg) — the mutual-reinforcement
+    * ranking the bipartite trade graph is literally shaped for: a
+    * supplier is a good HUB when it supplies authoritative parts; a
+    * part is a good AUTHORITY when good hubs supply it. PageRank
+    * collapses the two roles into one score; HITS keeps them separate,
+    * which is what a two-sided marketplace ranks by.
+    *
+    * Fixed point: scores live in integer ppm; each half-round sums
+    * exact integers along arcs and renormalizes by the MAX score
+    * (L∞ — the L2 norm of textbook HITS needs an IEEE sqrt; any
+    * positive rescaling preserves HITS' fixpoint direction), with the
+    * cross-multiply in decimal(38,0) so score·10⁶ can never wrap. The
+    * per-round max is a one-row broadcast scalar — the global-scalar
+    * round shape [[qPageRankDangling]] uses for its dangling mass.
+    *
+    * Scale shape: the arc table (distinct supplier→part pairs)
+    * partitions once; each half-round is one arc-keyed join + one
+    * node-keyed aggregation + a scalar crossJoin. Rounds are fixed
+    * ([[HitsIters]]) so the oracle unrolls. */
+  def qHits(spark: SparkSession, dir: String,
+      iters: Int = HitsIters): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#hits", iters)
+    val scored = rankCache.get(key) {
+      withTradePairs(spark, dir) { pairs =>
+        val arcs = pairs.repartition(
+          spark.sparkContext.defaultParallelism, col("s"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        arcs.count()
+        var hub = arcs.select(col("s")).distinct()
+          .select(col("s"), lit(1000000L).as("h"))
+          .localCheckpoint(true)
+        var auth: DataFrame = null
+        for (_ <- 1 to iters) {
+          val aRaw = arcs.join(hub, "s")
+            .groupBy("p").agg(sum("h").as("raw"))
+          val aMax = aRaw.agg(max("raw").as("mx"))
+          auth = aRaw.crossJoin(broadcast(aMax))
+            .select(col("p"),
+              expr("cast(cast(raw as decimal(38,0)) * 1000000" +
+                " div mx as bigint)").as("a"))
+            .localCheckpoint(true)
+          val hRaw = arcs.join(auth, "p")
+            .groupBy("s").agg(sum("a").as("raw"))
+          val hMax = hRaw.agg(max("raw").as("mx"))
+          hub = hRaw.crossJoin(broadcast(hMax))
+            .select(col("s"),
+              expr("cast(cast(raw as decimal(38,0)) * 1000000" +
+                " div mx as bigint)").as("h"))
+            .localCheckpoint(true)
+        }
+        val out = hub.select(lit("hub").as("role"),
+            col("s").as("node_id"), col("h").as("score_ppm"))
+          .unionAll(auth.select(lit("authority").as("role"),
+            col("p").as("node_id"), col("a").as("score_ppm")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        arcs.unpersist(blocking = false)
+        out
+      }
+    }
+    scored
+  }
+
   /** Max BFS depth for [[qBfsDistances]] — even (the bipartite graph
     * returns to the source side on even hops) and deep enough to cover
     * the trade graph's observed diameter from any nation's suppliers. */

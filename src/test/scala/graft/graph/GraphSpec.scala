@@ -478,6 +478,36 @@ class GraphSpec extends SparkSpec {
     assert(capped === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
   }
 
+  test("HITS matches a driver-side replay; max score normalizes to 1e6") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = graft.relational.Tables.load(spark, dir, "lineitem")
+      .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+      .distinct().as[(Long, Long)].collect().toSeq
+    var hub = pairs.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to GraphOps.HitsIters) {
+      val aRaw = pairs.groupBy(_._2).view
+        .mapValues(_.map(x => hub(x._1)).sum).toMap
+      val aMax = aRaw.values.max
+      auth = aRaw.view.mapValues(r =>
+        (BigInt(r) * 1000000 / aMax).toLong).toMap
+      val hRaw = pairs.groupBy(_._1).view
+        .mapValues(_.map(x => auth(x._2)).sum).toMap
+      val hMax = hRaw.values.max
+      hub = hRaw.view.mapValues(r =>
+        (BigInt(r) * 1000000 / hMax).toLong).toMap
+    }
+    val got = GraphOps.qHits(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = hub.map { case (s, h) => ("hub", s) -> h } ++
+      auth.map { case (p, a) => ("authority", p) -> a }
+    assert(got === want)
+    // L-infinity normalization: each role's best score is exactly 1e6
+    assert(got.filterKeys(_._1 == "hub").values.max === 1000000L)
+    assert(got.filterKeys(_._1 == "authority").values.max === 1000000L)
+    assert(got.values.forall(v => v >= 0 && v <= 1000000L))
+  }
+
   test("BFS is identical across shuffle layouts") {
     val arcs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 4L -> 5L)
     val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")
