@@ -89,6 +89,8 @@ object SparkEntry {
     "q16_supplier_census" -> (RelationalQueries.q16SupplierCensus _),
     // Q20 shape: nested IN chain flattened into one aggregation tree
     "q20_heavy_suppliers" -> (RelationalQueries.q20HeavySuppliers _),
+    // ntile/percent_rank/cume_dist over a TOTAL order, bounded census
+    "q_ntile_deciles" -> (RelationalQueries.qNtileDeciles _),
     // Pareto frontier per brand: sort + running max (O(n log n), the
     // window reuses the group exchange) vs the oracle's quadratic
     // NOT EXISTS — the skyline preference query at scale
@@ -3080,6 +3082,22 @@ object SparkEntry {
         |    // (count(*) OVER (PARTITION BY c_mktsegment) - 1 + 100) AS BIGINT)
         |    AS loo_enc_cents
         |FROM rows_ CROSS JOIN pr""".stripMargin,
+    "q_ntile_deciles" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
+        |  FROM orders),
+        |r AS (SELECT o_orderpriority, total_cents,
+        |    CAST(ntile(10) OVER w AS BIGINT) AS decile,
+        |    percent_rank() OVER w AS pr,
+        |    cume_dist() OVER w AS cd
+        |  FROM o
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY total_cents, o_orderkey))
+        |SELECT o_orderpriority, decile, count(*) AS n_orders,
+        |  min(total_cents) AS min_cents, max(total_cents) AS max_cents,
+        |  round(min(pr), 6) AS pr_lo, round(max(pr), 6) AS pr_hi,
+        |  round(max(cd), 6) AS cd_hi
+        |FROM r GROUP BY 1, 2""".stripMargin,
     // zero-observed cells kept via the margin cross join (their term is
     // R*C/N); numerator assembled HUGEINT-exact like Spark's decimal
     "q_contingency" ->

@@ -537,6 +537,33 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Decile census per order priority — the remaining rank-family
+    * window functions in one bounded relation: `ntile(10)` buckets,
+    * with `percent_rank` and `cume_dist` sampled at each bucket's
+    * boundaries. The window orders by (exact cents, orderkey) — a
+    * TOTAL order, so tie behavior can never differ between engines —
+    * and the census collapses to priorities × 10 rows. percent_rank
+    * and cume_dist are exact rationals of (rank−1)/(n−1) and
+    * rank/n; they round at 6 only to cross the parquet boundary. */
+  def qNtileDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("total_cents"), col("o_orderkey"))
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("total_cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy("o_orderpriority", "decile")
+      .agg(count(lit(1)).as("n_orders"),
+        min("total_cents").as("min_cents"),
+        max("total_cents").as("max_cents"),
+        round(min("pr"), 6).as("pr_lo"),
+        round(max("pr"), 6).as("pr_hi"),
+        round(max("cd"), 6).as("cd_hi"))
+  }
+
   /** Exact integer quantity units for one line item (quantities are
     * integer-valued doubles in this lake; `floor(x + ½)` pins the cast
     * against truncation-vs-rounding divergence across engines). */
