@@ -186,6 +186,9 @@ object SparkEntry {
     "q_theil_sen" -> (EventQueries.qTheilSen _),
     // r x c chi-square + Cramér's V (zero cells kept via margin cross)
     "q_contingency" -> (EventQueries.qContingency _),
+    // first-view -> first-purchase latency: rank-selected p50/90/99
+    // over the distinct-seconds histogram + conversion ppm
+    "q_funnel_latency" -> (EventQueries.qFunnelLatency _),
     // mutual information + marginal entropies + NMI (nats, exact counts)
     "q_mutual_info" -> (EventQueries.qMutualInfo _),
     // RANGE window frame: trailing 6h totals by VALUE interval on
@@ -3098,6 +3101,35 @@ object SparkEntry {
         |  round(min(pr), 6) AS pr_lo, round(max(pr), 6) AS pr_hi,
         |  round(max(cd), 6) AS cd_hi
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |fv AS (SELECT user_id, min(us) AS v_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |lat AS (SELECT e.user_id,
+        |    (min(e.us) - v_us) // 1000000 AS lat_s
+        |  FROM ev e JOIN fv USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.us > fv.v_us
+        |  GROUP BY 1, v_us),
+        |freq AS (SELECT lat_s, count(*) AS c FROM lat GROUP BY 1),
+        |cum AS (SELECT lat_s, c, sum(c) OVER (ORDER BY lat_s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+        |  FROM freq),
+        |nc AS (SELECT CAST(sum(c) AS BIGINT) AS nc FROM freq),
+        |q AS (SELECT any_value(nc.nc) AS n_converted,
+        |    min(CASE WHEN cumn >= (nc.nc - 1) * 50 // 100 + 1
+        |      THEN lat_s END) AS p50_s,
+        |    min(CASE WHEN cumn >= (nc.nc - 1) * 90 // 100 + 1
+        |      THEN lat_s END) AS p90_s,
+        |    min(CASE WHEN cumn >= (nc.nc - 1) * 99 // 100 + 1
+        |      THEN lat_s END) AS p99_s
+        |  FROM cum CROSS JOIN nc),
+        |nv AS (SELECT count(*) AS n_viewers FROM fv)
+        |SELECT n_viewers, n_converted,
+        |  CAST(n_converted::HUGEINT * 1000000 // n_viewers AS BIGINT)
+        |    AS conversion_ppm,
+        |  p50_s, p90_s, p99_s
+        |FROM q CROSS JOIN nv""".stripMargin,
     // zero-observed cells kept via the margin cross join (their term is
     // R*C/N); numerator assembled HUGEINT-exact like Spark's decimal
     "q_contingency" ->

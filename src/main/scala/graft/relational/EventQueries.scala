@@ -937,6 +937,51 @@ object EventQueries {
           .as("intercept_cents"))
   }
 
+  /** Funnel conversion latency — per user, seconds from the FIRST view
+    * to the first purchase strictly after it, with exact rank-selected
+    * p50/p90/p99 over the converting population and the conversion
+    * rate in ppm. The time-to-convert distribution is the product
+    * metric the step-count funnel ([[qFunnel]]-style) cannot show.
+    *
+    * Quantiles follow the [[qValueClip]] discipline: cumulative counts
+    * over the DISTINCT-latency histogram (bounded by distinct seconds
+    * values, never a population sort), `min(when(cum ≥ rank))`
+    * selection with the same `(n−1)·q div 100 + 1` rank, and the
+    * selected values are raw longs — no arithmetic after selection.
+    * Two passes over events (first-view, first-qualifying-purchase),
+    * both map-side-combinable min aggregations on user_id. */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), tsMicros.as("us"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val latency = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id", "v_us").agg(min("us").as("p_us"))
+      .select(col("user_id"),
+        expr("(p_us - v_us) div 1000000").as("lat_s"))
+    val freq = latency.groupBy("lat_s").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("lat_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // global window over the DISTINCT-seconds histogram — the bounded-
+    // cardinality defense every rank-select quantile in the repo uses
+    val cum = freq.withColumn("cumn", sum("c").over(w))
+    val q = cum.crossJoin(broadcast(cum.agg(sum("c").as("nc"))))
+      .agg(first("nc").as("n_converted"),
+        min(when(col("cumn") >= expr("(nc - 1) * 50 div 100 + 1"),
+          col("lat_s"))).as("p50_s"),
+        min(when(col("cumn") >= expr("(nc - 1) * 90 div 100 + 1"),
+          col("lat_s"))).as("p90_s"),
+        min(when(col("cumn") >= expr("(nc - 1) * 99 div 100 + 1"),
+          col("lat_s"))).as("p99_s"))
+    q.crossJoin(broadcast(firstView.agg(count(lit(1)).as("n_viewers"))))
+      .select(col("n_viewers"), col("n_converted"),
+        expr("cast(cast(n_converted as decimal(38,0)) * 1000000" +
+          " div n_viewers as bigint)").as("conversion_ppm"),
+        col("p50_s"), col("p90_s"), col("p99_s"))
+  }
+
   /** χ² contingency test over the full r×c table (event type ×
     * day-of-week) with Cramér's V — the categorical-association census
     * generalizing [[qAbTest]]'s 2×2: does traffic mix shift by weekday,
