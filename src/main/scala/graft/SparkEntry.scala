@@ -189,6 +189,10 @@ object SparkEntry {
     // first-view -> first-purchase latency: rank-selected p50/90/99
     // over the distinct-seconds histogram + conversion ppm
     "q_funnel_latency" -> (EventQueries.qFunnelLatency _),
+    // timing-regularity bot flag: cv^2 of inter-arrival gaps in exact
+    // integer ppm (decimal sufficient stats, no IEEE op anywhere)
+    "q_bot_detect" -> ((s: SparkSession, d: String) =>
+      EventQueries.qBotDetect(s, d)),
     // mutual information + marginal entropies + NMI (nats, exact counts)
     "q_mutual_info" -> (EventQueries.qMutualInfo _),
     // RANGE window frame: trailing 6h totals by VALUE interval on
@@ -3101,6 +3105,21 @@ object SparkEntry {
         |  round(min(pr), 6) AS pr_lo, round(max(pr), 6) AS pr_hi,
         |  round(max(cd), 6) AS cd_hi
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_bot_detect" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id) AS g FROM ev),
+        |s AS (SELECT user_id, count(*) AS n_gaps,
+        |    sum(g::HUGEINT) AS sg, sum(g::HUGEINT * g) AS sg2
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1),
+        |o AS (SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+        |    CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
+        |    CAST(n_gaps::HUGEINT * sg2 * 1000000 // (sg * sg)
+        |      - 1000000 AS BIGINT) AS cv2_ppm
+        |  FROM s WHERE n_gaps >= 20 AND sg > 0)
+        |SELECT user_id, n_gaps, mean_gap_us, cv2_ppm,
+        |  cv2_ppm < 100000 AS is_bot
+        |FROM o""".stripMargin,
     "q_funnel_latency" ->
       """WITH ev AS (SELECT user_id, event_type,
         |    epoch_us(ts) AS us FROM events),

@@ -937,6 +937,48 @@ object EventQueries {
           .as("intercept_cents"))
   }
 
+  /** Bot/automation detection by inter-arrival dispersion — the
+    * timing-regularity signal crawl-data pipelines gate on before text
+    * ever reaches a corpus: human traffic is bursty (cv² ≈ 1 for
+    * Poisson, higher with sessions), schedulers and scripts tick
+    * (cv² → 0). Per user with ≥ `minGaps` consecutive-event gaps:
+    * squared coefficient of variation in ppm, flagged below
+    * `botCv2Ppm`.
+    *
+    * Exactness: gaps are integer µs from a per-user lag window; the
+    * sufficient statistics (n, Σg, Σg²) aggregate as decimal(38,0)
+    * (a µs gap squared is ~10²⁶ at day scale); cv² = n·Σg²/(Σg)² − 1
+    * cross-multiplies entirely in decimal and exits as integer ppm —
+    * no IEEE op anywhere. Per-user windows are bounded by per-user
+    * event counts (the sessionize posture). */
+  def qBotDetect(spark: SparkSession, dir: String,
+      minGaps: Int = 20, botCv2Ppm: Long = 100000L): DataFrame =
+    botDetect(load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), tsMicros.as("us")),
+      minGaps, botCv2Ppm)
+
+  /** [[qBotDetect]]'s core over any `(user_id, event_id, us)` frame
+    * (spec feeds it metronome/bursty fixtures the human-like synthetic
+    * lake cannot produce). */
+  private[graft] def botDetect(events: DataFrame,
+      minGaps: Int, botCv2Ppm: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = events
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), (col("us") - col("prev")).as("g"))
+    gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast("decimal(38,0)")).as("sg"),
+        sum(expr("cast(g as decimal(38,0)) * g")).as("sg2"))
+      .filter(col("n_gaps") >= minGaps && expr("sg > 0"))
+      .select(col("user_id"), col("n_gaps"),
+        expr("cast(sg div n_gaps as bigint)").as("mean_gap_us"),
+        expr("cast(cast(n_gaps as decimal(38,0)) * sg2 * 1000000" +
+          " div (sg * sg) - 1000000 as bigint)").as("cv2_ppm"))
+      .withColumn("is_bot", col("cv2_ppm") < botCv2Ppm)
+  }
+
   /** Funnel conversion latency — per user, seconds from the FIRST view
     * to the first purchase strictly after it, with exact rank-selected
     * p50/p90/p99 over the converting population and the conversion

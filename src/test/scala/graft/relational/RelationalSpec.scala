@@ -649,6 +649,29 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("bot detection flags the metronome and clears the bursty user") {
+    import spark.implicits._
+    // user 1: perfect 10s metronome (cv^2 = 0); user 2: same mean gap
+    // but alternating 1s/19s bursts (cv^2 = 0.81); user 3: too few gaps
+    val metronome = (0 until 30).map(i => (1L, i.toLong, i * 10000000L))
+    val bursty = (0 until 30).map { i =>
+      val us = (i / 2) * 20000000L + (if (i % 2 == 1) 1000000L else 0L)
+      (2L, 100L + i, us)
+    }
+    val sparse = (0 until 5).map(i => (3L, 200L + i, i * 10000000L))
+    val got = EventQueries.botDetect(
+        (metronome ++ bursty ++ sparse).toDF("user_id", "event_id", "us"),
+        minGaps = 20, botCv2Ppm = 100000L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(!got.contains(3L)) // below the gap floor
+    val (n1, cv1, bot1) = got(1L)
+    assert(n1 === 29L && cv1 === 0L && bot1, s"metronome $cv1")
+    val (n2, cv2, bot2) = got(2L)
+    // alternating 1s/19s around a 10s mean: cv^2 = (9/10)^2 = 0.81
+    assert(n2 === 29L && !bot2 && cv2 > 700000L, s"bursty $cv2")
+  }
+
   test("contingency and mutual information obey their theoretic bounds") {
     val ct = EventQueries.qContingency(spark, dir).collect().head
     val (nCells, chi2, v) = (ct.getLong(0), ct.getDouble(2), ct.getDouble(3))
