@@ -193,6 +193,8 @@ object SparkEntry {
     // integer ppm (decimal sufficient stats, no IEEE op anywhere)
     "q_bot_detect" -> ((s: SparkSession, d: String) =>
       EventQueries.qBotDetect(s, d)),
+    // gaps-and-islands: longest increasing daily-revenue streak
+    "q_streaks" -> (EventQueries.qStreaks _),
     // mutual information + marginal entropies + NMI (nats, exact counts)
     "q_mutual_info" -> (EventQueries.qMutualInfo _),
     // RANGE window frame: trailing 6h totals by VALUE interval on
@@ -3105,6 +3107,30 @@ object SparkEntry {
         |  round(min(pr), 6) AS pr_lo, round(max(pr), 6) AS pr_hi,
         |  round(max(cd), 6) AS cd_hi
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_streaks" ->
+      """WITH daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |f AS (SELECT event_type, day,
+        |    CASE WHEN y > lag(y) OVER (PARTITION BY event_type ORDER BY day)
+        |      THEN 1 ELSE 0 END AS up
+        |  FROM daily),
+        |i AS (SELECT event_type, day, up,
+        |    sum(1 - up) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM f),
+        |isl AS (SELECT event_type, island, count(*) AS len,
+        |    CAST(min(day) - 1 AS BIGINT) AS start_day,
+        |    CAST(max(day) AS BIGINT) AS end_day
+        |  FROM i WHERE up = 1 GROUP BY 1, 2),
+        |r AS (SELECT event_type, len, start_day, end_day,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY len DESC, start_day) AS rn
+        |  FROM isl)
+        |SELECT event_type, CAST(len AS BIGINT) AS streak_days,
+        |  start_day, end_day
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_bot_detect" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id

@@ -937,6 +937,42 @@ object EventQueries {
           .as("intercept_cents"))
   }
 
+  /** Longest strictly-increasing daily-revenue streak per event type —
+    * the gaps-and-islands technique (the one classic window pattern
+    * the battery lacked): mark each day `up` iff it beats the previous
+    * day, form island ids as the running count of non-up days (every
+    * island of consecutive ups shares the id minted by the down-day
+    * that opened it), then the longest island per type with its start
+    * and end days (earliest start breaks length ties).
+    *
+    * All integers: daily totals in exact cents, `up` from a long
+    * comparison, island ids from a running sum — the per-type windows
+    * run over calendar-bounded daily rows. */
+  def qStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val daily = load(spark, dir, "events")
+      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(sum("cents").as("y"))
+    val flagged = daily
+      .withColumn("up",
+        when(col("y") > lag(col("y"), 1).over(byDay), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(lit(1L) - col("up"))
+          .over(byDay.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+    flagged.filter(col("up") === 1L)
+      .groupBy("event_type", "island")
+      .agg(count(lit(1)).as("len"),
+        (min("day") - 1).as("start_day"), max("day").as("end_day"))
+      .groupBy("event_type")
+      .agg(max(struct(col("len"), (-col("start_day")).as("ns"),
+        col("end_day"))).as("m"))
+      .select(col("event_type"), col("m.len").as("streak_days"),
+        (-col("m.ns")).as("start_day"), col("m.end_day").as("end_day"))
+  }
+
   /** Bot/automation detection by inter-arrival dispersion — the
     * timing-regularity signal crawl-data pipelines gate on before text
     * ever reaches a corpus: human traffic is bursty (cv² ≈ 1 for
