@@ -183,6 +183,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!vc.contains("CartesianProduct"), vc)
   }
 
+  test("round-8 second-wave operators keep their scale shapes") {
+    // q2: the Europe-supplier and filtered-part dims broadcast into the
+    // one fact aggregation; no nested loops
+    val q2 = planOf(RelationalQueries.q2MinCostSupplier(spark, dir))
+    assert(q2.contains("BroadcastHashJoin"), q2)
+    assert(!q2.contains("CartesianProduct") &&
+      !q2.contains("BroadcastNestedLoopJoin"), q2)
+    // q4: the correlated EXISTS must execute as a LEFT SEMI join
+    val q4 = planOf(RelationalQueries.q4OrderPriority(spark, dir))
+    assert(q4.contains("LeftSemi"), q4)
+    // q16: the NOT IN exclusion executes as a broadcast ANTI join, and
+    // the part-attribute filters reach the dim before the fact join
+    val q16 = planOf(RelationalQueries.q16SupplierCensus(spark, dir))
+    assert(q16.contains("LeftAnti"), q16)
+    assert(!q16.contains("CartesianProduct"), q16)
+    // Theil-Sen: the pair explode is an equi-join on event_type (never
+    // a nested loop), and the median rank window partitions by type
+    val ts = planOf(EventQueries.qTheilSen(spark, dir))
+    assert(!ts.contains("CartesianProduct") &&
+      !ts.contains("BroadcastNestedLoopJoin"), ts)
+    // nDCG: weight/prefix literal tables broadcast onto the k-bounded
+    // lists — the label join must not sort-merge against a 10-row table
+    val nd = planOf(graft.similarity.HybridRetrieval.qNdcgEval(spark, dir))
+    assert(nd.contains("BroadcastHashJoin"), nd)
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
