@@ -195,6 +195,13 @@ object SparkEntry {
       EventQueries.qBotDetect(s, d)),
     // gaps-and-islands: longest increasing daily-revenue streak
     "q_streaks" -> (EventQueries.qStreaks _),
+    // last-touch attribution: ignoreNulls carry-forward over a total
+    // order; purchases with no prior touch credit 'direct'
+    "q_attribution" -> (EventQueries.qAttribution _),
+    // multi-window SLO burn: fast 1h + slow 6h error ppm vs budget,
+    // alert only when BOTH burn (the SRE-workbook rule), all integer
+    "q_slo_burn" -> ((s: SparkSession, d: String) =>
+      EventQueries.qSloBurn(s, d)),
     // mutual information + marginal entropies + NMI (nats, exact counts)
     "q_mutual_info" -> (EventQueries.qMutualInfo _),
     // RANGE window frame: trailing 6h totals by VALUE interval on
@@ -376,12 +383,12 @@ object SparkEntry {
     // the brute-force oracle — the oracle-able LSH ANN companion
     "q_ann_lsh_verified" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnLshVerified(s, d)),
-    // exact IVF: cell-pruned search whose output provably equals brute
-    // force, so the brute-force SQL is its oracle
     // k-means|| seeding: D²-weighted oversampling in O(rounds) corpus
     // passes, kilobyte candidate collects, nearest-seed weighting
     "q_kmeanspp_seed" -> ((s: SparkSession, d: String) =>
       Similarity.qKmeansParSeed(s, d)),
+    // exact IVF: cell-pruned search whose output provably equals brute
+    // force, so the brute-force SQL is its oracle
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnIvfExact(s, d)),
     // fixed-point accumulation: integer sums are order-independent, so
@@ -720,17 +727,15 @@ object SparkEntry {
        |FROM h0 GROUP BY 1""".stripMargin
   }
 
-  /** nDCG oracle: both retriever lists + the RRF fusion (the
-    * q_rrf_fusion CTE chain), binary share-a-label relevance, and the
-    * SAME interpolated weight/prefix literals the Spark plan
-    * broadcasts ([[graft.similarity.HybridRetrieval.ndcgWeights]] —
-    * one definition, so no engine recomputes a logarithm). */
-  private def ndcgEvalSql(nQueries: Int, k: Int): String = {
-    val wVals = graft.similarity.HybridRetrieval.ndcgWeights(k)
-      .map { case (r, w) => s"($r, $w)" }.mkString(", ")
-    val cumVals = graft.similarity.HybridRetrieval.ndcgIdealPrefix(k)
-      .map { case (c, s) => s"($c, $s)" }.mkString(", ")
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+  /** Shared retrieval-list CTE prefix: the BM25 lexical list
+    * `lex(qid, id, score_fp, rnk ≤ kIn)` and the exact-cosine dense
+    * list `den(qid, id, sim, rnk ≤ kIn)` — ONE definition consumed by
+    * the q_bm25_topk, q_rrf_fusion, and q_ndcg_eval oracles (a BM25
+    * constant or tie-break fix must hit all three at once or the
+    * oracles silently diverge from the one Spark retriever they
+    * share). */
+  private def retrievalListCtes(nQueries: Int, kIn: Int): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
@@ -745,29 +750,47 @@ object SparkEntry {
        |  WHERE f.doc_id <> q.qid),
        |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
        |        FROM sc GROUP BY 1, 2),
-       |lex AS (SELECT qid, doc_id AS id, rnk FROM (
-       |    SELECT qid, doc_id,
+       |lex AS (SELECT qid, id, score_fp, rnk FROM (
+       |    SELECT qid, doc_id AS id, score_fp,
        |      CAST(row_number() OVER (PARTITION BY qid
        |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
-       |    FROM agg) WHERE rnk <= $k),
+       |    FROM agg) WHERE rnk <= $kIn),
        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |dist AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
        |        round(${duckCos("q.v", "c.v")}, 6) AS sim
        |      FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
-       |den AS (SELECT qid, nid AS id, rnk FROM (
-       |    SELECT qid, nid,
+       |den AS (SELECT qid, id, sim, rnk FROM (
+       |    SELECT qid, nid AS id, sim,
        |      CAST(row_number() OVER (PARTITION BY qid
        |        ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-       |    FROM dist) WHERE rnk <= $k),
-       |u AS (SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM lex
+       |    FROM dist) WHERE rnk <= $kIn)""".stripMargin
+
+  /** RRF union + fused ranking over the [[retrievalListCtes]] lists:
+    * `fused(qid, id, rrf_fp, n_lists, rnk ≤ kOut)`. */
+  private def rrfFusedCte(kOut: Int): String =
+    s"""u AS (SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM lex
        |      UNION ALL
        |      SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM den),
-       |fs AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_fp FROM u GROUP BY 1, 2),
-       |fused AS (SELECT qid, id, rnk FROM (
-       |    SELECT qid, id,
+       |fs AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_fp,
+       |        count(*) AS n_lists FROM u GROUP BY 1, 2),
+       |fused AS (SELECT qid, id, rrf_fp, n_lists, rnk FROM (
+       |    SELECT qid, id, rrf_fp, n_lists,
        |      CAST(row_number() OVER (PARTITION BY qid
        |        ORDER BY rrf_fp DESC, id) AS BIGINT) AS rnk
-       |    FROM fs) WHERE rnk <= $k),
+       |    FROM fs) WHERE rnk <= $kOut)""".stripMargin
+
+  /** nDCG oracle: both retriever lists + the RRF fusion (the shared
+    * [[retrievalListCtes]] chain), binary share-a-label relevance, and
+    * the SAME interpolated weight/prefix literals the Spark plan
+    * broadcasts ([[graft.similarity.HybridRetrieval.ndcgWeights]] —
+    * one definition, so no engine recomputes a logarithm). */
+  private def ndcgEvalSql(nQueries: Int, k: Int): String = {
+    val wVals = graft.similarity.HybridRetrieval.ndcgWeights(k)
+      .map { case (r, w) => s"($r, $w)" }.mkString(", ")
+    val cumVals = graft.similarity.HybridRetrieval.ndcgIdealPrefix(k)
+      .map { case (c, s) => s"($c, $s)" }.mkString(", ")
+    s"""WITH ${retrievalListCtes(nQueries, k)},
+       |${rrfFusedCte(k)},
        |lists AS (SELECT 'bm25' AS system, qid, id, rnk FROM lex
        |  UNION ALL SELECT 'dense', qid, id, rnk FROM den
        |  UNION ALL SELECT 'hybrid', qid, id, rnk FROM fused),
@@ -1597,13 +1620,16 @@ object SparkEntry {
   }
 
   /** Harmonic centrality oracle: the same per-node ball estimates,
-    * shell differences floor-divided by the shell radius (monotone
-    * max-merge ⇒ non-negative, so `//` matches Spark's `div`). */
+    * shell differences CLAMPED at 0 (the HLL estimate can dip at the
+    * linear-counting crossover even though registers are monotone —
+    * and `//` vs `div` disagree on negatives) then divided by the
+    * shell radius. */
   private def harmonicCentralitySql(radius: Int, k: Int): String = {
     val joins = (1 to radius)
       .map(r => s"JOIN pe$r p$r USING (node)").mkString(" ")
     val h = (1 to radius)
-      .map(r => s"(p$r.est_e4 - p${r - 1}.est_e4) // $r").mkString(" + ")
+      .map(r => s"greatest(p$r.est_e4 - p${r - 1}.est_e4, 0) // $r")
+      .mkString(" + ")
     s"""WITH ${hyperBallCtes(radius)},
        |hc AS (SELECT node, $h AS harmonic_e4 FROM pe0 p0 $joins)
        |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
@@ -3107,6 +3133,50 @@ object SparkEntry {
         |  round(min(pr), 6) AS pr_lo, round(max(pr), 6) AS pr_hi,
         |  round(max(cd), 6) AS cd_hi
         |FROM r GROUP BY 1, 2""".stripMargin,
+    "q_slo_burn" ->
+      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_err
+        |  FROM events GROUP BY 1),
+        |spine AS (SELECT unnest(range(
+        |    (SELECT min(hour) FROM hourly),
+        |    (SELECT max(hour) FROM hourly) + 1)) AS hour),
+        |dense AS (SELECT s.hour, coalesce(n, 0) AS n,
+        |    coalesce(n_err, 0) AS n_err
+        |  FROM spine s LEFT JOIN hourly USING (hour)),
+        |r AS (SELECT hour, n, n_err,
+        |    sum(n) OVER w AS n6, sum(n_err) OVER w AS e6
+        |  FROM dense
+        |  WINDOW w AS (ORDER BY hour
+        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(sum(n_err) AS BIGINT) AS et FROM hourly),
+        |o AS (SELECT hour, n, n_err,
+        |    CASE WHEN n > 0
+        |      THEN CAST(n_err::HUGEINT * 1000000 // n AS BIGINT) END AS fast_ppm,
+        |    CASE WHEN n6 > 0
+        |      THEN CAST(e6::HUGEINT * 1000000 // n6 AS BIGINT) END AS slow_ppm,
+        |    CAST(et::HUGEINT * 1000000 // nt AS BIGINT) AS budget_ppm
+        |  FROM r CROSS JOIN tot)
+        |SELECT hour, n, n_err, fast_ppm, slow_ppm, budget_ppm,
+        |  coalesce(fast_ppm > budget_ppm * 2 AND slow_ppm > budget_ppm * 2,
+        |    false) AS alert
+        |FROM o""".stripMargin,
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |t AS (SELECT event_type, cents,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
+        |  FROM ev)
+        |SELECT coalesce(touch, 'direct') AS channel,
+        |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
     "q_streaks" ->
       """WITH daily AS (SELECT event_type,
         |    epoch_us(ts) // 86400000000 AS day,
@@ -3121,15 +3191,15 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
         |  FROM f),
         |isl AS (SELECT event_type, island, count(*) AS len,
-        |    CAST(min(day) - 1 AS BIGINT) AS start_day,
-        |    CAST(max(day) AS BIGINT) AS end_day
+        |    CAST(min(day) AS BIGINT) AS first_up_day,
+        |    CAST(max(day) AS BIGINT) AS last_up_day
         |  FROM i WHERE up = 1 GROUP BY 1, 2),
-        |r AS (SELECT event_type, len, start_day, end_day,
+        |r AS (SELECT event_type, len, first_up_day, last_up_day,
         |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY len DESC, start_day) AS rn
+        |      ORDER BY len DESC, first_up_day) AS rn
         |  FROM isl)
         |SELECT event_type, CAST(len AS BIGINT) AS streak_days,
-        |  start_day, end_day
+        |  first_up_day, last_up_day
         |FROM r WHERE rn = 1""".stripMargin,
     "q_bot_detect" ->
       """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
@@ -3809,27 +3879,8 @@ object SparkEntry {
     // (num div den), so the per-doc sum is order-free in both engines;
     // HUGEINT keeps DuckDB's products exact like Spark's decimal(38,0)
     "q_bm25_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
-        |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 20),
-        |sc AS (SELECT q.qid, f.doc_id,
-        |    CAST((44::HUGEINT * f.tf * st.t * (2*(st.n - d.dfq) + 1) * 1000000)
-        |      // ((20::HUGEINT * f.tf * st.t + 6 * st.t + 18 * l.dl * st.n)
-        |          * (2*d.dfq + 1)) AS BIGINT) AS s
-        |  FROM tf f JOIN qt q USING (tok) JOIN dfq d USING (tok)
-        |  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st
-        |  WHERE f.doc_id <> q.qid),
-        |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
-        |        FROM sc GROUP BY 1, 2)
-        |SELECT qid, doc_id, score_fp, rnk FROM (
-        |  SELECT qid, doc_id, score_fp,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
-        |  FROM agg)
-        |WHERE rnk <= 10""".stripMargin,
+      s"""WITH ${retrievalListCtes(20, 10)}
+         |SELECT qid, id AS doc_id, score_fp, rnk FROM lex""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
@@ -3897,46 +3948,9 @@ object SparkEntry {
     // contribution is 1e9 // (60 + rank) — truncating integer division,
     // so the fused sum and ranking replay exactly
     "q_rrf_fusion" ->
-      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-         |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
-         |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < 20),
-         |sc AS (SELECT q.qid, f.doc_id,
-         |    CAST((44::HUGEINT * f.tf * st.t * (2*(st.n - d.dfq) + 1) * 1000000)
-         |      // ((20::HUGEINT * f.tf * st.t + 6 * st.t + 18 * l.dl * st.n)
-         |          * (2*d.dfq + 1)) AS BIGINT) AS s
-         |  FROM tf f JOIN qt q USING (tok) JOIN dfq d USING (tok)
-         |  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st
-         |  WHERE f.doc_id <> q.qid),
-         |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
-         |        FROM sc GROUP BY 1, 2),
-         |lex AS (SELECT qid, doc_id AS id, rnk FROM (
-         |    SELECT qid, doc_id,
-         |      CAST(row_number() OVER (PARTITION BY qid
-         |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
-         |    FROM agg) WHERE rnk <= 10),
-         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |dist AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-         |        round(${duckCos("q.v", "c.v")}, 6) AS sim
-         |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
-         |den AS (SELECT qid, nid AS id, rnk FROM (
-         |    SELECT qid, nid,
-         |      CAST(row_number() OVER (PARTITION BY qid
-         |        ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-         |    FROM dist) WHERE rnk <= 10),
-         |u AS (SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM lex
-         |      UNION ALL
-         |      SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM den),
-         |f AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_fp,
-         |        count(*) AS n_lists FROM u GROUP BY 1, 2)
-         |SELECT qid, id, rrf_fp, n_lists, rnk FROM (
-         |  SELECT qid, id, rrf_fp, n_lists,
-         |    CAST(row_number() OVER (PARTITION BY qid
-         |      ORDER BY rrf_fp DESC, id) AS BIGINT) AS rnk
-         |  FROM f)
-         |WHERE rnk <= 5""".stripMargin,
+      s"""WITH ${retrievalListCtes(20, 10)},
+         |${rrfFusedCte(5)}
+         |SELECT qid, id, rrf_fp, n_lists, rnk FROM fused""".stripMargin,
     // dense-band LSH + exact re-rank computes the brute-force relation
     // (SimilaritySpec asserts row-for-row equality; an escape needs a
     // neighbor missing all 32 signature bands, p <= 1.6e-4 per pair even

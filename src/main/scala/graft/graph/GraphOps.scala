@@ -953,6 +953,7 @@ object GraphOps {
     * ([[HitsIters]]) so the oracle unrolls. */
   def qHits(spark: SparkSession, dir: String,
       iters: Int = HitsIters): DataFrame = {
+    require(iters >= 1, s"HITS needs at least one round, got $iters")
     val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
       s"$dir#hits", iters)
     val scored = rankCache.get(key) {
@@ -1203,10 +1204,15 @@ object GraphOps {
     * H ≈ Σ_{r=1..radius} (N(r) − N(r−1))/r — each shell of newly
     * reachable nodes weighted by 1/distance. The top-k most central
     * nodes surface, with the shell sizes that produced them. All in
-    * 1e-4 fixed point: ball estimates are monotone under max-merge, so
-    * the shell differences are non-negative and the truncating `div r`
-    * agrees with DuckDB's floor `//`. Same round artifacts as
-    * [[qHyperBall]] (one extra node-keyed join per radius, no new
+    * 1e-4 fixed point. The REGISTERS are monotone under max-merge, but
+    * the HLL ESTIMATE is not quite: at the linear-counting crossover
+    * (raw estimate passing 640) a node's ball estimate can dip a few
+    * e-4 units between rounds — and on a negative difference Spark's
+    * truncating `div` and DuckDB's floor `//` disagree. Shell
+    * differences therefore clamp at 0 on both sides (a negative shell
+    * is estimator noise, and a negative 1/r contribution would be
+    * semantically wrong for a centrality anyway). Same round artifacts
+    * as [[qHyperBall]] (one extra node-keyed join per radius, no new
     * graph pass). */
   def qHarmonicCentrality(
       spark: SparkSession, dir: String,
@@ -1217,7 +1223,7 @@ object GraphOps {
     }
     val joined = perNode.reduce(_.join(_, "node"))
     val harmonic = (1 to radius)
-      .map(r => expr(s"(est$r - est${r - 1}) div $r"))
+      .map(r => expr(s"greatest(est$r - est${r - 1}, 0L) div $r"))
       .reduce(_ + _)
     val out = joined
       .select(

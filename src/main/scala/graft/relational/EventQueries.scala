@@ -727,12 +727,20 @@ object EventQueries {
     * — no fold, no recursion, engine-exact in integers. Slack and
     * threshold derive from each type's own mean daily cents (k = μ/20,
     * h = μ/5, integer division). */
-  def qCusum(spark: SparkSession, dir: String): DataFrame = {
-    val daily = load(spark, dir, "events")
+  /** Exact daily cent totals per event type — the one shared series
+    * every trend statistic (CUSUM, OLS fit, Theil-Sen/Mann-Kendall,
+    * streaks) consumes; defined once so day bucketing and cents
+    * rounding can never silently diverge between them and their
+    * oracles. */
+  private def dailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
       .select(expr("ts div 86400000000000").as("day"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
       .groupBy("event_type", "day")
       .agg(sum("cents").as("y"))
+
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
     val mu = daily.groupBy("event_type")
       .agg(expr("sum(y) div count(1)").as("mu"))
     val w = Window.partitionBy("event_type").orderBy("day")
@@ -909,12 +917,7 @@ object EventQueries {
     * cross-engine, unlike a streaming `regr_slope` accumulation.
     * Slope sign × magnitude is the alert; day 0 = the lake's first day. */
   def qLinregTrend(spark: SparkSession, dir: String): DataFrame = {
-    val daily = load(spark, dir, "events")
-      .select(expr("ts div 86400000000000").as("day"),
-        col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      .groupBy("event_type", "day")
-      .agg(sum("cents").as("y"))
+    val daily = dailyRevenue(spark, dir)
     val day0 = daily.agg(min("day").as("day0"))
     val indexed = daily.crossJoin(broadcast(day0))
       .withColumn("x", col("day") - col("day0"))
@@ -937,24 +940,96 @@ object EventQueries {
           .as("intercept_cents"))
   }
 
+  /** SLO error-budget burn rate — the multi-window alert rule (the
+    * SRE-workbook shape): per hour, the error fraction over a FAST
+    * (1 h) and SLOW (6 h trailing) window, both as exact integer ppm
+    * against the corpus-wide budget (the overall error rate); an alert
+    * fires only when BOTH windows burn above `mult`× budget — the fast
+    * window for responsiveness, the slow one to keep one bad minute
+    * from paging. The hourly frame is DENSIFIED over the observed
+    * min..max hour spine first (the qGapFill discipline): a ROWS
+    * window over observed hours alone would silently stretch "6 h
+    * trailing" across outage gaps — diluting slow_ppm exactly when a
+    * burn rule should fire. Empty hours carry null ppm (no traffic =
+    * no rate), and the alert coalesces to false. Rolling sums are
+    * integer windows over the calendar-bounded spine; every ratio
+    * cross-multiplies in decimal(38,0), no IEEE op anywhere. */
+  def qSloBurn(spark: SparkSession, dir: String,
+      mult: Int = 2): DataFrame = {
+    val hourly = load(spark, dir, "events")
+      .groupBy(expr("ts div 3600000000000").as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .as("n_err"))
+    val spine = hourly.agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val dense = spine.join(hourly, Seq("hour"), "left_outer")
+      .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_err"), lit(0L)).as("n_err"))
+    val w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    // global window over the HOURLY spine — calendar-bounded, the
+    // qEventsHourly defense
+    val rolled = dense
+      .withColumn("n6", sum("n").over(w6))
+      .withColumn("e6", sum("n_err").over(w6))
+    rolled
+      .crossJoin(broadcast(hourly.agg(
+        sum("n").as("nt"), sum("n_err").as("et"))))
+      .select(col("hour"), col("n"), col("n_err"),
+        expr("case when n > 0 then cast(cast(n_err as decimal(38,0))" +
+          " * 1000000 div n as bigint) end").as("fast_ppm"),
+        expr("case when n6 > 0 then cast(cast(e6 as decimal(38,0))" +
+          " * 1000000 div n6 as bigint) end").as("slow_ppm"),
+        expr("cast(cast(et as decimal(38,0)) * 1000000 div nt as bigint)")
+          .as("budget_ppm"))
+      .withColumn("alert",
+        coalesce(expr(s"fast_ppm > budget_ppm * $mult") &&
+          expr(s"slow_ppm > budget_ppm * $mult"), lit(false)))
+  }
+
+  /** Last-touch revenue attribution — every purchase credits the most
+    * recent preceding NON-purchase event of the same user (the
+    * marketing-channel question session path counts can't answer:
+    * which touchpoint closed the revenue). The carry-forward is
+    * `last(touch, ignoreNulls)` over a ROWS window ordered by
+    * (time, event_id) — a total order, so credit can never flip
+    * between engines; purchases with no prior touch credit 'direct'.
+    * One per-user window pass (user-bounded partitions), one bounded
+    * census aggregation; revenue is exact cents. */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMicros.as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("cents").as("revenue_cents"))
+  }
+
   /** Longest strictly-increasing daily-revenue streak per event type —
     * the gaps-and-islands technique (the one classic window pattern
-    * the battery lacked): mark each day `up` iff it beats the previous
-    * day, form island ids as the running count of non-up days (every
-    * island of consecutive ups shares the id minted by the down-day
-    * that opened it), then the longest island per type with its start
-    * and end days (earliest start breaks length ties).
+    * the battery lacked): mark each OBSERVED day `up` iff it beats the
+    * previous observed day, form island ids as the running count of
+    * non-up days (every island of consecutive ups shares the id minted
+    * by the down-day that opened it), then the longest island per type
+    * with its first and last up-days (earliest first breaks length
+    * ties). "Previous" means previous day WITH events — a type that
+    * skips calendar days streaks across the gap, which is the contract
+    * a sparse series needs (the dense-calendar variant would compose
+    * with [[qGapFill]]'s spine).
     *
     * All integers: daily totals in exact cents, `up` from a long
     * comparison, island ids from a running sum — the per-type windows
     * run over calendar-bounded daily rows. */
   def qStreaks(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Window.partitionBy("event_type").orderBy("day")
-    val daily = load(spark, dir, "events")
-      .select(expr("ts div 86400000000000").as("day"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      .groupBy("event_type", "day")
-      .agg(sum("cents").as("y"))
+    val daily = dailyRevenue(spark, dir)
     val flagged = daily
       .withColumn("up",
         when(col("y") > lag(col("y"), 1).over(byDay), 1L).otherwise(0L))
@@ -965,12 +1040,13 @@ object EventQueries {
     flagged.filter(col("up") === 1L)
       .groupBy("event_type", "island")
       .agg(count(lit(1)).as("len"),
-        (min("day") - 1).as("start_day"), max("day").as("end_day"))
+        min("day").as("first_up_day"), max("day").as("last_up_day"))
       .groupBy("event_type")
-      .agg(max(struct(col("len"), (-col("start_day")).as("ns"),
-        col("end_day"))).as("m"))
+      .agg(max(struct(col("len"), (-col("first_up_day")).as("ns"),
+        col("last_up_day"))).as("m"))
       .select(col("event_type"), col("m.len").as("streak_days"),
-        (-col("m.ns")).as("start_day"), col("m.end_day").as("end_day"))
+        (-col("m.ns")).as("first_up_day"),
+        col("m.last_up_day").as("last_up_day"))
   }
 
   /** Bot/automation detection by inter-arrival dispersion — the
@@ -1163,12 +1239,7 @@ object EventQueries {
     * rule); the rank window partitions by type over those bounded
     * pairs. */
   def qTheilSen(spark: SparkSession, dir: String): DataFrame = {
-    val daily = load(spark, dir, "events")
-      .select(expr("ts div 86400000000000").as("day"),
-        col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-      .groupBy("event_type", "day")
-      .agg(sum("cents").as("y"))
+    val daily = dailyRevenue(spark, dir)
     val pairs = daily
       .select(col("event_type"), col("day").as("di"), col("y").as("yi"))
       .join(daily.select(col("event_type"), col("day").as("dj"),
