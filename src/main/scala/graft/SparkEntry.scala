@@ -91,6 +91,9 @@ object SparkEntry {
     "q20_heavy_suppliers" -> (RelationalQueries.q20HeavySuppliers _),
     // ntile/percent_rank/cume_dist over a TOTAL order, bounded census
     "q_ntile_deciles" -> (RelationalQueries.qNtileDeciles _),
+    // NULL semantics: null group keys, count(col) vs count(*),
+    // all-NULL sum, and the null-safe (<=>) self-join
+    "q_null_semantics" -> (RelationalQueries.qNullSemantics _),
     // Pareto frontier per brand: sort + running max (O(n log n), the
     // window reuses the group exchange) vs the oracle's quadratic
     // NOT EXISTS — the skyline preference query at scale
@@ -3117,6 +3120,17 @@ object SparkEntry {
         |    // (count(*) OVER (PARTITION BY c_mktsegment) - 1 + 100) AS BIGINT)
         |    AS loo_enc_cents
         |FROM rows_ CROSS JOIN pr""".stripMargin,
+    "q_null_semantics" ->
+      """WITH ev AS (SELECT nullif(event_type, 'error') AS k,
+        |    CASE WHEN event_type <> 'signup'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+        |  FROM events),
+        |g AS (SELECT k, count(*) AS n_rows, count(cents) AS n_nonnull,
+        |    coalesce(CAST(sum(cents) AS BIGINT), -1) AS sum_cents
+        |  FROM ev GROUP BY 1)
+        |SELECT coalesce(a.k, '<null>') AS k, a.n_rows, a.n_nonnull,
+        |  b.sum_cents
+        |FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
     "q_ntile_deciles" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents

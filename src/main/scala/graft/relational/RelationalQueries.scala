@@ -564,6 +564,33 @@ object RelationalQueries {
         round(max("cd"), 6).as("cd_hi"))
   }
 
+  /** NULL-semantics battery — the three places engines classically
+    * disagree, pinned against the oracle on a DERIVED nullable key
+    * (the lake itself is non-null): (1) GROUP BY collects NULL keys
+    * into one real group; (2) `count(col)` skips NULLs while
+    * `count(*)` doesn't, and `sum` over an all-NULL slice is NULL
+    * (surfaced via coalesce(-1) so the sentinel crosses parquet);
+    * (3) the self-join on the group key uses NULL-SAFE equality
+    * (`<=>` / IS NOT DISTINCT FROM) — a plain equi-join silently drops
+    * the NULL group, which is exactly the bug class this query
+    * exists to catch. */
+  def qNullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(nullif(col("event_type"), lit("error")).as("k"),
+        when(col("event_type") =!= "signup",
+          floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val g = ev.groupBy("k")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("cents")).as("n_nonnull"),
+        coalesce(sum("cents"), lit(-1L)).as("sum_cents"))
+    g.alias("a")
+      .join(g.alias("b"), expr("a.k <=> b.k"))
+      .select(coalesce(col("a.k"), lit("<null>")).as("k"),
+        col("a.n_rows").as("n_rows"),
+        col("a.n_nonnull").as("n_nonnull"),
+        col("b.sum_cents").as("sum_cents"))
+  }
+
   /** Exact integer quantity units for one line item (quantities are
     * integer-valued doubles in this lake; `floor(x + ½)` pins the cast
     * against truncation-vs-rounding divergence across engines). */
