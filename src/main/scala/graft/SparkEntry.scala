@@ -595,6 +595,10 @@ object SparkEntry {
     // round, early exit on an empty level (exact twin of HyperBall)
     "q_bfs_dist" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qBfsDistances(s, d)),
+    // frontier Bellman-Ford weighted shortest paths: min-cost routing
+    // over the weighted trade graph (BFS's min-plus companion)
+    "q_sssp" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qSsspWeighted(s, d)),
     // harmonic centrality from the HyperBall shells: Σ ΔN(r)/r per
     // node, top-k (Boldi-Vigna; same round artifacts, no new pass)
     "q_harmonic_centrality" -> ((s: SparkSession, d: String) =>
@@ -1536,6 +1540,34 @@ object SparkEntry {
        |    AS node_type,
        |  node // 2 AS node_id, CAST(min(dist) AS BIGINT) AS dist
        |FROM bfs GROUP BY 1, 2""".stripMargin
+
+  /** SSSP oracle: the FULL Bellman-Ford relaxation recurrence, one
+    * min-merge CTE per round — d_r = min(d_{r−1}, relax(d_{r−1})). The
+    * Spark side's frontier variant provably computes the same d_r (see
+    * [[graft.graph.GraphOps.qSsspWeighted]]); both sides are pure
+    * min-plus long arithmetic, so the match is bit-exact. */
+  private def ssspSql(nation: String, maxRounds: Int): String = {
+    val rounds = (1 to maxRounds).map { i =>
+      s"""sd$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
+         |  SELECT node, dist FROM sd${i - 1}
+         |  UNION ALL
+         |  SELECT w.dst AS node, d.dist + w.w AS dist
+         |  FROM wedges w JOIN sd${i - 1} d ON w.src = d.node) u$i
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wpairs AS MATERIALIZED (SELECT l_suppkey AS s, l_partkey AS p,
+       |    CAST(min(l_quantity) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+       |wedges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst, w
+       |  FROM wpairs
+       |  UNION ALL SELECT p * 2 + 1, s * 2, w FROM wpairs),
+       |sd0 AS (SELECT s_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
+       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |    AND n_name = '$nation'),
+       |$rounds
+       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
+       |    AS node_type,
+       |  node // 2 AS node_id, dist FROM sd$maxRounds""".stripMargin
+  }
 
   /** HyperBall oracle: seed registers via the same md5 bucket/rank
     * derivation (bit-smear bitlen — see q_hll_distinct), then `radius`
@@ -4439,6 +4471,8 @@ object SparkEntry {
     "q_hyperball" -> hyperBallSql(2),
     "q_bfs_dist" ->
       bfsSql("NATION_3", graft.graph.GraphOps.BfsMaxDepth),
+    "q_sssp" ->
+      ssspSql("NATION_3", graft.graph.GraphOps.SsspMaxRounds),
     "q_harmonic_centrality" -> harmonicCentralitySql(2, 20),
     "q_hits" -> hitsSql(graft.graph.GraphOps.HitsIters),
     "q_pagerank_weighted" -> pageRankWeightedSql(5),

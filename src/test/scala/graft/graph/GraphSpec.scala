@@ -508,6 +508,58 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 0 && v <= 1000000L))
   }
 
+  test("SSSP takes the cheap 2-hop route over the expensive direct edge") {
+    // 1→2 costs 10 direct, but 1→3→2 costs 1+2=3; tail 2→4 extends it
+    val arcs = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 4L, 5L))
+    val edges = (arcs ++ arcs.map(a => (a._2, a._1, a._3)))
+      .toDF("src", "dst", "w")
+    val got = GraphOps.ssspFrom(edges, Seq(1L).toDF("node"), maxRounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 3L -> 1L, 2L -> 3L, 4L -> 8L))
+    // the round cap bounds path LENGTH: with one round only the direct
+    // edges are reachable, so 2 keeps its expensive 1-hop cost
+    val capped = GraphOps.ssspFrom(edges, Seq(1L).toDF("node"), maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === Map(1L -> 0L, 2L -> 10L, 3L -> 1L))
+  }
+
+  test("SSSP frontier relaxation equals full Bellman-Ford on a cycle") {
+    // ring 1..5 (unit weights) + chord 1-4 cost 10: frontier skipping
+    // must still find the ring-route minima everywhere
+    val ring = (1L to 5L).map(i => (i, i % 5 + 1, 1L))
+    val arcs = ring :+ ((1L, 4L, 10L))
+    val edges = (arcs ++ arcs.map(a => (a._2, a._1, a._3)))
+      .toDF("src", "dst", "w")
+    def full(rounds: Int): Map[Long, Long] = {
+      val es = arcs ++ arcs.map(a => (a._2, a._1, a._3))
+      var d = Map(1L -> 0L)
+      for (_ <- 1 to rounds)
+        d = (d.toSeq ++ es.flatMap { case (s, t, w) =>
+          d.get(s).map(ds => t -> (ds + w)) })
+          .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      d
+    }
+    for (r <- 1 to 4) {
+      val got = GraphOps.ssspFrom(edges, Seq(1L).toDF("node"), r)
+        .as[(Long, Long)].collect().toMap
+      assert(got === full(r), s"round $r")
+    }
+  }
+
+  test("SSSP is identical across shuffle layouts and multi-source") {
+    val arcs = Seq((1L, 2L, 3L), (2L, 3L, 4L), (3L, 4L, 1L), (4L, 1L, 2L),
+      (4L, 5L, 7L))
+    val edges = (arcs ++ arcs.map(a => (a._2, a._1, a._3)))
+      .toDF("src", "dst", "w")
+    val a = GraphOps.ssspFrom(edges.repartition(1),
+      Seq(1L, 5L).toDF("node"), 6).as[(Long, Long)].collect().toMap
+    val b = GraphOps.ssspFrom(edges.repartition(5, col("dst")),
+      Seq(1L, 5L).toDF("node"), 6).as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a(5L) === 0L && a(1L) === 0L)
+    assert(a(4L) === 2L) // via node 1's side, not 5's direct 7
+  }
+
   test("BFS is identical across shuffle layouts") {
     val arcs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 4L -> 5L)
     val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")
