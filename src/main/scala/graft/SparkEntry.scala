@@ -569,6 +569,10 @@ object SparkEntry {
     // the host-clustering step before per-community sampling caps
     "q_label_prop" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qLabelProp(s, d)),
+    // Newman modularity of the LPA partition: per-community Q in exact
+    // ppm — the partition-quality gate before community-based sampling
+    "q_modularity" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qModularity(s, d)),
     // market-basket pair mining: support-thresholded co-occurrence
     // edges with exact-integer lift numerators
     "q_copurchase" -> ((s: SparkSession, d: String) =>
@@ -1472,22 +1476,56 @@ object SparkEntry {
     * in-neighbors, keep the most frequent with min-label tiebreak —
     * mirrors [[graft.graph.GraphOps.labelPropagation]]'s
     * `min(struct(-c, lbl))` exactly. */
-  private def labelPropSql(iters: Int): String = {
+  /** Shared LPA-round CTE chain `l0..l<iters> (node, lbl)` over the
+    * arc relation `rel(src, dst)` — referenced by both the label-prop
+    * oracle (trade graph) and the modularity census (co-purchase
+    * graph). */
+  private def lpaRoundsCte(iters: Int, rel: String = "edges"): String = {
     val rounds = (1 to iters).map { i =>
       s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
          |  SELECT dst AS node, lbl, c, max(c) OVER (PARTITION BY dst) AS mc
          |  FROM (SELECT e2.dst, l.lbl, count(*) AS c
-         |        FROM edges e2 JOIN l${i - 1} l ON e2.src = l.node
+         |        FROM $rel e2 JOIN l${i - 1} l ON e2.src = l.node
          |        GROUP BY 1, 2) c$i) m$i
          |  WHERE c = mc GROUP BY 1)""".stripMargin
     }.mkString(",\n")
+    s"""l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM $rel),
+       |$rounds""".stripMargin
+  }
+
+  private def labelPropSql(iters: Int): String =
     s"""WITH $tradeGraphCte,
-       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
-       |$rounds
+       |${lpaRoundsCte(iters)}
        |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
        |    AS node_type,
        |  node // 2 AS node_id, lbl AS community FROM l$iters""".stripMargin
-  }
+
+  /** Modularity oracle: LPA labels over the co-purchase arcs (shared
+    * round CTE chain), then the Newman per-community Q in ppm — both
+    * divisions on non-negative HUGEINT numerators, subtracted after,
+    * mirroring the Spark side's decimal(38,0) discipline (so
+    * truncate-vs-floor never diverges). */
+  private def modularitySql(iters: Int): String =
+    s"""$copurchaseCte,
+       |cedges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+       |  UNION ALL SELECT v, u FROM und),
+       |${lpaRoundsCte(iters, "cedges")},
+       |lab AS MATERIALIZED (SELECT node, lbl FROM l$iters),
+       |arcs AS (SELECT s.lbl AS slbl, d.lbl AS dlbl FROM cedges e
+       |  JOIN lab s ON e.src = s.node JOIN lab d ON e.dst = d.node),
+       |twom AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM cedges),
+       |pc AS (SELECT slbl AS community,
+       |    CAST(count(*) AS BIGINT) AS tot_deg,
+       |    CAST(sum(CASE WHEN slbl = dlbl THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS in_arcs
+       |  FROM arcs GROUP BY 1),
+       |nn AS (SELECT lbl AS community, count(*) AS n_nodes
+       |  FROM lab GROUP BY 1)
+       |SELECT pc.community, nn.n_nodes, pc.in_arcs, pc.tot_deg,
+       |  CAST((1000000::HUGEINT * pc.in_arcs) // twom.m2
+       |    - (1000000::HUGEINT * pc.tot_deg * pc.tot_deg)
+       |      // (twom.m2 * twom.m2) AS BIGINT) AS q_ppm
+       |FROM pc JOIN nn USING (community) CROSS JOIN twom""".stripMargin
 
   /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
     * truncating integer division per edge then per damping step —
@@ -4457,6 +4495,7 @@ object SparkEntry {
     "q_node_embed" -> nodeEmbedSql(10, 2, graft.graph.GraphOps.PairWindow),
     "q_embed_eval" -> embedEvalSql(10, 2, graft.graph.GraphOps.PairWindow),
     "q_label_prop" -> labelPropSql(graft.graph.GraphOps.LabelPropIters),
+    "q_modularity" -> modularitySql(graft.graph.GraphOps.LabelPropIters),
     "q_copurchase" ->
       s"""$copurchaseCte
          |, ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c

@@ -789,6 +789,80 @@ object GraphOps {
         col("lbl").as("community"))
   }
 
+  /** The co-purchase graph as directed arcs (both directions),
+    * src-partitioned and persisted — the unipartite edge artifact the
+    * community census runs on. Cached per (session, dir) under the
+    * [[tradeEdgesDeg]] compute-once contract. */
+  private val cpArcCache = graft.SessionCache.frames[(String, String)]
+
+  private[graph] def copurchaseArcs(
+      spark: SparkSession, dir: String): DataFrame =
+    cpArcCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
+      val und = copurchaseEdges(spark, dir)
+      val arcs = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(spark.sparkContext.defaultParallelism, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      arcs.count()
+      arcs
+    }
+
+  /** Modularity census of LPA communities over the CO-PURCHASE graph —
+    * the standard "is this partition better than random" score (Newman
+    * Q), per community: Q_c = in_c/2m − (tot_c/2m)², where in_c counts
+    * directed arcs with both ends in c, tot_c the arcs leaving c's
+    * nodes, and 2m all arcs. Σ q_ppm over communities ≈ 1e6·Q — the
+    * evaluation step that turns a partition into a MEASURED partition
+    * (community-based sampling caps are only sound if Q clears a
+    * floor). The unipartite co-purchase graph is the right substrate:
+    * on the bipartite trade graph even-round LPA collapses to the two
+    * sides and Q degenerates to exactly −½ (GraphSpec pins that too).
+    *
+    * Exact integers: both ppm terms are non-negative truncating
+    * divisions on decimal(38,0) numerators (bigint-safe past 1e12
+    * arcs), subtracted AFTER the division — so no negative operand ever
+    * reaches an integral divide, where Spark (toward zero) and DuckDB
+    * (floor) disagree. 2m rides as a one-row broadcast scalar (the HITS
+    * L∞ pattern); everything else is one arc-table aggregation over the
+    * shared labeled arc artifact. */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#lpa-cp", LabelPropIters)
+    val edges = copurchaseArcs(spark, dir)
+    val labels = rankCache.get(key)(lpaRounds(edges, LabelPropIters))
+    modularityCensus(edges, labels)
+  }
+
+  /** The census core: `edges(src, dst)` (both arc directions) ×
+    * `labels(node, lbl)` → per-community (n_nodes, in_arcs, tot_deg,
+    * q_ppm). Factored so the spec can pin positive-Q detection on a
+    * synthetic clustered graph independent of any label algorithm. */
+  private[graph] def modularityCensus(
+      edges: DataFrame, labels: DataFrame): DataFrame = {
+    val arcs = edges
+      .join(labels.select(col("node").as("src"), col("lbl").as("slbl")),
+        "src")
+      .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")),
+        "dst")
+    val perC = arcs.groupBy(col("slbl").as("community"))
+      .agg(count(lit(1)).as("tot_deg"),
+        sum(when(col("slbl") === col("dlbl"), 1L).otherwise(0L))
+          .as("in_arcs"))
+    val nodes = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    val twom = edges.agg(count(lit(1)).as("twom"))
+    perC.join(nodes, "community")
+      .crossJoin(broadcast(twom))
+      .select(col("community"), col("n_nodes"), col("in_arcs"),
+        col("tot_deg"),
+        (expr("cast(cast(in_arcs as decimal(38,0)) * 1000000 div twom" +
+            " as long)") -
+          expr("cast(cast(tot_deg as decimal(38,0)) * tot_deg * 1000000" +
+            " div (cast(twom as decimal(38,0)) * twom) as long)"))
+          .as("q_ppm"))
+  }
+
   // ---- co-occurrence mining + triangle census ----
 
   /** Support threshold for [[copurchaseEdges]]: a pair must co-occur in

@@ -508,6 +508,66 @@ class GraphSpec extends SparkSpec {
     assert(got.values.forall(v => v >= 0 && v <= 1000000L))
   }
 
+  test("modularity census: arc partition invariants and a driver replay") {
+    val dir = "/root/testdata/sf0.001"
+    val q = GraphOps.qModularity(spark, dir).collect()
+    // independent driver-side LPA replay over the co-purchase arcs
+    // (same contract as lpaRounds: max count, min label tiebreak)
+    val und = GraphOps.copurchaseEdges(spark, dir)
+      .select("u", "v").as[(Long, Long)].collect()
+    val arcs = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    var lbl = arcs.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LabelPropIters)
+      lbl = arcs.groupBy(_._2).map { case (d, as) =>
+        val cnt = as.groupBy(a => lbl(a._1)).view.mapValues(_.size).toMap
+        val mc = cnt.values.max
+        d -> cnt.collect { case (l, c) if c == mc => l }.min
+      }
+    val twom = arcs.length.toLong
+    // every arc lands in exactly one community's tot_deg; in_arcs ≤ tot
+    assert(q.map(_.getLong(3)).sum === twom)
+    assert(q.forall(r => r.getLong(2) <= r.getLong(3)))
+    // exact ppm replay per community
+    val want = arcs.groupBy(a => lbl(a._1)).map { case (c, as) =>
+      val tot = as.length.toLong
+      val in = as.count(a => lbl(a._2) == c).toLong
+      c -> ((BigInt(1000000) * in / twom
+        - BigInt(1000000) * tot * tot / (BigInt(twom) * twom)).toLong,
+        tot, in)
+    }
+    val got = q.map(r => r.getLong(0) ->
+      ((r.getLong(4), r.getLong(3), r.getLong(2)))).toMap
+    assert(got === want)
+    // Newman bound. On this dense synthetic fixture LPA floods to one
+    // community and the census correctly DIAGNOSES the worthless
+    // partition as Q = 0 (single community: in = 2m ⇒ both ppm terms
+    // are 1e6) — the "measure before trusting" story. Positive-Q
+    // detection on a genuinely clustered graph is pinned below.
+    val totalQ = q.map(_.getLong(4)).sum
+    assert(totalQ >= -500000L && totalQ <= 1000000L)
+    if (q.length == 1) assert(totalQ === 0L)
+  }
+
+  test("modularity census detects real cluster structure (two cliques)") {
+    // two 4-cliques bridged by one edge; labels = the true cliques
+    val cliqueA = Seq(1L, 2L, 3L, 4L)
+    val cliqueB = Seq(11L, 12L, 13L, 14L)
+    def clique(ns: Seq[Long]) =
+      for (a <- ns; b <- ns if a != b) yield (a, b)
+    val arcs = clique(cliqueA) ++ clique(cliqueB) ++ Seq((4L, 11L), (11L, 4L))
+    val edges = arcs.toDF("src", "dst")
+    val labels = (cliqueA.map(_ -> 1L) ++ cliqueB.map(_ -> 2L))
+      .toDF("node", "lbl")
+    val got = GraphOps.modularityCensus(edges, labels).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // 2m = 26 arcs; each clique: 12 internal arcs, tot 13
+    // q = 1e6·12/26 − 1e6·13²/26² = 461538 − 250000 = 211538
+    assert(got === Map(
+      1L -> ((4L, 12L, 13L, 211538L)), 2L -> ((4L, 12L, 13L, 211538L))))
+    assert(got.values.map(_._4).sum > 400000L) // strongly clustered
+  }
+
   test("SSSP takes the cheap 2-hop route over the expensive direct edge") {
     // 1→2 costs 10 direct, but 1→3→2 costs 1+2=3; tail 2→4 extends it
     val arcs = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (2L, 4L, 5L))
