@@ -239,6 +239,9 @@ object SparkEntry {
       EventQueries.qTargetEncode(s, d)),
     // cohort retention matrix (first-seen week × weeks-since activity)
     "q_retention" -> (EventQueries.qRetention _),
+    // Kaplan-Meier inter-event waits: right-censored tail gaps,
+    // exact-ppm hazard + survival over the calendar-bounded hour spine
+    "q_survival" -> (EventQueries.qSurvival _),
     "q_interval_join" -> ((s: SparkSession, d: String) =>
       EventQueries.qIntervalJoin(s, d)),
     // -- LSP/DPC message-log analytics (SURVEY §2.2, §2.3) --
@@ -3470,6 +3473,47 @@ object SparkEntry {
         |      JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_week, week_offset, count(*) AS n_active
         |FROM a GROUP BY 1, 2""".stripMargin,
+    // KM over inter-event waits: the survival recurrence is a recursive
+    // CTE over the calendar-bounded hour spine — same truncating
+    // integer arithmetic as the Spark side's driver fold (sums CAST to
+    // BIGINT: DuckDB's sum() would otherwise promote to HUGEINT)
+    "q_survival" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_id,
+        |  epoch_us(ts) AS ts_us FROM events),
+        |g AS (SELECT ts_us, lead(ts_us) OVER (PARTITION BY user_id
+        |        ORDER BY ts_us, event_id) AS next_us FROM ev),
+        |hzn AS (SELECT max(ts_us) AS hz FROM ev),
+        |o AS (SELECT (coalesce(next_us, hz) - ts_us) // 3600000000
+        |        AS hour,
+        |        CASE WHEN next_us IS NULL THEN 0 ELSE 1 END AS arrived
+        |      FROM g CROSS JOIN hzn),
+        |cnt AS (SELECT hour, CAST(sum(arrived) AS BIGINT) AS d,
+        |          CAST(sum(1 - arrived) AS BIGINT) AS c
+        |        FROM o GROUP BY 1),
+        |spine AS (SELECT unnest(range(0, (SELECT max(hour) + 1 FROM cnt)))
+        |            AS hour),
+        |dense AS (SELECT s.hour, coalesce(cnt.d, 0) AS d,
+        |            coalesce(cnt.c, 0) AS c
+        |          FROM spine s LEFT JOIN cnt ON s.hour = cnt.hour),
+        |risk AS (SELECT hour, d, c,
+        |    CAST((SELECT count(*) FROM o)
+        |      - coalesce(sum(d + c) OVER (ORDER BY hour
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM dense),
+        |hzd AS (SELECT hour, n_risk, d, c,
+        |    CASE WHEN n_risk > 0 THEN (1000000 * d) // n_risk ELSE 0 END
+        |      AS hp
+        |  FROM risk),
+        |s(hour, n_risk, d, c, hp, surv) AS (
+        |  SELECT hour, n_risk, d, c, hp, CAST(1000000 - hp AS BIGINT)
+        |  FROM hzd WHERE hour = 0
+        |  UNION ALL
+        |  SELECT h.hour, h.n_risk, h.d, h.c, h.hp,
+        |    (s.surv * (1000000 - h.hp)) // 1000000
+        |  FROM s JOIN hzd h ON h.hour = s.hour + 1)
+        |SELECT hour, n_risk, d AS n_arrived, c AS n_censored,
+        |  hp AS hazard_ppm, surv AS survival_ppm FROM s""".stripMargin,
     "q_interval_join" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
         |SELECT e.event_id AS error_event_id, f.event_id AS next_event_id,

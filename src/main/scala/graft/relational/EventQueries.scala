@@ -590,6 +590,65 @@ object EventQueries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Kaplan-Meier survival over inter-event waiting times — "how long
+    * until a user's NEXT event", with right-censoring done properly:
+    * each event contributes one observation — the gap to the same
+    * user's next event (an OBSERVED arrival), or, for a user's last
+    * event, the gap to the corpus horizon (CENSORED: the true wait is
+    * ≥ observed, not equal, so it leaves the risk set without counting
+    * as an arrival — the distinction naive mean-gap estimates get
+    * wrong, biasing wait times low).
+    *
+    * Per hour bucket k: n_risk (observations whose wait reached k),
+    * arrival/censor exits, the KM hazard d_k/n_risk_k in truncating
+    * ppm, and the survival curve S_k = Π_{j≤k}(1 − h_j) under the
+    * integer recurrence S_k = S_{k−1}·(1e6 − h_k) div 1e6 — S_k is
+    * P(next event takes > k hours).
+    *
+    * Scale shape: the heavy work — the per-user lead() ordering and the
+    * hour census — is distributed (user-partitioned window, map-side
+    * combinable agg); the hour table is CALENDAR-BOUNDED (≤ horizon
+    * span in hours — 8.8k/year), so the non-associative survival fold
+    * runs on the driver over a collected kilobyte census, the same
+    * bounded-collect posture as the codebook publishes. The horizon
+    * rides as a one-row broadcast; (ts, event_id) ordering makes ties
+    * deterministic cross-engine. */
+  def qSurvival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), tsMicros.as("ts_us"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+    val horizon = ev.agg(max("ts_us").as("hz"))
+    val census = ev
+      .withColumn("next_us", lead("ts_us", 1).over(w))
+      .crossJoin(broadcast(horizon))
+      .select(
+        (coalesce(col("next_us"), col("hz")) - col("ts_us"))
+          .as("gap_us"),
+        col("next_us").isNotNull.cast("long").as("arrived"))
+      .groupBy(expr("gap_us div 3600000000").as("hour"))
+      .agg(sum("arrived").as("d"), sum(lit(1L) - col("arrived")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (census.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("hour", "n_risk", "n_arrived", "n_censored", "hazard_ppm",
+          "survival_ppm")
+    val byHour = census.map(t => t._1 -> ((t._2, t._3))).toMap
+    var risk = census.map(t => t._2 + t._3).sum
+    var surv = 1000000L
+    val rows = (0L to census.map(_._1).max).map { k =>
+      val (d, c) = byHour.getOrElse(k, (0L, 0L))
+      val h = if (risk > 0) 1000000L * d / risk else 0L
+      surv = surv * (1000000L - h) / 1000000L
+      val row = (k, risk, d, c, h, surv)
+      risk -= d + c
+      row
+    }
+    rows.toDF("hour", "n_risk", "n_arrived", "n_censored", "hazard_ppm",
+      "survival_ppm")
+  }
+
   /** Interval (range) join via time-bucket banding: events following an
     * `error` by the same user within `windowUs`.
     *

@@ -359,6 +359,42 @@ class RelationalSpec extends SparkSpec {
     assert(week0 === first.size.toLong)
   }
 
+  test("KM survival equals a JVM replay; exits telescope the risk set") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val hz = ev.map(_._3).max
+    val obs = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val gaps = sorted.zip(sorted.tail).map { case (a, b) =>
+        ((b._3 - a._3) / 3600000000L, true) }
+      gaps :+ (((hz - sorted.last._3) / 3600000000L, false))
+    }
+    var risk = obs.size.toLong
+    var surv = 1000000L
+    val want = (0L to obs.map(_._1).max).map { k =>
+      val d = obs.count(t => t._1 == k && t._2).toLong
+      val c = obs.count(t => t._1 == k && !t._2).toLong
+      val h = if (risk > 0) 1000000L * d / risk else 0L
+      surv = surv * (1000000L - h) / 1000000L
+      val row = (k, risk, d, c, h, surv); risk -= d + c; row
+    }
+    val got = EventQueries.qSurvival(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(got === want)
+    // every observation exits exactly once: risk telescopes to zero
+    assert(risk === 0L)
+    // the fixture actually exercises the hazard path: arrivals exist
+    // and the curve strictly decays somewhere
+    assert(got.map(_._3).sum > 0L)
+    assert(got.last._6 < 1000000L)
+    // survival is monotone non-increasing from 1e6, never negative
+    got.map(_._6).foldLeft(1000000L) { (p, s) =>
+      assert(s <= p && s >= 0L); s
+    }
+  }
+
   test("top supplier by exact cents equals a JVM-replay max") {
     val cents = Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01") &&
