@@ -175,6 +175,9 @@ object SparkEntry {
     "q_session_paths" -> (EventQueries.qSessionPaths _),
     // incremental additive aggregate maintenance (state never shuffles)
     "q_incr_agg" -> (graft.sources.LakeMerge.qIncrAgg _),
+    // two-sided join-view IVM: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, each leg
+    // delta-bounded; oracle derives the delta by independent subtraction
+    "q_ivm_join" -> (graft.sources.LakeMerge.qIvmJoin _),
     // PSI drift census: deciles fit on the early half, per-bucket terms
     "q_drift_psi" -> (EventQueries.qDriftPsi _),
     // fixed-point EWMA recurrence via bounded grouped-list fold
@@ -2888,6 +2891,28 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS sum_cents
         |FROM events GROUP BY 1""".stripMargin,
+    // independent formulation: delta by SUBTRACTION (full − base) —
+    // hash-matches the engine's three-leg union only if the IVM algebra
+    // neither drops nor double-counts a join pair
+    "q_ivm_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |cut AS (SELECT max(o_orderdate) - INTERVAL 180 DAY AS cut FROM o),
+        |full_v AS (SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |base_v AS (SELECT c_mktsegment, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS rev
+        |  FROM o CROSS JOIN cut
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderdate < cut AND c_custkey % 20 <> 0 GROUP BY 1)
+        |SELECT f.c_mktsegment, coalesce(b.n, 0) AS n_base,
+        |  coalesce(b.rev, 0) AS rev_base_cents,
+        |  f.n - coalesce(b.n, 0) AS n_delta,
+        |  f.rev - coalesce(b.rev, 0) AS rev_delta_cents,
+        |  f.n AS n_view, f.rev AS rev_view_cents
+        |FROM full_v f LEFT JOIN base_v b USING (c_mktsegment)""".stripMargin,
     // chi2 = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)): exact HUGEINT operands,
     // one IEEE division (the q_embedding_cov discipline)
     "q_ab_test" ->

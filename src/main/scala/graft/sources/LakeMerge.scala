@@ -243,6 +243,60 @@ object LakeMerge {
     }
   }
 
+  /** Incrementally maintain a JOIN-aggregate view under deltas on BOTH
+    * join sides — the two-sided companion to [[mergeAdditive]]'s
+    * single-table state absorb. The view is revenue per market segment
+    * over orders ⋈ customer; the fact delta is the trailing 180 days of
+    * orders (late-arriving facts), the dimension delta is every 20th
+    * customer (late-arriving dimension rows, withheld from the base).
+    *
+    * The maintenance algebra: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — each leg
+    * bounded by a delta side, so at 100 TB the big relations are each
+    * STREAM-SCANNED once against a broadcast delta (the stored base
+    * view — here recomputed to have something to merge into — is a
+    * maintained artifact that never reaggregates history). The output
+    * exposes base, delta, and merged view per segment; the DuckDB
+    * oracle derives delta by SUBTRACTION (full − base), an independent
+    * formulation that only hash-matches if the three-leg algebra
+    * neither drops nor double-counts a single join pair. */
+  def qIvmJoin(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val orders = graft.relational.Tables.load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val cut = orders
+      .agg(expr("max(o_orderdate) - interval 180 days").as("cut"))
+    val o = orders.crossJoin(broadcast(cut))
+    val oBase = o.filter(col("o_orderdate") < col("cut"))
+    val oDelta = o.filter(col("o_orderdate") >= col("cut"))
+    val cust = graft.relational.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cBase = cust.filter(pmod(col("c_custkey"), lit(20)) =!= 0)
+    val cDelta = cust.filter(pmod(col("c_custkey"), lit(20)) === 0)
+    def pairs(os: DataFrame, cs: DataFrame): DataFrame =
+      os.join(cs, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("cents"))
+    def agg(df: DataFrame): DataFrame = df.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("cents").as("rev"))
+    val base = agg(pairs(oBase, cBase))
+    val delta = agg(pairs(oDelta, cBase)
+      .unionByName(pairs(oBase, broadcast(cDelta)))
+      .unionByName(pairs(oDelta, broadcast(cDelta))))
+    base.withColumnRenamed("n", "bn").withColumnRenamed("rev", "brev")
+      .join(delta.withColumnRenamed("n", "dn")
+        .withColumnRenamed("rev", "drev"),
+        Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("bn"), lit(0L)).as("n_base"),
+        coalesce(col("brev"), lit(0L)).as("rev_base_cents"),
+        coalesce(col("dn"), lit(0L)).as("n_delta"),
+        coalesce(col("drev"), lit(0L)).as("rev_delta_cents"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_view"),
+        (coalesce(col("brev"), lit(0L)) + coalesce(col("drev"), lit(0L)))
+          .as("rev_view_cents"))
+  }
+
   /** SCD2-apply the change batch to a version-0 history of the customer
     * dimension; emits the full version history. */
   def qScd2(spark: org.apache.spark.sql.SparkSession,
