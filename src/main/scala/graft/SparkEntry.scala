@@ -315,6 +315,10 @@ object SparkEntry {
     "q_bm25_topk" -> ((s: SparkSession, d: String) => TextOps.qBm25TopK(s, d)),
     "q_stopword_prune" -> ((s: SparkSession, d: String) =>
       TextOps.qStopwordPrune(s, d)),
+    // TextRank keywords: PageRank of the stopword-filtered word
+    // co-occurrence graph — text feeding the graph kernel unchanged
+    "q_textrank" -> ((s: SparkSession, d: String) =>
+      TextOps.qTextRank(s, d)),
     // corpus-unigram LM negative log-likelihood (CCNet-style quality)
     "q_perplexity" -> (TextOps.qPerplexity _),
     // interpolated bigram LM (λ=0.75): one order deeper than the
@@ -1552,6 +1556,46 @@ object SparkEntry {
   private val pageRankFinal: String =
     """SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
       |  node // 2 AS node_id, r AS rank_fp""".stripMargin
+
+  /** TextRank oracle: DF-gated stopword filter, filtered-sequence
+    * bigram pairs, then the SAME unrolled PageRank rounds as
+    * [[pageRankSql]] against the word graph (node ids are words). */
+  private def textRankSql(iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""tr$i AS (SELECT dst AS node,
+         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
+         |  FROM we JOIN tr${i - 1} ON we.src = tr${i - 1}.node
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (SELECT doc_id,
+       |    CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
+       |    unnest(l) AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+       |        FROM documents)),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |stopw AS (SELECT tok FROM (
+       |    SELECT tok, count(*) AS dfq
+       |    FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1)
+       |  CROSS JOIN nd WHERE dfq >= n_docs * 0.8),
+       |kept AS (SELECT doc_id, pos, tok FROM toks
+       |  WHERE tok NOT IN (SELECT tok FROM stopw)),
+       |bi AS (SELECT tok, lag(tok) OVER (PARTITION BY doc_id
+       |    ORDER BY pos) AS prev FROM kept),
+       |und AS (SELECT DISTINCT least(prev, tok) AS a,
+       |    greatest(prev, tok) AS b
+       |  FROM bi WHERE prev IS NOT NULL AND prev <> tok),
+       |wedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |wdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg
+       |  FROM wedges GROUP BY 1),
+       |we AS (SELECT wedges.src, dst, outdeg
+       |  FROM wedges JOIN wdeg USING (src)),
+       |tr0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r
+       |  FROM wdeg),
+       |$rounds
+       |SELECT node AS word, r AS rank_fp FROM tr$iters
+       |ORDER BY r DESC, node LIMIT $k""".stripMargin
+  }
 
   private def pageRankSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
@@ -3835,6 +3879,7 @@ object SparkEntry {
         |               THEN 1 ELSE -1 END) AS BIGINT) AS weight
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
         |GROUP BY 1, 2""".stripMargin,
+    "q_textrank" -> textRankSql(5, 30),
     // corpus-derived stoplist (df >= 80% of docs), order-preserving rebuild
     "q_stopword_prune" ->
       """WITH toks AS (SELECT doc_id,

@@ -286,6 +286,47 @@ object TextOps {
       .agg(sum("sign").as("weight"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): corpus-level
+    * salient terms as the PageRank of the word co-occurrence graph —
+    * the unsupervised keyword signal a corpus card or topic-drift
+    * monitor reads. Composition, not new machinery: the DF-gated
+    * stopword rule of [[qStopwordPrune]] filters the token stream,
+    * adjacency IN THE FILTERED SEQUENCE (the classic formulation)
+    * yields distinct co-occurrence pairs, and the shared fixed-point
+    * [[graft.graph.GraphOps.pageRank]] loop ranks the resulting
+    * undirected graph — text feeding the graph family's kernel
+    * unchanged (node ids are words; the loop is id-type-agnostic).
+    *
+    * Scale shape: the token explode and pair distinct are map-side
+    * bounded; the graph is VOCABULARY-sized (Heaps-bounded, like the
+    * BPE type tables), orders smaller than the corpus; ranking costs
+    * the usual one rank-shuffle per round. Top-k exits through a
+    * deterministic (rank desc, word) order. */
+  def qTextRank(spark: SparkSession, dir: String,
+      iters: Int = 5, k: Int = 30): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val stop = toks.select("doc_id", "tok").distinct()
+      .groupBy("tok").agg(count(lit(1)).as("dfq"))
+      .crossJoin(broadcast(n))
+      .filter(col("dfq") >= col("n_docs") * 0.8)
+      .select(col("tok"))
+    val kept = toks.join(broadcast(stop), Seq("tok"), "left_anti")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = kept.withColumn("prev", lag("tok", 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("tok"))
+    val und = bi.select(least(col("prev"), col("tok")).as("a"),
+      greatest(col("prev"), col("tok")).as("b")).distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    graft.graph.GraphOps.pageRank(spark, edges, iters)
+      .orderBy(col("r").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("word"), col("r").as("rank_fp"))
+  }
+
   /** Data-driven stopword pruning — the vocabulary-filter step of a
     * training pipeline: tokens whose document frequency exceeds
     * `dfFrac` of the corpus are dropped, and each document's text is

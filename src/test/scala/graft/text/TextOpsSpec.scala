@@ -515,4 +515,37 @@ class TextOpsSpec extends SparkSpec {
     assert(gotThree.nonEmpty)
     assert(gotThree === replay(three))
   }
+
+  test("textrank: top keywords exclude stopwords and match a JVM replay") {
+    import org.apache.spark.sql.functions._
+    val got = TextOps.qTextRank(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // the fixture vocabulary graph is smaller than k=30: every word ranks
+    assert(got.nonEmpty && got.length <= 30)
+    // every rank carries at least the teleport floor
+    assert(got.forall(_._2 >= 150000000000L))
+    // replay: tokens, DF-gated stoplist, filtered-sequence bigrams,
+    // 5 fixed-point PageRank rounds — all BigInt-free long arithmetic
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val nDocs = docs.length
+    val df = docs.flatMap { case (_, ts) => ts.distinct }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val stop = df.filter(_._2 >= nDocs * 0.8).keySet
+    val pairs = docs.flatMap { case (_, ts) =>
+      val kept = ts.filterNot(stop)
+      kept.zip(kept.tail).filter(p => p._1 != p._2)
+        .map(p => if (p._1 < p._2) p else p.swap)
+    }.distinct
+    val arcs = pairs ++ pairs.map(_.swap)
+    val deg = arcs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to 5)
+      r = arcs.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        r(s) / deg(s) }.sum).toMap
+        .map { case (n, m) => n -> (150000000000L + 85 * m / 100) }
+    val want = r.toSeq.sortBy { case (wd, rk) => (-rk, wd) }.take(30)
+    assert(got.toSeq === want)
+  }
 }
