@@ -599,6 +599,11 @@ object SparkEntry {
     // for non-adjacent 2-hop pairs (hub-capped wedge enumeration)
     "q_link_predict" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qLinkPredict(s, d)),
+    // Borůvka minimum spanning forest: O(log V) contraction rounds —
+    // rows-only by design (inter-round argmin + contraction is not
+    // SQL-expressible; exactness pinned vs driver Kruskal in GraphSpec)
+    "q_mst" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qMst(s, d)),
     // log2-bucket degree distribution (bit-length, no IEEE log)
     "q_degree_hist" -> (graft.graph.GraphOps.qDegreeHist _),
     // HyperBall neighborhood function N(r), r=0..2: per-node HLL ball

@@ -1256,6 +1256,108 @@ object GraphOps {
     dist
   }
 
+  /** Minimum spanning forest via Borůvka contraction — the bulk-
+    * synchronous MST algorithm that actually scales: every round EVERY
+    * component picks its lightest outgoing edge simultaneously, so the
+    * component count at least halves per round and the whole forest
+    * lands in O(log V) rounds of edge-table joins (Kruskal's global
+    * sort + sequential union-find has no distributed formulation;
+    * Prim's is one-frontier-at-a-time). The classic substrate for
+    * single-linkage clustering and network-backbone extraction.
+    *
+    * Determinism: edge weights need not be distinct — selection
+    * minimizes the struct (w, u, v), which is a total order, so the
+    * forest is THE lexicographic-minimum MST under any partitioning
+    * (GraphSpec pins it against a driver-side Kruskal with the same
+    * tie-break). Contraction details: each component's chosen arc forms
+    * a functional pointer graph whose only cycles are 2-cycles (mutual
+    * lightest-edge picks — with the total order, a longer pointer cycle
+    * would need a strictly decreasing closed weight walk); the smaller
+    * component id of each 2-cycle becomes the root, and pointer
+    * jumping (p ← p(p), component-sized table, depth halves per hop)
+    * flattens every tree onto its root.
+    *
+    * Scale shape: per round, ONE join of the edge table against the
+    * node→component map (edges stay the big relation; the map is
+    * node-sized), one map-side-combinable min per component, and
+    * pointer jumps on the COMPONENT-sized table only. Lineage is cut
+    * per round (the BFS/PageRank discipline). Not SQL-expressible
+    * (inter-round argmin + contraction), so the registry entry is
+    * rows-only by design — exactness is pinned in-suite instead. */
+  private[graph] def boruvkaForest(
+      edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    var comp = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("comp"))
+      .localCheckpoint(true)
+    var forest = edges.select("u", "v", "w").limit(0).localCheckpoint(true)
+    var round = 0
+    var live = true
+    while (live && round < maxRounds) {
+      val eC = edges
+        .join(comp.select(col("node").as("u"), col("comp").as("cu")), "u")
+        .join(comp.select(col("node").as("v"), col("comp").as("cv")), "v")
+        .filter(col("cu") =!= col("cv"))
+      // every component's lightest outgoing arc (both directions feed
+      // the min, so each side of an edge sees it)
+      val cand = eC
+        .select(col("cu").as("c"),
+          struct(col("w"), col("u"), col("v"), col("cv").as("o")).as("e"))
+        .unionAll(eC.select(col("cv").as("c"),
+          struct(col("w"), col("u"), col("v"), col("cu").as("o")).as("e")))
+        .groupBy("c").agg(min("e").as("e"))
+        .localCheckpoint(true)
+      if (cand.isEmpty) { live = false }
+      else {
+        forest = forest
+          .unionAll(cand.select(col("e.u").as("u"), col("e.v").as("v"),
+            col("e.w").as("w")).distinct())
+          .localCheckpoint(true)
+        // pointer graph parent(c) = other side; 2-cycles root at the
+        // smaller id, then jump p <- p(p) until flat
+        val par0 = cand.select(col("c"), col("e.o").as("p"))
+        var ptr = par0.alias("a")
+          .join(par0.alias("b"), col("a.p") === col("b.c"))
+          .select(col("a.c").as("c"),
+            when(col("b.p") === col("a.c") && col("a.c") < col("a.p"),
+              col("a.c")).otherwise(col("a.p")).as("p"))
+          .localCheckpoint(true)
+        var jumping = true
+        while (jumping) {
+          val next = ptr.alias("x")
+            .join(ptr.alias("y"), col("x.p") === col("y.c"))
+            .select(col("x.c").as("c"), col("y.p").as("p"))
+            .localCheckpoint(true)
+          jumping = next.alias("n")
+            .join(ptr.alias("o"), col("n.c") === col("o.c"))
+            .filter(col("n.p") =!= col("o.p")).count() > 0
+          ptr = next
+        }
+        comp = comp.alias("m")
+          .join(ptr.alias("r"), col("m.comp") === col("r.c"), "left")
+          .select(col("m.node").as("node"),
+            coalesce(col("r.p"), col("m.comp")).as("comp"))
+          .localCheckpoint(true)
+      }
+      round += 1
+    }
+    forest
+  }
+
+  /** The lexicographic-minimum spanning forest of the co-purchase
+    * graph, association distance `1e6 div support` (strong co-purchase
+    * = short edge) — the single-linkage backbone of the product graph.
+    * Output: the forest edges with their distance and support. */
+  def qMst(spark: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(spark, dir)
+      .select(col("u"), col("v"),
+        expr("1000000 div support").as("w"), col("support"))
+    val forest = boruvkaForest(e.select("u", "v", "w"))
+    forest.join(e, Seq("u", "v", "w"))
+      .select(col("u"), col("v"), col("w").as("dist"), col("support"))
+  }
+
   /** Degree distribution of the trade graph in log₂ buckets, per node
     * type — the first diagnostic run on any new graph (power-law tail ⇒
     * salting/orientation decisions downstream). The bucket is

@@ -620,6 +620,57 @@ class GraphSpec extends SparkSpec {
     assert(a(4L) === 2L) // via node 1's side, not 5's direct 7
   }
 
+  test("Borůvka forest matches known MSTs on synthetic graphs") {
+    // square 1-2-3-4 with weights forcing the diagonal out:
+    // MST = {1-2:1, 2-3:2, 3-4:3}; edge 4-1:9 excluded
+    val sq = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 9L))
+      .toDF("u", "v", "w")
+    val gotSq = GraphOps.boruvkaForest(sq)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotSq === Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+    // equal weights: the lexicographic-minimum MST wins deterministically
+    // (cycle 1-2-3 all weight 5 -> drop the lexicographically largest 2-3)
+    val tie = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L)).toDF("u", "v", "w")
+    val gotTie = GraphOps.boruvkaForest(tie)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotTie === Set((1L, 2L, 5L), (1L, 3L, 5L)))
+    // two disconnected components: a spanning FOREST, one tree each
+    val forest2 = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L),
+      (10L, 11L, 1L)).toDF("u", "v", "w")
+    val gotF = GraphOps.boruvkaForest(forest2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotF === Set((1L, 2L, 1L), (2L, 3L, 2L), (10L, 11L, 1L)))
+    // a chain forces multi-round contraction with long pointer trees
+    val chain = (1L to 12L).sliding(2).map(p => (p.head, p.last, p.head))
+      .toSeq.toDF("u", "v", "w")
+    val gotC = GraphOps.boruvkaForest(chain)
+      .as[(Long, Long, Long)].collect()
+    assert(gotC.length === 11) // every chain edge is in the MST
+  }
+
+  test("Borůvka equals a driver-side Kruskal on the co-purchase graph") {
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.copurchaseEdges(spark, dir)
+      .select(col("u"), col("v"), expr("1000000 div support").as("w"))
+      .as[(Long, Long, Long)].collect()
+    // Kruskal with the same (w, u, v) total order + union-find
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = edges.sortBy(e => (e._3, e._1, e._2)).flatMap {
+      case (u, v, w) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.toSet
+    val got = GraphOps.qMst(spark, dir)
+      .select("u", "v", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // forest size = nodes - components (Kruskal's count pins both)
+    assert(got.size === want.size)
+  }
+
   test("BFS is identical across shuffle layouts") {
     val arcs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 4L -> 5L)
     val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")
