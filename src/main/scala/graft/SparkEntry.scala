@@ -8,7 +8,7 @@ import graft.lsp.LspAnalytics
 import graft.multimodal.Multimodal
 import graft.pipeline.TrainingData
 import graft.relational.{Bucketed, EventQueries, RelationalQueries, Sketches, Skyline, SqlQueries}
-import graft.similarity.{HybridRetrieval, Similarity}
+import graft.similarity.{GridCluster, HybridRetrieval, Similarity}
 import graft.text.TextOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -225,6 +225,17 @@ object SparkEntry {
     "q_ks_test" -> (EventQueries.qKsTest _),
     // Mann-Whitney U / common-language effect size, exact in 2U units
     "q_mann_whitney" -> (EventQueries.qMannWhitney _),
+    // Welch's unequal-variance t² (ppm) + Satterthwaite df (deci) per
+    // type pair — exact cross-multiplied moments on daily dollars
+    "q_welch_ttest" -> (EventQueries.qWelchTtest _),
+    // one-way ANOVA F + eta² across all types, exact rational assembly
+    // over the Πn_i common denominator
+    "q_anova" -> (EventQueries.qAnova _),
+    // day-of-week seasonal index per type (epoch-day dow, exact ppm)
+    "q_seasonality" -> (EventQueries.qSeasonality _),
+    // offline least-squares changepoint (binary segmentation depth 1):
+    // argmax of the exact scaled between-segment gain
+    "q_changepoint" -> (EventQueries.qChangepoint _),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -304,6 +315,9 @@ object SparkEntry {
     // PII redaction with deterministic injection; scrub-hash oracled
     "q_pii_scrub" -> (TextOps.qPiiScrub _),
     "q_lang_guess" -> (TextOps.qLangGuess _),
+    // multinomial naive Bayes lang classifier: micronat Laplace model,
+    // per-doc argmax, resubstitution confusion matrix
+    "q_naive_bayes" -> (TextOps.qNaiveBayes _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     // feature hashing (the hashing trick): vocabulary-free sparse text
     // vectors, integer weights -> exact oracle
@@ -447,6 +461,10 @@ object SparkEntry {
     // the trained cells, components labeled by min member
     "q_semdedup" -> ((s: SparkSession, d: String) =>
       Similarity.qSemDedup(s, d)),
+    // grid-density clustering (DBSCAN-lite): dense-cell census with
+    // CC-labeled clusters over the 8-neighbor cell adjacency
+    "q_grid_cluster" -> ((s: SparkSession, d: String) =>
+      GridCluster.qGridCluster(s, d)),
     // contrastive hard negatives: top-k cross-label neighbors via the
     // banded candidate path; brute-force-with-label-filter oracle
     // MMR diversified top-k: greedy λ-tradeoff re-rank of a relevance
@@ -587,6 +605,10 @@ object SparkEntry {
     // edges with exact-integer lift numerators
     "q_copurchase" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qCopurchase(s, d)),
+    // Apriori level 3: frequent triples with lossless level-wise
+    // pruning (items -> pairs -> semi-joined triple candidates)
+    "q_freq_triples" -> ((s: SparkSession, d: String) =>
+      RelationalQueries.qFreqTriples(s, d)),
     // per-node triangle count + clustering coefficient via
     // degree-ordered orientation (hub wedge work capped at O(√E))
     "q_triangles" -> ((s: SparkSession, d: String) =>
@@ -610,6 +632,10 @@ object SparkEntry {
     // sketches merged along arcs (max commutes → oracle-exact)
     "q_hyperball" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qHyperBall(s, d)),
+    // effective diameter (90th-percentile distance) interpolated from
+    // the HyperBall neighborhood function, exact 1e-4 fixed point
+    "q_effective_diameter" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qEffectiveDiameter(s, d)),
     // multi-source BFS hop distances: frontier-sized shuffles per
     // round, early exit on an empty level (exact twin of HyperBall)
     "q_bfs_dist" -> ((s: SparkSession, d: String) =>
@@ -1717,6 +1743,31 @@ object SparkEntry {
     }.mkString("\nUNION ALL ")
     s"""WITH ${hyperBallCtes(radius)}
        |$unions""".stripMargin
+  }
+
+  /** Effective-diameter oracle: the same neighborhood function from the
+    * replayed HyperBall rounds, then the smallest 90%-crossing radius
+    * with the linear shell interpolation in 1e-4 fixed point (all
+    * divisions non-negative, so `//` matches Spark's `div`). */
+  private def effectiveDiameterSql(radius: Int): String = {
+    val unions = (0 to radius).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(est_e4) AS BIGINT) AS nf_e4 FROM pe$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${hyperBallCtes(radius)},
+       |nf AS ($unions),
+       |tgt AS (SELECT nf_e4 AS nf_max FROM nf WHERE r = $radius),
+       |lagd AS (SELECT r, n_nodes, nf_e4,
+       |    lag(nf_e4) OVER (ORDER BY r) AS nf_prev
+       |  FROM nf),
+       |hit AS (SELECT l.*, t.nf_max FROM lagd l CROSS JOIN tgt t
+       |  WHERE l.nf_e4 * 10 >= t.nf_max * 9
+       |  ORDER BY l.r LIMIT 1)
+       |SELECT r AS r_eff, n_nodes, nf_e4 AS nf_r, nf_max,
+       |  CAST(CASE WHEN r = 0 THEN 0
+       |    ELSE (r - 1) * 10000 + (nf_max * 9 - nf_prev * 10) * 10000
+       |      // ((nf_e4 - nf_prev) * 10) END AS BIGINT) AS d_eff_e4
+       |FROM hit""".stripMargin
   }
 
   /** HITS oracle: unrolled mutual-reinforcement rounds with the same
@@ -3148,6 +3199,87 @@ object SparkEntry {
         |  CAST((sum(2 * ca * cumb_below + ca * cb) * 500000) // (n1 * n2) AS BIGINT)
         |    AS cles_ppm
         |FROM c GROUP BY 1, 2, 3, 4""".stripMargin,
+    "q_welch_ttest" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS y
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1),
+        |v AS (SELECT event_type, n, s, n::HUGEINT * ss - s::HUGEINT * s AS v FROM m),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    a.n AS n1, b.n AS n2,
+        |    a.s::HUGEINT * b.n - b.s::HUGEINT * a.n AS md_num,
+        |    a.v * b.n::HUGEINT * b.n * (b.n - 1) AS a1,
+        |    b.v * a.n::HUGEINT * a.n * (a.n - 1) AS a2
+        |  FROM v a JOIN v b ON a.event_type < b.event_type)
+        |SELECT ta, tb, n1, n2,
+        |  CAST(md_num * md_num * (n1 - 1) * (n2 - 1) * 1000000
+        |    // (a1 + a2) AS BIGINT) AS t2_ppm,
+        |  CAST((a1 + a2) * (a1 + a2) * (n1 - 1) * (n2 - 1) * 10
+        |    // (a1 * a1 * (n2 - 1) + a2 * a2 * (n1 - 1)) AS BIGINT) AS nu_deci
+        |FROM pr""".stripMargin,
+    "q_anova" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS y
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
+        |  FROM daily GROUP BY 1),
+        |-- product() returns DOUBLE, exact below 2^53 (sizes are ~30 each)
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS BIGINT) AS t, CAST(sum(ss) AS BIGINT) AS sstot,
+        |    CAST(product(n) AS HUGEINT) AS p
+        |  FROM g),
+        |terms AS (SELECT t2.k, t2.nn, t2.t, t2.sstot, t2.p,
+        |    sum(g.s::HUGEINT * g.s * (t2.p // g.n)) AS sum_s2pn
+        |  FROM g CROSS JOIN tot t2 GROUP BY 1, 2, 3, 4, 5),
+        |np AS (SELECT k, nn,
+        |    nn::HUGEINT * sum_s2pn - t::HUGEINT * t * p AS ssb_np,
+        |    (nn::HUGEINT * sstot - t::HUGEINT * t) * p AS sst_np
+        |  FROM terms)
+        |SELECT k, nn AS n_days,
+        |  CAST(ssb_np * 1000000 // sst_np AS BIGINT) AS eta2_ppm,
+        |  CAST(ssb_np * (nn - k) * 1000000
+        |    // ((sst_np - ssb_np) * (k - 1)) AS BIGINT) AS f_ppm
+        |FROM np""".stripMargin,
+    "q_seasonality" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |bd AS (SELECT event_type, (day + 4) % 7 AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_days, CAST(sum(y) AS BIGINT) AS cents
+        |  FROM daily GROUP BY 1, 2),
+        |bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_all,
+        |    CAST(sum(y) AS BIGINT) AS cents_all
+        |  FROM daily GROUP BY 1)
+        |SELECT bd.event_type, bd.dow, bd.n_days, bd.cents,
+        |  CAST(bd.cents * 1000000 // bt.cents_all AS BIGINT) AS share_ppm,
+        |  CAST(bd.cents::HUGEINT * bt.n_days_all * 1000000
+        |    // (bt.cents_all::HUGEINT * bd.n_days) AS BIGINT) AS index_ppm
+        |FROM bd JOIN bt USING (event_type)""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS y
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT event_type, day, y,
+        |    CAST(row_number() OVER w AS BIGINT) AS kk,
+        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |sc AS (SELECT *,
+        |    (sk::HUGEINT * sk * (n - kk) + (sn - sk)::HUGEINT * (sn - sk) * kk)
+        |      * 1048576 // (kk::HUGEINT * (n - kk)) AS g_scaled
+        |  FROM cum WHERE kk < n),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY g_scaled DESC, kk ASC) AS rn FROM sc)
+        |SELECT event_type, n AS n_days, kk AS split_k, day AS split_day,
+        |  sk // kk AS mean_left, (sn - sk) // (n - kk) AS mean_right,
+        |  CAST(g_scaled AS BIGINT)
+        |    - CAST(sn::HUGEINT * sn * 1048576 // n AS BIGINT) AS gain_scaled
+        |FROM best WHERE rn = 1""".stripMargin,
     "q_ks_test" ->
       """WITH h AS (SELECT event_type,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt
@@ -4627,6 +4759,76 @@ object SparkEntry {
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
+    "q_effective_diameter" -> effectiveDiameterSql(3),
+    // the oracle skips the Apriori pruning on purpose: downward closure
+    // makes every prune lossless, so the naive triple count is the spec
+    "q_freq_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem)
+        |SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM li a
+        |JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        |JOIN li c ON a.ok = c.ok AND b.pk < c.pk
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+    "q_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+        |vocab AS (SELECT DISTINCT tok FROM cnt),
+        |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        |grid AS (SELECT lt.lang AS mlang, vocab.tok,
+        |    CAST(floor(ln((COALESCE(cnt.c, 0) + 1)::DOUBLE
+        |      / (lt.t + vn.v)::DOUBLE) * 1e6) AS BIGINT) AS w
+        |  FROM vocab CROSS JOIN lt CROSS JOIN vn
+        |  LEFT JOIN cnt ON cnt.lang = lt.lang AND cnt.tok = vocab.tok),
+        |prior AS (SELECT d.lang AS mlang,
+        |    CAST(floor(ln(d.nd::DOUBLE / n.n::DOUBLE) * 1e6) AS BIGINT)
+        |      AS prior_w
+        |  FROM (SELECT lang, count(*) AS nd FROM documents GROUP BY 1) d
+        |  CROSS JOIN (SELECT count(*) AS n FROM documents) n),
+        |sc AS (SELECT t.doc_id, t.lang, g.mlang,
+        |    CAST(sum(g.w) AS BIGINT) AS tok_w
+        |  FROM toks t JOIN grid g USING (tok) GROUP BY 1, 2, 3),
+        |pick AS (SELECT sc.doc_id, sc.lang, sc.mlang,
+        |    row_number() OVER (PARTITION BY sc.doc_id
+        |      ORDER BY sc.tok_w + p.prior_w DESC, sc.mlang) AS rn
+        |  FROM sc JOIN prior p USING (mlang))
+        |SELECT lang, mlang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    "q_grid_cluster" ->
+      """WITH RECURSIVE pts AS (SELECT vec_id,
+        |    CAST(floor(embedding[1]::DOUBLE * 10000) + 10000 AS BIGINT)
+        |      // 1000 AS gx,
+        |    CAST(floor(embedding[2]::DOUBLE * 10000) + 10000 AS BIGINT)
+        |      // 1000 AS gy
+        |  FROM embeddings),
+        |cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_pts,
+        |    gx * 100000 + gy AS cell_id
+        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 5),
+        |adj AS (SELECT a.cell_id AS src, b.cell_id AS dst
+        |  FROM cells a JOIN cells b
+        |  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
+        |reach(a, b) AS (SELECT cell_id, cell_id FROM cells
+        |  UNION
+        |  SELECT r.a, j.dst FROM reach r JOIN adj j ON r.b = j.src),
+        |lbl AS (SELECT a AS cell_id, min(b) AS cluster_id
+        |  FROM reach GROUP BY 1),
+        |dense AS (SELECT l.cluster_id,
+        |    CAST(count(*) AS BIGINT) AS n_cells,
+        |    CAST(sum(c.n_pts) AS BIGINT) AS n_points,
+        |    min(c.gx) AS gx_min, max(c.gx) AS gx_max,
+        |    min(c.gy) AS gy_min, max(c.gy) AS gy_max
+        |  FROM cells c JOIN lbl l USING (cell_id) GROUP BY 1)
+        |SELECT * FROM dense
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM pts p LEFT JOIN cells c USING (gx, gy)
+        |WHERE c.cell_id IS NULL""".stripMargin,
     "q_bfs_dist" ->
       bfsSql("NATION_3", graft.graph.GraphOps.BfsMaxDepth),
     "q_sssp" ->

@@ -1284,14 +1284,88 @@ object GraphOps {
     * per round (the BFS/PageRank discipline). Not SQL-expressible
     * (inter-round argmin + contraction), so the registry entry is
     * rows-only by design — exactness is pinned in-suite instead. */
+  /** A frame materialized into a FRESH leaf (persisted copied-row RDD +
+    * `internalCreateDataFrame`), returned with the RDD handle for eager
+    * unpersist. Deliberately NOT `localCheckpoint`: Spark 4's checkpoint
+    * carries the original plan's statistics into the `LogicalRDD`
+    * (`rewriteStatsAndConstraints`), so an iterative join of checkpointed
+    * frames MULTIPLIES sizeInBytes round over round — the BigInt's digit
+    * count doubles per join and by round ~3 of a nested loop the driver
+    * sits in megadigit Karatsuba multiplications inside the stats visitor
+    * (observed: q_mst wedged at sf0.01). The copied-RDD leaf resets stats
+    * to the honest default every round. */
+  /** A frame materialized into a FRESH leaf (persisted copied-row RDD +
+    * `internalCreateDataFrame`), returned with its row count and the RDD
+    * handle for eager unpersist. Deliberately NOT `localCheckpoint`:
+    * Spark 4's checkpoint carries the original plan's statistics into
+    * the `LogicalRDD` (`rewriteStatsAndConstraints`), so an iterative
+    * join of checkpointed frames MULTIPLIES sizeInBytes round over
+    * round — the BigInt's digit count doubles per join and by round ~3
+    * of a nested loop the driver sits in megadigit Karatsuba
+    * multiplications inside the stats visitor (observed: q_mst wedged
+    * at sf0.01). The copied-RDD leaf resets stats to the honest default
+    * every round, and the forcing count doubles as the loop's
+    * emptiness/convergence probe — no separate action. */
+  private def matLeaf(df: DataFrame): (DataFrame, Long,
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) = {
+    val schema = df.schema
+    val rdd = df.queryExecution.toRdd.map(graft.CopyInternalRow)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count() // one forcing action
+    (org.apache.spark.sql.GraftShim.ofInternalRows(
+      df.sparkSession, rdd, schema), n, rdd)
+  }
+
+  /** Below this edge count the forest is solved with a driver-side
+    * Kruskal over the (already aggregated, support-filtered) edge set —
+    * the same size-gated strategy switch as the dedup-cluster
+    * [[graft.pipeline.TrainingData]] local solve, and justified the same
+    * way: the SUPPORT-THRESHOLDED co-purchase graph is a sliver of the
+    * corpus, so even very large runs often land under the gate, and the
+    * tie-break order (w, u, v) is identical in both paths so the output
+    * is bit-for-bit the same forest (GraphSpec pins local == forced
+    * distributed). The distributed Borůvka loop below carries anything
+    * larger in O(log V) rounds. */
+  private[graph] val MstLocalSolveMaxEdges = 2L << 20
+
+  private def kruskalLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select("u", "v", "w").as[(Long, Long, Long)].collect()
+      .sortBy { case (u, v, w) => (w, u, v) }
+    val parent = collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kept = es.iterator.flatMap { case (u, v, w) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru == rv) None else { parent(ru) = rv; Some((u, v, w)) }
+    }.toSeq
+    kept.toDF("u", "v", "w")
+  }
+
   private[graph] def boruvkaForest(
-      edges: DataFrame, maxRounds: Int = 16): DataFrame = {
-    var comp = edges.select(col("u").as("node"))
+      edgesIn: DataFrame, maxRounds: Int = 16,
+      localSolveMax: Long = MstLocalSolveMaxEdges): DataFrame = {
+    val rdds = collection.mutable.Buffer.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
+    val (edges, nEdges, edgesRdd) = matLeaf(edgesIn) // resident across rounds
+    if (nEdges <= localSolveMax) {
+      val out = kruskalLocal(edges)
+      edgesRdd.unpersist(blocking = false)
+      return out
+    }
+    rdds += edgesRdd
+    var (comp, _, compRdd) = matLeaf(edges.select(col("u").as("node"))
       .unionAll(edges.select(col("v").as("node")))
       .distinct()
-      .select(col("node"), col("node").as("comp"))
-      .localCheckpoint(true)
-    var forest = edges.select("u", "v", "w").limit(0).localCheckpoint(true)
+      .select(col("node"), col("node").as("comp")))
+    rdds += compRdd
+    // per-round chosen-edge frames; unioned ONCE at the end (their cand
+    // leaves stay persisted until then, so no round re-copies the
+    // accumulated forest)
+    val picks = collection.mutable.Buffer.empty[DataFrame]
     var round = 0
     var live = true
     while (live && round < maxRounds) {
@@ -1301,47 +1375,53 @@ object GraphOps {
         .filter(col("cu") =!= col("cv"))
       // every component's lightest outgoing arc (both directions feed
       // the min, so each side of an edge sees it)
-      val cand = eC
+      val (cand, nCand, candRdd) = matLeaf(eC
         .select(col("cu").as("c"),
           struct(col("w"), col("u"), col("v"), col("cv").as("o")).as("e"))
         .unionAll(eC.select(col("cv").as("c"),
           struct(col("w"), col("u"), col("v"), col("cu").as("o")).as("e")))
-        .groupBy("c").agg(min("e").as("e"))
-        .localCheckpoint(true)
-      if (cand.isEmpty) { live = false }
+        .groupBy("c").agg(min("e").as("e")))
+      rdds += candRdd
+      if (nCand == 0) live = false
       else {
-        forest = forest
-          .unionAll(cand.select(col("e.u").as("u"), col("e.v").as("v"),
-            col("e.w").as("w")).distinct())
-          .localCheckpoint(true)
+        picks += cand.select(col("e.u").as("u"), col("e.v").as("v"),
+          col("e.w").as("w"))
         // pointer graph parent(c) = other side; 2-cycles root at the
-        // smaller id, then jump p <- p(p) until flat
+        // smaller id, then jump p <- p(p) until flat. The convergence
+        // flag rides IN the jump join (y.p != x.p), so each jump is one
+        // materialization plus a count over the persisted leaf.
         val par0 = cand.select(col("c"), col("e.o").as("p"))
-        var ptr = par0.alias("a")
+        var (ptr, _, ptrRdd) = matLeaf(par0.alias("a")
           .join(par0.alias("b"), col("a.p") === col("b.c"))
           .select(col("a.c").as("c"),
             when(col("b.p") === col("a.c") && col("a.c") < col("a.p"),
-              col("a.c")).otherwise(col("a.p")).as("p"))
-          .localCheckpoint(true)
+              col("a.c")).otherwise(col("a.p")).as("p")))
         var jumping = true
         while (jumping) {
-          val next = ptr.alias("x")
+          val (step, _, stepRdd) = matLeaf(ptr.alias("x")
             .join(ptr.alias("y"), col("x.p") === col("y.c"))
-            .select(col("x.c").as("c"), col("y.p").as("p"))
-            .localCheckpoint(true)
-          jumping = next.alias("n")
-            .join(ptr.alias("o"), col("n.c") === col("o.c"))
-            .filter(col("n.p") =!= col("o.p")).count() > 0
-          ptr = next
+            .select(col("x.c").as("c"), col("y.p").as("p"),
+              (col("y.p") =!= col("x.p")).as("chg")))
+          jumping = step.filter(col("chg")).limit(1).count() > 0
+          ptrRdd.unpersist(blocking = false)
+          ptr = step.select("c", "p"); ptrRdd = stepRdd
         }
-        comp = comp.alias("m")
+        val (c2, _, c2Rdd) = matLeaf(comp.alias("m")
           .join(ptr.alias("r"), col("m.comp") === col("r.c"), "left")
           .select(col("m.node").as("node"),
-            coalesce(col("r.p"), col("m.comp")).as("comp"))
-          .localCheckpoint(true)
+            coalesce(col("r.p"), col("m.comp")).as("comp")))
+        compRdd.unpersist(blocking = false)
+        ptrRdd.unpersist(blocking = false)
+        comp = c2; compRdd = c2Rdd
+        rdds += c2Rdd
       }
       round += 1
     }
+    val empty = edges.select("u", "v", "w").limit(0)
+    val (forest, _, _) = matLeaf(
+      picks.foldLeft(empty)(_ unionAll _).distinct())
+    rdds.foreach(_.unpersist(blocking = false))
+    compRdd.unpersist(blocking = false)
     forest
   }
 
@@ -1350,12 +1430,17 @@ object GraphOps {
     * = short edge) — the single-linkage backbone of the product graph.
     * Output: the forest edges with their distance and support. */
   def qMst(spark: SparkSession, dir: String): DataFrame = {
-    val e = copurchaseEdges(spark, dir)
+    // materialize the (expensive) co-purchase aggregation ONCE — it is
+    // referenced both as the forest input and as the final support join
+    val (e, _, eRdd) = matLeaf(copurchaseEdges(spark, dir)
       .select(col("u"), col("v"),
-        expr("1000000 div support").as("w"), col("support"))
+        expr("1000000 div support").as("w"), col("support")))
     val forest = boruvkaForest(e.select("u", "v", "w"))
-    forest.join(e, Seq("u", "v", "w"))
+    val out = forest.join(e, Seq("u", "v", "w"))
       .select(col("u"), col("v"), col("w").as("dist"), col("support"))
+    val (res, _, _) = matLeaf(out)
+    eRdd.unpersist(blocking = false)
+    res
   }
 
   /** Degree distribution of the trade graph in log₂ buckets, per node
@@ -1525,5 +1610,49 @@ object GraphOps {
     rounds.foreach(_.unpersist(blocking = false))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
+  /** Effective diameter (the 90th-percentile pairwise distance) from the
+    * HyperBall neighborhood function — THE diameter statistic for
+    * web-scale graphs, where the exact diameter is both intractable
+    * (all-pairs) and meaningless (one stray path dominates). r_eff is
+    * the smallest radius whose neighborhood function clears 90% of
+    * N(radius); the fractional refinement interpolates linearly inside
+    * that shell (Palmer/Faloutsos ANF convention) in exact 1e-4 fixed
+    * point: with the crossing shell [N(r−1), N(r)],
+    *   d_eff_e4 = (r−1)·10⁴ + (9·N_max − 10·N(r−1))·10⁴
+    *              div (10·(N(r) − N(r−1)))
+    * — strictly positive denominator by minimality of r, all-integer,
+    * non-negative floor divisions only. The argmin windows run over the
+    * radius+1 aggregate rows (bounded by the radius constant, not the
+    * graph — the defended global-window posture). Costs the same
+    * persisted [[hyperBallRounds]] artifacts as [[qHyperBall]], two
+    * extra radii deep. */
+  def qEffectiveDiameter(
+      spark: SparkSession, dir: String, radius: Int = 3): DataFrame = {
+    val rounds = hyperBallRounds(spark, dir, radius)
+    val nf = rounds.zipWithIndex.map { case (regs, r) =>
+      ballEstE4(regs)
+        .agg(count(lit(1)).as("n_nodes"), sum("est_e4").as("nf_e4"))
+        .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_e4"))
+    }.reduce(_ unionAll _)
+    val rows = nf.collect() // force while the round frames are live
+    rounds.foreach(_.unpersist(blocking = false))
+    val nfDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), nf.schema)
+    val tgt = nfDf.filter(col("r") === radius)
+      .select(col("nf_e4").as("nf_max"))
+    val w = Window.orderBy("r") // radius+1 rows — bounded by a constant
+    nfDf.crossJoin(broadcast(tgt))
+      .withColumn("nf_prev", lag("nf_e4", 1).over(w))
+      .filter(col("nf_e4") * 10 >= col("nf_max") * 9)
+      .withColumn("rn", row_number().over(Window.orderBy("r")))
+      .filter(col("rn") === 1)
+      .select(col("r").as("r_eff"), col("n_nodes"),
+        col("nf_e4").as("nf_r"), col("nf_max"),
+        when(col("r") === 0, lit(0L)).otherwise(
+          (col("r") - 1) * 10000 +
+            expr("(nf_max * 9 - nf_prev * 10) * 10000" +
+              " div ((nf_e4 - nf_prev) * 10)")).as("d_eff_e4"))
   }
 }

@@ -1372,4 +1372,182 @@ object EventQueries {
         round(expr("cast(cov_num as double)" +
           " / sqrt(cast(var_a * var_b as double))"), 6).as("corr"))
   }
+
+  /** Daily revenue in whole DOLLARS (`y div 100`) — the deliberately
+    * coarsened series the parametric two-sample statistics run on: their
+    * cross-multiplied moment products (S², n·SS, and the Satterthwaite
+    * numerator's fourth-order terms) must fit decimal(38,0), and cents
+    * would spend 4 of those digits per squared factor for no inferential
+    * gain. The `div` is part of the operator's input CONTRACT (both
+    * engines floor identically on the non-negative cents), not a lossy
+    * shortcut. */
+  private def dailyDollars(spark: SparkSession, dir: String): DataFrame =
+    dailyRevenue(spark, dir)
+      .select(col("event_type"), col("day"), expr("y div 100").as("y"))
+
+  /** Welch's unequal-variance t-test between every pair of event types
+    * over their daily-dollar revenue series — the workhorse "did the
+    * mean shift" test (KS asks about the whole distribution, Welch asks
+    * about the mean without assuming equal variances). Everything is
+    * exact integer algebra until the final floor divisions: with
+    * V_i = n_i·SS_i − S_i² (the n²·variance·(n−1) numerator),
+    * and a_i = V_i·n_j²(n_j−1) (so the bracket s₁²/n₁ + s₂²/n₂ is
+    * (a₁+a₂) over the common denominator n₁²n₂²(n₁−1)(n₂−1)),
+    *   t² = (S₁n₂ − S₂n₁)²·(n₁−1)(n₂−1) / (a₁ + a₂)
+    * ships as ppm, and the Satterthwaite df
+    *   ν = (a₁+a₂)²(n₁−1)(n₂−1) / (a₁²(n₂−1) + a₂²(n₁−1))
+    * ships in deci units. All products bounded by the daily-dollar
+    * scale (a_i² ≈ 1e33 at sf0.1 — the reason [[dailyDollars]] exists).
+    * Scale shape: the series is one bounded aggregation; moments are one
+    * map-side-combinable pass; the pair spine is k² rows for k types. */
+  def qWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val m = dailyDollars(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(expr("y * y")).as("ss"))
+      .withColumn("v", expr(
+        "cast(n as decimal(38,0)) * ss - cast(s as decimal(38,0)) * s"))
+    m.select(col("event_type").as("ta"), col("n").as("n1"),
+        col("s").as("s1"), col("v").as("v1"))
+      .crossJoin(m.select(col("event_type").as("tb"), col("n").as("n2"),
+        col("s").as("s2"), col("v").as("v2")))
+      .filter(col("ta") < col("tb"))
+      .withColumn("md_num", expr(
+        "cast(s1 as decimal(38,0)) * n2 - cast(s2 as decimal(38,0)) * n1"))
+      .withColumn("a1", expr(
+        "v1 * cast(n2 as decimal(38,0)) * n2 * (n2 - 1)"))
+      .withColumn("a2", expr(
+        "v2 * cast(n1 as decimal(38,0)) * n1 * (n1 - 1)"))
+      .select(col("ta"), col("tb"), col("n1"), col("n2"),
+        expr("cast(md_num * md_num * (n1 - 1) * (n2 - 1) * 1000000" +
+          " div (a1 + a2) as bigint)")
+          .as("t2_ppm"),
+        expr("cast((a1 + a2) * (a1 + a2) * (n1 - 1) * (n2 - 1) * 10" +
+          " div (a1 * a1 * (n2 - 1) + a2 * a2 * (n1 - 1)) as bigint)")
+          .as("nu_deci"))
+  }
+
+  /** One-way ANOVA across ALL event types over the daily-dollar series —
+    * the k-sample generalization of [[qWelchTtest]]: does ANY type's
+    * mean daily revenue differ. Exact rational assembly: with group
+    * sums S_i, sizes n_i, grand sum T over N days, both sums of squares
+    * are scaled by the common denominator P = Πn_i (k ≈ 5 groups of
+    * ~30 days keeps P ≈ 2e7 and every product inside decimal(38,0)):
+    *   SSB·N·P = N·Σ S_i²·(P/n_i) − T²·P
+    *   SST·N·P = (N·ΣSS − T²)·P
+    * so F = (SSB/(k−1)) / (SSW/(N−k)) ships exactly as
+    * `ssb_np·(N−k)·1e6 div ((sst_np − ssb_np)·(k−1))` ppm. The P/n_i
+    * per-group co-factor is itself exact (P is the product OF the n_i).
+    * One scan to the daily series, one k-row collect-free aggregate,
+    * one broadcast of the k-row moment table. */
+  def qAnova(spark: SparkSession, dir: String): DataFrame = {
+    val g = dailyDollars(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"),
+        sum(expr("y * y")).as("ss"))
+    // k-row global moments, assembled in-plan (no driver collect):
+    // P = Πn_i via exp/ln would be IEEE — aggregate the product exactly
+    // with a decimal product fold instead (k is tiny, the fold is one
+    // combine of k rows)
+    val tot = g.agg(
+      count(lit(1)).as("k"), sum("n").as("nn"), sum("s").as("t"),
+      sum("ss").as("sstot"),
+      // exact integer product of the group sizes: product = exp(Σ ln n)
+      // misrounds, so fold multiplicatively via aggregate() over the
+      // collected-to-array sizes (k rows — bounded by the type universe)
+      expr("aggregate(collect_list(cast(n as decimal(38,0)))," +
+        " cast(1 as decimal(38,0)), (acc, x) -> acc * x)").as("p"))
+    val ssb = g.crossJoin(broadcast(tot))
+      .select(expr("cast(s as decimal(38,0)) * s * (p div n)").as("term"),
+        col("k"), col("nn"), col("t"), col("sstot"), col("p"))
+      .groupBy("k", "nn", "t", "sstot", "p")
+      .agg(sum("term").as("sum_s2pn"))
+    ssb.select(
+        col("k").cast("long").as("k"),
+        col("nn").cast("long").as("n_days"),
+        expr("cast(nn * sum_s2pn - cast(t as decimal(38,0)) * t * p" +
+          " as decimal(38,0))").as("ssb_np"),
+        expr("cast((cast(nn as decimal(38,0)) * sstot -" +
+          " cast(t as decimal(38,0)) * t) * p as decimal(38,0))")
+          .as("sst_np"))
+      .select(col("k"), col("n_days"),
+        expr("cast(ssb_np * 1000000 div sst_np as bigint)")
+          .as("eta2_ppm"),
+        expr("cast(ssb_np * (n_days - k) * 1000000" +
+          " div ((sst_np - ssb_np) * (k - 1)) as bigint)").as("f_ppm"))
+  }
+
+  /** Day-of-week seasonality census per event type — the first
+    * decomposition any revenue series gets. Weekday from pure epoch-day
+    * arithmetic `(day+4) % 7` (0=Sunday; engine `dayofweek` numbering
+    * conventions differ — the [[graft.sources.PartitionedLake]] lesson),
+    * seasonal index as the cross-multiplied exact ratio of dow-mean to
+    * overall-mean daily cents:
+    *   index_ppm = (dow_total · n_days_all · 1e6)
+    *               div (all_total · n_days_dow).
+    * Integer end-to-end; one bounded (type, dow) aggregation joined to
+    * the k-row per-type totals. */
+  def qSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyRevenue(spark, dir)
+      .withColumn("dow", expr("(day + 4) % 7"))
+    val byDow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("y").as("cents"))
+    val byType = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days_all"), sum("y").as("cents_all"))
+    byDow.join(byType, "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"), col("cents"),
+        expr("cents * 1000000 div cents_all").as("share_ppm"),
+        expr("cast(cast(cents as decimal(38,0)) * n_days_all * 1000000" +
+          " div (cast(cents_all as decimal(38,0)) * n_days) as bigint)")
+          .as("index_ppm"))
+  }
+
+  /** Offline least-squares changepoint (binary segmentation, depth 1)
+    * over each type's daily-DOLLAR series ([[dailyDollars]] — the ×2²⁰
+    * argmax pre-scale on squared CENT sums would overflow the bigint
+    * output columns at sf0.1 already) — CUSUM's retrospective
+    * counterpart: WHERE did the level shift, not just whether it drifted.
+    * Minimizing SSE_left(k) + SSE_right(k) is equivalent to maximizing
+    *   g(k) = S_k²/k + (S_n−S_k)²/(n−k),
+    * and the argmax is taken over the EXACT scaled integers
+    *   g_scaled(k) = (S_k²·(n−k) + (S_n−S_k)²·k) · 2²⁰ div (k·(n−k))
+    * (floor division is identical in both engines, and the ×2²⁰
+    * pre-scale keeps the floor from collapsing distinct g's; ties break
+    * on smaller k). Gain over the no-split fit ships as
+    * `(g_best·n − S_n²·2²⁰) div n` in the same scaled units — positive
+    * iff splitting helps at all. Everything flows from ONE cumulative
+    * window over the per-type day series (bounded: days per type), then
+    * a per-type argmax window over n−1 split candidates. */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = dailyDollars(spark, dir)
+    val cum = daily
+      .withColumn("kk", row_number().over(
+        Window.partitionBy("event_type").orderBy("day")))
+      .withColumn("sk", sum("y").over(
+        Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("sn", sum("y").over(Window.partitionBy("event_type")))
+    val scored = cum.filter(col("kk") < col("n"))
+      .withColumn("g_scaled", expr(
+        "cast((cast(sk as decimal(38,0)) * sk * (n - kk) +" +
+          " cast(sn - sk as decimal(38,0)) * (sn - sk) * kk) * 1048576" +
+          " div (cast(kk as decimal(38,0)) * (n - kk)) as decimal(38,0))"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("g_scaled").desc, col("kk").asc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"),
+        col("kk").cast("long").as("split_k"), col("day").as("split_day"),
+        expr("sk div kk").as("mean_left"),
+        expr("(sn - sk) div (n - kk)").as("mean_right"),
+        // subtract two NON-NEGATIVE floor-divs rather than dividing the
+        // (possibly slightly negative, from g_scaled's own floor)
+        // difference: Spark `div` truncates toward zero while DuckDB
+        // `//` floors, and they only agree on non-negative operands
+        expr("cast(g_scaled as bigint)" +
+          " - cast(cast(sn as decimal(38,0)) * sn * 1048576 div n" +
+          " as bigint)").as("gain_scaled"))
+  }
 }

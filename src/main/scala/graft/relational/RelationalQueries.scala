@@ -803,4 +803,45 @@ object RelationalQueries {
       .select(col("s_suppkey"), col("s_name"), col("n_name"))
       .orderBy("s_suppkey")
   }
+
+  /** Frequent 3-itemsets over order baskets (Apriori level 3) — the
+    * association-mining step past [[graft.graph.GraphOps.qCopurchase]]'s
+    * pairs. The level-wise prune is what makes this survive 100 TB:
+    * items below minSupport leave the basket stream FIRST (no infrequent
+    * item can appear in a frequent pair), then only occurrences of
+    * FREQUENT pairs (a semi join against the level-2 survivors) are
+    * extended by a third basket item, and the two new sub-pairs of each
+    * candidate are pruned against the same frequent-pair set before the
+    * final count — the downward-closure property makes every prune
+    * lossless, so a DuckDB oracle can skip the pruning and count the
+    * naive triple join; identical rows. The candidate fan-out per basket
+    * is bounded by (frequent items per basket)³ instead of (basket
+    * size)³·orders. */
+  def qFreqTriples(
+      spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val freqItems = li.groupBy("pk").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport).select("pk")
+    val li1 = li.join(freqItems, Seq("pk"), "left_semi")
+    val pairOcc = li1.select(col("ok"), col("pk").as("p1"))
+      .join(li1.select(col("ok"), col("pk").as("p2")), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+    val freqPairs = pairOcc.groupBy("p1", "p2")
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minSupport).select("p1", "p2")
+    pairOcc
+      .join(freqPairs, Seq("p1", "p2"), "left_semi")
+      .join(li1.select(col("ok"), col("pk").as("p3")), Seq("ok"))
+      .filter(col("p2") < col("p3"))
+      // downward closure: both new sub-pairs must be frequent too
+      .join(freqPairs.select(col("p1"), col("p2").as("p3")),
+        Seq("p1", "p3"), "left_semi")
+      .join(freqPairs.select(col("p1").as("p2"), col("p2").as("p3")),
+        Seq("p2", "p3"), "left_semi")
+      .groupBy("p1", "p2", "p3")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

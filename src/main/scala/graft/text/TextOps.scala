@@ -775,4 +775,61 @@ object TextOps {
       order = Seq(col("sim_ppm").desc, col("did").asc),
       k = k)
   }
+
+  /** Multinomial naive-Bayes language classifier, trained and evaluated
+    * on the corpus itself (the resubstitution confusion matrix) — the
+    * generative counterpart to [[qLangGuess]]'s n-gram heuristic and
+    * the SGD classifier's discriminative score. Laplace-smoothed token
+    * likelihoods per language plus a class prior, scored additively per
+    * token occurrence, argmax with a lexicographic tiebreak.
+    *
+    * Determinism posture: weights are floor(1e6·ln((c+1)/(T+V))) — the
+    * one ln-based family in the repo (the [[qPerplexity]] / HLL
+    * linear-counting precedent). The floor boundary only flips when an
+    * engine pair's ln differs across an integer multiple of 1e-6 in the
+    * weight, i.e. with probability ~1e-9 per distinct (lang, token)
+    * model cell; scores are sums of those shared integer weights, so
+    * any discrepancy would be a single cell's ±1 micronat — far below
+    * every argmax margin on real text. Scale shape: the model is a
+    * (vocab × langs) relation built from one token aggregation — the
+    * standing artifact a 100 TB run would bucket by token; the scoring
+    * pass is one equi-join of the token stream against it (langs
+    * multiply the stream by k, not the corpus by vocab), one (doc,
+    * lang) aggregation, one per-doc argmax window. */
+  def qNaiveBayes(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val langTot = cnt.groupBy("lang").agg(sum("c").as("t"))
+    val vocabN = cnt.select("tok").distinct().agg(count(lit(1)).as("v"))
+    // dense (tok × lang) weight grid: unseen cells get the same Laplace
+    // floor weight as any once-removed token (c = 0)
+    val grid = cnt.select("tok").distinct()
+      .crossJoin(broadcast(langTot))
+      .join(cnt, Seq("lang", "tok"), "left")
+      .na.fill(0L, Seq("c"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("lang").as("mlang"), col("tok"),
+        floor(log((col("c") + 1).cast("double") / (col("t") + col("v"))
+          .cast("double")) * 1e6).cast("long").as("w"))
+    val prior = docs.groupBy("lang").agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+      .select(col("lang").as("mlang"),
+        floor(log(col("nd").cast("double") / col("n").cast("double")) * 1e6)
+          .cast("long").as("prior_w"))
+    val scored = toks
+      .join(grid, "tok") // k langs per token occurrence
+      .groupBy(col("doc_id"), col("lang"), col("mlang"))
+      .agg(sum("w").as("tok_w"))
+      .join(broadcast(prior), "mlang")
+      .withColumn("score", col("tok_w") + col("prior_w"))
+    val pick = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("mlang").asc)
+    scored
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .groupBy(col("lang"), col("mlang").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

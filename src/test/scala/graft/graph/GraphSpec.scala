@@ -625,25 +625,25 @@ class GraphSpec extends SparkSpec {
     // MST = {1-2:1, 2-3:2, 3-4:3}; edge 4-1:9 excluded
     val sq = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 9L))
       .toDF("u", "v", "w")
-    val gotSq = GraphOps.boruvkaForest(sq)
+    val gotSq = GraphOps.boruvkaForest(sq, localSolveMax = 0)
       .as[(Long, Long, Long)].collect().toSet
     assert(gotSq === Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
     // equal weights: the lexicographic-minimum MST wins deterministically
     // (cycle 1-2-3 all weight 5 -> drop the lexicographically largest 2-3)
     val tie = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L)).toDF("u", "v", "w")
-    val gotTie = GraphOps.boruvkaForest(tie)
+    val gotTie = GraphOps.boruvkaForest(tie, localSolveMax = 0)
       .as[(Long, Long, Long)].collect().toSet
     assert(gotTie === Set((1L, 2L, 5L), (1L, 3L, 5L)))
     // two disconnected components: a spanning FOREST, one tree each
     val forest2 = Seq((1L, 2L, 1L), (2L, 3L, 2L), (1L, 3L, 3L),
       (10L, 11L, 1L)).toDF("u", "v", "w")
-    val gotF = GraphOps.boruvkaForest(forest2)
+    val gotF = GraphOps.boruvkaForest(forest2, localSolveMax = 0)
       .as[(Long, Long, Long)].collect().toSet
     assert(gotF === Set((1L, 2L, 1L), (2L, 3L, 2L), (10L, 11L, 1L)))
     // a chain forces multi-round contraction with long pointer trees
     val chain = (1L to 12L).sliding(2).map(p => (p.head, p.last, p.head))
       .toSeq.toDF("u", "v", "w")
-    val gotC = GraphOps.boruvkaForest(chain)
+    val gotC = GraphOps.boruvkaForest(chain, localSolveMax = 0)
       .as[(Long, Long, Long)].collect()
     assert(gotC.length === 11) // every chain edge is in the MST
   }
@@ -669,6 +669,28 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
     // forest size = nodes - components (Kruskal's count pins both)
     assert(got.size === want.size)
+  }
+
+  test("effective diameter replays from the HyperBall neighborhood function") {
+    val dir = "/root/testdata/sf0.001"
+    val nf = GraphOps.qHyperBall(spark, dir, radius = 3).collect()
+      .map(r => r.getLong(0).toInt -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nfMax = nf(3)._2
+    val rEff = (0 to 3).find(r => nf(r)._2 * 10 >= nfMax * 9).get
+    val dEff =
+      if (rEff == 0) 0L
+      else {
+        val (prev, cur) = (nf(rEff - 1)._2, nf(rEff)._2)
+        (rEff - 1) * 10000L +
+          (nfMax * 9 - prev * 10) * 10000L / ((cur - prev) * 10)
+      }
+    val Array(row) = GraphOps.qEffectiveDiameter(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) ===
+      ((rEff.toLong, nf(0)._1, nf(rEff)._2, nfMax, dEff)))
+    // the interpolation lands inside the crossing shell
+    assert(row.getLong(4) >= (rEff - 1).max(0) * 10000L &&
+      row.getLong(4) <= rEff * 10000L)
   }
 
   test("BFS is identical across shuffle layouts") {

@@ -723,4 +723,133 @@ class RelationalSpec extends SparkSpec {
     assert(hy > 0 && hy <= math.log(24) + 1e-9)
     assert(nmi >= 0.0 && nmi <= 1.0)
   }
+
+  /** Daily revenue in whole dollars per type, replayed on the driver —
+    * shared fixture for the parametric-stats specs below. */
+  private def dailyDollarsLocal(): Map[String, Seq[Long]] =
+    Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "ts div 86400000000000 as day",
+        "cast(floor(value * 100 + 0.5) as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum / 100L).toSeq
+      .groupBy(_._1._1).view
+      .mapValues(_.sortBy(_._1._2).map(_._2)).toMap
+
+  test("Welch t2/nu equal a BigInt replay AND the IEEE formula") {
+    val series = dailyDollarsLocal()
+    val got = EventQueries.qWelchTtest(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    series.keySet.toSeq.sorted.combinations(2).foreach { case Seq(a, b) =>
+      val (ya, yb) = (series(a), series(b))
+      val (n1, n2) = (BigInt(ya.length), BigInt(yb.length))
+      val (s1, s2) = (BigInt(ya.sum), BigInt(yb.sum))
+      val v1 = n1 * ya.map(y => BigInt(y) * y).sum - s1 * s1
+      val v2 = n2 * yb.map(y => BigInt(y) * y).sum - s2 * s2
+      val md = s1 * n2 - s2 * n1
+      val a1 = v1 * n2 * n2 * (n2 - 1)
+      val a2 = v2 * n1 * n1 * (n1 - 1)
+      val t2 = md * md * (n1 - 1) * (n2 - 1) * 1000000 / (a1 + a2)
+      val nu = (a1 + a2) * (a1 + a2) * (n1 - 1) * (n2 - 1) * 10 /
+        (a1 * a1 * (n2 - 1) + a2 * a2 * (n1 - 1))
+      assert(got((a, b)) ===
+        ((n1.toLong, n2.toLong, t2.toLong, nu.toLong)))
+      // and the exact rational agrees with the textbook IEEE formula
+      val (m1, m2) = (ya.sum.toDouble / ya.length, yb.sum.toDouble / yb.length)
+      def svar(ys: Seq[Long], m: Double) =
+        ys.map(y => (y - m) * (y - m)).sum / (ys.length - 1.0)
+      val se2 = svar(ya, m1) / ya.length + svar(yb, m2) / yb.length
+      val t2d = (m1 - m2) * (m1 - m2) / se2
+      assert(math.abs(t2.toDouble / 1e6 - t2d) <= 1e-4 * (1 + t2d))
+    }
+  }
+
+  test("ANOVA F equals a BigInt replay and eta2 the IEEE decomposition") {
+    val series = dailyDollarsLocal()
+    val Array(row) = EventQueries.qAnova(spark, dir).collect()
+    val groups = series.values.toSeq
+    val k = BigInt(groups.length)
+    val nn = BigInt(groups.map(_.length).sum)
+    val t = BigInt(groups.map(_.sum).sum)
+    val sstot = groups.flatten.map(y => BigInt(y) * y).sum
+    val p = groups.map(g => BigInt(g.length)).product
+    val sumS2pn = groups.map(g => BigInt(g.sum) * BigInt(g.sum) *
+      (p / g.length)).sum
+    val ssbNp = nn * sumS2pn - t * t * p
+    val sstNp = (nn * sstot - t * t) * p
+    assert(row.getLong(0) === k.toLong)
+    assert(row.getLong(1) === nn.toLong)
+    assert(row.getLong(2) === (ssbNp * 1000000 / sstNp).toLong)
+    assert(row.getLong(3) ===
+      (ssbNp * (nn - k) * 1000000 / ((sstNp - ssbNp) * (k - 1))).toLong)
+    // IEEE cross-check of the variance decomposition
+    val grand = t.toDouble / nn.toDouble
+    val ssb = groups.map { g =>
+      val m = g.sum.toDouble / g.length
+      g.length * (m - grand) * (m - grand)
+    }.sum
+    val sst = groups.flatten.map(y => (y - grand) * (y - grand)).sum
+    assert(math.abs(row.getLong(2).toDouble / 1e6 - ssb / sst) <= 1e-4)
+  }
+
+  test("seasonality shares sum to ~1e6 and indices mean-center at ~1e6") {
+    val rows = EventQueries.qSeasonality(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._2).toSet.subsetOf((0L to 6L).toSet))
+      // floors lose < 1 ppm per dow row
+      val share = g.map(_._5).sum
+      assert(share > 1000000L - 7 && share <= 1000000L)
+      // n_days-weighted mean of the index is 1e6 up to per-row floors
+      val wsum = g.map(r => r._6 * r._3).sum
+      val days = g.map(_._3).sum
+      assert(math.abs(wsum.toDouble / days - 1e6) < 7)
+    }
+  }
+
+  test("frequent triples equal the brute-force basket enumeration") {
+    val baskets = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val want = baskets.values.toSeq.flatMap { items =>
+      items.combinations(3).map(c => (c(0), c(1), c(2)))
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 2).toMap
+    val got = RelationalQueries.qFreqTriples(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    assert(got.nonEmpty, "sf0.001 has frequent triples at support 2")
+    assert(got === want, "Apriori pruning is lossless")
+  }
+
+  test("changepoint equals the brute-force SSE argmin per type") {
+    val series = dailyDollarsLocal()
+    val got = EventQueries.qChangepoint(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    assert(got.size === series.size)
+    series.foreach { case (tpe, ys) =>
+      val n = ys.length
+      // brute force: minimize SSE_left + SSE_right in doubles
+      def sse(g: Seq[Long]): Double = {
+        val m = g.sum.toDouble / g.length
+        g.map(y => (y - m) * (y - m)).sum
+      }
+      val bestK = (1 until n).minBy(kk =>
+        (sse(ys.take(kk)) + sse(ys.drop(kk)), kk))
+      val (nDays, splitK, meanL, meanR, gain) = got(tpe)
+      assert(nDays === n.toLong)
+      assert(splitK === bestK.toLong,
+        s"$tpe: argmin split (ties break on smaller k)")
+      assert(meanL === ys.take(bestK).sum / bestK)
+      assert(meanR === ys.drop(bestK).sum / (n - bestK))
+      assert(gain >= -n.toLong, "gain is non-negative up to floor slack")
+    }
+  }
 }

@@ -554,4 +554,46 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
+
+  test("grid clustering equals a JVM union-find replay") {
+    val (cell, minPts) = (1000, 5)
+    val pts = graft.relational.Tables.load(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding[0] as x", "embedding[1] as y")
+      .collect().map { r =>
+        val cx = math.floor(r.getFloat(1).toDouble * 10000).toLong + 10000
+        val cy = math.floor(r.getFloat(2).toDouble * 10000).toLong + 10000
+        (cx / cell, cy / cell)
+      }
+    val cells = pts.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= minPts).toMap
+    // union-find over the 8-neighborhood of dense cells
+    val parent = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    def find(c: (Long, Long)): (Long, Long) = {
+      val p = parent.getOrElse(c, c)
+      if (p == c) c else { val r = find(p); parent(c) = r; r }
+    }
+    for (a <- cells.keys; dx <- -1L to 1L; dy <- -1L to 1L) {
+      val b = (a._1 + dx, a._2 + dy)
+      if (cells.contains(b)) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra) = rb
+      }
+    }
+    val byCluster = cells.keys.toSeq.groupBy(c => find(c))
+      .map { case (_, members) =>
+        val id = members.map { case (gx, gy) => gx * 100000L + gy }.min
+        val npts = members.map(cells).sum
+        (id, (members.length.toLong, npts,
+          members.map(_._1).min, members.map(_._1).max,
+          members.map(_._2).min, members.map(_._2).max))
+      }
+    val noise = pts.length.toLong - cells.values.sum
+    val got = GridCluster.qGridCluster(spark, dir, cell, minPts).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got(-1L) === ((0L, noise, 0L, 0L, 0L, 0L)))
+    assert((got - -1L) === byCluster)
+    // sanity: the blob corpus actually produces at least one dense cluster
+    assert(byCluster.nonEmpty)
+  }
 }
