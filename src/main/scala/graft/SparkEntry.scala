@@ -241,6 +241,12 @@ object SparkEntry {
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
     // per-column completeness/cardinality/extrema census in one scan
     "q_schema_profile" -> (graft.relational.DataQuality.qSchemaProfile _),
+    // k-anonymity / l-diversity release gate over fixed-width
+    // quasi-identifier classes, exact integer census
+    "q_k_anonymity" -> (graft.relational.DataQuality.qKAnonymity _),
+    // Holt level+trend smoothing in integer fixed point (floor-division
+    // recurrence; recursive-CTE oracle), 7-day forecast + MAE
+    "q_holt_winters" -> (EventQueries.qHoltWinters _),
     // Benford first-digit forensics with chi-square departure terms
     "q_benford" -> (graft.relational.DataQuality.qBenford _),
     // Gini concentration of per-lang token frequencies (exact ppm)
@@ -318,6 +324,9 @@ object SparkEntry {
     // multinomial naive Bayes lang classifier: micronat Laplace model,
     // per-doc argmax, resubstitution confusion matrix
     "q_naive_bayes" -> (TextOps.qNaiveBayes _),
+    // per-lang vocabulary richness: TTR / hapax share / Simpson
+    // collision probability, exact integer ppm
+    "q_lexical_diversity" -> (TextOps.qLexicalDiversity _),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     // feature hashing (the hashing trick): vocabulary-free sparse text
     // vectors, integer weights -> exact oracle
@@ -636,6 +645,10 @@ object SparkEntry {
     // the HyperBall neighborhood function, exact 1e-4 fixed point
     "q_effective_diameter" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qEffectiveDiameter(s, d)),
+    // Newman degree assortativity from exact integer moments over the
+    // resident degree-annotated edge artifact
+    "q_assortativity" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qAssortativity(s, d)),
     // multi-source BFS hop distances: frontier-sized shuffles per
     // round, early exit on an empty level (exact twin of HyperBall)
     "q_bfs_dist" -> ((s: SparkSession, d: String) =>
@@ -4760,6 +4773,80 @@ object SparkEntry {
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),
+    "q_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        |e AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM li
+        |      UNION ALL SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM li),
+        |d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+        |      FROM e GROUP BY 1),
+        |j AS (SELECT ds.deg AS du, dd.deg AS dv
+        |  FROM e JOIN d ds ON e.src = ds.node JOIN d dd ON e.dst = dd.node),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(du) AS BIGINT) AS sx,
+        |    CAST(sum(du * du) AS BIGINT) AS sxx,
+        |    CAST(sum(du * dv) AS BIGINT) AS sxy
+        |  FROM j)
+        |SELECT m AS n_arcs, sx, sxx, sxy,
+        |  CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS BIGINT) AS cov_num,
+        |  round(CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS DOUBLE)
+        |    / CAST(m::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE), 6)
+        |    AS assortativity
+        |FROM m""".stripMargin,
+    "q_lexical_diversity" ->
+      """WITH t AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM
+        |    (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n_tokens, n_types, n_hapax,
+        |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
+        |  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm,
+        |  CAST(coll::HUGEINT * 1000000
+        |    // (n_tokens::HUGEINT * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
+        |FROM a""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH cls AS (SELECT event_type,
+        |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000 AS vbucket,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS l_div
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  min(sz) AS min_class_size, min(l_div) AS min_l_diversity,
+        |  CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS rows_k1,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_lt5,
+        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_lt10,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
+        |    // sum(sz) AS BIGINT) AS risk5_ppm
+        |FROM cls""".stripMargin,
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |    epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ord AS (SELECT event_type, y,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |hw(event_type, t, n, l, b, sae) AS (
+        |  SELECT event_type, t, n, y, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  FROM ord WHERE t = 1
+        |  UNION ALL
+        |  SELECT o.event_type, o.t, o.n,
+        |    (o.y + 3 * (h.l + h.b)) // 4,
+        |    (3 * h.b + ((o.y + 3 * (h.l + h.b)) // 4) - h.l) // 4,
+        |    h.sae + abs(o.y - (h.l + h.b))
+        |  FROM hw h JOIN ord o
+        |    ON o.event_type = h.event_type AND o.t = h.t + 1)
+        |SELECT event_type, n AS n_days, l AS level, b AS trend,
+        |  l + 7 * b AS forecast_7d, sae // (n - 1) AS mae
+        |FROM hw WHERE t = n AND n >= 2""".stripMargin,
     // the oracle skips the Apriori pruning on purpose: downward closure
     // makes every prune lossless, so the naive triple count is the spec
     "q_freq_triples" ->

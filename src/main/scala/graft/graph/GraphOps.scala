@@ -1612,6 +1612,39 @@ object GraphOps {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
 
+  /** Degree assortativity of the trade graph — Newman's r: the Pearson
+    * correlation of endpoint degrees over every (symmetrized) arc.
+    * Negative r is the disassortative hub-leaf signature of bipartite
+    * trade/web graphs; it decides orientation and salting strategies
+    * downstream the same way [[qDegreeHist]]'s tail does. The
+    * [[graft.relational.EventQueries.qCorrMatrix]] discipline: every
+    * moment (M, Σd_u, Σd_u², Σd_u·d_v) is an exact integer aggregate —
+    * symmetry makes the x and y marginals identical so one moment table
+    * serves both — and the correlation is assembled at the end from
+    * decimal-exact numerators with one IEEE division; the integer
+    * covariance numerator ships as the hash anchor. Shuffle profile:
+    * the resident degree-annotated edge artifact joined once more on
+    * dst (node-sized table), one global aggregate. */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame = {
+    val ed = tradeEdgesDeg(spark, dir) // (src, dst, outdeg) symmetrized
+    val deg = ed.select(col("src").as("dst"), col("outdeg").as("ddeg"))
+      .distinct()
+    val m = ed.join(deg, "dst")
+      .agg(count(lit(1)).as("m"),
+        sum("outdeg").as("sx"),
+        sum(expr("outdeg * outdeg")).as("sxx"),
+        sum(expr("outdeg * ddeg")).as("sxy"))
+    m.select(col("m"), col("sx"), col("sxx"), col("sxy"))
+      .withColumn("cov_num", expr(
+        "cast(m as decimal(38,0)) * sxy - cast(sx as decimal(38,0)) * sx"))
+      .withColumn("var_num", expr(
+        "cast(m as decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx"))
+      .select(col("m").as("n_arcs"), col("sx"), col("sxx"), col("sxy"),
+        col("cov_num").cast("long").as("cov_num"),
+        round(expr("cast(cov_num as double) / cast(var_num as double)"), 6)
+          .as("assortativity"))
+  }
+
   /** Effective diameter (the 90th-percentile pairwise distance) from the
     * HyperBall neighborhood function — THE diameter statistic for
     * web-scale graphs, where the exact diameter is both intractable

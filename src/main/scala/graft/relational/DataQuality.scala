@@ -152,4 +152,40 @@ object DataQuality {
     base.join(broadcast(distincts), "col_name")
       .select("col_name", "n_nulls", "n_distinct", "min_s", "max_s")
   }
+
+  /** k-anonymity / l-diversity census of the events table under the
+    * quasi-identifier tuple (event_type, hour-of-day, value bucket) with
+    * user_id as the sensitive attribute — the privacy gate a
+    * training-data release runs before shipping interaction logs.
+    * k-anonymity asks "how many rows sit in re-identifiable (small)
+    * equivalence classes"; l-diversity asks "does any class expose a
+    * single user". All-integer: fixed-width value buckets (cents div
+    * 5000 — NEVER rank-based deciles, whose boundaries shift with the
+    * data and break replay), epoch-hour-of-day arithmetic, ppm shares.
+    * Two aggregations: rows → classes (with one exact distinct per
+    * class), classes → the one-row census. At 100 TB the class table is
+    * the bounded relation (QI-cardinality-sized), so the census costs
+    * one scan plus a class-keyed shuffle. */
+  def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val classes = load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("(ts div 3600000000000) % 24").as("hod"),
+        expr("cast(floor(value * 100 + 0.5) as bigint) div 5000")
+          .as("vbucket"),
+        col("user_id"))
+      .groupBy("event_type", "hod", "vbucket")
+      .agg(count(lit(1)).as("sz"), countDistinct("user_id").as("l_div"))
+    classes.agg(
+        count(lit(1)).as("n_classes"),
+        sum("sz").as("n_rows"),
+        min("sz").as("min_class_size"),
+        min("l_div").as("min_l_diversity"),
+        sum(when(col("sz") < 2, col("sz")).otherwise(0L)).as("rows_k1"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_lt5"),
+        sum(when(col("sz") < 10, col("sz")).otherwise(0L)).as("rows_lt10"))
+      .select(col("n_classes"), col("n_rows"), col("min_class_size"),
+        col("min_l_diversity"), col("rows_k1"), col("rows_lt5"),
+        col("rows_lt10"),
+        expr("rows_lt5 * 1000000 div n_rows").as("risk5_ppm"))
+  }
 }

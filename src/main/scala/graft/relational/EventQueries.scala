@@ -1502,6 +1502,49 @@ object EventQueries {
           .as("index_ppm"))
   }
 
+  /** Holt double-exponential smoothing (level + trend) over each type's
+    * daily-cents series, in pure integer fixed point — the forecasting
+    * twin of [[qEwma]]'s level-only fold. Recurrence with α = β = ¼ and
+    * the b₀ = 0 convention:
+    *   l_t = ⌊(y_t + 3(l_{t−1} + b_{t−1})) / 4⌋
+    *   b_t = ⌊(3·b_{t−1} + (l_t − l_{t−1})) / 4⌋
+    * The divisions TRUNCATE toward zero by definition: the trend goes
+    * negative on declining series, and truncation is the semantics
+    * Spark's `div`, DuckDB's `//` (verified: −7 // 4 = −1) and Java's
+    * `/` all share natively — a floor convention would need the
+    * Theil-Sen mod-trick on every engine instead of none. The DuckDB
+    * oracle replays the recurrence with a recursive CTE. The one-step
+    * absolute forecast errors accumulate
+    * in the same fold (MAE is the honest fit gauge). Per-type series are
+    * calendar-bounded (the defended bounded-collect posture), so the
+    * fold is a per-group array aggregate, not a driver loop. */
+  def qHoltWinters(spark: SparkSession, dir: String): DataFrame = {
+    // SQL lambdas can't bind intermediates, so l_t is interpolated into
+    // the b_t update textually
+    val lNew = "(y + 3 * (a.l + a.b)) div 4"
+    val bNew = s"(3 * a.b + ($lNew) - a.l) div 4"
+    val fold =
+      s"""aggregate(
+         |  slice(ys, 2, size(ys) - 1),
+         |  named_struct('l', ys[0], 'b', 0L, 'sae', 0L),
+         |  (a, y) -> named_struct(
+         |    'l', $lNew,
+         |    'b', $bNew,
+         |    'sae', a.sae + abs(y - (a.l + a.b))))""".stripMargin
+        .replace("\n", " ")
+    dailyRevenue(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        expr("transform(array_sort(collect_list(struct(day, y)))," +
+          " s -> s.y)").as("ys"))
+      .filter(col("n_days") >= 2)
+      .withColumn("hw", expr(fold))
+      .select(col("event_type"), col("n_days"),
+        col("hw.l").as("level"), col("hw.b").as("trend"),
+        (col("hw.l") + col("hw.b") * 7).as("forecast_7d"),
+        expr("hw.sae div (n_days - 1)").as("mae"))
+  }
+
   /** Offline least-squares changepoint (binary segmentation, depth 1)
     * over each type's daily-DOLLAR series ([[dailyDollars]] — the ×2²⁰
     * argmax pre-scale on squared CENT sums would overflow the bigint
@@ -1542,10 +1585,10 @@ object EventQueries {
         col("kk").cast("long").as("split_k"), col("day").as("split_day"),
         expr("sk div kk").as("mean_left"),
         expr("(sn - sk) div (n - kk)").as("mean_right"),
-        // subtract two NON-NEGATIVE floor-divs rather than dividing the
+        // subtract two NON-NEGATIVE divisions rather than dividing the
         // (possibly slightly negative, from g_scaled's own floor)
-        // difference: Spark `div` truncates toward zero while DuckDB
-        // `//` floors, and they only agree on non-negative operands
+        // difference — keeps every div on non-negative operands, where
+        // floor and truncation coincide and no engine convention matters
         expr("cast(g_scaled as bigint)" +
           " - cast(cast(sn as decimal(38,0)) * sn * 1048576 div n" +
           " as bigint)").as("gain_scaled"))

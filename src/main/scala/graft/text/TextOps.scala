@@ -776,6 +776,31 @@ object TextOps {
       k = k)
   }
 
+  /** Lexical-diversity census per language — the vocabulary-richness
+    * panel (type-token ratio, hapax share, Simpson repeat probability)
+    * that complements [[qRepetitionStats]]' per-document view with the
+    * per-corpus one. Everything is an exact integer ratio in ppm:
+    * Simpson's D is the collision probability Σc(c−1) / (N(N−1)) of
+    * drawing the same type twice, hapaxes are count-1 types (Zipf's tail
+    * mass — the sampling-sensitivity caveat applies at any scale, which
+    * is why N rides along). One (lang, tok) aggregation — the same
+    * bounded shuffle profile as tf-idf; every downstream number is a
+    * k-row fold over the type table. */
+  def qLexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(expr("c * (c - 1)")).as("coll"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("n_types * 1000000 div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000 div n_types").as("hapax_ppm"),
+        expr("cast(cast(coll as decimal(38,0)) * 1000000" +
+          " div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1))" +
+          " as bigint)").as("simpson_ppm"))
+
   /** Multinomial naive-Bayes language classifier, trained and evaluated
     * on the corpus itself (the resubstitution confusion matrix) — the
     * generative counterpart to [[qLangGuess]]'s n-gram heuristic and

@@ -693,6 +693,29 @@ class GraphSpec extends SparkSpec {
       row.getLong(4) <= rEff * 10000L)
   }
 
+  test("assortativity equals the exact JVM moment replay") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val arcs = pairs ++ pairs.map(_.swap)
+    val deg = arcs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val m = arcs.length.toLong
+    val sx = arcs.map(a => deg(a._1)).sum
+    val sxx = arcs.map(a => deg(a._1) * deg(a._1)).sum
+    val sxy = arcs.map(a => deg(a._1) * deg(a._2)).sum
+    val cov = BigInt(m) * sxy - BigInt(sx) * sx
+    val vr = BigInt(m) * sxx - BigInt(sx) * sx
+    val want = BigDecimal(cov.toDouble / vr.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val Array(row) = GraphOps.qAssortativity(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) === ((m, sx, sxx, sxy, cov.toLong)))
+    assert(row.getDouble(5) === want)
+    // bipartite trade graphs are disassortative (hubs link to leaves)
+    assert(row.getDouble(5) < 0.0)
+  }
+
   test("BFS is identical across shuffle layouts") {
     val arcs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 4L -> 5L)
     val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")

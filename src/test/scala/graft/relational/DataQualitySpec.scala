@@ -86,4 +86,24 @@ class DataQualitySpec extends SparkSpec {
     assert(rows("l_returnflag") ===
       ((0L, flags.distinct.length.toLong, flags.min, flags.max)))
   }
+
+  test("k-anonymity census equals a JVM replay") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "ts div 3600000000000 as hr",
+        "cast(floor(value * 100 + 0.5) as long) as cents", "user_id")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1) % 24, r.getLong(2) / 5000),
+        r.getLong(3)))
+    val classes = ev.groupBy(_._1).toSeq.map { case (_, rows) =>
+      (rows.length.toLong, rows.map(_._2).distinct.length.toLong)
+    }
+    val nRows = classes.map(_._1).sum
+    val rowsLt = (k: Long) => classes.filter(_._1 < k).map(_._1).sum
+    val Array(row) = DataQuality.qKAnonymity(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4), row.getLong(5), row.getLong(6), row.getLong(7)) ===
+      ((classes.length.toLong, nRows, classes.map(_._1).min,
+        classes.map(_._2).min, rowsLt(2), rowsLt(5), rowsLt(10),
+        rowsLt(5) * 1000000 / nRows)))
+  }
 }

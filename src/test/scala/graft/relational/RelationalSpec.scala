@@ -811,6 +811,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("Holt smoothing equals the floorDiv recurrence replay") {
+    val series = Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "ts div 86400000000000 as day",
+        "cast(floor(value * 100 + 0.5) as long) as cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .groupBy(_._1._1).view
+      .mapValues(_.sortBy(_._1._2).map(_._2)).toMap
+    val got = EventQueries.qHoltWinters(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === series.keySet.filter(series(_).length >= 2))
+    series.filter(_._2.length >= 2).foreach { case (tpe, ys) =>
+      var l = ys.head
+      var b = 0L
+      var sae = 0L
+      ys.tail.foreach { y =>
+        sae += math.abs(y - (l + b))
+        // Java / truncates toward zero — the recurrence's contract
+        val l2 = (y + 3 * (l + b)) / 4
+        b = (3 * b + l2 - l) / 4
+        l = l2
+      }
+      val n = ys.length.toLong
+      assert(got(tpe) === ((n, l, b, l + 7 * b, sae / (n - 1))),
+        s"$tpe recurrence")
+    }
+  }
+
   test("frequent triples equal the brute-force basket enumeration") {
     val baskets = Tables.load(spark, dir, "lineitem")
       .selectExpr("l_orderkey", "l_partkey").distinct().collect()

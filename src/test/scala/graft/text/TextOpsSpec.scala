@@ -584,4 +584,23 @@ class TextOpsSpec extends SparkSpec {
     val rowSums = got.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
     assert(rowSums === nd)
   }
+
+  test("lexical diversity equals a JVM replay") {
+    val toks = graft.relational.Tables.load(spark, dir, "documents")
+      .selectExpr("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map((r.getString(0), _)))
+    val want = toks.groupBy(_._1).map { case (lang, ts) =>
+      val cnt = ts.groupBy(_._2).view.mapValues(_.length.toLong)
+      val n = ts.length.toLong
+      val v = cnt.size.toLong
+      val hapax = cnt.count(_._2 == 1L).toLong
+      val coll = cnt.values.map(c => BigInt(c) * (c - 1)).sum
+      lang -> ((n, v, hapax, v * 1000000 / n, hapax * 1000000 / v,
+        (coll * 1000000 / (BigInt(n) * (n - 1))).toLong))
+    }
+    val got = TextOps.qLexicalDiversity(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got === want)
+  }
 }
