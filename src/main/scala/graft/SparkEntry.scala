@@ -244,6 +244,9 @@ object SparkEntry {
     // k-anonymity / l-diversity release gate over fixed-width
     // quasi-identifier classes, exact integer census
     "q_k_anonymity" -> (graft.relational.DataQuality.qKAnonymity _),
+    // epsilon-DP Laplace counts with deterministic salted-md5 draws
+    "q_dp_counts" -> ((s: SparkSession, d: String) =>
+      graft.relational.DataQuality.qDpCounts(s, d)),
     // Holt level+trend smoothing in integer fixed point (floor-division
     // recurrence; recursive-CTE oracle), 7-day forecast + MAE
     "q_holt_winters" -> (EventQueries.qHoltWinters _),
@@ -327,6 +330,10 @@ object SparkEntry {
     // per-lang vocabulary richness: TTR / hapax share / Simpson
     // collision probability, exact integer ppm
     "q_lexical_diversity" -> (TextOps.qLexicalDiversity _),
+    // chi2-ranked top-k tokens per lang (2x2 document-frequency test,
+    // exact cross-multiplied milli units, native top-k operator)
+    "q_chi2_features" -> ((s: SparkSession, d: String) =>
+      TextOps.qChi2Features(s, d)),
     "q_fingerprint" -> (TextOps.qFingerprint _),
     // feature hashing (the hashing trick): vocabulary-free sparse text
     // vectors, integer weights -> exact oracle
@@ -409,6 +416,9 @@ object SparkEntry {
     // DCG via one shared weight-literal table, rank-selected IDCG
     "q_ndcg_eval" -> ((s: SparkSession, d: String) =>
       HybridRetrieval.qNdcgEval(s, d)),
+    // MRR@k + hit rates over the same judgments and fixed query grid
+    "q_mrr_eval" -> ((s: SparkSession, d: String) =>
+      HybridRetrieval.qMrrEval(s, d)),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) =>
       Similarity.qEmbeddingNearDup(s, d)),
     // 2 hash tables: measured recall@5 0.97 at sf0.01 (1 table: 0.82)
@@ -649,6 +659,15 @@ object SparkEntry {
     // resident degree-annotated edge artifact
     "q_assortativity" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qAssortativity(s, d)),
+    // whole-graph transitivity 3T/W census over the oriented wedge join
+    "q_clustering_global" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qClusteringGlobal(s, d)),
+    // sampled-source Brandes betweenness (multi-source level BFS +
+    // fixed-point dependency accumulation) — rows-only by design
+    // (inter-level recursion is not SQL-expressible; exactness pinned
+    // by the GraphSpec JVM replay, local == forced-distributed)
+    "q_betweenness" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qBetweenness(s, d)),
     // multi-source BFS hop distances: frontier-sized shuffles per
     // round, early exit on an empty level (exact twin of HyperBall)
     "q_bfs_dist" -> ((s: SparkSession, d: String) =>
@@ -881,6 +900,38 @@ object SparkEntry {
        |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm
        |FROM nd GROUP BY 1""".stripMargin
   }
+
+  /** MRR@k oracle: same lists/judgments as [[ndcgEvalSql]], reciprocal
+    * rank of the first relevant hit (0 on a whiff) over the fixed
+    * universe×system grid. */
+  private def mrrEvalSql(nQueries: Int, k: Int): String =
+    s"""WITH ${retrievalListCtes(nQueries, k)},
+       |${rrfFusedCte(k)},
+       |lists AS (SELECT 'bm25' AS system, qid, id, rnk FROM lex
+       |  UNION ALL SELECT 'dense', qid, id, rnk FROM den
+       |  UNION ALL SELECT 'hybrid', qid, id, rnk FROM fused),
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |ql AS (SELECT vec_id AS qid, label AS qlabel FROM lab
+       |  WHERE vec_id < $nQueries),
+       |fr AS (SELECT l.system, l.qid, CAST(min(l.rnk) AS BIGINT) AS r1
+       |  FROM lists l JOIN ql ON l.qid = ql.qid
+       |  JOIN lab d ON l.id = d.vec_id
+       |  WHERE d.label = ql.qlabel GROUP BY 1, 2),
+       |uni AS (SELECT DISTINCT ql.qid FROM lab d
+       |  JOIN ql ON d.label = ql.qlabel AND d.vec_id <> ql.qid),
+       |grid AS (SELECT s.system, uni.qid FROM uni
+       |  CROSS JOIN (VALUES ('bm25'), ('dense'), ('hybrid')) s(system)),
+       |rr AS (SELECT g.system,
+       |    COALESCE(1000000 // fr.r1, 0) AS rr_ppm,
+       |    CASE WHEN fr.r1 IS NOT NULL THEN 1 ELSE 0 END AS hit,
+       |    CASE WHEN fr.r1 = 1 THEN 1 ELSE 0 END AS hit1
+       |  FROM grid g LEFT JOIN fr
+       |    ON g.system = fr.system AND g.qid = fr.qid)
+       |SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mean_rr_ppm,
+       |  CAST(sum(hit) AS BIGINT) AS n_hit,
+       |  CAST(sum(hit1) AS BIGINT) AS n_hit_at_1
+       |FROM rr GROUP BY 1""".stripMargin
 
   /** DuckDB cosine with the same left-to-right fold as the Spark side. */
   private def duckCos(a: String, b: String): String =
@@ -4305,6 +4356,7 @@ object SparkEntry {
     // at cosine 0)
     "q_ann_lsh_verified" -> annTopKSql(5),
     "q_ndcg_eval" -> ndcgEvalSql(20, 10),
+    "q_mrr_eval" -> mrrEvalSql(20, 10),
     "q_ann_ivf" -> annTopKSql(10),
     "q_kmeanspp_seed" -> kmeansParSeedSql(3, 8),
     // same 16-bit fixed-point arithmetic: quantize, exact integer sum,
@@ -4976,6 +5028,73 @@ object SparkEntry {
          |    CAST(2 * coalesce(t.triangles, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
          |  ELSE CAST(0 AS DOUBLE) END AS clustering
          |FROM deg d LEFT JOIN tcnt t ON d.n = t.n""".stripMargin,
+    "q_clustering_global" ->
+      s"""$copurchaseCte
+         |, deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+         |          (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+         |          GROUP BY 1),
+         |ok AS (SELECT n, deg, deg * 4294967296 + n AS okey FROM deg),
+         |ori AS (SELECT CASE WHEN du.okey < dv.okey THEN u ELSE v END AS src,
+         |          CASE WHEN du.okey < dv.okey THEN v ELSE u END AS dst,
+         |          greatest(du.okey, dv.okey) AS dkey
+         |        FROM und JOIN ok du ON u = du.n JOIN ok dv ON v = dv.n),
+         |tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
+         |        FROM ori x JOIN ori y ON x.src = y.src AND x.dkey < y.dkey
+         |        JOIN ori z ON z.src = x.dst AND z.dst = y.dst),
+         |tcnt AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles FROM
+         |         (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+         |          UNION ALL SELECT c FROM tri) GROUP BY 1),
+         |pn AS (SELECT d.deg, coalesce(t.triangles, 0) AS triangles
+         |       FROM deg d LEFT JOIN tcnt t ON d.n = t.n)
+         |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
+         |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
+         |  CAST(sum(triangles) // 3 AS BIGINT) AS n_triangles,
+         |  CAST(sum(triangles)::HUGEINT * 1000000
+         |    // sum(deg * (deg - 1) // 2) AS BIGINT) AS transitivity_ppm
+         |FROM pn""".stripMargin,
+    "q_chi2_features" ->
+      """WITH pres AS (SELECT DISTINCT doc_id, lang, tok FROM
+        |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents)),
+        |aa AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS a
+        |  FROM pres GROUP BY 1, 2),
+        |ln_ AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
+        |  FROM documents GROUP BY 1),
+        |dt AS (SELECT tok, CAST(count(*) AS BIGINT) AS dft
+        |  FROM pres GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT aa.lang, aa.tok,
+        |    CAST(nn.n::HUGEINT
+        |      * (aa.a::HUGEINT * (nn.n - ln_.nl - dt.dft + aa.a)
+        |         - (ln_.nl - aa.a)::HUGEINT * (dt.dft - aa.a))
+        |      * (aa.a::HUGEINT * (nn.n - ln_.nl - dt.dft + aa.a)
+        |         - (ln_.nl - aa.a)::HUGEINT * (dt.dft - aa.a))
+        |      * 1000
+        |      // (ln_.nl::HUGEINT * (nn.n - ln_.nl) * dt.dft * (nn.n - dt.dft))
+        |      AS BIGINT) AS chi2_milli
+        |  FROM aa JOIN ln_ USING (lang) JOIN dt USING (tok) CROSS JOIN nn
+        |  WHERE aa.a::HUGEINT * (nn.n - ln_.nl - dt.dft + aa.a)
+        |      > (ln_.nl - aa.a)::HUGEINT * (dt.dft - aa.a)),
+        |rk AS (SELECT lang, tok, chi2_milli, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY chi2_milli DESC, tok ASC) AS BIGINT)
+        |    AS rnk
+        |  FROM sc)
+        |SELECT lang, tok, chi2_milli, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    "q_dp_counts" ->
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY 1),
+        |u AS (SELECT event_type, n_true,
+        |    ('0x' || substring(md5('graft-dp:' || event_type), 1, 13))
+        |      ::UBIGINT::DOUBLE / 4503599627370496.0 AS u
+        |  FROM g)
+        |SELECT event_type, n_true,
+        |  n_true + CAST(floor(-(100.0 / 10)
+        |    * sign(u - 0.5)
+        |    * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15)) + 0.5)
+        |    AS BIGINT) AS n_noisy,
+        |  CAST(10 AS BIGINT) AS epsilon_pct
+        |FROM u""".stripMargin,
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

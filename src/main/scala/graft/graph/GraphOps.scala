@@ -961,6 +961,27 @@ object GraphOps {
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
     triangleCensus(spark, copurchaseEdges(spark, dir))
 
+  /** Whole-graph clustering census — the one-row summary that sits on
+    * top of [[qTriangles]]' per-node view: node/edge/wedge counts and
+    * the transitivity ratio 3·T/W (every per-node triangle count tallies
+    * each triangle at all three corners, so Σtriangles IS 3·T and the
+    * ratio needs no separate distinct-triangle pass). Exact integers;
+    * the wedge count Σ d(d−1)/2 is even (d(d−1) always is), so its div
+    * loses nothing. Same oriented-wedge join as the per-node census —
+    * one extra global aggregate, no new graph pass. */
+  def qClusteringGlobal(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(spark, copurchaseEdges(spark, dir))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum("deg").as("deg_sum"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"),
+        sum("triangles").as("tri3"))
+      .select(col("n_nodes"),
+        expr("deg_sum div 2").as("n_edges"),
+        col("n_wedges"),
+        expr("tri3 div 3").as("n_triangles"),
+        expr("cast(cast(tri3 as decimal(38,0)) * 1000000" +
+          " div n_wedges as bigint)").as("transitivity_ppm"))
+
   /** Synchronous peel rounds for [[qKCore]] — fixed so the oracle can
     * unroll; each round removes EVERY node currently under-degree at
     * once, so the round count is bounded by the peel depth (measured ≤
@@ -1610,6 +1631,172 @@ object GraphOps {
     rounds.foreach(_.unpersist(blocking = false))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
+  /** Sampled-source betweenness centrality (Brandes 2001) over the
+    * co-purchase graph — the who-sits-on-the-paths centrality that
+    * PageRank's flow view misses. Exact Brandes from the `nSources`
+    * smallest node ids (a deterministic pilot sample — the standard
+    * scale posture, since all-sources betweenness is |V| BFS sweeps):
+    * a level-synchronous FORWARD pass counts shortest paths σ for all
+    * sources AT ONCE (the multi-source-BFS trick — the frontier carries
+    * a source column, so one round of joins advances every source), and
+    * the BACKWARD dependency accumulation walks the stored levels
+    * deepest-first with the textbook recurrence
+    *   δ(v) = Σ_{w: succ} σ_v · (2²⁰ + δ_w) div σ_w
+    * held in 2²⁰ fixed point with truncating division — deterministic
+    * in any engine, replayed bit-for-bit by the GraphSpec JVM oracle
+    * (inter-level recursion is not SQL-expressible, so the registry
+    * entry is rows-only by design, the q_mst precedent). Centrality is
+    * the per-node sum of δ over sources, excluding endpoints.
+    *
+    * Scale shape: forward rounds shuffle only frontier-sized relations
+    * (≤ sources × |V| rows in total across the run); levels are
+    * materialized through [[matLeaf]] (fresh-leaf stats, the Borůvka
+    * lesson) and retained for the backward pass; the backward rounds
+    * join two adjacent levels against the resident arc table. Below
+    * [[MstLocalSolveMaxEdges]] edges the whole computation local-solves
+    * on the driver with the SAME integer arithmetic (GraphSpec pins
+    * local == forced-distributed). */
+  def qBetweenness(
+      spark: SparkSession, dir: String, nSources: Int = 8, k: Int = 20,
+      maxDepth: Int = 16,
+      localSolveMax: Long = MstLocalSolveMaxEdges): DataFrame = {
+    import spark.implicits._
+    val (edges, nEdges, edgesRdd) = matLeaf(
+      copurchaseEdges(spark, dir).select("u", "v"))
+    val out = betweennessOver(spark, edges, nEdges, nSources, k, maxDepth,
+      localSolveMax)
+    edgesRdd.unpersist(blocking = false)
+    out
+  }
+
+  private val BetweennessFp = 1L << 20
+
+  /** Core of [[qBetweenness]] over a materialized canonical edge frame.
+    * Exposed so the spec can force the distributed path. */
+  private[graph] def betweennessOver(
+      spark: SparkSession, edges: DataFrame, nEdges: Long,
+      nSources: Int, k: Int, maxDepth: Int,
+      localSolveMax: Long): DataFrame = {
+    import spark.implicits._
+    if (nEdges <= localSolveMax) {
+      val es = edges.select("u", "v").as[(Long, Long)].collect()
+      return brandesLocal(spark, es, nSources, k)
+    }
+    val rdds = collection.mutable.Buffer.empty[
+      org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]]
+    val (arcs, _, arcsRdd) = matLeaf(
+      edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b"))))
+    rdds += arcsRdd
+    val sources = edges.select(col("u").as("node"))
+      .unionAll(edges.select(col("v").as("node")))
+      .distinct().orderBy("node").limit(nSources)
+    // forward: levels(d) = (s, v, sigma)
+    val levels = collection.mutable.Buffer.empty[DataFrame]
+    var (frontier, nF, fRdd) = matLeaf(sources
+      .select(col("node").as("s"), col("node").as("v"), lit(1L).as("sigma")))
+    rdds += fRdd
+    levels += frontier
+    var (seen, _, seenRdd) = matLeaf(frontier.select("s", "v"))
+    rdds += seenRdd
+    var d = 0
+    while (nF > 0 && d < maxDepth) {
+      val (nxt, n2, nxtRdd) = matLeaf(frontier
+        .join(arcs, col("v") === col("a"))
+        .groupBy(col("s"), col("b").as("v2"))
+        .agg(sum("sigma").as("sigma"))
+        .withColumnRenamed("v2", "v")
+        .join(seen, Seq("s", "v"), "left_anti"))
+      rdds += nxtRdd
+      if (n2 > 0) {
+        levels += nxt
+        val (s2, _, s2Rdd) = matLeaf(
+          seen.unionAll(nxt.select("s", "v")))
+        rdds += s2Rdd
+        seen = s2
+      }
+      frontier = nxt; nF = n2; d += 1
+    }
+    // backward: deepest level has delta 0; walk up
+    var delta = levels.last.select(col("s"), col("v"), lit(0L).as("delta"))
+    val perLevelDeltas = collection.mutable.Buffer.empty[DataFrame]
+    perLevelDeltas += delta
+    for (di <- (levels.size - 2) to 0 by -1) {
+      val wLvl = levels(di + 1).select(col("s"), col("v").as("w"),
+          col("sigma").as("sigma_w"))
+        .join(delta.select(col("s"), col("v").as("w"),
+          col("delta").as("delta_w")), Seq("s", "w"))
+      val contrib = levels(di).select(col("s"), col("v"),
+          col("sigma").as("sigma_v"))
+        .join(arcs, col("v") === col("a"))
+        .join(wLvl, col("b") === col("w") &&
+          wLvl("s") === levels(di)("s")) // same-source predecessor arcs
+      val (d2, _, d2Rdd) = matLeaf(contrib
+        .groupBy(levels(di)("s").as("s"), col("v"))
+        .agg(sum(expr(
+          s"sigma_v * ($BetweennessFp + delta_w) div sigma_w"))
+          .as("delta")))
+      rdds += d2Rdd
+      // nodes at this level with no successors keep delta 0
+      val (dj, _, djRdd) = matLeaf(levels(di).select("s", "v")
+        .join(d2, Seq("s", "v"), "left")
+        .na.fill(0L, Seq("delta")))
+      rdds += djRdd
+      delta = dj
+      perLevelDeltas += delta
+    }
+    // centrality: sum of deltas over sources, endpoints excluded
+    // (depth-0 rows are the sources themselves — drop them)
+    val nonSource = perLevelDeltas.init // last appended frame is depth 0
+    val all = nonSource.reduce(_ unionAll _)
+    val (res, _, _) = matLeaf(all
+      .filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("node"))
+      .agg(sum("delta").as("centrality_fp"))
+      .orderBy(col("centrality_fp").desc, col("node").asc)
+      .limit(k))
+    rdds.foreach(_.unpersist(blocking = false))
+    res
+  }
+
+  /** Driver Brandes with the SAME fixed-point integer recurrence. */
+  private def brandesLocal(
+      spark: SparkSession, es: Array[(Long, Long)],
+      nSources: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val adj = (es ++ es.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toIndexedSeq).toMap
+    val sources = adj.keys.toSeq.sorted.take(nSources)
+    val cent = collection.mutable.Map.empty[Long, Long]
+    sources.foreach { s =>
+      // BFS with path counts
+      val depth = collection.mutable.Map(s -> 0)
+      val sigma = collection.mutable.Map(s -> 1L)
+      val order = collection.mutable.ArrayBuffer(s)
+      var qi = 0
+      while (qi < order.length) {
+        val v = order(qi); qi += 1
+        adj.getOrElse(v, IndexedSeq.empty).foreach { w =>
+          if (!depth.contains(w)) {
+            depth(w) = depth(v) + 1; sigma(w) = 0L; order += w
+          }
+          if (depth(w) == depth(v) + 1) sigma(w) += sigma(v)
+        }
+      }
+      val delta = collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      order.reverseIterator.foreach { w =>
+        adj.getOrElse(w, IndexedSeq.empty).foreach { v =>
+          if (depth.get(v).contains(depth(w) - 1))
+            delta(v) += sigma(v) * (BetweennessFp + delta(w)) / sigma(w)
+        }
+        if (w != s) cent(w) = cent.getOrElse(w, 0L) + delta(w)
+      }
+    }
+    cent.toSeq.sortBy { case (n, c) => (-c, n) }.take(k)
+      .toDF("node", "centrality_fp")
   }
 
   /** Degree assortativity of the trade graph — Newman's r: the Pearson

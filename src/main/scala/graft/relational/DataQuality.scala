@@ -166,6 +166,39 @@ object DataQuality {
     * class), classes → the one-row census. At 100 TB the class table is
     * the bounded relation (QI-cardinality-sized), so the census costs
     * one scan plus a class-keyed shuffle. */
+  /** Differentially-private release counts per event type — the ε-DP
+    * Laplace mechanism with DETERMINISTIC noise: the uniform draw is a
+    * salted md5 (the [[graft.pipeline.TrainingData]] sampling
+    * discipline — no rand(), so reruns and oracles reproduce
+    * bit-for-bit), mapped through the Laplace inverse CDF
+    *   x = −(Δf/ε)·sgn(u−½)·ln(1−2|u−½|)
+    * with sensitivity Δf = 1 for counting queries. The ln sits in the
+    * repo's accepted IEEE family (perplexity / HLL linear counting /
+    * NB micronats); noise quantizes by floor(x+½), which both engines
+    * compute from the same double. The true count rides along because
+    * this operator's job in THIS repo is to be verifiable — a real
+    * release would project it away (and would need a fresh secret salt
+    * per release; a public salt de-randomizes the mechanism). One
+    * aggregation; the noise math is per-GROUP, k rows. */
+  def qDpCounts(
+      spark: SparkSession, dir: String,
+      epsilonPct: Int = 10, seed: String = "graft-dp"): DataFrame =
+    load(spark, dir, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+      .withColumn("u", expr(
+        s"cast(conv(substring(md5(concat('$seed:', event_type)), 1, 13)," +
+          " 16, 10) as double) / 4503599627370496.0"))
+      // greatest(..., 1e-15) fences the u ∈ {0, 1} singularity (an
+      // md5-fixed 2^-52 event, but an infinity would poison the release)
+      .withColumn("noise", expr(
+        s"cast(floor(-(100.0 / $epsilonPct)" +
+          " * sign(u - 0.5)" +
+          " * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15)) + 0.5)" +
+          " as bigint)"))
+      .select(col("event_type"), col("n_true"),
+        (col("n_true") + col("noise")).as("n_noisy"),
+        lit(epsilonPct.toLong).as("epsilon_pct"))
+
   def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val classes = load(spark, dir, "events")
       .select(col("event_type"),

@@ -148,4 +148,59 @@ object HybridRetrieval {
       .agg(count(lit(1)).as("n_queries"),
         expr("sum(ndcg_ppm) div count(1)").as("mean_ndcg_ppm"))
   }
+
+  /** MRR@k + hit-rate eval of the same three systems against the same
+    * binary share-a-label judgments as [[qNdcgEval]] — the
+    * first-relevant-hit metric a RAG stack optimizes when only one
+    * passage gets stuffed into the prompt. Per query the reciprocal
+    * rank is the exact integer `10⁶ div r₁` (r₁ = best relevant rank in
+    * the k-list, 0 when the list misses entirely); the query universe
+    * is the ndcg one (≥1 relevant doc exists in the corpus), held fixed
+    * across systems by a universe×system grid left-join so a system
+    * that whiffs scores 0 rather than silently shrinking its mean's
+    * denominator. All integer; same k-bounded row counts as ndcg. */
+  def qMrrEval(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val lex = TextOps.qBm25TopK(spark, dir, nQueries, k)
+      .select(col("qid"), col("doc_id").as("id"), col("rnk"))
+    val den = Similarity.qAnnBruteForce(spark, dir, nQueries, k)
+      .select(col("qid"), col("nid").as("id"), col("rnk"))
+    val fused = rrfFuse(Seq(lex, den), k)
+      .select(col("qid"), col("id"), col("rnk"))
+    val lists = lex.select(lit("bm25").as("system"), col("qid"),
+        col("id"), col("rnk"))
+      .unionAll(den.select(lit("dense").as("system"), col("qid"),
+        col("id"), col("rnk")))
+      .unionAll(fused.select(lit("hybrid").as("system"), col("qid"),
+        col("id"), col("rnk")))
+    val labels = graft.relational.Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val qLab = labels.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val firstRel = lists
+      .join(broadcast(qLab), "qid")
+      .join(labels.select(col("vec_id").as("id"),
+        col("label").as("dlabel")), "id")
+      .filter(col("dlabel") === col("qlabel"))
+      .groupBy("system", "qid").agg(min("rnk").as("r1"))
+    val universe = labels.select(col("vec_id").as("id"),
+        col("label").as("dlabel"))
+      .join(broadcast(qLab), col("dlabel") === col("qlabel"))
+      .filter(col("id") =!= col("qid"))
+      .select("qid").distinct()
+    val grid = universe
+      .crossJoin(broadcast(Seq("bm25", "dense", "hybrid").toDF("system")))
+    grid.join(firstRel, Seq("system", "qid"), "left")
+      .select(col("system"),
+        coalesce(expr("1000000 div r1"), lit(0L)).as("rr_ppm"),
+        when(col("r1").isNotNull, 1L).otherwise(0L).as("hit"),
+        when(col("r1") === 1, 1L).otherwise(0L).as("hit1"))
+      .groupBy("system")
+      .agg(count(lit(1)).as("n_queries"),
+        expr("sum(rr_ppm) div count(1)").as("mean_rr_ppm"),
+        sum("hit").as("n_hit"),
+        sum("hit1").as("n_hit_at_1"))
+  }
 }

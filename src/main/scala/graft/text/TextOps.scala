@@ -776,6 +776,47 @@ object TextOps {
       k = k)
   }
 
+  /** χ²-ranked feature selection: the k tokens most positively
+    * associated with each language by the 2×2 document-frequency test —
+    * the classic preprocessing step before training any text classifier
+    * ([[qNaiveBayes]]'s natural companion; chi2 ranks what NB then
+    * weighs). With a = df(tok, lang), b = docs(lang) − a,
+    * c = df(tok) − a, d = N − docs(lang) − df(tok) + a:
+    *   χ²·10³ = N·(ad − bc)²·1000 div ((a+b)(c+d)(a+c)(b+d))
+    * — all-integer cross-multiplication (the ad−bc square stays within
+    * decimal(38,0) at any corpus where N fits an int64's square root),
+    * positive-association filter ad > bc, ranked by the native
+    * [[graft.plans.TopKPerKey]] operator so only langs×k rows survive
+    * the exchange. Document-level presence, not token counts, is the
+    * standard chi2 contingency basis. */
+  def qChi2Features(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val pres = docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val a = pres.groupBy("lang", "tok").agg(count(lit(1)).as("a"))
+    val langN = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val dfTok = pres.groupBy("tok").agg(count(lit(1)).as("dft"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = a
+      .join(broadcast(langN), "lang")
+      .join(dfTok, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("nl") - col("a"))
+      .withColumn("c", col("dft") - col("a"))
+      .withColumn("d", col("n") - col("nl") - col("dft") + col("a"))
+      .filter(expr("a * d > b * c")) // positive association only
+      .select(col("lang"), col("tok"),
+        expr("cast(cast(n as decimal(38,0))" +
+          " * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)" +
+          " * (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)" +
+          " * 1000 div (cast(a + b as decimal(38,0)) * (c + d) * (a + c)" +
+          " * (b + d)) as bigint)").as("chi2_milli"))
+    graft.plans.TopK.topKPerKey(scored,
+      keys = Seq(col("lang")),
+      order = Seq(col("chi2_milli").desc, col("tok").asc),
+      k = k)
+  }
+
   /** Lexical-diversity census per language — the vocabulary-richness
     * panel (type-token ratio, hapax share, Simpson repeat probability)
     * that complements [[qRepetitionStats]]' per-document view with the

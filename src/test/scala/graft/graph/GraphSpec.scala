@@ -693,6 +693,46 @@ class GraphSpec extends SparkSpec {
       row.getLong(4) <= rEff * 10000L)
   }
 
+  test("betweenness: distributed equals local on known graphs and the corpus") {
+    // path 1-2-3-4-5: with sources {1..5} (all), middle node 3 sits on
+    // the most pairs; exact integer deltas replayed below
+    val path = (1L to 5L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val pathDf = path.toDF("u", "v")
+    val local = GraphOps.betweennessOver(spark, pathDf, path.size,
+      nSources = 5, k = 10, maxDepth = 16,
+      localSolveMax = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dist = GraphOps.betweennessOver(spark, pathDf, path.size,
+      nSources = 5, k = 10, maxDepth = 16, localSolveMax = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.toSeq === dist.toSeq)
+    assert(local.head._1 === 3L, "middle of the path is most between")
+    // and on the real co-purchase graph at sf0.001 (8 pilot sources)
+    val dir = "/root/testdata/sf0.001"
+    val edges = GraphOps.copurchaseEdges(spark, dir).select("u", "v")
+    val n = edges.count()
+    val l2 = GraphOps.betweennessOver(spark, edges, n, 8, 20, 16,
+      Long.MaxValue).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val d2 = GraphOps.betweennessOver(spark, edges, n, 8, 20, 16, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(l2.toSeq === d2.toSeq)
+    assert(l2.nonEmpty && l2.head._2 > 0)
+  }
+
+  test("global clustering census folds the per-node triangle census") {
+    val dir = "/root/testdata/sf0.001"
+    val perNode = GraphOps.qTriangles(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))) // (deg, triangles)
+    val wedges = perNode.map { case (d, _) => d * (d - 1) / 2 }.sum
+    val tri3 = perNode.map(_._2).sum
+    val Array(row) = GraphOps.qClusteringGlobal(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) ===
+      ((perNode.length.toLong, perNode.map(_._1).sum / 2, wedges,
+        tri3 / 3, tri3 * 1000000L / wedges)))
+    assert(tri3 % 3 === 0L, "every triangle tallies at exactly 3 corners")
+  }
+
   test("assortativity equals the exact JVM moment replay") {
     val dir = "/root/testdata/sf0.001"
     val pairs = spark.read.parquet(s"$dir/lineitem.parquet")

@@ -87,6 +87,29 @@ class DataQualitySpec extends SparkSpec {
       ((0L, flags.distinct.length.toLong, flags.min, flags.max)))
   }
 
+  test("DP counts equal the deterministic Laplace replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val truth = Tables.load(spark, dir, "events")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = DataQuality.qDpCounts(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (tpe, n) =>
+      val u = java.lang.Long.parseLong(
+        md5hex(s"graft-dp:$tpe").take(13), 16).toDouble / 4503599627370496.0
+      val noise = math.floor(-(100.0 / 10) * math.signum(u - 0.5) *
+        math.log(math.max(1.0 - 2.0 * math.abs(u - 0.5), 1e-15)) + 0.5)
+        .toLong
+      assert(got(tpe) === ((n, n + noise, 10L)), s"$tpe")
+    }
+    // the mechanism actually perturbs: not every type lands on zero noise
+    assert(got.exists { case (t, (nt, nn, _)) => nn != nt })
+  }
+
   test("k-anonymity census equals a JVM replay") {
     val ev = Tables.load(spark, dir, "events")
       .selectExpr("event_type", "ts div 3600000000000 as hr",

@@ -585,6 +585,34 @@ class TextOpsSpec extends SparkSpec {
     assert(rowSums === nd)
   }
 
+  test("chi2 feature ranking equals a BigInt replay") {
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getString(1), r.getString(2).split(" ", -1).distinct))
+    val n = BigInt(docs.length)
+    val nl = docs.groupBy(_._1).view.mapValues(d => BigInt(d.length)).toMap
+    val dft = docs.flatMap { case (_, ts) => ts }
+      .groupBy(identity).view.mapValues(d => BigInt(d.length)).toMap
+    val a = docs.flatMap { case (l, ts) => ts.map((l, _)) }
+      .groupBy(identity).view.mapValues(d => BigInt(d.length)).toMap
+    val want = a.keys.toSeq.flatMap { case (l, t) =>
+      val (av, b, c) = (a((l, t)), nl(l) - a((l, t)), dft(t) - a((l, t)))
+      val d = n - nl(l) - dft(t) + av
+      if (av * d > b * c)
+        Some((l, t,
+          (n * (av * d - b * c) * (av * d - b * c) * 1000 /
+            ((av + b) * (c + d) * (av + c) * (b + d))).toLong))
+      else None
+    }.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, t, s) => (-s, t) }.take(10)
+        .zipWithIndex.map { case ((_, t, s), i) => (t, s, i + 1L) }).toMap
+    val got = TextOps.qChi2Features(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq).toMap
+    assert(got === want.mapValues(_.toSeq).toMap)
+  }
+
   test("lexical diversity equals a JVM replay") {
     val toks = graft.relational.Tables.load(spark, dir, "documents")
       .selectExpr("lang", "text").collect()
