@@ -4825,25 +4825,24 @@ object SparkEntry {
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),
+    // reuses tradeGraphCte's degree-annotated arc relation `e` — the
+    // encoding/dedup single-source rule of every trade-graph oracle
     "q_assortativity" ->
-      """WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
-        |e AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM li
-        |      UNION ALL SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM li),
-        |d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-        |      FROM e GROUP BY 1),
-        |j AS (SELECT ds.deg AS du, dd.deg AS dv
-        |  FROM e JOIN d ds ON e.src = ds.node JOIN d dd ON e.dst = dd.node),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
-        |    CAST(sum(du) AS BIGINT) AS sx,
-        |    CAST(sum(du * du) AS BIGINT) AS sxx,
-        |    CAST(sum(du * dv) AS BIGINT) AS sxy
-        |  FROM j)
-        |SELECT m AS n_arcs, sx, sxx, sxy,
-        |  CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS BIGINT) AS cov_num,
-        |  round(CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS DOUBLE)
-        |    / CAST(m::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE), 6)
-        |    AS assortativity
-        |FROM m""".stripMargin,
+      s"""WITH $tradeGraphCte,
+         |j AS (SELECT CAST(e.outdeg AS BIGINT) AS du,
+         |        CAST(d2.outdeg AS BIGINT) AS dv
+         |      FROM e JOIN deg d2 ON e.dst = d2.src),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(sum(du) AS BIGINT) AS sx,
+         |    CAST(sum(du * du) AS BIGINT) AS sxx,
+         |    CAST(sum(du * dv) AS BIGINT) AS sxy
+         |  FROM j)
+         |SELECT m AS n_arcs, sx, sxx, sxy,
+         |  CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS BIGINT) AS cov_num,
+         |  round(CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS DOUBLE)
+         |    / CAST(m::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE), 6)
+         |    AS assortativity
+         |FROM m""".stripMargin,
     "q_lexical_diversity" ->
       """WITH t AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM
         |    (SELECT lang, unnest(string_split(text, ' ')) AS tok

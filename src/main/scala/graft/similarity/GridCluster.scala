@@ -19,8 +19,12 @@ import graft.relational.Tables
   *
   * Exactness: coordinates are shifted non-negative BEFORE the integer
   * cell division (`floor(x·10⁴) + 10⁴ ≥ 0`, since embeddings live in
-  * (−1, 1)), so Spark's truncating `div` and DuckDB's flooring `//`
-  * agree; cluster labels are component minima, which the oracle replays
+  * (−1, 1)); on non-negative operands truncation and floor coincide, so
+  * no engine's integer-division convention matters (both Spark `div`
+  * and DuckDB `//` truncate toward zero — verified −7 // 4 = −1 — but
+  * FLOOR is the semantics a grid index needs for negative coordinates,
+  * hence the shift); cluster labels are component minima, which the
+  * oracle replays
   * with a recursive-CTE transitive closure over the same adjacency.
   */
 object GridCluster {

@@ -104,10 +104,15 @@ object HybridRetrieval {
     * relevance join streams the k-bounded lists against the label
     * table on id; weights and prefix sums broadcast as literal
     * relations. */
-  def qNdcgEval(
-      spark: SparkSession, dir: String,
-      nQueries: Int = 20, k: Int = 10): DataFrame = {
-    import spark.implicits._
+  /** The three systems' k-lists ('bm25' / 'dense' / 'hybrid') plus the
+    * label judgments — ONE definition consumed by every retrieval eval
+    * (the Spark twin of the oracle-side `retrievalListCtes`): a BM25
+    * constant or tie-break fix must reach every eval at once or they
+    * silently diverge from each other and their oracles. Returns
+    * (lists, labels, qLab). */
+  private def evalLists(
+      spark: SparkSession, dir: String, nQueries: Int, k: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val lex = TextOps.qBm25TopK(spark, dir, nQueries, k)
       .select(col("qid"), col("doc_id").as("id"), col("rnk"))
     val den = Similarity.qAnnBruteForce(spark, dir, nQueries, k)
@@ -124,6 +129,14 @@ object HybridRetrieval {
       .select(col("vec_id"), col("label"))
     val qLab = labels.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    (lists, labels, qLab)
+  }
+
+  def qNdcgEval(
+      spark: SparkSession, dir: String,
+      nQueries: Int = 20, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val (lists, labels, qLab) = evalLists(spark, dir, nQueries, k)
     val wDf = broadcast(ndcgWeights(k).toDF("rnk", "w_fp"))
     val dcg = lists
       .join(broadcast(qLab), "qid")
@@ -163,22 +176,7 @@ object HybridRetrieval {
       spark: SparkSession, dir: String,
       nQueries: Int = 20, k: Int = 10): DataFrame = {
     import spark.implicits._
-    val lex = TextOps.qBm25TopK(spark, dir, nQueries, k)
-      .select(col("qid"), col("doc_id").as("id"), col("rnk"))
-    val den = Similarity.qAnnBruteForce(spark, dir, nQueries, k)
-      .select(col("qid"), col("nid").as("id"), col("rnk"))
-    val fused = rrfFuse(Seq(lex, den), k)
-      .select(col("qid"), col("id"), col("rnk"))
-    val lists = lex.select(lit("bm25").as("system"), col("qid"),
-        col("id"), col("rnk"))
-      .unionAll(den.select(lit("dense").as("system"), col("qid"),
-        col("id"), col("rnk")))
-      .unionAll(fused.select(lit("hybrid").as("system"), col("qid"),
-        col("id"), col("rnk")))
-    val labels = graft.relational.Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("label"))
-    val qLab = labels.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    val (lists, labels, qLab) = evalLists(spark, dir, nQueries, k)
     val firstRel = lists
       .join(broadcast(qLab), "qid")
       .join(labels.select(col("vec_id").as("id"),

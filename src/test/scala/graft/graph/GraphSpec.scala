@@ -707,6 +707,18 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(local.toSeq === dist.toSeq)
     assert(local.head._1 === 3L, "middle of the path is most between")
+    // depth-cap parity: a 25-node path with maxDepth = 8 truncates BOTH
+    // paths identically (eccentricity 24 > cap)
+    val long = (1L to 25L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val longDf = long.toDF("u", "v")
+    val lc = GraphOps.betweennessOver(spark, longDf, long.size,
+      nSources = 3, k = 30, maxDepth = 8,
+      localSolveMax = Long.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dc = GraphOps.betweennessOver(spark, longDf, long.size,
+      nSources = 3, k = 30, maxDepth = 8, localSolveMax = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lc.toSeq === dc.toSeq, "cap semantics identical on both paths")
     // and on the real co-purchase graph at sf0.001 (8 pilot sources)
     val dir = "/root/testdata/sf0.001"
     val edges = GraphOps.copurchaseEdges(spark, dir).select("u", "v")
