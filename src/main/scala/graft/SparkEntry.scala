@@ -709,6 +709,10 @@ object SparkEntry {
     // -> phrase decontamination -> split census (this round's stages)
     "q_corpus_build_v4" -> ((s: SparkSession, d: String) =>
       TrainingData.qCorpusBuildV4(s, d)),
+    // capstone v5: the v4 survivor release through the privacy gates —
+    // per-lang k-anonymity census + deterministic eps-DP noised counts
+    "q_corpus_build_v5" -> ((s: SparkSession, d: String) =>
+      TrainingData.qCorpusBuildV5(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -1960,13 +1964,13 @@ object SparkEntry {
     s"""WITH ${qualityEnsembleCte(dims, epochs)}
        |SELECT doc_id, lang, r_heur, r_ppl, r_clf, rrf_ppm FROM ens""".stripMargin
 
-  /** Capstone v4: ensemble gate → setsim pairwise-survivor dedup →
-    * phrase decontamination → split census, replaying
-    * [[graft.pipeline.TrainingData.qCorpusBuildV4]] stage for stage.
-    * Shingle/phrase CTEs use fresh names (the classifier chain already
-    * owns `toks`). */
-  private val corpusBuildV4Oracle: String =
-    s"""WITH ${qualityEnsembleCte(64, 4)},
+  /** The v4 capstone's survivor chain (ensemble gate → setsim
+    * pairwise-survivor dedup → phrase decontamination) as CTEs ending in
+    * `surv(doc_id, lang, n_chars)` — ONE definition composed by both the
+    * v4 split census and the v5 privacy-gated release. Shingle/phrase
+    * CTEs use fresh names (the classifier chain already owns `toks`). */
+  private val corpusSurvivorCtes: String =
+    s"""${qualityEnsembleCte(64, 4)},
        |gated AS (SELECT doc_id, lang, n_chars FROM (
        |    SELECT e.doc_id, e.lang, d.n_chars,
        |      CAST(row_number() OVER (PARTITION BY e.lang
@@ -1997,17 +2001,49 @@ object SparkEntry {
        |cont AS (SELECT DISTINCT a.doc_id
        |  FROM t4 a JOIN t4 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
        |  WHERE a.tok = 'hash' AND b.tok = 'join'),
+       |surv AS (SELECT g.doc_id, g.lang, g.n_chars FROM gated g
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
+       |    AND g.doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
+
+  /** Capstone v4: the survivor chain censused by split, replaying
+    * [[graft.pipeline.TrainingData.qCorpusBuildV4]] stage for stage. */
+  private val corpusBuildV4Oracle: String =
+    s"""WITH $corpusSurvivorCtes,
        |bk AS (SELECT doc_id,
        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
        |          AS BIGINT) AS bucket
        |      FROM documents)
        |SELECT CASE WHEN bk.bucket < 80 THEN 'train'
        |            WHEN bk.bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       |  g.lang, count(*) AS n_docs, CAST(sum(g.n_chars) AS BIGINT) AS n_chars
-       |FROM gated g JOIN bk ON g.doc_id = bk.doc_id
-       |WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
-       |  AND g.doc_id NOT IN (SELECT doc_id FROM cont)
+       |  s.lang, count(*) AS n_docs, CAST(sum(s.n_chars) AS BIGINT) AS n_chars
+       |FROM surv s JOIN bk ON s.doc_id = bk.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  /** Capstone v5: the survivor release through the privacy gates —
+    * per-lang k-anonymity census over (source × length-bucket) classes
+    * plus the deterministic ε-DP noised count. */
+  private val corpusBuildV5Oracle: String =
+    s"""WITH $corpusSurvivorCtes,
+       |cls AS (SELECT s.lang, d.source, s.n_chars // 256 AS len_bucket,
+       |    CAST(count(*) AS BIGINT) AS sz
+       |  FROM surv s JOIN documents d ON s.doc_id = d.doc_id
+       |  GROUP BY 1, 2, 3),
+       |k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+       |    CAST(sum(sz) AS BIGINT) AS n_docs,
+       |    min(sz) AS min_class_size,
+       |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_risky
+       |  FROM cls GROUP BY 1),
+       |uu AS (SELECT k.*,
+       |    ('0x' || substring(md5('graft-dp:' || lang), 1, 13))
+       |      ::UBIGINT::DOUBLE / 4503599627370496.0 AS u
+       |  FROM k)
+       |SELECT lang, n_docs,
+       |  n_docs + CAST(floor(-10.0 * sign(u - 0.5)
+       |    * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15)) + 0.5)
+       |    AS BIGINT) AS n_noisy,
+       |  n_classes, min_class_size, n_risky,
+       |  CAST(n_risky * 1000000 // n_docs AS BIGINT) AS risk_ppm
+       |FROM uu""".stripMargin
 
   /** Weighted-PageRank oracle: lineitem multiplicities as edge weights,
     * contribution `(r·w) // W(u)` per arc — the same truncating
@@ -4663,6 +4699,7 @@ object SparkEntry {
     "q_corpus_build_v2" -> corpusBuildV2Oracle,
     "q_corpus_build_v3" -> corpusBuildV3Oracle,
     "q_corpus_build_v4" -> corpusBuildV4Oracle,
+    "q_corpus_build_v5" -> corpusBuildV5Oracle,
     "q_lang_sample_temp" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),

@@ -150,6 +150,12 @@ object GraphOps {
   def invalidateCaches(spark: SparkSession): Unit = {
     rankCache.invalidate(
       _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
+    // MST and betweenness results are query RESULTS too — the bench
+    // must re-measure the contraction/BFS loops per run
+    mstCache.invalidate(
+      _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
+    betwCache.invalidate(
+      _._1 == org.apache.spark.sql.GraftShim.sessionId(spark))
     // the trained embedding table is a query RESULT (the bench must
     // re-measure training per run), same contract as the rank frames
     NodeEmbed.invalidateCaches(spark)

@@ -1190,7 +1190,12 @@ object TrainingData {
     *   4. census by the standard hash split.
     * Every stage is integer/rank deterministic, so the composed oracle
     * (ensemble chain + setsim pairs + phrase CTE) is hash-exact. */
-  def qCorpusBuildV4(spark: SparkSession, dir: String): DataFrame = {
+  /** The v4 capstone's survivor set — ensemble gate, setsim
+    * pairwise-survivor dedup, phrase decontamination — as a reusable
+    * frame (doc_id, lang, n_chars): [[qCorpusBuildV4]] censuses it by
+    * split and [[qCorpusBuildV5]] privacy-gates its release. */
+  private def corpusSurvivorsV4(
+      spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("n_chars"))
     val rrf = qQualityEnsemble(spark, dir)
@@ -1218,9 +1223,48 @@ object TrainingData {
     gated
       .join(losers, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+  }
+
+  def qCorpusBuildV4(spark: SparkSession, dir: String): DataFrame =
+    corpusSurvivorsV4(spark, dir)
       .withColumn("split", splitOf(bucketOf(col("doc_id"))))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+
+  /** Capstone v5 — the privacy-gated RELEASE of the v4 corpus: before a
+    * curated corpus ships, its per-language composition goes through the
+    * round's privacy gates. Per language of the survivor set:
+    * the k-anonymity census over the release's quasi-identifier classes
+    * (source × 256-char length bucket — what a scraped-corpus datasheet
+    * exposes), and the ε-DP Laplace-noised document count (the
+    * [[graft.relational.DataQuality.qDpCounts]] mechanism, same
+    * deterministic salted-md5 draw so the oracle replays it). One
+    * aggregation over the survivor frame; the census and noise math run
+    * on the language-sized class table. */
+  def qCorpusBuildV5(spark: SparkSession, dir: String): DataFrame = {
+    val src = load(spark, dir, "documents").select("doc_id", "source")
+    val classes = corpusSurvivorsV4(spark, dir)
+      .join(src, "doc_id")
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 256").as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    classes.groupBy("lang")
+      .agg(count(lit(1)).as("n_classes"),
+        sum("sz").as("n_docs"),
+        min("sz").as("min_class_size"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("n_risky"))
+      .withColumn("u", expr(
+        "cast(conv(substring(md5(concat('graft-dp:', lang)), 1, 13)," +
+          " 16, 10) as double) / 4503599627370496.0"))
+      .withColumn("noise", expr(
+        "cast(floor(-10.0 * sign(u - 0.5)" +
+          " * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15)) + 0.5)" +
+          " as bigint)"))
+      .select(col("lang"), col("n_docs"),
+        (col("n_docs") + col("noise")).as("n_noisy"),
+        col("n_classes"), col("min_class_size"), col("n_risky"),
+        expr("n_risky * 1000000 div n_docs").as("risk_ppm"))
   }
 
   /** Per-language rank without a per-lang window: distributed total

@@ -725,6 +725,31 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("capstone v5: release totals match v4, risk census and DP noise replay") {
+    val dir = "/root/testdata/sf0.001"
+    val v4 = TrainingData.qCorpusBuildV4(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    val v4Totals = v4.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val v5 = TrainingData.qCorpusBuildV5(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // the same survivor set feeds both capstones
+    assert(v5.view.mapValues(_._1).toMap === v4Totals)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    v5.foreach { case (lang, (nDocs, nNoisy, nCls, minSz, nRisky, risk)) =>
+      assert(nCls > 0 && minSz >= 1 && nRisky >= 0 && nRisky <= nDocs)
+      assert(risk === nRisky * 1000000L / nDocs)
+      val u = java.lang.Long.parseLong(
+        md5hex(s"graft-dp:$lang").take(13), 16).toDouble / 4503599627370496.0
+      val noise = math.floor(-10.0 * math.signum(u - 0.5) *
+        math.log(math.max(1.0 - 2.0 * math.abs(u - 0.5), 1e-15)) + 0.5)
+        .toLong
+      assert(nNoisy === nDocs + noise, s"$lang DP noise")
+    }
+  }
+
   test("quality ensemble: each signal's ranks are a per-lang permutation; fusion exact") {
     val rows = TrainingData.qQualityEnsemble(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getLong(0), r.getString(1),
