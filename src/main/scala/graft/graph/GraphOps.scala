@@ -1574,25 +1574,45 @@ object GraphOps {
     * form, so their hash-equality pins blob == sparse. Each round is
     * one src-join (edges stay resident on src) + one node-keyed blob
     * aggregation, lineage cut round-over-round. */
+  /** One artifact per (session, corpus): the ball sketches are the
+    * standing per-corpus relation all three HyperBall consumers
+    * (neighborhood function, harmonic centrality, effective diameter)
+    * read — computing them per query paid the register rounds three
+    * times over (~3×3 s at sf0.1). Cross-query INTERMEDIATE cache, the
+    * tradeEdgesDeg/shingle-array posture: the bench's invalidate pass
+    * deliberately keeps these, measuring each query's own finish. */
+  private val hyperBallCache =
+    new graft.SessionCache[(String, String), Seq[DataFrame]](
+      _.foreach(_.unpersist(blocking = false)))
+
+  /** Deepest radius any consumer asks for — the cached rounds are built
+    * once at this depth and prefixes serve shallower queries. */
+  private val HyperBallMaxRadius = 3
+
   private def hyperBallRounds(
       spark: SparkSession, dir: String, radius: Int): Seq[DataFrame] = {
-    import graft.relational.Sketches
-    val (bucket, rho) = Sketches.hllRegister(col("node"), "hb")
-    val edges = tradeEdgesDeg(spark, dir).select("src", "dst")
-    val seed = edges.select(col("src").as("node")).distinct()
-      .select(col("node"),
-        graft.functions.hll_seed_blob(bucket, rho).as("blob"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    Iterator.iterate(seed) { prev =>
-      val next = prev
-        .unionAll(edges.join(prev, col("src") === col("node"))
-          .select(col("dst").as("node"), col("blob")))
-        .groupBy("node")
-        .agg(graft.functions.hll_merge(col("blob")).as("blob"))
+    require(radius <= HyperBallMaxRadius,
+      s"raise HyperBallMaxRadius past $HyperBallMaxRadius")
+    hyperBallCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
+      import graft.relational.Sketches
+      val (bucket, rho) = Sketches.hllRegister(col("node"), "hb")
+      val edges = tradeEdgesDeg(spark, dir).select("src", "dst")
+      val seed = edges.select(col("src").as("node")).distinct()
+        .select(col("node"),
+          graft.functions.hll_seed_blob(bucket, rho).as("blob"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // cut lineage growth round-over-round
-      next
-    }.take(radius + 1).toSeq
+      Iterator.iterate(seed) { prev =>
+        val next = prev
+          .unionAll(edges.join(prev, col("src") === col("node"))
+            .select(col("dst").as("node"), col("blob")))
+          .groupBy("node")
+          .agg(graft.functions.hll_merge(col("blob")).as("blob"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // cut lineage growth round-over-round
+        next
+      }.take(HyperBallMaxRadius + 1).toSeq
+    }.take(radius + 1)
   }
 
   /** Per-node ball-size estimate in 1e-4 fixed point. */
@@ -1612,8 +1632,7 @@ object GraphOps {
           sum("est_e4").as("nf_e4"))
         .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_e4"))
     }.reduce(_ unionAll _)
-    val rows = out.collect() // force while the round frames are live
-    rounds.foreach(_.unpersist(blocking = false))
+    val rows = out.collect() // the cached round frames stay resident
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
@@ -1654,8 +1673,7 @@ object GraphOps {
       .orderBy(col("harmonic_e4").desc, col("node"))
       .limit(k)
       .select("node_type", "node_id", "harmonic_e4")
-    val rows = out.collect() // force while the round frames are live
-    rounds.foreach(_.unpersist(blocking = false))
+    val rows = out.collect() // the cached round frames stay resident
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
   }
@@ -1898,8 +1916,7 @@ object GraphOps {
         .agg(count(lit(1)).as("n_nodes"), sum("est_e4").as("nf_e4"))
         .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_e4"))
     }.reduce(_ unionAll _)
-    val rows = nf.collect() // force while the round frames are live
-    rounds.foreach(_.unpersist(blocking = false))
+    val rows = nf.collect() // the cached round frames stay resident
     val nfDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toIndexedSeq, 1), nf.schema)
     val tgt = nfDf.filter(col("r") === radius)
