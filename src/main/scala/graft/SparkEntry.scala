@@ -247,6 +247,9 @@ object SparkEntry {
     // epsilon-DP Laplace counts with deterministic salted-md5 draws
     "q_dp_counts" -> ((s: SparkSession, d: String) =>
       graft.relational.DataQuality.qDpCounts(s, d)),
+    // exact ROC AUC of the trained quality scorer (histogram 2U algebra)
+    "q_auc" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.QualityClassifier.qAuc(s, d)),
     // Holt level+trend smoothing in integer fixed point (floor-division
     // recurrence; recursive-CTE oracle), 7-day forecast + MAE
     "q_holt_winters" -> (EventQueries.qHoltWinters _),
@@ -668,6 +671,10 @@ object SparkEntry {
     // by the GraphSpec JVM replay, local == forced-distributed)
     "q_betweenness" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qBetweenness(s, d)),
+    // deterministic IC influence spread: salted-md5 live arcs, multi-
+    // seed BFS reachability; recursive-CTE oracle
+    "q_influence_spread" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qInfluenceSpread(s, d)),
     // multi-source BFS hop distances: frontier-sized shuffles per
     // round, early exit on an empty level (exact twin of HyperBall)
     "q_bfs_dist" -> ((s: SparkSession, d: String) =>
@@ -2210,6 +2217,27 @@ object SparkEntry {
        |SELECT sc.doc_id, CAST(l.y AS BIGINT) AS label,
        |  CAST(sc.z AS BIGINT) AS score_fp, sc.z >= 0 AS keep
        |FROM sc JOIN lab l USING (doc_id)""".stripMargin
+
+  /** Exact ROC AUC over the trained scorer's score histogram — the
+    * q_mann_whitney 2U algebra (ties half-credited, all integer). */
+  private def aucSql(dims: Int, epochs: Int): String =
+    s"""WITH ${qualityClassifierCte(dims, epochs)},
+       |scored AS (SELECT CAST(sc.z AS BIGINT) AS score_fp,
+       |    CAST(l.y AS BIGINT) AS label
+       |  FROM sc JOIN lab l USING (doc_id)),
+       |h AS (SELECT score_fp, CAST(sum(label) AS BIGINT) AS np,
+       |    CAST(sum(1 - label) AS BIGINT) AS nn
+       |  FROM scored GROUP BY 1),
+       |c AS (SELECT np, nn, COALESCE(sum(nn) OVER (ORDER BY score_fp
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
+       |  FROM h)
+       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+       |  CAST(sum(nn) AS BIGINT) AS n_neg,
+       |  CAST(sum(2::HUGEINT * np * cumnn + np::HUGEINT * nn) AS BIGINT)
+       |    AS auc_x2,
+       |  CAST(sum(2::HUGEINT * np * cumnn + np::HUGEINT * nn) * 500000
+       |    // (sum(np)::HUGEINT * sum(nn)) AS BIGINT) AS auc_ppm
+       |FROM c""".stripMargin
 
   /** Calibration census over the trained scorer (see
     * QualityClassifier.qCalibration): hard-sigmoid ppm probabilities,
@@ -4841,6 +4869,24 @@ object SparkEntry {
     "q_pagerank_dangling" -> pageRankDanglingSql(
       graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
     "q_quality_classifier" -> qualityClassifierSql(64, 4),
+    "q_auc" -> aucSql(64, 4),
+    // copurchaseCte opens the WITH; the reach closure needs RECURSIVE
+    "q_influence_spread" ->
+      s"""${copurchaseCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |arcs AS (SELECT u AS a, v AS b FROM und
+         |  UNION ALL SELECT v, u FROM und),
+         |live AS (SELECT a, b FROM arcs
+         |  WHERE ('0x' || substring(md5('ic:' || a || ':' || b), 1, 8))
+         |    ::UBIGINT % 100 < 30),
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_live_arcs FROM live),
+         |seeds AS (SELECT node FROM (SELECT u AS node FROM und
+         |    UNION SELECT v FROM und) ORDER BY node LIMIT 3),
+         |reach(s, v) AS (SELECT node, node FROM seeds
+         |  UNION
+         |  SELECT r.s, l.b FROM reach r JOIN live l ON r.v = l.a)
+         |SELECT s AS seed, CAST(count(*) AS BIGINT) AS n_reached,
+         |  nl.n_live_arcs
+         |FROM reach CROSS JOIN nl GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     "q_quality_ensemble" -> qualityEnsembleSql(64, 4),
     "q_calibration" -> calibrationSql(64, 4),
     "q_random_walks" -> randomWalkSql(10, 2),

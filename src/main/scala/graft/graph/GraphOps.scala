@@ -1859,6 +1859,64 @@ object GraphOps {
       .toDF("node", "centrality_fp")
   }
 
+  /** Deterministic independent-cascade influence spread (Kempe,
+    * Kleinberg & Tardos's IC model over its live-edge interpretation):
+    * each directed arc of the co-purchase graph fires independently
+    * with probability p, and a seed's spread is its reachable set
+    * through the fired arcs. The coin is a salted md5 of the ORDERED
+    * arc — deterministic, so one live-edge world is fixed per corpus
+    * and the DuckDB oracle replays reachability with a recursive CTE
+    * (the same derandomized-mechanism posture as
+    * [[graft.relational.DataQuality.qDpCounts]]: a real estimator
+    * would average worlds over secret salts; this operator's job is to
+    * be verifiable). Multi-seed BFS — all seeds advance in one join
+    * round each (the [[qBetweenness]] forward shape), frontiers
+    * materialized through [[matLeaf]], loud failure on round-budget
+    * exhaustion. Output: seed, reached-set size, live-arc count. */
+  def qInfluenceSpread(
+      spark: SparkSession, dir: String, nSeeds: Int = 3,
+      pPct: Int = 30, maxRounds: Int = 64): DataFrame = {
+    val und = copurchaseEdges(spark, dir).select("u", "v")
+    val arcsAll = und.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(und.select(col("v").as("a"), col("u").as("b")))
+    val (arcs, nLive, arcsRdd) = matLeaf(arcsAll.filter(expr(
+      "cast(conv(substring(md5(concat('ic:', cast(a as string), ':'," +
+        s" cast(b as string))), 1, 8), 16, 10) as bigint) % 100 < $pPct")))
+    val seeds = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .distinct().orderBy("node").limit(nSeeds)
+    val rdds = collection.mutable.Buffer(arcsRdd)
+    var (frontier, nF, fRdd) = matLeaf(
+      seeds.select(col("node").as("s"), col("node").as("v")))
+    rdds += fRdd
+    var (seen, _, seenRdd) = matLeaf(frontier)
+    rdds += seenRdd
+    var round = 0
+    while (nF > 0 && round < maxRounds) {
+      val (nxt, n2, nxtRdd) = matLeaf(frontier
+        .join(arcs, col("v") === col("a"))
+        .select(col("s"), col("b").as("v")).distinct()
+        .join(seen, Seq("s", "v"), "left_anti"))
+      rdds += nxtRdd
+      if (n2 > 0) {
+        val (s2, _, s2Rdd) = matLeaf(seen.unionAll(nxt))
+        rdds += s2Rdd
+        seen = s2
+      }
+      frontier = nxt; nF = n2; round += 1
+    }
+    if (nF > 0) throw new IllegalStateException(
+      s"cascade did not settle in $maxRounds rounds")
+    val out = seen.groupBy(col("s").as("seed"))
+      .agg(count(lit(1)).as("n_reached"))
+      .withColumn("n_live_arcs", lit(nLive))
+      .orderBy("seed")
+    val rows = out.collect() // nSeeds rows — force, then free the run
+    rdds.foreach(_.unpersist(blocking = false))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+  }
+
   /** Degree assortativity of the trade graph — Newman's r: the Pearson
     * correlation of endpoint degrees over every (symmetrized) arc.
     * Negative r is the disassortative hub-leaf signature of bipartite

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
@@ -164,6 +165,36 @@ object QualityClassifier {
     * high-confidence bin whose observed rate disagrees is exactly where
     * a score cut silently mislabels. One map pass over the cached
     * scored frame + a 10-group aggregate. */
+  /** Exact ROC AUC of the trained scorer against its training labels —
+    * the threshold-free companion to [[qCalibration]]'s reliability
+    * view: AUC = P(score⁺ > score⁻) + ½P(=), computed as the
+    * Mann-Whitney U statistic over the SCORE HISTOGRAM in doubled
+    * integer units (the [[graft.relational.EventQueries.qMannWhitney]]
+    * algebra — 2U absorbs tie half-credit, everything stays exact).
+    * The cumulative window runs over DISTINCT fixed-point scores, whose
+    * cardinality is bounded by the score range (a dims/clamp constant),
+    * not the corpus — the defended bounded-histogram posture of
+    * qKsTest. Ships the integer 2U numerator as the hash anchor and
+    * AUC in ppm. */
+  def qAuc(
+      spark: SparkSession, dir: String, dims: Int = 64,
+      epochs: Int = 4): DataFrame = {
+    val h = qQualityClassifier(spark, dir, dims, epochs)
+      .groupBy("score_fp")
+      .agg(sum(col("label")).as("np"),
+        sum(lit(1L) - col("label")).as("nn"))
+    val w = Window.orderBy("score_fp")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cumnn", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(expr("2 * cast(np as decimal(38,0)) * cumnn" +
+          " + cast(np as decimal(38,0)) * nn")).as("u2"))
+      .select(col("n_pos"), col("n_neg"),
+        col("u2").cast("long").as("auc_x2"),
+        expr("cast(u2 * 500000 div (cast(n_pos as decimal(38,0)) * n_neg)" +
+          " as bigint)").as("auc_ppm"))
+  }
+
   def qCalibration(
       spark: SparkSession, dir: String, dims: Int = 64,
       epochs: Int = 4): DataFrame =

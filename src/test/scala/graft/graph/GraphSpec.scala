@@ -731,6 +731,35 @@ class GraphSpec extends SparkSpec {
     assert(l2.nonEmpty && l2.head._2 > 0)
   }
 
+  test("influence spread equals the JVM live-edge reachability replay") {
+    val dir = "/root/testdata/sf0.001"
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val und = GraphOps.copurchaseEdges(spark, dir)
+      .select("u", "v").as[(Long, Long)].collect()
+    val arcs = und.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    def fires(a: Long, b: Long): Boolean =
+      java.lang.Long.parseLong(md5hex(s"ic:$a:$b").take(8), 16) % 100 < 30
+    val live = arcs.filter((fires _).tupled)
+    val adj = live.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val want = nodes.take(3).map { s =>
+      val seen = collection.mutable.Set(s)
+      var frontier = Set(s)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .filterNot(seen)
+        seen ++= frontier
+      }
+      (s, seen.size.toLong, live.length.toLong)
+    }
+    val got = GraphOps.qInfluenceSpread(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.forall(_._2 >= 1))
+  }
+
   test("global clustering census folds the per-node triangle census") {
     val dir = "/root/testdata/sf0.001"
     val perNode = GraphOps.qTriangles(spark, dir).collect()

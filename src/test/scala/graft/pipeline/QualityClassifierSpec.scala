@@ -83,4 +83,22 @@ class QualityClassifierSpec extends SparkSpec {
     // bins partition the scored set
     assert(got.values.map(_._1).sum === scored.length.toLong)
   }
+
+  test("AUC equals the all-pairs comparison count and beats chance") {
+    val dir = "/root/testdata/sf0.001"
+    val scored = QualityClassifier.qQualityClassifier(spark, dir)
+      .selectExpr("label", "score_fp").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pos = scored.filter(_._1 == 1L).map(_._2)
+    val neg = scored.filter(_._1 == 0L).map(_._2)
+    // 2U = 2·#{(p,n): p > n} + #{ties} over all cross pairs
+    val u2 = pos.map(p =>
+      2L * neg.count(_ < p) + neg.count(_ == p)).sum
+    val Array(row) = QualityClassifier.qAuc(spark, dir).collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((pos.length.toLong, neg.length.toLong, u2,
+        u2 * 500000L / (pos.length.toLong * neg.length))))
+    // the trained scorer separates its own training labels beyond chance
+    assert(row.getLong(3) > 550000L, s"AUC ppm ${row.getLong(3)}")
+  }
 }
