@@ -7,7 +7,7 @@ import graft.dedup.Dedup
 import graft.lsp.LspAnalytics
 import graft.multimodal.Multimodal
 import graft.pipeline.TrainingData
-import graft.relational.{Bucketed, EventQueries, RelationalQueries, Sketches, Skyline, SqlQueries}
+import graft.relational.{Bucketed, EventQueries, Inference, RelationalQueries, Sketches, Skyline, SqlQueries}
 import graft.similarity.{GridCluster, HybridRetrieval, Similarity}
 import graft.text.TextOps
 
@@ -236,6 +236,20 @@ object SparkEntry {
     // offline least-squares changepoint (binary segmentation depth 1):
     // argmax of the exact scaled between-segment gain
     "q_changepoint" -> (EventQueries.qChangepoint _),
+    // lag 1-6 autocorrelation of gap-filled hourly counts — ratio of
+    // integer sums (no sqrt), sign-safe ppm division
+    "q_acf" -> ((s: SparkSession, d: String) => Inference.qAcf(s, d)),
+    // Wilson lower-bound conversion ranking; exact integer sqrt via
+    // double seed + Newton steps + guards
+    "q_wilson_ctr" -> (Inference.qWilsonCtr _),
+    // Poisson(1)-multiplicity bootstrap CI of mean cents, B=32
+    // replicates in one fan-out scan, md5-drawn multiplicities
+    "q_bootstrap_ci" -> ((s: SparkSession, d: String) =>
+      Inference.qBootstrapCi(s, d)),
+    // salted permutation test of the A/B conversion diff (P=128),
+    // integer cross-multiplied statistic, add-one p-value
+    "q_permutation_test" -> ((s: SparkSession, d: String) =>
+      Inference.qPermutationTest(s, d)),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -3371,6 +3385,161 @@ object SparkEntry {
         |  CAST(ssb_np * (nn - k) * 1000000
         |    // ((sst_np - ssb_np) * (k - 1)) AS BIGINT) AS f_ppm
         |FROM np""".stripMargin,
+    "q_acf" ->
+      """WITH h AS (SELECT event_type,
+        |    epoch_us(ts) // 3600000000 AS hour FROM events),
+        |c AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS y
+        |  FROM h GROUP BY 1, 2),
+        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
+        |sp AS (SELECT t.event_type, gs.hour
+        |  FROM (SELECT DISTINCT event_type FROM c) t
+        |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hour
+        |    FROM b) gs),
+        |se AS (SELECT sp.event_type, sp.hour, coalesce(c.y, 0) AS y
+        |  FROM sp LEFT JOIN c
+        |    ON sp.event_type = c.event_type AND sp.hour = c.hour),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM se GROUP BY 1),
+        |d AS (SELECT se.event_type, se.hour, st.n, st.s,
+        |    st.n::HUGEINT * se.y - st.s AS dev,
+        |    lag(se.y, 1) OVER w AS l1, lag(se.y, 2) OVER w AS l2,
+        |    lag(se.y, 3) OVER w AS l3, lag(se.y, 4) OVER w AS l4,
+        |    lag(se.y, 5) OVER w AS l5, lag(se.y, 6) OVER w AS l6
+        |  FROM se JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY se.event_type ORDER BY se.hour)),
+        |sm AS (SELECT event_type, max(n) AS n, sum(dev * dev) AS den,
+        |    sum(CASE WHEN l1 IS NOT NULL
+        |      THEN dev * (n::HUGEINT * l1 - s) END) AS num1,
+        |    sum(CASE WHEN l2 IS NOT NULL
+        |      THEN dev * (n::HUGEINT * l2 - s) END) AS num2,
+        |    sum(CASE WHEN l3 IS NOT NULL
+        |      THEN dev * (n::HUGEINT * l3 - s) END) AS num3,
+        |    sum(CASE WHEN l4 IS NOT NULL
+        |      THEN dev * (n::HUGEINT * l4 - s) END) AS num4,
+        |    sum(CASE WHEN l5 IS NOT NULL
+        |      THEN dev * (n::HUGEINT * l5 - s) END) AS num5,
+        |    sum(CASE WHEN l6 IS NOT NULL
+        |      THEN dev * (n::HUGEINT * l6 - s) END) AS num6
+        |  FROM d GROUP BY 1),
+        |u AS (SELECT event_type, n, den, k.lag_k,
+        |    CASE k.lag_k WHEN 1 THEN num1 WHEN 2 THEN num2 WHEN 3 THEN num3
+        |      WHEN 4 THEN num4 WHEN 5 THEN num5 ELSE num6 END AS num
+        |  FROM sm CROSS JOIN
+        |    (VALUES (1), (2), (3), (4), (5), (6)) k(lag_k))
+        |SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, n AS n_hours,
+        |  CAST(CASE WHEN den = 0 THEN 0 ELSE
+        |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * ((1000000 * abs(num)) // den) END AS BIGINT) AS acf_ppm
+        |FROM u""".stripMargin,
+    "q_wilson_ctr" ->
+      """WITH cells AS (SELECT
+        |    (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
+        |    CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS s
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |w1 AS (SELECT *, 38416::HUGEINT
+        |    * (10000::HUGEINT * s * (t - s) + 9604::HUGEINT * t) * t AS x
+        |  FROM cells),
+        |w2 AS (SELECT *, greatest(1::HUGEINT,
+        |    CAST(sqrt(CAST(x AS DOUBLE)) AS HUGEINT) + 2) AS r0 FROM w1),
+        |w3 AS (SELECT *, (r0 + x // r0) // 2 AS r1 FROM w2),
+        |w4 AS (SELECT *, (r1 + x // r1) // 2 AS r2 FROM w3),
+        |w5 AS (SELECT *, CASE WHEN r2 * r2 > x THEN r2 - 1 ELSE r2 END
+        |  AS r3 FROM w4),
+        |w6 AS (SELECT *, CASE WHEN (r3 + 1) * (r3 + 1) <= x THEN r3 + 1
+        |  ELSE r3 END AS isq FROM w5),
+        |o AS (SELECT hour_of_day, t, s,
+        |    CAST((1000000::HUGEINT * s) // t AS BIGINT) AS rate_ppm,
+        |    CAST((1000000::HUGEINT
+        |        * (t::HUGEINT * (10000 * s + 19208) - isq))
+        |      // (t::HUGEINT * (10000 * t + 38416)) AS BIGINT)
+        |      AS wilson_lb_ppm
+        |  FROM w6)
+        |SELECT *, CAST(row_number()
+        |    OVER (ORDER BY wilson_lb_ppm DESC, hour_of_day) AS BIGINT)
+        |  AS rank_lb
+        |FROM o""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |reps AS (SELECT event_type, event_id, cents,
+        |    unnest(generate_series(0, 31)) AS rep FROM ev),
+        |mm0 AS (SELECT event_type, rep, cents,
+        |    ('0x' || substring(md5('boot:' || CAST(rep AS VARCHAR) || ':'
+        |      || CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT AS u32
+        |  FROM reps),
+        |mm AS (SELECT event_type, rep, cents,
+        |    CASE WHEN u32 < 1580030168 THEN 0 WHEN u32 < 3160060337 THEN 1
+        |      WHEN u32 < 3950075421 THEN 2 WHEN u32 < 4213413783 THEN 3
+        |      WHEN u32 < 4279248373 THEN 4 WHEN u32 < 4292415291 THEN 5
+        |      WHEN u32 < 4294609777 THEN 6 WHEN u32 < 4294923276 THEN 7
+        |      WHEN u32 < 4294962463 THEN 8 ELSE 9 END AS m
+        |  FROM mm0),
+        |rm AS (SELECT event_type, rep,
+        |    CAST(sum(m * cents) AS BIGINT) AS sum_cents,
+        |    CAST(sum(m) AS BIGINT) AS n_rep
+        |  FROM mm GROUP BY 1, 2 HAVING sum(m) > 0),
+        |means AS (SELECT event_type, rep,
+        |    CAST((1000000::HUGEINT * sum_cents) // n_rep AS BIGINT)
+        |      AS mean_microcents
+        |  FROM rm),
+        |rk AS (SELECT event_type, rep, mean_microcents, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY mean_microcents, rep)
+        |    AS rk FROM means),
+        |nr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps
+        |  FROM means GROUP BY 1),
+        |ci AS (SELECT rk.event_type, nr.n_reps,
+        |    min(CASE WHEN rk.rk * 20 >= nr.n_reps
+        |      THEN mean_microcents END) AS ci_lo_microcents,
+        |    min(CASE WHEN rk.rk * 20 >= 19 * nr.n_reps
+        |      THEN mean_microcents END) AS ci_hi_microcents
+        |  FROM rk JOIN nr USING (event_type) GROUP BY 1, 2),
+        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST((1000000::HUGEINT * sum(cents)) // count(*) AS BIGINT)
+        |      AS mean_microcents
+        |  FROM ev GROUP BY 1)
+        |SELECT pt.event_type, pt.n, pt.mean_microcents, ci.n_reps,
+        |  ci.ci_lo_microcents, ci.ci_hi_microcents
+        |FROM pt JOIN ci USING (event_type)""".stripMargin,
+    "q_permutation_test" ->
+      """WITH pu AS (SELECT user_id,
+        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 120.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv1,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM pu),
+        |obs2 AS (SELECT *,
+        |    abs(conv0::HUGEINT * n1 - conv1::HUGEINT * n0) AS stat_obs
+        |  FROM obs),
+        |pp AS (SELECT k.p, pu.user_id, pu.converted,
+        |    CASE WHEN ('0x' || substring(md5('perm:' || CAST(k.p AS VARCHAR)
+        |        || ':' || CAST(pu.user_id AS VARCHAR)), 1, 8))::UBIGINT
+        |      < 2147483648 THEN 0 ELSE 1 END AS grp
+        |  FROM pu CROSS JOIN
+        |    (SELECT unnest(generate_series(1, 128)) AS p) k),
+        |ps AS (SELECT p,
+        |    abs(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)::HUGEINT
+        |        * sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+        |      - sum(CASE WHEN grp = 1 THEN converted ELSE 0 END)::HUGEINT
+        |        * sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)) AS stat_p
+        |  FROM pp GROUP BY 1)
+        |SELECT o.n_users, o.conv0, o.n0, o.conv1, o.n1,
+        |  CAST(o.stat_obs AS BIGINT) AS stat_obs,
+        |  CAST(sum(CASE WHEN ps.stat_p >= o.stat_obs THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ge,
+        |  CAST(((1 + sum(CASE WHEN ps.stat_p >= o.stat_obs THEN 1 ELSE 0
+        |    END)) * 1000000) // 129 AS BIGINT) AS p_value_ppm
+        |FROM ps CROSS JOIN obs2 o GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
     "q_seasonality" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y

@@ -1,0 +1,275 @@
+package graft.relational
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Exact-integer statistical inference over the `events` table:
+  * autocorrelation, Wilson score ranking, Poisson-bootstrap confidence
+  * intervals, and a salted permutation test.
+  *
+  * Everything here follows the repo's determinism contract: every
+  * statistic is assembled from exact integer / decimal(38,0) sufficient
+  * statistics and exits as a ppm (parts-per-million) integer, so the
+  * DuckDB oracle replays the arithmetic bit-for-bit. The resampling
+  * operators draw their randomness from salted md5 — the at-scale
+  * pattern (a hash draw per row is embarrassingly parallel and
+  * replayable; a seeded RNG stream is neither).
+  */
+object Inference {
+
+  import Tables.load
+
+  /** Lag-k autocorrelation (k = 1..6) of each event type's hourly
+    * arrival-count series — the time-series diagnostic behind "is this
+    * metric seasonal / trending" questions (and the sufficient statistic
+    * of an AR(1) fit: r₁ IS the least-squares AR coefficient).
+    *
+    * The series is gap-filled to the global hour spine (a missing hour
+    * is an observed zero, not a skipped sample — without the fill, lag
+    * pairs would silently span gaps and the statistic would be wrong).
+    * ACF_k = Σ_{t>k}(y_t−ȳ)(y_{t−k}−ȳ) / Σ_t(y_t−ȳ)², computed in the
+    * cross-multiplied integer form (n·y_t − S over n², which cancels):
+    * num_k = Σ (n·y_t − S)(n·y_{t−k} − S), den = Σ (n·y_t − S)² — a
+    * RATIO of two integer sums, so unlike Pearson there is no square
+    * root and the ppm output is exact.
+    *
+    * Scale shape: the heavy pass (hour bucketing) is one map-side
+    * combinable aggregation of the fact table; the spine is
+    * CALENDAR-BOUNDED (≤ 8.8k hours/year — the qSurvival posture), so
+    * the per-type windows run over bounded partitions. Signed division
+    * goes through sign·(|num| div den) because Spark `div` truncates
+    * while DuckDB `//` floors — they agree only on non-negatives. */
+  def qAcf(spark: SparkSession, dir: String, maxLag: Int = 6): DataFrame = {
+    val hours = load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("ts div 1000 div 3600000000").as("hour"))
+    val counts = hours.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("y"))
+    val bounds = hours.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val spine = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    val series = spine.join(counts, Seq("event_type", "hour"), "left")
+      .withColumn("y", coalesce(col("y"), lit(0L)))
+    val stats = series.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    val lagCols = (1 to maxLag).map(k => lag(col("y"), k).over(w).as(s"l$k"))
+    val lagged = series
+      .select(col("event_type") +: col("hour") +: col("y") +: lagCols: _*)
+      .join(broadcast(stats), "event_type")
+      .withColumn("dev",
+        expr("cast(n as decimal(38,0)) * y - cast(s as decimal(38,0))"))
+    val termCols =
+      sum(expr("dev * dev")).as("den") +:
+        (1 to maxLag).map(k => sum(expr(
+          s"case when l$k is not null then" +
+            s" dev * (cast(n as decimal(38,0)) * l$k - s) end")).as(s"num$k"))
+    val sums = lagged.groupBy("event_type").agg(termCols.head, termCols.tail: _*)
+    val stackArgs = (1 to maxLag)
+      .map(k => s"$k, num$k").mkString(s"stack($maxLag, ", ", ", ")")
+    sums.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("n"), col("den"),
+        expr(s"$stackArgs as (lag_k, num)"))
+      .select(col("event_type"), col("lag_k").cast("long").as("lag_k"),
+        col("n").as("n_hours"),
+        expr("""cast(case when den = 0 then 0 else
+            |  cast(case when num < 0 then -1 else 1 end as decimal(38,0))
+            |  * ((1000000 * abs(num)) div den) end as bigint)"""
+          .stripMargin).as("acf_ppm"))
+      .orderBy("event_type", "lag_k")
+  }
+
+  /** Wilson-score lower-bound ranking of hour-of-day conversion — the
+    * "sort by lower confidence bound, not by raw rate" rule that keeps a
+    * 1/1 = 100% cell from outranking a 900/1000 = 90% cell.
+    *
+    * Exact-integer form of the z=1.96 lower bound (z² = 38416/10⁴
+    * exactly): with t trials and s successes,
+    *   LB = (s + z²/2 − √(z²·(s(t−s)/t) + z⁴/4)) / (t + z²)
+    * multiplied through by 10⁴t so every operand is an integer:
+    *   x   = 38416·(10⁴·s·(t−s) + 9604·t)·t
+    *   num = t·(10⁴·s + 19208) − isqrt(x)
+    *   lb  = 10⁶·num div (t·(10⁴·t + 38416))
+    * isqrt is a floor integer square root made EXACT by two integer
+    * Newton steps + ±1 guards on a double seed (the guards make the
+    * result independent of double rounding), so both engines agree
+    * bit-for-bit. At s=0 the radicand is the perfect square (19208·t)²
+    * and the bound is exactly 0. Domain: x < 8·10³⁷ keeps every
+    * intermediate inside decimal(38,0) — t up to ~10⁹ trials per group;
+    * beyond that a per-group count this size would be pre-aggregated
+    * into coarser cells before ranking anyway.
+    *
+    * Scale shape: one map-side combinable aggregation to 24 rows; the
+    * ranking window runs over the bounded 24-row census. */
+  def qWilsonCtr(spark: SparkSession, dir: String): DataFrame = {
+    val cells = load(spark, dir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(expr("(ts div 1000 div 3600000000) % 24").as("hour_of_day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("hit"))
+      .groupBy("hour_of_day")
+      .agg(count(lit(1)).as("t"), sum("hit").as("s"))
+    val withLb = cells
+      .withColumn("x", expr(
+        """cast(38416 as decimal(38,0)) *
+          |  (10000 * cast(s as decimal(38,0)) * (t - s) + 9604 * t) * t"""
+          .stripMargin))
+      // seed biased +2 above the double sqrt so Newton descends from
+      // above; cast double→decimal directly (a floor-to-long would
+      // overflow once sqrt(x) clears 2⁶³, which 10³⁷ radicands do)
+      .withColumn("r0", expr(
+        "greatest(cast(1 as decimal(38,0))," +
+          " cast(sqrt(cast(x as double)) as decimal(38,0)) + 2)"))
+      .withColumn("r1", expr("(r0 + x div r0) div 2"))
+      .withColumn("r2", expr("(r1 + x div r1) div 2"))
+      .withColumn("r3", expr("case when r2 * r2 > x then r2 - 1 else r2 end"))
+      .withColumn("isq",
+        expr("case when (r3 + 1) * (r3 + 1) <= x then r3 + 1 else r3 end"))
+      .withColumn("wilson_lb_ppm", expr(
+        """cast((1000000 * (cast(t as decimal(38,0)) * (10000 * s + 19208)
+          |  - isq)) div (cast(t as decimal(38,0)) * (10000 * t + 38416))
+          |  as bigint)""".stripMargin))
+    withLb
+      .select(col("hour_of_day"), col("t"), col("s"),
+        expr("cast((1000000 * cast(s as decimal(38,0))) div t as bigint)")
+          .as("rate_ppm"),
+        col("wilson_lb_ppm"))
+      // 24-row census — the bounded-cardinality global-window posture
+      .withColumn("rank_lb", row_number().over(
+        Window.orderBy(col("wilson_lb_ppm").desc, col("hour_of_day")))
+        .cast("long"))
+  }
+
+  /** Cumulative Poisson(1) CDF scaled to u32, floored — P[m ≤ k] · 2³².
+    * A salted-md5 u32 draw compared against these thresholds yields each
+    * row's bootstrap multiplicity. Constants are exact integers, so both
+    * engines produce identical multiplicities. */
+  private[graft] val poissonThresholds: Seq[Long] = Seq(
+    1580030168L, 3160060337L, 3950075421L, 4213413783L, 4279248373L,
+    4292415291L, 4294609777L, 4294923276L, 4294962463L)
+
+  private[graft] def poissonCase(u: String): String =
+    poissonThresholds.zipWithIndex
+      .map { case (t, k) => s"when $u < ${t}L then $k" }
+      .mkString("case ", " ", " else 9 end")
+
+  /** Poisson-bootstrap 90% confidence interval of the mean event value
+    * (micro-cents) per event type — the bootstrap that actually runs at
+    * 100 TB: a true resample-n-with-replacement needs coordinated draws
+    * across the corpus, but Binomial(n, 1/n) → Poisson(1) per row as
+    * n → ∞, so each row independently draws a REPLICATE-SALTED Poisson
+    * multiplicity and every replicate's sum is one map-side combinable
+    * aggregation. B = 32 replicates ride the same scan via one explode.
+    *
+    * Determinism: multiplicities come from md5('boot:b:event_id') u32
+    * draws against exact Poisson CDF thresholds ([[poissonThresholds]]);
+    * replicate means are integer micro-cents (decimal div); the CI is a
+    * rank selection over the B means with the replicate id as tiebreak —
+    * every step replays exactly in DuckDB. The interval is the
+    * percentile bootstrap: ranks ⌈0.05·B⌉ and ⌈0.95·B⌉ of the sorted
+    * replicate means. */
+  def qBootstrapCi(spark: SparkSession, dir: String, b: Int = 32): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("cents"))
+    val reps = ev
+      .select(col("event_type"), col("event_id"), col("cents"),
+        explode(sequence(lit(0), lit(b - 1))).as("rep"))
+      .withColumn("u", expr(
+        """conv(substring(md5(concat('boot:', cast(rep as string), ':',
+          |  cast(event_id as string))), 1, 8), 16, 10)""".stripMargin)
+        .cast("long"))
+      .withColumn("m", expr(poissonCase("u")))
+    val repMeans = reps.groupBy("event_type", "rep")
+      .agg(sum(expr("cast(m as long) * cents")).as("sum_cents"),
+        sum("m").as("n_rep"))
+      .filter(col("n_rep") > 0)
+      .withColumn("mean_microcents", expr(
+        "cast((1000000 * cast(sum_cents as decimal(38,0))) div n_rep" +
+          " as bigint)"))
+    val ranked = repMeans.withColumn("rk", row_number().over(
+      Window.partitionBy("event_type")
+        .orderBy(col("mean_microcents"), col("rep"))))
+    val nReps = repMeans.groupBy("event_type")
+      .agg(count(lit(1)).as("n_reps"))
+    // rank ⌈0.05·B⌉ = smallest rk with 20·rk ≥ B (and ⌈0.95·B⌉ with
+    // 20·rk ≥ 19·B); since means ascend with rk, min-over-the-suffix IS
+    // the value at that rank — one aggregation, no second window
+    val ci = ranked.join(broadcast(nReps), "event_type")
+      .groupBy("event_type", "n_reps")
+      .agg(
+        min(when(expr("rk * 20 >= n_reps"), col("mean_microcents")))
+          .as("lo"),
+        min(when(expr("rk * 20 >= 19 * n_reps"), col("mean_microcents")))
+          .as("hi"))
+    val point = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .withColumn("mean_microcents", expr(
+        "cast((1000000 * cast(sum_cents as decimal(38,0))) div n as bigint)"))
+    point.select(col("event_type"), col("n"), col("mean_microcents"))
+      .join(ci
+        .select(col("event_type"), col("n_reps"),
+          col("lo").as("ci_lo_microcents"),
+          col("hi").as("ci_hi_microcents")),
+        "event_type")
+      .orderBy("event_type")
+  }
+
+  /** Salted permutation test of the A/B conversion difference — the
+    * exact-inference twin of [[EventQueries.qAbTest]]'s χ²: does the
+    * observed variant imbalance exceed what relabeling chance produces?
+    *
+    * Statistic: |convA·nB − convB·nA| (the conversion-rate difference
+    * cross-multiplied into one integer — no division, no doubles).
+    * Each permutation p ∈ 1..P relabels every user by an md5('perm:p:u')
+    * u32 parity draw (< 2³¹ → group 0), so all P permutations ride ONE
+    * fan-out scan of the per-user table and reduce map-side — the only
+    * shuffle is (p) with P groups. p-value is the add-one estimate
+    * (1 + #{p : stat_p ≥ stat_obs}) / (P + 1) in ppm, which is both the
+    * standard bias correction and a guarantee the reported p is never 0.
+    */
+  def qPermutationTest(spark: SparkSession, dir: String, p: Int = 128)
+      : DataFrame = {
+    val perUser = load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 120.0, 1L).otherwise(0L)).as("converted"))
+    def stat(grpCol: String): org.apache.spark.sql.Column = expr(
+      s"""abs(cast(sum(case when $grpCol = 0 then converted else 0 end)
+         |      as decimal(38,0))
+         |    * sum(case when $grpCol = 1 then 1 else 0 end)
+         |  - cast(sum(case when $grpCol = 1 then converted else 0 end)
+         |      as decimal(38,0))
+         |    * sum(case when $grpCol = 0 then 1 else 0 end))"""
+        .stripMargin)
+    val obs = perUser
+      .withColumn("grp", expr("cast(user_id % 2 as int)"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("grp") === 0, col("converted"))).as("conv0"),
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("grp") === 1, col("converted"))).as("conv1"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        stat("grp").as("stat_obs"))
+    val perms = perUser
+      .select(col("user_id"), col("converted"),
+        explode(sequence(lit(1), lit(p))).as("p"))
+      .withColumn("grp", expr(
+        """case when cast(conv(substring(md5(concat('perm:',
+          |  cast(p as string), ':', cast(user_id as string))), 1, 8),
+          |  16, 10) as long) < 2147483648 then 0 else 1 end"""
+          .stripMargin))
+      .groupBy("p").agg(stat("grp").as("stat_p"))
+    perms.crossJoin(broadcast(obs))
+      .groupBy("n_users", "conv0", "n0", "conv1", "n1")
+      .agg(max(col("stat_obs")).as("stat_obs_d"),
+        sum(when(col("stat_p") >= col("stat_obs"), 1L).otherwise(0L))
+          .as("n_ge"))
+      .select(col("n_users"), col("conv0"), col("n0"), col("conv1"),
+        col("n1"), col("stat_obs_d").cast("long").as("stat_obs"),
+        col("n_ge"),
+        expr(s"cast(((1 + n_ge) * 1000000) div ${p + 1} as bigint)")
+          .as("p_value_ppm"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Exact-inference operators: invariants plus independent JVM replays
+  * (BigInt arithmetic, jvm md5) — stronger than the DuckDB oracle alone
+  * because the replay shares no SQL with either engine. */
+class InferenceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def md5u32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+  }
+
+  test("acf: |r| <= 1 and lag-1 of a JVM replay matches exactly") {
+    val rows = Inference.qAcf(spark, dir).collect()
+    assert(rows.length === 30) // 5 types x 6 lags
+    rows.foreach(r => assert(math.abs(r.getLong(3)) <= 1000000L,
+      s"acf_ppm out of [-1e6,1e6]: $r"))
+    // independent replay for one type: gap-filled hourly series, BigInt
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts div 1000 div 3600000000").as("h")).collect()
+      .map(_.getLong(0))
+    // the spine is GLOBAL (all types share the bounds), so bounds come
+    // from the full table, not the filtered type
+    val all = Tables.load(spark, dir, "events")
+      .select(expr("ts div 1000 div 3600000000").as("h")).collect()
+      .map(_.getLong(0))
+    val (h0, h1) = (all.min, all.max)
+    val counts = ev.groupBy(identity).map { case (h, v) => h -> v.length }
+    val y = (h0 to h1).map(h => BigInt(counts.getOrElse(h, 0)))
+    val n = BigInt(y.length); val s = y.sum
+    val dev = y.map(v => n * v - s)
+    val den = dev.map(d => d * d).sum
+    val num1 = (1 until y.length).map(i => dev(i) * dev(i - 1)).sum
+    val want =
+      if (den == 0) 0L
+      else (num1.sign * ((BigInt(1000000) * num1.abs) / den)).toLong
+    val got = rows.find(r => r.getString(0) == "purchase" && r.getLong(1) == 1L)
+      .get.getLong(3)
+    assert(got === want)
+  }
+
+  test("wilson: bound below rate, exact vs a BigInt-isqrt replay") {
+    val rows = Inference.qWilsonCtr(spark, dir).collect()
+    assert(rows.length === 24)
+    assert(rows.map(_.getLong(5)).sorted.sameElements(1L to 24L))
+    def isqrt(x: BigInt): BigInt = {
+      if (x < 2) return x
+      var r = BigInt(math.sqrt(x.toDouble).toLong + 2)
+      var prev = BigInt(-1)
+      while (prev != r) { prev = r; r = (r + x / r) >> 1 }
+      while (r * r > x) r -= 1
+      while ((r + 1) * (r + 1) <= x) r += 1
+      r
+    }
+    rows.foreach { r =>
+      val t = BigInt(r.getLong(1)); val s = BigInt(r.getLong(2))
+      val x = BigInt(38416) * (BigInt(10000) * s * (t - s) + BigInt(9604) * t) * t
+      val lb = (BigInt(1000000) * (t * (BigInt(10000) * s + 19208) - isqrt(x))) /
+        (t * (BigInt(10000) * t + 38416))
+      assert(r.getLong(4) === lb.toLong, s"wilson replay mismatch at $r")
+      assert(r.getLong(4) <= r.getLong(3), s"LB above raw rate at $r")
+    }
+  }
+
+  test("bootstrap: CI ordered around a plausible mean; replicate means replay") {
+    val out = Inference.qBootstrapCi(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (lo, hi, mean) = (r.getLong(4), r.getLong(5), r.getLong(2))
+      assert(lo <= hi)
+      // percentile-bootstrap interval need not strictly contain the point
+      // estimate, but on this data it comfortably does
+      assert(lo <= mean && mean <= hi, s"CI excludes the mean: $r")
+      assert(r.getLong(3) === 32L) // every replicate nonempty at this sf
+    }
+    // full JVM replay of replicate means for one type
+    val ev = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val th = Inference.poissonThresholds
+    def mult(u: Long): Long = {
+      val i = th.indexWhere(u < _); if (i < 0) 9L else i.toLong
+    }
+    val wantMeans = (0 until 32).map { b =>
+      var sum = BigInt(0); var n = 0L
+      ev.foreach { case (id, c) =>
+        val m = mult(md5u32(s"boot:$b:$id")); sum += BigInt(m) * c; n += m
+      }
+      ((BigInt(1000000) * sum) / n).toLong
+    }.sorted
+    // rank ceil(.05*32)=2 and ceil(.95*32)=31 (1-indexed)
+    val clickRow = out.find(_.getString(0) == "click").get
+    assert(clickRow.getLong(4) === wantMeans(1))
+    assert(clickRow.getLong(5) === wantMeans(30))
+  }
+
+  test("permutation test: full JVM replay, p in (0, 1e6]") {
+    val r = Inference.qPermutationTest(spark, dir).collect().head
+    val users = Tables.load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") > 120.0, 1L).otherwise(0L)).as("conv"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def stat(grp: Long => Int): BigInt = {
+      var c0, n0, c1, n1 = 0L
+      users.foreach { case (u, c) =>
+        if (grp(u) == 0) { c0 += c; n0 += 1 } else { c1 += c; n1 += 1 }
+      }
+      (BigInt(c0) * n1 - BigInt(c1) * n0).abs
+    }
+    val obs = stat(u => (u % 2).toInt)
+    assert(BigInt(r.getLong(5)) === obs)
+    val nGe = (1 to 128).count { p =>
+      stat(u => if (md5u32(s"perm:$p:$u") < 2147483648L) 0 else 1) >= obs
+    }
+    assert(r.getLong(6) === nGe.toLong)
+    assert(r.getLong(7) === (1L + nGe) * 1000000L / 129L)
+    assert(r.getLong(7) > 0 && r.getLong(7) <= 1000000L)
+  }
+}
