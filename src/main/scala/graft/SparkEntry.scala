@@ -645,6 +645,13 @@ object SparkEntry {
     // pruning (items -> pairs -> semi-joined triple candidates)
     "q_freq_triples" -> ((s: SparkSession, d: String) =>
       RelationalQueries.qFreqTriples(s, d)),
+    // directed association rules: per-direction confidence + lift in
+    // exact ppm over the support-filtered co-purchase pairs
+    "q_assoc_rules" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qAssocRules(s, d)),
+    // RFM quartile segmentation; thresholds via the distributed
+    // total-order pattern (no global ntile window), value-tie contract
+    "q_rfm" -> (RelationalQueries.qRfm _),
     // per-node triangle count + clustering coefficient via
     // degree-ordered orientation (hub wedge work capped at O(√E))
     "q_triangles" -> ((s: SparkSession, d: String) =>
@@ -5074,6 +5081,80 @@ object SparkEntry {
          |FROM und e CROSS JOIN no
          |JOIN ic c1 ON e.u = c1.l_partkey
          |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
+    "q_assoc_rules" ->
+      s"""$copurchaseCte
+         |, ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+         |         FROM li GROUP BY 1),
+         |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
+         |       FROM li),
+         |rules AS (SELECT u AS antecedent, v AS consequent, support
+         |            FROM und
+         |          UNION ALL
+         |          SELECT v AS antecedent, u AS consequent, support
+         |            FROM und)
+         |SELECT r.antecedent, r.consequent, r.support,
+         |  CAST((1000000::HUGEINT * r.support) // ca.c AS BIGINT)
+         |    AS confidence_ppm,
+         |  CAST((1000000::HUGEINT * r.support * no.n)
+         |    // (ca.c::HUGEINT * cc.c) AS BIGINT) AS lift_ppm
+         |FROM rules r CROSS JOIN no
+         |JOIN ic ca ON r.antecedent = ca.l_partkey
+         |JOIN ic cc ON r.consequent = cc.l_partkey""".stripMargin,
+    "q_rfm" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS d1 FROM o),
+        |per AS (SELECT o_custkey,
+        |    CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+        |      (SELECT d1 FROM mx)) AS BIGINT) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM per),
+        |rt AS (SELECT
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS t1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS t2,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS t3
+        |  FROM (SELECT recency_days AS v, row_number()
+        |      OVER (ORDER BY recency_days, o_custkey) AS rn FROM per)
+        |    CROSS JOIN nn),
+        |ft AS (SELECT
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS t1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS t2,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS t3
+        |  FROM (SELECT frequency AS v, row_number()
+        |      OVER (ORDER BY frequency, o_custkey) AS rn FROM per)
+        |    CROSS JOIN nn),
+        |mt AS (SELECT
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS t1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS t2,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS t3
+        |  FROM (SELECT monetary_cents AS v, row_number()
+        |      OVER (ORDER BY monetary_cents, o_custkey) AS rn FROM per)
+        |    CROSS JOIN nn),
+        |sc AS (SELECT p.o_custkey, p.recency_days, p.frequency,
+        |    p.monetary_cents,
+        |    5 - (1 + CASE WHEN p.recency_days > rt.t1 THEN 1 ELSE 0 END
+        |      + CASE WHEN p.recency_days > rt.t2 THEN 1 ELSE 0 END
+        |      + CASE WHEN p.recency_days > rt.t3 THEN 1 ELSE 0 END)
+        |      AS r_score,
+        |    1 + CASE WHEN p.frequency > ft.t1 THEN 1 ELSE 0 END
+        |      + CASE WHEN p.frequency > ft.t2 THEN 1 ELSE 0 END
+        |      + CASE WHEN p.frequency > ft.t3 THEN 1 ELSE 0 END
+        |      AS f_score,
+        |    1 + CASE WHEN p.monetary_cents > mt.t1 THEN 1 ELSE 0 END
+        |      + CASE WHEN p.monetary_cents > mt.t2 THEN 1 ELSE 0 END
+        |      + CASE WHEN p.monetary_cents > mt.t3 THEN 1 ELSE 0 END
+        |      AS m_score
+        |  FROM per p CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  CAST(r_score AS BIGINT) AS r_score,
+        |  CAST(f_score AS BIGINT) AS f_score,
+        |  CAST(m_score AS BIGINT) AS m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |    AS segment
+        |FROM sc""".stripMargin,
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),

@@ -916,6 +916,47 @@ object GraphOps {
          / (col("c1") * col("c2"))).as("lift"))
   }
 
+  /** Directed association rules from the co-purchase pairs: each
+    * undirected support-filtered pair (u, v) yields both rules u→v and
+    * v→u with confidence (P[consequent | antecedent] =
+    * support / count(antecedent)) and lift
+    * (support·n / (count(u)·count(v))) — the rule-quality pair
+    * [[qCopurchase]]'s lift alone cannot express, because confidence is
+    * DIRECTIONAL (milk→bread strong, bread→milk weak when bread is
+    * everywhere).
+    *
+    * Exact ppm integers throughout: confidence and lift are single
+    * decimal(38,0) cross-multiplied divisions of exact counts, so the
+    * oracle replays bit-for-bit. Scale shape inherits
+    * [[copurchaseEdges]] (per-basket bounded explode, support pruning
+    * before anything downstream); the item-count joins broadcast the
+    * small side. */
+  def qAssocRules(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemCnt = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c"))
+    val nOrders = li.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val pairs = copurchaseEdges(spark, dir)
+    val rules = pairs.select(col("u").as("antecedent"),
+        col("v").as("consequent"), col("support"))
+      .unionAll(pairs.select(col("v").as("antecedent"),
+        col("u").as("consequent"), col("support")))
+    rules
+      .join(itemCnt.select(col("l_partkey").as("antecedent"),
+        col("c").as("c_ante")), "antecedent")
+      .join(itemCnt.select(col("l_partkey").as("consequent"),
+        col("c").as("c_cons")), "consequent")
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("cast((1000000 * cast(support as decimal(38,0))) div c_ante" +
+          " as bigint)").as("confidence_ppm"),
+        expr("""cast((1000000 * cast(support as decimal(38,0)) * n)
+          |  div (cast(c_ante as decimal(38,0)) * c_cons)
+          |  as bigint)""".stripMargin).as("lift_ppm"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected graph given as canonical edges (`u` < `v`).
     *

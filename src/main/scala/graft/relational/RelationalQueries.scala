@@ -844,4 +844,63 @@ object RelationalQueries {
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
   }
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM cut: per customer, days since last order (vs the
+    * lake's max order date), order count, and lifetime cents, each
+    * scored into quartiles, concatenated into the 111..444 segment code.
+    *
+    * Scale-safe quartiles: scores do NOT come from a global `ntile`
+    * (a corpus-sized single-partition window); instead the three
+    * quartile THRESHOLD values are extracted by the distributed
+    * total-order pattern (`repartitionByRange` + `zipWithIndex`, the
+    * qGlobalShuffle shape) at ranks ⌈n/4⌉ ⌈n/2⌉ ⌈3n/4⌉ and broadcast
+    * back as a kilobyte literal — scoring is then a stateless
+    * comparison, `1 + #(thresholds < value)`. The tie contract differs
+    * from ntile's on purpose: equal metric values always land in the
+    * same quartile (ntile splits ties by rank), which is the
+    * reproducible-segmentation property a production CRM wants, and
+    * what makes the DuckDB replay exact. Recency scores INVERT
+    * (most-recent = 4). */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val per = load(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as long)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"), sum("cents").as("monetary_cents"))
+      .crossJoin(broadcast(
+        load(spark, dir, "orders").agg(max("o_orderdate").as("d1"))))
+      .select(col("o_custkey"),
+        datediff(col("d1"), col("last_order")).cast("long")
+          .as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .persist()
+    val n = per.count()
+    val ranks = Set((n + 3) / 4, (n + 1) / 2, (3 * n + 3) / 4)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    def thresholds(metric: String): Array[Long] =
+      per.select(col(metric).cast("long"), col("o_custkey"))
+        .repartitionByRange(parts, col(metric), col("o_custkey"))
+        .sortWithinPartitions(metric, "o_custkey")
+        .rdd.zipWithIndex()
+        .filter { case (_, i) => ranks.contains(i + 1) }
+        .map(_._1.getLong(0)).collect().sorted
+    def score(metric: String, ts: Array[Long]): org.apache.spark.sql.Column =
+      ts.foldLeft(lit(1L))((acc, t) =>
+        acc + when(col(metric) > t, 1L).otherwise(0L))
+    val (rt, ft, mt) = (thresholds("recency_days"), thresholds("frequency"),
+      thresholds("monetary_cents"))
+    // thresholds are now driver literals; the final projection may lazily
+    // recompute `per` once after the unpersist — one cheap aggregate —
+    // rather than pinning cache across the caller's lifetime
+    per.unpersist(blocking = false)
+    per.select(col("o_custkey"), col("recency_days"),
+        col("frequency"), col("monetary_cents"),
+        (lit(5L) - score("recency_days", rt)).as("r_score"),
+        score("frequency", ft).as("f_score"),
+        score("monetary_cents", mt).as("m_score"))
+      .withColumn("segment",
+        expr("r_score * 100 + f_score * 10 + m_score"))
+  }
 }
