@@ -649,6 +649,10 @@ object SparkEntry {
     // exact ppm over the support-filtered co-purchase pairs
     "q_assoc_rules" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qAssocRules(s, d)),
+    // Luby maximal independent set: salted-priority elimination,
+    // O(log n) rounds, exact unrolled oracle
+    "q_luby_mis" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qLubyMis(s, d)),
     // RFM quartile segmentation; thresholds via the distributed
     // total-order pattern (no global ntile window), value-tie contract
     "q_rfm" -> (RelationalQueries.qRfm _),
@@ -1378,6 +1382,50 @@ object SparkEntry {
 
   /** Support-thresholded co-purchase edges (GraphOps.copurchaseEdges's
     * SQL mirror): canonical part pairs sharing ≥ 2 distinct orders. */
+  /** Unrolled Luby-MIS replay: `rounds` fixed rounds of the salted-
+    * priority elimination (converged rounds are empty no-ops, so the
+    * unroll only needs to be ≥ the actual round count — Spark throws
+    * past 64, the oracle carries 8, observed convergence ≤ 4 at every
+    * SF). Key arithmetic (u32·2³¹ + n) stays in signed-64 exactly as
+    * the engine computes it. */
+  private def lubyMisSql(rounds: Int): String = {
+    // every multiply-referenced CTE is MATERIALIZED — without it DuckDB
+    // inlines each reference, the u-chain fans out ~3^rounds copies of
+    // the base scan, and the planner exhausts file handles on round 8
+    val body = (0 until rounds).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT n, ('0x' || substring(md5('mis:$r:'
+         |    || CAST(n AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
+         |    * 2147483648 + n AS k FROM u$r),
+         |act$r AS MATERIALIZED (SELECT e.u, e.v FROM und e
+         |  JOIN u$r x ON e.u = x.n JOIN u$r y ON e.v = y.n),
+         |arc$r AS MATERIALIZED (SELECT u AS a, v AS b FROM act$r
+         |  UNION ALL SELECT v, u FROM act$r),
+         |nm$r AS (SELECT c.a AS n, min(pb.k) AS mk
+         |  FROM arc$r c JOIN p$r pb ON c.b = pb.n GROUP BY 1),
+         |win$r AS MATERIALIZED (SELECT p$r.n FROM p$r LEFT JOIN nm$r
+         |    ON p$r.n = nm$r.n
+         |  WHERE nm$r.mk IS NULL OR p$r.k < nm$r.mk),
+         |lose$r AS (SELECT DISTINCT b AS n FROM arc$r
+         |  WHERE a IN (SELECT n FROM win$r)),
+         |dec$r AS MATERIALIZED (SELECT n, CAST(1 AS BIGINT) AS in_mis,
+         |    CAST($r AS BIGINT) AS mis_round FROM win$r
+         |  UNION ALL SELECT n, CAST(0 AS BIGINT), CAST($r AS BIGINT)
+         |    FROM lose$r),
+         |u${r + 1} AS MATERIALIZED (SELECT n FROM u$r
+         |  WHERE n NOT IN (SELECT n FROM dec$r))""".stripMargin
+    }.mkString(",\n")
+    val tail = (0 until rounds).map(r => s"SELECT * FROM dec$r")
+      .mkString(" UNION ALL ")
+    // concatenation, not an outer stripMargin: the body's own margins
+    // are already stripped, and a second pass would eat the first pipe
+    // of every line-leading `||` concat operator
+    s"$copurchaseCte,\n" +
+      "u0 AS MATERIALIZED (SELECT u AS n FROM und" +
+      " UNION SELECT v FROM und),\n" +
+      body + "\n" +
+      s"SELECT n AS node, in_mis, mis_round FROM ($tail)"
+  }
+
   private val copurchaseCte: String =
     s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |und AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
@@ -5155,6 +5203,7 @@ object SparkEntry {
         |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
         |    AS segment
         |FROM sc""".stripMargin,
+    "q_luby_mis" -> lubyMisSql(8),
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),

@@ -1500,6 +1500,85 @@ object GraphOps {
     (forest, Some(fRdd))
   }
 
+  private val misCache = graft.SessionCache.frames[(String, String)]
+
+  /** Luby's maximal independent set over the co-purchase graph — the
+    * classic symmetry-breaking primitive (a MIS is a conflict-free
+    * activation set: no two chosen products are co-purchase neighbors,
+    * and no product could be added without a conflict).
+    *
+    * Each round r draws every still-undecided node a FRESH salted
+    * priority key = md5('mis:r:n')·2³¹ + n (u32 hash in the high bits,
+    * the node id as tiebreak — a strict total order, and the whole key
+    * fits signed-64 exactly: (2³²−1)·2³¹ + (2³¹−1) = 2⁶³−1). A node
+    * joins the MIS when its key beats every undecided neighbor's
+    * (adjacent winners are impossible: each would have to beat the
+    * other); winners' neighbors are decided OUT; both leave the
+    * undecided set. Expected round count is O(log n) — Luby's theorem:
+    * each round removes a constant fraction of edges in expectation —
+    * and the salted-hash draw replays identically in DuckDB, so the
+    * whole unrolled execution carries an exact oracle.
+    *
+    * Scale shape: per round, two semi-joins restrict the resident edge
+    * artifact to undecided endpoints, one (node) aggregation takes the
+    * neighbor min, one anti-join shrinks the undecided set; every
+    * frame crossing rounds goes through [[matLeaf]] (fresh stats leaf +
+    * persisted RDD — the localCheckpoint stats-explosion lesson), and
+    * the forcing count doubles as the convergence probe. */
+  def qLubyMis(spark: SparkSession, dir: String, maxRounds: Int = 64)
+      : DataFrame =
+    misCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
+      val (edges, _, eRdd) = matLeaf(
+        copurchaseEdges(spark, dir).select("u", "v"))
+      var (und, nU, undRdd) = matLeaf(
+        edges.select(col("u").as("n"))
+          .unionAll(edges.select(col("v").as("n"))).distinct())
+      val rounds = collection.mutable.ArrayBuffer
+        .empty[(DataFrame, org.apache.spark.rdd.RDD[_])]
+      var r = 0
+      while (nU > 0 && r < maxRounds) {
+        val pri = und.withColumn("k", expr(
+          s"""cast(conv(substring(md5(concat('mis:$r:',
+             |  cast(n as string))), 1, 8), 16, 10) as long)
+             |  * 2147483648 + n""".stripMargin))
+        val act = edges
+          .join(und.select(col("n").as("u")), Seq("u"), "left_semi")
+          .join(und.select(col("n").as("v")), Seq("v"), "left_semi")
+        val arcs = act.select(col("u").as("a"), col("v").as("b"))
+          .unionAll(act.select(col("v").as("a"), col("u").as("b")))
+        val nbrMin = arcs
+          .join(pri.select(col("n").as("b"), col("k").as("kb")), "b")
+          .groupBy(col("a").as("n")).agg(min("kb").as("mk"))
+        val winners = pri.join(nbrMin, Seq("n"), "left")
+          .filter(col("mk").isNull || col("k") < col("mk"))
+          .select("n")
+        val losers = arcs
+          .join(winners.select(col("n").as("a")), Seq("a"), "left_semi")
+          .select(col("b").as("n")).distinct()
+        val (dec, _, decRdd) = matLeaf(
+          winners.select(col("n"), lit(1L).as("in_mis"),
+              lit(r.toLong).as("mis_round"))
+            .unionAll(losers.select(col("n"), lit(0L).as("in_mis"),
+              lit(r.toLong).as("mis_round"))))
+        rounds += ((dec, decRdd))
+        val (u2, n2, u2Rdd) = matLeaf(
+          und.join(dec.select("n"), Seq("n"), "left_anti"))
+        undRdd.unpersist(blocking = false)
+        und = u2; nU = n2; undRdd = u2Rdd
+        r += 1
+      }
+      require(nU == 0, s"Luby MIS did not converge in $maxRounds rounds")
+      val out = rounds.map(_._1).reduce(_ unionAll _)
+        .select(col("n").as("node"), col("in_mis"), col("mis_round"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      eRdd.unpersist(blocking = false)
+      undRdd.unpersist(blocking = false)
+      rounds.foreach(_._2.unpersist(blocking = false))
+      out
+    }
+
   /** The lexicographic-minimum spanning forest of the co-purchase
     * graph, association distance `1e6 div support` (strong co-purchase
     * = short edge) — the single-linkage backbone of the product graph.

@@ -797,6 +797,29 @@ class GraphSpec extends SparkSpec {
     assert(row.getDouble(5) < 0.0)
   }
 
+  test("Luby MIS: independent, maximal, every node decided once") {
+    val dir = "/root/testdata/sf0.001"
+    val mis = GraphOps.qLubyMis(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = GraphOps.copurchaseEdges(spark, dir)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // coverage: decided exactly once (the map would have collapsed dups —
+    // check the raw row count too)
+    assert(GraphOps.qLubyMis(spark, dir).count() === nodes.length.toLong)
+    assert(mis.keySet === nodes.toSet)
+    // independence: no edge inside the MIS
+    edges.foreach { case (u, v) =>
+      assert(!(mis(u) == 1L && mis(v) == 1L), s"adjacent MIS pair $u-$v")
+    }
+    // maximality: every OUT node has an MIS neighbor
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2))
+    nodes.filter(mis(_) == 0L).foreach { n =>
+      assert(nbrs(n).exists(mis(_) == 1L), s"node $n not dominated")
+    }
+  }
+
   test("BFS is identical across shuffle layouts") {
     val arcs = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L, 4L -> 5L)
     val edges = (arcs ++ arcs.map(_.swap)).toDF("src", "dst")
