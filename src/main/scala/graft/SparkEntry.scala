@@ -516,6 +516,9 @@ object SparkEntry {
     // centroid (shares the cached full-corpus index with q_semdedup)
     "q_embedding_outliers" -> ((s: SparkSession, d: String) =>
       Similarity.qEmbeddingOutliers(s, d)),
+    // density-relative outliers: LOF over cell-restricted exact-integer
+    // q16 euclidean kNN (shares the cached IVF assignment)
+    "q_lof" -> ((s: SparkSession, d: String) => Similarity.qLof(s, d)),
     // the AQE-vs-salting diagnostic: exact key-frequency distribution
     // census, integer ppm shares and rank-selected percentile counts
     "q_key_skew" -> ((s: SparkSession, d: String) =>
@@ -5489,6 +5492,49 @@ object SparkEntry {
         |         WHERE rn = 1)
         |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(dist AS BIGINT) AS dist_fp
         |FROM best ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
+    "q_lof" ->
+      s"""WITH $ivfTrainCte,
+        |d2c AS (SELECT t.vec_id, c.cell, list_reduce(
+        |         list_transform(range(1, 65), i ->
+        |           CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |         (x, y) -> x + y) AS dist
+        |       FROM e t, c1 c),
+        |best AS MATERIALIZED (SELECT vec_id, cell FROM (
+        |           SELECT vec_id, cell, row_number() OVER (
+        |             PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2c)
+        |         WHERE rn = 1),
+        |q AS MATERIALIZED (SELECT e.vec_id, b.cell,
+        |         list_transform(e.v, x -> round(x * 65536)) AS q
+        |       FROM e JOIN best b USING (vec_id)),
+        |pd AS (SELECT x.vec_id AS a, y.vec_id AS b, x.cell,
+        |         CAST(list_reduce(list_transform(range(1, 65), i ->
+        |             (x.q[i] - y.q[i]) * (x.q[i] - y.q[i])),
+        |           (p, s) -> p + s) AS BIGINT) AS d2
+        |       FROM q x JOIN q y
+        |         ON x.cell = y.cell AND x.vec_id != y.vec_id),
+        |knn AS MATERIALIZED (SELECT a, b, cell, d2 FROM (
+        |         SELECT a, b, cell, d2, row_number() OVER (
+        |           PARTITION BY a ORDER BY d2, b) AS rn FROM pd)
+        |       WHERE rn <= 8),
+        |kd AS MATERIALIZED (SELECT a, max(d2) AS kdist,
+        |         CAST(count(*) AS BIGINT) AS cnt, min(cell) AS cell
+        |       FROM knn GROUP BY 1),
+        |lrd AS MATERIALIZED (SELECT r.a, kd.cnt, kd.cell,
+        |         CASE WHEN sum(r.reach) = 0
+        |           THEN 1000000000000000000::HUGEINT
+        |           ELSE (kd.cnt::HUGEINT * 1000000000000000000)
+        |             // sum(r.reach) END AS lrd_fp
+        |       FROM (SELECT k.a, greatest(kb.kdist, k.d2) AS reach
+        |             FROM knn k JOIN kd kb ON k.b = kb.a) r
+        |       JOIN kd ON r.a = kd.a GROUP BY r.a, kd.cnt, kd.cell),
+        |lof AS (SELECT k.a, sum(lb.lrd_fp) AS slb
+        |        FROM knn k JOIN lrd lb ON k.b = lb.a GROUP BY 1)
+        |SELECT l.a AS vec_id, CAST(d.cell AS BIGINT) AS cell,
+        |  d.cnt AS n_nbrs, CAST(d.lrd_fp AS BIGINT) AS lrd_fp,
+        |  CAST((l.slb * 1000000) // (d.cnt::HUGEINT * d.lrd_fp)
+        |    AS BIGINT) AS lof_ppm
+        |FROM lof l JOIN lrd d ON l.a = d.a
+        |ORDER BY lof_ppm DESC, vec_id LIMIT 50""".stripMargin,
     "q_key_skew" ->
       """WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,

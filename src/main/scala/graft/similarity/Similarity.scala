@@ -1141,6 +1141,84 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dist").as("dist_fp"))
 
+  /** Local Outlier Factor (Breunig et al., SIGMOD 2000) over the
+    * embedding corpus — the DENSITY-relative outlier score
+    * [[qEmbeddingOutliers]]'s global centroid distance cannot express:
+    * a vector on the rim of a tight cluster scores high even when a
+    * diffuse cluster's core sits farther from its centroid.
+    *
+    * Neighborhoods are CELL-RESTRICTED (the cached full-corpus IVF
+    * assignment [[qSemDedup]] serves) — the standard at-scale
+    * concession: exact corpus×corpus kNN is quadratic, same-cell kNN is
+    * the per-cell quadratic the index already bounds, and the oracle
+    * replays the identical cell-restricted definition, so the contract
+    * stays exact. Vectors alone in their cell have no neighborhood and
+    * drop out (mirrored in the oracle).
+    *
+    * Exact-integer chain: distances are squared euclidean on the q16
+    * grid — d² = qq(a) + qq(b) − 2·⟨qa,qb⟩, every term an exact
+    * integer below 2⁵³ so the double-dot kernel is exact; k-distance
+    * and reach-dist are max/greatest of integers; lrd is scaled to
+    * fixed-point 10¹⁸ by one truncating decimal division; LOF_ppm is
+    * one more. Top-`topN` by (lof desc, id) exits through TakeOrdered —
+    * a per-partition heap merge, no global sort. */
+  def qLof(
+      spark: SparkSession, dir: String,
+      cells: Int = 0, k: Int = 8, topN: Int = 50): DataFrame = {
+    val assigned = cachedAssignment(spark, dir,
+      if (cells > 0) cells else adaptiveCellsFor(spark, dir))
+    val q = assigned.select(col("vec_id"), col("cell"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 65536)).as("q"))
+      .withColumn("qq", vec_dot(col("q"), col("q")))
+    val pairs = q.select(col("cell"), col("vec_id").as("a"),
+        col("q").as("qa"), col("qq").as("qqa"))
+      .join(q.select(col("cell"), col("vec_id").as("b"),
+        col("q").as("qb"), col("qq").as("qqb")), "cell")
+      .filter(col("a") =!= col("b"))
+      .select(col("cell"), col("a"), col("b"),
+        (col("qqa") + col("qqb")
+          - lit(2.0) * vec_dot(col("qa"), col("qb")))
+          .cast("long").as("d2"))
+    // per-NODE window: partition size = cell-mate count, bounded by the
+    // index cell population — never corpus-sized
+    val w = Window.partitionBy("a").orderBy(col("d2"), col("b"))
+    val knn = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    knn.count()
+    try {
+      val kd = knn.groupBy("a")
+        .agg(max("d2").as("kdist"), count(lit(1)).as("cnt"),
+          first("cell").as("cell"))
+      val lrd = knn
+        .join(kd.select(col("a").as("b"), col("kdist").as("kdist_b")), "b")
+        .groupBy("a")
+        .agg(sum(greatest(col("kdist_b"), col("d2"))).as("sumreach"))
+        .join(kd, "a")
+        .withColumn("lrd_fp", expr(
+          """case when sumreach = 0
+            |  then cast(1000000000000000000 as decimal(38,0))
+            |  else (cast(cnt as decimal(38,0)) * 1000000000000000000)
+            |    div sumreach end""".stripMargin))
+      val out = knn
+        .join(lrd.select(col("a").as("b"), col("lrd_fp").as("lrd_b")), "b")
+        .groupBy("a").agg(sum("lrd_b").as("sum_lrd_b"))
+        .join(lrd, "a")
+        .select(col("a").as("vec_id"), col("cell").cast("long").as("cell"),
+          col("cnt").as("n_nbrs"),
+          col("lrd_fp").cast("long").as("lrd_fp"),
+          expr("""cast((sum_lrd_b * 1000000)
+            |  div (cast(cnt as decimal(38,0)) * lrd_fp) as bigint)"""
+            .stripMargin).as("lof_ppm"))
+        .orderBy(col("lof_ppm").desc, col("vec_id"))
+        .limit(topN)
+      val rows = out.collect()
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
+    } finally knn.unpersist(blocking = false)
+  }
+
   /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
     * not near-duplicate text: cluster the corpus embeddings (Forgy + one
     * Lloyd round, the [[qIvfIngest]] index), then within each cell link

@@ -596,4 +596,26 @@ class SimilaritySpec extends SparkSpec {
     // sanity: the blob corpus actually produces at least one dense cluster
     assert(byCluster.nonEmpty)
   }
+
+  test("LOF: bounded scores, deterministic, inlier band around 1e6") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Similarity.qLof(spark, dir).collect()
+    assert(a.length === 50)
+    a.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 8) // n_nbrs
+      assert(r.getLong(3) > 0)                       // lrd_fp
+      assert(r.getLong(4) > 0)                       // lof_ppm
+    }
+    // output is the top-50 by (lof desc, id): verify the order contract
+    val lofs = a.map(r => (r.getLong(4), r.getLong(0)))
+    assert(lofs.sameElements(lofs.sortBy { case (l, id) => (-l, id) }))
+    // density-relative calibration: even the TOP outliers of a roughly
+    // uniform synthetic corpus sit in a moderate band (no degenerate
+    // 1000x scores), and the 50th is near the ~1e6 inlier line
+    assert(a.head.getLong(4) < 3000000L, s"degenerate top LOF: ${a.head}")
+    assert(a.last.getLong(4) > 800000L && a.last.getLong(4) < 2000000L)
+    // determinism across invocations (cached assignment + exact chain)
+    val b = Similarity.qLof(spark, dir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
 }
