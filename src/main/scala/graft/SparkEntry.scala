@@ -250,6 +250,12 @@ object SparkEntry {
     // integer cross-multiplied statistic, add-one p-value
     "q_permutation_test" -> ((s: SparkSession, d: String) =>
       Inference.qPermutationTest(s, d)),
+    // stationary distribution of the event-type transition chain:
+    // fixed-point power iteration over the collected K^2 ppm census
+    "q_markov_stationary" -> ((s: SparkSession, d: String) =>
+      Inference.qMarkovStationary(s, d)),
+    // per-doc first-seen shingle share (corpus freshness census)
+    "q_ngram_novelty" -> (Dedup.qNgramNovelty _),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -519,6 +525,10 @@ object SparkEntry {
     // density-relative outliers: LOF over cell-restricted exact-integer
     // q16 euclidean kNN (shares the cached IVF assignment)
     "q_lof" -> ((s: SparkSession, d: String) => Similarity.qLof(s, d)),
+    // semantic decontamination: broadcast eval set, stateless corpus
+    // map, per-vector best-match argmax (no shuffle before the agg)
+    "q_semantic_decontam" -> ((s: SparkSession, d: String) =>
+      Similarity.qSemanticDecontam(s, d)),
     // the AQE-vs-salting diagnostic: exact key-frequency distribution
     // census, integer ppm shares and rank-selected percentile counts
     "q_key_skew" -> ((s: SparkSession, d: String) =>
@@ -1385,6 +1395,44 @@ object SparkEntry {
 
   /** Support-thresholded co-purchase edges (GraphOps.copurchaseEdges's
     * SQL mirror): canonical part pairs sharing ≥ 2 distinct orders. */
+  /** Unrolled fixed-point power iteration for the event-type Markov
+    * chain: `iters` rounds of π'ⱼ = (Σᵢ πᵢ·pᵢⱼ) div 10⁶ over the ppm
+    * transition census, uniform 10⁶ div K start. The pi-chain is
+    * linear (each round referenced once), but `p` and `st` feed every
+    * round and are MATERIALIZED. */
+  private def markovSql(iters: Int): String = {
+    val pis = (1 to iters).map { t =>
+      s"""pi$t AS (SELECT p.next_type AS state,
+         |  CAST(sum(pi${t - 1}.v * p.p_ppm) // 1000000 AS BIGINT) AS v
+         |  FROM pi${t - 1} JOIN p ON pi${t - 1}.state = p.prev_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |        epoch_us(ts) AS ts_us FROM events),
+      |t AS (SELECT user_id, event_type,
+      |        lag(event_type) OVER (PARTITION BY user_id
+      |          ORDER BY ts_us, event_id) AS prev_type
+      |      FROM ev),
+      |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+      |       FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+      |      FROM tr GROUP BY 1),
+      |p AS MATERIALIZED (SELECT tr.prev_type, tr.next_type,
+      |       CAST(tr.n * 1000000 // o.out_n AS BIGINT) AS p_ppm
+      |     FROM tr JOIN o ON tr.prev_type = o.prev_type),
+      |st AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM tr),
+      |k AS (SELECT count(*) AS c FROM st),
+      |pi0 AS (SELECT state,
+      |  CAST(1000000 // (SELECT c FROM k) AS BIGINT) AS v FROM st),
+      |""".stripMargin +
+      pis + "\n" +
+      s"""SELECT st.state AS event_type,
+         |  CAST(coalesce(pi$iters.v, 0) AS BIGINT) AS pi_ppm,
+         |  o.out_n AS n_out
+         |FROM st LEFT JOIN pi$iters ON st.state = pi$iters.state
+         |JOIN o ON st.state = o.prev_type""".stripMargin
+  }
+
   /** Unrolled Luby-MIS replay: `rounds` fixed rounds of the salted-
     * priority elimination (converged rounds are empty no-ops, so the
     * unroll only needs to be ≥ the actual round count — Spark throws
@@ -5207,6 +5255,22 @@ object SparkEntry {
         |    AS segment
         |FROM sc""".stripMargin,
     "q_luby_mis" -> lubyMisSql(8),
+    "q_markov_stationary" -> markovSql(20),
+    "q_ngram_novelty" ->
+      s"""$shingleCte,
+        |fs AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |         CAST(sum(CASE WHEN f.first_doc = s.doc_id
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |       FROM sh s JOIN fs f ON s.sh = f.sh GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+        |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(CASE WHEN coalesce(pd.n_shingles, 0) = 0 THEN 0
+        |    ELSE (1000000 * pd.n_novel) // pd.n_shingles END AS BIGINT)
+        |    AS novelty_ppm
+        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
+        .stripMargin,
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),
@@ -5535,6 +5599,18 @@ object SparkEntry {
         |    AS BIGINT) AS lof_ppm
         |FROM lof l JOIN lrd d ON l.a = d.a
         |ORDER BY lof_ppm DESC, vec_id LIMIT 50""".stripMargin,
+    "q_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |d AS (SELECT c.vec_id, q.vec_id AS eval_id,
+        |        round((list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
+        | / (sqrt(list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y))
+        |   * sqrt(list_reduce(list_transform(range(1, 65), i -> c.v[i] * c.v[i]), (x, y) -> x + y)))), 6) AS sim
+        |      FROM e c JOIN e q ON q.vec_id < 50 AND c.vec_id >= 50)
+        |SELECT vec_id, eval_id, sim FROM (
+        |  SELECT vec_id, eval_id, sim, row_number()
+        |    OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
+        |  FROM d WHERE sim >= 0.35)
+        |WHERE rn = 1""".stripMargin,
     "q_key_skew" ->
       """WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,

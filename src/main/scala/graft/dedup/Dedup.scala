@@ -599,6 +599,39 @@ object Dedup {
           .as("recall_ppm"))
   }
 
+  /** Per-document shingle novelty — the corpus-freshness census a
+    * pipeline reads before ingesting another crawl snapshot: for each
+    * document, the ppm share of its distinct 4-token shingles whose
+    * FIRST corpus occurrence (minimum doc_id over the whole lake) is
+    * this document. Boilerplate-heavy or near-duplicate documents score
+    * near 0; genuinely new text scores near 10⁶. Ordering is by doc_id
+    * (the lake's ingest order) — the same "first seen wins" contract as
+    * keep-best dedup.
+    *
+    * Scale shape: one first-seen aggregation over the shared cached
+    * shingle stream (map-side combinable min), one shingle-keyed join
+    * back, one per-doc count — no window, no self-join. Shingle-less
+    * documents (under 4 tokens) surface with zero counts rather than
+    * dropping out. */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleArrays(spark, dir)
+      .select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    val firstSeen = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+    val perDoc = sh.join(firstSeen, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    load(spark, dir, "documents").select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "case when n_shingles = 0 then 0L" +
+          " else (1000000 * n_novel) div n_shingles end"))
+  }
+
   /** Permutation `s` of the md5-twin MinHash: first 15 hex chars (60
     * bits, sign-safe in a BIGINT) of md5("mh<s>:"||shingle). */
   private def permHash(s: Int): Column =

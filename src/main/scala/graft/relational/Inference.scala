@@ -217,6 +217,51 @@ object Inference {
       .orderBy("event_type")
   }
 
+  /** Stationary distribution of the event-type Markov chain — where the
+    * user journey settles: π = πP for the empirical transition matrix
+    * [[EventQueries.qEventTransitions]] publishes, by `iters` rounds of
+    * fixed-point power iteration.
+    *
+    * Exact-integer contract: P is the ppm transition census (one
+    * corpus aggregation — the ONLY corpus-scale pass); π starts uniform
+    * (10⁶ div K) and each round applies π'ⱼ = (Σᵢ πᵢ·pᵢⱼ) div 10⁶ —
+    * all long arithmetic (πᵢ·pᵢⱼ ≤ 10¹²·K), truncation is part of the
+    * contract, so the unrolled DuckDB replay is bit-exact. The
+    * iteration itself runs driver-side over the COLLECTED K² census
+    * (event-type cardinality squared — kilobytes, the qSurvival
+    * bounded-collect posture); at 100 TB only the transition census
+    * grows, never the iteration state. States are the distinct
+    * `prev_type`s (on this lake every type both emits and receives). */
+  def qMarkovStationary(
+      spark: SparkSession, dir: String, iters: Int = 20): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val tr = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val ot = tr.groupBy("prev_type").agg(sum("n").as("out_n"))
+    val cells = tr.join(broadcast(ot), "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        expr("n * 1000000 div out_n").as("p_ppm"), col("out_n"))
+      .as[(String, String, Long, Long)].collect()
+    val states = cells.map(_._1).distinct.sorted
+    val outN = cells.map(c => c._1 -> c._4).toMap
+    var pi = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to iters) {
+      val next = states.map { j =>
+        j -> cells.filter(_._2 == j)
+          .map(c => pi.getOrElse(c._1, 0L) * c._3).sum / 1000000L
+      }
+      pi = next.toMap
+    }
+    states.toSeq.map(s => (s, pi(s), outN(s)))
+      .toDF("event_type", "pi_ppm", "n_out")
+  }
+
   /** Salted permutation test of the A/B conversion difference — the
     * exact-inference twin of [[EventQueries.qAbTest]]'s χ²: does the
     * observed variant imbalance exceed what relabeling chance produces?

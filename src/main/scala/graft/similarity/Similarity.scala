@@ -1219,6 +1219,41 @@ object Similarity {
     } finally knn.unpersist(blocking = false)
   }
 
+  /** Embedding-space decontamination — the SEMANTIC twin of the shingle
+    * and phrase decontamination passes: a training vector is
+    * contaminated when it sits within cosine `threshold` of ANY
+    * held-out eval vector (paraphrased eval leakage that no lexical
+    * overlap check can see). Emits each contaminated vector with its
+    * closest eval match (max sim, eval-id tiebreak) — the removal list
+    * plus the evidence a release review wants.
+    *
+    * The scale shape is the best one in the ANN family: the eval set is
+    * SMALL by construction, so it broadcasts and the whole pass is a
+    * stateless map over the training corpus — no shuffle at all until
+    * the final per-vector argmax (map-side combinable). Arithmetic is
+    * the brute-force ANN contract (rounded cosine, id tiebreaks), so
+    * the DuckDB replay is exact. */
+  def qSemanticDecontam(
+      spark: SparkSession, dir: String,
+      nEval: Int = 50, threshold: Double = 0.35): DataFrame = {
+    val emb = corpus(spark, dir)
+    val eval = emb.filter(col("vec_id") < nEval)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ev"),
+        col("norm").as("en"))
+    emb.filter(col("vec_id") >= nEval)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id"), col("eval_id"),
+        round(vec_dot(col("embedding"), col("ev"))
+          / (col("norm") * col("en")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim"), (-col("eval_id")).as("neg")))
+        .as("best"))
+      .select(col("vec_id"), (-col("best.neg")).as("eval_id"),
+        col("best.sim").as("sim"))
+  }
+
   /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
     * not near-duplicate text: cluster the corpus embeddings (Forgy + one
     * Lloyd round, the [[qIvfIngest]] index), then within each cell link

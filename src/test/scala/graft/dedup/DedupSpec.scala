@@ -285,4 +285,26 @@ class DedupSpec extends SparkSpec {
       s"prefix filter should prune: $pruned vs $shared")
     assert(pruned >= got.size.toLong, "candidates cover every result pair")
   }
+
+  test("ngram novelty: first doc fully novel, counts conserve") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.dedup.Dedup.qNgramNovelty(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = graft.relational.Tables.load(spark, dir, "documents").count()
+    assert(rows.length.toLong === nDocs)
+    rows.foreach { case (id, nSh, nNov, ppm) =>
+      assert(nNov <= nSh, s"doc $id novel > total")
+      if (nSh > 0) assert(ppm === 1000000L * nNov / nSh)
+      else assert(ppm === 0L)
+    }
+    // the lowest doc_id with shingles is all-novel by construction
+    val first = rows.filter(_._2 > 0).minBy(_._1)
+    assert(first._4 === 1000000L, s"first doc not fully novel: $first")
+    // conservation: every distinct shingle type is novel exactly once
+    val types = graft.dedup.Dedup.shingleArrays(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("sh_arr")).as("sh"))
+      .distinct().count()
+    assert(rows.map(_._3).sum === types)
+  }
 }

@@ -103,6 +103,34 @@ class InferenceSpec extends SparkSpec {
     assert(clickRow.getLong(5) === wantMeans(30))
   }
 
+  test("markov stationary: independent replay from raw events") {
+    val out = Inference.qMarkovStationary(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // replay: transitions from raw rows, ppm matrix, 20 rounds
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val o = rows.sortBy(r => (r._4, r._2)).map(_._3)
+      o.zip(o.tail)
+    }
+    val n = trans.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val outN = trans.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val p = n.map { case ((a, b), c) => (a, b) -> c * 1000000L / outN(a) }
+    val states = outN.keys.toSeq.sorted
+    var pi = states.map(_ -> 1000000L / states.length).toMap
+    for (_ <- 1 to 20) {
+      pi = states.map { j =>
+        j -> states.map(i => pi(i) * p.getOrElse((i, j), 0L)).sum / 1000000L
+      }.toMap
+    }
+    states.foreach { s => assert(out(s) === ((pi(s), outN(s))), s"state $s") }
+    // fixed point sanity: total mass within truncation loss of 1e6
+    val mass = out.values.map(_._1).sum
+    assert(mass <= 1000000L && mass > 1000000L - 200L * states.length)
+  }
+
   test("permutation test: full JVM replay, p in (0, 1e6]") {
     val r = Inference.qPermutationTest(spark, dir).collect().head
     val users = Tables.load(spark, dir, "events")

@@ -618,4 +618,31 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.qLof(spark, dir).collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
+
+  test("semantic decontam: exact JVM brute-force replay of best matches") {
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.qSemanticDecontam(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d, na, nb = 0.0
+      var i = 0
+      while (i < 64) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val evalIds = vecs.keys.filter(_ < 50).toSeq.sorted
+    val want = vecs.keys.filter(_ >= 50).flatMap { c =>
+      val sims = evalIds.map(e => (e, cos(vecs(c), vecs(e))))
+        .filter(_._2 >= 0.35)
+      if (sims.isEmpty) None
+      else Some(c -> sims.maxBy { case (e, s) => (s, -e) })
+    }.toMap
+    assert(got === want)
+    assert(got.nonEmpty, "decontam threshold found no pairs at sf0.001")
+  }
 }
