@@ -256,6 +256,9 @@ object SparkEntry {
       Inference.qMarkovStationary(s, d)),
     // per-doc first-seen shingle share (corpus freshness census)
     "q_ngram_novelty" -> (Dedup.qNgramNovelty _),
+    // tf-weighted (multiset) Jaccard near-dup pairs, capped universe
+    "q_weighted_jaccard" -> ((s: SparkSession, d: String) =>
+      Dedup.qWeightedJaccard(s, d)),
     // referential-integrity audit: one distinct+broadcast-anti per FK
     // edge of the star schema (fact aggregates to keys BEFORE joining)
     "q_fk_check" -> (graft.relational.DataQuality.qFkCheck _),
@@ -529,6 +532,9 @@ object SparkEntry {
     // map, per-vector best-match argmax (no shuffle before the agg)
     "q_semantic_decontam" -> ((s: SparkSession, d: String) =>
       Similarity.qSemanticDecontam(s, d)),
+    // margin-scored mutual-kNN pair mining (ratio margin, integer)
+    "q_mutual_knn" -> ((s: SparkSession, d: String) =>
+      Similarity.qMutualKnn(s, d)),
     // the AQE-vs-salting diagnostic: exact key-frequency distribution
     // census, integer ppm shares and rank-selected percentile counts
     "q_key_skew" -> ((s: SparkSession, d: String) =>
@@ -666,6 +672,10 @@ object SparkEntry {
     // O(log n) rounds, exact unrolled oracle
     "q_luby_mis" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qLubyMis(s, d)),
+    // directed SCCs of the mean-thresholded nation trade graph:
+    // corpus-scale census, bounded (nations²) driver-side closure
+    "q_scc_trade" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qSccTrade(s, d)),
     // RFM quartile segmentation; thresholds via the distributed
     // total-order pattern (no global ntile window), value-tie contract
     "q_rfm" -> (RelationalQueries.qRfm _),
@@ -5256,6 +5266,39 @@ object SparkEntry {
         |FROM sc""".stripMargin,
     "q_luby_mis" -> lubyMisSql(8),
     "q_markov_stationary" -> markovSql(20),
+    // directed nation-trade SCCs: at-or-above-mean edge gate (exact
+    // integer cross-multiply), recursive-CTE transitive closure,
+    // scc id = min mutual-reach node; isolated nations are singletons
+    "q_scc_trade" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |stats AS (SELECT count(*) AS n_pairs, CAST(sum(n) AS BIGINT) AS tot
+        |          FROM e0),
+        |e AS (SELECT src, dst FROM e0, stats WHERE n * n_pairs >= tot),
+        |r(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
+        |mut AS (SELECT r1.dst AS v, r1.src AS u
+        |        FROM r r1 JOIN r r2 ON r1.src = r2.dst AND r1.dst = r2.src),
+        |sid AS (SELECT n.n_nationkey AS v,
+        |          least(n.n_nationkey, coalesce(min(m.u), n.n_nationkey))
+        |            AS scc_id
+        |        FROM nation n LEFT JOIN mut m ON m.v = n.n_nationkey
+        |        GROUP BY 1),
+        |sz AS (SELECT scc_id, count(*) AS scc_size FROM sid GROUP BY 1),
+        |outd AS (SELECT src, count(*) AS n_out FROM e GROUP BY 1)
+        |SELECT n.n_name AS nation, CAST(s.scc_id AS BIGINT) AS scc_id,
+        |  CAST(z.scc_size AS BIGINT) AS scc_size,
+        |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out
+        |FROM nation n JOIN sid s ON n.n_nationkey = s.v
+        |JOIN sz z ON s.scc_id = z.scc_id
+        |LEFT JOIN outd o ON n.n_nationkey = o.src""".stripMargin,
     "q_ngram_novelty" ->
       s"""$shingleCte,
         |fs AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1),
@@ -5271,6 +5314,29 @@ object SparkEntry {
         |    AS novelty_ppm
         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
         .stripMargin,
+    // tf-weighted Jaccard over the NON-distinct (multiset) shingle
+    // universe, same df > 1000 hot cap as the set variant; Σmax
+    // recovered via tot_a + tot_b − Σmin so only shared types join
+    "q_weighted_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |shl AS (SELECT doc_id, unnest(list_transform(
+        |         range(1, greatest(len(l) - 2, 1)),
+        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS sh
+        |       FROM toks),
+        |tf AS (SELECT doc_id, sh, count(*) AS tf FROM shl GROUP BY 1, 2),
+        |hot AS (SELECT sh FROM tf GROUP BY 1 HAVING count(*) > 1000),
+        |ctf AS (SELECT * FROM tf WHERE sh NOT IN (SELECT sh FROM hot)),
+        |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot FROM ctf GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |          CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter_w
+        |        FROM ctf a JOIN ctf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT d1, d2, inter_w,
+        |  CAST(t1.tot + t2.tot - inter_w AS BIGINT) AS union_w,
+        |  CAST((inter_w * 1000000) // (t1.tot + t2.tot - inter_w) AS BIGINT)
+        |    AS jw_ppm
+        |FROM inter JOIN tot t1 ON d1 = t1.doc_id JOIN tot t2 ON d2 = t2.doc_id
+        |WHERE 2 * inter_w >= t1.tot + t2.tot - inter_w""".stripMargin,
     "q_kcore" -> kCoreSql,
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),
@@ -5611,6 +5677,25 @@ object SparkEntry {
         |    OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
         |  FROM d WHERE sim >= 0.35)
         |WHERE rn = 1""".stripMargin,
+    // mutual-kNN ratio-margin mining: brute-force kNN (rounded-cosine
+    // rank contract), integer micro-sims, 2k·s6·1e6 // (Σknn_a+Σknn_b)
+    "q_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |        round(${duckCos("a.v", "b.v")}, 6) AS sim
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |d6 AS (SELECT a, b, CAST(round(sim * 1000000, 0) AS BIGINT) AS s6,
+        |         row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+        |       FROM d),
+        |knn AS MATERIALIZED (SELECT a, b, s6 FROM d6 WHERE rn <= 10),
+        |ks AS (SELECT a, CAST(sum(s6) AS BIGINT) AS ksum FROM knn GROUP BY 1),
+        |m AS (SELECT f.a, f.b, f.s6 FROM knn f
+        |      JOIN knn r ON f.a = r.b AND f.b = r.a WHERE f.a < f.b)
+        |SELECT m.a, m.b, m.s6 AS sim_i6,
+        |  CAST((20 * m.s6 * 1000000) // (ka.ksum + kb.ksum) AS BIGINT)
+        |    AS margin_ppm
+        |FROM m JOIN ks ka ON m.a = ka.a JOIN ks kb ON m.b = kb.a
+        |WHERE m.s6 > 0 AND ka.ksum + kb.ksum > 0""".stripMargin,
     "q_key_skew" ->
       """WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,

@@ -72,6 +72,7 @@ object Dedup {
     shingleCache.invalidate(_._1 == sid)
     hotShingleCache.invalidate(_._1 == sid)
     cappedArrCache.invalidate(_._1 == sid)
+    tfCache.invalidate(_._1 == sid)
   }
 
   private[graft] def shingleArrays(spark: SparkSession, dir: String): DataFrame =
@@ -631,6 +632,56 @@ object Dedup {
         "case when n_shingles = 0 then 0L" +
           " else (1000000 * n_novel) div n_shingles end"))
   }
+
+  /** TF-WEIGHTED Jaccard near-dup pairs — the multiset refinement of
+    * [[qNgramJaccardPairs]]: J_w = Σ_s min(tf_a, tf_b) / Σ_s max(tf_a,
+    * tf_b) over NON-distinct 4-token shingle counts, which separates
+    * documents that share shingle TYPES but repeat them very
+    * differently (a page quoting a sentence once vs a spam page looping
+    * it fifty times tie under set Jaccard and diverge here). Uses the
+    * identity Σmax = tot_a + tot_b − Σmin, so only SHARED types enter
+    * the pairwise join — one row per shared (pair, type), summed
+    * map-side. Same PPJoin hot cap as the set variant (type document
+    * frequency > maxDf dropped from candidates AND totals — the oracle
+    * CTE mirrors the capped universe), so per-type fan-out stays ≤
+    * maxDf². All-integer gate 2·Σmin ≥ Σmax (threshold 0.5); ppm by
+    * integer division. */
+  def qWeightedJaccard(
+      spark: SparkSession, dir: String, maxDf: Int = 1000): DataFrame = {
+    // capped tf table persisted per (session, dir, maxDf) — THREE plan
+    // references (both self-join sides + totals) and repeated bench
+    // runs reuse one materialization, the shingleCache contract
+    val ctf = tfCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir, maxDf)) {
+      val tf = docs(spark, dir)
+        .select(col("doc_id"),
+          explode(graft.functions.shingle_list(col("text"), 4)).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+      val hot = tf.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf).select("sh")
+      tf.join(hot, Seq("sh"), "left_anti").persist()
+    }
+    val tot = ctf.groupBy("doc_id").agg(sum("tf").as("tot"))
+    val inter = ctf.select(col("doc_id").as("d1"), col("sh"),
+        col("tf").as("tf1"))
+      .join(ctf.select(col("doc_id").as("d2"), col("sh"),
+        col("tf").as("tf2")), "sh")
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2")
+      .agg(sum(least(col("tf1"), col("tf2"))).as("inter_w"))
+    inter
+      .join(tot.select(col("doc_id").as("d1"), col("tot").as("t1")), "d1")
+      .join(tot.select(col("doc_id").as("d2"), col("tot").as("t2")), "d2")
+      .withColumn("union_w", col("t1") + col("t2") - col("inter_w"))
+      .filter(expr("2 * inter_w >= union_w"))
+      .select(col("d1"), col("d2"), col("inter_w"), col("union_w"),
+        expr("inter_w * 1000000 div union_w").as("jw_ppm"))
+  }
+
+  /** Capped per-doc shingle tf table per (session, dir, maxDf) — the
+    * [[shingleArrays]] intermediate-cache contract for the WEIGHTED
+    * (non-distinct) shingle universe. */
+  private val tfCache = graft.SessionCache.frames[(String, String, Int)]
 
   /** Permutation `s` of the md5-twin MinHash: first 15 hex chars (60
     * bits, sign-safe in a BIGINT) of md5("mh<s>:"||shingle). */

@@ -2112,4 +2112,62 @@ object GraphOps {
             expr("(nf_max * 9 - nf_prev * 10) * 10000" +
               " div ((nf_e4 - nf_prev) * 10)")).as("d_eff_e4"))
   }
+
+  /** Strongly connected components of the DIRECTED nation-level trade
+    * graph — the directed-reachability census missing from the
+    * otherwise-undirected graph family: an edge cust_nation → supp_nation
+    * for every lineitem (demand flows from the buyer's nation to the
+    * seller's), thresholded to at-or-above-MEAN pair volume so the
+    * census reflects structural trade routes, not one-off orders (a
+    * scale-free gate: `n · n_pairs ≥ Σn` in exact integers). SCC id is
+    * the canonical `min{u : u →* v and v →* u}` (v itself included).
+    *
+    * Scale shape: the ONLY corpus-scale pass is the edge census — a
+    * lineitem⨝orders join plus broadcast dimension hops, aggregated to
+    * nation pairs with map-side combine. The thresholded graph is
+    * bounded by nations² (625 cells), so the reachability closure runs
+    * driver-side over the COLLECTED census (Floyd–Warshall on a bitset —
+    * the [[graft.relational.Inference.qMarkovStationary]] bounded-collect
+    * posture); at 100 TB only the census grows, never the closure.
+    * Isolated nations surface as singleton SCCs. */
+  def qSccTrade(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = load(spark, dir, "nation")
+      .select(col("n_nationkey").cast("int").as("nk"), col("n_name"))
+    val e0 = load(spark, dir, "lineitem")
+      .join(load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(load(spark, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(load(spark, dir, "supplier")
+          .select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("int").as("src"),
+        col("s_nationkey").cast("int").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val cells = e0.as[(Int, Int, Long)].collect()
+    val nPairs = cells.length.toLong
+    val tot = cells.map(_._3).sum
+    val edges = cells.filter(c => c._3 * nPairs >= tot)
+    val nodes = nations.as[(Int, String)].collect().sortBy(_._1)
+    val idx = nodes.map(_._1).zipWithIndex.toMap
+    val k = nodes.length
+    // Floyd–Warshall reachability over ≤ nations² cells
+    val reach = Array.fill(k, k)(false)
+    edges.foreach(e => reach(idx(e._1))(idx(e._2)) = true)
+    for (m <- 0 until k; i <- 0 until k if reach(i)(m);
+         j <- 0 until k if reach(m)(j)) reach(i)(j) = true
+    val sccId = (0 until k).map { v =>
+      (0 until k).collectFirst {
+        case u if u == v || (reach(u)(v) && reach(v)(u)) => nodes(u)._1
+      }.get
+    }
+    val sizes = sccId.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    nodes.indices.map { v =>
+      (nodes(v)._2, sccId(v).toLong, sizes(sccId(v)),
+        outDeg.getOrElse(nodes(v)._1, 0L))
+    }.toDF("nation", "scc_id", "scc_size", "n_out")
+  }
 }

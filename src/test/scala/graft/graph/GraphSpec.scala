@@ -830,4 +830,57 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(a === b)
   }
+
+  test("SCC: independent BFS-closure replay from raw tables") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.relational.Tables.load
+    val got = GraphOps.qSccTrade(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // replay: raw-join census, mean gate, per-node BFS both directions
+    val cells = load(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(load(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .join(load(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("src", "dst").count()
+      .as[(Long, Long, Long)].collect()
+    val tot = cells.map(_._3).sum
+    val es = cells.filter(_._3 * cells.length >= tot)
+      .map(c => (c._1.toInt, c._2.toInt))
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(s: Int): Set[Int] = {
+      var seen = Set.empty[Int]; var frontier = adj.getOrElse(s, Set())
+      while (frontier.nonEmpty) {
+        seen ++= frontier
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+      }
+      seen
+    }
+    val nations = load(spark, dir, "nation")
+      .select("n_nationkey", "n_name").as[(Long, String)].collect()
+    val fw = nations.map(n => n._1.toInt -> reach(n._1.toInt)).toMap
+    val want = nations.map { case (nk, name) =>
+      val v = nk.toInt
+      val sccId = nations.map(_._1.toInt).sorted.collectFirst {
+        case u if u == v || (fw(u)(v) && fw(v)(u)) => u
+      }.get
+      name -> (sccId.toLong,
+        nations.count { m =>
+          val x = m._1.toInt
+          val xid = nations.map(_._1.toInt).sorted.collectFirst {
+            case u if u == x || (fw(u)(x) && fw(x)(u)) => u
+          }.get
+          xid == sccId
+        }.toLong,
+        es.count(_._1 == v).toLong)
+    }.toMap
+    assert(got === want.map { case (k, (a, b, c)) => k -> ((a, b, c)) })
+    // sanity: at least one multi-nation SCC and the ids are members
+    assert(got.values.exists(_._2 > 1L), "trade graph fully fragmented?")
+  }
 }
