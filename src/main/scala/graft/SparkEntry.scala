@@ -250,6 +250,14 @@ object SparkEntry {
     // integer cross-multiplied statistic, add-one p-value
     "q_permutation_test" -> ((s: SparkSession, d: String) =>
       Inference.qPermutationTest(s, d)),
+    // isotonic (PAV) calibration curve via the minimax closed form over
+    // exact-cents price bins; fixed-point range averages
+    "q_isotonic" -> ((s: SparkSession, d: String) =>
+      Inference.qIsotonic(s, d)),
+    // split conformal per return flag: exact histogram-walk quantile of
+    // calibration residuals, test-half coverage in ppm
+    "q_conformal" -> ((s: SparkSession, d: String) =>
+      Inference.qConformal(s, d)),
     // stationary distribution of the event-type transition chain:
     // fixed-point power iteration over the collected K^2 ppm census
     "q_markov_stationary" -> ((s: SparkSession, d: String) =>
@@ -344,6 +352,9 @@ object SparkEntry {
     // an independent in-memory reference implementation
     "q_bpe_learn" -> (graft.text.BpeTrain.qBpeLearn _),
     "q_text_quality" -> (TextOps.qTextQuality _),
+    // lexicon blocklist gate: literal IN-list hits, cross-multiplied
+    // rate flag, per-source filter census
+    "q_lexicon_filter" -> (TextOps.qLexiconFilter _),
     // Cohen's kappa between the length and stopword raters: 2x2 census
     // in exact integers, one IEEE division
     "q_kappa" -> (TextOps.qKappa _),
@@ -459,6 +470,14 @@ object SparkEntry {
     // passes, kilobyte candidate collects, nearest-seed weighting
     "q_kmeanspp_seed" -> ((s: SparkSession, d: String) =>
       Similarity.qKmeansParSeed(s, d)),
+    // greedy k-center coreset (farthest-point traversal): k corpus
+    // passes against the broadcast pick set, TakeOrdered(1) argmax
+    "q_kcenter_coreset" -> ((s: SparkSession, d: String) =>
+      Similarity.qKcenterCoreset(s, d)),
+    // cluster-balanced prototype sample: quota nearest-to-centroid per
+    // IVF cell through the native bounded-heap top-k operator
+    "q_cluster_sample" -> ((s: SparkSession, d: String) =>
+      Similarity.qClusterSample(s, d)),
     // exact IVF: cell-pruned search whose output provably equals brute
     // force, so the brute-force SQL is its oracle
     "q_ann_ivf" -> ((s: SparkSession, d: String) =>
@@ -575,6 +594,10 @@ object SparkEntry {
     // domain-mix resampling to equal per-source share, integer ppm rates
     "q_domain_mix" -> ((s: SparkSession, d: String) =>
       TrainingData.qDomainMix(s, d)),
+    // DoReMi-flavored mixture optimization: multiplicative weights on
+    // per-domain excess loss, integer trajectory emitted per round
+    "q_mix_mw" -> ((s: SparkSession, d: String) =>
+      TrainingData.qMixMw(s, d)),
     // DSIR-style data selection: hashed-unigram importance ratio of a
     // target domain vs the corpus, integer ppm weights -> exact oracle
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -817,6 +840,66 @@ object SparkEntry {
     * nearest-seed weighting pass. Seed/dist/draw arithmetic replays the
     * Spark side bit-for-bit (seeds are raw data points, never rounded;
     * the accept test cross-multiplies integers). */
+  /** k-center oracle: the farthest-point traversal unrolled — per pick
+    * the min quantized distance to the accumulated set, the (d DESC,
+    * vec_id) argmax, and the set union; replays
+    * [[graft.similarity.Similarity.qKcenterCoreset]] exactly. */
+  private def kcenterSql(k: Int): String = {
+    val rounds = (1 until k).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT e.vec_id,
+         |    min(${kmppDist("e.xs", "m.ms")}) AS d
+         |  FROM e CROSS JOIN m${r - 1} m GROUP BY 1),
+         |p$r AS (SELECT vec_id, d FROM d$r ORDER BY d DESC, vec_id LIMIT 1),
+         |m$r AS MATERIALIZED (SELECT * FROM m${r - 1} UNION ALL
+         |  SELECT e.vec_id AS cid, e.xs AS ms
+         |  FROM e JOIN p$r ON e.vec_id = p$r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val picks = (1 until k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS pick_order, vec_id, d AS radius_fp FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
+       |m0 AS (SELECT vec_id AS cid, xs AS ms FROM e
+       |  WHERE vec_id = (SELECT min(vec_id) FROM e)),
+       |$rounds
+       |SELECT CAST(0 AS BIGINT) AS pick_order,
+       |  (SELECT min(vec_id) FROM e) AS vec_id,
+       |  CAST(0 AS BIGINT) AS radius_fp
+       |UNION ALL $picks""".stripMargin
+  }
+
+  /** Multiplicative-weights mixture oracle: the per-domain loss census
+    * and `rounds` unrolled integer weight updates, replaying
+    * [[graft.pipeline.TrainingData.qMixMw]] (truncating division on
+    * both engines — the negative-excess agreement). */
+  private def mixMwSql(rounds: Int, etaPpm: Long): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""t${t - 1} AS (SELECT CAST(sum(w) AS HUGEINT) AS tw,
+         |    CAST(sum(w * loss_ppm) AS HUGEINT) AS twl FROM w${t - 1}),
+         |w$t AS MATERIALIZED (SELECT source, loss_ppm,
+         |    CAST((w * (1000000 + ($etaPpm * (loss_ppm -
+         |      (SELECT CAST(twl // tw AS BIGINT) FROM t${t - 1}))) // 1000000))
+         |      // 1000000 AS BIGINT) AS w
+         |  FROM w${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val snaps = (0 to rounds).map { t =>
+      s"""SELECT source, CAST($t AS BIGINT) AS step, loss_ppm, w,
+         |  CAST((w * 1000000) // (SELECT sum(w) FROM w$t) AS BIGINT)
+         |    AS share_ppm FROM w$t""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH l AS MATERIALIZED (SELECT source,
+       |    (CAST(sum(CASE WHEN NOT (n_tokens BETWEEN 20 AND 80
+       |        AND 5 * n_stop < n_tokens) THEN 1 ELSE 0 END) AS BIGINT)
+       |      * 1000000) // CAST(count(*) AS BIGINT) AS loss_ppm
+       |  FROM (SELECT source,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
+       |    FROM documents)
+       |  GROUP BY 1),
+       |w0 AS (SELECT source, loss_ppm, CAST(1000000 AS BIGINT) AS w FROM l),
+       |$roundCtes
+       |$snaps""".stripMargin
+  }
+
   private def kmeansParSeedSql(rounds: Int, ell: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       s"""d$r AS MATERIALIZED (SELECT e.vec_id,
@@ -3656,6 +3739,55 @@ object SparkEntry {
         |  CAST(((1 + sum(CASE WHEN ps.stat_p >= o.stat_obs THEN 1 ELSE 0
         |    END)) * 1000000) // 129 AS BIGINT) AS p_value_ppm
         |FROM ps CROSS JOIN obs2 o GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    // minimax closed form of PAV over exact-cents $1000 price bins;
+    // fixed-point range averages from prefix sums
+    "q_isotonic" ->
+      """WITH b AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100000 AS bin,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS BIGINT) AS s FROM b GROUP BY 1),
+        |i AS (SELECT bin, n, s,
+        |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |    CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS cs FROM h),
+        |p AS (SELECT i AS p_i, cn, cs FROM i
+        |      UNION ALL SELECT 0, 0, 0),
+        |rg AS (SELECT lo.p_i + 1 AS j, hi.p_i AS k,
+        |    CAST((CAST(hi.cs - lo.cs AS HUGEINT) * 1000000000000)
+        |      // (hi.cn - lo.cn) AS BIGINT) AS avg_fp
+        |  FROM p lo JOIN p hi ON lo.p_i < hi.p_i),
+        |mj AS (SELECT i.i, i.bin, i.n, i.s, rg.j, min(rg.avg_fp) AS m_j
+        |  FROM i JOIN rg ON rg.j <= i.i AND rg.k >= i.i
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT bin, n, s, (s * 1000000) // n AS rate_ppm,
+        |  CAST(max(m_j) AS BIGINT) AS iso_fp
+        |FROM mj GROUP BY 1, 2, 3, 4""".stripMargin,
+    // split conformal per return flag: histogram-walk calibration
+    // quantile, even-half coverage census
+    "q_conformal" ->
+      """WITH r AS (SELECT l.l_returnflag AS grp, l.l_orderkey % 2 AS half,
+        |    abs(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+        |          // CAST(l.l_quantity AS BIGINT)
+        |        - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)) AS res
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |cn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+        |    (9 * CAST(count(*) AS BIGINT) + 18) // 10 AS m
+        |  FROM r WHERE half = 1 GROUP BY 1),
+        |h AS (SELECT grp, res, count(*) AS c FROM r WHERE half = 1 GROUP BY 1, 2),
+        |cum AS (SELECT grp, res,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY res) AS cum FROM h),
+        |q AS (SELECT cum.grp, min(res) AS qhat, min(n_cal) AS n_cal,
+        |    min(m) AS m_rank
+        |  FROM cum JOIN cn ON cum.grp = cn.grp WHERE cum >= m GROUP BY 1)
+        |SELECT r.grp, q.n_cal, q.m_rank, q.qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_covered,
+        |  (CAST(sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) AS coverage_ppm
+        |FROM r JOIN q ON r.grp = q.grp WHERE half = 0
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "q_seasonality" ->
       """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
@@ -4388,6 +4520,19 @@ object SparkEntry {
         |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |        CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
         |      FROM documents)""".stripMargin,
+    "q_lexicon_filter" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('slow', 'dup', 'drop', 'big'))) AS BIGINT) AS hits
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN hits >= 3 OR hits * 25 >= n_tokens
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(hits) AS BIGINT) AS total_hits,
+        |  CAST(count(*) - sum(CASE WHEN hits >= 3 OR hits * 25 >= n_tokens
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM t GROUP BY 1""".stripMargin,
     "q_kappa" ->
       """WITH lab AS (SELECT
         |    CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS a,
@@ -4708,6 +4853,28 @@ object SparkEntry {
     "q_mrr_eval" -> mrrEvalSql(20, 10),
     "q_ann_ivf" -> annTopKSql(10),
     "q_kmeanspp_seed" -> kmeansParSeedSql(3, 8),
+    "q_kcenter_coreset" -> kcenterSql(8),
+    // same trained-index replay as q_semdedup, then quota nearest per
+    // cell with the (dist, vec_id) total order of the heap operator
+    "q_cluster_sample" ->
+      s"""WITH $ivfTrainCte,
+        |best AS (SELECT vec_id, cell, dist FROM (
+        |           SELECT t.vec_id, c.cell, list_reduce(
+        |             list_transform(range(1, 65), i ->
+        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |             (x, y) -> x + y) AS dist,
+        |             row_number() OVER (PARTITION BY t.vec_id ORDER BY list_reduce(
+        |               list_transform(range(1, 65), i ->
+        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |               (x, y) -> x + y), c.cell) AS rn
+        |           FROM e t, c1 c)
+        |         WHERE rn = 1)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist AS dist_fp, rnk
+        |FROM (SELECT vec_id, cell, dist,
+        |        CAST(row_number() OVER (PARTITION BY cell
+        |          ORDER BY dist, vec_id) AS BIGINT) AS rnk
+        |      FROM best)
+        |WHERE rnk <= 10""".stripMargin,
     // same 16-bit fixed-point arithmetic: quantize, exact integer sum,
     // one rescale — every step engine-reproducible
     "q_embedding_centroids" ->
@@ -5121,6 +5288,7 @@ object SparkEntry {
         |  CAST(sum(least(256, n - k * 192)) AS BIGINT) AS token_sum
         |FROM x GROUP BY 1""".stripMargin,
     // integer ppm rates; salted md5 draw (every hash policy its own stream)
+    "q_mix_mw" -> mixMwSql(4, 200000L),
     "q_domain_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,

@@ -967,6 +967,63 @@ object TrainingData {
         round(col("n_kept").cast("double") / col("n_docs"), 4))
   }
 
+  /** DoReMi-flavored domain-mixture OPTIMIZATION — the step between
+    * [[qDomainMix]]'s static weights and a tuned mixture: multiplicative
+    * weights on per-domain excess loss. Each domain's loss is its
+    * low-quality ppm rate (the [[graft.text.TextOps.qTextQuality]] gate,
+    * cross-multiplied — one corpus aggregation); then `rounds` rounds of
+    *   w ← w · (10⁶ + η·(loss − w-avg loss) div 10⁶) div 10⁶
+    * in pure integer arithmetic (η in ppm; div truncates toward zero in
+    * Spark, DuckDB `//`, and Scala `/` alike — the negative-excess
+    * agreement q_holt_winters established). Domains above the weighted
+    * mean loss gain weight (they need more gradient), below lose —
+    * emitted per round with the normalized share so the whole
+    * trajectory is hash-checked, not just the fixed point.
+    *
+    * Scale shape: ONE map-side-combinable corpus pass to the per-domain
+    * loss census; the iteration runs on the collected domain table (the
+    * kilobyte model-publish pattern — domain mixtures are tens of named
+    * sources by construction; a web-scale domain universe would swap in
+    * the broadcast-join shape of [[qDomainMix]]). Headroom: w stays
+    * within (1±η)^rounds of 10⁶, every product ≤ ~10¹³ — longs. */
+  def qMixMw(
+      spark: SparkSession, dir: String,
+      rounds: Int = 4, etaPpm: Long = 200000L): DataFrame = {
+    import spark.implicits._
+    val loss = load(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+          .cast("long").as("n_stop"))
+      .withColumn("low",
+        !(col("n_tokens").between(20, 80) &&
+          col("n_stop") * 5 < col("n_tokens")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("low"), 1L).otherwise(0L)).as("n_low"))
+      .select(col("source"),
+        expr("(n_low * 1000000) div n_docs").as("loss_ppm"))
+      .as[(String, Long)].collect().sortBy(_._1)
+    var w = loss.map { case (s, l) => (s, l, 1000000L) }
+    val out = scala.collection.mutable.Buffer[(String, Long, Long, Long, Long)]()
+    for (t <- 0 to rounds) {
+      val totW = w.map(_._3).sum
+      out ++= w.map { case (s, l, wi) =>
+        (s, t.toLong, l, wi, wi * 1000000L / totW)
+      }
+      if (t < rounds) {
+        val totWl = w.map { case (_, l, wi) => wi * l }.sum
+        val wavg = totWl / totW
+        w = w.map { case (s, l, wi) =>
+          val factor = 1000000L + etaPpm * (l - wavg) / 1000000L
+          (s, l, wi * factor / 1000000L)
+        }
+      }
+    }
+    spark.createDataFrame(out.toSeq)
+      .toDF("source", "step", "loss_ppm", "w", "share_ppm")
+  }
+
   /** Deterministic global training-order shuffle + balanced shard
     * assignment: every doc gets a seed-keyed md5 shuffle key, a CONTIGUOUS
     * global position in shuffle-key order, and a shard of `perShard`

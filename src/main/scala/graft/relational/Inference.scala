@@ -317,4 +317,103 @@ object Inference {
         expr(s"cast(((1 + n_ge) * 1000000) div ${p + 1} as bigint)")
           .as("p_value_ppm"))
   }
+
+  /** Isotonic calibration curve (pool-adjacent-violators) of return
+    * rate against price — the monotone-fit primitive behind score
+    * calibration: the best monotone non-decreasing approximation of the
+    * per-bin rate, via the MINIMAX closed form
+    * `g(i) = max_{j≤i} min_{k≥i} avg(y[j..k])` (equivalent to PAV, but
+    * expressible as joins instead of a sequential pooling loop).
+    *
+    * The x-axis is exact-cents price bins (`cents div 100000`, $1000
+    * wide — never a rank-derived bin, which would shift with the data);
+    * range averages come from prefix sums over the BOUNDED bin
+    * histogram and are fixed-point `S·10¹² div N` integers, so both
+    * engines replay the identical fit (the fit is monotone by
+    * construction of max-min regardless of the flooring). Scale shape:
+    * ONE map-side-combinable corpus aggregation to ≤ ~100 bins; the
+    * minimax runs over the bounded bin³ straddle relation (a constant
+    * ~10⁵ rows, independent of corpus size) — the qWilsonCtr
+    * bounded-census posture. */
+  def qIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    val bins = load(spark, dir, "lineitem")
+      .select(
+        expr("floor(l_extendedprice * 100 + 0.5) div 100000").as("bin"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      .groupBy("bin").agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = bins
+      .withColumn("i", row_number().over(Window.orderBy("bin")).cast("long"))
+      .withColumn("cn", sum("n").over(w))
+      .withColumn("cs", sum("s").over(w))
+    val pre = idx.select(col("i").as("p_i"), col("cn"), col("cs"))
+      .unionByName(
+        bins.sparkSession.range(1).select(lit(0L).as("p_i"),
+          lit(0L).as("cn"), lit(0L).as("cs")))
+    val ranges = pre.as("lo").join(pre.as("hi"),
+        col("lo.p_i") < col("hi.p_i"))
+      .select((col("lo.p_i") + 1).as("j"), col("hi.p_i").as("k"),
+        (col("hi.cs") - col("lo.cs")).as("rs"),
+        (col("hi.cn") - col("lo.cn")).as("rn"))
+      .withColumn("avg_fp",
+        expr("cast((cast(rs as decimal(38,0)) * 1000000000000) div rn as bigint)"))
+    val straddle = idx.select(col("i"), col("bin"), col("n"), col("s"))
+      .join(ranges, col("j") <= col("i") && col("k") >= col("i"))
+    straddle
+      .groupBy("i", "bin", "n", "s", "j")
+      .agg(min("avg_fp").as("m_j"))
+      .groupBy("i", "bin", "n", "s")
+      .agg(max("m_j").as("iso_fp"))
+      .select(col("bin"), col("n"), col("s"),
+        expr("(s * 1000000) div n").as("rate_ppm"), col("iso_fp"))
+  }
+
+  /** Split (Mondrian / group-conditional) conformal prediction — the
+    * distribution-free calibration step a model-serving pipeline runs:
+    * per group (return flag), the 90th-percentile calibration residual
+    * `q̂` = the `ceil(0.9·(n+1))`-th smallest |unit price − retail
+    * price| on the odd-order calibration half, then the achieved
+    * coverage of `|residual| ≤ q̂` on the even-order test half —
+    * guaranteed ≥ 90% in expectation by exchangeability, reported
+    * exactly in ppm.
+    *
+    * Exact order statistic at scale: residuals are integer cents, so
+    * the quantile comes from the VALUE-histogram + cumulative-count
+    * walk (`min value with cum ≥ m`) — the qKmvQuantiles
+    * histogram-first discipline, never a global sort of the corpus;
+    * the per-group window runs over the bounded distinct-cents
+    * histogram. */
+  def qConformal(spark: SparkSession, dir: String): DataFrame = {
+    val res = load(spark, dir, "lineitem")
+      .join(load(spark, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_returnflag").as("grp"),
+        (col("l_orderkey") % 2).as("half"),
+        abs(expr(
+          "floor(l_extendedprice * 100 + 0.5) div cast(l_quantity as bigint)")
+          - expr("floor(p_retailprice * 100 + 0.5)")).as("r"))
+    val cal = res.filter(col("half") === 1)
+    val calN = cal.groupBy("grp").agg(count(lit(1)).as("n_cal"))
+      .withColumn("m", expr("(9 * n_cal + 18) div 10"))
+    val hist = cal.groupBy("grp", "r").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy("grp").orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val qhat = cum.join(broadcast(calN), "grp")
+      .filter(col("cum") >= col("m"))
+      .groupBy("grp").agg(min("r").as("qhat"),
+        first("n_cal").as("n_cal"), first("m").as("m_rank"))
+    res.filter(col("half") === 0)
+      .join(broadcast(qhat), "grp")
+      .groupBy("grp")
+      .agg(first("n_cal").as("n_cal"), first("m_rank").as("m_rank"),
+        first("qhat").as("qhat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage_ppm",
+        expr("(n_covered * 1000000) div n_test"))
+  }
 }

@@ -1539,4 +1539,76 @@ object Similarity {
       sims.unpersist(blocking = false)
     }
   }
+
+  /** Greedy k-center coreset (Gonzalez's farthest-point traversal, the
+    * classic 2-approximation) — the DIVERSITY-first selection primitive
+    * the D²-weighted [[qKmeansParSeed]] randomizes: deterministically
+    * pick the point farthest from everything picked so far, `k` times.
+    * The picks cover the corpus within the last radius (no point sits
+    * farther than `radius_fp` from a pick), which is exactly what a
+    * coreset/eval-panel builder wants from 100 TB of embeddings.
+    *
+    * Scale shape: k passes, each ONE corpus scan against the broadcast
+    * pick set (map-side min) ending in a TakeOrdered(1) heap merge —
+    * never a quadratic stage, never a corpus collect; the pick set is
+    * the kilobyte published artifact. Determinism: q12 fixed-point
+    * distances ([[cellDist]]), vec_id tiebreak on every argmax, first
+    * pick = minimum vec_id. `radius_fp` is the pick's distance to the
+    * set BEFORE it joins (pick 0 ⇒ 0) — a non-increasing coverage
+    * radius sequence the spec pins. */
+  def qKcenterCoreset(
+      spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val emb = corpus(spark, dir, norm = false)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    try {
+      import spark.implicits._
+      val seed0 = emb.orderBy("vec_id").limit(1)
+        .as[(Long, Seq[Double])].collect().head
+      var picks = IndexedSeq((seed0._1, 0L, 0L))
+      var vecs = IndexedSeq((seed0._1, seed0._2))
+      for (r <- 1 until k) {
+        val centers = broadcast(
+          spark.createDataFrame(vecs).toDF("cid", "ms"))
+        val far = emb.crossJoin(centers)
+          .groupBy("vec_id")
+          .agg(min(cellDist(col("ms"))).as("d"), first(col("xs")).as("xs"))
+          .orderBy(col("d").desc, col("vec_id")).limit(1)
+          .as[(Long, Long, Seq[Double])].collect().head
+        picks = picks :+ ((far._1, r.toLong, far._2))
+        vecs = vecs :+ ((far._1, far._3))
+      }
+      spark.createDataFrame(picks)
+        .toDF("vec_id", "pick_order", "radius_fp")
+        .select(col("pick_order"), col("vec_id"), col("radius_fp"))
+    } finally emb.unpersist(blocking = false)
+  }
+
+  /** Cluster-balanced prototype sample — `quota` exemplars per IVF
+    * cell, nearest-to-centroid first: the antipode of
+    * [[qEmbeddingOutliers]] and the "small balanced slice that still
+    * shows every mode of the corpus" a curriculum or eval-set builder
+    * draws. Balance is structural (every cell contributes ≤ quota
+    * regardless of cell mass), so a dominant blob cannot crowd the
+    * sample the way a uniform draw lets it.
+    *
+    * Reuses the cached full-corpus assignment artifact (the one
+    * materialization [[qSemDedup]]/[[qLof]]/[[qEmbeddingOutliers]]
+    * already share) and exits through the native
+    * [[graft.plans.TopKPerKey]] heap operator — per-partition bounded
+    * heaps, a shuffle of cells×quota rows, no corpus sort. */
+  def qClusterSample(
+      spark: SparkSession, dir: String,
+      cells: Int = 0, quota: Int = 10): DataFrame = {
+    val assigned = cachedAssignment(spark, dir,
+      if (cells > 0) cells else adaptiveCellsFor(spark, dir))
+    graft.plans.TopK.topKPerKey(
+      assigned.select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dist").as("dist_fp")),
+      keys = Seq(col("cell")),
+      order = Seq(col("dist_fp").asc, col("vec_id").asc),
+      k = quota)
+  }
 }

@@ -191,6 +191,33 @@ object TextOps {
         when(col("n_tokens").between(20, 80) && col("stop_ratio") < 0.2, "good")
           .otherwise("low"))
 
+  /** Lexicon blocklist gate (the C4/RefinedWeb "bad-word list" filter):
+    * per-document hit count against a fixed broadcast-literal lexicon
+    * and a two-clause flag — absolute (≥ 3 hits) OR rate (hits ≥ 4% of
+    * tokens, cross-multiplied to `hits·25 ≥ n_tokens` so no division
+    * enters the gate). Census per source: docs, flagged, kept, total
+    * hits — the filter report a corpus release attaches.
+    *
+    * Scale shape: the lexicon is a codegen'd literal IN list (never a
+    * join), the per-doc pass is map-only, and the census is one
+    * map-side-combinable groupBy over source cardinality. */
+  def qLexiconFilter(spark: SparkSession, dir: String): DataFrame = {
+    val lex = Seq("slow", "dup", "drop", "big")
+      .map("'" + _ + "'").mkString(", ")
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        size(expr(s"filter(split(text, ' '), t -> t IN ($lex))"))
+          .cast("long").as("hits"))
+      .withColumn("flagged",
+        col("hits") >= 3 || col("hits") * 25 >= col("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        sum("hits").as("total_hits"))
+      .withColumn("n_kept", col("n_docs") - col("n_flagged"))
+  }
+
   /** Cohen's kappa between two independent quality raters — the
     * agreement statistic an annotation pipeline reports before trusting
     * a heuristic (or model) labeler: observed agreement corrected for

@@ -782,4 +782,37 @@ class TrainingDataSpec extends SparkSpec {
     // whichever path the corpus's language volume selects.
     assert(rows(Long.MaxValue) === rows(0L))
   }
+
+  test("multiplicative-weights mixture: trajectory consistent, mass conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TrainingData.qMixMw(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val bySource = rows.groupBy(_._1)
+    val steps = rows.map(_._2).distinct.sorted
+    assert(steps === Array(0L, 1L, 2L, 3L, 4L))
+    // step 0 is uniform
+    rows.filter(_._2 == 0L).foreach { case (_, _, _, w, _) =>
+      assert(w === 1000000L)
+    }
+    // per step, shares sum to <= 1e6 (floor) and within n_sources of it
+    steps.foreach { t =>
+      val shares = rows.filter(_._2 == t).map(_._5)
+      assert(shares.sum <= 1000000L &&
+        shares.sum > 1000000L - shares.length)
+    }
+    // update direction + exact recurrence replay from step t to t+1
+    for (t <- 0L to 3L) {
+      val cur = rows.filter(_._2 == t)
+      val totW = cur.map(_._4).sum
+      val wavg = cur.map(x => x._4 * x._3).sum / totW
+      cur.foreach { case (src, _, loss, w, _) =>
+        val factor = 1000000L + 200000L * (loss - wavg) / 1000000L
+        val next = bySource(src).find(_._2 == t + 1).get._4
+        assert(next === w * factor / 1000000L, s"$src at step $t")
+        if (loss > wavg + 5) assert(next >= w, s"$src should gain")
+        if (loss < wavg - 5) assert(next <= w, s"$src should shed")
+      }
+    }
+  }
 }

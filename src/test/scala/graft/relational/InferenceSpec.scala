@@ -154,4 +154,68 @@ class InferenceSpec extends SparkSpec {
     assert(r.getLong(7) === (1L + nGe) * 1000000L / 129L)
     assert(r.getLong(7) > 0 && r.getLong(7) <= 1000000L)
   }
+
+  test("isotonic fit is monotone and tracks the exact rational PAV") {
+    val rows = Inference.qIsotonic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    val iso = rows.map(_._4)
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      "isotonic fit must be non-decreasing")
+    // exact-rational PAV via the classic pooling stack; the minimax
+    // fixed-point fit must sit within one 1e-12 quantum of it
+    val stack = scala.collection.mutable.Buffer[(BigInt, BigInt)]()
+    rows.foreach { case (_, n, s, _) =>
+      var (cs, cn) = (BigInt(s), BigInt(n))
+      while (stack.nonEmpty &&
+        stack.last._1 * cn >= cs * stack.last._2) {
+        val (ps, pn) = stack.remove(stack.length - 1)
+        cs += ps; cn += pn
+      }
+      stack += ((cs, cn))
+    }
+    // expand blocks back to per-bin fitted values
+    val fitted = scala.collection.mutable.Buffer[(BigInt, BigInt)]()
+    var bi = 0
+    stack.foreach { case (s, n) =>
+      var acc = BigInt(0)
+      while (acc < n) { acc += rows(bi)._2; fitted += ((s, n)); bi += 1 }
+    }
+    assert(fitted.length === rows.length)
+    rows.zip(fitted).foreach { case ((bin, _, _, isoFp), (s, n)) =>
+      val exact = s * BigInt(1000000000000L) / n
+      assert((BigInt(isoFp) - exact).abs <= 1,
+        s"bin $bin: iso_fp $isoFp vs rational PAV $exact")
+    }
+  }
+
+  test("conformal: exact quantile replay, coverage near nominal") {
+    val rows = Inference.qConformal(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val li = Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_returnflag", "l_orderkey", "l_partkey",
+        "cast(floor(l_extendedprice * 100 + 0.5) as long) as cents",
+        "cast(l_quantity as long) as qty").collect()
+    val retail = Tables.load(spark, dir, "part")
+      .selectExpr("p_partkey",
+        "cast(floor(p_retailprice * 100 + 0.5) as long) as rc")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val res = li.map { r =>
+      (r.getString(0), r.getLong(1) % 2,
+        math.abs(r.getLong(3) / r.getLong(4) - retail(r.getLong(2))))
+    }
+    rows.foreach { case (grp, (nCal, mRank, qhat, nTest, nCov, covPpm)) =>
+      val cal = res.filter(x => x._1 == grp && x._2 == 1).map(_._3).sorted
+      assert(nCal === cal.length.toLong)
+      assert(mRank === (9 * cal.length + 18L) / 10)
+      assert(qhat === cal((mRank - 1).toInt), s"qhat of $grp")
+      val test = res.filter(x => x._1 == grp && x._2 == 0).map(_._3)
+      assert(nTest === test.length.toLong)
+      assert(nCov === test.count(_ <= qhat).toLong)
+      assert(covPpm === nCov * 1000000L / nTest)
+      assert(covPpm >= 850000L,
+        s"coverage of $grp far below the 90% design point: $covPpm")
+    }
+  }
 }

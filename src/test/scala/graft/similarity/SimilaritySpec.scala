@@ -645,4 +645,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
     assert(got.nonEmpty, "decontam threshold found no pairs at sf0.001")
   }
+
+  test("k-center coreset equals the JVM greedy replay; radius non-increasing") {
+    val got = Similarity.qKcenterCoreset(spark, dir, k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+      }.toMap
+    def d2(a: Array[Double], b: Array[Double]): Long =
+      (0 until 64).map(i => math.floor(
+        (a(i) - b(i)) * (a(i) - b(i)) * 1e12 + 0.5).toLong).sum
+    var picked = Vector(vecs.keys.min)
+    var want = Vector((0L, picked.head, 0L))
+    for (r <- 1 until 8) {
+      val far = vecs.keys.toSeq
+        .map(id => (id, picked.map(c => d2(vecs(id), vecs(c))).min))
+        .minBy { case (id, d) => (-d, id) }
+      picked :+= far._1
+      want :+= ((r.toLong, far._1, far._2))
+    }
+    assert(got.toVector === want)
+    val radii = got.sortBy(_._1).map(_._3).drop(1)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"coverage radius must be non-increasing: $radii")
+  }
+
+  test("cluster sample is balanced and rank-consistent with the assignment") {
+    val rows = Similarity.qClusterSample(spark, dir, quota = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val perCell = rows.groupBy(_._2)
+    assert(perCell.values.forall(_.length <= 10), "quota exceeded")
+    perCell.foreach { case (cell, members) =>
+      val byRank = members.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to byRank.length).toSeq,
+        s"cell $cell ranks not contiguous")
+      val ordered = byRank.map(m => (m._3, m._1))
+      assert(ordered.toSeq === ordered.sortBy(identity).toSeq,
+        s"cell $cell rank order must follow (dist, id)")
+    }
+    assert(rows.nonEmpty && perCell.size >= 8,
+      "expected most of the 16 trained cells to contribute")
+  }
 }

@@ -631,4 +631,26 @@ class TextOpsSpec extends SparkSpec {
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(got === want)
   }
+
+  test("lexicon filter census equals a JVM replay") {
+    val lex = Set("slow", "dup", "drop", "big")
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .selectExpr("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val want = docs.groupBy(_._1).map { case (src, ds) =>
+      val stats = ds.map { case (_, toks) =>
+        val hits = toks.count(lex.contains).toLong
+        (hits, hits >= 3 || hits * 25 >= toks.length)
+      }
+      src -> ((ds.length.toLong, stats.count(_._2).toLong,
+        stats.map(_._1).sum,
+        ds.length.toLong - stats.count(_._2).toLong))
+    }
+    val got = TextOps.qLexiconFilter(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    assert(got.values.map(_._1).sum ===
+      got.values.map(v => v._2 + v._4).sum, "flagged + kept = docs")
+  }
 }
