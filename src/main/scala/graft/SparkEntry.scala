@@ -424,6 +424,10 @@ object SparkEntry {
     // prefix-filtered (AllPairs/PPJoin) set-similarity join: lossless
     // rarity-prefix candidates + symmetric length filter, exact verify
     "q_setsim_join" -> (Dedup.qSetSimJoin _),
+    // entity resolution on the part-name dictionary: last-token
+    // blocking, levenshtein<=2 verify, min-member components
+    "q_er_entities" -> ((s: SparkSession, d: String) =>
+      Dedup.qErEntities(s, d)),
     // directed partial-dup containment |A∩B|/|A| — the signal Jaccard
     // misses when a short doc is pasted into a long one
     "q_containment" -> ((s: SparkSession, d: String) =>
@@ -691,6 +695,10 @@ object SparkEntry {
     // exact ppm over the support-filtered co-purchase pairs
     "q_assoc_rules" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qAssocRules(s, d)),
+    // item-item CF: squared-cosine kNN items + summed-similarity user
+    // recs, both cuts through the native bounded-heap top-k
+    "q_item_cf" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qItemCf(s, d)),
     // Luby maximal independent set: salted-priority elimination,
     // O(log n) rounds, exact unrolled oracle
     "q_luby_mis" -> ((s: SparkSession, d: String) =>
@@ -5377,6 +5385,64 @@ object SparkEntry {
          |FROM rules r CROSS JOIN no
          |JOIN ic ca ON r.antecedent = ca.l_partkey
          |JOIN ic cc ON r.consequent = cc.l_partkey""".stripMargin,
+    // same basket CTE; kNN truncation and rec ranks replay the
+    // (score DESC, id) heap-operator total order
+    "q_item_cf" ->
+      s"""$copurchaseCte
+         |, ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+         |         FROM li GROUP BY 1),
+         |sym AS (SELECT u, v, support FROM und
+         |        UNION ALL SELECT v, u, support FROM und),
+         |sim AS (SELECT sym.u, sym.v,
+         |    CAST((CAST(sym.support AS HUGEINT) * sym.support * 1000000000000)
+         |      // (cu.c::HUGEINT * cv.c) AS BIGINT) AS cos2_fp
+         |  FROM sym JOIN ic cu ON sym.u = cu.l_partkey
+         |  JOIN ic cv ON sym.v = cv.l_partkey),
+         |top AS (SELECT u, v, cos2_fp FROM (
+         |    SELECT u, v, cos2_fp, row_number() OVER (
+         |      PARTITION BY u ORDER BY cos2_fp DESC, v) AS rn FROM sim)
+         |  WHERE rn <= 5),
+         |own AS (SELECT DISTINCT o.o_custkey AS cust, li.l_partkey AS item
+         |        FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+         |        WHERE o.o_custkey < 20),
+         |cand AS (SELECT own.cust, t.v AS rec,
+         |    CAST(sum(t.cos2_fp) AS BIGINT) AS score_fp
+         |  FROM own JOIN top t ON own.item = t.u
+         |  LEFT JOIN own o2 ON o2.cust = own.cust AND o2.item = t.v
+         |  WHERE o2.item IS NULL
+         |  GROUP BY 1, 2)
+         |SELECT cust AS c_custkey, rec AS rec_part, score_fp, rnk FROM (
+         |  SELECT cust, rec, score_fp, CAST(row_number() OVER (
+         |    PARTITION BY cust ORDER BY score_fp DESC, rec) AS BIGINT) AS rnk
+         |  FROM cand) WHERE rnk <= 3""".stripMargin,
+    // blocked levenshtein verify + recursive-CTE reachability (the
+    // q_dedup_clusters pattern), singletons self-labeled
+    "q_er_entities" ->
+      """WITH RECURSIVE names AS (SELECT p_name,
+        |    CAST(min(p_partkey) AS BIGINT) AS name_id,
+        |    CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1),
+        |k AS (SELECT p_name, name_id, n_parts,
+        |    string_split(p_name, ' ')[-1] AS block FROM names),
+        |e0 AS (SELECT a.name_id AS src, b.name_id AS dst
+        |      FROM k a JOIN k b ON a.block = b.block
+        |        AND a.name_id < b.name_id
+        |      WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |reach(id, rr) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT reach.id, edges.dst FROM reach
+        |  JOIN edges ON reach.rr = edges.src),
+        |lab AS (SELECT id AS name_id, min(rr) AS cluster_id
+        |        FROM reach GROUP BY 1),
+        |alln AS (SELECT k.p_name, k.name_id, k.n_parts,
+        |    coalesce(lab.cluster_id, k.name_id) AS entity_id
+        |  FROM k LEFT JOIN lab ON k.name_id = lab.name_id),
+        |census AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_names,
+        |    CAST(sum(n_parts) AS BIGINT) AS n_parts
+        |  FROM alln GROUP BY 1)
+        |SELECT c.entity_id, c.n_names, c.n_parts, a.p_name AS canonical_name
+        |FROM census c JOIN alln a ON a.name_id = c.entity_id""".stripMargin,
     "q_rfm" ->
       """WITH o AS (SELECT o_custkey, o_orderdate,
         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents

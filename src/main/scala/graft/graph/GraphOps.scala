@@ -957,6 +957,57 @@ object GraphOps {
           |  as bigint)""".stripMargin).as("lift_ppm"))
   }
 
+  /** Item-item collaborative filtering over the co-purchase baskets —
+    * the classic Amazon-style recommender shape: squared-cosine item
+    * similarity from co-occurrence counts (`support²·10¹² div (c_u·c_v)`
+    * — squaring avoids the square root, preserving the ranking
+    * exactly), k-nearest-neighbor truncation per item, then per-user
+    * recommendation scores as the sum of owned-item→candidate
+    * similarities, already-owned candidates anti-joined away.
+    *
+    * Scale shape: candidate pairs inherit [[copurchaseEdges]]'s
+    * per-basket bounded explode + support pruning; both top-k cuts exit
+    * through the native [[graft.plans.TopKPerKey]] bounded heaps (never
+    * a corpus sort); per-user fan-out is |owned|·k rows before the
+    * anti join. Exact integers end-to-end, (score, id) total order. */
+  def qItemCf(
+      spark: SparkSession, dir: String,
+      k: Int = 5, nUsers: Int = 20, recK: Int = 3): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val itemCnt = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+    val pairs = copurchaseEdges(spark, dir)
+    val sym = pairs.select(col("u"), col("v"), col("support"))
+      .unionAll(pairs.select(col("v").as("u"), col("u").as("v"),
+        col("support")))
+    val sims = sym
+      .join(itemCnt.select(col("l_partkey").as("u"), col("c").as("cu")), "u")
+      .join(itemCnt.select(col("l_partkey").as("v"), col("c").as("cv")), "v")
+      .select(col("u"), col("v"), expr(
+        """cast((cast(support as decimal(38,0)) * support * 1000000000000)
+          |  div (cu * cv) as bigint)""".stripMargin).as("cos2_fp"))
+    val top = graft.plans.TopK.topKPerKey(sims,
+      keys = Seq(col("u")),
+      order = Seq(col("cos2_fp").desc, col("v").asc), k = k)
+      .drop("rnk")
+    val owned = load(spark, dir, "orders")
+      .filter(col("o_custkey") < nUsers)
+      .select(col("o_custkey").as("cust"), col("o_orderkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("cust"), col("l_partkey").as("item")).distinct()
+    val cand = owned.join(top, col("item") === col("u"))
+      .select(col("cust"), col("v").as("rec"), col("cos2_fp"))
+      .join(owned.select(col("cust"), col("item").as("rec")),
+        Seq("cust", "rec"), "left_anti")
+      .groupBy("cust", "rec")
+      .agg(sum("cos2_fp").as("score_fp"))
+    graft.plans.TopK.topKPerKey(cand,
+      keys = Seq(col("cust")),
+      order = Seq(col("score_fp").desc, col("rec").asc), k = recK)
+      .select(col("cust").as("c_custkey"), col("rec").as("rec_part"),
+        col("score_fp"), col("rnk"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected graph given as canonical edges (`u` < `v`).
     *

@@ -307,4 +307,41 @@ class DedupSpec extends SparkSpec {
       .distinct().count()
     assert(rows.map(_._3).sum === types)
   }
+
+  test("entity resolution equals a JVM block-verify-cluster replay") {
+    val got = Dedup.qErEntities(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    val parts = graft.relational.Tables.load(spark, dir, "part")
+      .selectExpr("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val names = parts.groupBy(_._2).map { case (n, ps) =>
+      (n, ps.map(_._1).min, ps.length.toLong)
+    }.toSeq
+    def edit(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val parent = scala.collection.mutable.Map(names.map(n => n._2 -> n._2): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for {
+      Seq(a, b) <- names.groupBy(_._1.split(" ").last).values
+        .flatMap(_.combinations(2))
+      if edit(a._1, b._1) <= 2
+    } {
+      val (ra, rb) = (find(a._2), find(b._2))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = names.groupBy(n => find(n._2)).map { case (eid, ms) =>
+      eid -> ((ms.length.toLong, ms.map(_._3).sum,
+        ms.find(_._2 == eid).get._1))
+    }
+    assert(got === want)
+    assert(got.exists(_._2._1 > 1), "at least one multi-name entity")
+  }
 }

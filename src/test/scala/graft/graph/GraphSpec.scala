@@ -883,4 +883,43 @@ class GraphSpec extends SparkSpec {
     // sanity: at least one multi-nation SCC and the ids are members
     assert(got.values.exists(_._2 > 1L), "trade graph fully fragmented?")
   }
+
+  test("item CF recommendations equal a JVM kNN-item replay") {
+    val dir = "/root/testdata/sf0.001"
+    val got = GraphOps.qItemCf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val li = graft.relational.Tables.load(spark, dir, "lineitem")
+      .selectExpr("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cnt = li.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairSupport = li.groupBy(_._1).values.flatMap { basket =>
+      basket.map(_._2).sorted.combinations(2).map(p => (p(0), p(1)))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2).toMap
+    val sims = pairSupport.toSeq.flatMap { case ((u, v), s) =>
+      val fp = (BigInt(s) * s * BigInt(1000000000000L) /
+        (BigInt(cnt(u)) * cnt(v))).toLong
+      Seq((u, v, fp), (v, u, fp))
+    }
+    val top = sims.groupBy(_._1).view.mapValues(
+      _.sortBy { case (_, v, fp) => (-fp, v) }.take(5)).toMap
+    val orders = graft.relational.Tables.load(spark, dir, "orders")
+      .filter("o_custkey < 20").selectExpr("o_custkey", "o_orderkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val liByOrder = li.groupBy(_._1)
+    val owned = orders.flatMap { case (c, o) =>
+      liByOrder.getOrElse(o, Array.empty[(Long, Long)])
+        .map(x => (c, x._2))
+    }.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = owned.flatMap { case (c, items) =>
+      val scores = items.toSeq.flatMap(i => top.getOrElse(i, Nil))
+        .filterNot { case (_, v, _) => items(v) }
+        .groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      scores.sortBy { case (v, fp) => (-fp, v) }.take(3)
+        .zipWithIndex.map { case ((v, fp), i) => (c, v, fp, i + 1L) }
+    }.toSet
+    assert(got === want)
+    assert(got.nonEmpty, "no recommendations at sf0.001")
+  }
 }
