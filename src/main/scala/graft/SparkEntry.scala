@@ -602,6 +602,10 @@ object SparkEntry {
     // per-domain excess loss, integer trajectory emitted per round
     "q_mix_mw" -> ((s: SparkSession, d: String) =>
       TrainingData.qMixMw(s, d)),
+    // gradient-boosted stumps: one conditional-aggregate pass per
+    // round, BigInt argmax on the collected candidate census
+    "q_boosted_stumps" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.BoostedStumps.qBoostedStumps(s, d)),
     // DSIR-style data selection: hashed-unigram importance ratio of a
     // target domain vs the corpus, integer ppm weights -> exact oracle
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -873,6 +877,61 @@ object SparkEntry {
        |  (SELECT min(vec_id) FROM e) AS vec_id,
        |  CAST(0 AS BIGINT) AS radius_fp
        |UNION ALL $picks""".stripMargin
+  }
+
+  /** Boosted-stumps oracle: candidate grid + per-round conditional
+    * split census, BigInt-free argmax via HUGEINT cross-multiplied
+    * NOT EXISTS (gain comparison never divides), truncating leaf
+    * divisions, residual update — replaying
+    * [[graft.pipeline.BoostedStumps.qBoostedStumps]] exactly. */
+  private def boostedStumpsSql(rounds: Int): String = {
+    def featC(a: String) =
+      s"(CASE c.fe WHEN 'f1' THEN $a.f1 WHEN 'f2' THEN $a.f2 ELSE $a.f3 END)"
+    val roundCtes = (1 to rounds).map { t =>
+      s"""s$t AS (SELECT c.fe, c.th,
+         |    CAST(sum(CASE WHEN ${featC("r")} <= c.th THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         |    CAST(sum(CASE WHEN ${featC("r")} <= c.th THEN r.r ELSE 0 END) AS BIGINT) AS sl,
+         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(r.r) AS BIGINT) AS st
+         |  FROM r${t - 1} r CROSS JOIN c GROUP BY 1, 2),
+         |g$t AS (SELECT fe, th, nl, sl, n - nl AS nr, st - sl AS sr,
+         |    CAST(sl AS HUGEINT) * (n - nl) - CAST(st - sl AS HUGEINT) * nl AS num,
+         |    CAST(nl AS HUGEINT) * (n - nl) AS den
+         |  FROM s$t WHERE nl > 0 AND nl < n),
+         |p$t AS (SELECT fe, th, nl, sl // nl AS dl, sr // nr AS dr
+         |  FROM g$t g
+         |  WHERE NOT EXISTS (SELECT 1 FROM g$t h WHERE
+         |      h.num * h.num * g.den > g.num * g.num * h.den
+         |      OR (h.num * h.num * g.den = g.num * g.num * h.den
+         |          AND (h.fe < g.fe OR (h.fe = g.fe AND h.th < g.th))))),
+         |r$t AS MATERIALIZED (SELECT r.doc_id, r.f1, r.f2, r.f3,
+         |    r.r - (CASE WHEN (CASE p.fe WHEN 'f1' THEN r.f1
+         |      WHEN 'f2' THEN r.f2 ELSE r.f3 END) <= p.th
+         |      THEN p.dl ELSE p.dr END) AS r
+         |  FROM r${t - 1} r CROSS JOIN p$t p),
+         |a$t AS (SELECT CAST(sum(abs(r)) AS BIGINT) AS ar FROM r$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    val snaps = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS step, fe AS feature,
+         |  th AS threshold, nl AS n_left, dl AS left_fp, dr AS right_fp,
+         |  (SELECT ar FROM a$t) AS abs_resid FROM p$t""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH f AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
+       |    CAST(n_chars AS BIGINT) AS f2,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS f3,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 AS y
+       |  FROM documents),
+       |bb AS (SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2,
+       |    max(f2) AS mx2, min(f3) AS mn3, max(f3) AS mx3 FROM f),
+       |c AS MATERIALIZED (SELECT fe, mn + ((mx - mn) * i) // 8 AS th
+       |  FROM (SELECT 'f1' AS fe, mn1 AS mn, mx1 AS mx FROM bb
+       |        UNION ALL SELECT 'f2', mn2, mx2 FROM bb
+       |        UNION ALL SELECT 'f3', mn3, mx3 FROM bb) fx,
+       |       generate_series(1, 7) gs(i)),
+       |r0 AS MATERIALIZED (SELECT doc_id, f1, f2, f3, y AS r FROM f),
+       |$roundCtes
+       |$snaps""".stripMargin
   }
 
   /** Multiplicative-weights mixture oracle: the per-domain loss census
@@ -5297,6 +5356,7 @@ object SparkEntry {
         |FROM x GROUP BY 1""".stripMargin,
     // integer ppm rates; salted md5 draw (every hash policy its own stream)
     "q_mix_mw" -> mixMwSql(4, 200000L),
+    "q_boosted_stumps" -> boostedStumpsSql(3),
     "q_domain_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
