@@ -703,6 +703,10 @@ object SparkEntry {
     // recs, both cuts through the native bounded-heap top-k
     "q_item_cf" -> ((s: SparkSession, d: String) =>
       graft.graph.GraphOps.qItemCf(s, d)),
+    // synchronous Louvain moves on the weighted co-purchase graph:
+    // integer modularity-gain argmax, per-community q_num census
+    "q_louvain" -> ((s: SparkSession, d: String) =>
+      graft.graph.GraphOps.qLouvain(s, d)),
     // Luby maximal independent set: salted-priority elimination,
     // O(log n) rounds, exact unrolled oracle
     "q_luby_mis" -> ((s: SparkSession, d: String) =>
@@ -877,6 +881,53 @@ object SparkEntry {
        |  (SELECT min(vec_id) FROM e) AS vec_id,
        |  CAST(0 AS BIGINT) AS radius_fp
        |UNION ALL $picks""".stripMargin
+  }
+
+  /** Louvain oracle: unrolled synchronous move rounds — per round the
+    * neighbor-community weight census, the Σtot table, the integer
+    * modularity-gain score, and the (score DESC, comm ASC) argmax —
+    * then the final per-community census, replaying
+    * [[graft.graph.GraphOps.qLouvain]]. */
+  private def louvainSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { t =>
+      s"""n$t AS (SELECT a.src, l.lbl AS comm, CAST(sum(a.w) AS BIGINT) AS kiin
+         |  FROM arcs a JOIN l${t - 1} l ON a.dst = l.node GROUP BY 1, 2),
+         |c$t AS (SELECT src, comm, CAST(sum(kiin) AS BIGINT) AS kiin FROM (
+         |    SELECT src, comm, kiin FROM n$t
+         |    UNION ALL SELECT node, lbl, 0 FROM l${t - 1}) GROUP BY 1, 2),
+         |st$t AS (SELECT l.lbl AS comm, CAST(sum(kk.kw) AS BIGINT) AS sig
+         |  FROM l${t - 1} l JOIN k kk ON l.node = kk.node GROUP BY 1),
+         |sc$t AS (SELECT c.src, c.comm,
+         |    CAST((SELECT w2 FROM m2) AS HUGEINT) * c.kiin
+         |      - CAST(kk.kw AS HUGEINT) * (st.sig -
+         |        CASE WHEN c.comm = l.lbl THEN kk.kw ELSE 0 END) AS score
+         |  FROM c$t c JOIN l${t - 1} l ON c.src = l.node
+         |  JOIN k kk ON c.src = kk.node
+         |  JOIN st$t st ON c.comm = st.comm),
+         |l$t AS MATERIALIZED (SELECT src AS node, comm AS lbl FROM (
+         |    SELECT src, comm, row_number() OVER (PARTITION BY src
+         |      ORDER BY score DESC, comm) AS rn FROM sc$t) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$copurchaseCte,
+       |arcs AS MATERIALIZED (SELECT u AS src, v AS dst, support AS w FROM und
+       |  UNION ALL SELECT v, u, support FROM und),
+       |k AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS kw
+       |  FROM arcs GROUP BY 1),
+       |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS w2 FROM arcs),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM arcs),
+       |$roundCtes,
+       |in2 AS (SELECT la.lbl AS community, CAST(sum(a.w) AS BIGINT) AS in2_w
+       |  FROM arcs a JOIN l$rounds la ON a.src = la.node
+       |  JOIN l$rounds lb ON a.dst = lb.node AND la.lbl = lb.lbl GROUP BY 1),
+       |tot AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(kk.kw) AS BIGINT) AS tot_w
+       |  FROM l$rounds l JOIN k kk ON l.node = kk.node GROUP BY 1)
+       |SELECT t.community, t.n_nodes, t.tot_w,
+       |  coalesce(i.in2_w, 0) AS in2_w,
+       |  CAST(CAST(coalesce(i.in2_w, 0) AS HUGEINT) * (SELECT w2 FROM m2)
+       |    - CAST(t.tot_w AS HUGEINT) * t.tot_w AS BIGINT) AS q_num
+       |FROM tot t LEFT JOIN in2 i ON t.community = i.community""".stripMargin
   }
 
   /** Boosted-stumps oracle: candidate grid + per-round conditional
@@ -5357,6 +5408,7 @@ object SparkEntry {
     // integer ppm rates; salted md5 draw (every hash policy its own stream)
     "q_mix_mw" -> mixMwSql(4, 200000L),
     "q_boosted_stumps" -> boostedStumpsSql(3),
+    "q_louvain" -> louvainSql(graft.graph.GraphOps.LouvainRounds),
     "q_domain_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,

@@ -957,6 +957,113 @@ object GraphOps {
           |  as bigint)""".stripMargin).as("lift_ppm"))
   }
 
+  /** Rounds for [[qLouvain]] — enough for moves to settle on the
+    * fixture graphs; synchronous moves are re-evaluated each round so
+    * extra rounds only confirm the fixpoint. */
+  val LouvainRounds: Int = 3
+
+  /** Deterministic synchronous Louvain moves (phase-1 of Blondel et
+    * al.) over the SUPPORT-WEIGHTED co-purchase graph — the
+    * modularity-seeking community detector LPA's majority vote cannot
+    * express (LPA ignores degree: a hub's label floods regardless of
+    * whether the merge helps modularity).
+    *
+    * Each round every node re-evaluates, for every neighboring
+    * community C (own community always a candidate), the exact INTEGER
+    * move score `2m·k_iin(C) − k_i·(Σtot(C) − [i∈C]·k_i)` — the
+    * modularity-gain numerator with the division by (2m)² cleared, so
+    * the argmax never divides — and adopts the best (score DESC,
+    * community ASC). Moves are synchronous (all nodes decide against
+    * the same label snapshot), the standard distributed concession;
+    * determinism comes from the total order, and the unrolled oracle
+    * replays every round. Output: per-community census after
+    * [[LouvainRounds]] — size, weighted degree mass, internal weight,
+    * and the per-community modularity numerator
+    * `q_num = in2·2m − Σtot²` (exact; Σ q_num / (2m)² = Q).
+    *
+    * Scale shape: per round one arc-side join + two bounded
+    * aggregations (communities ≤ nodes); score arithmetic runs in
+    * decimal(38,0) so 10¹²-arc corpora don't wrap; the loop inherits
+    * the LPA linear-lineage posture (3 rounds, no nesting). */
+  def qLouvain(spark: SparkSession, dir: String): DataFrame = {
+    val arcs = copurchaseWeightedArcs(spark, dir)
+    val k = arcs.groupBy(col("src").as("node"))
+      .agg(sum("w").as("kw"))
+    val m2 = arcs.agg(sum("w").as("w2"))
+    val key = (org.apache.spark.sql.GraftShim.sessionId(spark),
+      s"$dir#louvain", LouvainRounds)
+    val finalLabels = rankCache.get(key) {
+      var labels = arcs.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl"))
+      for (_ <- 1 to LouvainRounds) {
+        val kiin = arcs
+          .join(labels.select(col("node").as("dst"), col("lbl").as("comm")),
+            "dst")
+          .groupBy("src", "comm").agg(sum("w").as("kiin"))
+          .unionByName(labels.select(col("node").as("src"),
+            col("lbl").as("comm"), lit(0L).as("kiin")))
+          .groupBy("src", "comm").agg(sum("kiin").as("kiin"))
+        val sigtot = labels
+          .join(k, "node")
+          .groupBy(col("lbl").as("comm")).agg(sum("kw").as("sig"))
+        labels = kiin
+          .join(labels.select(col("node").as("src"), col("lbl").as("own")),
+            "src")
+          .join(k.select(col("node").as("src"), col("kw")), "src")
+          .join(broadcast(sigtot), "comm")
+          .crossJoin(broadcast(m2))
+          .withColumn("score", expr(
+            """cast(w2 as decimal(38,0)) * kiin
+              |  - cast(kw as decimal(38,0))
+              |    * (sig - (case when comm = own then kw else 0 end))"""
+              .stripMargin))
+          .groupBy(col("src").as("node"))
+          .agg(min(struct((-col("score")).as("ns"), col("comm"))).as("m"))
+          .select(col("node"), col("m.comm").as("lbl"))
+      }
+      val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      out
+    }
+    val in2 = arcs
+      .join(finalLabels.select(col("node").as("src"), col("lbl").as("la")),
+        "src")
+      .join(finalLabels.select(col("node").as("dst"), col("lbl").as("lb")),
+        "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(sum("w").as("in2_w"))
+    finalLabels
+      .join(k, "node")
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum("kw").as("tot_w"))
+      .join(in2, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"), col("tot_w"),
+        coalesce(col("in2_w"), lit(0L)).as("in2_w"),
+        expr("""cast(cast(coalesce(in2_w, 0) as decimal(38,0)) * w2
+          |  - cast(tot_w as decimal(38,0)) * tot_w as bigint)"""
+          .stripMargin).as("q_num"))
+  }
+
+  /** Support-weighted co-purchase arcs (both directions), persisted per
+    * (session, dir) — the weighted sibling of [[copurchaseArcs]]. */
+  private val cpWArcCache = graft.SessionCache.frames[(String, String)]
+
+  private[graph] def copurchaseWeightedArcs(
+      spark: SparkSession, dir: String): DataFrame =
+    cpWArcCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir)) {
+      val und = copurchaseEdges(spark, dir)
+      val arcs = und.select(col("u").as("src"), col("v").as("dst"),
+          col("support").as("w"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"),
+          col("support").as("w")))
+        .repartition(spark.sparkContext.defaultParallelism, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      arcs.count()
+      arcs
+    }
+
   /** Item-item collaborative filtering over the co-purchase baskets —
     * the classic Amazon-style recommender shape: squared-cosine item
     * similarity from co-occurrence counts (`support²·10¹² div (c_u·c_v)`

@@ -884,6 +884,50 @@ class GraphSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 1L), "trade graph fully fragmented?")
   }
 
+  test("louvain census equals a JVM replay of the synchronous move rounds") {
+    val dir = "/root/testdata/sf0.001"
+    val got = GraphOps.qLouvain(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val und = GraphOps.copurchaseWeightedArcs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val k = und.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val w2 = und.map(_._3).sum
+    var lbl = k.keys.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LouvainRounds) {
+      val kiin = und.groupBy(a => (a._1, lbl(a._2)))
+        .view.mapValues(_.map(_._3).sum).toMap
+      val cands = kiin.keys.map(_._1).toSet.union(lbl.keySet)
+        .flatMap { n =>
+          (kiin.keys.filter(_._1 == n).map(_._2).toSet + lbl(n))
+            .map(c => (n, c, kiin.getOrElse((n, c), 0L)))
+        }
+      val sig = lbl.toSeq.groupBy(_._2).view
+        .mapValues(_.map(x => k(x._1)).sum).toMap
+      lbl = cands.groupBy(_._1).map { case (n, cs) =>
+        n -> cs.toSeq.map { case (_, c, kin) =>
+          val score = BigInt(w2) * kin - BigInt(k(n)) *
+            (sig(c) - (if (c == lbl(n)) k(n) else 0L))
+          (c, score)
+        }.minBy { case (c, s) => (-s, c) }._1
+      }
+    }
+    val want = lbl.toSeq.groupBy(_._2).map { case (comm, ms) =>
+      val nodes = ms.map(_._1).toSet
+      val in2 = und.filter(a => nodes(a._1) && lbl(a._2) == comm)
+        .map(_._3).sum
+      val tot = ms.map(x => k(x._1)).sum
+      comm -> ((ms.length.toLong, tot, in2,
+        (BigInt(in2) * w2 - BigInt(tot) * tot).toLong))
+    }
+    assert(got === want)
+    // the partition is genuinely modular: sum q_num / (2m)^2 > 0
+    val q = got.values.map(v => BigInt(v._4)).sum
+    assert(q > 0, s"non-positive modularity numerator $q")
+    assert(got.values.map(_._1).sum === k.size.toLong)
+    assert(got.values.map(_._2).sum === w2)
+  }
+
   test("item CF recommendations equal a JVM kNN-item replay") {
     val dir = "/root/testdata/sf0.001"
     val got = GraphOps.qItemCf(spark, dir).collect()
