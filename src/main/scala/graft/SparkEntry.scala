@@ -355,6 +355,9 @@ object SparkEntry {
     // lexicon blocklist gate: literal IN-list hits, cross-multiplied
     // rate flag, per-source filter census
     "q_lexicon_filter" -> (TextOps.qLexiconFilter _),
+    // Heaps'-law vocabulary growth at power-of-two checkpoints of a
+    // deterministic shuffle order; first-position reduction per type
+    "q_vocab_growth" -> (TextOps.qVocabGrowth _),
     // Cohen's kappa between the length and stopword raters: 2x2 census
     // in exact integers, one IEEE division
     "q_kappa" -> (TextOps.qKappa _),
@@ -492,6 +495,9 @@ object SparkEntry {
     // upper-triangle dimension covariance (PCA/whitening prep), integer
     // sufficient statistics -> bit-reproducible, exact oracle
     "q_embedding_cov" -> (Similarity.qEmbeddingCov _),
+    // diagonal whitening applied: exact-isqrt per-dim sd + the
+    // whitened-transform census (sum |z|), all integer
+    "q_embed_whiten" -> (Similarity.qEmbedWhiten _),
     // dominant principal axis by exact-integer power iteration over the
     // covariance numerator; output = every vector's projection (the
     // whitening/diagnostic coordinate), bit-exact in any engine
@@ -4651,6 +4657,28 @@ object SparkEntry {
         |  CAST(count(*) - sum(CASE WHEN hits >= 3 OR hits * 25 >= n_tokens
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM t GROUP BY 1""".stripMargin,
+    // row_number over the md5 shuffle key stands in for the
+    // distributed zipWithIndex total order (same order, same ranks)
+    "q_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |    md5('vg:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt, toks,
+        |    CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS pos FROM d),
+        |tf AS (SELECT tok, min(pos) AS fp FROM (
+        |    SELECT pos, unnest(list_distinct(toks)) AS tok FROM p) GROUP BY 1),
+        |vb AS (SELECT CASE WHEN fp = 1 THEN 0
+        |      ELSE length(printf('%b', fp - 1)) END AS b,
+        |    CAST(count(*) AS BIGINT) AS v FROM tf GROUP BY 1),
+        |db AS (SELECT CASE WHEN pos = 1 THEN 0
+        |      ELSE length(printf('%b', pos - 1)) END AS b,
+        |    CAST(count(*) AS BIGINT) AS nd, CAST(sum(nt) AS BIGINT) AS tt
+        |  FROM p GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p)
+        |SELECT CAST(1::BIGINT << b AS BIGINT) AS checkpoint,
+        |  least(CAST(1::BIGINT << b AS BIGINT), (SELECT nn FROM n)) AS n_docs,
+        |  CAST(sum(tt) OVER (ORDER BY b) AS BIGINT) AS tokens_seen,
+        |  CAST(sum(coalesce(v, 0)) OVER (ORDER BY b) AS BIGINT) AS vocab_size
+        |FROM db LEFT JOIN vb USING (b)""".stripMargin,
     "q_kappa" ->
       """WITH lab AS (SELECT
         |    CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS a,
@@ -5219,6 +5247,35 @@ object SparkEntry {
     // same integer sufficient statistics (Σqi, Σqj, Σqiqj); the exact
     // integer numerator (BIGINT here — oracle SFs fit comfortably) goes
     // through ONE IEEE division, matching Spark's decimal path bit-for-bit
+    // q16 moments + the proven Wilson isqrt chain + the signed
+    // truncating-div transform census
+    "q_embed_whiten" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |r AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+        |        CAST(round(v[i] * 65536) AS BIGINT) AS q
+        |      FROM e, generate_series(1, 64) t(i)),
+        |st AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(q) AS HUGEINT) AS s,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+        |  FROM r GROUP BY 1),
+        |w1 AS (SELECT d, n, s, n * ss - s * s AS x FROM st),
+        |w2 AS (SELECT *, greatest(1::HUGEINT,
+        |    CAST(sqrt(CAST(x AS DOUBLE)) AS HUGEINT) + 2) AS r0 FROM w1),
+        |w3 AS (SELECT *, (r0 + x // r0) // 2 AS r1 FROM w2),
+        |w4 AS (SELECT *, (r1 + x // r1) // 2 AS r2 FROM w3),
+        |w5 AS (SELECT *, CASE WHEN r2 * r2 > x THEN r2 - 1 ELSE r2 END
+        |  AS r3 FROM w4),
+        |w6 AS (SELECT d, n, s, CASE WHEN (r3 + 1) * (r3 + 1) <= x
+        |  THEN r3 + 1 ELSE r3 END AS isq FROM w5),
+        |za AS (SELECT r.d, sum(abs(CASE WHEN w6.isq = 0 THEN 0::HUGEINT
+        |    ELSE ((CAST(r.q AS HUGEINT) * w6.n - w6.s) * 1000000) // w6.isq
+        |    END)) AS saz
+        |  FROM r JOIN w6 ON r.d = w6.d GROUP BY 1)
+        |SELECT w6.d, w6.n,
+        |  CAST((s * 1000000) // n AS BIGINT) AS mean_fp,
+        |  CAST((isq * 1000000) // n AS BIGINT) AS sd_fp,
+        |  CAST(za.saz AS BIGINT) AS sum_absz
+        |FROM w6 JOIN za ON w6.d = za.d""".stripMargin,
     "q_embedding_cov" ->
       """WITH r AS (SELECT vec_id, CAST(i - 1 AS INT) AS d,
         |        CAST(round(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS q

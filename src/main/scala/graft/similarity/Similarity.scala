@@ -1586,6 +1586,57 @@ object Similarity {
     } finally emb.unpersist(blocking = false)
   }
 
+  /** Per-dimension whitening of the embedding corpus — the
+    * standardization step between raw vectors and anything
+    * distance-based ([[qEmbeddingCov]] diagnoses the covariance; this
+    * operator APPLIES the diagonal part): for each of the 64 dims, the
+    * exact q16 sufficient statistics (n, Σq, Σq²), the integer standard
+    * deviation via the [[graft.relational.Inference.qWilsonCtr]]
+    * exact-isqrt chain (double seed + two Newton steps + ±1 guards —
+    * bit-independent of the seed), and the whitened-transform census
+    * Σ|z| with z = (q·n − Σq)·10⁶ div isqrt(n·Σq² − (Σq)²) — the
+    * evidence the transform itself (not just its parameters) is
+    * engine-exact. Truncating division on both engines (z is signed).
+    *
+    * Scale shape: two map-side-combinable passes (moments, then the
+    * broadcast-stats transform census); all per-dim arithmetic runs in
+    * decimal(38,0) — n·Σq² headroom to ~10⁹ vectors. A constant
+    * dimension (isqrt = 0) whitens to 0 rather than dividing. */
+  def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val r = load(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => x.cast("double")))
+          .as(Seq("d0", "xv")))
+      .select(col("d0").cast("long").as("d"),
+        round(col("xv") * 65536).cast("long").as("q"))
+    val st = r.groupBy("d").agg(
+      count(lit(1)).as("n"),
+      sum(expr("cast(q as decimal(38,0))")).as("s"),
+      sum(expr("cast(q as decimal(38,0)) * q")).as("ss"))
+    val isq = st
+      .withColumn("x", expr("n * ss - s * s"))
+      .withColumn("r0", expr(
+        "greatest(cast(1 as decimal(38,0))," +
+          " cast(sqrt(cast(x as double)) as decimal(38,0)) + 2)"))
+      .withColumn("r1", expr("(r0 + x div r0) div 2"))
+      .withColumn("r2", expr("(r1 + x div r1) div 2"))
+      .withColumn("r3", expr("case when r2 * r2 > x then r2 - 1 else r2 end"))
+      .withColumn("isq",
+        expr("case when (r3 + 1) * (r3 + 1) <= x then r3 + 1 else r3 end"))
+      .select("d", "n", "s", "isq")
+    val za = r.join(broadcast(isq), "d")
+      .select(col("d"), expr(
+        """case when isq = 0 then cast(0 as decimal(38,0))
+          |else ((cast(q as decimal(38,0)) * n - s) * 1000000) div isq
+          |end""".stripMargin).as("z"))
+      .groupBy("d").agg(sum(abs(col("z"))).as("saz"))
+    isq.join(za, "d")
+      .select(col("d"), col("n"),
+        expr("cast((s * 1000000) div n as bigint)").as("mean_fp"),
+        expr("cast((isq * 1000000) div n as bigint)").as("sd_fp"),
+        col("saz").cast("long").as("sum_absz"))
+  }
+
   /** Cluster-balanced prototype sample — `quota` exemplars per IVF
     * cell, nearest-to-centroid first: the antipode of
     * [[qEmbeddingOutliers]] and the "small balanced slice that still

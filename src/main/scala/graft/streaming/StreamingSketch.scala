@@ -186,4 +186,72 @@ object StreamingSketch {
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout())(updateSpaceSaving(capacity))
   }
+
+  // ---- streaming split-conformal twin ----------------------------------
+
+  final case class ResidRow(grp: String, half: Long, res: Long)
+  final case class ConformalState(
+      hist: Map[Long, Long], nCal: Long, nTest: Long, nCovered: Long)
+  final case class ConformalEst(grp: String, nCal: Long, qhat: Long,
+      nTest: Long, nCovered: Long)
+
+  /** The `ceil(0.9·(n+1))`-th smallest calibration residual from the
+    * value histogram — the [[graft.relational.Inference.qConformal]]
+    * quantile walk, on the streaming state. −1 while no calibration. */
+  private[graft] def conformalQhat(
+      hist: Map[Long, Long], nCal: Long): Long =
+    if (nCal == 0) -1L
+    else {
+      val m = (9 * nCal + 18) / 10
+      var cum = 0L
+      var q = -1L
+      val it = hist.toSeq.sortBy(_._1).iterator
+      while (q == -1L && it.hasNext) {
+        val (v, c) = it.next()
+        cum += c
+        if (cum >= m) q = v
+      }
+      q
+    }
+
+  /** Batch-prequential update: a micro-batch's CALIBRATION rows are
+    * absorbed into the residual histogram first, then its TEST rows are
+    * judged against the refreshed q̂ — order-free within the batch (the
+    * group iterator is unordered; splitting by half first removes the
+    * dependence). Test rows arriving before any calibration count as
+    * uncovered — there is no interval to cover them yet. */
+  private def updateConformal(
+      grp: String,
+      rows: Iterator[ResidRow],
+      state: GroupState[ConformalState]): Iterator[ConformalEst] = {
+    val s = state.getOption
+      .getOrElse(ConformalState(Map.empty, 0L, 0L, 0L))
+    val (cal, test) = rows.toSeq.partition(_.half == 1L)
+    val hist = cal.foldLeft(s.hist)((h, r) =>
+      h.updated(r.res, h.getOrElse(r.res, 0L) + 1L))
+    val nCal = s.nCal + cal.length
+    val qhat = conformalQhat(hist, nCal)
+    val covered = if (nCal == 0) 0L
+      else test.count(_.res <= qhat).toLong
+    val next = ConformalState(hist, nCal,
+      s.nTest + test.length, s.nCovered + covered)
+    state.update(next)
+    Iterator.single(
+      ConformalEst(grp, next.nCal, qhat, next.nTest, next.nCovered))
+  }
+
+  /** Streaming split-conformal calibration — the [[quantiles]]-family
+    * twin of the batch q_conformal: per group, a residual-value
+    * histogram (bounded by the distinct-cents domain, the same
+    * histogram-first posture as the batch quantile walk) plus running
+    * prequential test coverage. Feeding all calibration before any
+    * test replays the batch operator exactly (pinned in-suite). */
+  def conformal(rows: Dataset[ResidRow]): Dataset[ConformalEst] = {
+    implicit val stEnc = Encoders.product[ConformalState]
+    implicit val esEnc = Encoders.product[ConformalEst]
+    rows
+      .groupByKey(_.grp)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateConformal)
+  }
 }

@@ -218,6 +218,62 @@ object TextOps {
       .withColumn("n_kept", col("n_docs") - col("n_flagged"))
   }
 
+  /** Vocabulary growth curve (the empirical Heaps'-law census): distinct
+    * token types seen after the first 1, 2, 4, …, 2^⌈log₂N⌉ documents of
+    * a DETERMINISTIC md5-shuffled corpus order — the curve a tokenizer /
+    * dedup planner reads to size vocab tables and predict novelty decay
+    * (cf. the Heaps-bounded windows elsewhere in the repo, which this
+    * operator lets you justify empirically per corpus).
+    *
+    * Exact at scale: the global order is the qGlobalShuffle
+    * range-partition + zipWithIndex total order (never a one-task
+    * window over the corpus); each token type reduces to its FIRST
+    * position (one groupBy min); checkpoints are log-bounded (≤ 64
+    * power-of-two buckets), so the cumulative walk runs over a
+    * constant-size histogram. ceil(log₂) comes from BIT LENGTH, never
+    * IEEE log (the q_degree_hist rule). */
+  def qVocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"),
+        md5(concat(lit("vg:"), col("doc_id").cast("string"))).as("skey"))
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val pos = docs
+      .repartitionByRange(parts, col("skey"))
+      .sortWithinPartitions("skey")
+      .select(col("doc_id")).rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), i + 1L) }
+      .toDF("doc_id", "pos")
+    // three cheap deterministic re-scans of the ranked view (the plan's
+    // three subtrees) beat a leaked corpus-sized persist; the RDD
+    // zipWithIndex replays identically per scan
+    val ranked = docs.join(pos, "doc_id")
+      .select(col("pos"), size(col("toks")).cast("long").as("nt"),
+        array_distinct(col("toks")).as("dtoks"))
+    def bucketOf(c: Column): Column =
+      when(c === 1, 0L).otherwise(length(bin(c - 1)).cast("long"))
+    val vb = ranked
+      .select(col("pos"), explode(col("dtoks")).as("tok"))
+      .groupBy("tok").agg(min("pos").as("fp"))
+      .groupBy(bucketOf(col("fp")).as("b"))
+      .agg(count(lit(1)).as("v"))
+    val db = ranked
+      .groupBy(bucketOf(col("pos")).as("b"))
+      .agg(count(lit(1)).as("nd"), sum("nt").as("tt"))
+    val n = ranked.agg(count(lit(1)).as("nn"))
+    val w = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    db.join(vb, Seq("b"), "left")
+      .crossJoin(broadcast(n))
+      .select(
+        expr("shiftleft(cast(1 as bigint), cast(b as int))")
+          .as("checkpoint"),
+        least(expr("shiftleft(cast(1 as bigint), cast(b as int))"),
+          col("nn")).as("n_docs"),
+        sum("tt").over(w).as("tokens_seen"),
+        sum(coalesce(col("v"), lit(0L))).over(w).as("vocab_size"))
+  }
+
   /** Cohen's kappa between two independent quality raters — the
     * agreement statistic an annotation pipeline reports before trusting
     * a heuristic (or model) labeler: observed agreement corrected for

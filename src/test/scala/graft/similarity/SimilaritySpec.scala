@@ -646,6 +646,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty, "decontam threshold found no pairs at sf0.001")
   }
 
+  test("embed whitening equals a JVM BigInt replay; transform is centered") {
+    val got = Similarity.qEmbedWhiten(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    def isqrt(x: BigInt): BigInt = {
+      if (x == 0) BigInt(0)
+      else {
+        var r = BigInt(math.sqrt(x.toDouble).toLong) + 2
+        r = (r + x / r) / 2; r = (r + x / r) / 2
+        if (r * r > x) r -= 1
+        if ((r + 1) * (r + 1) <= x) r += 1
+        r
+      }
+    }
+    (0 until 64).foreach { d =>
+      // Spark/DuckDB round() is HALF_UP (away from zero); math.round
+      // rounds half toward +inf and diverges on negative ties
+      val qs = vecs.map(v => BigDecimal(v(d) * 65536)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val n = BigInt(qs.length)
+      val s = qs.map(BigInt(_)).sum
+      val ss = qs.map(q => BigInt(q) * q).sum
+      val isq = isqrt(n * ss - s * s)
+      val saz = qs.map { q =>
+        if (isq == 0) BigInt(0)
+        else ((BigInt(q) * n - s) * 1000000 / isq).abs
+      }.sum
+      val want = (qs.length.toLong, (s * 1000000 / n).toLong,
+        (isq * 1000000 / n).toLong, saz.toLong)
+      assert(got(d.toLong) === want, s"dim $d")
+      assert(want._3 > 0, s"dim $d degenerate sd")
+    }
+    // whitened scale sanity: mean |z| per value is ~0.8e6 for a roughly
+    // gaussian dim (E|z| = sqrt(2/pi) in 1e6 units); gate loosely
+    got.values.foreach { case (n, _, _, saz) =>
+      val meanAbs = saz / n
+      assert(meanAbs > 200000L && meanAbs < 2000000L,
+        s"mean |z| out of plausible whitened range: $meanAbs")
+    }
+  }
+
   test("k-center coreset equals the JVM greedy replay; radius non-increasing") {
     val got = Similarity.qKcenterCoreset(spark, dir, k = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

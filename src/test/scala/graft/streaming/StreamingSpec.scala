@@ -745,4 +745,67 @@ class StreamingSpec extends SparkSpec {
       assert(all.count(_.event == OutOfOrderDropped) === 1) // 9 is future
     } finally q.stop()
   }
+
+  test("streaming conformal: cal-then-test feed replays the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val res = graft.relational.Tables.load(spark, dir, "lineitem")
+      .join(graft.relational.Tables.load(spark, dir, "part"),
+        org.apache.spark.sql.functions.expr("l_partkey = p_partkey"))
+      .selectExpr("l_returnflag as grp", "l_orderkey % 2 as half",
+        """abs(floor(l_extendedprice * 100 + 0.5) div cast(l_quantity as bigint)
+          | - floor(p_retailprice * 100 + 0.5)) as res""".stripMargin)
+      .as[(String, Long, Long)].collect()
+      .map(r => graft.streaming.StreamingSketch.ResidRow(r._1, r._2, r._3))
+    // phase feed: ALL calibration first, then test — prequential
+    // coverage then equals the batch operator's final-qhat coverage
+    val (cal, test) = res.partition(_.half == 1L)
+    val input = MemoryStream[graft.streaming.StreamingSketch.ResidRow]
+    val name = s"conf_${System.nanoTime()}"
+    val q = graft.streaming.StreamingSketch.conformal(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    val got =
+      try {
+        Seq(cal, test).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+        spark.table(name)
+          .as[graft.streaming.StreamingSketch.ConformalEst].collect()
+          .zipWithIndex.groupBy(_._1.grp)
+          .map { case (g, v) => g -> v.maxBy(_._2)._1 }
+      } finally q.stop()
+    val want = graft.relational.Inference.qConformal(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (g, est) =>
+      val (nCal, qhat, nTest, nCov) = want(g)
+      assert(est.nCal === nCal, s"$g nCal")
+      assert(est.qhat === qhat, s"$g qhat")
+      assert(est.nTest === nTest, s"$g nTest")
+      assert(est.nCovered === nCov, s"$g coverage")
+    }
+    // interleaved feed: same final qhat (histogram state is order-free)
+    val shuffled = res.sortBy(r => (r.res * 2654435761L) ^ r.grp.##)
+    val input2 = MemoryStream[graft.streaming.StreamingSketch.ResidRow]
+    val name2 = s"conf2_${System.nanoTime()}"
+    val q2 = graft.streaming.StreamingSketch.conformal(input2.toDS())
+      .writeStream.format("memory").queryName(name2).outputMode("update")
+      .start()
+    val got2 =
+      try {
+        shuffled.grouped(math.max(1, shuffled.length / 3 + 1))
+          .foreach { b => input2.addData(b.toSeq); q2.processAllAvailable() }
+        spark.table(name2)
+          .as[graft.streaming.StreamingSketch.ConformalEst].collect()
+          .zipWithIndex.groupBy(_._1.grp)
+          .map { case (g, v) => g -> v.maxBy(_._2)._1 }
+      } finally q2.stop()
+    got2.foreach { case (g, est) =>
+      assert(est.qhat === want(g)._2, s"$g interleaved qhat")
+      assert(est.nCal === want(g)._1 && est.nTest === want(g)._3)
+    }
+  }
 }

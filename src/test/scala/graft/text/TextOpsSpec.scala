@@ -653,4 +653,37 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.map(_._1).sum ===
       got.values.map(v => v._2 + v._4).sum, "flagged + kept = docs")
   }
+
+  test("vocab growth curve equals a JVM replay of the shuffled-order census") {
+    val got = TextOps.qVocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+      .sortBy { case (id, _) => md5hex(s"vg:$id") }
+    val n = docs.length.toLong
+    def bucket(p: Long): Int =
+      if (p == 1) 0 else java.lang.Long.toBinaryString(p - 1).length
+    val firstPos = scala.collection.mutable.Map[String, Long]()
+    docs.zipWithIndex.foreach { case ((_, toks), i) =>
+      toks.distinct.foreach(t =>
+        if (!firstPos.contains(t)) firstPos(t) = i + 1L)
+    }
+    val maxB = bucket(n)
+    val want = (0 to maxB).map { b =>
+      val c = 1L << b
+      ((1L << b), math.min(c, n),
+        docs.take(math.min(c, n).toInt).map(_._2.length.toLong).sum,
+        firstPos.values.count(_ <= c).toLong)
+    }
+    assert(got.toSeq === want)
+    // growth is monotone and ends at the full vocabulary
+    assert(got.last._4 === firstPos.size.toLong)
+    val vs = got.map(_._4)
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b })
+  }
 }
