@@ -813,6 +813,10 @@ object SparkEntry {
     // per-lang k-anonymity census + deterministic eps-DP noised counts
     "q_corpus_build_v5" -> ((s: SparkSession, d: String) =>
       TrainingData.qCorpusBuildV5(s, d)),
+    // capstone v6: MW-tuned mixture draw -> lexicon gate -> boosted-
+    // stump quality gate, per-(source, lang) stage funnel
+    "q_corpus_build_v6" -> ((s: SparkSession, d: String) =>
+      TrainingData.qCorpusBuildV6(s, d)),
     // -- multimodal plumbing (north star) --
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -941,7 +945,11 @@ object SparkEntry {
     * NOT EXISTS (gain comparison never divides), truncating leaf
     * divisions, residual update — replaying
     * [[graft.pipeline.BoostedStumps.qBoostedStumps]] exactly. */
-  private def boostedStumpsSql(rounds: Int): String = {
+  /** The WITH-body fragment of [[boostedStumpsSql]] (features,
+    * candidate grid, unrolled split/update rounds ending at
+    * `p<rounds>` / `r<rounds>` / `a<rounds>`) — shared with the
+    * capstone v6 oracle. */
+  private def boostedStumpsCtes(rounds: Int): String = {
     def featC(a: String) =
       s"(CASE c.fe WHEN 'f1' THEN $a.f1 WHEN 'f2' THEN $a.f2 ELSE $a.f3 END)"
     val roundCtes = (1 to rounds).map { t =>
@@ -968,12 +976,7 @@ object SparkEntry {
          |a$t AS (SELECT CAST(sum(abs(r)) AS BIGINT) AS ar FROM r$t)"""
         .stripMargin
     }.mkString(",\n")
-    val snaps = (1 to rounds).map { t =>
-      s"""SELECT CAST($t AS BIGINT) AS step, fe AS feature,
-         |  th AS threshold, nl AS n_left, dl AS left_fp, dr AS right_fp,
-         |  (SELECT ar FROM a$t) AS abs_resid FROM p$t""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH f AS MATERIALIZED (SELECT doc_id,
+    s"""f AS MATERIALIZED (SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
        |    CAST(n_chars AS BIGINT) AS f2,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS f3,
@@ -987,7 +990,16 @@ object SparkEntry {
        |        UNION ALL SELECT 'f3', mn3, mx3 FROM bb) fx,
        |       generate_series(1, 7) gs(i)),
        |r0 AS MATERIALIZED (SELECT doc_id, f1, f2, f3, y AS r FROM f),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def boostedStumpsSql(rounds: Int): String = {
+    val snaps = (1 to rounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS step, fe AS feature,
+         |  th AS threshold, nl AS n_left, dl AS left_fp, dr AS right_fp,
+         |  (SELECT ar FROM a$t) AS abs_resid FROM p$t""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${boostedStumpsCtes(rounds)}
        |$snaps""".stripMargin
   }
 
@@ -995,7 +1007,10 @@ object SparkEntry {
     * and `rounds` unrolled integer weight updates, replaying
     * [[graft.pipeline.TrainingData.qMixMw]] (truncating division on
     * both engines — the negative-excess agreement). */
-  private def mixMwSql(rounds: Int, etaPpm: Long): String = {
+  /** The WITH-body fragment of [[mixMwSql]] (loss census + unrolled
+    * weight rounds, ending at `w<rounds>`) — shared with the capstone
+    * v6 oracle so one definition drives both. */
+  private def mixMwCtes(rounds: Int, etaPpm: Long): String = {
     val roundCtes = (1 to rounds).map { t =>
       s"""t${t - 1} AS (SELECT CAST(sum(w) AS HUGEINT) AS tw,
          |    CAST(sum(w * loss_ppm) AS HUGEINT) AS twl FROM w${t - 1}),
@@ -1005,12 +1020,7 @@ object SparkEntry {
          |      // 1000000 AS BIGINT) AS w
          |  FROM w${t - 1})""".stripMargin
     }.mkString(",\n")
-    val snaps = (0 to rounds).map { t =>
-      s"""SELECT source, CAST($t AS BIGINT) AS step, loss_ppm, w,
-         |  CAST((w * 1000000) // (SELECT sum(w) FROM w$t) AS BIGINT)
-         |    AS share_ppm FROM w$t""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH l AS MATERIALIZED (SELECT source,
+    s"""l AS MATERIALIZED (SELECT source,
        |    (CAST(sum(CASE WHEN NOT (n_tokens BETWEEN 20 AND 80
        |        AND 5 * n_stop < n_tokens) THEN 1 ELSE 0 END) AS BIGINT)
        |      * 1000000) // CAST(count(*) AS BIGINT) AS loss_ppm
@@ -1020,7 +1030,16 @@ object SparkEntry {
        |    FROM documents)
        |  GROUP BY 1),
        |w0 AS (SELECT source, loss_ppm, CAST(1000000 AS BIGINT) AS w FROM l),
-       |$roundCtes
+       |$roundCtes""".stripMargin
+  }
+
+  private def mixMwSql(rounds: Int, etaPpm: Long): String = {
+    val snaps = (0 to rounds).map { t =>
+      s"""SELECT source, CAST($t AS BIGINT) AS step, loss_ppm, w,
+         |  CAST((w * 1000000) // (SELECT sum(w) FROM w$t) AS BIGINT)
+         |    AS share_ppm FROM w$t""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${mixMwCtes(rounds, etaPpm)}
        |$snaps""".stripMargin
   }
 
@@ -5355,6 +5374,37 @@ object SparkEntry {
     "q_corpus_build_v3" -> corpusBuildV3Oracle,
     "q_corpus_build_v4" -> corpusBuildV4Oracle,
     "q_corpus_build_v5" -> corpusBuildV5Oracle,
+    // one chained program: MW mixture training -> tuned rates, stump
+    // training -> leaf model, then the three per-row gates + census
+    "q_corpus_build_v6" ->
+      s"""WITH ${mixMwCtes(4, 200000L)},
+         |${boostedStumpsCtes(3)},
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w4),
+         |tws AS (SELECT CAST(sum(w) AS HUGEINT) AS t FROM w4),
+         |rt AS (SELECT source, least(1000000,
+         |    CAST((w * 1000000) // (SELECT t FROM tws) AS BIGINT)
+         |      * (SELECT n FROM ns)) AS rate FROM w4),
+         |base AS (SELECT d.doc_id, d.source, d.lang, f.f1, f.f2, f.f3,
+         |    CAST(len(list_filter(string_split(d.text, ' '),
+         |      t -> t IN ('slow', 'dup', 'drop', 'big'))) AS BIGINT) AS hits,
+         |    CAST(('0x' || substr(md5('v6:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+         |      ::UBIGINT % 1000000 AS BIGINT) AS u
+         |  FROM documents d JOIN f ON d.doc_id = f.doc_id),
+         |gp AS (SELECT b.source, b.lang,
+         |    b.u < rt.rate AS mix,
+         |    b.u < rt.rate AND NOT (b.hits >= 3 OR b.hits * 25 >= b.f1) AS lex,
+         |    b.u < rt.rate AND NOT (b.hits >= 3 OR b.hits * 25 >= b.f1)
+         |      AND ((CASE WHEN (CASE p1.fe WHEN 'f1' THEN b.f1 WHEN 'f2' THEN b.f2 ELSE b.f3 END) <= p1.th THEN p1.dl ELSE p1.dr END)
+         |         + (CASE WHEN (CASE p2.fe WHEN 'f1' THEN b.f1 WHEN 'f2' THEN b.f2 ELSE b.f3 END) <= p2.th THEN p2.dl ELSE p2.dr END)
+         |         + (CASE WHEN (CASE p3.fe WHEN 'f1' THEN b.f1 WHEN 'f2' THEN b.f2 ELSE b.f3 END) <= p3.th THEN p3.dl ELSE p3.dr END))
+         |        >= 22000000 AS mdl
+         |  FROM base b JOIN rt ON b.source = rt.source
+         |  CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3)
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_base,
+         |  CAST(sum(CASE WHEN mix THEN 1 ELSE 0 END) AS BIGINT) AS n_mix,
+         |  CAST(sum(CASE WHEN lex THEN 1 ELSE 0 END) AS BIGINT) AS n_lex,
+         |  CAST(sum(CASE WHEN mdl THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM gp GROUP BY 1, 2""".stripMargin,
     "q_lang_sample_temp" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),

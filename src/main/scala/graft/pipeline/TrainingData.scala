@@ -1024,6 +1024,65 @@ object TrainingData {
       .toDF("source", "step", "loss_ppm", "w", "share_ppm")
   }
 
+  /** Capstone v6 — the MIXTURE-TUNED release: one declarative funnel
+    * chaining this round's new model-driven families end-to-end.
+    *
+    *   1. **mix**: per-source acceptance rate
+    *      `min(10⁶, share·n_sources)` from the [[qMixMw]] step-4 tuned
+    *      mixture (above-uniform domains keep everything, downweighted
+    *      domains thin out), salted-md5 draw on its own "v6:" stream;
+    *   2. **lex**: the [[graft.text.TextOps.qLexiconFilter]] blocklist
+    *      gate (shared per-doc frame — one definition);
+    *   3. **model**: boosted-stump predicted distinct-token mass
+    *      (Σ leaf contributions of the
+    *      [[BoostedStumps.qBoostedStumps]] model) ≥ `predThreshold` —
+    *      the model-based quality gate.
+    *
+    * Census per (source, lang) with the stage funnel (n_base ≥ n_mix ≥
+    * n_lex ≥ n_final). Scale shape: both trained artifacts arrive as
+    * kilobyte broadcast literals (the model-publish pattern); every
+    * gate is a stateless per-row expression; ONE corpus pass + the tiny
+    * census groupBy. The oracle replays mixture training, stump
+    * training, and all three gates in a single chained CTE program. */
+  def qCorpusBuildV6(
+      spark: SparkSession, dir: String,
+      predThreshold: Long = 22000000L): DataFrame = {
+    import spark.implicits._
+    val shares = qMixMw(spark, dir).filter(col("step") === 4)
+      .select("source", "share_ppm").as[(String, Long)].collect()
+    val nSources = shares.length
+    val rateMap = typedlit(shares.map { case (s, sh) =>
+      s -> math.min(1000000L, sh * nSources)
+    }.toMap)
+    val model = graft.pipeline.BoostedStumps.qBoostedStumps(spark, dir)
+      .select("feature", "threshold", "left_fp", "right_fp")
+      .as[(String, Long, Long, Long)].collect()
+    val pred = model.map { case (fe, th, dl, dr) =>
+      when(col(fe) <= th, dl).otherwise(dr)
+    }.reduce(_ + _)
+    load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("f1"),
+        col("n_chars").cast("long").as("f2"),
+        size(expr("filter(split(text, ' '), t -> t IN ('the', 'a'))"))
+          .cast("long").as("f3"))
+      .join(graft.text.TextOps.lexiconPerDoc(spark, dir)
+        .select("doc_id", "flagged"), "doc_id")
+      .withColumn("u",
+        conv(substring(md5(concat(lit("v6:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .withColumn("mix", col("u") <
+        coalesce(element_at(rateMap, col("source")), lit(0L)))
+      .withColumn("lex", col("mix") && !col("flagged"))
+      .withColumn("mdl", col("lex") && pred >= predThreshold)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(col("mix"), 1L).otherwise(0L)).as("n_mix"),
+        sum(when(col("lex"), 1L).otherwise(0L)).as("n_lex"),
+        sum(when(col("mdl"), 1L).otherwise(0L)).as("n_final"))
+  }
+
   /** Deterministic global training-order shuffle + balanced shard
     * assignment: every doc gets a seed-keyed md5 shuffle key, a CONTIGUOUS
     * global position in shuffle-key order, and a shard of `perShard`

@@ -201,7 +201,11 @@ object TextOps {
     * Scale shape: the lexicon is a codegen'd literal IN list (never a
     * join), the per-doc pass is map-only, and the census is one
     * map-side-combinable groupBy over source cardinality. */
-  def qLexiconFilter(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document lexicon hit frame `(doc_id, source, n_tokens, hits,
+    * flagged)` — the one definition [[qLexiconFilter]]'s census and the
+    * capstone v6 gate both consume. */
+  private[graft] def lexiconPerDoc(
+      spark: SparkSession, dir: String): DataFrame = {
     val lex = Seq("slow", "dup", "drop", "big")
       .map("'" + _ + "'").mkString(", ")
     load(spark, dir, "documents")
@@ -211,6 +215,10 @@ object TextOps {
           .cast("long").as("hits"))
       .withColumn("flagged",
         col("hits") >= 3 || col("hits") * 25 >= col("n_tokens"))
+  }
+
+  def qLexiconFilter(spark: SparkSession, dir: String): DataFrame = {
+    lexiconPerDoc(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),

@@ -783,6 +783,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows(Long.MaxValue) === rows(0L))
   }
 
+  test("capstone v6: funnel monotone, gates replay from their components") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TrainingData.qCorpusBuildV6(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    rows.foreach { case (s, l, b, m, x, f) =>
+      assert(b >= m && m >= x && x >= f, s"funnel broken at ($s, $l)")
+    }
+    assert(rows.map(_._6).sum > 0, "model gate drained the release")
+    assert(rows.map(_._5).sum < rows.map(_._4).sum,
+      "lexicon gate did nothing")
+    // stage-1 replay: the mix draw from the MW shares
+    def md5u(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(8), 16) % 1000000L
+    }
+    val shares = TrainingData.qMixMw(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("step") === 4)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val rate = shares.view.mapValues(sh =>
+      math.min(1000000L, sh * shares.size)).toMap
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val wantMix = docs.count { case (id, src) =>
+      md5u(s"v6:$id") < rate(src)
+    }.toLong
+    assert(rows.map(_._4).sum === wantMix)
+  }
+
   test("multiplicative-weights mixture: trajectory consistent, mass conserved") {
     val dir = "/root/testdata/sf0.001"
     val rows = TrainingData.qMixMw(spark, dir).collect()
