@@ -498,6 +498,9 @@ object SparkEntry {
     // diagonal whitening applied: exact-isqrt per-dim sd + the
     // whitened-transform census (sum |z|), all integer
     "q_embed_whiten" -> (Similarity.qEmbedWhiten _),
+    // diagonal-Mahalanobis OOD top-k over the whitening parameters
+    "q_ood_score" -> ((s: SparkSession, d: String) =>
+      Similarity.qOodScore(s, d)),
     // dominant principal axis by exact-integer power iteration over the
     // covariance numerator; output = every vector's projection (the
     // whitening/diagnostic coordinate), bit-exact in any engine
@@ -612,6 +615,10 @@ object SparkEntry {
     // round, BigInt argmax on the collected candidate census
     "q_boosted_stumps" -> ((s: SparkSession, d: String) =>
       graft.pipeline.BoostedStumps.qBoostedStumps(s, d)),
+    // 5-fold CV of the stump model: per-fold training (grid from the
+    // training slice only), exact held-out MAE census
+    "q_stump_crossval" -> ((s: SparkSession, d: String) =>
+      graft.pipeline.BoostedStumps.qStumpCrossval(s, d)),
     // DSIR-style data selection: hashed-unigram importance ratio of a
     // target domain vs the corpus, integer ppm weights -> exact oracle
     "q_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -949,48 +956,89 @@ object SparkEntry {
     * candidate grid, unrolled split/update rounds ending at
     * `p<rounds>` / `r<rounds>` / `a<rounds>`) — shared with the
     * capstone v6 oracle. */
-  private def boostedStumpsCtes(rounds: Int): String = {
+  /** The shared stump feature table (`f`). */
+  private val stumpFeatureCte: String =
+    """f AS MATERIALIZED (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
+      |    CAST(n_chars AS BIGINT) AS f2,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS f3,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 AS y
+      |  FROM documents)""".stripMargin
+
+  /** One stump TRAINING program over `f WHERE <trainWhere>` with every
+    * CTE name prefixed by `p` — instantiable per cross-validation fold
+    * (grid and residuals both derive from the training slice only). */
+  private def stumpTrainCtes(
+      rounds: Int, p: String, trainWhere: String): String = {
     def featC(a: String) =
       s"(CASE c.fe WHEN 'f1' THEN $a.f1 WHEN 'f2' THEN $a.f2 ELSE $a.f3 END)"
     val roundCtes = (1 to rounds).map { t =>
-      s"""s$t AS (SELECT c.fe, c.th,
+      s"""${p}s$t AS (SELECT c.fe, c.th,
          |    CAST(sum(CASE WHEN ${featC("r")} <= c.th THEN 1 ELSE 0 END) AS BIGINT) AS nl,
          |    CAST(sum(CASE WHEN ${featC("r")} <= c.th THEN r.r ELSE 0 END) AS BIGINT) AS sl,
          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(r.r) AS BIGINT) AS st
-         |  FROM r${t - 1} r CROSS JOIN c GROUP BY 1, 2),
-         |g$t AS (SELECT fe, th, nl, sl, n - nl AS nr, st - sl AS sr,
+         |  FROM ${p}r${t - 1} r CROSS JOIN ${p}c c GROUP BY 1, 2),
+         |${p}g$t AS (SELECT fe, th, nl, sl, n - nl AS nr, st - sl AS sr,
          |    CAST(sl AS HUGEINT) * (n - nl) - CAST(st - sl AS HUGEINT) * nl AS num,
          |    CAST(nl AS HUGEINT) * (n - nl) AS den
-         |  FROM s$t WHERE nl > 0 AND nl < n),
-         |p$t AS (SELECT fe, th, nl, sl // nl AS dl, sr // nr AS dr
-         |  FROM g$t g
-         |  WHERE NOT EXISTS (SELECT 1 FROM g$t h WHERE
+         |  FROM ${p}s$t WHERE nl > 0 AND nl < n),
+         |${p}p$t AS (SELECT fe, th, nl, sl // nl AS dl, sr // nr AS dr
+         |  FROM ${p}g$t g
+         |  WHERE NOT EXISTS (SELECT 1 FROM ${p}g$t h WHERE
          |      h.num * h.num * g.den > g.num * g.num * h.den
          |      OR (h.num * h.num * g.den = g.num * g.num * h.den
          |          AND (h.fe < g.fe OR (h.fe = g.fe AND h.th < g.th))))),
-         |r$t AS MATERIALIZED (SELECT r.doc_id, r.f1, r.f2, r.f3,
+         |${p}r$t AS MATERIALIZED (SELECT r.doc_id, r.f1, r.f2, r.f3,
          |    r.r - (CASE WHEN (CASE p.fe WHEN 'f1' THEN r.f1
          |      WHEN 'f2' THEN r.f2 ELSE r.f3 END) <= p.th
          |      THEN p.dl ELSE p.dr END) AS r
-         |  FROM r${t - 1} r CROSS JOIN p$t p),
-         |a$t AS (SELECT CAST(sum(abs(r)) AS BIGINT) AS ar FROM r$t)"""
+         |  FROM ${p}r${t - 1} r CROSS JOIN ${p}p$t p),
+         |${p}a$t AS (SELECT CAST(sum(abs(r)) AS BIGINT) AS ar FROM ${p}r$t)"""
         .stripMargin
     }.mkString(",\n")
-    s"""f AS MATERIALIZED (SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
-       |    CAST(n_chars AS BIGINT) AS f2,
-       |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS f3,
-       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 AS y
-       |  FROM documents),
-       |bb AS (SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2,
-       |    max(f2) AS mx2, min(f3) AS mn3, max(f3) AS mx3 FROM f),
-       |c AS MATERIALIZED (SELECT fe, mn + ((mx - mn) * i) // 8 AS th
-       |  FROM (SELECT 'f1' AS fe, mn1 AS mn, mx1 AS mx FROM bb
-       |        UNION ALL SELECT 'f2', mn2, mx2 FROM bb
-       |        UNION ALL SELECT 'f3', mn3, mx3 FROM bb) fx,
+    s"""${p}bb AS (SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2,
+       |    max(f2) AS mx2, min(f3) AS mn3, max(f3) AS mx3
+       |  FROM f WHERE $trainWhere),
+       |${p}c AS MATERIALIZED (SELECT fe, mn + ((mx - mn) * i) // 8 AS th
+       |  FROM (SELECT 'f1' AS fe, mn1 AS mn, mx1 AS mx FROM ${p}bb
+       |        UNION ALL SELECT 'f2', mn2, mx2 FROM ${p}bb
+       |        UNION ALL SELECT 'f3', mn3, mx3 FROM ${p}bb) fx,
        |       generate_series(1, 7) gs(i)),
-       |r0 AS MATERIALIZED (SELECT doc_id, f1, f2, f3, y AS r FROM f),
+       |${p}r0 AS MATERIALIZED (SELECT doc_id, f1, f2, f3, y AS r
+       |  FROM f WHERE $trainWhere),
        |$roundCtes""".stripMargin
+  }
+
+  private def boostedStumpsCtes(rounds: Int): String =
+    s"$stumpFeatureCte,\n${stumpTrainCtes(rounds, "", "TRUE")}"
+
+  /** k-fold stump cross-validation oracle: one full training program
+    * per fold (prefixed CTEs, grid from the training slice only), then
+    * the held-out MAE census — replaying
+    * [[graft.pipeline.BoostedStumps.qStumpCrossval]]. */
+  private def stumpCrossvalSql(folds: Int, rounds: Int): String = {
+    val programs = (0 until folds).map(f =>
+      stumpTrainCtes(rounds, s"cv${f}_", s"doc_id % $folds <> $f"))
+      .mkString(",\n")
+    val evals = (0 until folds).map { f =>
+      val joins = (1 to rounds)
+        .map(t => s"CROSS JOIN cv${f}_p$t m$t").mkString(" ")
+      val pred = (1 to rounds).map(t =>
+        s"(CASE WHEN (CASE m$t.fe WHEN 'f1' THEN t.f1 WHEN 'f2' THEN t.f2" +
+          s" ELSE t.f3 END) <= m$t.th THEN m$t.dl ELSE m$t.dr END)")
+        .mkString(" + ")
+      s"""SELECT CAST($f AS BIGINT) AS fold,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM f
+         |   WHERE doc_id % $folds <> $f) AS n_train,
+         |  CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(abs(t.y - ($pred))) AS BIGINT) AS sum_abs_err,
+         |  CAST(sum(abs(t.y - ($pred))) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS mae_fp
+         |FROM f t $joins WHERE t.doc_id % $folds = $f""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $stumpFeatureCte,
+       |$programs
+       |$evals""".stripMargin
   }
 
   private def boostedStumpsSql(rounds: Int): String = {
@@ -1007,6 +1055,29 @@ object SparkEntry {
     * and `rounds` unrolled integer weight updates, replaying
     * [[graft.pipeline.TrainingData.qMixMw]] (truncating division on
     * both engines — the negative-excess agreement). */
+  /** q16 rows + per-dim moments + the exact-isqrt chain (ends at
+    * `w6(d, n, s, isq)` with `r(vec_id, d, q)` still in scope) — the
+    * SQL mirror of `Similarity.whitenStats`, shared by the
+    * q_embed_whiten and q_ood_score oracles. */
+  private val embedWhitenCtes: String =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |r AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+      |        CAST(round(v[i] * 65536) AS BIGINT) AS q
+      |      FROM e, generate_series(1, 64) t(i)),
+      |st AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(q) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+      |  FROM r GROUP BY 1),
+      |w1 AS (SELECT d, n, s, n * ss - s * s AS x FROM st),
+      |w2 AS (SELECT *, greatest(1::HUGEINT,
+      |    CAST(sqrt(CAST(x AS DOUBLE)) AS HUGEINT) + 2) AS r0 FROM w1),
+      |w3 AS (SELECT *, (r0 + x // r0) // 2 AS r1 FROM w2),
+      |w4 AS (SELECT *, (r1 + x // r1) // 2 AS r2 FROM w3),
+      |w5 AS (SELECT *, CASE WHEN r2 * r2 > x THEN r2 - 1 ELSE r2 END
+      |  AS r3 FROM w4),
+      |w6 AS (SELECT d, n, s, CASE WHEN (r3 + 1) * (r3 + 1) <= x
+      |  THEN r3 + 1 ELSE r3 END AS isq FROM w5)""".stripMargin
+
   /** The WITH-body fragment of [[mixMwSql]] (loss census + unrolled
     * weight rounds, ending at `w<rounds>`) — shared with the capstone
     * v6 oracle so one definition drives both. */
@@ -5269,23 +5340,7 @@ object SparkEntry {
     // q16 moments + the proven Wilson isqrt chain + the signed
     // truncating-div transform census
     "q_embed_whiten" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |r AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
-        |        CAST(round(v[i] * 65536) AS BIGINT) AS q
-        |      FROM e, generate_series(1, 64) t(i)),
-        |st AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(q) AS HUGEINT) AS s,
-        |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
-        |  FROM r GROUP BY 1),
-        |w1 AS (SELECT d, n, s, n * ss - s * s AS x FROM st),
-        |w2 AS (SELECT *, greatest(1::HUGEINT,
-        |    CAST(sqrt(CAST(x AS DOUBLE)) AS HUGEINT) + 2) AS r0 FROM w1),
-        |w3 AS (SELECT *, (r0 + x // r0) // 2 AS r1 FROM w2),
-        |w4 AS (SELECT *, (r1 + x // r1) // 2 AS r2 FROM w3),
-        |w5 AS (SELECT *, CASE WHEN r2 * r2 > x THEN r2 - 1 ELSE r2 END
-        |  AS r3 FROM w4),
-        |w6 AS (SELECT d, n, s, CASE WHEN (r3 + 1) * (r3 + 1) <= x
-        |  THEN r3 + 1 ELSE r3 END AS isq FROM w5),
+      s"""WITH $embedWhitenCtes,
         |za AS (SELECT r.d, sum(abs(CASE WHEN w6.isq = 0 THEN 0::HUGEINT
         |    ELSE ((CAST(r.q AS HUGEINT) * w6.n - w6.s) * 1000000) // w6.isq
         |    END)) AS saz
@@ -5295,6 +5350,18 @@ object SparkEntry {
         |  CAST((isq * 1000000) // n AS BIGINT) AS sd_fp,
         |  CAST(za.saz AS BIGINT) AS sum_absz
         |FROM w6 JOIN za ON w6.d = za.d""".stripMargin,
+    // diagonal Mahalanobis over the same whitening parameters
+    "q_ood_score" ->
+      s"""WITH $embedWhitenCtes,
+        |z AS (SELECT r.vec_id, CASE WHEN w6.isq = 0 THEN 0::HUGEINT
+        |    ELSE ((CAST(r.q AS HUGEINT) * w6.n - w6.s) * 1000) // w6.isq
+        |    END AS z
+        |  FROM r JOIN w6 ON r.d = w6.d),
+        |sc AS (SELECT vec_id, CAST(sum(z * z) AS BIGINT) AS score
+        |  FROM z GROUP BY 1)
+        |SELECT sc.vec_id, CAST(e2.label AS BIGINT) AS label, sc.score
+        |FROM sc JOIN embeddings e2 ON sc.vec_id = e2.vec_id
+        |ORDER BY score DESC, sc.vec_id LIMIT 20""".stripMargin,
     "q_embedding_cov" ->
       """WITH r AS (SELECT vec_id, CAST(i - 1 AS INT) AS d,
         |        CAST(round(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS q
@@ -5515,6 +5582,7 @@ object SparkEntry {
     // integer ppm rates; salted md5 draw (every hash policy its own stream)
     "q_mix_mw" -> mixMwSql(4, 200000L),
     "q_boosted_stumps" -> boostedStumpsSql(3),
+    "q_stump_crossval" -> stumpCrossvalSql(5, 2),
     "q_louvain" -> louvainSql(graft.graph.GraphOps.LouvainRounds),
     "q_domain_mix" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),

@@ -38,12 +38,14 @@ import graft.relational.Tables.load
   */
 object BoostedStumps {
 
-  private val Features = Seq("f1", "f2", "f3")
+  /** One fitted stump round. */
+  final case class Stump(fe: String, th: Long, nl: Long, dl: Long,
+      dr: Long, absResid: Long)
 
-  def qBoostedStumps(
-      spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
-    import spark.implicits._
-    val feats = load(spark, dir, "documents")
+  /** The shared feature frame `(doc_id, f1, f2, f3, y)`. */
+  private[pipeline] def featFrame(
+      spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("f1"),
         col("n_chars").cast("long").as("f2"),
@@ -51,56 +53,110 @@ object BoostedStumps {
           .cast("long").as("f3"),
         (size(array_distinct(split(col("text"), " "))).cast("long")
           * 1000000L).as("y"))
+
+  /** Full training run over `train` — the grid derives from the SAME
+    * slice (a held-out fold never leaks its range into the grid). */
+  private[pipeline] def train(
+      spark: SparkSession, train: DataFrame, rounds: Int): Seq[Stump] = {
+    import spark.implicits._
+    val b = train.agg(
+      min("f1"), max("f1"), min("f2"), max("f2"), min("f3"), max("f3"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val grid = Seq(("f1", b._1, b._2), ("f2", b._3, b._4),
+      ("f3", b._5, b._6))
+    val cands = for {
+      (fe, mn, mx) <- grid; i <- 1 to 7
+    } yield (fe, mn + (mx - mn) * i / 8)
+    var cur = train.withColumn("r", col("y"))
+    val out = scala.collection.mutable.Buffer[Stump]()
+    for (_ <- 1 to rounds) {
+      val aggs = cands.flatMap { case (fe, th) =>
+        Seq(
+          sum(when(col(fe) <= th, 1L).otherwise(0L))
+            .as(s"n_${fe}_$th"),
+          sum(when(col(fe) <= th, col("r")).otherwise(0L))
+            .as(s"s_${fe}_$th"))
+      } ++ Seq(count(lit(1)).as("n_all"), sum("r").as("s_all"))
+      val row = cur.agg(aggs.head, aggs.tail: _*).collect().head
+      val nAll = row.getAs[Long]("n_all")
+      val sAll = row.getAs[Long]("s_all")
+      val best = cands.flatMap { case (fe, th) =>
+        val nl = row.getAs[Long](s"n_${fe}_$th")
+        val sl = row.getAs[Long](s"s_${fe}_$th")
+        if (nl == 0 || nl == nAll) None
+        else {
+          val (nr, sr) = (nAll - nl, sAll - sl)
+          val num = BigInt(sl) * nr - BigInt(sr) * nl
+          Some((fe, th, nl, sl, nr, sr, num * num, BigInt(nl) * nr))
+        }
+      }.reduceLeft { (a, c) =>
+        // a beats c iff gain(a) > gain(c), tiebreak (feature, th) asc
+        val cmp = a._7 * c._8 - c._7 * a._8
+        if (cmp > 0 || (cmp == 0 &&
+          (a._1 < c._1 || (a._1 == c._1 && a._2 <= c._2)))) a
+        else c
+      }
+      val (fe, th, nl, sl, _, sr, _, _) = best
+      val (dl, dr) = (sl / nl, sr / (nAll - nl))
+      cur = cur.withColumn("r",
+        col("r") - when(col(fe) <= th, dl).otherwise(dr))
+      val absResid = cur.agg(sum(abs(col("r")))).as[Long].collect().head
+      out += Stump(fe, th, nl, dl, dr, absResid)
+    }
+    out.toSeq
+  }
+
+  /** Sum of leaf contributions — the model's prediction column. */
+  private[pipeline] def predict(model: Seq[Stump]): Column =
+    model.map(m => when(col(m.fe) <= m.th, m.dl).otherwise(m.dr))
+      .reduce(_ + _)
+
+  def qBoostedStumps(
+      spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
+    val feats = featFrame(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val b = feats.agg(
-        min("f1"), max("f1"), min("f2"), max("f2"), min("f3"), max("f3"))
-        .as[(Long, Long, Long, Long, Long, Long)].collect().head
-      val grid = Seq(("f1", b._1, b._2), ("f2", b._3, b._4),
-        ("f3", b._5, b._6))
-      val cands = for {
-        (fe, mn, mx) <- grid; i <- 1 to 7
-      } yield (fe, mn + (mx - mn) * i / 8)
-      var cur = feats.withColumn("r", col("y"))
-      val out =
-        scala.collection.mutable.Buffer[(Long, String, Long, Long, Long, Long, Long)]()
-      for (t <- 1 to rounds) {
-        val aggs = cands.flatMap { case (fe, th) =>
-          Seq(
-            sum(when(col(fe) <= th, 1L).otherwise(0L))
-              .as(s"n_${fe}_$th"),
-            sum(when(col(fe) <= th, col("r")).otherwise(0L))
-              .as(s"s_${fe}_$th"))
-        } ++ Seq(count(lit(1)).as("n_all"), sum("r").as("s_all"))
-        val row = cur.agg(aggs.head, aggs.tail: _*).collect().head
-        val nAll = row.getAs[Long]("n_all")
-        val sAll = row.getAs[Long]("s_all")
-        val best = cands.flatMap { case (fe, th) =>
-          val nl = row.getAs[Long](s"n_${fe}_$th")
-          val sl = row.getAs[Long](s"s_${fe}_$th")
-          if (nl == 0 || nl == nAll) None
-          else {
-            val (nr, sr) = (nAll - nl, sAll - sl)
-            val num = BigInt(sl) * nr - BigInt(sr) * nl
-            Some((fe, th, nl, sl, nr, sr, num * num, BigInt(nl) * nr))
-          }
-        }.reduceLeft { (a, c) =>
-          // a beats c iff gain(a) > gain(c), tiebreak (feature, th) asc
-          val cmp = a._7 * c._8 - c._7 * a._8
-          if (cmp > 0 || (cmp == 0 &&
-            (a._1 < c._1 || (a._1 == c._1 && a._2 <= c._2)))) a
-          else c
-        }
-        val (fe, th, nl, sl, _, sr, _, _) = best
-        val (dl, dr) = (sl / nl, sr / (nAll - nl))
-        cur = cur.withColumn("r",
-          col("r") - when(col(fe) <= th, dl).otherwise(dr))
-        val absResid = cur.agg(sum(abs(col("r")))).as[Long].collect().head
-        out += ((t.toLong, fe, th, nl, dl, dr, absResid))
-      }
-      spark.createDataFrame(out.toSeq).toDF(
+      feats.count()
+      val model = train(spark, feats, rounds)
+      spark.createDataFrame(model.zipWithIndex.map { case (m, i) =>
+        (i + 1L, m.fe, m.th, m.nl, m.dl, m.dr, m.absResid)
+      }).toDF(
         "step", "feature", "threshold", "n_left", "left_fp", "right_fp",
         "abs_resid")
+    } finally feats.unpersist(blocking = false)
+  }
+
+  /** k-fold cross-validation of the stump model — the "does the quality
+    * scorer generalize" census a pipeline checks before gating a corpus
+    * on model output: per fold, train on `doc_id % folds ≠ f` (the grid
+    * re-derived from the training slice only — no leakage), score the
+    * held-out fold, and report the exact mean-absolute-error census.
+    *
+    * Scale shape: folds × the [[train]] pass structure (each a handful
+    * of kilobyte-collect aggregations), plus one held-out census pass
+    * per fold — all map-side combinable; the per-fold model ships back
+    * as a broadcast literal. */
+  def qStumpCrossval(
+      spark: SparkSession, dir: String,
+      folds: Int = 5, rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val feats = featFrame(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      feats.count()
+      val out = (0 until folds).map { f =>
+        val tr = feats.filter(col("doc_id") % folds =!= f)
+        val model = train(spark, tr, rounds)
+        val nTrain = tr.count()
+        val (nTest, sumAbsErr) = feats
+          .filter(col("doc_id") % folds === f)
+          .agg(count(lit(1)).cast("long"),
+            sum(abs(col("y") - predict(model))))
+          .as[(Long, Long)].collect().head
+        (f.toLong, nTrain, nTest, sumAbsErr, sumAbsErr / nTest)
+      }
+      spark.createDataFrame(out)
+        .toDF("fold", "n_train", "n_test", "sum_abs_err", "mae_fp")
     } finally feats.unpersist(blocking = false)
   }
 }

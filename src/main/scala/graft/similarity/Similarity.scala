@@ -1602,18 +1602,24 @@ object Similarity {
     * broadcast-stats transform census); all per-dim arithmetic runs in
     * decimal(38,0) — n·Σq² headroom to ~10⁹ vectors. A constant
     * dimension (isqrt = 0) whitens to 0 rather than dividing. */
-  def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
-    val r = load(spark, dir, "embeddings")
+  /** The q16 per-(vec, dim) relation `(vec_id, d, q)` — shared by the
+    * whitening family. */
+  private def q16Rows(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "embeddings")
       .select(col("vec_id"),
         posexplode(transform(col("embedding"), x => x.cast("double")))
           .as(Seq("d0", "xv")))
-      .select(col("d0").cast("long").as("d"),
+      .select(col("vec_id"), col("d0").cast("long").as("d"),
         round(col("xv") * 65536).cast("long").as("q"))
-    val st = r.groupBy("d").agg(
+
+  /** Per-dim whitening parameters `(d, n, s, isq)` with isq the exact
+    * integer sqrt of the variance numerator n·Σq² − (Σq)² — one
+    * definition under [[qEmbedWhiten]] and [[qOodScore]]. */
+  private def whitenStats(spark: SparkSession, dir: String): DataFrame =
+    q16Rows(spark, dir).groupBy("d").agg(
       count(lit(1)).as("n"),
       sum(expr("cast(q as decimal(38,0))")).as("s"),
       sum(expr("cast(q as decimal(38,0)) * q")).as("ss"))
-    val isq = st
       .withColumn("x", expr("n * ss - s * s"))
       .withColumn("r0", expr(
         "greatest(cast(1 as decimal(38,0))," +
@@ -1624,6 +1630,10 @@ object Similarity {
       .withColumn("isq",
         expr("case when (r3 + 1) * (r3 + 1) <= x then r3 + 1 else r3 end"))
       .select("d", "n", "s", "isq")
+
+  def qEmbedWhiten(spark: SparkSession, dir: String): DataFrame = {
+    val r = q16Rows(spark, dir)
+    val isq = whitenStats(spark, dir)
     val za = r.join(broadcast(isq), "d")
       .select(col("d"), expr(
         """case when isq = 0 then cast(0 as decimal(38,0))
@@ -1635,6 +1645,37 @@ object Similarity {
         expr("cast((s * 1000000) div n as bigint)").as("mean_fp"),
         expr("cast((isq * 1000000) div n as bigint)").as("sd_fp"),
         col("saz").cast("long").as("sum_absz"))
+  }
+
+  /** Diagonal-Mahalanobis OOD scoring — the global-moment outlier
+    * detector that completes the family: [[qEmbeddingOutliers]] ranks
+    * by distance to the assigned CENTROID, [[qLof]] by local density;
+    * this ranks by variance-standardized distance from the corpus MEAN
+    * (Σ_d z_d² with z from the [[whitenStats]] parameters) — the
+    * classic "is this embedding even from the training distribution"
+    * gate. z is scaled to 10³ so a 64-dim score stays far inside a
+    * long at any plausible standardization (spec'd), truncating signed
+    * division on both engines.
+    *
+    * Scale shape: one stateless map pass against the broadcast
+    * parameter table + a map-side-combinable per-vector sum, exiting
+    * through TakeOrdered — no corpus sort, no shuffle beyond the
+    * 64-rows-per-vector reduction. */
+  def qOodScore(
+      spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val z2 = q16Rows(spark, dir)
+      .join(broadcast(whitenStats(spark, dir)), "d")
+      .select(col("vec_id"), expr(
+        """case when isq = 0 then cast(0 as bigint)
+          |else cast(((cast(q as decimal(38,0)) * n - s) * 1000) div isq
+          |  as bigint) end""".stripMargin).as("z"))
+      .groupBy("vec_id")
+      .agg(sum(expr("z * z")).as("score"))
+    load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .join(z2, "vec_id")
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Cluster-balanced prototype sample — `quota` exemplars per IVF

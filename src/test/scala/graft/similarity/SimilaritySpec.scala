@@ -689,6 +689,42 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("OOD top-k equals a JVM diagonal-Mahalanobis replay") {
+    val got = Similarity.qOodScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong,
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def isqrt(x: BigInt): BigInt = {
+      var r = BigInt(math.sqrt(x.toDouble).toLong) + 2
+      r = (r + x / r) / 2; r = (r + x / r) / 2
+      if (r * r > x) r -= 1
+      if ((r + 1) * (r + 1) <= x) r += 1
+      r
+    }
+    val q = rows.map(_._3.map(v => BigDecimal(v * 65536)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val n = BigInt(rows.length)
+    val stats = (0 until 64).map { d =>
+      val s = q.map(v => BigInt(v(d))).sum
+      val ss = q.map(v => BigInt(v(d)) * v(d)).sum
+      (s, isqrt(n * ss - s * s))
+    }
+    val want = rows.zip(q).map { case ((id, lbl, _), qs) =>
+      val score = (0 until 64).map { d =>
+        val (s, isq) = stats(d)
+        if (isq == 0) BigInt(0)
+        else {
+          val z = (BigInt(qs(d)) * n - s) * 1000 / isq
+          z * z
+        }
+      }.sum
+      (id, lbl, score.toLong)
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(20).toSeq
+    assert(got === want)
+    assert(got.head._3 > got.last._3, "degenerate score spread")
+  }
+
   test("k-center coreset equals the JVM greedy replay; radius non-increasing") {
     val got = Similarity.qKcenterCoreset(spark, dir, k = 8).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
