@@ -1020,6 +1020,10 @@ object GraphOps {
           .groupBy(col("src").as("node"))
           .agg(min(struct((-col("score")).as("ns"), col("comm"))).as("m"))
           .select(col("node"), col("m.comm").as("lbl"))
+          // labels_{t-1} feeds THREE subtrees per round (kiin, sigtot,
+          // own-community join) — without an eager per-round cut the
+          // round-0 work replays 3^rounds times (the qBfsDist lesson)
+          .localCheckpoint(true)
       }
       val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
