@@ -276,6 +276,9 @@ object SparkEntry {
     // quasi-identifier classes, exact integer census
     "q_k_anonymity" -> (graft.relational.DataQuality.qKAnonymity _),
     // epsilon-DP Laplace counts with deterministic salted-md5 draws
+    // exponential-mechanism DP median over fixed-width value bins
+    "q_dp_quantile" -> ((s: SparkSession, d: String) =>
+      graft.relational.DataQuality.qDpQuantile(s, d)),
     "q_dp_counts" -> ((s: SparkSession, d: String) =>
       graft.relational.DataQuality.qDpCounts(s, d)),
     // exact ROC AUC of the trained quality scorer (histogram 2U algebra)
@@ -358,6 +361,10 @@ object SparkEntry {
     // Heaps'-law vocabulary growth at power-of-two checkpoints of a
     // deterministic shuffle order; first-position reduction per type
     "q_vocab_growth" -> (TextOps.qVocabGrowth _),
+    // Cavnar-Trenkle char-trigram rank profiles: out-of-place distance
+    // classifier, train/test split by doc parity, confusion census
+    "q_langid_profile" -> ((s: SparkSession, d: String) =>
+      TextOps.qLangIdProfile(s, d)),
     // Cohen's kappa between the length and stopword raters: 2x2 census
     // in exact integers, one IEEE division
     "q_kappa" -> (TextOps.qKappa _),
@@ -4769,6 +4776,41 @@ object SparkEntry {
         |  CAST(sum(tt) OVER (ORDER BY b) AS BIGINT) AS tokens_seen,
         |  CAST(sum(coalesce(v, 0)) OVER (ORDER BY b) AS BIGINT) AS vocab_size
         |FROM db LEFT JOIN vb USING (b)""".stripMargin,
+    "q_langid_profile" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 3),
+        |tr AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+        |       FROM (SELECT doc_id, lang, text,
+        |               unnest(range(1, len(text) - 1)) AS i FROM d)),
+        |lp AS (SELECT lang AS cand, tri, lrank FROM (
+        |    SELECT lang, tri, CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, tri) AS BIGINT) AS lrank
+        |    FROM tr WHERE doc_id % 2 = 0 GROUP BY lang, tri)
+        |  WHERE lrank <= 20),
+        |dp AS (SELECT doc_id, lang, tri, drank FROM (
+        |    SELECT doc_id, lang, tri, CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY count(*) DESC, tri) AS BIGINT)
+        |      AS drank
+        |    FROM tr WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, tri)
+        |  WHERE drank <= 20),
+        |m AS (SELECT dp.doc_id, lp.cand,
+        |    CAST(sum(abs(dp.drank - lp.lrank)) AS BIGINT) AS msum,
+        |    CAST(count(*) AS BIGINT) AS mcnt
+        |  FROM dp JOIN lp ON dp.tri = lp.tri GROUP BY 1, 2),
+        |ps AS (SELECT doc_id, min(lang) AS true_lang,
+        |    CAST(count(*) AS BIGINT) AS psize FROM dp GROUP BY 1),
+        |ls AS (SELECT DISTINCT cand FROM lp),
+        |dist AS (SELECT ps.doc_id, ps.true_lang, ls.cand,
+        |    coalesce(m.msum, 0) + (ps.psize - coalesce(m.mcnt, 0)) * 20
+        |      AS dist
+        |  FROM ps CROSS JOIN ls
+        |  LEFT JOIN m ON m.doc_id = ps.doc_id AND m.cand = ls.cand),
+        |prd AS (SELECT doc_id, true_lang, cand FROM (
+        |    SELECT doc_id, true_lang, cand, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY dist, cand) AS rn FROM dist)
+        |  WHERE rn = 1)
+        |SELECT true_lang AS lang, cand AS pred_lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM prd GROUP BY 1, 2""".stripMargin,
     "q_kappa" ->
       """WITH lab AS (SELECT
         |    CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS a,
@@ -6116,6 +6158,34 @@ object SparkEntry {
         |    AS rnk
         |  FROM sc)
         |SELECT lang, tok, chi2_milli, rnk FROM rk WHERE rnk <= 10""".stripMargin,
+    // exponential-mechanism median: Gumbel-max over md5 uniforms, the
+    // same deterministic-DP family as q_dp_counts
+    "q_dp_quantile" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cm AS (SELECT event_type, bin, c,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM h),
+        |sc AS (SELECT event_type, bin, n, -abs(cum * 2 - n) AS u2,
+        |    ('0x' || substring(md5('graft-dpq:' || event_type || ':'
+        |      || CAST(bin AS VARCHAR)), 1, 13))
+        |      ::UBIGINT::DOUBLE / 4503599627370496.0 AS uu
+        |  FROM cm),
+        |pk AS (SELECT event_type, n AS n_rows, bin AS dp_bin FROM (
+        |    SELECT event_type, bin, n,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY
+        |        ((100 / 100.0) * u2 / 4.0
+        |          - ln(-ln(least(greatest(uu, 1e-15), 1.0 - 1e-15)))) DESC,
+        |        bin) AS rn
+        |    FROM sc) WHERE rn = 1),
+        |tr AS (SELECT event_type, min(bin) AS median_bin FROM cm
+        |  WHERE cum * 2 >= n GROUP BY 1)
+        |SELECT pk.event_type, pk.n_rows, tr.median_bin, pk.dp_bin,
+        |  CAST(100 AS BIGINT) AS epsilon_pct
+        |FROM pk JOIN tr ON pk.event_type = tr.event_type""".stripMargin,
     "q_dp_counts" ->
       """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
         |  FROM events GROUP BY 1),

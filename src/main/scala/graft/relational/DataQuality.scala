@@ -1,5 +1,6 @@
 package graft.relational
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -198,6 +199,58 @@ object DataQuality {
       .select(col("event_type"), col("n_true"),
         (col("n_true") + col("noise")).as("n_noisy"),
         lit(epsilonPct.toLong).as("epsilon_pct"))
+
+  /** ε-DP median (exponential mechanism, McSherry & Talwar) per event
+    * type — the quantile-release sibling of [[qDpCounts]]: candidates
+    * are the fixed-width value bins of [[qKAnonymity]] (rank-free, so
+    * replayable), utility is the negated rank distance to the median
+    * in doubled-integer units (u₂ = −|2·cum(b) − n|, ties absorbed
+    * without halves), and selection is the Gumbel-max trick — argmax
+    * of ε·u₂/4 + Gumbel(md5-derived uniform), which samples exactly
+    * the exponential-mechanism distribution. Deterministic for the
+    * same reason qDpCounts is: the uniform is a salted md5, ln sits in
+    * the repo's accepted IEEE family, and both engines fold the same
+    * doubles. The true median bin rides along for verifiability (a
+    * real release projects it away and keeps the salt secret).
+    *
+    * Scale shape: one map-side-combinable histogram aggregation; the
+    * mechanism runs on the bounded (type × bin) relation; cumulative
+    * ranks in per-type windows over that bounded histogram. */
+  def qDpQuantile(
+      spark: SparkSession, dir: String,
+      epsilonPct: Int = 100, seed: String = "graft-dpq"): DataFrame = {
+    val hist = load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint) div 5000")
+          .as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("event_type").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("u2", -abs(col("cum") * 2 - col("n")))
+    val scored = cum
+      .withColumn("uu", expr(
+        s"cast(conv(substring(md5(concat('$seed:', event_type, ':'," +
+          " cast(bin as string))), 1, 13), 16, 10) as double)" +
+          " / 4503599627370496.0"))
+      .withColumn("score", expr(
+        s"($epsilonPct / 100.0) * u2 / 4.0" +
+          " - ln(-ln(least(greatest(uu, 1e-15), 1.0 - 1e-15)))"))
+    val pick = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("score").desc, col("bin"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_rows"),
+        col("bin").as("dp_bin"))
+    val truth = cum.filter(col("cum") * 2 >= col("n"))
+      .groupBy("event_type").agg(min("bin").as("median_bin"))
+    pick.join(truth, "event_type")
+      .select(col("event_type"), col("n_rows"), col("median_bin"),
+        col("dp_bin"), lit(epsilonPct.toLong).as("epsilon_pct"))
+  }
 
   def qKAnonymity(spark: SparkSession, dir: String): DataFrame = {
     val classes = load(spark, dir, "events")

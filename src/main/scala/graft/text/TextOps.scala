@@ -340,6 +340,75 @@ object TextOps {
       .groupBy("lang", "guessed")
       .agg(count(lit(1)).as("n_docs"))
 
+  /** Character-n-gram language identification (Cavnar & Trenkle,
+    * "N-Gram-Based Text Categorization") — the profile-rank classifier
+    * that upgrades [[qLangGuess]]'s two-stopword heuristic: per
+    * language, the top-`p` character trigrams by frequency on the
+    * even-doc training half form a rank profile; each odd-doc test
+    * document builds its own profile and is classified by minimum
+    * out-of-place distance (Σ |doc rank − lang rank|, with a fixed
+    * `penalty` for trigrams absent from the language profile). Output
+    * is the (true lang, predicted lang) confusion census.
+    *
+    * All-integer: ranks are (freq DESC, trigram ASC) row numbers,
+    * distances are integer sums, prediction is the (distance, lang)
+    * argmin — every engine replays identically. (The synthetic corpus
+    * draws all languages from one token pool, so prediction QUALITY is
+    * untestable here — the q_naive_bayes posture; the mechanism is
+    * what the oracle pins.)
+    *
+    * Scale shape: profiles are p rows per language (a broadcast
+    * relation); per-doc ranks run in doc-partitioned windows; the
+    * distance join touches only docProfile×langProfile matches plus a
+    * langs-sized broadcast grid — never corpus×corpus. The per-lang
+    * profile window runs over the charset³-bounded trigram universe
+    * (documented bounded-cardinality posture). */
+  def qLangIdProfile(
+      spark: SparkSession, dir: String,
+      p: Int = 20, penalty: Int = 20): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def tris(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), length(col("text")) - 2)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("lang"),
+        expr("substring(text, i, 3)").as("tri"))
+    val langProf = tris(docs.filter(col("doc_id") % 2 === 0))
+      .groupBy("lang", "tri").agg(count(lit(1)).as("freq"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(col("freq").desc, col("tri"))).cast("long"))
+      .filter(col("lrank") <= p)
+      .select(col("lang").as("cand"), col("tri"), col("lrank"))
+    val docProf = tris(docs.filter(col("doc_id") % 2 === 1))
+      .groupBy("doc_id", "lang", "tri").agg(count(lit(1)).as("freq"))
+      .withColumn("drank", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("freq").desc, col("tri"))).cast("long"))
+      .filter(col("drank") <= p)
+    val matched = docProf
+      .join(broadcast(langProf), "tri")
+      .groupBy("doc_id", "cand")
+      .agg(sum(abs(col("drank") - col("lrank"))).as("msum"),
+        count(lit(1)).as("mcnt"))
+    val profSize = docProf.groupBy("doc_id")
+      .agg(first("lang").as("true_lang"), count(lit(1)).as("psize"))
+    val langs = langProf.select("cand").distinct()
+    profSize
+      .crossJoin(broadcast(langs))
+      .join(matched, Seq("doc_id", "cand"), "left")
+      .withColumn("dist",
+        coalesce(col("msum"), lit(0L)) +
+          (col("psize") - coalesce(col("mcnt"), lit(0L))) * penalty)
+      .groupBy("doc_id", "true_lang")
+      .agg(min(struct(col("dist"), col("cand"))).as("m"))
+      .groupBy(col("true_lang").as("lang"),
+        col("m.cand").as("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Position-weighted rolling-hash document fingerprint (exact integer
     * arithmetic → deterministic across engines). */
   def qFingerprint(spark: SparkSession, dir: String): DataFrame =

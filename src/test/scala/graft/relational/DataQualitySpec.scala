@@ -129,4 +129,42 @@ class DataQualitySpec extends SparkSpec {
         classes.map(_._2).min, rowsLt(2), rowsLt(5), rowsLt(10),
         rowsLt(5) * 1000000 / nRows)))
   }
+
+  test("dp quantile: exponential mechanism equals a JVM Gumbel-max replay") {
+    val got = DataQuality.qDpQuantile(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.load(spark, dir, "events")
+      .selectExpr("event_type",
+        "cast(floor(value * 100 + 0.5) as bigint) div 5000 as bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (et, rs) =>
+      val hist = rs.groupBy(_._2).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      val n = rs.length.toLong
+      var cum = 0L
+      val scored = hist.map { case (bin, c) =>
+        cum += c
+        val u2 = -math.abs(cum * 2 - n)
+        val uu = java.lang.Long.parseLong(
+          md5hex(s"graft-dpq:$et:$bin").take(13), 16)
+          .toDouble / 4503599627370496.0
+        val g = -math.log(-math.log(
+          math.min(math.max(uu, 1e-15), 1.0 - 1e-15)))
+        (bin, cum, (100 / 100.0) * u2 / 4.0 + g)
+      }
+      val dpBin = scored.minBy { case (bin, _, s) => (-s, bin) }._1
+      val medBin = scored.find(_._2 * 2 >= n).get._1
+      et -> ((n, medBin, dpBin, 100L))
+    }
+    assert(got === want)
+    // at eps=100% the mechanism should land near the truth often;
+    // gate loosely: picked bin within the observed bin span
+    got.foreach { case (et, (_, med, dp, _)) =>
+      assert(math.abs(dp - med) <= 50, s"$et picked an absurd bin")
+    }
+  }
 }

@@ -654,6 +654,40 @@ class TextOpsSpec extends SparkSpec {
       got.values.map(v => v._2 + v._4).sum, "flagged + kept = docs")
   }
 
+  test("lang-id profile confusion equals a JVM out-of-place replay") {
+    val got = TextOps.qLangIdProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docs = graft.relational.Tables.load(spark, dir, "documents")
+      .selectExpr("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .filter(_._3.length >= 3)
+    def tris(t: String): Seq[String] =
+      (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    def profile(counts: Map[String, Int]): Seq[(String, Long)] =
+      counts.toSeq.sortBy { case (tri, c) => (-c, tri) }.take(20)
+        .zipWithIndex.map { case ((tri, _), i) => (tri, i + 1L) }
+    val langProf = docs.filter(_._1 % 2 == 0).groupBy(_._2)
+      .map { case (lang, ds) =>
+        lang -> profile(ds.flatMap(d => tris(d._3))
+          .groupBy(identity).view.mapValues(_.size).toMap).toMap
+      }
+    val langs = langProf.keys.toSeq.sorted
+    val want = docs.filter(_._1 % 2 == 1).map { case (_, lang, text) =>
+      val dp = profile(tris(text).groupBy(identity)
+        .view.mapValues(_.size).toMap)
+      val pred = langs.map { cand =>
+        val lp = langProf(cand)
+        val dist = dp.map { case (tri, dr) =>
+          lp.get(tri).map(lr => math.abs(dr - lr)).getOrElse(20L)
+        }.sum
+        (dist, cand)
+      }.min._2
+      (lang, pred)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+    assert(got.values.sum === docs.count(_._1 % 2 == 1).toLong)
+  }
+
   test("vocab growth curve equals a JVM replay of the shuffled-order census") {
     val got = TextOps.qVocabGrowth(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
