@@ -6162,7 +6162,7 @@ object SparkEntry {
     // same deterministic-DP family as q_dp_counts
     "q_dp_quantile" ->
       """WITH h AS (SELECT event_type,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000 AS bin,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS bin,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM events GROUP BY 1, 2),
         |cm AS (SELECT event_type, bin, c,

@@ -221,7 +221,7 @@ object DataQuality {
       epsilonPct: Int = 100, seed: String = "graft-dpq"): DataFrame = {
     val hist = load(spark, dir, "events")
       .select(col("event_type"),
-        expr("cast(floor(value * 100 + 0.5) as bigint) div 5000")
+        expr("cast(floor(value * 100 + 0.5) as bigint) div 500")
           .as("bin"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
     val cum = hist

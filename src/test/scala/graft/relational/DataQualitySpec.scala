@@ -139,7 +139,7 @@ class DataQualitySpec extends SparkSpec {
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val rows = Tables.load(spark, dir, "events")
       .selectExpr("event_type",
-        "cast(floor(value * 100 + 0.5) as bigint) div 5000 as bin")
+        "cast(floor(value * 100 + 0.5) as bigint) div 500 as bin")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val want = rows.groupBy(_._1).map { case (et, rs) =>
       val hist = rs.groupBy(_._2).view.mapValues(_.size.toLong)
