@@ -365,6 +365,9 @@ object SparkEntry {
     // classifier, train/test split by doc parity, confusion census
     "q_langid_profile" -> ((s: SparkSession, d: String) =>
       TextOps.qLangIdProfile(s, d)),
+    // per-lang unigram entropy + KL from the corpus mixture, micronat
+    // ln family, Heaps-bounded type table
+    "q_token_entropy" -> (TextOps.qTokenEntropy _),
     // Cohen's kappa between the length and stopword raters: 2x2 census
     // in exact integers, one IEEE division
     "q_kappa" -> (TextOps.qKappa _),
@@ -4776,6 +4779,24 @@ object SparkEntry {
         |  CAST(sum(tt) OVER (ORDER BY b) AS BIGINT) AS tokens_seen,
         |  CAST(sum(coalesce(v, 0)) OVER (ORDER BY b) AS BIGINT) AS vocab_size
         |FROM db LEFT JOIN vb USING (b)""".stripMargin,
+    "q_token_entropy" ->
+      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY 1),
+        |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS g FROM t GROUP BY 1),
+        |gt AS (SELECT CAST(sum(g) AS BIGINT) AS gg FROM g)
+        |SELECT c.lang, min(lt.nn) AS n_tokens, min(lt.n_types) AS n_types,
+        |  CAST(sum(CAST(c.c AS HUGEINT)
+        |      * CAST(floor(ln(CAST(lt.nn AS DOUBLE) / c.c) * 1e6) AS BIGINT))
+        |    // min(lt.nn) AS BIGINT) AS h_micronat,
+        |  CAST(sum(CAST(c.c AS HUGEINT)
+        |      * CAST(floor(ln(CAST(c.c AS DOUBLE) * gt.gg
+        |        / (CAST(lt.nn AS DOUBLE) * g.g)) * 1e6) AS BIGINT))
+        |    // min(lt.nn) AS BIGINT) AS kl_micronat
+        |FROM c JOIN lt ON c.lang = lt.lang JOIN g ON c.tok = g.tok
+        |CROSS JOIN gt
+        |GROUP BY 1""".stripMargin,
     "q_langid_profile" ->
       """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 3),
         |tr AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri

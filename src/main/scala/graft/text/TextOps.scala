@@ -1002,6 +1002,51 @@ object TextOps {
           " div (cast(n_tokens as decimal(38,0)) * (n_tokens - 1))" +
           " as bigint)").as("simpson_ppm"))
 
+  /** Per-language unigram entropy and KL divergence from the corpus
+    * mixture — the information-theoretic corpus diagnostics next to
+    * [[qLexicalDiversity]]'s type ratios: H says how predictable a
+    * language's token stream is (what a compressor/tokenizer can
+    * exploit); KL(lang ‖ corpus) says how far the language's unigram
+    * distribution sits from the pooled stream (the signal behind
+    * DSIR-style importance weights, reported as a per-language
+    * scalar).
+    *
+    * Micronat discipline (the [[qNaiveBayes]] ln family): every term
+    * is count · floor(10⁶·ln(ratio)) with the ratio built from the
+    * SAME double expression text in both engines, summed in
+    * decimal(38,0), one truncating division by N at the end. Every
+    * language token appears in the corpus, so KL needs no smoothing
+    * (g ≥ c > 0). One token aggregation + one type-table join —
+    * map-side combinable at any scale; the type table is
+    * Heaps-bounded. */
+  def qTokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val toks = load(spark, dir, "documents")
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val cnt = toks.groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    val langTot = cnt.groupBy("lang")
+      .agg(sum("c").as("nn"), count(lit(1)).as("n_types"))
+    val corp = toks.groupBy("tok").agg(count(lit(1)).as("g"))
+    val corpTot = corp.agg(sum("g").as("gg"))
+    cnt
+      .join(broadcast(langTot), "lang")
+      .join(corp, "tok")
+      .crossJoin(broadcast(corpTot))
+      .select(col("lang"), col("nn"), col("n_types"),
+        expr("cast(c as decimal(38,0))" +
+          " * cast(floor(ln(cast(nn as double) / c) * 1e6) as bigint)")
+          .as("h_term"),
+        expr("cast(c as decimal(38,0))" +
+          " * cast(floor(ln(cast(c as double) * gg" +
+          " / (cast(nn as double) * g)) * 1e6) as bigint)")
+          .as("kl_term"))
+      .groupBy("lang")
+      .agg(first("nn").as("n_tokens"), first("n_types").as("n_types"),
+        expr("cast(sum(h_term) div first(nn) as bigint)")
+          .as("h_micronat"),
+        expr("cast(sum(kl_term) div first(nn) as bigint)")
+          .as("kl_micronat"))
+  }
+
   /** Multinomial naive-Bayes language classifier, trained and evaluated
     * on the corpus itself (the resubstitution confusion matrix) — the
     * generative counterpart to [[qLangGuess]]'s n-gram heuristic and

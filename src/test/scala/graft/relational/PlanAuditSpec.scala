@@ -209,6 +209,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(nd.contains("BroadcastHashJoin"), nd)
   }
 
+  test("round-9 operators: broadcasts hold, no cartesians, heap top-k planned") {
+    // item CF: candidate generation stays an equi-join; both top-k
+    // cuts go through the native heap operator (no Window over the
+    // similarity relation)
+    val cf = planOf(graft.graph.GraphOps.qItemCf(spark, dir))
+    assert(!cf.contains("CartesianProduct"), cf)
+    assert(cf.contains("FinalTopK"), cf)
+    assert(!cf.contains("Window"), cf)
+    // cluster sample: the quota cut is the heap operator too
+    val cs = planOf(graft.similarity.Similarity.qClusterSample(spark, dir))
+    assert(cs.contains("FinalTopK") && !cs.contains("Window"), cs)
+    // ER: the block self-join is an equi-join on the block key
+    val er = planOf(graft.dedup.Dedup.qErEntities(spark, dir))
+    assert(!er.contains("CartesianProduct") &&
+      !er.contains("BroadcastNestedLoopJoin"), er)
+    // OOD: the parameter table broadcasts onto the q16 rows and the
+    // top-k exits through TakeOrdered, not a global sort
+    val ood = planOf(graft.similarity.Similarity.qOodScore(spark, dir))
+    assert(ood.contains("BroadcastHashJoin"), ood)
+    assert(ood.contains("TakeOrderedAndProject"), ood)
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)

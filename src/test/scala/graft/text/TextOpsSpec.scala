@@ -654,6 +654,33 @@ class TextOpsSpec extends SparkSpec {
       got.values.map(v => v._2 + v._4).sum, "flagged + kept = docs")
   }
 
+  test("token entropy and KL equal a JVM micronat replay; KL non-negative") {
+    val got = TextOps.qTokenEntropy(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val toks = graft.relational.Tables.load(spark, dir, "documents")
+      .selectExpr("lang", "explode(split(text, ' ')) as tok").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val corp = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val gg = toks.length.toLong
+    val want = toks.groupBy(_._1).map { case (lang, ts) =>
+      val cnt = ts.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val nn = ts.length.toLong
+      val h = cnt.values.map(c =>
+        BigInt(c) * math.floor(math.log(nn.toDouble / c) * 1e6).toLong).sum
+      val kl = cnt.map { case (tok, c) =>
+        BigInt(c) * math.floor(math.log(
+          c.toDouble * gg / (nn.toDouble * corp(tok))) * 1e6).toLong
+      }.sum
+      lang -> ((nn, cnt.size.toLong, (h / nn).toLong, (kl / nn).toLong))
+    }
+    assert(got === want)
+    got.values.foreach { case (_, _, h, kl) =>
+      assert(h > 0, "entropy must be positive on a mixed stream")
+      assert(kl >= -1, s"KL must be non-negative up to flooring: $kl")
+    }
+  }
+
   test("lang-id profile confusion equals a JVM out-of-place replay") {
     val got = TextOps.qLangIdProfile(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
