@@ -1010,7 +1010,10 @@ object GraphOps {
           .join(labels.select(col("node").as("src"), col("lbl").as("own")),
             "src")
           .join(k.select(col("node").as("src"), col("kw")), "src")
-          .join(broadcast(sigtot), "comm")
+          // NOT broadcast: in round 1 every node is its own community,
+          // so sigtot is node-sized — a plain equi-join on comm (AQE
+          // may still broadcast it once communities coarsen)
+          .join(sigtot, "comm")
           .crossJoin(broadcast(m2))
           .withColumn("score", expr(
             """cast(w2 as decimal(38,0)) * kiin
