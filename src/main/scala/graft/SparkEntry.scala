@@ -254,6 +254,10 @@ object SparkEntry {
     // exact-cents price bins; fixed-point range averages
     "q_isotonic" -> ((s: SparkSession, d: String) =>
       Inference.qIsotonic(s, d)),
+    // Markov removal-effect attribution: per-channel conversion-reach
+    // drop over the collected transition census, unrolled chains
+    "q_markov_attribution" -> ((s: SparkSession, d: String) =>
+      Inference.qMarkovAttribution(s, d)),
     // split conformal per return flag: exact histogram-walk quantile of
     // calibration residuals, test-half coverage in ppm
     "q_conformal" -> ((s: SparkSession, d: String) =>
@@ -1065,6 +1069,77 @@ object SparkEntry {
     * and `rounds` unrolled integer weight updates, replaying
     * [[graft.pipeline.TrainingData.qMixMw]] (truncating division on
     * both engines — the negative-excess agreement). */
+  /** Markov removal-effect attribution oracle: transition ppm census +
+    * per-chain unrolled hit-probability recurrences — one chain for the
+    * full graph and one per removed channel (the event-type universe is
+    * fixed across SFs, so channels are literal; replays
+    * [[graft.relational.Inference.qMarkovAttribution]]). */
+  private def markovAttributionSql(steps: Int): String = {
+    val channels = Seq("click", "error", "signup", "view")
+    def chain(tag: String, removed: Option[String]): String = {
+      val remCase = removed
+        .map(c => s"WHEN s.s = '$c' THEN 0").getOrElse("")
+      val stepsCtes = (1 to steps).map { t =>
+        s"""h$tag$t AS MATERIALIZED (SELECT s.s,
+           |    CAST(CASE WHEN s.s = 'purchase' THEN 1000000
+           |      $remCase
+           |      ELSE coalesce(x.v, 0) END AS BIGINT) AS h
+           |  FROM states s LEFT JOIN (
+           |    SELECT p.prev_type AS s,
+           |      CAST(sum(p.p_ppm * hh.h) // 1000000 AS BIGINT) AS v
+           |    FROM p JOIN h$tag${t - 1} hh ON p.next_type = hh.s
+           |    GROUP BY 1) x ON s.s = x.s)""".stripMargin
+      }.mkString(",\n")
+      val remStart = removed
+        .map(c => s"CASE WHEN st.s = '$c' THEN 0 ELSE coalesce(hh.h, 0) END")
+        .getOrElse("coalesce(hh.h, 0)")
+      s"""h${tag}0 AS (SELECT s, CAST(CASE WHEN s = 'purchase'
+         |    THEN 1000000 ELSE 0 END AS BIGINT) AS h FROM states),
+         |$stepsCtes,
+         |pv$tag AS (SELECT CAST(sum(st.n * ($remStart))
+         |    // (SELECT nu FROM su) AS BIGINT) AS pv
+         |  FROM st LEFT JOIN h$tag$steps hh ON st.s = hh.s)""".stripMargin
+    }
+    val chains = (chain("f", None) +:
+      channels.map(c => chain(c, Some(c)))).mkString(",\n")
+    val effRows = channels.map { c =>
+      s"""SELECT '$c' AS channel, (SELECT pv FROM pvf) AS pf,
+         |  (SELECT pv FROM pv$c) AS pr""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH ev AS MATERIALIZED (SELECT user_id, event_id, event_type,
+       |    epoch_us(ts) AS ts_us FROM events),
+       |tr AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT event_type AS next_type,
+       |      lag(event_type) OVER (PARTITION BY user_id
+       |        ORDER BY ts_us, event_id) AS prev_type FROM ev)
+       |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |ot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+       |  FROM tr GROUP BY 1),
+       |p AS MATERIALIZED (SELECT tr.prev_type, tr.next_type,
+       |    (tr.n * 1000000) // ot.out_n AS p_ppm
+       |  FROM tr JOIN ot ON tr.prev_type = ot.prev_type),
+       |st AS MATERIALIZED (SELECT event_type AS s,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT user_id, event_type, row_number() OVER (
+       |      PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM ev)
+       |  WHERE rn = 1 GROUP BY 1),
+       |su AS (SELECT CAST(sum(n) AS BIGINT) AS nu FROM st),
+       |states AS MATERIALIZED (SELECT DISTINCT s FROM (
+       |  SELECT prev_type AS s FROM p
+       |  UNION SELECT next_type FROM p
+       |  UNION SELECT s FROM st)),
+       |$chains,
+       |effs AS (SELECT channel, pf, pr, pf - pr AS eff FROM (
+       |  $effRows)),
+       |tot AS (SELECT CAST(sum(greatest(eff, 0)) AS BIGINT) AS t FROM effs)
+       |SELECT channel, pf AS p_full_ppm, pr AS p_removed_ppm,
+       |  eff AS effect_ppm,
+       |  CAST(CASE WHEN (SELECT t FROM tot) = 0 THEN 0
+       |    ELSE (greatest(eff, 0) * 1000000) // (SELECT t FROM tot)
+       |    END AS BIGINT) AS attribution_ppm
+       |FROM effs""".stripMargin
+  }
+
   /** q16 rows + per-dim moments + the exact-isqrt chain (ends at
     * `w6(d, n, s, isq)` with `r(vec_id, d, q)` still in scope) — the
     * SQL mirror of `Similarity.whitenStats`, shared by the
@@ -3963,6 +4038,7 @@ object SparkEntry {
         |  CAST(((1 + sum(CASE WHEN ps.stat_p >= o.stat_obs THEN 1 ELSE 0
         |    END)) * 1000000) // 129 AS BIGINT) AS p_value_ppm
         |FROM ps CROSS JOIN obs2 o GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
+    "q_markov_attribution" -> markovAttributionSql(8),
     // minimax closed form of PAV over exact-cents $1000 price bins;
     // fixed-point range averages from prefix sums
     "q_isotonic" ->

@@ -262,6 +262,81 @@ object Inference {
       .toDF("event_type", "pi_ppm", "n_out")
   }
 
+  /** Markov removal-effect attribution (Anderl et al.'s Markov-chain
+    * attribution) — the model-based upgrade of last-touch
+    * [[graft.relational.EventQueries]] attribution: a channel's credit
+    * is how much the probability of REACHING conversion drops when
+    * every path through that channel breaks. The chain is the observed
+    * event-type transition census ([[qMarkovStationary]]'s machinery);
+    * conversion = reaching 'purchase' within `steps` transitions from
+    * the per-user first-event start distribution; removal pins the
+    * channel's hit probability to 0 (broken-path semantics, no
+    * renormalization). Attribution shares normalize the positive
+    * removal effects to ppm.
+    *
+    * Exact integers: transition ppm by truncating division, the hit
+    * recurrence h ← (Σ p·h) div 10⁶ per step, every chain replayed on
+    * the collected K²-census (the model-publish pattern — states are
+    * event types, a handful; the corpus-sized work is the ONE
+    * transition aggregation). Unrolled per-channel in the oracle. */
+  def qMarkovAttribution(
+      spark: SparkSession, dir: String, steps: Int = 8): DataFrame = {
+    import spark.implicits._
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val tr = ev
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val ot = tr.groupBy("prev_type").agg(sum("n").as("out_n"))
+    val cells = tr.join(broadcast(ot), "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        expr("n * 1000000 div out_n").as("p_ppm"))
+      .as[(String, String, Long)].collect()
+    val starts = ev
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val nUsers = starts.map(_._2).sum
+    val states =
+      (cells.map(_._1) ++ cells.map(_._2) ++ starts.map(_._1))
+        .distinct.sorted
+    val target = "purchase"
+    val bySrc = cells.groupBy(_._1)
+    def hitProb(removed: Option[String]): Map[String, Long] = {
+      var h = states.map(s =>
+        s -> (if (s == target) 1000000L else 0L)).toMap
+      for (_ <- 1 to steps) {
+        h = states.map { s =>
+          if (s == target) s -> 1000000L
+          else if (removed.contains(s)) s -> 0L
+          else s -> (bySrc.getOrElse(s, Array.empty[(String, String, Long)])
+            .map { case (_, t, p) => p * h(t) }.sum / 1000000L)
+        }.toMap
+      }
+      h
+    }
+    def overall(h: Map[String, Long], removed: Option[String]): Long =
+      starts.map { case (s, n) =>
+        n * (if (removed.contains(s)) 0L else h.getOrElse(s, 0L))
+      }.sum / nUsers
+    val pFull = overall(hitProb(None), None)
+    val rows = states.filter(_ != target).map { c =>
+      val pRem = overall(hitProb(Some(c)), Some(c))
+      (c, pFull, pRem, pFull - pRem)
+    }
+    val totEff = rows.map(r => math.max(r._4, 0L)).sum
+    spark.createDataFrame(rows.toSeq.map { case (c, pf, pr, eff) =>
+      (c, pf, pr, eff,
+        if (totEff == 0) 0L else math.max(eff, 0L) * 1000000L / totEff)
+    }).toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm",
+      "attribution_ppm")
+  }
+
   /** Salted permutation test of the A/B conversion difference — the
     * exact-inference twin of [[EventQueries.qAbTest]]'s χ²: does the
     * observed variant imbalance exceed what relabeling chance produces?

@@ -155,6 +155,65 @@ class InferenceSpec extends SparkSpec {
     assert(r.getLong(7) > 0 && r.getLong(7) <= 1000000L)
   }
 
+  test("markov attribution equals a raw-event JVM replay; removal only hurts") {
+    val got = Inference.qMarkovAttribution(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1).values
+      .map(_.sortBy(e => (e._4, e._2)).map(_._3).toSeq)
+    val trans = byUser.flatMap(s => s.zip(s.tail)).toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outN = trans.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap
+    val pppm = trans.map { case ((a, b), n) =>
+      (a, b) -> n * 1000000L / outN(a)
+    }
+    val starts = byUser.map(_.head).toSeq.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val nUsers = starts.values.sum
+    val states = (trans.keys.flatMap(k => Seq(k._1, k._2)) ++
+      starts.keys).toSeq.distinct.sorted
+    def hit(removed: Option[String]): Map[String, Long] = {
+      var h = states.map(s =>
+        s -> (if (s == "purchase") 1000000L else 0L)).toMap
+      for (_ <- 1 to 8) {
+        h = states.map { s =>
+          if (s == "purchase") s -> 1000000L
+          else if (removed.contains(s)) s -> 0L
+          else s -> (pppm.collect { case ((a, b), p) if a == s =>
+            p * h(b)
+          }.sum / 1000000L)
+        }.toMap
+      }
+      h
+    }
+    def overall(removed: Option[String]): Long = {
+      val h = hit(removed)
+      starts.map { case (s, n) =>
+        n * (if (removed.contains(s)) 0L else h.getOrElse(s, 0L))
+      }.sum / nUsers
+    }
+    val pf = overall(None)
+    val effs = states.filter(_ != "purchase")
+      .map(c => (c, pf - overall(Some(c))))
+    val tot = effs.map(e => math.max(e._2, 0L)).sum
+    val want = effs.map { case (c, eff) =>
+      c -> ((pf, pf - eff, eff,
+        if (tot == 0) 0L else math.max(eff, 0L) * 1000000L / tot))
+    }.toMap
+    assert(got === want)
+    got.values.foreach { case (full, removed, eff, att) =>
+      assert(removed <= full, "removal can only reduce conversion reach")
+      assert(eff >= 0 && att <= 1000000L)
+    }
+    assert(got.values.map(_._4).sum > 900000L,
+      "attribution shares should nearly exhaust 1e6")
+  }
+
   test("isotonic fit is monotone and tracks the exact rational PAV") {
     val rows = Inference.qIsotonic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
