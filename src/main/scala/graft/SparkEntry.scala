@@ -258,6 +258,9 @@ object SparkEntry {
     // drop over the collected transition census, unrolled chains
     "q_markov_attribution" -> ((s: SparkSession, d: String) =>
       Inference.qMarkovAttribution(s, d)),
+    // exact Shapley over the same model: 2^k coalition chains, k! units
+    "q_shapley_attribution" -> ((s: SparkSession, d: String) =>
+      Inference.qShapleyAttribution(s, d)),
     // split conformal per return flag: exact histogram-walk quantile of
     // calibration residuals, test-half coverage in ppm
     "q_conformal" -> ((s: SparkSession, d: String) =>
@@ -1074,60 +1077,74 @@ object SparkEntry {
     * full graph and one per removed channel (the event-type universe is
     * fixed across SFs, so channels are literal; replays
     * [[graft.relational.Inference.qMarkovAttribution]]). */
+  /** The fixed channel universe of the events table (every SF carries
+    * all five event types; 'purchase' is the conversion target). */
+  private val markovChannels = Seq("click", "error", "signup", "view")
+
+  /** Shared Markov-model CTEs: transition ppm table `p`, start census
+    * `st`, user total `su`, state universe `states`. */
+  private val markovModelCtes: String =
+    """ev AS MATERIALIZED (SELECT user_id, event_id, event_type,
+      |    epoch_us(ts) AS ts_us FROM events),
+      |tr AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT event_type AS next_type,
+      |      lag(event_type) OVER (PARTITION BY user_id
+      |        ORDER BY ts_us, event_id) AS prev_type FROM ev)
+      |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+      |ot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+      |  FROM tr GROUP BY 1),
+      |p AS MATERIALIZED (SELECT tr.prev_type, tr.next_type,
+      |    (tr.n * 1000000) // ot.out_n AS p_ppm
+      |  FROM tr JOIN ot ON tr.prev_type = ot.prev_type),
+      |st AS MATERIALIZED (SELECT event_type AS s,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT user_id, event_type, row_number() OVER (
+      |      PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM ev)
+      |  WHERE rn = 1 GROUP BY 1),
+      |su AS (SELECT CAST(sum(n) AS BIGINT) AS nu FROM st),
+      |states AS MATERIALIZED (SELECT DISTINCT s FROM (
+      |  SELECT prev_type AS s FROM p
+      |  UNION SELECT next_type FROM p
+      |  UNION SELECT s FROM st))""".stripMargin
+
+  /** One unrolled hit-probability chain with every state in `removed`
+    * pinned to 0; ends at `pv<tag>(pv)`. */
+  private def markovChain(
+      tag: String, removed: Seq[String], steps: Int): String = {
+    val inList = removed.map("'" + _ + "'").mkString(", ")
+    val remCase =
+      if (removed.isEmpty) "" else s"WHEN s.s IN ($inList) THEN 0"
+    val stepsCtes = (1 to steps).map { t =>
+      s"""h$tag$t AS MATERIALIZED (SELECT s.s,
+         |    CAST(CASE WHEN s.s = 'purchase' THEN 1000000
+         |      $remCase
+         |      ELSE coalesce(x.v, 0) END AS BIGINT) AS h
+         |  FROM states s LEFT JOIN (
+         |    SELECT p.prev_type AS s,
+         |      CAST(sum(p.p_ppm * hh.h) // 1000000 AS BIGINT) AS v
+         |    FROM p JOIN h$tag${t - 1} hh ON p.next_type = hh.s
+         |    GROUP BY 1) x ON s.s = x.s)""".stripMargin
+    }.mkString(",\n")
+    val remStart =
+      if (removed.isEmpty) "coalesce(hh.h, 0)"
+      else s"CASE WHEN st.s IN ($inList) THEN 0 ELSE coalesce(hh.h, 0) END"
+    s"""h${tag}0 AS (SELECT s, CAST(CASE WHEN s = 'purchase'
+       |    THEN 1000000 ELSE 0 END AS BIGINT) AS h FROM states),
+       |$stepsCtes,
+       |pv$tag AS (SELECT CAST(sum(st.n * ($remStart))
+       |    // (SELECT nu FROM su) AS BIGINT) AS pv
+       |  FROM st LEFT JOIN h$tag$steps hh ON st.s = hh.s)""".stripMargin
+  }
+
   private def markovAttributionSql(steps: Int): String = {
-    val channels = Seq("click", "error", "signup", "view")
-    def chain(tag: String, removed: Option[String]): String = {
-      val remCase = removed
-        .map(c => s"WHEN s.s = '$c' THEN 0").getOrElse("")
-      val stepsCtes = (1 to steps).map { t =>
-        s"""h$tag$t AS MATERIALIZED (SELECT s.s,
-           |    CAST(CASE WHEN s.s = 'purchase' THEN 1000000
-           |      $remCase
-           |      ELSE coalesce(x.v, 0) END AS BIGINT) AS h
-           |  FROM states s LEFT JOIN (
-           |    SELECT p.prev_type AS s,
-           |      CAST(sum(p.p_ppm * hh.h) // 1000000 AS BIGINT) AS v
-           |    FROM p JOIN h$tag${t - 1} hh ON p.next_type = hh.s
-           |    GROUP BY 1) x ON s.s = x.s)""".stripMargin
-      }.mkString(",\n")
-      val remStart = removed
-        .map(c => s"CASE WHEN st.s = '$c' THEN 0 ELSE coalesce(hh.h, 0) END")
-        .getOrElse("coalesce(hh.h, 0)")
-      s"""h${tag}0 AS (SELECT s, CAST(CASE WHEN s = 'purchase'
-         |    THEN 1000000 ELSE 0 END AS BIGINT) AS h FROM states),
-         |$stepsCtes,
-         |pv$tag AS (SELECT CAST(sum(st.n * ($remStart))
-         |    // (SELECT nu FROM su) AS BIGINT) AS pv
-         |  FROM st LEFT JOIN h$tag$steps hh ON st.s = hh.s)""".stripMargin
-    }
-    val chains = (chain("f", None) +:
-      channels.map(c => chain(c, Some(c)))).mkString(",\n")
-    val effRows = channels.map { c =>
+    val chains = (markovChain("f", Nil, steps) +:
+      markovChannels.map(c => markovChain(c, Seq(c), steps)))
+      .mkString(",\n")
+    val effRows = markovChannels.map { c =>
       s"""SELECT '$c' AS channel, (SELECT pv FROM pvf) AS pf,
          |  (SELECT pv FROM pv$c) AS pr""".stripMargin
     }.mkString("\nUNION ALL ")
-    s"""WITH ev AS MATERIALIZED (SELECT user_id, event_id, event_type,
-       |    epoch_us(ts) AS ts_us FROM events),
-       |tr AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT event_type AS next_type,
-       |      lag(event_type) OVER (PARTITION BY user_id
-       |        ORDER BY ts_us, event_id) AS prev_type FROM ev)
-       |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-       |ot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
-       |  FROM tr GROUP BY 1),
-       |p AS MATERIALIZED (SELECT tr.prev_type, tr.next_type,
-       |    (tr.n * 1000000) // ot.out_n AS p_ppm
-       |  FROM tr JOIN ot ON tr.prev_type = ot.prev_type),
-       |st AS MATERIALIZED (SELECT event_type AS s,
-       |    CAST(count(*) AS BIGINT) AS n
-       |  FROM (SELECT user_id, event_type, row_number() OVER (
-       |      PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM ev)
-       |  WHERE rn = 1 GROUP BY 1),
-       |su AS (SELECT CAST(sum(n) AS BIGINT) AS nu FROM st),
-       |states AS MATERIALIZED (SELECT DISTINCT s FROM (
-       |  SELECT prev_type AS s FROM p
-       |  UNION SELECT next_type FROM p
-       |  UNION SELECT s FROM st)),
+    s"""WITH $markovModelCtes,
        |$chains,
        |effs AS (SELECT channel, pf, pr, pf - pr AS eff FROM (
        |  $effRows)),
@@ -1138,6 +1155,37 @@ object SparkEntry {
        |    ELSE (greatest(eff, 0) * 1000000) // (SELECT t FROM tot)
        |    END AS BIGINT) AS attribution_ppm
        |FROM effs""".stripMargin
+  }
+
+  /** Exact-Shapley oracle: one chain per coalition (2^k, k = 4), then
+    * each channel's weighted marginal sum in ×k! units — replaying
+    * [[graft.relational.Inference.qShapleyAttribution]]. */
+  private def shapleyAttributionSql(steps: Int): String = {
+    val ch = markovChannels
+    val k = ch.size
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    val kFact = fact(k)
+    def tagOf(s: Set[String]): String =
+      "m" + ch.map(c => if (s.contains(c)) "1" else "0").mkString
+    val subsets = ch.toSet.subsets().toSeq
+    val chains = subsets.map { s =>
+      markovChain(tagOf(s), (ch.toSet -- s).toSeq.sorted, steps)
+    }.mkString(",\n")
+    val rows = ch.map { c =>
+      val others = ch.filterNot(_ == c).toSet
+      val terms = others.subsets().map { s =>
+        val w = fact(s.size) * fact(k - 1 - s.size)
+        s"$w * ((SELECT pv FROM pv${tagOf(s + c)})" +
+          s" - (SELECT pv FROM pv${tagOf(s)}))"
+      }.mkString(" + ")
+      s"""SELECT '$c' AS channel,
+         |  (SELECT pv FROM pv${tagOf(ch.toSet)}) AS v_full_ppm,
+         |  CAST($terms AS BIGINT) AS phi_x${kFact}_ppm,
+         |  CAST(($terms) // $kFact AS BIGINT) AS phi_ppm""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH $markovModelCtes,
+       |$chains
+       |$rows""".stripMargin
   }
 
   /** q16 rows + per-dim moments + the exact-isqrt chain (ends at
@@ -4039,6 +4087,7 @@ object SparkEntry {
         |    END)) * 1000000) // 129 AS BIGINT) AS p_value_ppm
         |FROM ps CROSS JOIN obs2 o GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
     "q_markov_attribution" -> markovAttributionSql(8),
+    "q_shapley_attribution" -> shapleyAttributionSql(8),
     // minimax closed form of PAV over exact-cents $1000 price bins;
     // fixed-point range averages from prefix sums
     "q_isotonic" ->

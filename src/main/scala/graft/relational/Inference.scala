@@ -279,8 +279,13 @@ object Inference {
     * the collected K²-census (the model-publish pattern — states are
     * event types, a handful; the corpus-sized work is the ONE
     * transition aggregation). Unrolled per-channel in the oracle. */
-  def qMarkovAttribution(
-      spark: SparkSession, dir: String, steps: Int = 8): DataFrame = {
+  /** The collected Markov conversion model: transition ppm cells,
+    * per-start-state user counts, sorted state universe — the ONE
+    * corpus-sized aggregation behind [[qMarkovAttribution]] and
+    * [[qShapleyAttribution]]. */
+  private def markovCensus(spark: SparkSession, dir: String)
+      : (Array[(String, String, Long)], Array[(String, Long)],
+         Array[String]) = {
     import spark.implicits._
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val ev = load(spark, dir, "events")
@@ -301,32 +306,44 @@ object Inference {
       .filter(col("rn") === 1)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .as[(String, Long)].collect()
-    val nUsers = starts.map(_._2).sum
     val states =
       (cells.map(_._1) ++ cells.map(_._2) ++ starts.map(_._1))
         .distinct.sorted
+    (cells, starts, states)
+  }
+
+  /** Truncated hit probability h(s) of reaching `purchase` within
+    * `steps` transitions, every state in `removed` pinned to 0; then
+    * the start-distribution overall — the shared removal-semantics
+    * evaluator (exact integer ppm, truncating division). */
+  private def markovReach(
+      cells: Array[(String, String, Long)],
+      starts: Array[(String, Long)], states: Array[String],
+      steps: Int, removed: Set[String]): Long = {
     val target = "purchase"
     val bySrc = cells.groupBy(_._1)
-    def hitProb(removed: Option[String]): Map[String, Long] = {
-      var h = states.map(s =>
-        s -> (if (s == target) 1000000L else 0L)).toMap
-      for (_ <- 1 to steps) {
-        h = states.map { s =>
-          if (s == target) s -> 1000000L
-          else if (removed.contains(s)) s -> 0L
-          else s -> (bySrc.getOrElse(s, Array.empty[(String, String, Long)])
-            .map { case (_, t, p) => p * h(t) }.sum / 1000000L)
-        }.toMap
-      }
-      h
+    var h = states.map(s =>
+      s -> (if (s == target) 1000000L else 0L)).toMap
+    for (_ <- 1 to steps) {
+      h = states.map { s =>
+        if (s == target) s -> 1000000L
+        else if (removed.contains(s)) s -> 0L
+        else s -> (bySrc.getOrElse(s, Array.empty[(String, String, Long)])
+          .map { case (_, t, p) => p * h(t) }.sum / 1000000L)
+      }.toMap
     }
-    def overall(h: Map[String, Long], removed: Option[String]): Long =
-      starts.map { case (s, n) =>
-        n * (if (removed.contains(s)) 0L else h.getOrElse(s, 0L))
-      }.sum / nUsers
-    val pFull = overall(hitProb(None), None)
-    val rows = states.filter(_ != target).map { c =>
-      val pRem = overall(hitProb(Some(c)), Some(c))
+    val nUsers = starts.map(_._2).sum
+    starts.map { case (s, n) =>
+      n * (if (removed.contains(s)) 0L else h.getOrElse(s, 0L))
+    }.sum / nUsers
+  }
+
+  def qMarkovAttribution(
+      spark: SparkSession, dir: String, steps: Int = 8): DataFrame = {
+    val (cells, starts, states) = markovCensus(spark, dir)
+    val pFull = markovReach(cells, starts, states, steps, Set.empty)
+    val rows = states.filter(_ != "purchase").map { c =>
+      val pRem = markovReach(cells, starts, states, steps, Set(c))
       (c, pFull, pRem, pFull - pRem)
     }
     val totEff = rows.map(r => math.max(r._4, 0L)).sum
@@ -335,6 +352,49 @@ object Inference {
         if (totEff == 0) 0L else math.max(eff, 0L) * 1000000L / totEff)
     }).toDF("channel", "p_full_ppm", "p_removed_ppm", "effect_ppm",
       "attribution_ppm")
+  }
+
+  /** EXACT Shapley attribution over the Markov conversion model — the
+    * game-theoretic upgrade of [[qMarkovAttribution]]'s single-removal
+    * effect: with channels C (the non-purchase states) as players and
+    * coalition value v(S) = conversion reach when every channel OUTSIDE
+    * S is removed, each channel's Shapley value is the weighted mean of
+    * its marginal contributions over all 2^{k-1} coalitions. k is the
+    * event-type universe minus the target (a handful), so the 2^k
+    * coalition table is tiny and every v(S) replays the SAME integer
+    * recurrence as the removal effect — all on the one collected
+    * census; the corpus never re-scans.
+    *
+    * Exactness without factorial division: weights |S|!·(k−1−|S|)!/k!
+    * are rationals with denominator k!, so the Shapley value is emitted
+    * as `phi_x24_ppm` = 24·φ in ppm (k=4 ⇒ k! = 24), an exact integer
+    * combination of coalition values; `phi_ppm` is its single
+    * truncating division by k!. Efficiency property Σφ = v(C) − v(∅)
+    * holds exactly in the ×24 units (spec-pinned). */
+  def qShapleyAttribution(
+      spark: SparkSession, dir: String, steps: Int = 8): DataFrame = {
+    val (cells, starts, states) = markovCensus(spark, dir)
+    val channels = states.filter(_ != "purchase").toSeq
+    val k = channels.size
+    require(k <= 8, s"2^k coalition enumeration needs few channels, got $k")
+    def fact(n: Int): Long = (1 to n).map(_.toLong).product
+    val kFact = fact(k)
+    val v = collection.mutable.Map[Set[String], Long]()
+    def valueOf(s: Set[String]): Long = v.getOrElseUpdate(s,
+      markovReach(cells, starts, states, steps,
+        channels.toSet -- s))
+    val rows = channels.map { c =>
+      val others = channels.filterNot(_ == c)
+      val phiXk = others.toSet.subsets().map { s =>
+        val w = fact(s.size) * fact(k - 1 - s.size)
+        w * (valueOf(s + c) - valueOf(s))
+      }.sum
+      (c, valueOf(channels.toSet), phiXk,
+        phiXk / kFact)
+    }
+    spark.createDataFrame(rows.map { case (c, vc, px, p) =>
+      (c, vc, px, p)
+    }).toDF("channel", "v_full_ppm", s"phi_x${kFact}_ppm", "phi_ppm")
   }
 
   /** Salted permutation test of the A/B conversion difference — the

@@ -214,6 +214,33 @@ class InferenceSpec extends SparkSpec {
       "attribution shares should nearly exhaust 1e6")
   }
 
+  test("shapley attribution: efficiency identity exact, dominates nothing unfairly") {
+    val got = Inference.qShapleyAttribution(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length === 4)
+    val vFull = got.head._2
+    assert(got.forall(_._2 == vFull), "v(C) must be one scalar")
+    // efficiency: sum of x24 Shapley values telescopes EXACTLY to
+    // 24*(v(C) - v(empty)) whatever the truncated coalition values are;
+    // v(empty) = reach with every channel removed — recompute it via
+    // the removal operator's building blocks: only purchase-starters
+    // convert, so v(empty) = n_purchase_starts*1e6 / n_users
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "event_type", "ts div 1000 as ts_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val firsts = ev.groupBy(_._1).values
+      .map(_.minBy(e => (e._4, e._2))._3).toSeq
+    val vEmpty = firsts.count(_ == "purchase").toLong * 1000000L /
+      firsts.length
+    assert(got.map(_._3).sum === 24L * (vFull - vEmpty),
+      "Shapley efficiency identity must hold exactly in x24 units")
+    got.foreach { case (c, _, phiX24, phi) =>
+      assert(phiX24 >= 0, s"$c negative marginal sum")
+      assert(phi === phiX24 / 24, s"$c phi_ppm division")
+    }
+  }
+
   test("isotonic fit is monotone and tracks the exact rational PAV") {
     val rows = Inference.qIsotonic(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
