@@ -306,6 +306,9 @@ object SparkEntry {
       EventQueries.qTargetEncode(s, d)),
     // cohort retention matrix (first-seen week × weeks-since activity)
     "q_retention" -> (EventQueries.qRetention _),
+    // cohort LTV curves: epoch-week cohorts, exact-cents cumulative
+    // spend per user-age, bounded per-cohort windows
+    "q_cohort_ltv" -> (EventQueries.qCohortLtv _),
     // Kaplan-Meier inter-event waits: right-censored tail gaps,
     // exact-ppm hazard + survival over the calendar-bounded hour spine
     "q_survival" -> (EventQueries.qSurvival _),
@@ -4573,6 +4576,24 @@ object SparkEntry {
         |      JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_week, week_offset, count(*) AS n_active
         |FROM a GROUP BY 1, 2""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
+        |cells AS (SELECT f.d0 // 7 AS cohort_week,
+        |    (ev.day - f.d0) // 7 AS age_week, ev.user_id, ev.cents
+        |  FROM ev JOIN f ON ev.user_id = f.user_id),
+        |cn AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT)
+        |    AS n_users FROM cells GROUP BY 1),
+        |agg AS (SELECT cohort_week, age_week,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM cells GROUP BY 1, 2),
+        |cum AS (SELECT cohort_week, age_week, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY cohort_week
+        |      ORDER BY age_week) AS BIGINT) AS cum_cents FROM agg)
+        |SELECT cum.cohort_week, cum.age_week, cn.n_users, cum.cum_cents,
+        |  cum.cum_cents // cn.n_users AS ltv_cents
+        |FROM cum JOIN cn ON cum.cohort_week = cn.cohort_week""".stripMargin,
     // KM over inter-event waits: the survival recurrence is a recursive
     // CTE over the calendar-bounded hour spine — same truncating
     // integer arithmetic as the Spark side's driver fold (sums CAST to

@@ -590,6 +590,40 @@ object EventQueries {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** Cohort lifetime-value curves — [[qRetention]]'s revenue sibling:
+    * per (signup-week cohort, weeks-since-signup age), the cohort's
+    * cumulative spend and the per-user LTV at that age. The curve a
+    * growth model reads ("how much has a week-N cohort spent by age
+    * k"). Weeks are epoch-day div 7 arithmetic (never an engine
+    * week-truncation — conventions differ); cents are exact; the
+    * cumulative walk runs in per-cohort windows over the
+    * calendar-bounded age axis; ltv is one truncating division by the
+    * cohort's user count. One events aggregation to the (cohort, age)
+    * census — map-side combinable at any scale. */
+  def qCohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"),
+        expr("ts div 1000 div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("d0"))
+    val cells = ev.join(firstSeen, "user_id")
+      .select(expr("d0 div 7").as("cohort_week"),
+        expr("(day - d0) div 7").as("age_week"),
+        col("user_id"), col("cents"))
+    val cohortN = cells.select("cohort_week", "user_id").distinct()
+      .groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    cells
+      .groupBy("cohort_week", "age_week")
+      .agg(sum("cents").as("cents"))
+      .withColumn("cum_cents", sum("cents").over(
+        Window.partitionBy("cohort_week").orderBy("age_week")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(cohortN), "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        col("cum_cents"),
+        expr("cum_cents div n_users").as("ltv_cents"))
+  }
+
   /** Kaplan-Meier survival over inter-event waiting times — "how long
     * until a user's NEXT event", with right-censoring done properly:
     * each event contributes one observation — the gap to the same

@@ -359,6 +359,39 @@ class RelationalSpec extends SparkSpec {
     assert(week0 === first.size.toLong)
   }
 
+  test("cohort LTV equals a JVM replay; curves are monotone per cohort") {
+    val ev = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "ts div 1000 div 86400000000 as day",
+        "cast(floor(value * 100 + 0.5) as long) as cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val d0 = ev.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val cells = ev.map { case (u, d, c) =>
+      ((d0(u) / 7, (d - d0(u)) / 7), (u, c))
+    }
+    val nUsers = cells.groupBy(_._1._1).map { case (cw, xs) =>
+      cw -> xs.map(_._2._1).distinct.length.toLong
+    }
+    val spend = cells.groupBy(_._1).map { case (k, xs) =>
+      k -> xs.map(_._2._2).sum
+    }
+    val want = spend.groupBy(_._1._1).flatMap { case (cw, ages) =>
+      var cum = 0L
+      ages.toSeq.sortBy(_._1._2).map { case ((_, age), c) =>
+        cum += c
+        (cw, age) -> ((nUsers(cw), cum, cum / nUsers(cw)))
+      }
+    }
+    val got = EventQueries.qCohortLtv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    got.groupBy(_._1._1).foreach { case (cw, rows) =>
+      val curve = rows.toSeq.sortBy(_._1._2).map(_._2._2)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"cohort $cw LTV must be monotone")
+    }
+  }
+
   test("KM survival equals a JVM replay; exits telescope the risk set") {
     val ev = Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), expr("ts div 1000"))
