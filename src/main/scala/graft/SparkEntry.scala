@@ -261,6 +261,9 @@ object SparkEntry {
     // exact Shapley over the same model: 2^k coalition chains, k! units
     "q_shapley_attribution" -> ((s: SparkSession, d: String) =>
       Inference.qShapleyAttribution(s, d)),
+    // Wald SPRT on the hourly conversion spine: Scala-literal micronat
+    // weights, exact integer walk, frozen post-crossing decision
+    "q_sprt" -> (Inference.qSprt _),
     // split conformal per return flag: exact histogram-walk quantile of
     // calibration residuals, test-half coverage in ppm
     "q_conformal" -> ((s: SparkSession, d: String) =>
@@ -1080,6 +1083,36 @@ object SparkEntry {
     * full graph and one per removed channel (the event-type universe is
     * fixed across SFs, so channels are literal; replays
     * [[graft.relational.Inference.qMarkovAttribution]]). */
+  /** SPRT oracle — the SAME Scala-computed micronat literals as
+    * [[graft.relational.Inference.qSprt]] (no engine logarithms). */
+  private def sprtSql: String = {
+    val w1 = math.floor(math.log(0.5 / 0.4) * 1e6).toLong
+    val w0 = math.floor(math.log(0.5 / 0.6) * 1e6).toLong
+    val a = math.floor(math.log(0.95 / 0.05) * 1e6).toLong
+    s"""WITH u AS (SELECT user_id,
+       |    min(epoch_us(ts) // 3600000000) AS hour,
+       |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 120.0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM events GROUP BY 1),
+       |h AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(conv) AS BIGINT) AS n_conv FROM u GROUP BY 1),
+       |w AS (SELECT hour, n_users, n_conv,
+       |    n_conv * $w1 + (n_users - n_conv) * $w0 AS llr_mnat FROM h),
+       |cm AS (SELECT *, CAST(sum(llr_mnat) OVER (ORDER BY hour) AS BIGINT)
+       |    AS cum_llr_mnat FROM w),
+       |cr AS (SELECT min(hour) AS cross_hour FROM cm
+       |  WHERE cum_llr_mnat >= $a OR cum_llr_mnat <= ${-a}),
+       |cl AS (SELECT cm.cum_llr_mnat AS cross_llr FROM cm JOIN cr
+       |  ON cm.hour = cr.cross_hour)
+       |SELECT cm.hour, cm.n_users, cm.n_conv, cm.llr_mnat,
+       |  cm.cum_llr_mnat,
+       |  CASE WHEN (SELECT cross_hour FROM cr) IS NULL
+       |      OR cm.hour < (SELECT cross_hour FROM cr) THEN 'continue'
+       |    WHEN (SELECT cross_llr FROM cl) >= $a THEN 'accept_h1'
+       |    ELSE 'accept_h0' END AS decision
+       |FROM cm""".stripMargin
+  }
+
   /** The fixed channel universe of the events table (every SF carries
     * all five event types; 'purchase' is the conversion target). */
   private val markovChannels = Seq("click", "error", "signup", "view")
@@ -4091,6 +4124,7 @@ object SparkEntry {
         |FROM ps CROSS JOIN obs2 o GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
     "q_markov_attribution" -> markovAttributionSql(8),
     "q_shapley_attribution" -> shapleyAttributionSql(8),
+    "q_sprt" -> sprtSql,
     // minimax closed form of PAV over exact-cents $1000 price bins;
     // fixed-point range averages from prefix sums
     "q_isotonic" ->

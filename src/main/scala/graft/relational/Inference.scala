@@ -397,6 +397,58 @@ object Inference {
     }).toDF("channel", "v_full_ppm", s"phi_x${kFact}_ppm", "phi_ppm")
   }
 
+  /** Wald's SPRT over the hourly conversion stream — the SEQUENTIAL
+    * testing primitive the fixed-horizon [[qPermutationTest]] family
+    * lacks: monitor the cumulative log-likelihood ratio of H₁: p = p₁
+    * against H₀: p = p₀ as cohorts arrive, stop the first hour the walk
+    * exits (B, A). Design constants (p₀ = 0.40, p₁ = 0.50,
+    * α = β = 0.05) become micronat INTEGER literals interpolated once
+    * from Scala (the ndcgWeights discipline — no engine ever computes a
+    * logarithm), so the whole walk is exact integer arithmetic.
+    *
+    * Per user: converted = made a >120-value purchase (the
+    * [[qPermutationTest]] outcome), attributed to the user's FIRST-seen
+    * hour (each user enters the test once). Per hour: the LLR
+    * increment c·ln(p₁/p₀) + (n−c)·ln((1−p₁)/(1−p₀)), the cumulative
+    * walk, and the decision state — `continue` until the first
+    * boundary crossing, then frozen (the sequential-test contract:
+    * evidence after stopping is not consumed).
+    *
+    * Scale shape: one map-side-combinable per-user reduction, one
+    * calendar-bounded hourly census, windows over the bounded spine,
+    * and a one-row broadcast crossing scalar. */
+  def qSprt(spark: SparkSession, dir: String): DataFrame = {
+    // micronat literals: ln(0.5/0.4), ln(0.5/0.6), ln(19), ln(1/19)
+    val w1 = math.floor(math.log(0.5 / 0.4) * 1e6).toLong
+    val w0 = math.floor(math.log(0.5 / 0.6) * 1e6).toLong
+    val a = math.floor(math.log(0.95 / 0.05) * 1e6).toLong
+    val b = -a
+    val users = load(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(min(expr("ts div 1000 div 3600000000")).as("hour"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > 120.0, 1L).otherwise(0L)).as("conv"))
+    val hourly = users.groupBy("hour")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      .withColumn("llr_mnat",
+        col("n_conv") * w1 + (col("n_users") - col("n_conv")) * w0)
+      .withColumn("cum_llr_mnat",
+        sum("llr_mnat").over(Window.orderBy("hour")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val cross = hourly
+      .filter(col("cum_llr_mnat") >= a || col("cum_llr_mnat") <= b)
+      .agg(min(struct(col("hour"), col("cum_llr_mnat"))).as("m"))
+      .select(col("m.hour").as("cross_hour"),
+        col("m.cum_llr_mnat").as("cross_llr"))
+    hourly.crossJoin(broadcast(cross))
+      .select(col("hour"), col("n_users"), col("n_conv"),
+        col("llr_mnat"), col("cum_llr_mnat"),
+        when(col("cross_hour").isNull || col("hour") < col("cross_hour"),
+          "continue")
+          .when(col("cross_llr") >= a, "accept_h1")
+          .otherwise("accept_h0").as("decision"))
+  }
+
   /** Salted permutation test of the A/B conversion difference — the
     * exact-inference twin of [[EventQueries.qAbTest]]'s χ²: does the
     * observed variant imbalance exceed what relabeling chance produces?

@@ -214,6 +214,44 @@ class InferenceSpec extends SparkSpec {
       "attribution shares should nearly exhaust 1e6")
   }
 
+  test("sprt walk equals a JVM replay; decision freezes at first crossing") {
+    val got = Inference.qSprt(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1)
+    val w1 = math.floor(math.log(0.5 / 0.4) * 1e6).toLong
+    val w0 = math.floor(math.log(0.5 / 0.6) * 1e6).toLong
+    val a = math.floor(math.log(0.95 / 0.05) * 1e6).toLong
+    val users = Tables.load(spark, dir, "events")
+      .selectExpr("user_id", "ts div 1000 div 3600000000 as hour",
+        """case when event_type = 'purchase' and value > 120.0
+          | then 1 else 0 end as conv""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    val perUser = users.groupBy(_._1).toSeq.map { case (_, es) =>
+      (es.map(_._2).min, es.map(_._3).max)
+    }
+    val hourly = perUser.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (h, xs) => (h, xs.length.toLong, xs.map(_._2).sum)
+    }
+    var cum = 0L
+    val walk = hourly.map { case (h, n, c) =>
+      val llr = c * w1 + (n - c) * w0
+      cum += llr
+      (h, n, c, llr, cum)
+    }
+    val crossIdx = walk.indexWhere(x => x._5 >= a || x._5 <= -a)
+    val want = walk.zipWithIndex.map { case ((h, n, c, llr, cm), i) =>
+      val dec =
+        if (crossIdx < 0 || i < crossIdx) "continue"
+        else if (walk(crossIdx)._5 >= a) "accept_h1" else "accept_h0"
+      (h, n, c, llr, cm, dec)
+    }
+    assert(got.toSeq === want)
+    // sequential semantics: once not-continue, never continue again
+    val decs = got.map(_._6)
+    assert(!decs.dropWhile(_ == "continue").contains("continue"),
+      "decision must freeze after the first crossing")
+  }
+
   test("shapley attribution: efficiency identity exact, dominates nothing unfairly") {
     val got = Inference.qShapleyAttribution(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
