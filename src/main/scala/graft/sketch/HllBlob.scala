@@ -114,8 +114,12 @@ case class HllBlobUnion(left: Expression, right: Expression)
       b.asInstanceOf[Array[Byte]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // Janino types `($a).clone()` as java.lang.Object (no covariant
+    // array clone), so the byte[] overload never matches without the
+    // explicit cast — absent it the projection silently falls back to
+    // interpreted mode (CodegenGateSpec force-compiles this).
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.sketch.HllBlob.mergeInto(($a).clone(), $b)")
+      s"graft.sketch.HllBlob.mergeInto((byte[]) ($a).clone(), $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HllBlobUnion =
