@@ -623,23 +623,28 @@ object TextOps {
     * the Zipf-head diagnostic that sizes a tokenizer vocabulary (and
     * predicts the fallback rate [[qTokenizerFertility]] measures).
     *
-    * Shares are exact integer ppm. The rank window is global but runs
-    * over the TYPE table (vocabulary-sized, Heaps-bounded — the
-    * q_key_skew defense), never over token occurrences; ties rank by
-    * (count desc, token) so the curve is engine-deterministic. One
-    * conditional aggregation emits all three points. */
+    * Shares are exact integer ppm. Only ranks ≤ 1000 are ever read, so
+    * the type table routes through the native [[graft.plans.TopKPerKey]]
+    * bounded heap (single group, k = 1000) instead of a global
+    * `row_number` window — a vocabulary-wide single-partition sort is
+    * exactly the funnel a 10⁸–10⁹-type multilingual corpus can't afford
+    * (PlanAuditSpec pins the Window-free plan). Ties rank by
+    * (count desc, token) so the curve is engine-deterministic; the
+    * totals come from a separate map-side-combinable aggregation over
+    * the full type table. */
   def qVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val uc = load(spark, dir, "documents")
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").desc, col("tok"))
-    val ranked = uc.withColumn("rnk", row_number().over(w).cast("long"))
-    val wide = ranked.agg(
-      sum("c").as("total"),
-      count(lit(1)).as("n_vocab"),
+    val globals = uc.agg(
+      sum("c").as("total"), count(lit(1)).as("n_vocab"))
+    val top = graft.plans.TopK.topKPerKey(
+      uc, Nil, Seq(col("c").desc, col("tok")), 1000)
+    val heads = top.agg(
       sum(when(col("rnk") <= 10, col("c")).otherwise(0L)).as("c10"),
       sum(when(col("rnk") <= 100, col("c")).otherwise(0L)).as("c100"),
-      sum(when(col("rnk") <= 1000, col("c")).otherwise(0L)).as("c1000"))
+      sum(col("c")).as("c1000"))
+    val wide = heads.crossJoin(broadcast(globals))
     wide.select(explode(array(
         struct(lit(10L).as("k"), col("c10").as("covered")),
         struct(lit(100L).as("k"), col("c100").as("covered")),

@@ -231,6 +231,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(ood.contains("TakeOrderedAndProject"), ood)
   }
 
+  test("q_vocab_coverage ranks through the bounded heap, not a vocabulary-wide window") {
+    // only ranks <= 1000 are consumed: the type table must route through
+    // the native TopKPerKey single-group heap — an unpartitioned
+    // row_number window here is a one-partition funnel over the whole
+    // vocabulary (10^8-10^9 types on a real multilingual corpus)
+    val plan = planOf(graft.text.TextOps.qVocabCoverage(spark, dir))
+    assert(plan.contains("TopK"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("crack scan is a single whole-stage-codegen'd Range→Project→Filter") {
     val df = graft.crack.CrackQuery.matches(spark,
       "81fe8bfe87576c3ecb22426f8e57847382917acf", 4)
