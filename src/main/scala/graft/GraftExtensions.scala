@@ -271,7 +271,134 @@ object GraftExtensions {
         if (args.length == 2) posIntArg("crack_candidates", args(1)) else 32
       val (range, id) = keyspaceRange(len, par)
       logical.Project(Seq(Alias(NumToPass(id, Literal(len)), "pass")()), range)
+    },
+    // -- pipeline-library table functions: the SQL front door to the
+    // dedup / ANN / text operators (a user with only a SQL client gets
+    // the same plans the Scala builders produce). Each builder renders a
+    // SQL template over a caller-supplied table identifier and parses it
+    // with the session-FREE CatalystSqlParser — the resulting unresolved
+    // subtree resolves inside the host query's own analyzer run, so the
+    // builders carry no SparkSession dependency (the crack() contract
+    // above). Templates use nested subqueries, never CTEs: analyzer
+    // CTE substitution runs BEFORE table-function resolution, so a WITH
+    // clause inside a substituted subtree would never be rewritten. --
+    "dedup_exact" -> { args: Seq[Expression] =>
+      arity("dedup_exact", 1, args)
+      val tbl = tableIdent("dedup_exact", args(0))
+      parseTemplate(
+        s"""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           |  count(1) AS n_copies
+           |FROM $tbl GROUP BY md5(text) HAVING count(1) > 1""".stripMargin)
+    },
+    "dedup_pairs" -> { args: Seq[Expression] =>
+      // dedup_pairs(tbl[, num_hashes, bands, threshold_ppm]): MinHash
+      // signatures -> banded bucket equi-join candidates -> exact-Jaccard
+      // verification, identical to Dedup.qMinhashLshPairs (same native
+      // shingle_set/minhash_sig/xxhash64 kernels, so results match the
+      // Scala builder bit-for-bit; SqlSurfaceSpec pins it)
+      if (args.isEmpty || args.length > 4)
+        throw new IllegalArgumentException(
+          s"dedup_pairs expects (tbl[, num_hashes, bands, threshold_ppm]), got ${args.length} argument(s)")
+      val tbl = tableIdent("dedup_pairs", args(0))
+      val nh = if (args.length >= 2) posIntArg("dedup_pairs", args(1)) else 32
+      val bands = if (args.length >= 3) posIntArg("dedup_pairs", args(2)) else 8
+      val thrPpm =
+        if (args.length >= 4) posIntArg("dedup_pairs", args(3)) else 500000
+      if (nh % bands != 0)
+        throw new IllegalArgumentException(
+          s"dedup_pairs: num_hashes ($nh) must be divisible by bands ($bands)")
+      val rpb = nh / bands
+      val thr = thrPpm / 1e6
+      val banded =
+        s"""SELECT doc_id, band, bucket FROM (
+           |  SELECT doc_id, minhash_sig(shingle_set(text, 4), $nh) AS sig
+           |  FROM $tbl) s
+           |LATERAL VIEW posexplode(transform(sequence(0, ${bands - 1}),
+           |  b -> xxhash64(b, slice(sig, b * $rpb + 1, $rpb)))) t AS band, bucket""".stripMargin
+      parseTemplate(
+        s"""SELECT d1, d2, round(jaccard, 6) AS jaccard FROM (
+           |  SELECT c.d1, c.d2,
+           |    CAST(size(array_intersect(s1.sh_arr, s2.sh_arr)) AS DOUBLE) /
+           |      (size(s1.sh_arr) + size(s2.sh_arr)
+           |        - size(array_intersect(s1.sh_arr, s2.sh_arr))) AS jaccard
+           |  FROM (
+           |    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           |    FROM ($banded) a JOIN ($banded) b
+           |      ON a.band = b.band AND a.bucket = b.bucket
+           |        AND a.doc_id < b.doc_id) c
+           |  JOIN (SELECT doc_id, shingle_set(text, 4) AS sh_arr FROM $tbl) s1
+           |    ON s1.doc_id = c.d1
+           |  JOIN (SELECT doc_id, shingle_set(text, 4) AS sh_arr FROM $tbl) s2
+           |    ON s2.doc_id = c.d2) v
+           |WHERE jaccard >= $thr""".stripMargin)
+    },
+    "ann_topk" -> { args: Seq[Expression] =>
+      // ann_topk(tbl[, n_queries, k]): exact brute-force cosine top-k for
+      // query vectors vec_id < n_queries, identical to
+      // Similarity.qAnnBruteForce (rank by rounded sim with id tiebreak;
+      // the rank window rewrites to the native TopK heap when the
+      // TopKRewriteRule is installed — e.g. under the extensions conf)
+      if (args.isEmpty || args.length > 3)
+        throw new IllegalArgumentException(
+          s"ann_topk expects (tbl[, n_queries, k]), got ${args.length} argument(s)")
+      val tbl = tableIdent("ann_topk", args(0))
+      val nq = if (args.length >= 2) posIntArg("ann_topk", args(1)) else 20
+      val k = if (args.length >= 3) posIntArg("ann_topk", args(2)) else 5
+      val normed =
+        s"""SELECT vec_id, embedding,
+           |  sqrt(vec_dot(embedding, embedding)) AS norm FROM $tbl""".stripMargin
+      parseTemplate(
+        s"""SELECT qid, nid, sim, rnk FROM (
+           |  SELECT qid, nid, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+           |  FROM (
+           |    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |      round(vec_dot(q.embedding, c.embedding)
+           |        / (q.norm * c.norm), 6) AS sim
+           |    FROM ($normed) q JOIN ($normed) c
+           |      ON q.vec_id < $nq AND q.vec_id <> c.vec_id) scored) ranked
+           |WHERE rnk <= $k""".stripMargin)
+    },
+    "text_stats" -> { args: Seq[Expression] =>
+      // text_stats(tbl): per-language corpus stats ≡ TextOps.qTextStatsByLang
+      arity("text_stats", 1, args)
+      val tbl = tableIdent("text_stats", args(0))
+      parseTemplate(
+        s"""SELECT lang, count(1) AS n_docs, sum(n_chars) AS total_chars,
+           |  sum(size(split(text, ' '))) AS total_tokens,
+           |  round(CAST(sum(n_chars) AS DOUBLE) / count(1), 4) AS avg_chars
+           |FROM $tbl GROUP BY lang""".stripMargin)
+    },
+    "token_stats" -> { args: Seq[Expression] =>
+      // token_stats(tbl): per-doc whitespace + regex-word token counts
+      // ≡ TextOps.qTokenCount
+      arity("token_stats", 1, args)
+      val tbl = tableIdent("token_stats", args(0))
+      parseTemplate(
+        s"""SELECT doc_id,
+           |  CAST(size(split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+           |  CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)) AS BIGINT)
+           |    AS n_tokens_re,
+           |  n_chars
+           |FROM $tbl""".stripMargin)
     })
+
+  /** Parse a rendered SQL template into an unresolved logical plan
+    * (session-free; resolution happens in the host query's analyzer). */
+  private def parseTemplate(sql: String): logical.LogicalPlan =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+
+  /** A foldable string argument that must be a plain (optionally
+    * dot-qualified) table identifier — the template splice is an
+    * IDENTIFIER position, so anything else is rejected outright rather
+    * than risking SQL injection through the table-function front door. */
+  private def tableIdent(name: String, e: Expression): String = {
+    val s = stringArg(name, e)
+    require(s.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"),
+      s"$name requires a plain table identifier, got '$s'")
+    s
+  }
 
   /** Full-domain ordinal Range leaf for `[a-z]^len` plus its `id`
     * attribute — the logical-plan form of `CrackQuery.candidates`. */

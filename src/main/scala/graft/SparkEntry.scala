@@ -39,6 +39,13 @@ object SparkEntry {
     "q_crack_chunked" -> (CrackQueries.qCrackChunked _),
     "q_crack_multilen" -> (CrackQueries.qCrackMultiLen _),
     "q_crack_sql" -> (CrackQueries.qCrackSql _),
+    // pipeline-library SQL table functions (pure-SQL twins of the
+    // dedup/ANN/text operators; same kernels, same oracles)
+    "q_dedup_sql" -> (graft.relational.SqlSurfaceQueries.qDedupSql _),
+    "q_dedup_exact_sql" -> (graft.relational.SqlSurfaceQueries.qDedupExactSql _),
+    "q_ann_sql" -> (graft.relational.SqlSurfaceQueries.qAnnSql _),
+    "q_text_stats_sql" -> (graft.relational.SqlSurfaceQueries.qTextStatsSql _),
+    "q_token_stats_sql" -> (graft.relational.SqlSurfaceQueries.qTokenStatsSql _),
     "q_keyspace_roundtrip" -> (CrackQueries.qKeyspaceRoundtrip _),
     "q_keyspace_tile" -> (CrackQueries.qKeyspaceTile _),
     // -- relational surface (SURVEY §2.4-§2.9 generalization) --
@@ -3007,6 +3014,24 @@ object SparkEntry {
     "q_crack_len5" -> "SELECT 'hello' AS pass",
     "q_crack_chunked" -> "SELECT 'abcd' AS pass",
     "q_crack_sql" -> "SELECT 'abcd' AS pass",
+    // SQL-front-door twins share their Scala twin's oracle verbatim:
+    // the table function and the Scala builder are pinned equal by
+    // SqlSurfaceSpec, so one oracle covers both
+    "q_dedup_sql" -> exactJaccardSql,
+    "q_dedup_exact_sql" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "q_ann_sql" -> annTopKSql(5),
+    "q_text_stats_sql" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_stats_sql" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
+        |  n_chars
+        |FROM documents""".stripMargin,
     "q_crack_multilen" -> "SELECT * FROM (VALUES (2, 'ab')) t(len, pass)",
     "q_crack_multi" ->
       """SELECT * FROM (VALUES

@@ -1,0 +1,45 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver-contract entries for the pipeline-library SQL table functions
+  * ([[graft.GraftExtensions.tableBuilders]]): each query reaches its
+  * operator purely through the SQL front door — temp view + table
+  * function — and must hash-match the same DuckDB oracle as its Scala
+  * twin (same kernels, same determinism envelope). Registration is
+  * idempotent, so the queries are self-contained on any session (the
+  * qCrackSql pattern). */
+object SqlSurfaceQueries {
+
+  private def view(
+      spark: SparkSession, dir: String, table: String): String = {
+    graft.functions.registerAll(spark)
+    val name = s"graft_sql_$table"
+    Tables.load(spark, dir, table).createOrReplaceTempView(name)
+    name
+  }
+
+  /** MinHash+LSH near-dup pairs via `dedup_pairs()` (SQL twin of
+    * q_minhash_lsh). */
+  def qDedupSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM dedup_pairs('${view(spark, dir, "documents")}')")
+
+  /** Exact dup groups via `dedup_exact()` (SQL twin of q_dedup_exact). */
+  def qDedupExactSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM dedup_exact('${view(spark, dir, "documents")}')")
+
+  /** Brute-force cosine top-k via `ann_topk()` (SQL twin of
+    * q_ann_bruteforce). */
+  def qAnnSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM ann_topk('${view(spark, dir, "embeddings")}')")
+
+  /** Per-language corpus stats via `text_stats()` (SQL twin of
+    * q_text_stats_by_lang). */
+  def qTextStatsSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM text_stats('${view(spark, dir, "documents")}')")
+
+  /** Per-doc token counts via `token_stats()` (SQL twin of
+    * q_token_count). */
+  def qTokenStatsSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM token_stats('${view(spark, dir, "documents")}')")
+}

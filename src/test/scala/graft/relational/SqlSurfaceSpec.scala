@@ -1,0 +1,104 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** The pipeline library's SQL table-function front door: each function
+  * must return EXACTLY what its Scala builder returns (same kernels, same
+  * determinism contract), compose like any relation, and keep the Scala
+  * twin's plan shape (banded candidates stay an equi-join in pure SQL).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def viewsReady(): Unit = {
+    graft.functions.registerAll(spark)
+    Tables.load(spark, dir, "documents")
+      .createOrReplaceTempView("sqlsurface_documents")
+    Tables.load(spark, dir, "embeddings")
+      .createOrReplaceTempView("sqlsurface_embeddings")
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("dedup_exact(tbl) == Dedup.qDedupExact") {
+    viewsReady()
+    val sql = spark.sql("SELECT * FROM dedup_exact('sqlsurface_documents')")
+    val scala = graft.dedup.Dedup.qDedupExact(spark, dir)
+    assert(sql.columns.toSeq === scala.columns.toSeq)
+    assert(sortedRows(sql) === sortedRows(scala))
+  }
+
+  test("dedup_pairs(tbl) == Dedup.qMinhashLshPairs, candidates stay equi-joined") {
+    viewsReady()
+    val sql = spark.sql("SELECT * FROM dedup_pairs('sqlsurface_documents')")
+    val scala = graft.dedup.Dedup.qMinhashLshPairs(spark, dir)
+    assert(sql.columns.toSeq === scala.columns.toSeq)
+    assert(sortedRows(sql) === sortedRows(scala))
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // non-default banding parameters parse and run
+    val custom = spark.sql(
+      "SELECT * FROM dedup_pairs('sqlsurface_documents', 16, 4, 400000)")
+    assert(custom.columns.toSeq === Seq("d1", "d2", "jaccard"))
+    assert(custom.count() >= sql.count()) // looser threshold, coarser bands
+  }
+
+  test("ann_topk(tbl) == Similarity.qAnnBruteForce") {
+    viewsReady()
+    val sql = spark.sql("SELECT * FROM ann_topk('sqlsurface_embeddings')")
+    val scala = graft.similarity.Similarity.qAnnBruteForce(spark, dir)
+    assert(sql.columns.toSeq === scala.columns.toSeq)
+    assert(sortedRows(sql) === sortedRows(scala))
+    // explicit (n_queries, k)
+    val k3 = spark.sql(
+      "SELECT * FROM ann_topk('sqlsurface_embeddings', 10, 3)")
+    assert(k3.groupBy("qid").count().collect().forall(_.getLong(1) === 3L))
+  }
+
+  test("text_stats / token_stats == their Scala builders") {
+    viewsReady()
+    val ts = spark.sql("SELECT * FROM text_stats('sqlsurface_documents')")
+    val tsScala = graft.text.TextOps.qTextStatsByLang(spark, dir)
+    assert(ts.columns.toSeq === tsScala.columns.toSeq)
+    assert(sortedRows(ts) === sortedRows(tsScala))
+    val tok = spark.sql("SELECT * FROM token_stats('sqlsurface_documents')")
+    val tokScala = graft.text.TextOps.qTokenCount(spark, dir)
+    assert(tok.columns.toSeq === tokScala.columns.toSeq)
+    assert(sortedRows(tok) === sortedRows(tokScala))
+  }
+
+  test("table functions compose: join, aggregate, nest in subqueries") {
+    viewsReady()
+    // aggregate over a table function
+    val n = spark.sql(
+      """SELECT count(1) AS n FROM dedup_exact('sqlsurface_documents')""")
+      .collect()(0).getLong(0)
+    assert(n === graft.dedup.Dedup.qDedupExact(spark, dir).count())
+    // join a table function against a base table
+    val joined = spark.sql(
+      """SELECT t.lang, s.n_docs FROM text_stats('sqlsurface_documents') s
+        |JOIN (SELECT DISTINCT lang FROM sqlsurface_documents) t
+        |  ON s.lang = t.lang""".stripMargin)
+    assert(joined.count() === spark.sql(
+      "SELECT DISTINCT lang FROM sqlsurface_documents").count())
+  }
+
+  test("bad arguments are rejected: injection, arity, divisibility") {
+    viewsReady()
+    // a non-identifier table argument must be rejected, not spliced
+    val inj = intercept[Exception](spark.sql(
+      "SELECT * FROM dedup_exact('sqlsurface_documents WHERE 1=0 --')").collect())
+    assert(inj.getMessage.contains("table identifier"), inj.getMessage)
+    val arity = intercept[Exception](spark.sql(
+      "SELECT * FROM text_stats('a', 'b')").collect())
+    assert(arity.getMessage.contains("argument"), arity.getMessage)
+    val div = intercept[Exception](spark.sql(
+      "SELECT * FROM dedup_pairs('sqlsurface_documents', 32, 7)").collect())
+    assert(div.getMessage.contains("divisible"), div.getMessage)
+  }
+}
