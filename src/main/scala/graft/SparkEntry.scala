@@ -1971,6 +1971,63 @@ object SparkEntry {
        |        GROUP BY 1, 2
        |        HAVING count(*) >= ${graft.graph.GraphOps.CopurchaseMinSupport})""".stripMargin
 
+  /** q_mst oracle: Borůvka unrolled round-by-round (the q_bfs_dist /
+    * kCore pattern), exact because the (w, u, v) total order makes edge
+    * keys distinct, so the minimum spanning forest is UNIQUE — Kruskal
+    * (the Spark side's local gate), distributed Borůvka contraction (its
+    * scale path) and this unroll all land on the same edge set.
+    *
+    * Per round: every component picks its lightest outgoing edge under
+    * (w, u, v); the picks form a functional pointer graph over component
+    * ids whose only cycles are 2-cycles (a longer cycle would need a
+    * strictly-decreasing closed key walk). Contraction labels each
+    * component by the canonical root (smaller id) of the 2-cycle its
+    * pointer path terminates in — a recursive-CTE walk that stays tiny
+    * because keys strictly decrease along the path. Converged rounds are
+    * identities, so the fixed unroll equals the fixpoint (components at
+    * least halve per round; 2^16 covers any fixture SF). */
+  private lazy val mstSql: String = {
+    val rounds = 16
+    val head =
+      s"""${copurchaseCte.replace("WITH li", "WITH RECURSIVE li")},
+         |edges AS MATERIALIZED (SELECT u, v,
+         |    CAST(1000000 // support AS BIGINT) AS w, support FROM und),
+         |c0 AS MATERIALIZED (SELECT node, node AS c FROM
+         |  (SELECT u AS node FROM edges UNION SELECT v FROM edges))""".stripMargin
+    val loop = (1 to rounds).map { i =>
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT cu.c AS ca, cv.c AS cb, e.u, e.v, e.w
+         |  FROM edges e JOIN c${i - 1} cu ON e.u = cu.node
+         |    JOIN c${i - 1} cv ON e.v = cv.node
+         |  WHERE cu.c <> cv.c),
+         |pick$i AS MATERIALIZED (
+         |  SELECT c, other, u, v, w FROM (
+         |    SELECT ca AS c, cb AS other, u, v, w FROM cand$i
+         |    UNION ALL SELECT cb, ca, u, v, w FROM cand$i) d$i
+         |  QUALIFY row_number() OVER (PARTITION BY c ORDER BY w, u, v) = 1),
+         |root$i AS MATERIALIZED (
+         |  SELECT p.c AS r FROM pick$i p JOIN pick$i q ON p.other = q.c
+         |  WHERE q.other = p.c AND p.c < p.other),
+         |reach$i(c, x) AS (
+         |  SELECT c, c FROM pick$i
+         |  UNION
+         |  SELECT r.c, p.other FROM reach$i r JOIN pick$i p ON r.x = p.c),
+         |c$i AS MATERIALIZED (
+         |  SELECT n.node, coalesce(rt.newc, n.c) AS c
+         |  FROM c${i - 1} n LEFT JOIN (
+         |    SELECT r.c, min(r.x) AS newc FROM reach$i r
+         |    SEMI JOIN root$i t ON r.x = t.r GROUP BY r.c) rt
+         |  ON n.c = rt.c)""".stripMargin
+    }.mkString(",\n")
+    val allPicks = (1 to rounds)
+      .map(i => s"SELECT u, v, w FROM pick$i").mkString(" UNION ALL ")
+    s"""$head,
+       |$loop
+       |SELECT f.u, f.v, f.w AS dist, e.support
+       |FROM (SELECT DISTINCT u, v, w FROM ($allPicks)) f
+       |JOIN edges e ON f.u = e.u AND f.v = e.v""".stripMargin
+  }
+
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
   /** Shared IVF training prefix (Forgy seed + one fixed-point Lloyd
     * round over the full embedding corpus, 16 cells): ends at `c1`, the
@@ -6129,6 +6186,7 @@ object SparkEntry {
         |FROM inter JOIN tot t1 ON d1 = t1.doc_id JOIN tot t2 ON d2 = t2.doc_id
         |WHERE 2 * inter_w >= t1.tot + t2.tot - inter_w""".stripMargin,
     "q_kcore" -> kCoreSql,
+    "q_mst" -> mstSql,
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),
     // reuses tradeGraphCte's degree-annotated arc relation `e` — the
