@@ -124,6 +124,10 @@ object SparkEntry {
     // self-join size / F2 moment via the count-min inner product
     // (4 KB of mergeable state vs the full key histogram)
     "q_f2_moment" -> (Sketches.qF2Moment _),
+    // dyadic count-min quantiles: the order-free mergeable quantile
+    // sketch (fixed counter table, unbounded domain) + exact twin
+    "q_dyadic_quantiles" -> ((s: SparkSession, d: String) =>
+      Sketches.qDyadicQuantiles(s, d)),
     // co-located fact⋈fact over bucketed copies: zero join-side shuffle
     "q_bucket_join" -> (Bucketed.qBucketJoin _),
     "q_part_brand_stats" -> (RelationalQueries.qPartBrandStats _),
@@ -1970,6 +1974,68 @@ object SparkEntry {
        |          AND a.l_partkey < b.l_partkey
        |        GROUP BY 1, 2
        |        HAVING count(*) >= ${graft.graph.GraphOps.CopurchaseMinSupport})""".stripMargin
+
+  /** q_dyadic_quantiles oracle: rebuild the dyadic count-min counter
+    * table with the same md5 bucketing, then unroll the top-down trie
+    * walk one level per CTE pair (probe the d counters of the candidate
+    * node, take bit j when rank + est stays below the target). The
+    * Spark side's driver walk and this unroll read the same additive
+    * counters, so the match is bit-exact. */
+  private def dyadicQuantilesSql(levels: Int, d: Int, w: Int): String = {
+    val is = (0 until d).mkString(", ")
+    val steps = (0 until levels).reverse.map { j =>
+      s"""p$j AS MATERIALIZED (
+         |  SELECT wk.event_type, wk.q, wk.tgt, wk.v, wk.r,
+         |    min(coalesce(c.cnt, 0)) AS est
+         |  FROM w${j + 1} wk
+         |  CROSS JOIN (SELECT unnest([$is]) AS i) ri
+         |  LEFT JOIN counters c ON c.event_type = wk.event_type
+         |    AND c.i = ri.i AND c.j = $j
+         |    AND c.bucket = ('0x' || substring(md5('dq' || ri.i || ':' ||
+         |      $j || ':' || (wk.v >> $j)), 1, 5))::UBIGINT % $w
+         |  GROUP BY 1, 2, 3, 4, 5),
+         |w$j AS MATERIALIZED (
+         |  SELECT event_type, q, tgt,
+         |    CASE WHEN r + est < tgt THEN v + (1::BIGINT << $j) ELSE v END AS v,
+         |    CASE WHEN r + est < tgt THEN r + est ELSE r END AS r
+         |  FROM p$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (SELECT event_type,
+       |    least(CAST(floor(value * 100 + 0.5) AS BIGINT),
+       |      (1::BIGINT << $levels) - 1) AS cents FROM events),
+       |nodes AS (SELECT event_type, j, cents >> j AS nb FROM ev
+       |  CROSS JOIN (SELECT unnest(range($levels)) AS j)),
+       |st AS (SELECT event_type, i, j,
+       |    ('0x' || substring(md5('dq' || i || ':' || j || ':' || nb),
+       |      1, 5))::UBIGINT % $w AS bucket
+       |  FROM nodes CROSS JOIN (SELECT unnest([$is]) AS i)),
+       |counters AS MATERIALIZED (SELECT event_type, i, j, bucket,
+       |    CAST(count(*) AS BIGINT) AS cnt FROM st GROUP BY 1, 2, 3, 4),
+       |tg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev
+       |  GROUP BY 1),
+       |w$levels AS (SELECT event_type, q, tgt,
+       |    CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS r
+       |  FROM (SELECT event_type, 'p50' AS q, (n + 1) // 2 AS tgt FROM tg
+       |        UNION ALL
+       |        SELECT event_type, 'p95', (19 * n + 19) // 20 FROM tg)),
+       |$steps,
+       |walked AS (SELECT event_type,
+       |    max(CASE WHEN q = 'p50' THEN v END) AS p50_est,
+       |    max(CASE WHEN q = 'p95' THEN v END) AS p95_est
+       |  FROM w0 GROUP BY 1),
+       |cumh AS (SELECT event_type, cents,
+       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+       |    sum(cnt) OVER (PARTITION BY event_type) AS n
+       |  FROM (SELECT event_type, cents, count(*) AS cnt FROM ev
+       |        GROUP BY 1, 2)),
+       |exact AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       |    min(CASE WHEN cum * 2 >= n THEN cents END) AS p50_cents,
+       |    min(CASE WHEN cum * 20 >= n * 19 THEN cents END) AS p95_cents
+       |  FROM cumh GROUP BY 1)
+       |SELECT e.event_type, e.n, e.p50_cents, k.p50_est,
+       |  e.p95_cents, k.p95_est
+       |FROM exact e JOIN walked k USING (event_type)""".stripMargin
+  }
 
   /** q_mst oracle: Borůvka unrolled round-by-round (the q_bfs_dist /
     * kCore pattern), exact because the (w, u, v) total order makes edge
@@ -3935,6 +4001,7 @@ object SparkEntry {
         |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
         |    AS ewma_cents
         |FROM s""".stripMargin,
+    "q_dyadic_quantiles" -> dyadicQuantilesSql(24, 3, 512),
     "q_f2_moment" -> {
       val rows = (0 until 5).map { i =>
         s"""SELECT cnt,

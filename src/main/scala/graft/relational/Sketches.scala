@@ -262,4 +262,109 @@ object Sketches {
       .groupBy("tok", "n_exact")
       .agg(min("cnt").as("n_cms"))
   }
+
+  /** `conv(substring(md5(s), 1, 5), 16, 10) % width` replayed in the
+    * JVM — the one hash both engines and the driver-side quantile walk
+    * must agree on. */
+  private[graft] def md5Bucket5(s: String, width: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 5), 16) % width
+  }
+
+  /** Mergeable quantile sketch over an UNBOUNDED integer domain — the
+    * missing sibling of the HLL/count-min/AMS/KMV family. The repo's
+    * exact quantiles all rank-select over the distinct-VALUE histogram,
+    * which needs that histogram to exist; this operator's state is a
+    * fixed `levels × d × w` table of dyadic count-min counters (Cormode
+    * & Muthukrishnan 2005 §4 range queries), independent of both row
+    * count and value cardinality.
+    *
+    * Construction: each value v contributes one count to its dyadic
+    * ancestor node `(j, v >> j)` per level j; each node is count-min
+    * hashed (d md5-salted rows × w buckets). est_rank(x) sums the CM
+    * estimates of the ≤`levels` dyadic nodes tiling [0, x), and the
+    * α-quantile walks the implicit binary trie top-down, taking bit j
+    * when the rank accumulated so far stays below the target. All state
+    * is ADDITIVE — order-free, partition-free, mergeable by `+` — so
+    * unlike KLL (whose compaction depends on arrival order) the sketch
+    * is a pure function of the multiset and a DuckDB replay is
+    * bit-identical (SketchQuantileSpec pins partitioning-invariance and
+    * the one-sided rank error; the oracle unrolls the same walk).
+    *
+    * Scale shape: the stacked node stream map-side combines into
+    * ≤ types·d·levels·w counter rows before the one exchange; the
+    * collected counter table is a fixed-size published model (the
+    * qHeavyHitters broadcast-artifact shape) and the trie walk reads
+    * only `levels·d` counters per quantile. Count-min never
+    * undercounts, so est_rank ≥ true rank and the estimate can only sit
+    * at-or-below the exact quantile — the spec pins that direction. */
+  def qDyadicQuantiles(
+      spark: SparkSession, dir: String,
+      levels: Int = 24, d: Int = 3, width: Int = 512): DataFrame = {
+    val cap = (1L << levels) - 1
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"),
+        least(floor(col("value") * 100 + 0.5).cast("long"), lit(cap))
+          .as("cents"))
+    // one dyadic node per (row, level): (j, cents >> j), then d salted
+    // CM buckets per node; counts aggregate map-side into the bounded
+    // counter table
+    val nodes = ev.select(col("event_type"),
+      posexplode(array((0 until levels).map(j =>
+        shiftright(col("cents"), j)): _*)).as(Seq("j", "nb")))
+    def cmBucket(i: Int): Column =
+      conv(substring(md5(concat(lit(s"dq$i:"), col("j").cast("string"),
+        lit(":"), col("nb").cast("string"))), 1, 5), 16, 10)
+        .cast("bigint") % width
+    val stacked = nodes
+      .select(Seq(col("event_type"), col("j")) ++
+        (0 until d).map(i => cmBucket(i).as(s"b$i")): _*)
+      .selectExpr("event_type", "j",
+        s"stack($d, ${(0 until d).map(i => s"$i, b$i").mkString(", ")}) as (i, bucket)")
+    val counters = stacked.groupBy("event_type", "i", "j", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+
+    // model-publish: the fixed-size counter table collects driver-side
+    // and the trie walk runs there (levels·d lookups per quantile)
+    val cmap = counters.collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)) ->
+        r.getLong(4)).toMap
+    val ns = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def est(t: String, j: Int, nb: Long): Long =
+      (0 until d).iterator.map(i => cmap.getOrElse(
+        (t, i, j, md5Bucket5(s"dq$i:$j:$nb", width)), 0L)).min
+    def quantile(t: String, target: Long): Long = {
+      var v = 0L
+      var r = 0L
+      var j = levels - 1
+      while (j >= 0) {
+        val c = est(t, j, v >> j)
+        if (r + c < target) { v |= 1L << j; r += c }
+        j -= 1
+      }
+      v
+    }
+    import spark.implicits._
+    val ests = ns.toSeq.sortBy(_._1).map { case (t, n) =>
+      (t, quantile(t, (n + 1) / 2), quantile(t, (19 * n + 19) / 20))
+    }.toDF("event_type", "p50_est", "p95_est")
+
+    // exact side for comparison: rank-select over the distinct-value
+    // histogram (the qKmvQuantiles discipline)
+    val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy("cents")
+    val exact = hist.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("cum") * 2 >= col("n"), col("cents"))).as("p50_cents"),
+        min(when(col("cum") * 20 >= col("n") * 19, col("cents")))
+          .as("p95_cents"))
+    exact.join(broadcast(ests), "event_type")
+      .select("event_type", "n", "p50_cents", "p50_est",
+        "p95_cents", "p95_est")
+  }
 }

@@ -132,6 +132,100 @@ object StreamingSketch {
         GroupStateTimeout.NoTimeout())(updateBottomK(k))
   }
 
+  // ---- dyadic count-min quantile twin -----------------------------------
+
+  final case class DyadicState(counters: Map[Long, Long], n: Long)
+  final case class DyadicEst(
+      eventType: String, n: Long, p50Est: Long, p95Est: Long)
+
+  private val DqLevels = 24
+  private val DqRows = 3
+  private val DqWidth = 512
+
+  /** (i, j, bucket) packed into one map key. */
+  private[graft] def dqKey(i: Int, j: Int, bucket: Long): Long =
+    (i.toLong * DqLevels + j) * DqWidth + bucket
+
+  private def dqEst(counters: Map[Long, Long], j: Int, nb: Long): Long = {
+    var c = Long.MaxValue
+    var i = 0
+    while (i < DqRows) {
+      val cnt = counters.getOrElse(dqKey(i, j,
+        graft.relational.Sketches.md5Bucket5(s"dq$i:$j:$nb", DqWidth)), 0L)
+      if (cnt < c) c = cnt
+      i += 1
+    }
+    c
+  }
+
+  /** The batch operator's top-down trie walk
+    * ([[graft.relational.Sketches.qDyadicQuantiles]]), on the streaming
+    * counter state. */
+  private[graft] def dqQuantile(
+      counters: Map[Long, Long], target: Long): Long = {
+    var v = 0L
+    var r = 0L
+    var j = DqLevels - 1
+    while (j >= 0) {
+      val c = dqEst(counters, j, v >> j)
+      if (r + c < target) { v |= 1L << j; r += c }
+      j -= 1
+    }
+    v
+  }
+
+  /** Dyadic count-min counters folded online: every update is a counter
+    * INCREMENT, so like the HLL registers (max) and KMV bottom-k (min-k)
+    * the state is an order-free function of the rows seen — any batch
+    * split or arrival order lands on the byte-identical counter map, and
+    * the per-batch estimates equal the batch operator's est columns
+    * exactly (SketchQuantileSpec pins it). State is capped at
+    * `d·levels·w` entries per key BY CONSTRUCTION (36,864 counters) no
+    * matter how many rows or distinct values stream through — the
+    * bounded-state property the residual-histogram conformal twin has
+    * to bucket to get. */
+  private def updateDyadic(
+      eventType: String,
+      events: Iterator[ValueRow],
+      state: GroupState[DyadicState]): Iterator[DyadicEst] = {
+    val s = state.getOption.getOrElse(DyadicState(Map.empty, 0L))
+    var counters = s.counters
+    var n = s.n
+    val cap = (1L << DqLevels) - 1
+    events.foreach { e =>
+      val cents = math.min(e.cents, cap)
+      var j = 0
+      while (j < DqLevels) {
+        val nb = cents >> j
+        var i = 0
+        while (i < DqRows) {
+          val k = dqKey(i, j,
+            graft.relational.Sketches.md5Bucket5(s"dq$i:$j:$nb", DqWidth))
+          counters = counters.updated(k, counters.getOrElse(k, 0L) + 1L)
+          i += 1
+        }
+        j += 1
+      }
+      n += 1
+    }
+    state.update(DyadicState(counters, n))
+    Iterator.single(DyadicEst(eventType, n,
+      dqQuantile(counters, (n + 1) / 2),
+      dqQuantile(counters, (19 * n + 19) / 20)))
+  }
+
+  /** Update-mode per-key dyadic-CM quantile estimates from the bounded
+    * counter state — the unbounded-domain sibling of [[quantiles]]
+    * (KMV needs distinct-heavy ids; this needs nothing). */
+  def dyadicQuantiles(events: Dataset[ValueRow]): Dataset[DyadicEst] = {
+    implicit val stEnc = Encoders.product[DyadicState]
+    implicit val qEnc = Encoders.product[DyadicEst]
+    events
+      .groupByKey(_.eventType)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateDyadic)
+  }
+
   // ---- space-saving heavy-hitters twin ---------------------------------
 
   final case class ItemRow(key: String, item: Long)
