@@ -1229,7 +1229,8 @@ object SparkEntry {
       }.mkString(" + ")
       s"""SELECT '$c' AS channel,
          |  (SELECT pv FROM pv${tagOf(ch.toSet)}) AS v_full_ppm,
-         |  CAST($terms AS BIGINT) AS phi_x${kFact}_ppm,
+         |  CAST($kFact AS BIGINT) AS k_factorial,
+         |  CAST($terms AS BIGINT) AS phi_xkf_ppm,
          |  CAST(($terms) // $kFact AS BIGINT) AS phi_ppm""".stripMargin
     }.mkString("\nUNION ALL ")
     s"""WITH $markovModelCtes,

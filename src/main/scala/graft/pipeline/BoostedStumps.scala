@@ -69,7 +69,8 @@ object BoostedStumps {
     } yield (fe, mn + (mx - mn) * i / 8)
     var cur = train.withColumn("r", col("y"))
     val out = scala.collection.mutable.Buffer[Stump]()
-    for (_ <- 1 to rounds) {
+    var exhausted = false
+    for (_ <- 1 to rounds if !exhausted) {
       val aggs = cands.flatMap { case (fe, th) =>
         Seq(
           sum(when(col(fe) <= th, 1L).otherwise(0L))
@@ -80,7 +81,7 @@ object BoostedStumps {
       val row = cur.agg(aggs.head, aggs.tail: _*).collect().head
       val nAll = row.getAs[Long]("n_all")
       val sAll = row.getAs[Long]("s_all")
-      val best = cands.flatMap { case (fe, th) =>
+      val splits = cands.flatMap { case (fe, th) =>
         val nl = row.getAs[Long](s"n_${fe}_$th")
         val sl = row.getAs[Long](s"s_${fe}_$th")
         if (nl == 0 || nl == nAll) None
@@ -89,27 +90,35 @@ object BoostedStumps {
           val num = BigInt(sl) * nr - BigInt(sr) * nl
           Some((fe, th, nl, sl, nr, sr, num * num, BigInt(nl) * nr))
         }
-      }.reduceLeft { (a, c) =>
-        // a beats c iff gain(a) > gain(c), tiebreak (feature, th) asc
-        val cmp = a._7 * c._8 - c._7 * a._8
-        if (cmp > 0 || (cmp == 0 &&
-          (a._1 < c._1 || (a._1 == c._1 && a._2 <= c._2)))) a
-        else c
       }
-      val (fe, th, nl, sl, _, sr, _, _) = best
-      val (dl, dr) = (sl / nl, sr / (nAll - nl))
-      cur = cur.withColumn("r",
-        col("r") - when(col(fe) <= th, dl).otherwise(dr))
-      val absResid = cur.agg(sum(abs(col("r")))).as[Long].collect().head
-      out += Stump(fe, th, nl, dl, dr, absResid)
+      // every grid candidate degenerate (constant features, or a CV
+      // training slice too small to straddle any threshold): there is
+      // no split to make — stop boosting instead of reduceLeft-throwing
+      if (splits.isEmpty) exhausted = true
+      else {
+        val best = splits.reduceLeft { (a, c) =>
+          // a beats c iff gain(a) > gain(c), tiebreak (feature, th) asc
+          val cmp = a._7 * c._8 - c._7 * a._8
+          if (cmp > 0 || (cmp == 0 &&
+            (a._1 < c._1 || (a._1 == c._1 && a._2 <= c._2)))) a
+          else c
+        }
+        val (fe, th, nl, sl, _, sr, _, _) = best
+        val (dl, dr) = (sl / nl, sr / (nAll - nl))
+        cur = cur.withColumn("r",
+          col("r") - when(col(fe) <= th, dl).otherwise(dr))
+        val absResid = cur.agg(sum(abs(col("r")))).as[Long].collect().head
+        out += Stump(fe, th, nl, dl, dr, absResid)
+      }
     }
     out.toSeq
   }
 
-  /** Sum of leaf contributions — the model's prediction column. */
+  /** Sum of leaf contributions — the model's prediction column (a
+    * zero-stump model predicts 0, the boosting identity). */
   private[pipeline] def predict(model: Seq[Stump]): Column =
     model.map(m => when(col(m.fe) <= m.th, m.dl).otherwise(m.dr))
-      .reduce(_ + _)
+      .foldLeft(lit(0L))(_ + _)
 
   def qBoostedStumps(
       spark: SparkSession, dir: String, rounds: Int = 3): DataFrame = {
@@ -151,9 +160,12 @@ object BoostedStumps {
         val (nTest, sumAbsErr) = feats
           .filter(col("doc_id") % folds === f)
           .agg(count(lit(1)).cast("long"),
-            sum(abs(col("y") - predict(model))))
+            coalesce(sum(abs(col("y") - predict(model))), lit(0L)))
           .as[(Long, Long)].collect().head
-        (f.toLong, nTrain, nTest, sumAbsErr, sumAbsErr / nTest)
+        // a fold can hold zero docs (n_docs < folds, sparse doc_id
+        // space): report it as an empty census, not a division error
+        val mae = if (nTest == 0) 0L else sumAbsErr / nTest
+        (f.toLong, nTrain, nTest, sumAbsErr, mae)
       }
       spark.createDataFrame(out)
         .toDF("fold", "n_train", "n_test", "sum_abs_err", "mae_fp")

@@ -231,10 +231,13 @@ object DataQuality {
       .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
       .withColumn("u2", -abs(col("cum") * 2 - col("n")))
     val scored = cum
-      .withColumn("uu", expr(
-        s"cast(conv(substring(md5(concat('$seed:', event_type, ':'," +
-          " cast(bin as string))), 1, 13), 16, 10) as double)" +
-          " / 4503599627370496.0"))
+      // the salt is a COLUMN expression (concat of a lit), never
+      // interpolated into SQL text — a seed containing a quote must
+      // salt the hash, not re-parse the expression
+      .withColumn("uu",
+        conv(substring(md5(concat(lit(s"$seed:"), col("event_type"),
+          lit(":"), col("bin").cast("string"))), 1, 13), 16, 10)
+          .cast("double") / 4503599627370496.0)
       .withColumn("score", expr(
         s"($epsilonPct / 100.0) * u2 / 4.0" +
           " - ln(-ln(least(greatest(uu, 1e-15), 1.0 - 1e-15)))"))

@@ -367,10 +367,13 @@ object Inference {
     *
     * Exactness without factorial division: weights |S|!·(k−1−|S|)!/k!
     * are rationals with denominator k!, so the Shapley value is emitted
-    * as `phi_x24_ppm` = 24·φ in ppm (k=4 ⇒ k! = 24), an exact integer
-    * combination of coalition values; `phi_ppm` is its single
-    * truncating division by k!. Efficiency property Σφ = v(C) − v(∅)
-    * holds exactly in the ×24 units (spec-pinned). */
+    * as `phi_xkf_ppm` = k!·φ in ppm, an exact integer combination of
+    * coalition values, with the scale published as its own
+    * `k_factorial` column (a FIXED schema — a data-dependent column
+    * name would silently re-shape the output as the channel universe
+    * grows); `phi_ppm` is the single truncating division by k!.
+    * Efficiency property Σφ = v(C) − v(∅) holds exactly in the ×k!
+    * units (spec-pinned). */
   def qShapleyAttribution(
       spark: SparkSession, dir: String, steps: Int = 8): DataFrame = {
     val (cells, starts, states) = markovCensus(spark, dir)
@@ -389,12 +392,13 @@ object Inference {
         val w = fact(s.size) * fact(k - 1 - s.size)
         w * (valueOf(s + c) - valueOf(s))
       }.sum
-      (c, valueOf(channels.toSet), phiXk,
+      (c, valueOf(channels.toSet), kFact, phiXk,
         phiXk / kFact)
     }
-    spark.createDataFrame(rows.map { case (c, vc, px, p) =>
-      (c, vc, px, p)
-    }).toDF("channel", "v_full_ppm", s"phi_x${kFact}_ppm", "phi_ppm")
+    spark.createDataFrame(rows.map { case (c, vc, kf, px, p) =>
+      (c, vc, kf, px, p)
+    }).toDF("channel", "v_full_ppm", "k_factorial", "phi_xkf_ppm",
+      "phi_ppm")
   }
 
   /** Wald's SPRT over the hourly conversion stream — the SEQUENTIAL

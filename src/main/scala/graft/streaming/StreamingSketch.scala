@@ -285,9 +285,38 @@ object StreamingSketch {
 
   final case class ResidRow(grp: String, half: Long, res: Long)
   final case class ConformalState(
-      hist: Map[Long, Long], nCal: Long, nTest: Long, nCovered: Long)
+      hist: Map[Long, Long], shift: Int,
+      nCal: Long, nTest: Long, nCovered: Long)
   final case class ConformalEst(grp: String, nCal: Long, qhat: Long,
       nTest: Long, nCovered: Long)
+
+  /** Residual-histogram bin cap: below it the state is the EXACT
+    * distinct-value histogram (and the batch replay is exact, as the
+    * suite pins); above it bins coarsen by doubling the grid width —
+    * residuals round UP to the top of their 2^shift cell, so q̂ can only
+    * move conservative (wider interval, coverage preserved) and state
+    * stays ≤ cap bins per group forever. The cap is what the
+    * dyadic-quantile twin gets for free from its fixed counter table. */
+  private[graft] val ConformalMaxBins = 4096
+
+  /** Round `res` up to the top of its 2^shift grid cell (identity at
+    * shift 0; residuals are non-negative by construction — they are
+    * absolute errors). */
+  private def gridUp(res: Long, shift: Int): Long =
+    res | ((1L << shift) - 1)
+
+  /** Double the grid width until the histogram fits the bin cap. */
+  private def coarsen(
+      hist: Map[Long, Long], shift: Int): (Map[Long, Long], Int) = {
+    var h = hist
+    var s = shift
+    while (h.size > ConformalMaxBins) {
+      s += 1
+      h = h.groupBy { case (v, _) => gridUp(v, s) }
+        .map { case (v, g) => v -> g.values.sum }
+    }
+    (h, s)
+  }
 
   /** The `ceil(0.9·(n+1))`-th smallest calibration residual from the
     * value histogram — the [[graft.relational.Inference.qConformal]]
@@ -319,15 +348,18 @@ object StreamingSketch {
       rows: Iterator[ResidRow],
       state: GroupState[ConformalState]): Iterator[ConformalEst] = {
     val s = state.getOption
-      .getOrElse(ConformalState(Map.empty, 0L, 0L, 0L))
+      .getOrElse(ConformalState(Map.empty, 0, 0L, 0L, 0L))
     val (cal, test) = rows.toSeq.partition(_.half == 1L)
-    val hist = cal.foldLeft(s.hist)((h, r) =>
-      h.updated(r.res, h.getOrElse(r.res, 0L) + 1L))
+    val grown = cal.foldLeft(s.hist)((h, r) => {
+      val v = gridUp(r.res, s.shift)
+      h.updated(v, h.getOrElse(v, 0L) + 1L)
+    })
+    val (hist, shift) = coarsen(grown, s.shift)
     val nCal = s.nCal + cal.length
     val qhat = conformalQhat(hist, nCal)
     val covered = if (nCal == 0) 0L
       else test.count(_.res <= qhat).toLong
-    val next = ConformalState(hist, nCal,
+    val next = ConformalState(hist, shift, nCal,
       s.nTest + test.length, s.nCovered + covered)
     state.update(next)
     Iterator.single(
@@ -336,10 +368,12 @@ object StreamingSketch {
 
   /** Streaming split-conformal calibration — the [[quantiles]]-family
     * twin of the batch q_conformal: per group, a residual-value
-    * histogram (bounded by the distinct-cents domain, the same
-    * histogram-first posture as the batch quantile walk) plus running
-    * prequential test coverage. Feeding all calibration before any
-    * test replays the batch operator exactly (pinned in-suite). */
+    * histogram capped at [[ConformalMaxBins]] bins (exact below the cap,
+    * conservatively grid-coarsened above it — a wide residual domain
+    * must not grow state without limit) plus running prequential test
+    * coverage. Feeding all calibration before any test replays the
+    * batch operator exactly while the cap is not hit (pinned
+    * in-suite). */
   def conformal(rows: Dataset[ResidRow]): Dataset[ConformalEst] = {
     implicit val stEnc = Encoders.product[ConformalState]
     implicit val esEnc = Encoders.product[ConformalEst]

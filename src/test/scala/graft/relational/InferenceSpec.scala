@@ -253,9 +253,15 @@ class InferenceSpec extends SparkSpec {
   }
 
   test("shapley attribution: efficiency identity exact, dominates nothing unfairly") {
-    val got = Inference.qShapleyAttribution(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val raw = Inference.qShapleyAttribution(spark, dir)
+    // schema is FIXED whatever the channel universe: the k! scale is a
+    // column, never a column NAME
+    assert(raw.columns.toSeq === Seq("channel", "v_full_ppm",
+      "k_factorial", "phi_xkf_ppm", "phi_ppm"))
+    val got = raw.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
     assert(got.length === 4)
+    assert(raw.collect().forall(_.getLong(2) === 24L), "k=4 -> k!=24")
     val vFull = got.head._2
     assert(got.forall(_._2 == vFull), "v(C) must be one scalar")
     // efficiency: sum of x24 Shapley values telescopes EXACTLY to

@@ -808,4 +808,39 @@ class StreamingSpec extends SparkSpec {
       assert(est.nCal === want(g)._1 && est.nTest === want(g)._3)
     }
   }
+
+  test("streaming conformal: residual histogram is capped, coarsening stays conservative") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // 3x the bin cap in DISTINCT residual values: without the cap this
+    // state would hold 12288 bins; with it, coarsening must kick in and
+    // qhat may only move UP (round-up grid = wider interval = coverage
+    // never silently lost)
+    val nVals = 3 * graft.streaming.StreamingSketch.ConformalMaxBins
+    val rows = (0 until nVals).map(i =>
+      graft.streaming.StreamingSketch.ResidRow("g", 1L, i * 7L))
+    val exactQhat = {
+      val sorted = rows.map(_.res).sorted
+      sorted(((9 * sorted.length + 18) / 10 - 1).toInt)
+    }
+    val input = MemoryStream[graft.streaming.StreamingSketch.ResidRow]
+    val name = s"confcap_${System.nanoTime()}"
+    val q = graft.streaming.StreamingSketch.conformal(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update")
+      .start()
+    val est =
+      try {
+        rows.grouped(4096).foreach { b =>
+          input.addData(b.toSeq); q.processAllAvailable()
+        }
+        spark.table(name)
+          .as[graft.streaming.StreamingSketch.ConformalEst].collect()
+          .zipWithIndex.maxBy(_._2)._1
+      } finally q.stop()
+    assert(est.nCal === nVals.toLong)
+    assert(est.qhat >= exactQhat, "coarsened qhat must be conservative")
+    // the coarse grid is at most a few doublings past the cap ratio
+    assert(est.qhat - exactQhat < 64L,
+      s"qhat ${est.qhat} drifted far from exact $exactQhat")
+  }
 }
