@@ -2038,6 +2038,59 @@ object SparkEntry {
        |FROM exact e JOIN walked k USING (event_type)""".stripMargin
   }
 
+  /** q_betweenness oracle: Brandes unrolled level-by-level. Forward
+    * pass = multi-source BFS with σ path counts (one CTE pair per
+    * level, the bfsSql pattern plus a running seen set); backward pass
+    * replays the fixed-point dependency recurrence
+    * `(σ_v · (2²⁰ + δ_w)) // σ_w` per predecessor arc, deepest level
+    * first — all operands are non-negative, so DuckDB's floor `//`
+    * equals Spark's truncating `div` term-for-term. Levels beyond the
+    * graph's actual eccentricity are empty identities, so the fixed
+    * unroll equals the fixpoint whenever BFS exhausts within it. */
+  private def betweennessSql(
+      nSources: Int, k: Int, depth: Int): String = {
+    val fp = 1L << 20
+    val fwd = (1 to depth).map { l =>
+      s"""f$l AS MATERIALIZED (
+         |  SELECT f.s, a.b AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${l - 1} f JOIN arcs a ON f.v = a.a
+         |  ANTI JOIN seen${l - 1} sn ON f.s = sn.s AND a.b = sn.v
+         |  GROUP BY 1, 2),
+         |seen$l AS MATERIALIZED (
+         |  SELECT s, v FROM seen${l - 1}
+         |  UNION ALL SELECT s, v FROM f$l)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (depth - 1) to 1 by -1
+    val back = bwd.map { l =>
+      s"""d$l AS MATERIALIZED (
+         |  SELECT f.s, f.v, f.sigma,
+         |    CAST(coalesce(sum((f.sigma * ($fp + nx.delta)) // nx.sigma_w),
+         |      0) AS BIGINT) AS delta
+         |  FROM f$l f
+         |  LEFT JOIN (SELECT d.s, a.a AS pv, d.sigma AS sigma_w, d.delta
+         |             FROM d${l + 1} d JOIN arcs a ON a.b = d.v) nx
+         |    ON nx.s = f.s AND nx.pv = f.v
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 until depth)
+      .map(l => s"SELECT s, v, delta FROM d$l").mkString(" UNION ALL ")
+    s"""$copurchaseCte,
+       |arcs AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+       |  UNION ALL SELECT v, u FROM und),
+       |srcs AS (SELECT DISTINCT a AS node FROM arcs
+       |  ORDER BY 1 LIMIT $nSources),
+       |f0 AS (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma
+       |  FROM srcs),
+       |seen0 AS (SELECT s, v FROM f0),
+       |$fwd,
+       |d$depth AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS delta
+       |  FROM f$depth),
+       |$back
+       |SELECT v AS node, CAST(sum(delta) AS BIGINT) AS centrality_fp
+       |FROM ($union) WHERE v <> s GROUP BY 1
+       |ORDER BY 2 DESC, 1 LIMIT $k""".stripMargin
+  }
+
   /** q_mst oracle: Borůvka unrolled round-by-round (the q_bfs_dist /
     * kCore pattern), exact because the (w, u, v) total order makes edge
     * keys distinct, so the minimum spanning forest is UNIQUE — Kruskal
@@ -6255,6 +6308,7 @@ object SparkEntry {
         |WHERE 2 * inter_w >= t1.tot + t2.tot - inter_w""".stripMargin,
     "q_kcore" -> kCoreSql,
     "q_mst" -> mstSql,
+    "q_betweenness" -> betweennessSql(8, 20, 12),
     "q_hyperball" -> hyperBallSql(2),
     "q_effective_diameter" -> effectiveDiameterSql(3),
     // reuses tradeGraphCte's degree-annotated arc relation `e` — the
