@@ -24,7 +24,8 @@ class RelationalSpec extends SparkSpec {
     // legitimately empty at sf0.001: no preimage, no duplicate texts, every
     // nation has suppliers, every customer has orders
     val expectedEmpty =
-      Set("q_crack_notfound", "q_dedup_exact", "q_except", "q_anti_join")
+      Set("q_crack_notfound", "q_dedup_exact", "q_dedup_exact_sql",
+        "q_except", "q_anti_join")
     counts.foreach { case (name, n) =>
       if (!expectedEmpty.contains(name))
         assert(n > 0, s"$name returned no rows")
