@@ -1977,7 +1977,8 @@ object SparkEntry {
        |        HAVING count(*) >= ${graft.graph.GraphOps.CopurchaseMinSupport})""".stripMargin
 
   /** q_dyadic_quantiles oracle: rebuild the dyadic count-min counter
-    * table with the same md5 bucketing, then unroll the top-down trie
+    * table with the same md5 bucketing (one digest per node, the d CM
+    * rows are its 5-hex-char slices), then unroll the top-down trie
     * walk one level per CTE pair (probe the d counters of the candidate
     * node, take bit j when rank + est stays below the target). The
     * Spark side's driver walk and this unroll read the same additive
@@ -1992,8 +1993,8 @@ object SparkEntry {
          |  CROSS JOIN (SELECT unnest([$is]) AS i) ri
          |  LEFT JOIN counters c ON c.event_type = wk.event_type
          |    AND c.i = ri.i AND c.j = $j
-         |    AND c.bucket = ('0x' || substring(md5('dq' || ri.i || ':' ||
-         |      $j || ':' || (wk.v >> $j)), 1, 5))::UBIGINT % $w
+         |    AND c.bucket = ('0x' || substring(md5('dq:' ||
+         |      $j || ':' || (wk.v >> $j)), 1 + 5 * ri.i, 5))::UBIGINT % $w
          |  GROUP BY 1, 2, 3, 4, 5),
          |w$j AS MATERIALIZED (
          |  SELECT event_type, q, tgt,
@@ -2004,15 +2005,17 @@ object SparkEntry {
     s"""WITH ev AS MATERIALIZED (SELECT event_type,
        |    least(CAST(floor(value * 100 + 0.5) AS BIGINT),
        |      (1::BIGINT << $levels) - 1) AS cents FROM events),
-       |nodes AS (SELECT event_type, j, cents >> j AS nb FROM ev
-       |  CROSS JOIN (SELECT unnest(range($levels)) AS j)),
-       |st AS (SELECT event_type, i, j,
-       |    ('0x' || substring(md5('dq' || i || ':' || j || ':' || nb),
-       |      1, 5))::UBIGINT % $w AS bucket
+       |h AS MATERIALIZED (SELECT event_type, cents, count(*) AS cnt
+       |  FROM ev GROUP BY 1, 2),
+       |nodes AS (SELECT event_type, cnt, j,
+       |    md5('dq:' || j || ':' || (cents >> j)) AS hx
+       |  FROM h CROSS JOIN (SELECT unnest(range($levels)) AS j)),
+       |st AS (SELECT event_type, cnt, i, j,
+       |    ('0x' || substring(hx, 1 + 5 * i, 5))::UBIGINT % $w AS bucket
        |  FROM nodes CROSS JOIN (SELECT unnest([$is]) AS i)),
        |counters AS MATERIALIZED (SELECT event_type, i, j, bucket,
-       |    CAST(count(*) AS BIGINT) AS cnt FROM st GROUP BY 1, 2, 3, 4),
-       |tg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev
+       |    CAST(sum(cnt) AS BIGINT) AS cnt FROM st GROUP BY 1, 2, 3, 4),
+       |tg AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h
        |  GROUP BY 1),
        |w$levels AS (SELECT event_type, q, tgt,
        |    CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS r
@@ -2027,8 +2030,7 @@ object SparkEntry {
        |cumh AS (SELECT event_type, cents,
        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
        |    sum(cnt) OVER (PARTITION BY event_type) AS n
-       |  FROM (SELECT event_type, cents, count(*) AS cnt FROM ev
-       |        GROUP BY 1, 2)),
+       |  FROM h),
        |exact AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
        |    min(CASE WHEN cum * 2 >= n THEN cents END) AS p50_cents,
        |    min(CASE WHEN cum * 20 >= n * 19 THEN cents END) AS p95_cents

@@ -263,14 +263,17 @@ object Sketches {
       .agg(min("cnt").as("n_cms"))
   }
 
-  /** `conv(substring(md5(s), 1, 5), 16, 10) % width` replayed in the
-    * JVM — the one hash both engines and the driver-side quantile walk
-    * must agree on. */
-  private[graft] def md5Bucket5(s: String, width: Int): Long = {
+  /** `conv(substring(md5(s), 1+5·slice, 5), 16, 10) % width` replayed
+    * in the JVM — the one hash both engines and the driver-side
+    * quantile walk must agree on. Slices of ONE digest serve as the
+    * count-min rows (md5 bits are independent, and one digest per node
+    * costs a third of three salted ones — q_dyadic_quantiles' hot
+    * loop). */
+  private[graft] def md5BucketSlice(s: String, slice: Int, width: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 5), 16) % width
+    java.lang.Long.parseLong(hex.substring(5 * slice, 5 * slice + 5), 16) % width
   }
 
   /** Mergeable quantile sketch over an UNBOUNDED integer domain — the
@@ -308,34 +311,53 @@ object Sketches {
       .select(col("event_type"),
         least(floor(col("value") * 100 + 0.5).cast("long"), lit(cap))
           .as("cents"))
-    // one dyadic node per (row, level): (j, cents >> j), then d salted
-    // CM buckets per node; counts aggregate map-side into the bounded
-    // counter table
-    val nodes = ev.select(col("event_type"),
-      posexplode(array((0 until levels).map(j =>
-        shiftright(col("cents"), j)): _*)).as(Seq("j", "nb")))
-    def cmBucket(i: Int): Column =
-      conv(substring(md5(concat(lit(s"dq$i:"), col("j").cast("string"),
-        lit(":"), col("nb").cast("string"))), 1, 5), 16, 10)
-        .cast("bigint") % width
-    val stacked = nodes
-      .select(Seq(col("event_type"), col("j")) ++
-        (0 until d).map(i => cmBucket(i).as(s"b$i")): _*)
-      .selectExpr("event_type", "j",
-        s"stack($d, ${(0 until d).map(i => s"$i, b$i").mkString(", ")}) as (i, bucket)")
-    val counters = stacked.groupBy("event_type", "i", "j", "bucket")
+    // this query also publishes the EXACT quantiles for comparison, so
+    // the per-(type, value) histogram exists anyway — build the
+    // counters from it (one md5 per DISTINCT dyadic node, weighted by
+    // cnt) instead of once per raw row. The counters are additive, so
+    // the result is identical; a sketch-only deployment on a domain too
+    // distinct-heavy for a value histogram would hash per raw row with
+    // map-side combine straight into the same fixed counter table.
+    val hist = ev.groupBy("event_type", "cents")
       .agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one dyadic node per (distinct value, level): (j, cents >> j);
+      // ONE md5 per node, its d 5-hex-char slices the CM row buckets
+      val nodes = hist.select(col("event_type"), col("cnt"),
+        posexplode(array((0 until levels).map(j =>
+          shiftright(col("cents"), j)): _*)).as(Seq("j", "nb")))
+        .withColumn("hx", md5(concat(lit("dq:"), col("j").cast("string"),
+          lit(":"), col("nb").cast("string"))))
+      def cmBucket(i: Int): Column =
+        conv(substring(col("hx"), 1 + 5 * i, 5), 16, 10)
+          .cast("bigint") % width
+      val stacked = nodes
+        .select(Seq(col("event_type"), col("j"), col("cnt")) ++
+          (0 until d).map(i => cmBucket(i).as(s"b$i")): _*)
+        .selectExpr("event_type", "j", "cnt",
+          s"stack($d, ${(0 until d).map(i => s"$i, b$i").mkString(", ")}) as (i, bucket)")
+      val counters = stacked.groupBy("event_type", "i", "j", "bucket")
+        .agg(sum("cnt").as("cnt"))
 
-    // model-publish: the fixed-size counter table collects driver-side
-    // and the trie walk runs there (levels·d lookups per quantile)
-    val cmap = counters.collect().map(r =>
-      (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)) ->
-        r.getLong(4)).toMap
-    val ns = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // model-publish: the fixed-size counter table collects driver-side
+      // and the trie walk runs there (levels·d lookups per quantile)
+      val cmap = counters.collect().map(r =>
+        (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)) ->
+          r.getLong(4)).toMap
+      val ns = hist.groupBy("event_type").agg(sum("cnt").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      dyadicResult(spark, hist, cmap, ns, levels, d, width)
+    } finally hist.unpersist(blocking = false)
+  }
+
+  private def dyadicResult(
+      spark: SparkSession, hist: DataFrame,
+      cmap: Map[(String, Int, Int, Long), Long], ns: Map[String, Long],
+      levels: Int, d: Int, width: Int): DataFrame = {
     def est(t: String, j: Int, nb: Long): Long =
       (0 until d).iterator.map(i => cmap.getOrElse(
-        (t, i, j, md5Bucket5(s"dq$i:$j:$nb", width)), 0L)).min
+        (t, i, j, md5BucketSlice(s"dq:$j:$nb", i, width)), 0L)).min
     def quantile(t: String, target: Long): Long = {
       var v = 0L
       var r = 0L
@@ -352,9 +374,8 @@ object Sketches {
       (t, quantile(t, (n + 1) / 2), quantile(t, (19 * n + 19) / 20))
     }.toDF("event_type", "p50_est", "p95_est")
 
-    // exact side for comparison: rank-select over the distinct-value
-    // histogram (the qKmvQuantiles discipline)
-    val hist = ev.groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    // exact side for comparison: rank-select over the SAME distinct-
+    // value histogram (the qKmvQuantiles discipline)
     val w = Window.partitionBy("event_type").orderBy("cents")
     val exact = hist.withColumn("cum", sum("cnt").over(w))
       .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))

@@ -151,7 +151,8 @@ object StreamingSketch {
     var i = 0
     while (i < DqRows) {
       val cnt = counters.getOrElse(dqKey(i, j,
-        graft.relational.Sketches.md5Bucket5(s"dq$i:$j:$nb", DqWidth)), 0L)
+        graft.relational.Sketches.md5BucketSlice(s"dq:$j:$nb", i, DqWidth)),
+        0L)
       if (cnt < c) c = cnt
       i += 1
     }
@@ -200,7 +201,7 @@ object StreamingSketch {
         var i = 0
         while (i < DqRows) {
           val k = dqKey(i, j,
-            graft.relational.Sketches.md5Bucket5(s"dq$i:$j:$nb", DqWidth))
+            graft.relational.Sketches.md5BucketSlice(s"dq:$j:$nb", i, DqWidth))
           counters = counters.updated(k, counters.getOrElse(k, 0L) + 1L)
           i += 1
         }

@@ -40,7 +40,7 @@ class SketchQuantileSpec extends SparkSpec {
       (0 until 24).foreach { j =>
         (0 until 3).foreach { i =>
           val k = StreamingSketch.dqKey(i, j,
-            Sketches.md5Bucket5(s"dq$i:$j:${v >> j}", 512))
+            Sketches.md5BucketSlice(s"dq:$j:${v >> j}", i, 512))
           counters = counters.updated(k, counters.getOrElse(k, 0L) + 1L)
         }
       }
