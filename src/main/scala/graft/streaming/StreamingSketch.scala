@@ -185,11 +185,14 @@ object StreamingSketch {
     * matter how many rows or distinct values stream through — the
     * bounded-state property the residual-histogram conformal twin has
     * to bucket to get. */
-  private def updateDyadic(
+  /** The one counter fold BOTH state APIs run ([[dyadicQuantiles]] here,
+    * [[StreamingSketchTws.dyadicQuantiles]] on transformWithState):
+    * absorb the batch into the additive counter map, emit the refreshed
+    * estimates. */
+  private[streaming] def dyadicFold(
       eventType: String,
-      events: Iterator[ValueRow],
-      state: GroupState[DyadicState]): Iterator[DyadicEst] = {
-    val s = state.getOption.getOrElse(DyadicState(Map.empty, 0L))
+      s: DyadicState,
+      events: Iterator[ValueRow]): (DyadicState, DyadicEst) = {
     var counters = s.counters
     var n = s.n
     val cap = (1L << DqLevels) - 1
@@ -209,10 +212,20 @@ object StreamingSketch {
       }
       n += 1
     }
-    state.update(DyadicState(counters, n))
-    Iterator.single(DyadicEst(eventType, n,
-      dqQuantile(counters, (n + 1) / 2),
-      dqQuantile(counters, (19 * n + 19) / 20)))
+    (DyadicState(counters, n),
+      DyadicEst(eventType, n,
+        dqQuantile(counters, (n + 1) / 2),
+        dqQuantile(counters, (19 * n + 19) / 20)))
+  }
+
+  private def updateDyadic(
+      eventType: String,
+      events: Iterator[ValueRow],
+      state: GroupState[DyadicState]): Iterator[DyadicEst] = {
+    val s = state.getOption.getOrElse(DyadicState(Map.empty, 0L))
+    val (next, est) = dyadicFold(eventType, s, events)
+    state.update(next)
+    Iterator.single(est)
   }
 
   /** Update-mode per-key dyadic-CM quantile estimates from the bounded
