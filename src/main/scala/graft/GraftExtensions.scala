@@ -360,6 +360,69 @@ object GraftExtensions {
            |      ON q.vec_id < $nq AND q.vec_id <> c.vec_id) scored) ranked
            |WHERE rnk <= $k""".stripMargin)
     },
+    "ngram_jaccard" -> { args: Seq[Expression] =>
+      // ngram_jaccard(tbl[, threshold_ppm, max_df]): shared-shingle
+      // equi-join candidates over the hot-shingle-capped universe,
+      // exact-Jaccard gate — identical to Dedup.qNgramJaccardPairs
+      if (args.isEmpty || args.length > 3)
+        throw new IllegalArgumentException(
+          s"ngram_jaccard expects (tbl[, threshold_ppm, max_df]), got ${args.length} argument(s)")
+      val tbl = tableIdent("ngram_jaccard", args(0))
+      val thrPpm =
+        if (args.length >= 2) posIntArg("ngram_jaccard", args(1)) else 500000
+      val maxDf =
+        if (args.length >= 3) posIntArg("ngram_jaccard", args(2)) else 1000
+      val thr = thrPpm / 1e6
+      val sh =
+        s"""SELECT doc_id, sh FROM (SELECT doc_id, sh FROM $tbl
+           |  LATERAL VIEW explode(shingle_set(text, 4)) t AS sh) s0
+           |LEFT ANTI JOIN (SELECT sh AS hsh FROM (SELECT sh FROM $tbl
+           |    LATERAL VIEW explode(shingle_set(text, 4)) t2 AS sh) h0
+           |  GROUP BY sh HAVING count(1) > $maxDf) hot ON s0.sh = hot.hsh""".stripMargin
+      parseTemplate(
+        s"""SELECT d1, d2, round(jaccard, 6) AS jaccard FROM (
+           |  SELECT p.d1, p.d2,
+           |    CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) AS jaccard
+           |  FROM (
+           |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(1) AS inter
+           |    FROM ($sh) a JOIN ($sh) b
+           |      ON a.sh = b.sh AND a.doc_id < b.doc_id
+           |    GROUP BY a.doc_id, b.doc_id) p
+           |  JOIN (SELECT doc_id, count(1) AS sz FROM ($sh) c1
+           |        GROUP BY doc_id) s1 ON s1.doc_id = p.d1
+           |  JOIN (SELECT doc_id, count(1) AS sz FROM ($sh) c2
+           |        GROUP BY doc_id) s2 ON s2.doc_id = p.d2) v
+           |WHERE jaccard >= $thr""".stripMargin)
+    },
+    "simhash_pairs" -> { args: Seq[Expression] =>
+      // simhash_pairs(tbl[, max_hamming]): banded 64-bit SimHash
+      // candidates (complete for hamming <= 3 by pigeonhole) + exact
+      // Hamming verify — identical to Dedup.qSimhashPairs in its
+      // md5-hash (engine-reproducible) mode
+      if (args.isEmpty || args.length > 2)
+        throw new IllegalArgumentException(
+          s"simhash_pairs expects (tbl[, max_hamming]), got ${args.length} argument(s)")
+      val tbl = tableIdent("simhash_pairs", args(0))
+      val maxH = if (args.length >= 2) intArg("simhash_pairs", args(1)) else 3
+      val sigs =
+        s"SELECT doc_id, simhash_bands(text, true) AS bands FROM $tbl"
+      val ham = (1 to 4).map(k =>
+        s"bit_count(element_at(sa.bands, $k) ^ element_at(sb.bands, $k))")
+        .mkString(" + ")
+      parseTemplate(
+        s"""SELECT c.d1, c.d2, CAST($ham AS BIGINT) AS hamming FROM (
+           |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2 FROM (
+           |    SELECT doc_id, band, value FROM ($sigs) s1
+           |    LATERAL VIEW posexplode(bands) t AS band, value) a
+           |  JOIN (
+           |    SELECT doc_id, band, value FROM ($sigs) s2
+           |    LATERAL VIEW posexplode(bands) t2 AS band, value) b
+           |    ON a.band = b.band AND a.value = b.value
+           |      AND a.doc_id < b.doc_id) c
+           |JOIN ($sigs) sa ON sa.doc_id = c.d1
+           |JOIN ($sigs) sb ON sb.doc_id = c.d2
+           |WHERE $ham <= $maxH""".stripMargin)
+    },
     "text_stats" -> { args: Seq[Expression] =>
       // text_stats(tbl): per-language corpus stats ≡ TextOps.qTextStatsByLang
       arity("text_stats", 1, args)

@@ -46,6 +46,8 @@ object SparkEntry {
     "q_ann_sql" -> (graft.relational.SqlSurfaceQueries.qAnnSql _),
     "q_text_stats_sql" -> (graft.relational.SqlSurfaceQueries.qTextStatsSql _),
     "q_token_stats_sql" -> (graft.relational.SqlSurfaceQueries.qTokenStatsSql _),
+    "q_ngram_jaccard_sql" -> (graft.relational.SqlSurfaceQueries.qNgramJaccardSql _),
+    "q_simhash_sql" -> (graft.relational.SqlSurfaceQueries.qSimhashSql _),
     "q_keyspace_roundtrip" -> (CrackQueries.qKeyspaceRoundtrip _),
     "q_keyspace_tile" -> (CrackQueries.qKeyspaceTile _),
     // -- relational surface (SURVEY §2.4-§2.9 generalization) --
@@ -3186,8 +3188,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (→ driver records a weaker rows-only check). */
-  def oracleSql: Map[String, String] = Map(
+    * (→ driver records a weaker rows-only check). Published as
+    * [[oracleSql]] below (+ the SQL-front-door twins). */
+  private lazy val baseOracleSql: Map[String, String] = Map(
     "q_crack_found" -> "SELECT 'abcd' AS pass",
     "q_crack_notfound" -> "SELECT CAST(NULL AS VARCHAR) AS pass WHERE FALSE",
     "q_crack_len5" -> "SELECT 'hello' AS pass",
@@ -7057,4 +7060,12 @@ object SparkEntry {
         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_hex
         |FROM f WHERE length(frame_hex) > 0""".stripMargin
   )
+
+  /** SQL-front-door twins share their Scala twin's oracle verbatim
+    * (SqlSurfaceSpec pins table function == Scala builder, so one oracle
+    * covers both); appended post-hoc because a Map literal cannot
+    * reference its own entries. */
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    "q_ngram_jaccard_sql" -> baseOracleSql("q_ngram_jaccard"),
+    "q_simhash_sql" -> baseOracleSql("q_simhash"))
 }

@@ -42,4 +42,16 @@ object SqlSurfaceQueries {
     * q_token_count). */
   def qTokenStatsSql(spark: SparkSession, dir: String): DataFrame =
     spark.sql(s"SELECT * FROM token_stats('${view(spark, dir, "documents")}')")
+
+  /** Shared-shingle exact-Jaccard pairs via `ngram_jaccard()` (SQL twin
+    * of q_ngram_jaccard). */
+  def qNgramJaccardSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"SELECT * FROM ngram_jaccard('${view(spark, dir, "documents")}')")
+
+  /** Banded SimHash near-dup pairs via `simhash_pairs()` (SQL twin of
+    * q_simhash, md5-hash mode). */
+  def qSimhashSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"SELECT * FROM simhash_pairs('${view(spark, dir, "documents")}')")
 }

@@ -60,6 +60,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(k3.groupBy("qid").count().collect().forall(_.getLong(1) === 3L))
   }
 
+  test("ngram_jaccard / simhash_pairs == their Scala builders") {
+    viewsReady()
+    val nj = spark.sql("SELECT * FROM ngram_jaccard('sqlsurface_documents')")
+    val njScala = graft.dedup.Dedup.qNgramJaccardPairs(spark, dir)
+    assert(nj.columns.toSeq === njScala.columns.toSeq)
+    assert(sortedRows(nj) === sortedRows(njScala))
+    val sp = spark.sql("SELECT * FROM simhash_pairs('sqlsurface_documents')")
+    val spScala = graft.dedup.Dedup.qSimhashPairs(spark, dir, md5Hash = true)
+    assert(sp.columns.toSeq === spScala.columns.toSeq)
+    assert(sortedRows(sp) === sortedRows(spScala))
+    // both stay equi-joined in pure SQL
+    Seq(nj, sp).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
   test("text_stats / token_stats == their Scala builders") {
     viewsReady()
     val ts = spark.sql("SELECT * FROM text_stats('sqlsurface_documents')")
