@@ -119,6 +119,10 @@ object SparkEntry {
     // HLL set algebra: per-type register blobs → pairwise union via
     // elementwise max → intersection by inclusion–exclusion
     "q_audience_overlap" -> (Sketches.qAudienceOverlap _),
+    // trailing-window distincts from per-hour HLL blobs re-merged on
+    // the hour spine — windows without re-scanning the fact table
+    "q_hll_sliding" -> ((s: SparkSession, d: String) =>
+      Sketches.qHllSliding(s, d)),
     // KMV bottom-k-by-hash quantile sketch through the native top-k
     // operator (mergeable sample; integer rank-select estimates)
     "q_kmv_quantiles" -> ((s: SparkSession, d: String) =>
@@ -1978,6 +1982,56 @@ object SparkEntry {
        |        GROUP BY 1, 2
        |        HAVING count(*) >= ${graft.graph.GraphOps.CopurchaseMinSupport})""".stripMargin
 
+  /** q_hll_sliding oracle: the q_hll_distinct register replay with an
+    * hour dimension, then the trailing-window re-merge as a bounded
+    * spine join with elementwise (max) register fold — the same algebra
+    * the Spark side's blob re-merge runs, so the estimates match
+    * bit-for-bit. */
+  private def hllSlidingSql(w: Int): String =
+    s"""WITH r AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       |    user_id,
+       |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
+       |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
+       |  FROM events),
+       |s1 AS (SELECT event_type, hour, bucket, v | (v >> 1) AS x FROM r),
+       |s2 AS (SELECT event_type, hour, bucket, x | (x >> 2) AS x FROM s1),
+       |s3 AS (SELECT event_type, hour, bucket, x | (x >> 4) AS x FROM s2),
+       |s4 AS (SELECT event_type, hour, bucket, x | (x >> 8) AS x FROM s3),
+       |s5 AS (SELECT event_type, hour, bucket, x | (x >> 16) AS x FROM s4),
+       |s6 AS (SELECT event_type, hour, bucket, x | (x >> 32) AS x FROM s5),
+       |b AS (SELECT event_type, hour, bucket,
+       |    max(61 - bit_count(x)) AS mj
+       |  FROM s6 GROUP BY 1, 2, 3),
+       |spine AS (SELECT DISTINCT event_type, hour FROM r),
+       |tb AS (SELECT h.event_type, h.hour, p.bucket, max(p.mj) AS mj
+       |  FROM spine h JOIN b p ON p.event_type = h.event_type
+       |    AND p.hour > h.hour - $w AND p.hour <= h.hour
+       |  GROUP BY 1, 2, 3),
+       |z AS (SELECT event_type, hour,
+       |    sum((1::BIGINT << (61 - mj))::HUGEINT)
+       |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
+       |    256 - count(*) AS v0
+       |  FROM tb GROUP BY 1, 2),
+       |e AS (SELECT event_type, hour,
+       |    CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
+       |      * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
+       |      / CAST(zs AS DOUBLE) AS est_raw,
+       |    v0 FROM z),
+       |x AS (SELECT event_type, hour,
+       |    round(CASE WHEN est_raw <= 640.0 AND v0 > 0
+       |          THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
+       |          ELSE est_raw END, 2) AS hll_est
+       |  FROM e),
+       |ex AS (SELECT h.event_type, h.hour,
+       |    count(DISTINCT d.user_id) AS n_exact
+       |  FROM spine h JOIN (SELECT DISTINCT event_type, hour, user_id
+       |                     FROM r) d
+       |    ON d.event_type = h.event_type
+       |      AND d.hour > h.hour - $w AND d.hour <= h.hour
+       |  GROUP BY 1, 2)
+       |SELECT ex.event_type, ex.hour, ex.n_exact, x.hll_est
+       |FROM ex JOIN x USING (event_type, hour)""".stripMargin
+
   /** q_dyadic_quantiles oracle: rebuild the dyadic count-min counter
     * table with the same md5 bucketing (one digest per node, the d CM
     * rows are its 5-hex-char slices), then unroll the top-down trie
@@ -3528,6 +3582,7 @@ object SparkEntry {
         |  WHERE p2.p_brand = p1.p_brand
         |    AND p2.price_cents <= p1.price_cents AND p2.p_size >= p1.p_size
         |    AND (p2.price_cents < p1.price_cents OR p2.p_size > p1.p_size))""".stripMargin,
+    "q_hll_sliding" -> hllSlidingSql(3),
     "q_hll_distinct" ->
       """WITH r AS (SELECT event_type,
         |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,

@@ -100,6 +100,53 @@ object Sketches {
       .join(broadcast(est), Seq("event_type"))
   }
 
+  /** Trailing-window distinct users per (type, hour) from PER-HOUR HLL
+    * blobs — the reason a pipeline keeps mergeable sketches instead of
+    * recounting: hour h's trailing-w distinct estimate re-merges w
+    * already-built 256-byte blobs (a bounded self-join on the hour
+    * spine), while the exact path re-scans every overlapping window's
+    * raw rows. At 100 TB the blob table is hours × types × 256 bytes —
+    * kilobytes per day — and ANY window (trailing 3 h, calendar day,
+    * month) re-aggregates from it without touching the fact table.
+    * Register merge is elementwise max (associative, idempotent), so
+    * overlapping windows are exactly as accurate as disjoint ones; the
+    * estimate formula is the deterministic [[qHllDistinct]] one, so the
+    * oracle replays the whole pipeline bit-for-bit. Exact trailing
+    * counts ride along as ground truth. */
+  def qHllSliding(
+      spark: SparkSession, dir: String, windowHours: Int = 3): DataFrame = {
+    import graft.functions.{hll_merge, hll_seed_blob, hll_blob_zs, hll_blob_zeros}
+    val ev = load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("ts div 1000 div 3600000000").as("hour"), col("user_id"))
+    val (bucket, rho) = hllRegister(col("user_id"), "hll")
+    val blobs = ev
+      .select(col("event_type"), col("hour"),
+        hll_seed_blob(bucket, rho).as("blob"))
+      .groupBy("event_type", "hour").agg(hll_merge(col("blob")).as("blob"))
+    val trailing = blobs.as("cur")
+      .join(blobs.as("prev"),
+        col("prev.event_type") === col("cur.event_type") &&
+          col("prev.hour") > col("cur.hour") - windowHours &&
+          col("prev.hour") <= col("cur.hour"))
+      .groupBy(col("cur.event_type").as("event_type"),
+        col("cur.hour").as("hour"))
+      .agg(hll_merge(col("prev.blob")).as("blob"))
+      .select(col("event_type"), col("hour"),
+        round(hllEstimate(hll_blob_zs(col("blob")),
+          hll_blob_zeros(col("blob"))), 2).as("hll_est"))
+    val du = ev.select("event_type", "hour", "user_id").distinct()
+    val exact = du.select(col("event_type"), col("hour")).distinct().as("h")
+      .join(du.as("d"),
+        col("d.event_type") === col("h.event_type") &&
+          col("d.hour") > col("h.hour") - windowHours &&
+          col("d.hour") <= col("h.hour"))
+      .groupBy(col("h.event_type").as("event_type"),
+        col("h.hour").as("hour"))
+      .agg(countDistinct(col("d.user_id")).as("n_exact"))
+    exact.join(trailing, Seq("event_type", "hour"))
+  }
+
   /** Audience overlap between event types via HLL set algebra: each
     * type's user set becomes one 256-byte register blob (built by the
     * native `hll_merge` aggregate — one sketch row per type leaves the

@@ -185,4 +185,44 @@ class SketchesSpec extends SparkSpec {
     assert(got === want)
     got.values.foreach { case (n, est) => assert(est >= n) }
   }
+
+  test("sliding HLL: trailing re-merge of per-hour blobs == from-scratch window sketch") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = Sketches.qHllSliding(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // mergeability: the re-merged trailing estimate must equal the
+    // sketch built DIRECTLY from the window's raw rows (register merge
+    // is associative + idempotent, so window composition is lossless)
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"),
+        expr("ts div 1000 div 3600000000").as("hour"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def jvmEst(users: Set[Long]): Double = {
+      val regs = Array.fill(256)(0)
+      users.foreach { u =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"hll:$u".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val bucket = Integer.parseInt(hex.substring(0, 2), 16)
+        val v = java.lang.Long.parseLong(hex.substring(2, 17), 16)
+        val rho = 61 - (64 - java.lang.Long.numberOfLeadingZeros(v)).toInt
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val zs = regs.map(m => BigInt(1) << (61 - m)).sum
+      val v0 = regs.count(_ == 0)
+      val raw = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 *
+        2305843009213693952.0 / zs.toDouble
+      val est = if (raw <= 640.0 && v0 > 0) 256.0 * math.log(256.0 / v0)
+        else raw
+      math.rint(est * 100) / 100
+    }
+    rows.take(40).foreach { case (t, h, nExact, est) =>
+      val users = ev.filter(e =>
+        e._1 == t && e._2 > h - 3 && e._2 <= h).map(_._3).toSet
+      assert(users.size.toLong === nExact, s"$t@$h exact")
+      assert(jvmEst(users) === est, s"$t@$h merged != from-scratch")
+    }
+  }
 }
