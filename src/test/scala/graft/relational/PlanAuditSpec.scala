@@ -231,6 +231,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(ood.contains("TakeOrderedAndProject"), ood)
   }
 
+  test("round-10 sketch operators keep their scale shapes") {
+    // dyadic quantiles: the counter build must partial-aggregate before
+    // its exchange (map-side combine is what bounds the shuffle at the
+    // fixed counter-table size), and the estimate join is a broadcast of
+    // the tiny published model — no cartesian anywhere
+    val dq = planOf(Sketches.qDyadicQuantiles(spark, dir))
+    assert(dq.contains("partial_"), dq)
+    assert(dq.contains("BroadcastHashJoin"), dq)
+    assert(!dq.contains("CartesianProduct"), dq)
+    // sliding HLL: the trailing re-merge is an equi-join on event_type
+    // over the HOUR SPINE (blob rows), never a nested loop over events
+    val hs = planOf(Sketches.qHllSliding(spark, dir))
+    assert(!hs.contains("CartesianProduct") &&
+      !hs.contains("BroadcastNestedLoopJoin"), hs)
+    assert(hs.contains("hll_merge"), hs)
+  }
+
   test("q_vocab_coverage ranks through the bounded heap, not a vocabulary-wide window") {
     // only ranks <= 1000 are consumed: the type table must route through
     // the native TopKPerKey single-group heap — an unpartitioned
