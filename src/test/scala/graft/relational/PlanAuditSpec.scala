@@ -240,12 +240,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(dq.contains("partial_"), dq)
     assert(dq.contains("BroadcastHashJoin"), dq)
     assert(!dq.contains("CartesianProduct"), dq)
-    // sliding HLL: the trailing re-merge is an equi-join on event_type
-    // over the HOUR SPINE (blob rows), never a nested loop over events
+    // sliding HLL: window membership is enumerated offsets, so BOTH
+    // window joins carry the HOUR in their equi keys — a type-only equi
+    // key with the hour range as a residual is a per-type
+    // quasi-cartesian over the spine (measured 5x this query's cost)
     val hs = planOf(Sketches.qHllSliding(spark, dir))
     assert(!hs.contains("CartesianProduct") &&
       !hs.contains("BroadcastNestedLoopJoin"), hs)
     assert(hs.contains("hll_merge"), hs)
+    val joinLines = hs.linesIterator.filter(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin")).toSeq
+    assert(joinLines.nonEmpty, hs)
+    assert(joinLines.forall(_.contains("hour")), joinLines.mkString("\n"))
   }
 
   test("q_vocab_coverage ranks through the bounded heap, not a vocabulary-wide window") {
