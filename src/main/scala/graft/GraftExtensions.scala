@@ -260,6 +260,53 @@ object GraftExtensions {
         logical.Sort(Seq(SortOrder(pass.toAttribute, Ascending)),
           global = true, projected))
     },
+    "crack_multi" -> { args: Seq[Expression] =>
+      // crack_multi(array(hex, ...), len[, parallelism]) — the BATCH
+      // crack as a SQL relation: one keyspace scan, the fused
+      // multi-target kernel binary-searching the sorted digest batch
+      // per candidate (CrackQuery.crackMany's plan, built session-free)
+      if (args.length != 2 && args.length != 3)
+        throw new IllegalArgumentException(
+          s"crack_multi expects (hash_array, len[, parallelism]), got ${args.length} argument(s)")
+      require(args(0).foldable,
+        "crack_multi requires a literal array of hex strings")
+      val hexes = args(0).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          (0 until a.numElements()).map { i =>
+            if (a.isNullAt(i))
+              throw new IllegalArgumentException(
+                s"crack_multi: target digest $i is NULL")
+            a.getUTF8String(i).toString.toLowerCase
+          }
+        case other => throw new IllegalArgumentException(
+          s"crack_multi requires ARRAY<STRING> targets, got $other")
+      }
+      val len = posIntArg("crack_multi", args(1))
+      val par = if (args.length == 3) posIntArg("crack_multi", args(2)) else 32
+      val (range, id) = keyspaceRange(len, par)
+      val matcher = Sha1MultiOrdinalMatch(id, len, hexes)
+      val slot = Alias(matcher, "slot")()
+      val scanned = logical.Project(Seq(id, slot), range)
+      val hit = logical.Filter(
+        org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(
+          slot.toAttribute, Literal(0)), scanned)
+      // slot index → the sorted hex it matched (a CaseWhen over the
+      // bounded batch — no versioned ElementAt constructor to chase)
+      val hashExpr = org.apache.spark.sql.catalyst.expressions.CaseWhen(
+        matcher.sortedHex.zipWithIndex.map { case (h, i) =>
+          (org.apache.spark.sql.catalyst.expressions.EqualTo(
+            slot.toAttribute, Literal(i)), Literal(h): Expression)
+        })
+      val hash = Alias(hashExpr, "hash")()
+      val pass = Alias(NumToPass(id, Literal(len)), "pass")()
+      val projected = logical.Project(Seq(hash, pass), hit)
+      // first-found-wins per target: min preimage, like crackMany
+      logical.Aggregate(Seq(hash.toAttribute),
+        Seq(hash.toAttribute,
+          Alias(org.apache.spark.sql.catalyst.expressions.aggregate
+            .Min(pass.toAttribute).toAggregateExpression(), "pass")()),
+        projected)
+    },
     "crack_candidates" -> { args: Seq[Expression] =>
       // the reference's keyspace scan itself (S1/S2) as a SQL relation:
       // SELECT pass FROM crack_candidates(len[, parallelism])

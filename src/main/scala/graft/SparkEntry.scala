@@ -35,6 +35,7 @@ object SparkEntry {
     "q_crack_found" -> (CrackQueries.qCrackFound _),
     "q_crack_notfound" -> (CrackQueries.qCrackNotFound _),
     "q_crack_multi" -> (CrackQueries.qCrackMulti _),
+    "q_crack_multi_sql" -> (graft.relational.SqlSurfaceQueries.qCrackMultiSql _),
     "q_crack_len5" -> (CrackQueries.qCrackLen5 _),
     "q_crack_chunked" -> (CrackQueries.qCrackChunked _),
     "q_crack_multilen" -> (CrackQueries.qCrackMultiLen _),
@@ -7122,5 +7123,6 @@ object SparkEntry {
     * reference its own entries. */
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "q_ngram_jaccard_sql" -> baseOracleSql("q_ngram_jaccard"),
-    "q_simhash_sql" -> baseOracleSql("q_simhash"))
+    "q_simhash_sql" -> baseOracleSql("q_simhash"),
+    "q_crack_multi_sql" -> baseOracleSql("q_crack_multi"))
 }

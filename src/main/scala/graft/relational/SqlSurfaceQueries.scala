@@ -54,4 +54,16 @@ object SqlSurfaceQueries {
   def qSimhashSql(spark: SparkSession, dir: String): DataFrame =
     spark.sql(
       s"SELECT * FROM simhash_pairs('${view(spark, dir, "documents")}')")
+
+  /** Batch crack via `crack_multi()` (SQL twin of q_crack_multi — one
+    * keyspace scan for the whole digest batch; the not-found digest is
+    * absent from the result, matching crackMany). */
+  def qCrackMultiSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.registerAll(spark)
+    spark.sql(
+      """SELECT * FROM crack_multi(array(
+        |  '81fe8bfe87576c3ecb22426f8e57847382917acf',
+        |  'a94a8fe5ccb19ba61c4c0873d391e987982fbbd3',
+        |  '7110eda4d09e062aa5e4a390b0a572ac0d2c0220'), 4)""".stripMargin)
+  }
 }

@@ -90,6 +90,27 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sortedRows(tok) === sortedRows(tokScala))
   }
 
+  test("crack_multi(array, len) == CrackQuery.crackMany; single scan plan") {
+    viewsReady()
+    val hashes = Seq(
+      "81fe8bfe87576c3ecb22426f8e57847382917acf", // abcd
+      "a94a8fe5ccb19ba61c4c0873d391e987982fbbd3", // test
+      "7110eda4d09e062aa5e4a390b0a572ac0d2c0220") // sha1("1234"): no preimage
+    val sql = spark.sql(s"SELECT * FROM crack_multi(array(${
+      hashes.map(h => s"'$h'").mkString(",")}), 4)")
+    val scala = graft.crack.CrackQuery.crackMany(spark, hashes, 4)
+    assert(sql.columns.toSeq === scala.columns.toSeq)
+    assert(sortedRows(sql) === sortedRows(scala))
+    assert(sql.count() === 2) // the not-found digest is absent
+    // ONE keyspace Range scan feeds the whole batch — no per-hash scans
+    // (count inside the FINAL plan only; AQE's dump repeats the tree
+    // under "== Initial Plan ==")
+    val plan = sql.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Range (0, 456976")) === 1,
+      plan)
+  }
+
   test("table functions compose: join, aggregate, nest in subqueries") {
     viewsReady()
     // aggregate over a table function
