@@ -41,9 +41,18 @@ object Bench {
   private[graft] def parseMedians(txt: String): Map[String, Double] = {
     val at = txt.indexOf("\"medians\":")
     if (at < 0) Map.empty
-    else "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
-      .findAllMatchIn(txt.substring(at))
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    else {
+      // the medians object is flat ("name":number pairs, no nesting), so
+      // its FIRST '}' is its matching close — bound the scan there, or any
+      // key the audit format later emits after "medians" (it already grew
+      // "baseline"/"regressions" before it) would silently merge into the
+      // baseline map and corrupt the regression gate
+      val end = txt.indexOf('}', at)
+      val body = if (end < 0) txt.substring(at) else txt.substring(at, end + 1)
+      "\"([^\"]+)\":(-?[0-9][0-9.eE+-]*)".r
+        .findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
   }
 
   /** Queries that got meaningfully slower vs the prior round's medians:

@@ -567,6 +567,12 @@ object Dedup {
     val rows = numHashes / bands
     val shArr = shingleArrays(spark, dir)
     val ex = shArr.select(col("doc_id"), explode(col("sh_arr")).as("sh"))
+    // Shape note (r11 adjudication): hashing per distinct shingle TYPE
+    // and joining back was measured 2x SLOWER isolated (2.44 s vs 1.25 s
+    // median, n=5, sf0.1) — the type-distinct + join-back shuffles of the
+    // occurrence stream cost more than the md5s they save, while this
+    // direct form aggregates map-side (partial min per doc) with no
+    // pre-aggregation shuffle at all. Keep the md5s inline.
     val mins = ex.groupBy("doc_id").agg(
       min(permHash(0)).as("m0"),
       (1 until numHashes).map(s => min(permHash(s)).as(s"m$s")): _*)

@@ -86,6 +86,12 @@ final class LspClient private (
             serverSeq = s
             send(connid, s, null)
           }
+          // duplicate data (server retransmit): re-ack, same as read() —
+          // otherwise the retransmit keeps resetting our epoch window
+          // without ever terminating the server's retransmit loop, and
+          // recovery of our own unacked DATA_SEND rides on timing jitter
+          else if (c == connid && s > 0 && s <= serverSeq && p.nonEmpty)
+            send(connid, s, null)
         case None =>
           epochs += 1
           if (epochs > epochCnt) {

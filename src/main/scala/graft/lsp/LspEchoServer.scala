@@ -25,7 +25,12 @@ final class LspEchoServer(epochMs: Int = 2000, dropEvery: Int = 0) {
       addr: SocketAddress,
       var clientSeq: Long, // highest in-order seqnum received
       var serverSeq: Long, // highest seqnum sent
-      var unacked: Option[(Long, Array[Byte])]) // last echo awaiting ack
+      // echoes awaiting ack, in seqnum order — a FIFO, not a single slot:
+      // two client write()s without an interleaved read() would otherwise
+      // overwrite the first echo before it is acked, and the dropped echo
+      // would never be retransmitted (the client's next read() would
+      // eventually ConnectionLost on a live connection)
+      var unacked: Vector[(Long, Array[Byte])])
 
   private val conns = collection.mutable.Map.empty[Long, Conn]
   private var nextConnid = 1L
@@ -60,7 +65,7 @@ final class LspEchoServer(epochMs: Int = 2000, dropEvery: Int = 0) {
             val id = existing.getOrElse {
               val id = nextConnid
               nextConnid += 1
-              conns(id) = Conn(pkt.getSocketAddress, 0L, 0L, None)
+              conns(id) = Conn(pkt.getSocketAddress, 0L, 0L, Vector.empty)
               id
             }
             send(conns(id).addr, id, 0L, null)
@@ -70,18 +75,20 @@ final class LspEchoServer(epochMs: Int = 2000, dropEvery: Int = 0) {
                 c.clientSeq = seq
                 send(c.addr, connid, seq, null)
                 c.serverSeq += 1
-                c.unacked = Some((c.serverSeq, payload.clone()))
+                c.unacked = c.unacked :+ (c.serverSeq, payload.clone())
                 send(c.addr, connid, c.serverSeq, payload)
               } else if (seq > 0 && seq <= c.clientSeq) {
                 send(c.addr, connid, seq, null) // duplicate: re-ack only
               }
-            } else if (seq > 0) { // DATA_ACK for our echo
-              c.unacked = c.unacked.filterNot(_._1 == seq)
+            } else if (seq > 0) { // DATA_ACK: everything <= seq delivered
+              c.unacked = c.unacked.filter(_._1 > seq)
             }
           }
         }
       } catch {
         case _: SocketTimeoutException => // epoch: retransmit unacked echoes
+          // in seqnum order: the client delivers strictly in-order, so the
+          // head must land first for the tail to ever be accepted
           conns.foreach { case (id, c) =>
             c.unacked.foreach { case (s, p) => send(c.addr, id, s, p) }
           }

@@ -17,6 +17,17 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(m("q_c") === -1.0)
   }
 
+  test("parseMedians stops at the medians object's closing brace") {
+    // keys emitted AFTER medians (the audit format already grew
+    // "baseline"/"regressions" before it) must not leak into the
+    // baseline map — that would corrupt the regression gate (ADVICE r10)
+    val txt =
+      """{"medians":{"q_a":0.5,"q_b":1.25},
+        |"extra":{"q_a":99.0,"q_z":7.0}}""".stripMargin
+    val m = Bench.parseMedians(txt)
+    assert(m === Map("q_a" -> 0.5, "q_b" -> 1.25))
+  }
+
   test("parseMedians is empty on garbage or a missing medians key") {
     assert(Bench.parseMedians("not json") === Map.empty)
     assert(Bench.parseMedians("""{"runs":{"q_a":[1.0]}}""") === Map.empty)

@@ -47,6 +47,23 @@ class LspClientSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("consecutive writes without an interleaved read lose no echo") {
+    // the server must QUEUE unacked echoes: with a single unacked slot,
+    // write(w1); write(w2) overwrites echo(w1) before it is acked and
+    // the first read() ConnectionLosts on a live connection (ADVICE r10)
+    val server = new LspEchoServer(epochMs = 60, dropEvery = 3)
+    try {
+      val c = LspClient.connect("127.0.0.1", server.port,
+        epochMs = 60, epochCnt = 50)
+      try {
+        (1 to 3).foreach(i => c.write(bytes(s"burst $i")))
+        (1 to 3).foreach { i =>
+          assert(new String(c.read(), UTF_8) === s"burst $i", s"echo $i")
+        }
+      } finally c.close()
+    } finally server.close()
+  }
+
   test("two clients get distinct connids; a retransmitted handshake does not") {
     val server = new LspEchoServer(epochMs = 100)
     try {

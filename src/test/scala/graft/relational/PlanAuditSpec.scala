@@ -243,7 +243,7 @@ class PlanAuditSpec extends SparkSpec {
     // sliding HLL: window membership is enumerated offsets, so BOTH
     // window joins carry the HOUR in their equi keys — a type-only equi
     // key with the hour range as a residual is a per-type
-    // quasi-cartesian over the spine (measured 5x this query's cost)
+    // quasi-cartesian over the spine (measured 3.5x this query's cost)
     val hs = planOf(Sketches.qHllSliding(spark, dir))
     assert(!hs.contains("CartesianProduct") &&
       !hs.contains("BroadcastNestedLoopJoin"), hs)
