@@ -492,6 +492,111 @@ object GraftExtensions {
            |    AS n_tokens_re,
            |  n_chars
            |FROM $tbl""".stripMargin)
+    },
+    // -- corpus-pipeline funnels: the operators a data engineer drives
+    // daily, as SQL doors over the SAME hash policies the Scala builders
+    // use (TrainingData.bucketOf / capPriority / gatePriority). The
+    // templates inline those policies verbatim — a drifting copy would
+    // silently keep different documents, so SqlSurfaceSpec result-pins
+    // each function to its Scala twin. --
+    "split_assign" -> { args: Seq[Expression] =>
+      // split_assign(tbl): deterministic train/val/test assignment
+      // ≡ TrainingData.qSplitAssign (bucket = first 32 md5 bits of
+      // doc_id mod 100, split at 80/90 — hash-based, never rand())
+      arity("split_assign", 1, args)
+      val tbl = tableIdent("split_assign", args(0))
+      parseTemplate(
+        s"""SELECT doc_id, bucket,
+           |  CASE WHEN bucket < 80 THEN 'train'
+           |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM (SELECT doc_id,
+           |        CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+           |          16, 10) AS BIGINT) % 100 AS bucket
+           |      FROM $tbl) b""".stripMargin)
+    },
+    "source_cap" -> { args: Seq[Expression] =>
+      // source_cap(tbl[, cap]): per-source document cap by SALTED
+      // priority hash ≡ TrainingData.qSourceCap (the salt keeps the cap
+      // policy independent of the split policy's md5(doc_id) stream)
+      if (args.isEmpty || args.length > 2)
+        throw new IllegalArgumentException(
+          s"source_cap expects (tbl[, cap]), got ${args.length} argument(s)")
+      val tbl = tableIdent("source_cap", args(0))
+      val cap = if (args.length >= 2) posIntArg("source_cap", args(1)) else 15
+      parseTemplate(
+        s"""SELECT source, count(1) AS n_total,
+           |  sum(CASE WHEN rn <= $cap THEN 1 ELSE 0 END) AS n_kept,
+           |  sum(CASE WHEN rn <= $cap THEN doc_id END) AS kept_docid_sum
+           |FROM (SELECT doc_id, source,
+           |        row_number() OVER (PARTITION BY source
+           |          ORDER BY md5(concat_ws(':', 'cap', CAST(doc_id AS STRING))),
+           |            doc_id) AS rn
+           |      FROM $tbl) r
+           |GROUP BY source""".stripMargin)
+    },
+    "quality_gate" -> { args: Seq[Expression] =>
+      // quality_gate(tbl[, keep_per_mille]): per-language top-p‰ gate by
+      // content length ≡ TrainingData.qQualityGate (integer-only
+      // threshold: kept iff rn*1000 <= n_lang*p + 999)
+      if (args.isEmpty || args.length > 2)
+        throw new IllegalArgumentException(
+          s"quality_gate expects (tbl[, keep_per_mille]), got ${args.length} argument(s)")
+      val tbl = tableIdent("quality_gate", args(0))
+      val p = if (args.length >= 2) posIntArg("quality_gate", args(1)) else 700
+      parseTemplate(
+        s"""SELECT lang, count(1) AS n_total,
+           |  sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+           |  min(CASE WHEN keep THEN n_chars END) AS cut_chars
+           |FROM (SELECT lang, n_chars,
+           |        CAST(row_number() OVER (PARTITION BY lang
+           |          ORDER BY n_chars DESC, doc_id) AS BIGINT) * 1000
+           |          <= count(1) OVER (PARTITION BY lang) * $p + 999 AS keep
+           |      FROM $tbl) g
+           |GROUP BY lang""".stripMargin)
+    },
+    "corpus_build" -> { args: Seq[Expression] =>
+      // corpus_build(tbl[, min_tokens, max_bigram_ppm]): the corpus-build
+      // capstone's SQL-expressible stages — quality gate (token count +
+      // repetition bound) → exact-dup losers removed → split assignment
+      // → per-(split, lang) census ≡ TrainingData.qCorpusBuildExact.
+      // The near-dup cluster stage is deliberately absent: cluster
+      // labels need the iterative large-star/small-star operator, which
+      // no single SQL relation expresses — pipelines that want it run
+      // qCorpusBuild (Scala) or subtract dedup_pairs() losers themselves.
+      if (args.isEmpty || args.length > 3)
+        throw new IllegalArgumentException(
+          s"corpus_build expects (tbl[, min_tokens, max_bigram_ppm]), got ${args.length} argument(s)")
+      val tbl = tableIdent("corpus_build", args(0))
+      val minTok = if (args.length >= 2) posIntArg("corpus_build", args(1)) else 20
+      val ppm = if (args.length >= 3) posIntArg("corpus_build", args(2)) else 200000
+      val thr = ppm / 1e6
+      val longEnough =
+        s"""SELECT doc_id, lang, text,
+           |  CAST(size(split(text, ' ', -1)) AS BIGINT) AS n_tokens
+           |FROM $tbl WHERE size(split(text, ' ', -1)) >= $minTok""".stripMargin
+      parseTemplate(
+        s"""SELECT split, lang, count(1) AS n_docs, sum(n_tokens) AS n_tokens
+           |FROM (
+           |  SELECT q.lang, q.n_tokens,
+           |    CASE WHEN q.bucket < 80 THEN 'train'
+           |         WHEN q.bucket < 90 THEN 'val' ELSE 'test' END AS split
+           |  FROM (
+           |    SELECT t.doc_id, t.lang, t.n_tokens,
+           |      CAST(conv(substring(md5(CAST(t.doc_id AS STRING)), 1, 8),
+           |        16, 10) AS BIGINT) % 100 AS bucket
+           |    FROM ($longEnough) t
+           |    JOIN (
+           |      SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
+           |        SELECT doc_id, g, count(1) AS c FROM ($longEnough) lv
+           |        LATERAL VIEW explode(shingle_list(text, 2)) tg AS g
+           |        GROUP BY doc_id, g) gc
+           |      GROUP BY doc_id) bg ON t.doc_id = bg.doc_id
+           |    LEFT ANTI JOIN (
+           |      SELECT doc_id FROM (
+           |        SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+           |        FROM $tbl) e WHERE doc_id <> keep) x ON t.doc_id = x.doc_id
+           |    WHERE CAST(bg.top_bg AS DOUBLE) / bg.n_bg <= $thr) q) s
+           |GROUP BY split, lang""".stripMargin)
     })
 
   /** Parse a rendered SQL template into an unresolved logical plan

@@ -49,6 +49,16 @@ object SparkEntry {
     "q_token_stats_sql" -> (graft.relational.SqlSurfaceQueries.qTokenStatsSql _),
     "q_ngram_jaccard_sql" -> (graft.relational.SqlSurfaceQueries.qNgramJaccardSql _),
     "q_simhash_sql" -> (graft.relational.SqlSurfaceQueries.qSimhashSql _),
+    // corpus-pipeline funnels through their SQL doors (r11): same hash
+    // policies as the Scala builders, result-pinned in SqlSurfaceSpec
+    "q_split_assign_sql" -> (graft.relational.SqlSurfaceQueries.qSplitAssignSql _),
+    "q_source_cap_sql" -> (graft.relational.SqlSurfaceQueries.qSourceCapSql _),
+    "q_quality_gate_sql" -> (graft.relational.SqlSurfaceQueries.qQualityGateSql _),
+    "q_corpus_build_sql" -> (graft.relational.SqlSurfaceQueries.qCorpusBuildSql _),
+    // the Scala twin of corpus_build() — capstone minus the (iterative,
+    // SQL-inexpressible) near-dup cluster stage
+    "q_corpus_build_exact" -> ((s: SparkSession, d: String) =>
+      TrainingData.qCorpusBuildExact(s, d)),
     "q_keyspace_roundtrip" -> (CrackQueries.qKeyspaceRoundtrip _),
     "q_keyspace_tile" -> (CrackQueries.qKeyspaceTile _),
     // -- relational surface (SURVEY §2.4-§2.9 generalization) --
@@ -1620,6 +1630,67 @@ object SparkEntry {
       |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
       |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
       |WHERE jaccard >= 0.5""".stripMargin
+
+  /** Funnel oracles shared by the Scala builders and their `*_sql`
+    * table-function twins (identical relations, so ONE oracle string
+    * each — a drifting copy would silently verify different policies). */
+  private val sourceCapOracle: String =
+    """SELECT source, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_docid_sum
+      |FROM (SELECT doc_id, source,
+      |        CAST(row_number() OVER (PARTITION BY source
+      |          ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      |      FROM documents)
+      |GROUP BY 1""".stripMargin
+
+  private val qualityGateOracle: String =
+    """SELECT lang, count(*) AS n_total,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  min(CASE WHEN keep THEN n_chars END) AS cut_chars
+      |FROM (SELECT lang, n_chars,
+      |        CAST(row_number() OVER (PARTITION BY lang
+      |          ORDER BY n_chars DESC, doc_id) AS BIGINT) * 1000
+      |          <= count(*) OVER (PARTITION BY lang) * 700 + 999 AS keep
+      |      FROM documents)
+      |GROUP BY 1""".stripMargin
+
+  private val splitAssignOracle: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+      |          AS BIGINT) AS bucket
+      |      FROM documents)""".stripMargin
+
+  /** q_corpus_build's oracle minus its near-dup CTEs — the four
+    * SQL-expressible stages (quality gate, exact-dup removal, split,
+    * census) shared by q_corpus_build_exact and q_corpus_build_sql. */
+  private val corpusBuildExactOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |exact_losers AS (SELECT doc_id FROM (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+      |  FROM documents) WHERE doc_id <> keep),
+      |bg AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
+      |  SELECT doc_id, g, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |      i -> l[i] || ' ' || l[i+1])) AS g FROM toks) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |kept AS (SELECT d.doc_id, d.lang,
+      |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+      |         FROM documents d JOIN bg USING (doc_id)
+      |         WHERE len(string_split(d.text, ' ')) >= 20
+      |           AND CAST(bg.top_bg AS DOUBLE) / bg.n_bg <= 0.2
+      |           AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers))
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+      |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM (SELECT doc_id, lang, n_tokens,
+      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
+      |          AS BIGINT) AS bucket
+      |      FROM kept)
+      |GROUP BY 1, 2""".stripMargin
 
   /** Hot-shingle-capped CTE extension: `csh` is the shingle stream with
     * document-frequency > 1000 types removed (the PPJoin boilerplate
@@ -6003,25 +6074,10 @@ object SparkEntry {
         |    / r.n_docs, 4) AS achieved_rate
         |FROM u JOIN r ON u.lang = r.lang
         |GROUP BY 1, 2, 3""".stripMargin,
-    "q_source_cap" ->
-      """SELECT source, count(*) AS n_total,
-        |  CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_docid_sum
-        |FROM (SELECT doc_id, source,
-        |        CAST(row_number() OVER (PARTITION BY source
-        |          ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
-        |      FROM documents)
-        |GROUP BY 1""".stripMargin,
-    "q_quality_gate" ->
-      """SELECT lang, count(*) AS n_total,
-        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  min(CASE WHEN keep THEN n_chars END) AS cut_chars
-        |FROM (SELECT lang, n_chars,
-        |        CAST(row_number() OVER (PARTITION BY lang
-        |          ORDER BY n_chars DESC, doc_id) AS BIGINT) * 1000
-        |          <= count(*) OVER (PARTITION BY lang) * 700 + 999 AS keep
-        |      FROM documents)
-        |GROUP BY 1""".stripMargin,
+    "q_source_cap" -> sourceCapOracle,
+    "q_source_cap_sql" -> sourceCapOracle,
+    "q_quality_gate" -> qualityGateOracle,
+    "q_quality_gate_sql" -> qualityGateOracle,
     "q_global_shuffle" ->
       """WITH r AS (SELECT doc_id,
         |    CAST(row_number() OVER (
@@ -6061,14 +6117,10 @@ object SparkEntry {
         |  max(shared.n_docs) AS max_span_docs
         |FROM sp JOIN shared ON sp.span = shared.span
         |GROUP BY 1""".stripMargin,
-    "q_split_assign" ->
-      """SELECT doc_id, bucket,
-        |  CASE WHEN bucket < 80 THEN 'train'
-        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id,
-        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-        |          AS BIGINT) AS bucket
-        |      FROM documents)""".stripMargin,
+    "q_split_assign" -> splitAssignOracle,
+    "q_split_assign_sql" -> splitAssignOracle,
+    "q_corpus_build_exact" -> corpusBuildExactOracle,
+    "q_corpus_build_sql" -> corpusBuildExactOracle,
     // window/stride arithmetic mirrored in integers; unnest(generate_series)
     // is the correlated explode
     "q_chunk_windows" ->

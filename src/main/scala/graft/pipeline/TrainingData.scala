@@ -506,6 +506,31 @@ object TrainingData {
   def qCorpusBuild(
       spark: SparkSession, dir: String,
       minTokens: Int = 20, maxBigramFrac: Double = 0.2): DataFrame = {
+    // near-dup losers: cluster members that are not the canonical keeper
+    val nearLosers = qDedupClusters(spark, dir)
+      .filter(!col("is_keeper"))
+      .select("doc_id")
+    corpusCensus(
+      corpusQualifiedExact(spark, dir, minTokens, maxBigramFrac)
+        .join(nearLosers, Seq("doc_id"), "left_anti"))
+  }
+
+  /** [[qCorpusBuild]] WITHOUT the near-dup cluster stage — exactly the
+    * stages a single SQL relation can express, which makes it the Scala
+    * twin of the `corpus_build()` table function
+    * ([[graft.GraftExtensions]]): quality gate → exact-dup losers
+    * removed → split assignment → census. Cluster subtraction needs the
+    * iterative large-star/small-star operator and stays Scala-only. */
+  def qCorpusBuildExact(
+      spark: SparkSession, dir: String,
+      minTokens: Int = 20, maxBigramFrac: Double = 0.2): DataFrame =
+    corpusCensus(corpusQualifiedExact(spark, dir, minTokens, maxBigramFrac))
+
+  /** Quality-passing, exact-dup-free (doc_id, lang, text, n_tokens) —
+    * the shared front of [[qCorpusBuild]] and [[qCorpusBuildExact]]. */
+  private def corpusQualifiedExact(
+      spark: SparkSession, dir: String,
+      minTokens: Int, maxBigramFrac: Double): DataFrame = {
     val docs = load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"),
         size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
@@ -525,19 +550,18 @@ object TrainingData {
       .filter(col("top_bg").cast("double") / col("n_bg") <= maxBigramFrac)
       .select("doc_id", "lang", "text", "n_tokens")
     // exact-dup losers: any copy that is not its text group's min doc_id
-    val exactLosers = exactDupLosers(load(spark, dir, "documents"))
-    // near-dup losers: cluster members that are not the canonical keeper
-    val nearLosers = qDedupClusters(spark, dir)
-      .filter(!col("is_keeper"))
-      .select("doc_id")
-    qualified
-      .join(exactLosers, Seq("doc_id"), "left_anti")
-      .join(nearLosers, Seq("doc_id"), "left_anti")
+    qualified.join(
+      exactDupLosers(load(spark, dir, "documents")), Seq("doc_id"), "left_anti")
+  }
+
+  /** Split assignment + per-(split, lang) census — the shared tail of
+    * the corpus-build capstones. */
+  private def corpusCensus(kept: DataFrame): DataFrame =
+    kept
       .withColumn("bucket", bucketOf(col("doc_id")))
       .withColumn("split", splitOf(col("bucket")))
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-  }
 
   /** Train/eval DECONTAMINATION — the check every pretraining pipeline
     * runs before shipping a corpus: a training document that shares

@@ -55,6 +55,30 @@ object SqlSurfaceQueries {
     spark.sql(
       s"SELECT * FROM simhash_pairs('${view(spark, dir, "documents")}')")
 
+  /** Train/val/test assignment via `split_assign()` (SQL twin of
+    * q_split_assign — THE split policy, inlined in the template). */
+  def qSplitAssignSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"SELECT * FROM split_assign('${view(spark, dir, "documents")}')")
+
+  /** Per-source cap census via `source_cap()` (SQL twin of
+    * q_source_cap at the same cap=15 default). */
+  def qSourceCapSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(s"SELECT * FROM source_cap('${view(spark, dir, "documents")}')")
+
+  /** Per-language quality-percentile gate via `quality_gate()` (SQL twin
+    * of q_quality_gate at the same 700‰ default). */
+  def qQualityGateSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"SELECT * FROM quality_gate('${view(spark, dir, "documents")}')")
+
+  /** Corpus-build funnel via `corpus_build()` (SQL twin of
+    * q_corpus_build minus the near-dup cluster stage ≡
+    * TrainingData.qCorpusBuildExact). */
+  def qCorpusBuildSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"SELECT * FROM corpus_build('${view(spark, dir, "documents")}')")
+
   /** Batch crack via `crack_multi()` (SQL twin of q_crack_multi — one
     * keyspace scan for the whole digest batch; the not-found digest is
     * absent from the result, matching crackMany). */

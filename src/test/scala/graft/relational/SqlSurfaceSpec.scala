@@ -111,6 +111,74 @@ class SqlSurfaceSpec extends SparkSpec {
       plan)
   }
 
+  test("funnel TVFs == their Scala builders (split/cap/gate/corpus_build)") {
+    viewsReady()
+    val cases: Seq[(String, DataFrame)] = Seq(
+      "split_assign('sqlsurface_documents')" ->
+        graft.pipeline.TrainingData.qSplitAssign(spark, dir),
+      "source_cap('sqlsurface_documents')" ->
+        graft.pipeline.TrainingData.qSourceCap(spark, dir),
+      "quality_gate('sqlsurface_documents')" ->
+        graft.pipeline.TrainingData.qQualityGate(spark, dir),
+      "corpus_build('sqlsurface_documents')" ->
+        graft.pipeline.TrainingData.qCorpusBuildExact(spark, dir))
+    cases.foreach { case (fn, scala) =>
+      val sql = spark.sql(s"SELECT * FROM $fn")
+      assert(sql.columns.toSeq === scala.columns.toSeq, fn)
+      assert(sortedRows(sql) === sortedRows(scala), fn)
+    }
+    // corpus_build (no near-dup stage) must still gate MORE than the raw
+    // corpus census — the funnel actually filters at this SF
+    val built = spark.sql(
+      "SELECT sum(n_docs) FROM corpus_build('sqlsurface_documents')")
+      .collect()(0).getLong(0)
+    val total = Tables.load(spark, dir, "documents").count()
+    assert(built < total, s"corpus_build kept everything ($built of $total)")
+  }
+
+  test("non-default knobs produce EXACTLY the non-default Scala results") {
+    viewsReady()
+    // each case runs a config the defaults don't cover and must equal the
+    // Scala builder AT THAT CONFIG (shape-only checks would miss a knob
+    // that parses but silently binds to the default)
+    val knobbed: Seq[(String, DataFrame)] = Seq(
+      "dedup_pairs('sqlsurface_documents', 16, 4, 400000)" ->
+        graft.dedup.Dedup.qMinhashLshPairs(spark, dir,
+          numHashes = 16, bands = 4, threshold = 0.4),
+      "ann_topk('sqlsurface_embeddings', 10, 3)" ->
+        graft.similarity.Similarity.qAnnBruteForce(spark, dir,
+          nQueries = 10, k = 3),
+      "ngram_jaccard('sqlsurface_documents', 300000, 500)" ->
+        graft.dedup.Dedup.qNgramJaccardPairs(spark, dir,
+          threshold = 0.3, maxDf = 500),
+      "simhash_pairs('sqlsurface_documents', 5)" ->
+        graft.dedup.Dedup.qSimhashPairs(spark, dir,
+          maxHamming = 5, md5Hash = true),
+      "source_cap('sqlsurface_documents', 5)" ->
+        graft.pipeline.TrainingData.qSourceCap(spark, dir, cap = 5),
+      "quality_gate('sqlsurface_documents', 500)" ->
+        graft.pipeline.TrainingData.qQualityGate(spark, dir,
+          keepPerMille = 500),
+      "corpus_build('sqlsurface_documents', 10, 300000)" ->
+        graft.pipeline.TrainingData.qCorpusBuildExact(spark, dir,
+          minTokens = 10, maxBigramFrac = 0.3))
+    knobbed.foreach { case (fn, scala) =>
+      val sql = spark.sql(s"SELECT * FROM $fn")
+      assert(sql.columns.toSeq === scala.columns.toSeq, fn)
+      assert(sortedRows(sql) === sortedRows(scala), fn)
+    }
+    // and the knob must actually CHANGE something vs the default call
+    // (guards against a parsed-but-ignored parameter)
+    assert(sortedRows(spark.sql(
+      "SELECT * FROM quality_gate('sqlsurface_documents', 500)")) !==
+      sortedRows(spark.sql(
+        "SELECT * FROM quality_gate('sqlsurface_documents')")))
+    assert(sortedRows(spark.sql(
+      "SELECT * FROM source_cap('sqlsurface_documents', 5)")) !==
+      sortedRows(spark.sql(
+        "SELECT * FROM source_cap('sqlsurface_documents')")))
+  }
+
   test("table functions compose: join, aggregate, nest in subqueries") {
     viewsReady()
     // aggregate over a table function
