@@ -133,7 +133,7 @@ object Sketches {
     // trailing membership as EXPLICIT offsets, so every window join is
     // a full (type, hour) equi-join with fan-out w — a range predicate
     // residual on a type-only equi key is a per-type quasi-cartesian
-    // over the hour spine (measured 5x this query's cost at sf0.1; at
+    // over the hour spine (measured 3.5x this query's cost at sf0.1; at
     // a year of hours it would dominate everything)
     val offsets = (0 until windowHours).map(o => col("hour") - lit(o.toLong))
     val wanted = explode(array(offsets: _*)).as("src_hour")

@@ -74,6 +74,90 @@ object StreamingSketch {
         GroupStateTimeout.NoTimeout())(updateGroup)
   }
 
+  // ---- sliding-window HLL twin ------------------------------------------
+
+  final case class HourEvent(eventType: String, hour: Long, userId: Long)
+
+  /** Per-hour HLL registers as sorted parallel arrays (`hours(i)`'s 256
+    * registers are `regs.slice(i*256, (i+1)*256)`) — the MapType-free
+    * encoding BOTH state APIs accept (TWS rejects MapType; the dyadic
+    * twin established the workaround).
+    *
+    * State-size bound: 256 bytes per (key, hour) — the hour spine is
+    * CALENDAR-bounded, so a year of hourly sketches is 8760 × 256 B
+    * ≈ 2.2 MB per key regardless of row count or distinct cardinality;
+    * that is the whole point of keeping mergeable per-hour blobs instead
+    * of per-window user sets (which grow with the data). */
+  final case class HourRegisters(hours: Vector[Long], regs: Vector[Byte])
+
+  final case class SlidingEst(eventType: String, hour: Long, hllEst: Double)
+
+  /** The one fold BOTH state APIs run ([[slidingDistinct]] on fMGWS,
+    * [[StreamingSketchTws.slidingDistinct]] on transformWithState):
+    * absorb the batch into per-hour max-registers, then emit the
+    * refreshed trailing-`windowHours` estimate for EVERY hour in state —
+    * re-merging w of the 256-byte register sets per hour, exactly the
+    * batch operator's explicit-offset window re-merge
+    * ([[graft.relational.Sketches.qHllSliding]]). Register merge is max
+    * (commutative, idempotent), so any batch split or arrival order
+    * lands on the identical registers and the final per-(key, hour)
+    * estimates equal the batch `hll_est` bit-for-bit (the suite pins
+    * it on both APIs). */
+  private[streaming] def slidingFold(
+      eventType: String,
+      s: HourRegisters,
+      events: Iterator[HourEvent],
+      windowHours: Int): (HourRegisters, Seq[SlidingEst]) = {
+    val m = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+    s.hours.zipWithIndex.foreach { case (h, i) =>
+      m(h) = s.regs.slice(i * 256, (i + 1) * 256).toArray
+    }
+    events.foreach { e =>
+      val mj = m.getOrElseUpdate(e.hour, Array.fill[Byte](256)(0))
+      val (b, r) = register(e.userId)
+      if (r > mj(b)) mj(b) = r
+    }
+    val hours = m.keys.toVector.sorted
+    val ests = hours.map { h =>
+      val merged = Array.fill[Byte](256)(0)
+      var o = 0
+      while (o < windowHours) {
+        m.get(h - o).foreach { mj =>
+          var i = 0
+          while (i < 256) {
+            if (mj(i) > merged(i)) merged(i) = mj(i)
+            i += 1
+          }
+        }
+        o += 1
+      }
+      SlidingEst(eventType, h, estimate(merged.toIndexedSeq))
+    }
+    (HourRegisters(hours, hours.flatMap(h => m(h).toVector)), ests)
+  }
+
+  private def updateSliding(windowHours: Int)(
+      eventType: String,
+      events: Iterator[HourEvent],
+      state: GroupState[HourRegisters]): Iterator[SlidingEst] = {
+    val s = state.getOption.getOrElse(HourRegisters(Vector.empty, Vector.empty))
+    val (next, ests) = slidingFold(eventType, s, events, windowHours)
+    state.update(next)
+    ests.iterator
+  }
+
+  /** Update-mode trailing-window distinct estimates per (key, hour) —
+    * the streaming twin of `q_hll_sliding`. */
+  def slidingDistinct(
+      events: Dataset[HourEvent], windowHours: Int = 3): Dataset[SlidingEst] = {
+    implicit val stEnc = Encoders.product[HourRegisters]
+    implicit val esEnc = Encoders.product[SlidingEst]
+    events
+      .groupByKey(_.eventType)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateSliding(windowHours))
+  }
+
   // ---- KMV bottom-k quantile twin --------------------------------------
 
   final case class ValueRow(eventType: String, eventId: Long, cents: Long)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.{Dataset, Encoders}
 
-import graft.streaming.StreamingSketch.{DyadicEst, DyadicState, ValueRow}
+import graft.streaming.StreamingSketch.{DyadicEst, DyadicState, HourEvent, HourRegisters, SlidingEst, ValueRow}
 
 /** [[StreamingSketch.dyadicQuantiles]] on Spark 4's `transformWithState`
   * API — the same discipline as [[SessionTrackerTws]]/[[CrackServiceTws]]:
@@ -52,6 +52,45 @@ object StreamingSketchTws {
     events
       .groupByKey(_.eventType)(Encoders.STRING)
       .transformWithState(new DyadicProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[StreamingSketch.slidingDistinct]]'s processor on transformWithState
+    * — [[HourRegisters]] is already parallel-array encoded (the dyadic
+    * MapType workaround), so the state round-trips both APIs unchanged;
+    * the fold is the shared [[StreamingSketch.slidingFold]]. State bound:
+    * 256 bytes per (key, hour), calendar-bounded hour spine (see the
+    * state case class's scaladoc). */
+  class SlidingHllProcessor(windowHours: Int)
+      extends StatefulProcessor[String, HourEvent, SlidingEst] {
+
+    @transient private var st: ValueState[HourRegisters] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[HourRegisters](
+        "sliding_hll", Encoders.product[HourRegisters], TTLConfig.NONE)
+
+    override def handleInputRows(
+        eventType: String,
+        rows: Iterator[HourEvent],
+        timers: TimerValues): Iterator[SlidingEst] = {
+      val cur =
+        if (st.exists()) st.get()
+        else HourRegisters(Vector.empty, Vector.empty)
+      val (next, ests) =
+        StreamingSketch.slidingFold(eventType, cur, rows, windowHours)
+      st.update(next)
+      ests.iterator
+    }
+  }
+
+  /** Update-mode trailing-window distinct estimates, TWS flavor. */
+  def slidingDistinct(
+      events: Dataset[HourEvent], windowHours: Int = 3): Dataset[SlidingEst] = {
+    implicit val outEnc = Encoders.product[SlidingEst]
+    events
+      .groupByKey(_.eventType)(Encoders.STRING)
+      .transformWithState(new SlidingHllProcessor(windowHours),
         TimeMode.None(), OutputMode.Update())
   }
 }

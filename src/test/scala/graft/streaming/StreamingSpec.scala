@@ -87,6 +87,68 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming sliding HLL == batch q_hll_sliding on BOTH state APIs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.relational.Tables.load(spark, dir, "events")
+      .selectExpr("event_type", "ts div 1000 div 3600000000 as hour",
+        "user_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => graft.streaming.StreamingSketch.HourEvent(r._1, r._2, r._3))
+    // batch ground truth: (type, hour) -> trailing-3h hll_est
+    val want = graft.relational.Sketches.qHllSliding(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // adversarial order + arbitrary split: per-hour registers merge by
+    // max, so any feed converges to the batch registers
+    val shuffled = rows.sortBy(e =>
+      (e.userId * 0x9E3779B97F4A7C15L) ^ e.hour ^ e.eventType.##)
+    val batches = shuffled.grouped(math.max(1, rows.length / 4 + 1)).toSeq
+
+    def lastPerKey(table: String): Map[(String, Long), Double] =
+      spark.table(table)
+        .as[graft.streaming.StreamingSketch.SlidingEst].collect()
+        .zipWithIndex.groupBy(v => (v._1.eventType, v._1.hour))
+        .map { case (k, v) => k -> v.maxBy(_._2)._1.hllEst }
+
+    // fMGWS flavor
+    val input = MemoryStream[graft.streaming.StreamingSketch.HourEvent]
+    val name = s"shll_${System.nanoTime()}"
+    val q = graft.streaming.StreamingSketch.slidingDistinct(input.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    val got =
+      try {
+        batches.foreach { b => input.addData(b); q.processAllAvailable() }
+        lastPerKey(name)
+      } finally q.stop()
+    assert(got === want)
+    assert(got.nonEmpty)
+
+    // transformWithState flavor (RocksDB provider, the TWS requirement)
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in2 = MemoryStream[graft.streaming.StreamingSketch.HourEvent]
+      val name2 = s"shlltws_${System.nanoTime()}"
+      val q2 = graft.streaming.StreamingSketchTws.slidingDistinct(in2.toDS())
+        .writeStream.format("memory").queryName(name2).outputMode("update")
+        .start()
+      val got2 =
+        try {
+          batches.foreach { b => in2.addData(b); q2.processAllAvailable() }
+          lastPerKey(name2)
+        } finally q2.stop()
+      assert(got2 === want)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("space-saving guarantees hold under any arrival order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
