@@ -899,6275 +899,24 @@ object SparkEntry {
       graft.multimodal.ImageDedup.qImageNearDup(s, d))
   )
 
-  /** Shared CTE: the deterministic LSP/DPC message log derived from
-    * `events` (mirrors [[LspAnalytics.messageLog]]). */
-  private val logCte: String =
-    """WITH log AS (
-      |  SELECT event_id, user_id AS connid,
-      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seqnum,
-      |    CASE WHEN event_type = 'signup' THEN 'j'
-      |         WHEN event_type = 'purchase' THEN 'c ' || md5(CAST(event_id AS VARCHAR)) || ' aaaa zzzz'
-      |         WHEN event_type = 'click' THEN 'f abcd'
-      |         WHEN event_type = 'error' THEN 'x'
-      |         ELSE '' END AS payload
-      |  FROM events)""".stripMargin
-
-  /** Fixed-point q12 squared distance — the [[graft.similarity
-    * .Similarity]] cellDist contract: per-dim floor((aᵢ−bᵢ)²·10¹²+½)
-    * as BIGINT, summed left-to-right. */
-  private def kmppDist(a: String, b: String): String =
-    s"list_reduce(list_transform(range(1, 65), i -> " +
-      s"CAST(floor(($a[i] - $b[i]) * ($a[i] - $b[i]) * 1e12 + 0.5) " +
-      s"AS BIGINT)), (x, y) -> x + y)"
-
-  /** k-means|| oracle: unrolled rounds — per round the min quantized
-    * distance to the accumulated seed set, the HUGEINT total, the
-    * salted-md5 accept draw, and the seed-set union; then the
-    * nearest-seed weighting pass. Seed/dist/draw arithmetic replays the
-    * Spark side bit-for-bit (seeds are raw data points, never rounded;
-    * the accept test cross-multiplies integers). */
-  /** k-center oracle: the farthest-point traversal unrolled — per pick
-    * the min quantized distance to the accumulated set, the (d DESC,
-    * vec_id) argmax, and the set union; replays
-    * [[graft.similarity.Similarity.qKcenterCoreset]] exactly. */
-  private def kcenterSql(k: Int): String = {
-    val rounds = (1 until k).map { r =>
-      s"""d$r AS MATERIALIZED (SELECT e.vec_id,
-         |    min(${kmppDist("e.xs", "m.ms")}) AS d
-         |  FROM e CROSS JOIN m${r - 1} m GROUP BY 1),
-         |p$r AS (SELECT vec_id, d FROM d$r ORDER BY d DESC, vec_id LIMIT 1),
-         |m$r AS MATERIALIZED (SELECT * FROM m${r - 1} UNION ALL
-         |  SELECT e.vec_id AS cid, e.xs AS ms
-         |  FROM e JOIN p$r ON e.vec_id = p$r.vec_id)""".stripMargin
-    }.mkString(",\n")
-    val picks = (1 until k).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS pick_order, vec_id, d AS radius_fp FROM p$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
-       |m0 AS (SELECT vec_id AS cid, xs AS ms FROM e
-       |  WHERE vec_id = (SELECT min(vec_id) FROM e)),
-       |$rounds
-       |SELECT CAST(0 AS BIGINT) AS pick_order,
-       |  (SELECT min(vec_id) FROM e) AS vec_id,
-       |  CAST(0 AS BIGINT) AS radius_fp
-       |UNION ALL $picks""".stripMargin
-  }
-
-  /** Louvain oracle: unrolled synchronous move rounds — per round the
-    * neighbor-community weight census, the Σtot table, the integer
-    * modularity-gain score, and the (score DESC, comm ASC) argmax —
-    * then the final per-community census, replaying
-    * [[graft.graph.GraphOps.qLouvain]]. */
-  private def louvainSql(rounds: Int): String = {
-    val roundCtes = (1 to rounds).map { t =>
-      s"""n$t AS (SELECT a.src, l.lbl AS comm, CAST(sum(a.w) AS BIGINT) AS kiin
-         |  FROM arcs a JOIN l${t - 1} l ON a.dst = l.node GROUP BY 1, 2),
-         |c$t AS (SELECT src, comm, CAST(sum(kiin) AS BIGINT) AS kiin FROM (
-         |    SELECT src, comm, kiin FROM n$t
-         |    UNION ALL SELECT node, lbl, 0 FROM l${t - 1}) GROUP BY 1, 2),
-         |st$t AS (SELECT l.lbl AS comm, CAST(sum(kk.kw) AS BIGINT) AS sig
-         |  FROM l${t - 1} l JOIN k kk ON l.node = kk.node GROUP BY 1),
-         |sc$t AS (SELECT c.src, c.comm,
-         |    CAST((SELECT w2 FROM m2) AS HUGEINT) * c.kiin
-         |      - CAST(kk.kw AS HUGEINT) * (st.sig -
-         |        CASE WHEN c.comm = l.lbl THEN kk.kw ELSE 0 END) AS score
-         |  FROM c$t c JOIN l${t - 1} l ON c.src = l.node
-         |  JOIN k kk ON c.src = kk.node
-         |  JOIN st$t st ON c.comm = st.comm),
-         |l$t AS MATERIALIZED (SELECT src AS node, comm AS lbl FROM (
-         |    SELECT src, comm, row_number() OVER (PARTITION BY src
-         |      ORDER BY score DESC, comm) AS rn FROM sc$t) WHERE rn = 1)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""$copurchaseCte,
-       |arcs AS MATERIALIZED (SELECT u AS src, v AS dst, support AS w FROM und
-       |  UNION ALL SELECT v, u, support FROM und),
-       |k AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS kw
-       |  FROM arcs GROUP BY 1),
-       |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS w2 FROM arcs),
-       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM arcs),
-       |$roundCtes,
-       |in2 AS (SELECT la.lbl AS community, CAST(sum(a.w) AS BIGINT) AS in2_w
-       |  FROM arcs a JOIN l$rounds la ON a.src = la.node
-       |  JOIN l$rounds lb ON a.dst = lb.node AND la.lbl = lb.lbl GROUP BY 1),
-       |tot AS (SELECT l.lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes,
-       |    CAST(sum(kk.kw) AS BIGINT) AS tot_w
-       |  FROM l$rounds l JOIN k kk ON l.node = kk.node GROUP BY 1)
-       |SELECT t.community, t.n_nodes, t.tot_w,
-       |  coalesce(i.in2_w, 0) AS in2_w,
-       |  CAST(CAST(coalesce(i.in2_w, 0) AS HUGEINT) * (SELECT w2 FROM m2)
-       |    - CAST(t.tot_w AS HUGEINT) * t.tot_w AS BIGINT) AS q_num
-       |FROM tot t LEFT JOIN in2 i ON t.community = i.community""".stripMargin
-  }
-
-  /** Boosted-stumps oracle: candidate grid + per-round conditional
-    * split census, BigInt-free argmax via HUGEINT cross-multiplied
-    * NOT EXISTS (gain comparison never divides), truncating leaf
-    * divisions, residual update — replaying
-    * [[graft.pipeline.BoostedStumps.qBoostedStumps]] exactly. */
-  /** The WITH-body fragment of [[boostedStumpsSql]] (features,
-    * candidate grid, unrolled split/update rounds ending at
-    * `p<rounds>` / `r<rounds>` / `a<rounds>`) — shared with the
-    * capstone v6 oracle. */
-  /** The shared stump feature table (`f`). */
-  private val stumpFeatureCte: String =
-    """f AS MATERIALIZED (SELECT doc_id,
-      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS f1,
-      |    CAST(n_chars AS BIGINT) AS f2,
-      |    CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS f3,
-      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000 AS y
-      |  FROM documents)""".stripMargin
-
-  /** One stump TRAINING program over `f WHERE <trainWhere>` with every
-    * CTE name prefixed by `p` — instantiable per cross-validation fold
-    * (grid and residuals both derive from the training slice only). */
-  private def stumpTrainCtes(
-      rounds: Int, p: String, trainWhere: String): String = {
-    def featC(a: String) =
-      s"(CASE c.fe WHEN 'f1' THEN $a.f1 WHEN 'f2' THEN $a.f2 ELSE $a.f3 END)"
-    val roundCtes = (1 to rounds).map { t =>
-      s"""${p}s$t AS (SELECT c.fe, c.th,
-         |    CAST(sum(CASE WHEN ${featC("r")} <= c.th THEN 1 ELSE 0 END) AS BIGINT) AS nl,
-         |    CAST(sum(CASE WHEN ${featC("r")} <= c.th THEN r.r ELSE 0 END) AS BIGINT) AS sl,
-         |    CAST(count(*) AS BIGINT) AS n, CAST(sum(r.r) AS BIGINT) AS st
-         |  FROM ${p}r${t - 1} r CROSS JOIN ${p}c c GROUP BY 1, 2),
-         |${p}g$t AS (SELECT fe, th, nl, sl, n - nl AS nr, st - sl AS sr,
-         |    CAST(sl AS HUGEINT) * (n - nl) - CAST(st - sl AS HUGEINT) * nl AS num,
-         |    CAST(nl AS HUGEINT) * (n - nl) AS den
-         |  FROM ${p}s$t WHERE nl > 0 AND nl < n),
-         |${p}p$t AS (SELECT fe, th, nl, sl // nl AS dl, sr // nr AS dr
-         |  FROM ${p}g$t g
-         |  WHERE NOT EXISTS (SELECT 1 FROM ${p}g$t h WHERE
-         |      h.num * h.num * g.den > g.num * g.num * h.den
-         |      OR (h.num * h.num * g.den = g.num * g.num * h.den
-         |          AND (h.fe < g.fe OR (h.fe = g.fe AND h.th < g.th))))),
-         |${p}r$t AS MATERIALIZED (SELECT r.doc_id, r.f1, r.f2, r.f3,
-         |    r.r - (CASE WHEN (CASE p.fe WHEN 'f1' THEN r.f1
-         |      WHEN 'f2' THEN r.f2 ELSE r.f3 END) <= p.th
-         |      THEN p.dl ELSE p.dr END) AS r
-         |  FROM ${p}r${t - 1} r CROSS JOIN ${p}p$t p),
-         |${p}a$t AS (SELECT CAST(sum(abs(r)) AS BIGINT) AS ar FROM ${p}r$t)"""
-        .stripMargin
-    }.mkString(",\n")
-    s"""${p}bb AS (SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2,
-       |    max(f2) AS mx2, min(f3) AS mn3, max(f3) AS mx3
-       |  FROM f WHERE $trainWhere),
-       |${p}c AS MATERIALIZED (SELECT fe, mn + ((mx - mn) * i) // 8 AS th
-       |  FROM (SELECT 'f1' AS fe, mn1 AS mn, mx1 AS mx FROM ${p}bb
-       |        UNION ALL SELECT 'f2', mn2, mx2 FROM ${p}bb
-       |        UNION ALL SELECT 'f3', mn3, mx3 FROM ${p}bb) fx,
-       |       generate_series(1, 7) gs(i)),
-       |${p}r0 AS MATERIALIZED (SELECT doc_id, f1, f2, f3, y AS r
-       |  FROM f WHERE $trainWhere),
-       |$roundCtes""".stripMargin
-  }
-
-  private def boostedStumpsCtes(rounds: Int): String =
-    s"$stumpFeatureCte,\n${stumpTrainCtes(rounds, "", "TRUE")}"
-
-  /** k-fold stump cross-validation oracle: one full training program
-    * per fold (prefixed CTEs, grid from the training slice only), then
-    * the held-out MAE census — replaying
-    * [[graft.pipeline.BoostedStumps.qStumpCrossval]]. */
-  private def stumpCrossvalSql(folds: Int, rounds: Int): String = {
-    val programs = (0 until folds).map(f =>
-      stumpTrainCtes(rounds, s"cv${f}_", s"doc_id % $folds <> $f"))
-      .mkString(",\n")
-    val evals = (0 until folds).map { f =>
-      val joins = (1 to rounds)
-        .map(t => s"CROSS JOIN cv${f}_p$t m$t").mkString(" ")
-      val pred = (1 to rounds).map(t =>
-        s"(CASE WHEN (CASE m$t.fe WHEN 'f1' THEN t.f1 WHEN 'f2' THEN t.f2" +
-          s" ELSE t.f3 END) <= m$t.th THEN m$t.dl ELSE m$t.dr END)")
-        .mkString(" + ")
-      s"""SELECT CAST($f AS BIGINT) AS fold,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM f
-         |   WHERE doc_id % $folds <> $f) AS n_train,
-         |  CAST(count(*) AS BIGINT) AS n_test,
-         |  CAST(sum(abs(t.y - ($pred))) AS BIGINT) AS sum_abs_err,
-         |  CAST(sum(abs(t.y - ($pred))) AS BIGINT)
-         |    // CAST(count(*) AS BIGINT) AS mae_fp
-         |FROM f t $joins WHERE t.doc_id % $folds = $f""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH $stumpFeatureCte,
-       |$programs
-       |$evals""".stripMargin
-  }
-
-  private def boostedStumpsSql(rounds: Int): String = {
-    val snaps = (1 to rounds).map { t =>
-      s"""SELECT CAST($t AS BIGINT) AS step, fe AS feature,
-         |  th AS threshold, nl AS n_left, dl AS left_fp, dr AS right_fp,
-         |  (SELECT ar FROM a$t) AS abs_resid FROM p$t""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH ${boostedStumpsCtes(rounds)}
-       |$snaps""".stripMargin
-  }
-
-  /** Multiplicative-weights mixture oracle: the per-domain loss census
-    * and `rounds` unrolled integer weight updates, replaying
-    * [[graft.pipeline.TrainingData.qMixMw]] (truncating division on
-    * both engines — the negative-excess agreement). */
-  /** Markov removal-effect attribution oracle: transition ppm census +
-    * per-chain unrolled hit-probability recurrences — one chain for the
-    * full graph and one per removed channel (the event-type universe is
-    * fixed across SFs, so channels are literal; replays
-    * [[graft.relational.Inference.qMarkovAttribution]]). */
-  /** SPRT oracle — the SAME Scala-computed micronat literals as
-    * [[graft.relational.Inference.qSprt]] (no engine logarithms). */
-  private def sprtSql: String = {
-    val w1 = math.floor(math.log(0.5 / 0.4) * 1e6).toLong
-    val w0 = math.floor(math.log(0.5 / 0.6) * 1e6).toLong
-    val a = math.floor(math.log(0.95 / 0.05) * 1e6).toLong
-    s"""WITH u AS (SELECT user_id,
-       |    min(epoch_us(ts) // 3600000000) AS hour,
-       |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 120.0
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS conv
-       |  FROM events GROUP BY 1),
-       |h AS (SELECT hour, CAST(count(*) AS BIGINT) AS n_users,
-       |    CAST(sum(conv) AS BIGINT) AS n_conv FROM u GROUP BY 1),
-       |w AS (SELECT hour, n_users, n_conv,
-       |    n_conv * $w1 + (n_users - n_conv) * $w0 AS llr_mnat FROM h),
-       |cm AS (SELECT *, CAST(sum(llr_mnat) OVER (ORDER BY hour) AS BIGINT)
-       |    AS cum_llr_mnat FROM w),
-       |cr AS (SELECT min(hour) AS cross_hour FROM cm
-       |  WHERE cum_llr_mnat >= $a OR cum_llr_mnat <= ${-a}),
-       |cl AS (SELECT cm.cum_llr_mnat AS cross_llr FROM cm JOIN cr
-       |  ON cm.hour = cr.cross_hour)
-       |SELECT cm.hour, cm.n_users, cm.n_conv, cm.llr_mnat,
-       |  cm.cum_llr_mnat,
-       |  CASE WHEN (SELECT cross_hour FROM cr) IS NULL
-       |      OR cm.hour < (SELECT cross_hour FROM cr) THEN 'continue'
-       |    WHEN (SELECT cross_llr FROM cl) >= $a THEN 'accept_h1'
-       |    ELSE 'accept_h0' END AS decision
-       |FROM cm""".stripMargin
-  }
-
-  /** The fixed channel universe of the events table (every SF carries
-    * all five event types; 'purchase' is the conversion target). */
-  private val markovChannels = Seq("click", "error", "signup", "view")
-
-  /** Shared Markov-model CTEs: transition ppm table `p`, start census
-    * `st`, user total `su`, state universe `states`. */
-  private val markovModelCtes: String =
-    """ev AS MATERIALIZED (SELECT user_id, event_id, event_type,
-      |    epoch_us(ts) AS ts_us FROM events),
-      |tr AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
-      |  FROM (SELECT event_type AS next_type,
-      |      lag(event_type) OVER (PARTITION BY user_id
-      |        ORDER BY ts_us, event_id) AS prev_type FROM ev)
-      |  WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-      |ot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
-      |  FROM tr GROUP BY 1),
-      |p AS MATERIALIZED (SELECT tr.prev_type, tr.next_type,
-      |    (tr.n * 1000000) // ot.out_n AS p_ppm
-      |  FROM tr JOIN ot ON tr.prev_type = ot.prev_type),
-      |st AS MATERIALIZED (SELECT event_type AS s,
-      |    CAST(count(*) AS BIGINT) AS n
-      |  FROM (SELECT user_id, event_type, row_number() OVER (
-      |      PARTITION BY user_id ORDER BY ts_us, event_id) AS rn FROM ev)
-      |  WHERE rn = 1 GROUP BY 1),
-      |su AS (SELECT CAST(sum(n) AS BIGINT) AS nu FROM st),
-      |states AS MATERIALIZED (SELECT DISTINCT s FROM (
-      |  SELECT prev_type AS s FROM p
-      |  UNION SELECT next_type FROM p
-      |  UNION SELECT s FROM st))""".stripMargin
-
-  /** One unrolled hit-probability chain with every state in `removed`
-    * pinned to 0; ends at `pv<tag>(pv)`. */
-  private def markovChain(
-      tag: String, removed: Seq[String], steps: Int): String = {
-    val inList = removed.map("'" + _ + "'").mkString(", ")
-    val remCase =
-      if (removed.isEmpty) "" else s"WHEN s.s IN ($inList) THEN 0"
-    val stepsCtes = (1 to steps).map { t =>
-      s"""h$tag$t AS MATERIALIZED (SELECT s.s,
-         |    CAST(CASE WHEN s.s = 'purchase' THEN 1000000
-         |      $remCase
-         |      ELSE coalesce(x.v, 0) END AS BIGINT) AS h
-         |  FROM states s LEFT JOIN (
-         |    SELECT p.prev_type AS s,
-         |      CAST(sum(p.p_ppm * hh.h) // 1000000 AS BIGINT) AS v
-         |    FROM p JOIN h$tag${t - 1} hh ON p.next_type = hh.s
-         |    GROUP BY 1) x ON s.s = x.s)""".stripMargin
-    }.mkString(",\n")
-    val remStart =
-      if (removed.isEmpty) "coalesce(hh.h, 0)"
-      else s"CASE WHEN st.s IN ($inList) THEN 0 ELSE coalesce(hh.h, 0) END"
-    s"""h${tag}0 AS (SELECT s, CAST(CASE WHEN s = 'purchase'
-       |    THEN 1000000 ELSE 0 END AS BIGINT) AS h FROM states),
-       |$stepsCtes,
-       |pv$tag AS (SELECT CAST(sum(st.n * ($remStart))
-       |    // (SELECT nu FROM su) AS BIGINT) AS pv
-       |  FROM st LEFT JOIN h$tag$steps hh ON st.s = hh.s)""".stripMargin
-  }
-
-  private def markovAttributionSql(steps: Int): String = {
-    val chains = (markovChain("f", Nil, steps) +:
-      markovChannels.map(c => markovChain(c, Seq(c), steps)))
-      .mkString(",\n")
-    val effRows = markovChannels.map { c =>
-      s"""SELECT '$c' AS channel, (SELECT pv FROM pvf) AS pf,
-         |  (SELECT pv FROM pv$c) AS pr""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH $markovModelCtes,
-       |$chains,
-       |effs AS (SELECT channel, pf, pr, pf - pr AS eff FROM (
-       |  $effRows)),
-       |tot AS (SELECT CAST(sum(greatest(eff, 0)) AS BIGINT) AS t FROM effs)
-       |SELECT channel, pf AS p_full_ppm, pr AS p_removed_ppm,
-       |  eff AS effect_ppm,
-       |  CAST(CASE WHEN (SELECT t FROM tot) = 0 THEN 0
-       |    ELSE (greatest(eff, 0) * 1000000) // (SELECT t FROM tot)
-       |    END AS BIGINT) AS attribution_ppm
-       |FROM effs""".stripMargin
-  }
-
-  /** Exact-Shapley oracle: one chain per coalition (2^k, k = 4), then
-    * each channel's weighted marginal sum in ×k! units — replaying
-    * [[graft.relational.Inference.qShapleyAttribution]]. */
-  private def shapleyAttributionSql(steps: Int): String = {
-    val ch = markovChannels
-    val k = ch.size
-    def fact(n: Int): Long = (1 to n).map(_.toLong).product
-    val kFact = fact(k)
-    def tagOf(s: Set[String]): String =
-      "m" + ch.map(c => if (s.contains(c)) "1" else "0").mkString
-    val subsets = ch.toSet.subsets().toSeq
-    val chains = subsets.map { s =>
-      markovChain(tagOf(s), (ch.toSet -- s).toSeq.sorted, steps)
-    }.mkString(",\n")
-    val rows = ch.map { c =>
-      val others = ch.filterNot(_ == c).toSet
-      val terms = others.subsets().map { s =>
-        val w = fact(s.size) * fact(k - 1 - s.size)
-        s"$w * ((SELECT pv FROM pv${tagOf(s + c)})" +
-          s" - (SELECT pv FROM pv${tagOf(s)}))"
-      }.mkString(" + ")
-      s"""SELECT '$c' AS channel,
-         |  (SELECT pv FROM pv${tagOf(ch.toSet)}) AS v_full_ppm,
-         |  CAST($kFact AS BIGINT) AS k_factorial,
-         |  CAST($terms AS BIGINT) AS phi_xkf_ppm,
-         |  CAST(($terms) // $kFact AS BIGINT) AS phi_ppm""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH $markovModelCtes,
-       |$chains
-       |$rows""".stripMargin
-  }
-
-  /** q16 rows + per-dim moments + the exact-isqrt chain (ends at
-    * `w6(d, n, s, isq)` with `r(vec_id, d, q)` still in scope) — the
-    * SQL mirror of `Similarity.whitenStats`, shared by the
-    * q_embed_whiten and q_ood_score oracles. */
-  private val embedWhitenCtes: String =
-    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |r AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
-      |        CAST(round(v[i] * 65536) AS BIGINT) AS q
-      |      FROM e, generate_series(1, 64) t(i)),
-      |st AS (SELECT d, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(q) AS HUGEINT) AS s,
-      |    CAST(sum(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
-      |  FROM r GROUP BY 1),
-      |w1 AS (SELECT d, n, s, n * ss - s * s AS x FROM st),
-      |w2 AS (SELECT *, greatest(1::HUGEINT,
-      |    CAST(sqrt(CAST(x AS DOUBLE)) AS HUGEINT) + 2) AS r0 FROM w1),
-      |w3 AS (SELECT *, (r0 + x // r0) // 2 AS r1 FROM w2),
-      |w4 AS (SELECT *, (r1 + x // r1) // 2 AS r2 FROM w3),
-      |w5 AS (SELECT *, CASE WHEN r2 * r2 > x THEN r2 - 1 ELSE r2 END
-      |  AS r3 FROM w4),
-      |w6 AS (SELECT d, n, s, CASE WHEN (r3 + 1) * (r3 + 1) <= x
-      |  THEN r3 + 1 ELSE r3 END AS isq FROM w5)""".stripMargin
-
-  /** The WITH-body fragment of [[mixMwSql]] (loss census + unrolled
-    * weight rounds, ending at `w<rounds>`) — shared with the capstone
-    * v6 oracle so one definition drives both. */
-  private def mixMwCtes(rounds: Int, etaPpm: Long): String = {
-    val roundCtes = (1 to rounds).map { t =>
-      s"""t${t - 1} AS (SELECT CAST(sum(w) AS HUGEINT) AS tw,
-         |    CAST(sum(w * loss_ppm) AS HUGEINT) AS twl FROM w${t - 1}),
-         |w$t AS MATERIALIZED (SELECT source, loss_ppm,
-         |    CAST((w * (1000000 + ($etaPpm * (loss_ppm -
-         |      (SELECT CAST(twl // tw AS BIGINT) FROM t${t - 1}))) // 1000000))
-         |      // 1000000 AS BIGINT) AS w
-         |  FROM w${t - 1})""".stripMargin
-    }.mkString(",\n")
-    s"""l AS MATERIALIZED (SELECT source,
-       |    (CAST(sum(CASE WHEN NOT (n_tokens BETWEEN 20 AND 80
-       |        AND 5 * n_stop < n_tokens) THEN 1 ELSE 0 END) AS BIGINT)
-       |      * 1000000) // CAST(count(*) AS BIGINT) AS loss_ppm
-       |  FROM (SELECT source,
-       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |      CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
-       |    FROM documents)
-       |  GROUP BY 1),
-       |w0 AS (SELECT source, loss_ppm, CAST(1000000 AS BIGINT) AS w FROM l),
-       |$roundCtes""".stripMargin
-  }
-
-  private def mixMwSql(rounds: Int, etaPpm: Long): String = {
-    val snaps = (0 to rounds).map { t =>
-      s"""SELECT source, CAST($t AS BIGINT) AS step, loss_ppm, w,
-         |  CAST((w * 1000000) // (SELECT sum(w) FROM w$t) AS BIGINT)
-         |    AS share_ppm FROM w$t""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH ${mixMwCtes(rounds, etaPpm)}
-       |$snaps""".stripMargin
-  }
-
-  private def kmeansParSeedSql(rounds: Int, ell: Int): String = {
-    val roundCtes = (1 to rounds).map { r =>
-      s"""d$r AS MATERIALIZED (SELECT e.vec_id,
-         |    min(${kmppDist("e.xs", "s.ms")}) AS d2
-         |  FROM e CROSS JOIN s${r - 1} s GROUP BY 1),
-         |t$r AS (SELECT CAST(sum(d2) AS HUGEINT) AS tot FROM d$r),
-         |a$r AS (SELECT vec_id FROM d$r CROSS JOIN t$r
-         |  WHERE CAST(('0x' || substring(md5('kmpp:$r:' || CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT % 1000000 AS HUGEINT) * tot
-         |    < CAST(d2 AS HUGEINT) * ${ell}000000),
-         |s$r AS MATERIALIZED (SELECT * FROM s${r - 1} UNION ALL
-         |  SELECT e.vec_id AS seed_id, $r AS pick_round, e.xs AS ms
-         |  FROM e JOIN a$r ON e.vec_id = a$r.vec_id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs FROM embeddings),
-       |s0 AS (SELECT vec_id AS seed_id, 0 AS pick_round, xs AS ms FROM e
-       |  WHERE vec_id = (SELECT min(vec_id) FROM e)),
-       |$roundCtes,
-       |assign AS (SELECT vec_id, seed_id FROM (
-       |    SELECT e.vec_id, s.seed_id,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${kmppDist("e.xs", "s.ms")}, s.seed_id) AS rn
-       |    FROM e CROSS JOIN s$rounds s) WHERE rn = 1),
-       |w AS (SELECT seed_id, count(*) AS n FROM assign GROUP BY 1)
-       |SELECT s.seed_id, CAST(s.pick_round AS BIGINT) AS pick_round,
-       |  CAST(coalesce(w.n, 0) AS BIGINT) AS weight
-       |FROM s$rounds s LEFT JOIN w ON s.seed_id = w.seed_id""".stripMargin
-  }
-
-  /** Hilbert oracle: the xy2d transform unrolled — one CTE per bit
-    * plane (s = 2¹⁵ … 1), each accumulating the quadrant offset and
-    * applying the reflect-and-swap rotation in CASE/bit arithmetic,
-    * exactly [[graft.sources.HilbertKernels.xy2d]]. */
-  private def hilbertSql: String = {
-    val steps = (15 to 0 by -1).map { k =>
-      val s = 1L << k
-      s"""h$k AS (SELECT uid0, qv0,
-         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 65535 - y ELSE y END ELSE x END AS x,
-         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 65535 - x ELSE x END ELSE y END AS y,
-         |    d + ${s * s} * xor(3 * rx, ry) AS d
-         |  FROM (SELECT uid0, qv0, x, y, d,
-         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
-         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry FROM h${k + 1}))""".stripMargin
-    }.mkString(",\n")
-    s"""WITH q AS (SELECT user_id & 65535 AS uid0,
-       |    greatest(CAST(floor(value) AS BIGINT), 0) & 65535 AS qv0 FROM events),
-       |h16 AS (SELECT uid0, qv0, uid0 AS x, qv0 AS y, CAST(0 AS BIGINT) AS d FROM q),
-       |$steps
-       |SELECT d >> 10 AS hbucket, count(*) AS n,
-       |  min(uid0) AS u_min, max(uid0) AS u_max,
-       |  min(qv0) AS v_min, max(qv0) AS v_max
-       |FROM h0 GROUP BY 1""".stripMargin
-  }
-
-  /** Shared retrieval-list CTE prefix: the BM25 lexical list
-    * `lex(qid, id, score_fp, rnk ≤ kIn)` and the exact-cosine dense
-    * list `den(qid, id, sim, rnk ≤ kIn)` — ONE definition consumed by
-    * the q_bm25_topk, q_rrf_fusion, and q_ndcg_eval oracles (a BM25
-    * constant or tie-break fix must hit all three at once or the
-    * oracles silently diverge from the one Spark retriever they
-    * share). */
-  private def retrievalListCtes(nQueries: Int, kIn: Int): String =
-    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-       |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-       |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
-       |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM tf WHERE doc_id < $nQueries),
-       |sc AS (SELECT q.qid, f.doc_id,
-       |    CAST((44::HUGEINT * f.tf * st.t * (2*(st.n - d.dfq) + 1) * 1000000)
-       |      // ((20::HUGEINT * f.tf * st.t + 6 * st.t + 18 * l.dl * st.n)
-       |          * (2*d.dfq + 1)) AS BIGINT) AS s
-       |  FROM tf f JOIN qt q USING (tok) JOIN dfq d USING (tok)
-       |  JOIN dl l ON f.doc_id = l.doc_id CROSS JOIN st
-       |  WHERE f.doc_id <> q.qid),
-       |agg AS (SELECT qid, doc_id, CAST(sum(s) AS BIGINT) AS score_fp
-       |        FROM sc GROUP BY 1, 2),
-       |lex AS (SELECT qid, id, score_fp, rnk FROM (
-       |    SELECT qid, doc_id AS id, score_fp,
-       |      CAST(row_number() OVER (PARTITION BY qid
-       |        ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rnk
-       |    FROM agg) WHERE rnk <= $kIn),
-       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |dist AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-       |        round(${duckCos("q.v", "c.v")}, 6) AS sim
-       |      FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id),
-       |den AS (SELECT qid, id, sim, rnk FROM (
-       |    SELECT qid, nid AS id, sim,
-       |      CAST(row_number() OVER (PARTITION BY qid
-       |        ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-       |    FROM dist) WHERE rnk <= $kIn)""".stripMargin
-
-  /** RRF union + fused ranking over the [[retrievalListCtes]] lists:
-    * `fused(qid, id, rrf_fp, n_lists, rnk ≤ kOut)`. */
-  private def rrfFusedCte(kOut: Int): String =
-    s"""u AS (SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM lex
-       |      UNION ALL
-       |      SELECT qid, id, 1000000000 // (60 + rnk) AS c FROM den),
-       |fs AS (SELECT qid, id, CAST(sum(c) AS BIGINT) AS rrf_fp,
-       |        count(*) AS n_lists FROM u GROUP BY 1, 2),
-       |fused AS (SELECT qid, id, rrf_fp, n_lists, rnk FROM (
-       |    SELECT qid, id, rrf_fp, n_lists,
-       |      CAST(row_number() OVER (PARTITION BY qid
-       |        ORDER BY rrf_fp DESC, id) AS BIGINT) AS rnk
-       |    FROM fs) WHERE rnk <= $kOut)""".stripMargin
-
-  /** nDCG oracle: both retriever lists + the RRF fusion (the shared
-    * [[retrievalListCtes]] chain), binary share-a-label relevance, and
-    * the SAME interpolated weight/prefix literals the Spark plan
-    * broadcasts ([[graft.similarity.HybridRetrieval.ndcgWeights]] —
-    * one definition, so no engine recomputes a logarithm). */
-  private def ndcgEvalSql(nQueries: Int, k: Int): String = {
-    val wVals = graft.similarity.HybridRetrieval.ndcgWeights(k)
-      .map { case (r, w) => s"($r, $w)" }.mkString(", ")
-    val cumVals = graft.similarity.HybridRetrieval.ndcgIdealPrefix(k)
-      .map { case (c, s) => s"($c, $s)" }.mkString(", ")
-    s"""WITH ${retrievalListCtes(nQueries, k)},
-       |${rrfFusedCte(k)},
-       |lists AS (SELECT 'bm25' AS system, qid, id, rnk FROM lex
-       |  UNION ALL SELECT 'dense', qid, id, rnk FROM den
-       |  UNION ALL SELECT 'hybrid', qid, id, rnk FROM fused),
-       |w(rnk, w_fp) AS (VALUES $wVals),
-       |cums(cap, idcg_fp) AS (VALUES $cumVals),
-       |lab AS (SELECT vec_id, label FROM embeddings),
-       |ql AS (SELECT vec_id AS qid, label AS qlabel FROM lab
-       |  WHERE vec_id < $nQueries),
-       |dcg AS (SELECT l.system, l.qid,
-       |    CAST(sum(CASE WHEN d.label = ql.qlabel THEN w.w_fp ELSE 0 END)
-       |      AS BIGINT) AS dcg_fp
-       |  FROM lists l JOIN ql ON l.qid = ql.qid
-       |  JOIN lab d ON l.id = d.vec_id
-       |  JOIN w ON l.rnk = w.rnk
-       |  GROUP BY 1, 2),
-       |nrel AS (SELECT ql.qid, count(*) AS n_rel FROM lab d
-       |  JOIN ql ON d.label = ql.qlabel AND d.vec_id <> ql.qid GROUP BY 1),
-       |idcg AS (SELECT qid, idcg_fp FROM nrel
-       |  JOIN cums ON cums.cap = least(n_rel, $k) WHERE n_rel > 0),
-       |nd AS (SELECT system, d.qid, dcg_fp * 1000000 // idcg_fp AS ndcg_ppm
-       |  FROM dcg d JOIN idcg i ON d.qid = i.qid)
-       |SELECT system, count(*) AS n_queries,
-       |  CAST(sum(ndcg_ppm) // count(*) AS BIGINT) AS mean_ndcg_ppm
-       |FROM nd GROUP BY 1""".stripMargin
-  }
-
-  /** MRR@k oracle: same lists/judgments as [[ndcgEvalSql]], reciprocal
-    * rank of the first relevant hit (0 on a whiff) over the fixed
-    * universe×system grid. */
-  private def mrrEvalSql(nQueries: Int, k: Int): String =
-    s"""WITH ${retrievalListCtes(nQueries, k)},
-       |${rrfFusedCte(k)},
-       |lists AS (SELECT 'bm25' AS system, qid, id, rnk FROM lex
-       |  UNION ALL SELECT 'dense', qid, id, rnk FROM den
-       |  UNION ALL SELECT 'hybrid', qid, id, rnk FROM fused),
-       |lab AS (SELECT vec_id, label FROM embeddings),
-       |ql AS (SELECT vec_id AS qid, label AS qlabel FROM lab
-       |  WHERE vec_id < $nQueries),
-       |fr AS (SELECT l.system, l.qid, CAST(min(l.rnk) AS BIGINT) AS r1
-       |  FROM lists l JOIN ql ON l.qid = ql.qid
-       |  JOIN lab d ON l.id = d.vec_id
-       |  WHERE d.label = ql.qlabel GROUP BY 1, 2),
-       |uni AS (SELECT DISTINCT ql.qid FROM lab d
-       |  JOIN ql ON d.label = ql.qlabel AND d.vec_id <> ql.qid),
-       |grid AS (SELECT s.system, uni.qid FROM uni
-       |  CROSS JOIN (VALUES ('bm25'), ('dense'), ('hybrid')) s(system)),
-       |rr AS (SELECT g.system,
-       |    COALESCE(1000000 // fr.r1, 0) AS rr_ppm,
-       |    CASE WHEN fr.r1 IS NOT NULL THEN 1 ELSE 0 END AS hit,
-       |    CASE WHEN fr.r1 = 1 THEN 1 ELSE 0 END AS hit1
-       |  FROM grid g LEFT JOIN fr
-       |    ON g.system = fr.system AND g.qid = fr.qid)
-       |SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
-       |  CAST(sum(rr_ppm) // count(*) AS BIGINT) AS mean_rr_ppm,
-       |  CAST(sum(hit) AS BIGINT) AS n_hit,
-       |  CAST(sum(hit1) AS BIGINT) AS n_hit_at_1
-       |FROM rr GROUP BY 1""".stripMargin
-
-  /** DuckDB cosine with the same left-to-right fold as the Spark side. */
-  private def duckCos(a: String, b: String): String =
-    s"""(list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)
-       | / (sqrt(list_reduce(list_transform(range(1, 65), i -> $a[i] * $a[i]), (x, y) -> x + y))
-       |   * sqrt(list_reduce(list_transform(range(1, 65), i -> $b[i] * $b[i]), (x, y) -> x + y))))""".stripMargin
-
-  /** Unrolled greedy MMR: one MATERIALIZED pick-CTE per round (each is
-    * referenced by every later round — inlining would replay the whole
-    * prefix per reference, the k-core/pagerank CTE trap). Integer MMR
-    * score `7·rel_fp − 3·max_s` mirrors [[graft.similarity.Similarity
-    * .qMmrRerank]] exactly. */
-  private lazy val mmrSql: String = {
-    val k = 5
-    val rounds = (2 to k).map { r =>
-      val prev = (1 until r).map(i => s"SELECT vec_id FROM p$i")
-        .mkString(" UNION ALL ")
-      s"""p$r AS MATERIALIZED (
-         |  SELECT vec_id, rel_fp FROM (
-         |    SELECT s.vec_id, s.rel_fp, s.rel_fp * 7 - max(m.s_fp) * 3 AS score
-         |    FROM short s JOIN sims m ON m.a = s.vec_id
-         |      AND m.b IN ($prev)
-         |    WHERE s.vec_id NOT IN ($prev)
-         |    GROUP BY s.vec_id, s.rel_fp)
-         |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
-    }.mkString(",\n")
-    val out = (1 to k).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS mmr_rank, vec_id, rel_fp FROM p$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH e AS (SELECT vec_id,
-       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |      FROM embeddings),
-       |q AS (SELECT v FROM e WHERE vec_id = 0),
-       |rel AS (SELECT e.vec_id,
-       |          CAST(floor(${duckCos("e.v", "q.v")} * 1e12 + 0.5) AS BIGINT) AS rel_fp,
-       |          e.v
-       |        FROM e, q WHERE e.vec_id <> 0),
-       |short AS MATERIALIZED (SELECT vec_id, rel_fp, v FROM rel
-       |         ORDER BY rel_fp DESC, vec_id LIMIT 20),
-       |sims AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b,
-       |          CAST(floor(${duckCos("a.v", "b.v")} * 1e12 + 0.5) AS BIGINT) AS s_fp
-       |        FROM short a JOIN short b ON a.vec_id <> b.vec_id),
-       |p1 AS MATERIALIZED (SELECT vec_id, rel_fp FROM short
-       |      ORDER BY rel_fp DESC, vec_id LIMIT 1),
-       |$rounds
-       |$out""".stripMargin
-  }
-
-  /** Matryoshka truncation eval (see Similarity.qMrlEval): per-width
-    * prefix-truncated cosine top-k vs the full-width truth, integer
-    * recall census. */
-  private def mrlEvalSql(
-      nQueries: Int, k: Int, widths: Seq[Int]): String = {
-    def cosD(a: String, b: String, d: Int): String =
-      s"""(list_reduce(list_transform(range(1, ${d + 1}), i -> $a[i] * $b[i]), (x, y) -> x + y)
-         | / (sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> $a[i] * $a[i]), (x, y) -> x + y))
-         |   * sqrt(list_reduce(list_transform(range(1, ${d + 1}), i -> $b[i] * $b[i]), (x, y) -> x + y))))""".stripMargin
-    def topkCte(name: String, d: Int): String =
-      s"""$name AS MATERIALIZED (SELECT qid, nid FROM (
-         |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
-         |  FROM (SELECT q.vec_id AS qid, c.vec_id AS nid,
-         |          round(${cosD("q.v", "c.v", d)}, 6) AS sim
-         |        FROM e q JOIN e c ON q.vec_id < $nQueries AND q.vec_id <> c.vec_id))
-         |WHERE rnk <= $k)""".stripMargin
-    val widthCtes = widths.map(d => topkCte(s"t$d", d)).mkString(",\n")
-    val rows = widths.map { d =>
-      s"""SELECT CAST($d AS BIGINT) AS trunc_dim, hits,
-         |  CAST((1000000 * hits) // ${nQueries.toLong * k} AS BIGINT) AS recall_ppm
-         |FROM (SELECT count(*) AS hits
-         |      FROM t$d JOIN truth USING (qid, nid))""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |${topkCte("truth", 64)},
-       |$widthCtes
-       |$rows""".stripMargin
-  }
-
-  /** Exact cosine top-k ANN — the shared oracle for brute force and for
-    * every exact-or-exactly-verified accelerated variant (IVF cell
-    * pruning, dense-band LSH + exact re-rank). */
-  private def annTopKSql(k: Int): String =
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
-       |        round(${duckCos("q.v", "c.v")}, 6) AS sim
-       |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
-       |SELECT * FROM (SELECT qid, nid, sim,
-       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-       |  FROM d)
-       |WHERE rnk <= $k""".stripMargin
-
-  /** Binary-quantization ANN oracle: the full deterministic pipeline —
-    * sign-bit code pack (1-based subscripts → bit j−1, matching Spark's
-    * 0-based posexplode), Hamming shortlist cut by (distance, id), exact
-    * cosine re-rank of the shortlist only. */
-  private def annBinarySql(k: Int, shortlist: Int): String =
-    s"""WITH bits AS (SELECT vec_id, unnest(embedding) AS x,
-       |    generate_subscripts(embedding, 1) AS j FROM embeddings),
-       |codes AS (SELECT vec_id,
-       |    CAST(sum(CASE WHEN x > 0 AND j <= 32 THEN (1::BIGINT << (j - 1))
-       |      ELSE 0::BIGINT END) AS BIGINT) AS lo,
-       |    CAST(sum(CASE WHEN x > 0 AND j > 32 THEN (1::BIGINT << (j - 33))
-       |      ELSE 0::BIGINT END) AS BIGINT) AS hi
-       |  FROM bits GROUP BY 1),
-       |short AS (SELECT qid, nid, hamming FROM (
-       |    SELECT q.vec_id AS qid, c.vec_id AS nid,
-       |      CAST(bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)) AS BIGINT) AS hamming,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY bit_count(xor(q.lo, c.lo)) + bit_count(xor(q.hi, c.hi)), c.vec_id) AS hrnk
-       |    FROM codes q JOIN codes c ON q.vec_id < 20 AND q.vec_id <> c.vec_id)
-       |  WHERE hrnk <= $shortlist),
-       |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-       |rr AS (SELECT qid, nid, hamming,
-       |    round(${duckCos("q.v", "c.v")}, 6) AS sim
-       |  FROM short JOIN e q ON qid = q.vec_id JOIN e c ON nid = c.vec_id)
-       |SELECT * FROM (SELECT qid, nid, hamming, sim,
-       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-       |  FROM rr)
-       |WHERE rnk <= $k""".stripMargin
-
-  /** Exact 4-token-shingle Jaccard near-dup pairs at threshold 0.5 — the
-    * oracle for both the brute-force join and the LSH-accelerated,
-    * exact-verified variant (which computes the same relation). */
-  /** Shared 4-token-shingle CTE prefix (`sh`, `sizes`) — the SQL mirror
-    * of [[graft.dedup.Dedup.shingleArrays]]; every shingle-based oracle
-    * must derive from this one definition so they cannot drift. */
-  private val shingleCte: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |         range(1, greatest(len(l) - 2, 1)),
-      |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
-      |       FROM toks),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)""".stripMargin
-
-  private val exactJaccardSql: String =
-    s"""$shingleCte,
-      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT d1, d2, round(jaccard, 6) AS jaccard
-      |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
-      |      FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id)
-      |WHERE jaccard >= 0.5""".stripMargin
-
-  /** Funnel oracles shared by the Scala builders and their `*_sql`
-    * table-function twins (identical relations, so ONE oracle string
-    * each — a drifting copy would silently verify different policies). */
-  private val sourceCapOracle: String =
-    """SELECT source, count(*) AS n_total,
-      |  CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  CAST(sum(CASE WHEN rn <= 15 THEN doc_id END) AS BIGINT) AS kept_docid_sum
-      |FROM (SELECT doc_id, source,
-      |        CAST(row_number() OVER (PARTITION BY source
-      |          ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
-      |      FROM documents)
-      |GROUP BY 1""".stripMargin
-
-  private val qualityGateOracle: String =
-    """SELECT lang, count(*) AS n_total,
-      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  min(CASE WHEN keep THEN n_chars END) AS cut_chars
-      |FROM (SELECT lang, n_chars,
-      |        CAST(row_number() OVER (PARTITION BY lang
-      |          ORDER BY n_chars DESC, doc_id) AS BIGINT) * 1000
-      |          <= count(*) OVER (PARTITION BY lang) * 700 + 999 AS keep
-      |      FROM documents)
-      |GROUP BY 1""".stripMargin
-
-  private val splitAssignOracle: String =
-    """SELECT doc_id, bucket,
-      |  CASE WHEN bucket < 80 THEN 'train'
-      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
-      |FROM (SELECT doc_id,
-      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-      |          AS BIGINT) AS bucket
-      |      FROM documents)""".stripMargin
-
-  /** q_corpus_build's oracle minus its near-dup CTEs — the four
-    * SQL-expressible stages (quality gate, exact-dup removal, split,
-    * census) shared by q_corpus_build_exact and q_corpus_build_sql. */
-  private val corpusBuildExactOracle: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |exact_losers AS (SELECT doc_id FROM (
-      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-      |  FROM documents) WHERE doc_id <> keep),
-      |bg AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
-      |  SELECT doc_id, g, count(*) AS c FROM (
-      |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
-      |      i -> l[i] || ' ' || l[i+1])) AS g FROM toks) GROUP BY 1, 2)
-      |  GROUP BY 1),
-      |kept AS (SELECT d.doc_id, d.lang,
-      |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-      |         FROM documents d JOIN bg USING (doc_id)
-      |         WHERE len(string_split(d.text, ' ')) >= 20
-      |           AND CAST(bg.top_bg AS DOUBLE) / bg.n_bg <= 0.2
-      |           AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers))
-      |SELECT CASE WHEN bucket < 80 THEN 'train'
-      |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-      |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-      |FROM (SELECT doc_id, lang, n_tokens,
-      |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-      |          AS BIGINT) AS bucket
-      |      FROM kept)
-      |GROUP BY 1, 2""".stripMargin
-
-  /** Hot-shingle-capped CTE extension: `csh` is the shingle stream with
-    * document-frequency > 1000 types removed (the PPJoin boilerplate
-    * cap, mirroring Dedup.capHotShingles), `csizes` the per-doc counts
-    * over that capped universe. At the test scales the cap is vacuous
-    * (no synthetic shingle reaches df 1000) but the oracle expresses the
-    * same universe the Spark plan computes over, so the contract holds
-    * if the data ever grows a hot key. */
-  private val cappedShingleCte: String =
-    s"""$shingleCte,
-      |hot AS (SELECT sh FROM sh GROUP BY 1 HAVING count(*) > 1000),
-      |csh AS (SELECT doc_id, sh FROM sh WHERE sh NOT IN (SELECT sh FROM hot)),
-      |csizes AS (SELECT doc_id, count(*) AS sz FROM csh GROUP BY 1)""".stripMargin
-
-  /** Exact Jaccard over the capped universe — the oracle for the
-    * brute-force shared-shingle join (Dedup.qNgramJaccardPairs). */
-  private val cappedJaccardSql: String =
-    s"""$cappedShingleCte,
-      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |          FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT d1, d2, round(jaccard, 6) AS jaccard
-      |FROM (SELECT d1, d2, CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS jaccard
-      |      FROM pairs JOIN csizes s1 ON d1 = s1.doc_id JOIN csizes s2 ON d2 = s2.doc_id)
-      |WHERE jaccard >= 0.5""".stripMargin
-
-  /** Exact quadratic form of the prefix-filtered set-similarity join
-    * (Dedup.qSetSimJoin): the prefix filter is LOSSLESS, so the
-    * candidate-pruned Spark plan must reproduce this relation exactly.
-    * Integer gate 5·∩ ≥ 3·∪; ppm by integer division. */
-  private val setSimSql: String =
-    s"""$shingleCte,
-      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
-      |  CAST(s1.sz + s2.sz - inter AS BIGINT) AS uni,
-      |  CAST((inter * 1000000) // (s1.sz + s2.sz - inter) AS BIGINT) AS jac_ppm
-      |FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-      |WHERE 5 * inter >= 3 * (s1.sz + s2.sz - inter)""".stripMargin
-
-  /** Directed containment pairs (see Dedup.qContainmentPairs): integer
-    * gate, one division, same capped shingle universe as Jaccard. */
-  private val containmentSql: String =
-    s"""$cappedShingleCte,
-      |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |          FROM csh a JOIN csh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
-      |          GROUP BY 1, 2)
-      |SELECT d1, d2, round(CAST(inter AS DOUBLE) / sz, 6) AS containment
-      |FROM pairs JOIN csizes s1 ON d1 = s1.doc_id
-      |WHERE sz >= 5 AND inter * 10 >= sz * 9""".stripMargin
-
-  /** Confusion census of banded MinHash vs exact Jaccard (see
-    * Dedup.qMinhashEval): md5-permutation signatures (min of the first
-    * 60 md5 bits per permutation), band buckets as joined signature
-    * slices, counts vs the threshold-0.5 exact-Jaccard relation. */
-  private def minhashEvalSql(numHashes: Int, bands: Int): String = {
-    val rows = numHashes / bands
-    val minCols = (0 until numHashes).map { s =>
-      s"  min(('0x' || substr(md5('mh$s:' || sh), 1, 15))::UBIGINT::BIGINT) AS m$s"
-    }.mkString(",\n")
-    val bandRows = (0 until bands).map { b =>
-      val bucket = (0 until rows).map(i => s"m${b * rows + i}")
-        .mkString(" || ':' || ")
-      s"SELECT doc_id, $b AS band, $bucket AS bucket FROM mins"
-    }.mkString("\n  UNION ALL ")
-    s"""$shingleCte,
-       |mins AS MATERIALIZED (SELECT doc_id,
-       |$minCols
-       |  FROM sh GROUP BY 1),
-       |banded AS MATERIALIZED (
-       |  $bandRows),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |         FROM banded a JOIN banded b
-       |           ON a.band = b.band AND a.bucket = b.bucket
-       |          AND a.doc_id < b.doc_id),
-       |truth AS (SELECT d1, d2 FROM (
-       |    SELECT p.d1, p.d2,
-       |      CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) AS j
-       |    FROM (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2) p
-       |    JOIN sizes s1 ON p.d1 = s1.doc_id
-       |    JOIN sizes s2 ON p.d2 = s2.doc_id)
-       |  WHERE j >= 0.5),
-       |conf AS (SELECT c.d1 AS cd1, t.d1 AS td1
-       |         FROM cand c FULL OUTER JOIN truth t
-       |           ON c.d1 = t.d1 AND c.d2 = t.d2)
-       |SELECT tp, fp, fn,
-       |  CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END AS precision_ppm,
-       |  CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END AS recall_ppm
-       |FROM (SELECT
-       |  CAST(sum(CASE WHEN cd1 IS NOT NULL AND td1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       |  CAST(sum(CASE WHEN cd1 IS NOT NULL AND td1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       |  CAST(sum(CASE WHEN cd1 IS NULL AND td1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS fn
-       |  FROM conf)""".stripMargin
-  }
-
-  /** Unrolled power-iteration oracle for q_pca_power: the covariance
-    * numerator matrix (q16 sufficient statistics, HUGEINT), then
-    * [[graft.similarity.Similarity.PcaIters]] exact matrix-vector
-    * rounds with sign-split magnitude renormalization — positives-only
-    * division, so `//` (truncate) can never diverge from BigInt `/`. */
-  private val pcaPowerSql: String = {
-    val s = graft.similarity.Similarity.PcaScale
-    // every multi-referenced CTE is MATERIALIZED: DuckDB inlines by
-    // default, and the 60 rounds each reference their predecessor twice
-    // (w_k feeds both m_k and p_k) — inlined, the expansion doubles per
-    // round and the plan re-opens the parquet thousands of times
-    val head =
-      """WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |r AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS d,
-        |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
-        |      FROM e, generate_series(1, 64) t(i)),
-        |st AS (SELECT a.d AS i, b.d AS j, count(*) AS n,
-        |         sum(a.q16) AS si, sum(b.q16) AS sj,
-        |         sum(a.q16 * b.q16) AS spp
-        |       FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.d <= b.d
-        |       GROUP BY 1, 2),
-        |nm AS (SELECT i, j, spp * n - si * sj AS nu FROM st),
-        |sym AS MATERIALIZED (SELECT i, j, nu FROM nm
-        |        UNION ALL SELECT j, i, nu FROM nm WHERE i <> j),""".stripMargin +
-      s"\np0 AS (SELECT DISTINCT d AS i, CAST($s AS HUGEINT) AS x FROM r)"
-    val rounds = (1 to graft.similarity.Similarity.PcaIters).map { k =>
-      s"""w$k AS MATERIALIZED (SELECT s.i, sum(s.nu * p.x) AS w
-         |       FROM sym s JOIN p${k - 1} p ON s.j = p.i GROUP BY 1),
-         |m$k AS (SELECT max(abs(w)) AS m FROM w$k),
-         |p$k AS MATERIALIZED (SELECT i, CASE WHEN w < 0 THEN -((-w * $s) // m)
-         |          ELSE (w * $s) // m END AS x FROM w$k, m$k)""".stripMargin
-    }.mkString(",\n")
-    val proj =
-      s"""SELECT r.vec_id, CAST(sum(r.q16 * p.x) AS BIGINT) AS proj_fp
-         |FROM r JOIN p${graft.similarity.Similarity.PcaIters} p ON r.d = p.i
-         |GROUP BY 1""".stripMargin
-    s"$head,\n$rounds\n$proj"
-  }
-
-  /** Unrolled synchronous k-core peel for q_kcore (k = 3): each round
-    * drops every node under degree 3 and its arcs. MATERIALIZED per
-    * round — e_k feeds both the next survivor set and the next edge
-    * filter, and DuckDB's default inlining would double the expansion
-    * per round. Converged rounds are identities, so the fixed unroll
-    * equals the fixpoint whenever it converges within the budget. */
-  // lazy: interpolates copurchaseCte, which is declared LATER in this
-  // object — a strict val here would capture null at init order
-  private lazy val kCoreSql: String = {
-    val rounds = graft.graph.GraphOps.KCoreRounds
-    val head =
-      s"""$copurchaseCte,
-         |e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
-         |      UNION ALL SELECT v, u FROM und)""".stripMargin
-    val peel = (1 to rounds).map { i =>
-      s"""k$i AS MATERIALIZED (SELECT src AS node FROM e${i - 1}
-         |      GROUP BY 1 HAVING count(*) >= 3),
-         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
-         |      SEMI JOIN k$i a ON e.src = a.node
-         |      SEMI JOIN k$i b ON e.dst = b.node)""".stripMargin
-    }.mkString(",\n")
-    s"""$head,
-       |$peel
-       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg_in_core
-       |FROM e$rounds GROUP BY 1""".stripMargin
-  }
-
-  /** q_audio_frames: the unrolled 16-term code-point energy kernel and
-    * the same framing arithmetic as the Spark side, all integers. */
-  private lazy val audioFramesSql: String = {
-    val fl = graft.multimodal.Multimodal.AudioFrame
-    val h = graft.multimodal.Multimodal.AudioHop
-    val t = graft.multimodal.Multimodal.SilentBelow
-    val energy = (0 until fl).map { j =>
-      val s = s"CAST(ascii(substr(text, CAST(f * $h + ${j + 1} AS BIGINT), 1)) AS BIGINT)"
-      s"$s * $s"
-    }.mkString(" +\n      ")
-    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
-       |fr AS (SELECT doc_id, text,
-       |         CAST((len - $fl) // $h AS BIGINT) + 1 AS n_frames
-       |       FROM d WHERE len >= $fl),
-       |x AS (SELECT doc_id, text, n_frames,
-       |        unnest(range(0, n_frames)) AS f FROM fr),
-       |e AS (SELECT doc_id, n_frames, f,
-       |      $energy AS energy FROM x)
-       |SELECT doc_id, any_value(n_frames) AS n_frames,
-       |  CAST(sum(CASE WHEN energy < $t THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_silent,
-       |  max(energy) AS max_energy,
-       |  coalesce(min(CASE WHEN energy >= $t THEN f END),
-       |    any_value(n_frames)) AS lead_silent
-       |FROM e GROUP BY doc_id""".stripMargin
-  }
-
-  /** q_audio_features: division-free centered samples (c_j = 16·s_j −
-    * Σs), integer zero crossings, lag-2..8 autocorrelations with the
-    * first-max-lag pitch CASE, and the min-over-max-count pitch mode —
-    * mirrors [[graft.multimodal.Multimodal.qAudioFeatures]] exactly. */
-  private lazy val audioFeaturesSql: String = {
-    import graft.multimodal.Multimodal.{AudioFrame, AudioHop, LagMax, LagMin}
-    val sCols = (0 until AudioFrame).map { j =>
-      s"CAST(ascii(substr(text, CAST(f * $AudioHop + ${j + 1} AS BIGINT), 1)) AS BIGINT) AS s$j"
-    }.mkString(",\n        ")
-    val ssum = (0 until AudioFrame).map(i => s"s$i").mkString(" + ")
-    val cCols = (0 until AudioFrame).map { j =>
-      s"$AudioFrame * s$j - ($ssum) AS c$j"
-    }.mkString(",\n        ")
-    val zcr = (1 until AudioFrame).map { j =>
-      s"CASE WHEN c$j * c${j - 1} < 0 THEN 1 ELSE 0 END"
-    }.mkString(" + ")
-    val rCols = (LagMin to LagMax).map { lag =>
-      val terms = (0 until AudioFrame - lag)
-        .map(j => s"c$j * c${j + lag}").mkString(" + ")
-      s"$terms AS r$lag"
-    }.mkString(",\n        ")
-    val rmax = s"greatest(${(LagMin to LagMax).map(l => s"r$l").mkString(", ")})"
-    val pitch = (LagMin to LagMax).map { l =>
-      s"WHEN r$l = rmax THEN CAST($l AS BIGINT)"
-    }.mkString("CASE ", " ", " END")
-    s"""WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
-       |fr AS (SELECT doc_id, text,
-       |         CAST((len - $AudioFrame) // $AudioHop AS BIGINT) + 1 AS n_frames
-       |       FROM d WHERE len >= $AudioFrame),
-       |x AS (SELECT doc_id, text, n_frames,
-       |        unnest(range(0, n_frames)) AS f FROM fr),
-       |sm AS (SELECT doc_id, n_frames,
-       |        $sCols
-       |      FROM x),
-       |cc AS (SELECT doc_id, n_frames,
-       |        $cCols
-       |      FROM sm),
-       |rr AS (SELECT doc_id, n_frames,
-       |        CAST($zcr AS BIGINT) AS zcr,
-       |        $rCols
-       |      FROM cc),
-       |ft AS (SELECT doc_id, n_frames, zcr, rmax, $pitch AS pitch
-       |      FROM (SELECT *, $rmax AS rmax FROM rr)),
-       |census AS (SELECT doc_id, any_value(n_frames) AS n_frames,
-       |        CAST(sum(zcr) AS BIGINT) AS zcr_total,
-       |        CAST(sum(CASE WHEN rmax > 0 THEN 1 ELSE 0 END) AS BIGINT)
-       |          AS n_voiced
-       |      FROM ft GROUP BY 1),
-       |pm AS (SELECT doc_id, pitch, count(*) AS c FROM ft GROUP BY 1, 2),
-       |md AS (SELECT doc_id, min(pitch) AS pitch_mode FROM (
-       |        SELECT doc_id, pitch, c, max(c) OVER (PARTITION BY doc_id) AS mc
-       |        FROM pm) WHERE c = mc GROUP BY 1)
-       |SELECT census.doc_id, n_frames, zcr_total, n_voiced, pitch_mode
-       |FROM census JOIN md ON census.doc_id = md.doc_id""".stripMargin
-  }
-
-  /** The deterministic customer change batch (LakeMerge.changeBatch's
-    * SQL mirror): heavy customers upsert with `c_acctbal` = order count,
-    * mid customers re-send an identical row, order-less keys ≡ 0 (mod 5)
-    * insert at key + 1e6, keys ≡ 1 (mod 5) delete. */
-  private val mergeChangeCte: String =
-    """WITH cnts AS (SELECT o_custkey AS c_custkey, count(*) AS cnt
-      |              FROM orders GROUP BY 1),
-      |src AS (SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
-      |          c.c_mktsegment, n.cnt
-      |        FROM customer c LEFT JOIN cnts n ON c.c_custkey = n.c_custkey),
-      |chg AS (
-      |  SELECT c_custkey, c_name, c_nationkey, CAST(cnt AS DOUBLE) AS c_acctbal,
-      |    c_mktsegment, 'U' AS op FROM src WHERE cnt >= 15
-      |  UNION ALL
-      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'U'
-      |  FROM src WHERE cnt BETWEEN 10 AND 14
-      |  UNION ALL
-      |  SELECT c_custkey + 1000000, c_name, c_nationkey, CAST(0.0 AS DOUBLE),
-      |    c_mktsegment, 'U' FROM src WHERE cnt IS NULL AND c_custkey % 5 = 0
-      |  UNION ALL
-      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, 'D'
-      |  FROM src WHERE cnt IS NULL AND c_custkey % 5 = 1)""".stripMargin
-
-  /** Support-thresholded co-purchase edges (GraphOps.copurchaseEdges's
-    * SQL mirror): canonical part pairs sharing ≥ 2 distinct orders. */
-  /** Unrolled fixed-point power iteration for the event-type Markov
-    * chain: `iters` rounds of π'ⱼ = (Σᵢ πᵢ·pᵢⱼ) div 10⁶ over the ppm
-    * transition census, uniform 10⁶ div K start. The pi-chain is
-    * linear (each round referenced once), but `p` and `st` feed every
-    * round and are MATERIALIZED. */
-  private def markovSql(iters: Int): String = {
-    val pis = (1 to iters).map { t =>
-      s"""pi$t AS (SELECT p.next_type AS state,
-         |  CAST(sum(pi${t - 1}.v * p.p_ppm) // 1000000 AS BIGINT) AS v
-         |  FROM pi${t - 1} JOIN p ON pi${t - 1}.state = p.prev_type
-         |  GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    """WITH ev AS (SELECT user_id, event_id, event_type,
-      |        epoch_us(ts) AS ts_us FROM events),
-      |t AS (SELECT user_id, event_type,
-      |        lag(event_type) OVER (PARTITION BY user_id
-      |          ORDER BY ts_us, event_id) AS prev_type
-      |      FROM ev),
-      |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
-      |       FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-      |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
-      |      FROM tr GROUP BY 1),
-      |p AS MATERIALIZED (SELECT tr.prev_type, tr.next_type,
-      |       CAST(tr.n * 1000000 // o.out_n AS BIGINT) AS p_ppm
-      |     FROM tr JOIN o ON tr.prev_type = o.prev_type),
-      |st AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM tr),
-      |k AS (SELECT count(*) AS c FROM st),
-      |pi0 AS (SELECT state,
-      |  CAST(1000000 // (SELECT c FROM k) AS BIGINT) AS v FROM st),
-      |""".stripMargin +
-      pis + "\n" +
-      s"""SELECT st.state AS event_type,
-         |  CAST(coalesce(pi$iters.v, 0) AS BIGINT) AS pi_ppm,
-         |  o.out_n AS n_out
-         |FROM st LEFT JOIN pi$iters ON st.state = pi$iters.state
-         |JOIN o ON st.state = o.prev_type""".stripMargin
-  }
-
-  /** Unrolled Luby-MIS replay: `rounds` fixed rounds of the salted-
-    * priority elimination (converged rounds are empty no-ops, so the
-    * unroll only needs to be ≥ the actual round count — Spark throws
-    * past 64, the oracle carries 8, observed convergence ≤ 4 at every
-    * SF). Key arithmetic (u32·2³¹ + n) stays in signed-64 exactly as
-    * the engine computes it. */
-  private def lubyMisSql(rounds: Int): String = {
-    // every multiply-referenced CTE is MATERIALIZED — without it DuckDB
-    // inlines each reference, the u-chain fans out ~3^rounds copies of
-    // the base scan, and the planner exhausts file handles on round 8
-    val body = (0 until rounds).map { r =>
-      s"""p$r AS MATERIALIZED (SELECT n, ('0x' || substring(md5('mis:$r:'
-         |    || CAST(n AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
-         |    * 2147483648 + n AS k FROM u$r),
-         |act$r AS MATERIALIZED (SELECT e.u, e.v FROM und e
-         |  JOIN u$r x ON e.u = x.n JOIN u$r y ON e.v = y.n),
-         |arc$r AS MATERIALIZED (SELECT u AS a, v AS b FROM act$r
-         |  UNION ALL SELECT v, u FROM act$r),
-         |nm$r AS (SELECT c.a AS n, min(pb.k) AS mk
-         |  FROM arc$r c JOIN p$r pb ON c.b = pb.n GROUP BY 1),
-         |win$r AS MATERIALIZED (SELECT p$r.n FROM p$r LEFT JOIN nm$r
-         |    ON p$r.n = nm$r.n
-         |  WHERE nm$r.mk IS NULL OR p$r.k < nm$r.mk),
-         |lose$r AS (SELECT DISTINCT b AS n FROM arc$r
-         |  WHERE a IN (SELECT n FROM win$r)),
-         |dec$r AS MATERIALIZED (SELECT n, CAST(1 AS BIGINT) AS in_mis,
-         |    CAST($r AS BIGINT) AS mis_round FROM win$r
-         |  UNION ALL SELECT n, CAST(0 AS BIGINT), CAST($r AS BIGINT)
-         |    FROM lose$r),
-         |u${r + 1} AS MATERIALIZED (SELECT n FROM u$r
-         |  WHERE n NOT IN (SELECT n FROM dec$r))""".stripMargin
-    }.mkString(",\n")
-    val tail = (0 until rounds).map(r => s"SELECT * FROM dec$r")
-      .mkString(" UNION ALL ")
-    // concatenation, not an outer stripMargin: the body's own margins
-    // are already stripped, and a second pass would eat the first pipe
-    // of every line-leading `||` concat operator
-    s"$copurchaseCte,\n" +
-      "u0 AS MATERIALIZED (SELECT u AS n FROM und" +
-      " UNION SELECT v FROM und),\n" +
-      body + "\n" +
-      s"SELECT n AS node, in_mis, mis_round FROM ($tail)"
-  }
-
-  private val copurchaseCte: String =
-    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-       |und AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
-       |          CAST(count(*) AS BIGINT) AS support
-       |        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-       |          AND a.l_partkey < b.l_partkey
-       |        GROUP BY 1, 2
-       |        HAVING count(*) >= ${graft.graph.GraphOps.CopurchaseMinSupport})""".stripMargin
-
-  /** q_hll_sliding oracle: the q_hll_distinct register replay with an
-    * hour dimension, then the trailing-window re-merge as a bounded
-    * spine join with elementwise (max) register fold — the same algebra
-    * the Spark side's blob re-merge runs, so the estimates match
-    * bit-for-bit. */
-  private def hllSlidingSql(w: Int): String =
-    s"""WITH r AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
-       |    user_id,
-       |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
-       |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
-       |  FROM events),
-       |s1 AS (SELECT event_type, hour, bucket, v | (v >> 1) AS x FROM r),
-       |s2 AS (SELECT event_type, hour, bucket, x | (x >> 2) AS x FROM s1),
-       |s3 AS (SELECT event_type, hour, bucket, x | (x >> 4) AS x FROM s2),
-       |s4 AS (SELECT event_type, hour, bucket, x | (x >> 8) AS x FROM s3),
-       |s5 AS (SELECT event_type, hour, bucket, x | (x >> 16) AS x FROM s4),
-       |s6 AS (SELECT event_type, hour, bucket, x | (x >> 32) AS x FROM s5),
-       |b AS (SELECT event_type, hour, bucket,
-       |    max(61 - bit_count(x)) AS mj
-       |  FROM s6 GROUP BY 1, 2, 3),
-       |spine AS (SELECT DISTINCT event_type, hour FROM r),
-       |tb AS (SELECT h.event_type, h.hour, p.bucket, max(p.mj) AS mj
-       |  FROM spine h JOIN b p ON p.event_type = h.event_type
-       |    AND p.hour > h.hour - $w AND p.hour <= h.hour
-       |  GROUP BY 1, 2, 3),
-       |z AS (SELECT event_type, hour,
-       |    sum((1::BIGINT << (61 - mj))::HUGEINT)
-       |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
-       |    256 - count(*) AS v0
-       |  FROM tb GROUP BY 1, 2),
-       |e AS (SELECT event_type, hour,
-       |    CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
-       |      * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
-       |      / CAST(zs AS DOUBLE) AS est_raw,
-       |    v0 FROM z),
-       |x AS (SELECT event_type, hour,
-       |    round(CASE WHEN est_raw <= 640.0 AND v0 > 0
-       |          THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
-       |          ELSE est_raw END, 2) AS hll_est
-       |  FROM e),
-       |ex AS (SELECT h.event_type, h.hour,
-       |    count(DISTINCT d.user_id) AS n_exact
-       |  FROM spine h JOIN (SELECT DISTINCT event_type, hour, user_id
-       |                     FROM r) d
-       |    ON d.event_type = h.event_type
-       |      AND d.hour > h.hour - $w AND d.hour <= h.hour
-       |  GROUP BY 1, 2)
-       |SELECT ex.event_type, ex.hour, ex.n_exact, x.hll_est
-       |FROM ex JOIN x USING (event_type, hour)""".stripMargin
-
-  /** q_dyadic_quantiles oracle: rebuild the dyadic count-min counter
-    * table with the same md5 bucketing (one digest per node, the d CM
-    * rows are its 5-hex-char slices), then unroll the top-down trie
-    * walk one level per CTE pair (probe the d counters of the candidate
-    * node, take bit j when rank + est stays below the target). The
-    * Spark side's driver walk and this unroll read the same additive
-    * counters, so the match is bit-exact. */
-  private def dyadicQuantilesSql(levels: Int, d: Int, w: Int): String = {
-    val is = (0 until d).mkString(", ")
-    val steps = (0 until levels).reverse.map { j =>
-      s"""p$j AS MATERIALIZED (
-         |  SELECT wk.event_type, wk.q, wk.tgt, wk.v, wk.r,
-         |    min(coalesce(c.cnt, 0)) AS est
-         |  FROM w${j + 1} wk
-         |  CROSS JOIN (SELECT unnest([$is]) AS i) ri
-         |  LEFT JOIN counters c ON c.event_type = wk.event_type
-         |    AND c.i = ri.i AND c.j = $j
-         |    AND c.bucket = ('0x' || substring(md5('dq:' ||
-         |      $j || ':' || (wk.v >> $j)), 1 + 5 * ri.i, 5))::UBIGINT % $w
-         |  GROUP BY 1, 2, 3, 4, 5),
-         |w$j AS MATERIALIZED (
-         |  SELECT event_type, q, tgt,
-         |    CASE WHEN r + est < tgt THEN v + (1::BIGINT << $j) ELSE v END AS v,
-         |    CASE WHEN r + est < tgt THEN r + est ELSE r END AS r
-         |  FROM p$j)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH ev AS MATERIALIZED (SELECT event_type,
-       |    least(CAST(floor(value * 100 + 0.5) AS BIGINT),
-       |      (1::BIGINT << $levels) - 1) AS cents FROM events),
-       |h AS MATERIALIZED (SELECT event_type, cents, count(*) AS cnt
-       |  FROM ev GROUP BY 1, 2),
-       |nodes AS (SELECT event_type, cnt, j,
-       |    md5('dq:' || j || ':' || (cents >> j)) AS hx
-       |  FROM h CROSS JOIN (SELECT unnest(range($levels)) AS j)),
-       |st AS (SELECT event_type, cnt, i, j,
-       |    ('0x' || substring(hx, 1 + 5 * i, 5))::UBIGINT % $w AS bucket
-       |  FROM nodes CROSS JOIN (SELECT unnest([$is]) AS i)),
-       |counters AS MATERIALIZED (SELECT event_type, i, j, bucket,
-       |    CAST(sum(cnt) AS BIGINT) AS cnt FROM st GROUP BY 1, 2, 3, 4),
-       |tg AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h
-       |  GROUP BY 1),
-       |w$levels AS (SELECT event_type, q, tgt,
-       |    CAST(0 AS BIGINT) AS v, CAST(0 AS BIGINT) AS r
-       |  FROM (SELECT event_type, 'p50' AS q, (n + 1) // 2 AS tgt FROM tg
-       |        UNION ALL
-       |        SELECT event_type, 'p95', (19 * n + 19) // 20 FROM tg)),
-       |$steps,
-       |walked AS (SELECT event_type,
-       |    max(CASE WHEN q = 'p50' THEN v END) AS p50_est,
-       |    max(CASE WHEN q = 'p95' THEN v END) AS p95_est
-       |  FROM w0 GROUP BY 1),
-       |cumh AS (SELECT event_type, cents,
-       |    sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
-       |    sum(cnt) OVER (PARTITION BY event_type) AS n
-       |  FROM h),
-       |exact AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-       |    min(CASE WHEN cum * 2 >= n THEN cents END) AS p50_cents,
-       |    min(CASE WHEN cum * 20 >= n * 19 THEN cents END) AS p95_cents
-       |  FROM cumh GROUP BY 1)
-       |SELECT e.event_type, e.n, e.p50_cents, k.p50_est,
-       |  e.p95_cents, k.p95_est
-       |FROM exact e JOIN walked k USING (event_type)""".stripMargin
-  }
-
-  /** q_betweenness oracle: Brandes unrolled level-by-level. Forward
-    * pass = multi-source BFS with σ path counts (one CTE pair per
-    * level, the bfsSql pattern plus a running seen set); backward pass
-    * replays the fixed-point dependency recurrence
-    * `(σ_v · (2²⁰ + δ_w)) // σ_w` per predecessor arc, deepest level
-    * first — all operands are non-negative, so DuckDB's floor `//`
-    * equals Spark's truncating `div` term-for-term. Levels beyond the
-    * graph's actual eccentricity are empty identities, so the fixed
-    * unroll equals the fixpoint whenever BFS exhausts within it. */
-  private def betweennessSql(
-      nSources: Int, k: Int, depth: Int): String = {
-    val fp = 1L << 20
-    val fwd = (1 to depth).map { l =>
-      s"""f$l AS MATERIALIZED (
-         |  SELECT f.s, a.b AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
-         |  FROM f${l - 1} f JOIN arcs a ON f.v = a.a
-         |  ANTI JOIN seen${l - 1} sn ON f.s = sn.s AND a.b = sn.v
-         |  GROUP BY 1, 2),
-         |seen$l AS MATERIALIZED (
-         |  SELECT s, v FROM seen${l - 1}
-         |  UNION ALL SELECT s, v FROM f$l)""".stripMargin
-    }.mkString(",\n")
-    val bwd = (depth - 1) to 1 by -1
-    val back = bwd.map { l =>
-      s"""d$l AS MATERIALIZED (
-         |  SELECT f.s, f.v, f.sigma,
-         |    CAST(coalesce(sum((f.sigma * ($fp + nx.delta)) // nx.sigma_w),
-         |      0) AS BIGINT) AS delta
-         |  FROM f$l f
-         |  LEFT JOIN (SELECT d.s, a.a AS pv, d.sigma AS sigma_w, d.delta
-         |             FROM d${l + 1} d JOIN arcs a ON a.b = d.v) nx
-         |    ON nx.s = f.s AND nx.pv = f.v
-         |  GROUP BY 1, 2, 3)""".stripMargin
-    }.mkString(",\n")
-    val union = (1 until depth)
-      .map(l => s"SELECT s, v, delta FROM d$l").mkString(" UNION ALL ")
-    s"""$copurchaseCte,
-       |arcs AS MATERIALIZED (SELECT u AS a, v AS b FROM und
-       |  UNION ALL SELECT v, u FROM und),
-       |srcs AS (SELECT DISTINCT a AS node FROM arcs
-       |  ORDER BY 1 LIMIT $nSources),
-       |f0 AS (SELECT node AS s, node AS v, CAST(1 AS BIGINT) AS sigma
-       |  FROM srcs),
-       |seen0 AS (SELECT s, v FROM f0),
-       |$fwd,
-       |d$depth AS (SELECT s, v, sigma, CAST(0 AS BIGINT) AS delta
-       |  FROM f$depth),
-       |$back
-       |SELECT v AS node, CAST(sum(delta) AS BIGINT) AS centrality_fp
-       |FROM ($union) WHERE v <> s GROUP BY 1
-       |ORDER BY 2 DESC, 1 LIMIT $k""".stripMargin
-  }
-
-  /** q_mst oracle: Borůvka unrolled round-by-round (the q_bfs_dist /
-    * kCore pattern), exact because the (w, u, v) total order makes edge
-    * keys distinct, so the minimum spanning forest is UNIQUE — Kruskal
-    * (the Spark side's local gate), distributed Borůvka contraction (its
-    * scale path) and this unroll all land on the same edge set.
-    *
-    * Per round: every component picks its lightest outgoing edge under
-    * (w, u, v); the picks form a functional pointer graph over component
-    * ids whose only cycles are 2-cycles (a longer cycle would need a
-    * strictly-decreasing closed key walk). Contraction labels each
-    * component by the canonical root (smaller id) of the 2-cycle its
-    * pointer path terminates in — a recursive-CTE walk that stays tiny
-    * because keys strictly decrease along the path. Converged rounds are
-    * identities, so the fixed unroll equals the fixpoint (components at
-    * least halve per round; 2^16 covers any fixture SF). */
-  private lazy val mstSql: String = {
-    val rounds = 16
-    val head =
-      s"""${copurchaseCte.replace("WITH li", "WITH RECURSIVE li")},
-         |edges AS MATERIALIZED (SELECT u, v,
-         |    CAST(1000000 // support AS BIGINT) AS w, support FROM und),
-         |c0 AS MATERIALIZED (SELECT node, node AS c FROM
-         |  (SELECT u AS node FROM edges UNION SELECT v FROM edges))""".stripMargin
-    val loop = (1 to rounds).map { i =>
-      s"""cand$i AS MATERIALIZED (
-         |  SELECT cu.c AS ca, cv.c AS cb, e.u, e.v, e.w
-         |  FROM edges e JOIN c${i - 1} cu ON e.u = cu.node
-         |    JOIN c${i - 1} cv ON e.v = cv.node
-         |  WHERE cu.c <> cv.c),
-         |pick$i AS MATERIALIZED (
-         |  SELECT c, other, u, v, w FROM (
-         |    SELECT ca AS c, cb AS other, u, v, w FROM cand$i
-         |    UNION ALL SELECT cb, ca, u, v, w FROM cand$i) d$i
-         |  QUALIFY row_number() OVER (PARTITION BY c ORDER BY w, u, v) = 1),
-         |root$i AS MATERIALIZED (
-         |  SELECT p.c AS r FROM pick$i p JOIN pick$i q ON p.other = q.c
-         |  WHERE q.other = p.c AND p.c < p.other),
-         |reach$i(c, x) AS (
-         |  SELECT c, c FROM pick$i
-         |  UNION
-         |  SELECT r.c, p.other FROM reach$i r JOIN pick$i p ON r.x = p.c),
-         |c$i AS MATERIALIZED (
-         |  SELECT n.node, coalesce(rt.newc, n.c) AS c
-         |  FROM c${i - 1} n LEFT JOIN (
-         |    SELECT r.c, min(r.x) AS newc FROM reach$i r
-         |    SEMI JOIN root$i t ON r.x = t.r GROUP BY r.c) rt
-         |  ON n.c = rt.c)""".stripMargin
-    }.mkString(",\n")
-    val allPicks = (1 to rounds)
-      .map(i => s"SELECT u, v, w FROM pick$i").mkString(" UNION ALL ")
-    s"""$head,
-       |$loop
-       |SELECT f.u, f.v, f.w AS dist, e.support
-       |FROM (SELECT DISTINCT u, v, w FROM ($allPicks)) f
-       |JOIN edges e ON f.u = e.u AND f.v = e.v""".stripMargin
-  }
-
-  /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
-  /** Shared IVF training prefix (Forgy seed + one fixed-point Lloyd
-    * round over the full embedding corpus, 16 cells): ends at `c1`, the
-    * trained centroid lists — the SQL mirror of the cached
-    * `lloydCentroids(..., "full")` artifact that q_semdedup and
-    * q_embedding_outliers both serve. */
-  private val ivfTrainCte: String =
-    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |r AS (SELECT vec_id, CAST(i AS INT) AS d,
-      |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
-      |      FROM e, generate_series(1, 64) t(i)),
-      |cc AS (SELECT greatest(16, (count(*) + 99) // 100) AS nc FROM embeddings),
-      |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
-      |         list_transform(v, x -> round(x, 6)) AS m
-      |       FROM e WHERE vec_id < (SELECT nc FROM cc)),
-      |a1 AS (SELECT vec_id, cell FROM (
-      |         SELECT t.vec_id, c.cell, row_number() OVER (
-      |           PARTITION BY t.vec_id ORDER BY list_reduce(
-      |             list_transform(range(1, 65), i ->
-      |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-      |             (x, y) -> x + y), c.cell) AS rn
-      |         FROM e t, c0 c)
-      |       WHERE rn = 1),
-      |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
-      |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
-      |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1)""".stripMargin
-
-  /** The within-cell cosine-pair → reachability tail of the SemDeDup
-    * oracle (needs [[ivfTrainCte]] ahead of it; ends at `reach(id, rr)`
-    * — min(rr) per id is the cluster label). Shared by q_semdedup and
-    * [[corpusBuildV3Oracle]]. */
-  private val semDedupReachCte: String =
-    """best AS (SELECT vec_id, cell FROM (
-      |           SELECT t.vec_id, c.cell, row_number() OVER (
-      |             PARTITION BY t.vec_id ORDER BY list_reduce(
-      |               list_transform(range(1, 65), i ->
-      |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-      |               (x, y) -> x + y), c.cell) AS rn
-      |           FROM e t, c1 c)
-      |         WHERE rn = 1),
-      |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
-      |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-      |          FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      |          JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
-      |          JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
-      |          WHERE round(list_reduce(list_transform(range(1, 65),
-      |              i -> ea.v[i] * eb.v[i]), (x, y) -> x + y)
-      |            / (na.nrm * nb.nrm), 6) >= 0.4),
-      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-      |          UNION ALL SELECT d2, d1 FROM pairs),
-      |reach(id, rr) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.rr = edges.src)""".stripMargin
-
-  /** Unrolled random-walk CTE chain (ending in a `walks` relation):
-    * neighbor ranks by node id, md5-driven hop choice — mirrors
-    * [[graft.graph.GraphOps.qRandomWalks]]. Shared by the walk oracle
-    * and the skip-gram pair oracle. */
-  private def randomWalkCtes(steps: Int, walksPerNode: Int): String = {
-    // each w_i feeds BOTH w_{i+1} and the final union — MATERIALIZED or
-    // the inlined expansion doubles per hop (the PCA/k-core lesson)
-    val hops = (1 to steps).map { i =>
-      s"""w$i AS MATERIALIZED (SELECT c.walk_id, CAST($i AS BIGINT) AS step, n.dst AS node
-         |  FROM w${i - 1} c JOIN deg d ON c.node = d.src
-         |  JOIN nbr n ON n.src = c.node AND n.rk =
-         |    CAST(('0x' || substr(md5(CAST(c.walk_id AS VARCHAR) || ':$i'), 1, 8))::UBIGINT
-         |      AS BIGINT) % d.outdeg)""".stripMargin
-    }.mkString(",\n")
-    val union = (0 to steps).map(i => s"SELECT * FROM w$i")
-      .mkString("\n UNION ALL ")
-    s"""$tradeGraphCte,
-       |nbr AS MATERIALIZED (SELECT src, dst,
-       |          row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk
-       |        FROM edges),
-       |w0 AS MATERIALIZED (SELECT n.node * $walksPerNode + t.w AS walk_id,
-       |         CAST(0 AS BIGINT) AS step, n.node
-       |       FROM (SELECT DISTINCT s * 2 AS node FROM pairs) n,
-       |            range(0, $walksPerNode) t(w)),
-       |$hops,
-       |walks AS MATERIALIZED ($union)""".stripMargin
-  }
-
-  private def randomWalkSql(steps: Int, walksPerNode: Int): String =
-    s"""WITH ${randomWalkCtes(steps, walksPerNode)}
-       |SELECT * FROM walks""".stripMargin
-
-  /** Skip-gram pair oracle: symmetric within-window pairs over the
-    * unrolled walk relation — mirrors
-    * [[graft.graph.GraphOps.qWalkPairs]]. */
-  private def walkPairsSql(
-      steps: Int, walksPerNode: Int, window: Int): String =
-    s"""WITH ${randomWalkCtes(steps, walksPerNode)},
-       |pr AS MATERIALIZED (SELECT a.node AS ctr, b.node AS ctx
-       |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
-       |        AND b.step > a.step AND b.step <= a.step + $window),
-       |sym AS (SELECT ctr, ctx FROM pr
-       |        UNION ALL SELECT ctx AS ctr, ctr AS ctx FROM pr)
-       |SELECT CASE WHEN ctr % 2 = 0 THEN 'supplier' ELSE 'part' END
-       |    AS center_type,
-       |  ctr // 2 AS center_id,
-       |  CASE WHEN ctx % 2 = 0 THEN 'supplier' ELSE 'part' END AS ctx_type,
-       |  ctx // 2 AS ctx_id,
-       |  CAST(count(*) AS BIGINT) AS pairs
-       |FROM sym GROUP BY 1, 2, 3, 4""".stripMargin
-
-  /** Unrolled fixed-point SGNS oracle for q_node_embed: the walk + pair
-    * CTEs feed deterministic hashed-negative training rows, md5-seeded
-    * initial embeddings, and `NodeEmbed.Epochs` unrolled full-batch
-    * gradient rounds — every product integer, division sign-safe
-    * truncating, coordinates clamped — mirroring
-    * [[graft.graph.NodeEmbed]] bit-for-bit. */
-  private def duckSdiv(a: String, b: String): String =
-    s"(CASE WHEN $a >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
-
-  /** The WITH-body CTE chain ending in the trained `em{Epochs}`
-    * embedding relation — shared by the q_node_embed decode and the
-    * q_embed_eval census so the training replay cannot drift between
-    * the two oracles. */
-  private def nodeEmbedCtes(
-      steps: Int, walksPerNode: Int, window: Int): String = {
-    import graft.graph.NodeEmbed.{Clamp, Dims, Epochs, LrDiv, NegK, S}
-    val dims = 0 until Dims
-    def sdiv(a: String, b: String): String = duckSdiv(a, b)
-    // NOTE: the outer template re-applies stripMargin to these embedded
-    // fragments, so no fragment line may begin with whitespace + '|'
-    // (a '||' concat opening a continuation line would lose a pipe)
-    val negBranches = (0 until NegK).map { i =>
-      s"""SELECT ctr AS a,
-         |    CASE WHEN idx < ns THEN idx * 2 ELSE (idx - ns) * 2 + 1 END AS b,
-         |    w, CAST(0 AS BIGINT) AS t
-         |  FROM (SELECT ctr, ctx, w, ns,
-         |      ('0x' || substr(md5('nw:' || CAST(ctr AS VARCHAR) || ':' ||
-         |        CAST(ctx AS VARCHAR) || ':$i'), 1, 8))::UBIGINT::BIGINT
-         |        % (ns + np) AS idx
-         |    FROM pc, ks)""".stripMargin
-    }.mkString("\n  UNION ALL ")
-    val initCols = dims.map { i =>
-      s"""  CAST(('0x' || substr(md5('emb:' || CAST(node AS VARCHAR) ||
-         |    ':$i'), 1, 4))::UBIGINT AS BIGINT) % 2001 - 1000 AS v$i"""
-        .stripMargin
-    }.mkString(",\n")
-    val dot = dims.map(i => s"ea.v$i * eb.v$i").mkString(" + ")
-    val rounds = (1 to Epochs).map { r =>
-      val gradCols = dims.map(i =>
-        s"    sum(r.w * ($dot - r.t) * eb.v$i) AS g$i").mkString(",\n")
-      val updCols = dims.map { i =>
-        val step = sdiv(s"g$i", s"wa * $LrDiv")
-        s"""  CAST(greatest(-$Clamp, least($Clamp,
-           |    e.v$i - COALESCE($step, 0))) AS BIGINT) AS v$i""".stripMargin
-      }.mkString(",\n")
-      s"""g$r AS (SELECT r.a AS node, sum(r.w) AS wa,
-         |$gradCols
-         |  FROM rows r JOIN em${r - 1} ea ON r.a = ea.node
-         |  JOIN em${r - 1} eb ON r.b = eb.node
-         |  GROUP BY 1),
-         |em$r AS MATERIALIZED (SELECT e.node,
-         |$updCols
-         |  FROM em${r - 1} e LEFT JOIN g$r g ON e.node = g.node)""".stripMargin
-    }.mkString(",\n")
-    s"""${randomWalkCtes(steps, walksPerNode)},
-       |pr AS MATERIALIZED (SELECT a.node AS ctr, b.node AS ctx
-       |       FROM walks a JOIN walks b ON a.walk_id = b.walk_id
-       |        AND b.step > a.step AND b.step <= a.step + $window),
-       |sym AS (SELECT ctr, ctx FROM pr
-       |        UNION ALL SELECT ctx AS ctr, ctr AS ctx FROM pr),
-       |pc AS MATERIALIZED (SELECT ctr, ctx, CAST(count(*) AS BIGINT) AS w
-       |       FROM sym GROUP BY 1, 2),
-       |ks AS (SELECT (SELECT count(*) FROM supplier) AS ns,
-       |              (SELECT count(*) FROM part) AS np),
-       |rows AS MATERIALIZED (
-       |  SELECT ctr AS a, ctx AS b, w, CAST(${S * S} AS BIGINT) AS t FROM pc
-       |  UNION ALL $negBranches),
-       |nodes AS (SELECT DISTINCT src AS node FROM edges),
-       |em0 AS MATERIALIZED (SELECT node,
-       |$initCols
-       |  FROM nodes),
-       |$rounds""".stripMargin
-  }
-
-  private def nodeEmbedSql(
-      steps: Int, walksPerNode: Int, window: Int): String = {
-    import graft.graph.NodeEmbed.{Dims, Epochs}
-    s"""WITH ${nodeEmbedCtes(steps, walksPerNode, window)}
-       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
-       |    AS node_type,
-       |  node // 2 AS node_id,
-       |  ${(0 until Dims).map(i => s"v$i").mkString(", ")}
-       |FROM em$Epochs""".stripMargin
-  }
-
-  /** q_embed_eval: edge-vs-hashed-random paired dot comparison over the
-    * trained embedding relation (mirrors
-    * [[graft.graph.NodeEmbed.qEmbedEval]] exactly, including the
-    * LEFT-join dot-0 convention for out-of-vocabulary partners). */
-  private def embedEvalSql(
-      steps: Int, walksPerNode: Int, window: Int): String = {
-    import graft.graph.NodeEmbed.{Dims, Epochs}
-    def dot(a: String, b: String): String =
-      (0 until Dims).map(i => s"$a.v$i * $b.v$i").mkString(" + ")
-    s"""WITH ${nodeEmbedCtes(steps, walksPerNode, window)},
-       |arcs AS (SELECT src, dst FROM edges WHERE src % 2 = 0),
-       |wr AS (SELECT src, dst,
-       |    (('0x' || substr(md5('ne:' || CAST(src AS VARCHAR) || ':' ||
-       |      CAST(dst AS VARCHAR)), 1, 8))::UBIGINT::BIGINT
-       |      % (SELECT np FROM ks)) * 2 + 1 AS rnd
-       |  FROM arcs),
-       |sc AS (SELECT CAST(${dot("s", "p")} AS BIGINT) AS edge_dot,
-       |    CAST(COALESCE(${dot("s", "r")}, 0) AS BIGINT) AS rand_dot
-       |  FROM wr JOIN em$Epochs s ON wr.src = s.node
-       |  JOIN em$Epochs p ON wr.dst = p.node
-       |  LEFT JOIN em$Epochs r ON wr.rnd = r.node)
-       |SELECT CAST(count(*) AS BIGINT) AS n_arcs,
-       |  CAST(${duckSdiv("sum(edge_dot)", "count(*)")} AS BIGINT)
-       |    AS mean_edge_dot,
-       |  CAST(${duckSdiv("sum(rand_dot)", "count(*)")} AS BIGINT)
-       |    AS mean_rand_dot,
-       |  CAST((1000000 * sum(CASE WHEN edge_dot > rand_dot THEN 1 ELSE 0 END))
-       |    // count(*) AS BIGINT) AS win_ppm
-       |FROM sc""".stripMargin
-  }
-
-  /** Unrolled synchronous-LPA oracle: per round, count labels over
-    * in-neighbors, keep the most frequent with min-label tiebreak —
-    * mirrors [[graft.graph.GraphOps.labelPropagation]]'s
-    * `min(struct(-c, lbl))` exactly. */
-  /** Shared LPA-round CTE chain `l0..l<iters> (node, lbl)` over the
-    * arc relation `rel(src, dst)` — referenced by both the label-prop
-    * oracle (trade graph) and the modularity census (co-purchase
-    * graph). */
-  private def lpaRoundsCte(iters: Int, rel: String = "edges"): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""l$i AS (SELECT node, min(lbl) AS lbl FROM (
-         |  SELECT dst AS node, lbl, c, max(c) OVER (PARTITION BY dst) AS mc
-         |  FROM (SELECT e2.dst, l.lbl, count(*) AS c
-         |        FROM $rel e2 JOIN l${i - 1} l ON e2.src = l.node
-         |        GROUP BY 1, 2) c$i) m$i
-         |  WHERE c = mc GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM $rel),
-       |$rounds""".stripMargin
-  }
-
-  private def labelPropSql(iters: Int): String =
-    s"""WITH $tradeGraphCte,
-       |${lpaRoundsCte(iters)}
-       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
-       |    AS node_type,
-       |  node // 2 AS node_id, lbl AS community FROM l$iters""".stripMargin
-
-  /** Modularity oracle: LPA labels over the co-purchase arcs (shared
-    * round CTE chain), then the Newman per-community Q in ppm — both
-    * divisions on non-negative HUGEINT numerators, subtracted after,
-    * mirroring the Spark side's decimal(38,0) discipline (so
-    * truncate-vs-floor never diverges). */
-  private def modularitySql(iters: Int): String =
-    s"""$copurchaseCte,
-       |cedges AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
-       |  UNION ALL SELECT v, u FROM und),
-       |${lpaRoundsCte(iters, "cedges")},
-       |lab AS MATERIALIZED (SELECT node, lbl FROM l$iters),
-       |arcs AS (SELECT s.lbl AS slbl, d.lbl AS dlbl FROM cedges e
-       |  JOIN lab s ON e.src = s.node JOIN lab d ON e.dst = d.node),
-       |twom AS (SELECT CAST(count(*) AS HUGEINT) AS m2 FROM cedges),
-       |pc AS (SELECT slbl AS community,
-       |    CAST(count(*) AS BIGINT) AS tot_deg,
-       |    CAST(sum(CASE WHEN slbl = dlbl THEN 1 ELSE 0 END) AS BIGINT)
-       |      AS in_arcs
-       |  FROM arcs GROUP BY 1),
-       |nn AS (SELECT lbl AS community, count(*) AS n_nodes
-       |  FROM lab GROUP BY 1)
-       |SELECT pc.community, nn.n_nodes, pc.in_arcs, pc.tot_deg,
-       |  CAST((1000000::HUGEINT * pc.in_arcs) // twom.m2
-       |    - (1000000::HUGEINT * pc.tot_deg * pc.tot_deg)
-       |      // (twom.m2 * twom.m2) AS BIGINT) AS q_ppm
-       |FROM pc JOIN nn USING (community) CROSS JOIN twom""".stripMargin
-
-  /** Unrolled power-iteration oracle for q_pagerank: one CTE per round,
-    * truncating integer division per edge then per damping step —
-    * exactly [[graft.graph.GraphOps.pageRank]]'s fixed-point contract. */
-  /** Shared trade-graph prefix: distinct supplier↔part arcs, degrees,
-    * degree-annotated edge relation `e`. */
-  // edges/deg are referenced once per unrolled round by every consumer
-  // (walks, LPA, pagerank): MATERIALIZED, or DuckDB's default CTE
-  // inlining re-derives the lineitem pair scan per reference — at sf0.1
-  // the inlined walk oracle spilled >80 GB of temp and died
-  private val tradeGraphCte: String =
-    """pairs AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-      |edges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs
-      |          UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst FROM pairs),
-      |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
-      |e AS (SELECT edges.src, dst, outdeg FROM edges JOIN deg USING (src))""".stripMargin
-
-  private val pageRankFinal: String =
-    """SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END AS node_type,
-      |  node // 2 AS node_id, r AS rank_fp""".stripMargin
-
-  /** TextRank oracle: DF-gated stopword filter, filtered-sequence
-    * bigram pairs, then the SAME unrolled PageRank rounds as
-    * [[pageRankSql]] against the word graph (node ids are words). */
-  private def textRankSql(iters: Int, k: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""tr$i AS (SELECT dst AS node,
-         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
-         |  FROM we JOIN tr${i - 1} ON we.src = tr${i - 1}.node
-         |  GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH toks AS (SELECT doc_id,
-       |    CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
-       |    unnest(l) AS tok
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS l
-       |        FROM documents)),
-       |nd AS (SELECT count(*) AS n_docs FROM documents),
-       |stopw AS (SELECT tok FROM (
-       |    SELECT tok, count(*) AS dfq
-       |    FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1)
-       |  CROSS JOIN nd WHERE dfq >= n_docs * 0.8),
-       |kept AS (SELECT doc_id, pos, tok FROM toks
-       |  WHERE tok NOT IN (SELECT tok FROM stopw)),
-       |bi AS (SELECT tok, lag(tok) OVER (PARTITION BY doc_id
-       |    ORDER BY pos) AS prev FROM kept),
-       |und AS (SELECT DISTINCT least(prev, tok) AS a,
-       |    greatest(prev, tok) AS b
-       |  FROM bi WHERE prev IS NOT NULL AND prev <> tok),
-       |wedges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
-       |  UNION ALL SELECT b, a FROM und),
-       |wdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg
-       |  FROM wedges GROUP BY 1),
-       |we AS (SELECT wedges.src, dst, outdeg
-       |  FROM wedges JOIN wdeg USING (src)),
-       |tr0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r
-       |  FROM wdeg),
-       |$rounds
-       |SELECT node AS word, r AS rank_fp FROM tr$iters
-       |ORDER BY r DESC, node LIMIT $k""".stripMargin
-  }
-
-  private def pageRankSql(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT dst AS node,
-         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
-         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $tradeGraphCte,
-       |r0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM deg),
-       |$rounds
-       |$pageRankFinal FROM r$iters""".stripMargin
-  }
-
-  /** BFS oracle: the textbook recursive-CTE form — enumerate every
-    * (node, dist ≤ maxDepth) walk endpoint with set-dedup on the pair
-    * (UNION, so the recursion terminates on the cyclic graph), then
-    * min(dist) per node IS the BFS level. The Spark side's
-    * level-synchronous frontier loop must agree exactly. */
-  private def bfsSql(nation: String, maxDepth: Int): String =
-    s"""WITH RECURSIVE $tradeGraphCte,
-       |src_nodes AS (SELECT s_suppkey * 2 AS node FROM supplier
-       |  JOIN nation ON s_nationkey = n_nationkey AND n_name = '$nation'),
-       |bfs(node, dist) AS (
-       |  SELECT node, 0 FROM src_nodes
-       |  UNION
-       |  SELECT e2.dst, bfs.dist + 1 FROM bfs
-       |  JOIN edges e2 ON bfs.node = e2.src
-       |  WHERE bfs.dist < $maxDepth)
-       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
-       |    AS node_type,
-       |  node // 2 AS node_id, CAST(min(dist) AS BIGINT) AS dist
-       |FROM bfs GROUP BY 1, 2""".stripMargin
-
-  /** SSSP oracle: the FULL Bellman-Ford relaxation recurrence, one
-    * min-merge CTE per round — d_r = min(d_{r−1}, relax(d_{r−1})). The
-    * Spark side's frontier variant provably computes the same d_r (see
-    * [[graft.graph.GraphOps.qSsspWeighted]]); both sides are pure
-    * min-plus long arithmetic, so the match is bit-exact. */
-  private def ssspSql(nation: String, maxRounds: Int): String = {
-    val rounds = (1 to maxRounds).map { i =>
-      s"""sd$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (
-         |  SELECT node, dist FROM sd${i - 1}
-         |  UNION ALL
-         |  SELECT w.dst AS node, d.dist + w.w AS dist
-         |  FROM wedges w JOIN sd${i - 1} d ON w.src = d.node) u$i
-         |  GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH wpairs AS MATERIALIZED (SELECT l_suppkey AS s, l_partkey AS p,
-       |    CAST(min(l_quantity) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
-       |wedges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst, w
-       |  FROM wpairs
-       |  UNION ALL SELECT p * 2 + 1, s * 2, w FROM wpairs),
-       |sd0 AS (SELECT s_suppkey * 2 AS node, CAST(0 AS BIGINT) AS dist
-       |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
-       |    AND n_name = '$nation'),
-       |$rounds
-       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
-       |    AS node_type,
-       |  node // 2 AS node_id, dist FROM sd$maxRounds""".stripMargin
-  }
-
-  /** HyperBall oracle: seed registers via the same md5 bucket/rank
-    * derivation (bit-smear bitlen — see q_hll_distinct), then `radius`
-    * unrolled max-merge rounds along the trade-graph arcs, then the
-    * per-node HLL estimate rounded to 1e-4 and summed as integers. */
-  /** Shared HyperBall CTE prefix: registers, `radius` max-merge rounds,
-    * and per-node ball estimates `pe0..peR (node, est_e4)`. */
-  private def hyperBallCtes(radius: Int): String = {
-    val rounds = (1 to radius).map { i =>
-      s"""hb$i AS MATERIALIZED (SELECT node, bucket, max(mj) AS mj FROM (
-         |  SELECT node, bucket, mj FROM hb${i - 1}
-         |  UNION ALL
-         |  SELECT e2.dst AS node, s.bucket, s.mj
-         |  FROM edges e2 JOIN hb${i - 1} s ON e2.src = s.node)
-         |  GROUP BY 1, 2)""".stripMargin
-    }.mkString(",\n")
-    val ests = (0 to radius).map { r =>
-      s"""z$r AS (SELECT node,
-         |    sum((1::BIGINT << (61 - mj))::HUGEINT)
-         |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
-         |    256 - count(*) AS v0
-         |  FROM hb$r GROUP BY 1),
-         |pe$r AS (SELECT node,
-         |    CAST(floor((CASE WHEN est_raw <= 640.0 AND v0 > 0
-         |        THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
-         |        ELSE est_raw END) * 10000 + 0.5) AS BIGINT) AS est_e4
-         |  FROM (SELECT node,
-         |      CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
-         |        * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
-         |        / CAST(zs AS DOUBLE) AS est_raw, v0
-         |    FROM z$r))""".stripMargin
-    }.mkString(",\n")
-    s"""$tradeGraphCte,
-       |n0 AS (SELECT DISTINCT src AS node FROM edges),
-       |hh AS (SELECT node,
-       |    CAST(('0x' || substring(md5('hb:' || CAST(node AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
-       |    CAST(('0x' || substring(md5('hb:' || CAST(node AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
-       |  FROM n0),
-       |sm1 AS (SELECT node, bucket, v | (v >> 1) AS x FROM hh),
-       |sm2 AS (SELECT node, bucket, x | (x >> 2) AS x FROM sm1),
-       |sm3 AS (SELECT node, bucket, x | (x >> 4) AS x FROM sm2),
-       |sm4 AS (SELECT node, bucket, x | (x >> 8) AS x FROM sm3),
-       |sm5 AS (SELECT node, bucket, x | (x >> 16) AS x FROM sm4),
-       |sm6 AS (SELECT node, bucket, x | (x >> 32) AS x FROM sm5),
-       |hb0 AS (SELECT node, bucket, 61 - bit_count(x) AS mj FROM sm6),
-       |$rounds,
-       |$ests""".stripMargin
-  }
-
-  private def hyperBallSql(radius: Int): String = {
-    val unions = (0 to radius).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS r, count(*) AS n_nodes,
-         |  CAST(sum(est_e4) AS BIGINT) AS nf_e4 FROM pe$r""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH ${hyperBallCtes(radius)}
-       |$unions""".stripMargin
-  }
-
-  /** Effective-diameter oracle: the same neighborhood function from the
-    * replayed HyperBall rounds, then the smallest 90%-crossing radius
-    * with the linear shell interpolation in 1e-4 fixed point (all
-    * divisions non-negative, so `//` matches Spark's `div`). */
-  private def effectiveDiameterSql(radius: Int): String = {
-    val unions = (0 to radius).map { r =>
-      s"""SELECT CAST($r AS BIGINT) AS r, CAST(count(*) AS BIGINT) AS n_nodes,
-         |  CAST(sum(est_e4) AS BIGINT) AS nf_e4 FROM pe$r""".stripMargin
-    }.mkString("\nUNION ALL ")
-    s"""WITH ${hyperBallCtes(radius)},
-       |nf AS ($unions),
-       |tgt AS (SELECT nf_e4 AS nf_max FROM nf WHERE r = $radius),
-       |lagd AS (SELECT r, n_nodes, nf_e4,
-       |    lag(nf_e4) OVER (ORDER BY r) AS nf_prev
-       |  FROM nf),
-       |hit AS (SELECT l.*, t.nf_max FROM lagd l CROSS JOIN tgt t
-       |  WHERE l.nf_e4 * 10 >= t.nf_max * 9
-       |  ORDER BY l.r LIMIT 1)
-       |SELECT r AS r_eff, n_nodes, nf_e4 AS nf_r, nf_max,
-       |  CAST(CASE WHEN r = 0 THEN 0
-       |    ELSE (r - 1) * 10000 + (nf_max * 9 - nf_prev * 10) * 10000
-       |      // ((nf_e4 - nf_prev) * 10) END AS BIGINT) AS d_eff_e4
-       |FROM hit""".stripMargin
-  }
-
-  /** HITS oracle: unrolled mutual-reinforcement rounds with the same
-    * L∞ renormalization (HUGEINT cross-multiply // max — exactly the
-    * Spark side's decimal(38,0) div). */
-  private def hitsSql(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""ar$i AS MATERIALIZED (SELECT p, CAST(sum(h) AS BIGINT) AS raw
-         |  FROM pairs JOIN h${i - 1} USING (s) GROUP BY 1),
-         |a$i AS MATERIALIZED (SELECT p,
-         |    CAST(raw::HUGEINT * 1000000 // (SELECT max(raw) FROM ar$i)
-         |      AS BIGINT) AS a
-         |  FROM ar$i),
-         |hr$i AS MATERIALIZED (SELECT s, CAST(sum(a) AS BIGINT) AS raw
-         |  FROM pairs JOIN a$i USING (p) GROUP BY 1),
-         |h$i AS MATERIALIZED (SELECT s,
-         |    CAST(raw::HUGEINT * 1000000 // (SELECT max(raw) FROM hr$i)
-         |      AS BIGINT) AS h
-         |  FROM hr$i)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pairs AS MATERIALIZED (
-       |  SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-       |h0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS h FROM pairs),
-       |$rounds
-       |SELECT 'hub' AS role, s AS node_id, h AS score_ppm FROM h$iters
-       |UNION ALL
-       |SELECT 'authority' AS role, p AS node_id, a AS score_ppm
-       |FROM a$iters""".stripMargin
-  }
-
-  /** Harmonic centrality oracle: the same per-node ball estimates,
-    * shell differences CLAMPED at 0 (the HLL estimate can dip at the
-    * linear-counting crossover even though registers are monotone —
-    * and `//` vs `div` disagree on negatives) then divided by the
-    * shell radius. */
-  private def harmonicCentralitySql(radius: Int, k: Int): String = {
-    val joins = (1 to radius)
-      .map(r => s"JOIN pe$r p$r USING (node)").mkString(" ")
-    val h = (1 to radius)
-      .map(r => s"greatest(p$r.est_e4 - p${r - 1}.est_e4, 0) // $r")
-      .mkString(" + ")
-    s"""WITH ${hyperBallCtes(radius)},
-       |hc AS (SELECT node, $h AS harmonic_e4 FROM pe0 p0 $joins)
-       |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
-       |    AS node_type,
-       |  node // 2 AS node_id, CAST(harmonic_e4 AS BIGINT) AS harmonic_e4
-       |FROM hc ORDER BY harmonic_e4 DESC, node LIMIT $k""".stripMargin
-  }
-
-  /** FK-integrity oracle: per edge, distinct child keys left-joined to
-    * distinct parent keys; orphans are the null-parent rows. */
-  private val fkCheckSql: String = {
-    def edge(name: String, ct: String, ck: String,
-        pt: String, pk: String): String =
-      s"""SELECT '$name' AS fk_edge,
-         |  count(*) AS n_child_keys,
-         |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
-         |FROM (SELECT DISTINCT $ck AS k FROM $ct WHERE $ck IS NOT NULL) c
-         |LEFT JOIN (SELECT DISTINCT $pk AS k FROM $pt) p USING (k)""".stripMargin
-    Seq(
-      edge("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
-      edge("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
-      edge("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
-      edge("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
-      edge("customer.nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
-      edge("supplier.nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
-      edge("nation.regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
-      .mkString("\nUNION ALL ")
-  }
-
-  /** Schema-profile oracle: one block per lineitem column, extrema on
-    * the native column rendered canonically (cents / dates / varchar). */
-  private val schemaProfileSql: String = {
-    def block(c: String, kind: String): String = {
-      val (mn, mx) = kind match {
-        case "cents" =>
-          (s"CAST(CAST(floor(min($c) * 100 + 0.5) AS BIGINT) AS VARCHAR)",
-            s"CAST(CAST(floor(max($c) * 100 + 0.5) AS BIGINT) AS VARCHAR)")
-        case "date" =>
-          (s"strftime(min($c), '%Y-%m-%d')", s"strftime(max($c), '%Y-%m-%d')")
-        case _ => (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
-      }
-      s"""SELECT '$c' AS col_name,
-         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
-         |  $mn AS min_s, $mx AS max_s
-         |FROM lineitem""".stripMargin
-    }
-    Seq("l_orderkey" -> "", "l_partkey" -> "", "l_suppkey" -> "",
-      "l_linenumber" -> "", "l_quantity" -> "cents",
-      "l_extendedprice" -> "cents", "l_discount" -> "cents",
-      "l_tax" -> "cents", "l_returnflag" -> "", "l_linestatus" -> "",
-      "l_shipdate" -> "date")
-      .map { case (c, k) => block(c, k) }.mkString("\nUNION ALL ")
-  }
-
-  /** RRF quality-ensemble CTE chain (classifier training + perplexity +
-    * stopword heuristic + per-language rank fusion) — ends at
-    * `ens (doc_id, lang, r_heur, r_ppl, r_clf, rrf_ppm)`, so
-    * [[corpusBuildV4Oracle]] can compose it. */
-  private def qualityEnsembleCte(dims: Int, epochs: Int): String =
-    s"""${qualityClassifierCte(dims, epochs)},
-       |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-       |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM cnt),
-       |pp AS (SELECT doc_id,
-       |    round(avg(-ln(CAST(cnt + 1 AS DOUBLE) / (t + v))), 4) AS nll
-       |  FROM toks JOIN cnt USING (tok) CROSS JOIN tot GROUP BY 1),
-       |heur AS (SELECT doc_id, lang,
-       |    (CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) * 1000000)
-       |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS stop_ppm
-       |  FROM documents),
-       |j AS (SELECT h.doc_id, h.lang, h.stop_ppm, pp.nll, sc.z
-       |  FROM heur h JOIN pp ON h.doc_id = pp.doc_id
-       |  JOIN sc ON h.doc_id = sc.doc_id),
-       |r AS (SELECT doc_id, lang,
-       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY stop_ppm, doc_id) AS BIGINT) AS r_heur,
-       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) AS BIGINT) AS r_ppl,
-       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY z DESC, doc_id) AS BIGINT) AS r_clf
-       |  FROM j),
-       |ens AS (SELECT doc_id, lang, r_heur, r_ppl, r_clf,
-       |  CAST(1000000 // (60 + r_heur) + 1000000 // (60 + r_ppl)
-       |    + 1000000 // (60 + r_clf) AS BIGINT) AS rrf_ppm
-       |FROM r)""".stripMargin
-
-  private def qualityEnsembleSql(dims: Int, epochs: Int): String =
-    s"""WITH ${qualityEnsembleCte(dims, epochs)}
-       |SELECT doc_id, lang, r_heur, r_ppl, r_clf, rrf_ppm FROM ens""".stripMargin
-
-  /** The v4 capstone's survivor chain (ensemble gate → setsim
-    * pairwise-survivor dedup → phrase decontamination) as CTEs ending in
-    * `surv(doc_id, lang, n_chars)` — ONE definition composed by both the
-    * v4 split census and the v5 privacy-gated release. Shingle/phrase
-    * CTEs use fresh names (the classifier chain already owns `toks`). */
-  private val corpusSurvivorCtes: String =
-    s"""${qualityEnsembleCte(64, 4)},
-       |gated AS (SELECT doc_id, lang, n_chars FROM (
-       |    SELECT e.doc_id, e.lang, d.n_chars,
-       |      CAST(row_number() OVER (PARTITION BY e.lang
-       |        ORDER BY e.rrf_ppm DESC, e.doc_id) AS BIGINT) AS qrn,
-       |      count(*) OVER (PARTITION BY e.lang) AS n_l
-       |    FROM ens e JOIN documents d ON e.doc_id = d.doc_id)
-       |  WHERE qrn * 1000 <= n_l * 600 + 999),
-       |tl4 AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-       |sh4 AS (SELECT doc_id, unnest(list_distinct(list_transform(
-       |         range(1, greatest(len(l) - 2, 1)),
-       |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
-       |       FROM tl4),
-       |sz4 AS (SELECT doc_id, count(*) AS sz FROM sh4 GROUP BY 1),
-       |pr4 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-       |        FROM sh4 a JOIN sh4 b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |        GROUP BY 1, 2),
-       |sp AS (SELECT d1, d2 FROM pr4
-       |  JOIN sz4 s1 ON d1 = s1.doc_id JOIN sz4 s2 ON d2 = s2.doc_id
-       |  WHERE 5 * inter >= 3 * (s1.sz + s2.sz - inter)),
-       |losers AS (SELECT DISTINCT
-       |    CASE WHEN ea.rrf_ppm < eb.rrf_ppm THEN d1
-       |         WHEN eb.rrf_ppm < ea.rrf_ppm THEN d2
-       |         ELSE greatest(d1, d2) END AS doc_id
-       |  FROM sp JOIN ens ea ON d1 = ea.doc_id JOIN ens eb ON d2 = eb.doc_id),
-       |t4 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-       |    generate_subscripts(string_split(text, ' '), 1) AS pos
-       |  FROM documents),
-       |cont AS (SELECT DISTINCT a.doc_id
-       |  FROM t4 a JOIN t4 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       |  WHERE a.tok = 'hash' AND b.tok = 'join'),
-       |surv AS (SELECT g.doc_id, g.lang, g.n_chars FROM gated g
-       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM losers)
-       |    AND g.doc_id NOT IN (SELECT doc_id FROM cont))""".stripMargin
-
-  /** Capstone v4: the survivor chain censused by split, replaying
-    * [[graft.pipeline.TrainingData.qCorpusBuildV4]] stage for stage. */
-  private val corpusBuildV4Oracle: String =
-    s"""WITH $corpusSurvivorCtes,
-       |bk AS (SELECT doc_id,
-       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-       |          AS BIGINT) AS bucket
-       |      FROM documents)
-       |SELECT CASE WHEN bk.bucket < 80 THEN 'train'
-       |            WHEN bk.bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       |  s.lang, count(*) AS n_docs, CAST(sum(s.n_chars) AS BIGINT) AS n_chars
-       |FROM surv s JOIN bk ON s.doc_id = bk.doc_id
-       |GROUP BY 1, 2""".stripMargin
-
-  /** Capstone v5: the survivor release through the privacy gates —
-    * per-lang k-anonymity census over (source × length-bucket) classes
-    * plus the deterministic ε-DP noised count. */
-  private val corpusBuildV5Oracle: String =
-    s"""WITH $corpusSurvivorCtes,
-       |cls AS (SELECT s.lang, d.source, s.n_chars // 256 AS len_bucket,
-       |    CAST(count(*) AS BIGINT) AS sz
-       |  FROM surv s JOIN documents d ON s.doc_id = d.doc_id
-       |  GROUP BY 1, 2, 3),
-       |k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
-       |    CAST(sum(sz) AS BIGINT) AS n_docs,
-       |    min(sz) AS min_class_size,
-       |    CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_risky
-       |  FROM cls GROUP BY 1),
-       |uu AS (SELECT k.*,
-       |    ('0x' || substring(md5('graft-dp:' || lang), 1, 13))
-       |      ::UBIGINT::DOUBLE / 4503599627370496.0 AS u
-       |  FROM k)
-       |SELECT lang, n_docs,
-       |  n_docs + CAST(floor(-10.0 * sign(u - 0.5)
-       |    * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15)) + 0.5)
-       |    AS BIGINT) AS n_noisy,
-       |  n_classes, min_class_size, n_risky,
-       |  CAST(n_risky * 1000000 // n_docs AS BIGINT) AS risk_ppm
-       |FROM uu""".stripMargin
-
-  /** Weighted-PageRank oracle: lineitem multiplicities as edge weights,
-    * contribution `(r·w) // W(u)` per arc — the same truncating
-    * fixed-point discipline, unrolled per round. */
-  private def pageRankWeightedSql(iters: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""wr$i AS (SELECT dst AS node,
-         |  CAST(150000000000 + (85 * sum((r * w) // wtot)) // 100 AS BIGINT) AS r
-         |  FROM we JOIN wr${i - 1} ON we.src = wr${i - 1}.node GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH wpairs AS MATERIALIZED (SELECT l_suppkey AS s, l_partkey AS p,
-       |    count(*) AS w
-       |  FROM lineitem GROUP BY 1, 2),
-       |wedges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst, w FROM wpairs
-       |  UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst, w FROM wpairs),
-       |wdeg AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wtot
-       |  FROM wedges GROUP BY 1),
-       |we AS (SELECT wedges.src, dst, w, wtot FROM wedges JOIN wdeg USING (src)),
-       |wr0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM wdeg),
-       |$rounds
-       |$pageRankFinal FROM wr$iters""".stripMargin
-  }
-
-  /** Warm-started delta-PageRank oracle (see GraphOps.qPageRankDelta):
-    * base rounds over the pre-cutoff subgraph (its own degrees), then a
-    * coalesce warm-start over the full node set, then delta rounds over
-    * the full graph — every step the same truncating fixed-point
-    * arithmetic as q_pagerank's oracle. */
-  private def pageRankDeltaSql(baseIters: Int, deltaIters: Int): String = {
-    val cutoff = graft.graph.GraphOps.DeltaCutoff
-    val baseRounds = (1 to baseIters).map { i =>
-      s"""b$i AS MATERIALIZED (SELECT dst AS node,
-         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
-         |  FROM be JOIN b${i - 1} ON be.src = b${i - 1}.node GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    val deltaRounds = (1 to deltaIters).map { i =>
-      s"""d$i AS MATERIALIZED (SELECT dst AS node,
-         |  CAST(150000000000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
-         |  FROM e JOIN d${i - 1} ON e.src = d${i - 1}.node GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $tradeGraphCte,
-       |bpairs AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
-       |  FROM lineitem WHERE l_shipdate < '$cutoff'),
-       |bedges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM bpairs
-       |  UNION ALL SELECT p * 2 + 1 AS src, s * 2 AS dst FROM bpairs),
-       |bdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM bedges GROUP BY 1),
-       |be AS (SELECT bedges.src, dst, outdeg FROM bedges JOIN bdeg USING (src)),
-       |b0 AS (SELECT src AS node, CAST(1000000000000 AS BIGINT) AS r FROM bdeg),
-       |$baseRounds,
-       |d0 AS (SELECT deg.src AS node,
-       |  CAST(coalesce(b$baseIters.r, 1000000000000) AS BIGINT) AS r
-       |  FROM deg LEFT JOIN b$baseIters ON deg.src = b$baseIters.node),
-       |$deltaRounds
-       |$pageRankFinal FROM d$deltaIters""".stripMargin
-  }
-
-  /** Personalized-PageRank oracle: teleport rows only for the seed set,
-    * sparse rank relation per round — mirrors
-    * [[graft.graph.GraphOps.personalizedPageRank]] exactly. */
-  private def pprSql(iters: Int, nation: Int): String = {
-    val rounds = (1 to iters).map { i =>
-      s"""r$i AS (SELECT node, CAST(sum(v) AS BIGINT) AS r FROM (
-         |  SELECT dst AS node, (85 * sum(r // outdeg)) // 100 AS v
-         |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY dst
-         |  UNION ALL SELECT node, 150000000000 FROM seeds) u$i GROUP BY 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $tradeGraphCte,
-       |seeds AS (SELECT s_suppkey * 2 AS node FROM supplier
-       |          WHERE s_nationkey = $nation),
-       |r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM seeds),
-       |$rounds
-       |$pageRankFinal FROM r$iters""".stripMargin
-  }
-
-  /** Unrolled oracle for q_pagerank_dangling: DIRECTED supplier→part
-    * graph (parts are sinks), dangling mass redistributed uniformly each
-    * round, and the residual stop expressed as per-round FREEZING — round
-    * i keeps r(i-1) verbatim once max|r(i-1) − r(i-2)| < eps, and frozen
-    * rounds stay frozen (their residual is 0), so the full unrolling
-    * equals the implementation's early-stopped result at whatever round
-    * the data converges. Mirrors
-    * [[graft.graph.GraphOps.pageRankDangling]] exactly. */
-  private def pageRankDanglingSql(eps: Long, maxIters: Int): String = {
-    // every CTE MATERIALIZED: each round is referenced by up to four
-    // later CTEs, and default CTE inlining makes the 40-round unrolling
-    // grow multiplicatively (measured: DuckDB exhausts file handles on
-    // the exploded parquet scans before finishing planning)
-    val rounds = (1 to maxIters).map { i =>
-      val step =
-        s"""d$i AS MATERIALIZED (SELECT COALESCE(sum(r), 0) AS dm FROM r${i - 1}
-           |  WHERE node NOT IN (SELECT src FROM deg)),
-           |s$i AS MATERIALIZED (SELECT n.node,
-           |  CAST(150000000000 + (85 * (COALESCE(c.sc, 0) +
-           |    (SELECT dm FROM d$i) // (SELECT n FROM nc))) // 100 AS BIGINT) AS r
-           |  FROM nodes n LEFT JOIN (
-           |    SELECT dst AS node, sum(r // outdeg) AS sc
-           |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node GROUP BY 1) c
-           |  ON n.node = c.node)""".stripMargin
-      if (i == 1) step + ",\nr1 AS MATERIALIZED (SELECT * FROM s1)"
-      else step +
-        s""",
-           |res$i AS MATERIALIZED (SELECT max(abs(a.r - b.r)) AS m
-           |  FROM r${i - 1} a JOIN r${i - 2} b ON a.node = b.node),
-           |r$i AS MATERIALIZED (SELECT s.node, CASE WHEN (SELECT m FROM res$i) < $eps
-           |    THEN p.r ELSE s.r END AS r
-           |  FROM s$i s JOIN r${i - 1} p ON s.node = p.node)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH pairs AS MATERIALIZED (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
-       |edges AS MATERIALIZED (SELECT s * 2 AS src, p * 2 + 1 AS dst FROM pairs),
-       |deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
-       |e AS MATERIALIZED (SELECT edges.src, dst, outdeg FROM edges JOIN deg USING (src)),
-       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |nc AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
-       |r0 AS MATERIALIZED (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM nodes),
-       |$rounds
-       |$pageRankFinal FROM r$maxIters""".stripMargin
-  }
-
-  /** Unrolled full-batch-GD CTE chain for q_quality_classifier: one
-    * (score, error, gradient, weight-update) CTE block per epoch, hard
-    * sigmoid, sign-safe truncating divisions — replays
-    * [[graft.pipeline.QualityClassifier]]'s fixed-point training
-    * bit-exactly. Ends at `sc` (doc_id, z = final fixed-point logit) so
-    * [[corpusBuildV3Oracle]] can compose it; `lab` carries the labels. */
-  private def qualityClassifierCte(dims: Int, epochs: Int): String = {
-    val S = graft.pipeline.QualityClassifier.S
-    def sdiv(a: String, b: String) =
-      s"(CASE WHEN $a >= 0 THEN ($a) // $b ELSE -((-($a)) // $b) END)"
-    val rounds = (1 to epochs).map { i =>
-      s"""z$i AS MATERIALIZED (SELECT f.doc_id, sum(f.x * w.w) AS z
-         |  FROM fx f JOIN w${i - 1} w USING (dim) GROUP BY 1),
-         |e$i AS MATERIALIZED (SELECT z.doc_id,
-         |  greatest(0, least($S, ${S / 2} + ${sdiv("z.z", "4")})) - l.y * $S AS err
-         |  FROM z$i z JOIN lab l USING (doc_id)),
-         |g$i AS MATERIALIZED (SELECT f.dim, sum(e.err * f.x) AS s
-         |  FROM fx f JOIN e$i e USING (doc_id) GROUP BY 1),
-         |w$i AS MATERIALIZED (SELECT w.dim,
-         |  CAST(w.w - ${sdiv(sdiv("COALESCE(g.s, 0)", "(SELECT n FROM nn)"), "4")} AS BIGINT) AS w
-         |  FROM w${i - 1} w LEFT JOIN g$i g USING (dim))""".stripMargin
-    }.mkString(",\n")
-    s"""toks AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-       |fx AS MATERIALIZED (
-       |  SELECT doc_id, dim, CAST(sum(sgn) AS BIGINT) AS x FROM (
-       |    SELECT doc_id,
-       |      CAST(('0x' || substr(md5('qc:' || tok), 1, 2))::UBIGINT % $dims AS BIGINT) AS dim,
-       |      CASE WHEN ('0x' || substr(md5('qc:' || tok), 3, 1))::UBIGINT % 2 = 0
-       |           THEN 1 ELSE -1 END AS sgn
-       |    FROM toks) GROUP BY 1, 2
-       |  UNION ALL
-       |  SELECT doc_id, CAST($dims AS BIGINT), CAST(1 AS BIGINT) FROM documents),
-       |lab AS MATERIALIZED (SELECT doc_id,
-       |  CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1 ELSE 0 END AS y
-       |  FROM documents),
-       |nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
-       |w0 AS MATERIALIZED (SELECT CAST(t.d AS BIGINT) AS dim, CAST(0 AS BIGINT) AS w
-       |  FROM range(0, ${dims + 1}) t(d)),
-       |$rounds,
-       |sc AS (SELECT f.doc_id, sum(f.x * w.w) AS z
-       |  FROM fx f JOIN w$epochs w USING (dim) GROUP BY 1)""".stripMargin
-  }
-
-  private def qualityClassifierSql(dims: Int, epochs: Int): String =
-    s"""WITH ${qualityClassifierCte(dims, epochs)}
-       |SELECT sc.doc_id, CAST(l.y AS BIGINT) AS label,
-       |  CAST(sc.z AS BIGINT) AS score_fp, sc.z >= 0 AS keep
-       |FROM sc JOIN lab l USING (doc_id)""".stripMargin
-
-  /** Exact ROC AUC over the trained scorer's score histogram — the
-    * q_mann_whitney 2U algebra (ties half-credited, all integer). */
-  private def aucSql(dims: Int, epochs: Int): String =
-    s"""WITH ${qualityClassifierCte(dims, epochs)},
-       |scored AS (SELECT CAST(sc.z AS BIGINT) AS score_fp,
-       |    CAST(l.y AS BIGINT) AS label
-       |  FROM sc JOIN lab l USING (doc_id)),
-       |h AS (SELECT score_fp, CAST(sum(label) AS BIGINT) AS np,
-       |    CAST(sum(1 - label) AS BIGINT) AS nn
-       |  FROM scored GROUP BY 1),
-       |c AS (SELECT np, nn, COALESCE(sum(nn) OVER (ORDER BY score_fp
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumnn
-       |  FROM h)
-       |SELECT CAST(sum(np) AS BIGINT) AS n_pos,
-       |  CAST(sum(nn) AS BIGINT) AS n_neg,
-       |  CAST(sum(2::HUGEINT * np * cumnn + np::HUGEINT * nn) AS BIGINT)
-       |    AS auc_x2,
-       |  CAST(sum(2::HUGEINT * np * cumnn + np::HUGEINT * nn) * 500000
-       |    // (sum(np)::HUGEINT * sum(nn)) AS BIGINT) AS auc_ppm
-       |FROM c""".stripMargin
-
-  /** Calibration census over the trained scorer (see
-    * QualityClassifier.qCalibration): hard-sigmoid ppm probabilities,
-    * 10 equal-width bins, exact truncating-ppm confidence vs observed
-    * rate per bin (p >= 0, so `//` here equals Spark's `div`). */
-  private def calibrationSql(dims: Int, epochs: Int): String = {
-    val S = graft.pipeline.QualityClassifier.S
-    val sdiv = s"(CASE WHEN sc.z >= 0 THEN (sc.z) // 4 ELSE -((-(sc.z)) // 4) END)"
-    s"""WITH ${qualityClassifierCte(dims, epochs)},
-       |pp AS (SELECT l.y,
-       |    CAST(greatest(0, least($S, ${S / 2} + $sdiv)) AS BIGINT) AS p
-       |  FROM sc JOIN lab l USING (doc_id))
-       |SELECT CAST(least(9, p // 100000) AS BIGINT) AS bin, count(*) AS n_docs,
-       |  CAST(CAST(sum(p) AS BIGINT) // count(*) AS BIGINT) AS conf_ppm,
-       |  CAST((1000000 * CAST(sum(y) AS BIGINT)) // count(*) AS BIGINT) AS acc_ppm,
-       |  CAST(abs(CAST(sum(p) AS BIGINT) // count(*)
-       |       - (1000000 * CAST(sum(y) AS BIGINT)) // count(*)) AS BIGINT) AS gap_ppm
-       |FROM pp GROUP BY 1""".stripMargin
-  }
-
-  private def pass4(x: String): String =
-    s"chr(97 + CAST(($x) // 17576 AS INT) % 26) || chr(97 + CAST(($x) // 676 AS INT) % 26) || " +
-      s"chr(97 + CAST(($x) // 26 AS INT) % 26) || chr(97 + CAST(($x) AS INT) % 26)"
-
-  /** Recursive-CTE reachability over the exact-Jaccard pair relation —
-    * the shared cluster computation behind q_dedup_clusters,
-    * q_dedup_incremental, and q_dedup_keep_best. Ends at the `reach`
-    * relation; each consumer appends its own final SELECT. */
-  private val dedupClustersCte: String =
-    """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-      |         range(1, greatest(len(l) - 2, 1)),
-      |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
-      |       FROM toks),
-      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-      |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-      |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      |       GROUP BY 1, 2),
-      |pairs AS (SELECT d1, d2 FROM ip
-      |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-      |          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
-      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-      |          UNION ALL SELECT d2, d1 FROM pairs),
-      |reach(id, r) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)""".stripMargin
-
-  /** Shared by q_dedup_clusters and q_dedup_incremental (the incremental
-    * ingest is CONTRACTED to equal the from-scratch result): min reachable
-    * id per node = cluster label. */
-  private val dedupClustersOracle: String =
-    dedupClustersCte + "\n" +
-      """SELECT id AS doc_id, min(r) AS cluster_id, min(r) = id AS is_keeper
-        |FROM reach GROUP BY id""".stripMargin
-
-  /** Same clusters, quality-priority keeper policy: longest member wins,
-    * doc_id breaks length ties. */
-  private val dedupKeepBestOracle: String =
-    dedupClustersCte + ",\n" +
-      """cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |m AS (SELECT cl.cluster_id, cl.doc_id, d.n_chars,
-        |        row_number() OVER (PARTITION BY cl.cluster_id
-        |                           ORDER BY d.n_chars DESC, cl.doc_id) AS rn,
-        |        count(*) OVER (PARTITION BY cl.cluster_id) AS n_members
-        |      FROM cl JOIN documents d ON cl.doc_id = d.doc_id)
-        |SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_chars,
-        |  CAST(n_members AS BIGINT) AS n_members
-        |FROM m WHERE rn = 1""".stripMargin
-
-  /** The salted DSIR bucket-weight chain — ends at
-    * `dsird (doc_id, n_tokens, dsir_score)`. Shared by q_dsir_weights
-    * and [[corpusBuildV3Oracle]]. */
-  private val dsirWeightsCte: String =
-    """wb AS (SELECT doc_id, lang,
-      |    CAST(('0x' || substr(md5('dsir:' || tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS bucket
-      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-      |        FROM documents)),
-      |bg AS (SELECT bucket, count(*) AS cb FROM wb GROUP BY 1),
-      |tg AS (SELECT bucket, count(*) AS ct FROM wb WHERE lang = 'en' GROUP BY 1),
-      |w AS (SELECT bucket, ((coalesce(ct, 0) + 1) * 1000000) // (cb + 1) AS w
-      |      FROM bg LEFT JOIN tg USING (bucket)),
-      |dsird AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(w) AS BIGINT) AS dsir_score
-      |          FROM wb JOIN w USING (bucket) GROUP BY 1)""".stripMargin
-
-  /** Capstone v2: the round-5 stages replayed over the shared cluster
-    * CTE — gate, salted cap, dedup keep-lists, decontamination, split. */
-  private val corpusBuildV2Oracle: String =
-    dedupClustersCte + ",\n" +
-      """near_losers AS (SELECT id AS doc_id FROM reach GROUP BY id
-        |                HAVING min(r) <> id),
-        |exact_losers AS (SELECT doc_id FROM (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-        |  FROM documents) WHERE doc_id <> keep),
-        |gated AS (SELECT doc_id, lang, source, n_chars FROM (
-        |    SELECT doc_id, lang, source, n_chars,
-        |      CAST(row_number() OVER (PARTITION BY lang
-        |        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS grn,
-        |      count(*) OVER (PARTITION BY lang) AS n_l
-        |    FROM documents)
-        |  WHERE grn * 1000 <= n_l * 700 + 999),
-        |capped AS (SELECT doc_id, lang, n_chars FROM (
-        |    SELECT doc_id, lang, n_chars,
-        |      CAST(row_number() OVER (PARTITION BY source
-        |        ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS crn
-        |    FROM gated)
-        |  WHERE crn <= 15),
-        |b AS (SELECT doc_id,
-        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-        |          AS BIGINT) AS bucket
-        |      FROM documents),
-        |esh AS (SELECT DISTINCT sh.sh AS s
-        |        FROM sh JOIN b ON sh.doc_id = b.doc_id WHERE b.bucket >= 90),
-        |cont AS (SELECT DISTINCT sh.doc_id
-        |         FROM sh JOIN b ON sh.doc_id = b.doc_id
-        |         JOIN esh ON sh.sh = esh.s
-        |         WHERE b.bucket < 80)
-        |SELECT CASE WHEN b.bucket < 80 THEN 'train'
-        |            WHEN b.bucket < 90 THEN 'val' ELSE 'test' END AS split,
-        |  c.lang, count(*) AS n_docs, CAST(sum(c.n_chars) AS BIGINT) AS n_chars
-        |FROM capped c JOIN b ON c.doc_id = b.doc_id
-        |WHERE c.doc_id NOT IN (SELECT doc_id FROM exact_losers)
-        |  AND c.doc_id NOT IN (SELECT doc_id FROM near_losers)
-        |  AND c.doc_id NOT IN (SELECT doc_id FROM cont)
-        |GROUP BY 1, 2""".stripMargin
-
-  /** Capstone v3: the model-driven build — the classifier training CTEs
-    * ([[qualityClassifierCte]]), the SemDeDup cluster CTEs
-    * ([[ivfTrainCte]] + [[semDedupReachCte]]), and the DSIR weight CTEs
-    * ([[dsirWeightsCte]]) composed under one WITH RECURSIVE, then the
-    * rank gate / loser drop / salted importance draw / split census —
-    * replaying [[graft.pipeline.TrainingData.qCorpusBuildV3]] stage for
-    * stage. */
-  private val corpusBuildV3Oracle: String =
-    s"""WITH RECURSIVE ${qualityClassifierCte(64, 4)},
-       |$ivfTrainCte,
-       |$semDedupReachCte,
-       |sem_losers AS (SELECT id AS doc_id FROM reach GROUP BY id
-       |               HAVING min(rr) <> id),
-       |$dsirWeightsCte,
-       |samp AS (SELECT doc_id FROM dsird
-       |  WHERE CAST(('0x' || substr(md5('v3samp:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-       |          % 2000000 AS BIGINT) < dsir_score // n_tokens),
-       |gated AS (SELECT doc_id, lang, n_chars FROM (
-       |    SELECT d.doc_id, d.lang, d.n_chars,
-       |      CAST(row_number() OVER (PARTITION BY d.lang
-       |        ORDER BY sc.z DESC, d.doc_id) AS BIGINT) AS grn,
-       |      count(*) OVER (PARTITION BY d.lang) AS n_l
-       |    FROM documents d JOIN sc ON d.doc_id = sc.doc_id)
-       |  WHERE grn * 1000 <= n_l * 600 + 999),
-       |bk AS (SELECT doc_id,
-       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-       |          AS BIGINT) AS bucket
-       |      FROM documents)
-       |SELECT CASE WHEN bk.bucket < 80 THEN 'train'
-       |            WHEN bk.bucket < 90 THEN 'val' ELSE 'test' END AS split,
-       |  g.lang, count(*) AS n_docs, CAST(sum(g.n_chars) AS BIGINT) AS n_chars
-       |FROM gated g JOIN bk ON g.doc_id = bk.doc_id
-       |WHERE g.doc_id NOT IN (SELECT doc_id FROM sem_losers)
-       |  AND g.doc_id IN (SELECT doc_id FROM samp)
-       |GROUP BY 1, 2""".stripMargin
-
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (→ driver records a weaker rows-only check). Published as
     * [[oracleSql]] below (+ the SQL-front-door twins). */
-  private lazy val baseOracleSql: Map[String, String] = Map(
-    "q_crack_found" -> "SELECT 'abcd' AS pass",
-    "q_crack_notfound" -> "SELECT CAST(NULL AS VARCHAR) AS pass WHERE FALSE",
-    "q_crack_len5" -> "SELECT 'hello' AS pass",
-    "q_crack_chunked" -> "SELECT 'abcd' AS pass",
-    "q_crack_sql" -> "SELECT 'abcd' AS pass",
-    // SQL-front-door twins share their Scala twin's oracle verbatim:
-    // the table function and the Scala builder are pinned equal by
-    // SqlSurfaceSpec, so one oracle covers both
-    "q_dedup_sql" -> exactJaccardSql,
-    "q_dedup_exact_sql" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
-    "q_ann_sql" -> annTopKSql(5),
-    "q_text_stats_sql" ->
-      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
-        |FROM documents GROUP BY 1""".stripMargin,
-    "q_token_stats_sql" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
-        |  n_chars
-        |FROM documents""".stripMargin,
-    "q_crack_multilen" -> "SELECT * FROM (VALUES (2, 'ab')) t(len, pass)",
-    "q_crack_multi" ->
-      """SELECT * FROM (VALUES
-        |  ('81fe8bfe87576c3ecb22426f8e57847382917acf', 'abcd'),
-        |  ('a94a8fe5ccb19ba61c4c0873d391e987982fbbd3', 'test')) t(hash, pass)""".stripMargin,
-    "q_keyspace_roundtrip" ->
-      """SELECT i AS id,
-        |  chr(97 + CAST(i // 676 AS INT) % 26) || chr(97 + CAST(i // 26 AS INT) % 26) || chr(97 + CAST(i AS INT) % 26) AS pass,
-        |  i AS back
-        |FROM generate_series(0, 17575) t(i)""".stripMargin,
-    "q_keyspace_tile" ->
-      s"""WITH t AS (SELECT i, CAST(456976 // 10 AS BIGINT) AS base, CAST(456976 % 10 AS BIGINT) AS rem
-         |           FROM generate_series(0, 9) s(i)),
-         |b AS (SELECT CAST(i AS BIGINT) AS part_id,
-         |             i * base + least(i, rem) AS lo,
-         |             (i + 1) * base + least(i + 1, rem) - 1 AS hi FROM t)
-         |SELECT part_id, lo, hi, ${pass4("lo")} AS lo_pass, ${pass4("hi")} AS hi_pass FROM b""".stripMargin,
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 2) AS avg_qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price,
-        |  count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
-        |GROUP BY 1, 2""".stripMargin,
-    "q7_nation_volume" ->
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
-        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('NATION_13', 'NATION_19')
-        |  AND n2.n_name IN ('NATION_13', 'NATION_19')
-        |  AND n1.n_name <> n2.n_name
-        |GROUP BY 1, 2, 3""".stripMargin,
-    "q3_shipping_priority" ->
-      """SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
-        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
-        |GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
-    "q5_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA' GROUP BY 1""".stripMargin,
-    "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount BETWEEN 0.02 AND 0.08 AND l_quantity < 25""".stripMargin,
-    // exact-cents revenue (floor(x·100+½) per row, integer sums): the
-    // one IEEE product is deterministic, so the hash is engine-exact
-    "q10_returned_revenue" ->
-      """SELECT c_custkey, c_name, n_name,
-        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
-        |  count(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |WHERE l_returnflag = 'R'
-        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY 1, 2, 3
-        |ORDER BY revenue_cents DESC, c_custkey
-        |LIMIT 20""".stripMargin,
-    "q14_promo_share" ->
-      """WITH l AS (
-        |  SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
-        |    p_type
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
-        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
-        |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  CAST((CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS HUGEINT) * 1000000)
-        |    // CAST(sum(cents) AS HUGEINT) AS BIGINT) AS promo_ppm
-        |FROM l""".stripMargin,
-    "q15_top_supplier" ->
-      """WITH rev AS (
-        |  SELECT l_suppkey,
-        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-        |  GROUP BY 1)
-        |SELECT s_suppkey, s_name, revenue_cents
-        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
-        |WHERE revenue_cents = (SELECT max(revenue_cents) FROM rev)""".stripMargin,
-    "q17_small_qty" ->
-      """WITH j AS (
-        |  SELECT l_partkey, l_quantity,
-        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
-        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
-        |  FROM lineitem JOIN part ON l_partkey = p_partkey
-        |  WHERE p_brand = 'Brand#4')
-        |SELECT CAST(sum(cents) AS BIGINT) AS revenue_cents,
-        |  count(*) AS n_items
-        |FROM j WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
-    "q22_no_order_rich" ->
-      """WITH c AS (SELECT c_custkey, c_mktsegment,
-        |        CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
-        |      FROM customer),
-        |t AS (SELECT CAST(sum(bal_cents) // count(*) AS BIGINT) AS avg_cents
-        |      FROM c WHERE bal_cents > 0)
-        |SELECT c_mktsegment, count(*) AS n_customers,
-        |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
-        |FROM c CROSS JOIN t
-        |WHERE bal_cents > avg_cents
-        |  AND NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey
-        |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY 1""".stripMargin,
-    "q18_large_orders" ->
-      """WITH big AS (
-        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
-        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
-        |SELECT c_custkey, c_name, o_orderkey,
-        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, sum_qty
-        |FROM orders JOIN big ON o_orderkey = l_orderkey
-        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
-    "q19_disjunctive" ->
-      """SELECT
-        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
-        |  count(*) AS n_items
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
-        |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 6 AND 15 AND l_quantity BETWEEN 10 AND 30)
-        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 20 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
-    "q_bucket_join" ->
-      """SELECT o_orderpriority,
-        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
-        |  count(*) AS n_items
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin,
-    "q8_market_share" ->
-      """WITH f AS (
-        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents,
-        |    n2.n_name AS supp_nation
-        |  FROM lineitem
-        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |  JOIN customer ON o_custkey = c_custkey
-        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        |  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
-        |SELECT yr,
-        |  CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
-        |  CAST(sum(cents) AS BIGINT) AS total_cents,
-        |  CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_12' THEN cents ELSE 0 END) AS HUGEINT) * 1000000)
-        |    // CAST(sum(cents) AS HUGEINT) AS BIGINT) AS mkt_share_ppm
-        |FROM f GROUP BY 1""".stripMargin,
-    // the textbook correlated form — the Spark side's one-pass census
-    // must agree with EXISTS + NOT EXISTS semantics exactly
-    "q21_sole_fault" ->
-      """WITH pp AS (
-        |  SELECT l_orderkey, l_suppkey,
-        |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_fault
-        |  FROM lineitem GROUP BY 1, 2)
-        |SELECT s_suppkey, s_name, numwait FROM (
-        |  SELECT p1.l_suppkey, count(*) AS numwait
-        |  FROM pp p1
-        |  WHERE p1.has_fault = 1
-        |    AND EXISTS (SELECT 1 FROM pp p2
-        |                WHERE p2.l_orderkey = p1.l_orderkey
-        |                  AND p2.l_suppkey <> p1.l_suppkey)
-        |    AND NOT EXISTS (SELECT 1 FROM pp p3
-        |                    WHERE p3.l_orderkey = p1.l_orderkey
-        |                      AND p3.l_suppkey <> p1.l_suppkey
-        |                      AND p3.has_fault = 1)
-        |  GROUP BY 1)
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin,
-    // textbook correlated-min form — the Spark side's single-pass
-    // aggregate + min-probe must agree with the scalar subquery
-    "q2_min_cost_supp" ->
-      """WITH supply AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    CAST((CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS HUGEINT) * 1000000)
-        |      // CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS HUGEINT) AS BIGINT) AS cost_ppm
-        |  FROM lineitem GROUP BY 1, 2),
-        |eu AS (
-        |  SELECT s_suppkey, s_name, n_name
-        |  FROM supplier
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
-        |sup AS (
-        |  SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost_ppm
-        |  FROM supply
-        |  JOIN eu ON l_suppkey = s_suppkey
-        |  JOIN part ON l_partkey = p_partkey
-        |    AND p_type = 'STANDARD' AND p_size BETWEEN 1 AND 15)
-        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, cost_ppm
-        |FROM sup s1
-        |WHERE cost_ppm = (SELECT min(cost_ppm) FROM sup s2
-        |                  WHERE s2.p_partkey = s1.p_partkey)
-        |ORDER BY p_partkey, s_suppkey LIMIT 50""".stripMargin,
-    // textbook EXISTS form — the semi join with the inequality residual
-    // must agree with the correlated subquery
-    "q4_order_priority" ->
-      """SELECT o_orderpriority, count(*) AS order_count
-        |FROM orders
-        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
-        |  AND EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey
-        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q9_product_profit" ->
-      """SELECT n_name AS nation,
-        |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
-        |    - (CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
-        |       * CAST(floor(l_quantity + 0.5) AS BIGINT) * 6) // 10) AS BIGINT)
-        |    AS sum_profit_cents
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
-    // textbook HAVING-over-scalar-subquery form
-    "q11_important_parts" ->
-      """WITH v AS (
-        |  SELECT l_partkey AS p_partkey,
-        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |      AS value_cents
-        |  FROM lineitem
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_12'
-        |  GROUP BY 1)
-        |SELECT p_partkey, value_cents FROM v
-        |WHERE CAST(value_cents AS HUGEINT) * (SELECT count(*) FROM v)
-        |  > (SELECT CAST(sum(value_cents) AS HUGEINT) FROM v) * 2
-        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
-    "q12_ship_latency" ->
-      """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) < 30 THEN 'FAST'
-        |            WHEN date_diff('day', o_orderdate, l_shipdate) < 90 THEN 'MEDIUM'
-        |            ELSE 'SLOW' END AS latency_bucket,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
-        |    AS low_line_count
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // textbook NOT IN form — the broadcast anti join must agree
-    "q16_supplier_census" ->
-      """SELECT p_brand, p_type, CAST(p_size AS INT) AS p_size,
-        |  count(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |WHERE p_brand <> 'Brand#4'
-        |  AND p_size IN (1, 5, 11, 15, 21, 25, 28, 37)
-        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY 1, 2, 3
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
-    // textbook nested-IN form — the flattened aggregation tree must agree
-    "q20_heavy_suppliers" ->
-      """WITH pair AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS pair_units
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
-        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-        |  GROUP BY 1, 2)
-        |SELECT s_suppkey, s_name, n_name
-        |FROM supplier
-        |JOIN nation ON s_nationkey = n_nationkey
-        |WHERE s_suppkey IN (
-        |  SELECT l_suppkey FROM pair p1
-        |  WHERE pair_units * 10 > 3 * (SELECT sum(pair_units) FROM pair p2
-        |                               WHERE p2.l_partkey = p1.l_partkey))
-        |ORDER BY s_suppkey""".stripMargin,
-    "q_dpp_prune" ->
-      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS epoch_days, value
-        |  FROM events)
-        |SELECT strftime(DATE '1970-01-01' + CAST(epoch_days AS INT), '%Y-%m-%d') AS day,
-        |  count(*) AS n_events,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
-        |FROM e
-        |WHERE (epoch_days + 4) % 7 IN (0, 6)
-        |GROUP BY 1""".stripMargin,
-    // quadratic correlated form — the window-based frontier must agree
-    "q_skyline" ->
-      """WITH p AS (SELECT p_partkey, p_brand,
-        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
-        |    CAST(p_size AS BIGINT) AS p_size
-        |  FROM part)
-        |SELECT p_partkey, p_brand, price_cents, p_size FROM p p1
-        |WHERE NOT EXISTS (SELECT 1 FROM p p2
-        |  WHERE p2.p_brand = p1.p_brand
-        |    AND p2.price_cents <= p1.price_cents AND p2.p_size >= p1.p_size
-        |    AND (p2.price_cents < p1.price_cents OR p2.p_size > p1.p_size))""".stripMargin,
-    "q_hll_sliding" -> hllSlidingSql(3),
-    "q_hll_distinct" ->
-      """WITH r AS (SELECT event_type,
-        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
-        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
-        |  FROM events),
-        |s1 AS (SELECT event_type, bucket, v | (v >> 1) AS x FROM r),
-        |s2 AS (SELECT event_type, bucket, x | (x >> 2) AS x FROM s1),
-        |s3 AS (SELECT event_type, bucket, x | (x >> 4) AS x FROM s2),
-        |s4 AS (SELECT event_type, bucket, x | (x >> 8) AS x FROM s3),
-        |s5 AS (SELECT event_type, bucket, x | (x >> 16) AS x FROM s4),
-        |s6 AS (SELECT event_type, bucket, x | (x >> 32) AS x FROM s5),
-        |b AS (SELECT event_type, bucket,
-        |    max(61 - bit_count(x)) AS mj
-        |  FROM s6 GROUP BY 1, 2),
-        |z AS (SELECT event_type,
-        |    sum((1::BIGINT << (61 - mj))::HUGEINT)
-        |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
-        |    256 - count(*) AS v0
-        |  FROM b GROUP BY 1),
-        |e AS (SELECT event_type,
-        |    CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
-        |      * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
-        |      / CAST(zs AS DOUBLE) AS est_raw,
-        |    v0 FROM z),
-        |x AS (SELECT event_type,
-        |    round(CASE WHEN est_raw <= 640.0 AND v0 > 0
-        |          THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
-        |          ELSE est_raw END, 2) AS hll_est
-        |  FROM e),
-        |d AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-        |  FROM events GROUP BY 1)
-        |SELECT event_type, n_exact, hll_est FROM d JOIN x USING (event_type)""".stripMargin,
-    // sparse-register replay of the blob algebra: same registers, same
-    // estimate formula per scope (type, and pair-union), inclusion-
-    // exclusion assembled in the same operation order
-    "q_audience_overlap" ->
-      """WITH r AS (SELECT event_type,
-        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 2))::UBIGINT AS INT) AS bucket,
-        |    CAST(('0x' || substring(md5('hll:' || CAST(user_id AS VARCHAR)), 3, 15))::UBIGINT AS BIGINT) AS v
-        |  FROM events),
-        |s1 AS (SELECT event_type, bucket, v | (v >> 1) AS x FROM r),
-        |s2 AS (SELECT event_type, bucket, x | (x >> 2) AS x FROM s1),
-        |s3 AS (SELECT event_type, bucket, x | (x >> 4) AS x FROM s2),
-        |s4 AS (SELECT event_type, bucket, x | (x >> 8) AS x FROM s3),
-        |s5 AS (SELECT event_type, bucket, x | (x >> 16) AS x FROM s4),
-        |s6 AS (SELECT event_type, bucket, x | (x >> 32) AS x FROM s5),
-        |b AS (SELECT event_type, bucket, max(61 - bit_count(x)) AS mj
-        |  FROM s6 GROUP BY 1, 2),
-        |tp AS (SELECT DISTINCT a.event_type AS type_a, c.event_type AS type_b
-        |  FROM b a JOIN b c ON a.event_type < c.event_type),
-        |ub AS (SELECT tp.type_a, tp.type_b, b.bucket, max(b.mj) AS mj
-        |  FROM tp JOIN b ON b.event_type = tp.type_a OR b.event_type = tp.type_b
-        |  GROUP BY 1, 2, 3),
-        |z1 AS (SELECT event_type,
-        |    sum((1::BIGINT << (61 - mj))::HUGEINT)
-        |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
-        |    256 - count(*) AS v0
-        |  FROM b GROUP BY 1),
-        |e1 AS (SELECT event_type,
-        |    CASE WHEN est_raw <= 640.0 AND v0 > 0
-        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
-        |      ELSE est_raw END AS est
-        |  FROM (SELECT event_type,
-        |      CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
-        |        * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
-        |        / CAST(zs AS DOUBLE) AS est_raw, v0
-        |    FROM z1)),
-        |zu AS (SELECT type_a, type_b,
-        |    sum((1::BIGINT << (61 - mj))::HUGEINT)
-        |      + (256 - count(*))::HUGEINT * 2305843009213693952::HUGEINT AS zs,
-        |    256 - count(*) AS v0
-        |  FROM ub GROUP BY 1, 2),
-        |eu AS (SELECT type_a, type_b,
-        |    CASE WHEN est_raw <= 640.0 AND v0 > 0
-        |      THEN CAST(256.0 AS DOUBLE) * ln(CAST(256.0 AS DOUBLE) / v0)
-        |      ELSE est_raw END AS est
-        |  FROM (SELECT type_a, type_b,
-        |      CAST(0.7213 AS DOUBLE)/(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE)/CAST(256.0 AS DOUBLE))
-        |        * CAST(65536.0 AS DOUBLE) * CAST(2305843009213693952.0 AS DOUBLE)
-        |        / CAST(zs AS DOUBLE) AS est_raw, v0
-        |    FROM zu)),
-        |du AS (SELECT DISTINCT event_type, user_id FROM events),
-        |exact AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
-        |    count(*) AS n_both
-        |  FROM du a JOIN du c
-        |    ON a.user_id = c.user_id AND a.event_type < c.event_type
-        |  GROUP BY 1, 2)
-        |SELECT type_a, type_b,
-        |  CAST(COALESCE(exact.n_both, 0) AS BIGINT) AS n_both,
-        |  round(eu.est, 2) AS union_est,
-        |  round(ea.est + eb.est - eu.est, 2) AS inter_est
-        |FROM eu
-        |LEFT JOIN exact USING (type_a, type_b)
-        |JOIN e1 ea ON ea.event_type = type_a
-        |JOIN e1 eb ON eb.event_type = type_b""".stripMargin,
-    "q_kmv_quantiles" ->
-      """WITH ev AS (SELECT event_type, event_id,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-        |    md5('kmv:' || CAST(event_id AS VARCHAR)) AS hk
-        |  FROM events),
-        |samp AS (SELECT event_type, event_id, cents FROM (
-        |    SELECT event_type, event_id, cents,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY hk, event_id) AS hr
-        |    FROM ev)
-        |  WHERE hr <= 256),
-        |ex AS (SELECT event_type,
-        |    CAST(min(CASE WHEN r * 2 >= n THEN cents END) AS BIGINT) AS p50_cents,
-        |    CAST(min(CASE WHEN r * 20 >= n * 19 THEN cents END) AS BIGINT) AS p95_cents,
-        |    count(*) AS n
-        |  FROM (SELECT event_type, cents,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
-        |      count(*) OVER (PARTITION BY event_type) AS n
-        |    FROM ev)
-        |  GROUP BY 1),
-        |es AS (SELECT event_type,
-        |    CAST(min(CASE WHEN r * 2 >= n THEN cents END) AS BIGINT) AS p50_est,
-        |    CAST(min(CASE WHEN r * 20 >= n * 19 THEN cents END) AS BIGINT) AS p95_est,
-        |    count(*) AS n_sample
-        |  FROM (SELECT event_type, cents,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS r,
-        |      count(*) OVER (PARTITION BY event_type) AS n
-        |    FROM samp)
-        |  GROUP BY 1)
-        |SELECT event_type, n, n_sample,
-        |  p50_cents, p50_est, p95_cents, p95_est
-        |FROM ex JOIN es USING (event_type)""".stripMargin,
-    "q_heavy_hitters" ->
-      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tc AS (SELECT tok, count(*) AS n_exact FROM toks GROUP BY 1),
-        |bk AS (SELECT tok, n_exact,
-        |    ('0x' || substring(md5('cm0:' || tok), 1, 5))::UBIGINT % 1024 AS b0,
-        |    ('0x' || substring(md5('cm1:' || tok), 1, 5))::UBIGINT % 1024 AS b1,
-        |    ('0x' || substring(md5('cm2:' || tok), 1, 5))::UBIGINT % 1024 AS b2,
-        |    ('0x' || substring(md5('cm3:' || tok), 1, 5))::UBIGINT % 1024 AS b3
-        |  FROM tc),
-        |st AS (SELECT n_exact, 0 AS i, b0 AS bucket FROM bk
-        |  UNION ALL SELECT n_exact, 1, b1 FROM bk
-        |  UNION ALL SELECT n_exact, 2, b2 FROM bk
-        |  UNION ALL SELECT n_exact, 3, b3 FROM bk),
-        |counters AS (SELECT i, bucket, CAST(sum(n_exact) AS BIGINT) AS cnt
-        |  FROM st GROUP BY 1, 2),
-        |top AS (SELECT * FROM bk ORDER BY n_exact DESC, tok LIMIT 20),
-        |probe AS (SELECT tok, n_exact, 0 AS i, b0 AS bucket FROM top
-        |  UNION ALL SELECT tok, n_exact, 1, b1 FROM top
-        |  UNION ALL SELECT tok, n_exact, 2, b2 FROM top
-        |  UNION ALL SELECT tok, n_exact, 3, b3 FROM top)
-        |SELECT tok, n_exact, min(cnt) AS n_cms
-        |FROM probe JOIN counters USING (i, bucket)
-        |GROUP BY 1, 2""".stripMargin,
-    "q13_cust_distribution" ->
-      """SELECT c_count, count(*) AS custdist
-        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
-        |      FROM customer LEFT JOIN orders
-        |        ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
-        |      GROUP BY 1)
-        |GROUP BY 1""".stripMargin,
-    "q_part_brand_stats" ->
-      """SELECT p_brand, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty,
-        |  round(avg(l_extendedprice), 2) AS avg_price
-        |FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""".stripMargin,
-    "q_customer_order_stats" ->
-      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
-        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY 1, 2""".stripMargin,
-    "q_semi_join" ->
-      """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
-    "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-    "q_window_topk" ->
-      """SELECT * FROM (
-        |  SELECT c_custkey, c_mktsegment, total_spent,
-        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk
-        |  FROM (SELECT c_custkey, c_mktsegment, round(sum(o_totalprice), 2) AS total_spent
-        |        FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2))
-        |WHERE rnk <= 5""".stripMargin,
-    // same relation as q_window_topk, computed by the native heap operator
-    "q_topk_native" ->
-      """SELECT * FROM (
-        |  SELECT c_custkey, c_mktsegment, total_spent,
-        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY total_spent DESC, c_custkey) AS BIGINT) AS rnk
-        |  FROM (SELECT c_custkey, c_mktsegment, round(sum(o_totalprice), 2) AS total_spent
-        |        FROM customer JOIN orders ON c_custkey = o_custkey GROUP BY 1, 2))
-        |WHERE rnk <= 5""".stripMargin,
-    "q_rank_ties" ->
-      """SELECT * FROM (
-        |  SELECT p_partkey, p_brand, p_size,
-        |    CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS BIGINT) AS rnk
-        |  FROM part)
-        |WHERE rnk <= 3""".stripMargin,
-    "q_dense_rank_groups" ->
-      """SELECT * FROM (
-        |  SELECT p_partkey, p_brand, p_size,
-        |    CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size ASC) AS BIGINT) AS rnk
-        |  FROM part)
-        |WHERE rnk <= 2""".stripMargin,
-    "q_window_running" ->
-      """SELECT o_orderpriority, month, revenue,
-        |  round(sum(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month), 2) AS cum_revenue
-        |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
-        |        round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1, 2)""".stripMargin,
-    "q_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_price
-        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
-    "q_grouping_sets" ->
-      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_orders
-        |FROM customer JOIN orders ON c_custkey = o_custkey
-        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())""".stripMargin,
-    "q_pivot" ->
-      """SELECT o_orderstatus,
-        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS "1-URGENT",
-        |  count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS "2-HIGH",
-        |  count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
-        |  count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
-        |  count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS "5-LOW"
-        |FROM orders GROUP BY 1""".stripMargin,
-    "q_stats_agg" ->
-      """SELECT l_returnflag,
-        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
-        |  round(var_samp(l_quantity), 4) AS var_qty,
-        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
-    "q_date_arith" ->
-      """SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
-        |  count(*) AS n_orders,
-        |  CAST(min(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS min_days_since_epoch,
-        |  CAST(max(date_diff('day', DATE '1995-01-01', o_orderdate)) AS INT) AS max_days_since_epoch
-        |FROM orders GROUP BY 1, 2""".stripMargin,
-    "q_string_ops" ->
-      """SELECT p_partkey,
-        |  upper(p_name) AS name_upper,
-        |  CAST(length(p_name) AS BIGINT) AS name_len,
-        |  replace(p_name, ' ', '_') AS name_snake,
-        |  lpad(CAST(p_size AS VARCHAR), 5, '0') AS size_padded,
-        |  substring(p_type, 1, 3) AS type_prefix
-        |FROM part""".stripMargin,
-    "q_scalar_subquery" ->
-      """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer)""".stripMargin,
-    // the salt must be invisible: plain join is the oracle
-    "q_salted_join" ->
-      """SELECT o_orderpriority, count(*) AS n_items,
-        |  round(sum(l_quantity), 2) AS total_qty,
-        |  round(sum(l_extendedprice), 2) AS total_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin,
-    "q_cube" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_price
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
-    "q_full_outer" ->
-      """WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
-        |           FROM customer GROUP BY 1),
-        |s AS (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers
-        |      FROM supplier GROUP BY 1)
-        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
-        |  coalesce(n_customers, 0) AS n_customers,
-        |  coalesce(n_suppliers, 0) AS n_suppliers
-        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey""".stripMargin,
-    "q_union" ->
-      """SELECT c_nationkey AS nationkey FROM customer
-        |UNION SELECT s_nationkey FROM supplier""".stripMargin,
-    "q_window_moving" ->
-      """SELECT o_orderpriority, month, revenue,
-        |  round(avg(revenue) OVER (PARTITION BY o_orderpriority ORDER BY month
-        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg_3mo
-        |FROM (SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
-        |        round(sum(o_totalprice), 2) AS revenue
-        |      FROM orders GROUP BY 1, 2)""".stripMargin,
-    "q_histogram" ->
-      """SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, count(*) AS n,
-        |  round(min(value), 2) AS lo, round(max(value), 2) AS hi
-        |FROM events GROUP BY 1""".stripMargin,
-    "q_intersect" ->
-      """SELECT c_nationkey AS nationkey FROM customer
-        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
-    "q_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
-        |EXCEPT SELECT s_nationkey FROM supplier""".stripMargin,
-    "q_distinct" ->
-      """SELECT DISTINCT c_mktsegment, o_orderpriority
-        |FROM customer JOIN orders ON c_custkey = o_custkey""".stripMargin,
-    "q_events_hourly" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_window_tumbling" ->
-      """WITH e AS (SELECT event_type, (epoch_us(ts) // 900000000) * 900000000 AS start_us FROM events)
-        |SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
-        |  strftime(make_timestamp(start_us + 900000000), '%Y-%m-%d %H:%M:%S') AS win_end,
-        |  event_type, count(*) AS n_events
-        |FROM e GROUP BY 1, 2, 3""".stripMargin,
-    // integer-µs replay of the watermarked interval join: equi keys,
-    // ack ∈ [send, send+4s] horizon, every-11th message never acked
-    "q_ack_rtt" ->
-      """WITH log AS (
-        |  SELECT event_id, user_id AS connid,
-        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seqnum,
-        |    epoch_us(ts) AS us
-        |  FROM events),
-        |sends AS (SELECT connid, seqnum, us AS send_us FROM log),
-        |acks AS (SELECT connid, seqnum, us + (event_id % 5 + 1) * 1000000 AS ack_us
-        |         FROM log WHERE event_id % 11 <> 0)
-        |SELECT s.connid, s.seqnum,
-        |  CAST((a.ack_us // 1000) - (s.send_us // 1000) AS BIGINT) AS rtt_ms
-        |FROM sends s JOIN acks a
-        |  ON s.connid = a.connid AND s.seqnum = a.seqnum
-        | AND a.ack_us >= s.send_us AND a.ack_us <= s.send_us + 4000000""".stripMargin,
-    "q_window_sliding" ->
-      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
-        |w AS (SELECT event_type,
-        |        (us // 900000000) * 900000000 - k.k * 900000000 AS start_us
-        |      FROM e CROSS JOIN (VALUES (0), (1)) k(k))
-        |SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
-        |  strftime(make_timestamp(start_us + 1800000000), '%Y-%m-%d %H:%M:%S') AS win_end,
-        |  event_type, count(*) AS n_events
-        |FROM w GROUP BY 1, 2, 3""".stripMargin,
-    "q_events_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
-        |f AS (SELECT user_id, event_id, ts_us,
-        |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us FROM e),
-        |g AS (SELECT user_id, event_id, ts_us,
-        |        CASE WHEN prev_us IS NULL THEN 1
-        |             WHEN ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session FROM f),
-        |h AS (SELECT user_id, event_id,
-        |        CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS session_id FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |  min(event_id) AS first_event, max(event_id) AS last_event
-        |FROM h GROUP BY 1, 2""".stripMargin,
-    "q_session_window" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
-        |f AS (SELECT user_id, ts_us,
-        |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us FROM e),
-        |g AS (SELECT user_id, ts_us,
-        |        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-        |             THEN 1 ELSE 0 END AS ns FROM f),
-        |h AS (SELECT user_id, ts_us,
-        |        CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us) AS BIGINT) AS sid FROM g)
-        |SELECT user_id, min(ts_us) AS sess_start_us,
-        |  max(ts_us) + 1800000000 AS sess_end_us, count(*) AS n_events
-        |FROM h GROUP BY user_id, sid""".stripMargin,
-    "q_events_json" ->
-      """SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k,
-        |  min(k) AS min_k, max(k) AS max_k
-        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |GROUP BY 1""".stripMargin,
-    "q_events_dedup" ->
-      """SELECT user_id, event_type, min(event_id) AS keep_event,
-        |  count(*) AS n_duplicates
-        |FROM events GROUP BY 1, 2""".stripMargin,
-    // oracle uses DuckDB's NATIVE ASOF JOIN — a fully independent
-    // implementation of the same semantics as the union+running-last plan
-    "q_asof_join" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
-        |SELECT p.event_id, p.user_id, c.event_id AS click_event_id,
-        |  p.ts_us - c.ts_us AS us_since_click
-        |FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin,
-    "q_session_paths" ->
-      """WITH e AS (SELECT user_id, event_id, event_type,
-        |        epoch_us(ts) AS ts_us FROM events),
-        |f AS (SELECT user_id, event_id, event_type, ts_us,
-        |        lag(ts_us) OVER (PARTITION BY user_id
-        |          ORDER BY ts_us, event_id) AS prev_us FROM e),
-        |g AS (SELECT user_id, event_id, event_type, ts_us,
-        |        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
-        |          THEN 1 ELSE 0 END AS ns FROM f),
-        |h AS (SELECT user_id, event_id, event_type, ts_us,
-        |        sum(ns) OVER (PARTITION BY user_id
-        |          ORDER BY ts_us, event_id) AS sid FROM g),
-        |r AS (SELECT user_id, sid, event_type,
-        |        row_number() OVER (PARTITION BY user_id, sid
-        |          ORDER BY ts_us, event_id) AS rn FROM h),
-        |p AS (SELECT user_id, sid,
-        |        max(CASE WHEN rn = 1 THEN event_type END) AS t1,
-        |        max(CASE WHEN rn = 2 THEN event_type END) AS t2,
-        |        max(CASE WHEN rn = 3 THEN event_type END) AS t3
-        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
-        |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n_sessions
-        |FROM p WHERE t3 IS NOT NULL GROUP BY 1""".stripMargin,
-    // the incremental fold must equal the one-shot aggregate — the
-    // oracle IS the full recompute
-    "q_incr_agg" ->
-      """SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS sum_cents
-        |FROM events GROUP BY 1""".stripMargin,
-    // independent formulation: delta by SUBTRACTION (full − base) —
-    // hash-matches the engine's three-leg union only if the IVM algebra
-    // neither drops nor double-counts a join pair
-    "q_ivm_join" ->
-      """WITH o AS (SELECT o_custkey, o_orderdate,
-        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |cut AS (SELECT max(o_orderdate) - INTERVAL 180 DAY AS cut FROM o),
-        |full_v AS (SELECT c_mktsegment, count(*) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS rev
-        |  FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1),
-        |base_v AS (SELECT c_mktsegment, count(*) AS n,
-        |    CAST(sum(cents) AS BIGINT) AS rev
-        |  FROM o CROSS JOIN cut
-        |  JOIN customer ON o_custkey = c_custkey
-        |  WHERE o_orderdate < cut AND c_custkey % 20 <> 0 GROUP BY 1)
-        |SELECT f.c_mktsegment, coalesce(b.n, 0) AS n_base,
-        |  coalesce(b.rev, 0) AS rev_base_cents,
-        |  f.n - coalesce(b.n, 0) AS n_delta,
-        |  f.rev - coalesce(b.rev, 0) AS rev_delta_cents,
-        |  f.n AS n_view, f.rev AS rev_view_cents
-        |FROM full_v f LEFT JOIN base_v b USING (c_mktsegment)""".stripMargin,
-    // chi2 = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)): exact HUGEINT operands,
-    // one IEEE division (the q_embedding_cov discipline)
-    "q_ab_test" ->
-      """WITH u AS (SELECT user_id,
-        |        max(CASE WHEN event_type = 'purchase' AND value > 120.0
-        |          THEN 1 ELSE 0 END) AS conv
-        |      FROM events GROUP BY 1),
-        |v AS (SELECT user_id % 2 AS variant, conv FROM u),
-        |cell AS (SELECT
-        |    CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS a,
-        |    CAST(sum(CASE WHEN variant = 0 THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
-        |    CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c,
-        |    CAST(sum(CASE WHEN variant = 1 THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
-        |  FROM v)
-        |SELECT a, b, c, d,
-        |  CASE WHEN CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) = 0
-        |    THEN 0.0
-        |  ELSE
-        |    CAST(CAST(a + b + c + d AS HUGEINT)
-        |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
-        |        * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS DOUBLE)
-        |    / CAST(CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d) AS DOUBLE)
-        |  END AS chi2
-        |FROM cell""".stripMargin,
-    // per-bucket PSI terms only — no cross-row IEEE sum; shares are
-    // add-one-smoothed integer ppm, deciles fit on the early half
-    "q_drift_psi" -> {
-      val bs = (1 to 9).map(k =>
-        s"min(CASE WHEN cumn >= (n - 1) * ${k * 10} // 100 + 1 THEN value END) AS b$k")
-        .mkString(",\n    ")
-      val bin = (1 to 9)
-        .map(k => s"CASE WHEN value >= b$k THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH ev AS (SELECT (epoch_us(ts) // 3600000000) AS hr,
-         |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value FROM events),
-         |n AS (SELECT count(*) AS n FROM ev),
-         |freq AS (SELECT hr, count(*) AS c FROM ev GROUP BY 1),
-         |cum AS (SELECT hr, sum(c) OVER (ORDER BY hr
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
-         |        FROM freq),
-         |cutoff AS (SELECT min(CASE WHEN cumn >= (n - 1) * 50 // 100 + 1
-         |             THEN hr END) AS cut_hr
-         |           FROM cum CROSS JOIN n),
-         |tagged AS MATERIALIZED (SELECT value,
-         |             CASE WHEN hr <= cut_hr THEN 'early' ELSE 'late' END AS half
-         |           FROM ev CROSS JOIN cutoff),
-         |efreq AS (SELECT value, count(*) AS c FROM tagged
-         |          WHERE half = 'early' GROUP BY 1),
-         |ecum AS (SELECT value, sum(c) OVER (ORDER BY value
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
-         |         FROM efreq),
-         |en AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM efreq),
-         |bounds AS (SELECT
-         |    $bs
-         |  FROM ecum CROSS JOIN en),
-         |counts AS (SELECT bucket,
-         |    CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS ne,
-         |    CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS nl
-         |  FROM (SELECT half, CAST($bin AS BIGINT) AS bucket
-         |        FROM tagged CROSS JOIN bounds)
-         |  GROUP BY 1),
-         |tot AS (SELECT CAST(sum(ne) AS BIGINT) AS te,
-         |          CAST(sum(nl) AS BIGINT) AS tl FROM counts),
-         |shares AS (SELECT bucket, ne, nl,
-         |    CAST((ne + 1) * 1000000 // (te + 10) AS BIGINT) AS p_ppm,
-         |    CAST((nl + 1) * 1000000 // (tl + 10) AS BIGINT) AS q_ppm
-         |  FROM counts CROSS JOIN tot)
-         |SELECT bucket, ne, nl, p_ppm, q_ppm,
-         |  round(CAST(p_ppm - q_ppm AS DOUBLE) / 1e6
-         |    * ln(CAST(p_ppm AS DOUBLE) / q_ppm), 6) AS psi_term
-         |FROM shares""".stripMargin
-    },
-    "q_event_transitions" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type,
-        |        epoch_us(ts) AS ts_us FROM events),
-        |t AS (SELECT user_id, event_type,
-        |        lag(event_type) OVER (PARTITION BY user_id
-        |          ORDER BY ts_us, event_id) AS prev_type
-        |      FROM ev),
-        |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
-        |       FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2),
-        |o AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
-        |      FROM tr GROUP BY 1)
-        |SELECT tr.prev_type, tr.next_type, tr.n,
-        |  CAST(tr.n * 1000000 // o.out_n AS BIGINT) AS p_ppm
-        |FROM tr JOIN o ON tr.prev_type = o.prev_type""".stripMargin,
-    // |x−μ|>3σ cross-multiplied to integers: (n·c−S)² > 9·(n·SS−S²)
-    "q_rolling_outliers" ->
-      """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
-        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |w AS (SELECT event_type, event_id, cents,
-        |        CAST(count(*) OVER win AS BIGINT) AS win_n,
-        |        CAST(sum(cents) OVER win AS BIGINT) AS win_sum,
-        |        CAST(sum(cents * cents) OVER win AS BIGINT) AS win_sumsq
-        |      FROM ev WINDOW win AS (PARTITION BY event_type
-        |        ORDER BY ts_us, event_id
-        |        ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
-        |SELECT event_type, event_id, cents, win_n, win_sum, win_sumsq
-        |FROM w WHERE win_n >= 20
-        |  AND (win_n * cents - win_sum) * (win_n * cents - win_sum)
-        |      > 9 * (win_n * win_sumsq - win_sum * win_sum)""".stripMargin,
-    // list_reduce seeds with the first element and folds left — exactly
-    // ewma₀ = c₀ then (7·acc + c) // 8; all cents positive, so floor
-    // and truncating integer division agree across engines
-    "q_ewma" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-        |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |s AS (SELECT user_id, count(*) AS n_events,
-        |        list(cents ORDER BY ts_us, event_id) AS l
-        |      FROM ev GROUP BY 1)
-        |SELECT user_id, n_events,
-        |  CAST(list_reduce(l, (acc, x) -> (acc * 7 + x) // 8) AS BIGINT)
-        |    AS ewma_cents
-        |FROM s""".stripMargin,
-    "q_dyadic_quantiles" -> dyadicQuantilesSql(24, 3, 512),
-    "q_f2_moment" -> {
-      val rows = (0 until 5).map { i =>
-        s"""SELECT cnt,
-           |  ('0x' || substring(md5('f2b$i:' || CAST(l_partkey AS VARCHAR)), 1, 5))::UBIGINT % 1024 AS bucket,
-           |  $i AS i,
-           |  CASE WHEN ('0x' || substring(md5('f2s$i:' || CAST(l_partkey AS VARCHAR)), 1, 1))::UBIGINT % 2 = 0
-           |    THEN cnt ELSE -cnt END AS sc
-           |FROM cnt""".stripMargin
-      }.mkString("\nUNION ALL ")
-      s"""WITH cnt AS (SELECT l_partkey, count(*) AS cnt
-         |  FROM lineitem GROUP BY 1),
-         |st AS ($rows),
-         |rows_ AS (SELECT i, sum(c * c) AS f2_row FROM (
-         |    SELECT i, bucket, sum(sc)::HUGEINT AS c FROM st GROUP BY 1, 2)
-         |  GROUP BY 1),
-         |est AS (SELECT (list(f2_row ORDER BY f2_row))[3] AS est FROM rows_),
-         |ex AS (SELECT sum(cnt::HUGEINT * cnt) AS exact_f2, count(*) AS n_keys
-         |  FROM cnt)
-         |SELECT n_keys, CAST(exact_f2 AS BIGINT) AS exact_f2,
-         |  CAST(est AS BIGINT) AS est_f2
-         |FROM ex CROSS JOIN est""".stripMargin
-    },
-    "q_fk_check" -> fkCheckSql,
-    "q_schema_profile" -> schemaProfileSql,
-    "q_benford" ->
-      """WITH d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit
-        |  FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |        FROM orders)
-        |  WHERE cents > 0),
-        |g AS (SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
-        |t AS (SELECT sum(n_obs) AS n FROM g)
-        |SELECT CAST(digit AS BIGINT) AS digit, n_obs,
-        |  round(CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit), 4) AS n_expected,
-        |  round(pow(CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit), 2)
-        |    / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
-        |FROM g CROSS JOIN t""".stripMargin,
-    "q_gini" ->
-      """WITH freq AS (SELECT lang, tok, count(*) AS f FROM (
-        |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT lang, f,
-        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY f, tok) AS BIGINT) AS i
-        |  FROM freq),
-        |agg AS (SELECT lang, count(*) AS n_types,
-        |    CAST(sum(f) AS BIGINT) AS n_tokens,
-        |    sum(i::HUGEINT * f) AS s_if
-        |  FROM rk GROUP BY 1)
-        |SELECT lang, n_types, n_tokens,
-        |  CAST((2::HUGEINT * s_if - (n_types + 1)::HUGEINT * n_tokens) * 1000000
-        |    // (n_types::HUGEINT * n_tokens) AS BIGINT) AS gini_ppm
-        |FROM agg""".stripMargin,
-    "q_mann_whitney" ->
-      """WITH h AS (SELECT event_type,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |sz AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
-        |pr AS (SELECT a.event_type AS ta, a.n AS n1, b.event_type AS tb, b.n AS n2
-        |  FROM sz a JOIN sz b ON a.event_type < b.event_type),
-        |m AS (SELECT pr.ta, pr.tb, pr.n1, pr.n2, h.cents,
-        |    CAST(sum(CASE WHEN h.event_type = pr.ta THEN h.cnt ELSE 0 END) AS BIGINT) AS ca,
-        |    CAST(sum(CASE WHEN h.event_type = pr.tb THEN h.cnt ELSE 0 END) AS BIGINT) AS cb
-        |  FROM pr JOIN h ON h.event_type = pr.ta OR h.event_type = pr.tb
-        |  GROUP BY 1, 2, 3, 4, 5),
-        |c AS (SELECT ta, tb, n1, n2, ca, cb,
-        |    COALESCE(sum(cb) OVER (PARTITION BY ta, tb ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb_below
-        |  FROM m)
-        |SELECT ta, tb, n1, n2,
-        |  CAST(sum(2 * ca * cumb_below + ca * cb) AS BIGINT) AS u1_x2,
-        |  CAST((sum(2 * ca * cumb_below + ca * cb) * 500000) // (n1 * n2) AS BIGINT)
-        |    AS cles_ppm
-        |FROM c GROUP BY 1, 2, 3, 4""".stripMargin,
-    "q_welch_ttest" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS y
-        |  FROM events GROUP BY 1, 2),
-        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
-        |  FROM daily GROUP BY 1),
-        |v AS (SELECT event_type, n, s, n::HUGEINT * ss - s::HUGEINT * s AS v FROM m),
-        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb,
-        |    a.n AS n1, b.n AS n2,
-        |    a.s::HUGEINT * b.n - b.s::HUGEINT * a.n AS md_num,
-        |    a.v * b.n::HUGEINT * b.n * (b.n - 1) AS a1,
-        |    b.v * a.n::HUGEINT * a.n * (a.n - 1) AS a2
-        |  FROM v a JOIN v b ON a.event_type < b.event_type)
-        |SELECT ta, tb, n1, n2,
-        |  CAST(md_num * md_num * (n1 - 1) * (n2 - 1) * 1000000
-        |    // (a1 + a2) AS BIGINT) AS t2_ppm,
-        |  CAST((a1 + a2) * (a1 + a2) * (n1 - 1) * (n2 - 1) * 10
-        |    // (a1 * a1 * (n2 - 1) + a2 * a2 * (n1 - 1)) AS BIGINT) AS nu_deci
-        |FROM pr""".stripMargin,
-    "q_anova" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS y
-        |  FROM events GROUP BY 1, 2),
-        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS ss
-        |  FROM daily GROUP BY 1),
-        |-- product() returns DOUBLE, exact below 2^53 (sizes are ~30 each)
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS nn,
-        |    CAST(sum(s) AS BIGINT) AS t, CAST(sum(ss) AS BIGINT) AS sstot,
-        |    CAST(product(n) AS HUGEINT) AS p
-        |  FROM g),
-        |terms AS (SELECT t2.k, t2.nn, t2.t, t2.sstot, t2.p,
-        |    sum(g.s::HUGEINT * g.s * (t2.p // g.n)) AS sum_s2pn
-        |  FROM g CROSS JOIN tot t2 GROUP BY 1, 2, 3, 4, 5),
-        |np AS (SELECT k, nn,
-        |    nn::HUGEINT * sum_s2pn - t::HUGEINT * t * p AS ssb_np,
-        |    (nn::HUGEINT * sstot - t::HUGEINT * t) * p AS sst_np
-        |  FROM terms)
-        |SELECT k, nn AS n_days,
-        |  CAST(ssb_np * 1000000 // sst_np AS BIGINT) AS eta2_ppm,
-        |  CAST(ssb_np * (nn - k) * 1000000
-        |    // ((sst_np - ssb_np) * (k - 1)) AS BIGINT) AS f_ppm
-        |FROM np""".stripMargin,
-    "q_acf" ->
-      """WITH h AS (SELECT event_type,
-        |    epoch_us(ts) // 3600000000 AS hour FROM events),
-        |c AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS y
-        |  FROM h GROUP BY 1, 2),
-        |b AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM h),
-        |sp AS (SELECT t.event_type, gs.hour
-        |  FROM (SELECT DISTINCT event_type FROM c) t
-        |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS hour
-        |    FROM b) gs),
-        |se AS (SELECT sp.event_type, sp.hour, coalesce(c.y, 0) AS y
-        |  FROM sp LEFT JOIN c
-        |    ON sp.event_type = c.event_type AND sp.hour = c.hour),
-        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(y) AS BIGINT) AS s FROM se GROUP BY 1),
-        |d AS (SELECT se.event_type, se.hour, st.n, st.s,
-        |    st.n::HUGEINT * se.y - st.s AS dev,
-        |    lag(se.y, 1) OVER w AS l1, lag(se.y, 2) OVER w AS l2,
-        |    lag(se.y, 3) OVER w AS l3, lag(se.y, 4) OVER w AS l4,
-        |    lag(se.y, 5) OVER w AS l5, lag(se.y, 6) OVER w AS l6
-        |  FROM se JOIN st USING (event_type)
-        |  WINDOW w AS (PARTITION BY se.event_type ORDER BY se.hour)),
-        |sm AS (SELECT event_type, max(n) AS n, sum(dev * dev) AS den,
-        |    sum(CASE WHEN l1 IS NOT NULL
-        |      THEN dev * (n::HUGEINT * l1 - s) END) AS num1,
-        |    sum(CASE WHEN l2 IS NOT NULL
-        |      THEN dev * (n::HUGEINT * l2 - s) END) AS num2,
-        |    sum(CASE WHEN l3 IS NOT NULL
-        |      THEN dev * (n::HUGEINT * l3 - s) END) AS num3,
-        |    sum(CASE WHEN l4 IS NOT NULL
-        |      THEN dev * (n::HUGEINT * l4 - s) END) AS num4,
-        |    sum(CASE WHEN l5 IS NOT NULL
-        |      THEN dev * (n::HUGEINT * l5 - s) END) AS num5,
-        |    sum(CASE WHEN l6 IS NOT NULL
-        |      THEN dev * (n::HUGEINT * l6 - s) END) AS num6
-        |  FROM d GROUP BY 1),
-        |u AS (SELECT event_type, n, den, k.lag_k,
-        |    CASE k.lag_k WHEN 1 THEN num1 WHEN 2 THEN num2 WHEN 3 THEN num3
-        |      WHEN 4 THEN num4 WHEN 5 THEN num5 ELSE num6 END AS num
-        |  FROM sm CROSS JOIN
-        |    (VALUES (1), (2), (3), (4), (5), (6)) k(lag_k))
-        |SELECT event_type, CAST(lag_k AS BIGINT) AS lag_k, n AS n_hours,
-        |  CAST(CASE WHEN den = 0 THEN 0 ELSE
-        |    (CASE WHEN num < 0 THEN -1 ELSE 1 END)
-        |    * ((1000000 * abs(num)) // den) END AS BIGINT) AS acf_ppm
-        |FROM u""".stripMargin,
-    "q_wilson_ctr" ->
-      """WITH cells AS (SELECT
-        |    (epoch_us(ts) // 3600000000) % 24 AS hour_of_day,
-        |    CAST(count(*) AS BIGINT) AS t,
-        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS s
-        |  FROM events WHERE event_type IN ('view', 'purchase')
-        |  GROUP BY 1),
-        |w1 AS (SELECT *, 38416::HUGEINT
-        |    * (10000::HUGEINT * s * (t - s) + 9604::HUGEINT * t) * t AS x
-        |  FROM cells),
-        |w2 AS (SELECT *, greatest(1::HUGEINT,
-        |    CAST(sqrt(CAST(x AS DOUBLE)) AS HUGEINT) + 2) AS r0 FROM w1),
-        |w3 AS (SELECT *, (r0 + x // r0) // 2 AS r1 FROM w2),
-        |w4 AS (SELECT *, (r1 + x // r1) // 2 AS r2 FROM w3),
-        |w5 AS (SELECT *, CASE WHEN r2 * r2 > x THEN r2 - 1 ELSE r2 END
-        |  AS r3 FROM w4),
-        |w6 AS (SELECT *, CASE WHEN (r3 + 1) * (r3 + 1) <= x THEN r3 + 1
-        |  ELSE r3 END AS isq FROM w5),
-        |o AS (SELECT hour_of_day, t, s,
-        |    CAST((1000000::HUGEINT * s) // t AS BIGINT) AS rate_ppm,
-        |    CAST((1000000::HUGEINT
-        |        * (t::HUGEINT * (10000 * s + 19208) - isq))
-        |      // (t::HUGEINT * (10000 * t + 38416)) AS BIGINT)
-        |      AS wilson_lb_ppm
-        |  FROM w6)
-        |SELECT *, CAST(row_number()
-        |    OVER (ORDER BY wilson_lb_ppm DESC, hour_of_day) AS BIGINT)
-        |  AS rank_lb
-        |FROM o""".stripMargin,
-    "q_bootstrap_ci" ->
-      """WITH ev AS (SELECT event_type, event_id,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |reps AS (SELECT event_type, event_id, cents,
-        |    unnest(generate_series(0, 31)) AS rep FROM ev),
-        |mm0 AS (SELECT event_type, rep, cents,
-        |    ('0x' || substring(md5('boot:' || CAST(rep AS VARCHAR) || ':'
-        |      || CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT AS u32
-        |  FROM reps),
-        |mm AS (SELECT event_type, rep, cents,
-        |    CASE WHEN u32 < 1580030168 THEN 0 WHEN u32 < 3160060337 THEN 1
-        |      WHEN u32 < 3950075421 THEN 2 WHEN u32 < 4213413783 THEN 3
-        |      WHEN u32 < 4279248373 THEN 4 WHEN u32 < 4292415291 THEN 5
-        |      WHEN u32 < 4294609777 THEN 6 WHEN u32 < 4294923276 THEN 7
-        |      WHEN u32 < 4294962463 THEN 8 ELSE 9 END AS m
-        |  FROM mm0),
-        |rm AS (SELECT event_type, rep,
-        |    CAST(sum(m * cents) AS BIGINT) AS sum_cents,
-        |    CAST(sum(m) AS BIGINT) AS n_rep
-        |  FROM mm GROUP BY 1, 2 HAVING sum(m) > 0),
-        |means AS (SELECT event_type, rep,
-        |    CAST((1000000::HUGEINT * sum_cents) // n_rep AS BIGINT)
-        |      AS mean_microcents
-        |  FROM rm),
-        |rk AS (SELECT event_type, rep, mean_microcents, row_number()
-        |    OVER (PARTITION BY event_type ORDER BY mean_microcents, rep)
-        |    AS rk FROM means),
-        |nr AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps
-        |  FROM means GROUP BY 1),
-        |ci AS (SELECT rk.event_type, nr.n_reps,
-        |    min(CASE WHEN rk.rk * 20 >= nr.n_reps
-        |      THEN mean_microcents END) AS ci_lo_microcents,
-        |    min(CASE WHEN rk.rk * 20 >= 19 * nr.n_reps
-        |      THEN mean_microcents END) AS ci_hi_microcents
-        |  FROM rk JOIN nr USING (event_type) GROUP BY 1, 2),
-        |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |    CAST((1000000::HUGEINT * sum(cents)) // count(*) AS BIGINT)
-        |      AS mean_microcents
-        |  FROM ev GROUP BY 1)
-        |SELECT pt.event_type, pt.n, pt.mean_microcents, ci.n_reps,
-        |  ci.ci_lo_microcents, ci.ci_hi_microcents
-        |FROM pt JOIN ci USING (event_type)""".stripMargin,
-    "q_permutation_test" ->
-      """WITH pu AS (SELECT user_id,
-        |    CAST(max(CASE WHEN event_type = 'purchase' AND value > 120.0
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS converted
-        |  FROM events GROUP BY 1),
-        |obs AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
-        |      AS BIGINT) AS conv0,
-        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n0,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
-        |      AS BIGINT) AS conv1,
-        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n1
-        |  FROM pu),
-        |obs2 AS (SELECT *,
-        |    abs(conv0::HUGEINT * n1 - conv1::HUGEINT * n0) AS stat_obs
-        |  FROM obs),
-        |pp AS (SELECT k.p, pu.user_id, pu.converted,
-        |    CASE WHEN ('0x' || substring(md5('perm:' || CAST(k.p AS VARCHAR)
-        |        || ':' || CAST(pu.user_id AS VARCHAR)), 1, 8))::UBIGINT
-        |      < 2147483648 THEN 0 ELSE 1 END AS grp
-        |  FROM pu CROSS JOIN
-        |    (SELECT unnest(generate_series(1, 128)) AS p) k),
-        |ps AS (SELECT p,
-        |    abs(sum(CASE WHEN grp = 0 THEN converted ELSE 0 END)::HUGEINT
-        |        * sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
-        |      - sum(CASE WHEN grp = 1 THEN converted ELSE 0 END)::HUGEINT
-        |        * sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)) AS stat_p
-        |  FROM pp GROUP BY 1)
-        |SELECT o.n_users, o.conv0, o.n0, o.conv1, o.n1,
-        |  CAST(o.stat_obs AS BIGINT) AS stat_obs,
-        |  CAST(sum(CASE WHEN ps.stat_p >= o.stat_obs THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_ge,
-        |  CAST(((1 + sum(CASE WHEN ps.stat_p >= o.stat_obs THEN 1 ELSE 0
-        |    END)) * 1000000) // 129 AS BIGINT) AS p_value_ppm
-        |FROM ps CROSS JOIN obs2 o GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin,
-    "q_markov_attribution" -> markovAttributionSql(8),
-    "q_shapley_attribution" -> shapleyAttributionSql(8),
-    "q_sprt" -> sprtSql,
-    // minimax closed form of PAV over exact-cents $1000 price bins;
-    // fixed-point range averages from prefix sums
-    "q_isotonic" ->
-      """WITH b AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100000 AS bin,
-        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-        |  FROM lineitem),
-        |h AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(y) AS BIGINT) AS s FROM b GROUP BY 1),
-        |i AS (SELECT bin, n, s,
-        |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS i,
-        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
-        |    CAST(sum(s) OVER (ORDER BY bin) AS BIGINT) AS cs FROM h),
-        |p AS (SELECT i AS p_i, cn, cs FROM i
-        |      UNION ALL SELECT 0, 0, 0),
-        |rg AS (SELECT lo.p_i + 1 AS j, hi.p_i AS k,
-        |    CAST((CAST(hi.cs - lo.cs AS HUGEINT) * 1000000000000)
-        |      // (hi.cn - lo.cn) AS BIGINT) AS avg_fp
-        |  FROM p lo JOIN p hi ON lo.p_i < hi.p_i),
-        |mj AS (SELECT i.i, i.bin, i.n, i.s, rg.j, min(rg.avg_fp) AS m_j
-        |  FROM i JOIN rg ON rg.j <= i.i AND rg.k >= i.i
-        |  GROUP BY 1, 2, 3, 4, 5)
-        |SELECT bin, n, s, (s * 1000000) // n AS rate_ppm,
-        |  CAST(max(m_j) AS BIGINT) AS iso_fp
-        |FROM mj GROUP BY 1, 2, 3, 4""".stripMargin,
-    // split conformal per return flag: histogram-walk calibration
-    // quantile, even-half coverage census
-    "q_conformal" ->
-      """WITH r AS (SELECT l.l_returnflag AS grp, l.l_orderkey % 2 AS half,
-        |    abs(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
-        |          // CAST(l.l_quantity AS BIGINT)
-        |        - CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT)) AS res
-        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
-        |cn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
-        |    (9 * CAST(count(*) AS BIGINT) + 18) // 10 AS m
-        |  FROM r WHERE half = 1 GROUP BY 1),
-        |h AS (SELECT grp, res, count(*) AS c FROM r WHERE half = 1 GROUP BY 1, 2),
-        |cum AS (SELECT grp, res,
-        |    sum(c) OVER (PARTITION BY grp ORDER BY res) AS cum FROM h),
-        |q AS (SELECT cum.grp, min(res) AS qhat, min(n_cal) AS n_cal,
-        |    min(m) AS m_rank
-        |  FROM cum JOIN cn ON cum.grp = cn.grp WHERE cum >= m GROUP BY 1)
-        |SELECT r.grp, q.n_cal, q.m_rank, q.qhat,
-        |  CAST(count(*) AS BIGINT) AS n_test,
-        |  CAST(sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_covered,
-        |  (CAST(sum(CASE WHEN res <= qhat THEN 1 ELSE 0 END) AS BIGINT)
-        |    * 1000000) // CAST(count(*) AS BIGINT) AS coverage_ppm
-        |FROM r JOIN q ON r.grp = q.grp WHERE half = 0
-        |GROUP BY 1, 2, 3, 4""".stripMargin,
-    "q_seasonality" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |bd AS (SELECT event_type, (day + 4) % 7 AS dow,
-        |    CAST(count(*) AS BIGINT) AS n_days, CAST(sum(y) AS BIGINT) AS cents
-        |  FROM daily GROUP BY 1, 2),
-        |bt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_all,
-        |    CAST(sum(y) AS BIGINT) AS cents_all
-        |  FROM daily GROUP BY 1)
-        |SELECT bd.event_type, bd.dow, bd.n_days, bd.cents,
-        |  CAST(bd.cents * 1000000 // bt.cents_all AS BIGINT) AS share_ppm,
-        |  CAST(bd.cents::HUGEINT * bt.n_days_all * 1000000
-        |    // (bt.cents_all::HUGEINT * bd.n_days) AS BIGINT) AS index_ppm
-        |FROM bd JOIN bt USING (event_type)""".stripMargin,
-    "q_changepoint" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS y
-        |  FROM events GROUP BY 1, 2),
-        |cum AS (SELECT event_type, day, y,
-        |    CAST(row_number() OVER w AS BIGINT) AS kk,
-        |    CAST(sum(y) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
-        |    CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS sn
-        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-        |sc AS (SELECT *,
-        |    (sk::HUGEINT * sk * (n - kk) + (sn - sk)::HUGEINT * (sn - sk) * kk)
-        |      * 1048576 // (kk::HUGEINT * (n - kk)) AS g_scaled
-        |  FROM cum WHERE kk < n),
-        |best AS (SELECT *, row_number() OVER (PARTITION BY event_type
-        |    ORDER BY g_scaled DESC, kk ASC) AS rn FROM sc)
-        |SELECT event_type, n AS n_days, kk AS split_k, day AS split_day,
-        |  sk // kk AS mean_left, (sn - sk) // (n - kk) AS mean_right,
-        |  CAST(g_scaled AS BIGINT)
-        |    - CAST(sn::HUGEINT * sn * 1048576 // n AS BIGINT) AS gain_scaled
-        |FROM best WHERE rn = 1""".stripMargin,
-    "q_ks_test" ->
-      """WITH h AS (SELECT event_type,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |sz AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n FROM h GROUP BY 1),
-        |pr AS (SELECT a.event_type AS ta, a.n AS n1, b.event_type AS tb, b.n AS n2
-        |  FROM sz a JOIN sz b ON a.event_type < b.event_type),
-        |m AS (SELECT pr.ta, pr.tb, pr.n1, pr.n2, h.cents,
-        |    CAST(sum(CASE WHEN h.event_type = pr.ta THEN h.cnt ELSE 0 END) AS BIGINT) AS ca,
-        |    CAST(sum(CASE WHEN h.event_type = pr.tb THEN h.cnt ELSE 0 END) AS BIGINT) AS cb
-        |  FROM pr JOIN h ON h.event_type = pr.ta OR h.event_type = pr.tb
-        |  GROUP BY 1, 2, 3, 4, 5),
-        |c AS (SELECT ta, tb, n1, n2,
-        |    sum(ca) OVER (PARTITION BY ta, tb ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
-        |    sum(cb) OVER (PARTITION BY ta, tb ORDER BY cents
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
-        |  FROM m)
-        |SELECT ta, tb, n1, n2,
-        |  CAST(max(abs(cuma * n2 - cumb * n1)) AS BIGINT) AS d_num,
-        |  CAST((max(abs(cuma * n2 - cumb * n1)) * 1000000) // (n1 * n2) AS BIGINT) AS d_ppm
-        |FROM c GROUP BY 1, 2, 3, 4""".stripMargin,
-    "q_cusum" ->
-      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |mu AS (SELECT event_type, sum(y) // count(*) AS mu
-        |  FROM daily GROUP BY 1),
-        |dd AS (SELECT d.event_type, d.day, d.y, m.mu,
-        |    d.y - m.mu - m.mu // 20 AS dev
-        |  FROM daily d JOIN mu m USING (event_type)),
-        |s1 AS (SELECT event_type, day, y, mu,
-        |    sum(dev) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-        |  FROM dd),
-        |s2 AS (SELECT event_type, day, y, mu, s,
-        |    min(s) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS smin
-        |  FROM s1)
-        |SELECT event_type, day, y,
-        |  CAST(s - least(0, smin) AS BIGINT) AS cusum,
-        |  (s - least(0, smin)) > mu // 5 AS alarm
-        |FROM s2""".stripMargin,
-    "q_twap" ->
-      """WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
-        |hz AS (SELECT max(ts_us) AS t_end FROM ev),
-        |iv AS (SELECT event_type, cents,
-        |    COALESCE(lead(ts_us) OVER (PARTITION BY event_type
-        |        ORDER BY ts_us, event_id), t_end) - ts_us AS dt_us
-        |  FROM ev CROSS JOIN hz)
-        |SELECT event_type, count(*) AS n,
-        |  CAST(sum(dt_us) AS BIGINT) AS held_us,
-        |  CAST(sum(cents::HUGEINT * dt_us) // sum(dt_us)::HUGEINT AS BIGINT)
-        |    AS twap_cents,
-        |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
-        |FROM iv GROUP BY 1""".stripMargin,
-    "q_mad_outliers" ->
-      """WITH ev AS (SELECT event_type,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |h1 AS (SELECT event_type, cents, count(*) AS cnt FROM ev GROUP BY 1, 2),
-        |m1 AS (SELECT event_type,
-        |    CAST(min(CASE WHEN cum * 2 >= n THEN cents END) AS BIGINT) AS med
-        |  FROM (SELECT event_type, cents,
-        |      sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
-        |      sum(cnt) OVER (PARTITION BY event_type) AS n
-        |    FROM h1)
-        |  GROUP BY 1),
-        |dv AS (SELECT e.event_type, e.cents, abs(e.cents - m.med) AS adev
-        |  FROM ev e JOIN m1 m USING (event_type)),
-        |h2 AS (SELECT event_type, adev, count(*) AS cnt FROM dv GROUP BY 1, 2),
-        |m2 AS (SELECT event_type,
-        |    CAST(min(CASE WHEN cum * 2 >= n THEN adev END) AS BIGINT) AS mad
-        |  FROM (SELECT event_type, adev,
-        |      sum(cnt) OVER (PARTITION BY event_type ORDER BY adev) AS cum,
-        |      sum(cnt) OVER (PARTITION BY event_type) AS n
-        |    FROM h2)
-        |  GROUP BY 1)
-        |SELECT d.event_type, count(*) AS n, m1.med, m2.mad,
-        |  CAST(sum(CASE WHEN d.adev * 10000 > m2.mad * 44478 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        |  max(d.cents) AS max_cents
-        |FROM dv d JOIN m1 USING (event_type) JOIN m2 USING (event_type)
-        |GROUP BY 1, m1.med, m2.mad""".stripMargin,
-    "q_gap_fill" ->
-      """WITH hourly AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
-        |    count(*) AS n_events,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |b AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hourly),
-        |spine AS (SELECT t.event_type, g.hr
-        |  FROM (SELECT DISTINCT event_type FROM hourly) t
-        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hr FROM b) g)
-        |SELECT event_type, hr,
-        |  CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
-        |  CAST(COALESCE(last_value(cents IGNORE NULLS) OVER (
-        |      PARTITION BY event_type ORDER BY hr
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
-        |    AS cents_ffill
-        |FROM spine LEFT JOIN hourly USING (event_type, hr)""".stripMargin,
-    "q_window_range" ->
-      """SELECT event_type, event_id, epoch_us(ts) AS ts_us,
-        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-        |  count(*) OVER w AS n_6h,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cents_6h
-        |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
-        |  RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "q_target_encode" ->
-      """WITH rows_ AS (SELECT o_orderkey, c_mktsegment,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders JOIN customer ON o_custkey = c_custkey),
-        |pr AS (SELECT sum(cents) // count(*) AS prior_cents FROM rows_)
-        |SELECT o_orderkey, c_mktsegment, cents,
-        |  CAST((sum(cents) OVER (PARTITION BY c_mktsegment) - cents
-        |      + 100 * prior_cents)
-        |    // (count(*) OVER (PARTITION BY c_mktsegment) - 1 + 100) AS BIGINT)
-        |    AS loo_enc_cents
-        |FROM rows_ CROSS JOIN pr""".stripMargin,
-    "q_null_semantics" ->
-      """WITH ev AS (SELECT nullif(event_type, 'error') AS k,
-        |    CASE WHEN event_type <> 'signup'
-        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
-        |  FROM events),
-        |g AS (SELECT k, count(*) AS n_rows, count(cents) AS n_nonnull,
-        |    coalesce(CAST(sum(cents) AS BIGINT), -1) AS sum_cents
-        |  FROM ev GROUP BY 1)
-        |SELECT coalesce(a.k, '<null>') AS k, a.n_rows, a.n_nonnull,
-        |  b.sum_cents
-        |FROM g a JOIN g b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
-    "q_ntile_deciles" ->
-      """WITH o AS (SELECT o_orderkey, o_orderpriority,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents
-        |  FROM orders),
-        |r AS (SELECT o_orderpriority, total_cents,
-        |    CAST(ntile(10) OVER w AS BIGINT) AS decile,
-        |    percent_rank() OVER w AS pr,
-        |    cume_dist() OVER w AS cd
-        |  FROM o
-        |  WINDOW w AS (PARTITION BY o_orderpriority
-        |    ORDER BY total_cents, o_orderkey))
-        |SELECT o_orderpriority, decile, count(*) AS n_orders,
-        |  min(total_cents) AS min_cents, max(total_cents) AS max_cents,
-        |  round(min(pr), 6) AS pr_lo, round(max(pr), 6) AS pr_hi,
-        |  round(max(cd), 6) AS cd_hi
-        |FROM r GROUP BY 1, 2""".stripMargin,
-    "q_slo_burn" ->
-      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hour,
-        |    count(*) AS n,
-        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS n_err
-        |  FROM events GROUP BY 1),
-        |spine AS (SELECT unnest(range(
-        |    (SELECT min(hour) FROM hourly),
-        |    (SELECT max(hour) FROM hourly) + 1)) AS hour),
-        |dense AS (SELECT s.hour, coalesce(n, 0) AS n,
-        |    coalesce(n_err, 0) AS n_err
-        |  FROM spine s LEFT JOIN hourly USING (hour)),
-        |r AS (SELECT hour, n, n_err,
-        |    sum(n) OVER w AS n6, sum(n_err) OVER w AS e6
-        |  FROM dense
-        |  WINDOW w AS (ORDER BY hour
-        |    ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
-        |    CAST(sum(n_err) AS BIGINT) AS et FROM hourly),
-        |o AS (SELECT hour, n, n_err,
-        |    CASE WHEN n > 0
-        |      THEN CAST(n_err::HUGEINT * 1000000 // n AS BIGINT) END AS fast_ppm,
-        |    CASE WHEN n6 > 0
-        |      THEN CAST(e6::HUGEINT * 1000000 // n6 AS BIGINT) END AS slow_ppm,
-        |    CAST(et::HUGEINT * 1000000 // nt AS BIGINT) AS budget_ppm
-        |  FROM r CROSS JOIN tot)
-        |SELECT hour, n, n_err, fast_ppm, slow_ppm, budget_ppm,
-        |  coalesce(fast_ppm > budget_ppm * 2 AND slow_ppm > budget_ppm * 2,
-        |    false) AS alert
-        |FROM o""".stripMargin,
-    "q_attribution" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type,
-        |    epoch_us(ts) AS us,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
-        |t AS (SELECT event_type, cents,
-        |    last_value(CASE WHEN event_type <> 'purchase'
-        |        THEN event_type END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY us, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS touch
-        |  FROM ev)
-        |SELECT coalesce(touch, 'direct') AS channel,
-        |  count(*) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
-        |FROM t WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
-    "q_streaks" ->
-      """WITH daily AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |f AS (SELECT event_type, day,
-        |    CASE WHEN y > lag(y) OVER (PARTITION BY event_type ORDER BY day)
-        |      THEN 1 ELSE 0 END AS up
-        |  FROM daily),
-        |i AS (SELECT event_type, day, up,
-        |    sum(1 - up) OVER (PARTITION BY event_type ORDER BY day
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-        |  FROM f),
-        |isl AS (SELECT event_type, island, count(*) AS len,
-        |    CAST(min(day) AS BIGINT) AS first_up_day,
-        |    CAST(max(day) AS BIGINT) AS last_up_day
-        |  FROM i WHERE up = 1 GROUP BY 1, 2),
-        |r AS (SELECT event_type, len, first_up_day, last_up_day,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY len DESC, first_up_day) AS rn
-        |  FROM isl)
-        |SELECT event_type, CAST(len AS BIGINT) AS streak_days,
-        |  first_up_day, last_up_day
-        |FROM r WHERE rn = 1""".stripMargin,
-    "q_bot_detect" ->
-      """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id
-        |    ORDER BY us, event_id) AS g FROM ev),
-        |s AS (SELECT user_id, count(*) AS n_gaps,
-        |    sum(g::HUGEINT) AS sg, sum(g::HUGEINT * g) AS sg2
-        |  FROM g WHERE g IS NOT NULL GROUP BY 1),
-        |o AS (SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-        |    CAST(sg // n_gaps AS BIGINT) AS mean_gap_us,
-        |    CAST(n_gaps::HUGEINT * sg2 * 1000000 // (sg * sg)
-        |      - 1000000 AS BIGINT) AS cv2_ppm
-        |  FROM s WHERE n_gaps >= 20 AND sg > 0)
-        |SELECT user_id, n_gaps, mean_gap_us, cv2_ppm,
-        |  cv2_ppm < 100000 AS is_bot
-        |FROM o""".stripMargin,
-    "q_funnel_latency" ->
-      """WITH ev AS (SELECT user_id, event_type,
-        |    epoch_us(ts) AS us FROM events),
-        |fv AS (SELECT user_id, min(us) AS v_us FROM ev
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |lat AS (SELECT e.user_id,
-        |    (min(e.us) - v_us) // 1000000 AS lat_s
-        |  FROM ev e JOIN fv USING (user_id)
-        |  WHERE e.event_type = 'purchase' AND e.us > fv.v_us
-        |  GROUP BY 1, v_us),
-        |freq AS (SELECT lat_s, count(*) AS c FROM lat GROUP BY 1),
-        |cum AS (SELECT lat_s, c, sum(c) OVER (ORDER BY lat_s
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
-        |  FROM freq),
-        |nc AS (SELECT CAST(sum(c) AS BIGINT) AS nc FROM freq),
-        |q AS (SELECT any_value(nc.nc) AS n_converted,
-        |    min(CASE WHEN cumn >= (nc.nc - 1) * 50 // 100 + 1
-        |      THEN lat_s END) AS p50_s,
-        |    min(CASE WHEN cumn >= (nc.nc - 1) * 90 // 100 + 1
-        |      THEN lat_s END) AS p90_s,
-        |    min(CASE WHEN cumn >= (nc.nc - 1) * 99 // 100 + 1
-        |      THEN lat_s END) AS p99_s
-        |  FROM cum CROSS JOIN nc),
-        |nv AS (SELECT count(*) AS n_viewers FROM fv)
-        |SELECT n_viewers, n_converted,
-        |  CAST(n_converted::HUGEINT * 1000000 // n_viewers AS BIGINT)
-        |    AS conversion_ppm,
-        |  p50_s, p90_s, p99_s
-        |FROM q CROSS JOIN nv""".stripMargin,
-    // zero-observed cells kept via the margin cross join (their term is
-    // R*C/N); numerator assembled HUGEINT-exact like Spark's decimal
-    "q_contingency" ->
-      """WITH obs AS (SELECT event_type,
-        |    (epoch_us(ts) // 86400000000 + 4) % 7 AS dow, count(*) AS o
-        |  FROM events GROUP BY 1, 2),
-        |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM obs GROUP BY 1),
-        |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c FROM obs GROUP BY 1),
-        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-        |    count(DISTINCT event_type) AS nr, count(DISTINCT dow) AS nc
-        |  FROM obs),
-        |cells AS (SELECT rm.event_type, cm.dow, rm.r, cm.c,
-        |    coalesce(obs.o, 0) AS o
-        |  FROM rm CROSS JOIN cm
-        |  LEFT JOIN obs ON obs.event_type = rm.event_type AND obs.dow = cm.dow),
-        |terms AS (SELECT
-        |    CAST(CAST((o::HUGEINT * tot.n - r::HUGEINT * c)
-        |        * (o::HUGEINT * tot.n - r::HUGEINT * c) AS DOUBLE)
-        |      / CAST(r::HUGEINT * c * tot.n AS DOUBLE) AS DOUBLE) AS term,
-        |    tot.n, tot.nr, tot.nc
-        |  FROM cells CROSS JOIN tot),
-        |s AS (SELECT count(*) AS n_cells, any_value(n) AS n_events,
-        |    any_value(nr) AS nr, any_value(nc) AS nc,
-        |    round(sum(term), 6) AS chi2 FROM terms)
-        |SELECT n_cells, n_events, chi2,
-        |  round(sqrt(chi2 / (n_events * (least(nr, nc) - 1))), 6) AS cramers_v
-        |FROM s""".stripMargin,
-    "q_mutual_info" ->
-      """WITH xy AS (SELECT event_type AS x,
-        |    (epoch_us(ts) // 3600000000) % 24 AS y, count(*) AS nxy
-        |  FROM events GROUP BY 1, 2),
-        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM xy GROUP BY 1),
-        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM xy GROUP BY 1),
-        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM xy),
-        |mi AS (SELECT round(sum(
-        |    nxy / CAST(n AS DOUBLE) *
-        |    ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny))), 6) AS mi
-        |  FROM xy JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
-        |hx AS (SELECT round(sum(
-        |    -(nx / CAST(n AS DOUBLE)) * ln(nx / CAST(n AS DOUBLE))), 6) AS h_x
-        |  FROM mx CROSS JOIN tot),
-        |hy AS (SELECT round(sum(
-        |    -(ny / CAST(n AS DOUBLE)) * ln(ny / CAST(n AS DOUBLE))), 6) AS h_y
-        |  FROM my CROSS JOIN tot)
-        |SELECT mi, h_x, h_y, round(mi / sqrt(h_x * h_y), 6) AS nmi
-        |FROM mi CROSS JOIN hx CROSS JOIN hy""".stripMargin,
-    // floor-division slope formula shared verbatim with the Spark side
-    // (plain div/// disagree on negative slopes between the engines)
-    "q_theil_sen" ->
-      """WITH daily AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
-        |    (b.y - a.y) * 1000000 AS dy1m, b.day - a.day AS dx,
-        |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
-        |  FROM daily a JOIN daily b
-        |    ON a.event_type = b.event_type AND a.day < b.day),
-        |s AS (SELECT event_type, di, dj, sgn,
-        |    (dy1m - ((dy1m % dx) + dx) % dx) // dx AS slope_u FROM p),
-        |r AS (SELECT event_type, slope_u,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY slope_u, di, dj) AS rn,
-        |    count(*) OVER (PARTITION BY event_type) AS cnt FROM s),
-        |m AS (SELECT event_type, slope_u AS median_slope_u FROM r
-        |  WHERE rn = (cnt + 1) // 2),
-        |agg AS (SELECT event_type, count(*) AS n_pairs,
-        |    CAST(sum(sgn) AS BIGINT) AS s_stat FROM s GROUP BY 1),
-        |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
-        |SELECT event_type, n_days, n_pairs, s_stat, median_slope_u
-        |FROM nd JOIN agg USING (event_type) JOIN m USING (event_type)""".stripMargin,
-    "q_linreg_trend" ->
-      """WITH daily AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |dx AS (SELECT event_type, day - (SELECT min(day) FROM daily) AS x, y
-        |  FROM daily),
-        |m AS (SELECT event_type, count(*) AS n,
-        |    sum(x) AS sx, sum(x * x) AS sxx, sum(y) AS sy, sum(x * y) AS sxy
-        |  FROM dx GROUP BY 1),
-        |f AS (SELECT event_type, n,
-        |    n::HUGEINT * sxy - sx::HUGEINT * sy AS slope_num,
-        |    n::HUGEINT * sxx - sx::HUGEINT * sx AS slope_den,
-        |    sy::HUGEINT AS syh, sx::HUGEINT AS sxh
-        |  FROM m)
-        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
-        |  round(CAST(slope_num AS DOUBLE) / CAST(slope_den AS DOUBLE), 4)
-        |    AS slope_cents_per_day,
-        |  round(CAST(syh * slope_den - slope_num * sxh AS DOUBLE)
-        |    / CAST(n::HUGEINT * slope_den AS DOUBLE), 4) AS intercept_cents
-        |FROM f""".stripMargin,
-    "q_corr_matrix" ->
-      """WITH hourly AS (SELECT epoch_us(ts) // 3600000000 AS hr, event_type,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2),
-        |stats AS (SELECT event_type, sum(n) AS sx, sum(n * n) AS sxx
-        |  FROM hourly GROUP BY 1),
-        |hrs AS (SELECT count(DISTINCT hr) AS h FROM hourly),
-        |pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
-        |    sum(a.n * b.n) AS sxy
-        |  FROM hourly a JOIN hourly b
-        |    ON a.hr = b.hr AND a.event_type < b.event_type
-        |  GROUP BY 1, 2)
-        |SELECT type_a, type_b, CAST(h AS BIGINT) AS n_hours,
-        |  CAST(h::HUGEINT * sxy - sa.sx::HUGEINT * sb.sx AS BIGINT) AS cov_num,
-        |  round(CAST(h::HUGEINT * sxy - sa.sx::HUGEINT * sb.sx AS DOUBLE)
-        |    / sqrt(CAST((h::HUGEINT * sa.sxx - sa.sx::HUGEINT * sa.sx)
-        |      * (h::HUGEINT * sb.sxx - sb.sx::HUGEINT * sb.sx) AS DOUBLE)), 6)
-        |    AS corr
-        |FROM pairs
-        |JOIN stats sa ON type_a = sa.event_type
-        |JOIN stats sb ON type_b = sb.event_type
-        |CROSS JOIN hrs""".stripMargin,
-    "q_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
-        |v AS (SELECT user_id, min(ts_us) AS t1 FROM ev
-        |      WHERE event_type = 'view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(e.ts_us) AS t2, min(v.t1) AS t1
-        |      FROM ev e JOIN v ON e.user_id = v.user_id
-        |      WHERE e.event_type = 'click' AND e.ts_us > v.t1 GROUP BY 1),
-        |p AS (SELECT e.user_id, min(e.ts_us) AS t3, min(c.t2) AS t2
-        |      FROM ev e JOIN c ON e.user_id = c.user_id
-        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.t2 GROUP BY 1)
-        |SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
-        |  count(*) AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM v
-        |UNION ALL
-        |SELECT 2, 'click', count(*), CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM c
-        |UNION ALL
-        |SELECT 3, 'purchase', count(*), CAST(coalesce(sum(t3 - t2), 0) AS BIGINT) FROM p""".stripMargin,
-    "q_retention" ->
-      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
-        |f AS (SELECT user_id, min(d) AS d0 FROM ev GROUP BY 1),
-        |a AS (SELECT DISTINCT
-        |        CAST(date_diff('day', DATE '1970-01-01', f.d0) // 7 AS BIGINT) AS cohort_week,
-        |        CAST(date_diff('day', f.d0, e.d) // 7 AS BIGINT) AS week_offset,
-        |        e.user_id
-        |      FROM (SELECT DISTINCT user_id, d FROM ev) e
-        |      JOIN f ON e.user_id = f.user_id)
-        |SELECT cohort_week, week_offset, count(*) AS n_active
-        |FROM a GROUP BY 1, 2""".stripMargin,
-    "q_cohort_ltv" ->
-      """WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events),
-        |f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY 1),
-        |cells AS (SELECT f.d0 // 7 AS cohort_week,
-        |    (ev.day - f.d0) // 7 AS age_week, ev.user_id, ev.cents
-        |  FROM ev JOIN f ON ev.user_id = f.user_id),
-        |cn AS (SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT)
-        |    AS n_users FROM cells GROUP BY 1),
-        |agg AS (SELECT cohort_week, age_week,
-        |    CAST(sum(cents) AS BIGINT) AS cents FROM cells GROUP BY 1, 2),
-        |cum AS (SELECT cohort_week, age_week, cents,
-        |    CAST(sum(cents) OVER (PARTITION BY cohort_week
-        |      ORDER BY age_week) AS BIGINT) AS cum_cents FROM agg)
-        |SELECT cum.cohort_week, cum.age_week, cn.n_users, cum.cum_cents,
-        |  cum.cum_cents // cn.n_users AS ltv_cents
-        |FROM cum JOIN cn ON cum.cohort_week = cn.cohort_week""".stripMargin,
-    // KM over inter-event waits: the survival recurrence is a recursive
-    // CTE over the calendar-bounded hour spine — same truncating
-    // integer arithmetic as the Spark side's driver fold (sums CAST to
-    // BIGINT: DuckDB's sum() would otherwise promote to HUGEINT)
-    "q_survival" ->
-      """WITH RECURSIVE ev AS (SELECT user_id, event_id,
-        |  epoch_us(ts) AS ts_us FROM events),
-        |g AS (SELECT ts_us, lead(ts_us) OVER (PARTITION BY user_id
-        |        ORDER BY ts_us, event_id) AS next_us FROM ev),
-        |hzn AS (SELECT max(ts_us) AS hz FROM ev),
-        |o AS (SELECT (coalesce(next_us, hz) - ts_us) // 3600000000
-        |        AS hour,
-        |        CASE WHEN next_us IS NULL THEN 0 ELSE 1 END AS arrived
-        |      FROM g CROSS JOIN hzn),
-        |cnt AS (SELECT hour, CAST(sum(arrived) AS BIGINT) AS d,
-        |          CAST(sum(1 - arrived) AS BIGINT) AS c
-        |        FROM o GROUP BY 1),
-        |spine AS (SELECT unnest(range(0, (SELECT max(hour) + 1 FROM cnt)))
-        |            AS hour),
-        |dense AS (SELECT s.hour, coalesce(cnt.d, 0) AS d,
-        |            coalesce(cnt.c, 0) AS c
-        |          FROM spine s LEFT JOIN cnt ON s.hour = cnt.hour),
-        |risk AS (SELECT hour, d, c,
-        |    CAST((SELECT count(*) FROM o)
-        |      - coalesce(sum(d + c) OVER (ORDER BY hour
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS n_risk
-        |  FROM dense),
-        |hzd AS (SELECT hour, n_risk, d, c,
-        |    CASE WHEN n_risk > 0 THEN (1000000 * d) // n_risk ELSE 0 END
-        |      AS hp
-        |  FROM risk),
-        |s(hour, n_risk, d, c, hp, surv) AS (
-        |  SELECT hour, n_risk, d, c, hp, CAST(1000000 - hp AS BIGINT)
-        |  FROM hzd WHERE hour = 0
-        |  UNION ALL
-        |  SELECT h.hour, h.n_risk, h.d, h.c, h.hp,
-        |    (s.surv * (1000000 - h.hp)) // 1000000
-        |  FROM s JOIN hzd h ON h.hour = s.hour + 1)
-        |SELECT hour, n_risk, d AS n_arrived, c AS n_censored,
-        |  hp AS hazard_ppm, surv AS survival_ppm FROM s""".stripMargin,
-    "q_interval_join" ->
-      """WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events)
-        |SELECT e.event_id AS error_event_id, f.event_id AS next_event_id,
-        |  f.event_type AS next_type, f.ts_us - e.ts_us AS gap_us
-        |FROM (SELECT * FROM ev WHERE event_type = 'error') e
-        |JOIN ev f ON e.user_id = f.user_id
-        |  AND f.ts_us > e.ts_us AND f.ts_us <= e.ts_us + 21600000000""".stripMargin,
-    "q_dpc_classify" -> (logCte +
-      """
-        |SELECT CASE substr(payload, 1, 1)
-        |    WHEN 'j' THEN 'JOIN_REQ' WHEN 'c' THEN 'CRACK_REQ'
-        |    WHEN 'f' THEN 'PASS_FOUND' WHEN 'x' THEN 'PASS_NOTFOUND'
-        |    ELSE 'UNKNOWN' END AS msg_type,
-        |  count(*) AS n_msgs, count(DISTINCT connid) AS n_conns
-        |FROM log GROUP BY 1""".stripMargin),
-    "q_dpc_parse" -> (logCte +
-      """
-        |SELECT connid, seqnum,
-        |  string_split(payload, ' ')[2] AS hash,
-        |  string_split(payload, ' ')[3] AS lower,
-        |  string_split(payload, ' ')[4] AS upper
-        |FROM log WHERE substr(payload, 1, 1) = 'c'""".stripMargin),
-    "q_ack_project" -> (logCte +
-      """
-        |SELECT connid, seqnum, '' AS ack_payload FROM log
-        |WHERE length(payload) > 0""".stripMargin),
-    "q_gap_detect" -> (logCte +
-      """,
-        |kept AS (SELECT * FROM log WHERE event_id % 7 <> 0),
-        |g AS (SELECT connid, seqnum,
-        |        lag(seqnum) OVER (PARTITION BY connid ORDER BY seqnum) AS prev_seqnum FROM kept)
-        |SELECT connid, prev_seqnum, seqnum, seqnum - prev_seqnum - 1 AS n_lost
-        |FROM g WHERE prev_seqnum IS NOT NULL AND seqnum - prev_seqnum > 1""".stripMargin),
-    "q_lsp_classify" -> (logCte +
-      """
-        |SELECT CASE
-        |    WHEN connid0 = 0 AND seqnum0 = 0 AND len0 = 0 THEN 'CONN_REQ'
-        |    WHEN connid0 <> 0 AND seqnum0 = 0 AND len0 = 0 THEN 'CONN_ACK'
-        |    WHEN connid0 <> 0 AND seqnum0 > 0 AND len0 > 0 THEN 'DATA_SEND'
-        |    WHEN connid0 <> 0 AND seqnum0 > 0 AND len0 = 0 THEN 'DATA_ACK'
-        |    ELSE 'INVALID' END AS msg_type,
-        |  count(*) AS n_msgs
-        |FROM (SELECT
-        |    CASE WHEN payload = 'j' THEN 0 ELSE connid END AS connid0,
-        |    CASE WHEN payload = 'j' THEN 0 ELSE seqnum END AS seqnum0,
-        |    CASE WHEN payload = 'j' THEN 0 ELSE length(payload) END AS len0
-        |  FROM log)
-        |GROUP BY 1""".stripMargin),
-    "q_lsp_wire_roundtrip" -> (logCte +
-      """
-        |SELECT connid, seqnum, payload FROM log""".stripMargin),
-    // the wire roundtrip is the identity on the log; the evolved fields
-    // recompute directly from their source expressions
-    "q_proto_evolution" -> (logCte +
-      """
-        |SELECT event_id, connid, seqnum, payload,
-        |  event_id % 3 AS priority, substr(payload, 1, 1) AS tag
-        |FROM log""".stripMargin),
-    "q_retransmit_detect" -> (logCte +
-      """,
-        |dup AS (SELECT * FROM log
-        |        UNION ALL SELECT * FROM log WHERE event_id % 5 = 0)
-        |SELECT connid, seqnum, count(*) - 1 AS n_retransmits
-        |FROM dup GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin),
-    "q_text_stats_by_lang" ->
-      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
-        |FROM documents GROUP BY 1""".stripMargin,
-    "q_token_count" ->
-      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_ws,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
-        |  n_chars
-        |FROM documents""".stripMargin,
-    // replays the kernel's greedy leftmost-longest scan as a recursive
-    // CTE over (word, pos) states; terminal states carry the word's
-    // token count. Vocab interpolated from BpeVocab — ONE definition.
-    "q_token_bpe" ->
-      s"""WITH RECURSIVE
-        |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),
-        |states(doc_id, word, pos, n) AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')), 0, 0 FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, word,
-        |    pos + coalesce((SELECT max(length(tok)) FROM bpe_vocab
-        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1),
-        |    n + 1
-        |  FROM states WHERE pos < length(word)),
-        |bpe AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bpe
-        |        FROM states WHERE pos >= length(word) GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens_ws,
-        |  b.n_bpe AS n_tokens_bpe,
-        |  round(CAST(d.n_chars AS DOUBLE) / nullif(b.n_bpe, 0), 4) AS chars_per_tok
-        |FROM documents d JOIN bpe b ON d.doc_id = b.doc_id""".stripMargin,
-    "q_manifest" ->
-      """SELECT 'documents' AS table_name, count(*) AS n_rows,
-        |  bit_xor(CAST(('0x' || substr(md5(
-        |    CAST(doc_id AS VARCHAR) || ':' || lang || ':' || source || ':' || md5(text)
-        |  ), 1, 15))::UBIGINT AS BIGINT)) AS checksum
-        |FROM documents
-        |UNION ALL
-        |SELECT 'embeddings', count(*),
-        |  bit_xor(CAST(('0x' || substr(md5(
-        |    CAST(vec_id AS VARCHAR) || ':' || CAST(label AS VARCHAR) || ':' ||
-        |    array_to_string(list_transform(embedding,
-        |      x -> CAST(CAST(round(CAST(x AS DOUBLE) * 65536) AS BIGINT) AS VARCHAR)), ',')
-        |  ), 1, 15))::UBIGINT AS BIGINT))
-        |FROM embeddings
-        |UNION ALL
-        |SELECT 'events', count(*),
-        |  bit_xor(CAST(('0x' || substr(md5(
-        |    CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR) || ':' ||
-        |    event_type || ':' || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
-        |  ), 1, 15))::UBIGINT AS BIGINT))
-        |FROM events""".stripMargin,
-    // the oracle reads the ORIGINAL parquet: matching it proves the
-    // Avro encode+decode chain is byte-faithful
-    "q_avro_roundtrip" ->
-      """SELECT c_mktsegment, count(*) AS n_cust,
-        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
-        |    AS bal_cents
-        |FROM customer GROUP BY 1""".stripMargin,
-    "q_lake_merge" ->
-      s"""$mergeChangeCte
-         |SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
-         |  c.c_mktsegment
-         |FROM customer c ANTI JOIN chg g ON c.c_custkey = g.c_custkey
-         |UNION ALL
-         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         |FROM chg WHERE op = 'U'""".stripMargin,
-    // digest compare: doubles enter as exact cents (floor(x·100 + ½)),
-    // the manifest discipline, so both engines hash identical strings
-    "q_snapshot_diff" ->
-      s"""$mergeChangeCte,
-         |merged AS (
-         |  SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal,
-         |    c.c_mktsegment
-         |  FROM customer c ANTI JOIN chg g ON c.c_custkey = g.c_custkey
-         |  UNION ALL
-         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
-         |  FROM chg WHERE op = 'U'),
-         |o AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR) || ':' ||
-         |        c_name || ':' || CAST(c_nationkey AS VARCHAR) || ':' ||
-         |        CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
-         |        || ':' || c_mktsegment) AS od
-         |      FROM customer),
-         |nn AS (SELECT c_custkey, md5(CAST(c_custkey AS VARCHAR) || ':' ||
-         |        c_name || ':' || CAST(c_nationkey AS VARCHAR) || ':' ||
-         |        CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
-         |        || ':' || c_mktsegment) AS nd
-         |      FROM merged)
-         |SELECT c_custkey, status FROM (
-         |  SELECT coalesce(o.c_custkey, nn.c_custkey) AS c_custkey,
-         |    CASE WHEN o.c_custkey IS NULL THEN 'added'
-         |         WHEN nn.c_custkey IS NULL THEN 'removed'
-         |         WHEN od <> nd THEN 'changed' END AS status
-         |  FROM o FULL JOIN nn ON o.c_custkey = nn.c_custkey)
-         |WHERE status IS NOT NULL""".stripMargin,
-    // tracked attributes = (c_acctbal, c_mktsegment); version 0 history
-    // closed at version-1 = 0, batch applied at version 1
-    "q_scd2" ->
-      s"""$mergeChangeCte,
-         |chg_u AS (SELECT * FROM chg WHERE op = 'U'),
-         |open0 AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal,
-         |            c_mktsegment FROM customer),
-         |m AS (SELECT o.c_custkey, o.c_acctbal AS ob, o.c_mktsegment AS os,
-         |        u.c_acctbal AS nb, u.c_mktsegment AS ns
-         |      FROM open0 o JOIN chg_u u ON o.c_custkey = u.c_custkey),
-         |resent AS (SELECT c_custkey FROM m WHERE nb = ob AND ns = os),
-         |closedk AS (SELECT c_custkey FROM m WHERE nb <> ob OR ns <> os
-         |            UNION ALL SELECT c_custkey FROM chg WHERE op = 'D')
-         |SELECT o.*, CAST(0 AS BIGINT) AS valid_from,
-         |  CAST(999999999 AS BIGINT) AS valid_to
-         |FROM open0 o ANTI JOIN closedk k ON o.c_custkey = k.c_custkey
-         |UNION ALL
-         |SELECT o.*, 0, 0
-         |FROM open0 o SEMI JOIN closedk k ON o.c_custkey = k.c_custkey
-         |UNION ALL
-         |SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal,
-         |  u.c_mktsegment, 1, 999999999
-         |FROM chg_u u ANTI JOIN resent r ON u.c_custkey = r.c_custkey""".stripMargin,
-    "q_tokenizer_fertility" ->
-      s"""WITH RECURSIVE
-        |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),
-        |words AS (SELECT lang, unnest(string_split(text, ' ')) AS word
-        |          FROM documents),
-        |wc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words
-        |       FROM words WHERE word <> '' GROUP BY 1),
-        |states(lang, word, pos, piece) AS (
-        |  SELECT lang, word, 0, CAST(NULL AS VARCHAR) FROM words
-        |  UNION ALL
-        |  SELECT lang, word, pos + step, substr(word, pos + 1, step)
-        |  FROM (SELECT lang, word, pos,
-        |          coalesce((SELECT max(length(tok)) FROM bpe_vocab
-        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1) AS step
-        |        FROM states WHERE pos < length(word)) s),
-        |pc AS (SELECT lang, count(*) AS n_pieces,
-        |         CAST(sum(CASE WHEN piece NOT IN (SELECT tok FROM bpe_vocab)
-        |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_fallback
-        |       FROM states WHERE piece IS NOT NULL GROUP BY 1)
-        |SELECT lang, n_words, n_pieces, n_fallback,
-        |  n_pieces * 1000000 // n_words AS fertility_ppm,
-        |  n_fallback * 1000000 // n_pieces AS fallback_ppm
-        |FROM wc JOIN pc USING (lang)""".stripMargin,
-    "q_bpe_encode" ->
-      s"""WITH RECURSIVE
-        |bpe_vocab(vid, tok) AS (VALUES ${graft.text.BpeVocab.sqlValuesWithId}),
-        |words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word,
-        |            generate_subscripts(string_split(text, ' '), 1) AS widx
-        |          FROM documents),
-        |states(doc_id, widx, word, pos, piece) AS (
-        |  SELECT doc_id, widx, word, 0, CAST(NULL AS VARCHAR) FROM words
-        |  UNION ALL
-        |  SELECT doc_id, widx, word, pos + step, substr(word, pos + 1, step)
-        |  FROM (SELECT doc_id, widx, word, pos,
-        |          coalesce((SELECT max(length(tok)) FROM bpe_vocab
-        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1) AS step
-        |        FROM states WHERE pos < length(word)) s)
-        |SELECT doc_id,
-        |  row_number() OVER (PARTITION BY doc_id ORDER BY widx, pos) - 1 AS seq,
-        |  piece,
-        |  CAST(coalesce((SELECT vid FROM bpe_vocab v WHERE v.tok = piece), -1)
-        |    AS BIGINT) AS piece_id
-        |FROM states WHERE piece IS NOT NULL""".stripMargin,
-    // same deterministic PII injection, replayed in RE2; 'g' flag makes
-    // DuckDB's regexp_replace global like Spark's
-    "q_pii_scrub" ->
-      """WITH seeded AS (SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
-        |    CASE WHEN doc_id % 4 = 0
-        |      THEN ' call 555-010-' || format('{:04d}', doc_id % 10000) ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0
-        |      THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) ELSE '' END
-        |    AS text FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[a-z0-9.]+@[a-z0-9.]+[.][a-z]+', '<EMAIL>', 'g'),
-        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-        |    '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g')) AS scrub_hash
-        |FROM seeded""".stripMargin,
-    "q_text_quality" ->
-      """SELECT doc_id, lang, n_tokens, n_stop,
-        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-        |  CASE WHEN n_tokens BETWEEN 20 AND 80
-        |        AND round(CAST(n_stop AS DOUBLE) / n_tokens, 4) < 0.2
-        |       THEN 'good' ELSE 'low' END AS quality
-        |FROM (SELECT doc_id, lang,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |        CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
-        |      FROM documents)""".stripMargin,
-    "q_lexicon_filter" ->
-      """WITH t AS (SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_filter(string_split(text, ' '),
-        |      t -> t IN ('slow', 'dup', 'drop', 'big'))) AS BIGINT) AS hits
-        |  FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN hits >= 3 OR hits * 25 >= n_tokens
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
-        |  CAST(sum(hits) AS BIGINT) AS total_hits,
-        |  CAST(count(*) - sum(CASE WHEN hits >= 3 OR hits * 25 >= n_tokens
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM t GROUP BY 1""".stripMargin,
-    // row_number over the md5 shuffle key stands in for the
-    // distributed zipWithIndex total order (same order, same ranks)
-    "q_vocab_growth" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
-        |    md5('vg:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
-        |p AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS nt, toks,
-        |    CAST(row_number() OVER (ORDER BY skey) AS BIGINT) AS pos FROM d),
-        |tf AS (SELECT tok, min(pos) AS fp FROM (
-        |    SELECT pos, unnest(list_distinct(toks)) AS tok FROM p) GROUP BY 1),
-        |vb AS (SELECT CASE WHEN fp = 1 THEN 0
-        |      ELSE length(printf('%b', fp - 1)) END AS b,
-        |    CAST(count(*) AS BIGINT) AS v FROM tf GROUP BY 1),
-        |db AS (SELECT CASE WHEN pos = 1 THEN 0
-        |      ELSE length(printf('%b', pos - 1)) END AS b,
-        |    CAST(count(*) AS BIGINT) AS nd, CAST(sum(nt) AS BIGINT) AS tt
-        |  FROM p GROUP BY 1),
-        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p)
-        |SELECT CAST(1::BIGINT << b AS BIGINT) AS checkpoint,
-        |  least(CAST(1::BIGINT << b AS BIGINT), (SELECT nn FROM n)) AS n_docs,
-        |  CAST(sum(tt) OVER (ORDER BY b) AS BIGINT) AS tokens_seen,
-        |  CAST(sum(coalesce(v, 0)) OVER (ORDER BY b) AS BIGINT) AS vocab_size
-        |FROM db LEFT JOIN vb USING (b)""".stripMargin,
-    "q_token_entropy" ->
-      """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
-        |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS nn,
-        |    CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY 1),
-        |g AS (SELECT tok, CAST(count(*) AS BIGINT) AS g FROM t GROUP BY 1),
-        |gt AS (SELECT CAST(sum(g) AS BIGINT) AS gg FROM g)
-        |SELECT c.lang, min(lt.nn) AS n_tokens, min(lt.n_types) AS n_types,
-        |  CAST(sum(CAST(c.c AS HUGEINT)
-        |      * CAST(floor(ln(CAST(lt.nn AS DOUBLE) / c.c) * 1e6) AS BIGINT))
-        |    // min(lt.nn) AS BIGINT) AS h_micronat,
-        |  CAST(sum(CAST(c.c AS HUGEINT)
-        |      * CAST(floor(ln(CAST(c.c AS DOUBLE) * gt.gg
-        |        / (CAST(lt.nn AS DOUBLE) * g.g)) * 1e6) AS BIGINT))
-        |    // min(lt.nn) AS BIGINT) AS kl_micronat
-        |FROM c JOIN lt ON c.lang = lt.lang JOIN g ON c.tok = g.tok
-        |CROSS JOIN gt
-        |GROUP BY 1""".stripMargin,
-    "q_langid_profile" ->
-      """WITH d AS (SELECT doc_id, lang, text FROM documents WHERE len(text) >= 3),
-        |tr AS (SELECT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
-        |       FROM (SELECT doc_id, lang, text,
-        |               unnest(range(1, len(text) - 1)) AS i FROM d)),
-        |lp AS (SELECT lang AS cand, tri, lrank FROM (
-        |    SELECT lang, tri, CAST(row_number() OVER (PARTITION BY lang
-        |      ORDER BY count(*) DESC, tri) AS BIGINT) AS lrank
-        |    FROM tr WHERE doc_id % 2 = 0 GROUP BY lang, tri)
-        |  WHERE lrank <= 20),
-        |dp AS (SELECT doc_id, lang, tri, drank FROM (
-        |    SELECT doc_id, lang, tri, CAST(row_number() OVER (
-        |      PARTITION BY doc_id ORDER BY count(*) DESC, tri) AS BIGINT)
-        |      AS drank
-        |    FROM tr WHERE doc_id % 2 = 1 GROUP BY doc_id, lang, tri)
-        |  WHERE drank <= 20),
-        |m AS (SELECT dp.doc_id, lp.cand,
-        |    CAST(sum(abs(dp.drank - lp.lrank)) AS BIGINT) AS msum,
-        |    CAST(count(*) AS BIGINT) AS mcnt
-        |  FROM dp JOIN lp ON dp.tri = lp.tri GROUP BY 1, 2),
-        |ps AS (SELECT doc_id, min(lang) AS true_lang,
-        |    CAST(count(*) AS BIGINT) AS psize FROM dp GROUP BY 1),
-        |ls AS (SELECT DISTINCT cand FROM lp),
-        |dist AS (SELECT ps.doc_id, ps.true_lang, ls.cand,
-        |    coalesce(m.msum, 0) + (ps.psize - coalesce(m.mcnt, 0)) * 20
-        |      AS dist
-        |  FROM ps CROSS JOIN ls
-        |  LEFT JOIN m ON m.doc_id = ps.doc_id AND m.cand = ls.cand),
-        |prd AS (SELECT doc_id, true_lang, cand FROM (
-        |    SELECT doc_id, true_lang, cand, row_number() OVER (
-        |      PARTITION BY doc_id ORDER BY dist, cand) AS rn FROM dist)
-        |  WHERE rn = 1)
-        |SELECT true_lang AS lang, cand AS pred_lang,
-        |  CAST(count(*) AS BIGINT) AS n_docs
-        |FROM prd GROUP BY 1, 2""".stripMargin,
-    "q_kappa" ->
-      """WITH lab AS (SELECT
-        |    CASE WHEN n_tokens BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS a,
-        |    CASE WHEN n_stop * 5 < n_tokens THEN 1 ELSE 0 END AS b
-        |  FROM (SELECT
-        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |      CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS BIGINT) AS n_stop
-        |    FROM documents)),
-        |cells AS (SELECT
-        |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
-        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-        |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
-        |  FROM lab)
-        |SELECT n00, n01, n10, n11,
-        |  CAST((n00 + n01 + n10 + n11) * (n00 + n11)
-        |       - ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10)) AS DOUBLE)
-        |  / ((n00 + n01 + n10 + n11) * (n00 + n01 + n10 + n11)
-        |     - ((n10 + n11) * (n01 + n11) + (n00 + n01) * (n00 + n10))) AS kappa
-        |FROM cells""".stripMargin,
-    "q_lang_guess" ->
-      """SELECT lang, CASE WHEN en_hits >= 2 THEN 'en'
-        |                  WHEN en_hits = 1 THEN 'en_maybe'
-        |                  ELSE 'unk' END AS guessed, count(*) AS n_docs
-        |FROM (SELECT lang, len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS en_hits
-        |      FROM documents)
-        |GROUP BY 1, 2""".stripMargin,
-    "q_fingerprint" ->
-      """SELECT doc_id,
-        |  CAST(sum(ord * (ascii(substr(tok, 1, 1)) * 31 + len(tok))) % 1000000007 AS BIGINT) AS fingerprint
-        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |        generate_subscripts(string_split(text, ' '), 1) AS ord
-        |      FROM documents)
-        |GROUP BY 1""".stripMargin,
-    "q_feature_hash" ->
-      """SELECT doc_id,
-        |  CAST(('0x' || substr(md5(tok), 1, 2))::UBIGINT % 64 AS BIGINT) AS dim,
-        |  CAST(sum(CASE WHEN ('0x' || substr(md5(tok), 3, 1))::UBIGINT % 2 = 0
-        |               THEN 1 ELSE -1 END) AS BIGINT) AS weight
-        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-        |GROUP BY 1, 2""".stripMargin,
-    "q_textrank" -> textRankSql(5, 30),
-    // corpus-derived stoplist (df >= 80% of docs), order-preserving rebuild
-    "q_stopword_prune" ->
-      """WITH toks AS (SELECT doc_id,
-        |         unnest(string_split(text, ' ')) AS tok,
-        |         generate_subscripts(string_split(text, ' '), 1) AS pos
-        |       FROM documents),
-        |n AS (SELECT count(*) AS n_docs FROM documents),
-        |stop AS (SELECT tok FROM (SELECT tok, count(DISTINCT doc_id) AS dfq FROM toks GROUP BY 1)
-        |         CROSS JOIN n WHERE dfq >= n_docs * 0.8),
-        |kept AS (SELECT doc_id, pos, tok FROM toks
-        |         WHERE tok NOT IN (SELECT tok FROM stop))
-        |SELECT doc_id, count(*) AS n_kept,
-        |  string_agg(tok, ' ' ORDER BY pos) AS pruned_text
-        |FROM kept GROUP BY 1""".stripMargin,
-    // add-one-smoothed corpus unigram LM; ppl derives from the ROUNDED
-    // nll so both engines exponentiate the same value
-    // λ = 0.75 interpolation; the first token of each doc has no prev
-    // and is excluded from the bigram stream in both engines
-    "q_bigram_lm" ->
-      """WITH toks AS (SELECT doc_id,
-        |        CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
-        |        unnest(l) AS tok
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-        |bi AS (SELECT doc_id, tok,
-        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |       FROM toks),
-        |bi2 AS (SELECT doc_id, prev, tok FROM bi WHERE prev IS NOT NULL),
-        |bic AS (SELECT prev, tok, count(*) AS c2 FROM bi2 GROUP BY 1, 2),
-        |uc AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS t,
-        |          CAST(count(*) AS DOUBLE) AS v FROM uc),
-        |d AS (SELECT b.doc_id, count(*) AS n_bigrams,
-        |        round(avg(-ln(
-        |          0.75 * CAST(c.c2 AS DOUBLE) / up.c1 +
-        |          0.25 * CAST(uw.c1 + 1 AS DOUBLE) / (tot.t + tot.v))), 4)
-        |          AS nll
-        |      FROM bi2 b
-        |      JOIN bic c ON b.prev = c.prev AND b.tok = c.tok
-        |      JOIN uc up ON b.prev = up.tok
-        |      JOIN uc uw ON b.tok = uw.tok
-        |      CROSS JOIN tot
-        |      GROUP BY 1)
-        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
-    // Kneser-Ney: same IEEE expression tree as the Spark side —
-    // discounted ML term + D·N1+(prev,·)/c(prev) · continuation prob
-    "q_kneser_ney" ->
-      """WITH toks AS (SELECT doc_id,
-        |        CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
-        |        unnest(l) AS tok
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-        |bi AS (SELECT doc_id, tok,
-        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |       FROM toks),
-        |bi2 AS (SELECT doc_id, prev, tok FROM bi WHERE prev IS NOT NULL),
-        |bic AS (SELECT prev, tok, count(*) AS c2 FROM bi2 GROUP BY 1, 2),
-        |ctx AS (SELECT prev, CAST(sum(c2) AS BIGINT) AS cp,
-        |          count(*) AS n1p_prev FROM bic GROUP BY 1),
-        |cont AS (SELECT tok, count(*) AS n1p_tok FROM bic GROUP BY 1),
-        |tot AS (SELECT count(*) AS n_types FROM bic),
-        |d AS (SELECT b.doc_id, count(*) AS n_bigrams,
-        |        round(avg(-ln(
-        |          (CAST(c.c2 AS DOUBLE) - 0.75) / x.cp +
-        |          0.75 * CAST(x.n1p_prev AS DOUBLE) / x.cp *
-        |            (CAST(w.n1p_tok AS DOUBLE) / tot.n_types))), 4) AS nll
-        |      FROM bi2 b
-        |      JOIN bic c ON b.prev = c.prev AND b.tok = c.tok
-        |      JOIN ctx x ON b.prev = x.prev
-        |      JOIN cont w ON b.tok = w.tok
-        |      CROSS JOIN tot
-        |      GROUP BY 1)
-        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
-    // weighted Jaccard: Σmin/(|q|+|d|−Σmin) in exact integer ppm
-    "q_doc_jaccard_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |q AS (SELECT doc_id AS qid, tok, tf AS qtf FROM tf WHERE doc_id < 10),
-        |i AS (SELECT q.qid, t.doc_id AS did,
-        |        CAST(sum(least(t.tf, q.qtf)) AS BIGINT) AS inter
-        |      FROM tf t JOIN q ON t.tok = q.tok AND t.doc_id <> q.qid
-        |      GROUP BY 1, 2),
-        |s AS (SELECT i.qid, i.did,
-        |        CAST(i.inter * 1000000 // (ql.dl + dd.dl - i.inter) AS BIGINT) AS sim_ppm
-        |      FROM i JOIN dl ql ON i.qid = ql.doc_id
-        |      JOIN dl dd ON i.did = dd.doc_id)
-        |SELECT qid, did, sim_ppm, rnk FROM (
-        |  SELECT qid, did, sim_ppm,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY sim_ppm DESC, did) AS BIGINT) AS rnk
-        |  FROM s)
-        |WHERE rnk <= 5""".stripMargin,
-    "q_vocab_coverage" ->
-      """WITH uc AS (SELECT tok, count(*) AS c FROM
-        |        (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |      GROUP BY 1),
-        |r AS (SELECT c, CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk
-        |      FROM uc),
-        |wide AS (SELECT CAST(sum(c) AS BIGINT) AS total,
-        |    count(*) AS n_vocab,
-        |    CAST(sum(CASE WHEN rnk <= 10 THEN c ELSE 0 END) AS BIGINT) AS c10,
-        |    CAST(sum(CASE WHEN rnk <= 100 THEN c ELSE 0 END) AS BIGINT) AS c100,
-        |    CAST(sum(CASE WHEN rnk <= 1000 THEN c ELSE 0 END) AS BIGINT) AS c1000
-        |  FROM r)
-        |SELECT CAST(10 AS BIGINT) AS k,
-        |  CAST(c10 * 1000000 // total AS BIGINT) AS covered_ppm,
-        |  n_vocab, total AS total_tokens FROM wide
-        |UNION ALL SELECT 100, CAST(c100 * 1000000 // total AS BIGINT),
-        |  n_vocab, total FROM wide
-        |UNION ALL SELECT 1000, CAST(c1000 * 1000000 // total AS BIGINT),
-        |  n_vocab, total FROM wide""".stripMargin,
-    "q_dataset_card" ->
-      """SELECT source, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
-        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs
-        |FROM documents GROUP BY 1""".stripMargin,
-    // lift = c_ab·N/(c_a·c_b) in exact integer ppm; support gate c2 ≥ 10
-    "q_phrase_search" ->
-      """WITH t AS (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS tok,
-        |    generate_subscripts(string_split(text, ' '), 1) AS pos
-        |  FROM documents)
-        |SELECT a.doc_id, count(*) AS n_occ
-        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |WHERE a.tok = 'hash' AND b.tok = 'join'
-        |GROUP BY 1""".stripMargin,
-    "q_collocations" ->
-      """WITH toks AS (SELECT doc_id,
-        |        CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS pos,
-        |        unnest(l) AS tok
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
-        |bi AS (SELECT doc_id, tok,
-        |         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
-        |       FROM toks),
-        |bic AS (SELECT prev, tok, count(*) AS c2 FROM bi
-        |        WHERE prev IS NOT NULL GROUP BY 1, 2),
-        |uc AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY 1),
-        |tot AS (SELECT count(*) AS n FROM toks),
-        |s AS (SELECT b.prev, b.tok, b.c2, ua.c1 AS ca, ub.c1 AS cb,
-        |        CAST((CAST(b.c2 AS HUGEINT) * tot.n * 1000000)
-        |          // (CAST(ua.c1 AS HUGEINT) * ub.c1) AS BIGINT) AS lift_ppm
-        |      FROM bic b
-        |      JOIN uc ua ON b.prev = ua.tok
-        |      JOIN uc ub ON b.tok = ub.tok
-        |      CROSS JOIN tot
-        |      WHERE b.c2 >= 10)
-        |SELECT prev, tok, c2, ca, cb, lift_ppm FROM s
-        |WHERE lift_ppm >= 1200000""".stripMargin,
-    "q_perplexity" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cnt AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM cnt),
-        |d AS (SELECT doc_id, count(*) AS n_tokens,
-        |        round(avg(-ln(CAST(cnt + 1 AS DOUBLE) / (t + v))), 4) AS nll
-        |      FROM toks JOIN cnt USING (tok) CROSS JOIN tot
-        |      GROUP BY 1)
-        |SELECT doc_id, n_tokens, nll, round(exp(nll), 2) AS ppl FROM d""".stripMargin,
-    "q_repetition_stats" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |tok AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct_tokens,
-        |          max(c) AS top_tok
-        |        FROM (SELECT doc_id, g, count(*) AS c
-        |              FROM (SELECT doc_id, unnest(l) AS g FROM t) GROUP BY 1, 2)
-        |        GROUP BY 1),
-        |bg AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram
-        |       FROM (SELECT doc_id, g, count(*) AS c
-        |             FROM (SELECT doc_id,
-        |                     unnest(list_transform(range(1, len(l)),
-        |                       i -> l[i] || ' ' || l[i+1])) AS g
-        |                   FROM t) GROUP BY 1, 2)
-        |       GROUP BY 1)
-        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |  CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
-        |  round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_tok_frac,
-        |  round(CAST(top_bigram AS DOUBLE) / n_bigrams, 4) AS top_bigram_frac
-        |FROM tok JOIN bg USING (doc_id)""".stripMargin,
-    // rational tf-idf (tf * N / df, no log) ranks identically in any IEEE
-    // engine; ranking runs through the native TopKPerKey operator
-    "q_tfidf_topk" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfq AS (SELECT tok, count(*) AS dfq FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n FROM documents),
-        |scored AS (SELECT doc_id, tok,
-        |             round(CAST(tf * n AS DOUBLE) / dfq, 6) AS score
-        |           FROM tf JOIN dfq USING (tok) CROSS JOIN n)
-        |SELECT doc_id, tok, score, rnk FROM (
-        |  SELECT doc_id, tok, score,
-        |    CAST(row_number() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, tok) AS BIGINT) AS rnk
-        |  FROM scored)
-        |WHERE rnk <= 3""".stripMargin,
-    // rational BM25: per-term scores are exact fixed-point integers
-    // (num div den), so the per-doc sum is order-free in both engines;
-    // HUGEINT keeps DuckDB's products exact like Spark's decimal(38,0)
-    "q_bm25_topk" ->
-      s"""WITH ${retrievalListCtes(20, 10)}
-         |SELECT qid, id AS doc_id, score_fp, rnk FROM lex""".stripMargin,
-    "q_dedup_exact" ->
-      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
-    // ExactSubstr passage dedup: all-integer span bookkeeping and a
-    // string rebuild, so the compare is exact with no float anywhere
-    "q_substr_dedup" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |occ AS (SELECT doc_id,
-        |         CAST(unnest(range(1, greatest(len(l) - 6, 1))) - 1 AS BIGINT) AS pos,
-        |         unnest(list_transform(range(1, greatest(len(l) - 6, 1)),
-        |           i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
-        |                l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7])) AS g
-        |       FROM toks),
-        |dup AS (SELECT g, min(doc_id) AS a FROM occ GROUP BY g HAVING count(*) >= 2),
-        |fir AS (SELECT o.g, o.doc_id AS fdoc, min(o.pos) AS fpos
-        |        FROM occ o JOIN dup d ON o.g = d.g AND o.doc_id = d.a
-        |        GROUP BY 1, 2),
-        |later AS (SELECT o.doc_id, o.pos FROM occ o JOIN fir f ON o.g = f.g
-        |          WHERE NOT (o.doc_id = f.fdoc AND o.pos = f.fpos)),
-        |removed AS (SELECT DISTINCT doc_id, pos + t.i AS idx
-        |            FROM later, generate_series(0, 7) t(i)),
-        |spans AS (SELECT doc_id, count(*) AS sl FROM (
-        |            SELECT doc_id, idx,
-        |              idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS isl
-        |            FROM removed) GROUP BY doc_id, isl),
-        |stats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-        |            CAST(sum(sl) AS BIGINT) AS n_dup_tokens
-        |          FROM spans GROUP BY 1),
-        |kept AS (SELECT t.doc_id,
-        |           CAST(unnest(range(1, len(l) + 1)) - 1 AS BIGINT) AS idx,
-        |           unnest(l) AS tok
-        |         FROM toks t JOIN stats s ON t.doc_id = s.doc_id),
-        |surv AS (SELECT k.doc_id, k.idx, k.tok FROM kept k
-        |         ANTI JOIN removed r ON k.doc_id = r.doc_id AND k.idx = r.idx),
-        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
-        |        FROM surv GROUP BY 1)
-        |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
-        |  coalesce(s.n_dup_spans, 0) AS n_dup_spans,
-        |  coalesce(s.n_dup_tokens, 0) AS n_dup_tokens,
-        |  CASE WHEN s.doc_id IS NULL THEN d.text
-        |       ELSE coalesce(r.clean_text, '') END AS clean_text
-        |FROM toks t JOIN documents d ON t.doc_id = d.doc_id
-        |LEFT JOIN stats s ON t.doc_id = s.doc_id
-        |LEFT JOIN reb r ON t.doc_id = r.doc_id""".stripMargin,
-    // brand-banded fuzzy dedup; both engines run the classic DP distance
-    "q_edit_distance" ->
-      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |FROM part a JOIN part b
-        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
-    "q_ngram_jaccard" -> cappedJaccardSql,
-    "q_setsim_join" -> setSimSql,
-    "q_containment" -> containmentSql,
-    // MinHash+LSH emits candidate pairs verified by EXACT Jaccard, so its
-    // oracle is the same brute-force join — recall 1.0 on this corpus is
-    // asserted by DedupSpec (every true pair here is J >= 0.88; the 8-band
-    // signature misses such a pair with p < 1e-8, and the check is
-    // deterministic on fixed data).
-    "q_minhash_lsh" -> exactJaccardSql,
-    "q_minhash_eval" -> minhashEvalSql(16, 8),
-    "q_ann_bruteforce" -> annTopKSql(5),
-    "q_mrl_eval" -> mrlEvalSql(20, 5, Seq(8, 16, 32)),
-    // RRF fusion of the BM25 (k=10) and exact-cosine (k=10) lists; each
-    // contribution is 1e9 // (60 + rank) — truncating integer division,
-    // so the fused sum and ranking replay exactly
-    "q_rrf_fusion" ->
-      s"""WITH ${retrievalListCtes(20, 10)},
-         |${rrfFusedCte(5)}
-         |SELECT qid, id, rrf_fp, n_lists, rnk FROM fused""".stripMargin,
-    // dense-band LSH + exact re-rank computes the brute-force relation
-    // (SimilaritySpec asserts row-for-row equality; an escape needs a
-    // neighbor missing all 32 signature bands, p <= 1.6e-4 per pair even
-    // at cosine 0)
-    "q_ann_lsh_verified" -> annTopKSql(5),
-    "q_ndcg_eval" -> ndcgEvalSql(20, 10),
-    "q_mrr_eval" -> mrrEvalSql(20, 10),
-    "q_ann_ivf" -> annTopKSql(10),
-    "q_kmeanspp_seed" -> kmeansParSeedSql(3, 8),
-    "q_kcenter_coreset" -> kcenterSql(8),
-    // same trained-index replay as q_semdedup, then quota nearest per
-    // cell with the (dist, vec_id) total order of the heap operator
-    "q_cluster_sample" ->
-      s"""WITH $ivfTrainCte,
-        |best AS (SELECT vec_id, cell, dist FROM (
-        |           SELECT t.vec_id, c.cell, list_reduce(
-        |             list_transform(range(1, 65), i ->
-        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |             (x, y) -> x + y) AS dist,
-        |             row_number() OVER (PARTITION BY t.vec_id ORDER BY list_reduce(
-        |               list_transform(range(1, 65), i ->
-        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |               (x, y) -> x + y), c.cell) AS rn
-        |           FROM e t, c1 c)
-        |         WHERE rn = 1)
-        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist AS dist_fp, rnk
-        |FROM (SELECT vec_id, cell, dist,
-        |        CAST(row_number() OVER (PARTITION BY cell
-        |          ORDER BY dist, vec_id) AS BIGINT) AS rnk
-        |      FROM best)
-        |WHERE rnk <= 10""".stripMargin,
-    // same 16-bit fixed-point arithmetic: quantize, exact integer sum,
-    // one rescale — every step engine-reproducible
-    "q_embedding_centroids" ->
-      """SELECT CAST(label AS BIGINT) AS label,
-        |  CAST(dim - 1 AS BIGINT) AS dim,
-        |  round(sum(q) / 65536.0 / count(*), 6) AS mean,
-        |  count(*) AS n_vectors
-        |FROM (SELECT label,
-        |        generate_subscripts(embedding, 1) AS dim,
-        |        CAST(round(CAST(unnest(embedding) AS DOUBLE) * 65536) AS BIGINT) AS q
-        |      FROM embeddings)
-        |GROUP BY 1, 2""".stripMargin,
-    // replays the single unrolled Lloyd round (Forgy seed), ADC
-    // shortlist, and exact re-rank in SQL: every reduction is an integer
-    // sum of fixed-point terms, so the replay is exact
-    "q_ann_pq" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |r AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS d,
-        |        v[i] AS x, CAST(round(v[i] * 65536) AS BIGINT) AS q16
-        |      FROM e, generate_series(1, 64) t(i)),
-        |tr AS (SELECT * FROM r WHERE vec_id % 2 = 0),
-        |c0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, d, round(x, 6) AS m
-        |       FROM r WHERE vec_id < 64),
-        |a1 AS (SELECT vec_id, sub, cell FROM (
-        |         SELECT dd.vec_id, dd.sub, dd.cell,
-        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
-        |         FROM (SELECT r.vec_id, r.sub, c.cell,
-        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
-        |               FROM tr r JOIN c0 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
-        |       WHERE rn = 1),
-        |c1 AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
-        |       FROM tr r JOIN a1 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cell FROM (
-        |         SELECT dd.vec_id, dd.sub, dd.cell,
-        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
-        |         FROM (SELECT r.vec_id, r.sub, c.cell,
-        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
-        |               FROM r JOIN c1 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
-        |       WHERE rn = 1),
-        |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
-        |lut AS (SELECT r.vec_id AS qid, r.sub, c.cell,
-        |          CAST(sum(CAST(floor(r.x * c.m * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS l
-        |        FROM r JOIN c1 c ON r.sub = c.sub AND r.d = c.d
-        |        WHERE r.vec_id < 20 GROUP BY 1, 2, 3),
-        |sc AS (SELECT l.qid, k.vec_id AS nid, CAST(sum(l.l) AS BIGINT) AS s_fp
-        |       FROM lut l JOIN codes k ON l.sub = k.sub AND l.cell = k.cell
-        |       WHERE k.vec_id <> l.qid GROUP BY 1, 2),
-        |short AS (SELECT qid, nid FROM (
-        |    SELECT sc.qid, sc.nid, row_number() OVER (PARTITION BY sc.qid
-        |      ORDER BY round(sc.s_fp / 1e12 / (qn.nrm * cn.nrm), 6) DESC, sc.nid) AS srnk
-        |    FROM sc JOIN n qn ON sc.qid = qn.vec_id JOIN n cn ON sc.nid = cn.vec_id)
-        |  WHERE srnk <= 50),
-        |rr AS (SELECT s.qid, s.nid,
-        |         round(list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
-        |           / (qn.nrm * cn.nrm), 6) AS sim
-        |       FROM short s
-        |       JOIN e q ON s.qid = q.vec_id JOIN e c ON s.nid = c.vec_id
-        |       JOIN n qn ON s.qid = qn.vec_id JOIN n cn ON s.nid = cn.vec_id)
-        |SELECT * FROM (SELECT qid, nid, sim,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-        |  FROM rr)
-        |WHERE rnk <= 5""".stripMargin,
-    // IVF-PQ: the trained-cell CTE (shared with q_semdedup/q_ivf_ingest)
-    // picks each query's 4 probe cells; the q_ann_pq codebook chain
-    // (renamed sr/str/sc0/sa1/scb) scores only their members via ADC
-    "q_ann_ivfpq" ->
-      s"""WITH $ivfTrainCte,
-        |best AS (SELECT vec_id, cell FROM (
-        |           SELECT t.vec_id, c.cell, row_number() OVER (
-        |             PARTITION BY t.vec_id ORDER BY list_reduce(
-        |               list_transform(range(1, 65), i ->
-        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |               (x, y) -> x + y), c.cell) AS rn
-        |           FROM e t, c1 c)
-        |         WHERE rn = 1),
-        |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
-        |probe AS (SELECT qid, cell FROM (
-        |           SELECT t.vec_id AS qid, c.cell, row_number() OVER (
-        |             PARTITION BY t.vec_id ORDER BY list_reduce(
-        |               list_transform(range(1, 65), i ->
-        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |               (x, y) -> x + y), c.cell) AS rn
-        |           FROM e t, c1 c WHERE t.vec_id < 20)
-        |         WHERE rn <= 4),
-        |sr AS (SELECT vec_id, CAST((i - 1) // 8 AS INT) AS sub, CAST((i - 1) % 8 AS INT) AS d,
-        |         v[i] AS x, CAST(round(v[i] * 65536) AS BIGINT) AS q16
-        |       FROM e, generate_series(1, 64) t(i)),
-        |str AS (SELECT * FROM sr WHERE vec_id % 2 = 0),
-        |sc0 AS (SELECT sub, CAST(vec_id AS INT) AS cell, d, round(x, 6) AS m
-        |        FROM sr WHERE vec_id < 64),
-        |sa1 AS (SELECT vec_id, sub, cell FROM (
-        |         SELECT dd.vec_id, dd.sub, dd.cell,
-        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
-        |         FROM (SELECT r.vec_id, r.sub, c.cell,
-        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
-        |               FROM str r JOIN sc0 c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
-        |       WHERE rn = 1),
-        |scb AS (SELECT r.sub, a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
-        |        FROM str r JOIN sa1 a ON r.vec_id = a.vec_id AND r.sub = a.sub GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cell FROM (
-        |         SELECT dd.vec_id, dd.sub, dd.cell,
-        |           row_number() OVER (PARTITION BY dd.vec_id, dd.sub ORDER BY dd.dist, dd.cell) AS rn
-        |         FROM (SELECT r.vec_id, r.sub, c.cell,
-        |                 sum(CAST(floor((r.x - c.m) * (r.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
-        |               FROM sr r JOIN scb c ON r.sub = c.sub AND r.d = c.d GROUP BY 1, 2, 3) dd)
-        |       WHERE rn = 1),
-        |lut AS (SELECT r.vec_id AS qid, r.sub, c.cell,
-        |          CAST(sum(CAST(floor(r.x * c.m * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS l
-        |        FROM sr r JOIN scb c ON r.sub = c.sub AND r.d = c.d
-        |        WHERE r.vec_id < 20 GROUP BY 1, 2, 3),
-        |cand AS (SELECT p.qid, b.vec_id AS nid
-        |         FROM probe p JOIN best b ON p.cell = b.cell
-        |         WHERE b.vec_id <> p.qid),
-        |adcs AS (SELECT c.qid, c.nid, CAST(sum(l.l) AS BIGINT) AS s_fp
-        |        FROM cand c JOIN codes k ON k.vec_id = c.nid
-        |        JOIN lut l ON l.qid = c.qid AND l.sub = k.sub AND l.cell = k.cell
-        |        GROUP BY 1, 2),
-        |short AS (SELECT qid, nid FROM (
-        |    SELECT s.qid, s.nid, row_number() OVER (PARTITION BY s.qid
-        |      ORDER BY round(s.s_fp / 1e12 / (qn.nrm * cn.nrm), 6) DESC, s.nid) AS srnk
-        |    FROM adcs s JOIN n qn ON s.qid = qn.vec_id JOIN n cn ON s.nid = cn.vec_id)
-        |  WHERE srnk <= 50),
-        |rr AS (SELECT s.qid, s.nid,
-        |         round(list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
-        |           / (qn.nrm * cn.nrm), 6) AS sim
-        |       FROM short s
-        |       JOIN e q ON s.qid = q.vec_id JOIN e c ON s.nid = c.vec_id
-        |       JOIN n qn ON s.qid = qn.vec_id JOIN n cn ON s.nid = cn.vec_id)
-        |SELECT * FROM (SELECT qid, nid, sim,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-        |  FROM rr)
-        |WHERE rnk <= 5""".stripMargin,
-    // brute-force cross-label top-k: the banded candidate path computes
-    // this exact relation (escape bound is label-independent).
-    // ACCEPTED MISMATCH RISK: the banded generator has a nonzero
-    // all-bands-escape probability (~1.6e-4 per near-orthogonal pair),
-    // so an unlucky corpus/SF can hash-miss this oracle even though the
-    // operator behaves as designed. SimilaritySpec's candidate-recall
-    // assertion ("hard negatives: banded candidates cover...") makes
-    // such a miss diagnosable as band escape rather than a logic bug;
-    // on the driver's corpora recall is exactly 1.0.
-    "q_mmr_rerank" -> mmrSql,
-    // majority vote tiebreak = smallest label; qid partitioning keeps
-    // the vote argmax per query before the confusion census
-    "q_knn_eval" ->
-      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |      FROM embeddings),
-        |d AS (SELECT q.vec_id AS qid, q.label AS tl, c.vec_id AS nid,
-        |        c.label AS nl, round(${duckCos("q.v", "c.v")}, 6) AS sim
-        |      FROM e q JOIN e c
-        |        ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
-        |top AS (SELECT qid, tl, nl FROM (
-        |          SELECT qid, tl, nl, row_number() OVER (
-        |            PARTITION BY qid ORDER BY sim DESC, nid) AS rn FROM d)
-        |        WHERE rn <= 5),
-        |v AS (SELECT qid, tl, nl, count(*) AS votes
-        |      FROM top GROUP BY 1, 2, 3),
-        |p AS (SELECT qid, tl, nl FROM (
-        |        SELECT qid, tl, nl, row_number() OVER (
-        |          PARTITION BY qid ORDER BY votes DESC, nl) AS rn FROM v)
-        |      WHERE rn = 1)
-        |SELECT tl AS true_label, nl AS pred_label, count(*) AS n
-        |FROM p GROUP BY 1, 2""".stripMargin,
-    "q_hard_negatives" ->
-      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
-        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |      FROM embeddings),
-        |d AS (SELECT q.vec_id AS qid, c.vec_id AS nid, c.label AS neg_label,
-        |        round(${duckCos("q.v", "c.v")}, 6) AS sim
-        |      FROM e q JOIN e c
-        |        ON q.vec_id < 20 AND q.vec_id <> c.vec_id AND q.label <> c.label)
-        |SELECT * FROM (SELECT qid, nid, neg_label, sim,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-        |  FROM d)
-        |WHERE rnk <= 5""".stripMargin,
-    // the q_ivf_ingest pipeline trained on the FULL corpus, then
-    // within-cell cosine pairs -> recursive-CTE reachability (the
-    // q_dedup_clusters oracle pattern on the semantic pair relation)
-    "q_semdedup" ->
-      s"""WITH RECURSIVE $ivfTrainCte,
-        |$semDedupReachCte
-        |SELECT id AS vec_id, min(rr) AS cluster_id, min(rr) = id AS is_keeper
-        |FROM reach GROUP BY id""".stripMargin,
-    // same Forgy + one-Lloyd-round + fixed-point discipline as q_ann_pq,
-    // over full 64-dim vectors and 16 cells; the ingest census is the
-    // all-vector assignment against the trained (resident-batch) index
-    "q_ivf_ingest" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |r AS (SELECT vec_id, CAST(i AS INT) AS d,
-        |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
-        |      FROM e, generate_series(1, 64) t(i)),
-        |cc AS (SELECT greatest(16, (count(*) + 99) // 100) AS nc FROM embeddings),
-        |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
-        |         list_transform(v, x -> round(x, 6)) AS m
-        |       FROM e WHERE vec_id < (SELECT nc FROM cc)),
-        |a1 AS (SELECT vec_id, cell FROM (
-        |         SELECT t.vec_id, c.cell, row_number() OVER (
-        |           PARTITION BY t.vec_id ORDER BY list_reduce(
-        |             list_transform(range(1, 65), i ->
-        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |             (x, y) -> x + y), c.cell) AS rn
-        |         FROM e t, c0 c WHERE t.vec_id % 2 = 0)
-        |       WHERE rn = 1),
-        |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
-        |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
-        |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1),
-        |best AS (SELECT vec_id, cell, dist FROM (
-        |           SELECT t.vec_id, c.cell, list_reduce(
-        |             list_transform(range(1, 65), i ->
-        |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |             (x, y) -> x + y) AS dist,
-        |             row_number() OVER (PARTITION BY t.vec_id ORDER BY list_reduce(
-        |               list_transform(range(1, 65), i ->
-        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |               (x, y) -> x + y), c.cell) AS rn
-        |           FROM e t, c1 c)
-        |         WHERE rn = 1)
-        |SELECT CAST(cell AS BIGINT) AS cell,
-        |  CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
-        |  CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-        |  CAST(coalesce(sum(CASE WHEN vec_id % 2 = 1 THEN dist END), 0) AS BIGINT) AS new_dist_fp
-        |FROM best GROUP BY 1""".stripMargin,
-    // same integer sufficient statistics (Σqi, Σqj, Σqiqj); the exact
-    // integer numerator (BIGINT here — oracle SFs fit comfortably) goes
-    // through ONE IEEE division, matching Spark's decimal path bit-for-bit
-    // q16 moments + the proven Wilson isqrt chain + the signed
-    // truncating-div transform census
-    "q_embed_whiten" ->
-      s"""WITH $embedWhitenCtes,
-        |za AS (SELECT r.d, sum(abs(CASE WHEN w6.isq = 0 THEN 0::HUGEINT
-        |    ELSE ((CAST(r.q AS HUGEINT) * w6.n - w6.s) * 1000000) // w6.isq
-        |    END)) AS saz
-        |  FROM r JOIN w6 ON r.d = w6.d GROUP BY 1)
-        |SELECT w6.d, w6.n,
-        |  CAST((s * 1000000) // n AS BIGINT) AS mean_fp,
-        |  CAST((isq * 1000000) // n AS BIGINT) AS sd_fp,
-        |  CAST(za.saz AS BIGINT) AS sum_absz
-        |FROM w6 JOIN za ON w6.d = za.d""".stripMargin,
-    // diagonal Mahalanobis over the same whitening parameters
-    "q_ood_score" ->
-      s"""WITH $embedWhitenCtes,
-        |z AS (SELECT r.vec_id, CASE WHEN w6.isq = 0 THEN 0::HUGEINT
-        |    ELSE ((CAST(r.q AS HUGEINT) * w6.n - w6.s) * 1000) // w6.isq
-        |    END AS z
-        |  FROM r JOIN w6 ON r.d = w6.d),
-        |sc AS (SELECT vec_id, CAST(sum(z * z) AS BIGINT) AS score
-        |  FROM z GROUP BY 1)
-        |SELECT sc.vec_id, CAST(e2.label AS BIGINT) AS label, sc.score
-        |FROM sc JOIN embeddings e2 ON sc.vec_id = e2.vec_id
-        |ORDER BY score DESC, sc.vec_id LIMIT 20""".stripMargin,
-    "q_embedding_cov" ->
-      """WITH r AS (SELECT vec_id, CAST(i - 1 AS INT) AS d,
-        |        CAST(round(CAST(embedding[i] AS DOUBLE) * 65536) AS BIGINT) AS q
-        |      FROM embeddings, generate_series(1, 64) t(i)),
-        |p AS (SELECT a.d AS i, b.d AS j, a.q AS qi, b.q AS qj
-        |      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.d <= b.d)
-        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-        |  CAST(CAST(sum(qi * qj) * count(*) - sum(qi) * sum(qj) AS BIGINT) AS DOUBLE)
-        |    / CAST(count(*) * count(*) AS DOUBLE) / 4294967296.0 AS cov,
-        |  count(*) AS n_vectors
-        |FROM p GROUP BY 1, 2""".stripMargin,
-    "q_ann_bq" -> annBinarySql(5, 50),
-    "q_ann_q8" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v,
-        |        greatest(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-30) AS sc
-        |      FROM e),
-        |qz AS (SELECT vec_id, sc,
-        |         list_transform(v, x -> CAST(round(x / sc) AS INT)) AS qv
-        |       FROM s),
-        |d AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
-        |        round(a.sc * b.sc * list_reduce(
-        |          list_transform(range(1, 65), i -> CAST(a.qv[i] AS DOUBLE) * b.qv[i]),
-        |          (x, y) -> x + y), 6) AS qsim
-        |      FROM qz a JOIN qz b ON a.vec_id < 20 AND a.vec_id <> b.vec_id)
-        |SELECT * FROM (SELECT qid, nid, qsim,
-        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY qsim DESC, nid) AS BIGINT) AS rnk
-        |  FROM d)
-        |WHERE rnk <= 5""".stripMargin,
-    "q_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
-         |SELECT * FROM (
-         |  SELECT a.vec_id AS d1, b.vec_id AS d2, round(${duckCos("a.v", "b.v")}, 6) AS sim
-         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |WHERE sim > 0.4""".stripMargin,
-    // Full independent SimHash mirror: the md5-derived token hash is
-    // computable by DuckDB ('0x' || leading md5 hex -> UBIGINT), so the
-    // oracle rebuilds signatures, bands, candidates and hamming from
-    // scratch.
-    "q_simhash" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
-        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS hv FROM toks),
-        |votes AS (SELECT doc_id, b AS bit,
-        |            sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS b)
-        |          GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, CAST(bit // 16 AS INT) AS band,
-        |            CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(bit % 16 AS INT) ELSE 0 END) AS BIGINT) AS value
-        |          FROM votes GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.value = b.value AND a.doc_id < b.doc_id),
-        |sig AS (SELECT doc_id, list(value ORDER BY band) AS s FROM bands GROUP BY 1)
-        |SELECT d1, d2, hamming FROM (
-        |  SELECT d1, d2,
-        |    CAST(bit_count(xor(sa.s[1], sb.s[1])) + bit_count(xor(sa.s[2], sb.s[2]))
-        |       + bit_count(xor(sa.s[3], sb.s[3])) + bit_count(xor(sa.s[4], sb.s[4])) AS BIGINT) AS hamming
-        |  FROM cand JOIN sig sa ON d1 = sa.doc_id JOIN sig sb ON d2 = sb.doc_id)
-        |WHERE hamming <= 3""".stripMargin,
-    // Engine-independent sketch-accuracy assertions (see SqlQueries
-    // .qSketchStats scaladoc): the oracle derives the exact columns and
-    // the nominal values the rounded sketch checks must land on.
-    "q_sketch_stats" ->
-      """SELECT event_type, count(DISTINCT user_id) AS n_users,
-        |  CAST(1.0 AS DOUBLE) AS users_ratio,
-        |  CAST(0.5 AS DOUBLE) AS p50_rank,
-        |  CAST(0.95 AS DOUBLE) AS p95_rank
-        |FROM events GROUP BY 1""".stripMargin,
-    // independent fixpoint formulation: recursive-CTE reachability over
-    // the same exact-Jaccard pair relation, min reachable id = cluster
-    "q_dedup_clusters" -> dedupClustersOracle,
-    // the incremental ingest must EQUAL the from-scratch clusters — its
-    // oracle is literally the same from-scratch recursive CTE
-    "q_dedup_incremental" -> dedupClustersOracle,
-    "q_dedup_keep_best" -> dedupKeepBestOracle,
-    "q_corpus_build_v2" -> corpusBuildV2Oracle,
-    "q_corpus_build_v3" -> corpusBuildV3Oracle,
-    "q_corpus_build_v4" -> corpusBuildV4Oracle,
-    "q_corpus_build_v5" -> corpusBuildV5Oracle,
-    // one chained program: MW mixture training -> tuned rates, stump
-    // training -> leaf model, then the three per-row gates + census
-    "q_corpus_build_v6" ->
-      s"""WITH ${mixMwCtes(4, 200000L)},
-         |${boostedStumpsCtes(3)},
-         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w4),
-         |tws AS (SELECT CAST(sum(w) AS HUGEINT) AS t FROM w4),
-         |rt AS (SELECT source, least(1000000,
-         |    CAST((w * 1000000) // (SELECT t FROM tws) AS BIGINT)
-         |      * (SELECT n FROM ns)) AS rate FROM w4),
-         |base AS (SELECT d.doc_id, d.source, d.lang, f.f1, f.f2, f.f3,
-         |    CAST(len(list_filter(string_split(d.text, ' '),
-         |      t -> t IN ('slow', 'dup', 'drop', 'big'))) AS BIGINT) AS hits,
-         |    CAST(('0x' || substr(md5('v6:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
-         |      ::UBIGINT % 1000000 AS BIGINT) AS u
-         |  FROM documents d JOIN f ON d.doc_id = f.doc_id),
-         |gp AS (SELECT b.source, b.lang,
-         |    b.u < rt.rate AS mix,
-         |    b.u < rt.rate AND NOT (b.hits >= 3 OR b.hits * 25 >= b.f1) AS lex,
-         |    b.u < rt.rate AND NOT (b.hits >= 3 OR b.hits * 25 >= b.f1)
-         |      AND ((CASE WHEN (CASE p1.fe WHEN 'f1' THEN b.f1 WHEN 'f2' THEN b.f2 ELSE b.f3 END) <= p1.th THEN p1.dl ELSE p1.dr END)
-         |         + (CASE WHEN (CASE p2.fe WHEN 'f1' THEN b.f1 WHEN 'f2' THEN b.f2 ELSE b.f3 END) <= p2.th THEN p2.dl ELSE p2.dr END)
-         |         + (CASE WHEN (CASE p3.fe WHEN 'f1' THEN b.f1 WHEN 'f2' THEN b.f2 ELSE b.f3 END) <= p3.th THEN p3.dl ELSE p3.dr END))
-         |        >= 22000000 AS mdl
-         |  FROM base b JOIN rt ON b.source = rt.source
-         |  CROSS JOIN p1 CROSS JOIN p2 CROSS JOIN p3)
-         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_base,
-         |  CAST(sum(CASE WHEN mix THEN 1 ELSE 0 END) AS BIGINT) AS n_mix,
-         |  CAST(sum(CASE WHEN lex THEN 1 ELSE 0 END) AS BIGINT) AS n_lex,
-         |  CAST(sum(CASE WHEN mdl THEN 1 ELSE 0 END) AS BIGINT) AS n_final
-         |FROM gp GROUP BY 1, 2""".stripMargin,
-    "q_lang_sample_temp" ->
-      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM c),
-        |w AS (SELECT lang, n_docs,
-        |        CAST(round(pow(n_docs / total, 0.3) * 1e12) AS BIGINT) AS wt_fp,
-        |        total FROM c, t),
-        |s AS (SELECT CAST(sum(wt_fp) AS BIGINT) AS wsum_fp FROM w),
-        |r AS (SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
-        |        least(1000000, CAST(floor(0.5 * (wt_fp / wsum_fp) * total / n_docs * 1e6)
-        |          AS BIGINT)) AS rate_ppm
-        |      FROM w, s),
-        |u AS (SELECT lang,
-        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |          % 1000000 AS BIGINT) AS u_ppm
-        |      FROM documents)
-        |SELECT r.lang, r.n_docs, r.rate_ppm,
-        |  CAST(sum(CASE WHEN u.u_ppm < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_kept,
-        |  round(CAST(sum(CASE WHEN u.u_ppm < r.rate_ppm THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / r.n_docs, 4) AS achieved_rate
-        |FROM u JOIN r ON u.lang = r.lang
-        |GROUP BY 1, 2, 3""".stripMargin,
-    "q_source_cap" -> sourceCapOracle,
-    "q_source_cap_sql" -> sourceCapOracle,
-    "q_quality_gate" -> qualityGateOracle,
-    "q_quality_gate_sql" -> qualityGateOracle,
-    "q_global_shuffle" ->
-      """WITH r AS (SELECT doc_id,
-        |    CAST(row_number() OVER (
-        |      ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
-        |  FROM documents)
-        |SELECT CAST((pos - 1) // 100 AS BIGINT) AS shard,
-        |  count(*) AS n_docs, min(pos) AS first_pos, max(pos) AS last_pos,
-        |  CAST(sum(doc_id) AS BIGINT) AS docid_sum
-        |FROM r GROUP BY 1""".stripMargin,
-    "q_decontaminate" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l,
-        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-        |          AS BIGINT) AS bucket
-        |      FROM documents),
-        |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
-        |         range(1, greatest(len(l) - 2, 1)),
-        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
-        |       FROM toks),
-        |ev AS (SELECT DISTINCT sh FROM sh WHERE bucket >= 90),
-        |tr AS (SELECT doc_id, sh FROM sh WHERE bucket < 80),
-        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM tr GROUP BY 1),
-        |hits AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-        |         FROM tr JOIN ev ON tr.sh = ev.sh GROUP BY 1)
-        |SELECT h.doc_id, s.n_shingles, h.n_hits,
-        |  round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 4) AS frac
-        |FROM hits h JOIN sz s ON h.doc_id = s.doc_id""".stripMargin,
-    "q_dup_passages" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sp AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, greatest(len(l) - 6, 1)),
-        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' ||
-        |              l[i+4] || ' ' || l[i+5] || ' ' || l[i+6] || ' ' || l[i+7]))) AS span
-        |       FROM toks),
-        |shared AS (SELECT span, CAST(count(*) AS BIGINT) AS n_docs
-        |           FROM sp GROUP BY 1 HAVING count(*) >= 2)
-        |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
-        |  max(shared.n_docs) AS max_span_docs
-        |FROM sp JOIN shared ON sp.span = shared.span
-        |GROUP BY 1""".stripMargin,
-    "q_split_assign" -> splitAssignOracle,
-    "q_split_assign_sql" -> splitAssignOracle,
-    "q_corpus_build_exact" -> corpusBuildExactOracle,
-    "q_corpus_build_sql" -> corpusBuildExactOracle,
-    // window/stride arithmetic mirrored in integers; unnest(generate_series)
-    // is the correlated explode
-    "q_chunk_windows" ->
-      """WITH d AS (SELECT lang,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-        |      FROM documents),
-        |w AS (SELECT lang, n,
-        |        CASE WHEN n <= 256 THEN 1
-        |             ELSE (n - 256 + 191) // 192 + 1 END AS n_win
-        |      FROM d),
-        |x AS (SELECT lang, n, unnest(generate_series(0, n_win - 1)) AS k
-        |      FROM w)
-        |SELECT lang,
-        |  CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
-        |  count(*) AS n_windows,
-        |  CAST(sum(CASE WHEN least(256, n - k * 192) = 256 THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_full,
-        |  CAST(sum(least(256, n - k * 192)) AS BIGINT) AS token_sum
-        |FROM x GROUP BY 1""".stripMargin,
-    // integer ppm rates; salted md5 draw (every hash policy its own stream)
-    "q_mix_mw" -> mixMwSql(4, 200000L),
-    "q_boosted_stumps" -> boostedStumpsSql(3),
-    "q_stump_crossval" -> stumpCrossvalSql(5, 2),
-    "q_louvain" -> louvainSql(graft.graph.GraphOps.LouvainRounds),
-    "q_domain_mix" ->
-      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
-        |        count(*) AS n_sources FROM c),
-        |r AS (SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
-        |        least(1000000, (total * 500000) // (n_sources * n_docs))
-        |          AS rate_ppm
-        |      FROM c, t),
-        |u AS (SELECT source,
-        |        CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |          ::UBIGINT % 1000000 AS BIGINT) AS u_ppm
-        |      FROM documents)
-        |SELECT u.source, r.n_docs, r.rate_ppm,
-        |  CAST(sum(CASE WHEN u_ppm < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_kept,
-        |  round(CAST(sum(CASE WHEN u_ppm < rate_ppm THEN 1 ELSE 0 END) AS DOUBLE)
-        |    / r.n_docs, 4) AS achieved_rate
-        |FROM u JOIN r USING (source)
-        |GROUP BY 1, 2, 3""".stripMargin,
-    // the bloom is invisible to the RESULT (exact semi join scrubs false
-    // positives) — the oracle is the plain IN-subquery semi join
-    "q_bloom_prune" ->
-      """SELECT l_returnflag, count(*) AS n_items, sum(l_quantity) AS sum_qty
-        |FROM lineitem
-        |WHERE l_orderkey IN
-        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
-        |GROUP BY 1""".stripMargin,
-    "q_pagerank" -> pageRankSql(5),
-    "q_pagerank_seeded" -> pprSql(5, 3),
-    "q_pagerank_delta" -> pageRankDeltaSql(5, 2),
-    "q_pagerank_dangling" -> pageRankDanglingSql(
-      graft.graph.GraphOps.DanglingEps, graft.graph.GraphOps.DanglingMaxIters),
-    "q_quality_classifier" -> qualityClassifierSql(64, 4),
-    "q_auc" -> aucSql(64, 4),
-    // copurchaseCte opens the WITH; the reach closure needs RECURSIVE
-    "q_influence_spread" ->
-      s"""${copurchaseCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |arcs AS (SELECT u AS a, v AS b FROM und
-         |  UNION ALL SELECT v, u FROM und),
-         |live AS (SELECT a, b FROM arcs
-         |  WHERE ('0x' || substring(md5('ic:' || a || ':' || b), 1, 8))
-         |    ::UBIGINT % 100 < 30),
-         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_live_arcs FROM live),
-         |seeds AS (SELECT node FROM (SELECT u AS node FROM und
-         |    UNION SELECT v FROM und) ORDER BY node LIMIT 3),
-         |reach(s, v) AS (SELECT node, node FROM seeds
-         |  UNION
-         |  SELECT r.s, l.b FROM reach r JOIN live l ON r.v = l.a)
-         |SELECT s AS seed, CAST(count(*) AS BIGINT) AS n_reached,
-         |  nl.n_live_arcs
-         |FROM reach CROSS JOIN nl GROUP BY 1, 3 ORDER BY 1""".stripMargin,
-    "q_quality_ensemble" -> qualityEnsembleSql(64, 4),
-    "q_calibration" -> calibrationSql(64, 4),
-    "q_random_walks" -> randomWalkSql(10, 2),
-    "q_walk_pairs" -> walkPairsSql(10, 2, graft.graph.GraphOps.PairWindow),
-    "q_node_embed" -> nodeEmbedSql(10, 2, graft.graph.GraphOps.PairWindow),
-    "q_embed_eval" -> embedEvalSql(10, 2, graft.graph.GraphOps.PairWindow),
-    "q_label_prop" -> labelPropSql(graft.graph.GraphOps.LabelPropIters),
-    "q_modularity" -> modularitySql(graft.graph.GraphOps.LabelPropIters),
-    "q_copurchase" ->
-      s"""$copurchaseCte
-         |, ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
-         |         FROM li GROUP BY 1),
-         |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM li)
-         |SELECT e.u, e.v, e.support,
-         |  CAST(e.support * no.n AS DOUBLE) / (c1.c * c2.c) AS lift
-         |FROM und e CROSS JOIN no
-         |JOIN ic c1 ON e.u = c1.l_partkey
-         |JOIN ic c2 ON e.v = c2.l_partkey""".stripMargin,
-    "q_assoc_rules" ->
-      s"""$copurchaseCte
-         |, ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
-         |         FROM li GROUP BY 1),
-         |no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n
-         |       FROM li),
-         |rules AS (SELECT u AS antecedent, v AS consequent, support
-         |            FROM und
-         |          UNION ALL
-         |          SELECT v AS antecedent, u AS consequent, support
-         |            FROM und)
-         |SELECT r.antecedent, r.consequent, r.support,
-         |  CAST((1000000::HUGEINT * r.support) // ca.c AS BIGINT)
-         |    AS confidence_ppm,
-         |  CAST((1000000::HUGEINT * r.support * no.n)
-         |    // (ca.c::HUGEINT * cc.c) AS BIGINT) AS lift_ppm
-         |FROM rules r CROSS JOIN no
-         |JOIN ic ca ON r.antecedent = ca.l_partkey
-         |JOIN ic cc ON r.consequent = cc.l_partkey""".stripMargin,
-    // same basket CTE; kNN truncation and rec ranks replay the
-    // (score DESC, id) heap-operator total order
-    "q_item_cf" ->
-      s"""$copurchaseCte
-         |, ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
-         |         FROM li GROUP BY 1),
-         |sym AS (SELECT u, v, support FROM und
-         |        UNION ALL SELECT v, u, support FROM und),
-         |sim AS (SELECT sym.u, sym.v,
-         |    CAST((CAST(sym.support AS HUGEINT) * sym.support * 1000000000000)
-         |      // (cu.c::HUGEINT * cv.c) AS BIGINT) AS cos2_fp
-         |  FROM sym JOIN ic cu ON sym.u = cu.l_partkey
-         |  JOIN ic cv ON sym.v = cv.l_partkey),
-         |top AS (SELECT u, v, cos2_fp FROM (
-         |    SELECT u, v, cos2_fp, row_number() OVER (
-         |      PARTITION BY u ORDER BY cos2_fp DESC, v) AS rn FROM sim)
-         |  WHERE rn <= 5),
-         |own AS (SELECT DISTINCT o.o_custkey AS cust, li.l_partkey AS item
-         |        FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
-         |        WHERE o.o_custkey < 20),
-         |cand AS (SELECT own.cust, t.v AS rec,
-         |    CAST(sum(t.cos2_fp) AS BIGINT) AS score_fp
-         |  FROM own JOIN top t ON own.item = t.u
-         |  LEFT JOIN own o2 ON o2.cust = own.cust AND o2.item = t.v
-         |  WHERE o2.item IS NULL
-         |  GROUP BY 1, 2)
-         |SELECT cust AS c_custkey, rec AS rec_part, score_fp, rnk FROM (
-         |  SELECT cust, rec, score_fp, CAST(row_number() OVER (
-         |    PARTITION BY cust ORDER BY score_fp DESC, rec) AS BIGINT) AS rnk
-         |  FROM cand) WHERE rnk <= 3""".stripMargin,
-    // blocked levenshtein verify + recursive-CTE reachability (the
-    // q_dedup_clusters pattern), singletons self-labeled
-    "q_er_entities" ->
-      """WITH RECURSIVE names AS (SELECT p_name,
-        |    CAST(min(p_partkey) AS BIGINT) AS name_id,
-        |    CAST(count(*) AS BIGINT) AS n_parts FROM part GROUP BY 1),
-        |k AS (SELECT p_name, name_id, n_parts,
-        |    string_split(p_name, ' ')[-1] AS block FROM names),
-        |e0 AS (SELECT a.name_id AS src, b.name_id AS dst
-        |      FROM k a JOIN k b ON a.block = b.block
-        |        AND a.name_id < b.name_id
-        |      WHERE levenshtein(a.p_name, b.p_name) <= 2),
-        |edges AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-        |reach(id, rr) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT reach.id, edges.dst FROM reach
-        |  JOIN edges ON reach.rr = edges.src),
-        |lab AS (SELECT id AS name_id, min(rr) AS cluster_id
-        |        FROM reach GROUP BY 1),
-        |alln AS (SELECT k.p_name, k.name_id, k.n_parts,
-        |    coalesce(lab.cluster_id, k.name_id) AS entity_id
-        |  FROM k LEFT JOIN lab ON k.name_id = lab.name_id),
-        |census AS (SELECT entity_id, CAST(count(*) AS BIGINT) AS n_names,
-        |    CAST(sum(n_parts) AS BIGINT) AS n_parts
-        |  FROM alln GROUP BY 1)
-        |SELECT c.entity_id, c.n_names, c.n_parts, a.p_name AS canonical_name
-        |FROM census c JOIN alln a ON a.name_id = c.entity_id""".stripMargin,
-    "q_rfm" ->
-      """WITH o AS (SELECT o_custkey, o_orderdate,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM orders),
-        |mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS d1 FROM o),
-        |per AS (SELECT o_custkey,
-        |    CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
-        |      (SELECT d1 FROM mx)) AS BIGINT) AS recency_days,
-        |    CAST(count(*) AS BIGINT) AS frequency,
-        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
-        |  FROM o GROUP BY 1),
-        |nn AS (SELECT count(*) AS n FROM per),
-        |rt AS (SELECT
-        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS t1,
-        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS t2,
-        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS t3
-        |  FROM (SELECT recency_days AS v, row_number()
-        |      OVER (ORDER BY recency_days, o_custkey) AS rn FROM per)
-        |    CROSS JOIN nn),
-        |ft AS (SELECT
-        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS t1,
-        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS t2,
-        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS t3
-        |  FROM (SELECT frequency AS v, row_number()
-        |      OVER (ORDER BY frequency, o_custkey) AS rn FROM per)
-        |    CROSS JOIN nn),
-        |mt AS (SELECT
-        |    max(CASE WHEN rn = (n + 3) // 4 THEN v END) AS t1,
-        |    max(CASE WHEN rn = (n + 1) // 2 THEN v END) AS t2,
-        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS t3
-        |  FROM (SELECT monetary_cents AS v, row_number()
-        |      OVER (ORDER BY monetary_cents, o_custkey) AS rn FROM per)
-        |    CROSS JOIN nn),
-        |sc AS (SELECT p.o_custkey, p.recency_days, p.frequency,
-        |    p.monetary_cents,
-        |    5 - (1 + CASE WHEN p.recency_days > rt.t1 THEN 1 ELSE 0 END
-        |      + CASE WHEN p.recency_days > rt.t2 THEN 1 ELSE 0 END
-        |      + CASE WHEN p.recency_days > rt.t3 THEN 1 ELSE 0 END)
-        |      AS r_score,
-        |    1 + CASE WHEN p.frequency > ft.t1 THEN 1 ELSE 0 END
-        |      + CASE WHEN p.frequency > ft.t2 THEN 1 ELSE 0 END
-        |      + CASE WHEN p.frequency > ft.t3 THEN 1 ELSE 0 END
-        |      AS f_score,
-        |    1 + CASE WHEN p.monetary_cents > mt.t1 THEN 1 ELSE 0 END
-        |      + CASE WHEN p.monetary_cents > mt.t2 THEN 1 ELSE 0 END
-        |      + CASE WHEN p.monetary_cents > mt.t3 THEN 1 ELSE 0 END
-        |      AS m_score
-        |  FROM per p CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt)
-        |SELECT o_custkey, recency_days, frequency, monetary_cents,
-        |  CAST(r_score AS BIGINT) AS r_score,
-        |  CAST(f_score AS BIGINT) AS f_score,
-        |  CAST(m_score AS BIGINT) AS m_score,
-        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
-        |    AS segment
-        |FROM sc""".stripMargin,
-    "q_luby_mis" -> lubyMisSql(8),
-    "q_markov_stationary" -> markovSql(20),
-    // directed nation-trade SCCs: at-or-above-mean edge gate (exact
-    // integer cross-multiply), recursive-CTE transitive closure,
-    // scc id = min mutual-reach node; isolated nations are singletons
-    "q_scc_trade" ->
-      """WITH RECURSIVE e0 AS (
-        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
-        |  FROM lineitem l
-        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |  JOIN customer c ON o.o_custkey = c.c_custkey
-        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        |  GROUP BY 1, 2),
-        |stats AS (SELECT count(*) AS n_pairs, CAST(sum(n) AS BIGINT) AS tot
-        |          FROM e0),
-        |e AS (SELECT src, dst FROM e0, stats WHERE n * n_pairs >= tot),
-        |r(src, dst) AS (
-        |  SELECT src, dst FROM e
-        |  UNION
-        |  SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src),
-        |mut AS (SELECT r1.dst AS v, r1.src AS u
-        |        FROM r r1 JOIN r r2 ON r1.src = r2.dst AND r1.dst = r2.src),
-        |sid AS (SELECT n.n_nationkey AS v,
-        |          least(n.n_nationkey, coalesce(min(m.u), n.n_nationkey))
-        |            AS scc_id
-        |        FROM nation n LEFT JOIN mut m ON m.v = n.n_nationkey
-        |        GROUP BY 1),
-        |sz AS (SELECT scc_id, count(*) AS scc_size FROM sid GROUP BY 1),
-        |outd AS (SELECT src, count(*) AS n_out FROM e GROUP BY 1)
-        |SELECT n.n_name AS nation, CAST(s.scc_id AS BIGINT) AS scc_id,
-        |  CAST(z.scc_size AS BIGINT) AS scc_size,
-        |  CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out
-        |FROM nation n JOIN sid s ON n.n_nationkey = s.v
-        |JOIN sz z ON s.scc_id = z.scc_id
-        |LEFT JOIN outd o ON n.n_nationkey = o.src""".stripMargin,
-    "q_ngram_novelty" ->
-      s"""$shingleCte,
-        |fs AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1),
-        |pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
-        |         CAST(sum(CASE WHEN f.first_doc = s.doc_id
-        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
-        |       FROM sh s JOIN fs f ON s.sh = f.sh GROUP BY 1)
-        |SELECT d.doc_id, d.source,
-        |  CAST(coalesce(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
-        |  CAST(coalesce(pd.n_novel, 0) AS BIGINT) AS n_novel,
-        |  CAST(CASE WHEN coalesce(pd.n_shingles, 0) = 0 THEN 0
-        |    ELSE (1000000 * pd.n_novel) // pd.n_shingles END AS BIGINT)
-        |    AS novelty_ppm
-        |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id"""
-        .stripMargin,
-    // tf-weighted Jaccard over the NON-distinct (multiset) shingle
-    // universe, same df > 1000 hot cap as the set variant; Σmax
-    // recovered via tot_a + tot_b − Σmin so only shared types join
-    "q_weighted_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |shl AS (SELECT doc_id, unnest(list_transform(
-        |         range(1, greatest(len(l) - 2, 1)),
-        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3])) AS sh
-        |       FROM toks),
-        |tf AS (SELECT doc_id, sh, count(*) AS tf FROM shl GROUP BY 1, 2),
-        |hot AS (SELECT sh FROM tf GROUP BY 1 HAVING count(*) > 1000),
-        |ctf AS (SELECT * FROM tf WHERE sh NOT IN (SELECT sh FROM hot)),
-        |tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot FROM ctf GROUP BY 1),
-        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
-        |          CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS inter_w
-        |        FROM ctf a JOIN ctf b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |        GROUP BY 1, 2)
-        |SELECT d1, d2, inter_w,
-        |  CAST(t1.tot + t2.tot - inter_w AS BIGINT) AS union_w,
-        |  CAST((inter_w * 1000000) // (t1.tot + t2.tot - inter_w) AS BIGINT)
-        |    AS jw_ppm
-        |FROM inter JOIN tot t1 ON d1 = t1.doc_id JOIN tot t2 ON d2 = t2.doc_id
-        |WHERE 2 * inter_w >= t1.tot + t2.tot - inter_w""".stripMargin,
-    "q_kcore" -> kCoreSql,
-    "q_mst" -> mstSql,
-    "q_betweenness" -> betweennessSql(8, 20, 12),
-    "q_hyperball" -> hyperBallSql(2),
-    "q_effective_diameter" -> effectiveDiameterSql(3),
-    // reuses tradeGraphCte's degree-annotated arc relation `e` — the
-    // encoding/dedup single-source rule of every trade-graph oracle
-    "q_assortativity" ->
-      s"""WITH $tradeGraphCte,
-         |j AS (SELECT CAST(e.outdeg AS BIGINT) AS du,
-         |        CAST(d2.outdeg AS BIGINT) AS dv
-         |      FROM e JOIN deg d2 ON e.dst = d2.src),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS m,
-         |    CAST(sum(du) AS BIGINT) AS sx,
-         |    CAST(sum(du * du) AS BIGINT) AS sxx,
-         |    CAST(sum(du * dv) AS BIGINT) AS sxy
-         |  FROM j)
-         |SELECT m AS n_arcs, sx, sxx, sxy,
-         |  CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS BIGINT) AS cov_num,
-         |  round(CAST(m::HUGEINT * sxy - sx::HUGEINT * sx AS DOUBLE)
-         |    / CAST(m::HUGEINT * sxx - sx::HUGEINT * sx AS DOUBLE), 6)
-         |    AS assortativity
-         |FROM m""".stripMargin,
-    "q_lexical_diversity" ->
-      """WITH t AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM
-        |    (SELECT lang, unnest(string_split(text, ' ')) AS tok
-        |     FROM documents) GROUP BY 1, 2),
-        |a AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |    CAST(count(*) AS BIGINT) AS n_types,
-        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
-        |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
-        |  FROM t GROUP BY 1)
-        |SELECT lang, n_tokens, n_types, n_hapax,
-        |  CAST(n_types * 1000000 // n_tokens AS BIGINT) AS ttr_ppm,
-        |  CAST(n_hapax * 1000000 // n_types AS BIGINT) AS hapax_ppm,
-        |  CAST(coll::HUGEINT * 1000000
-        |    // (n_tokens::HUGEINT * (n_tokens - 1)) AS BIGINT) AS simpson_ppm
-        |FROM a""".stripMargin,
-    "q_k_anonymity" ->
-      """WITH cls AS (SELECT event_type,
-        |    (epoch_us(ts) // 3600000000) % 24 AS hod,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000 AS vbucket,
-        |    CAST(count(*) AS BIGINT) AS sz,
-        |    CAST(count(DISTINCT user_id) AS BIGINT) AS l_div
-        |  FROM events GROUP BY 1, 2, 3)
-        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
-        |  CAST(sum(sz) AS BIGINT) AS n_rows,
-        |  min(sz) AS min_class_size, min(l_div) AS min_l_diversity,
-        |  CAST(sum(CASE WHEN sz < 2 THEN sz ELSE 0 END) AS BIGINT) AS rows_k1,
-        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS rows_lt5,
-        |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
-        |    AS rows_lt10,
-        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) * 1000000
-        |    // sum(sz) AS BIGINT) AS risk5_ppm
-        |FROM cls""".stripMargin,
-    "q_holt_winters" ->
-      """WITH RECURSIVE daily AS (SELECT event_type,
-        |    epoch_us(ts) // 86400000000 AS day,
-        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
-        |  FROM events GROUP BY 1, 2),
-        |ord AS (SELECT event_type, y,
-        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
-        |      AS BIGINT) AS t,
-        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM daily),
-        |hw(event_type, t, n, l, b, sae) AS (
-        |  SELECT event_type, t, n, y, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-        |  FROM ord WHERE t = 1
-        |  UNION ALL
-        |  SELECT o.event_type, o.t, o.n,
-        |    (o.y + 3 * (h.l + h.b)) // 4,
-        |    (3 * h.b + ((o.y + 3 * (h.l + h.b)) // 4) - h.l) // 4,
-        |    h.sae + abs(o.y - (h.l + h.b))
-        |  FROM hw h JOIN ord o
-        |    ON o.event_type = h.event_type AND o.t = h.t + 1)
-        |SELECT event_type, n AS n_days, l AS level, b AS trend,
-        |  l + 7 * b AS forecast_7d, sae // (n - 1) AS mae
-        |FROM hw WHERE t = n AND n >= 2""".stripMargin,
-    // the oracle skips the Apriori pruning on purpose: downward closure
-    // makes every prune lossless, so the naive triple count is the spec
-    "q_freq_triples" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem)
-        |SELECT a.pk AS p1, b.pk AS p2, c.pk AS p3,
-        |  CAST(count(*) AS BIGINT) AS support
-        |FROM li a
-        |JOIN li b ON a.ok = b.ok AND a.pk < b.pk
-        |JOIN li c ON a.ok = c.ok AND b.pk < c.pk
-        |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
-    "q_naive_bayes" ->
-      """WITH toks AS (SELECT doc_id, lang,
-        |    unnest(string_split(text, ' ')) AS tok FROM documents),
-        |cnt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
-        |  FROM toks GROUP BY 1, 2),
-        |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
-        |vocab AS (SELECT DISTINCT tok FROM cnt),
-        |vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-        |grid AS (SELECT lt.lang AS mlang, vocab.tok,
-        |    CAST(floor(ln((COALESCE(cnt.c, 0) + 1)::DOUBLE
-        |      / (lt.t + vn.v)::DOUBLE) * 1e6) AS BIGINT) AS w
-        |  FROM vocab CROSS JOIN lt CROSS JOIN vn
-        |  LEFT JOIN cnt ON cnt.lang = lt.lang AND cnt.tok = vocab.tok),
-        |prior AS (SELECT d.lang AS mlang,
-        |    CAST(floor(ln(d.nd::DOUBLE / n.n::DOUBLE) * 1e6) AS BIGINT)
-        |      AS prior_w
-        |  FROM (SELECT lang, count(*) AS nd FROM documents GROUP BY 1) d
-        |  CROSS JOIN (SELECT count(*) AS n FROM documents) n),
-        |sc AS (SELECT t.doc_id, t.lang, g.mlang,
-        |    CAST(sum(g.w) AS BIGINT) AS tok_w
-        |  FROM toks t JOIN grid g USING (tok) GROUP BY 1, 2, 3),
-        |pick AS (SELECT sc.doc_id, sc.lang, sc.mlang,
-        |    row_number() OVER (PARTITION BY sc.doc_id
-        |      ORDER BY sc.tok_w + p.prior_w DESC, sc.mlang) AS rn
-        |  FROM sc JOIN prior p USING (mlang))
-        |SELECT lang, mlang AS pred_lang, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM pick WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
-    "q_grid_cluster" ->
-      """WITH RECURSIVE pts AS (SELECT vec_id,
-        |    CAST(floor(embedding[1]::DOUBLE * 10000) + 10000 AS BIGINT)
-        |      // 1000 AS gx,
-        |    CAST(floor(embedding[2]::DOUBLE * 10000) + 10000 AS BIGINT)
-        |      // 1000 AS gy
-        |  FROM embeddings),
-        |cells AS (SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_pts,
-        |    gx * 100000 + gy AS cell_id
-        |  FROM pts GROUP BY 1, 2 HAVING count(*) >= 5),
-        |adj AS (SELECT a.cell_id AS src, b.cell_id AS dst
-        |  FROM cells a JOIN cells b
-        |  ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1),
-        |reach(a, b) AS (SELECT cell_id, cell_id FROM cells
-        |  UNION
-        |  SELECT r.a, j.dst FROM reach r JOIN adj j ON r.b = j.src),
-        |lbl AS (SELECT a AS cell_id, min(b) AS cluster_id
-        |  FROM reach GROUP BY 1),
-        |dense AS (SELECT l.cluster_id,
-        |    CAST(count(*) AS BIGINT) AS n_cells,
-        |    CAST(sum(c.n_pts) AS BIGINT) AS n_points,
-        |    min(c.gx) AS gx_min, max(c.gx) AS gx_max,
-        |    min(c.gy) AS gy_min, max(c.gy) AS gy_max
-        |  FROM cells c JOIN lbl l USING (cell_id) GROUP BY 1)
-        |SELECT * FROM dense
-        |UNION ALL
-        |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
-        |  CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
-        |  CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-        |FROM pts p LEFT JOIN cells c USING (gx, gy)
-        |WHERE c.cell_id IS NULL""".stripMargin,
-    "q_bfs_dist" ->
-      bfsSql("NATION_3", graft.graph.GraphOps.BfsMaxDepth),
-    "q_sssp" ->
-      ssspSql("NATION_3", graft.graph.GraphOps.SsspMaxRounds),
-    "q_harmonic_centrality" -> harmonicCentralitySql(2, 20),
-    "q_hits" -> hitsSql(graft.graph.GraphOps.HitsIters),
-    "q_pagerank_weighted" -> pageRankWeightedSql(5),
-    // floor(log2) via bit length — printf('%b') in DuckDB, bin() in
-    // Spark — so the bucket never touches an IEEE logarithm
-    "q_degree_hist" ->
-      """WITH li AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
-        |e AS (SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst FROM li
-        |      UNION ALL SELECT l_partkey * 2 + 1, l_suppkey * 2 FROM li),
-        |d AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
-        |      FROM e GROUP BY 1)
-        |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'part' END
-        |    AS node_type,
-        |  CAST(length(printf('%b', deg)) - 1 AS BIGINT) AS bucket,
-        |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg,
-        |  CAST(sum(deg) AS BIGINT) AS sum_deg
-        |FROM d GROUP BY 1, 2""".stripMargin,
-    // RA index in integer ppm: 1e6 // deg(z) per shared neighbor —
-    // exact integer semantics, no IEEE accumulation anywhere
-    "q_link_predict" ->
-      s"""$copurchaseCte
-         |, adj AS (SELECT u AS z, v AS n FROM und
-         |          UNION ALL SELECT v, u FROM und),
-         |dg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
-         |adjd AS (SELECT a.z, a.n, d.deg FROM adj a JOIN dg d ON a.z = d.z
-         |         WHERE d.deg <= ${graft.graph.GraphOps.LinkPredictMaxDeg}),
-         |pr AS (SELECT x.n AS a, y.n AS b, x.deg AS degz
-         |       FROM adjd x JOIN adjd y ON x.z = y.z AND x.n < y.n),
-         |sc AS (SELECT a, b, count(*) AS cn,
-         |         CAST(sum(1000000 // degz) AS BIGINT) AS ra_ppm
-         |       FROM pr GROUP BY 1, 2 HAVING count(*) >= 2)
-         |SELECT s.a, s.b, s.cn, s.ra_ppm FROM sc s
-         |ANTI JOIN und e ON s.a = e.u AND s.b = e.v""".stripMargin,
-    // degree-ordered orientation: okey = deg·2³² + id packs the
-    // (degree, id) total order into one comparable scalar in both engines
-    "q_triangles" ->
-      s"""$copurchaseCte
-         |, deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
-         |          (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
-         |          GROUP BY 1),
-         |ok AS (SELECT n, deg, deg * 4294967296 + n AS okey FROM deg),
-         |ori AS (SELECT CASE WHEN du.okey < dv.okey THEN u ELSE v END AS src,
-         |          CASE WHEN du.okey < dv.okey THEN v ELSE u END AS dst,
-         |          greatest(du.okey, dv.okey) AS dkey
-         |        FROM und JOIN ok du ON u = du.n JOIN ok dv ON v = dv.n),
-         |tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
-         |        FROM ori x JOIN ori y ON x.src = y.src AND x.dkey < y.dkey
-         |        JOIN ori z ON z.src = x.dst AND z.dst = y.dst),
-         |tcnt AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles FROM
-         |         (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
-         |          UNION ALL SELECT c FROM tri) GROUP BY 1)
-         |SELECT d.n AS node, d.deg, coalesce(t.triangles, 0) AS triangles,
-         |  CASE WHEN d.deg >= 2 THEN
-         |    CAST(2 * coalesce(t.triangles, 0) AS DOUBLE) / (d.deg * (d.deg - 1))
-         |  ELSE CAST(0 AS DOUBLE) END AS clustering
-         |FROM deg d LEFT JOIN tcnt t ON d.n = t.n""".stripMargin,
-    "q_clustering_global" ->
-      s"""$copurchaseCte
-         |, deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
-         |          (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
-         |          GROUP BY 1),
-         |ok AS (SELECT n, deg, deg * 4294967296 + n AS okey FROM deg),
-         |ori AS (SELECT CASE WHEN du.okey < dv.okey THEN u ELSE v END AS src,
-         |          CASE WHEN du.okey < dv.okey THEN v ELSE u END AS dst,
-         |          greatest(du.okey, dv.okey) AS dkey
-         |        FROM und JOIN ok du ON u = du.n JOIN ok dv ON v = dv.n),
-         |tri AS (SELECT x.src AS a, x.dst AS b, y.dst AS c
-         |        FROM ori x JOIN ori y ON x.src = y.src AND x.dkey < y.dkey
-         |        JOIN ori z ON z.src = x.dst AND z.dst = y.dst),
-         |tcnt AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles FROM
-         |         (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
-         |          UNION ALL SELECT c FROM tri) GROUP BY 1),
-         |pn AS (SELECT d.deg, coalesce(t.triangles, 0) AS triangles
-         |       FROM deg d LEFT JOIN tcnt t ON d.n = t.n)
-         |SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-         |  CAST(sum(deg) // 2 AS BIGINT) AS n_edges,
-         |  CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges,
-         |  CAST(sum(triangles) // 3 AS BIGINT) AS n_triangles,
-         |  CAST(sum(triangles)::HUGEINT * 1000000
-         |    // sum(deg * (deg - 1) // 2) AS BIGINT) AS transitivity_ppm
-         |FROM pn""".stripMargin,
-    "q_chi2_features" ->
-      """WITH pres AS (SELECT DISTINCT doc_id, lang, tok FROM
-        |    (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-        |     FROM documents)),
-        |aa AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS a
-        |  FROM pres GROUP BY 1, 2),
-        |ln_ AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl
-        |  FROM documents GROUP BY 1),
-        |dt AS (SELECT tok, CAST(count(*) AS BIGINT) AS dft
-        |  FROM pres GROUP BY 1),
-        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        |sc AS (SELECT aa.lang, aa.tok,
-        |    CAST(nn.n::HUGEINT
-        |      * (aa.a::HUGEINT * (nn.n - ln_.nl - dt.dft + aa.a)
-        |         - (ln_.nl - aa.a)::HUGEINT * (dt.dft - aa.a))
-        |      * (aa.a::HUGEINT * (nn.n - ln_.nl - dt.dft + aa.a)
-        |         - (ln_.nl - aa.a)::HUGEINT * (dt.dft - aa.a))
-        |      * 1000
-        |      // (ln_.nl::HUGEINT * (nn.n - ln_.nl) * dt.dft * (nn.n - dt.dft))
-        |      AS BIGINT) AS chi2_milli
-        |  FROM aa JOIN ln_ USING (lang) JOIN dt USING (tok) CROSS JOIN nn
-        |  WHERE aa.a::HUGEINT * (nn.n - ln_.nl - dt.dft + aa.a)
-        |      > (ln_.nl - aa.a)::HUGEINT * (dt.dft - aa.a)),
-        |rk AS (SELECT lang, tok, chi2_milli, CAST(row_number() OVER (
-        |    PARTITION BY lang ORDER BY chi2_milli DESC, tok ASC) AS BIGINT)
-        |    AS rnk
-        |  FROM sc)
-        |SELECT lang, tok, chi2_milli, rnk FROM rk WHERE rnk <= 10""".stripMargin,
-    // exponential-mechanism median: Gumbel-max over md5 uniforms, the
-    // same deterministic-DP family as q_dp_counts
-    "q_dp_quantile" ->
-      """WITH h AS (SELECT event_type,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 AS bin,
-        |    CAST(count(*) AS BIGINT) AS c
-        |  FROM events GROUP BY 1, 2),
-        |cm AS (SELECT event_type, bin, c,
-        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
-        |    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        |  FROM h),
-        |sc AS (SELECT event_type, bin, n, -abs(cum * 2 - n) AS u2,
-        |    ('0x' || substring(md5('graft-dpq:' || event_type || ':'
-        |      || CAST(bin AS VARCHAR)), 1, 13))
-        |      ::UBIGINT::DOUBLE / 4503599627370496.0 AS uu
-        |  FROM cm),
-        |pk AS (SELECT event_type, n AS n_rows, bin AS dp_bin FROM (
-        |    SELECT event_type, bin, n,
-        |      row_number() OVER (PARTITION BY event_type ORDER BY
-        |        ((100 / 100.0) * u2 / 4.0
-        |          - ln(-ln(least(greatest(uu, 1e-15), 1.0 - 1e-15)))) DESC,
-        |        bin) AS rn
-        |    FROM sc) WHERE rn = 1),
-        |tr AS (SELECT event_type, min(bin) AS median_bin FROM cm
-        |  WHERE cum * 2 >= n GROUP BY 1)
-        |SELECT pk.event_type, pk.n_rows, tr.median_bin, pk.dp_bin,
-        |  CAST(100 AS BIGINT) AS epsilon_pct
-        |FROM pk JOIN tr ON pk.event_type = tr.event_type""".stripMargin,
-    "q_dp_counts" ->
-      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
-        |  FROM events GROUP BY 1),
-        |u AS (SELECT event_type, n_true,
-        |    ('0x' || substring(md5('graft-dp:' || event_type), 1, 13))
-        |      ::UBIGINT::DOUBLE / 4503599627370496.0 AS u
-        |  FROM g)
-        |SELECT event_type, n_true,
-        |  n_true + CAST(floor(-(100.0 / 10)
-        |    * sign(u - 0.5)
-        |    * ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-15)) + 0.5)
-        |    AS BIGINT) AS n_noisy,
-        |  CAST(10 AS BIGINT) AS epsilon_pct
-        |FROM u""".stripMargin,
-    "q_embedding_outliers" ->
-      s"""WITH $ivfTrainCte,
-        |d2 AS (SELECT t.vec_id, c.cell, list_reduce(
-        |         list_transform(range(1, 65), i ->
-        |           CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |         (x, y) -> x + y) AS dist
-        |       FROM e t, c1 c),
-        |best AS (SELECT vec_id, cell, dist FROM (
-        |           SELECT vec_id, cell, dist, row_number() OVER (
-        |             PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2)
-        |         WHERE rn = 1)
-        |SELECT vec_id, CAST(cell AS BIGINT) AS cell, CAST(dist AS BIGINT) AS dist_fp
-        |FROM best ORDER BY dist DESC, vec_id LIMIT 20""".stripMargin,
-    "q_lof" ->
-      s"""WITH $ivfTrainCte,
-        |d2c AS (SELECT t.vec_id, c.cell, list_reduce(
-        |         list_transform(range(1, 65), i ->
-        |           CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-        |         (x, y) -> x + y) AS dist
-        |       FROM e t, c1 c),
-        |best AS MATERIALIZED (SELECT vec_id, cell FROM (
-        |           SELECT vec_id, cell, row_number() OVER (
-        |             PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM d2c)
-        |         WHERE rn = 1),
-        |q AS MATERIALIZED (SELECT e.vec_id, b.cell,
-        |         list_transform(e.v, x -> round(x * 65536)) AS q
-        |       FROM e JOIN best b USING (vec_id)),
-        |pd AS (SELECT x.vec_id AS a, y.vec_id AS b, x.cell,
-        |         CAST(list_reduce(list_transform(range(1, 65), i ->
-        |             (x.q[i] - y.q[i]) * (x.q[i] - y.q[i])),
-        |           (p, s) -> p + s) AS BIGINT) AS d2
-        |       FROM q x JOIN q y
-        |         ON x.cell = y.cell AND x.vec_id != y.vec_id),
-        |knn AS MATERIALIZED (SELECT a, b, cell, d2 FROM (
-        |         SELECT a, b, cell, d2, row_number() OVER (
-        |           PARTITION BY a ORDER BY d2, b) AS rn FROM pd)
-        |       WHERE rn <= 8),
-        |kd AS MATERIALIZED (SELECT a, max(d2) AS kdist,
-        |         CAST(count(*) AS BIGINT) AS cnt, min(cell) AS cell
-        |       FROM knn GROUP BY 1),
-        |lrd AS MATERIALIZED (SELECT r.a, kd.cnt, kd.cell,
-        |         CASE WHEN sum(r.reach) = 0
-        |           THEN 1000000000000000000::HUGEINT
-        |           ELSE (kd.cnt::HUGEINT * 1000000000000000000)
-        |             // sum(r.reach) END AS lrd_fp
-        |       FROM (SELECT k.a, greatest(kb.kdist, k.d2) AS reach
-        |             FROM knn k JOIN kd kb ON k.b = kb.a) r
-        |       JOIN kd ON r.a = kd.a GROUP BY r.a, kd.cnt, kd.cell),
-        |lof AS (SELECT k.a, sum(lb.lrd_fp) AS slb
-        |        FROM knn k JOIN lrd lb ON k.b = lb.a GROUP BY 1)
-        |SELECT l.a AS vec_id, CAST(d.cell AS BIGINT) AS cell,
-        |  d.cnt AS n_nbrs, CAST(d.lrd_fp AS BIGINT) AS lrd_fp,
-        |  CAST((l.slb * 1000000) // (d.cnt::HUGEINT * d.lrd_fp)
-        |    AS BIGINT) AS lof_ppm
-        |FROM lof l JOIN lrd d ON l.a = d.a
-        |ORDER BY lof_ppm DESC, vec_id LIMIT 50""".stripMargin,
-    "q_semantic_decontam" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |d AS (SELECT c.vec_id, q.vec_id AS eval_id,
-        |        round((list_reduce(list_transform(range(1, 65), i -> q.v[i] * c.v[i]), (x, y) -> x + y)
-        | / (sqrt(list_reduce(list_transform(range(1, 65), i -> q.v[i] * q.v[i]), (x, y) -> x + y))
-        |   * sqrt(list_reduce(list_transform(range(1, 65), i -> c.v[i] * c.v[i]), (x, y) -> x + y)))), 6) AS sim
-        |      FROM e c JOIN e q ON q.vec_id < 50 AND c.vec_id >= 50)
-        |SELECT vec_id, eval_id, sim FROM (
-        |  SELECT vec_id, eval_id, sim, row_number()
-        |    OVER (PARTITION BY vec_id ORDER BY sim DESC, eval_id) AS rn
-        |  FROM d WHERE sim >= 0.35)
-        |WHERE rn = 1""".stripMargin,
-    // mutual-kNN ratio-margin mining: brute-force kNN (rounded-cosine
-    // rank contract), integer micro-sims, 2k·s6·1e6 // (Σknn_a+Σknn_b)
-    "q_mutual_knn" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
-        |        round(${duckCos("a.v", "b.v")}, 6) AS sim
-        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        |d6 AS (SELECT a, b, CAST(round(sim * 1000000, 0) AS BIGINT) AS s6,
-        |         row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
-        |       FROM d),
-        |knn AS MATERIALIZED (SELECT a, b, s6 FROM d6 WHERE rn <= 10),
-        |ks AS (SELECT a, CAST(sum(s6) AS BIGINT) AS ksum FROM knn GROUP BY 1),
-        |m AS (SELECT f.a, f.b, f.s6 FROM knn f
-        |      JOIN knn r ON f.a = r.b AND f.b = r.a WHERE f.a < f.b)
-        |SELECT m.a, m.b, m.s6 AS sim_i6,
-        |  CAST((20 * m.s6 * 1000000) // (ka.ksum + kb.ksum) AS BIGINT)
-        |    AS margin_ppm
-        |FROM m JOIN ks ka ON m.a = ka.a JOIN ks kb ON m.b = kb.a
-        |WHERE m.s6 > 0 AND ka.ksum + kb.ksum > 0""".stripMargin,
-    "q_key_skew" ->
-      """WITH counts AS (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
-        |          max(c) AS max_count FROM counts),
-        |top10 AS (SELECT CAST(sum(c) AS BIGINT) AS top10_rows FROM
-        |          (SELECT c FROM counts ORDER BY c DESC, l_partkey LIMIT 10)),
-        |cum AS (SELECT c, sum(kc) OVER (ORDER BY c
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
-        |        FROM (SELECT c, count(*) AS kc FROM counts GROUP BY 1)),
-        |pct AS (SELECT
-        |    min(CASE WHEN cumk >= (n_keys - 1) * 50 // 100 + 1 THEN c END) AS p50_count,
-        |    min(CASE WHEN cumk >= (n_keys - 1) * 99 // 100 + 1 THEN c END) AS p99_count
-        |  FROM cum CROSS JOIN tot)
-        |SELECT n_rows, n_keys, max_count,
-        |  max_count * 1000000 // n_rows AS max_share_ppm,
-        |  top10_rows * 1000000 // n_rows AS top10_share_ppm,
-        |  p50_count, p99_count
-        |FROM tot CROSS JOIN top10 CROSS JOIN pct""".stripMargin,
-    "q_cdc_chunks" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
-        |       FROM documents),
-        |b AS (SELECT doc_id, pos, tok,
-        |        CASE WHEN ('0x' || substr(md5('cdc:' || tok), 1, 4))::UBIGINT % 16 = 0
-        |             THEN 1 ELSE 0 END AS is_b
-        |      FROM toks),
-        |c AS (SELECT doc_id, pos, tok,
-        |        coalesce(sum(is_b) OVER (PARTITION BY doc_id ORDER BY pos
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
-        |      FROM b)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  count(*) AS n_tokens, CAST(min(pos) AS BIGINT) AS first_pos,
-        |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash
-        |FROM c GROUP BY 1, 2""".stripMargin,
-    "q_trimmed_mean" ->
-      """WITH c AS (SELECT o_orderpriority AS grp,
-        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
-        |  FROM orders),
-        |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
-        |  FROM c GROUP BY 1, 2),
-        |cm AS (SELECT grp, v, c,
-        |    CAST(sum(c) OVER (PARTITION BY grp ORDER BY v) AS BIGINT) AS cum,
-        |    CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n FROM h),
-        |k AS (SELECT grp, v, c, cum, n, n // 10 AS lo, n - n // 10 AS hi
-        |  FROM cm),
-        |kk AS (SELECT grp, n, v,
-        |    greatest(0, least(cum, hi) - greatest(cum - c, lo)) AS kept
-        |  FROM k)
-        |SELECT grp, min(n) AS n_rows, CAST(sum(kept) AS BIGINT) AS n_kept,
-        |  CAST(sum(CAST(v AS HUGEINT) * kept)
-        |    // CAST(sum(kept) AS HUGEINT) AS BIGINT) AS trimmed_mean_cents
-        |FROM kk GROUP BY 1""".stripMargin,
-    "q_value_clip" ->
-      """WITH freq AS (SELECT event_type, value, count(*) AS c
-        |              FROM events GROUP BY 1, 2),
-        |cum AS (SELECT event_type, value, c,
-        |          sum(c) OVER (PARTITION BY event_type ORDER BY value
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
-        |        FROM freq),
-        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
-        |        FROM freq GROUP BY 1),
-        |bounds AS (SELECT event_type, n,
-        |    min(CASE WHEN cumn >= (n - 1) * 1 // 100 + 1 THEN value END) AS p_lo,
-        |    min(CASE WHEN cumn >= (n - 1) * 99 // 100 + 1 THEN value END) AS p_hi
-        |  FROM cum JOIN tot USING (event_type) GROUP BY 1, 2)
-        |SELECT event_type, min(n) AS n, min(p_lo) AS p_lo, min(p_hi) AS p_hi,
-        |  CAST(sum(CASE WHEN value < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
-        |  CAST(sum(CASE WHEN value > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
-        |  CAST(sum(CAST(floor(greatest(least(value, p_hi), p_lo) * 100 + 0.5)
-        |    AS BIGINT)) AS BIGINT) AS clipped_sum_cents
-        |FROM events JOIN bounds USING (event_type)
-        |GROUP BY 1""".stripMargin,
-    "q_quantile_bins" -> {
-      val bs = (1 to 9).map(k =>
-        s"min(CASE WHEN cumn >= (n - 1) * ${k * 10} // 100 + 1 THEN value END) AS b$k")
-        .mkString(",\n    ")
-      val bin = (1 to 9)
-        .map(k => s"CASE WHEN value >= b$k THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH freq AS (SELECT event_type, value, count(*) AS c
-         |              FROM events GROUP BY 1, 2),
-         |cum AS (SELECT event_type, value, c,
-         |          sum(c) OVER (PARTITION BY event_type ORDER BY value
-         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
-         |        FROM freq),
-         |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n
-         |        FROM freq GROUP BY 1),
-         |bounds AS (SELECT event_type, n,
-         |    $bs
-         |  FROM cum JOIN tot USING (event_type) GROUP BY 1, 2)
-         |SELECT event_type, CAST($bin AS BIGINT) AS bin,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  min(value) AS v_min, max(value) AS v_max
-         |FROM events JOIN bounds USING (event_type)
-         |GROUP BY 1, 2""".stripMargin
-    },
-    "q_dsir_weights" ->
-      s"""WITH $dsirWeightsCte
-        |SELECT doc_id, n_tokens, dsir_score FROM dsird""".stripMargin,
-    "q_pca_power" -> pcaPowerSql,
-    // the group key inherits q_split_assign's policy: docs with no
-    // near-dup cluster hash their own id, so the two splits agree there
-    "q_split_leakfree" ->
-      (dedupClustersCte + ",\n" +
-      """cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
-        |g AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
-        |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
-        |SELECT doc_id, group_id,
-        |  CASE WHEN b < 80 THEN 'train'
-        |       WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-        |FROM (SELECT doc_id, group_id,
-        |        CAST(('0x' || substr(md5(CAST(group_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-        |          AS BIGINT) AS b
-        |      FROM g)""".stripMargin),
-    "q_token_budget" ->
-      """WITH d AS (SELECT doc_id, source,
-        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-        |      FROM documents),
-        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(sum(n_toks) AS BIGINT) AS src_toks
-        |       FROM d GROUP BY 1),
-        |ns AS (SELECT count(*) AS n_sources FROM ps),
-        |r AS (SELECT source, n_docs, src_toks,
-        |        least(1000000, ((100000 // n_sources) * 1000000) // src_toks)
-        |          AS rate_ppm
-        |      FROM ps, ns),
-        |u AS (SELECT doc_id, source, n_toks,
-        |        CAST(('0x' || substr(md5('tokbudget:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |          ::UBIGINT % 1000000 AS BIGINT) AS u_ppm
-        |      FROM d)
-        |SELECT u.source, r.n_docs, r.src_toks, r.rate_ppm,
-        |  CAST(sum(CASE WHEN u_ppm < rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS kept_docs,
-        |  CAST(sum(CASE WHEN u_ppm < rate_ppm THEN n_toks ELSE 0 END) AS BIGINT)
-        |    AS kept_toks
-        |FROM u JOIN r ON u.source = r.source
-        |GROUP BY 1, 2, 3, 4""".stripMargin,
-    "q_group_sample" ->
-      """SELECT doc_id, source, pri, rnk FROM (
-        |  SELECT doc_id, source, pri,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY pri, doc_id) AS BIGINT) AS rnk
-        |  FROM (SELECT doc_id, source,
-        |          md5('gsamp:' || CAST(doc_id AS VARCHAR)) AS pri
-        |        FROM documents))
-        |WHERE rnk <= 10""".stripMargin,
-    "q_priority_sample" ->
-      s"""WITH $dsirWeightsCte
-        |SELECT doc_id, avg_w, (u_ppm * 1000000) // avg_w AS pri FROM (
-        |  SELECT doc_id,
-        |    greatest(dsir_score // n_tokens, 1) AS avg_w,
-        |    CAST(('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))
-        |      ::UBIGINT % 1000000 AS BIGINT) AS u_ppm
-        |  FROM dsird)
-        |ORDER BY pri, doc_id LIMIT 200""".stripMargin,
-    "q_dsir_resample" ->
-      s"""WITH $dsirWeightsCte
-        |SELECT doc_id, n_tokens, dsir_score,
-        |  dsir_score // n_tokens AS avg_w,
-        |  CAST(('0x' || substr(md5('dsirsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |    % 1000000 AS BIGINT) AS u_ppm
-        |FROM dsird
-        |WHERE CAST(('0x' || substr(md5('dsirsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |    % 1000000 AS BIGINT) < dsir_score // n_tokens""".stripMargin,
-    "q_stratified_sample" ->
-      """SELECT event_type, count(*) AS n_total,
-        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        |  round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
-        |    AS achieved_rate
-        |FROM (SELECT event_type,
-        |        ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT % 1000
-        |          < (CASE WHEN event_type = 'purchase' THEN 1000
-        |                  WHEN event_type = 'click' THEN 100 ELSE 10 END) AS keep
-        |      FROM events)
-        |GROUP BY 1""".stripMargin,
-    "q_pack_sequences" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |           FROM documents),
-        |r AS (SELECT lang, n_tokens,
-        |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-        |      FROM t)
-        |SELECT lang, CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS bin,
-        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill
-        |FROM r GROUP BY 1, 2""".stripMargin,
-    "q_pack_bpe" ->
-      s"""WITH RECURSIVE
-        |bpe_vocab(tok) AS (VALUES ${graft.text.BpeVocab.sqlValues}),
-        |states(doc_id, word, pos, n) AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')), 0, 0 FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, word,
-        |    pos + coalesce((SELECT max(length(tok)) FROM bpe_vocab
-        |                    WHERE substr(word, pos + 1, length(tok)) = tok), 1),
-        |    n + 1
-        |  FROM states WHERE pos < length(word)),
-        |bpe AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens
-        |        FROM states WHERE pos >= length(word) GROUP BY doc_id),
-        |t AS (SELECT d.doc_id, d.lang, b.n_tokens
-        |      FROM documents d JOIN bpe b ON d.doc_id = b.doc_id),
-        |r AS (SELECT lang, n_tokens,
-        |        sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
-        |      FROM t)
-        |SELECT lang, CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS bin,
-        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-        |  round(CAST(sum(n_tokens) AS DOUBLE) / 2048, 4) AS fill
-        |FROM r GROUP BY 1, 2""".stripMargin,
-    // the five-stage corpus build, recomposed from the proven per-stage
-    // oracle formulations (jaccard pairs + recursive-CTE clusters + md5
-    // exact groups + hash split + repetition quality)
-    "q_corpus_build" ->
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |         range(1, greatest(len(l) - 2, 1)),
-        |         i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3]))) AS sh
-        |       FROM toks),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-        |ip AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-        |       FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |       GROUP BY 1, 2),
-        |pairs AS (SELECT d1, d2 FROM ip
-        |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-        |          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
-        |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-        |          UNION ALL SELECT d2, d1 FROM pairs),
-        |reach(id, r) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
-        |near_losers AS (SELECT id AS doc_id FROM reach GROUP BY id
-        |                HAVING min(r) <> id),
-        |exact_losers AS (SELECT doc_id FROM (
-        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
-        |  FROM documents) WHERE doc_id <> keep),
-        |bg AS (SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM (
-        |  SELECT doc_id, g, count(*) AS c FROM (
-        |    SELECT doc_id, unnest(list_transform(range(1, len(l)),
-        |      i -> l[i] || ' ' || l[i+1])) AS g FROM toks) GROUP BY 1, 2)
-        |  GROUP BY 1),
-        |kept AS (SELECT d.doc_id, d.lang,
-        |           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
-        |         FROM documents d JOIN bg USING (doc_id)
-        |         WHERE len(string_split(d.text, ' ')) >= 20
-        |           AND CAST(bg.top_bg AS DOUBLE) / bg.n_bg <= 0.2
-        |           AND d.doc_id NOT IN (SELECT doc_id FROM exact_losers)
-        |           AND d.doc_id NOT IN (SELECT doc_id FROM near_losers))
-        |SELECT CASE WHEN bucket < 80 THEN 'train'
-        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
-        |  lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM (SELECT doc_id, lang, n_tokens,
-        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100
-        |          AS BIGINT) AS bucket
-        |      FROM kept)
-        |GROUP BY 1, 2""".stripMargin,
-    // the Morton interleave recomputed from shifts and masks (16 bits
-    // per dimension suffice for this data; the kernel's upper bits are 0)
-    "q_zorder_stats" ->
-      """WITH q AS (SELECT user_id & 65535 AS user_id,
-        |        greatest(CAST(floor(value) AS BIGINT), 0) & 65535 AS qv
-        |      FROM events),
-        |z AS (SELECT user_id, qv,
-        |        ((((user_id >> 0) & 1) << 0) | (((qv >> 0) & 1) << 1) | (((user_id >> 1) & 1) << 2) | (((qv >> 1) & 1) << 3) | (((user_id >> 2) & 1) << 4) | (((qv >> 2) & 1) << 5) | (((user_id >> 3) & 1) << 6) | (((qv >> 3) & 1) << 7) | (((user_id >> 4) & 1) << 8) | (((qv >> 4) & 1) << 9) | (((user_id >> 5) & 1) << 10) | (((qv >> 5) & 1) << 11) | (((user_id >> 6) & 1) << 12) | (((qv >> 6) & 1) << 13) | (((user_id >> 7) & 1) << 14) | (((qv >> 7) & 1) << 15) | (((user_id >> 8) & 1) << 16) | (((qv >> 8) & 1) << 17) | (((user_id >> 9) & 1) << 18) | (((qv >> 9) & 1) << 19) | (((user_id >> 10) & 1) << 20) | (((qv >> 10) & 1) << 21) | (((user_id >> 11) & 1) << 22) | (((qv >> 11) & 1) << 23) | (((user_id >> 12) & 1) << 24) | (((qv >> 12) & 1) << 25) | (((user_id >> 13) & 1) << 26) | (((qv >> 13) & 1) << 27) | (((user_id >> 14) & 1) << 28) | (((qv >> 14) & 1) << 29) | (((user_id >> 15) & 1) << 30) | (((qv >> 15) & 1) << 31)) AS z
-        |      FROM q)
-        |SELECT z >> 10 AS zbucket, count(*) AS n,
-        |  min(user_id) AS u_min, max(user_id) AS u_max,
-        |  min(qv) AS v_min, max(qv) AS v_max
-        |FROM z GROUP BY 1""".stripMargin,
-    "q_hilbert_stats" -> hilbertSql,
-    "q_multimodal_meta" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  upper(hex(substring(text, 1, 8))) AS header_hex,
-        |  CAST(octet_length(encode(text)) % 64 + 1 AS BIGINT) AS width,
-        |  CAST(octet_length(encode(text)) // 64 + 1 AS BIGINT) AS height,
-        |  CAST(octet_length(encode(text)) % 7 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin,
-    "q_media_features" -> {
-      val fCols = (0 until 8).map(j =>
-        s"round(CAST(CAST(coalesce(sums[${j + 1}], 0) / 255.0 / chunk AS REAL) AS DOUBLE), 6) AS f$j")
-        .mkString(",\n        |  ")
-      s"""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
-         |s AS (SELECT doc_id, nb, greatest(nb // 8, 1) AS chunk,
-         |        list_transform(range(0, 8), j ->
-         |          list_sum(list_transform(range(0, nb), i ->
-         |            CASE WHEN i % 8 = j THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END))) AS sums
-         |      FROM m)
-         |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
-         |  CAST(nb % 64 + 1 AS BIGINT) AS width,
-         |  CAST(nb // 64 + 1 AS BIGINT) AS height,
-         |  CAST(3 AS BIGINT) AS channels,
-         |  $fCols
-         |FROM s""".stripMargin
-    },
-    // 4x4 nearest-neighbor thumbnail over the stub-decoded w x h grid
-    "q_media_resize" ->
-      """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
-        |d AS (SELECT doc_id, text, nb,
-        |        CAST(nb % 64 + 1 AS BIGINT) AS w,
-        |        CAST(nb // 64 + 1 AS BIGINT) AS h
-        |      FROM m)
-        |SELECT doc_id, w AS width, h AS height,
-        |  CASE WHEN nb = 0 THEN repeat('00', 16) ELSE
-        |    list_reduce(list_transform(range(0, 16), k ->
-        |      upper(hex(substring(text,
-        |        CAST(greatest(least((k // 4 * h // 4) * w + (k % 4 * w // 4), nb - 1), 0) + 1 AS INT),
-        |        1)))), (x, y) -> x || y) END AS thumb_hex
-        |FROM d""".stripMargin,
-    // dHash over the stub-decoded 9x8 grid, 4x16-bit band candidate
-    // join (lossless to hamming 3), exact popcount verify
-    "q_image_neardup" ->
-      """WITH m AS MATERIALIZED (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
-        |d AS MATERIALIZED (SELECT doc_id, text, nb,
-        |  nb % 64 + 1 AS w, nb // 64 + 1 AS h FROM m),
-        |g AS MATERIALIZED (
-        |  SELECT doc_id, i, j,
-        |    CASE WHEN nb = 0 THEN 0
-        |         ELSE ord(substr(text,
-        |           CAST(least((i * h // 8) * w + (j * w // 9), nb - 1) AS INT) + 1, 1))
-        |    END AS v
-        |  FROM d, range(0, 8) ti(i), range(0, 9) tj(j)),
-        |bits AS MATERIALIZED (
-        |  SELECT a.doc_id, a.i, a.j, CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
-        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.i = b.i AND b.j = a.j + 1
-        |  WHERE a.j < 8),
-        |bands AS MATERIALIZED (
-        |  SELECT doc_id, i // 2 AS band,
-        |    CAST(sum(bit * (CAST(1 AS BIGINT) << ((i % 2) * 8 + j))) AS BIGINT) AS bv
-        |  FROM bits GROUP BY 1, 2),
-        |hx AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    max(CASE WHEN band = 0 THEN bv END) AS b0,
-        |    max(CASE WHEN band = 1 THEN bv END) AS b1,
-        |    max(CASE WHEN band = 2 THEN bv END) AS b2,
-        |    max(CASE WHEN band = 3 THEN bv END) AS b3
-        |  FROM bands GROUP BY 1),
-        |cand AS MATERIALIZED (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2 FROM hx a JOIN hx b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
-        |  UNION SELECT a.doc_id, b.doc_id FROM hx a JOIN hx b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
-        |  UNION SELECT a.doc_id, b.doc_id FROM hx a JOIN hx b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
-        |  UNION SELECT a.doc_id, b.doc_id FROM hx a JOIN hx b ON a.b3 = b.b3 AND a.doc_id < b.doc_id)
-        |SELECT * FROM (
-        |  SELECT c.d1, c.d2,
-        |    CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
-        |         bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS BIGINT) AS hamming
-        |  FROM cand c JOIN hx a ON c.d1 = a.doc_id JOIN hx b ON c.d2 = b.doc_id)
-        |WHERE hamming <= 3""".stripMargin,
-    "q_audio_frames" -> audioFramesSql,
-    "q_audio_features" -> audioFeaturesSql,
-    "q_frame_sample" ->
-      """WITH m AS (SELECT doc_id, text AS b, octet_length(encode(text)) AS nb FROM documents),
-        |f AS (SELECT doc_id,
-        |        unnest(list_transform(range(0, CAST(nb // 24 AS BIGINT) + 1),
-        |          i -> upper(hex(substring(b, CAST(i * 24 + 1 AS INT), 8))))) AS frame_hex,
-        |        generate_subscripts(list_transform(range(0, CAST(nb // 24 AS BIGINT) + 1), i -> i), 1) - 1 AS frame_idx
-        |      FROM m)
-        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_hex
-        |FROM f WHERE length(frame_hex) > 0""".stripMargin
-  )
+  private lazy val baseOracleSql: Map[String, String] =
+    graft.oracles.CrackOracles.sql ++
+    graft.oracles.LspOracles.sql ++
+    graft.oracles.SqlSurfaceOracles.sql ++
+    graft.oracles.RelationalOracles.sql ++
+    graft.oracles.EventsOracles.sql ++
+    graft.oracles.PipelineOracles.sql ++
+    graft.oracles.TextOracles.sql ++
+    graft.oracles.GraphOracles.sql ++
+    graft.oracles.SimilarityOracles.sql ++
+    graft.oracles.DedupOracles.sql ++
+    graft.oracles.InferenceOracles.sql ++
+    graft.oracles.SketchOracles.sql ++
+    graft.oracles.MultimodalOracles.sql
 
   /** SQL-front-door twins share their Scala twin's oracle verbatim
     * (SqlSurfaceSpec pins table function == Scala builder, so one oracle
