@@ -144,9 +144,64 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       runs(name) = runs(name) :+ (if (ok) dt else -1.0)
     }
-    spark.stop()
-
     val med = names.map(q => q -> median(runs(q).filter(_ >= 0)))
+
+    // ---- sf1 scale leg (r11): one cold run of the 20 most expensive
+    // queries at 10x the bench SF — the cliff probe (cache eviction,
+    // spill, broadcast-threshold flips) the sf0.1 medians cannot see.
+    // Runs only for the standard sf0.1 bench config; SPARK_GRAFT_SF1=0
+    // disables, SPARK_GRAFT_SF1_BUDGET (seconds, default 900) bounds the
+    // leg's wall clock — queries past the budget are REPORTED as skipped,
+    // never silently dropped. Uses the driver-provided /root/testdata/sf1
+    // when present, else generates a deterministic 10x upsample under the
+    // working dir (tools.GenScale documents the shape contract).
+    val sf1Results = collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf1Skipped = collection.mutable.ListBuffer.empty[String]
+    val sf1Wanted = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
+      sfDir.split('/').last == "sf0.1" && only.isEmpty
+    if (sf1Wanted) {
+      val provided = "/root/testdata/sf1"
+      val sf1Dir =
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(provided)))
+          provided
+        else {
+          val d = "testdata_sf1"
+          try { graft.tools.GenScale.ensure(spark, sfDir, d); d }
+          catch { case e: Throwable =>
+            System.err.println(s"sf1 generation failed: ${e.getMessage}"); ""
+          }
+        }
+      if (sf1Dir.nonEmpty) {
+        val budget =
+          sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
+        val top20 = med.filter(_._2 >= 0).sortBy(-_._2).take(20).map(_._1)
+        val t0 = System.nanoTime()
+        top20.foreach { name =>
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          if (elapsed > budget) sf1Skipped += name
+          else {
+            graft.pipeline.TrainingData.invalidateCaches(spark)
+            graft.graph.GraphOps.invalidateCaches(spark)
+            val q0 = System.nanoTime()
+            val ok =
+              try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
+              catch {
+                case e: Throwable =>
+                  System.err.println(
+                    s"SF1 FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+                  false
+              }
+            sf1Results(name) =
+              if (ok) (System.nanoTime() - q0) / 1e9 else -1.0
+          }
+        }
+        // sf1 artifacts must not leak into later sf0.1-keyed cache reads
+        graft.pipeline.TrainingData.invalidateCaches(spark)
+        graft.graph.GraphOps.invalidateCaches(spark)
+        graft.dedup.Dedup.invalidateCaches(spark)
+      }
+    }
+    spark.stop()
     // regression gate: diff against the PRIOR run's medians (read before
     // this run overwrites the audit file; SPARK_GRAFT_BENCH_BASELINE
     // points elsewhere, e.g. a kept round artifact)
@@ -164,7 +219,12 @@ object Bench {
       val m = med.map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
       val reg = regressed
         .map { case (q, p, v) => s""""$q":"$p->$v"""" }.mkString("{", ",", "}")
-      s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"baseline":"$baselinePath","regressions":$reg,"runs":$r,"medians":$m}"""
+      val s1 = sf1Results
+        .map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
+      val s1skip = sf1Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
+      // NOTE: "medians" stays the LAST key (parseMedians is brace-bounded
+      // now, but the audit format keeps the convention regardless)
+      s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"baseline":"$baselinePath","regressions":$reg,"sf1_top20":$s1,"sf1_skipped":$s1skip,"runs":$r,"medians":$m}"""
     }
     try {
       val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
@@ -192,7 +252,16 @@ object Bench {
     val regJson = regressed.take(8)
       .map { case (q, p, v) => s""""$q":"${fmt(p)}->${fmt(v)}"""" }
       .mkString("{", ",", "}")
-    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"regressions":$regJson,"full":"BENCH_LOCAL.json","queries":{"""
+    // sf1 scale leg rides in the always-kept prefix as "sf0.1med->sf1"
+    // pairs — the ratio IS the scale verdict, so both numbers stay on the
+    // line; skipped queries are named (bounded leg, never a silent cap)
+    val medMap = med.toMap
+    val sf1Json = sf1Results
+      .map { case (q, v) =>
+        s""""$q":"${fmt(medMap.getOrElse(q, -1.0))}->${fmt(v)}"""" }
+      .mkString("{", ",", "}")
+    val sf1SkipJson = sf1Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
+    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"regressions":$regJson,"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
     val suffix = "}}"
     val entries = med.sortBy(-_._2).map { case (q, v) => s""""$q":${fmt(v)}""" }
     // strict prefix of the slowest-first order: stop at the first entry

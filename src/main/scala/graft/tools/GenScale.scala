@@ -1,0 +1,94 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic 10× upsampler for the scale-leg bench: builds an
+  * sf1-shaped dataset from `/root/testdata/sf0.1` when no driver-provided
+  * sf1 exists (the testdata tree is read-only, so the derived copy lands
+  * under the repo working dir and is gitignored).
+  *
+  * Shape contract — the point is a 10×-rows probe with the SAME schema
+  * and join structure, not distribution-perfect TPC-H:
+  *   - every int64 entity key shifts by `copy · 10⁸` on BOTH sides of
+  *     each join (fact and dimension), so per-copy join fan-outs match
+  *     the original and cross-copy keys never collide;
+  *   - int32 nation/region dims stay fixed (dimension tables are
+  *     calendar/geography-bounded in real lakes, not corpus-scaled);
+  *   - `documents.text` copies prefix EVERY token with `c<copy>`:
+  *     within-copy duplicate/near-dup structure is preserved exactly
+  *     (so dedup relations scale linearly with copies) while cross-copy
+  *     shingle overlap is zero — verbatim text copies would instead
+  *     make every doc a 10-member near-dup cluster and grow the pair
+  *     relation 45×, a data artifact masquerading as a plan regression;
+  *   - `embeddings.embedding` copies rotate the vector by `copy`
+  *     positions: norms and per-vector distributions survive, cross-copy
+  *     cosine decorrelates (verbatim copies would make 10-way exact
+  *     ANN/neardup ties), and `vec_id < nQueries` query sets stay
+  *     copy-0-only so retrieval evals scale linearly in corpus size;
+  *   - `events.ts` is unchanged: the hour spine is calendar-bounded by
+  *     design, so 10× data means 10× traffic per hour, not 10× hours.
+  */
+object GenScale {
+
+  private val KeyOffset = 100000000L
+
+  /** Key columns to shift per table (int64 entity keys only). */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty)
+
+  /** Tables copied verbatim once (fixed-size dimensions). */
+  private val fixedTables = Set("region", "nation")
+
+  private def copyOf(name: String, df: DataFrame, i: Int): DataFrame = {
+    val shifted = keyCols(name).foldLeft(df)((d, k) =>
+      d.withColumn(k, col(k) + lit(i * KeyOffset)))
+    name match {
+      case "documents" if i > 0 =>
+        // prefix every token; recompute n_chars so the (text, n_chars)
+        // pair stays internally consistent in the derived copies
+        shifted
+          .withColumn("text", array_join(
+            transform(split(col("text"), " "),
+              t => concat(lit(s"c$i"), t)), " "))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      case "embeddings" if i > 0 =>
+        val r = i % 64
+        shifted.withColumn("embedding", expr(
+          s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+            s"slice(embedding, 1, $r))"))
+      case _ => shifted
+    }
+  }
+
+  /** Build `dstDir` (10 key-shifted copies of every `srcDir` table) if
+    * absent; reuse silently when the completion marker exists. */
+  def ensure(spark: SparkSession, srcDir: String, dstDir: String,
+      copies: Int = 10): Unit = {
+    val marker = Paths.get(dstDir, "_GENSCALE_DONE")
+    if (Files.exists(marker)) return
+    Files.createDirectories(Paths.get(dstDir))
+    keyCols.keys.toSeq.sorted.foreach { name =>
+      val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      val out =
+        if (fixedTables(name)) base
+        else (0 until copies).map(copyOf(name, base, _)).reduce(_ unionByName _)
+      // a few files per table so scans parallelize like real lake input
+      val files = if (fixedTables(name)) 1 else 8
+      out.repartition(files)
+        .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+    }
+    Files.createFile(marker)
+  }
+}
