@@ -190,6 +190,13 @@ object Bench {
           "q_dedup_clusters", "q_ann_ivfpq", "q_bm25_topk",
           "q_events_sessionize", "q_edit_distance")
           .filter(s => SparkEntry.queries.contains(s) && names.contains(s))
+        // per-QUERY hard cap on top of the leg budget: the leg exists to
+        // find 10x-data cliffs, and a cliff query would otherwise run
+        // unbounded (a quadratic plan at sf1 can run for hours) — cancel
+        // its job group at the cap and report it as a timeout, which IS
+        // the cliff verdict
+        val queryCap =
+          sys.env.getOrElse("SPARK_GRAFT_SF1_QUERY_CAP", "300").toDouble
         val t0 = System.nanoTime()
         (top20 ++ sentinels).distinct.foreach { name =>
           val elapsed = (System.nanoTime() - t0) / 1e9
@@ -197,6 +204,23 @@ object Bench {
           else {
             graft.pipeline.TrainingData.invalidateCaches(spark)
             graft.graph.GraphOps.invalidateCaches(spark)
+            val capSecs = math.min(queryCap, budget - elapsed)
+            val group = s"sf1-$name"
+            spark.sparkContext.setJobGroup(group, s"sf1 leg: $name",
+              interruptOnCancel = true)
+            val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+            val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+            val watchdog = new Thread(() => {
+              val deadline = System.nanoTime() + (capSecs * 1e9).toLong
+              while (!done.get && System.nanoTime() < deadline)
+                Thread.sleep(100)
+              if (!done.get) {
+                timedOut.set(true)
+                spark.sparkContext.cancelJobGroup(group)
+              }
+            }, s"sf1-watchdog-$name")
+            watchdog.setDaemon(true)
+            watchdog.start()
             val q0 = System.nanoTime()
             val ok =
               try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
@@ -205,8 +229,12 @@ object Bench {
                   System.err.println(
                     s"SF1 FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
                   false
+              } finally {
+                done.set(true)
+                spark.sparkContext.clearJobGroup()
               }
-            sf1Results(name) =
+            if (timedOut.get) sf1Skipped += s"$name:timeout>${capSecs.toInt}s"
+            else sf1Results(name) =
               if (ok) (System.nanoTime() - q0) / 1e9 else -1.0
           }
         }
@@ -252,7 +280,12 @@ object Bench {
     // any query with a failed run is named in the summary line — the
     // total alone cannot distinguish "faster" from "silently broken"
     val failed = names.filter(q => runs(q).exists(_ < 0))
-    val failedJson = failed.map(q => s""""$q"""").mkString("[", ",", "]")
+    // the PREFIX must stay bounded too (the budget below only trims the
+    // queries map): n_failed carries the full count, so the name list
+    // caps at 8 — an uncapped list of failures could alone overflow the
+    // consumer's tail capture and lose the entire round record
+    val failedJson = failed.take(8).map(q => s""""$q"""")
+      .mkString("[", ",", "]")
     // The consumer captures a BOUNDED TAIL of this log (2000 chars): a
     // queries map that outgrows it gets its HEAD truncated — the line
     // stops parsing and the alphabetically-early queries vanish from the
@@ -269,14 +302,27 @@ object Bench {
       .mkString("{", ",", "}")
     // sf1 scale leg rides in the always-kept prefix as "sf0.1med->sf1"
     // pairs — the ratio IS the scale verdict, so both numbers stay on the
-    // line; skipped queries are named (bounded leg, never a silent cap)
+    // line. The block is CHARACTER-bounded (slowest sf1 time first, so
+    // the worst offenders always survive the cut); entries past the
+    // bound and skip names past 8 are counted, never silently dropped —
+    // BENCH_LOCAL.json has every entry at full precision.
     val medMap = med.toMap
-    val sf1Json = sf1Results
+    val sf1Entries = sf1Results.toSeq.sortBy { case (_, v) => -v }
       .map { case (q, v) =>
         s""""$q":"${fmt(medMap.getOrElse(q, -1.0))}->${fmt(v)}"""" }
-      .mkString("{", ",", "}")
-    val sf1SkipJson = sf1Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
-    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"regressions":$regJson,"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
+    val sf1Budget = 800
+    val sf1Kept = scala.collection.mutable.ListBuffer.empty[String]
+    var sf1Len = 0
+    sf1Entries.foreach { e =>
+      val add = e.length + (if (sf1Kept.isEmpty) 0 else 1)
+      if (sf1Len + add <= sf1Budget) { sf1Kept += e; sf1Len += add }
+    }
+    val sf1Json = sf1Kept.mkString("{", ",", "}")
+    val sf1SkipJson = sf1Skipped.take(8).map(q => s""""$q"""")
+      .mkString("[", ",", "]")
+    val sf1Meta =
+      s""""sf1_n":${sf1Results.size},"sf1_n_skipped":${sf1Skipped.size},"""
+    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"regressions":$regJson,$sf1Meta"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
     val suffix = "}}"
     val entries = med.sortBy(-_._2).map { case (q, v) => s""""$q":${fmt(v)}""" }
     // strict prefix of the slowest-first order: stop at the first entry

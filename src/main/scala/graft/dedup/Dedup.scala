@@ -17,6 +17,20 @@ import graft.relational.Tables
   * verification join, whose size LSH keeps near-linear. A naive
   * all-pairs token join would be quadratic in documents-per-token and is
   * exactly what this module avoids at 100 TB.
+  *
+  * Pipeline ORDER contract: run [[qDedupExact]] (or the `dedup_exact()`
+  * TVF) BEFORE the pairwise near-dup operators. Identical texts share
+  * every shingle, signature and band, so a group of m verbatim copies
+  * contributes m²/2 candidate pairs to EVERY pairwise relation here —
+  * work and output that exact dedup removes for one cheap content-hash
+  * aggregation. (Real crawl corpora are 20-30% exact dups with huge
+  * degenerate groups — empty pages, boilerplate.) The r11 sf1 sentinel
+  * measured exactly this multiplicity² shape on duplicate part NAMES in
+  * the edit-distance family, which is why [[qEditDistancePairs]] is
+  * dictionary-first internally; the text operators keep the raw-doc_id
+  * relation (their published output) and delegate degenerate-group
+  * removal to the exact pass that every corpus pipeline runs first
+  * ([[graft.pipeline.TrainingData.qCorpusBuild]] stages it that way).
   */
 object Dedup {
 

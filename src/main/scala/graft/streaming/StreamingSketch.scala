@@ -95,14 +95,20 @@ object StreamingSketch {
   /** The one fold BOTH state APIs run ([[slidingDistinct]] on fMGWS,
     * [[StreamingSketchTws.slidingDistinct]] on transformWithState):
     * absorb the batch into per-hour max-registers, then emit the
-    * refreshed trailing-`windowHours` estimate for EVERY hour in state —
-    * re-merging w of the 256-byte register sets per hour, exactly the
-    * batch operator's explicit-offset window re-merge
+    * refreshed trailing-`windowHours` estimate for every hour whose
+    * window the batch TOUCHED — an hour h's estimate can only change
+    * when some source hour in [h-w+1, h] absorbed rows, so emission is
+    * restricted to [min touched, max touched + w - 1] (re-emitting the
+    * whole calendar spine per batch would be O(total-hours) work and
+    * sink rows per micro-batch — quadratic over a long-running stream).
+    * Each emitted estimate re-merges w of the 256-byte register sets,
+    * exactly the batch operator's explicit-offset window re-merge
     * ([[graft.relational.Sketches.qHllSliding]]). Register merge is max
     * (commutative, idempotent), so any batch split or arrival order
-    * lands on the identical registers and the final per-(key, hour)
-    * estimates equal the batch `hll_est` bit-for-bit (the suite pins
-    * it on both APIs). */
+    * lands on the identical registers, and the LAST emission per
+    * (key, hour) equals the batch `hll_est` bit-for-bit (the suite pins
+    * it on both APIs — untouched windows keep their prior emission,
+    * which is already final). */
   private[streaming] def slidingFold(
       eventType: String,
       s: HourRegisters,
@@ -112,13 +118,20 @@ object StreamingSketch {
     s.hours.zipWithIndex.foreach { case (h, i) =>
       m(h) = s.regs.slice(i * 256, (i + 1) * 256).toArray
     }
+    var tMin = Long.MaxValue
+    var tMax = Long.MinValue
     events.foreach { e =>
       val mj = m.getOrElseUpdate(e.hour, Array.fill[Byte](256)(0))
       val (b, r) = register(e.userId)
       if (r > mj(b)) mj(b) = r
+      if (e.hour < tMin) tMin = e.hour
+      if (e.hour > tMax) tMax = e.hour
     }
     val hours = m.keys.toVector.sorted
-    val ests = hours.map { h =>
+    val touched =
+      if (tMin > tMax) Vector.empty // empty batch: nothing changed
+      else hours.filter(h => h >= tMin && h <= tMax + (windowHours - 1))
+    val ests = touched.map { h =>
       val merged = Array.fill[Byte](256)(0)
       var o = 0
       while (o < windowHours) {

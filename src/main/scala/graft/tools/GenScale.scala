@@ -64,9 +64,13 @@ object GenScale {
               t => concat(lit(s"c$i"), t)), " "))
           .withColumn("n_chars", length(col("text")).cast("long"))
       case "embeddings" if i > 0 =>
-        val r = i % 64
+        // rotation offset in [1, dim-1] for EVERY copy — `i % dim` would
+        // degenerate to the identity at copy == dim, silently recreating
+        // the verbatim-copy ANN-tie artifact this rotation exists to
+        // prevent; dim comes from the data, not a hard-coded 64
+        val r = s"((${i - 1} % (size(embedding) - 1)) + 1)"
         shifted.withColumn("embedding", expr(
-          s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
             s"slice(embedding, 1, $r))"))
       case _ => shifted
     }
