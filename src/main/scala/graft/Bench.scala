@@ -188,7 +188,8 @@ object Bench {
         val sentinels = Seq(
           "q_minhash_lsh", "q_setsim_join", "q_embedding_neardup",
           "q_dedup_clusters", "q_ann_ivfpq", "q_bm25_topk",
-          "q_events_sessionize", "q_edit_distance")
+          "q_events_sessionize", "q_edit_distance", "q_simhash",
+          "q_image_neardup", "q_corpus_build")
           .filter(s => SparkEntry.queries.contains(s) && names.contains(s))
         // per-QUERY hard cap on top of the leg budget: the leg exists to
         // find 10x-data cliffs, and a cliff query would otherwise run
