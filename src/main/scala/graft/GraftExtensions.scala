@@ -554,6 +554,35 @@ object GraftExtensions {
            |      FROM $tbl) g
            |GROUP BY lang""".stripMargin)
     },
+    "decontaminate" -> { args: Seq[Expression] =>
+      // decontaminate(tbl): train/eval contamination census — every
+      // TRAIN-split doc sharing a verbatim 4-token shingle with any
+      // TEST-split doc, with hit count and contaminated fraction
+      // ≡ TrainingData.qDecontaminate (splits from THE bucketOf policy,
+      // inlined; the eval side collapses to a distinct shingle set and
+      // the train side meets it in one shingle equi-join — never
+      // doc × doc)
+      arity("decontaminate", 1, args)
+      val tbl = tableIdent("decontaminate", args(0))
+      val bucketed =
+        s"""SELECT doc_id, shingle_set(text, 4) AS sh_arr,
+           |  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+           |    16, 10) AS BIGINT) % 100 AS bucket
+           |FROM $tbl""".stripMargin
+      parseTemplate(
+        s"""SELECT t.doc_id, max(t.n_shingles) AS n_shingles,
+           |  count(1) AS n_hits,
+           |  round(CAST(count(1) AS DOUBLE) / max(t.n_shingles), 4) AS frac
+           |FROM (
+           |  SELECT doc_id, CAST(size(sh_arr) AS BIGINT) AS n_shingles, sh
+           |  FROM ($bucketed) d LATERAL VIEW explode(sh_arr) x AS sh
+           |  WHERE bucket < 80) t
+           |JOIN (
+           |  SELECT DISTINCT sh FROM ($bucketed) e
+           |  LATERAL VIEW explode(sh_arr) y AS sh
+           |  WHERE bucket >= 90) ev ON t.sh = ev.sh
+           |GROUP BY t.doc_id""".stripMargin)
+    },
     "corpus_build" -> { args: Seq[Expression] =>
       // corpus_build(tbl[, min_tokens, max_bigram_ppm]): the corpus-build
       // capstone's SQL-expressible stages — quality gate (token count +

@@ -55,6 +55,7 @@ object SparkEntry {
     "q_source_cap_sql" -> (graft.relational.SqlSurfaceQueries.qSourceCapSql _),
     "q_quality_gate_sql" -> (graft.relational.SqlSurfaceQueries.qQualityGateSql _),
     "q_corpus_build_sql" -> (graft.relational.SqlSurfaceQueries.qCorpusBuildSql _),
+    "q_decontaminate_sql" -> (graft.relational.SqlSurfaceQueries.qDecontaminateSql _),
     // the Scala twin of corpus_build() — capstone minus the (iterative,
     // SQL-inexpressible) near-dup cluster stage
     "q_corpus_build_exact" -> ((s: SparkSession, d: String) =>
@@ -925,5 +926,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] = baseOracleSql ++ Map(
     "q_ngram_jaccard_sql" -> baseOracleSql("q_ngram_jaccard"),
     "q_simhash_sql" -> baseOracleSql("q_simhash"),
-    "q_crack_multi_sql" -> baseOracleSql("q_crack_multi"))
+    "q_crack_multi_sql" -> baseOracleSql("q_crack_multi"),
+    "q_decontaminate_sql" -> baseOracleSql("q_decontaminate"))
 }

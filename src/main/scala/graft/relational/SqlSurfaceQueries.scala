@@ -72,6 +72,12 @@ object SqlSurfaceQueries {
     spark.sql(
       s"SELECT * FROM quality_gate('${view(spark, dir, "documents")}')")
 
+  /** Train/eval contamination census via `decontaminate()` (SQL twin of
+    * q_decontaminate — THE split policy inlined). */
+  def qDecontaminateSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"SELECT * FROM decontaminate('${view(spark, dir, "documents")}')")
+
   /** Corpus-build funnel via `corpus_build()` (SQL twin of
     * q_corpus_build minus the near-dup cluster stage ≡
     * TrainingData.qCorpusBuildExact). */

@@ -121,7 +121,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "quality_gate('sqlsurface_documents')" ->
         graft.pipeline.TrainingData.qQualityGate(spark, dir),
       "corpus_build('sqlsurface_documents')" ->
-        graft.pipeline.TrainingData.qCorpusBuildExact(spark, dir))
+        graft.pipeline.TrainingData.qCorpusBuildExact(spark, dir),
+      "decontaminate('sqlsurface_documents')" ->
+        graft.pipeline.TrainingData.qDecontaminate(spark, dir))
     cases.foreach { case (fn, scala) =>
       val sql = spark.sql(s"SELECT * FROM $fn")
       assert(sql.columns.toSeq === scala.columns.toSeq, fn)
