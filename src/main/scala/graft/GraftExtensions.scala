@@ -554,6 +554,29 @@ object GraftExtensions {
            |      FROM $tbl) g
            |GROUP BY lang""".stripMargin)
     },
+    "dup_passages" -> { args: Seq[Expression] =>
+      // dup_passages(tbl[, n]): duplicated-PASSAGE census (Lee et al. —
+      // verbatim n-token spans shared across otherwise-distinct docs are
+      // what models memorize) ≡ TrainingData.qDupPassages: one inverted
+      // span index (map-side-combinable doc count per span), spans with
+      // >= 2 docs joined back on the span key — never doc x doc
+      if (args.isEmpty || args.length > 2)
+        throw new IllegalArgumentException(
+          s"dup_passages expects (tbl[, n]), got ${args.length} argument(s)")
+      val tbl = tableIdent("dup_passages", args(0))
+      val n = if (args.length >= 2) posIntArg("dup_passages", args(1)) else 8
+      val spans =
+        s"""SELECT doc_id, span FROM $tbl
+           |LATERAL VIEW explode(shingle_set(text, $n)) x AS span""".stripMargin
+      parseTemplate(
+        s"""SELECT s.doc_id, count(1) AS n_dup_spans,
+           |  max(sh.n_docs) AS max_span_docs
+           |FROM ($spans) s
+           |JOIN (SELECT span, count(1) AS n_docs FROM ($spans) i
+           |      GROUP BY span HAVING count(1) >= 2) sh
+           |  ON s.span = sh.span
+           |GROUP BY s.doc_id""".stripMargin)
+    },
     "decontaminate" -> { args: Seq[Expression] =>
       // decontaminate(tbl): train/eval contamination census — every
       // TRAIN-split doc sharing a verbatim 4-token shingle with any

@@ -56,6 +56,7 @@ object SparkEntry {
     "q_quality_gate_sql" -> (graft.relational.SqlSurfaceQueries.qQualityGateSql _),
     "q_corpus_build_sql" -> (graft.relational.SqlSurfaceQueries.qCorpusBuildSql _),
     "q_decontaminate_sql" -> (graft.relational.SqlSurfaceQueries.qDecontaminateSql _),
+    "q_dup_passages_sql" -> (graft.relational.SqlSurfaceQueries.qDupPassagesSql _),
     // the Scala twin of corpus_build() — capstone minus the (iterative,
     // SQL-inexpressible) near-dup cluster stage
     "q_corpus_build_exact" -> ((s: SparkSession, d: String) =>
@@ -927,5 +928,6 @@ object SparkEntry {
     "q_ngram_jaccard_sql" -> baseOracleSql("q_ngram_jaccard"),
     "q_simhash_sql" -> baseOracleSql("q_simhash"),
     "q_crack_multi_sql" -> baseOracleSql("q_crack_multi"),
-    "q_decontaminate_sql" -> baseOracleSql("q_decontaminate"))
+    "q_decontaminate_sql" -> baseOracleSql("q_decontaminate"),
+    "q_dup_passages_sql" -> baseOracleSql("q_dup_passages"))
 }

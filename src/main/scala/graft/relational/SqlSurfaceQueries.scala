@@ -72,6 +72,12 @@ object SqlSurfaceQueries {
     spark.sql(
       s"SELECT * FROM quality_gate('${view(spark, dir, "documents")}')")
 
+  /** Duplicated-passage census via `dup_passages()` (SQL twin of
+    * q_dup_passages at the same 8-token span default). */
+  def qDupPassagesSql(spark: SparkSession, dir: String): DataFrame =
+    spark.sql(
+      s"SELECT * FROM dup_passages('${view(spark, dir, "documents")}')")
+
   /** Train/eval contamination census via `decontaminate()` (SQL twin of
     * q_decontaminate — THE split policy inlined). */
   def qDecontaminateSql(spark: SparkSession, dir: String): DataFrame =

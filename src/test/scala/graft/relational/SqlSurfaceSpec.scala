@@ -123,7 +123,9 @@ class SqlSurfaceSpec extends SparkSpec {
       "corpus_build('sqlsurface_documents')" ->
         graft.pipeline.TrainingData.qCorpusBuildExact(spark, dir),
       "decontaminate('sqlsurface_documents')" ->
-        graft.pipeline.TrainingData.qDecontaminate(spark, dir))
+        graft.pipeline.TrainingData.qDecontaminate(spark, dir),
+      "dup_passages('sqlsurface_documents')" ->
+        graft.pipeline.TrainingData.qDupPassages(spark, dir))
     cases.foreach { case (fn, scala) =>
       val sql = spark.sql(s"SELECT * FROM $fn")
       assert(sql.columns.toSeq === scala.columns.toSeq, fn)
@@ -163,7 +165,9 @@ class SqlSurfaceSpec extends SparkSpec {
           keepPerMille = 500),
       "corpus_build('sqlsurface_documents', 10, 300000)" ->
         graft.pipeline.TrainingData.qCorpusBuildExact(spark, dir,
-          minTokens = 10, maxBigramFrac = 0.3))
+          minTokens = 10, maxBigramFrac = 0.3),
+      "dup_passages('sqlsurface_documents', 6)" ->
+        graft.pipeline.TrainingData.qDupPassages(spark, dir, n = 6))
     knobbed.foreach { case (fn, scala) =>
       val sql = spark.sql(s"SELECT * FROM $fn")
       assert(sql.columns.toSeq === scala.columns.toSeq, fn)
