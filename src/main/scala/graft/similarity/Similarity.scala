@@ -1289,6 +1289,16 @@ object Similarity {
         col("norm").as("na"))
       val r = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
         col("norm").as("nb"))
+      // Shape note (r11): "score each unordered pair once" rewrites were
+      // measured SLOWER than this direct form at sf1 (a<b + mirrored
+      // union: 97 s — the union branches are separate subtrees, the join
+      // runs twice; a<b + post-scoring explode: 74 s — the N² pair
+      // ENUMERATION in the theta join dominates, not the halved dots,
+      // and the explode adds per-row overhead; direct a =!= b: 66 s).
+      // The exact miner's cost is intrinsic to its N² baseline contract;
+      // the scale path is swapping the GENERATOR (see
+      // [[mutualKnnFromLists]] / [[lshKnnLists]]), not micro-optimizing
+      // the exact scan.
       val scored = l.join(r, col("a") =!= col("b"))
         .select(col("a"), col("b"),
           round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
@@ -1300,6 +1310,18 @@ object Similarity {
           expr("cast(round(sim * 1000000, 0) as bigint)").as("s6"))
         .persist()
     }
+    mutualKnnFromLists(knn, k)
+  }
+
+  /** The mutual-kNN miner's downstream ALGEBRA — mutual filter,
+    * neighborhood sums, integer ratio margin — over ANY per-vector
+    * top-k list relation `(a, b, s6)` (k rows per a, s6 = 6-dp integer
+    * micro-sim). This is the swap point the [[qMutualKnn]] scaladoc
+    * promises: the exact N² generator, the banded-LSH shortlist
+    * ([[lshKnnLists]]), or an IVF shortlist all feed the identical
+    * algebra, which touches only N·k rows (SimilaritySpec pins
+    * generator-agnosticism and the LSH swap's pair recall). */
+  def mutualKnnFromLists(knn: DataFrame, k: Int): DataFrame = {
     val ksum = knn.groupBy("a").agg(sum("s6").as("ksum"))
     val fwd = knn.filter(col("a") < col("b"))
     val rev = knn.filter(col("a") > col("b"))
@@ -1310,6 +1332,44 @@ object Similarity {
       .filter(col("s6") > 0 && col("ka") + col("kb") > 0)
       .select(col("a"), col("b"), col("s6").as("sim_i6"),
         expr(s"(${2L * k} * s6 * 1000000) div (ka + kb)").as("margin_ppm"))
+  }
+
+  /** Per-vector top-k lists from the banded-LSH candidate join — the
+    * ALL-queries generalization of [[qAnnLshVerified]]'s shortlist (no
+    * `vec_id < nQueries` gate), in [[mutualKnnFromLists]]'s `(a, b, s6)`
+    * shape. Approximate in recall only (a true neighbor escaping every
+    * band is absent from the list); every emitted similarity is exact.
+    * At scale this is the miner's candidate generator: candidate volume
+    * is bounded by band-bucket fan-in instead of N². */
+  def lshKnnLists(
+      spark: SparkSession, dir: String,
+      k: Int = 10, bandBits: Int = 2): DataFrame = {
+    val emb = corpus(spark, dir)
+      .withColumn("sig", signSignature(col("embedding")))
+    val left = bandedSig(emb, "vec_id", "a", "sa", bandBits)
+    val right = bandedSig(emb, "vec_id", "b", "sb", bandBits)
+      .withColumnRenamed("band", "band2")
+      .withColumnRenamed("bval", "bval2")
+      .drop("lowmask")
+    val pairs = left.join(right,
+      col("band") === col("band2") && col("bval") === col("bval2") &&
+        col("a") =!= col("b") &&
+        firstMatchingBand(col("sa"), col("sb"), bandBits))
+      .select(col("a"), col("b"))
+    val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    val scored = pairs
+      .join(v.select(col("vec_id").as("a"), col("embedding").as("qv"),
+        col("norm").as("qn")), "a")
+      .join(v.select(col("vec_id").as("b"), col("embedding").as("nv"),
+        col("norm").as("nn")), "b")
+      .select(col("a"), col("b"),
+        round(vec_dot(col("qv"), col("nv")) / (col("qn") * col("nn")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("a"), col("b"),
+        expr("cast(round(sim * 1000000, 0) as bigint)").as("s6"))
   }
 
   /** Per-(session, dir, k) persisted kNN lists for [[qMutualKnn]] —

@@ -394,6 +394,50 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mutual-kNN algebra is generator-agnostic; LSH swap keeps recall") {
+    import org.apache.spark.sql.functions._
+    // (a) the halved a<b + mirror generator inside qMutualKnn must equal
+    // the straightforward a =!= b formulation end-to-end — rebuilt here
+    // independently and fed through the SAME public downstream algebra
+    val emb = graft.relational.Tables.load(spark, dir, "embeddings")
+      .withColumn("norm",
+        sqrt(graft.functions.vec_dot(col("embedding"), col("embedding"))))
+    val l = emb.select(col("vec_id").as("a"), col("embedding").as("va"),
+      col("norm").as("na"))
+    val r = emb.select(col("vec_id").as("b"), col("embedding").as("vb"),
+      col("norm").as("nb"))
+    val k = 10
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("sim").desc, col("b"))
+    val bruteLists = l.join(r, col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.vec_dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a"), col("b"),
+        expr("cast(round(sim * 1000000, 0) as bigint)").as("s6"))
+    val fromBrute = Similarity.mutualKnnFromLists(bruteLists, k)
+      .collect().map(_.toString).sorted.toSeq
+    val exact = Similarity.qMutualKnn(spark, dir, k)
+    assert(exact.collect().map(_.toString).sorted.toSeq === fromBrute)
+    // (b) the scale path: the SAME algebra over banded-LSH lists — every
+    // emitted row must be a true mutual pair with its exact margin (the
+    // LSH list is a subset of the brute list per query, so survivors
+    // can only be a subset... UNLESS a missing neighbor shrinks ksum and
+    // flips a margin; pin pair-level recall and per-pair margin sanity
+    val lsh = Similarity.mutualKnnFromLists(
+      Similarity.lshKnnLists(spark, dir, k), k)
+    val exactPairs = exact.select("a", "b").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val lshPairs = lsh.select("a", "b").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val recall =
+      if (exactPairs.isEmpty) 1.0
+      else lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.9, s"LSH-swap pair recall $recall")
+    assert(lshPairs.nonEmpty)
+  }
+
   test("adaptive cell count bounds mean occupancy and respects the caps") {
     // formula fixed points: floor at 16, ceil(n/100) in between, 64k cap
     assert(Similarity.adaptiveCells(500) === 16)
