@@ -565,17 +565,22 @@ object GraftExtensions {
           s"dup_passages expects (tbl[, n]), got ${args.length} argument(s)")
       val tbl = tableIdent("dup_passages", args(0))
       val n = if (args.length >= 2) posIntArg("dup_passages", args(1)) else 8
-      val spans =
-        s"""SELECT doc_id, span FROM $tbl
-           |LATERAL VIEW explode(shingle_set(text, $n)) x AS span""".stripMargin
+      // ONE shingle pass by construction: the per-span doc count is a
+      // window over the exploded relation (shingle_set is a SET per doc,
+      // so count(1) per span partition == docs carrying the span) — the
+      // aggregate-then-self-join form re-shingled the corpus twice (and a
+      // WITH hoist gets inlined right back by InlineCTE's cheap-def
+      // heuristic, SqlSurfaceSpec pins the single-scan plan). Span
+      // cardinality is corpus-sized, so the window partitioning is as
+      // wide as the join key it replaces — one exchange instead of two.
       parseTemplate(
-        s"""SELECT s.doc_id, count(1) AS n_dup_spans,
-           |  max(sh.n_docs) AS max_span_docs
-           |FROM ($spans) s
-           |JOIN (SELECT span, count(1) AS n_docs FROM ($spans) i
-           |      GROUP BY span HAVING count(1) >= 2) sh
-           |  ON s.span = sh.span
-           |GROUP BY s.doc_id""".stripMargin)
+        s"""SELECT doc_id, count(1) AS n_dup_spans, max(n_docs) AS max_span_docs
+           |FROM (SELECT doc_id, span,
+           |        count(1) OVER (PARTITION BY span) AS n_docs
+           |      FROM $tbl
+           |      LATERAL VIEW explode(shingle_set(text, $n)) x AS span) w
+           |WHERE n_docs >= 2
+           |GROUP BY doc_id""".stripMargin)
     },
     "decontaminate" -> { args: Seq[Expression] =>
       // decontaminate(tbl): train/eval contamination census — every
@@ -587,24 +592,34 @@ object GraftExtensions {
       // doc × doc)
       arity("decontaminate", 1, args)
       val tbl = tableIdent("decontaminate", args(0))
-      val bucketed =
-        s"""SELECT doc_id, shingle_set(text, 4) AS sh_arr,
-           |  CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
-           |    16, 10) AS BIGINT) % 100 AS bucket
-           |FROM $tbl""".stripMargin
+      // ONE shingle pass by construction: train and eval rows ride the
+      // same exploded relation (val-split rows dropped pre-explode) and
+      // the eval-membership test is a per-shingle window flag instead of
+      // a distinct-then-join — the join form shingled the corpus twice,
+      // and a WITH hoist gets inlined right back by InlineCTE's
+      // cheap-def heuristic (SqlSurfaceSpec pins the single-shingle
+      // plan). Flag-sum == semijoin-count because shingle_set is a SET
+      // per doc; n_shingles likewise needs no size(sh_arr) — it is the
+      // doc's unfiltered row count in the final aggregate (a second
+      // reference to sh_arr would get shingle_set re-inlined per use
+      // site by CollapseProject, tripling the per-row shingle work).
       parseTemplate(
-        s"""SELECT t.doc_id, max(t.n_shingles) AS n_shingles,
-           |  count(1) AS n_hits,
-           |  round(CAST(count(1) AS DOUBLE) / max(t.n_shingles), 4) AS frac
+        s"""SELECT doc_id, count(1) AS n_shingles,
+           |  sum(hit) AS n_hits,
+           |  round(CAST(sum(hit) AS DOUBLE) / count(1), 4) AS frac
            |FROM (
-           |  SELECT doc_id, CAST(size(sh_arr) AS BIGINT) AS n_shingles, sh
-           |  FROM ($bucketed) d LATERAL VIEW explode(sh_arr) x AS sh
-           |  WHERE bucket < 80) t
-           |JOIN (
-           |  SELECT DISTINCT sh FROM ($bucketed) e
-           |  LATERAL VIEW explode(sh_arr) y AS sh
-           |  WHERE bucket >= 90) ev ON t.sh = ev.sh
-           |GROUP BY t.doc_id""".stripMargin)
+           |  SELECT doc_id, bucket,
+           |    max(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY sh) AS hit
+           |  FROM (SELECT doc_id,
+           |          CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8),
+           |            16, 10) AS BIGINT) % 100 AS bucket, text
+           |        FROM $tbl) d
+           |  LATERAL VIEW explode(shingle_set(text, 4)) x AS sh
+           |  WHERE bucket < 80 OR bucket >= 90) w
+           |WHERE bucket < 80
+           |GROUP BY doc_id
+           |HAVING sum(hit) > 0""".stripMargin)
     },
     "corpus_build" -> { args: Seq[Expression] =>
       // corpus_build(tbl[, min_tokens, max_bigram_ppm]): the corpus-build
@@ -653,8 +668,15 @@ object GraftExtensions {
 
   /** Parse a rendered SQL template into an unresolved logical plan
     * (session-free; resolution happens in the host query's analyzer). */
+  /** Parse a builder template. CTE substitution must run HERE: the
+    * analyzer's own CTESubstitution pass fired before this plan was
+    * spliced in, so a template's WITH clause would otherwise reach
+    * resolution as an unsubstituted UnresolvedWith and fail with
+    * TABLE_OR_VIEW_NOT_FOUND on its own CTE names. (No-op for the
+    * WITH-less templates.) */
   private def parseTemplate(sql: String): logical.LogicalPlan =
-    org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql)
+    org.apache.spark.sql.catalyst.analysis.CTESubstitution(
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parsePlan(sql))
 
   /** A foldable string argument that must be a plain (optionally
     * dot-qualified) table identifier — the template splice is an

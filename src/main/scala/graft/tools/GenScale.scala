@@ -85,6 +85,19 @@ object GenScale {
     Files.createDirectories(Paths.get(dstDir))
     keyCols.keys.toSeq.sorted.foreach { name =>
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
+      // disjointness guard: the shifted copy spaces only stay disjoint if
+      // every source key fits under KeyOffset — a larger source would
+      // silently overlap copies and corrupt join fan-outs, so fail loudly
+      if (!fixedTables(name) && keyCols(name).nonEmpty) {
+        val maxes = base.select(keyCols(name).map(k => max(col(k)).as(k)): _*)
+          .collect()(0)
+        keyCols(name).zipWithIndex.foreach { case (k, i) =>
+          val m = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+          require(m < KeyOffset,
+            s"GenScale: $name.$k max $m >= KeyOffset $KeyOffset — " +
+              "shifted copy key spaces would collide")
+        }
+      }
       val out =
         if (fixedTables(name)) base
         else (0 until copies).map(copyOf(name, base, _)).reduce(_ unionByName _)

@@ -138,6 +138,16 @@ class SqlSurfaceSpec extends SparkSpec {
       .collect()(0).getLong(0)
     val total = Tables.load(spark, dir, "documents").count()
     assert(built < total, s"corpus_build kept everything ($built of $total)")
+    // the templates that reference their exploded-shingle relation twice
+    // must hoist it into ONE CTE definition — the physical plan shingles
+    // the corpus once (a second shingle_set means the WITH was inlined
+    // back into two full scans, the pre-r12 doubled-explode shape)
+    for (fn <- Seq("dup_passages", "decontaminate")) {
+      val plan = spark.sql(s"SELECT * FROM $fn('sqlsurface_documents')")
+        .queryExecution.executedPlan.toString
+      val n = "shingle_set".r.findAllIn(plan).length
+      assert(n === 1, s"$fn physical plan shingles the corpus $n times:\n$plan")
+    }
   }
 
   test("non-default knobs produce EXACTLY the non-default Scala results") {
@@ -213,5 +223,24 @@ class SqlSurfaceSpec extends SparkSpec {
     val div = intercept[Exception](spark.sql(
       "SELECT * FROM dedup_pairs('sqlsurface_documents', 32, 7)").collect())
     assert(div.getMessage.contains("divisible"), div.getMessage)
+  }
+
+  test("docs quote the REGISTRY's table-function count (no drift)") {
+    // the registry is the source of truth; SURVEY/NOTES interpolate it.
+    // Round 11 shipped "17" against a 16-entry registry — this pins the
+    // number the way Bench pinned the query count.
+    val n = graft.GraftExtensions.tableBuilders.size
+    for ((path, re) <- Seq(
+        "SURVEY.md" -> """\((\d+) total now""".r,
+        "NOTES.md" -> """\((\d+) table\s+functions total\)""".r)) {
+      val p = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(p)) {
+        val txt = java.nio.file.Files.readString(p)
+        re.findAllMatchIn(txt).foreach { m =>
+          assert(m.group(1).toInt === n,
+            s"$path quotes ${m.group(1)} table functions; registry has $n")
+        }
+      }
+    }
   }
 }
