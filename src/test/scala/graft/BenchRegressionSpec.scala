@@ -50,4 +50,45 @@ class BenchRegressionSpec extends AnyFunSuite {
     assert(Bench.regressionsOf(Map("q_a" -> -1.0), Seq("q_a" -> 5.0)).isEmpty)
     assert(Bench.regressionsOf(Map("q_a" -> 1.0), Seq("q_a" -> -1.0)).isEmpty)
   }
+
+  test("contextScale: median per-query ratio, robust to a regressed minority") {
+    // 30 queries uniformly 1.3x slower (a busier box) + 5 real 3x
+    // regressions: the scale must read ~1.3, not be dragged by the 5
+    val prior = (1 to 35).map(i => s"q_$i" -> 1.0).toMap
+    val med = (1 to 30).map(i => s"q_$i" -> 1.3) ++
+      (31 to 35).map(i => s"q_$i" -> 3.0)
+    val s = Bench.contextScale(prior, med)
+    assert(math.abs(s - 1.3) < 1e-9, s.toString)
+    // and the gate then flags ONLY the real five (3.0 > 1.5*1.0*1.3)
+    val r = Bench.regressionsOf(prior, med, s)
+    assert(r.map(_._1).toSet === (31 to 35).map(i => s"q_$i").toSet)
+  }
+
+  test("contextScale: clamped, and 1.0 under 20 shared queries") {
+    val prior = (1 to 25).map(i => s"q_$i" -> 1.0).toMap
+    // 10x uniform would mask real drift entirely — clamp at 2
+    assert(Bench.contextScale(prior,
+      (1 to 25).map(i => s"q_$i" -> 10.0)) === 2.0)
+    assert(Bench.contextScale(prior,
+      (1 to 25).map(i => s"q_$i" -> 0.1)) === 0.5)
+    // too few shared queries to estimate context: no normalization
+    assert(Bench.contextScale(Map("q_1" -> 1.0),
+      Seq("q_1" -> 1.3)) === 1.0)
+  }
+
+  test("context normalization never hides SWEEP-wide real drift") {
+    // the clamp bounds what normalization can absorb: a uniform 4x
+    // slowdown still flags every query even at max scale (4 > 1.5*2)
+    val prior = (1 to 30).map(i => s"q_$i" -> 1.0).toMap
+    val med = (1 to 30).map(i => s"q_$i" -> 4.0)
+    val s = Bench.contextScale(prior, med)
+    assert(Bench.regressionsOf(prior, med, s).size === 30)
+  }
+
+  test("parseCpus reads the audit context; mismatch means skip-the-diff") {
+    assert(Bench.parseCpus("""{"sf":"x","n":3,"cpus":32,"runs":{}}""")
+      === Some(32))
+    assert(Bench.parseCpus("""{"cpus":"4"}""") === Some(4))
+    assert(Bench.parseCpus("""{"sf":"x"}""") === None)
+  }
 }
