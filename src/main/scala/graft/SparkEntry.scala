@@ -622,6 +622,11 @@ object SparkEntry {
     // margin-scored mutual-kNN pair mining (ratio margin, integer)
     "q_mutual_knn" -> ((s: SparkSession, d: String) =>
       Similarity.qMutualKnn(s, d)),
+    // the same miner in its 100 TB form: banded-LSH shortlist feeding
+    // the identical N·k algebra — candidate volume bounded by band
+    // fan-in, never N² (oracled against the exact miner's relation)
+    "q_mutual_knn_lsh" -> ((s: SparkSession, d: String) =>
+      Similarity.qMutualKnnLsh(s, d)),
     // the AQE-vs-salting diagnostic: exact key-frequency distribution
     // census, integer ppm shares and rank-selected percentile counts
     "q_key_skew" -> ((s: SparkSession, d: String) =>

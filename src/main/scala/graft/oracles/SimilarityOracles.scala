@@ -386,7 +386,16 @@ private[graft] object SimilarityOracles {
         |WHERE rn = 1""".stripMargin,
     // mutual-kNN ratio-margin mining: brute-force kNN (rounded-cosine
     // rank contract), integer micro-sims, 2k·s6·1e6 // (Σknn_a+Σknn_b)
-    "q_mutual_knn" ->
+    "q_mutual_knn" -> mutualKnnSql,
+    // the LSH-shortlist miner verifies against the SAME exact relation
+    // (the qAnnLshVerified pattern: approximate candidate generation,
+    // exact scoring, empirically-total recall at 32 two-bit bands —
+    // SimilaritySpec pins row-for-row equality with the exact miner)
+    "q_mutual_knn_lsh" -> mutualKnnSql,
+    "q_pca_power" -> pcaPowerSql,
+  )
+
+  private lazy val mutualKnnSql: String =
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
         |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
         |        round(${duckCos("a.v", "b.v")}, 6) AS sim
@@ -402,7 +411,5 @@ private[graft] object SimilarityOracles {
         |  CAST((20 * m.s6 * 1000000) // (ka.ksum + kb.ksum) AS BIGINT)
         |    AS margin_ppm
         |FROM m JOIN ks ka ON m.a = ka.a JOIN ks kb ON m.b = kb.a
-        |WHERE m.s6 > 0 AND ka.ksum + kb.ksum > 0""".stripMargin,
-    "q_pca_power" -> pcaPowerSql,
-  )
+        |WHERE m.s6 > 0 AND ka.ksum + kb.ksum > 0""".stripMargin
 }

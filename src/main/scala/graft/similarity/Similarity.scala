@@ -54,6 +54,7 @@ object Similarity {
     modelCache.invalidate(_._1 == sid)
     assignCache.invalidate(_._1 == sid)
     mutualKnnCache.invalidate(_._1 == sid)
+    lshKnnCache.invalidate(_._1 == sid)
   }
 
   /** Mean within-cell occupancy the adaptive cell count targets:
@@ -1377,6 +1378,54 @@ object Similarity {
     * repeat bench runs share one N² scan. */
   private val mutualKnnCache =
     graft.SessionCache.frames[(String, String, Int)]
+
+  /** The mutual-kNN miner in its 100 TB form — [[lshKnnLists]]'s
+    * banded-LSH shortlist feeding [[mutualKnnFromLists]]'s N·k algebra.
+    * This is the registry door to the scale path the [[qMutualKnn]]
+    * scaladoc promises: candidate volume is bounded by (band, bval)
+    * equi-join fan-in instead of the exact miner's N² enumeration, and
+    * everything downstream of list generation touches only N·k rows.
+    *
+    * Approximate in recall ONLY (a true neighbor escaping all
+    * 64/bandBits bands is absent from its list); every emitted
+    * similarity and margin is exact. At the default 32 two-bit bands
+    * the all-bands-miss probability is ≤ (1 - p²)³² with
+    * p = 1 - θ/π — ≈ 1.6e-4 even for an orthogonal pair — so on the
+    * test corpora the output EQUALS [[qMutualKnn]] row-for-row
+    * (SimilaritySpec pins the equality; the DuckDB oracle is the exact
+    * miner's SQL, the [[qAnnLshVerified]] pattern). The kNN lists
+    * persist per (session, dir, k, bandBits) like the exact miner's —
+    * the documented compute-once-per-corpus artifact shape.
+    *
+    * Cost honesty (the [[qEmbeddingNearDup]] physics, measured r12
+    * cold-to-cold): on ISOTROPIC embeddings an average pair matches
+    * ~8 of the 32 bands (per-band collision ≈ 0.25), so the banded
+    * equi-join enumerates ~8·N² pair-band combos and first-match
+    * filtering discards 7/8 — cheaper than the exact theta join at
+    * small N (3.2 s vs 9.4 s at N = 2k), ~1.3× dearer once the pair
+    * term dominates (67 s vs 52 s at N = 20k). The 100 TB value is
+    * structural, not constant-factor: candidates partition by
+    * (band, bval) key — bounded per-key fan-in, no corpus broadcast —
+    * and on real embedding corpora (clustered, near-dup structure)
+    * band buckets are selective, which is what banding exists for;
+    * an isotropic corpus is the adversarial case where NO sublinear
+    * exact shortlist exists. */
+  def qMutualKnnLsh(
+      spark: SparkSession, dir: String,
+      k: Int = 10, bandBits: Int = 2): DataFrame = {
+    val knn = lshKnnCache.get(
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir, k, bandBits)) {
+      val lists = lshKnnLists(spark, dir, k, bandBits).persist()
+      lists.count() // populate before the algebra's three readers race
+      lists
+    }
+    mutualKnnFromLists(knn, k)
+  }
+
+  /** Per-(session, dir, k, bandBits) persisted banded-LSH kNN lists for
+    * [[qMutualKnnLsh]] — same sharing contract as [[mutualKnnCache]]. */
+  private val lshKnnCache =
+    graft.SessionCache.frames[(String, String, Int, Int)]
 
   /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
     * not near-duplicate text: cluster the corpus embeddings (Forgy + one
