@@ -15,6 +15,23 @@ import org.apache.spark.sql.SparkSession
   * are written to `BENCH_LOCAL.json` in the working directory for audit.
   */
 object Bench {
+  /** sf1 scale SENTINELS — queries that ride the 10× leg regardless of
+    * their sf0.1 cost, because their SHAPES (candidate equi-joins,
+    * index probes, iterative contraction, exact-by-contract theta
+    * scans) are where a 100 TB cliff would hide while staying
+    * sub-second at sf0.1 (q_edit_distance's 66× cliff was exactly
+    * this). ScaleSentinelSpec enforces the coverage contract: every
+    * registry query whose plan contains a candidate join must be here
+    * or on that spec's audited allowlist. */
+  private[graft] val scaleSentinels: Seq[String] = Seq(
+    "q_minhash_lsh", "q_setsim_join", "q_embedding_neardup",
+    "q_dedup_clusters", "q_ann_ivfpq", "q_bm25_topk",
+    "q_events_sessionize", "q_edit_distance", "q_simhash",
+    "q_image_neardup", "q_corpus_build",
+    // r12: the registered mutual-kNN scale path (its whole point is
+    // the 10x posture) and the once-unadjudicated bootstrap
+    "q_mutual_knn_lsh", "q_bootstrap_ci")
+
   /** Compact fixed-point format: 2 decimals under 10 s, 1 decimal above,
     * trailing zeros (and a bare point) stripped — "0.30"→"0.3",
     * "1.00"→"1", "13.61"→"13.6". Every byte of the final JSON line
@@ -226,14 +243,7 @@ object Bench {
         // cliff would hide. Only registered names run (a renamed query
         // drops out visibly via the sentinel's absence from sf1_top20,
         // not a crash).
-        val sentinels = Seq(
-          "q_minhash_lsh", "q_setsim_join", "q_embedding_neardup",
-          "q_dedup_clusters", "q_ann_ivfpq", "q_bm25_topk",
-          "q_events_sessionize", "q_edit_distance", "q_simhash",
-          "q_image_neardup", "q_corpus_build",
-          // r12: the registered mutual-kNN scale path (its whole point
-          // is the 10x posture) and the once-unadjudicated bootstrap
-          "q_mutual_knn_lsh", "q_bootstrap_ci")
+        val sentinels = scaleSentinels
           .filter(s => SparkEntry.queries.contains(s) && names.contains(s))
         // per-QUERY hard cap on top of the leg budget: the leg exists to
         // find 10x-data cliffs, and a cliff query would otherwise run

@@ -6,23 +6,52 @@ output against DuckDB oracles and diff. Usage:
 import sys, os, json, glob
 import duckdb
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                 if a.startswith("--json=")), None)
+sfdir, outdir = args[0], args[1]
 con = duckdb.connect()
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p)[:-8]
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+    # tables written by Spark are DIRECTORIES of part files (the
+    # driver-generated testdata is single-file) — glob either shape
+    src = f"{p}/*.parquet" if os.path.isdir(p) else p
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
+only_present = "--only-present" in sys.argv  # subset Verify runs
+# --timeout=SECS: per-oracle cap (sf1 replays of iterative/recursive
+# oracles can run long in DuckDB; a capped query reports ORACLE-TIMEOUT
+# instead of stalling the whole sweep)
+timeout_s = next((float(a.split("=", 1)[1]) for a in sys.argv[1:]
+                  if a.startswith("--timeout=")), None)
+import threading
+def run_capped(sql):
+    if not timeout_s:
+        return con.execute(sql).fetchdf()
+    timer = threading.Timer(timeout_s, con.interrupt)
+    timer.start()
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        timer.cancel()
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 results = {}
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{outdir}/{name}"
     if not os.path.isdir(spark_dir):
-        results[name] = "MISSING-SPARK-OUTPUT"
+        if not only_present:
+            results[name] = "MISSING-SPARK-OUTPUT"
         continue
     try:
-        duck = con.execute(sql).fetchdf()
+        duck = run_capped(sql)
+    except KeyboardInterrupt:
+        results[name] = f"ORACLE-TIMEOUT>{timeout_s}s"
+        continue
     except Exception as e:
-        results[name] = f"ORACLE-SQL-ERROR: {e}"
+        msg = str(e)
+        results[name] = (f"ORACLE-TIMEOUT>{timeout_s}s"
+                         if "INTERRUPT" in msg.upper()
+                         else f"ORACLE-SQL-ERROR: {e}")
         continue
     try:
         spark = con.execute(
@@ -67,6 +96,10 @@ ok = sum(1 for v in results.values() if v.startswith("OK"))
 for name, v in sorted(results.items()):
     print(f"{'✓' if v.startswith('OK') else '✗'} {name}: {v}")
 print(f"\n{ok}/{len(results)} oracle-checked queries match")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump({"sfdir": sfdir, "n_ok": ok, "n_checked": len(results),
+                   "results": results}, f, indent=1, sort_keys=True)
 # queries without oracle: report row counts
 no_oracle = [os.path.basename(d) for d in glob.glob(f"{outdir}/q_*")
              if os.path.isdir(d) and os.path.basename(d) not in oracle]
