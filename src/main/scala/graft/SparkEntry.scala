@@ -898,6 +898,11 @@ object SparkEntry {
       Multimodal.qAudioFeatures(s, d)),
     "q_media_features" -> ((s: SparkSession, d: String) =>
       Multimodal.qMediaFeatures(s, d)),
+    // REAL javax.sound.sampled decode in the seam: WAV-container
+    // payloads parsed by the actual codec, features over decoded PCM
+    // (closed-form oracle via the WavSynth byte<->sample contract)
+    "q_wav_features" -> ((s: SparkSession, d: String) =>
+      Multimodal.qWavFeatures(s, d)),
     "q_media_resize" -> ((s: SparkSession, d: String) =>
       Multimodal.qMediaResize(s, d)),
     // perceptual-hash (dHash) image near-dup: band pigeonhole candidate

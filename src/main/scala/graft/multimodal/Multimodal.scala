@@ -316,6 +316,34 @@ object Multimodal {
             .as(s"f$j")): _*)
   }
 
+  /** The documents table as a REAL-audio media table: each payload is a
+    * RIFF/WAVE PCM16 mono container synthesized from the text bytes
+    * ([[WavSynth]] — source byte → sample high byte, the closed form).
+    * Synthesis runs per partition next to where the codec will parse
+    * it, so no WAV blob ever crosses a shuffle. */
+  def wavMediaTable(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions(_.map { case (id, p) =>
+        (id, WavSynth.pcm16MonoWav(p))
+      })(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("doc_id", "payload")
+
+  /** [[qMediaFeatures]] with the REAL `javax.sound.sampled` codec in the
+    * decode seat ([[WavProvider]]) over [[wavMediaTable]] payloads — the
+    * registered query that consumes genuinely-decoded PCM samples (the
+    * r12 counterpart of the image column's ImageIO story). Oracle-able
+    * in closed form: the decoded sample view reproduces the source text
+    * bytes exactly (WavSynth contract), so DuckDB replays the feature
+    * buckets from `ascii(text)` with container-derived metadata
+    * (n_bytes = 44 + 2·n, width = n frames, height = 1, mono). Plan and
+    * schema are IDENTICAL to the stub query's — the provider seam's
+    * whole contract (MultimodalSpec pins both). */
+  def qWavFeatures(
+      spark: SparkSession, dir: String, dim: Int = 8): DataFrame =
+    qMediaFeaturesFrom(wavMediaTable(spark, dir), dim, WavProvider)
+
   /** Resize/thumbnail plumbing through the decoder path: each payload is
     * downsampled to a 4×4 "thumbnail" (nearest-neighbor over the decoded
     * grid) inside `mapPartitions` — the same plan shape as a real image

@@ -31,6 +31,28 @@ private[graft] object MultimodalOracles {
          |  $fCols
          |FROM s""".stripMargin
     },
+    // real-codec WAV query: the decoded PCM sample view reproduces the
+    // source text bytes exactly (WavSynth contract: byte b -> sample
+    // (b-128)<<8 -> unsigned high byte b), so the feature buckets replay
+    // from ascii(text); metadata is container-derived (RIFF header 44
+    // bytes + 2 per sample; width = frame count, mono)
+    "q_wav_features" -> {
+      val fCols = (0 until 8).map(j =>
+        s"round(CAST(CAST(coalesce(sums[${j + 1}], 0) / 255.0 / chunk AS REAL) AS DOUBLE), 6) AS f$j")
+        .mkString(",\n        |  ")
+      s"""WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),
+         |s AS (SELECT doc_id, nb, greatest(nb // 8, 1) AS chunk,
+         |        list_transform(range(0, 8), j ->
+         |          list_sum(list_transform(range(0, nb), i ->
+         |            CASE WHEN i % 8 = j THEN ascii(substring(text, CAST(i + 1 AS INT), 1)) ELSE 0 END))) AS sums
+         |      FROM m)
+         |SELECT doc_id, CAST(44 + 2 * nb AS BIGINT) AS n_bytes,
+         |  CAST(nb AS BIGINT) AS width,
+         |  CAST(1 AS BIGINT) AS height,
+         |  CAST(1 AS BIGINT) AS channels,
+         |  $fCols
+         |FROM s""".stripMargin
+    },
     // 4x4 nearest-neighbor thumbnail over the stub-decoded w x h grid
     "q_media_resize" ->
       """WITH m AS (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents),

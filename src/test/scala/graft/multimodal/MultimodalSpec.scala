@@ -180,6 +180,72 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("not a decodable image"))
   }
 
+  test("WAV decoder: real javax.sound.sampled parse through the query path") {
+    import spark.implicits._
+    // byte patterns spanning the full sample range, incl. empty and
+    // single-sample payloads
+    val srcs: Seq[Array[Byte]] = Seq(
+      Array.tabulate(100)(i => (i * 7 % 256).toByte),
+      Array[Byte](),
+      Array[Byte](0),
+      Array[Byte](-1, 0, 127, -128),
+      Array.tabulate(17)(i => (255 - i).toByte))
+    // decoder-level closed form: decoded sample view == source bytes
+    val dec = WavProvider.open()
+    srcs.foreach { src =>
+      val wav = WavSynth.pcm16MonoWav(src)
+      val (w, h, c) = dec.decode(wav)
+      assert((w, h, c) === ((src.length, 1, 1)), "decoded dims")
+      val f = dec.features(wav, 4)
+      val sums = new Array[Double](4)
+      src.indices.foreach(i => sums(i % 4) += (src(i) & 0xff))
+      val chunk = math.max(1, src.length / 4)
+      (0 until 4).foreach(j =>
+        assert(math.abs(f(j) - (sums(j) / 255.0 / chunk).toFloat) === 0.0f,
+          s"f$j over decoded PCM"))
+    }
+    // query surface: WavProvider over synthesized containers — same
+    // schema as the stub query, f-columns equal the stub's (the decoded
+    // view reproduces the source bytes), metadata container-derived
+    val media = srcs.zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }.toDF("doc_id", "payload")
+      .repartition(2)
+    val wavRows = Multimodal
+      .qMediaFeaturesFrom(media.select($"doc_id",
+        $"payload").as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          (id, WavSynth.pcm16MonoWav(p)) })
+        .toDF("doc_id", "payload"), 8, WavProvider)
+    val stubRows = Multimodal.qMediaFeaturesFrom(media, 8)
+    assert(wavRows.columns.toSeq === stubRows.columns.toSeq)
+    val wv = wavRows.collect().map(r => r.getLong(0) -> r).toMap
+    val st = stubRows.collect().map(r => r.getLong(0) -> r).toMap
+    srcs.indices.foreach { i =>
+      val (w0, s0) = (wv(i.toLong), st(i.toLong))
+      assert(w0.getLong(1) === 44L + 2 * srcs(i).length, "container bytes")
+      assert(w0.getLong(2) === srcs(i).length.toLong, "frames")
+      assert((w0.getLong(3), w0.getLong(4)) === ((1L, 1L)))
+      (0 until 8).foreach(j =>
+        assert(w0.getDouble(5 + j) === s0.getDouble(5 + j),
+          s"doc $i f$j: real decode == stub over source bytes"))
+    }
+  }
+
+  test("WAV decoder rejects non-PCM16 and non-RIFF payloads loudly") {
+    intercept[Exception] {
+      WavProvider.open().decode("not audio at all".getBytes)
+    }
+    // an 8-bit WAV parses as a container but violates the PCM16 contract
+    val eightBit = {
+      val w = WavSynth.pcm16MonoWav(Array[Byte](1, 2, 3))
+      w(34) = 8 // bits-per-sample field
+      w(32) = 1 // block align
+      w
+    }
+    val ex = intercept[Exception] { WavProvider.open().decode(eightBit) }
+    assert(ex.getMessage.contains("16-bit"), ex.getMessage)
+  }
+
   test("decoder closes when the iterator is abandoned (limit/take)") {
     import spark.implicits._
     val media = (0L until 400L).map(i => (i, Array.fill(4)(i.toByte)))
