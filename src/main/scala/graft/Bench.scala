@@ -199,7 +199,7 @@ object Bench {
     // queries at 10x the bench SF — the cliff probe (cache eviction,
     // spill, broadcast-threshold flips) the sf0.1 medians cannot see.
     // Runs only for the standard sf0.1 bench config; SPARK_GRAFT_SF1=0
-    // disables, SPARK_GRAFT_SF1_BUDGET (seconds, default 900) bounds the
+    // disables, SPARK_GRAFT_SF1_BUDGET (seconds, default 1200) bounds the
     // leg's wall clock — queries past the budget are REPORTED as skipped,
     // never silently dropped. Uses the driver-provided /root/testdata/sf1
     // when present, else generates a deterministic 10x upsample under the
@@ -231,8 +231,13 @@ object Bench {
           }
         }
       if (sf1Dir.nonEmpty) {
+        // 1200 s (was 900): the r12 leg added cold bench-SF denominator
+        // runs (~80 s over the leg) and the two contract-priced
+        // quadratic mutual-kNN sentinels (~135 s at sf1 on this box) —
+        // at driver-box speed the old budget would start skipping
+        // sentinels, and a skipped sentinel is a lost 10x data point
         val budget =
-          sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble
+          sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1200").toDouble
         val top20 = med.filter(_._2 >= 0).sortBy(-_._2).take(20).map(_._1)
         // Scale SENTINELS ride along regardless of sf0.1 cost: the
         // candidate-join families (banded dedup, prefix filter, ANN

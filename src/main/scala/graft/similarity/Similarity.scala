@@ -1345,19 +1345,9 @@ object Similarity {
   def lshKnnLists(
       spark: SparkSession, dir: String,
       k: Int = 10, bandBits: Int = 2): DataFrame = {
-    val emb = corpus(spark, dir)
-      .withColumn("sig", signSignature(col("embedding")))
-    val left = bandedSig(emb, "vec_id", "a", "sa", bandBits)
-    val right = bandedSig(emb, "vec_id", "b", "sb", bandBits)
-      .withColumnRenamed("band", "band2")
-      .withColumnRenamed("bval", "bval2")
-      .drop("lowmask")
-    val pairs = left.join(right,
-      col("band") === col("band2") && col("bval") === col("bval2") &&
-        col("a") =!= col("b") &&
-        firstMatchingBand(col("sa"), col("sb"), bandBits))
-      .select(col("a"), col("b"))
-    val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    val pairs = lshCandidatePairs(spark, dir, bandBits)
+    val v = corpus(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("norm"))
     val scored = pairs
       .join(v.select(col("vec_id").as("a"), col("embedding").as("qv"),
         col("norm").as("qn")), "a")
@@ -1371,6 +1361,30 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("a"), col("b"),
         expr("cast(round(sim * 1000000, 0) as bigint)").as("s6"))
+  }
+
+  /** The banded-LSH candidate PAIR relation (a ≠ b, each colliding pair
+    * emitted at exactly one band via [[firstMatchingBand]]) — the
+    * generator under [[lshKnnLists]], exposed `private[graft]` so the
+    * suite can MEASURE band selectivity directly: at 2-bit bands an
+    * isotropic pair collides with prob 1−(1−p²)³² ≈ 1 (recall-first,
+    * no pruning — the [[qEmbeddingNearDup]] physics), while at 8-bit
+    * bands on a clustered corpus the same join prunes to a few percent
+    * of N² (SimilaritySpec pins both ends with counts). */
+  private[graft] def lshCandidatePairs(
+      spark: SparkSession, dir: String, bandBits: Int): DataFrame = {
+    val emb = corpus(spark, dir)
+      .withColumn("sig", signSignature(col("embedding")))
+    val left = bandedSig(emb, "vec_id", "a", "sa", bandBits)
+    val right = bandedSig(emb, "vec_id", "b", "sb", bandBits)
+      .withColumnRenamed("band", "band2")
+      .withColumnRenamed("bval", "bval2")
+      .drop("lowmask")
+    left.join(right,
+      col("band") === col("band2") && col("bval") === col("bval2") &&
+        col("a") =!= col("b") &&
+        firstMatchingBand(col("sa"), col("sb"), bandBits))
+      .select(col("a"), col("b"))
   }
 
   /** Per-(session, dir, k) persisted kNN lists for [[qMutualKnn]] —

@@ -434,6 +434,55 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("band selectivity measured both ways: recall-first vs pruning") {
+    // substantiates the qMutualKnnLsh/qEmbeddingNearDup scaladoc claims
+    // with COUNTS rather than prose, on a corpus with real structure:
+    // 20 clusters x 50 vectors, within-cluster cosine ~0.97 (centers
+    // seeded, noise seeded — fully deterministic)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(20, 64)(rnd.nextGaussian())
+    val vecs = (0 until 1000).map { i =>
+      val c = centers(i % 20)
+      (i.toLong, Array.tabulate(64)(d =>
+        (c(d) + 0.15 * rnd.nextGaussian()).toFloat))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshsel").toString
+    vecs.toDF("vec_id", "embedding").repartition(4)
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val nPairs = 1000L * 999L // ordered (a, b) pairs
+    // 2-bit bands (the exact-equality default): collision prob for even
+    // an ORTHOGONAL pair is 1-(1-p^2)^32 ~ 1 — candidates are nearly
+    // all pairs; what the banding buys is the equi-join execution
+    // shape + near-total recall, NOT pruning
+    val cand2 = Similarity.lshCandidatePairs(spark, tmp, 2).count()
+    assert(cand2 > (0.9 * nPairs).toLong, s"2-bit candidates $cand2")
+    // 8-bit bands on the clustered corpus: the same join prunes hard —
+    // cross-cluster pairs (cos ~ 0) collide with prob ~ 0.03
+    val cand8 = Similarity.lshCandidatePairs(spark, tmp, 8).count()
+    assert(cand8 < (0.15 * nPairs).toLong, s"8-bit candidates $cand8")
+    // and recall of the STRUCTURE survives the pruning: same-cluster
+    // pairs (the near-dup relation, cosine >= 0.9) are retained
+    val cands = Similarity.lshCandidatePairs(spark, tmp, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      (0 until 64).foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      d / math.sqrt(na * nb)
+    }
+    val emb = vecs.toMap
+    val truePairs = for {
+      a <- 0L until 1000L; b <- (a + 1) until 1000L
+      if a % 20 == b % 20 && cos(emb(a), emb(b)) >= 0.9
+    } yield (a, b)
+    val hit = truePairs.count(p => cands(p) || cands(p.swap))
+    val recall = hit.toDouble / truePairs.size
+    assert(truePairs.nonEmpty)
+    assert(recall >= 0.95, s"8-bit band recall of cos>=0.9 pairs: $recall")
+  }
+
   test("adaptive cell count bounds mean occupancy and respects the caps") {
     // formula fixed points: floor at 16, ceil(n/100) in between, 64k cap
     assert(Similarity.adaptiveCells(500) === 16)
