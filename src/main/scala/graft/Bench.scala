@@ -28,9 +28,11 @@ object Bench {
     "q_dedup_clusters", "q_ann_ivfpq", "q_bm25_topk",
     "q_events_sessionize", "q_edit_distance", "q_simhash",
     "q_image_neardup", "q_corpus_build",
-    // r12: the registered mutual-kNN scale path (its whole point is
-    // the 10x posture) and the once-unadjudicated bootstrap
-    "q_mutual_knn_lsh", "q_bootstrap_ci")
+    // r12: the registered mutual-kNN scale paths (their whole point is
+    // the 10x posture — the IVF door should read LINEAR, the LSH door
+    // carries the priced isotropic-collision cost) and the
+    // once-unadjudicated bootstrap
+    "q_mutual_knn_lsh", "q_mutual_knn_ivf", "q_bootstrap_ci")
 
   /** Compact fixed-point format: 2 decimals under 10 s, 1 decimal above,
     * trailing zeros (and a bare point) stripped — "0.30"→"0.3",

@@ -627,6 +627,11 @@ object SparkEntry {
     // fan-in, never N² (oracled against the exact miner's relation)
     "q_mutual_knn_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.qMutualKnnLsh(s, d)),
+    // and the LINEAR-by-construction third generator: IVF-cell
+    // shortlist (cells ∝ N, occupancy-bounded candidates on ANY
+    // corpus); cell-restricted semantics, full-pipeline DuckDB oracle
+    "q_mutual_knn_ivf" -> ((s: SparkSession, d: String) =>
+      Similarity.qMutualKnnIvf(s, d)),
     // the AQE-vs-salting diagnostic: exact key-frequency distribution
     // census, integer ppm shares and rank-selected percentile counts
     "q_key_skew" -> ((s: SparkSession, d: String) =>

@@ -392,6 +392,37 @@ private[graft] object SimilarityOracles {
     // exact scoring, empirically-total recall at 32 two-bit bands —
     // SimilaritySpec pins row-for-row equality with the exact miner)
     "q_mutual_knn_lsh" -> mutualKnnSql,
+    // the IVF-shortlist miner replays its OWN full pipeline — trained
+    // cells (shared ivfTrainCte), fixed-point assignment, within-cell
+    // rounded-cosine ranks, mutual margin — cell-restricted semantics
+    // are the contract, so this oracle is exact, not recall-trusting
+    "q_mutual_knn_ivf" ->
+      s"""WITH $ivfTrainCte,
+        |best AS (SELECT vec_id, cell FROM (
+        |           SELECT t.vec_id, c.cell, row_number() OVER (
+        |             PARTITION BY t.vec_id ORDER BY list_reduce(
+        |               list_transform(range(1, 65), i ->
+        |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
+        |               (x, y) -> x + y), c.cell) AS rn
+        |           FROM e t, c1 c)
+        |         WHERE rn = 1),
+        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |        round(${duckCos("ea.v", "eb.v")}, 6) AS sim
+        |      FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        |      JOIN e ea ON ea.vec_id = a.vec_id
+        |      JOIN e eb ON eb.vec_id = b.vec_id),
+        |d6 AS (SELECT a, b, CAST(round(sim * 1000000, 0) AS BIGINT) AS s6,
+        |         row_number() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+        |       FROM d),
+        |knn AS MATERIALIZED (SELECT a, b, s6 FROM d6 WHERE rn <= 10),
+        |ks AS (SELECT a, CAST(sum(s6) AS BIGINT) AS ksum FROM knn GROUP BY 1),
+        |m AS (SELECT f.a, f.b, f.s6 FROM knn f
+        |      JOIN knn r ON f.a = r.b AND f.b = r.a WHERE f.a < f.b)
+        |SELECT m.a, m.b, m.s6 AS sim_i6,
+        |  CAST((20 * m.s6 * 1000000) // (ka.ksum + kb.ksum) AS BIGINT)
+        |    AS margin_ppm
+        |FROM m JOIN ks ka ON m.a = ka.a JOIN ks kb ON m.b = kb.a
+        |WHERE m.s6 > 0 AND ka.ksum + kb.ksum > 0""".stripMargin,
     "q_pca_power" -> pcaPowerSql,
   )
 

@@ -1363,6 +1363,63 @@ object Similarity {
         expr("cast(round(sim * 1000000, 0) as bigint)").as("s6"))
   }
 
+  /** Per-vector top-k lists restricted to each vector's IVF cell — the
+    * third [[mutualKnnFromLists]] generator (exact N², banded LSH,
+    * IVF), and the one that is LINEAR by construction: cells scale
+    * with the corpus ([[adaptiveCells]], mean occupancy ~100), so the
+    * candidate relation is N · occupancy rows — never N², and unlike
+    * the sign-band shortlist its cost does NOT degrade on isotropic
+    * corpora (collision statistics are irrelevant; the cell partition
+    * is the bound). Recall is bounded by cell co-membership of true
+    * neighbors — lists are exact WITHIN the cell, approximate across
+    * (SimilaritySpec pins the within-cell lists against an
+    * independently-built reference). Every stage — Forgy + one-Lloyd
+    * training, fixed-point assignment, rounded-cosine ranks — is the
+    * published deterministic index contract, so [[qMutualKnnIvf]]
+    * replays bit-exactly in DuckDB. */
+  /** The published full-corpus index's assignment relation
+    * (vec_id, cell) — the artifact an IVF consumer joins against
+    * (served from the same per-session cache as every other index
+    * consumer: dedup, outliers, drift, the kNN lists below). */
+  def ivfAssignment(
+      spark: SparkSession, dir: String, cells: Int = 0): DataFrame =
+    cachedAssignment(spark, dir,
+      if (cells > 0) cells else adaptiveCellsFor(spark, dir))
+      .select(col("vec_id"), col("cell"))
+
+  def ivfKnnLists(
+      spark: SparkSession, dir: String,
+      k: Int = 10, cells: Int = 0): DataFrame = {
+    val assigned = cachedAssignment(spark, dir,
+      if (cells > 0) cells else adaptiveCellsFor(spark, dir))
+    val scored = assigned
+      .select(col("cell"), col("vec_id").as("a"),
+        col("embedding").as("va"), col("norm").as("na"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b"),
+        col("embedding").as("vb"), col("norm").as("nb")), "cell")
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(vec_dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+    val w = Window.partitionBy("a").orderBy(col("sim").desc, col("b"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("a"), col("b"),
+        expr("cast(round(sim * 1000000, 0) as bigint)").as("s6"))
+  }
+
+  /** Mutual-kNN over the IVF-cell shortlist — the LINEAR registry door
+    * (the [[qMutualKnn]] scaladoc's promised third generator). Same
+    * N·k downstream algebra; candidate volume bounded by cell
+    * occupancy, which holds on ANY corpus, isotropic included — the
+    * complement of [[qMutualKnnLsh]]'s recall-first shape. Semantics:
+    * neighborhoods are cell-restricted (the serving contract of an IVF
+    * index), and the DuckDB oracle replays the full pipeline —
+    * training, assignment, within-cell ranks, mutual margin — exactly. */
+  def qMutualKnnIvf(
+      spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    mutualKnnFromLists(ivfKnnLists(spark, dir, k), k)
+
   /** The banded-LSH candidate PAIR relation (a ≠ b, each colliding pair
     * emitted at exactly one band via [[firstMatchingBand]]) — the
     * generator under [[lshKnnLists]], exposed `private[graft]` so the

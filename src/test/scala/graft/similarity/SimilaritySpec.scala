@@ -434,6 +434,44 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.nonEmpty)
   }
 
+  test("IVF kNN lists equal an independently-built within-cell reference") {
+    // the third mutualKnnFromLists generator: exact WITHIN the cell
+    // partition by contract. Reference built here from scratch — the
+    // published assignment relation self-joined and ranked with the
+    // brute-force contract — and compared row-for-row; then the
+    // registered door must equal the same algebra over those lists.
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val assign = Similarity.ivfAssignment(spark, dir)
+    val emb = graft.relational.Tables.load(spark, dir, "embeddings")
+      .withColumn("norm",
+        sqrt(graft.functions.vec_dot(col("embedding"), col("embedding"))))
+      .join(assign, "vec_id")
+    val l = emb.select(col("cell"), col("vec_id").as("a"),
+      col("embedding").as("va"), col("norm").as("na"))
+    val r = emb.select(col("cell"), col("vec_id").as("b"),
+      col("embedding").as("vb"), col("norm").as("nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("sim").desc, col("b"))
+    val ref = l.join(r, "cell").filter(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(graft.functions.vec_dot(col("va"), col("vb"))
+          / (col("na") * col("nb")), 6).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("a"), col("b"),
+        expr("cast(round(sim * 1000000, 0) as bigint)").as("s6"))
+      .collect().map(_.toString).sorted.toSeq
+    val lists = Similarity.ivfKnnLists(spark, dir, k)
+    assert(lists.collect().map(_.toString).sorted.toSeq === ref)
+    val door = Similarity.qMutualKnnIvf(spark, dir, k)
+      .collect().map(_.toString).sorted.toSeq
+    val expected = Similarity.mutualKnnFromLists(
+      Similarity.ivfKnnLists(spark, dir, k), k)
+      .collect().map(_.toString).sorted.toSeq
+    assert(door === expected)
+    assert(door.nonEmpty)
+  }
+
   test("band selectivity measured both ways: recall-first vs pruning") {
     // substantiates the qMutualKnnLsh/qEmbeddingNearDup scaladoc claims
     // with COUNTS rather than prose, on a corpus with real structure:
