@@ -76,6 +76,23 @@ object GenScale {
     }
   }
 
+  /** Disjointness guard: the shifted copy spaces only stay disjoint if
+    * every source key fits under [[KeyOffset]] — a larger source would
+    * silently overlap copies and corrupt join fan-outs, so fail loudly
+    * before writing anything (ADVICE r11; GenScaleSpec pins both the
+    * pass and the loud fail). */
+  private[tools] def assertKeyHeadroom(base: DataFrame, name: String): Unit =
+    if (keyCols(name).nonEmpty) {
+      val maxes = base.select(keyCols(name).map(k => max(col(k)).as(k)): _*)
+        .collect()(0)
+      keyCols(name).zipWithIndex.foreach { case (k, i) =>
+        val m = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
+        require(m < KeyOffset,
+          s"GenScale: $name.$k max $m >= KeyOffset $KeyOffset — " +
+            "shifted copy key spaces would collide")
+      }
+    }
+
   /** Build `dstDir` (10 key-shifted copies of every `srcDir` table) if
     * absent; reuse silently when the completion marker exists. */
   def ensure(spark: SparkSession, srcDir: String, dstDir: String,
@@ -85,19 +102,7 @@ object GenScale {
     Files.createDirectories(Paths.get(dstDir))
     keyCols.keys.toSeq.sorted.foreach { name =>
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
-      // disjointness guard: the shifted copy spaces only stay disjoint if
-      // every source key fits under KeyOffset — a larger source would
-      // silently overlap copies and corrupt join fan-outs, so fail loudly
-      if (!fixedTables(name) && keyCols(name).nonEmpty) {
-        val maxes = base.select(keyCols(name).map(k => max(col(k)).as(k)): _*)
-          .collect()(0)
-        keyCols(name).zipWithIndex.foreach { case (k, i) =>
-          val m = if (maxes.isNullAt(i)) 0L else maxes.getLong(i)
-          require(m < KeyOffset,
-            s"GenScale: $name.$k max $m >= KeyOffset $KeyOffset — " +
-              "shifted copy key spaces would collide")
-        }
-      }
+      if (!fixedTables(name)) assertKeyHeadroom(base, name)
       val out =
         if (fixedTables(name)) base
         else (0 until copies).map(copyOf(name, base, _)).reduce(_ unionByName _)

@@ -92,4 +92,20 @@ class GenScaleSpec extends SparkSpec {
       java.nio.file.Paths.get(dst, "_GENSCALE_DONE"))
     assert(before === after)
   }
+
+  test("key-headroom guard: a source key at/over KeyOffset fails loudly") {
+    import spark.implicits._
+    // in range: passes (max key one below the offset)
+    GenScale.assertKeyHeadroom(
+      Seq((99999999L, 1L)).toDF("event_id", "user_id"), "events")
+    // at the offset: copy 0 and copy 1 key spaces would collide
+    val ex = intercept[IllegalArgumentException] {
+      GenScale.assertKeyHeadroom(
+        Seq((100000000L, 1L)).toDF("event_id", "user_id"), "events")
+    }
+    assert(ex.getMessage.contains("collide"), ex.getMessage)
+    // empty tables have no keys to collide
+    GenScale.assertKeyHeadroom(
+      Seq.empty[(Long, Long)].toDF("event_id", "user_id"), "events")
+  }
 }
