@@ -32,7 +32,11 @@ object Bench {
     // the 10x posture — the IVF door should read LINEAR, the LSH door
     // carries the priced isotropic-collision cost) and the
     // once-unadjudicated bootstrap
-    "q_mutual_knn_lsh", "q_mutual_knn_ivf", "q_bootstrap_ci")
+    "q_mutual_knn_lsh", "q_mutual_knn_ivf", "q_bootstrap_ci",
+    // r12b: the strict-threshold near-dup door — its whole claim is the
+    // wide-band pruning posture, so the 10x contrast with the priced
+    // q_embedding_neardup physics case must stay measured
+    "q_embedding_neardup_strict")
 
   /** Compact fixed-point format: 2 decimals under 10 s, 1 decimal above,
     * trailing zeros (and a bare point) stripped — "0.30"→"0.3",

@@ -93,6 +93,23 @@ object GraftExtensions {
     }
   }
 
+  /** A foldable `array<string>` argument (e.g. `array('a', 'b')`). */
+  private def stringsArg(name: String, e: Expression): Seq[String] = {
+    require(e.foldable && e.dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType],
+      s"$name requires a literal array<string> argument")
+    e.eval() match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        ad.toObjectArray(StringType).toSeq.map {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"$name requires string array elements, got $other")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name requires a literal array<string> argument, got $other")
+    }
+  }
+
   /** A foldable string argument (e.g. a proto field spec). */
   private def stringArg(name: String, e: Expression): String = {
     require(e.foldable, s"$name requires a literal string argument")
@@ -142,6 +159,11 @@ object GraftExtensions {
     "bpe_count" -> { args: Seq[Expression] =>
       arity("bpe_count", 1, args)
       graft.text.BpeTokenCount(Cast(args(0), StringType))
+    },
+    "multi_match" -> { args: Seq[Expression] =>
+      arity("multi_match", 2, args)
+      graft.text.MultiMatchCounts(Cast(args(0), StringType),
+        stringsArg("multi_match", args(1)))
     },
     "bpe_pieces" -> { args: Seq[Expression] =>
       arity("bpe_pieces", 1, args)

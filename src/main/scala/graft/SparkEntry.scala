@@ -403,6 +403,10 @@ object SparkEntry {
     // lexicon blocklist gate: literal IN-list hits, cross-multiplied
     // rate flag, per-source filter census
     "q_lexicon_filter" -> (TextOps.qLexiconFilter _),
+    // one Aho-Corasick automaton pass: per-pattern doc frequency +
+    // overlapping occurrence counts for the fixed watchlist
+    "q_multi_match" -> ((s: SparkSession, d: String) =>
+      TextOps.qMultiMatch(s, d)),
     // Heaps'-law vocabulary growth at power-of-two checkpoints of a
     // deterministic shuffle order; first-position reduction per type
     "q_vocab_growth" -> (TextOps.qVocabGrowth _),
@@ -520,6 +524,11 @@ object SparkEntry {
       HybridRetrieval.qMrrEval(s, d)),
     "q_embedding_neardup" -> ((s: SparkSession, d: String) =>
       Similarity.qEmbeddingNearDup(s, d)),
+    // realistic-threshold door: 4 seeded tables x 16-bit bands prune the
+    // isotropic background to ~2.4e-4 of N^2; recall 1.0 on the planted
+    // twins (spec-pinned vs brute force), so the exact oracle holds
+    "q_embedding_neardup_strict" -> ((s: SparkSession, d: String) =>
+      Similarity.qEmbeddingNearDupStrict(s, d)),
     // 2 hash tables: measured recall@5 0.97 at sf0.01 (1 table: 0.82)
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnLshBuckets(s, d, tables = 2)),

@@ -134,6 +134,12 @@ object functions {
   def bpe_pieces(text: Column): Column =
     col(graft.text.BpePieces(Cast(expr(text), StringType)))
 
+  /** Per-pattern overlapping occurrence counts from ONE Aho–Corasick
+    * automaton pass (`array<bigint>`, pattern order); see
+    * [[graft.text.AhoCorasick]]. */
+  def multi_match(text: Column, patterns: Seq[String]): Column =
+    col(graft.text.MultiMatchCounts(Cast(expr(text), StringType), patterns))
+
   /** Register ALL of graft's native expressions as SQL functions on this
     * session (cluster-wide alternative:
     * `spark.sql.extensions=graft.GraftExtensions` — same builder table).

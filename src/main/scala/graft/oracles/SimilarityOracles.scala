@@ -316,6 +316,26 @@ private[graft] object SimilarityOracles {
          |  SELECT a.vec_id AS d1, b.vec_id AS d2, round(${duckCos("a.v", "b.v")}, 6) AS sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE sim > 0.4""".stripMargin,
+    // strict-threshold door over the planted-twin corpus: the oracle is
+    // the exact all-pairs relation (the Spark side's multi-table banded
+    // candidates realize recall 1.0 on the frozen corpora, spec-pinned).
+    // Twin arithmetic mirrors Similarity.plantedCorpus bit-for-bit:
+    // integer jitter, double multiply, float cast; DuckDB's i is
+    // 1-based so (i-1) aligns with Spark's 0-based transform index.
+    "q_embedding_neardup_strict" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |tw AS (SELECT vec_id + 1000000000 AS tid,
+         |         list_transform(range(1, 65), i ->
+         |           CAST(CAST(embedding[i] AS DOUBLE) *
+         |             (1 + ((vec_id * 7 + (i - 1) * 3) % 13 - 6) / 40.0) AS REAL)) AS twe
+         |       FROM base WHERE vec_id % 4 = 0),
+         |u AS (SELECT vec_id, embedding FROM base
+         |      UNION ALL SELECT tid, twe FROM tw),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM u)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS d1, b.vec_id AS d2, round(${duckCos("a.v", "b.v")}, 6) AS sim
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |WHERE sim > 0.8""".stripMargin,
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

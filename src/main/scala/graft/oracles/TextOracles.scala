@@ -124,6 +124,22 @@ private[graft] object TextOracles {
         |  CAST(count(*) - sum(CASE WHEN hits >= 3 OR hits * 25 >= n_tokens
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM t GROUP BY 1""".stripMargin,
+    // independent overlapping-count replay: for each watchlist pattern
+    // (interpolated from the SAME Scala literal the query compiles into
+    // its automaton), count match END POSITIONS by brute substr probing
+    "q_multi_match" -> {
+      val pats = graft.text.TextOps.Watchlist.zipWithIndex
+        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+      s"""WITH pats AS (SELECT * FROM (VALUES $pats) p(pid, pat)),
+         |h AS (SELECT p.pat,
+         |        len(list_filter(range(1, len(d.text) - len(p.pat) + 2),
+         |          i -> substr(d.text, i, len(p.pat)) = p.pat)) AS cnt
+         |      FROM documents d CROSS JOIN pats p)
+         |SELECT pat AS pattern,
+         |  CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |  CAST(sum(cnt) AS BIGINT) AS hits
+         |FROM h GROUP BY 1""".stripMargin
+    },
     // row_number over the md5 shuffle key stands in for the
     // distributed zipWithIndex total order (same order, same ranks)
     "q_vocab_growth" ->

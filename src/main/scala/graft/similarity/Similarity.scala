@@ -227,6 +227,95 @@ object Similarity {
       .filter(col("sim") > threshold)
   }
 
+  /** Id offset for the deterministic near-dup twins
+    * [[plantedCorpus]] plants — above any GenScale-shifted key
+    * (copies shift by 1e8; 10 copies stay under 1e9). */
+  val TwinOffset: Long = 1000000000L
+
+  /** The embeddings corpus plus a DETERMINISTIC near-duplicate twin for
+    * every `vec_id % 4 == 0` vector: `twin[i] = float(v[i] * (1 + ε_i))`
+    * with `ε_i = ((vec_id*7 + i*3) mod 13 - 6) / 40 ∈ [-0.15, 0.15]`,
+    * giving pair cosines ≈ 0.995. Integer jitter arithmetic + explicit
+    * double-multiply-then-float-cast make the twins bit-identical in any
+    * engine, so the DuckDB oracle rebuilds the same corpus. The synthetic
+    * tables carry no planted high-cosine structure (pair cosine
+    * ≈ N(0, 1/64), so nothing sits above ~0.5); the twins give the
+    * strict-threshold door a non-empty, scale-proportional answer —
+    * the fixture-in-query pattern q_wav_features established. */
+  private[similarity] def plantedCorpus(
+      spark: SparkSession, dir: String): DataFrame = {
+    val base = load(spark, dir, "embeddings").select("vec_id", "embedding")
+    // two selects: the jitter is keyed by the ORIGINAL vec_id, and a
+    // single select would let Spark's lateral-column-alias resolution
+    // bind the lambda's vec_id to the shifted alias instead
+    val twins = base.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") *
+            (lit(1.0) + ((col("vec_id") * 7 + i * 3) % 13 - 6) / 40.0))
+            .cast("float")).as("embedding"))
+      .select((col("vec_id") + TwinOffset).as("vec_id"), col("embedding"))
+    withNorm(base.unionByName(twins), "embedding")
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+  }
+
+  /** Embedding near-dup pairs at a REALISTIC threshold (0.8+), with the
+    * production LSH configuration the [[qEmbeddingNearDup]] scaladoc
+    * promises: `tables` independent 64-plane signatures (seeded
+    * hyperplane sets), each sliced into 16-bit bands, so candidate
+    * generation is a (table·band, bval) EQUI-join whose background
+    * collision rate is ~`tables · 4 / 2^16` ≈ 2.4e-4 of N² — wide bands
+    * prune the isotropic background aggressively instead of admitting
+    * most pairs the way the 2-bit recall-first door must at threshold
+    * 0.4. Multi-table OR-construction keeps recall: a true pair at
+    * cosine ≈ 0.995 agrees per plane with p ≈ 0.97, so it misses all
+    * 4 bands of all 4 tables with p ≈ 2e-7 — and on the FROZEN test
+    * corpora the realized recall is exactly 1.0 (spec-pinned against
+    * brute force), which is what lets this door carry the exact
+    * all-pairs DuckDB oracle over [[plantedCorpus]].
+    *
+    * At 100 TB: each side shuffles once on the band key (16 rows per
+    * vector), candidate verification touches ~2.4e-4 of the pair space
+    * plus the true near-dups, and nothing is broadcast or enumerated
+    * all-pairs — the shape that makes near-dedup at strict thresholds
+    * linear-ish in practice, and the measured contrast to the priced
+    * q_embedding_neardup physics case (sf1 sentinel rides both). */
+  def qEmbeddingNearDupStrict(
+      spark: SparkSession, dir: String, threshold: Double = 0.8,
+      tables: Int = 4): DataFrame = {
+    val bandsPerTable = 4
+    val bandBits = 16
+    val emb = plantedCorpus(spark, dir)
+    val sigged = emb.select(
+      col("vec_id") +: (0 until tables).map(t =>
+        signBucketSeeded(col("embedding"), 64, 1L + t).as(s"sig$t")): _*)
+    val bandStructs = array((for {
+      t <- 0 until tables; b <- 0 until bandsPerTable
+    } yield struct(
+      lit(t * bandsPerTable + b).as("tb"),
+      shiftright(col(s"sig$t"), b * bandBits).bitwiseAND(lit(0xffffL))
+        .as("bval"))): _*)
+    val banded = sigged
+      .select(col("vec_id"), explode(bandStructs).as("b"))
+      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bval").as("bval"))
+    val cands = banded.as("l")
+      .join(banded.as("r"),
+        col("l.tb") === col("r.tb") && col("l.bval") === col("r.bval") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"))
+      .distinct()
+    val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    cands
+      .join(v.select(col("vec_id").as("d1"), col("embedding").as("av"),
+        col("norm").as("na")), "d1")
+      .join(v.select(col("vec_id").as("d2"), col("embedding").as("bv"),
+        col("norm").as("nb")), "d2")
+      .select(col("d1"), col("d2"),
+        round(vec_dot(col("av"), col("bv")) / (col("na") * col("nb")), 6)
+          .as("sim"))
+      .filter(col("sim") > threshold)
+  }
+
   /** int8-quantized top-k: symmetric per-vector scalar quantization
     * (`q = round(x / s)`, `s = max|x| / 127`), scored with the exact
     * integer dot kernel and per-pair rescale `s_a·s_b·(q_a·q_b)`.

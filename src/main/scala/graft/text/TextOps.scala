@@ -226,6 +226,43 @@ object TextOps {
       .withColumn("n_kept", col("n_docs") - col("n_flagged"))
   }
 
+  /** Fixed watchlist for [[qMultiMatch]] (and its oracle, which
+    * interpolates the same literals): shared-prefix nests
+    * (`ta`/`tab`/`table`, `par`/`part`) exercise suffix-link emit
+    * propagation, and space-containing patterns (`an s`, `ch b`,
+    * `he t`) match across token boundaries — occurrences no
+    * token-granular surface can see. */
+  private[graft] val Watchlist: Seq[String] = Seq(
+    "table", "tab", "ta", "scan", "an s", "a a", "row", "window",
+    "win", "order", "rde", "stream", "e a", "value", "alu", "lu",
+    "spark", "par", "part", "art", "batch", "ch b", "the", "he t")
+
+  /** Watchlist census: per-pattern document frequency and total
+    * (overlapping) occurrence count, via ONE Aho–Corasick automaton
+    * pass per document ([[AhoCorasick]]) — the corpus-release report
+    * for a contamination/PII/blocklist phrase list.
+    *
+    * Scale shape: the automaton is a query-literal compiled once per
+    * executor; the scan is map-only (`text` is the only column read);
+    * the census is a map-side-combinable groupBy over the P-sized
+    * pattern-id space. P patterns cost ONE corpus read — the whole
+    * point vs P `contains` passes — so at 100 TB this is strictly
+    * scan-bound. */
+  def qMultiMatch(spark: SparkSession, dir: String,
+      patterns: Seq[String] = Watchlist): DataFrame = {
+    val counts = load(spark, dir, "documents")
+      .select(posexplode(
+        graft.functions.multi_match(col("text"), patterns))
+        .as(Seq("pid", "cnt")))
+      .groupBy("pid")
+      .agg(sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum("cnt").as("hits"))
+    counts
+      .select(element_at(
+          lit(patterns.toArray), col("pid").cast("int") + 1).as("pattern"),
+        col("n_docs"), col("hits"))
+  }
+
   /** Vocabulary growth curve (the empirical Heaps'-law census): distinct
     * token types seen after the first 1, 2, 4, …, 2^⌈log₂N⌉ documents of
     * a DETERMINISTIC md5-shuffled corpus order — the curve a tokenizer /

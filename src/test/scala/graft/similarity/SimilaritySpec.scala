@@ -297,6 +297,76 @@ class SimilaritySpec extends SparkSpec {
       s"banded candidates missed ${(bf -- banded).size} true pairs")
   }
 
+  /** Independent JVM replay of the planted-twin corpus (mirrors the
+    * DuckDB oracle's arithmetic: integer jitter, double multiply, float
+    * cast) — guards the oracle's bit-for-bit mirror of
+    * [[Similarity.plantedCorpus]]. */
+  private def jvmPlantedCorpus(d: String): Map[Long, Array[Float]] = {
+    val base = graft.relational.Tables.load(spark, d, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    base ++ base.collect { case (id, v) if id % 4 == 0 =>
+      (id + Similarity.TwinOffset,
+        Array.tabulate(v.length) { i =>
+          (v(i).toDouble *
+            (1.0 + ((id * 7 + i * 3) % 13 - 6) / 40.0)).toFloat
+        })
+    }
+  }
+
+  /** Brute-force near-dup relation over the planted corpus, from the
+    * independent JVM replay. */
+  private def bruteForceStrict(
+      d: String, threshold: Double): Set[(Long, Long, Double)] = {
+    val corpus = jvmPlantedCorpus(d).toSeq
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val withNorm = corpus.map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+    (for {
+      (i1, v1, n1) <- withNorm; (i2, v2, n2) <- withNorm if i1 < i2
+      sim = BigDecimal(dot(v1, v2) / (n1 * n2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if sim > threshold
+    } yield (i1, i2, sim)).toSet
+  }
+
+  test("strict near-dup equals the JVM brute force at sf0.001 and sf0.01") {
+    for (d <- Seq(dir, "/root/testdata/sf0.01")) {
+      val got = Similarity.qEmbeddingNearDupStrict(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val bf = bruteForceStrict(d, 0.8)
+      assert(bf.nonEmpty, s"$d: planted corpus has pairs above 0.8")
+      assert(got === bf,
+        s"$d: banded path missed ${(bf -- got).size}, extra ${(got -- bf).size}")
+    }
+  }
+
+  test("strict near-dup output is exactly the planted twin relation") {
+    val rows = Similarity.qEmbeddingNearDupStrict(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + Similarity.TwinOffset,
+        "only (original, twin) pairs sit above 0.8 on this corpus")
+      assert(r.getLong(0) % 4 === 0)
+      assert(r.getDouble(2) > 0.9, "twin cosine is ~0.995 by construction")
+    }
+    // every planted twin is found: recall 1.0 without consulting cosines
+    val planted = graft.relational.Tables.load(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 4 === 0).count()
+    assert(rows.length.toLong === planted)
+  }
+
+  test("planted corpus twins equal the independent JVM replay bit-for-bit") {
+    val got = Similarity.plantedCorpus(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq)).toMap
+    val want = jvmPlantedCorpus(dir).map { case (k, v) => (k, v.toSeq) }
+    assert(got === want)
+  }
+
   test("fixed-point centroids track the float mean within quantization error") {
     import org.apache.spark.sql.functions._
     val got = Similarity.qEmbeddingCentroids(spark, dir).collect()
