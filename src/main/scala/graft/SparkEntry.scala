@@ -399,6 +399,10 @@ object SparkEntry {
     // SQL-expressible -> rows-only here; BpeTrainSpec verifies against
     // an independent in-memory reference implementation
     "q_bpe_learn" -> (graft.text.BpeTrain.qBpeLearn _),
+    // the OTHER subword family: SentencePiece-style unigram-LM
+    // Viterbi-EM over the Heaps-bounded type table; rows-only like
+    // q_bpe_learn (iterative argmax), enumeration-verified in-suite
+    "q_unigram_lm" -> (graft.text.UnigramLm.qUnigramLm _),
     "q_text_quality" -> (TextOps.qTextQuality _),
     // lexicon blocklist gate: literal IN-list hits, cross-multiplied
     // rate flag, per-source filter census
