@@ -242,7 +242,7 @@ object Similarity {
     * ≈ N(0, 1/64), so nothing sits above ~0.5); the twins give the
     * strict-threshold door a non-empty, scale-proportional answer —
     * the fixture-in-query pattern q_wav_features established. */
-  private[similarity] def plantedCorpus(
+  private[graft] def plantedCorpus(
       spark: SparkSession, dir: String): DataFrame = {
     val base = load(spark, dir, "embeddings").select("vec_id", "embedding")
     // two selects: the jitter is keyed by the ORIGINAL vec_id, and a
