@@ -93,17 +93,23 @@ object GraftExtensions {
     }
   }
 
-  /** A foldable `array<string>` argument (e.g. `array('a', 'b')`). */
+  /** A foldable `array<string>` argument (e.g. `array('a', 'b')`).
+    * The element type is checked up front: `toObjectArray` on a
+    * wrong-typed ArrayData would throw an opaque ClassCastException
+    * before any per-element check could fire. */
   private def stringsArg(name: String, e: Expression): Seq[String] = {
-    require(e.foldable && e.dataType.isInstanceOf[
-      org.apache.spark.sql.types.ArrayType],
-      s"$name requires a literal array<string> argument")
+    val ok = e.foldable && (e.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    })
+    require(ok, s"$name requires a literal array<string> argument, got " +
+      e.dataType.simpleString)
     e.eval() match {
       case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
         ad.toObjectArray(StringType).toSeq.map {
           case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-          case other => throw new IllegalArgumentException(
-            s"$name requires string array elements, got $other")
+          case null => throw new IllegalArgumentException(
+            s"$name patterns must not be null")
         }
       case other => throw new IllegalArgumentException(
         s"$name requires a literal array<string> argument, got $other")

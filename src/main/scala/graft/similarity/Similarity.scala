@@ -259,9 +259,22 @@ object Similarity {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
   }
 
+  /** Strict-door LSH geometry, shared with the streaming twin
+    * [[graft.streaming.StreamingNearDup]] so the two sides can never
+    * silently index with different configurations: `StrictTables`
+    * independent 64-plane signatures (hyperplane seed
+    * [[strictSeed]](t)), each sliced into [[StrictBandsPerTable]]
+    * bands of [[StrictBandBits]] bits. */
+  val StrictTables: Int = 4
+  val StrictBandsPerTable: Int = 4
+  val StrictBandBits: Int = 16
+
+  /** Hyperplane seed of strict-door table `t`. */
+  def strictSeed(t: Int): Long = 1L + t
+
   /** Embedding near-dup pairs at a REALISTIC threshold (0.8+), with the
     * production LSH configuration the [[qEmbeddingNearDup]] scaladoc
-    * promises: `tables` independent 64-plane signatures (seeded
+    * promises: [[StrictTables]] independent 64-plane signatures (seeded
     * hyperplane sets), each sliced into 16-bit bands, so candidate
     * generation is a (table·band, bval) EQUI-join whose background
     * collision rate is ~`tables · 4 / 2^16` ≈ 2.4e-4 of N² — wide bands
@@ -274,21 +287,31 @@ object Similarity {
     * brute force), which is what lets this door carry the exact
     * all-pairs DuckDB oracle over [[plantedCorpus]].
     *
+    * Each colliding pair is verified ONCE: the join keeps a band-pair
+    * row only when its band is the pair's FIRST matching (table, band)
+    * key — the multi-table generalization of [[firstMatchingBand]],
+    * computed as a static codegen'd when-chain over the 16 band
+    * comparisons — so no downstream `distinct` shuffle of the candidate
+    * set is needed, and the streaming twin's stateful emission rule is
+    * literally this predicate.
+    *
     * At 100 TB: each side shuffles once on the band key (16 rows per
-    * vector), candidate verification touches ~2.4e-4 of the pair space
-    * plus the true near-dups, and nothing is broadcast or enumerated
-    * all-pairs — the shape that makes near-dedup at strict thresholds
-    * linear-ish in practice, and the measured contrast to the priced
-    * q_embedding_neardup physics case (sf1 sentinel rides both). */
+    * vector, carrying the 4 signature longs), candidate verification
+    * touches ~2.4e-4 of the pair space plus the true near-dups, and
+    * nothing is broadcast or enumerated all-pairs — the shape that
+    * makes near-dedup at strict thresholds linear-ish in practice, and
+    * the measured contrast to the priced q_embedding_neardup physics
+    * case (sf1 sentinel rides both). */
   def qEmbeddingNearDupStrict(
-      spark: SparkSession, dir: String, threshold: Double = 0.8,
-      tables: Int = 4): DataFrame = {
-    val bandsPerTable = 4
-    val bandBits = 16
+      spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
+    val tables = StrictTables
+    val bandsPerTable = StrictBandsPerTable
+    val bandBits = StrictBandBits
     val emb = plantedCorpus(spark, dir)
+    val sigCols = (0 until tables).map(t => s"sig$t")
     val sigged = emb.select(
       col("vec_id") +: (0 until tables).map(t =>
-        signBucketSeeded(col("embedding"), 64, 1L + t).as(s"sig$t")): _*)
+        signBucketSeeded(col("embedding"), 64, strictSeed(t)).as(s"sig$t")): _*)
     val bandStructs = array((for {
       t <- 0 until tables; b <- 0 until bandsPerTable
     } yield struct(
@@ -296,14 +319,28 @@ object Similarity {
       shiftright(col(s"sig$t"), b * bandBits).bitwiseAND(lit(0xffffL))
         .as("bval"))): _*)
     val banded = sigged
-      .select(col("vec_id"), explode(bandStructs).as("b"))
-      .select(col("vec_id"), col("b.tb").as("tb"), col("b.bval").as("bval"))
+      .select(col("vec_id") +: sigCols.map(col) :+
+        explode(bandStructs).as("b"): _*)
+      .select(col("vec_id") +: sigCols.map(col) :+
+        col("b.tb").as("tb") :+ col("b.bval").as("bval"): _*)
+    // first matching (table, band) key of the two signature sets, as a
+    // static when-chain (16 codegen'd band comparisons, no HOF lambdas)
+    def bandOf(side: String, k: Int): Column =
+      shiftright(col(s"$side.sig${k / bandsPerTable}"),
+        (k % bandsPerTable) * bandBits).bitwiseAND(lit(0xffffL))
+    val firstMatch = (0 until tables * bandsPerTable)
+      .foldLeft(Option.empty[Column]) { (acc, k) =>
+        val hit = bandOf("l", k) === bandOf("r", k)
+        Some(acc match {
+          case None => when(hit, lit(k))
+          case Some(c) => c.when(hit, lit(k))
+        })
+      }.get.otherwise(lit(-1))
     val cands = banded.as("l")
       .join(banded.as("r"),
         col("l.tb") === col("r.tb") && col("l.bval") === col("r.bval") &&
-          col("l.vec_id") < col("r.vec_id"))
+          col("l.vec_id") < col("r.vec_id") && firstMatch === col("l.tb"))
       .select(col("l.vec_id").as("d1"), col("r.vec_id").as("d2"))
-      .distinct()
     val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
     cands
       .join(v.select(col("vec_id").as("d1"), col("embedding").as("av"),

@@ -48,13 +48,16 @@ object StreamingNearDup {
   /** An emitted near-dup pair (d1 < d2 by id, sim rounded to 6). */
   final case class NearDupPair(d1: Long, d2: Long, sim: Double)
 
-  val Tables: Int = 4
-  val BandsPerTable: Int = 4
-  val BandBits: Int = 16
+  /** LSH geometry: the batch door's, by reference — retuning one side
+    * cannot silently desynchronize the twins. */
+  val Tables: Int = graft.similarity.Similarity.StrictTables
+  val BandsPerTable: Int = graft.similarity.Similarity.StrictBandsPerTable
+  val BandBits: Int = graft.similarity.Similarity.StrictBandBits
 
   private[streaming] def signatures(v: Seq[Float]): Seq[Long] = {
     val ad = new GenericArrayData(v.toArray)
-    (0 until Tables).map(t => HyperplaneLsh.bucket(ad, 64, 1L + t))
+    (0 until Tables).map(t =>
+      HyperplaneLsh.bucket(ad, 64, graft.similarity.Similarity.strictSeed(t)))
   }
 
   private def bandVal(sig: Long, b: Int): Long =
@@ -96,15 +99,22 @@ object StreamingNearDup {
     val fresh = rows.toSeq.sortBy(_.vecId)
     val out = Seq.newBuilder[NearDupPair]
     var residents = seen
+    var residentIds = seen.map(_.vecId).toSet
     fresh.foreach { r =>
-      residents.foreach { s =>
-        if (s.vecId != r.vecId && firstMatch(s.sigs, r.sigs) == key._1) {
-          val (a, b) = if (s.vecId < r.vecId) (s, r) else (r, s)
-          val c = sim(a, b)
-          if (c > threshold) out += NearDupPair(a.vecId, b.vecId, c)
+      // a re-delivered id (at-least-once producer, re-ingested doc) is
+      // already indexed: storing it again would re-emit its pairs on
+      // every later collision, breaking exactly-once
+      if (!residentIds.contains(r.vecId)) {
+        residents.foreach { s =>
+          if (firstMatch(s.sigs, r.sigs) == key._1) {
+            val (a, b) = if (s.vecId < r.vecId) (s, r) else (r, s)
+            val c = sim(a, b)
+            if (c > threshold) out += NearDupPair(a.vecId, b.vecId, c)
+          }
         }
+        residents = residents :+ r
+        residentIds += r.vecId
       }
-      residents = residents :+ r
     }
     state.update(Bucket(residents))
     out.result().iterator

@@ -26,26 +26,41 @@ import org.apache.spark.unsafe.types.UTF8String
   * Matching is over UTF-8 BYTES with patterns restricted to ASCII: an
   * ASCII byte sequence can never straddle a multi-byte UTF-8 character
   * (continuation bytes have the high bit set), so byte matches are
-  * exactly character matches, and the 256-way dense goto table stays
-  * cache-resident (nodes × 256 ints; a thousand-pattern watchlist is a
-  * few hundred KB).
+  * exactly character matches. The goto table is DENSE (256 ints per
+  * node = ~1 KB per trie node, bounded by total pattern characters;
+  * shared prefixes compress): one unconditional array read per text
+  * byte, no fail-link walking in the hot loop. Cost
+  * honesty: a 24-pattern watchlist is ~100 KB; a 5,000-pattern ×
+  * 12-char one approaches ~60 MB per executor — at that scale a
+  * production matcher switches to a compressed (double-array /
+  * fail-link) transition table, trading a branch per byte for 50×
+  * memory; this implementation chooses the dense hot loop for the
+  * watchlist sizes the census query serves.
   *
   * The automaton is built once per (executor, pattern set) — the same
   * static-cache contract as [[graft.similarity.HyperplaneLsh]]'s
   * weight matrices — keyed by the tab-joined pattern spec the
-  * expression also embeds into generated code. */
+  * expression also embeds into generated code. Build-time scratch
+  * (edge-used flags, per-node emit lists, fail links) is local to the
+  * factory and collected after construction; the cached object holds
+  * only the goto table and merged emit arrays. */
 object AhoCorasick {
 
   /** Compiled automaton: dense goto table (BFS-resolved, so matching
     * never walks fail links), plus per-node merged emit lists. */
-  final class Automaton(patterns: Array[String]) {
-    val nPatterns: Int = patterns.length
-    // trie construction over pattern bytes
-    private val maxNodes = patterns.map(_.length).sum + 1
-    val goto_ : Array[Int] = new Array[Int](maxNodes * 256)
-    private val gotoUsed = new Array[Boolean](maxNodes * 256)
-    private val emitOwn = Array.fill(maxNodes)(List.empty[Int])
-    private var nNodes = 1
+  final class Automaton private[AhoCorasick] (
+      val nPatterns: Int, val goto_ : Array[Int],
+      val emits: Array[Array[Int]])
+
+  /** Standard Aho–Corasick construction: byte trie, BFS fail links,
+    * emit-list merging through fail links, then full goto resolution so
+    * matching is one array read per byte. */
+  private def build(patterns: Array[String]): Automaton = {
+    val maxNodes = patterns.map(_.length).sum + 1
+    val goto_ = new Array[Int](maxNodes * 256)
+    val gotoUsed = new Array[Boolean](maxNodes * 256)
+    val emitOwn = Array.fill(maxNodes)(List.empty[Int])
+    var nNodes = 1
     patterns.zipWithIndex.foreach { case (p, pid) =>
       var s = 0
       p.getBytes("US-ASCII").foreach { b =>
@@ -59,11 +74,10 @@ object AhoCorasick {
       }
       emitOwn(s) ::= pid
     }
-    // BFS: fail links, merged emits, and full goto resolution
-    val emits: Array[Array[Int]] = new Array[Array[Int]](nNodes)
-    private val fail = new Array[Int](nNodes)
+    val emits = new Array[Array[Int]](nNodes)
+    val fail = new Array[Int](nNodes)
     emits(0) = emitOwn(0).toArray
-    private val queue = new java.util.ArrayDeque[Int]()
+    val queue = new java.util.ArrayDeque[Int]()
     (0 until 256).foreach { c =>
       val v = goto_(c)
       if (gotoUsed(c)) { fail(v) = 0; queue.add(v) }
@@ -83,6 +97,10 @@ object AhoCorasick {
         }
       }
     }
+    // trim to the realized node count — shared prefixes make
+    // nNodes << sum of pattern lengths on real watchlists
+    new Automaton(patterns.length,
+      java.util.Arrays.copyOf(goto_, nNodes * 256), emits)
   }
 
   private val cache =
@@ -90,7 +108,7 @@ object AhoCorasick {
 
   /** The automaton for a tab-joined pattern spec (executor-cached). */
   def automaton(spec: String): Automaton =
-    cache.computeIfAbsent(spec, s => new Automaton(s.split('\t')))
+    cache.computeIfAbsent(spec, s => build(s.split('\t')))
 
   /** Occurrence counts (overlapping, one per match end position) of each
     * pattern in `spec` within `text`, as a long array in pattern order. */

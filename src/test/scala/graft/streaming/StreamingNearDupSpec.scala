@@ -52,6 +52,15 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("re-delivered rows neither re-emit pairs nor grow state output") {
+    val rows = corpusRows()
+    val want = batchRelation()
+    // every row delivered twice: once in its batch, once in a replay
+    // batch (an at-least-once producer) — the emitted set must not change
+    val got = runStream(Seq(rows, rows))
+    assert(got === want)
+  }
+
   test("emission is exactly-once: no pair row is duplicated") {
     val rows = corpusRows()
     implicit val sqlCtx = spark.sqlContext
