@@ -90,23 +90,27 @@ object StreamingNearDup {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
-  private def updateBucket(threshold: Double)(
-      key: (Int, Long), rows: Iterator[BandedVec],
-      state: GroupState[Bucket]): Iterator[NearDupPair] = {
-    val seen = state.getOption.map(_.rows).getOrElse(Seq.empty)
+  /** The shared per-bucket fold both state APIs run
+    * ([[StreamingNearDupTws]] is the transformWithState twin): compare
+    * each ACCEPTED fresh row against residents, emit first-match pairs
+    * above threshold, return (rows to append, pairs). A re-delivered id
+    * (at-least-once producer, re-ingested doc) is already indexed:
+    * storing it again would re-emit its pairs on every later collision,
+    * breaking exactly-once — so it is neither compared nor stored. */
+  private[streaming] def bucketFold(
+      tbKey: Int, threshold: Double, seen: Seq[BandedVec],
+      freshRaw: Seq[BandedVec]): (Seq[BandedVec], Seq[NearDupPair]) = {
     // deterministic within-batch order (the emitted SET is order-free;
     // this just makes transcripts reproducible)
-    val fresh = rows.toSeq.sortBy(_.vecId)
+    val fresh = freshRaw.sortBy(_.vecId)
     val out = Seq.newBuilder[NearDupPair]
+    val accepted = Seq.newBuilder[BandedVec]
     var residents = seen
     var residentIds = seen.map(_.vecId).toSet
     fresh.foreach { r =>
-      // a re-delivered id (at-least-once producer, re-ingested doc) is
-      // already indexed: storing it again would re-emit its pairs on
-      // every later collision, breaking exactly-once
       if (!residentIds.contains(r.vecId)) {
         residents.foreach { s =>
-          if (firstMatch(s.sigs, r.sigs) == key._1) {
+          if (firstMatch(s.sigs, r.sigs) == tbKey) {
             val (a, b) = if (s.vecId < r.vecId) (s, r) else (r, s)
             val c = sim(a, b)
             if (c > threshold) out += NearDupPair(a.vecId, b.vecId, c)
@@ -114,10 +118,36 @@ object StreamingNearDup {
         }
         residents = residents :+ r
         residentIds += r.vecId
+        accepted += r
       }
     }
-    state.update(Bucket(residents))
-    out.result().iterator
+    (accepted.result(), out.result())
+  }
+
+  private def updateBucket(threshold: Double)(
+      key: (Int, Long), rows: Iterator[BandedVec],
+      state: GroupState[Bucket]): Iterator[NearDupPair] = {
+    val seen = state.getOption.map(_.rows).getOrElse(Seq.empty)
+    val (accepted, out) = bucketFold(key._1, threshold, seen, rows.toSeq)
+    state.update(Bucket(seen ++ accepted))
+    out.iterator
+  }
+
+  /** Band-bucket routing shared by both state APIs: 16 rows per vector,
+    * each carrying the signatures and the norm the exact check needs. */
+  private[streaming] def banded(in: Dataset[VecIn]): Dataset[BandedVec] = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    in.flatMap { v =>
+      val sigs = signatures(v.embedding)
+      var dot = 0.0
+      v.embedding.foreach(x => dot += x.toDouble * x.toDouble)
+      val norm = math.sqrt(dot)
+      for {
+        t <- 0 until Tables; b <- 0 until BandsPerTable
+      } yield BandedVec(t * BandsPerTable + b, bandVal(sigs(t), b),
+        v.vecId, sigs, v.embedding, norm)
+    }
   }
 
   /** The streaming query: embedding rows → per-bucket incremental exact
@@ -126,16 +156,7 @@ object StreamingNearDup {
   def pairs(in: Dataset[VecIn], threshold: Double): DataFrame = {
     val spark = in.sparkSession
     import spark.implicits._
-    in.flatMap { v =>
-        val sigs = signatures(v.embedding)
-        var dot = 0.0
-        v.embedding.foreach(x => dot += x.toDouble * x.toDouble)
-        val norm = math.sqrt(dot)
-        for {
-          t <- 0 until Tables; b <- 0 until BandsPerTable
-        } yield BandedVec(t * BandsPerTable + b, bandVal(sigs(t), b),
-          v.vecId, sigs, v.embedding, norm)
-      }
+    banded(in)
       .groupByKey(r => (r.tb, r.bval))
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(updateBucket(threshold))

@@ -61,6 +61,40 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("transformWithState twin == batch strict door (split + re-delivery)") {
+    val rows = corpusRows()
+    val want = batchRelation()
+    val byId = rows.sortBy(_.vecId)
+    val prev =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      // thirds + a full replay batch: split AND at-least-once in one run
+      val batches =
+        byId.grouped(math.max(1, byId.length / 3 + 1)).toSeq :+ byId
+      val input = MemoryStream[VecIn]
+      val name = s"neardup_tws_${System.nanoTime()}"
+      val q = StreamingNearDupTws.pairs(input.toDS(), threshold = 0.8)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      val got =
+        try {
+          batches.foreach { b => input.addData(b); q.processAllAvailable() }
+          spark.table(name).as[NearDupPair].collect()
+            .map(p => (p.d1, p.d2, p.sim)).toSet
+        } finally q.stop()
+      assert(got === want)
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("emission is exactly-once: no pair row is duplicated") {
     val rows = corpusRows()
     implicit val sqlCtx = spark.sqlContext
