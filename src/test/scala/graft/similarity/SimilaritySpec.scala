@@ -359,6 +359,14 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length.toLong === planted)
   }
 
+  test("strict near-dup plans as a band-keyed equi-join, never all-pairs") {
+    val plan = Similarity.qEmbeddingNearDupStrict(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"candidate generation degenerated to an all-pairs physical join:\n$plan")
+  }
+
   test("planted corpus twins equal the independent JVM replay bit-for-bit") {
     val got = Similarity.plantedCorpus(spark, dir)
       .select("vec_id", "embedding").collect()
