@@ -37,7 +37,8 @@ object StreamingNearDupTws {
       val seen = st.get().toSeq
       val (accepted, out) =
         StreamingNearDup.bucketFold(key._1, threshold, seen, rows.toSeq)
-      accepted.foreach(st.appendValue)
+      // ONE state-store merge per trigger, not one per accepted row
+      if (accepted.nonEmpty) st.appendList(accepted.toArray)
       out.iterator
     }
   }

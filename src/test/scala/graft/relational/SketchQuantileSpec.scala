@@ -87,11 +87,7 @@ class SketchQuantileSpec extends SparkSpec {
   test("transformWithState twin == fMGWS twin == batch (Spark 4 API)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val prev =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider {
       val rows = Tables.load(spark, dir, "events")
         .selectExpr("event_type", "event_id",
           "cast(floor(value * 100 + 0.5) as long) as cents")
@@ -119,11 +115,6 @@ class SketchQuantileSpec extends SparkSpec {
           r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(5))))
         .toMap
       assert(got === want)
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 }

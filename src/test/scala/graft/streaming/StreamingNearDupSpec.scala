@@ -65,11 +65,7 @@ class StreamingNearDupSpec extends SparkSpec {
     val rows = corpusRows()
     val want = batchRelation()
     val byId = rows.sortBy(_.vecId)
-    val prev =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       // thirds + a full replay batch: split AND at-least-once in one run
@@ -83,15 +79,14 @@ class StreamingNearDupSpec extends SparkSpec {
       val got =
         try {
           batches.foreach { b => input.addData(b); q.processAllAvailable() }
-          spark.table(name).as[NearDupPair].collect()
-            .map(p => (p.d1, p.d2, p.sim)).toSet
+          spark.table(name).as[NearDupPair].collect().toSeq
+            .map(p => (p.d1, p.d2, p.sim))
         } finally q.stop()
-      assert(got === want)
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      // SEQ assertions: set equality alone would collapse duplicate
+      // emissions — the exact defect the replay batch exists to catch
+      assert(got.distinct.size === got.size,
+        "TWS flavor emitted a duplicate pair row")
+      assert(got.toSet === want)
     }
   }
 

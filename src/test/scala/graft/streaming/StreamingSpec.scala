@@ -125,11 +125,7 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
 
     // transformWithState flavor (RocksDB provider, the TWS requirement)
-    val prev =
-      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider {
       val in2 = MemoryStream[graft.streaming.StreamingSketch.HourEvent]
       val name2 = s"shlltws_${System.nanoTime()}"
       val q2 = graft.streaming.StreamingSketchTws.slidingDistinct(in2.toDS())
@@ -141,11 +137,6 @@ class StreamingSpec extends SparkSpec {
           lastPerKey(name2)
         } finally q2.stop()
       assert(got2 === want)
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
@@ -514,10 +505,7 @@ class StreamingSpec extends SparkSpec {
   test("transformWithState tracker matches fMGWS semantics (Spark 4 API)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider {
       val input = MemoryStream[LspPacket]
       val name = s"tws_${System.nanoTime()}"
       val q = SessionTrackerTws.eventStream(input.toDS())
@@ -536,11 +524,6 @@ class StreamingSpec extends SparkSpec {
         assert(events.count(_.event == DupDropped) === 1)
         assert(events.count(_.event == OutOfOrderDropped) === 1)
       } finally q.stop()
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
@@ -548,10 +531,7 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val hash = "da23614e02469a0d7c7bd1bdab5c9c474b1904dc" // "ab", len 2
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDbProvider {
       // parity (timers off): complete verdict sets fold identically
       val in1 = MemoryStream[JobVerdict]
       val n1 = s"twsrecov_${System.nanoTime()}"
@@ -585,11 +565,6 @@ class StreamingSpec extends SparkSpec {
         assert(replies === Seq(CrackReply(9L, "f", "ab")),
           "Tws timer recovery must rescan the lost tile")
       } finally q2.stop()
-    } finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 
