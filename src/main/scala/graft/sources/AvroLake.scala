@@ -7,9 +7,10 @@ import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,10 +32,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * materializing them (`.explain` shows the pruned ReadSchema like any
   * built-in format).
   *
-  * Write: [[AvroFiles.write]] — one container per input partition,
-  * temp-then-rename publication (a reader never lists a half-written
-  * container), executor-side encoding via the schema's JSON (Avro
-  * `Schema` objects never ride in task closures).
+  * Write: a full DataSource V2 `BatchWrite` —
+  * `df.write.format("graft.sources.AvroSource").mode("append"|"overwrite")
+  * .save(dir)` — with the staged-commit protocol a distributed sink
+  * needs: each task writes a `.avro.staged` container named by
+  * (partition, task attempt, query id) and reports it in its commit
+  * message; the DRIVER publishes (rename to `.avro`) only the
+  * committed attempts at job commit, so a failed, speculative, or
+  * zombie task attempt can never surface a file (readers list only
+  * `.avro`); job abort sweeps this query's staged files. `overwrite`
+  * is `SupportsTruncate`: prior containers are deleted at commit time,
+  * after every new container staged successfully — never before.
+  * Executor-side encoding rides the schema's JSON (Avro `Schema`
+  * objects never enter task closures). [[AvroFiles.write]] remains the
+  * plain-helper twin (one rename per partition, no commit protocol);
+  * the spec pins both paths read back identically.
   *
   * Type mapping (both directions): boolean/int/long/float/double/
   * string/bytes, `union[null, T]` ⇔ nullable T, logical
@@ -60,13 +72,24 @@ class AvroSource extends TableProvider {
 }
 
 private[sources] class AvroTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "avro source requires a path")
 
   override def name(): String = s"avro($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new AvroBatchWrite(
+          path, info.schema(), info.queryId(), truncateFirst)
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch with SupportsPushDownRequiredColumns {
@@ -112,6 +135,122 @@ private[sources] class AvroTable(path: String, tableSchema: StructType)
 private[sources] case class AvroPartition(
     file: String, start: Long, length: Long, requiredJson: String)
   extends InputPartition
+
+/** A task attempt's staged container (absolute path) — or `null` for an
+  * empty partition, which stages nothing. */
+private[sources] case class AvroCommit(staged: String)
+  extends WriterCommitMessage
+
+/** Driver side of the staged-commit protocol (see [[AvroSource]]'s
+  * scaladoc): publish = rename committed `.avro.staged` → `.avro` at
+  * job commit; abort = sweep this query's staged files. Truncation (the
+  * `overwrite` mode) deletes prior containers at COMMIT, after all new
+  * containers staged — a crashed overwrite leaves the old data intact. */
+private[sources] class AvroBatchWrite(
+    path: String, schema: StructType, queryId: String, truncateFirst: Boolean)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    new java.io.File(path).mkdirs()
+    AvroWriterFactory(path,
+      AvroLake.toAvro(schema, "row").toString, schema.json, queryId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncateFirst)
+      AvroLake.listContainers(path).foreach { case (_, abs) =>
+        if (!new java.io.File(abs).delete())
+          throw new java.io.IOException(s"truncate failed: $abs")
+      }
+    messages.foreach {
+      case AvroCommit(staged) if staged != null =>
+        val src = new java.io.File(staged)
+        val dst = new java.io.File(staged.stripSuffix(".staged"))
+        if (!src.renameTo(dst))
+          throw new java.io.IOException(s"cannot publish $dst")
+      case _ =>
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    // messages cover only attempts the coordinator saw commit; sweep
+    // every staged file carrying this query's id so zombie attempts
+    // cannot leak disk
+    new java.io.File(path).listFiles() match {
+      case null =>
+      case fs => fs.filter(_.getName.endsWith(s"-$queryId.avro.staged"))
+        .foreach(_.delete())
+    }
+}
+
+private[sources] case class AvroWriterFactory(
+    path: String, avroJson: String, schemaJson: String, queryId: String)
+  extends DataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AvroDataWriter(path, avroJson,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      queryId, partitionId, taskId)
+}
+
+/** Executor side: lazily opens one container per non-empty partition,
+  * named by (partition, task attempt, query id) so retried and
+  * speculative attempts never collide; `commit` closes and reports the
+  * staged path, `abort` deletes it. */
+private[sources] class AvroDataWriter(
+    path: String, avroJson: String, schema: StructType,
+    queryId: String, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private var avro: Schema = _
+  private var rec: GenericData.Record = _
+  private var out: DataFileWriter[GenericRecord] = _
+  private var staged: java.io.File = _
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      avro = new Schema.Parser().parse(avroJson)
+      rec = new GenericData.Record(avro)
+      staged = new java.io.File(path,
+        f"part-$partitionId%05d-$taskId-$queryId.avro.staged")
+      out = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](avro))
+      out.create(avro, staged)
+    }
+    var i = 0
+    while (i < schema.length) {
+      rec.put(i,
+        if (row.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case BooleanType => row.getBoolean(i)
+          case IntegerType | DateType => row.getInt(i)
+          case LongType | TimestampType => row.getLong(i)
+          case FloatType => row.getFloat(i)
+          case DoubleType => row.getDouble(i)
+          case StringType => row.getUTF8String(i).toString
+          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
+          case other => throw new IllegalArgumentException(
+            s"avro writer: unsupported type ${other.simpleString}")
+        })
+      i += 1
+    }
+    out.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) { out.close(); out = null }
+    AvroCommit(if (staged == null) null else staged.getAbsolutePath)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) { out.close(); out = null }
+    if (staged != null) staged.delete()
+  }
+
+  override def close(): Unit = if (out != null) { out.close(); out = null }
+}
 
 private[sources] object AvroLake {
 
@@ -328,9 +467,11 @@ object AvroFiles {
     val out =
       whPath + "/graft_avro_customer_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
     AvroLake.synchronized {
+      // through the V2 BatchWrite (staged-commit) path, so the commit
+      // protocol itself sits under this query's DuckDB oracle
       if (!new java.io.File(out).isDirectory)
-        write(graft.relational.Tables.load(spark, dir, "customer"), out,
-          recordName = "customer")
+        graft.relational.Tables.load(spark, dir, "customer")
+          .write.format("graft.sources.AvroSource").mode("append").save(out)
     }
     spark.read.format("graft.sources.AvroSource").load(out)
       .select(col("c_mktsegment"),

@@ -359,6 +359,41 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.length.toLong === planted)
   }
 
+  test("strict door pruning contract: candidates are a tiny fraction of N^2") {
+    // measure (not just assert in prose) the wide-band selectivity: the
+    // candidate relation, rebuilt from the same seeded signatures the
+    // door uses, must stay under 1% of the pair space on the isotropic
+    // corpus (analytic expectation: 16/2^16 ~ 0.024% background), while
+    // every planted twin pair still collides (the recall side)
+    val d = "/root/testdata/sf0.01"
+    val emb = Similarity.plantedCorpus(spark, d)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def bandKeys(v: Array[Float]): Set[(Int, Long)] = {
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+      (for {
+        t <- 0 until Similarity.StrictTables
+        sig = HyperplaneLsh.bucket(ad, 64, Similarity.strictSeed(t))
+        b <- 0 until Similarity.StrictBandsPerTable
+      } yield (t * 4 + b, (sig >> (b * 16)) & 0xffffL)).toSet
+    }
+    val keyed = emb.map { case (id, v) => (id, bandKeys(v)) }
+    val candidates = (for {
+      (i1, k1) <- keyed; (i2, k2) <- keyed if i1 < i2
+      if k1.exists(k2.contains)
+    } yield (i1, i2)).toSet
+    val n = keyed.length.toLong
+    val pairSpace = n * (n - 1) / 2
+    assert(candidates.size < pairSpace / 100,
+      s"${candidates.size} candidates of $pairSpace pairs — pruning collapsed")
+    val planted = emb.collect {
+      case (id, _) if id % 4 == 0 && id < Similarity.TwinOffset =>
+        (id, id + Similarity.TwinOffset)
+    }.toSet
+    assert(planted.nonEmpty && planted.subsetOf(candidates),
+      "every planted twin pair must collide on at least one band")
+  }
+
   test("strict near-dup plans as a band-keyed equi-join, never all-pairs") {
     val plan = Similarity.qEmbeddingNearDupStrict(spark, dir)
       .queryExecution.executedPlan.toString

@@ -144,4 +144,58 @@ class AvroLakeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not mapped"))
   }
+
+  test("V2 BatchWrite: append to a fresh dir round-trips; == helper twin") {
+    val cust = spark.read.parquet(sf("customer"))
+    val dir = tmpDir()
+    cust.write.format("graft.sources.AvroSource").mode("append").save(dir)
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+    assert(back.schema === cust.schema)
+    assert(back.exceptAll(cust).isEmpty && cust.exceptAll(back).isEmpty)
+    // nothing staged survives a successful commit
+    assert(!new java.io.File(dir).listFiles().exists(
+      _.getName.endsWith(".staged")))
+    // the plain helper stages the same relation
+    val dir2 = tmpDir()
+    AvroFiles.write(cust, dir2)
+    val viaHelper = spark.read.format("graft.sources.AvroSource").load(dir2)
+    assert(back.exceptAll(viaHelper).isEmpty &&
+      viaHelper.exceptAll(back).isEmpty)
+  }
+
+  test("V2 BatchWrite: overwrite truncates at commit; append accumulates") {
+    val dir = tmpDir()
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((3L, "c")).toDF("id", "v")
+    a.write.format("graft.sources.AvroSource").mode("append").save(dir)
+    b.write.format("graft.sources.AvroSource").mode("append").save(dir)
+    val appended = spark.read.format("graft.sources.AvroSource").load(dir)
+    assert(appended.count() === 3)
+    b.write.format("graft.sources.AvroSource").mode("overwrite").save(dir)
+    val over = spark.read.format("graft.sources.AvroSource").load(dir)
+      .as[(Long, String)].collect().toSet
+    assert(over === Set((3L, "c")))
+  }
+
+  test("V2 BatchWrite: a failing task publishes nothing and leaks no staged file") {
+    val dir = tmpDir()
+    // seed the dir so the failed OVERWRITE can also prove it never
+    // truncated (truncation happens at commit, which is never reached)
+    Seq((0L, "seed")).toDF("id", "v")
+      .write.format("graft.sources.AvroSource").mode("append").save(dir)
+    val poison = spark.range(0, 100, 1, 4)
+      .selectExpr("id",
+        "CASE WHEN id = 57 THEN raise_error('boom') ELSE 'x' END AS v")
+    intercept[Exception] {
+      poison.write.format("graft.sources.AvroSource")
+        .mode("overwrite").save(dir)
+    }
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+    assert(!files.exists(_.endsWith(".staged")),
+      s"staged leak after abort: $files")
+    // old data intact, no partial new containers published
+    val back = spark.read.format("graft.sources.AvroSource").load(dir)
+      .as[(Long, String)].collect().toSet
+    assert(back === Set((0L, "seed")), s"published after failed job: $back")
+  }
 }
