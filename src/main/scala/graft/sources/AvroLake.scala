@@ -145,7 +145,12 @@ private[sources] case class AvroCommit(staged: String)
   * scaladoc): publish = rename committed `.avro.staged` → `.avro` at
   * job commit; abort = sweep this query's staged files. Truncation (the
   * `overwrite` mode) deletes prior containers at COMMIT, after all new
-  * containers staged — a crashed overwrite leaves the old data intact. */
+  * containers staged — any failure BEFORE commit leaves the old data
+  * intact. Honesty: a driver crash INSIDE commit (between truncate and
+  * the renames) can still tear an overwrite; closing that window needs
+  * a manifest/metadata commit (what table formats like the repo's
+  * q_lake_merge/SCD patterns layer on top), which is out of scope for
+  * a directory-of-containers sink. */
 private[sources] class AvroBatchWrite(
     path: String, schema: StructType, queryId: String, truncateFirst: Boolean)
   extends BatchWrite {
