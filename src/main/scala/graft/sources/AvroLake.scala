@@ -142,18 +142,31 @@ private[sources] case class AvroCommit(staged: String)
   extends WriterCommitMessage
 
 /** Driver side of the staged-commit protocol (see [[AvroSource]]'s
-  * scaladoc): publish = rename committed `.avro.staged` → `.avro` at
-  * job commit; abort = sweep this query's staged files. Truncation (the
-  * `overwrite` mode) deletes prior containers at COMMIT, after all new
-  * containers staged — any failure BEFORE commit leaves the old data
-  * intact. Honesty: a driver crash INSIDE commit (between truncate and
-  * the renames) can still tear an overwrite; closing that window needs
-  * a manifest/metadata commit (what table formats like the repo's
-  * q_lake_merge/SCD patterns layer on top), which is out of scope for
-  * a directory-of-containers sink. */
+  * scaladoc). Commit order is PUBLISH-then-TRUNCATE: every staged
+  * container renames to `.avro` first, and only then are the
+  * pre-existing containers (captured before any task ran) deleted —
+  * so no failure point inside commit can lose data. An exception
+  * mid-commit triggers abort, which UNDOES the publishes (their names
+  * ride the commit messages) and sweeps this query's staged files,
+  * restoring the directory to its pre-job state exactly; a hard driver
+  * crash mid-commit leaves old+new DUPLICATION (recoverable — new
+  * files carry the query id), never a torn half-truncate. A successful
+  * commit also sweeps leftover staged files of this query, so a zombie
+  * task attempt (executor death skips DataWriter.abort) cannot leak
+  * disk on either path. */
 private[sources] class AvroBatchWrite(
     path: String, schema: StructType, queryId: String, truncateFirst: Boolean)
   extends BatchWrite {
+
+  // captured on the driver BEFORE any task stages a file: exactly the
+  // containers an overwrite must replace
+  private val preExisting: Array[String] =
+    if (truncateFirst)
+      new java.io.File(path).listFiles() match {
+        case null => Array.empty
+        case fs => fs.map(_.getName).filter(_.endsWith(".avro"))
+      }
+    else Array.empty
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
@@ -162,12 +175,14 @@ private[sources] class AvroBatchWrite(
       AvroLake.toAvro(schema, "row").toString, schema.json, queryId)
   }
 
+  private def sweepStaged(): Unit =
+    new java.io.File(path).listFiles() match {
+      case null =>
+      case fs => fs.filter(_.getName.endsWith(s"-$queryId.avro.staged"))
+        .foreach(_.delete())
+    }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncateFirst)
-      AvroLake.listContainers(path).foreach { case (_, abs) =>
-        if (!new java.io.File(abs).delete())
-          throw new java.io.IOException(s"truncate failed: $abs")
-      }
     messages.foreach {
       case AvroCommit(staged) if staged != null =>
         val src = new java.io.File(staged)
@@ -176,17 +191,25 @@ private[sources] class AvroBatchWrite(
           throw new java.io.IOException(s"cannot publish $dst")
       case _ =>
     }
+    preExisting.foreach { name =>
+      val f = new java.io.File(path, name)
+      if (f.exists() && !f.delete())
+        throw new java.io.IOException(s"truncate failed: $f")
+    }
+    sweepStaged() // zombie attempts' staging must not outlive success
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
-    // messages cover only attempts the coordinator saw commit; sweep
-    // every staged file carrying this query's id so zombie attempts
-    // cannot leak disk
-    new java.io.File(path).listFiles() match {
-      case null =>
-      case fs => fs.filter(_.getName.endsWith(s"-$queryId.avro.staged"))
-        .foreach(_.delete())
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // undo any publish that happened before commit threw — the old
+    // containers are still on disk (truncation runs last), so deleting
+    // the new names restores the pre-job state exactly
+    messages.foreach {
+      case AvroCommit(staged) if staged != null =>
+        new java.io.File(staged.stripSuffix(".staged")).delete()
+      case _ =>
     }
+    sweepStaged()
+  }
 }
 
 private[sources] case class AvroWriterFactory(
@@ -214,6 +237,23 @@ private[sources] class AvroDataWriter(
   private var out: DataFileWriter[GenericRecord] = _
   private var staged: java.io.File = _
 
+  // one converter per field, resolved ONCE from the fixed schema — the
+  // innermost sink loop must not re-match DataType per row per column
+  private val getters: Array[(InternalRow, Int) => Any] =
+    schema.fields.map(_.dataType match {
+      case BooleanType => (r: InternalRow, i: Int) => r.getBoolean(i)
+      case IntegerType | DateType => (r: InternalRow, i: Int) => r.getInt(i)
+      case LongType | TimestampType => (r: InternalRow, i: Int) => r.getLong(i)
+      case FloatType => (r: InternalRow, i: Int) => r.getFloat(i)
+      case DoubleType => (r: InternalRow, i: Int) => r.getDouble(i)
+      case StringType =>
+        (r: InternalRow, i: Int) => r.getUTF8String(i).toString
+      case BinaryType =>
+        (r: InternalRow, i: Int) => java.nio.ByteBuffer.wrap(r.getBinary(i))
+      case other => throw new IllegalArgumentException(
+        s"avro writer: unsupported type ${other.simpleString}")
+    })
+
   override def write(row: InternalRow): Unit = {
     if (out == null) {
       avro = new Schema.Parser().parse(avroJson)
@@ -225,20 +265,8 @@ private[sources] class AvroDataWriter(
       out.create(avro, staged)
     }
     var i = 0
-    while (i < schema.length) {
-      rec.put(i,
-        if (row.isNullAt(i)) null
-        else schema.fields(i).dataType match {
-          case BooleanType => row.getBoolean(i)
-          case IntegerType | DateType => row.getInt(i)
-          case LongType | TimestampType => row.getLong(i)
-          case FloatType => row.getFloat(i)
-          case DoubleType => row.getDouble(i)
-          case StringType => row.getUTF8String(i).toString
-          case BinaryType => java.nio.ByteBuffer.wrap(row.getBinary(i))
-          case other => throw new IllegalArgumentException(
-            s"avro writer: unsupported type ${other.simpleString}")
-        })
+    while (i < getters.length) {
+      rec.put(i, if (row.isNullAt(i)) null else getters(i)(row, i))
       i += 1
     }
     out.append(rec)

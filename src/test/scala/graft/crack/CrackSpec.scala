@@ -123,37 +123,45 @@ class CrackSpec extends SparkSpec {
     // headroom, and holds a fortiori at local[32]. A wall-clock gate on
     // a shared box can lose to transient load, so one below-floor run
     // earns one re-measure, and a second below-floor run is judged
-    // RELATIVE to the box: raw single-thread JDK SHA-1 over the same
-    // 6-byte messages is the box-speed yardstick (it suffers the same
-    // external load), and the guarded regression halves the KERNEL
-    // rate but not the yardstick, so the per-core ratio still trips.
-    // Healthy ratio measures 0.69-0.88 (this box loaded and unloaded);
-    // the allocation fallback lands ~0.41; the floor is 0.55.
+    // RELATIVE to the box: raw JDK SHA-1 over the same 6-byte messages,
+    // run at the SAME parallelism (so SMT sharing and external load
+    // depress kernel and yardstick together), is the box-speed
+    // calibration; the guarded regression halves the KERNEL rate but
+    // not the yardstick, so the aggregate ratio still trips. Healthy
+    // ratio measures 0.69-0.88 (this box loaded and unloaded); the
+    // allocation fallback lands ~0.41; the floor is 0.55.
     def calibrationRate(): Double = {
-      val md = java.security.MessageDigest.getInstance("SHA-1")
-      val buf = new Array[Byte](6)
-      val out = new Array[Byte](20)
-      val n = 4000000
-      var i = 0
+      val perThread = 4000000
+      val total = new java.util.concurrent.atomic.AtomicLong()
       val t0 = System.nanoTime()
-      while (i < n) {
-        buf(0) = (i & 0x1f).toByte
-        md.update(buf, 0, 6)
-        md.digest(out, 0, 20)
-        i += 1
+      val threads = (0 until cores).map { _ =>
+        new Thread(() => {
+          val md = java.security.MessageDigest.getInstance("SHA-1")
+          val buf = new Array[Byte](6)
+          val out = new Array[Byte](20)
+          var i = 0
+          while (i < perThread) {
+            buf(0) = (i & 0x1f).toByte
+            md.update(buf, 0, 6)
+            md.digest(out, 0, 20)
+            i += 1
+          }
+          total.addAndGet(perThread.toLong)
+        })
       }
-      n / ((System.nanoTime() - t0) / 1e9)
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      total.get() / ((System.nanoTime() - t0) / 1e9)
     }
     val rate = { val r1 = measure(); if (r1 >= 20e6) r1 else measure() }
     if (rate < 20e6) {
       val cal = calibrationRate()
-      val ratio = rate / cores / cal
+      val ratio = rate / cal
       info(f"below absolute floor; calibration ${cal / 1e6}%.1f M/s " +
-        f"single-thread, per-core ratio $ratio%.2f")
+        f"aggregate on $cores threads, ratio $ratio%.2f")
       assert(ratio >= 0.55,
-        f"aggregate ${rate / 1e6}%.1f M SHA-1/s AND per-core ratio " +
-          f"$ratio%.2f below the calibrated floor — kernel regression, " +
-          "not box load")
+        f"aggregate ${rate / 1e6}%.1f M SHA-1/s AND calibrated ratio " +
+          f"$ratio%.2f below the floor — kernel regression, not box load")
     }
   }
 

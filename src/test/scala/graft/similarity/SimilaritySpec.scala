@@ -371,11 +371,13 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     def bandKeys(v: Array[Float]): Set[(Int, Long)] = {
       val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+      val bands = Similarity.StrictBandsPerTable
+      val bits = Similarity.StrictBandBits
       (for {
         t <- 0 until Similarity.StrictTables
         sig = HyperplaneLsh.bucket(ad, 64, Similarity.strictSeed(t))
-        b <- 0 until Similarity.StrictBandsPerTable
-      } yield (t * 4 + b, (sig >> (b * 16)) & 0xffffL)).toSet
+        b <- 0 until bands
+      } yield (t * bands + b, (sig >> (b * bits)) & ((1L << bits) - 1))).toSet
     }
     val keyed = emb.map { case (id, v) => (id, bandKeys(v)) }
     val candidates = (for {

@@ -177,6 +177,41 @@ class AvroLakeSpec extends SparkSpec {
     assert(over === Set((3L, "c")))
   }
 
+  test("BatchWrite unit: publish-then-truncate order, zombie sweep, abort undo") {
+    val dir = tmpDir()
+    def mk(name: String): java.io.File = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.writeString(f.toPath, name)
+      f
+    }
+    def names(): Set[String] =
+      new java.io.File(dir).listFiles().map(_.getName).toSet
+    val schema = new StructType().add("id", LongType)
+
+    // COMMIT: old container truncated only after publish; a zombie
+    // attempt's staged file (no commit message) is swept on success
+    mk("old-1.avro")
+    val bw = new AvroBatchWrite(dir, schema, "q1", truncateFirst = true)
+    val s1 = mk("part-00000-1-q1.avro.staged")
+    val s2 = mk("part-00001-2-q1.avro.staged")
+    mk("part-00001-9-q1.avro.staged") // zombie attempt
+    bw.commit(Array(AvroCommit(s1.getAbsolutePath),
+      AvroCommit(s2.getAbsolutePath), AvroCommit(null)))
+    assert(names() === Set("part-00000-1-q1.avro", "part-00001-2-q1.avro"))
+
+    // ABORT after a partial publish: the published finals are undone and
+    // staged files swept — the directory returns to its pre-job state
+    val bw2 = new AvroBatchWrite(dir, schema, "q2", truncateFirst = true)
+    val s3 = mk("part-00000-3-q2.avro.staged")
+    val s4 = mk("part-00001-4-q2.avro.staged")
+    // simulate commit dying between the two renames
+    assert(s3.renameTo(new java.io.File(dir, "part-00000-3-q2.avro")))
+    bw2.abort(Array(AvroCommit(s3.getAbsolutePath),
+      AvroCommit(s4.getAbsolutePath)))
+    assert(names() === Set("part-00000-1-q1.avro", "part-00001-2-q1.avro"),
+      "abort must restore exactly the pre-job directory")
+  }
+
   test("V2 BatchWrite: a failing task publishes nothing and leaks no staged file") {
     val dir = tmpDir()
     // seed the dir so the failed OVERWRITE can also prove it never
