@@ -124,6 +124,17 @@ object Bench {
     }.sortBy { case (_, p, v) => p * scale - v }
 
   def main(args: Array[String]): Unit = {
+    // WHOLE-RUN wall budget (sweep + sf1 leg), seconds from this line:
+    // the r12 driver bench produced NO artifact because sweep + leg
+    // outgrew the driver's external kill window (rc 124, parsed null) —
+    // a bench that half-runs is worth less than a smaller bench that
+    // completes. The leg's budget is therefore whatever the total
+    // leaves over, and audit/summary emission is incremental below so
+    // even an external kill leaves parsed data.
+    val t0All = System.nanoTime()
+    def elapsedAll: Double = (System.nanoTime() - t0All) / 1e9
+    val totalBudget =
+      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET", "1700").toDouble
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
@@ -200,14 +211,42 @@ object Bench {
       runs(name) = runs(name) :+ (if (ok) dt else -1.0)
     }
     val med = names.map(q => q -> median(runs(q).filter(_ >= 0)))
+    val medMap = med.toMap
+
+    // regression gate — computed BEFORE the sf1 leg so every
+    // incremental summary line below already carries it. The default
+    // baseline is the COMMITTED `bench_baseline.json` (a git-pinned
+    // copy of the last valid driver run's audit): diffing against the
+    // last-WRITTEN working file let repeated same-round runs reset the
+    // baseline and launder drift (the r12 gate's defect);
+    // SPARK_GRAFT_BENCH_BASELINE still points anywhere explicitly.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get("bench_baseline.json"))) "bench_baseline.json"
+      else "BENCH_LOCAL.json")
+    val baselineTxt =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get(baselinePath))
+      catch { case _: Throwable => "" }
+    // provenance gate: a baseline written at a different parallelism is
+    // not per-query comparable — skip the diff instead of flagging noise
+    val cpusMatch = parseCpus(baselineTxt).forall(_ == cpus.toInt)
+    val prior =
+      if (cpusMatch) parseMedians(baselineTxt) else Map.empty[String, Double]
+    val ctxScale = contextScale(prior, med)
+    val regressed = regressionsOf(prior, med, ctxScale)
+    // any query with a failed run is named in the output — the total
+    // alone cannot distinguish "faster" from "silently broken"
+    val failed = names.filter(q => runs(q).exists(_ < 0))
 
     // ---- sf1 scale leg (r11): one cold run of the 20 most expensive
     // queries at 10x the bench SF — the cliff probe (cache eviction,
     // spill, broadcast-threshold flips) the sf0.1 medians cannot see.
     // Runs only for the standard sf0.1 bench config; SPARK_GRAFT_SF1=0
-    // disables, SPARK_GRAFT_SF1_BUDGET (seconds, default 1200) bounds the
-    // leg's wall clock — queries past the budget are REPORTED as skipped,
-    // never silently dropped. Uses the driver-provided /root/testdata/sf1
+    // disables, and the leg's wall clock is whatever the TOTAL budget
+    // leaves after the sweep (at most SPARK_GRAFT_SF1_BUDGET, default
+    // 900 s) — queries past the budget are REPORTED as skipped, never
+    // silently dropped. Uses the driver-provided /root/testdata/sf1
     // when present, else generates a deterministic 10x upsample under the
     // working dir (tools.GenScale documents the shape contract).
     val sf1Results = collection.mutable.LinkedHashMap.empty[String, Double]
@@ -220,7 +259,108 @@ object Bench {
     // at the bench SF with caches dropped, and the reported pair is
     // coldSF -> coldSF1 — like for like.
     val sf1Cold = collection.mutable.LinkedHashMap.empty[String, Double]
+    // per-entry failure CAUSE: a bare -1.0 cannot distinguish a real
+    // per-query exception from a dying harness (r12's artifact recorded
+    // 16 of them from a stopped SparkContext) — the exception class
+    // rides the audit file next to the timing
+    val sf1Errs = collection.mutable.LinkedHashMap.empty[String, String]
     val sf1Skipped = collection.mutable.ListBuffer.empty[String]
+
+    // ---- incremental emission: the audit file AND the stdout summary
+    // line are (re)written after the sweep and after EVERY sf1 entry.
+    // The consumer keeps only a bounded ~2000-char tail of the log, so
+    // whatever line was emitted last is the one it parses — an external
+    // kill mid-leg now costs the unmeasured remainder of the leg, not
+    // the whole round's bench record (r12 shipped rc 124 / parsed null
+    // because both artifacts were end-of-run only).
+    def writeAudit(): Unit = {
+      val r = names.map(q => s""""$q":[${runs(q).mkString(",")}]""")
+        .mkString("{", ",", "}")
+      val m = med.map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
+      val reg = regressed
+        .map { case (q, p, v) => s""""$q":"$p->$v"""" }.mkString("{", ",", "}")
+      val s1 = sf1Results
+        .map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
+      val s1cold = sf1Cold
+        .map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
+      val s1errs = sf1Errs
+        .map { case (q, e) => s""""$q":"$e"""" }.mkString("{", ",", "}")
+      val s1skip = sf1Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
+      // NOTE: "medians" stays the LAST key (parseMedians is brace-bounded
+      // now, but the audit format keeps the convention regardless)
+      val audit =
+        s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"elapsed":${fmt(elapsedAll)},"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(ctxScale)},"regressions":$reg,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_errs":$s1errs,"sf1_skipped":$s1skip,"runs":$r,"medians":$m}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () } // audit file is best-effort
+    }
+    def summaryLine(): String = {
+      val total = fmt(med.map(_._2).filter(_ >= 0).sum)
+      val sfLabel = sfDir.split('/').last
+      // the PREFIX must stay bounded too (the budget below only trims
+      // the queries map): n_failed carries the full count, so the name
+      // list caps at 8 — an uncapped list of failures could alone
+      // overflow the consumer's tail capture and lose the round record
+      val failedJson = failed.take(8).map(q => s""""$q"""")
+        .mkString("[", ",", "]")
+      // A queries map that outgrows the consumer's tail gets its HEAD
+      // truncated — the line stops parsing and alphabetically-early
+      // queries vanish from the round record (how round 5 lost its
+      // q_ann_* lines). Emit SLOWEST-FIRST and stop while the whole
+      // line still fits; the omitted tail is sub-median noise, and the
+      // full per-run data is in BENCH_LOCAL.json either way.
+      val lineBudget = 1850
+      // regression summary rides in the (always-kept) prefix: count +
+      // the 8 worst as "q":"old->new" — enough to name the drift;
+      // BENCH_LOCAL.json carries the full list
+      val regJson = regressed.take(8)
+        .map { case (q, p, v) => s""""$q":"${fmt(p)}->${fmt(v)}"""" }
+        .mkString("{", ",", "}")
+      // sf1 scale leg rides in the always-kept prefix as
+      // "sf0.1cold->sf1" pairs — the ratio IS the scale verdict, so
+      // both numbers stay on the line, and BOTH are cold runs (the
+      // warm sweep median falls in only if the cold denominator was
+      // skipped or failed). The block is CHARACTER-bounded (slowest
+      // sf1 time first, so the worst offenders always survive the
+      // cut); entries past the bound and skip names past 8 are
+      // counted, never silently dropped.
+      val sf1Entries = sf1Results.toSeq.sortBy { case (_, v) => -v }
+        .map { case (q, v) =>
+          val denom = sf1Cold.getOrElse(q, medMap.getOrElse(q, -1.0))
+          s""""$q":"${fmt(denom)}->${fmt(v)}"""" }
+      val sf1Budget = 800
+      val sf1Kept = scala.collection.mutable.ListBuffer.empty[String]
+      var sf1Len = 0
+      sf1Entries.foreach { e =>
+        val add = e.length + (if (sf1Kept.isEmpty) 0 else 1)
+        if (sf1Len + add <= sf1Budget) { sf1Kept += e; sf1Len += add }
+      }
+      val sf1Json = sf1Kept.mkString("{", ",", "}")
+      val sf1SkipJson = sf1Skipped.take(8).map(q => s""""$q"""")
+        .mkString("[", ",", "]")
+      val sf1Meta =
+        s""""sf1_n":${sf1Results.size},"sf1_n_skipped":${sf1Skipped.size},"""
+      val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"ctx_scale":${fmt(ctxScale)},"regressions":$regJson,$sf1Meta"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
+      val suffix = "}}"
+      val entries = med.sortBy(-_._2)
+        .map { case (q, v) => s""""$q":${fmt(v)}""" }
+      // strict prefix of the slowest-first order: stop at the first
+      // entry that would overflow, so "present in the line" always
+      // means "slower than everything omitted"
+      val kept = scala.collection.mutable.ListBuffer.empty[String]
+      var len = prefix.length + suffix.length
+      var full = false
+      entries.foreach { e =>
+        val add = e.length + (if (kept.isEmpty) 0 else 1)
+        if (!full && len + add <= lineBudget) { kept += e; len += add }
+        else full = true
+      }
+      prefix + kept.mkString(",") + suffix
+    }
+    def emit(): Unit = { writeAudit(); println(summaryLine()) }
+    emit() // post-sweep snapshot: a kill mid-leg keeps the sweep record
+
     val sf1Wanted = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       sfDir.split('/').last == "sf0.1" &&
       (only.isEmpty || sys.env.contains("SPARK_GRAFT_SF1_FORCE"))
@@ -237,13 +377,13 @@ object Bench {
           }
         }
       if (sf1Dir.nonEmpty) {
-        // 1200 s (was 900): the r12 leg added cold bench-SF denominator
-        // runs (~80 s over the leg) and the two contract-priced
-        // quadratic mutual-kNN sentinels (~135 s at sf1 on this box) —
-        // at driver-box speed the old budget would start skipping
-        // sentinels, and a skipped sentinel is a lost 10x data point
-        val budget =
-          sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "1200").toDouble
+        // the leg gets what the TOTAL budget leaves (at most the leg's
+        // own cap): r12 raised the leg budget to 1200 s in isolation
+        // and the whole run outgrew the driver's kill window — the
+        // budget that matters is the one the PROCESS lives under
+        val budget = math.min(
+          sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble,
+          totalBudget - elapsedAll)
         val top20 = med.filter(_._2 >= 0).sortBy(-_._2).take(20).map(_._1)
         // Scale SENTINELS ride along regardless of sf0.1 cost: the
         // candidate-join families (banded dedup, prefix filter, ANN
@@ -260,183 +400,105 @@ object Bench {
         // find 10x-data cliffs, and a cliff query would otherwise run
         // unbounded (a quadratic plan at sf1 can run for hours) — cancel
         // its job group at the cap and report it as a timeout, which IS
-        // the cliff verdict
+        // the cliff verdict. 120 s (was 300): a cliff is proven by 120 s
+        // just as well, and two 300 s entries were half of what pushed
+        // the r12 run past its kill window.
         val queryCap =
-          sys.env.getOrElse("SPARK_GRAFT_SF1_QUERY_CAP", "300").toDouble
+          sys.env.getOrElse("SPARK_GRAFT_SF1_QUERY_CAP", "120").toDouble
+        // FULLY cold per entry: every family's result caches AND the
+        // intermediate corpus artifacts (edge tables, walk indexes,
+        // shingle arrays, trained models) — r11 and r12 each spent a
+        // round adjudicating leg readings that turned out to be
+        // leftover-resident pressure from earlier entries' 10×-sized
+        // artifacts. The stray-RDD sweep catches checkpoint/leaf
+        // storage that a Dataset.unpersist (a CacheManager op) cannot
+        // release; it is safe precisely because every cache was just
+        // dropped, so nothing alive still expects those blocks.
+        def dropAll(): Unit = {
+          graft.SessionCache.invalidateAll()
+          spark.sparkContext.getPersistentRDDs.valuesIterator
+            .foreach(_.unpersist(blocking = false))
+        }
+        // one watchdog-capped, job-group-cancellable run of `name`
+        // against `dir`: (completed, timedOut, seconds, errClass) —
+        // errClass empty when clean
+        def cappedRun(name: String, dir: String, cap: Double)
+            : (Boolean, Boolean, Double, String) = {
+          val group = s"sf1-$name@$dir"
+          spark.sparkContext.setJobGroup(group, s"sf1 leg: $name",
+            interruptOnCancel = true)
+          val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val watchdog = new Thread(() => {
+            val deadline = System.nanoTime() + (cap * 1e9).toLong
+            while (!done.get && System.nanoTime() < deadline)
+              Thread.sleep(100)
+            if (!done.get) {
+              timedOut.set(true)
+              spark.sparkContext.cancelJobGroup(group)
+            }
+          }, s"sf1-watchdog-$name")
+          watchdog.setDaemon(true)
+          watchdog.start()
+          val q0 = System.nanoTime()
+          var err = ""
+          val ok =
+            try { SparkEntry.queries(name)(spark, dir).count(); true }
+            catch {
+              case e: Throwable =>
+                err = e.getClass.getName
+                System.err.println(
+                  s"SF1 FAILED $name@$dir: $err: ${e.getMessage}")
+                false
+            } finally {
+              done.set(true)
+              spark.sparkContext.clearJobGroup()
+            }
+          (ok, timedOut.get, (System.nanoTime() - q0) / 1e9, err)
+        }
         val t0 = System.nanoTime()
-        (top20 ++ sentinels).distinct.foreach { name =>
+        // SENTINELS FIRST: they are the leg's reason to exist (the
+        // candidate-join shapes a cost-ranked top-20 never surfaces),
+        // and under a shrunken budget the top-20's tail — whose scale
+        // ratios are re-measured every round — is the right thing to
+        // lose first. r12 lost every sentinel instead, because they ran
+        // last when the harness died.
+        (sentinels ++ top20).distinct.foreach { name =>
           val elapsed = (System.nanoTime() - t0) / 1e9
           if (elapsed > budget) sf1Skipped += name
           else {
-            // ALL family caches drop per sf1 query (not just the two the
-            // sweep loop rotates): sf1-sized persisted frames — N² kNN
-            // lists, shingle arrays — would otherwise accumulate across
-            // the leg and skew later timings with eviction pressure
-            def dropCaches(): Unit = {
-              graft.pipeline.TrainingData.invalidateCaches(spark)
-              graft.graph.GraphOps.invalidateCaches(spark)
-              graft.similarity.Similarity.invalidateCaches(spark)
-              graft.dedup.Dedup.invalidateCaches(spark)
-            }
-            dropCaches()
-            // the cold bench-SF denominator (see sf1Cold above); falls
-            // back to the sweep median if the cold run fails
-            val c0 = System.nanoTime()
-            val coldOk =
-              try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-              catch { case _: Throwable => false }
-            if (coldOk)
-              sf1Cold(name) = (System.nanoTime() - c0) / 1e9
-            dropCaches()
-            val capSecs = math.min(queryCap, budget - elapsed)
-            val group = s"sf1-$name"
-            spark.sparkContext.setJobGroup(group, s"sf1 leg: $name",
-              interruptOnCancel = true)
-            val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-            val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
-            val watchdog = new Thread(() => {
-              val deadline = System.nanoTime() + (capSecs * 1e9).toLong
-              while (!done.get && System.nanoTime() < deadline)
-                Thread.sleep(100)
-              if (!done.get) {
-                timedOut.set(true)
-                spark.sparkContext.cancelJobGroup(group)
-              }
-            }, s"sf1-watchdog-$name")
-            watchdog.setDaemon(true)
-            watchdog.start()
-            val q0 = System.nanoTime()
-            val ok =
-              try { SparkEntry.queries(name)(spark, sf1Dir).count(); true }
-              catch {
-                case e: Throwable =>
-                  System.err.println(
-                    s"SF1 FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-                  false
-              } finally {
-                done.set(true)
-                spark.sparkContext.clearJobGroup()
-              }
-            // a query that finished AT the cap can lose the race (done is
-            // set in the finally, after count() returned), so the timeout
-            // verdict requires the run to have actually failed — a
-            // successful count() is a valid result no matter what the
-            // watchdog flag says
-            if (timedOut.get && !ok)
+            dropAll()
+            // the cold bench-SF denominator (see sf1Cold above), under
+            // its own 30 s watchdog: a denominator that needs more
+            // (r12: q_stump_crossval at 39 s) eats leg budget without
+            // being scale evidence — fall back to the sweep median,
+            // visible as the query's absence from sf1_cold
+            val (cOk, _, cSecs, _) =
+              cappedRun(name, sfDir, math.min(30.0, budget - elapsed))
+            if (cOk) sf1Cold(name) = cSecs
+            dropAll()
+            val capSecs = math.min(queryCap,
+              budget - (System.nanoTime() - t0) / 1e9)
+            val (ok, timedOut, secs, err) = cappedRun(name, sf1Dir, capSecs)
+            // a query that finished AT the cap can lose the race (done
+            // is set in the finally, after count() returned), so the
+            // timeout verdict requires the run to have actually failed
+            // — a successful count() is a valid result no matter what
+            // the watchdog flag says
+            if (timedOut && !ok)
               sf1Skipped += s"$name:timeout>${capSecs.toInt}s"
-            else sf1Results(name) =
-              if (ok) (System.nanoTime() - q0) / 1e9 else -1.0
+            else {
+              sf1Results(name) = if (ok) secs else -1.0
+              if (!ok && err.nonEmpty) sf1Errs(name) = err
+            }
+            emit()
           }
         }
         // sf1 artifacts must not leak into later sf0.1-keyed cache reads
-        graft.pipeline.TrainingData.invalidateCaches(spark)
-        graft.graph.GraphOps.invalidateCaches(spark)
-        graft.dedup.Dedup.invalidateCaches(spark)
+        dropAll()
       }
     }
     spark.stop()
-    // regression gate: diff against the PRIOR run's medians (read before
-    // this run overwrites the audit file; SPARK_GRAFT_BENCH_BASELINE
-    // points elsewhere, e.g. a kept round artifact)
-    val baselinePath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_LOCAL.json")
-    val baselineTxt =
-      try java.nio.file.Files.readString(
-        java.nio.file.Paths.get(baselinePath))
-      catch { case _: Throwable => "" }
-    // provenance gate: a baseline written at a different parallelism is
-    // not per-query comparable — skip the diff instead of flagging noise
-    val cpusMatch = parseCpus(baselineTxt).forall(_ == cpus.toInt)
-    val prior =
-      if (cpusMatch) parseMedians(baselineTxt) else Map.empty[String, Double]
-    val ctxScale = contextScale(prior, med)
-    val regressed = regressionsOf(prior, med, ctxScale)
-    // full-precision audit trail (all runs + medians), off the stdout path
-    val audit = {
-      val r = names.map(q => s""""$q":[${runs(q).mkString(",")}]""")
-        .mkString("{", ",", "}")
-      val m = med.map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
-      val reg = regressed
-        .map { case (q, p, v) => s""""$q":"$p->$v"""" }.mkString("{", ",", "}")
-      val s1 = sf1Results
-        .map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
-      val s1cold = sf1Cold
-        .map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
-      val s1skip = sf1Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
-      // NOTE: "medians" stays the LAST key (parseMedians is brace-bounded
-      // now, but the audit format keeps the convention regardless)
-      s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(ctxScale)},"regressions":$reg,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_skipped":$s1skip,"runs":$r,"medians":$m}"""
-    }
-    try {
-      val p = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      java.nio.file.Files.write(p,
-        audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // audit file is best-effort
-
-    val total = fmt(med.map(_._2).filter(_ >= 0).sum)
-    val sfLabel = sfDir.split('/').last
-    // any query with a failed run is named in the summary line — the
-    // total alone cannot distinguish "faster" from "silently broken"
-    val failed = names.filter(q => runs(q).exists(_ < 0))
-    // the PREFIX must stay bounded too (the budget below only trims the
-    // queries map): n_failed carries the full count, so the name list
-    // caps at 8 — an uncapped list of failures could alone overflow the
-    // consumer's tail capture and lose the entire round record
-    val failedJson = failed.take(8).map(q => s""""$q"""")
-      .mkString("[", ",", "]")
-    // The consumer captures a BOUNDED TAIL of this log (2000 chars): a
-    // queries map that outgrows it gets its HEAD truncated — the line
-    // stops parsing and the alphabetically-early queries vanish from the
-    // round record (which is how round 5 lost its q_ann_* lines). Emit
-    // SLOWEST-FIRST and stop while the whole line still fits; the
-    // omitted tail is sub-median noise, and the full per-run data is in
-    // BENCH_LOCAL.json either way.
-    val lineBudget = 1850
-    // regression summary rides in the (always-kept) prefix: count + the
-    // 8 worst as "q":"old->new" with 2-decimal values — enough to name
-    // the drift; BENCH_LOCAL.json carries the full list
-    val regJson = regressed.take(8)
-      .map { case (q, p, v) => s""""$q":"${fmt(p)}->${fmt(v)}"""" }
-      .mkString("{", ",", "}")
-    // sf1 scale leg rides in the always-kept prefix as "sf0.1cold->sf1"
-    // pairs — the ratio IS the scale verdict, so both numbers stay on
-    // the line, and BOTH are cold runs (see sf1Cold above; the warm
-    // sweep median falls in only if the cold denominator run failed).
-    // The block is CHARACTER-bounded (slowest sf1 time first, so the
-    // worst offenders always survive the cut); entries past the bound
-    // and skip names past 8 are counted, never silently dropped —
-    // BENCH_LOCAL.json has every entry at full precision.
-    val medMap = med.toMap
-    val sf1Entries = sf1Results.toSeq.sortBy { case (_, v) => -v }
-      .map { case (q, v) =>
-        val denom = sf1Cold.getOrElse(q, medMap.getOrElse(q, -1.0))
-        s""""$q":"${fmt(denom)}->${fmt(v)}"""" }
-    val sf1Budget = 800
-    val sf1Kept = scala.collection.mutable.ListBuffer.empty[String]
-    var sf1Len = 0
-    sf1Entries.foreach { e =>
-      val add = e.length + (if (sf1Kept.isEmpty) 0 else 1)
-      if (sf1Len + add <= sf1Budget) { sf1Kept += e; sf1Len += add }
-    }
-    val sf1Json = sf1Kept.mkString("{", ",", "}")
-    val sf1SkipJson = sf1Skipped.take(8).map(q => s""""$q"""")
-      .mkString("[", ",", "]")
-    val sf1Meta =
-      s""""sf1_n":${sf1Results.size},"sf1_n_skipped":${sf1Skipped.size},"""
-    val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"ctx_scale":${fmt(ctxScale)},"regressions":$regJson,$sf1Meta"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
-    val suffix = "}}"
-    val entries = med.sortBy(-_._2).map { case (q, v) => s""""$q":${fmt(v)}""" }
-    // strict prefix of the slowest-first order: stop at the first entry
-    // that would overflow, so "present in the line" always means "slower
-    // than everything omitted"
-    val kept = scala.collection.mutable.ListBuffer.empty[String]
-    var len = prefix.length + suffix.length
-    var full = false
-    entries.foreach { e =>
-      val add = e.length + (if (kept.isEmpty) 0 else 1)
-      if (!full && len + add <= lineBudget) { kept += e; len += add }
-      else full = true
-    }
-    println(prefix + kept.mkString(",") + suffix)
+    emit() // final state (identical to the last incremental emission)
   }
 }

@@ -17,6 +17,7 @@ import org.apache.spark.sql.DataFrame
   * racing build costs duplicate compute once, never leaked storage.
   */
 final class SessionCache[K, V](release: V => Unit) {
+  SessionCache.register(this)
   private val cache = TrieMap.empty[K, V]
 
   /** The cached value for `key`, building (and keeping) it if absent.
@@ -40,12 +41,37 @@ final class SessionCache[K, V](release: V => Unit) {
     cache.filterInPlace { (k, v) =>
       if (pred(k)) { release(v); false } else true
     }
+
+  /** Release and drop every entry (the [[SessionCache.invalidateAll]]
+    * hook — existential element types make the predicate form awkward
+    * to call through `SessionCache[_, _]`). */
+  private[graft] def clear(): Unit = invalidate(_ => true)
 }
 
 object SessionCache {
   /** The common case: cached persisted DataFrames. */
   def frames[K]: SessionCache[K, DataFrame] =
     new SessionCache[K, DataFrame](_.unpersist(blocking = false))
+
+  // Every instance self-registers (object-field instances: a few dozen
+  // for the JVM's life), so a harness can drop EVERYTHING a corpus ever
+  // published — see invalidateAll.
+  private val instances =
+    new java.util.concurrent.ConcurrentLinkedQueue[SessionCache[_, _]]()
+
+  private def register(c: SessionCache[_, _]): Unit = instances.add(c)
+
+  /** Release and drop every entry of every cache — result caches AND
+    * intermediate corpus artifacts (shingle arrays, edge tables, walk
+    * indexes, trained models). The bench's sf1 scale leg uses this
+    * between entries so each is FULLY cold and entries cannot couple
+    * through shared residents: r11/r12 both spent a round adjudicating
+    * sentinel readings that turned out to be eviction pressure from
+    * earlier leg queries' 10×-sized leftovers. Never called by library
+    * code paths — per-family `invalidateCaches` remains the scoped
+    * tool. */
+  def invalidateAll(): Unit =
+    instances.forEach(_.clear())
 }
 
 /** Named (non-lambda) per-row copy for `toRdd.map`: unsafe rows are

@@ -533,6 +533,15 @@ object SparkEntry {
     // twins (spec-pinned vs brute force), so the exact oracle holds
     "q_embedding_neardup_strict" -> ((s: SparkSession, d: String) =>
       Similarity.qEmbeddingNearDupStrict(s, d)),
+    // the SAME door under the scale-cheap oracle: on the frozen planted
+    // corpora the output IS the twin relation (corpus contract, guarded
+    // in SimilaritySpec), so the oracle can verify it by computing the
+    // N/4 planted-pair cosines alone — linear in the corpus where the
+    // all-pairs replay is quadratic (~1e9 cosines at sf1, hours). This
+    // is the door the sf1 ORACLE sweep runs; q_embedding_neardup_strict
+    // keeps the stronger all-pairs oracle at the small SFs.
+    "q_neardup_strict_twins" -> ((s: SparkSession, d: String) =>
+      Similarity.qEmbeddingNearDupStrict(s, d)),
     // 2 hash tables: measured recall@5 0.97 at sf0.01 (1 table: 0.82)
     "q_ann_lsh" -> ((s: SparkSession, d: String) =>
       Similarity.qAnnLshBuckets(s, d, tables = 2)),

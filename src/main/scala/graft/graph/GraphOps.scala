@@ -396,10 +396,15 @@ object GraphOps {
     * degree-annotated edge table, NOT the walk result. */
   def walkIndex(spark: SparkSession, edges: DataFrame,
       forceLarge: Boolean = false): DataFrame = {
-    // ~16 bytes per packed (long,long) adjacency entry; 64 MB cap.
+    // ~16 bytes per packed (long,long) adjacency entry; 256 MB cap
+    // (was 64 MB — r13): the sf1 trade graph is ~12M edges ≈ 190 MB,
+    // and the kernel path's one-pass walk beats ten serial probe jobs
+    // over a 12M-row index by ~4× there; a 24 GB driver broadcasts
+    // 256 MB comfortably, and past the cap the flat row-per-edge index
+    // remains the unbounded-scale shape.
     // forceLarge pins the rank-annotated (big-graph) shape — the
     // equivalence property in GraphSpec runs both paths on one graph.
-    val smallIndex = !forceLarge && edges.count() * 16L < (64L << 20)
+    val smallIndex = !forceLarge && edges.count() * 16L < (256L << 20)
     val ix =
       if (smallIndex)
         edges.groupBy(col("src").as("nsrc"))
@@ -502,7 +507,20 @@ object GraphOps {
           else next.persist(StorageLevel.MEMORY_AND_DISK)
         frames ::= cur
       }
-      val out = frames.reverse.reduce(_ unionAll _)
+      val union = frames.reverse.reduce(_ unionAll _)
+      // Publish the corpus as a FRESH LogicalRDD leaf, not the persisted
+      // union: every downstream ACTION (each SGNS epoch checkpoint, the
+      // eval aggregate) renders the full plan string for the SQL-listener
+      // event, and the union of `steps` persisted join chains — each
+      // InMemoryRelation re-rendering the 10M-row index lineage — made
+      // PLAN RENDERING the dominant cost of q_embed_eval at sf1 (r12's
+      // "92× cliff" was the driver regex-quoting tree strings, measured
+      // by stack sampling, not executor compute). The leaf renders as
+      // one line; the copied-row RDD is the same matLeaf discipline the
+      // Borůvka loop uses.
+      val out = org.apache.spark.sql.GraftShim.ofInternalRows(
+        spark, union.queryExecution.toRdd.map(graft.CopyInternalRow),
+        union.schema)
       out.persist(StorageLevel.MEMORY_AND_DISK).count()
       frames.foreach(_.unpersist(blocking = false))
       out

@@ -135,13 +135,17 @@ object NodeEmbed {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rows.count()
     try {
-      // init is a cheap projection — evaluating it once per join side
-      // costs less than a checkpoint job; EPOCH outputs do checkpoint
-      // (eagerly): each feeds BOTH sides of the next epoch's join, and
-      // without the cut lineage doubles per epoch and the final plan
-      // re-runs every prior epoch twice
+      // the INITIAL table checkpoints too (r13): epoch 1 evaluates emb
+      // THREE times (center side, context side, update join), and when
+      // `nodes` is a distinct over the corpus-sized edge table that
+      // tripled an 11.8M-row shuffle at sf1 — one eager checkpoint of
+      // the node-count-sized init table buys all three back. EPOCH
+      // outputs checkpoint for the same reason: each feeds both sides
+      // of the next epoch's join, and without the cut lineage doubles
+      // per epoch and the final plan re-runs every prior epoch twice
       var emb = nodes
         .select(col("node") +: (0 until Dims).map(i => init(i).as(s"v$i")): _*)
+        .localCheckpoint()
       for (_ <- 1 to epochs)
         emb = epoch(emb, rows).localCheckpoint()
       emb

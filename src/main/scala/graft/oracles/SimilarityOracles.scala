@@ -336,6 +336,27 @@ private[graft] object SimilarityOracles {
          |  SELECT a.vec_id AS d1, b.vec_id AS d2, round(${duckCos("a.v", "b.v")}, 6) AS sim
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |WHERE sim > 0.8""".stripMargin,
+    // same Spark result as q_embedding_neardup_strict, verified against
+    // the TWIN-RESTRICTED relation: the corpus contract (no non-twin
+    // pair above 0.8 — spec-guarded) makes the expected output exactly
+    // the N/4 planted pairs, so the oracle joins each base vector to
+    // its twin alone instead of replaying all pairs — linear, which is
+    // what lets the sf1 oracle sweep carry this door. A spurious pair
+    // the door emitted, or a twin it missed, still hash-mismatches.
+    "q_neardup_strict_twins" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |tw AS (SELECT vec_id + 1000000000 AS tid,
+         |         list_transform(range(1, 65), i ->
+         |           CAST(CAST(embedding[i] AS DOUBLE) *
+         |             (1 + ((vec_id * 7 + (i - 1) * 3) % 13 - 6) / 40.0) AS REAL)) AS twe
+         |       FROM base WHERE vec_id % 4 = 0),
+         |ea AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |       FROM base WHERE vec_id % 4 = 0),
+         |eb AS (SELECT tid, list_transform(twe, x -> CAST(x AS DOUBLE)) AS v FROM tw)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS d1, b.tid AS d2, round(${duckCos("a.v", "b.v")}, 6) AS sim
+         |  FROM ea a JOIN eb b ON b.tid = a.vec_id + 1000000000)
+         |WHERE sim > 0.8""".stripMargin,
     "q_embedding_outliers" ->
       s"""WITH $ivfTrainCte,
         |d2 AS (SELECT t.vec_id, c.cell, list_reduce(

@@ -175,11 +175,25 @@ private[sources] class AvroBatchWrite(
       AvroLake.toAvro(schema, "row").toString, schema.json, queryId)
   }
 
+  // a crashed driver never reaches commit/abort, so ITS staged files
+  // have no owner left to sweep them — reclaim any '*.avro.staged'
+  // comfortably older than this job (1 h before our start). The grace
+  // keeps a concurrent slower writer's live staging safe: deleting a
+  // LIVE query's staged file would fail its rename at commit. Staged
+  // files are invisible to readers either way — this is disk-leak
+  // hygiene, not correctness.
+  private val jobStartMs = System.currentTimeMillis()
+  private val OrphanGraceMs = 3600L * 1000
+
   private def sweepStaged(): Unit =
     new java.io.File(path).listFiles() match {
       case null =>
-      case fs => fs.filter(_.getName.endsWith(s"-$queryId.avro.staged"))
-        .foreach(_.delete())
+      case fs =>
+        fs.filter(_.getName.endsWith(s"-$queryId.avro.staged"))
+          .foreach(_.delete())
+        fs.filter(f => f.getName.endsWith(".avro.staged") &&
+            f.lastModified() < jobStartMs - OrphanGraceMs)
+          .foreach(_.delete())
     }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -106,9 +106,24 @@ object AhoCorasick {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Automaton]()
 
+  /** Executor-static cache cap: a long-lived session issuing many
+    * DISTINCT literal watchlists would otherwise retain every compiled
+    * dense automaton (~1 KB per trie node) for the JVM's life. At the
+    * cap the whole map clears — crude next to an LRU, but the hit path
+    * (one CHM get per document batch) stays contention-free, and a
+    * rebuild costs microseconds against the per-document scan it
+    * serves. */
+  private val MaxCachedSpecs = 64
+
   /** The automaton for a tab-joined pattern spec (executor-cached). */
-  def automaton(spec: String): Automaton =
-    cache.computeIfAbsent(spec, s => build(s.split('\t')))
+  def automaton(spec: String): Automaton = {
+    val hit = cache.get(spec)
+    if (hit != null) hit
+    else {
+      if (cache.size >= MaxCachedSpecs) cache.clear()
+      cache.computeIfAbsent(spec, s => build(s.split('\t')))
+    }
+  }
 
   /** Occurrence counts (overlapping, one per match end position) of each
     * pattern in `spec` within `text`, as a long array in pattern order. */
@@ -136,9 +151,13 @@ case class MultiMatchCounts(child: Expression, patterns: Seq[String])
 
   require(patterns.nonEmpty, "multi_match needs at least one pattern")
   require(patterns.forall(p =>
-    p.nonEmpty && p.forall(c => c >= 0x20 && c < 0x7f && c != '"' && c != '\\')),
-    "multi_match patterns must be non-empty printable ASCII without \" or \\" +
-      " (the spec embeds them in generated code and joins on tab)")
+    p.nonEmpty && p.forall(c =>
+      c >= 0x20 && c < 0x7f && c != '"' && c != '\\' && c != '\'')),
+    "multi_match patterns must be non-empty printable ASCII without \", \\" +
+      " or ' (the spec embeds them in generated Java code and joins on" +
+      " tab, and the DuckDB oracle interpolates them into single-quoted" +
+      " SQL literals — an apostrophe would compile here and produce" +
+      " malformed oracle SQL there)")
 
   private val spec = patterns.mkString("\t")
 

@@ -167,6 +167,8 @@ class ScaleSentinelSpec extends SparkSpec {
       "q_ivf_ingest" -> "q_ann_ivfpq (corpus x cells assignment, cells ∝ N/100)",
       "q_kmeanspp_seed" -> "bounded: corpus x k seeds (k constant)",
       "q_mutual_knn" -> "q_mutual_knn_lsh (exact-by-contract N^2 twin, scaladoc-priced)",
+      "q_neardup_strict_twins" ->
+        "q_embedding_neardup_strict (the SAME door; registered for the scale-cheap twin oracle)",
       // -- embedding stats: join keys range over the dim/subspace
       // domain (<= 64), fan-in is dim-bounded per row --
       "q_embed_whiten" -> "bounded: d in [0, 64)",

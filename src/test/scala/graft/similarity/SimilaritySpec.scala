@@ -339,6 +339,18 @@ class SimilaritySpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val bf = bruteForceStrict(d, 0.8)
       assert(bf.nonEmpty, s"$d: planted corpus has pairs above 0.8")
+      // oracle-validity guard (r12 ADVICE): the exact all-pairs DuckDB
+      // oracle holds only while NO non-twin pair sits above 0.8 —
+      // a marginal background pair misses all 16 bands with ~60-70%
+      // probability, so a regenerated or rescaled corpus that violates
+      // the assumption must fail HERE, at the corpus contract, not
+      // nondeterministically in the banded join
+      val nonTwin = bf.filter { case (a, b, _) =>
+        a % 4 != 0 || b != a + Similarity.TwinOffset }
+      assert(nonTwin.isEmpty,
+        s"$d: frozen corpus grew ${nonTwin.size} non-twin pair(s) above" +
+          " 0.8 — the strict door's exact oracle (realized recall 1.0)" +
+          " no longer holds on this corpus")
       assert(got === bf,
         s"$d: banded path missed ${(bf -- got).size}, extra ${(got -- bf).size}")
     }
