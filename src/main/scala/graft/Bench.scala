@@ -400,11 +400,14 @@ object Bench {
         // find 10x-data cliffs, and a cliff query would otherwise run
         // unbounded (a quadratic plan at sf1 can run for hours) — cancel
         // its job group at the cap and report it as a timeout, which IS
-        // the cliff verdict. 120 s (was 300): a cliff is proven by 120 s
-        // just as well, and two 300 s entries were half of what pushed
-        // the r12 run past its kill window.
+        // the cliff verdict. 150 s (was 300): a cliff is proven by 150 s
+        // just as well, two 300 s entries were half of what pushed the
+        // r12 run past its kill window, and the floor is set by the
+        // slowest HONEST sentinel — q_mutual_knn_lsh's contract-priced
+        // quadratic runs ~75 s at sf1 on the reference box and timed
+        // out at 120 s on a 1.6×-loaded one (r13 measurement).
         val queryCap =
-          sys.env.getOrElse("SPARK_GRAFT_SF1_QUERY_CAP", "120").toDouble
+          sys.env.getOrElse("SPARK_GRAFT_SF1_QUERY_CAP", "150").toDouble
         // FULLY cold per entry: every family's result caches AND the
         // intermediate corpus artifacts (edge tables, walk indexes,
         // shingle arrays, trained models) — r11 and r12 each spent a
