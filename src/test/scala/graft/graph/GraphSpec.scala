@@ -336,6 +336,17 @@ class GraphSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(a === b, s"trial $trial: kernel and join paths diverged")
       assert(a.nonEmpty)
+      // RENDER-CLIFF guard (r13): the large path must publish a FRESH
+      // LEAF, not the union of per-step join chains — every downstream
+      // ACTION renders the full plan string for the SQL-listener event,
+      // and the nested-InMemoryRelation union made plan RENDERING the
+      // dominant cost of q_embed_eval at sf1 (the r12 "92×" verdict).
+      // A leaf renders in one line; bound the whole tree string tightly
+      // so a regression to lineage-carrying publication fails here.
+      val rendered = large.queryExecution.logical.numberedTreeString
+      assert(rendered.length < 2000,
+        s"walk corpus plan renders ${rendered.length} chars — the large" +
+          " path stopped publishing a leaf (r12 q_embed_eval cliff class)")
     }
   }
 
