@@ -17,8 +17,11 @@ import org.apache.spark.sql.DataFrame
   * racing build costs duplicate compute once, never leaked storage.
   */
 final class SessionCache[K, V](release: V => Unit) {
-  SessionCache.register(this)
   private val cache = TrieMap.empty[K, V]
+  // registration is the LAST initializer: register(this) publishes the
+  // instance to the global registry, and invalidateAll() on another
+  // thread would NPE on `cache` if it saw a half-constructed instance
+  SessionCache.register(this)
 
   /** The cached value for `key`, building (and keeping) it if absent.
     * Persisted resources in `build`'s result must be releasable by this

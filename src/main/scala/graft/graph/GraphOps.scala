@@ -396,15 +396,24 @@ object GraphOps {
     * degree-annotated edge table, NOT the walk result. */
   def walkIndex(spark: SparkSession, edges: DataFrame,
       forceLarge: Boolean = false): DataFrame = {
-    // ~16 bytes per packed (long,long) adjacency entry; 256 MB cap
-    // (was 64 MB — r13): the sf1 trade graph is ~12M edges ≈ 190 MB,
-    // and the kernel path's one-pass walk beats ten serial probe jobs
-    // over a 12M-row index by ~4× there; a 24 GB driver broadcasts
-    // 256 MB comfortably, and past the cap the flat row-per-edge index
-    // remains the unbounded-scale shape.
-    // forceLarge pins the rank-annotated (big-graph) shape — the
-    // equivalence property in GraphSpec runs both paths on one graph.
-    val smallIndex = !forceLarge && edges.count() * 16L < (256L << 20)
+    // ~16 bytes per packed (long,long) adjacency entry, against a
+    // conf'd cap (`spark.graft.walkIndex.maxBytes`, default 64 MB).
+    // The default is deliberately conservative: the grouped path
+    // collect()s the adjacency to the driver as boxed rows before the
+    // broadcast, costing several times the packed estimate transiently,
+    // so a default-heap driver must stay on the flat join path (r14 —
+    // the r13 hard-coded 256 MB raise OOM'd exactly that user). A
+    // 24 GB bench driver sets 256 MB explicitly (Bench.scala) because
+    // there the kernel path's one-pass walk beats ten serial probe
+    // jobs over the sf1 trade graph's 12M-row index by ~4×; past the
+    // cap the flat row-per-edge index remains the unbounded-scale
+    // shape. forceLarge pins the rank-annotated (big-graph) shape —
+    // the equivalence property in GraphSpec runs both paths on one
+    // graph.
+    val maxIndexBytes = spark.conf
+      .getOption("spark.graft.walkIndex.maxBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val smallIndex = !forceLarge && edges.count() * 16L < maxIndexBytes
     val ix =
       if (smallIndex)
         edges.groupBy(col("src").as("nsrc"))

@@ -128,8 +128,12 @@ private[graft] object TextOracles {
     // (interpolated from the SAME Scala literal the query compiles into
     // its automaton), count match END POSITIONS by brute substr probing
     "q_multi_match" -> {
+      // standard SQL single-quote escaping ('' doubling): the runtime
+      // accepts apostrophes in patterns (o'brien-style watchlist
+      // literals), so the oracle generator must carry them safely
       val pats = graft.text.TextOps.Watchlist.zipWithIndex
-        .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+        .map { case (p, i) => s"($i, '${p.replace("'", "''")}')" }
+        .mkString(", ")
       s"""WITH pats AS (SELECT * FROM (VALUES $pats) p(pid, pat)),
          |h AS (SELECT p.pat,
          |        len(list_filter(range(1, len(d.text) - len(p.pat) + 2),

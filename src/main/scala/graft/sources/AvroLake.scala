@@ -36,11 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `df.write.format("graft.sources.AvroSource").mode("append"|"overwrite")
   * .save(dir)` — with the staged-commit protocol a distributed sink
   * needs: each task writes a `.avro.staged` container named by
-  * (partition, task attempt, query id) and reports it in its commit
-  * message; the DRIVER publishes (rename to `.avro`) only the
-  * committed attempts at job commit, so a failed, speculative, or
-  * zombie task attempt can never surface a file (readers list only
-  * `.avro`); job abort sweeps this query's staged files. `overwrite`
+  * (partition, task attempt, query id) into a per-query
+  * `.staging-<queryId>/` subdirectory and reports it in its commit
+  * message; the DRIVER publishes (rename into the table dir as
+  * `.avro`) only the committed attempts at job commit, so a failed,
+  * speculative, or zombie task attempt can never surface a file
+  * (readers list only `.avro`); job abort sweeps this query's staging
+  * dir, and orphaned staging dirs of CRASHED queries are reclaimed via
+  * a heartbeat-touched liveness marker (never wall-clock file age —
+  * a live slow writer's staging is safe no matter how old). `overwrite`
   * is `SupportsTruncate`: prior containers are deleted at commit time,
   * after every new container staged successfully — never before.
   * Executor-side encoding rides the schema's JSON (Avro `Schema`
@@ -175,32 +179,62 @@ private[sources] class AvroBatchWrite(
       AvroLake.toAvro(schema, "row").toString, schema.json, queryId)
   }
 
-  // a crashed driver never reaches commit/abort, so ITS staged files
-  // have no owner left to sweep them — reclaim any '*.avro.staged'
-  // comfortably older than this job (1 h before our start). The grace
-  // keeps a concurrent slower writer's live staging safe: deleting a
-  // LIVE query's staged file would fail its rename at commit. Staged
-  // files are invisible to readers either way — this is disk-leak
-  // hygiene, not correctness.
-  private val jobStartMs = System.currentTimeMillis()
+  // Staging is ISOLATED per query in `<path>/.staging-<queryId>/`
+  // (invisible to readers: listContainers keeps only `*.avro`). A
+  // crashed driver never reaches commit/abort, so its staging dir has
+  // no owner left to sweep it — orphan reclamation is gated on a
+  // LIVENESS marker, not wall-clock file age: this driver touches its
+  // `.inprogress` marker every 60 s while the write is live, so a
+  // concurrent writer that staged files hours ago is still provably
+  // alive, while a dead query's marker goes stale within a minute of
+  // the crash. (r13 swept any `*.avro.staged` older than 1 h, which
+  // could delete a LIVE slow query's staging and fail its commit-time
+  // rename — age is a heuristic, a heartbeat is a guarantee.) The 1 h
+  // grace on top of the stale marker absorbs pathological pauses
+  // (SIGSTOP'd or GC-wedged JVMs whose heartbeat fell behind).
   private val OrphanGraceMs = 3600L * 1000
+  private val stagingDir = AvroLake.stagingDirFor(path, queryId)
+  private val marker = new java.io.File(stagingDir, ".inprogress")
+  stagingDir.mkdirs()
+  marker.createNewFile()
+  @volatile private var live = true
+  private val heartbeat = new Thread(() => {
+    while (live) {
+      marker.setLastModified(System.currentTimeMillis())
+      try Thread.sleep(60000L)
+      catch { case _: InterruptedException => () }
+    }
+  }, s"avro-staging-heartbeat-$queryId")
+  heartbeat.setDaemon(true)
+  heartbeat.start()
 
-  private def sweepStaged(): Unit =
+  private def sweepStaging(): Unit = {
+    live = false
+    heartbeat.interrupt()
+    AvroLake.deleteRecursively(stagingDir) // zombie attempts included
     new java.io.File(path).listFiles() match {
       case null =>
       case fs =>
-        fs.filter(_.getName.endsWith(s"-$queryId.avro.staged"))
-          .foreach(_.delete())
-        fs.filter(f => f.getName.endsWith(".avro.staged") &&
-            f.lastModified() < jobStartMs - OrphanGraceMs)
-          .foreach(_.delete())
+        fs.filter(d => d.isDirectory &&
+            d.getName.startsWith(AvroLake.StagingPrefix) &&
+            d.getName != stagingDir.getName)
+          .foreach { d =>
+            val m = new java.io.File(d, ".inprogress")
+            val beat = if (m.exists()) m.lastModified() else d.lastModified()
+            if (beat < System.currentTimeMillis() - OrphanGraceMs)
+              AvroLake.deleteRecursively(d)
+          }
     }
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     messages.foreach {
       case AvroCommit(staged) if staged != null =>
         val src = new java.io.File(staged)
-        val dst = new java.io.File(staged.stripSuffix(".staged"))
+        // publish = move from the staging dir into the table dir (same
+        // filesystem — an atomic rename, like the flat layout's)
+        val dst = new java.io.File(path,
+          src.getName.stripSuffix(".staged"))
         if (!src.renameTo(dst))
           throw new java.io.IOException(s"cannot publish $dst")
       case _ =>
@@ -210,7 +244,7 @@ private[sources] class AvroBatchWrite(
       if (f.exists() && !f.delete())
         throw new java.io.IOException(s"truncate failed: $f")
     }
-    sweepStaged() // zombie attempts' staging must not outlive success
+    sweepStaging() // zombie attempts' staging must not outlive success
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -219,10 +253,11 @@ private[sources] class AvroBatchWrite(
     // the new names restores the pre-job state exactly
     messages.foreach {
       case AvroCommit(staged) if staged != null =>
-        new java.io.File(staged.stripSuffix(".staged")).delete()
+        new java.io.File(path,
+          new java.io.File(staged).getName.stripSuffix(".staged")).delete()
       case _ =>
     }
-    sweepStaged()
+    sweepStaging()
   }
 }
 
@@ -272,7 +307,9 @@ private[sources] class AvroDataWriter(
     if (out == null) {
       avro = new Schema.Parser().parse(avroJson)
       rec = new GenericData.Record(avro)
-      staged = new java.io.File(path,
+      val dir = AvroLake.stagingDirFor(path, queryId)
+      dir.mkdirs() // idempotent; the driver pre-creates it with a marker
+      staged = new java.io.File(dir,
         f"part-$partitionId%05d-$taskId-$queryId.avro.staged")
       out = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](avro))
@@ -300,6 +337,20 @@ private[sources] class AvroDataWriter(
 }
 
 private[sources] object AvroLake {
+
+  /** Per-query staging subdirectory prefix — dot-named so nothing that
+    * globs `*.avro` (or lists containers below) ever sees staging. */
+  private[sources] val StagingPrefix = ".staging-"
+
+  private[sources] def stagingDirFor(path: String, queryId: String)
+      : java.io.File =
+    new java.io.File(path, StagingPrefix + queryId)
+
+  private[sources] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
 
   def listContainers(path: String): Array[(String, String)] = {
     val dir = new java.io.File(path)

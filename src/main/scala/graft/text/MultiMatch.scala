@@ -152,12 +152,12 @@ case class MultiMatchCounts(child: Expression, patterns: Seq[String])
   require(patterns.nonEmpty, "multi_match needs at least one pattern")
   require(patterns.forall(p =>
     p.nonEmpty && p.forall(c =>
-      c >= 0x20 && c < 0x7f && c != '"' && c != '\\' && c != '\'')),
-    "multi_match patterns must be non-empty printable ASCII without \", \\" +
-      " or ' (the spec embeds them in generated Java code and joins on" +
-      " tab, and the DuckDB oracle interpolates them into single-quoted" +
-      " SQL literals — an apostrophe would compile here and produce" +
-      " malformed oracle SQL there)")
+      c >= 0x20 && c < 0x7f && c != '"' && c != '\\')),
+    "multi_match patterns must be non-empty printable ASCII without \"" +
+      " or \\ (the spec embeds them in a generated-Java string literal" +
+      " and joins on tab). Apostrophes are fine — real watchlist" +
+      " literals carry them (o'brien); SQL-side consumers escape by" +
+      " '' doubling (TextOracles does)")
 
   private val spec = patterns.mkString("\t")
 

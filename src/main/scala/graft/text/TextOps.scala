@@ -235,7 +235,11 @@ object TextOps {
   private[graft] val Watchlist: Seq[String] = Seq(
     "table", "tab", "ta", "scan", "an s", "a a", "row", "window",
     "win", "order", "rde", "stream", "e a", "value", "alu", "lu",
-    "spark", "par", "part", "art", "batch", "ch b", "the", "he t")
+    "spark", "par", "part", "art", "batch", "ch b", "the", "he t",
+    // apostrophe-bearing literal (r14): real watchlists carry these
+    // (names, contractions); it rides the census end-to-end to pin the
+    // oracle generator's '' escaping against the DuckDB replay
+    "o'brien")
 
   /** Watchlist census: per-pattern document frequency and total
     * (overlapping) occurrence count, via ONE Aho–Corasick automaton

@@ -179,8 +179,11 @@ class AvroLakeSpec extends SparkSpec {
 
   test("BatchWrite unit: publish-then-truncate order, zombie sweep, abort undo") {
     val dir = tmpDir()
-    def mk(name: String): java.io.File = {
-      val f = new java.io.File(dir, name)
+    def mk(qid: String, name: String): java.io.File = {
+      // staged containers live in the per-query staging subdirectory
+      val d = new java.io.File(dir, s".staging-$qid")
+      d.mkdirs()
+      val f = new java.io.File(d, name)
       java.nio.file.Files.writeString(f.toPath, name)
       f
     }
@@ -190,26 +193,64 @@ class AvroLakeSpec extends SparkSpec {
 
     // COMMIT: old container truncated only after publish; a zombie
     // attempt's staged file (no commit message) is swept on success
-    mk("old-1.avro")
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "old-1.avro").toPath, "old")
     val bw = new AvroBatchWrite(dir, schema, "q1", truncateFirst = true)
-    val s1 = mk("part-00000-1-q1.avro.staged")
-    val s2 = mk("part-00001-2-q1.avro.staged")
-    mk("part-00001-9-q1.avro.staged") // zombie attempt
+    val s1 = mk("q1", "part-00000-1-q1.avro.staged")
+    val s2 = mk("q1", "part-00001-2-q1.avro.staged")
+    mk("q1", "part-00001-9-q1.avro.staged") // zombie attempt
     bw.commit(Array(AvroCommit(s1.getAbsolutePath),
       AvroCommit(s2.getAbsolutePath), AvroCommit(null)))
     assert(names() === Set("part-00000-1-q1.avro", "part-00001-2-q1.avro"))
 
     // ABORT after a partial publish: the published finals are undone and
-    // staged files swept — the directory returns to its pre-job state
+    // the staging dir swept — the directory returns to its pre-job state
     val bw2 = new AvroBatchWrite(dir, schema, "q2", truncateFirst = true)
-    val s3 = mk("part-00000-3-q2.avro.staged")
-    val s4 = mk("part-00001-4-q2.avro.staged")
+    val s3 = mk("q2", "part-00000-3-q2.avro.staged")
+    val s4 = mk("q2", "part-00001-4-q2.avro.staged")
     // simulate commit dying between the two renames
     assert(s3.renameTo(new java.io.File(dir, "part-00000-3-q2.avro")))
     bw2.abort(Array(AvroCommit(s3.getAbsolutePath),
       AvroCommit(s4.getAbsolutePath)))
     assert(names() === Set("part-00000-1-q1.avro", "part-00001-2-q1.avro"),
       "abort must restore exactly the pre-job directory")
+  }
+
+  test("orphan staging sweep: stale-marker dirs reclaimed, live ones kept") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    // a CRASHED query's leftover: staging dir whose heartbeat marker
+    // (and contents) went stale hours ago
+    val dead = new java.io.File(dir, ".staging-dead")
+    dead.mkdirs()
+    val deadStaged = new java.io.File(dead, "part-00000-1-dead.avro.staged")
+    java.nio.file.Files.writeString(deadStaged.toPath, "x")
+    val deadMarker = new java.io.File(dead, ".inprogress")
+    deadMarker.createNewFile()
+    val staleMs = System.currentTimeMillis() - 3 * 3600L * 1000
+    deadMarker.setLastModified(staleMs)
+    dead.setLastModified(staleMs)
+    // a LIVE concurrent query: its AvroBatchWrite exists, so its marker
+    // is heartbeat-fresh even though its staged FILE is hours old —
+    // exactly the case the r13 age-based sweep would have corrupted
+    val liveBw = new AvroBatchWrite(dir, schema, "qlive",
+      truncateFirst = false)
+    val liveStaged = new java.io.File(new java.io.File(dir, ".staging-qlive"),
+      "part-00000-7-qlive.avro.staged")
+    java.nio.file.Files.writeString(liveStaged.toPath, "y")
+    liveStaged.setLastModified(staleMs)
+
+    // a third query commits (empty) — its sweep must reclaim `dead`
+    // and leave the live query's staging untouched
+    val bw = new AvroBatchWrite(dir, schema, "q3", truncateFirst = false)
+    bw.commit(Array(AvroCommit(null)))
+    assert(!dead.exists(), "stale orphan staging dir must be reclaimed")
+    assert(liveStaged.exists(),
+      "a live writer's old staged file must survive another query's sweep")
+    // the live query can still publish
+    liveBw.commit(Array(AvroCommit(liveStaged.getAbsolutePath)))
+    assert(new java.io.File(dir, "part-00000-7-qlive.avro").exists())
+    assert(!new java.io.File(dir, ".staging-qlive").exists())
   }
 
   test("V2 BatchWrite: a failing task publishes nothing and leaks no staged file") {

@@ -32,6 +32,10 @@ class MultiMatchSpec extends SparkSpec {
     // no match / empty text / pattern longer than text
     assert(kernel("", Seq("a")) === Seq(0L))
     assert(kernel("ab", Seq("abc", "zz")) === Seq(0L, 0L))
+    // apostrophes are ordinary pattern bytes (r14: the ban was an
+    // oracle-harness artifact, not a kernel limitation)
+    assert(kernel("o'brien and o'malley", Seq("o'", "o'brien", "'m")) ===
+      Seq(2L, 1L, 1L))
   }
 
   test("kernel equals the naive reference on seeded random strings") {
@@ -85,5 +89,10 @@ class MultiMatchSpec extends SparkSpec {
       MultiMatchCounts(org.apache.spark.sql.catalyst.expressions.Literal("x"),
         Seq.empty)
     }
+    // apostrophes are ACCEPTED (r14): the codegen Java literal carries
+    // them verbatim; only the oracle SQL needs escaping, and that is
+    // the oracle generator's job, not an analysis-time ban
+    MultiMatchCounts(org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      Seq("o'brien"))
   }
 }
