@@ -123,6 +123,19 @@ object Bench {
         (q, prior(q), v)
     }.sortBy { case (_, p, v) => p * scale - v }
 
+  /** The last summary line emitted (or the pre-sweep bootstrap line) —
+    * what the kill-time shutdown hook re-prints. Volatile: written by
+    * the main loop, read by the shutdown thread. */
+  @volatile private var lastSummary: String = ""
+
+  /** Set by the shutdown hook: the JVM is dying (external SIGTERM).
+    * The main loop keeps running CONCURRENTLY with shutdown hooks until
+    * the JVM halts, and every Spark action it submits against the
+    * (now stopped) context fails — those failures must not print, or
+    * their stack traces displace the summary line from the consumer's
+    * bounded log tail (exactly the r13 artifact's tail). */
+  @volatile private var dying: Boolean = false
+
   def main(args: Array[String]): Unit = {
     // WHOLE-RUN wall budget (sweep + sf1 leg), seconds from this line:
     // the r12 driver bench produced NO artifact because sweep + leg
@@ -133,11 +146,48 @@ object Bench {
     // even an external kill leaves parsed data.
     val t0All = System.nanoTime()
     def elapsedAll: Double = (System.nanoTime() - t0All) / 1e9
+    // 1050 s default (r14; was 1700): r12 AND r13 were both externally
+    // killed at rc 124, proving the driver's kill window is below
+    // 1700 s of Bench main() time (plus sbt launch overhead the budget
+    // cannot see). The budget must leave the process EXITING CLEANLY
+    // before the window — a complete 1050 s record beats a killed
+    // 1700 s one, and the sentinel-first leg ordering below already
+    // spends a shrunken leg on the highest-value entries.
     val totalBudget =
-      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET", "1700").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET", "1050").toDouble
+    // ---- kill insurance, registered BEFORE anything can fail: a
+    // Hadoop-manager shutdown hook at priority 1. Spark installs its
+    // entire hook stack (SparkContext stop, temp-dir cleanup) as ONE
+    // Hadoop hook at priority 40, and Hadoop runs hooks in DESCENDING
+    // priority order — so this one runs AFTER all of Spark's shutdown
+    // noise and its re-printed summary is the literal last line of the
+    // process, which is what the round driver's bounded tail parses.
+    // Logging is forced OFF first so any still-running main-loop job
+    // failing against the stopped context cannot spray stack traces
+    // after our line. (BenchKillSpec drives this under
+    // `timeout -s TERM` and asserts the last line parses.)
+    org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+      new Runnable {
+        override def run(): Unit = {
+          dying = true
+          try org.apache.logging.log4j.core.config.Configurator.setAllLevels(
+            org.apache.logging.log4j.LogManager.getRootLogger.getName,
+            org.apache.logging.log4j.Level.OFF)
+          catch { case _: Throwable => () }
+          if (lastSummary.nonEmpty) {
+            System.out.println(lastSummary)
+            System.out.flush()
+          }
+        }
+      }, 1)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    // bootstrap summary: parseable from the instant the hook exists, so
+    // even a kill during SparkSession startup leaves a valid (if empty)
+    // round record instead of a bare stack-trace tail
+    lastSummary =
+      s"""{"metric":"total","value":0,"unit":"sec","sf":"${sfDir.split('/').last}","n_queries":0,"n_failed":0,"failed":[],"partial":"pre-sweep","queries":{}}"""
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -155,6 +205,13 @@ object Bench {
       // out of the repo working tree (default is ./spark-warehouse)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_bench_wh").toString)
+      // the bench driver runs at 24 GB (build.sbt), so it can afford the
+      // grouped broadcast walk index up to 256 MB packed — the kernel
+      // path beats ten serial probe jobs over the sf1 trade graph's
+      // 12M-row flat index ~4×. The LIBRARY default stays 64 MB
+      // (GraphOps.walkIndex): a default-heap driver must not be routed
+      // into a multi-GB transient collect.
+      .config("spark.graft.walkIndex.maxBytes", String.valueOf(256L << 20))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up JIT/codegen + parquet footer caches before timing
@@ -203,7 +260,10 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch {
           case e: Throwable =>
-            System.err.println(
+            // a dying JVM's stopped-context failures are shutdown noise,
+            // not query verdicts — and printing them would push the
+            // summary line out of the consumer's bounded tail
+            if (!dying) System.err.println(
               s"FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
             false
         }
@@ -265,6 +325,14 @@ object Bench {
     // rides the audit file next to the timing
     val sf1Errs = collection.mutable.LinkedHashMap.empty[String, String]
     val sf1Skipped = collection.mutable.ListBuffer.empty[String]
+    // ---- sf10 spot leg (r14): the 100× decade probe for the five
+    // flagship doors, env-gated (SPARK_GRAFT_SF10=1, never set by the
+    // driver) — one cold run each at 100× the bench SF, with the cold
+    // sf1 run as denominator, so BENCH_LOCAL carries two decades of
+    // ratio evidence for the banded shapes.
+    val sf10Results = collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf10Base = collection.mutable.LinkedHashMap.empty[String, Double]
+    val sf10Skipped = collection.mutable.ListBuffer.empty[String]
 
     // ---- incremental emission: the audit file AND the stdout summary
     // line are (re)written after the sweep and after EVERY sf1 entry.
@@ -286,10 +354,18 @@ object Bench {
       val s1errs = sf1Errs
         .map { case (q, e) => s""""$q":"$e"""" }.mkString("{", ",", "}")
       val s1skip = sf1Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
+      // sf10 spot leg: per-door "coldSf1->coldSf10" pairs plus the
+      // derived decade ratio (a LINEAR door reads ~10)
+      val s10 = sf10Results.map { case (q, v) =>
+        val base = sf10Base.getOrElse(q, -1.0)
+        val ratio = if (base > 0 && v > 0) fmt(v / base) else "-1"
+        s""""$q":{"sf1":$base,"sf10":$v,"ratio":$ratio}"""
+      }.mkString("{", ",", "}")
+      val s10skip = sf10Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
       // NOTE: "medians" stays the LAST key (parseMedians is brace-bounded
       // now, but the audit format keeps the convention regardless)
       val audit =
-        s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"elapsed":${fmt(elapsedAll)},"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(ctxScale)},"regressions":$reg,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_errs":$s1errs,"sf1_skipped":$s1skip,"runs":$r,"medians":$m}"""
+        s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"elapsed":${fmt(elapsedAll)},"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(ctxScale)},"regressions":$reg,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_errs":$s1errs,"sf1_skipped":$s1skip,"sf10_top5":$s10,"sf10_skipped":$s10skip,"runs":$r,"medians":$m}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -358,24 +434,95 @@ object Bench {
       }
       prefix + kept.mkString(",") + suffix
     }
-    def emit(): Unit = { writeAudit(); println(summaryLine()) }
+    def emit(): Unit = {
+      writeAudit()
+      val line = summaryLine()
+      lastSummary = line // the kill-time hook re-prints exactly this
+      println(line)
+    }
     emit() // post-sweep snapshot: a kill mid-leg keeps the sweep record
+    // harness self-test knob (BenchKillSpec): park here so an external
+    // `timeout -s TERM` deterministically lands while the SparkContext
+    // is alive — proving the shutdown hook wins the tail against
+    // Spark's own shutdown noise. Never set by the driver.
+    sys.env.get("SPARK_GRAFT_TEST_SLEEP_AFTER_SWEEP")
+      .foreach(s => Thread.sleep(s.toLong * 1000))
+
+    // ---- shared scale-leg machinery (sf1 every round; sf10 spot leg
+    // when explicitly requested) ----
+    // FULLY cold per entry: every family's result caches AND the
+    // intermediate corpus artifacts (edge tables, walk indexes,
+    // shingle arrays, trained models) — r11 and r12 each spent a
+    // round adjudicating leg readings that turned out to be
+    // leftover-resident pressure from earlier entries' 10×-sized
+    // artifacts. The stray-RDD sweep catches checkpoint/leaf
+    // storage that a Dataset.unpersist (a CacheManager op) cannot
+    // release; it is safe precisely because every cache was just
+    // dropped, so nothing alive still expects those blocks.
+    def dropAll(): Unit = {
+      graft.SessionCache.invalidateAll()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+    }
+    // one watchdog-capped, job-group-cancellable run of `name`
+    // against `dir`: (completed, timedOut, seconds, errClass) —
+    // errClass empty when clean
+    def cappedRun(name: String, dir: String, cap: Double)
+        : (Boolean, Boolean, Double, String) = {
+      val group = s"leg-$name@$dir"
+      spark.sparkContext.setJobGroup(group, s"scale leg: $name",
+        interruptOnCancel = true)
+      val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val watchdog = new Thread(() => {
+        val deadline = System.nanoTime() + (cap * 1e9).toLong
+        while (!done.get && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        if (!done.get) {
+          timedOut.set(true)
+          spark.sparkContext.cancelJobGroup(group)
+        }
+      }, s"leg-watchdog-$name")
+      watchdog.setDaemon(true)
+      watchdog.start()
+      val q0 = System.nanoTime()
+      var err = ""
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch {
+          case e: Throwable =>
+            err = e.getClass.getName
+            if (!dying) System.err.println(
+              s"LEG FAILED $name@$dir: $err: ${e.getMessage}")
+            false
+        } finally {
+          done.set(true)
+          spark.sparkContext.clearJobGroup()
+        }
+      (ok, timedOut.get, (System.nanoTime() - q0) / 1e9, err)
+    }
+    // the 10× dataset: driver-provided when present, else the
+    // deterministic GenScale upsample (built once, marker-cached)
+    def resolveSf1Dir(): String = {
+      val provided = "/root/testdata/sf1"
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(provided)))
+        provided
+      else {
+        val d = "testdata_sf1"
+        try { graft.tools.GenScale.ensure(spark, sfDir, d); d }
+        catch { case e: Throwable =>
+          if (!dying)
+            System.err.println(s"sf1 generation failed: ${e.getMessage}")
+          ""
+        }
+      }
+    }
 
     val sf1Wanted = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
       sfDir.split('/').last == "sf0.1" &&
       (only.isEmpty || sys.env.contains("SPARK_GRAFT_SF1_FORCE"))
     if (sf1Wanted) {
-      val provided = "/root/testdata/sf1"
-      val sf1Dir =
-        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(provided)))
-          provided
-        else {
-          val d = "testdata_sf1"
-          try { graft.tools.GenScale.ensure(spark, sfDir, d); d }
-          catch { case e: Throwable =>
-            System.err.println(s"sf1 generation failed: ${e.getMessage}"); ""
-          }
-        }
+      val sf1Dir = resolveSf1Dir()
       if (sf1Dir.nonEmpty) {
         // the leg gets what the TOTAL budget leaves (at most the leg's
         // own cap): r12 raised the leg budget to 1200 s in isolation
@@ -408,57 +555,6 @@ object Bench {
         // out at 120 s on a 1.6×-loaded one (r13 measurement).
         val queryCap =
           sys.env.getOrElse("SPARK_GRAFT_SF1_QUERY_CAP", "150").toDouble
-        // FULLY cold per entry: every family's result caches AND the
-        // intermediate corpus artifacts (edge tables, walk indexes,
-        // shingle arrays, trained models) — r11 and r12 each spent a
-        // round adjudicating leg readings that turned out to be
-        // leftover-resident pressure from earlier entries' 10×-sized
-        // artifacts. The stray-RDD sweep catches checkpoint/leaf
-        // storage that a Dataset.unpersist (a CacheManager op) cannot
-        // release; it is safe precisely because every cache was just
-        // dropped, so nothing alive still expects those blocks.
-        def dropAll(): Unit = {
-          graft.SessionCache.invalidateAll()
-          spark.sparkContext.getPersistentRDDs.valuesIterator
-            .foreach(_.unpersist(blocking = false))
-        }
-        // one watchdog-capped, job-group-cancellable run of `name`
-        // against `dir`: (completed, timedOut, seconds, errClass) —
-        // errClass empty when clean
-        def cappedRun(name: String, dir: String, cap: Double)
-            : (Boolean, Boolean, Double, String) = {
-          val group = s"sf1-$name@$dir"
-          spark.sparkContext.setJobGroup(group, s"sf1 leg: $name",
-            interruptOnCancel = true)
-          val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-          val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
-          val watchdog = new Thread(() => {
-            val deadline = System.nanoTime() + (cap * 1e9).toLong
-            while (!done.get && System.nanoTime() < deadline)
-              Thread.sleep(100)
-            if (!done.get) {
-              timedOut.set(true)
-              spark.sparkContext.cancelJobGroup(group)
-            }
-          }, s"sf1-watchdog-$name")
-          watchdog.setDaemon(true)
-          watchdog.start()
-          val q0 = System.nanoTime()
-          var err = ""
-          val ok =
-            try { SparkEntry.queries(name)(spark, dir).count(); true }
-            catch {
-              case e: Throwable =>
-                err = e.getClass.getName
-                System.err.println(
-                  s"SF1 FAILED $name@$dir: $err: ${e.getMessage}")
-                false
-            } finally {
-              done.set(true)
-              spark.sparkContext.clearJobGroup()
-            }
-          (ok, timedOut.get, (System.nanoTime() - q0) / 1e9, err)
-        }
         val t0 = System.nanoTime()
         // SENTINELS FIRST: they are the leg's reason to exist (the
         // candidate-join shapes a cost-ranked top-20 never surfaces),
@@ -466,9 +562,17 @@ object Bench {
         // ratios are re-measured every round — is the right thing to
         // lose first. r12 lost every sentinel instead, because they ran
         // last when the harness died.
+        // minimum per-run budget floor: a cappedRun whose cap is <= 0
+        // has a watchdog deadline already in the past, and
+        // cancelJobGroup only cancels ACTIVE jobs — cancelling before
+        // the first job submits leaves the query running completely
+        // UNCAPPED (an sf1 quadratic can then blow straight through the
+        // kill window this budget exists to respect). Entries that
+        // cannot get at least the floor are SKIPPED, loudly.
+        val capFloor = 5.0
         (sentinels ++ top20).distinct.foreach { name =>
-          val elapsed = (System.nanoTime() - t0) / 1e9
-          if (elapsed > budget) sf1Skipped += name
+          if (dying || (System.nanoTime() - t0) / 1e9 > budget - capFloor)
+            sf1Skipped += name
           else {
             dropAll()
             // the cold bench-SF denominator (see sf1Cold above), under
@@ -476,28 +580,96 @@ object Bench {
             // (r12: q_stump_crossval at 39 s) eats leg budget without
             // being scale evidence — fall back to the sweep median,
             // visible as the query's absence from sf1_cold
+            val elapsed = (System.nanoTime() - t0) / 1e9
             val (cOk, _, cSecs, _) =
               cappedRun(name, sfDir, math.min(30.0, budget - elapsed))
             if (cOk) sf1Cold(name) = cSecs
             dropAll()
+            // re-check AFTER the cold run: a 30 s denominator can eat
+            // the last of the leg budget, and starting the sf1 run with
+            // a non-positive cap is the uncapped-run hole above
             val capSecs = math.min(queryCap,
               budget - (System.nanoTime() - t0) / 1e9)
-            val (ok, timedOut, secs, err) = cappedRun(name, sf1Dir, capSecs)
-            // a query that finished AT the cap can lose the race (done
-            // is set in the finally, after count() returned), so the
-            // timeout verdict requires the run to have actually failed
-            // — a successful count() is a valid result no matter what
-            // the watchdog flag says
-            if (timedOut && !ok)
-              sf1Skipped += s"$name:timeout>${capSecs.toInt}s"
+            if (capSecs < capFloor) sf1Skipped += name
             else {
-              sf1Results(name) = if (ok) secs else -1.0
-              if (!ok && err.nonEmpty) sf1Errs(name) = err
+              val (ok, timedOut, secs, err) = cappedRun(name, sf1Dir, capSecs)
+              // a query that finished AT the cap can lose the race (done
+              // is set in the finally, after count() returned), so the
+              // timeout verdict requires the run to have actually failed
+              // — a successful count() is a valid result no matter what
+              // the watchdog flag says
+              if (timedOut && !ok)
+                sf1Skipped += s"$name:timeout>${capSecs.toInt}s"
+              else {
+                sf1Results(name) = if (ok) secs else -1.0
+                if (!ok && err.nonEmpty) sf1Errs(name) = err
+              }
             }
             emit()
           }
         }
         // sf1 artifacts must not leak into later sf0.1-keyed cache reads
+        dropAll()
+      }
+    }
+
+    // ---- sf10 spot leg (r14): one more decade of scale evidence for
+    // the flagship doors. The brief's bar is plans that survive 100× —
+    // 10× is proven every round; this probes the banded shapes one
+    // decade further (100× the bench SF) on explicit request
+    // (SPARK_GRAFT_SF10=1; builder-local only — the driver's kill
+    // window cannot fit a 100× build + leg, so it never rides a round
+    // bench). Denominator = the leg's own cold sf1 run, so the
+    // reported ratio is decade-over-decade cold-to-cold: a LINEAR door
+    // reads ~10, superlinearity reads as the ratio drifting past it.
+    val sf10Wanted = sys.env.get("SPARK_GRAFT_SF10").exists(_ != "0") &&
+      sfDir.split('/').last == "sf0.1" && !dying
+    if (sf10Wanted) {
+      val doors = Seq("q_embedding_neardup_strict", "q_minhash_lsh",
+        "q_dedup_clusters", "q_mutual_knn_ivf", "q_corpus_build")
+        .filter(d => SparkEntry.queries.contains(d) && names.contains(d))
+      val sf1Dir = resolveSf1Dir()
+      val sf10Dir = {
+        val d = "testdata_sf10"
+        try { graft.tools.GenScale.ensure(spark, sfDir, d, copies = 100); d }
+        catch { case e: Throwable =>
+          if (!dying)
+            System.err.println(s"sf10 generation failed: ${e.getMessage}")
+          ""
+        }
+      }
+      if (sf1Dir.nonEmpty && sf10Dir.nonEmpty) {
+        val budget = math.min(
+          sys.env.getOrElse("SPARK_GRAFT_SF10_BUDGET", "3600").toDouble,
+          totalBudget - elapsedAll)
+        val queryCap =
+          sys.env.getOrElse("SPARK_GRAFT_SF10_QUERY_CAP", "900").toDouble
+        val capFloor = 5.0
+        val t0 = System.nanoTime()
+        doors.foreach { name =>
+          if (dying || (System.nanoTime() - t0) / 1e9 > budget - capFloor)
+            sf10Skipped += name
+          else {
+            dropAll()
+            // cold sf1 denominator, measured in THIS leg (the sf1
+            // leg's reading, when present, was a different moment of
+            // the box — decade ratios must be same-conditions)
+            val (bOk, _, bSecs, _) = cappedRun(name, sf1Dir, math.min(
+              300.0, budget - (System.nanoTime() - t0) / 1e9))
+            if (bOk) sf10Base(name) = bSecs
+            dropAll()
+            val capSecs = math.min(queryCap,
+              budget - (System.nanoTime() - t0) / 1e9)
+            if (capSecs < capFloor) sf10Skipped += name
+            else {
+              val (ok, timedOut, secs, _) = cappedRun(name, sf10Dir, capSecs)
+              if (timedOut && !ok)
+                sf10Skipped += s"$name:timeout>${capSecs.toInt}s"
+              else sf10Results(name) = if (ok) secs else -1.0
+            }
+            emit()
+          }
+        }
         dropAll()
       }
     }

@@ -67,11 +67,22 @@ object GenScale {
         // rotation offset in [1, dim-1] for EVERY copy — `i % dim` would
         // degenerate to the identity at copy == dim, silently recreating
         // the verbatim-copy ANN-tie artifact this rotation exists to
-        // prevent; dim comes from the data, not a hard-coded 64
+        // prevent; dim comes from the data, not a hard-coded 64.
+        // Past dim-1 copies the rotations CYCLE, so copies i and
+        // i+(dim-1) would carry identical vectors (an exact cross-copy
+        // dup per vector — the same tie artifact at 100 copies); every
+        // second rotation cycle therefore NEGATES the vector — norms
+        // and pairwise geometry within a copy survive, and
+        // cos(v, -v) = -1 decorrelates the cycle twins. Copies 1..9
+        // (the sf1 build) never reach a second cycle, so sf1 data is
+        // byte-identical to what this produced before the extension.
         val r = s"((${i - 1} % (size(embedding) - 1)) + 1)"
         shifted.withColumn("embedding", expr(
           s"concat(slice(embedding, $r + 1, size(embedding) - $r), " +
             s"slice(embedding, 1, $r))"))
+          .withColumn("embedding", expr(
+            s"CASE WHEN ((${i - 1} div (size(embedding) - 1)) % 2) = 1 " +
+              "THEN transform(embedding, x -> -x) ELSE embedding END"))
       case _ => shifted
     }
   }
@@ -107,7 +118,9 @@ object GenScale {
         if (fixedTables(name)) base
         else (0 until copies).map(copyOf(name, base, _)).reduce(_ unionByName _)
       // a few files per table so scans parallelize like real lake input
-      val files = if (fixedTables(name)) 1 else 8
+      // (scaled with the copy count: 8 at the 10× build, 32 at 100×,
+      // keeping per-file size in the same range)
+      val files = if (fixedTables(name)) 1 else math.max(8, copies / 3)
       out.repartition(files)
         .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
     }
