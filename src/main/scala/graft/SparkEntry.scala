@@ -967,4 +967,23 @@ object SparkEntry {
     "q_crack_multi_sql" -> baseOracleSql("q_crack_multi"),
     "q_decontaminate_sql" -> baseOracleSql("q_decontaminate"),
     "q_dup_passages_sql" -> baseOracleSql("q_dup_passages"))
+
+  /** Why each oracle-less [[queries]] entry carries only the driver's
+    * rows-only check — BY DESIGN, not by omission. Verify dumps this
+    * next to oracle_sql.json so the round's correctness artifact is
+    * self-explaining (every `err: "no_oracle"` row has its reason one
+    * file away, and the exact-verified twin that DOES carry the
+    * family's oracle is named). OracleCoverageSpec pins that this map
+    * and the oracle map exactly partition the registry. */
+  def noOracleByDesign: Map[String, String] = Map(
+    "q_ann_lsh" -> ("approximate by contract (recall-gated >= 0.95 " +
+      "in SimilaritySpec); its exact-verified twin q_ann_lsh_verified " +
+      "carries the brute-force oracle row-for-row"),
+    "q_bpe_learn" -> ("iterative argmax, not single-query SQL; " +
+      "BpeTrainSpec verifies against an independent in-memory " +
+      "reference implementation, and q_token_bpe/q_bpe_encode oracle " +
+      "the APPLICATION of learned merges"),
+    "q_unigram_lm" -> ("iterative Viterbi-EM prune (Kudo's unigram " +
+      "LM), not single-query SQL; UnigramLmSpec enumeration-verifies " +
+      "against an independent reference implementation"))
 }

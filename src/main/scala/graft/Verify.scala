@@ -47,6 +47,14 @@ object Verify {
       .map { case (k, v) => s"${JsonText.quote(k)}: ${JsonText.quote(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the self-explanation for every oracle-less entry: a reader of the
+    // round's correctness artifact finds each `err: "no_oracle"` row's
+    // by-design rationale (and its exact-verified twin) one file away
+    val byDesign = SparkEntry.noOracleByDesign
+      .map { case (k, v) =>
+        s"${JsonText.quote(k)}: ${JsonText.quote(s"no_oracle:by_design: $v")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/no_oracle_by_design.json"), byDesign)
     spark.stop()
   }
 
