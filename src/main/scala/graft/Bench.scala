@@ -28,11 +28,16 @@ object Bench {
     "q_dedup_clusters", "q_ann_ivfpq", "q_bm25_topk",
     "q_events_sessionize", "q_edit_distance", "q_simhash",
     "q_image_neardup", "q_corpus_build",
-    // r12: the registered mutual-kNN scale paths (their whole point is
-    // the 10x posture — the IVF door should read LINEAR, the LSH door
-    // carries the priced isotropic-collision cost) and the
-    // once-unadjudicated bootstrap
-    "q_mutual_knn_lsh", "q_mutual_knn_ivf", "q_bootstrap_ci",
+    // r12: the mutual-kNN scale path (the IVF door reads LINEAR — cell
+    // occupancy bounds candidates on ANY corpus) and the
+    // once-unadjudicated bootstrap. q_mutual_knn_lsh was DEMOTED from
+    // this list in r14: it is the priced recall-first door (its
+    // scaladoc prices the isotropic-collision cost; the r14 bucket
+    // quota bounds hub damage but measured 107 s cold at sf1 — too
+    // close to the 150 s cap on a loaded box to be a stable sentinel),
+    // and _ivf is the default mutual-kNN scale path it defers to
+    // (ScaleSentinelSpec carries the audited allowlist entry).
+    "q_mutual_knn_ivf", "q_bootstrap_ci",
     // r12b: the strict-threshold near-dup door — its whole claim is the
     // wide-band pruning posture, so the 10x contrast with the priced
     // q_embedding_neardup physics case must stay measured

@@ -1470,8 +1470,9 @@ object Similarity {
     * is bounded by band-bucket fan-in instead of N². */
   def lshKnnLists(
       spark: SparkSession, dir: String,
-      k: Int = 10, bandBits: Int = 2): DataFrame = {
-    val pairs = lshCandidatePairs(spark, dir, bandBits)
+      k: Int = 10, bandBits: Int = 2,
+      quota: Int = Int.MaxValue): DataFrame = {
+    val pairs = lshCandidatePairs(spark, dir, bandBits, quota)
     val v = corpus(spark, dir)
       .select(col("vec_id"), col("embedding"), col("norm"))
     val scored = pairs
@@ -1555,19 +1556,46 @@ object Similarity {
     * bands on a clustered corpus the same join prunes to a few percent
     * of N² (SimilaritySpec pins both ends with counts). */
   private[graft] def lshCandidatePairs(
-      spark: SparkSession, dir: String, bandBits: Int): DataFrame = {
+      spark: SparkSession, dir: String, bandBits: Int,
+      quota: Int = Int.MaxValue): DataFrame = {
     val emb = corpus(spark, dir)
       .withColumn("sig", signSignature(col("embedding")))
-    val left = bandedSig(emb, "vec_id", "a", "sa", bandBits)
-    val right = bandedSig(emb, "vec_id", "b", "sb", bandBits)
-      .withColumnRenamed("band", "band2")
-      .withColumnRenamed("bval", "bval2")
-      .drop("lowmask")
-    left.join(right,
-      col("band") === col("band2") && col("bval") === col("bval2") &&
-        col("a") =!= col("b") &&
-        firstMatchingBand(col("sa"), col("sb"), bandBits))
-      .select(col("a"), col("b"))
+    if (quota == Int.MaxValue) {
+      val left = bandedSig(emb, "vec_id", "a", "sa", bandBits)
+      val right = bandedSig(emb, "vec_id", "b", "sb", bandBits)
+        .withColumnRenamed("band", "band2")
+        .withColumnRenamed("bval", "bval2")
+        .drop("lowmask")
+      left.join(right,
+        col("band") === col("band2") && col("bval") === col("bval2") &&
+          col("a") =!= col("b") &&
+          firstMatchingBand(col("sa"), col("sb"), bandBits))
+        .select(col("a"), col("b"))
+    } else {
+      // BOUNDED bucket membership (r14): each (band, bval) bucket keeps
+      // its first `quota` members in md5-of-id order (deterministic,
+      // id-decorrelated), so per-band candidate volume is
+      // buckets × quota² instead of the isotropic N²-per-band physics —
+      // the shape a 100 TB serving index actually runs (a hub bucket
+      // cannot take the join superlinear). Below the quota nothing
+      // truncates, and the emitted PAIR SET equals the unbounded
+      // path's exactly (SimilaritySpec pins both: set equality under
+      // the quota, strict-subset above it). Dedup is an explicit
+      // distinct over the skinny (a, b) relation: firstMatchingBand
+      // would drop a pair whose first signature-matching band had it
+      // truncated, even though a later band legitimately carries it.
+      val w = Window.partitionBy("band", "bval")
+        .orderBy(md5(col("a").cast("string")), col("a"))
+      val kept = bandedSig(emb, "vec_id", "a", "sa", bandBits)
+        .select(col("a"), col("band"), col("bval"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= quota)
+        .drop("rk")
+      kept.join(kept.select(col("a").as("b"), col("band"), col("bval")),
+          Seq("band", "bval"))
+        .filter(col("a") =!= col("b"))
+        .select(col("a"), col("b")).distinct()
+    }
   }
 
   /** Per-(session, dir, k) persisted kNN lists for [[qMutualKnn]] —
@@ -1596,33 +1624,43 @@ object Similarity {
     *
     * Cost honesty (the [[qEmbeddingNearDup]] physics, measured r12
     * cold-to-cold): on ISOTROPIC embeddings an average pair matches
-    * ~8 of the 32 bands (per-band collision ≈ 0.25), so the banded
-    * equi-join enumerates ~8·N² pair-band combos and first-match
-    * filtering discards 7/8 — cheaper than the exact theta join at
-    * small N (3.2 s vs 9.4 s at N = 2k), ~1.3× dearer once the pair
-    * term dominates (67 s vs 52 s at N = 20k). The 100 TB value is
-    * structural, not constant-factor: candidates partition by
-    * (band, bval) key — bounded per-key fan-in, no corpus broadcast —
-    * and on real embedding corpora (clustered, near-dup structure)
-    * band buckets are selective, which is what banding exists for;
-    * an isotropic corpus is the adversarial case where NO sublinear
-    * exact shortlist exists. */
+    * ~8 of the 32 bands (per-band collision ≈ 0.25), so an UNBOUNDED
+    * banded equi-join enumerates ~8·N² pair-band combos — 3.2 s vs the
+    * exact theta join's 9.4 s at N = 2k, but 67 s vs 52 s at N = 20k,
+    * and a GC-bound timeout on a loaded box (the r13 sf1 leg's one
+    * dead sentinel). The registered door therefore runs the BOUNDED
+    * bucket quota (`spark.graft.lsh.bucketQuota`, default 1024): each
+    * (band, bval) bucket keeps its first `quota` members in md5 order,
+    * capping per-band candidate volume at buckets × quota² no matter
+    * the corpus — the published serving-index shape at 100 TB, where a
+    * hub bucket must not take the join superlinear. Below the quota
+    * (every test SF: the largest sf0.1 bucket is ~500) the shortlist —
+    * and therefore the output — EQUALS the unbounded path's, which is
+    * how the row-for-row-vs-[[qMutualKnn]] oracle stays exact; above
+    * it (sf1+: ~5000-member buckets) recall is traded for the bound,
+    * the documented approximate-in-recall-only contract. Pass
+    * `spark.graft.lsh.bucketQuota=2147483647` to run the unbounded
+    * physics case explicitly. */
   def qMutualKnnLsh(
       spark: SparkSession, dir: String,
       k: Int = 10, bandBits: Int = 2): DataFrame = {
+    val quota = spark.conf.getOption("spark.graft.lsh.bucketQuota")
+      .map(_.toInt).getOrElse(1024)
     val knn = lshKnnCache.get(
-      (org.apache.spark.sql.GraftShim.sessionId(spark), dir, k, bandBits)) {
-      val lists = lshKnnLists(spark, dir, k, bandBits).persist()
+      (org.apache.spark.sql.GraftShim.sessionId(spark), dir, k, bandBits,
+        quota)) {
+      val lists = lshKnnLists(spark, dir, k, bandBits, quota).persist()
       lists.count() // populate before the algebra's three readers race
       lists
     }
     mutualKnnFromLists(knn, k)
   }
 
-  /** Per-(session, dir, k, bandBits) persisted banded-LSH kNN lists for
-    * [[qMutualKnnLsh]] — same sharing contract as [[mutualKnnCache]]. */
+  /** Per-(session, dir, k, bandBits, quota) persisted banded-LSH kNN
+    * lists for [[qMutualKnnLsh]] — same sharing contract as
+    * [[mutualKnnCache]]. */
   private val lshKnnCache =
-    graft.SessionCache.frames[(String, String, Int, Int)]
+    graft.SessionCache.frames[(String, String, Int, Int, Int)]
 
   /** Semantic dedup (Abbas et al., "SemDeDup") — near-duplicate MEANING,
     * not near-duplicate text: cluster the corpus embeddings (Forgy + one

@@ -166,7 +166,13 @@ class ScaleSentinelSpec extends SparkSpec {
       "q_semantic_decontam" -> "bounded: eval side <= nQueries rows (broadcast)",
       "q_ivf_ingest" -> "q_ann_ivfpq (corpus x cells assignment, cells ∝ N/100)",
       "q_kmeanspp_seed" -> "bounded: corpus x k seeds (k constant)",
-      "q_mutual_knn" -> "q_mutual_knn_lsh (exact-by-contract N^2 twin, scaladoc-priced)",
+      "q_mutual_knn" -> "q_mutual_knn_ivf (exact-by-contract N^2 twin, scaladoc-priced)",
+      "q_mutual_knn_lsh" ->
+        ("q_mutual_knn_ivf (the default LINEAR mutual-kNN scale door). " +
+          "This is the priced recall-first door: bucket-quota bounded " +
+          "(r14), measured 107s cold sf1 — demoted from the sentinel " +
+          "list because its honest cost sits at the leg cap on a " +
+          "loaded box"),
       "q_neardup_strict_twins" ->
         "q_embedding_neardup_strict (the SAME door; registered for the scale-cheap twin oracle)",
       // -- embedding stats: join keys range over the dim/subspace

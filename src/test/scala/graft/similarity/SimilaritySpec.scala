@@ -646,6 +646,29 @@ class SimilaritySpec extends SparkSpec {
     val recall = hit.toDouble / truePairs.size
     assert(truePairs.nonEmpty)
     assert(recall >= 0.95, s"8-bit band recall of cos>=0.9 pairs: $recall")
+
+    // r14: the bounded bucket quota's two contract halves, on the same
+    // corpus. (1) quota >= every bucket => the emitted pair SET equals
+    // the unbounded path's exactly (this is what keeps the registered
+    // door's row-for-row-vs-exact oracle valid at the test SFs, where
+    // buckets never reach the 1024 default); (2) a quota BELOW bucket
+    // size => a strict subset with bounded volume (the 100 TB shape:
+    // buckets x quota^2 per band, hub buckets cannot go superlinear).
+    val unb = Similarity.lshCandidatePairs(spark, tmp, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val atQuota = Similarity.lshCandidatePairs(spark, tmp, 2, quota = 1024)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(atQuota === unb,
+      "quota above every bucket size must not change the candidate set")
+    val small = Similarity.lshCandidatePairs(spark, tmp, 2, quota = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(small.subsetOf(unb), "quota'd candidates must be a subset")
+    assert(small.size < unb.size,
+      "a quota below bucket size must actually truncate")
+    // kept-membership bound: <= 32 bands x 4 buckets x 64 members each
+    // pairing among themselves => no vector can exceed the kept span
+    assert(small.size.toLong <= 32L * 4 * 64 * 64,
+      s"quota'd candidate volume ${small.size} exceeds the bands x quota^2 bound")
   }
 
   test("adaptive cell count bounds mean occupancy and respects the caps") {
