@@ -615,6 +615,10 @@ object SparkEntry {
     // the trained cells, components labeled by min member
     "q_semdedup" -> ((s: SparkSession, d: String) =>
       Similarity.qSemDedup(s, d)),
+    // cell-sampled SemDeDup twin (exact for cell % 4 == 0; components
+    // are cell-closed) — the scale-cheap oracle door for the sf1 sweep
+    "q_semdedup_cells" -> ((s: SparkSession, d: String) =>
+      Similarity.qSemDedupCells(s, d)),
     // grid-density clustering (DBSCAN-lite): dense-cell census with
     // CC-labeled clusters over the 8-neighbor cell adjacency
     "q_grid_cluster" -> ((s: SparkSession, d: String) =>

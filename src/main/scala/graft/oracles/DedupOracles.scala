@@ -80,6 +80,15 @@ private[graft] object DedupOracles {
         |$semDedupReachCte
         |SELECT id AS vec_id, min(rr) AS cluster_id, min(rr) = id AS is_keeper
         |FROM reach GROUP BY id""".stripMargin,
+    // cell-sampled twin (r14): same full-corpus index training replay,
+    // pair scan + recursive closure restricted to cell % 4 = 0 —
+    // exact for the sampled cells (components are cell-closed), and
+    // cheap enough for the sf1 sweep's per-oracle cap on a loaded box
+    "q_semdedup_cells" ->
+      s"""WITH RECURSIVE $ivfTrainCte,
+        |${semDedupReachCteSampled("a.cell % 4 = 0 AND")}
+        |SELECT id AS vec_id, min(rr) AS cluster_id, min(rr) = id AS is_keeper
+        |FROM reach GROUP BY id""".stripMargin,
     // Full independent SimHash mirror: the md5-derived token hash is
     // computable by DuckDB ('0x' || leading md5 hex -> UBIGINT), so the
     // oracle rebuilds signatures, bands, candidates and hamming from

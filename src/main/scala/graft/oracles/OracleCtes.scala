@@ -1417,9 +1417,16 @@ private[graft] object OracleCtes {
   /** The within-cell cosine-pair → reachability tail of the SemDeDup
     * oracle (needs [[ivfTrainCte]] ahead of it; ends at `reach(id, rr)`
     * — min(rr) per id is the cluster label). Shared by q_semdedup and
-    * [[corpusBuildV3Oracle]]. */
-  val semDedupReachCte: String =
-    """best AS (SELECT vec_id, cell FROM (
+    * [[corpusBuildV3Oracle]]; [[semDedupReachCteSampled]] is the
+    * cell-sampled form for the scale-cheap q_semdedup_cells twin. */
+  val semDedupReachCte: String = semDedupReachCteSampled("")
+
+  /** [[semDedupReachCte]] with an optional extra pair predicate (e.g.
+    * `a.cell % 8 = 0 AND` — note the trailing AND) restricting the
+    * pair scan and the recursive closure to sampled cells: components
+    * are cell-closed, so the restriction is exact for those cells. */
+  def semDedupReachCteSampled(pairPred: String): String =
+    s"""best AS (SELECT vec_id, cell FROM (
       |           SELECT t.vec_id, c.cell, row_number() OVER (
       |             PARTITION BY t.vec_id ORDER BY list_reduce(
       |               list_transform(range(1, 65), i ->
@@ -1432,7 +1439,7 @@ private[graft] object OracleCtes {
       |          FROM best a JOIN best b ON a.cell = b.cell AND a.vec_id < b.vec_id
       |          JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
       |          JOIN n na ON na.vec_id = a.vec_id JOIN n nb ON nb.vec_id = b.vec_id
-      |          WHERE round(list_reduce(list_transform(range(1, 65),
+      |          WHERE $pairPred round(list_reduce(list_transform(range(1, 65),
       |              i -> ea.v[i] * eb.v[i]), (x, y) -> x + y)
       |            / (na.nrm * nb.nrm), 6) >= 0.4),
       |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs

@@ -1723,6 +1723,38 @@ object Similarity {
         col("is_keeper"))
   }
 
+  /** [[qSemDedup]] restricted to a deterministic 1-in-`mod` sample of
+    * IVF cells (`cell % mod == 0`) — the scale-cheap oracle twin (the
+    * [[qEmbeddingNearDupStrict]] twin-restriction pattern, r14):
+    * SemDeDup's pair relation and its connected components are CLOSED
+    * within a cell by construction, so the sampled restriction is
+    * EXACT for the sampled cells — the output equals qSemDedup's rows
+    * whose vectors live in sampled cells (SimilaritySpec pins the
+    * equality). What it buys: the DuckDB replay's within-cell pair
+    * scan and recursive-CTE reachability shrink by `mod`×, which is
+    * what kept the sf1 oracle sweep inside its cap after the full
+    * replay outgrew a 900 s box budget (the index-training replay —
+    * full-corpus by necessity, both engines — is unchanged). */
+  def qSemDedupCells(
+      spark: SparkSession, dir: String,
+      cells: Int = 0, threshold: Double = 0.4, mod: Int = 4): DataFrame = {
+    val assigned = cachedAssignment(spark, dir,
+      if (cells > 0) cells else adaptiveCellsFor(spark, dir))
+      .filter(col("cell") % mod === 0)
+    val pairs = assigned
+      .select(col("cell"), col("vec_id").as("d1"),
+        col("embedding").as("v1"), col("norm").as("n1"))
+      .join(assigned.select(col("cell"), col("vec_id").as("d2"),
+        col("embedding").as("v2"), col("norm").as("n2")), "cell")
+      .filter(col("d1") < col("d2"))
+      .filter(round(vec_dot(col("v1"), col("v2"))
+        / (col("n1") * col("n2")), 6) >= threshold)
+      .select("d1", "d2")
+    graft.pipeline.TrainingData.connectedComponents(pairs, spark)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_keeper"))
+  }
+
   /** kNN-classifier evaluation: predict each query vector's label by
     * majority vote of its k exact-cosine neighbors (excluding itself),
     * and report the label confusion census — the embedding-quality probe

@@ -727,6 +727,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSet === again.toSet)
   }
 
+  test("cell-sampled semdedup twin == full semdedup restricted to sampled cells") {
+    // the exactness claim that licenses the twin's cheap sf1 oracle:
+    // SemDeDup components are CLOSED within a cell, so restricting the
+    // pipeline to cell % mod == 0 must equal restricting the FULL
+    // output to vectors assigned to those cells
+    import org.apache.spark.sql.functions._
+    val mod = 4
+    val sampledIds = Similarity.ivfAssignment(spark, dir)
+      .filter(col("cell") % mod === 0)
+      .collect().map(_.getLong(0)).toSet
+    val full = Similarity.qSemDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .filter(r => sampledIds(r._1)).toSet
+    val twin = Similarity.qSemDedupCells(spark, dir, mod = mod).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(twin === full,
+      "sampled twin must be the full pipeline's exact restriction")
+    assert(twin.nonEmpty, "fixture must have dup pairs in sampled cells")
+  }
+
   test("ivf-pq: ranked contract holds, bit-stable, useful recall vs exact") {
     def run() = Similarity.qAnnIvfPq(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
