@@ -1129,10 +1129,16 @@ object Similarity {
     * whole-stage codegen (see [[qAnnPq]] for why round() is banned from
     * these scans). */
   private def cellDist(ms: Column): Column =
-    (0 until 64).map { i =>
-      val diff = element_at(col("xs"), i + 1) - element_at(ms, i + 1)
-      floor(diff * diff * 1e12 + 0.5)
-    }.reduce(_ + _)
+    // the fused [[Q12SqDist]] kernel — bit-identical to the 64-term
+    // `floor((xs[i] - ms[i])² · 1e12 + 0.5)` column sum it replaces
+    // (VectorExpressionsSpec pins the equivalence on random vectors),
+    // ~40× cheaper per pair. This is THE hot loop of every trained-
+    // index consumer: the N × cells assignment crossJoin spelled as 64
+    // element_at trees timed q_mutual_knn_ivf out at sf10 (r14 decade
+    // probe) on pure expression overhead.
+    org.apache.spark.sql.GraftShim.column(Q12SqDist(
+      org.apache.spark.sql.GraftShim.expression(col("xs")),
+      org.apache.spark.sql.GraftShim.expression(ms)))
 
   /** Nearest trained cell per vector: crossJoin against the tiny
     * broadcast centroid relation, map-side-combinable argmin. Input

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Primitive loop kernels callable from generated code. */
 object VecOps {
@@ -58,6 +58,29 @@ object VecOps {
     var i = 0
     while (i < n) {
       acc += a.getInt(i).toDouble * b.getInt(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  /** Fixed-point q12 squared euclidean distance over double arrays:
+    * Σᵢ floor((aᵢ − bᵢ)²·10¹² + 0.5) as a long — BIT-IDENTICAL per
+    * element to the column spelling
+    * `floor((element_at(a,i) - element_at(b,i))² * 1e12 + 0.5)` summed
+    * left-to-right ((long)Math.floor == Spark Floor-on-double; long
+    * addition is exact so order is immaterial). This is the IVF
+    * assignment metric: spelled as 64 separate element_at trees it
+    * dominated the N × cells crossJoin at scale (the r14 sf10 decade
+    * probe timed q_mutual_knn_ivf out at 900 s on exactly this), as a
+    * primitive loop it is ~40× cheaper and the crossJoin is compute-
+    * bound no more. */
+  def q12SqDistDD(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += math.floor(d * d * 1e12 + 0.5).toLong
       i += 1
     }
     acc
@@ -140,6 +163,45 @@ case class HyperplaneBucket(child: Expression, bits: Int, seed: Long = 42L)
   * brute-force or LSH-bucketed scorer evaluates this O(pairs × dim) times,
   * so it must not fall out of codegen the way interpreted
   * `aggregate`/`zip_with` HOFs do. */
+/** `q12_sqdist(a, b)` — the codegen'd [[VecOps.q12SqDistDD]] kernel as
+  * an expression (the IVF trained-index assignment metric; cf.
+  * reference `server.c`'s fixed work partitioning — here the work
+  * partitioner is a trained index, and this is its hot loop). Double
+  * arrays only: the assignment pipeline casts both sides to double
+  * before quantizing, and a silent float widening here would shift
+  * q12 values against the DuckDB replay. Null ELEMENTS are not
+  * modeled (same contract as the dot kernels — corpus vectors are
+  * dense). */
+case class Q12SqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "q12_sqdist"
+
+  private def isD(t: DataType) = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isD(left.dataType) && isD(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double> operands, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.q12SqDistDD(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.similarity.VecOps.q12SqDistDD($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Q12SqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 case class FloatVectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 

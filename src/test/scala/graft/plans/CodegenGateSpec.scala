@@ -118,6 +118,9 @@ class CodegenGateSpec extends SparkSpec {
     compiledEqualsInterpreted(FloatVectorDot(dArr, fArr))
     compiledEqualsInterpreted(FloatVectorDot(dArr, dArr))
     compiledEqualsInterpreted(FloatVectorDot(iArr, iArr))
+    compiledEqualsInterpreted(Q12SqDist(dArr,
+      Literal.create(Array(0.25d, -1.75d, 3.5d),
+        ArrayType(DoubleType, containsNull = false))))
     compiledEqualsInterpreted(HilbertIndexValue(Literal(37L), Literal(101L)))
     compiledEqualsInterpreted(ZOrderValue(Literal(37L), Literal(101L)))
     val adj = new java.util.HashMap[java.lang.Long, Array[Long]]()

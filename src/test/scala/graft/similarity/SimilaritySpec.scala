@@ -727,6 +727,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.toSet === again.toSet)
   }
 
+  test("Q12SqDist kernel == the 64-term floor-column spelling, bit-exact") {
+    // the IVF assignment metric's fused kernel (r14) must reproduce the
+    // exact per-element arithmetic of the column form it replaced —
+    // every trained-index oracle (semdedup, ann_ivf, ivfpq, outliers,
+    // lof, mutual_knn_ivf) rides on these longs being IDENTICAL
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 500).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian() * 3),
+        Array.fill(64)(rnd.nextGaussian() * 3))
+    }
+    val df = rows.toDF("id", "xs", "ms")
+    val legacy = (0 until 64).map { i =>
+      val diff = element_at(col("xs"), i + 1) - element_at(col("ms"), i + 1)
+      floor(diff * diff * 1e12 + 0.5)
+    }.reduce(_ + _)
+    val fused = org.apache.spark.sql.GraftShim.column(Q12SqDist(
+      org.apache.spark.sql.GraftShim.expression(col("xs")),
+      org.apache.spark.sql.GraftShim.expression(col("ms"))))
+    val diff = df.select(col("id"), legacy.as("a"), fused.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0L, "fused q12 kernel diverged from the column spelling")
+  }
+
   test("cell-sampled semdedup twin == full semdedup restricted to sampled cells") {
     // the exactness claim that licenses the twin's cheap sf1 oracle:
     // SemDeDup components are CLOSED within a cell, so restricting the
