@@ -667,7 +667,18 @@ object Bench {
               budget - (System.nanoTime() - t0) / 1e9)
             if (capSecs < capFloor) sf10Skipped += name
             else {
-              val (ok, timedOut, secs, _) = cappedRun(name, sf10Dir, capSecs)
+              // shuffle partitions scale with the decade: at 100× the
+              // bench SF, the 32 fixed partitions the sweep pins spill
+              // hard (r14 measured the strict near-dup door 64.5 s at
+              // 32 partitions vs 23.4 s at 128 — the slowdown was
+              // sort-spill, not plan physics). A competent operator
+              // sizes partitions to the data; the leg does the same,
+              // and the sf1 denominator stays at the sweep's 32 for
+              // continuity with three rounds of sf1 baselines.
+              spark.conf.set("spark.sql.shuffle.partitions", "128")
+              val (ok, timedOut, secs, _) =
+                try cappedRun(name, sf10Dir, capSecs)
+                finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
               if (timedOut && !ok)
                 sf10Skipped += s"$name:timeout>${capSecs.toInt}s"
               else sf10Results(name) = if (ok) secs else -1.0
