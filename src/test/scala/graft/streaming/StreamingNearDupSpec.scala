@@ -90,6 +90,110 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("within-batch duplicate ids ingest once; conflicting replays are ignored") {
+    val rows = corpusRows()
+    val want = batchRelation()
+    // (a) every row appears TWICE inside its own batch (an upstream
+    // task retry folded into one micro-batch) — first-write-wins must
+    // hold within the batch, not just across batches
+    val doubled = rows.flatMap(r => Seq(r, r))
+    assert(runStream(Seq(doubled)) === want,
+      "within-batch duplicates changed the emitted set")
+    // (b) a replay batch re-delivers every id with a DIFFERENT vector
+    // (a poisoned/upserted at-least-once replay): the contract is
+    // first-write-wins — the conflicting payload must be ignored, not
+    // compared, not stored, and the emitted set must not change
+    val poisoned = rows.map(r =>
+      r.copy(embedding = r.embedding.map(x => -x)))
+    assert(runStream(Seq(rows, poisoned)) === want,
+      "a conflicting re-delivery perturbed the emitted set")
+  }
+
+  test("random partial re-delivery across every batch keeps the set exact") {
+    val rows = corpusRows()
+    val want = batchRelation()
+    // each batch carries a seeded random half of the PREVIOUS batch —
+    // the steady-state shape of an at-least-once producer, where
+    // overlap spans every consecutive batch boundary rather than one
+    // clean full replay
+    val rnd = new scala.util.Random(1234)
+    val base = rnd.shuffle(rows).grouped(math.max(1, rows.length / 5 + 1)).toSeq
+    val batches = base.zipWithIndex.map { case (b, i) =>
+      if (i == 0) b
+      else b ++ rnd.shuffle(base(i - 1)).take(base(i - 1).length / 2)
+    }
+    assert(runStream(batches) === want)
+  }
+
+  test("restart from checkpoint mid-corpus: no loss, no re-emission") {
+    // the interleaving the memory-sink tests cannot reach: the query
+    // DIES between micro-batches and a new query recovers bucket state
+    // from the checkpoint, then an at-least-once producer re-delivers
+    // rows from BEFORE the crash alongside the remainder of the corpus.
+    // Exactly-once emission must hold ACROSS the restart boundary —
+    // recovered state must neither forget residents (lost pairs) nor
+    // re-compare re-delivered ones (duplicate pairs).
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = corpusRows().sortBy(_.vecId)
+    val want = batchRelation()
+    val (first, rest) = rows.splitAt(rows.length / 2)
+    val out = java.nio.file.Files.createTempDirectory("neardup_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("neardup_ckpt").toString
+    val input = MemoryStream[VecIn]
+    def start() = StreamingNearDup.pairs(input.toDS(), threshold = 0.8)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try { input.addData(first); q1.processAllAvailable() } finally q1.stop()
+    // crash boundary: new query, same checkpoint; the next batch
+    // re-delivers the tail of the pre-crash data plus the remainder
+    val q2 = start()
+    try {
+      input.addData(first.takeRight(first.length / 3) ++ rest)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = spark.read.parquet(out).as[NearDupPair].collect().toSeq
+      .map(p => (p.d1, p.d2, p.sim))
+    assert(got.distinct.size === got.size,
+      "restart re-emitted a pair (state recovered but replay re-compared)")
+    assert(got.toSet === want,
+      "restart lost pairs (bucket state not recovered)")
+  }
+
+  test("TWS twin restart from checkpoint: RocksDB state recovers exactly-once") {
+    // same crash-boundary interleaving as the fMGWS restart case, on
+    // the transformWithState twin whose state lives in RocksDB — the
+    // provider a production deployment actually restarts on
+    withRocksDbProvider {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val rows = corpusRows().sortBy(_.vecId)
+      val want = batchRelation()
+      val (first, rest) = rows.splitAt(rows.length / 2)
+      val out = java.nio.file.Files.createTempDirectory("neardup_tws_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("neardup_tws_ckpt").toString
+      val input = MemoryStream[VecIn]
+      def start() = StreamingNearDupTws.pairs(input.toDS(), threshold = 0.8)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      try { input.addData(first); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(first.takeRight(first.length / 3) ++ rest)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(out).as[NearDupPair].collect().toSeq
+        .map(p => (p.d1, p.d2, p.sim))
+      assert(got.distinct.size === got.size,
+        "TWS restart re-emitted a pair")
+      assert(got.toSet === want, "TWS restart lost pairs")
+    }
+  }
+
   test("emission is exactly-once: no pair row is duplicated") {
     val rows = corpusRows()
     implicit val sqlCtx = spark.sqlContext
