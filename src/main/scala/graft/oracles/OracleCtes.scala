@@ -1389,28 +1389,34 @@ private[graft] object OracleCtes {
 
   /** base-26 len-4 encode of ordinal expression `x`, in DuckDB SQL. */
   /** Shared IVF training prefix (Forgy seed + one fixed-point Lloyd
-    * round over the full embedding corpus, 16 cells): ends at `c1`, the
-    * trained centroid lists — the SQL mirror of the cached
+    * round over the full embedding corpus): ends at `c1`, the trained
+    * centroid lists — the SQL mirror of the cached
     * `lloydCentroids(..., "full")` artifact that q_semdedup and
-    * q_embedding_outliers both serve. */
+    * q_embedding_outliers both serve. The assignment scan (`a1`) is
+    * spelled RELATIONALLY (unnested `rv` joined to per-dim seed rows
+    * `c0d`, integer SUM, identical floor-q12 arithmetic) rather than
+    * as per-pair list lambdas: DuckDB vectorizes the join form ~40×,
+    * which is what lets the sf1 oracle sweep replay the N × cells
+    * training inside its per-oracle cap (r14 — the lambda form timed
+    * BOTH semdedup doors out at 900 s while Spark finished in
+    * seconds). Consumers keep `e` (vector lists), `rv` (unnested),
+    * `r` (q16), `c1d` (per-dim trained centroids), `c1` (lists). */
   val ivfTrainCte: String =
     """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |r AS (SELECT vec_id, CAST(i AS INT) AS d,
-      |        CAST(round(v[i] * 65536) AS BIGINT) AS q16
+      |rv AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS d, v[i] AS x
       |      FROM e, generate_series(1, 64) t(i)),
+      |r AS (SELECT vec_id, d, CAST(round(x * 65536) AS BIGINT) AS q16 FROM rv),
       |cc AS (SELECT greatest(16, (count(*) + 99) // 100) AS nc FROM embeddings),
-      |c0 AS (SELECT CAST(vec_id AS INT) AS cell,
-      |         list_transform(v, x -> round(x, 6)) AS m
-      |       FROM e WHERE vec_id < (SELECT nc FROM cc)),
+      |c0d AS (SELECT CAST(vec_id AS INT) AS cell, d, round(x, 6) AS m
+      |        FROM rv WHERE vec_id < (SELECT nc FROM cc)),
       |a1 AS (SELECT vec_id, cell FROM (
-      |         SELECT t.vec_id, c.cell, row_number() OVER (
-      |           PARTITION BY t.vec_id ORDER BY list_reduce(
-      |             list_transform(range(1, 65), i ->
-      |               CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-      |             (x, y) -> x + y), c.cell) AS rn
-      |         FROM e t, c0 c)
+      |         SELECT t.vec_id, t.cell, row_number() OVER (
+      |           PARTITION BY t.vec_id ORDER BY t.dist, t.cell) AS rn
+      |         FROM (SELECT rv.vec_id, c.cell,
+      |                 sum(CAST(floor((rv.x - c.m) * (rv.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
+      |               FROM rv JOIN c0d c ON rv.d = c.d GROUP BY 1, 2) t)
       |       WHERE rn = 1),
-      |c1d AS (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
+      |c1d AS MATERIALIZED (SELECT a.cell, r.d, round(sum(r.q16) / 65536.0 / count(*), 6) AS m
       |        FROM r JOIN a1 a ON r.vec_id = a.vec_id GROUP BY 1, 2),
       |c1 AS (SELECT cell, list(m ORDER BY d) AS m FROM c1d GROUP BY 1)""".stripMargin
 
@@ -1427,12 +1433,11 @@ private[graft] object OracleCtes {
     * are cell-closed, so the restriction is exact for those cells. */
   def semDedupReachCteSampled(pairPred: String): String =
     s"""best AS (SELECT vec_id, cell FROM (
-      |           SELECT t.vec_id, c.cell, row_number() OVER (
-      |             PARTITION BY t.vec_id ORDER BY list_reduce(
-      |               list_transform(range(1, 65), i ->
-      |                 CAST(floor((t.v[i] - c.m[i]) * (t.v[i] - c.m[i]) * 1e12 + 0.5) AS BIGINT)),
-      |               (x, y) -> x + y), c.cell) AS rn
-      |           FROM e t, c1 c)
+      |           SELECT t.vec_id, t.cell, row_number() OVER (
+      |             PARTITION BY t.vec_id ORDER BY t.dist, t.cell) AS rn
+      |           FROM (SELECT rv.vec_id, c.cell,
+      |                   sum(CAST(floor((rv.x - c.m) * (rv.x - c.m) * 1e12 + 0.5) AS BIGINT)) AS dist
+      |                 FROM rv JOIN c1d c ON rv.d = c.d GROUP BY 1, 2) t)
       |         WHERE rn = 1),
       |n AS (SELECT vec_id, sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm FROM e),
       |pairs AS (SELECT a.vec_id AS d1, b.vec_id AS d2

@@ -301,7 +301,14 @@ object Similarity {
     * nothing is broadcast or enumerated all-pairs — the shape that
     * makes near-dedup at strict thresholds linear-ish in practice, and
     * the measured contrast to the priced q_embedding_neardup physics
-    * case (sf1 sentinel rides both). */
+    * case (sf1 sentinel rides both). Two decades measured (r14): 4.3×
+    * at sf0.1→sf1, 16.2× at sf1→sf10 (128 shuffle partitions; at the
+    * sweep's fixed 32 the same data read 2.8× worse from sort-spill —
+    * partition count is the deployment dial, not the plan). The
+    * residual super-linearity is the banding identity: the random-
+    * collision term is N²/2^bandBits per band — banding divides the
+    * quadratic's constant by 65536, it does not change the exponent,
+    * and on isotropic corpora no exact-threshold shortlist can. */
   def qEmbeddingNearDupStrict(
       spark: SparkSession, dir: String, threshold: Double = 0.8): DataFrame = {
     val tables = StrictTables
