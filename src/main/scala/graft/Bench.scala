@@ -1,11 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark harness: runs every query in [[SparkEntry.queries]] `n >= 3`
-  * times (round-robin, so later rounds see the same warm caches for every
-  * query) and reports the PER-QUERY MEDIAN — single runs on a busy box
-  * swing ±30% to several-× on sub-second queries (measured across rounds;
-  * the medians are what settle "regression or noise").
+/** Benchmark harness: runs every query in [[SparkEntry.queries]] in
+  * round-robin passes — pass 0 is the cold/warmup pass (recorded but
+  * excluded from medians once a warm sample exists), then up to `n`
+  * (default 3) warm passes AS THE WALL BUDGET ALLOWS
+  * (SPARK_GRAFT_TOTAL_BUDGET, default 600 s) — and reports the
+  * PER-QUERY MEDIAN over the warm samples. Single runs on a busy box
+  * swing ±30% to several-× on sub-second queries (measured across
+  * rounds; the medians are what settle "regression or noise"); the
+  * budget gate exists because rounds 12-14 all lost their driver bench
+  * artifact to an external kill (rc 124) that landed before an
+  * unbounded warmup+3-pass sweep could finish — completed-and-partial
+  * beats killed-and-absent.
   *
   * Output discipline: the final stdout line is ONE compact JSON object
   * (`{"metric":"total","value":T,"unit":"sec","queries":{...},"sf":...}`).
@@ -146,20 +153,24 @@ object Bench {
     // the r12 driver bench produced NO artifact because sweep + leg
     // outgrew the driver's external kill window (rc 124, parsed null) —
     // a bench that half-runs is worth less than a smaller bench that
-    // completes. The leg's budget is therefore whatever the total
-    // leaves over, and audit/summary emission is incremental below so
-    // even an external kill leaves parsed data.
+    // completes. Audit/summary emission is incremental below so even an
+    // external kill leaves parsed data.
     val t0All = System.nanoTime()
     def elapsedAll: Double = (System.nanoTime() - t0All) / 1e9
-    // 1050 s default (r14; was 1700): r12 AND r13 were both externally
-    // killed at rc 124, proving the driver's kill window is below
-    // 1700 s of Bench main() time (plus sbt launch overhead the budget
-    // cannot see). The budget must leave the process EXITING CLEANLY
-    // before the window — a complete 1050 s record beats a killed
-    // 1700 s one, and the sentinel-first leg ordering below already
-    // spends a shrunken leg on the highest-value entries.
+    // 600 s default (r15; was 1050, before that 1700): r12-r14 were ALL
+    // externally killed at rc 124 — and r14 proved the kill lands
+    // MID-SWEEP, because the budget only gated the scale leg while the
+    // sweep (warmup + n passes) ran unbounded. From r15 the budget
+    // gates EVERYTHING: the sweep stops cleanly (fewer timed passes,
+    // medians over what completed) and the process exits rc 0 before
+    // the driver's kill window. A complete 600 s record beats a killed
+    // 1050 s one four rounds running.
     val totalBudget =
-      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET", "1050").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET", "600").toDouble
+    // reserve for spark.stop() + final emit: the budget gate stops new
+    // work at totalBudget - stopMargin so the JVM exits before the
+    // window even when the last query ran long
+    val stopMargin = 15.0
     // ---- kill insurance, registered BEFORE anything can fail: a
     // Hadoop-manager shutdown hook at priority 1. Spark installs its
     // entire hook stack (SparkContext stop, temp-dir cleanup) as ONE
@@ -193,6 +204,16 @@ object Bench {
     // round record instead of a bare stack-trace tail
     lastSummary =
       s"""{"metric":"total","value":0,"unit":"sec","sf":"${sfDir.split('/').last}","n_queries":0,"n_failed":0,"failed":[],"partial":"pre-sweep","queries":{}}"""
+    // OUTPUT DISCIPLINE: the consumer keeps only a bounded ~2000-char
+    // tail of the merged stream, and the r14 tail was wall-to-wall
+    // `WindowExec: No Partition Defined` WARN spam — enough alone to
+    // displace any summary line. The bench session logs ERRORs only
+    // (query failures print through System.err directly and are
+    // unaffected); root level drops to ERROR before the session builds
+    // so startup INFO/WARN noise never enters the stream either.
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -218,7 +239,7 @@ object Bench {
       // into a multi-GB transient collect.
       .config("spark.graft.walkIndex.maxBytes", String.valueOf(256L << 20))
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up JIT/codegen + parquet footer caches before timing
     spark.range(0, 1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -231,55 +252,9 @@ object Bench {
       .filter(q => only.forall(_.contains(q)))
     val runs = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    // One untimed full sweep before the timed rounds: run 1 of a timed
-    // round otherwise pays JIT + the first build of every
-    // session-lifetime intermediate (shingle arrays, trained codebooks,
-    // corpus-to-cell assignments), and with n=3 that single cold run
-    // lands IN the median (round 6 measured q_scalar_subquery median
-    // 9.8 s vs best 0.87 s from exactly this). After the sweep the
-    // intermediates exist, so every timed run measures the steady state
-    // the medians claim. Failures here stay quiet — the timed loop
-    // reports them loudly.
-    for (name <- names) {
-      graft.pipeline.TrainingData.invalidateCaches(spark)
-      graft.graph.GraphOps.invalidateCaches(spark)
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-    }
-    for (_ <- 1 to n; name <- names) {
-      val fn = SparkEntry.queries(name)
-      // full-RESULT caches would make later runs time a map lookup, not
-      // the operator (the cluster table and the pagerank rank frames are
-      // cached per session by design — a bench must measure the compute,
-      // so every run starts cold). Cross-query INTERMEDIATE caches stay
-      // (dedup shingle arrays, trained IVF/PQ model artifacts, the
-      // corpus-to-cell assignment): they are the library's documented
-      // compute-once-per-corpus shape, and BENCH_LOCAL.json keeps the
-      // raw per-run values for audit.
-      graft.pipeline.TrainingData.invalidateCaches(spark)
-      graft.graph.GraphOps.invalidateCaches(spark)
-      val t0 = System.nanoTime()
-      // a failure must be LOUD: a silently-dropped query shrinks the
-      // total, which reads as a speedup to anyone comparing bench lines
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            // a dying JVM's stopped-context failures are shutdown noise,
-            // not query verdicts — and printing them would push the
-            // summary line out of the consumer's bounded tail
-            if (!dying) System.err.println(
-              s"FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-            false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      runs(name) = runs(name) :+ (if (ok) dt else -1.0)
-    }
-    val med = names.map(q => q -> median(runs(q).filter(_ >= 0)))
-    val medMap = med.toMap
 
-    // regression gate — computed BEFORE the sf1 leg so every
-    // incremental summary line below already carries it. The default
+    // regression gate inputs — parsed BEFORE the sweep so every
+    // incremental summary line already carries the gate. The default
     // baseline is the COMMITTED `bench_baseline.json` (a git-pinned
     // copy of the last valid driver run's audit): diffing against the
     // last-WRITTEN working file let repeated same-round runs reset the
@@ -298,11 +273,30 @@ object Bench {
     val cpusMatch = parseCpus(baselineTxt).forall(_ == cpus.toInt)
     val prior =
       if (cpusMatch) parseMedians(baselineTxt) else Map.empty[String, Double]
-    val ctxScale = contextScale(prior, med)
-    val regressed = regressionsOf(prior, med, ctxScale)
-    // any query with a failed run is named in the output — the total
-    // alone cannot distinguish "faster" from "silently broken"
-    val failed = names.filter(q => runs(q).exists(_ < 0))
+
+    // Pass 0 doubles as the warmup (r15; the untimed warmup sweep and
+    // the unconditional n timed passes are what made r12-r14 outgrow
+    // the driver's kill window). It is timed and RECORDED, but once a
+    // query has a warm sample its pass-0 cold run is EXCLUDED from the
+    // median — cold pays JIT + the first build of every
+    // session-lifetime intermediate (shingle arrays, trained codebooks,
+    // corpus-to-cell assignments; round 6 measured q_scalar_subquery
+    // 9.8 s cold vs 0.87 s warm), which is not the steady state the
+    // medians claim. Under a tight budget a query may end the sweep
+    // with ONLY its cold sample — honest, and visible in
+    // BENCH_LOCAL.json's raw runs vectors.
+    def timedRuns(q: String): Vector[Double] = {
+      val v = runs(q)
+      if (v.size > 1) v.drop(1) else v
+    }
+    def medNow: Seq[(String, Double)] =
+      names.map(q => q -> median(timedRuns(q).filter(_ >= 0)))
+    // any query with a failed (warm-pass) run is named in the output —
+    // the total alone cannot distinguish "faster" from "silently broken"
+    def failedNow: Seq[String] = names.filter(q => timedRuns(q).exists(_ < 0))
+    // queries the budget gate never reached (their runs vector is
+    // empty): counted loudly on the line, never silently dropped
+    def unmeasuredNow: Seq[String] = names.filter(q => runs(q).isEmpty)
 
     // ---- sf1 scale leg (r11): one cold run of the 20 most expensive
     // queries at 10x the bench SF — the cliff probe (cache eviction,
@@ -340,13 +334,16 @@ object Bench {
     val sf10Skipped = collection.mutable.ListBuffer.empty[String]
 
     // ---- incremental emission: the audit file AND the stdout summary
-    // line are (re)written after the sweep and after EVERY sf1 entry.
+    // line are (re)written after EVERY completed query — sweep passes
+    // and scale-leg entries alike (r15; r14's post-sweep-only emission
+    // left a summaryless tail when the driver's kill landed mid-sweep).
     // The consumer keeps only a bounded ~2000-char tail of the log, so
-    // whatever line was emitted last is the one it parses — an external
-    // kill mid-leg now costs the unmeasured remainder of the leg, not
-    // the whole round's bench record (r12 shipped rc 124 / parsed null
-    // because both artifacts were end-of-run only).
+    // whatever line was emitted last is the one it parses, and the
+    // line's `elapsed` field doubles as the heartbeat that measures the
+    // driver's kill window from any rc-124 artifact.
     def writeAudit(): Unit = {
+      val med = medNow
+      val regressed = regressionsOf(prior, med, contextScale(prior, med))
       val r = names.map(q => s""""$q":[${runs(q).mkString(",")}]""")
         .mkString("{", ",", "}")
       val m = med.map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
@@ -370,13 +367,18 @@ object Bench {
       // NOTE: "medians" stays the LAST key (parseMedians is brace-bounded
       // now, but the audit format keeps the convention regardless)
       val audit =
-        s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"elapsed":${fmt(elapsedAll)},"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(ctxScale)},"regressions":$reg,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_errs":$s1errs,"sf1_skipped":$s1skip,"sf10_top5":$s10,"sf10_skipped":$s10skip,"runs":$r,"medians":$m}"""
+        s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"elapsed":${fmt(elapsedAll)},"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(contextScale(prior, med))},"regressions":$reg,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_errs":$s1errs,"sf1_skipped":$s1skip,"sf10_top5":$s10,"sf10_skipped":$s10skip,"runs":$r,"medians":$m}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case _: Throwable => () } // audit file is best-effort
     }
     def summaryLine(): String = {
+      val med = medNow
+      val medMap = med.toMap
+      val failed = failedNow
+      val ctxScale = contextScale(prior, med)
+      val regressed = regressionsOf(prior, med, ctxScale)
       val total = fmt(med.map(_._2).filter(_ >= 0).sum)
       val sfLabel = sfDir.split('/').last
       // the PREFIX must stay bounded too (the budget below only trims
@@ -422,7 +424,12 @@ object Bench {
         .mkString("[", ",", "]")
       val sf1Meta =
         s""""sf1_n":${sf1Results.size},"sf1_n_skipped":${sf1Skipped.size},"""
-      val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_regressed":${regressed.size},"ctx_scale":${fmt(ctxScale)},"regressions":$regJson,$sf1Meta"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
+      // "elapsed" is the heartbeat: seconds of main() wall time at this
+      // emission — an rc-124 artifact's last line turns the driver's
+      // kill window from a guess into a measurement. "n_unmeasured"
+      // counts queries the budget gate never reached (0 on any healthy
+      // run; nonzero means the budget bound before pass 0 finished).
+      val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","elapsed":${fmt(elapsedAll)},"n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_unmeasured":${unmeasuredNow.size},"n_regressed":${regressed.size},"ctx_scale":${fmt(ctxScale)},"regressions":$regJson,$sf1Meta"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
       val suffix = "}}"
       val entries = med.sortBy(-_._2)
         .map { case (q, v) => s""""$q":${fmt(v)}""" }
@@ -445,6 +452,54 @@ object Bench {
       lastSummary = line // the kill-time hook re-prints exactly this
       println(line)
     }
+
+    // ---- the sweep: pass 0 (cold/warmup) + up to n warm passes, every
+    // query gated on the remaining budget. The gate is conservative per
+    // query (its own worst recorded time as the estimate), and a trip
+    // stops the WHOLE sweep — medians over the samples that exist beat
+    // an rc-124 kill mid-query (r12-r14, three artifacts lost).
+    def estOf(q: String): Double = {
+      val v = runs(q).filter(_ >= 0)
+      if (v.isEmpty) 2.0 else v.max
+    }
+    var sweepStopped = false
+    for (pass <- 0 to n; name <- names if !sweepStopped) {
+      if (dying ||
+        elapsedAll + estOf(name) > totalBudget - stopMargin) {
+        sweepStopped = true
+      } else {
+        // full-RESULT caches would make later runs time a map lookup,
+        // not the operator (the cluster table and the pagerank rank
+        // frames are cached per session by design — a bench must
+        // measure the compute, so every run starts cold). Cross-query
+        // INTERMEDIATE caches stay (dedup shingle arrays, trained
+        // IVF/PQ model artifacts, the corpus-to-cell assignment): they
+        // are the library's documented compute-once-per-corpus shape,
+        // and BENCH_LOCAL.json keeps the raw per-run values for audit.
+        graft.pipeline.TrainingData.invalidateCaches(spark)
+        graft.graph.GraphOps.invalidateCaches(spark)
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        // a failure must be LOUD: a silently-dropped query shrinks the
+        // total, which reads as a speedup to anyone comparing lines
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              // a dying JVM's stopped-context failures are shutdown
+              // noise, not query verdicts — and printing them would
+              // push the summary line out of the consumer's tail
+              if (!dying) System.err.println(
+                s"FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        runs(name) = runs(name) :+ (if (ok) dt else -1.0)
+        emit()
+      }
+    }
+    val med = medNow
+    val medMap = med.toMap
     emit() // post-sweep snapshot: a kill mid-leg keeps the sweep record
     // harness self-test knob (BenchKillSpec): park here so an external
     // `timeout -s TERM` deterministically lands while the SparkContext
@@ -584,12 +639,18 @@ object Bench {
             // its own 30 s watchdog: a denominator that needs more
             // (r12: q_stump_crossval at 39 s) eats leg budget without
             // being scale evidence — fall back to the sweep median,
-            // visible as the query's absence from sf1_cold
+            // visible as the query's absence from sf1_cold. Skipped
+            // outright below the capFloor: a cap <= 0 means the
+            // watchdog's deadline is already past and cancelJobGroup
+            // cancels nothing — the run would execute UNCAPPED (the
+            // r15 ADVICE hole).
             val elapsed = (System.nanoTime() - t0) / 1e9
-            val (cOk, _, cSecs, _) =
-              cappedRun(name, sfDir, math.min(30.0, budget - elapsed))
-            if (cOk) sf1Cold(name) = cSecs
-            dropAll()
+            val denomCap = math.min(30.0, budget - elapsed)
+            if (denomCap >= capFloor) {
+              val (cOk, _, cSecs, _) = cappedRun(name, sfDir, denomCap)
+              if (cOk) sf1Cold(name) = cSecs
+              dropAll()
+            }
             // re-check AFTER the cold run: a 30 s denominator can eat
             // the last of the leg budget, and starting the sf1 run with
             // a non-positive cap is the uncapped-run hole above
@@ -658,11 +719,16 @@ object Bench {
             dropAll()
             // cold sf1 denominator, measured in THIS leg (the sf1
             // leg's reading, when present, was a different moment of
-            // the box — decade ratios must be same-conditions)
-            val (bOk, _, bSecs, _) = cappedRun(name, sf1Dir, math.min(
-              300.0, budget - (System.nanoTime() - t0) / 1e9))
-            if (bOk) sf10Base(name) = bSecs
-            dropAll()
+            // the box — decade ratios must be same-conditions); same
+            // capFloor guard as the sf1 leg's denominator (a cap <= 0
+            // would run uncapped — the r15 ADVICE hole)
+            val baseCap = math.min(
+              300.0, budget - (System.nanoTime() - t0) / 1e9)
+            if (baseCap >= capFloor) {
+              val (bOk, _, bSecs, _) = cappedRun(name, sf1Dir, baseCap)
+              if (bOk) sf10Base(name) = bSecs
+              dropAll()
+            }
             val capSecs = math.min(queryCap,
               budget - (System.nanoTime() - t0) / 1e9)
             if (capSecs < capFloor) sf10Skipped += name

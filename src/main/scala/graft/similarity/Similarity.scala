@@ -1147,10 +1147,39 @@ object Similarity {
       org.apache.spark.sql.GraftShim.expression(col("xs")),
       org.apache.spark.sql.GraftShim.expression(ms)))
 
-  /** Nearest trained cell per vector: crossJoin against the tiny
-    * broadcast centroid relation, map-side-combinable argmin. Input
-    * needs (vec_id, xs); emits (vec_id, cell, dist). */
-  private def assignCells(input: DataFrame, cent: DataFrame): DataFrame =
+  /** Nearest trained cell per vector — (vec_id, xs) in, (vec_id, cell,
+    * dist) out, bit-identical to [[assignCellsFlat]] (SimilaritySpec
+    * pins the equality). r15 (guide §2.4/§3): the flat N × cells
+    * crossJoin + argmin evaluated the q12 metric against EVERY centroid
+    * and shuffled an aggregation per vector; with the scale-adaptive
+    * cell count (cells ≈ N/100) that is O(N²/100) — the r14 sf10 probe
+    * measured q_mutual_knn_ivf at 33× for 10× data on this exact term.
+    * The [[IvfAssign]] kernel probes a driver-built two-level index
+    * (√k meta-centroids + exact triangle-inequality pruning) instead:
+    * O(N·(√k + survivors)) work, ZERO exchanges (the plan is a stateless
+    * projection), same collected-and-broadcast model-publish contract
+    * the centroid relation already had. */
+  private[similarity] def assignCells(input: DataFrame, cent: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val spark = cent.sparkSession
+    import spark.implicits._
+    val rows = cent
+      .select(col("cell").cast("int"), col("ms"))
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val index = new IvfCellIndex(
+      rows.map(_._1), rows.map(_._2.toArray))
+    input
+      .select(col("vec_id"), GraftShim.column(IvfAssign(
+        GraftShim.expression(col("xs")), index)).as("mc"))
+      .select(col("vec_id"), col("mc.cell").as("cell"),
+        col("mc.dist").as("dist"))
+  }
+
+  /** The pre-r15 flat assignment — crossJoin against the broadcast
+    * centroid relation + min-struct argmin. Kept as the executable
+    * specification [[assignCells]] is pinned against. */
+  private[similarity] def assignCellsFlat(
+      input: DataFrame, cent: DataFrame): DataFrame =
     input
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), cellDist(col("ms")).as("dist"), col("cell"))

@@ -83,6 +83,70 @@ class BenchKillSpec extends AnyFunSuite {
       s"hook re-printed the bootstrap line, not the post-sweep summary: $last")
   }
 
+  /** The r15 lesson (VERDICT r14): the driver runs Bench under an sbt
+    * WRAPPER whose output pump dies with it — a SIGTERM-time shutdown
+    * hook cannot win that race, because the child's last line dies in
+    * the dead wrapper's pipe. The only robust fix is finishing BEFORE
+    * the kill: the budget gate must stop the sweep and exit rc 0. This
+    * test drives Bench through a pipe wrapper (stdout/stderr pumped by
+    * a separate process, like sbt's log pump) with a budget the sweep
+    * fits, and asserts the process exits CLEANLY within the budget +
+    * margin with a parseable final summary carrying the `elapsed`
+    * heartbeat.
+    */
+  test("budget self-termination under a piped wrapper: rc 0, parseable tail") {
+    val tmp = java.nio.file.Files.createTempDirectory("bench_budget").toFile
+    val outFile = new java.io.File(tmp, "out.log")
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val javaCmd = (Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-cp", sys.props("java.class.path"), "graft.Bench"))
+      .map(a => "'" + a.replace("'", "'\\''") + "'").mkString(" ")
+    // the wrapper: a shell parent whose `cat` pump forwards the merged
+    // stream (sbt's topology in miniature). A clean child exit closes
+    // the pipe, the pump flushes everything, and the tail survives.
+    val pb = new ProcessBuilder("sh", "-c", s"$javaCmd 2>&1 | cat")
+    pb.directory(tmp)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(outFile)
+    val env = pb.environment()
+    env.put("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    env.put("SPARK_GRAFT_CPUS", "2")
+    env.put("SPARK_GRAFT_BENCH_N", "3")
+    env.put("SPARK_GRAFT_BENCH_ONLY",
+      "q1_pricing_summary,q6_forecast_revenue,q_dedup_exact")
+    env.put("SPARK_GRAFT_SF1", "0")
+    env.put("SPARK_GRAFT_TOTAL_BUDGET", "150")
+    val budgetMargin = 90 // JVM+Spark teardown and box noise headroom
+    val t0 = System.nanoTime()
+    val p = pb.start()
+    try {
+      assert(p.waitFor(150 + budgetMargin, java.util.concurrent.TimeUnit.SECONDS),
+        s"Bench did not self-terminate within budget+margin; tail: ${tailOf(outFile)}")
+      val wall = (System.nanoTime() - t0) / 1e9
+      assert(p.exitValue == 0,
+        s"Bench exited rc ${p.exitValue} (wall ${wall}s); tail: ${tailOf(outFile)}")
+    } finally if (p.isAlive) p.destroyForcibly()
+
+    val lines = new String(java.nio.file.Files.readAllBytes(outFile.toPath))
+      .split('\n').map(_.trim).filter(_.nonEmpty)
+    val last = lines.last
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(last)
+      catch { case e: Throwable =>
+        fail(s"last output line is not JSON (${e.getMessage}): $last")
+      }
+    assert(node.get("metric") != null && node.get("metric").asText == "total",
+      s"last line is JSON but not the bench summary: $last")
+    assert(node.get("elapsed") != null && node.get("elapsed").asDouble <= 150.0,
+      s"summary heartbeat missing or past budget: $last")
+    assert(node.get("n_queries").asInt == 3, s"wrong query count: $last")
+    // the tiny subset must complete fully inside a 150 s budget —
+    // nothing unmeasured, every query carries a median
+    assert(node.get("n_unmeasured").asInt == 0, s"unmeasured queries: $last")
+  }
+
   private def tailOf(f: java.io.File): String =
     if (!f.exists()) "<no output file>"
     else {

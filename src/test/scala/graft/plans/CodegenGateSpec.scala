@@ -121,6 +121,14 @@ class CodegenGateSpec extends SparkSpec {
     compiledEqualsInterpreted(Q12SqDist(dArr,
       Literal.create(Array(0.25d, -1.75d, 3.5d),
         ArrayType(DoubleType, containsNull = false))))
+    // the r15 two-level assignment kernel: enough cells to engage the
+    // meta level, 3-dim vectors (the truncated-dim flat-scan rail is
+    // separately covered by the n != dim fallback on these same cells)
+    val rnd = new scala.util.Random(5)
+    val ivfIdx = new IvfCellIndex(
+      (0 until 80).toArray,
+      Array.fill(80)(Array.fill(3)(rnd.nextGaussian())))
+    compiledEqualsInterpreted(IvfAssign(dArr, ivfIdx))
     compiledEqualsInterpreted(HilbertIndexValue(Literal(37L), Literal(101L)))
     compiledEqualsInterpreted(ZOrderValue(Literal(37L), Literal(101L)))
     val adj = new java.util.HashMap[java.lang.Long, Array[Long]]()

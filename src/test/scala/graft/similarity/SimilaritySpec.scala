@@ -752,6 +752,50 @@ class SimilaritySpec extends SparkSpec {
     assert(diff === 0L, "fused q12 kernel diverged from the column spelling")
   }
 
+  test("two-level IvfAssign index == flat crossJoin argmin, bit-exact") {
+    // the r15 assignment kernel's exactness pin: pruned nearest-cell
+    // assignment must reproduce the flat N × cells argmin — including
+    // the min-struct tie-break by cell id — on (a) random vectors with
+    // enough cells to engage the meta level, (b) DUPLICATE centroids
+    // (forced quantized ties), (c) the real sf0.001 corpus. Every
+    // trained-index oracle rides on this equality.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def vec() = Array.fill(64)(rnd.nextGaussian())
+    // 200 centroids (k >= 64 engages the meta level), with dups: cells
+    // 180-199 duplicate cells 0-19 exactly — every vector nearest one
+    // of those has a quantized TIE the cell-id tie-break must settle
+    val baseCents = (0 until 180).map(i => (i, vec().toSeq))
+    val cents = (baseCents ++ (180 until 200).map(i =>
+      (i, baseCents(i - 180)._2))).toDF("cell", "ms")
+    val vecs = (0 until 2000).map(i => (i.toLong, vec().toSeq)).toDF("vec_id", "xs")
+    val kernel = Similarity.assignCells(vecs, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val flat = Similarity.assignCellsFlat(vecs, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(kernel === flat, "pruned assignment diverged from flat argmin")
+    // ties actually occurred (a dup centroid won for someone) — the
+    // fixture exercises the tie-break path, not just the argmin
+    assert(kernel.exists(_._2 < 20) || flat.exists(_._2 < 20))
+    // (c) the real corpus end-to-end: same equality on sf0.001
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("xs"))
+    val realK = kernelVsFlat(emb, cents)
+    assert(realK, "pruned assignment diverged on the real corpus")
+  }
+
+  private def kernelVsFlat(
+      emb: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): Boolean = {
+    val a = Similarity.assignCells(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.assignCellsFlat(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    a == b
+  }
+
   test("cell-sampled semdedup twin == full semdedup restricted to sampled cells") {
     // the exactness claim that licenses the twin's cheap sf1 oracle:
     // SemDeDup components are CLOSED within a cell, so restricting the
