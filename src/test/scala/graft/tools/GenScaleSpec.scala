@@ -108,4 +108,22 @@ class GenScaleSpec extends SparkSpec {
     GenScale.assertKeyHeadroom(
       Seq.empty[(Long, Long)].toDF("event_id", "user_id"), "events")
   }
+
+  test("embedding copies past 2*(dim-1) fail loudly (rotation-cycle bound)") {
+    // at copies >= 2*(dim-1)+1 the rotation+negation scheme repeats
+    // cycle 0 verbatim, reviving the cross-copy ANN-tie artifact — the
+    // guard must trip BEFORE any table is written (r15 ADVICE)
+    import spark.implicits._
+    // tiny dim-4 embeddings: bound = 2*(4-1) = 6
+    val emb = Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(4f, 3f, 2f, 1f)))
+      .toDF("vec_id", "embedding")
+    GenScale.assertEmbeddingCopyBound(emb, 6) // at the bound: fine
+    val ex = intercept[IllegalArgumentException] {
+      GenScale.assertEmbeddingCopyBound(emb, 7)
+    }
+    assert(ex.getMessage.contains("decorrelation bound"), ex.getMessage)
+    // the real builds stay comfortably inside the dim-64 bound of 126
+    GenScale.assertEmbeddingCopyBound(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), 100)
+  }
 }
