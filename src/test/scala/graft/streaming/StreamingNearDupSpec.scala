@@ -194,6 +194,58 @@ class StreamingNearDupSpec extends SparkSpec {
     }
   }
 
+  test("fMGWS adversarial interleavings green on the RocksDB provider too") {
+    // r15 (r14 verdict item 6): the adversarial cases above run the
+    // fMGWS path on the session's default (HDFS-backed) provider; a
+    // 100 TB streaming ingest lives on RocksDB changelog state, so the
+    // same interleavings — split ordering, full at-least-once replay,
+    // poisoned conflicting replay, within-batch duplicates, and the
+    // crash/restart boundary — must hold with RocksDB serving the
+    // fMGWS state store as well.
+    val rows = corpusRows()
+    val want = batchRelation()
+    withRocksDbProvider {
+      val byId = rows.sortBy(_.vecId)
+      assert(runStream(
+        byId.grouped(math.max(1, byId.length / 3 + 1)).toSeq) === want,
+        "thirds split diverged on RocksDB")
+      assert(runStream(Seq(rows, rows)) === want,
+        "full replay perturbed the set on RocksDB")
+      val poisoned = rows.map(r =>
+        r.copy(embedding = r.embedding.map(x => -x)))
+      assert(runStream(Seq(rows, poisoned)) === want,
+        "conflicting re-delivery perturbed the set on RocksDB")
+      val doubled = rows.flatMap(r => Seq(r, r))
+      assert(runStream(Seq(doubled)) === want,
+        "within-batch duplicates changed the set on RocksDB")
+      // crash boundary with recovered RocksDB state + re-delivery
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val (first, rest) = byId.splitAt(byId.length / 2)
+      val out = java.nio.file.Files
+        .createTempDirectory("neardup_rdb_out").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("neardup_rdb_ckpt").toString
+      val input = MemoryStream[VecIn]
+      def start() = StreamingNearDup.pairs(input.toDS(), threshold = 0.8)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      try { input.addData(first); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(first.takeRight(first.length / 3) ++ rest)
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = spark.read.parquet(out).as[NearDupPair].collect().toSeq
+        .map(p => (p.d1, p.d2, p.sim))
+      assert(got.distinct.size === got.size,
+        "RocksDB restart re-emitted a pair")
+      assert(got.toSet === want, "RocksDB restart lost pairs")
+    }
+  }
+
   test("emission is exactly-once: no pair row is duplicated") {
     val rows = corpusRows()
     implicit val sqlCtx = spark.sqlContext
