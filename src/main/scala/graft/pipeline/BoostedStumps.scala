@@ -144,31 +144,49 @@ object BoostedStumps {
     * Scale shape: folds × the [[train]] pass structure (each a handful
     * of kilobyte-collect aggregations), plus one held-out census pass
     * per fold — all map-side combinable; the per-fold model ships back
-    * as a broadcast literal. */
+    * as a broadcast literal. Folds are INDEPENDENT read-only consumers
+    * of the persisted feature table, so they are submitted
+    * CONCURRENTLY (guide §2.6: overlap independent jobs so the next
+    * fold's tasks back-fill executors idled by the current fold's
+    * kilobyte-collect barriers) — r15 measured the sequential loop at
+    * ~35 driver round-trips of ~90 ms each with the cluster idle
+    * between them. Each fold's computation (and so the census) is
+    * bit-identical to the sequential order; only the submission
+    * overlaps. */
   def qStumpCrossval(
       spark: SparkSession, dir: String,
       folds: Int = 5, rounds: Int = 2): DataFrame = {
     import spark.implicits._
     val feats = featFrame(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(folds, 4))
     try {
       feats.count()
-      val out = (0 until folds).map { f =>
-        val tr = feats.filter(col("doc_id") % folds =!= f)
-        val model = train(spark, tr, rounds)
-        val nTrain = tr.count()
-        val (nTest, sumAbsErr) = feats
-          .filter(col("doc_id") % folds === f)
-          .agg(count(lit(1)).cast("long"),
-            coalesce(sum(abs(col("y") - predict(model))), lit(0L)))
-          .as[(Long, Long)].collect().head
-        // a fold can hold zero docs (n_docs < folds, sparse doc_id
-        // space): report it as an empty census, not a division error
-        val mae = if (nTest == 0) 0L else sumAbsErr / nTest
-        (f.toLong, nTrain, nTest, sumAbsErr, mae)
-      }
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val out = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence((0 until folds).map { f =>
+          scala.concurrent.Future {
+            val tr = feats.filter(col("doc_id") % folds =!= f)
+            val model = train(spark, tr, rounds)
+            val nTrain = tr.count()
+            val (nTest, sumAbsErr) = feats
+              .filter(col("doc_id") % folds === f)
+              .agg(count(lit(1)).cast("long"),
+                coalesce(sum(abs(col("y") - predict(model))), lit(0L)))
+              .as[(Long, Long)].collect().head
+            // a fold can hold zero docs (n_docs < folds, sparse doc_id
+            // space): report it as an empty census, not a division error
+            val mae = if (nTest == 0) 0L else sumAbsErr / nTest
+            (f.toLong, nTrain, nTest, sumAbsErr, mae)
+          }
+        }), scala.concurrent.duration.Duration.Inf)
       spark.createDataFrame(out)
         .toDF("fold", "n_train", "n_test", "sum_abs_err", "mae_fp")
-    } finally feats.unpersist(blocking = false)
+    } finally {
+      pool.shutdown()
+      feats.unpersist(blocking = false)
+    }
   }
 }
