@@ -462,41 +462,100 @@ object Bench {
       val v = runs(q).filter(_ >= 0)
       if (v.isEmpty) 2.0 else v.max
     }
-    var sweepStopped = false
-    for (pass <- 0 to n; name <- names if !sweepStopped) {
-      if (dying ||
-        elapsedAll + estOf(name) > totalBudget - stopMargin) {
-        sweepStopped = true
-      } else {
-        // full-RESULT caches would make later runs time a map lookup,
-        // not the operator (the cluster table and the pagerank rank
-        // frames are cached per session by design — a bench must
-        // measure the compute, so every run starts cold). Cross-query
-        // INTERMEDIATE caches stay (dedup shingle arrays, trained
-        // IVF/PQ model artifacts, the corpus-to-cell assignment): they
-        // are the library's documented compute-once-per-corpus shape,
-        // and BENCH_LOCAL.json keeps the raw per-run values for audit.
-        graft.pipeline.TrainingData.invalidateCaches(spark)
-        graft.graph.GraphOps.invalidateCaches(spark)
-        val fn = SparkEntry.queries(name)
-        val t0 = System.nanoTime()
-        // a failure must be LOUD: a silently-dropped query shrinks the
-        // total, which reads as a speedup to anyone comparing lines
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              // a dying JVM's stopped-context failures are shutdown
-              // noise, not query verdicts — and printing them would
-              // push the summary line out of the consumer's tail
-              if (!dying) System.err.println(
-                s"FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
-              false
-          }
-        val dt = (System.nanoTime() - t0) / 1e9
+    val sweepStopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // `runs` is a plain mutable.Map and emit() reads it whole — one lock
+    // covers recording, gate reads and emission for the concurrent
+    // warmup below (query EXECUTION stays outside the lock)
+    val runsLock = new Object
+    def gateTripped(name: String): Boolean = runsLock.synchronized {
+      dying || elapsedAll + estOf(name) > totalBudget - stopMargin
+    }
+    def runOnce(name: String): Unit = {
+      // full-RESULT caches would make later runs time a map lookup,
+      // not the operator (the cluster table and the pagerank rank
+      // frames are cached per session by design — a bench must
+      // measure the compute, so every run starts cold). Cross-query
+      // INTERMEDIATE caches stay (dedup shingle arrays, trained
+      // IVF/PQ model artifacts, the corpus-to-cell assignment): they
+      // are the library's documented compute-once-per-corpus shape,
+      // and BENCH_LOCAL.json keeps the raw per-run values for audit.
+      // (Invalidation at each query's OWN start keeps that honesty
+      // under the concurrent warmup too: a sibling's result cache is
+      // dropped before this query's clock starts. SessionCache is
+      // putIfAbsent-racing by design, so concurrent invalidate/build
+      // costs duplicate compute, never correctness.)
+      graft.pipeline.TrainingData.invalidateCaches(spark)
+      graft.graph.GraphOps.invalidateCaches(spark)
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      // a failure must be LOUD: a silently-dropped query shrinks the
+      // total, which reads as a speedup to anyone comparing lines
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            // a dying JVM's stopped-context failures are shutdown
+            // noise, not query verdicts — and printing them would
+            // push the summary line out of the consumer's tail
+            if (!dying) System.err.println(
+              s"FAILED $name: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      runsLock.synchronized {
         runs(name) = runs(name) :+ (if (ok) dt else -1.0)
         emit()
       }
+    }
+    // Pass 0 — CONCURRENT warmup (guide §2.6: independent read-only
+    // queries submitted from a small pool back-fill each other's driver
+    // round-trips, planning time and stage tails; a sequential cold
+    // pass leaves local[N] mostly idle because cold time is JIT +
+    // planning + serial sub-second actions, not saturated executors).
+    // Measured motivation (r15 driver-shape probe, ctx_scale-1.6 box):
+    // the sequential cold pass alone ate the whole 600 s budget — 36
+    // queries never ran and every reported median was a cold sample
+    // (q_frame_sample 30.3 s cold vs 0.24 s warm baseline → 53 phantom
+    // regressions). Contention can only INFLATE a pass-0 sample, and
+    // pass-0 samples are already excluded from the median once a warm
+    // sequential sample exists — the warmup's job is building JIT +
+    // session intermediates, and it must not starve the warm passes
+    // that produce the numbers the round is judged on.
+    {
+      val workers = math.max(2, math.min(4, cpus.toInt / 4))
+      val next = new java.util.concurrent.atomic.AtomicInteger(0)
+      val pool = (0 until workers).map { w =>
+        val t = new Thread(() => {
+          var go = true
+          while (go && !sweepStopped.get) {
+            val i = next.getAndIncrement()
+            if (i >= names.size) go = false
+            else if (gateTripped(names(i))) sweepStopped.set(true)
+            else runOnce(names(i))
+          }
+        }, s"bench-warmup-$w")
+        t.start(); t
+      }
+      pool.foreach(_.join())
+      // a warmup trip does NOT cancel the warm passes: under a tight
+      // budget the sequential samples below are the valuable ones, and
+      // their own gate re-checks per query
+    }
+    // Passes 1..n — sequential (clean, uncontended timing), SLOWEST
+    // FIRST by each query's worst recorded sample: under a tight budget
+    // the warm samples land exactly where they move the total most
+    // (replacing a 30 s cold+JIT sample with a 3 s warm one), and the
+    // queries left on their pass-0 sample are the sub-second tail whose
+    // cold numbers are already honest. Re-sorted each pass from the
+    // freshest estimates.
+    // A gate trip here SKIPS the query instead of stopping the pass:
+    // estimates are descending, so a 30 s-estimate trip with 20 s of
+    // budget left must still let the sub-second tail collect its warm
+    // samples. (`dying` still ends the loop outright.)
+    for (pass <- 1 to n) {
+      val order = runsLock.synchronized { names.sortBy(q => -estOf(q)) }
+      for (name <- order if !dying)
+        if (!gateTripped(name)) runOnce(name)
     }
     val med = medNow
     val medMap = med.toMap

@@ -143,4 +143,22 @@ object GenScale {
     }
     Files.createFile(marker)
   }
+
+  /** Standalone builder for the sf1 Verify sweep: the bench builds the
+    * upsample lazily inside its own session, but the oracle sweep
+    * (`graft.Verify` + `tools/check_oracle.py`) needs the dataset to
+    * exist BEFORE Verify starts. Args: srcDir dstDir [copies]. */
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try ensure(spark, src, dst, copies)
+    finally spark.stop()
+  }
 }
