@@ -164,7 +164,9 @@ class ScaleSentinelSpec extends SparkSpec {
       "q_knn_eval" -> "bounded: qid < nQueries literal",
       "q_hard_negatives" -> "q_ann_ivfpq + q_embedding_neardup (band probe)",
       "q_semantic_decontam" -> "bounded: eval side <= nQueries rows (broadcast)",
-      "q_ivf_ingest" -> "q_ann_ivfpq (corpus x cells assignment, cells ∝ N/100)",
+      // r15: q_ivf_ingest / q_embedding_outliers / q_cluster_sample
+      // left this list entirely — the IvfAssign two-level index turned
+      // their corpus×cells assignment joins into a stateless projection
       "q_kmeanspp_seed" -> "bounded: corpus x k seeds (k constant)",
       "q_mutual_knn" -> "q_mutual_knn_ivf (exact-by-contract N^2 twin, scaladoc-priced)",
       "q_mutual_knn_lsh" ->
@@ -179,7 +181,6 @@ class ScaleSentinelSpec extends SparkSpec {
       // domain (<= 64), fan-in is dim-bounded per row --
       "q_embed_whiten" -> "bounded: d in [0, 64)",
       "q_ood_score" -> "bounded: d in [0, 64)",
-      "q_embedding_outliers" -> "bounded: corpus x cells (occupancy-capped)",
       "q_pca_power" -> "bounded: i in [0, 64)",
       "q_auc" -> "bounded: dim key (score-vector index)",
       "q_calibration" -> "bounded: dim key",
@@ -214,7 +215,6 @@ class ScaleSentinelSpec extends SparkSpec {
       "q_hll_sliding" -> "bounded: src_hour explicit-offset key (window w)",
       "q_dpp_prune" -> "bounded: event_date key, calendar spine",
       "q_heavy_hitters" -> "bounded: (i, bucket) sketch grid (rows x width)",
-      "q_cluster_sample" -> "bounded: corpus x sampled-cluster list (k-capped)",
       "q_effective_diameter" -> "bounded: radius-row spine x distance census",
       "q_salted_join" -> "bounded: salt factor constant (the salting demo)")
     val tagged = graft.SparkEntry.queries.toSeq.sortBy(_._1)
