@@ -1430,7 +1430,15 @@ private[graft] object OracleCtes {
   /** [[semDedupReachCte]] with an optional extra pair predicate (e.g.
     * `a.cell % 8 = 0 AND` — note the trailing AND) restricting the
     * pair scan and the recursive closure to sampled cells: components
-    * are cell-closed, so the restriction is exact for those cells. */
+    * are cell-closed, so the restriction is exact for those cells.
+    *
+    * `edges` MUST be MATERIALIZED (r15): DuckDB inlines plain CTEs, so
+    * the recursive `reach` step would otherwise re-run the ENTIRE
+    * pairs pipeline (both assignment scans + the cosine join) once per
+    * closure iteration — at sf1 that replay spilled >90 GB of hash-
+    * join temp and died on disk while the materialized form finishes
+    * in ~90 s. Same rows either way; the keyword only pins evaluate-
+    * once (the [[mstSql]] rounds already did this). */
   def semDedupReachCteSampled(pairPred: String): String =
     s"""best AS (SELECT vec_id, cell FROM (
       |           SELECT t.vec_id, t.cell, row_number() OVER (
@@ -1447,7 +1455,7 @@ private[graft] object OracleCtes {
       |          WHERE $pairPred round(list_reduce(list_transform(range(1, 65),
       |              i -> ea.v[i] * eb.v[i]), (x, y) -> x + y)
       |            / (na.nrm * nb.nrm), 6) >= 0.4),
-      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
       |          UNION ALL SELECT d2, d1 FROM pairs),
       |reach(id, rr) AS (
       |  SELECT src, src FROM edges
@@ -2312,7 +2320,7 @@ private[graft] object OracleCtes {
       |pairs AS (SELECT d1, d2 FROM ip
       |          JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
       |          WHERE CAST(inter AS DOUBLE) / (s1.sz + s2.sz - inter) >= 0.5),
-      |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+      |edges AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM pairs
       |          UNION ALL SELECT d2, d1 FROM pairs),
       |reach(id, r) AS (
       |  SELECT src, src FROM edges
