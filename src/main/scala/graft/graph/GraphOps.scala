@@ -224,8 +224,15 @@ object GraphOps {
     * Scale shape: edges degree-annotated, partitioned once, persisted;
     * each round is one contribution shuffle + one node-sized left join,
     * LINEAGE-CUT via eager localCheckpoint (deep iteration — a lazy
-    * 40-round chain is unanalyzable); the dangling mass and residual
-    * are single-row aggregates (the only driver-side scalars).
+    * 40-round chain is unanalyzable). Driver-side scalars are ONE fused
+    * single-row aggregate per round (r16; was three actions): the rank
+    * frame carries a static `dang` flag (no out-degree) and each
+    * checkpointed round carries its predecessor rank `rp`, so the
+    * residual max|r−rp| of round i and the dangling mass Σr·[dang] that
+    * round i+1's share needs come out of one head() over the
+    * just-materialized node-sized frame — the per-round anti-join
+    * (dangling mass) and self-join (residual) are gone, and the loop
+    * runs 2 actions/round instead of 3.
     *
     * Returns (ranks, realizedRounds). */
   def pageRankDangling(
@@ -240,35 +247,46 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val degN = deg.withColumnRenamed("src", "node")
     try {
-      val n = nodes.count()
-      var ranks = nodes.select(col("node"), lit(Scale).as("r"))
+      // dang = the node has no out-degree; identical to the former
+      // per-round `ranks LEFT ANTI JOIN degN` membership, hoisted out
+      // of the loop because the node universe never changes
+      var ranks = nodes.join(degN, Seq("node"), "left")
+        .select(col("node"), lit(Scale).as("r"),
+          col("outdeg").isNull.as("dang"))
         .localCheckpoint(true)
+      val init = ranks.agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("dang"), col("r"))), lit(0L)).as("dm"))
+        .head()
+      val n = init.getLong(0)
+      var dm = init.getLong(1)
       var i = 0
       var converged = false
       while (i < maxIters && !converged) {
         i += 1
-        val dm = ranks.join(degN, Seq("node"), "left_anti")
-          .agg(coalesce(sum("r"), lit(0L)).as("dm"))
-          .head().getLong(0)
         val share = dm / n // both non-negative: truncating == floor == //
         val contribs = edgesDeg
-          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(ranks.select(col("node").as("src"), col("r")), "src")
           .select(col("dst"), expr("r div outdeg").as("c"))
           .groupBy(col("dst").as("node"))
           .agg(sum("c").as("sc"))
-        val next = nodes.join(contribs, Seq("node"), "left")
+        val next = ranks
+          .select(col("node"), col("r").as("rp"), col("dang"))
+          .join(contribs, Seq("node"), "left")
           .select(col("node"),
             expr(s"$Teleport + (85 * (coalesce(sc, 0L) + ${share}L)) div 100")
-              .as("r"))
+              .as("r"),
+            col("dang"), col("rp"))
           .localCheckpoint(true)
-        val resid = next
-          .join(ranks.withColumnRenamed("r", "rp"), "node")
-          .agg(max(abs(col("r") - col("rp"))).as("m"))
-          .head().getLong(0)
-        ranks = next
-        converged = resid < eps
+        // one action: round i's residual + round i+1's dangling mass
+        val probe = next.agg(
+          coalesce(max(abs(col("r") - col("rp"))), lit(0L)).as("resid"),
+          coalesce(sum(when(col("dang"), col("r"))), lit(0L)).as("dm"))
+          .head()
+        dm = probe.getLong(1)
+        ranks = next.select("node", "r", "dang")
+        converged = probe.getLong(0) < eps
       }
-      (ranks, i)
+      (ranks.select("node", "r"), i)
     } finally {
       edgesDeg.unpersist(blocking = false)
       nodes.unpersist(blocking = false)
@@ -1311,6 +1329,14 @@ object GraphOps {
           .select(col("s"), lit(1000000L).as("h"))
           .localCheckpoint(true)
         var auth: DataFrame = null
+        // per-HALF-ROUND eager cut, deliberately: an r16 experiment made
+        // auth lazy inside hub's round plan (hoping the duplicate aRaw
+        // aggregation exchanges would dedupe via exchange reuse) and
+        // MEASURED WORSE — 4.31 → 6.05 s isolated warm median, 56 → 75
+        // jobs — because the aMax/hMax scalar subqueries re-run the raw
+        // aggregation subtree per reference under AQE instead of
+        // reusing it. Reverted; the two checkpoints per round are the
+        // cheap end of that trade.
         for (_ <- 1 to iters) {
           val aRaw = arcs.join(hub, "s")
             .groupBy("p").agg(sum("h").as("raw"))
@@ -2212,8 +2238,15 @@ object GraphOps {
     var (frontier, nF, fRdd) = matLeaf(
       seeds.select(col("node").as("s"), col("node").as("v")))
     rdds += fRdd
-    var (seen, _, seenRdd) = matLeaf(frontier)
-    rdds += seenRdd
+    // `seen` is a LAZY union of the already-materialized round leaves:
+    // every member is a persisted matLeaf RDD, so re-reading the union
+    // costs cache scans only, and the former per-round
+    // matLeaf(seen ∪ nxt) copy — a second action + a full rewrite of
+    // the visited set every round — is gone (r16; one action per round
+    // instead of two). Union depth is bounded by the round cap, and
+    // union stats ADD (no per-round stats multiplication — the join
+    // blowup matLeaf exists to prevent cannot re-enter through a union).
+    var seen = frontier
     var round = 0
     while (nF > 0 && round < maxRounds) {
       val (nxt, n2, nxtRdd) = matLeaf(frontier
@@ -2221,11 +2254,7 @@ object GraphOps {
         .select(col("s"), col("b").as("v")).distinct()
         .join(seen, Seq("s", "v"), "left_anti"))
       rdds += nxtRdd
-      if (n2 > 0) {
-        val (s2, _, s2Rdd) = matLeaf(seen.unionAll(nxt))
-        rdds += s2Rdd
-        seen = s2
-      }
+      if (n2 > 0) seen = seen.unionAll(nxt)
       frontier = nxt; nF = n2; round += 1
     }
     if (nF > 0) throw new IllegalStateException(
