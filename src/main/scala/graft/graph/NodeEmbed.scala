@@ -131,7 +131,17 @@ object NodeEmbed {
   def train(
       spark: SparkSession, pairCounts: DataFrame, nodes: DataFrame,
       ns: Long, np: Long, epochs: Int = Epochs): DataFrame = {
+    // hash-partition the persisted training rows by the center node
+    // (r16, guide §2.4): every epoch joins on `a` and aggregates the
+    // gradient BY `a`, so with rows resident in hash(a) layout the
+    // per-epoch gradient aggregation needs no rows-sized exchange (the
+    // embedding sides broadcast at bench scale; at cluster scale the
+    // a-side join and the aggregation still reuse this layout while
+    // only the b-side moves). One build-time exchange, partitioning
+    // only — every gradient sum is exact decimal arithmetic, so the
+    // trained table is bit-identical under any layout.
     val rows = trainingRows(pairCounts, ns, np)
+      .repartition(col("a"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rows.count()
     try {

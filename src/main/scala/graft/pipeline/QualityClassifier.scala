@@ -75,7 +75,19 @@ object QualityClassifier {
   def classify(
       spark: SparkSession, docs: DataFrame, dims: Int = 64,
       epochs: Int = 4): DataFrame = {
+    // hash-partition the persisted feature table by doc_id (r16, guide
+    // §2.4: two operations keyed the same way share one exchange): every
+    // epoch aggregates scores BY doc_id and joins the err table BACK on
+    // doc_id, and `err` itself descends from that same aggregation — so
+    // with xy resident in hash(doc_id) layout the per-epoch score
+    // aggregation needs no exchange and the xy ⋈ err join is
+    // co-partitioned on both sides, leaving ONE tiny exchange per epoch
+    // (the 65-row dim-keyed gradient, map-side combined). The layout
+    // costs one corpus-sized exchange at build time and is partitioning
+    // only: every sum is exact integer/decimal arithmetic, so the
+    // trained weights are bit-identical under any layout.
     val xy = features(docs, dims)
+      .repartition(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = BigInt(docs.count())
