@@ -169,8 +169,13 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET", "600").toDouble
     // reserve for spark.stop() + final emit: the budget gate stops new
     // work at totalBudget - stopMargin so the JVM exits before the
-    // window even when the last query ran long
-    val stopMargin = 15.0
+    // window even when the last query ran long. 20 s (r16; was 15): the
+    // r15 driver artifact landed at elapsed 602.5 on the 600 s budget —
+    // the margin barely lost to one in-flight query plus spark.stop()
+    // on a 1.15× slower box. The scale legs below also subtract the
+    // margin from THEIR budgets now (they previously ran to the raw
+    // budget line, which was most of the overshoot).
+    val stopMargin = 20.0
     // ---- kill insurance, registered BEFORE anything can fail: a
     // Hadoop-manager shutdown hook at priority 1. Spark installs its
     // entire hook stack (SparkContext stop, temp-dir cleanup) as ONE
@@ -252,6 +257,13 @@ object Bench {
       .filter(q => only.forall(_.contains(q)))
     val runs = collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    // samples from the SEQUENTIAL warm passes only (a subset of `runs`),
+    // tagged explicitly instead of assuming runs(q)(0) is the cold one:
+    // a query skipped by a tripped warmup records its first sample in a
+    // warm pass, and the old index-0 drop silently discarded honest warm
+    // samples exactly there (the r16 ADVICE item)
+    val warmRuns = collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
 
     // regression gate inputs — parsed BEFORE the sweep so every
     // incremental summary line already carries the gate. The default
@@ -286,8 +298,8 @@ object Bench {
     // with ONLY its cold sample — honest, and visible in
     // BENCH_LOCAL.json's raw runs vectors.
     def timedRuns(q: String): Vector[Double] = {
-      val v = runs(q)
-      if (v.size > 1) v.drop(1) else v
+      val w = warmRuns(q)
+      if (w.nonEmpty) w else runs(q)
     }
     def medNow: Seq[(String, Double)] =
       names.map(q => q -> median(timedRuns(q).filter(_ >= 0)))
@@ -297,6 +309,14 @@ object Bench {
     // queries the budget gate never reached (their runs vector is
     // empty): counted loudly on the line, never silently dropped
     def unmeasuredNow: Seq[String] = names.filter(q => runs(q).isEmpty)
+    // queries whose ONLY sample is the concurrent pass-0 one: their
+    // median is a cold-and-possibly-contended number (and, for queries
+    // whose compute consumes a sibling query's session result cache, a
+    // possibly DEFLATED one — the r16 ADVICE hole), so they are counted
+    // on the line and EXCLUDED from the regression diff rather than
+    // compared against warm baselines
+    def coldOnlyNow: Seq[String] =
+      names.filter(q => runs(q).nonEmpty && warmRuns(q).isEmpty)
 
     // ---- sf1 scale leg (r11): one cold run of the 20 most expensive
     // queries at 10x the bench SF — the cliff probe (cache eviction,
@@ -343,7 +363,9 @@ object Bench {
     // driver's kill window from any rc-124 artifact.
     def writeAudit(): Unit = {
       val med = medNow
-      val regressed = regressionsOf(prior, med, contextScale(prior, med))
+      val coldOnly = coldOnlyNow.toSet
+      val medWarm = med.filterNot { case (q, _) => coldOnly(q) }
+      val regressed = regressionsOf(prior, medWarm, contextScale(prior, medWarm))
       val r = names.map(q => s""""$q":[${runs(q).mkString(",")}]""")
         .mkString("{", ",", "}")
       val m = med.map { case (q, v) => s""""$q":$v""" }.mkString("{", ",", "}")
@@ -366,8 +388,10 @@ object Bench {
       val s10skip = sf10Skipped.map(q => s""""$q"""").mkString("[", ",", "]")
       // NOTE: "medians" stays the LAST key (parseMedians is brace-bounded
       // now, but the audit format keeps the convention regardless)
+      val coldJson = coldOnlyNow.map(q => s""""$q"""")
+        .mkString("[", ",", "]")
       val audit =
-        s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"elapsed":${fmt(elapsedAll)},"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(contextScale(prior, med))},"regressions":$reg,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_errs":$s1errs,"sf1_skipped":$s1skip,"sf10_top5":$s10,"sf10_skipped":$s10skip,"runs":$r,"medians":$m}"""
+        s"""{"sf":"$sfDir","n":$n,"cpus":$cpus,"elapsed":${fmt(elapsedAll)},"baseline":"$baselinePath","baseline_cpus_match":$cpusMatch,"ctx_scale":${fmt(contextScale(prior, medWarm))},"regressions":$reg,"cold_only":$coldJson,"sf1_top20":$s1,"sf1_cold":$s1cold,"sf1_errs":$s1errs,"sf1_skipped":$s1skip,"sf10_top5":$s10,"sf10_skipped":$s10skip,"runs":$r,"medians":$m}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_LOCAL.json"),
         audit.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -377,8 +401,10 @@ object Bench {
       val med = medNow
       val medMap = med.toMap
       val failed = failedNow
-      val ctxScale = contextScale(prior, med)
-      val regressed = regressionsOf(prior, med, ctxScale)
+      val coldOnly = coldOnlyNow.toSet
+      val medWarm = med.filterNot { case (q, _) => coldOnly(q) }
+      val ctxScale = contextScale(prior, medWarm)
+      val regressed = regressionsOf(prior, medWarm, ctxScale)
       val total = fmt(med.map(_._2).filter(_ >= 0).sum)
       val sfLabel = sfDir.split('/').last
       // the PREFIX must stay bounded too (the budget below only trims
@@ -429,7 +455,7 @@ object Bench {
       // kill window from a guess into a measurement. "n_unmeasured"
       // counts queries the budget gate never reached (0 on any healthy
       // run; nonzero means the budget bound before pass 0 finished).
-      val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","elapsed":${fmt(elapsedAll)},"n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_unmeasured":${unmeasuredNow.size},"n_regressed":${regressed.size},"ctx_scale":${fmt(ctxScale)},"regressions":$regJson,$sf1Meta"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
+      val prefix = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfLabel","elapsed":${fmt(elapsedAll)},"n_queries":${names.size},"n_failed":${failed.size},"failed":$failedJson,"n_unmeasured":${unmeasuredNow.size},"n_cold_only":${coldOnly.size},"n_regressed":${regressed.size},"ctx_scale":${fmt(ctxScale)},"regressions":$regJson,$sf1Meta"sf1_top20":$sf1Json,"sf1_skipped":$sf1SkipJson,"full":"BENCH_LOCAL.json","queries":{"""
       val suffix = "}}"
       val entries = med.sortBy(-_._2)
         .map { case (q, v) => s""""$q":${fmt(v)}""" }
@@ -454,23 +480,45 @@ object Bench {
     }
 
     // ---- the sweep: pass 0 (cold/warmup) + up to n warm passes, every
-    // query gated on the remaining budget. The gate is conservative per
-    // query (its own worst recorded time as the estimate), and a trip
-    // stops the WHOLE sweep — medians over the samples that exist beat
-    // an rc-124 kill mid-query (r12-r14, three artifacts lost).
+    // query gated on the remaining budget. Trip semantics: in the
+    // concurrent warmup a trip SKIPS that query and the pool keeps
+    // draining (a global stop would starve every later query of its
+    // warmup and push cold JIT into the timed warm passes — the r16
+    // ADVICE hole); in the warm passes a trip skips the query too
+    // (estimates are descending, the sub-second tail must still get its
+    // samples); only `dying` stops everything outright. Medians over
+    // the samples that exist beat an rc-124 kill mid-query (r12-r14,
+    // three artifacts lost).
+    //
+    // Estimate: the worst WARM sequential sample when one exists (the
+    // concurrent pass-0 sample can be inflated several-x by contention —
+    // gating on it skips queries the budget could afford); a query with
+    // only its pass-0 sample is floored at 2 s, because that sample can
+    // also be DEFLATED (a sibling sharing a session result-cache family
+    // can populate a cache between this query's invalidate and compute),
+    // and an underestimate would re-open the overrun window.
     def estOf(q: String): Double = {
-      val v = runs(q).filter(_ >= 0)
-      if (v.isEmpty) 2.0 else v.max
+      val w = warmRuns(q).filter(_ >= 0)
+      if (w.nonEmpty) w.max
+      else {
+        val v = runs(q).filter(_ >= 0)
+        if (v.isEmpty) 2.0 else math.max(v.max, 2.0)
+      }
     }
-    val sweepStopped = new java.util.concurrent.atomic.AtomicBoolean(false)
     // `runs` is a plain mutable.Map and emit() reads it whole — one lock
     // covers recording, gate reads and emission for the concurrent
     // warmup below (query EXECUTION stays outside the lock)
     val runsLock = new Object
-    def gateTripped(name: String): Boolean = runsLock.synchronized {
-      dying || elapsedAll + estOf(name) > totalBudget - stopMargin
-    }
-    def runOnce(name: String): Unit = {
+    // `reserve` shrinks the effective budget for LOW-VALUE work: warm
+    // passes 2..n leave room for the sf1 scale leg (see sf1Reserve
+    // below) — extra warm samples on the fast tail are worth less than
+    // decade-scale evidence rows, and pass 1 (the first warm sample of
+    // every query) still gets the whole budget.
+    def gateTripped(name: String, reserve: Double = 0.0): Boolean =
+      runsLock.synchronized {
+        dying || elapsedAll + estOf(name) > totalBudget - stopMargin - reserve
+      }
+    def runOnce(name: String, warm: Boolean): Unit = {
       // full-RESULT caches would make later runs time a map lookup,
       // not the operator (the cluster table and the pagerank rank
       // frames are cached per session by design — a bench must
@@ -503,7 +551,9 @@ object Bench {
         }
       val dt = (System.nanoTime() - t0) / 1e9
       runsLock.synchronized {
-        runs(name) = runs(name) :+ (if (ok) dt else -1.0)
+        val sample = if (ok) dt else -1.0
+        runs(name) = runs(name) :+ sample
+        if (warm) warmRuns(name) = warmRuns(name) :+ sample
         emit()
       }
     }
@@ -516,9 +566,14 @@ object Bench {
     // the sequential cold pass alone ate the whole 600 s budget — 36
     // queries never ran and every reported median was a cold sample
     // (q_frame_sample 30.3 s cold vs 0.24 s warm baseline → 53 phantom
-    // regressions). Contention can only INFLATE a pass-0 sample, and
-    // pass-0 samples are already excluded from the median once a warm
-    // sequential sample exists — the warmup's job is building JIT +
+    // regressions). Contention usually INFLATES a pass-0 sample — but a
+    // query whose compute consumes a sibling's session result-cache
+    // family can also record a DEFLATED one (the sibling populates the
+    // cache between this query's invalidate and its compute), so
+    // pass-0-only medians are flagged (`n_cold_only`), excluded from
+    // the regression diff, and floored in the budget estimates rather
+    // than trusted. Pass-0 samples are excluded from the median once a
+    // warm sequential sample exists — the warmup's job is building JIT +
     // session intermediates, and it must not starve the warm passes
     // that produce the numbers the round is judged on.
     {
@@ -527,11 +582,15 @@ object Bench {
       val pool = (0 until workers).map { w =>
         val t = new Thread(() => {
           var go = true
-          while (go && !sweepStopped.get) {
+          while (go && !dying) {
             val i = next.getAndIncrement()
             if (i >= names.size) go = false
-            else if (gateTripped(names(i))) sweepStopped.set(true)
-            else runOnce(names(i))
+            // a trip SKIPS this query and the pool keeps draining: a
+            // global stop would starve every later query of its warmup
+            // and push cold JIT into the timed warm passes on exactly
+            // the slow boxes the gate exists for; the per-query check
+            // bounds each admission either way
+            else if (!gateTripped(names(i))) runOnce(names(i), warm = false)
           }
         }, s"bench-warmup-$w")
         t.start(); t
@@ -541,6 +600,11 @@ object Bench {
       // budget the sequential samples below are the valuable ones, and
       // their own gate re-checks per query
     }
+    // whether the sf1 scale leg will run (decided here, BEFORE the warm
+    // passes, because passes 2..n reserve budget for it)
+    val sf1Wanted = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
+      sfDir.split('/').last == "sf0.1" &&
+      (only.isEmpty || sys.env.contains("SPARK_GRAFT_SF1_FORCE"))
     // Passes 1..n — sequential (clean, uncontended timing), SLOWEST
     // FIRST by each query's worst recorded sample: under a tight budget
     // the warm samples land exactly where they move the total most
@@ -552,10 +616,23 @@ object Bench {
     // estimates are descending, so a 30 s-estimate trip with 20 s of
     // budget left must still let the sub-second tail collect its warm
     // samples. (`dying` still ends the loop outright.)
+    //
+    // sf1 leg RESERVE (r16): passes 2..n stop early enough to leave the
+    // scale leg a slice of the budget — the r15 driver artifact spent
+    // the whole 600 s window on the sweep and admitted only 2 sf1
+    // entries (31 skipped), leaving the decade-scale story to
+    // builder-box probes. Extra warm samples on the sub-second tail are
+    // worth less than scale-evidence rows; pass 1 (every query's FIRST
+    // warm sample — the one the medians need) still gets the full
+    // budget, so median coverage is never traded away.
+    val sf1Reserve =
+      if (sf1Wanted) sys.env.getOrElse("SPARK_GRAFT_SF1_RESERVE", "180").toDouble
+      else 0.0
     for (pass <- 1 to n) {
       val order = runsLock.synchronized { names.sortBy(q => -estOf(q)) }
+      val reserve = if (pass >= 2) sf1Reserve else 0.0
       for (name <- order if !dying)
-        if (!gateTripped(name)) runOnce(name)
+        if (!gateTripped(name, reserve)) runOnce(name, warm = true)
     }
     val med = medNow
     val medMap = med.toMap
@@ -637,19 +714,20 @@ object Bench {
       }
     }
 
-    val sf1Wanted = sys.env.getOrElse("SPARK_GRAFT_SF1", "1") != "0" &&
-      sfDir.split('/').last == "sf0.1" &&
-      (only.isEmpty || sys.env.contains("SPARK_GRAFT_SF1_FORCE"))
     if (sf1Wanted) {
       val sf1Dir = resolveSf1Dir()
       if (sf1Dir.nonEmpty) {
         // the leg gets what the TOTAL budget leaves (at most the leg's
-        // own cap): r12 raised the leg budget to 1200 s in isolation
-        // and the whole run outgrew the driver's kill window — the
-        // budget that matters is the one the PROCESS lives under
+        // own cap), MINUS the stop margin: r12 raised the leg budget to
+        // 1200 s in isolation and the whole run outgrew the driver's
+        // kill window — the budget that matters is the one the PROCESS
+        // lives under. The margin subtraction is the r15 overshoot fix:
+        // the leg previously ran to the raw budget line, so a leg entry
+        // admitted late + spark.stop() landed the driver artifact at
+        // elapsed 602.5 s on a 600 s budget.
         val budget = math.min(
           sys.env.getOrElse("SPARK_GRAFT_SF1_BUDGET", "900").toDouble,
-          totalBudget - elapsedAll)
+          totalBudget - stopMargin - elapsedAll)
         val top20 = med.filter(_._2 >= 0).sortBy(-_._2).take(20).map(_._1)
         // Scale SENTINELS ride along regardless of sf0.1 cost: the
         // candidate-join families (banded dedup, prefix filter, ANN
@@ -703,8 +781,18 @@ object Bench {
             // watchdog's deadline is already past and cancelJobGroup
             // cancels nothing — the run would execute UNCAPPED (the
             // r15 ADVICE hole).
+            // the cap is sized from the sweep's own warm median when one
+            // exists (3× warm + 5 s covers cold-vs-warm spread for every
+            // observed leg query; q_frame_sample's 30.3 s cold outlier
+            // was 126× its warm — such a query falls back to the sweep
+            // median, visible as its absence from sf1_cold) instead of a
+            // flat 30 s: a tight denominator cap is what buys the leg
+            // its entry count inside the driver's window
             val elapsed = (System.nanoTime() - t0) / 1e9
-            val denomCap = math.min(30.0, budget - elapsed)
+            val denomCap = math.min(
+              medMap.get(name).filter(_ > 0).map(m => m * 3 + 5)
+                .getOrElse(30.0),
+              math.min(30.0, budget - elapsed))
             if (denomCap >= capFloor) {
               val (cOk, _, cSecs, _) = cappedRun(name, sfDir, denomCap)
               if (cOk) sf1Cold(name) = cSecs
@@ -766,7 +854,7 @@ object Bench {
       if (sf1Dir.nonEmpty && sf10Dir.nonEmpty) {
         val budget = math.min(
           sys.env.getOrElse("SPARK_GRAFT_SF10_BUDGET", "3600").toDouble,
-          totalBudget - elapsedAll)
+          totalBudget - stopMargin - elapsedAll)
         val queryCap =
           sys.env.getOrElse("SPARK_GRAFT_SF10_QUERY_CAP", "900").toDouble
         val capFloor = 5.0
