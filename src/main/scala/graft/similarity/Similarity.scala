@@ -1158,7 +1158,13 @@ object Similarity {
     * (√k meta-centroids + exact triangle-inequality pruning) instead:
     * O(N·(√k + survivors)) work, ZERO exchanges (the plan is a stateless
     * projection), same collected-and-broadcast model-publish contract
-    * the centroid relation already had. */
+    * the centroid relation already had.
+    *
+    * EAGER: constructing the returned frame collects the centroid model
+    * (≤ [[MaxCells]] rows — the same ≤33.5 MB bound the broadcast had)
+    * and builds the meta level on the driver AT PLAN-CONSTRUCTION TIME,
+    * so calling this runs the jobs behind `cent` immediately rather
+    * than on the first action. */
   private[similarity] def assignCells(input: DataFrame, cent: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val spark = cent.sparkSession

@@ -282,7 +282,7 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * d(x, m_G) − rmax_G > ub + Eps (or a member with
   * d(x, m_G) − r_i > ub + Eps) contains only cells at least Eps farther
   * than some unpruned cell; with Eps = 1e-4 the q12-quantized distance
-  * gap is ≥ 1e12·Eps² − 2·32 = 10⁸ − 64 counts (64 dims quantize each
+  * gap is ≥ 1e12·Eps² − 2·32 = 10⁴ − 64 counts (64 dims quantize each
   * |q − d²·1e12| within ±32), far above double rounding error, so a
   * pruned cell can neither win nor TIE the quantized argmin — the
   * min-struct tie-break by cell id is preserved bit-for-bit.
